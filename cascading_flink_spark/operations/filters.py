@@ -1,0 +1,165 @@
+"""Built-in Filters (SURVEY.md §2.2): regex/expression/null/logic/sample/limit.
+
+Cascading convention: ``Filter.isRemove(row) == True`` drops the row.  Every
+built-in compiles :meth:`remove` to a native boolean Column so the planner
+emits ``df.filter(~remove)`` — pushdown-eligible.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import functions as F
+
+from .base import Filter
+
+
+class RegexFilter(Filter):
+    """Keep rows whose (first) argument matches the pattern.
+
+    ``remove_match=True`` inverts (Cascading's removeMatch flag).
+    Uses unanchored find semantics like java.util.regex ``find()``.
+    """
+
+    def __init__(self, pattern: str, remove_match: bool = False) -> None:
+        super().__init__()
+        self.pattern = pattern
+        self.remove_match = remove_match
+
+    def remove(self, arg_cols):
+        (arg,) = arg_cols
+        found = arg.rlike(self.pattern)
+        return found if self.remove_match else ~found
+
+
+class ExpressionFilter(Filter):
+    """SQL boolean expression; True => REMOVE (Cascading semantics)."""
+
+    def __init__(self, expression: str) -> None:
+        super().__init__()
+        self.expression = expression
+
+    def remove(self, arg_cols):
+        return F.expr(self.expression)
+
+
+class FilterNull(Filter):
+    """Remove rows where ANY argument field is null."""
+
+    def remove(self, arg_cols):
+        cond = F.lit(False)
+        for c in arg_cols:
+            cond = cond | c.isNull()
+        return cond
+
+
+class FilterNotNull(Filter):
+    """Remove rows where ANY argument field is NOT null."""
+
+    def remove(self, arg_cols):
+        cond = F.lit(False)
+        for c in arg_cols:
+            cond = cond | c.isNotNull()
+        return cond
+
+
+class Sample(Filter):
+    """Bernoulli sample: keep ~fraction of rows, seeded (Cascading Sample).
+
+    Compiles to a deterministic hash test rather than ``rand()`` so results
+    are stable across retries/partitionings — important for the oracle gate.
+    """
+
+    def __init__(self, fraction: float, seed: int = 42) -> None:
+        super().__init__()
+        self.fraction = fraction
+        self.seed = seed
+
+    def remove(self, arg_cols):
+        h = F.abs(F.xxhash64(*arg_cols, F.lit(self.seed)))
+        return (h % 1_000_000) >= int(self.fraction * 1_000_000)
+
+
+class Limit(Filter):
+    """Keep first n rows (Cascading Limit). Planner-special-cased to df.limit."""
+
+    def __init__(self, n: int) -> None:
+        super().__init__()
+        self.n = n
+
+    def remove(self, arg_cols):  # pragma: no cover - planner intercepts
+        raise NotImplementedError("Limit is planner-expanded to df.limit(n)")
+
+
+class NoOp(Filter):
+    """Keep everything (Cascading NoOp / Status)."""
+
+    def remove(self, arg_cols):
+        return F.lit(False)
+
+
+class Debug(Filter):
+    """Identity filter; a debug tap point. Plan-time toggled via DebugLevel
+    (reference strips Debug at plan time, ``FlinkConnector.java:127``)."""
+
+    def __init__(self, prefix: str = "") -> None:
+        super().__init__()
+        self.prefix = prefix
+
+    def remove(self, arg_cols):
+        return F.lit(False)
+
+
+class And(Filter):
+    """Remove when ALL child filters would remove (Cascading logic.And)."""
+
+    def __init__(self, *filters: Filter) -> None:
+        super().__init__()
+        self.filters = filters
+
+    def remove(self, arg_cols):
+        cond = F.lit(True)
+        for f in self.filters:
+            cond = cond & f.remove(arg_cols)
+        return cond
+
+
+class Or(Filter):
+    def __init__(self, *filters: Filter) -> None:
+        super().__init__()
+        self.filters = filters
+
+    def remove(self, arg_cols):
+        cond = F.lit(False)
+        for f in self.filters:
+            cond = cond | f.remove(arg_cols)
+        return cond
+
+
+class Not(Filter):
+    def __init__(self, filter_: Filter) -> None:
+        super().__init__()
+        self.filter_ = filter_
+
+    def remove(self, arg_cols):
+        return ~self.filter_.remove(arg_cols)
+
+
+class Xor(Filter):
+    def __init__(self, a: Filter, b: Filter) -> None:
+        super().__init__()
+        self.a, self.b = a, b
+
+    def remove(self, arg_cols):
+        ra, rb = self.a.remove(arg_cols), self.b.remove(arg_cols)
+        return (ra | rb) & ~(ra & rb)
+
+
+class PyFilter(Filter):
+    """User Python predicate: fn(pandas.DataFrame[args]) -> bool Series (keep)."""
+
+    is_pandas = True
+
+    def __init__(self, fn: Callable) -> None:
+        super().__init__()
+        self.fn = fn

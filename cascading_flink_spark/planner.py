@@ -1,0 +1,506 @@
+"""Planner: compiles a pipe-assembly DAG to DataFrame transformations.
+
+The Spark analog of ``FlinkFlowStep.buildFlinkProgram``
+(``/root/reference/src/main/java/com/dataartisans/flink/cascading/planner/FlinkFlowStep.java:176-353``):
+a memoized topological walk that pattern-matches each pipe and emits
+DataFrame operations.  Crucially — unlike the reference, which hand-places
+exchanges (Boundaries) and hardcodes join strategies — we emit *logical*
+DataFrame plans and let Catalyst + AQE choose physical strategies
+(SURVEY.md §4.1): predicate pushdown, column pruning, partial aggregation,
+broadcast-vs-sortmerge, skew handling.  The only physical hints we inject
+are ``broadcast()`` for HashJoin (honoring the user's explicit map-side-join
+request, reference ``:993,1039``) and ``cache()`` for Checkpoint (Spark
+recomputes branches; Flink doesn't — SURVEY.md §2.1 #16).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .fields import Fields, FieldsResolutionError, resolve_argument_fields, resolve_output_fields
+from .operations.base import Aggregator, Buffer, Filter, Function
+from .operations.assertions import AssertionLevel, _Assertion
+from .operations.buffers import FirstNBuffer, PyBuffer
+from .operations.filters import Limit, PyFilter
+from .operations.functions import PyFunction, UnGroup
+from .pipes import (
+    BufferJoin, Checkpoint, CoGroup, Each, Every, GroupBy, HashJoin,
+    InnerJoin, LeftJoin, MixedJoin, Merge, OuterJoin, Pipe, RightJoin,
+    Unique,
+)
+
+
+class PlannerError(ValueError):
+    pass
+
+
+class FlowPlanner:
+    """Compile pipes against bound source DataFrames.
+
+    ``assertion_level`` strips assertions below the flow level at plan time,
+    mirroring the reference's ApplyAssertionLevel rule
+    (``FlinkConnector.java:126``).
+    """
+
+    def __init__(self, spark: SparkSession,
+                 assertion_level: AssertionLevel = AssertionLevel.STRICT,
+                 debug: bool = False) -> None:
+        self.spark = spark
+        self.assertion_level = assertion_level
+        self.debug = debug
+        self._memo: dict[int, DataFrame] = {}
+
+    # -------------------------------------------------------------- walk
+    def compile(self, pipe: Pipe, sources: dict[str, DataFrame]) -> DataFrame:
+        self.sources = sources
+        return self._compile(pipe)
+
+    def _compile(self, pipe: Pipe) -> DataFrame:
+        # memoization per pipe object = the reference's flinkMemo per
+        # boundary (FlinkFlowStep.java:200) — a split's branches reuse the
+        # same upstream DataFrame (same logical subtree; Catalyst/AQE reuse
+        # exchanges where profitable).
+        key = id(pipe)
+        if key in self._memo:
+            return self._memo[key]
+        df = self._dispatch(pipe)
+        self._memo[key] = df
+        return df
+
+    def _dispatch(self, pipe: Pipe) -> DataFrame:
+        if isinstance(pipe, Each):
+            return self._compile_each(pipe)
+        if isinstance(pipe, Every):
+            return self._compile_every_chain(pipe)
+        if isinstance(pipe, GroupBy):
+            return self._compile_groupby_alone(pipe)
+        if isinstance(pipe, (CoGroup, HashJoin)):
+            df, _keys = self._compile_cogroup(pipe)
+            return df
+        if isinstance(pipe, Merge):
+            return self._compile_merge(pipe)
+        if isinstance(pipe, Unique):
+            return self._compile_unique(pipe)
+        if isinstance(pipe, Checkpoint):
+            return self._compile(pipe.previous[0]).cache()
+        if type(pipe) is Pipe:
+            if not pipe.previous:
+                if pipe.name not in self.sources:
+                    raise PlannerError(f"head pipe {pipe.name!r} has no bound source")
+                return self.sources[pipe.name]
+            return self._compile(pipe.previous[0])
+        raise PlannerError(f"unknown pipe type {type(pipe).__name__}")
+
+    # -------------------------------------------------------------- Each
+    def _compile_each(self, pipe: Each) -> DataFrame:
+        df = self._compile(pipe.previous[0])
+        op = pipe.operation
+        incoming = df.columns
+        arg_names = resolve_argument_fields(incoming, pipe.argument_selector)
+        arg_cols = [df[n] for n in arg_names]
+
+        if isinstance(op, _Assertion):
+            if op.level > self.assertion_level:
+                return df  # stripped at plan time
+            cond = op.condition(arg_cols)
+            msg = f"assertion {type(op).__name__} failed on fields {arg_names}"
+            keep = F.when(cond, F.lit(True)).otherwise(F.raise_error(F.lit(msg)))
+            return df.filter(keep)
+
+        if isinstance(op, Limit):
+            # Planner special case — reference treats Limit as a stateful
+            # filter; Spark's native limit is the scalable equivalent.
+            return df.limit(op.n)
+
+        if isinstance(op, Filter):
+            if isinstance(op, PyFilter):
+                out = self._pandas_filter(df, op, arg_names)
+            else:
+                out = df.filter(~op.remove(arg_cols))
+            if pipe.output_selector is Fields.ALL:
+                return out
+            out_names, _ = resolve_output_fields(incoming, arg_names, [], pipe.output_selector)
+            return out.select(*out_names)
+
+        if not isinstance(op, Function):
+            raise PlannerError(f"Each cannot host {type(op).__name__}")
+
+        # ---- Functions ----
+        if isinstance(op, UnGroup):
+            return self._compile_ungroup(df, op)
+
+        declared = (list(arg_names) if op.declared is Fields.ARGS
+                    else op.declared_names)
+
+        if getattr(op, "is_pandas", False):
+            return self._pandas_function(df, pipe, op, arg_names, declared)
+
+        if op.is_generator:
+            arr = op.generate(arg_cols)
+            out_names, srcs = resolve_output_fields(incoming, arg_names, declared,
+                                                    pipe.output_selector)
+            gen_name = declared[0]
+            sel = []
+            for name, src in zip(out_names, srcs):
+                if src == f"res:{gen_name}":
+                    sel.append(F.explode(arr).alias(name))
+                elif src.startswith("in:"):
+                    sel.append(df[src[3:]].alias(name))
+                else:
+                    raise PlannerError(f"generator cannot source {src}")
+            return df.select(*sel)
+
+        cols = op.columns(arg_cols)
+        if len(cols) != len(declared):
+            raise PlannerError(
+                f"{type(op).__name__} produced {len(cols)} columns for "
+                f"{len(declared)} declared fields")
+        res_map = dict(zip(declared, cols))
+        out_names, srcs = resolve_output_fields(incoming, arg_names, declared,
+                                                pipe.output_selector)
+        sel = []
+        for name, src in zip(out_names, srcs):
+            if src.startswith("res:"):
+                sel.append(res_map[src[4:]].alias(name))
+            else:
+                sel.append(df[src[3:]].alias(name))
+        return df.select(*sel)
+
+    def _compile_ungroup(self, df: DataFrame, op: UnGroup) -> DataFrame:
+        keys = list(op.key_fields.names)
+        value_names = [n for n in op.declared_names if n not in keys]
+        n = len(op.value_selectors)
+        flat = []
+        for group in op.value_selectors:
+            if len(group) != len(value_names):
+                raise PlannerError("UnGroup: selector arity != declared value arity")
+            flat.extend(f"`{c}`" for c in group)
+        stack_expr = (f"stack({n}, {', '.join(flat)}) as "
+                      f"({', '.join(value_names)})")
+        return df.select(*keys, F.expr(stack_expr))
+
+    def _pandas_filter(self, df: DataFrame, op: PyFilter, arg_names: list[str]) -> DataFrame:
+        schema = df.schema
+        fn = op.fn
+        cols = list(df.columns)
+
+        def _mapper(batches):
+            for pdf in batches:
+                mask = fn(pdf[arg_names])
+                yield pdf[mask]
+
+        return df.mapInPandas(_mapper, schema=schema)
+
+    def _pandas_function(self, df: DataFrame, pipe: Each, op: PyFunction,
+                         arg_names: list[str], declared: list[str]) -> DataFrame:
+        incoming = df.columns
+        out_names, srcs = resolve_output_fields(incoming, arg_names, declared,
+                                                pipe.output_selector)
+        in_schema = {f.name: f.dataType for f in df.schema.fields}
+        res_types = {n: t for n, t in zip(declared, op.types)}
+        fields = []
+        for name, src in zip(out_names, srcs):
+            if src.startswith("res:"):
+                t = res_types[src[4:]]
+                dt = t if isinstance(t, T.DataType) else T._parse_datatype_string(t)
+                fields.append(T.StructField(name, dt))
+            else:
+                fields.append(T.StructField(name, in_schema[src[3:]]))
+        out_schema = T.StructType(fields)
+        results_only = pipe.output_selector is Fields.RESULTS
+        fn = op.fn
+
+        def _mapper(batches):
+            import pandas as pd
+            for pdf in batches:
+                res = fn(pdf[arg_names])
+                res = res.rename(columns=dict(zip(res.columns, declared)))
+                if results_only:
+                    yield res[[n for n in out_names]]
+                    continue
+                if len(res) != len(pdf):
+                    raise ValueError(
+                        "PyFunction changed row count; use output_selector="
+                        "Fields.RESULTS for generator-style functions")
+                out = {}
+                for name, src in zip(out_names, srcs):
+                    out[name] = (res[src[4:]].values if src.startswith("res:")
+                                 else pdf[src[3:]].values)
+                yield pd.DataFrame(out)
+
+        return df.mapInPandas(_mapper, schema=out_schema)
+
+    # -------------------------------------------------------------- GroupBy
+    def _grouping_input(self, root: GroupBy | CoGroup | HashJoin):
+        """(input_df, key_names, sort_names, descending) for an Every chain."""
+        if isinstance(root, GroupBy):
+            df = self._merge_inputs(root.previous)
+            keys = list(root.group_fields.names)
+            sorts = list(root.sort_fields.names)
+            return df, keys, sorts, root.reverse_order
+        df, keys = self._compile_cogroup(root)
+        return df, keys, [], False
+
+    def _merge_inputs(self, pipes: Sequence[Pipe]) -> DataFrame:
+        # GroupBy over merged branches: union-then-group
+        # (prepareGroupByInput, FlinkFlowStep.java:477-496)
+        dfs = [self._compile(p) for p in pipes]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def _compile_groupby_alone(self, pipe: GroupBy) -> DataFrame:
+        """GroupBy not followed by Every: the rows pass through grouped.
+
+        With keys: co-partition + in-partition sort (the physical contract a
+        downstream Buffer relies on — reference ``:498-571``).  Keyless with
+        sort fields: GLOBAL sort; the reference pins dop=1
+        (``translateGlobalGroupBy`` ``:573-600``) but Spark's range
+        partitioning gives the same total order scalably, so we use orderBy.
+        """
+        df = self._merge_inputs(pipe.previous)
+        keys = list(pipe.group_fields.names)
+        sorts = list(pipe.sort_fields.names)
+        direction = F.desc if pipe.reverse_order else F.asc
+        if not keys:
+            if sorts:
+                return df.orderBy(*[direction(s) for s in sorts])
+            return df
+        sort_cols = [F.asc(k) for k in keys] + [direction(s) for s in sorts]
+        return df.repartition(*[F.col(k) for k in keys]).sortWithinPartitions(*sort_cols)
+
+    def _compile_every_chain(self, tail: Every) -> DataFrame:
+        # Collect the chain of Everys back to the grouping root — the same
+        # (GroupBy|CoGroup)+Every* node shape the reference's planner cuts
+        # (FlinkFlowStep.java:243-302).
+        chain: list[Every] = []
+        node: Pipe = tail
+        while isinstance(node, Every):
+            chain.append(node)
+            node = node.previous[0]
+        chain.reverse()
+        if not isinstance(node, (GroupBy, CoGroup, HashJoin)):
+            raise PlannerError("Every must trace back to GroupBy/CoGroup")
+        root = node
+        df, keys, sorts, descending = self._grouping_input(root)
+
+        buffers = [e for e in chain if isinstance(e.operation, Buffer)]
+        if buffers:
+            if len(chain) != 1:
+                raise PlannerError("Buffer must be the only Every on a grouping "
+                                   "(BufferAfterEveryAssert/EveryAfterBufferAssert)")
+            return self._compile_buffer(chain[0], df, keys, sorts, descending)
+
+        incoming = df.columns
+        agg_cols: list[Column] = []
+        for e in chain:
+            op = e.operation
+            assert isinstance(op, Aggregator)
+            if e.argument_selector is Fields.VALUES:
+                arg_names = [c for c in incoming if c not in keys]
+            elif e.argument_selector is Fields.GROUP:
+                arg_names = list(keys)
+            else:
+                arg_names = resolve_argument_fields(incoming, e.argument_selector)
+            arg_cols = [df[n] for n in arg_names]
+            sort_cols = [df[s] for s in sorts]
+            if sorts and hasattr(op, "sorted_agg_column"):
+                agg_cols.append(op.sorted_agg_column(arg_cols, sort_cols, descending))
+            else:
+                agg_cols.append(op.agg_column(arg_cols))
+
+        if keys:
+            out = df.groupBy(*[df[k] for k in keys]).agg(*agg_cols)
+        else:
+            out = df.agg(*agg_cols)  # keyless/global aggregation (:573-600)
+
+        sel = tail.output_selector
+        if sel is Fields.ALL:
+            return out
+        out_names = list(sel.names)
+        missing = [n for n in out_names if n not in out.columns]
+        if missing:
+            raise FieldsResolutionError(
+                f"Every output selector {missing} not in {out.columns}")
+        return out.select(*out_names)
+
+    def _compile_buffer(self, every: Every, df: DataFrame, keys: list[str],
+                        sorts: list[str], descending: bool) -> DataFrame:
+        op = every.operation
+        direction = F.desc if descending else F.asc
+
+        if isinstance(op, FirstNBuffer):
+            # Native path: top-N per group via Window + row_number
+            # (SURVEY.md §2.2 FirstNBuffer row) — no Python executes.
+            order = ([direction(s) for s in sorts] or
+                     [F.asc(k) for k in (keys or df.columns[:1])])
+            w = Window.partitionBy(*keys).orderBy(*order) if keys else \
+                Window.partitionBy(F.lit(1)).orderBy(*order)
+            out = (df.withColumn("__rn", F.row_number().over(w))
+                     .filter(F.col("__rn") <= op.n)
+                     .drop("__rn"))
+            sel = every.output_selector
+            if sel is Fields.ALL:
+                return out
+            return out.select(*sel.names)
+
+        if isinstance(op, PyBuffer):
+            fields = []
+            for n, t in zip(op.declared_names, op.types):
+                dt = t if isinstance(t, T.DataType) else T._parse_datatype_string(t)
+                fields.append(T.StructField(n, dt))
+            schema = T.StructType(fields)
+            fn = op.fn
+            sort_keys = list(sorts)
+            asc = not descending
+
+            def _apply(pdf):
+                if sort_keys:
+                    pdf = pdf.sort_values(sort_keys, ascending=asc, kind="mergesort")
+                return fn(pdf)
+
+            if keys:
+                return df.groupBy(*keys).applyInPandas(_apply, schema=schema)
+            return df.groupBy(F.lit(1).alias("__g")).applyInPandas(
+                lambda pdf: fn(pdf.sort_values(sort_keys, ascending=asc, kind="mergesort")
+                               if sort_keys else pdf).drop(columns=[], errors="ignore"),
+                schema=schema)
+
+        raise PlannerError(f"unsupported Buffer {type(op).__name__}")
+
+    # -------------------------------------------------------------- joins
+    def _compile_cogroup(self, pipe: CoGroup | HashJoin) -> tuple[DataFrame, list[str]]:
+        """Returns (joined_df, key_names_of_first_input_after_rename)."""
+        inputs = [self._compile(p) for p in pipe.previous]
+        n = len(inputs)
+        arities = [len(d.columns) for d in inputs]
+
+        # Resolve declared output names per input slice (Cascading requires
+        # declaredFields on name collisions; same rule here).
+        if pipe.declared_fields is not None:
+            declared = list(pipe.declared_fields.names)
+            if len(declared) != sum(arities):
+                raise PlannerError(
+                    f"declared_fields arity {len(declared)} != total input "
+                    f"arity {sum(arities)}")
+            slices, off = [], 0
+            for a in arities:
+                slices.append(declared[off:off + a])
+                off += a
+        else:
+            slices = [list(d.columns) for d in inputs]
+            flat = [c for s in slices for c in s]
+            if len(set(flat)) != len(flat):
+                raise PlannerError(
+                    "CoGroup/HashJoin input field names collide; pass "
+                    "declared_fields (Cascading requires declaredFields too)")
+        if len({c for s in slices for c in s}) != sum(arities):
+            raise PlannerError("declared_fields must be unique")
+
+        renamed = []
+        key_names: list[list[str]] = []
+        for df, sl, gf in zip(inputs, slices, pipe.group_fields):
+            old = df.columns
+            rn = df.toDF(*sl)
+            renamed.append(rn)
+            mapping = dict(zip(old, sl))
+            try:
+                key_names.append([mapping[k] for k in gf.names])
+            except KeyError as e:
+                raise PlannerError(f"join key {e} not in input fields {old}")
+
+        joiner = pipe.joiner
+        broadcast_rest = isinstance(pipe, HashJoin)
+
+        if isinstance(joiner, BufferJoin):
+            return self._compile_bufferjoin(pipe, renamed, key_names, joiner), key_names[0]
+
+        keyless = all(len(k) == 0 for k in key_names)
+        if keyless:
+            # Cartesian (prepareInnerCrossInput :765-800 / crossWithTiny)
+            out = renamed[0]
+            for d in renamed[1:]:
+                out = out.crossJoin(F.broadcast(d) if broadcast_rest else d)
+            return out, []
+
+        if isinstance(joiner, MixedJoin):
+            flags = joiner.outer_flags
+            if len(flags) != n:
+                raise PlannerError("MixedJoin flags arity != inputs")
+        else:
+            how = joiner.how
+            if n > 2 and how in ("left", "right", "full"):
+                # n-ary outer semantics follow the chained interpretation of
+                # the reference's full-outer cogroup cascade (:706-763).
+                pass
+            flags = None
+
+        out = renamed[0]
+        acc_outer = flags[0] if flags else None
+        for i in range(1, n):
+            right = renamed[i]
+            if broadcast_rest:
+                right = F.broadcast(right)
+            cond = None
+            for lk, rk in zip(key_names[0], key_names[i]):
+                c = out[lk] == right[rk] if lk in out.columns else F.col(lk) == right[rk]
+                cond = c if cond is None else (cond & c)
+            if flags is not None:
+                r_outer = flags[i]
+                if acc_outer and r_outer:
+                    how_i = "full"
+                elif acc_outer:
+                    how_i = "left"
+                elif r_outer:
+                    how_i = "right"
+                else:
+                    how_i = "inner"
+                acc_outer = acc_outer or r_outer
+            else:
+                how_i = joiner.how
+            out = out.join(right, on=cond, how=how_i)
+        return out, key_names[0]
+
+    def _compile_bufferjoin(self, pipe, renamed: list[DataFrame],
+                            key_names: list[list[str]], joiner: BufferJoin) -> DataFrame:
+        """BufferJoin — user logic over all co-grouped streams.
+
+        2-way: ``cogroup().applyInPandas`` (SURVEY.md §2.1 #11).  n-way: the
+        reference's tagged-union trick (``prepareBufferCoGroupInput``
+        ``:802-851``) is planned for a later round.
+        """
+        if len(renamed) != 2:
+            raise PlannerError("BufferJoin currently supports exactly 2 inputs "
+                               "(n-way via tagged union: planned)")
+        fields = []
+        for nm, t in zip(joiner.declared.names, joiner.types):
+            dt = t if isinstance(t, T.DataType) else T._parse_datatype_string(t)
+            fields.append(T.StructField(nm, dt))
+        schema = T.StructType(fields)
+        fn = joiner.fn
+
+        def _apply(key, left_pdf, right_pdf):
+            return fn(key, left_pdf, right_pdf)
+
+        g1 = renamed[0].groupBy(*key_names[0])
+        g2 = renamed[1].groupBy(*key_names[1])
+        return g1.cogroup(g2).applyInPandas(_apply, schema=schema)
+
+    # -------------------------------------------------------------- misc
+    def _compile_merge(self, pipe: Merge) -> DataFrame:
+        dfs = [self._compile(p) for p in pipe.previous]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def _compile_unique(self, pipe: Unique) -> DataFrame:
+        df = self._compile(pipe.previous[0])
+        if pipe.fields is Fields.ALL:
+            return df.dropDuplicates()
+        return df.dropDuplicates(list(pipe.fields.names))

@@ -1,0 +1,38 @@
+"""SparkSession factory tuned for the project's execution profile.
+
+Local testing runs ``local[N]`` (single JVM); the configuration is chosen so
+the same logical plans scale to a multi-executor cluster: AQE enabled
+(runtime re-plan, skew-join handling, partition coalescing), Arrow enabled
+for every pandas-UDF path, shuffle partitions sized to cores locally (on a
+real cluster AQE coalesces from a higher initial number).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "cascading_flink_spark",
+              cpus: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder
+        .master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

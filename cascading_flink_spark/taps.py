@@ -1,0 +1,247 @@
+"""Taps & Schemes — source/sink abstraction (SURVEY.md §2.3).
+
+The reference supports "all Cascading Hadoop Taps and Schemes"
+(``/root/reference/README.md:18``) by delegating to Hadoop
+Input/OutputFormats (``runtime/source/TapInputFormat.java:88-101``,
+``runtime/sink/TapOutputFormat.java``).  The Spark-native equivalents are
+DataSource V2 readers/writers: splits, locality, file statistics, partition
+discovery and the commit protocol are all built in
+(SURVEY.md §2.3 bottom rows), so a Tap here is a thin declarative wrapper
+around ``spark.read`` / ``df.write`` that preserves the Cascading surface:
+scheme-declared fields, SinkMode, globs, multi-source, dir-partitioning.
+"""
+
+from __future__ import annotations
+
+import enum
+import os
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .fields import Fields
+
+
+class SinkMode(enum.Enum):
+    """Cascading SinkMode (``FlinkTestPlatform.java:139``) -> save modes."""
+
+    KEEP = "error"        # fail if output exists
+    REPLACE = "overwrite"
+    UPDATE = "append"
+
+
+class Scheme:
+    """Parses/formats records; declares source/sink fields."""
+
+    def __init__(self, fields: Fields | Sequence[str] | None = None) -> None:
+        self.fields = Fields.coerce(fields) if fields is not None else None
+        self.num_sink_parts: int | None = None
+
+    def read(self, spark: SparkSession, paths: list[str]) -> DataFrame:
+        raise NotImplementedError
+
+    def write(self, df: DataFrame, path: str, mode: SinkMode) -> None:
+        raise NotImplementedError
+
+
+class TextLine(Scheme):
+    """Line-oriented text (Cascading ``TextLine``; ``FlinkTestPlatform.java:144-150``).
+
+    Source fields default to ``('line',)``; requesting ``('offset','line')``
+    adds a byte-offset-like monotonically increasing id (Spark's text source
+    doesn't expose byte offsets; the id preserves per-file ordering which is
+    what flows use it for).
+    """
+
+    def __init__(self, fields=("line",)) -> None:
+        super().__init__(fields)
+
+    def read(self, spark, paths):
+        df = spark.read.text(*paths)
+        names = list(self.fields.names)
+        if names == ["line"]:
+            return df.withColumnRenamed("value", "line")
+        if names == ["offset", "line"]:
+            return df.select(F.monotonically_increasing_id().alias("offset"),
+                             F.col("value").alias("line"))
+        raise ValueError(f"TextLine fields must be (line,) or (offset,line), got {names}")
+
+    def write(self, df, path, mode):
+        cols = df.columns
+        out = df if cols == ["value"] else df.select(
+            F.concat_ws("\t", *[F.col(c).cast("string") for c in cols]).alias("value"))
+        w = out.write.mode(mode.value)
+        if self.num_sink_parts:
+            out = out.coalesce(self.num_sink_parts)
+            w = out.write.mode(mode.value)
+        w.text(path)
+
+
+class TextDelimited(Scheme):
+    """CSV/TSV with header/quote/typed columns (Cascading ``TextDelimited``;
+    ``FlinkTestPlatform.java:153-167``) -> ``spark.read.csv`` options."""
+
+    def __init__(self, fields=None, delimiter: str = "\t", header: bool = False,
+                 quote: str | None = '"', types: Sequence[str] | None = None) -> None:
+        super().__init__(fields)
+        self.delimiter = delimiter
+        self.header = header
+        self.quote = quote
+        self.types = list(types) if types is not None else None
+
+    def read(self, spark, paths):
+        reader = (spark.read
+                  .option("sep", self.delimiter)
+                  .option("header", str(self.header).lower()))
+        if self.quote is not None:
+            reader = reader.option("quote", self.quote)
+        if self.fields is not None and self.types is not None:
+            schema = ", ".join(f"`{n}` {t}" for n, t in zip(self.fields.names, self.types))
+            reader = reader.schema(schema)
+            df = reader.csv(*paths)
+        elif self.fields is not None:
+            df = reader.csv(*paths)
+            df = df.toDF(*self.fields.names)
+        else:
+            df = reader.option("inferSchema", "true").csv(*paths)
+        return df
+
+    def write(self, df, path, mode):
+        out = df.coalesce(self.num_sink_parts) if self.num_sink_parts else df
+        (out.write.mode(mode.value)
+            .option("sep", self.delimiter)
+            .option("header", str(self.header).lower())
+            .csv(path))
+
+
+class ParquetScheme(Scheme):
+    """Columnar binary — the SequenceFile analog (SURVEY.md §2.3): typed,
+    splittable, self-describing, with predicate pushdown + column pruning."""
+
+    def read(self, spark, paths):
+        df = spark.read.parquet(*paths)
+        if self.fields is not None:
+            df = df.select(*self.fields.names)
+        return df
+
+    def write(self, df, path, mode):
+        out = df.coalesce(self.num_sink_parts) if self.num_sink_parts else df
+        out.write.mode(mode.value).parquet(path)
+
+
+class JsonScheme(Scheme):
+    def read(self, spark, paths):
+        df = spark.read.json(*paths)
+        if self.fields is not None:
+            df = df.select(*self.fields.names)
+        return df
+
+    def write(self, df, path, mode):
+        out = df.coalesce(self.num_sink_parts) if self.num_sink_parts else df
+        out.write.mode(mode.value).json(path)
+
+
+class Tap:
+    """Locates data; pairs a path with a Scheme (Cascading ``Hfs``-family)."""
+
+    def __init__(self, scheme: Scheme, path: str | Sequence[str],
+                 sink_mode: SinkMode = SinkMode.KEEP) -> None:
+        self.scheme = scheme
+        self.paths = [path] if isinstance(path, str) else list(path)
+        self.sink_mode = sink_mode
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return self.scheme.read(spark, self.paths)
+
+    def write(self, df: DataFrame) -> None:
+        self.scheme.write(df, self.paths[0], self.sink_mode)
+
+
+class Hfs(Tap):
+    """File tap; Spark's reader natively expands globs (GlobHfs is just a
+    glob path here — reference README.md:18 'all Hadoop taps')."""
+
+
+GlobHfs = Hfs
+
+
+class MultiSourceTap(Tap):
+    """Union of several source taps (same schema)."""
+
+    def __init__(self, *taps: Tap) -> None:
+        self.taps = list(taps)
+        self.sink_mode = SinkMode.KEEP
+
+    def read(self, spark):
+        dfs = [t.read(spark) for t in self.taps]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def write(self, df):
+        raise ValueError("MultiSourceTap is source-only")
+
+
+class PartitionTap(Tap):
+    """Directory-partitioned data (Cascading ``PartitionTap``;
+    ``FlinkTestPlatform.java:170-172``) -> ``partitionBy`` on write,
+    partition-discovering read with partition pruning for free."""
+
+    def __init__(self, parent: Tap, partition_fields: Sequence[str]) -> None:
+        super().__init__(parent.scheme, parent.paths, parent.sink_mode)
+        self.partition_fields = list(partition_fields)
+
+    def read(self, spark):
+        if isinstance(self.scheme, ParquetScheme):
+            return spark.read.parquet(*self.paths)
+        if isinstance(self.scheme, TextDelimited):
+            return (spark.read
+                    .option("sep", self.scheme.delimiter)
+                    .option("header", str(self.scheme.header).lower())
+                    .option("inferSchema", "true")
+                    .csv(*self.paths))
+        return self.scheme.read(self.paths)
+
+    def write(self, df):
+        out = df
+        writer = out.write.mode(self.sink_mode.value).partitionBy(*self.partition_fields)
+        if isinstance(self.scheme, ParquetScheme):
+            writer.parquet(self.paths[0])
+        elif isinstance(self.scheme, TextDelimited):
+            (writer.option("sep", self.scheme.delimiter)
+                   .option("header", str(self.scheme.header).lower())
+                   .csv(self.paths[0]))
+        else:
+            raise ValueError("PartitionTap supports parquet/csv schemes")
+
+
+class DataFrameTap(Tap):
+    """Source tap over an existing DataFrame — used by tests and by
+    ``queries()`` to bind driver-provided parquet tables into flows."""
+
+    def __init__(self, df: DataFrame) -> None:
+        self.df = df
+        self.sink_mode = SinkMode.KEEP
+
+    def read(self, spark):
+        return self.df
+
+    def write(self, df):
+        raise ValueError("DataFrameTap is source-only")
+
+
+class MemoryTap(Tap):
+    """In-memory rows source (tests)."""
+
+    def __init__(self, rows, schema) -> None:
+        self.rows = rows
+        self.schema = schema
+        self.sink_mode = SinkMode.KEEP
+
+    def read(self, spark):
+        return spark.createDataFrame(self.rows, schema=self.schema)
+
+    def write(self, df):
+        raise ValueError("MemoryTap is source-only")
