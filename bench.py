@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes fully via a noop-format write (no driver collect cost);
+the timing includes Catalyst planning + execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry
+from cascading_flink_spark.extensions import minhash_lsh_pairs, embedding_dup_pairs
+from cascading_flink_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the scan/agg, join-pipeline, window, UDF and training-data
+# paths.  embedding_dups uses the LSH (scale) variant here — the exact
+# all-pairs variant is for the sf0.01 correctness gate only.
+BENCH_QUERIES = [
+    "groupby_agg",
+    "nary_join",
+    "hashjoin_broadcast",
+    "topk_per_group",
+    "wordcount",
+    "window_agg_events",
+    "countby_events",
+    "dedup_exact",
+    "text_quality",
+    "ngram_jaccard",
+    "minhash_lsh",
+    "ann_topk",
+    "buffer_span",
+]
+
+
+def _execute(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+    spark = get_spark("bench")
+    qs = entry.queries()
+
+    # embedding_dups at bench scale: LSH-bucketed candidate generation
+    qs = dict(qs)
+    qs["embedding_dups_lsh"] = lambda s, d: embedding_dup_pairs(
+        entry._t(s, d, "embeddings"), threshold=0.4, exact=False)
+
+    names = BENCH_QUERIES + ["embedding_dups_lsh"]
+
+    # JVM/codegen warm-up on the smallest SF so first-query timing isn't
+    # dominated by classloading.
+    _execute(entry.q_groupby_agg(spark, "/root/testdata/sf0.001"))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = qs[name]
+        t0 = time.time()
+        _execute(fn(spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

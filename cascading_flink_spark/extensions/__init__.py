@@ -1,0 +1,24 @@
+"""Beyond-parity extensions: the operations a large-scale training-data
+pipeline needs (dedup, similarity search, text analysis, multimodal columns).
+
+These are first-class engine components designed for the 100 TB path:
+every operator here is expressed as native DataFrame transformations
+(shuffle-conscious, broadcast-aware, no driver-side loops); Python appears
+only in clearly-marked Arrow-batched UDF paths (multimodal decode).
+"""
+
+from .text import (
+    token_count, quality_features, quality_filter, lang_id, fingerprint,
+)
+from .dedup import (
+    exact_dedup, exact_dedup_pairs, ngram_jaccard_pairs, minhash_lsh_pairs,
+    simhash_bits, simhash_dup_pairs,
+)
+from .similarity import (
+    cosine_expr, brute_force_topk, embedding_dup_pairs, lsh_bucketed_topk,
+)
+from .multimodal import (
+    MULTIMODAL_SCHEMA, attach_binary_meta, decode_stub_features,
+)
+
+__all__ = [n for n in dir() if not n.startswith("_")]

@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+* :func:`brute_force_topk` — exact cosine top-k: broadcast the (small)
+  query set against the (huge) corpus; one map-side pass + a per-query
+  top-k aggregation.  The baseline and the verifier for approximate paths.
+* :func:`lsh_bucketed_topk` — random-hyperplane LSH: sign-bit signatures
+  bucket the corpus; queries only score their bucket's candidates.  The
+  100 TB path: candidate generation is an equality join on bucket keys, and
+  the bucket index can be written once (bucketBy) and reused across query
+  batches.
+* :func:`embedding_dup_pairs` — cosine near-duplicate pairs (embedding
+  dedup), LSH-bucketed the same way.
+
+Dot products run as native ``zip_with``/``aggregate`` expressions
+(JVM-side); no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array columns (cast to double)."""
+    ad = a.cast("array<double>")
+    bd = b.cast("array<double>")
+    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     query_id_col: str = "query_id") -> DataFrame:
+    """Exact cosine top-k per query: (query_id, vec_id, sim).
+
+    ``queries`` must be small (it is broadcast); the corpus side streams —
+    one scan, no corpus shuffle besides the final per-query top-k, which
+    aggregates to k rows per query."""
+    q = F.broadcast(queries.select(F.col(query_id_col),
+                                   F.col(vec_col).alias("__qvec")))
+    sim = F.round(cosine_expr(F.col(vec_col), F.col("__qvec")), 4)
+    scored = (corpus.crossJoin(q)
+              .filter(F.col(id_col) != F.col(query_id_col))
+              .select(F.col(query_id_col), F.col(id_col), sim.alias("sim")))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") <= k)
+                  .drop("__rn"))
+
+
+def _hyperplane(dim: int, seed: int, planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG, no numpy RNG state)."""
+    out = []
+    state = seed * 6364136223846793005 + 1442695040888963407
+    for p in range(planes):
+        row = []
+        for d in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 16) % 2001 - 1000) / 1000.0)
+        out.append(row)
+    return out
+
+
+def _signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature of a vector against the hyperplanes -> int."""
+    sig = F.lit(0).cast("long")
+    vd = vec.cast("array<double>")
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(x) for x in plane])
+        dot = _dot(vd, arr)
+        bit = F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = sig.bitwiseOR(F.shiftleft(bit, i))
+    return sig
+
+
+def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                      planes: int = 12, dim: int = 64, seed: int = 42,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      query_id_col: str = "query_id",
+                      multiprobe_bits: int = 1) -> DataFrame:
+    """Approximate top-k: random-hyperplane buckets + exact rerank in-bucket.
+
+    ``multiprobe_bits=1`` also probes all signatures at Hamming distance 1
+    (standard multi-probe LSH) to cut misses without more tables.  Recall is
+    approximate by construction — verify against :func:`brute_force_topk`.
+    """
+    hp = _hyperplane(dim, seed, planes)
+    c = corpus.withColumn("__sig", _signature(F.col(vec_col), hp))
+    probe_sigs = [_signature(F.col(vec_col), hp)]
+    q = queries.withColumn("__sig0", _signature(F.col(vec_col), hp))
+    if multiprobe_bits >= 1:
+        sigs = F.array(F.col("__sig0"),
+                       *[F.col("__sig0").bitwiseXOR(F.lit(1 << i)) for i in range(planes)])
+    else:
+        sigs = F.array(F.col("__sig0"))
+    q = (q.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"),
+                  F.explode(sigs).alias("__sig")))
+    sim = F.round(cosine_expr(F.col(vec_col), F.col("__qvec")), 4)
+    scored = (c.join(F.broadcast(q), "__sig")
+               .filter(F.col(id_col) != F.col(query_id_col))
+               .select(F.col(query_id_col), F.col(id_col), sim.alias("sim"))
+               .dropDuplicates([query_id_col, id_col]))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") <= k)
+                  .drop("__rn"))
+
+
+def embedding_dup_pairs(df: DataFrame, threshold: float = 0.95,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        planes: int = 8, dim: int = 64, seed: int = 7,
+                        exact: bool = False) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a, id_b, sim), id_a < id_b.
+
+    ``exact=True`` does the all-pairs join (oracle-checkable; quadratic —
+    test scale only).  Default uses LSH buckets: pairs must share a
+    signature, making it linear-ish in bucket sizes at scale."""
+    left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if exact:
+        cand = left.crossJoin(right).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        hp = _hyperplane(dim, seed, planes)
+        lb = left.withColumn("__sig", _signature(F.col("va"), hp))
+        rb = right.withColumn("__sig", _signature(F.col("vb"), hp))
+        cand = lb.join(rb, "__sig").filter(F.col("id_a") < F.col("id_b"))
+    sim = F.round(cosine_expr(F.col("va"), F.col("vb")), 4)
+    return (cand.select("id_a", "id_b", sim.alias("sim"))
+                .filter(F.col("sim") >= threshold)
+                .dropDuplicates(["id_a", "id_b"]))

@@ -1,0 +1,107 @@
+"""Text analysis operators for training-data curation.
+
+All native Column expressions — language ID, quality scoring, token
+counting and fingerprinting run JVM-side at full codegen speed; at 100 TB
+these are embarrassingly parallel map-only stages with no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _round_half_up(col: Column, digits: int) -> Column:
+    """Engine-agnostic half-up rounding: floor(x*10^d + 0.5)/10^d.
+
+    ``F.round`` converts the double through BigDecimal (half-up on the
+    shortest decimal repr) while DuckDB rounds the raw double — the two
+    disagree on exact .5 boundaries (e.g. 189/40 = 4.725).  The floor form
+    is identical IEEE math in every engine, so oracles can reproduce it."""
+    scale = 10 ** digits
+    return F.floor(col * scale + F.lit(0.5)) / scale
+
+# Small, fixed stopword list for the language heuristic.  Counted by token
+# membership (not regex) so the DuckDB oracle re-derives the identical rule
+# without cross-engine regex-escaping pitfalls.
+EN_MARKERS = ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"]
+_TOKEN_SPLIT = r"\s+"
+
+
+def _tokens(col: Column) -> Column:
+    trimmed = F.trim(col)
+    return F.when(trimmed == "", F.array()).otherwise(F.split(trimmed, _TOKEN_SPLIT))
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (BPE-ish refinement: see ``quality_features``'s
+    ``n_subtokens`` which also splits punctuation boundaries)."""
+    return F.size(_tokens(col))
+
+
+def quality_features(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality scoring features.
+
+    length / punctuation / digit / stopword ratios + token stats — the
+    standard pre-training quality signals, all as one map-only projection.
+    """
+    t = F.col(text_col)
+    toks = _tokens(t)
+    n_tokens = F.size(toks)
+    n_chars = F.length(t)
+    stripped = F.regexp_replace(t, r"\s+", "")
+    n_nonspace = F.length(stripped)
+    n_punct = n_nonspace - F.length(F.regexp_replace(stripped, r"[^\w]", ""))
+    n_digits = F.length(F.regexp_replace(stripped, r"[^0-9]", ""))
+    lower_toks = F.split(F.lower(F.col(text_col)), _TOKEN_SPLIT)
+    n_stop = F.size(F.filter(lower_toks, lambda tk: tk.isin(*EN_MARKERS)))
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        _round_half_up(n_nonspace / F.greatest(n_tokens, F.lit(1)), 2).alias("avg_token_len"),
+        _round_half_up(n_punct / F.greatest(n_nonspace, F.lit(1)), 4).alias("punct_ratio"),
+        _round_half_up(n_digits / F.greatest(n_nonspace, F.lit(1)), 4).alias("digit_ratio"),
+        _round_half_up(n_stop / F.greatest(n_tokens, F.lit(1)), 4).alias("stopword_ratio"),
+    )
+
+
+def quality_filter(df: DataFrame, text_col: str = "text",
+                   min_tokens: int = 5, max_punct_ratio: float = 0.5) -> DataFrame:
+    """Keep documents passing basic quality gates (filter pushes down)."""
+    t = F.col(text_col)
+    toks = _tokens(t)
+    stripped = F.regexp_replace(t, r"\s+", "")
+    n_nonspace = F.length(stripped)
+    n_punct = n_nonspace - F.length(F.regexp_replace(stripped, r"[^\w]", ""))
+    return df.filter(
+        (F.size(toks) >= min_tokens) &
+        (n_punct / F.greatest(n_nonspace, F.lit(1)) <= max_punct_ratio))
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            threshold: float = 0.05) -> DataFrame:
+    """Stopword-marker language heuristic: English iff marker-per-token rate
+    exceeds ``threshold``.  A deliberately simple, deterministic n-gram
+    heuristic (real deployments would swap in fastText via a pandas UDF —
+    the plumbing is identical)."""
+    t = F.col(text_col)
+    n_tokens = F.greatest(token_count(t), F.lit(1))
+    lower_toks = F.split(F.lower(t), _TOKEN_SPLIT)
+    hits = F.size(F.filter(lower_toks, lambda tk: tk.isin(*EN_MARKERS)))
+    rate = hits / n_tokens
+    return df.select(
+        F.col(id_col),
+        F.when(rate >= threshold, F.lit("en")).otherwise(F.lit("other")).alias("pred_lang"),
+        _round_half_up(rate, 4).alias("marker_rate"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Deterministic document fingerprint: md5 of whitespace-normalized,
+    lower-cased text.  md5 (not xxhash) so any engine reproduces it —
+    the cross-system content-address for dedup joins."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return df.select(F.col(id_col), F.md5(norm).alias("fp"))

@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Local mimic of the driver's correctness gate.
+
+Runs every ``queries()`` entry through Spark at sf0.01 and the matching
+``oracle_sql()`` through DuckDB on the same parquet tables, comparing
+row count, sorted column names, and an order-insensitive value hash over
+normalized stringified cells.  Queries without an oracle get a rows-only
+check, like the driver.
+
+Usage: python tools/check_correctness.py [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_CHECK_SF_DIR", "/root/testdata/sf0.01")
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v) -> str:
+    import datetime
+    import math
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.6g}"
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def value_hash(rows: list[dict], cols: list[str]) -> str:
+    cols = sorted(cols)
+    lines = sorted("|".join(norm_cell(r[c]) for c in cols) for r in rows)
+    h = hashlib.md5()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    import duckdb
+    import __spark_entry__ as entrymod
+    from cascading_flink_spark.session import get_spark
+
+    only = set(sys.argv[1:])
+    spark = get_spark("check-correctness", cpus=8)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [r.asDict() for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        dt = time.time() - t0
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"ok   {name}: rows-only check, {len(srows)} rows ({dt:.1f}s)")
+            if len(srows) == 0:
+                print(f"     WARNING {name}: 0 rows — weak evidence")
+            continue
+        try:
+            ores = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            failures.append(name)
+            continue
+        ocols = list(ores.columns)
+        orows = ores.to_dict("records")
+        # duckdb NaN for NULL floats in fetchdf: convert
+        import math
+        for r in orows:
+            for k, v in r.items():
+                if isinstance(v, float) and math.isnan(v):
+                    r[k] = None
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount {len(srows)} != {len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"schema {sorted(scols)} != {sorted(ocols)}")
+        else:
+            sh, oh = value_hash(srows, scols), value_hash(orows, ocols)
+            if sh != oh:
+                problems.append("value-hash mismatch")
+                sset = {"|".join(norm_cell(r[c]) for c in sorted(scols)) for r in srows}
+                oset = {"|".join(norm_cell(r[c]) for c in sorted(ocols)) for r in orows}
+                diff_s = list(sset - oset)[:3]
+                diff_o = list(oset - sset)[:3]
+                if diff_s:
+                    problems.append(f"spark-only rows: {diff_s}")
+                if diff_o:
+                    problems.append(f"oracle-only rows: {diff_o}")
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            failures.append(name)
+        else:
+            print(f"PASS {name}: {len(srows)} rows match ({dt:.1f}s)")
+
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES: {failures}")
+        return 1
+    print("all checks passed")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
