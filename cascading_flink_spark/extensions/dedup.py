@@ -5,11 +5,10 @@ Scale design notes (the 100 TB story):
 * **exact**: one hash-shuffle on the fingerprint — the cheapest possible
   plan; fingerprints are md5 so the shuffle key is uniformly distributed
   (no skew).
-* **n-gram Jaccard**: exact pairwise similarity via shingle inverted index
-  (explode -> self-join on shingle).  Quadratic in the worst case; the
-  ``max_shingle_freq`` guard drops ultra-common shingles (stopword shingles
-  would otherwise create a join hot-spot = skew), which is the standard
-  inverted-index pruning.
+* **n-gram Jaccard**: exact pairwise similarity with PPJoin-style prefix
+  filtering — only each document's globally-rarest shingles are indexed, so
+  common shingles (the join hot keys that make the naive inverted index
+  quadratic and skewed) never generate candidates.
 * **MinHash+LSH**: the scale path — signatures are fixed-size (k hashes)
   regardless of document length; banding turns all-pairs into
   equality-joins on band keys.  Only candidate pairs sharing a band are
@@ -28,6 +27,17 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import fingerprint
+
+
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism.
+
+    The CPU-heavy per-document stages (shingling, hashing) inherit the
+    scan's split count; small file counts (one parquet file locally) would
+    otherwise serialize them on one core.  At cluster scale with many
+    splits this is a cheap rebalance; results are partition-independent."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -62,36 +72,55 @@ def _word_shingles(text_col: str, n: int):
 
 
 def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
-                        text_col: str = "text", id_col: str = "doc_id",
-                        max_shingle_freq: int | None = None) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via shingle inverted index.
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via PPJoin-style prefix filtering.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
-    ``max_shingle_freq`` drops shingles appearing in more than that many
-    docs (hot-key/skew guard for the self-join at scale)."""
-    shingled = df.select(F.col(id_col).alias("id"),
-                         _word_shingles(text_col, n).alias("sh"))
-    sizes = shingled.select("id", F.size("sh").alias("n_sh"))
+
+    Instead of the naive shingle inverted index (every shared shingle
+    produces a candidate — quadratic blow-up on common shingles), only each
+    document's *prefix* — its ``floor((1-t)*|sh|)+1`` globally-rarest
+    shingles — is indexed.  Prefix filtering is exact for Jaccard >= t: two
+    sets with J >= t must share at least one prefix element under any global
+    shingle ordering (here: ascending document frequency, then shingle).
+    Candidates are verified with a full ``array_intersect``.  At 100 TB this
+    turns the self-join's shuffle from O(sum f_s^2) on hot shingles into
+    O(candidates), and the rarest-first ordering removes the skewed hot keys
+    entirely."""
+    shingled = _fan_out(df).select(F.col(id_col).alias("id"),
+                                   _word_shingles(text_col, n).alias("sh"))
     inv = shingled.select("id", F.explode("sh").alias("shingle"))
-    if max_shingle_freq is not None:
-        freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
-        inv = (inv.join(F.broadcast(freq.filter(F.col("f") <= max_shingle_freq)),
-                        "shingle", "inner")
-                  .select("id", "shingle"))
-    a = inv.toDF("id_a", "shingle")
-    b = inv.toDF("id_b", "shingle")
-    common = (a.join(b, "shingle")
-               .filter(F.col("id_a") < F.col("id_b"))
-               .groupBy("id_a", "id_b")
-               .agg(F.count(F.lit(1)).alias("n_common")))
-    sa = sizes.toDF("id_a", "n_a")
-    sb = sizes.toDF("id_b", "n_b")
-    return (common.join(sa, "id_a").join(sb, "id_b")
-            .withColumn("jaccard",
-                        F.round(F.col("n_common") /
-                                (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+    freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.partitionBy("id").orderBy(F.asc("f"), F.asc("shingle"))
+    ranked = (inv.join(freq, "shingle")
+                 .withColumn("rn", F.row_number().over(w))
+                 .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("id"))))
+    # Prefix length p = n - ceil(t*n) + 1.  The epsilon guards IEEE noise:
+    # (1-0.8)*10 evaluates to 1.9999999999999996, which floor()+1 would turn
+    # into a too-short prefix and silently drop pairs at exactly j == t.
+    prefix_len = F.col("n_sh") - F.ceil(threshold * F.col("n_sh") - 1e-9) + 1
+    # Persist the two small frames every downstream branch re-reads: the
+    # self-join + verify would otherwise recompute the full shingle pipeline
+    # per branch (5x work and high run-to-run variance).  Both are tiny
+    # relative to input (prefix ~20% of shingles; shingled = 1 row/doc).
+    shingled = shingled.persist()
+    prefix = (ranked.filter(F.col("rn") <= prefix_len)
+              .select("id", "shingle").persist())
+    cand = (prefix.toDF("id_a", "shingle")
+            .join(prefix.toDF("id_b", "shingle"), "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"]))
+    sh_a = shingled.toDF("id_a", "sh_a")
+    sh_b = shingled.toDF("id_b", "sh_b")
+    verified = (cand.join(sh_a, "id_a").join(sh_b, "id_b")
+                .withColumn("n_common",
+                            F.size(F.array_intersect("sh_a", "sh_b")))
+                .withColumn("__j",
+                            F.col("n_common") /
+                            (F.size("sh_a") + F.size("sh_b") - F.col("n_common")))
+                .filter(F.col("__j") >= threshold))
+    return verified.select("id_a", "id_b", F.round("__j", 4).alias("jaccard"))
 
 
 def minhash_lsh_pairs(df: DataFrame, n: int = 3, num_hashes: int = 32,
@@ -112,15 +141,20 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 3, num_hashes: int = 32,
     rows_per_band = num_hashes // bands
     if rows_per_band * bands != num_hashes:
         raise ValueError("num_hashes must be divisible by bands")
-    shingled = df.select(F.col(id_col).alias("id"),
-                         _word_shingles(text_col, n).alias("sh")) \
+    shingled = _fan_out(df).select(F.col(id_col).alias("id"),
+                                   _word_shingles(text_col, n).alias("sh")) \
                  .filter(F.size("sh") > 0)
-    sig = shingled.select(
-        "id",
-        F.array(*[
-            F.array_min(F.transform("sh", lambda s: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]).alias("sig"))
+    # Signature via explode + per-seed min aggregates: higher-order array
+    # lambdas are interpreted per element in Spark, while these aggregate
+    # expressions run in whole-stage codegen with map-side partial mins —
+    # ~10x faster and the shuffle carries only (id, 32 longs).
+    inv = shingled.select("id", F.explode("sh").alias("s"))
+    mins = inv.groupBy("id").agg(*[
+        F.min(F.xxhash64("s", F.lit(i))).alias(f"__h{i}")
+        for i in range(num_hashes)
+    ])
+    sig = mins.select(
+        "id", F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("sig"))
     banded = sig.select(
         "id", "sig",
         F.explode(F.array(*[
@@ -130,7 +164,7 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 3, num_hashes: int = 32,
             for b in range(bands)
         ])).alias("bk"))
     banded = banded.select("id", "sig", F.col("bk.band").alias("band"),
-                           F.col("bk.bh").alias("bh"))
+                           F.col("bk.bh").alias("bh")).persist()
     a = banded.toDF("id_a", "sig_a", "band", "bh")
     b = banded.toDF("id_b", "sig_b", "band", "bh")
     cand = (a.join(b, ["band", "bh"])
@@ -149,21 +183,22 @@ def simhash_bits(df: DataFrame, text_col: str = "text",
     """64-bit SimHash of the token set.
 
     For each bit position, sum +1/-1 over token-hash bits; bit set iff the
-    sum is positive.  Pure bitwise Column algebra — no UDF."""
+    sum is positive.  Computed via explode + 64 codegen'd conditional-sum
+    aggregates (map-side partial agg; shuffle carries (id, 64 ints)) — the
+    same reformulation as MinHash, avoiding interpreted array lambdas."""
     toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    bit_votes = [
-        F.aggregate(hashes, F.lit(0),
-                    lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(1 << i) if i < 63
-                                                             else F.lit(-9223372036854775808)) != 0,
-                                                1).otherwise(-1))
+    inv = _fan_out(df).select(F.col(id_col).alias("id"), F.explode(toks).alias("tk"))
+    h = F.xxhash64("tk")
+    votes = inv.groupBy("id").agg(*[
+        F.sum(F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"__v{i}")
         for i in range(64)
-    ]
+    ])
     sim = F.lit(0).cast("long")
-    for i, v in enumerate(bit_votes):
-        bit = F.when(v > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+    for i in range(64):
+        bit = F.when(F.col(f"__v{i}") > 0, F.lit(1).cast("long")) \
+               .otherwise(F.lit(0).cast("long"))
         sim = sim.bitwiseOR(F.shiftleft(bit, i))
-    return df.select(F.col(id_col).alias("id"), sim.alias("simhash"))
+    return votes.select("id", sim.alias("simhash"))
 
 
 def simhash_dup_pairs(df: DataFrame, max_hamming: int = 3,
@@ -183,7 +218,7 @@ def simhash_dup_pairs(df: DataFrame, max_hamming: int = 3,
             for c in range(4)
         ])).alias("ck"))
     chunks = chunks.select("id", "simhash", F.col("ck.chunk").alias("chunk"),
-                           F.col("ck.cv").alias("cv"))
+                           F.col("ck.cv").alias("cv")).persist()
     a = chunks.toDF("id_a", "sh_a", "chunk", "cv")
     b = chunks.toDF("id_b", "sh_b", "chunk", "cv")
     cand = (a.join(b, ["chunk", "cv"])

@@ -31,6 +31,12 @@ def _norm(a: Column) -> Column:
                               F.lit(0.0), lambda acc, x: acc + x))
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Repartition to default parallelism: vector-math stages are CPU-bound
+    and inherit the scan's (often single) split count on small file sets."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def cosine_expr(a: Column, b: Column) -> Column:
     """Cosine similarity between two array columns (cast to double)."""
     ad = a.cast("array<double>")
@@ -49,7 +55,7 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     q = F.broadcast(queries.select(F.col(query_id_col),
                                    F.col(vec_col).alias("__qvec")))
     sim = F.round(cosine_expr(F.col(vec_col), F.col("__qvec")), 4)
-    scored = (corpus.crossJoin(q)
+    scored = (_fan_out(corpus).crossJoin(q)
               .filter(F.col(id_col) != F.col(query_id_col))
               .select(F.col(query_id_col), F.col(id_col), sim.alias("sim")))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
@@ -95,7 +101,7 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     approximate by construction — verify against :func:`brute_force_topk`.
     """
     hp = _hyperplane(dim, seed, planes)
-    c = corpus.withColumn("__sig", _signature(F.col(vec_col), hp))
+    c = _fan_out(corpus).withColumn("__sig", _signature(F.col(vec_col), hp))
     probe_sigs = [_signature(F.col(vec_col), hp)]
     q = queries.withColumn("__sig0", _signature(F.col(vec_col), hp))
     if multiprobe_bits >= 1:
@@ -125,14 +131,20 @@ def embedding_dup_pairs(df: DataFrame, threshold: float = 0.95,
     ``exact=True`` does the all-pairs join (oracle-checkable; quadratic —
     test scale only).  Default uses LSH buckets: pairs must share a
     signature, making it linear-ish in bucket sizes at scale."""
-    left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    fanned = _fan_out(df)
+    left = fanned.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    right = fanned.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if exact:
         cand = left.crossJoin(right).filter(F.col("id_a") < F.col("id_b"))
     else:
         hp = _hyperplane(dim, seed, planes)
-        lb = left.withColumn("__sig", _signature(F.col("va"), hp))
-        rb = right.withColumn("__sig", _signature(F.col("vb"), hp))
+        # one signature computation, reused by both join sides
+        sig = (_fan_out(df)
+               .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                       _signature(F.col(vec_col), hp).alias("__sig"))
+               .persist())
+        lb = sig.toDF("id_a", "va", "__sig")
+        rb = sig.toDF("id_b", "vb", "__sig")
         cand = lb.join(rb, "__sig").filter(F.col("id_a") < F.col("id_b"))
     sim = F.round(cosine_expr(F.col("va"), F.col("vb")), 4)
     return (cand.select("id_a", "id_b", sim.alias("sim"))
