@@ -69,10 +69,12 @@ class Flow:
     """A planned flow: every tail compiled to a DataFrame, ready to run."""
 
     def __init__(self, spark: SparkSession, flow_def: FlowDef,
-                 dataframes: dict[str, DataFrame]) -> None:
+                 dataframes: dict[str, DataFrame],
+                 planner: FlowPlanner | None = None) -> None:
         self.spark = spark
         self.flow_def = flow_def
         self._dataframes = dataframes
+        self._planner = planner
 
     def dataframe(self, tail_name: str | None = None) -> DataFrame:
         """The compiled DataFrame for a tail (default: the only tail)."""
@@ -84,12 +86,30 @@ class Flow:
 
     def complete(self) -> None:
         """Run the flow: write every tail to its sink (the triggering action,
-        like the reference's blocking job submit)."""
+        like the reference's blocking job submit), then flush trap channels."""
         for name, df in self._dataframes.items():
             tap = self.flow_def.sinks.get(name)
             if tap is None:
                 raise PlannerError(f"tail {name!r} has no bound sink")
             tap.write(df)
+        if self._planner:
+            for pipe_name, trap_df in self._planner.trap_frames.items():
+                trap_tap = self.flow_def.traps.get(pipe_name)
+                if trap_tap is not None:
+                    trap_tap.write(trap_df)
+
+    def trap_dataframe(self, pipe_name: str) -> DataFrame:
+        """Rows diverted by the trap on the named pipe (payload, error)."""
+        if not self._planner or pipe_name not in self._planner.trap_frames:
+            raise KeyError(f"no trap channel for pipe {pipe_name!r}")
+        return self._planner.trap_frames[pipe_name]
+
+    def stats(self) -> dict[str, dict]:
+        """Counter values (CounterOp observations) after an action has run —
+        the FlowStats analog (reference polls Flink accumulators)."""
+        if not self._planner:
+            return {}
+        return {name: obs.get for name, obs in self._planner.observations.items()}
 
 
 class FlowConnector:
@@ -102,7 +122,8 @@ class FlowConnector:
         if not flow_def.tails:
             raise PlannerError("FlowDef has no tails")
         sources = {name: tap.read(self.spark) for name, tap in flow_def.sources.items()}
-        planner = FlowPlanner(self.spark, assertion_level=flow_def.assertion_level)
+        planner = FlowPlanner(self.spark, assertion_level=flow_def.assertion_level,
+                              traps=set(flow_def.traps))
         dataframes = {}
         for tail in flow_def.tails:
             heads = tail.heads
@@ -110,4 +131,4 @@ class FlowConnector:
             if missing:
                 raise PlannerError(f"unbound head pipes: {missing}")
             dataframes[tail.name] = planner.compile(tail, sources)
-        return Flow(self.spark, flow_def, dataframes)
+        return Flow(self.spark, flow_def, dataframes, planner=planner)

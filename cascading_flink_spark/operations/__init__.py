@@ -15,7 +15,7 @@ from .functions import (
 )
 from .filters import (
     RegexFilter, ExpressionFilter, FilterNull, FilterNotNull, Sample, Limit,
-    NoOp, Debug, And, Or, Not, Xor, PyFilter,
+    NoOp, Debug, And, Or, Not, Xor, PyFilter, CounterOp,
 )
 from .aggregators import (
     Sum, Count, Average, Min, Max, First, Last, MaxValue, MinValue,

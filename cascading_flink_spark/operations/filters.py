@@ -155,6 +155,28 @@ class Xor(Filter):
         return (ra | rb) & ~(ra & rb)
 
 
+class CounterOp(Filter):
+    """Per-row counter (Cascading ``Counter`` operation / FlowStats).
+
+    The reference pipes counters through Flink accumulators polled every 10s
+    (``runtime/stats/AccumulatorCache.java:28``, ``FlinkFlowProcess.increment``).
+    Spark-side this compiles to ``df.observe(name, count(...))`` — a native
+    Observation metric collected with the action, zero runtime cost, no UDF.
+    Read results via ``flow.stats()`` after ``complete()``."""
+
+    def __init__(self, group: str, counter: str) -> None:
+        super().__init__()
+        self.group = group
+        self.counter = counter
+
+    @property
+    def metric_name(self) -> str:
+        return f"{self.group}.{self.counter}"
+
+    def remove(self, arg_cols):
+        return F.lit(False)
+
+
 class PyFilter(Filter):
     """User Python predicate: fn(pandas.DataFrame[args]) -> bool Series (keep)."""
 

@@ -25,7 +25,7 @@ from .fields import Fields, FieldsResolutionError, resolve_argument_fields, reso
 from .operations.base import Aggregator, Buffer, Filter, Function
 from .operations.assertions import AssertionLevel, _Assertion
 from .operations.buffers import FirstNBuffer, PyBuffer
-from .operations.filters import Limit, PyFilter
+from .operations.filters import CounterOp, Limit, PyFilter
 from .operations.functions import PyFunction, UnGroup
 from .pipes import (
     BufferJoin, Checkpoint, CoGroup, Each, Every, GroupBy, HashJoin,
@@ -48,10 +48,16 @@ class FlowPlanner:
 
     def __init__(self, spark: SparkSession,
                  assertion_level: AssertionLevel = AssertionLevel.STRICT,
-                 debug: bool = False) -> None:
+                 debug: bool = False,
+                 traps: set[str] | None = None) -> None:
         self.spark = spark
         self.assertion_level = assertion_level
         self.debug = debug
+        self.traps = traps or set()
+        # name -> Observation (CounterOp metrics, read after the action)
+        self.observations: dict[str, object] = {}
+        # pipe name -> DataFrame of trapped rows (payload json, error)
+        self.trap_frames: dict[str, DataFrame] = {}
         self._memo: dict[int, DataFrame] = {}
 
     # -------------------------------------------------------------- walk
@@ -116,6 +122,14 @@ class FlowPlanner:
             # filter; Spark's native limit is the scalable equivalent.
             return df.limit(op.n)
 
+        if isinstance(op, CounterOp):
+            # Counters/FlowStats via native Observation metrics
+            # (reference: Flink accumulators, AccumulatorCache.java:28).
+            from pyspark.sql import Observation
+            obs = Observation(op.metric_name)
+            self.observations[op.metric_name] = obs
+            return df.observe(obs, F.count(F.lit(1)).alias("count"))
+
         if isinstance(op, Filter):
             if isinstance(op, PyFilter):
                 out = self._pandas_filter(df, op, arg_names)
@@ -137,7 +151,8 @@ class FlowPlanner:
                     else op.declared_names)
 
         if getattr(op, "is_pandas", False):
-            return self._pandas_function(df, pipe, op, arg_names, declared)
+            return self._pandas_function(df, pipe, op, arg_names, declared,
+                                         trapped=pipe.name in self.traps)
 
         if op.is_generator:
             arr = op.generate(arg_cols)
@@ -196,7 +211,8 @@ class FlowPlanner:
         return df.mapInPandas(_mapper, schema=schema)
 
     def _pandas_function(self, df: DataFrame, pipe: Each, op: PyFunction,
-                         arg_names: list[str], declared: list[str]) -> DataFrame:
+                         arg_names: list[str], declared: list[str],
+                         trapped: bool = False) -> DataFrame:
         incoming = df.columns
         out_names, srcs = resolve_output_fields(incoming, arg_names, declared,
                                                 pipe.output_selector)
@@ -214,25 +230,80 @@ class FlowPlanner:
         results_only = pipe.output_selector is Fields.RESULTS
         fn = op.fn
 
-        def _mapper(batches):
+        def _apply_batch(pdf):
+            import pandas as pd
+            res = fn(pdf[arg_names])
+            res = res.rename(columns=dict(zip(res.columns, declared)))
+            if results_only:
+                return res[[n for n in out_names]]
+            if len(res) != len(pdf):
+                raise ValueError(
+                    "PyFunction changed row count; use output_selector="
+                    "Fields.RESULTS for generator-style functions")
+            out = {}
+            for name, src in zip(out_names, srcs):
+                out[name] = (res[src[4:]].values if src.startswith("res:")
+                             else pdf[src[3:]].values)
+            return pd.DataFrame(out)
+
+        if not trapped:
+            def _mapper(batches):
+                for pdf in batches:
+                    yield _apply_batch(pdf)
+
+            return df.mapInPandas(_mapper, schema=out_schema)
+
+        # Trap channel (reference: per-branch failure capture to a Tap,
+        # FlinkFlowProcess.java:169-190).  Fast path applies the function
+        # per Arrow batch; on failure the batch is retried row-by-row so
+        # only the offending rows are diverted, as (payload json, error)
+        # rows.  One combined pass; the good/trap branches are filters over
+        # it.
+        trap_schema = T.StructType(
+            list(out_schema.fields) +
+            [T.StructField("__error", T.StringType()),
+             T.StructField("__payload", T.StringType())])
+
+        def _trap_mapper(batches):
             import pandas as pd
             for pdf in batches:
-                res = fn(pdf[arg_names])
-                res = res.rename(columns=dict(zip(res.columns, declared)))
-                if results_only:
-                    yield res[[n for n in out_names]]
+                try:
+                    good = _apply_batch(pdf)
+                    good["__error"] = None
+                    good["__payload"] = None
+                    yield good
                     continue
-                if len(res) != len(pdf):
-                    raise ValueError(
-                        "PyFunction changed row count; use output_selector="
-                        "Fields.RESULTS for generator-style functions")
-                out = {}
-                for name, src in zip(out_names, srcs):
-                    out[name] = (res[src[4:]].values if src.startswith("res:")
-                                 else pdf[src[3:]].values)
-                yield pd.DataFrame(out)
+                except Exception:
+                    pass
+                goods, errors, payloads = [], [], []
+                for i in range(len(pdf)):
+                    row = pdf.iloc[i:i + 1]
+                    try:
+                        goods.append(_apply_batch(row))
+                    except Exception as ex:
+                        errors.append(str(ex))
+                        payloads.append(row.to_json(orient="records"))
+                out_parts = []
+                if goods:
+                    g = pd.concat(goods, ignore_index=True)
+                    g["__error"] = None
+                    g["__payload"] = None
+                    out_parts.append(g)
+                if errors:
+                    e = pd.DataFrame({n: [None] * len(errors) for n in out_names})
+                    e["__error"] = errors
+                    e["__payload"] = payloads
+                    out_parts.append(e)
+                if out_parts:
+                    yield pd.concat(out_parts, ignore_index=True)
 
-        return df.mapInPandas(_mapper, schema=out_schema)
+        combined = df.mapInPandas(_trap_mapper, schema=trap_schema)
+        self.trap_frames[pipe.name] = (
+            combined.filter(F.col("__error").isNotNull())
+                    .select(F.col("__payload").alias("payload"),
+                            F.col("__error").alias("error")))
+        return (combined.filter(F.col("__error").isNull())
+                        .drop("__error", "__payload"))
 
     # -------------------------------------------------------------- GroupBy
     def _grouping_input(self, root: GroupBy | CoGroup | HashJoin):

@@ -1,0 +1,19 @@
+"""Structured Streaming surface.
+
+The reference is batch-only (SURVEY.md §2.4: no watermarks, no event-time
+windows, no stateful operators — Flink DataSet API).  This package goes
+beyond parity: the same pipe DSL compiles onto streaming DataFrames —
+DataFrame transformations are identical in Structured Streaming, so the
+planner needs no changes; what streaming adds is sources/sinks, watermarks,
+event-time windows, and custom stateful operators
+(``applyInPandasWithState``).
+"""
+
+from .taps import FileStreamTap, RateStreamTap, MemorySink
+from .flow import StreamingFlowConnector, StreamingFlow
+from .ops import (
+    with_watermark, tumbling_window_agg, sliding_window_agg,
+    session_window_agg, stateful_sessionize,
+)
+
+__all__ = [n for n in dir() if not n.startswith("_")]

@@ -1,0 +1,114 @@
+"""Streaming operators: watermarks, event-time windows, stateful sessions.
+
+All built on Structured Streaming primitives; the custom stateful operator
+uses ``applyInPandasWithState`` — the Arrow-batched escape hatch for
+semantics the built-in windows can't express (per SURVEY's custom-operator
+ladder: compose built-ins first, pandas-with-state second)."""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    """Late-data bound: rows older than max(event time) - delay are dropped
+    from stateful operators; required before streaming window aggs."""
+    return df.withWatermark(ts_col, delay)
+
+
+def _agg_pairs(aggs: dict[str, str]):
+    out = []
+    for name, expr in aggs.items():
+        out.append(F.expr(expr).alias(name))
+    return out
+
+
+def tumbling_window_agg(df: DataFrame, ts_col: str, window: str,
+                        keys: Sequence[str], aggs: dict[str, str],
+                        watermark: str | None = None) -> DataFrame:
+    """Non-overlapping event-time windows: groupBy(window(ts), keys).agg."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    g = df.groupBy(F.window(ts_col, window), *keys)
+    out = g.agg(*_agg_pairs(aggs))
+    return out.select(F.col("window.start").alias("window_start"),
+                      F.col("window.end").alias("window_end"),
+                      *keys, *aggs.keys())
+
+
+def sliding_window_agg(df: DataFrame, ts_col: str, window: str, slide: str,
+                       keys: Sequence[str], aggs: dict[str, str],
+                       watermark: str | None = None) -> DataFrame:
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    g = df.groupBy(F.window(ts_col, window, slide), *keys)
+    out = g.agg(*_agg_pairs(aggs))
+    return out.select(F.col("window.start").alias("window_start"),
+                      F.col("window.end").alias("window_end"),
+                      *keys, *aggs.keys())
+
+
+def session_window_agg(df: DataFrame, ts_col: str, gap: str,
+                       keys: Sequence[str], aggs: dict[str, str],
+                       watermark: str | None = None) -> DataFrame:
+    """Dynamic-gap session windows (native session_window)."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    g = df.groupBy(F.session_window(ts_col, gap), *keys)
+    out = g.agg(*_agg_pairs(aggs))
+    return out.select(F.col("session_window.start").alias("session_start"),
+                      F.col("session_window.end").alias("session_end"),
+                      *keys, *aggs.keys())
+
+
+def stateful_sessionize(df: DataFrame, key_col: str, ts_col: str,
+                        gap_seconds: int = 1800) -> DataFrame:
+    """Custom stateful operator: per-key session accumulation with
+    processing-time timeout via ``applyInPandasWithState``.
+
+    Emits (key, session_events, session_start, session_end) when a session
+    closes (timeout).  Demonstrates the custom-stateful-operator plumbing;
+    state is a single (count, start_ts, last_ts) tuple per key."""
+    out_schema = T.StructType([
+        T.StructField("key", T.LongType()),
+        T.StructField("session_events", T.LongType()),
+        T.StructField("session_start", T.DoubleType()),
+        T.StructField("session_end", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("count", T.LongType()),
+        T.StructField("start_ts", T.DoubleType()),
+        T.StructField("last_ts", T.DoubleType()),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+        if state.hasTimedOut:
+            (count, start_ts, last_ts) = state.get
+            state.remove()
+            yield pd.DataFrame({"key": [key[0]], "session_events": [count],
+                                "session_start": [start_ts],
+                                "session_end": [last_ts]})
+            return
+        count, start_ts, last_ts = (state.get if state.exists
+                                    else (0, float("inf"), float("-inf")))
+        for pdf in pdfs:
+            ts = pdf[ts_col].astype("int64") / 1e9
+            count += len(pdf)
+            start_ts = min(start_ts, float(ts.min()))
+            last_ts = max(last_ts, float(ts.max()))
+        state.update((count, start_ts, last_ts))
+        state.setTimeoutDuration(gap_seconds * 1000)
+        return iter(())
+
+    prepared = df.select(F.col(key_col).cast("long").alias("key"),
+                         F.col(ts_col))
+    return (prepared.groupBy("key")
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append",
+                                    GroupStateTimeout.ProcessingTimeTimeout))

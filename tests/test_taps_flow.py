@@ -1,0 +1,134 @@
+"""Taps/schemes round-trips (SURVEY.md §2.3), SinkMode semantics, traps,
+counters, checkpoints — the flow-runner operational surface."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cascading_flink_spark import (
+    Checkpoint, DataFrameTap, Each, Fields, FlowConnector, FlowDef, GlobHfs,
+    Hfs, MultiSourceTap, ParquetScheme, PartitionTap, Pipe, SinkMode,
+    TextDelimited, TextLine,
+)
+from cascading_flink_spark.operations import (
+    CounterOp, ExpressionFilter, PyFunction,
+)
+
+
+def test_textline_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([("hello world",), ("two lines",)], "line string")
+    out = str(tmp_path / "txt")
+    Hfs(TextLine(), out, SinkMode.REPLACE).write(df)
+    back = Hfs(TextLine(), out).read(spark)
+    assert back.columns == ["line"]
+    assert {r["line"] for r in back.collect()} == {"hello world", "two lines"}
+
+
+def test_textline_offset_fields(spark, tmp_path):
+    df = spark.createDataFrame([("a",), ("b",)], "line string")
+    out = str(tmp_path / "txt2")
+    Hfs(TextLine(), out, SinkMode.REPLACE).write(df)
+    back = Hfs(TextLine(("offset", "line")), out).read(spark)
+    assert back.columns == ["offset", "line"]
+    assert back.count() == 2
+
+
+def test_textdelimited_roundtrip_typed(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a", 1.5), (2, "b", 2.5)],
+                               "num int, name string, v double")
+    out = str(tmp_path / "csv")
+    scheme = TextDelimited(fields=("num", "name", "v"), delimiter=",",
+                           header=True, types=["int", "string", "double"])
+    Hfs(scheme, out, SinkMode.REPLACE).write(df)
+    back = Hfs(scheme, out).read(spark)
+    assert dict(back.dtypes) == {"num": "int", "name": "string", "v": "double"}
+    assert back.count() == 2
+
+
+def test_sinkmode_keep_raises_on_existing(spark, tmp_path):
+    df = spark.createDataFrame([(1,)], "a int")
+    out = str(tmp_path / "keep")
+    Hfs(ParquetScheme(), out, SinkMode.REPLACE).write(df)
+    with pytest.raises(Exception):
+        Hfs(ParquetScheme(), out, SinkMode.KEEP).write(df)
+    # UPDATE appends
+    Hfs(ParquetScheme(), out, SinkMode.UPDATE).write(df)
+    assert spark.read.parquet(out).count() == 2
+
+
+def test_partition_tap(spark, tmp_path):
+    df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)], "k string, v int")
+    out = str(tmp_path / "part")
+    tap = PartitionTap(Hfs(ParquetScheme(), out, SinkMode.REPLACE), ["k"])
+    tap.write(df)
+    assert os.path.isdir(f"{out}/k=a") and os.path.isdir(f"{out}/k=b")
+    back = tap.read(spark)
+    assert back.count() == 3
+    # partition pruning: only k=a files scanned
+    plan = back.filter(F.col("k") == "a")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(k" in plan
+
+
+def test_glob_and_multisource(spark, tmp_path):
+    d1, d2 = str(tmp_path / "g1"), str(tmp_path / "g2")
+    spark.createDataFrame([(1,)], "a int").write.parquet(d1)
+    spark.createDataFrame([(2,)], "a int").write.parquet(d2)
+    glob = GlobHfs(ParquetScheme(), str(tmp_path / "g*"))
+    assert glob.read(spark).count() == 2
+    multi = MultiSourceTap(Hfs(ParquetScheme(), d1), Hfs(ParquetScheme(), d2))
+    assert multi.read(spark).count() == 2
+
+
+def test_trap_channel(spark, tmp_path):
+    df = spark.createDataFrame([("1",), ("2",), ("oops",), ("4",)], "s string")
+
+    def parse(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [int(x) * 10 for x in pdf["s"]]})
+
+    head = Pipe("src")
+    conv = Each(head, Fields("s"), PyFunction(Fields("n"), parse, ["int"]),
+                Fields.RESULTS, name="convert")
+    trap_out = str(tmp_path / "trap")
+    fd = (FlowDef().add_source(head, DataFrameTap(df)).add_tail(conv)
+          .add_sink(conv, Hfs(ParquetScheme(), str(tmp_path / "good"), SinkMode.REPLACE))
+          .add_trap("convert", Hfs(ParquetScheme(), trap_out, SinkMode.REPLACE)))
+    flow = FlowConnector(spark).connect(fd)
+    flow.complete()
+
+    good = spark.read.parquet(str(tmp_path / "good"))
+    assert {r["n"] for r in good.collect()} == {10, 20, 40}
+    trapped = spark.read.parquet(trap_out)
+    rows = trapped.collect()
+    assert len(rows) == 1
+    assert "oops" in rows[0]["payload"]
+    assert "invalid literal" in rows[0]["error"]
+
+
+def test_counter_stats(spark, tmp_path):
+    df = spark.createDataFrame([(i,) for i in range(10)], "v int")
+    head = Pipe("src")
+    counted = Each(head, Fields.NONE, CounterOp("flow", "rows_in"), Fields.ALL)
+    filt = Each(counted, Fields("v"), ExpressionFilter("v >= 5"))
+    survivors = Each(filt, Fields.NONE, CounterOp("flow", "rows_kept"), Fields.ALL)
+    fd = (FlowDef().add_source(head, DataFrameTap(df)).add_tail(survivors)
+          .add_sink(survivors, Hfs(ParquetScheme(), str(tmp_path / "out"), SinkMode.REPLACE)))
+    flow = FlowConnector(spark).connect(fd)
+    flow.complete()
+    stats = flow.stats()
+    assert stats["flow.rows_in"]["count"] == 10
+    assert stats["flow.rows_kept"]["count"] == 5
+
+
+def test_checkpoint_caches(spark):
+    df = spark.createDataFrame([(1,), (2,)], "a int")
+    head = Pipe("src")
+    cp = Checkpoint(Each(head, Fields("a"), ExpressionFilter("a > 1")))
+    fd = FlowDef().add_source(head, DataFrameTap(df)).add_tail(cp)
+    out = FlowConnector(spark).connect(fd).dataframe(cp.name)
+    assert out.storageLevel.useMemory
+    assert out.count() == 1
+    out.unpersist()
