@@ -11,11 +11,11 @@ from .functions import (
     Identity, Insert, Coerce as CoerceFn, RegexParser, RegexSplitter,
     RegexSplitGenerator, RegexReplace, DateParser, DateFormatter,
     ExpressionFunction, SetValue, FieldJoiner, FieldFormatter, UnGroup,
-    PyFunction,
+    PyFunction, ScriptFunction,
 )
 from .filters import (
     RegexFilter, ExpressionFilter, FilterNull, FilterNotNull, Sample, Limit,
-    NoOp, Debug, And, Or, Not, Xor, PyFilter, CounterOp,
+    NoOp, Debug, And, Or, Not, Xor, PyFilter, CounterOp, ScriptFilter,
 )
 from .aggregators import (
     Sum, Count, Average, Min, Max, First, Last, MaxValue, MinValue,

@@ -185,3 +185,7 @@ class PyFilter(Filter):
     def __init__(self, fn: Callable) -> None:
         super().__init__()
         self.fn = fn
+
+
+# Cascading parity alias (arbitrary user-script predicate).
+ScriptFilter = PyFilter

@@ -263,3 +263,8 @@ class PyFunction(Function):
 
     def pandas_map(self, pdf):
         return self.fn(pdf)
+
+
+# Cascading parity aliases: ScriptFunction/ScriptFilter run arbitrary user
+# scripts (Java source in Cascading; Python here — same role in the DSL).
+ScriptFunction = PyFunction

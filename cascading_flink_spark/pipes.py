@@ -123,13 +123,20 @@ class GroupBy(Pipe):
 
     def __init__(self, pipes: Pipe | Sequence[Pipe],
                  group_fields=Fields.NONE, sort_fields=None,
-                 reverse_order: bool = False, name: str | None = None) -> None:
+                 reverse_order: bool = False, name: str | None = None,
+                 comparators: dict | None = None) -> None:
         pipe_list = [pipes] if isinstance(pipes, Pipe) else list(pipes)
         super().__init__(name)
         self.previous = pipe_list
         self.group_fields = Fields.coerce(group_fields)
         self.sort_fields = Fields.coerce(sort_fields) if sort_fields is not None else Fields.NONE
         self.reverse_order = reverse_order
+        # Custom field Comparators (Cascading allows an arbitrary java
+        # Comparator per sort field; reference honors them in binary sort,
+        # types/field/CustomFieldComparator.java:30).  Spark equivalent: a
+        # SQL expression per sort field defining the derived sort key, e.g.
+        # {"name": "length(name)"} sorts groups by name length.
+        self.comparators = dict(comparators) if comparators else None
 
 
 class Joiner:

@@ -312,6 +312,11 @@ class FlowPlanner:
             df = self._merge_inputs(root.previous)
             keys = list(root.group_fields.names)
             sorts = list(root.sort_fields.names)
+            if root.comparators:
+                # Custom field Comparators (reference
+                # types/field/CustomFieldComparator.java:30): derive sortable
+                # key expressions instead of binary comparators.
+                sorts = [root.comparators.get(s, s) for s in sorts]
             return df, keys, sorts, root.reverse_order
         df, keys = self._compile_cogroup(root)
         return df, keys, [], False
@@ -337,12 +342,14 @@ class FlowPlanner:
         df = self._merge_inputs(pipe.previous)
         keys = list(pipe.group_fields.names)
         sorts = list(pipe.sort_fields.names)
+        if pipe.comparators:
+            sorts = [pipe.comparators.get(s, s) for s in sorts]
         direction = F.desc if pipe.reverse_order else F.asc
         if not keys:
             if sorts:
-                return df.orderBy(*[direction(s) for s in sorts])
+                return df.orderBy(*[direction(F.expr(s)) for s in sorts])
             return df
-        sort_cols = [F.asc(k) for k in keys] + [direction(s) for s in sorts]
+        sort_cols = [F.asc(k) for k in keys] + [direction(F.expr(s)) for s in sorts]
         return df.repartition(*[F.col(k) for k in keys]).sortWithinPartitions(*sort_cols)
 
     def _compile_every_chain(self, tail: Every) -> DataFrame:
@@ -379,7 +386,7 @@ class FlowPlanner:
             else:
                 arg_names = resolve_argument_fields(incoming, e.argument_selector)
             arg_cols = [df[n] for n in arg_names]
-            sort_cols = [df[s] for s in sorts]
+            sort_cols = [F.expr(s) for s in sorts]
             if sorts and hasattr(op, "sorted_agg_column"):
                 agg_cols.append(op.sorted_agg_column(arg_cols, sort_cols, descending))
             else:
@@ -452,7 +459,8 @@ class FlowPlanner:
             # (10-20x faster for small groups; same results).
             key_cols = list(keys)
             order = [F.asc(k) for k in key_cols] + \
-                    [(F.desc(s) if descending else F.asc(s)) for s in sort_keys]
+                    [(F.desc(F.expr(s)) if descending else F.asc(F.expr(s)))
+                     for s in sort_keys]
             sorted_df = df.repartition(*[F.col(k) for k in key_cols]) \
                           .sortWithinPartitions(*order)
 
@@ -592,11 +600,10 @@ class FlowPlanner:
 
         2-way: ``cogroup().applyInPandas`` (SURVEY.md §2.1 #11).  n-way: the
         reference's tagged-union trick (``prepareBufferCoGroupInput``
-        ``:802-851``) is planned for a later round.
+        ``:802-851``: tag rows with an input index, union, group, split) —
+        here the union runs over the superset of all inputs' columns (inputs
+        are already renamed collision-free), null-padded, no row serde.
         """
-        if len(renamed) != 2:
-            raise PlannerError("BufferJoin currently supports exactly 2 inputs "
-                               "(n-way via tagged union: planned)")
         fields = []
         for nm, t in zip(joiner.declared.names, joiner.types):
             dt = t if isinstance(t, T.DataType) else T._parse_datatype_string(t)
@@ -604,12 +611,46 @@ class FlowPlanner:
         schema = T.StructType(fields)
         fn = joiner.fn
 
-        def _apply(key, left_pdf, right_pdf):
-            return fn(key, left_pdf, right_pdf)
+        if len(renamed) == 2:
+            def _apply(key, left_pdf, right_pdf):
+                return fn(key, left_pdf, right_pdf)
 
-        g1 = renamed[0].groupBy(*key_names[0])
-        g2 = renamed[1].groupBy(*key_names[1])
-        return g1.cogroup(g2).applyInPandas(_apply, schema=schema)
+            g1 = renamed[0].groupBy(*key_names[0])
+            g2 = renamed[1].groupBy(*key_names[1])
+            return g1.cogroup(g2).applyInPandas(_apply, schema=schema)
+
+        # n-way tagged union
+        n_keys = len(key_names[0])
+        key_aliases = [f"__k{i}" for i in range(n_keys)]
+        col_types: dict[str, T.DataType] = {}
+        slices: list[list[str]] = []
+        for rdf in renamed:
+            slices.append(list(rdf.columns))
+            for f in rdf.schema.fields:
+                col_types[f.name] = f.dataType
+        all_cols = [c for sl in slices for c in sl]
+        parts = []
+        for idx, (rdf, keys_i, sl) in enumerate(zip(renamed, key_names, slices)):
+            sel = [F.col(k).alias(a) for k, a in zip(keys_i, key_aliases)]
+            sel.append(F.lit(idx).alias("__idx"))
+            own = set(sl)
+            for c in all_cols:
+                sel.append(F.col(c) if c in own
+                           else F.lit(None).cast(col_types[c]).alias(c))
+            parts.append(rdf.select(*sel))
+        unified = parts[0]
+        for prt in parts[1:]:
+            unified = unified.unionByName(prt)
+
+        slice_list = slices  # close over
+
+        def _apply_n(key, pdf):
+            groups = []
+            for idx, sl in enumerate(slice_list):
+                groups.append(pdf[pdf["__idx"] == idx][sl])
+            return fn(key, *groups)
+
+        return unified.groupBy(*key_aliases).applyInPandas(_apply_n, schema=schema)
 
     # -------------------------------------------------------------- misc
     def _compile_merge(self, pipe: Merge) -> DataFrame:

@@ -1,0 +1,66 @@
+"""n-way BufferJoin (tagged union), custom comparators, script aliases."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from cascading_flink_spark import (
+    BufferJoin, CoGroup, DataFrameTap, Every, Fields, FlowConnector, FlowDef,
+    GroupBy, Pipe,
+)
+from cascading_flink_spark.operations import Collect, First, ScriptFilter, ScriptFunction
+
+
+def run(spark, tail, **sources):
+    fd = FlowDef()
+    for name, d in sources.items():
+        fd.add_source(name, DataFrameTap(d))
+    fd.add_tail(tail)
+    return FlowConnector(spark).connect(fd).dataframe(tail.name)
+
+
+def test_nway_bufferjoin(spark):
+    a = spark.createDataFrame([(1, "a1"), (2, "a2")], "k int, av string")
+    b = spark.createDataFrame([(1, "b1"), (3, "b3")], "k int, bv string")
+    c = spark.createDataFrame([(1, "c1"), (1, "c1b")], "k int, cv string")
+
+    def fn(key, pa: pd.DataFrame, pb: pd.DataFrame, pc: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": [key[0]], "na": [len(pa)], "nb": [len(pb)],
+                             "nc": [len(pc)]})
+
+    j = CoGroup([Pipe("A"), Pipe("B"), Pipe("C")],
+                [Fields("k"), Fields("k"), Fields("k")],
+                declared_fields=Fields("ka", "av", "kb", "bv", "kc", "cv"),
+                joiner=BufferJoin(Fields("k", "na", "nb", "nc"), fn,
+                                  ["int", "long", "long", "long"]))
+    rows = {r["k"]: (r["na"], r["nb"], r["nc"])
+            for r in run(spark, j, A=a, B=b, C=c).collect()}
+    assert rows == {1: (1, 1, 2), 2: (1, 0, 0), 3: (0, 1, 0)}
+
+
+def test_custom_comparator_sort(spark):
+    df = spark.createDataFrame(
+        [("g", "bbbb"), ("g", "c"), ("g", "aa")], "k string, s string")
+    # sort group values by LENGTH of s (custom comparator), not lexical
+    g = GroupBy(Pipe("src"), Fields("k"), sort_fields=Fields("s"),
+                comparators={"s": "length(s)"})
+    e = Every(g, Fields("s"), Collect("ordered"), Fields.ALL)
+    rows = run(spark, e, src=df).collect()
+    assert rows[0]["ordered"] == ["c", "aa", "bbbb"]
+
+    g2 = GroupBy(Pipe("src"), Fields("k"), sort_fields=Fields("s"),
+                 comparators={"s": "length(s)"}, reverse_order=True)
+    e2 = Every(g2, Fields("s"), First("longest"), Fields.ALL)
+    assert run(spark, e2, src=df).collect()[0]["longest"] == "bbbb"
+
+
+def test_script_aliases(spark):
+    df = spark.createDataFrame([(1,), (5,)], "v int")
+    p = Pipe("src")
+    from cascading_flink_spark import Each
+    fn = ScriptFunction(Fields("sq"), lambda pdf: pd.DataFrame({"sq": pdf["v"] ** 2}), ["long"])
+    sq = Each(p, Fields("v"), fn, Fields.ALL)
+    flt = Each(sq, Fields("sq"), ScriptFilter(lambda pdf: pdf["sq"] > 10))
+    rows = run(spark, flt, src=df).collect()
+    assert [(r["v"], r["sq"]) for r in rows] == [(5, 25)]

@@ -1,0 +1,57 @@
+"""Plan-quality regression tests: the 100 TB story in assertable form.
+
+Every operator must compile to the physical plan we'd want on a real
+cluster: filters reach the parquet scan (PushedFilters), projections prune
+the read schema, explicit HashJoins broadcast, top-k uses WindowGroupLimit
+(rank pushdown), global sort+limit uses TakeOrderedAndProject.  A regression
+here means a silent 10-100x at scale even though results stay correct."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+
+def plan_of(spark, name, sf_dir):
+    import __spark_entry__ as entry
+    df = entry.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("query,pattern,why", [
+    ("groupby_agg", r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate",
+     "date filter must reach the parquet scan"),
+    ("groupby_agg", r"ReadSchema: (?!.*l_tax)",
+     "unused columns must be pruned from the scan"),
+    ("groupby_agg", r"HashAggregate",
+     "aggregation must be hash-based with partial/final split"),
+    ("hashjoin_broadcast", r"BroadcastHashJoin",
+     "HashJoin pipes must compile to broadcast joins"),
+    ("hashjoin_broadcast", r"PushedFilters: \[.*GreaterThan\(p_size,40\)",
+     "dimension filter must push into the dimension scan"),
+    ("nary_join", r"BroadcastHashJoin",
+     "small dims in the n-ary chain must broadcast"),
+    ("nary_join", r"EqualTo\(r_name,ASIA\)",
+     "region filter must push into the region scan"),
+    ("topk_per_group", r"WindowGroupLimit",
+     "FirstNBuffer must push the rank limit below the window sort"),
+    ("global_sort_limit", r"TakeOrderedAndProject",
+     "global sort + limit must not materialize a full sort"),
+    ("expression_filter", r"PushedFilters: \[.*l_quantity",
+     "expression filters on scan columns must push down"),
+])
+def test_plan_property(spark, sf_dir, query, pattern, why):
+    plan = plan_of(spark, query, sf_dir)
+    assert re.search(pattern, plan), f"{query}: {why}\n--- plan ---\n{plan[:4000]}"
+
+
+def test_cogroup_becomes_native_join(spark, sf_dir):
+    plan = plan_of(spark, "cogroup_inner", sf_dir)
+    assert re.search(r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan)
+
+
+def test_unique_partial_dedup(spark, sf_dir):
+    # dropDuplicates compiles to partial+final HashAggregate (map-side dedup)
+    plan = plan_of(spark, "unique", sf_dir)
+    assert plan.count("HashAggregate") >= 2
