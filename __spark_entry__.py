@@ -19,18 +19,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cascading_flink_spark import (
-    BufferJoin, CoGroup, CountBy, DataFrameTap, Each, Every, Fields,
-    FlowConnector, FlowDef, GroupBy, HashJoin, LeftJoin, Merge, OuterJoin,
-    Pipe, Unique,
+    AntiJoin, BufferJoin, CoGroup, CountBy, DataFrameTap, Each, Every,
+    Fields, FlowConnector, FlowDef, GroupBy, HashJoin, LeftJoin, Merge,
+    MixedJoin, OuterJoin, Pipe, SemiJoin, Unique,
 )
 from cascading_flink_spark.operations import (
     Average, Count, ExpressionFilter, ExpressionFunction, FirstNBuffer,
-    Limit, PyBuffer, RegexParser, RegexSplitGenerator, Sum,
+    Limit, PyBuffer, RegexParser, RegexSplitGenerator, Sample, Sum, UnGroup,
 )
 from cascading_flink_spark.extensions import (
     attach_binary_meta, brute_force_topk, decode_stub_features,
-    embedding_dup_pairs, exact_dedup, lang_id, minhash_lsh_pairs,
-    ngram_jaccard_pairs, quality_features, simhash_dup_pairs,
+    embedding_dup_pairs, exact_dedup, fingerprint, lang_id,
+    lsh_bucketed_topk, minhash_lsh_pairs, ngram_jaccard_pairs,
+    quality_features, quality_filter, salted_agg, simhash_dup_pairs,
 )
 
 
@@ -394,6 +395,100 @@ def q_multimodal_meta(spark, sf_dir):
     return feats.select("media_id", "modality", "n_bytes")
 
 
+def q_mixed_join(spark, sf_dir):
+    """MixedJoin with per-input outer flags: customer is the outer side,
+    the filtered orders input is inner — unmatched customers survive with
+    null order columns."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    big = Each(Pipe("orders"), Fields("o_totalprice"),
+               ExpressionFilter("o_totalprice <= 150000"))
+    j = CoGroup([Pipe("customer"), big],
+                [Fields("c_custkey"), Fields("o_custkey")],
+                joiner=MixedJoin([True, False]))
+    tagged = Each(j, Fields("o_orderpriority"),
+                  ExpressionFunction(Fields("prio"),
+                                     "coalesce(o_orderpriority, 'NONE')"),
+                  Fields.RESULTS)
+    return _flow(spark, CountBy(tagged, Fields("prio"), "n"),
+                 customer=cust, orders=orders)
+
+
+def q_semi_join(spark, sf_dir):
+    """Left-semi: customers with at least one large order (SQL EXISTS)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    big = Each(Pipe("orders"), Fields("o_totalprice"),
+               ExpressionFilter("o_totalprice <= 200000"))
+    j = CoGroup([Pipe("customer"), big], [Fields("c_custkey"), Fields("o_custkey")],
+                joiner=SemiJoin())
+    return _flow(spark, j, customer=cust, orders=orders)
+
+
+def q_anti_join(spark, sf_dir):
+    """Left-anti: customers with no large order (SQL NOT EXISTS)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    big = Each(Pipe("orders"), Fields("o_totalprice"),
+               ExpressionFilter("o_totalprice <= 200000"))
+    j = CoGroup([Pipe("customer"), big],
+                [Fields("c_custkey"), Fields("o_custkey")], joiner=AntiJoin())
+    return _flow(spark, j, customer=cust, orders=orders)
+
+
+def q_fingerprint(spark, sf_dir):
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_quality_filter(spark, sf_dir):
+    docs = quality_filter(_t(spark, sf_dir, "documents"),
+                          min_tokens=30, max_punct_ratio=0.05)
+    return docs.select("doc_id", "lang")
+
+
+def q_ungroup(spark, sf_dir):
+    """UnGroup (un-pivot): one row per (orderkey, attribute value)."""
+    orders = _t(spark, sf_dir, "orders")
+    u = Each(Pipe("orders"), Fields.ALL,
+             UnGroup(Fields("o_orderkey", "attr"), Fields("o_orderkey"),
+                     [["o_orderstatus"], ["o_orderpriority"]]),
+             Fields.RESULTS)
+    return _flow(spark, u, orders=orders)
+
+
+def q_sample(spark, sf_dir):
+    """Deterministic hash-based Bernoulli sample (rows-only check: the hash
+    is engine-specific)."""
+    li = _t(spark, sf_dir, "lineitem")
+    samp = Each(Pipe("lineitem"), Fields("l_orderkey", "l_linenumber"),
+                Sample(0.1, seed=42))
+    proj = Each(samp, Fields("l_orderkey", "l_linenumber"),
+                ExpressionFunction(Fields("key"),
+                                   "concat(l_orderkey, '-', l_linenumber)"),
+                Fields.RESULTS)
+    return _flow(spark, proj, lineitem=li)
+
+
+def q_salted_agg(spark, sf_dir):
+    """Skew-safe two-phase aggregation; result identical to plain groupBy."""
+    ev = _t(spark, sf_dir, "events")
+    out = salted_agg(ev, ["event_type"],
+                     {"n": "count()", "total_value": "sum(value)"},
+                     salt_buckets=16)
+    return out.select("event_type", "n",
+                      F.round("total_value", 2).alias("total_value"))
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Approximate ANN via multiprobe hyperplane LSH (rows-only: recall is
+    approximate by construction; exactness is verified against
+    brute_force_topk in tests)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = (emb.filter(F.col("vec_id") < 5)
+                  .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return lsh_bucketed_topk(emb, queries_df, k=10, planes=12, dim=64)
+
+
 # ------------------------------------------------------- driver surface
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -433,6 +528,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "embedding_dups": q_embedding_dups,
         "multimodal_meta": q_multimodal_meta,
+        "mixed_join": q_mixed_join,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "fingerprint": q_fingerprint,
+        "quality_filter": q_quality_filter,
+        "ungroup": q_ungroup,
+        "sample": q_sample,
+        "salted_agg": q_salted_agg,
+        "ann_lsh": q_ann_lsh,
     }
 
 
@@ -639,5 +743,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS media_id, 'image' AS modality,
                    octet_length(encode(text))::BIGINT AS n_bytes
             FROM documents
+        """,
+        "mixed_join": """
+            WITH big AS (SELECT * FROM orders WHERE o_totalprice > 150000)
+            SELECT coalesce(o_orderpriority, 'NONE') AS prio, count(*) AS n
+            FROM customer LEFT JOIN big ON c_custkey = o_custkey
+            GROUP BY 1
+        """,
+        "semi_join": """
+            SELECT * FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+        """,
+        "anti_join": """
+            SELECT * FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+            FROM documents
+        """,
+        "quality_filter": """
+            WITH base AS (
+              SELECT doc_id, lang,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_toks,
+                     regexp_replace(text, '\\s+', '', 'g') AS stripped
+              FROM documents)
+            SELECT doc_id, lang FROM base
+            WHERE n_toks >= 30
+              AND (length(stripped) - length(regexp_replace(stripped, '[^0-9A-Za-z_]', '', 'g'))) * 1.0
+                  / greatest(length(stripped), 1) <= 0.05
+        """,
+        "ungroup": """
+            SELECT o_orderkey, o_orderstatus AS attr FROM orders
+            UNION ALL
+            SELECT o_orderkey, o_orderpriority AS attr FROM orders
+        """,
+        "salted_agg": """
+            SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1
         """,
     }

@@ -11,12 +11,14 @@ from .fields import Fields, FieldsResolutionError
 from .pipes import (
     Pipe, Each, Every, GroupBy, CoGroup, HashJoin, Merge, Checkpoint,
     Joiner, InnerJoin, LeftJoin, RightJoin, OuterJoin, MixedJoin, BufferJoin,
+    SemiJoin, AntiJoin,
     Retain, Discard, Rename, Coerce, Unique,
     CountBy, SumBy, AverageBy, MinBy, MaxBy, FirstBy,
 )
 from .taps import (
     Tap, Hfs, GlobHfs, MultiSourceTap, PartitionTap, DataFrameTap, MemoryTap,
-    Scheme, TextLine, TextDelimited, ParquetScheme, JsonScheme, SinkMode,
+    BucketedTap, Scheme, TextLine, TextDelimited, ParquetScheme, JsonScheme,
+    SinkMode,
 )
 from .flow import Flow, FlowConnector, FlowDef
 from .planner import FlowPlanner, PlannerError

@@ -91,28 +91,45 @@ def _signature(vec: Column, planes: list[list[float]]) -> Column:
 
 def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                       planes: int = 12, dim: int = 64, seed: int = 42,
+                      tables: int = 4,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       query_id_col: str = "query_id",
                       multiprobe_bits: int = 1) -> DataFrame:
-    """Approximate top-k: random-hyperplane buckets + exact rerank in-bucket.
+    """Approximate top-k: multi-table random-hyperplane LSH + exact rerank.
 
-    ``multiprobe_bits=1`` also probes all signatures at Hamming distance 1
-    (standard multi-probe LSH) to cut misses without more tables.  Recall is
-    approximate by construction — verify against :func:`brute_force_topk`.
-    """
-    hp = _hyperplane(dim, seed, planes)
-    c = _fan_out(corpus).withColumn("__sig", _signature(F.col(vec_col), hp))
-    probe_sigs = [_signature(F.col(vec_col), hp)]
-    q = queries.withColumn("__sig0", _signature(F.col(vec_col), hp))
-    if multiprobe_bits >= 1:
-        sigs = F.array(F.col("__sig0"),
-                       *[F.col("__sig0").bitwiseXOR(F.lit(1 << i)) for i in range(planes)])
-    else:
-        sigs = F.array(F.col("__sig0"))
-    q = (q.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"),
-                  F.explode(sigs).alias("__sig")))
+    ``tables`` independent hash tables of ``planes`` bits each: a candidate
+    must collide in >= 1 table (recall 1-(1-p^planes)^tables for per-bit
+    agreement p = 1 - angle/pi).  ``multiprobe_bits=1`` additionally probes
+    every Hamming-distance-1 signature per table.  The corpus index is
+    ``tables`` rows per vector — the classic memory-for-recall trade; at
+    scale, write it once with ``BucketedTap`` and reuse across query
+    batches.  High recall requires genuinely-near neighbors (near-dup
+    regime); on uniformly random vectors every LSH family degrades."""
+    c_sigs, q_sigs = [], []
+    for t in range(tables):
+        hp = _hyperplane(dim, seed + 7919 * t, planes)
+        c_sigs.append(F.struct(F.lit(t).alias("t"),
+                               _signature(F.col(vec_col), hp).alias("s")))
+        q_sigs.append((t, _signature(F.col(vec_col), hp)))
+    c = (_fan_out(corpus)
+         .select(F.col(id_col), F.col(vec_col),
+                 F.explode(F.array(*c_sigs)).alias("__b"))
+         .select(id_col, vec_col, F.col("__b.t").alias("__t"),
+                 F.col("__b.s").alias("__sig")))
+    probe_structs = []
+    for t, sig in q_sigs:
+        probe_structs.append(F.struct(F.lit(t).alias("t"), sig.alias("s")))
+        if multiprobe_bits >= 1:
+            for i in range(planes):
+                probe_structs.append(
+                    F.struct(F.lit(t).alias("t"),
+                             sig.bitwiseXOR(F.lit(1 << i)).alias("s")))
+    q = (queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"),
+                        F.explode(F.array(*probe_structs)).alias("__b"))
+         .select(query_id_col, "__qvec", F.col("__b.t").alias("__t"),
+                 F.col("__b.s").alias("__sig")))
     sim = F.round(cosine_expr(F.col(vec_col), F.col("__qvec")), 4)
-    scored = (c.join(F.broadcast(q), "__sig")
+    scored = (c.join(F.broadcast(q), ["__t", "__sig"])
                .filter(F.col(id_col) != F.col(query_id_col))
                .select(F.col(query_id_col), F.col(id_col), sim.alias("sim"))
                .dropDuplicates([query_id_col, id_col]))
@@ -137,15 +154,23 @@ def embedding_dup_pairs(df: DataFrame, threshold: float = 0.95,
     if exact:
         cand = left.crossJoin(right).filter(F.col("id_a") < F.col("id_b"))
     else:
-        hp = _hyperplane(dim, seed, planes)
-        # one signature computation, reused by both join sides
+        # multi-table signatures, computed once and reused by both sides
+        sigs = []
+        for t in range(4):
+            hp = _hyperplane(dim, seed + 7919 * t, planes)
+            sigs.append(F.struct(F.lit(t).alias("t"),
+                                 _signature(F.col(vec_col), hp).alias("s")))
         sig = (_fan_out(df)
                .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                       _signature(F.col(vec_col), hp).alias("__sig"))
+                       F.explode(F.array(*sigs)).alias("__b"))
+               .select("id", "v", F.col("__b.t").alias("__t"),
+                       F.col("__b.s").alias("__sig"))
                .persist())
-        lb = sig.toDF("id_a", "va", "__sig")
-        rb = sig.toDF("id_b", "vb", "__sig")
-        cand = lb.join(rb, "__sig").filter(F.col("id_a") < F.col("id_b"))
+        lb = sig.toDF("id_a", "va", "__t", "__sig")
+        rb = sig.toDF("id_b", "vb", "__t", "__sig")
+        cand = (lb.join(rb, ["__t", "__sig"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .dropDuplicates(["id_a", "id_b"]))
     sim = F.round(cosine_expr(F.col("va"), F.col("vb")), 4)
     return (cand.select("id_a", "id_b", sim.alias("sim"))
                 .filter(F.col("sim") >= threshold)

@@ -1,0 +1,83 @@
+"""Skew-handling helpers: salted two-phase aggregation and salted joins.
+
+At 100 TB, a handful of hot keys (null join keys, power-law group keys)
+serialize a shuffle onto a few reducers.  AQE's skew-join split handles the
+join case at runtime; these helpers handle the *aggregation* case and the
+explicit-salt join case, both as pure DataFrame compositions:
+
+* :func:`salted_agg` — phase 1 aggregates on (keys + salt) so hot keys
+  spread over ``salt_buckets`` reducers; phase 2 combines the partials.
+  Supported aggregate shapes decompose algebraically (count -> sum of
+  partial counts, avg -> sum/count, etc.), so the result is bit-identical
+  to the unsalted plan.
+* :func:`salted_broadcast_left` — explicit replicated-broadcast join for a
+  skewed fact against a dim too big for one broadcast but fine when split.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: aggregate spec -> (phase1 expr template, phase2 combine template)
+_DECOMPOSE = {
+    "count": ("count(1)", "sum({p})"),
+    "sum": ("sum({arg})", "sum({p})"),
+    "min": ("min({arg})", "min({p})"),
+    "max": ("max({arg})", "max({p})"),
+}
+
+
+def salted_agg(df: DataFrame, keys: Sequence[str], aggs: dict[str, str],
+               salt_buckets: int = 16) -> DataFrame:
+    """Two-phase (salted) aggregation, result identical to a plain groupBy.
+
+    ``aggs`` maps output name -> one of ``count()``, ``sum(col)``,
+    ``min(col)``, ``max(col)``, ``avg(col)``.  The salt is a deterministic
+    hash of the whole row modulo ``salt_buckets`` (content-derived, no RNG —
+    rerun-stable).
+
+    Note Catalyst already does map-side partial aggregation; salting
+    additionally spreads the *reduce* side of a hot key, which partial agg
+    alone cannot (all partials of one key still meet in one reducer).
+    """
+    keys = list(keys)
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+                         F.lit(salt_buckets)))
+
+    phase1, phase2 = [], []
+    for name, spec in aggs.items():
+        fn = spec.split("(", 1)[0].strip().lower()
+        arg = spec.split("(", 1)[1].rstrip(") ")
+        if fn == "avg":
+            phase1.append(F.expr(f"sum({arg})").alias(f"__s_{name}"))
+            phase1.append(F.expr("count(1)").alias(f"__c_{name}"))
+            phase2.append((F.sum(f"__s_{name}") / F.sum(f"__c_{name}")).alias(name))
+            continue
+        if fn not in _DECOMPOSE:
+            raise ValueError(f"salted_agg cannot decompose {spec!r}")
+        p1, p2 = _DECOMPOSE[fn]
+        pname = f"__p_{name}"
+        phase1.append(F.expr(p1.format(arg=arg)).alias(pname))
+        phase2.append(F.expr(p2.format(p=pname)).alias(name))
+
+    partial = salted.groupBy(*keys, "__salt").agg(*phase1)
+    return partial.groupBy(*keys).agg(*phase2)
+
+
+def salted_broadcast_left(fact: DataFrame, dim: DataFrame, on: str,
+                          how: str = "inner", replicas: int = 8) -> DataFrame:
+    """Skew join: replicate the dim ``replicas`` times with a replica id,
+    salt the fact deterministically, join on (key, salt).  Spreads a hot
+    fact key over ``replicas`` tasks; dim must tolerate replication
+    (broadcast-sized x replicas)."""
+    salted_fact = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]),
+                         F.lit(replicas)))
+    replicated_dim = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(replicas)])))
+    out = salted_fact.join(F.broadcast(replicated_dim), on=[on, "__salt"], how=how)
+    return out.drop("__salt")

@@ -161,6 +161,20 @@ class OuterJoin(Joiner):
     how = "full"
 
 
+class SemiJoin(Joiner):
+    """Keep left rows with >= 1 match (SQL EXISTS).  Beyond the reference's
+    joiner set (its users express this with an inner join + dedup); native
+    left_semi avoids materializing match multiplicity."""
+
+    how = "left_semi"
+
+
+class AntiJoin(Joiner):
+    """Keep left rows with no match (SQL NOT EXISTS)."""
+
+    how = "left_anti"
+
+
 class MixedJoin(Joiner):
     """Per-input outer flags (True = keep unmatched rows of that input).
 

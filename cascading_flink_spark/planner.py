@@ -28,9 +28,9 @@ from .operations.buffers import FirstNBuffer, PyBuffer
 from .operations.filters import CounterOp, Limit, PyFilter
 from .operations.functions import PyFunction, UnGroup
 from .pipes import (
-    BufferJoin, Checkpoint, CoGroup, Each, Every, GroupBy, HashJoin,
-    InnerJoin, LeftJoin, MixedJoin, Merge, OuterJoin, Pipe, RightJoin,
-    Unique,
+    AntiJoin, BufferJoin, Checkpoint, CoGroup, Each, Every, GroupBy,
+    HashJoin, InnerJoin, LeftJoin, MixedJoin, Merge, OuterJoin, Pipe,
+    RightJoin, SemiJoin, Unique,
 )
 
 
@@ -508,9 +508,17 @@ class FlowPlanner:
         n = len(inputs)
         arities = [len(d.columns) for d in inputs]
 
+        semi_anti = isinstance(pipe.joiner, (SemiJoin, AntiJoin))
+        if semi_anti and n != 2:
+            raise PlannerError("Semi/Anti joins take exactly 2 inputs")
+
         # Resolve declared output names per input slice (Cascading requires
-        # declaredFields on name collisions; same rule here).
-        if pipe.declared_fields is not None:
+        # declaredFields on name collisions; same rule here).  Semi/anti
+        # joins emit only the left input's columns, so the right side may
+        # collide freely.
+        if semi_anti:
+            slices = [list(d.columns) for d in inputs]
+        elif pipe.declared_fields is not None:
             declared = list(pipe.declared_fields.names)
             if len(declared) != sum(arities):
                 raise PlannerError(
@@ -527,7 +535,7 @@ class FlowPlanner:
                 raise PlannerError(
                     "CoGroup/HashJoin input field names collide; pass "
                     "declared_fields (Cascading requires declaredFields too)")
-        if len({c for s in slices for c in s}) != sum(arities):
+        if not semi_anti and len({c for s in slices for c in s}) != sum(arities):
             raise PlannerError("declared_fields must be unique")
 
         renamed = []

@@ -217,6 +217,35 @@ class PartitionTap(Tap):
             raise ValueError("PartitionTap supports parquet/csv schemes")
 
 
+class BucketedTap(Tap):
+    """Bucketed table tap: ``bucketBy`` on write, shuffle-free co-located
+    joins/aggregations on read.
+
+    The 100 TB pattern the reference cannot express: two fact tables
+    bucketed on the same key join with NO exchange on either side (Spark
+    reads bucket files as pre-partitioned).  Requires a saved table (bucket
+    metadata lives in the catalog), hence ``table_name`` not a path."""
+
+    def __init__(self, table_name: str, bucket_cols: Sequence[str],
+                 num_buckets: int = 64, sort_cols: Sequence[str] | None = None,
+                 sink_mode: SinkMode = SinkMode.REPLACE) -> None:
+        self.table_name = table_name
+        self.bucket_cols = list(bucket_cols)
+        self.num_buckets = num_buckets
+        self.sort_cols = list(sort_cols) if sort_cols else None
+        self.sink_mode = sink_mode
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.table(self.table_name)
+
+    def write(self, df: DataFrame) -> None:
+        writer = (df.write.mode(self.sink_mode.value)
+                  .bucketBy(self.num_buckets, *self.bucket_cols))
+        if self.sort_cols:
+            writer = writer.sortBy(*self.sort_cols)
+        writer.format("parquet").saveAsTable(self.table_name)
+
+
 class DataFrameTap(Tap):
     """Source tap over an existing DataFrame — used by tests and by
     ``queries()`` to bind driver-provided parquet tables into flows."""

@@ -1,0 +1,104 @@
+"""Scale helpers: semi/anti joins, salted aggregation, bucketed co-located
+joins — correctness vs plain-Spark oracles plus plan assertions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cascading_flink_spark import (
+    AntiJoin, BucketedTap, CoGroup, DataFrameTap, Fields, FlowConnector,
+    FlowDef, Pipe, SemiJoin,
+)
+from cascading_flink_spark.extensions import salted_agg, salted_broadcast_left
+
+
+def run(spark, tail, **sources):
+    fd = FlowDef()
+    for name, d in sources.items():
+        fd.add_source(name, DataFrameTap(d))
+    fd.add_tail(tail)
+    return FlowConnector(spark).connect(fd).dataframe(tail.name)
+
+
+@pytest.fixture(scope="module")
+def lhs(spark):
+    return spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id int, l string")
+
+
+@pytest.fixture(scope="module")
+def rhs(spark):
+    return spark.createDataFrame([(2, "x"), (2, "x2"), (4, "z")], "rid int, r string")
+
+
+def test_semi_join(spark, lhs, rhs):
+    j = CoGroup([Pipe("L"), Pipe("R")], [Fields("id"), Fields("rid")],
+                joiner=SemiJoin())
+    out = run(spark, j, L=lhs, R=rhs)
+    assert out.columns == ["id", "l"]
+    # no multiplicity: id=2 appears once despite two matches
+    assert [r["id"] for r in out.collect()] == [2]
+
+
+def test_anti_join(spark, lhs, rhs):
+    j = CoGroup([Pipe("L"), Pipe("R")], [Fields("id"), Fields("rid")],
+                joiner=AntiJoin())
+    out = run(spark, j, L=lhs, R=rhs)
+    assert sorted(r["id"] for r in out.collect()) == [1, 3]
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    salted = salted_agg(li, ["l_returnflag"],
+                        {"n": "count()", "qty": "sum(l_quantity)",
+                         "lo": "min(l_discount)", "hi": "max(l_discount)",
+                         "avg_q": "avg(l_quantity)"}, salt_buckets=8)
+    plain = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("qty"),
+        F.min("l_discount").alias("lo"), F.max("l_discount").alias("hi"),
+        F.avg("l_quantity").alias("avg_q"))
+    s = {r["l_returnflag"]: r for r in salted.collect()}
+    p = {r["l_returnflag"]: r for r in plain.collect()}
+    assert set(s) == set(p)
+    for k in s:
+        assert s[k]["n"] == p[k]["n"]
+        assert abs(s[k]["qty"] - p[k]["qty"]) < 1e-6
+        assert s[k]["lo"] == p[k]["lo"] and s[k]["hi"] == p[k]["hi"]
+        assert abs(s[k]["avg_q"] - p[k]["avg_q"]) < 1e-9
+
+
+def test_salted_broadcast_left(spark, lhs, rhs):
+    out = salted_broadcast_left(lhs.withColumnRenamed("id", "k"),
+                                rhs.withColumnRenamed("rid", "k"), on="k")
+    rows = sorted((r["k"], r["r"]) for r in out.collect())
+    assert rows == [(2, "x"), (2, "x2")]
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    # warehouse dir is a static conf; tables land in ./spark-warehouse
+    import shutil
+    for t in ("bt_a", "bt_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    a = spark.range(0, 1000).select(F.col("id").alias("k"),
+                                    (F.col("id") % 7).alias("va"))
+    b = spark.range(0, 1000).select(F.col("id").alias("k"),
+                                    (F.col("id") % 11).alias("vb"))
+    ta = BucketedTap("bt_a", ["k"], num_buckets=8, sort_cols=["k"])
+    tb = BucketedTap("bt_b", ["k"], num_buckets=8, sort_cols=["k"])
+    ta.write(a)
+    tb.write(b)
+    # force the sort-merge path (tiny test tables would broadcast, which
+    # bypasses bucketing); at real scale both sides exceed the threshold
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = ta.read(spark).join(tb.read(spark), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed join must not shuffle:\n{plan[:2000]}"
+        assert "SortMergeJoin" in plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")

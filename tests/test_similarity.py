@@ -1,0 +1,76 @@
+"""Similarity search: brute-force exactness vs numpy, LSH recall floor,
+embedding dedup LSH-vs-exact agreement."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cascading_flink_spark.extensions import (
+    brute_force_topk, embedding_dup_pairs, lsh_bucketed_topk,
+)
+
+from conftest import load
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load(spark, sf_dir, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return (emb.filter(F.col("vec_id") < 10)
+            .select(F.col("vec_id").alias("query_id"), "embedding"))
+
+
+def test_brute_force_matches_numpy(spark, emb, queries):
+    got = brute_force_topk(emb, queries, k=5)
+    rows = got.collect()
+    mat = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in emb.collect()}
+    for qid in range(3):
+        q = mat[qid]
+        sims = {}
+        for vid, v in mat.items():
+            if vid == qid:
+                continue
+            sims[vid] = round(float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v))), 4)
+        expect = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        got_q = [(r["vec_id"], r["sim"]) for r in rows if r["query_id"] == qid]
+        got_q.sort(key=lambda kv: (-kv[1], kv[0]))
+        assert got_q == expect
+
+
+def test_lsh_finds_planted_near_dups(spark, emb):
+    """LSH's design point is the near-dup regime (cosine ~1): plant noisy
+    copies of 20 vectors and require the LSH top-1 to find each original.
+    (On uniformly random vectors any LSH family degrades — that regime is
+    covered by brute_force_topk.)"""
+    rng = np.random.default_rng(7)
+    base = {r["vec_id"]: np.array(r["embedding"], dtype=np.float32)
+            for r in emb.filter(F.col("vec_id") < 20).collect()}
+    noisy = [(int(vid) + 100000,
+              (v + rng.normal(0, 0.02, size=v.shape).astype(np.float32)).tolist())
+             for vid, v in base.items()]
+    queries = spark.createDataFrame(
+        [(qid, vec) for qid, vec in noisy],
+        "query_id long, embedding array<float>")
+    approx = lsh_bucketed_topk(emb, queries, k=1, planes=12, dim=64, tables=4)
+    got = {r["query_id"] - 100000: r["vec_id"] for r in approx.collect()}
+    hits = sum(1 for vid in base if got.get(vid) == vid)
+    recall = hits / len(base)
+    assert recall >= 0.9, f"near-dup recall too low: {recall:.2f} ({got})"
+
+
+def test_embedding_dedup_lsh_agrees_with_exact(spark, emb):
+    exact = embedding_dup_pairs(emb, threshold=0.45, exact=True)
+    lsh = embedding_dup_pairs(emb, threshold=0.45, exact=False)
+    eset = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    lset = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    # LSH candidates are a subset of exact pairs (no false positives after
+    # the exact-cosine verify); require reasonable recall
+    assert lset <= eset
+    if eset:
+        assert len(lset) / len(eset) >= 0.3
