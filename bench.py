@@ -68,6 +68,9 @@ def main() -> None:
         t0 = time.time()
         _execute(fn(spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)
+        # release intermediates persisted inside operators so later queries
+        # aren't taxed by cache memory pressure
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

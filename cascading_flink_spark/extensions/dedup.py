@@ -171,8 +171,14 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 3, num_hashes: int = 32,
              .filter(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b", "sig_a", "sig_b")
              .dropDuplicates(["id_a", "id_b"]))
-    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b",
-                                       lambda x, y: x == y), lambda v: v))
+    # Signature agreement as an unrolled sum of per-position equality —
+    # whole-stage-codegen'd integer compares.  (zip_with/filter higher-order
+    # lambdas are interpreted per element; over ~1M candidate pairs that
+    # interpretation dominated the whole query.)
+    agree = sum(
+        (F.when(F.col("sig_a")[i] == F.col("sig_b")[i], 1).otherwise(0)
+         for i in range(num_hashes)),
+        F.lit(0))
     return (cand.withColumn("est_jaccard", F.round(agree / F.lit(num_hashes), 4))
                 .filter(F.col("est_jaccard") >= threshold)
                 .select("id_a", "id_b", "est_jaccard"))

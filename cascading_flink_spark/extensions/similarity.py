@@ -17,6 +17,9 @@ Dot products run as native ``zip_with``/``aggregate`` expressions
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -77,15 +80,31 @@ def _hyperplane(dim: int, seed: int, planes: int) -> list[list[float]]:
     return out
 
 
-def _signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit signature of a vector against the hyperplanes -> int."""
-    sig = F.lit(0).cast("long")
-    vd = vec.cast("array<double>")
-    for i, plane in enumerate(planes):
-        arr = F.array(*[F.lit(x) for x in plane])
-        dot = _dot(vd, arr)
-        bit = F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        sig = sig.bitwiseOR(F.shiftleft(bit, i))
+def _multi_signature_udf(dim: int, planes: int, seed: int, tables: int):
+    """Vectorized pandas UDF: vec -> array<long> of per-table signatures.
+
+    A Column-expression formulation would be tables*planes*dim literals —
+    Catalyst analysis/codegen on that expression tree costs more than the
+    query.  One Arrow batch + numpy matmul computes every table's signature
+    in a single pass instead."""
+    plane_mats = [
+        np.array(_hyperplane(dim, seed + 7919 * t, planes), dtype=np.float64).T
+        for t in range(tables)
+    ]  # each dim x planes
+    weights = (1 << np.arange(planes, dtype=np.uint64))
+
+    @F.pandas_udf("array<long>")
+    def sig(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack(v.to_numpy()).astype(np.float64)          # N x dim
+        per_table = []
+        for P in plane_mats:
+            bits = (M @ P) >= 0                                # N x planes
+            per_table.append((bits.astype(np.uint64) @ weights).astype(np.int64))
+        S = np.stack(per_table, axis=1)                        # N x tables
+        return pd.Series([row.tolist() for row in S])
+
     return sig
 
 
@@ -105,29 +124,20 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     scale, write it once with ``BucketedTap`` and reuse across query
     batches.  High recall requires genuinely-near neighbors (near-dup
     regime); on uniformly random vectors every LSH family degrades."""
-    c_sigs, q_sigs = [], []
-    for t in range(tables):
-        hp = _hyperplane(dim, seed + 7919 * t, planes)
-        c_sigs.append(F.struct(F.lit(t).alias("t"),
-                               _signature(F.col(vec_col), hp).alias("s")))
-        q_sigs.append((t, _signature(F.col(vec_col), hp)))
+    sig_udf = _multi_signature_udf(dim, planes, seed, tables)
     c = (_fan_out(corpus)
          .select(F.col(id_col), F.col(vec_col),
-                 F.explode(F.array(*c_sigs)).alias("__b"))
-         .select(id_col, vec_col, F.col("__b.t").alias("__t"),
-                 F.col("__b.s").alias("__sig")))
-    probe_structs = []
-    for t, sig in q_sigs:
-        probe_structs.append(F.struct(F.lit(t).alias("t"), sig.alias("s")))
-        if multiprobe_bits >= 1:
-            for i in range(planes):
-                probe_structs.append(
-                    F.struct(F.lit(t).alias("t"),
-                             sig.bitwiseXOR(F.lit(1 << i)).alias("s")))
-    q = (queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"),
-                        F.explode(F.array(*probe_structs)).alias("__b"))
-         .select(query_id_col, "__qvec", F.col("__b.t").alias("__t"),
-                 F.col("__b.s").alias("__sig")))
+                 F.posexplode(sig_udf(F.col(vec_col))).alias("__t", "__sig")))
+    q_sigged = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"),
+                              F.posexplode(sig_udf(F.col(vec_col))).alias("__t", "__s0"))
+    if multiprobe_bits >= 1:
+        probes = F.array(F.col("__s0"),
+                         *[F.col("__s0").bitwiseXOR(F.lit(1 << i))
+                           for i in range(planes)])
+    else:
+        probes = F.array(F.col("__s0"))
+    q = (q_sigged.select(query_id_col, "__qvec", "__t",
+                         F.explode(probes).alias("__sig")))
     sim = F.round(cosine_expr(F.col(vec_col), F.col("__qvec")), 4)
     scored = (c.join(F.broadcast(q), ["__t", "__sig"])
                .filter(F.col(id_col) != F.col(query_id_col))
@@ -154,17 +164,12 @@ def embedding_dup_pairs(df: DataFrame, threshold: float = 0.95,
     if exact:
         cand = left.crossJoin(right).filter(F.col("id_a") < F.col("id_b"))
     else:
-        # multi-table signatures, computed once and reused by both sides
-        sigs = []
-        for t in range(4):
-            hp = _hyperplane(dim, seed + 7919 * t, planes)
-            sigs.append(F.struct(F.lit(t).alias("t"),
-                                 _signature(F.col(vec_col), hp).alias("s")))
+        # multi-table signatures via one vectorized UDF pass, reused by both
+        # join sides
+        sig_udf = _multi_signature_udf(dim, seed=seed, planes=planes, tables=4)
         sig = (_fan_out(df)
                .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                       F.explode(F.array(*sigs)).alias("__b"))
-               .select("id", "v", F.col("__b.t").alias("__t"),
-                       F.col("__b.s").alias("__sig"))
+                       F.posexplode(sig_udf(F.col(vec_col))).alias("__t", "__sig"))
                .persist())
         lb = sig.toDF("id_a", "va", "__t", "__sig")
         rb = sig.toDF("id_b", "vb", "__t", "__sig")

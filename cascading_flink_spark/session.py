@@ -26,6 +26,11 @@ def get_spark(app_name: str = "cascading_flink_spark",
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce post-shuffle partitions by SIZE, not to defaultParallelism
+        # — avoids swarms of tiny tasks on small inputs; same setting Spark
+        # docs recommend for clusters (parallelismFirst is a compat default)
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
