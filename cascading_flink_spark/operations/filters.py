@@ -98,6 +98,28 @@ class NoOp(Filter):
         return F.lit(False)
 
 
+#: Cascading ``Status`` — progress marker; identity here (counters cover it).
+Status = NoOp
+
+
+class RegexMatcher(Filter):
+    """Match the WHOLE concatenated tuple against a pattern (Cascading
+    ``RegexMatcher`` matches the tuple rendered with tab delimiters);
+    anchored match, unlike RegexFilter's find semantics."""
+
+    def __init__(self, pattern: str, remove_match: bool = False,
+                 delimiter: str = "\t") -> None:
+        super().__init__()
+        self.pattern = pattern
+        self.remove_match = remove_match
+        self.delimiter = delimiter
+
+    def remove(self, arg_cols):
+        joined = F.concat_ws(self.delimiter, *[c.cast("string") for c in arg_cols])
+        matched = joined.rlike(f"^(?:{self.pattern})$")
+        return matched if self.remove_match else ~matched
+
+
 class Debug(Filter):
     """Identity filter; a debug tap point. Plan-time toggled via DebugLevel
     (reference strips Debug at plan time, ``FlinkConnector.java:127``)."""

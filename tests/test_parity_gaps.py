@@ -1,0 +1,88 @@
+"""Coverage for the remaining SURVEY §2.2 rows: DateParser, FieldFormatter,
+RegexMatcher, Status, assertions (strict + plan-time stripping), sink
+parallelism."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cascading_flink_spark import (
+    DataFrameTap, Each, Fields, FlowConnector, FlowDef, Hfs, ParquetScheme,
+    Pipe, SinkMode, TextDelimited,
+)
+from cascading_flink_spark.operations import (
+    AssertionLevel, AssertNotNull, AssertSizeEquals, DateParser,
+    FieldFormatter, RegexMatcher, Status,
+)
+
+
+def run(spark, df, tail, assertion_level=AssertionLevel.STRICT):
+    fd = (FlowDef().add_source("src", DataFrameTap(df)).add_tail(tail)
+          .set_assertion_level(assertion_level))
+    return FlowConnector(spark).connect(fd).dataframe(tail.name)
+
+
+def test_date_parser(spark):
+    df = spark.createDataFrame([("2024/03/05",), ("1999/12/31",)], "d string")
+    p = Each(Pipe("src"), Fields("d"), DateParser(Fields("ts"), "yyyy/MM/dd"),
+             Fields.ALL)
+    rows = run(spark, df, p).collect()
+    assert {r["ts"].year for r in rows} == {2024, 1999}
+    # parity mode: epoch millis long
+    p2 = Each(Pipe("src"), Fields("d"),
+              DateParser(Fields("ms"), "yyyy/MM/dd", as_long=True), Fields.ALL)
+    rows2 = run(spark, df, p2).collect()
+    assert all(isinstance(r["ms"], int) for r in rows2)
+    assert any(r["ms"] == 946598400000 for r in rows2)  # 1999-12-31 UTC
+
+
+def test_field_formatter(spark):
+    df = spark.createDataFrame([(1, "a")], "n int, s string")
+    p = Each(Pipe("src"), Fields("n", "s"),
+             FieldFormatter(Fields("fmt"), "%d::%s"), Fields.RESULTS)
+    assert run(spark, df, p).collect()[0]["fmt"] == "1::a"
+
+
+def test_regex_matcher_whole_tuple(spark):
+    df = spark.createDataFrame([(1, "ab"), (2, "abc")], "n int, s string")
+    # full-tuple anchored match "1<TAB>ab"
+    keep = Each(Pipe("src"), Fields("n", "s"), RegexMatcher(r"1\tab"))
+    assert [r["n"] for r in run(spark, df, keep).collect()] == [1]
+    # RegexFilter-style find would have matched both; matcher is anchored
+    keep2 = Each(Pipe("src"), Fields("n", "s"), RegexMatcher(r"\d\ta"))
+    assert run(spark, df, keep2).count() == 0
+
+
+def test_status_noop(spark):
+    df = spark.createDataFrame([(1,), (2,)], "v int")
+    p = Each(Pipe("src"), Fields.ALL, Status())
+    assert run(spark, df, p).count() == 2
+
+
+def test_assertion_raises_and_strips(spark):
+    df = spark.createDataFrame([(1, "x"), (2, None)], "v int, s string")
+    failing = Each(Pipe("src"), Fields("s"), AssertNotNull())
+    with pytest.raises(Exception) as exc:
+        run(spark, df, failing).collect()
+    assert "AssertNotNull" in str(exc.value)
+    # stripped below the flow's assertion level (reference FlinkConnector:126)
+    stripped = Each(Pipe("src"), Fields("s"), AssertNotNull())
+    out = run(spark, df, stripped, assertion_level=AssertionLevel.NONE)
+    assert out.count() == 2
+    # static arity assertion passes at plan time
+    ok = Each(Pipe("src"), Fields("v", "s"), AssertSizeEquals(2))
+    assert run(spark, df, ok).count() == 2
+
+
+def test_sink_parallelism(spark, tmp_path):
+    df = spark.createDataFrame([(i,) for i in range(100)], "v int").repartition(8)
+    scheme = ParquetScheme()
+    scheme.num_sink_parts = 1  # Scheme.getNumSinkParts (reference :378-458)
+    out = str(tmp_path / "one_part")
+    Hfs(scheme, out, SinkMode.REPLACE).write(df)
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) == 1
+    assert spark.read.parquet(out).count() == 100
