@@ -29,9 +29,10 @@ from cascading_flink_spark.operations import (
 )
 from cascading_flink_spark.extensions import (
     attach_binary_meta, brute_force_topk, decode_stub_features,
-    embedding_dup_pairs, exact_dedup, fingerprint, lang_id,
+    dedup_clusters, embedding_dup_pairs, exact_dedup, fingerprint, lang_id,
     lsh_bucketed_topk, minhash_lsh_pairs, ngram_jaccard_pairs,
     quality_features, quality_filter, salted_agg, simhash_dup_pairs,
+    token_budget,
 )
 
 
@@ -489,6 +490,19 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_bucketed_topk(emb, queries_df, k=10, planes=12, dim=64)
 
 
+def q_token_budget(spark, sf_dir):
+    """Whitespace + BPE-ish pre-tokenizer token counts per document."""
+    return token_budget(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over the near-dup pair graph: (id, cluster_id)
+    with cluster_id = minimum member (the kept representative)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    return dedup_clusters(pairs)
+
+
 # ------------------------------------------------------- driver surface
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -537,6 +551,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample": q_sample,
         "salted_agg": q_salted_agg,
         "ann_lsh": q_ann_lsh,
+        "token_budget": q_token_budget,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -785,5 +801,39 @@ def oracle_sql() -> dict[str, str]:
         "salted_agg": """
             SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
             FROM events GROUP BY 1
+        """,
+        "token_budget": """
+            SELECT doc_id,
+                   (CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT AS ws_tokens,
+                   len(regexp_extract_all(lower(text),
+                       '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s'']+'))::BIGINT AS bpe_tokens
+            FROM documents
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE
+            toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                     FROM documents),
+            sh AS (SELECT doc_id,
+                          list_distinct([array_to_string(t[i:i+2], ' ')
+                                         for i in range(1, greatest(len(t)-2, 0)+1)]) AS s
+                   FROM toks),
+            inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+            sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+            common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                       FROM inv a JOIN inv b USING (shingle)
+                       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+            pairs AS (SELECT id_a, id_b FROM common
+                      JOIN sizes sa ON sa.doc_id = id_a
+                      JOIN sizes sb ON sb.doc_id = id_b
+                      WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+            edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach(id, r) AS (
+                SELECT s, d FROM edges
+                UNION
+                SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s
+            )
+            SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id
         """,
     }

@@ -8,11 +8,12 @@ only in clearly-marked Arrow-batched UDF paths (multimodal decode).
 """
 
 from .text import (
-    token_count, quality_features, quality_filter, lang_id, fingerprint,
+    token_count, token_budget, quality_features, quality_filter, lang_id,
+    fingerprint,
 )
 from .dedup import (
     exact_dedup, exact_dedup_pairs, ngram_jaccard_pairs, minhash_lsh_pairs,
-    simhash_bits, simhash_dup_pairs,
+    simhash_bits, simhash_dup_pairs, dedup_clusters,
 )
 from .similarity import (
     cosine_expr, brute_force_topk, embedding_dup_pairs, lsh_bucketed_topk,

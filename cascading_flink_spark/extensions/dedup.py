@@ -235,3 +235,42 @@ def simhash_dup_pairs(df: DataFrame, max_hamming: int = 3,
     return (cand.withColumn("hamming", dist)
                 .filter(F.col("hamming") <= max_hamming)
                 .select("id_a", "id_b", "hamming"))
+
+
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                   max_iterations: int = 20) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: returns
+    (id, cluster_id) where cluster_id is the minimum member id — the kept
+    representative for every duplicate cluster.
+
+    Large-star/small-star-style min-label propagation: each iteration joins
+    every node's current label with its neighbors' and takes the min,
+    converging in O(log n) iterations for typical dup clusters (which are
+    tiny — pairs of near-identical docs).  The driver loop iterates over
+    *stages* (one job per round, convergence checked via an aggregate), not
+    over rows; at 100 TB this is the standard iterative-join formulation.
+    """
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+             .distinct()
+             .persist())
+    labels = (edges.select(F.col("src").alias("id"))
+              .distinct()
+              .withColumn("label", F.col("id"))
+              .persist())
+    for _ in range(max_iterations):
+        neighbor_min = (edges.join(labels, edges.dst == labels.id)
+                        .groupBy("src").agg(F.min("label").alias("nmin")))
+        new_labels = (labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+                      .select(F.col("id"),
+                              F.least(F.col("label"),
+                                      F.coalesce(F.col("nmin"), F.col("label")))
+                               .alias("label"))
+                      .persist())
+        changed = (new_labels.alias("n").join(labels.alias("o"), "id")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))

@@ -105,3 +105,24 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     the cross-system content-address for dedup joins."""
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     return df.select(F.col(id_col), F.md5(norm).alias("fp"))
+
+
+# GPT-2-style pre-tokenizer pattern (no lookarounds, so Java regex and RE2
+# agree): contractions, optional-space letter run, optional-space digit run,
+# optional-space punctuation run.
+BPE_ISH_PATTERN = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+"
+
+
+def token_budget(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document (whitespace_tokens, bpe_ish_tokens) — the 'how many
+    tokens will the tokenizer see' signal used for pipeline budgeting.
+    Map-only; the regex is lookaround-free so the DuckDB oracle reproduces
+    it verbatim."""
+    return df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower(F.col(text_col)),
+                                    F.lit(BPE_ISH_PATTERN), F.lit(0)))
+         .cast("long").alias("bpe_tokens"),
+    )
