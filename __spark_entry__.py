@@ -30,7 +30,7 @@ from cascading_flink_spark.operations import (
 from cascading_flink_spark.extensions import (
     attach_binary_meta, brute_force_topk, decode_stub_features,
     dedup_clusters, embedding_dup_pairs, exact_dedup, fingerprint, lang_id,
-    lsh_bucketed_topk, minhash_lsh_pairs, ngram_jaccard_pairs,
+    ivf_topk, lsh_bucketed_topk, minhash_lsh_pairs, ngram_jaccard_pairs,
     quality_features, quality_filter, salted_agg, simhash_dup_pairs,
     token_budget,
 )
@@ -503,6 +503,15 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF approximate ANN: k-means cells + n_probe nearest cells per query
+    (rows-only: approximate; recall floor asserted vs brute force in tests)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = (emb.filter(F.col("vec_id") < 5)
+                  .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return ivf_topk(emb, queries_df, k=10, n_centroids=16, n_probe=4)
+
+
 # ------------------------------------------------------- driver surface
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -553,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "token_budget": q_token_budget,
         "dedup_clusters": q_dedup_clusters,
+        "ann_ivf": q_ann_ivf,
     }
 
 

@@ -17,6 +17,7 @@ from .dedup import (
 )
 from .similarity import (
     cosine_expr, brute_force_topk, embedding_dup_pairs, lsh_bucketed_topk,
+    ivf_topk,
 )
 from .multimodal import (
     MULTIMODAL_SCHEMA, attach_binary_meta, decode_stub_features,

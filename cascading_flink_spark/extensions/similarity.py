@@ -180,3 +180,73 @@ def embedding_dup_pairs(df: DataFrame, threshold: float = 0.95,
     return (cand.select("id_a", "id_b", sim.alias("sim"))
                 .filter(F.col("sim") >= threshold)
                 .dropDuplicates(["id_a", "id_b"]))
+
+
+def _kmeans_centroids(corpus: DataFrame, k: int, dim: int,
+                      vec_col: str, iterations: int = 3,
+                      sample_cap: int = 4096) -> "np.ndarray":
+    """Deterministic Lloyd iterations on a driver-side sample.
+
+    Centroid fitting needs only a representative sample (standard IVF
+    practice even at billion scale — FAISS trains on ~256 vectors per
+    centroid); the sample is bounded (``sample_cap``) so the driver memory
+    stays O(k*dim + cap*dim).  Assignment of the full corpus stays
+    distributed."""
+    sample = np.array(
+        [r[0] for r in corpus.select(vec_col).limit(sample_cap).collect()],
+        dtype=np.float64)
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    sample = sample / np.clip(norms, 1e-12, None)
+    # deterministic init: evenly spaced sample rows
+    idx = np.linspace(0, len(sample) - 1, k).astype(int)
+    cent = sample[idx].copy()
+    for _ in range(iterations):
+        sims = sample @ cent.T                     # cosine on normalized
+        assign = sims.argmax(axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             n_centroids: int = 16, n_probe: int = 4, dim: int = 64,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id") -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse k-means quantizer
+    partitions the corpus into ``n_centroids`` cells; each query scores only
+    its ``n_probe`` nearest cells' vectors.
+
+    The scale path complementing LSH: cell assignment is one broadcast-free
+    vectorized UDF pass; the cell column is a natural partition/bucket key,
+    so at 100 TB the index is written once partitioned by cell and each
+    query batch touches n_probe/n_centroids of the data."""
+    cent = _kmeans_centroids(corpus, n_centroids, dim, vec_col)
+
+    @F.pandas_udf("int")
+    def cell_of(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        M = M / np.clip(np.linalg.norm(M, axis=1, keepdims=True), 1e-12, None)
+        return pd.Series((M @ cent.T).argmax(axis=1).astype("int32"))
+
+    @F.pandas_udf("array<int>")
+    def probe_cells(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        M = M / np.clip(np.linalg.norm(M, axis=1, keepdims=True), 1e-12, None)
+        order = np.argsort(-(M @ cent.T), axis=1)[:, :n_probe].astype("int32")
+        return pd.Series([row.tolist() for row in order])
+
+    c = _fan_out(corpus).withColumn("__cell", cell_of(F.col(vec_col)))
+    q = (queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"),
+                        F.explode(probe_cells(F.col(vec_col))).alias("__cell")))
+    sim = F.round(cosine_expr(F.col(vec_col), F.col("__qvec")), 4)
+    scored = (c.join(F.broadcast(q), "__cell")
+               .filter(F.col(id_col) != F.col(query_id_col))
+               .select(F.col(query_id_col), F.col(id_col), sim.alias("sim"))
+               .dropDuplicates([query_id_col, id_col]))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") <= k)
+                  .drop("__rn"))

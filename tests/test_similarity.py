@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from cascading_flink_spark.extensions import (
-    brute_force_topk, embedding_dup_pairs, lsh_bucketed_topk,
+    brute_force_topk, embedding_dup_pairs, ivf_topk, lsh_bucketed_topk,
 )
 
 from conftest import load
@@ -74,3 +74,16 @@ def test_embedding_dedup_lsh_agrees_with_exact(spark, emb):
     assert lset <= eset
     if eset:
         assert len(lset) / len(eset) >= 0.3
+
+
+def test_ivf_recall_floor(spark, emb, queries):
+    """IVF degrades gracefully even on near-uniform vectors (probing 6/16
+    cells bounds recall loss, unlike signature collisions)."""
+    k = 10
+    exact = {(r["query_id"], r["vec_id"])
+             for r in brute_force_topk(emb, queries, k=k).collect()}
+    approx = {(r["query_id"], r["vec_id"])
+              for r in ivf_topk(emb, queries, k=k, n_centroids=16,
+                                n_probe=6).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"

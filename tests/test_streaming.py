@@ -83,3 +83,25 @@ def test_streaming_tumbling_window_watermark(spark, stream_dir):
     bmap = {(r["window"]["start"], r["event_type"]): r["count"] for r in batch.collect()}
     for r in rows:
         assert bmap[(r["window_start"], r["event_type"])] == r["n"]
+
+
+def test_stream_static_join(spark, stream_dir, sf_dir):
+    """Stream-static join: streaming events enriched with a static dim —
+    the streaming face of the HashJoin/broadcast pattern."""
+    from pyspark.sql import functions as F
+    schema = spark.read.parquet(stream_dir).schema
+    sdf = FileStreamTap(stream_dir, schema=schema).read(spark)
+    static_types = spark.createDataFrame(
+        [("click", "ui"), ("view", "ui"), ("purchase", "commerce"),
+         ("signup", "growth"), ("error", "ops")],
+        "event_type string, category string")
+    joined = (sdf.join(F.broadcast(static_types), "event_type")
+              .groupBy("category").agg(F.count(F.lit(1)).alias("n")))
+    q = (joined.writeStream.format("memory").outputMode("complete")
+         .queryName("ss_join").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = {r["category"]: r["n"] for r in spark.sql("SELECT * FROM ss_join").collect()}
+    batch = spark.read.parquet(stream_dir).join(static_types, "event_type") \
+        .groupBy("category").count()
+    expect = {r["category"]: r["count"] for r in batch.collect()}
+    assert got == expect
