@@ -59,8 +59,11 @@ def main() -> None:
     names = BENCH_QUERIES + ["embedding_dups_lsh"]
 
     # JVM/codegen warm-up on the smallest SF so first-query timing isn't
-    # dominated by classloading.
-    _execute(entry.q_groupby_agg(spark, "/root/testdata/sf0.001"))
+    # dominated by classloading/codegen: one representative per execution
+    # path (scan+agg, wide-agg signature pipeline, pandas buffer).
+    for warm in (entry.q_groupby_agg, entry.q_minhash_lsh, entry.q_buffer_span):
+        _execute(warm(spark, "/root/testdata/sf0.001"))
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in names:
