@@ -19,9 +19,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cascading_flink_spark import (
-    AntiJoin, BufferJoin, CoGroup, CountBy, DataFrameTap, Each, Every,
-    Fields, FlowConnector, FlowDef, GroupBy, HashJoin, LeftJoin, Merge,
-    MixedJoin, OuterJoin, Pipe, SemiJoin, Unique,
+    AntiJoin, BufferJoin, CoGroup, CountBy, Cube, DataFrameTap, Each, Every,
+    Except, Fields, FlowConnector, FlowDef, GroupBy, HashJoin, Intersect,
+    LeftJoin, Merge, MixedJoin, OuterJoin, Pipe, Rollup, SemiJoin, Unique,
 )
 from cascading_flink_spark.operations import (
     Average, Count, ExpressionFilter, ExpressionFunction, FirstNBuffer,
@@ -512,6 +512,42 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_topk(emb, queries_df, k=10, n_centroids=16, n_probe=4)
 
 
+def q_rollup(spark, sf_dir):
+    """GROUP BY ROLLUP subtotals (beyond the reference's surface)."""
+    orders = _t(spark, sf_dir, "orders")
+    r = Rollup(Pipe("orders"), Fields("o_orderpriority", "o_orderstatus"),
+               {"n": "count(1)", "total": "round(sum(o_totalprice), 2)"})
+    return _flow(spark, r, orders=orders)
+
+
+def q_intersect(spark, sf_dir):
+    """INTERSECT: customers ordering in both halves of 1996."""
+    orders = _t(spark, sf_dir, "orders")
+    h1 = Each(Pipe("orders"), Fields("o_orderdate"),
+              ExpressionFilter("NOT (o_orderdate >= timestamp '1996-01-01' "
+                               "AND o_orderdate < timestamp '1996-07-01')"))
+    h1p = Each(h1, Fields("o_custkey"),
+               ExpressionFunction(Fields("custkey"), "o_custkey"), Fields.RESULTS)
+    h2 = Each(Pipe("orders"), Fields("o_orderdate"),
+              ExpressionFilter("NOT (o_orderdate >= timestamp '1996-07-01' "
+                               "AND o_orderdate < timestamp '1997-01-01')"))
+    h2p = Each(h2, Fields("o_custkey"),
+               ExpressionFunction(Fields("custkey"), "o_custkey"), Fields.RESULTS)
+    return _flow(spark, Intersect([h1p, h2p]), orders=orders)
+
+
+def q_except(spark, sf_dir):
+    """EXCEPT: customers with orders but never a large one."""
+    orders = _t(spark, sf_dir, "orders")
+    allc = Each(Pipe("orders"), Fields("o_custkey"),
+                ExpressionFunction(Fields("custkey"), "o_custkey"), Fields.RESULTS)
+    big = Each(Pipe("orders"), Fields("o_totalprice"),
+               ExpressionFilter("o_totalprice <= 250000"))
+    bigc = Each(big, Fields("o_custkey"),
+                ExpressionFunction(Fields("custkey"), "o_custkey"), Fields.RESULTS)
+    return _flow(spark, Except([allc, bigc]), orders=orders)
+
+
 # ------------------------------------------------------- driver surface
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -563,6 +599,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "dedup_clusters": q_dedup_clusters,
         "ann_ivf": q_ann_ivf,
+        "rollup": q_rollup,
+        "intersect": q_intersect,
+        "except": q_except,
     }
 
 
@@ -845,5 +884,22 @@ def oracle_sql() -> dict[str, str]:
                 SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s
             )
             SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id
+        """,
+        "rollup": """
+            SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        """,
+        "intersect": """
+            SELECT o_custkey AS custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+            INTERSECT
+            SELECT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        """,
+        "except": """
+            SELECT o_custkey AS custkey FROM orders
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_totalprice > 250000
         """,
     }

@@ -264,6 +264,50 @@ class Merge(Pipe):
         self.previous = list(pipes)
 
 
+class Intersect(Pipe):
+    """Set intersection (distinct) of same-schema branches.
+
+    Beyond the reference: SURVEY §2.4 notes Cascading users hand-express
+    intersect/except via CoGroup joiners; here they are native set ops."""
+
+    def __init__(self, pipes: Sequence[Pipe], name: str | None = None) -> None:
+        super().__init__(name)
+        self.previous = list(pipes)
+
+
+class Except(Pipe):
+    """Set difference: rows of the first branch not in the others.
+    ``keep_duplicates=True`` -> EXCEPT ALL semantics."""
+
+    def __init__(self, pipes: Sequence[Pipe], keep_duplicates: bool = False,
+                 name: str | None = None) -> None:
+        super().__init__(name)
+        self.previous = list(pipes)
+        self.keep_duplicates = keep_duplicates
+
+
+class Rollup(Pipe):
+    """Hierarchical grouping-sets aggregation (GROUP BY ROLLUP).
+
+    ``aggs`` maps output name -> SQL aggregate expression.  Beyond the
+    reference (no grouping sets in Cascading); subtotal rows carry NULL
+    group keys, matching SQL."""
+
+    shape = "rollup"
+
+    def __init__(self, previous: Pipe, group_fields, aggs: dict,
+                 name: str | None = None) -> None:
+        super().__init__(name, previous)
+        self.group_fields = Fields.coerce(group_fields)
+        self.aggs = dict(aggs)
+
+
+class Cube(Rollup):
+    """All grouping-set combinations (GROUP BY CUBE)."""
+
+    shape = "cube"
+
+
 class Checkpoint(Pipe):
     """Materialization hint at a branch point.  Flink reuses intermediate
     results natively (reference dispatch ``:230-242`` memoizes per boundary);

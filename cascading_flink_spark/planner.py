@@ -28,9 +28,9 @@ from .operations.buffers import FirstNBuffer, PyBuffer
 from .operations.filters import CounterOp, Limit, PyFilter
 from .operations.functions import PyFunction, UnGroup
 from .pipes import (
-    AntiJoin, BufferJoin, Checkpoint, CoGroup, Each, Every, GroupBy,
-    HashJoin, InnerJoin, LeftJoin, MixedJoin, Merge, OuterJoin, Pipe,
-    RightJoin, SemiJoin, Unique,
+    AntiJoin, BufferJoin, Checkpoint, CoGroup, Cube, Each, Every, Except,
+    GroupBy, HashJoin, InnerJoin, Intersect, LeftJoin, MixedJoin, Merge,
+    OuterJoin, Pipe, RightJoin, Rollup, SemiJoin, Unique,
 )
 
 
@@ -89,6 +89,24 @@ class FlowPlanner:
             return df
         if isinstance(pipe, Merge):
             return self._compile_merge(pipe)
+        if isinstance(pipe, Intersect):
+            dfs = [self._compile(p) for p in pipe.previous]
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.intersect(d)
+            return out
+        if isinstance(pipe, Except):
+            dfs = [self._compile(p) for p in pipe.previous]
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.exceptAll(d) if pipe.keep_duplicates else out.subtract(d)
+            return out
+        if isinstance(pipe, Rollup):
+            df = self._compile(pipe.previous[0])
+            keys = list(pipe.group_fields.names)
+            aggs = [F.expr(expr).alias(name) for name, expr in pipe.aggs.items()]
+            grouped = df.cube(*keys) if pipe.shape == "cube" else df.rollup(*keys)
+            return grouped.agg(*aggs)
         if isinstance(pipe, Unique):
             return self._compile_unique(pipe)
         if isinstance(pipe, Checkpoint):

@@ -64,3 +64,28 @@ def test_script_aliases(spark):
     flt = Each(sq, Fields("sq"), ScriptFilter(lambda pdf: pdf["sq"] > 10))
     rows = run(spark, flt, src=df).collect()
     assert [(r["v"], r["sq"]) for r in rows] == [(5, 25)]
+
+
+def test_intersect_except_rollup(spark):
+    from cascading_flink_spark import Cube, Except, Intersect, Rollup
+    a = spark.createDataFrame([(1,), (2,), (2,), (3,)], "v int")
+    b = spark.createDataFrame([(2,), (3,), (4,)], "v int")
+    i = Intersect([Pipe("A"), Pipe("B")])
+    assert sorted(r["v"] for r in run(spark, i, A=a, B=b).collect()) == [2, 3]
+    e = Except([Pipe("A"), Pipe("B")])
+    assert [r["v"] for r in run(spark, e, A=a, B=b).collect()] == [1]
+    ea = Except([Pipe("A"), Pipe("B")], keep_duplicates=True)
+    assert sorted(r["v"] for r in run(spark, ea, A=a, B=b).collect()) == [1, 2]
+
+    sales = spark.createDataFrame(
+        [("x", "p", 1.0), ("x", "q", 2.0), ("y", "p", 3.0)],
+        "region string, product string, amt double")
+    r = Rollup(Pipe("S"), Fields("region", "product"),
+               {"total": "sum(amt)"})
+    rows = {(x["region"], x["product"]): x["total"]
+            for x in run(spark, r, S=sales).collect()}
+    assert rows[("x", None)] == 3.0 and rows[(None, None)] == 6.0
+    c = Cube(Pipe("S"), Fields("region", "product"), {"total": "sum(amt)"})
+    crows = {(x["region"], x["product"]): x["total"]
+             for x in run(spark, c, S=sales).collect()}
+    assert crows[(None, "p")] == 4.0  # cube-only combination
