@@ -102,3 +102,13 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_exact_dedup_pairs(spark):
+    from cascading_flink_spark.extensions import exact_dedup_pairs
+    docs = spark.createDataFrame(
+        [(1, "same  text"), (2, "same text"), (3, "other"), (4, "SAME TEXT")],
+        "doc_id long, text string")
+    # normalization: whitespace collapsed + lower-cased -> 1,2,4 identical
+    pairs = {(r["keep_id"], r["dup_id"]) for r in exact_dedup_pairs(docs).collect()}
+    assert pairs == {(1, 2), (1, 4)}

@@ -132,3 +132,19 @@ def test_checkpoint_caches(spark):
     assert out.storageLevel.useMemory
     assert out.count() == 1
     out.unpersist()
+
+
+def test_json_scheme_roundtrip(spark, tmp_path):
+    from cascading_flink_spark import JsonScheme
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "n long, s string")
+    out = str(tmp_path / "json")
+    Hfs(JsonScheme(), out, SinkMode.REPLACE).write(df)
+    back = Hfs(JsonScheme(fields=("n", "s")), out).read(spark)
+    assert back.columns == ["n", "s"]
+    assert {(r["n"], r["s"]) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_memory_tap(spark):
+    from cascading_flink_spark import MemoryTap
+    tap = MemoryTap([(1, "x")], "k int, v string")
+    assert tap.read(spark).collect()[0]["v"] == "x"
