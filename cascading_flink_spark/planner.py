@@ -505,8 +505,22 @@ class FlowPlanner:
                     head = pdf.iloc[:boundary]
                     carry = pdf.iloc[boundary:]
                     if len(head):
-                        outs = [fn(g) for _, g in
-                                head.groupby(key_cols, sort=False, dropna=False)]
+                        # rows arrive key-sorted: change-point slicing gives
+                        # groups without pandas groupby's key
+                        # materialization (the remaining per-group cost is
+                        # the user fn itself)
+                        nrow = len(head)
+                        change = np.zeros(nrow, dtype=bool)
+                        change[0] = True
+                        for c in key_cols:
+                            v = head[c].values
+                            prev, cur = v[:-1], v[1:]
+                            neq = ~((cur == prev) |
+                                    (pd.isna(cur) & pd.isna(prev)))
+                            change[1:] |= neq
+                        starts = np.nonzero(change)[0]
+                        ends = np.append(starts[1:], nrow)
+                        outs = [fn(head.iloc[s:e]) for s, e in zip(starts, ends)]
                         outs = [o for o in outs if o is not None and len(o)]
                         if outs:
                             yield pd.concat(outs, ignore_index=True)
