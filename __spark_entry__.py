@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cascading_flink_spark import (
-    AntiJoin, BufferJoin, CoGroup, CountBy, Cube, DataFrameTap, Each, Every,
+    AntiJoin, BufferJoin, CoGroup, CountBy, DataFrameTap, Each, Every,
     Except, Fields, FlowConnector, FlowDef, GroupBy, HashJoin, Intersect,
     LeftJoin, Merge, MixedJoin, OuterJoin, Pipe, Rollup, SemiJoin, Unique,
 )

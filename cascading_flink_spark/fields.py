@@ -20,7 +20,7 @@ produces plain column-name lists that the planner turns into
 
 from __future__ import annotations
 
-from typing import Iterable, Sequence, Union
+from typing import Sequence, Union
 
 
 class _FieldsKind:

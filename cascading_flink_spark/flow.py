@@ -17,8 +17,6 @@ Traps (per-branch failure capture, reference
 
 from __future__ import annotations
 
-from typing import Sequence
-
 from pyspark.sql import DataFrame, SparkSession
 
 from .operations.assertions import AssertionLevel

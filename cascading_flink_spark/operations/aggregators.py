@@ -11,7 +11,6 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..fields import Fields
 from .base import Aggregator
 
 

@@ -21,7 +21,7 @@ its duct interpreter, ``runtime/each/EachStreamGraph.java:35-98``,
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Sequence
 
 from ..fields import Fields
 

@@ -7,7 +7,7 @@ emits ``df.filter(~remove)`` — pushdown-eligible.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Callable
 
 from pyspark.sql import functions as F
 

@@ -19,9 +19,9 @@ import itertools
 from typing import Sequence
 
 from .fields import Fields
-from .operations.base import Aggregator, Buffer, Filter, Function, Operation
+from .operations.base import Aggregator, Buffer, Filter, Operation
 from .operations.aggregators import (
-    Average, Count, First, Max, Min, Sum, MaxValue, MinValue,
+    Average, Count, First, Sum, MaxValue, MinValue,
 )
 from .operations.functions import Identity
 

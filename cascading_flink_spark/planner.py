@@ -28,9 +28,9 @@ from .operations.buffers import FirstNBuffer, PyBuffer
 from .operations.filters import CounterOp, Limit, PyFilter
 from .operations.functions import PyFunction, UnGroup
 from .pipes import (
-    AntiJoin, BufferJoin, Checkpoint, CoGroup, Cube, Each, Every, Except,
-    GroupBy, HashJoin, InnerJoin, Intersect, LeftJoin, MixedJoin, Merge,
-    OuterJoin, Pipe, RightJoin, Rollup, SemiJoin, Unique,
+    AntiJoin, BufferJoin, Checkpoint, CoGroup, Each, Every, Except,
+    GroupBy, HashJoin, Intersect, MixedJoin, Merge, Pipe, Rollup,
+    SemiJoin, Unique,
 )
 
 

@@ -6,8 +6,6 @@ FlowDef can bind streaming taps without planner changes.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 from pyspark.sql import DataFrame, SparkSession
 
 

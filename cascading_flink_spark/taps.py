@@ -14,7 +14,6 @@ scheme-declared fields, SinkMode, globs, multi-source, dir-partitioning.
 from __future__ import annotations
 
 import enum
-import os
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
