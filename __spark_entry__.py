@@ -21,7 +21,8 @@ from pyspark.sql import functions as F
 from cascading_flink_spark import (
     AntiJoin, BufferJoin, CoGroup, CountBy, DataFrameTap, Each, Every,
     Except, Fields, FlowConnector, FlowDef, GroupBy, HashJoin, Intersect,
-    LeftJoin, Merge, MixedJoin, OuterJoin, Pipe, Rollup, SemiJoin, Unique,
+    LeftJoin, Merge, MixedJoin, OuterJoin, Pipe, Pivot, Rollup, SemiJoin,
+    Unique,
 )
 from cascading_flink_spark.operations import (
     Average, Count, ExpressionFilter, ExpressionFunction, FirstNBuffer,
@@ -548,6 +549,19 @@ def q_except(spark, sf_dir):
     return _flow(spark, Except([allc, bigc]), orders=orders)
 
 
+def q_pivot(spark, sf_dir):
+    """Pivot long->wide: order counts per priority x status."""
+    orders = _t(spark, sf_dir, "orders")
+    pv = Pivot(Pipe("orders"), Fields("o_orderpriority"), "o_orderstatus",
+               ["F", "O", "P"], agg_expr="count(1)")
+    out = _flow(spark, pv, orders=orders)
+    # Spark pivot leaves absent cells NULL; the SQL FILTER-count oracle
+    # yields 0 — normalize to 0 on both sides
+    return out.select("o_orderpriority",
+                      *[F.coalesce(F.col(c), F.lit(0)).alias(c)
+                        for c in ("F", "O", "P")])
+
+
 # ------------------------------------------------------- driver surface
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -600,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "ann_ivf": q_ann_ivf,
         "rollup": q_rollup,
+        "pivot": q_pivot,
         "intersect": q_intersect,
         "except": q_except,
     }
@@ -884,6 +899,13 @@ def oracle_sql() -> dict[str, str]:
                 SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s
             )
             SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id
+        """,
+        "pivot": """
+            SELECT o_orderpriority,
+                   count(*) FILTER (o_orderstatus = 'F') AS F,
+                   count(*) FILTER (o_orderstatus = 'O') AS O,
+                   count(*) FILTER (o_orderstatus = 'P') AS P
+            FROM orders GROUP BY o_orderpriority
         """,
         "rollup": """
             SELECT o_orderpriority, o_orderstatus, count(*) AS n,

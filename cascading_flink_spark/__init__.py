@@ -10,7 +10,7 @@ capability inventory this package reproduces.
 from .fields import Fields, FieldsResolutionError
 from .pipes import (
     Pipe, Each, Every, GroupBy, CoGroup, HashJoin, Merge, Checkpoint,
-    Intersect, Except, Rollup, Cube,
+    Intersect, Except, Rollup, Cube, Pivot,
     Joiner, InnerJoin, LeftJoin, RightJoin, OuterJoin, MixedJoin, BufferJoin,
     SemiJoin, AntiJoin,
     Retain, Discard, Rename, Coerce, Unique,

@@ -308,6 +308,23 @@ class Cube(Rollup):
     shape = "cube"
 
 
+class Pivot(Pipe):
+    """Pivot (long -> wide): one output column per pivot value (explicit
+    value list so the schema stays plan-time static, like everything else).
+
+    Beyond the reference; ``aggs`` maps the measure expression applied per
+    cell (single agg: name ignored, columns named by pivot value)."""
+
+    def __init__(self, previous: Pipe, group_fields, pivot_field: str,
+                 pivot_values: Sequence, agg_expr: str = "count(1)",
+                 name: str | None = None) -> None:
+        super().__init__(name, previous)
+        self.group_fields = Fields.coerce(group_fields)
+        self.pivot_field = pivot_field
+        self.pivot_values = list(pivot_values)
+        self.agg_expr = agg_expr
+
+
 class Checkpoint(Pipe):
     """Materialization hint at a branch point.  Flink reuses intermediate
     results natively (reference dispatch ``:230-242`` memoizes per boundary);

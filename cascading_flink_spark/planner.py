@@ -29,7 +29,7 @@ from .operations.filters import CounterOp, Limit, PyFilter
 from .operations.functions import PyFunction, UnGroup
 from .pipes import (
     AntiJoin, BufferJoin, Checkpoint, CoGroup, Each, Every, Except,
-    GroupBy, HashJoin, Intersect, MixedJoin, Merge, Pipe, Rollup,
+    GroupBy, HashJoin, Intersect, MixedJoin, Merge, Pipe, Pivot, Rollup,
     SemiJoin, Unique,
 )
 
@@ -101,6 +101,12 @@ class FlowPlanner:
             for d in dfs[1:]:
                 out = out.exceptAll(d) if pipe.keep_duplicates else out.subtract(d)
             return out
+        if isinstance(pipe, Pivot):
+            df = self._compile(pipe.previous[0])
+            keys = list(pipe.group_fields.names)
+            return (df.groupBy(*keys)
+                      .pivot(pipe.pivot_field, pipe.pivot_values)
+                      .agg(F.expr(pipe.agg_expr)))
         if isinstance(pipe, Rollup):
             df = self._compile(pipe.previous[0])
             keys = list(pipe.group_fields.names)

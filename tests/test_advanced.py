@@ -89,3 +89,12 @@ def test_intersect_except_rollup(spark):
     crows = {(x["region"], x["product"]): x["total"]
              for x in run(spark, c, S=sales).collect()}
     assert crows[(None, "p")] == 4.0  # cube-only combination
+
+
+def test_pivot(spark):
+    from cascading_flink_spark import Pivot
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 3)], "k string, p string, v int")
+    pv = Pivot(Pipe("S"), Fields("k"), "p", ["x", "y"], agg_expr="sum(v)")
+    rows = {r["k"]: (r["x"], r["y"]) for r in run(spark, pv, S=df).collect()}
+    assert rows == {"a": (1, 2), "b": (3, None)}
