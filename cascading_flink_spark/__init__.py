@@ -18,8 +18,8 @@ from .pipes import (
 )
 from .taps import (
     Tap, Hfs, GlobHfs, MultiSourceTap, PartitionTap, DataFrameTap, MemoryTap,
-    BucketedTap, Scheme, TextLine, TextDelimited, ParquetScheme, JsonScheme,
-    SinkMode,
+    BucketedTap, Scheme, TextLine, TextDelimited, UnknownTextDelimited,
+    ParquetScheme, JsonScheme, SinkMode, pos,
 )
 from .flow import Flow, FlowConnector, FlowDef
 from .planner import FlowPlanner, PlannerError

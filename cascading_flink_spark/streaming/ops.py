@@ -112,3 +112,25 @@ def stateful_sessionize(df: DataFrame, key_col: str, ts_col: str,
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append",
                                     GroupStateTimeout.ProcessingTimeTimeout))
+
+
+def stream_stream_join(left: DataFrame, right: DataFrame,
+                       on, left_ts: str, right_ts: str,
+                       watermark: str = "1 hour",
+                       time_bound: str = "interval 1 hour",
+                       how: str = "inner") -> DataFrame:
+    """Stream-stream join with watermarks + event-time range bound.
+
+    Both sides buffer state; the watermark + the time-range predicate let
+    Spark evict state (unbounded joins would grow forever).  ``on`` is a
+    column name or list; the join condition adds
+    ``right_ts BETWEEN left_ts - bound AND left_ts + bound``."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    keys = [on] if isinstance(on, str) else list(on)
+    cond = None
+    for k in keys:
+        c = lw[k] == rw[k]
+        cond = c if cond is None else (cond & c)
+    cond = cond & (rw[right_ts] >= F.expr(f"{left_ts} - {time_bound}"))                 & (rw[right_ts] <= F.expr(f"{left_ts} + {time_bound}"))
+    return lw.join(rw, cond, how)

@@ -141,6 +141,40 @@ class JsonScheme(Scheme):
         out.write.mode(mode.value).json(path)
 
 
+class UnknownTextDelimited(Scheme):
+    """Dynamic-arity delimited text -> a single ``tuple array<string>``
+    column — the ``Fields.UNKNOWN`` escape hatch (SURVEY §1.2/§1.3: the
+    reference carries varying-arity tuples with a dedicated serializer,
+    ``types/tuple/UnknownTupleSerializer.java:26``; DataFrames are
+    statically typed, so dynamic arity becomes an array column addressed by
+    position — including negative from-the-end positions, matching the
+    reference's comparator offset hack, ``TupleTypeInfo.java:325-347``)."""
+
+    def __init__(self, delimiter: str = "\t") -> None:
+        super().__init__(("tuple",))
+        self.delimiter = delimiter
+
+    def read(self, spark, paths):
+        import re
+        df = spark.read.text(*paths)
+        # literal delimiter: split() takes a regex, so escape it ('|', '.'
+        # would otherwise split on everything)
+        return df.select(F.split(F.col("value"),
+                                 re.escape(self.delimiter)).alias("tuple"))
+
+    def write(self, df, path, mode):
+        out = df.select(F.concat_ws(self.delimiter, F.col("tuple")).alias("value"))
+        out.write.mode(mode.value).text(path)
+
+
+def pos(col, position: int):
+    """Positional field access over an UNKNOWN tuple column; negative
+    positions address from the end; out-of-range positions yield null
+    (try_element_at — plain element_at raises under ANSI mode)."""
+    idx = position + 1 if position >= 0 else position
+    return F.try_element_at(col, F.lit(idx))
+
+
 class Tap:
     """Locates data; pairs a path with a Scheme (Cascading ``Hfs``-family)."""
 

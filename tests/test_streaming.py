@@ -105,3 +105,39 @@ def test_stream_static_join(spark, stream_dir, sf_dir):
         .groupBy("category").count()
     expect = {r["category"]: r["count"] for r in batch.collect()}
     assert got == expect
+
+
+def test_stream_stream_join(spark, tmp_path, sf_dir):
+    """Stream-stream join with watermarks + event-time range bound."""
+    from pyspark.sql import functions as F
+    from cascading_flink_spark.streaming import stream_stream_join
+    import __spark_entry__ as entry
+    ev = entry._t(spark, sf_dir, "events")
+    clicks_dir = str(tmp_path / "clicks")
+    purch_dir = str(tmp_path / "purchases")
+    ev.filter("event_type = 'click'") \
+      .select("user_id", F.col("ts").alias("click_ts")) \
+      .write.mode("overwrite").parquet(clicks_dir)
+    ev.filter("event_type = 'purchase'") \
+      .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"),
+              "value") \
+      .write.mode("overwrite").parquet(purch_dir)
+
+    cs = FileStreamTap(clicks_dir, schema=spark.read.parquet(clicks_dir).schema).read(spark)
+    ps = FileStreamTap(purch_dir, schema=spark.read.parquet(purch_dir).schema).read(spark)
+    ps = ps.withColumnRenamed("p_user", "user_id")
+    joined = stream_stream_join(cs, ps, "user_id", "click_ts", "purchase_ts",
+                                watermark="2 hours", time_bound="interval 30 minutes")
+    assert joined.isStreaming
+    q = (joined.writeStream.format("memory").outputMode("append")
+         .queryName("ssj").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) n FROM ssj").collect()[0]["n"]
+
+    bc = spark.read.parquet(clicks_dir)
+    bp = spark.read.parquet(purch_dir).withColumnRenamed("p_user", "user_id")
+    expect = (bc.join(bp, (bc.user_id == bp.user_id) &
+                      (bp.purchase_ts >= F.expr("click_ts - interval 30 minutes")) &
+                      (bp.purchase_ts <= F.expr("click_ts + interval 30 minutes")))
+              .count())
+    assert got == expect and got > 0

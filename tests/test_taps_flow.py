@@ -148,3 +148,23 @@ def test_memory_tap(spark):
     from cascading_flink_spark import MemoryTap
     tap = MemoryTap([(1, "x")], "k int, v string")
     assert tap.read(spark).collect()[0]["v"] == "x"
+
+
+def test_unknown_fields_dynamic_arity(spark, tmp_path):
+    """Fields.UNKNOWN escape hatch: varying-arity rows as array<string>,
+    positional access incl. negative from-the-end positions (reference
+    UnknownTupleSerializer / comparator offset semantics)."""
+    from cascading_flink_spark import UnknownTextDelimited, pos
+    raw = tmp_path / "unk.txt"
+    raw.mkdir()
+    (raw / "part-0.txt").write_text("a\tb\tc\nx\ty\np\tq\tr\ts\n")
+    tap = Hfs(UnknownTextDelimited("\t"), str(raw))
+    df = tap.read(spark)
+    assert df.columns == ["tuple"]
+    rows = {tuple(r["tuple"]) for r in df.collect()}
+    assert ("x", "y") in rows and ("p", "q", "r", "s") in rows
+    got = {(r["first"], r["last"], r["arity"]) for r in df.select(
+        pos(F.col("tuple"), 0).alias("first"),
+        pos(F.col("tuple"), -1).alias("last"),
+        F.size("tuple").alias("arity")).collect()}
+    assert got == {("a", "c", 3), ("x", "y", 2), ("p", "s", 4)}
