@@ -130,3 +130,61 @@ class FlowConnector:
                 raise PlannerError(f"unbound head pipes: {missing}")
             dataframes[tail.name] = planner.compile(tail, sources)
         return Flow(self.spark, flow_def, dataframes, planner=planner)
+
+
+class Cascade:
+    """Run multiple flows in data-dependency order (Cascading ``Cascade``;
+    the reference inherits CascadePlatformTest coverage via the platform
+    suite).  Dependencies are inferred from tap paths: a flow reading a
+    path that another flow writes runs after it.
+
+    Accepts connected :class:`Flow` objects or raw :class:`FlowDef`s; defs
+    are connected lazily right before execution (their source paths may not
+    exist until an upstream flow has written them — this engine plans
+    eagerly at connect, so dependent flows must defer)."""
+
+    def __init__(self, *flows, connector: "FlowConnector | None" = None) -> None:
+        self.flows = list(flows)
+        self.connector = connector
+
+    @staticmethod
+    def _paths(taps) -> set[str]:
+        out = set()
+        for tap in taps:
+            for p in getattr(tap, "paths", []) or []:
+                out.add(p.rstrip("/"))
+        return out
+
+    @staticmethod
+    def _def_of(item) -> FlowDef:
+        return item if isinstance(item, FlowDef) else item.flow_def
+
+    def complete(self) -> list[str]:
+        """Execute all flows respecting write->read dependencies; returns
+        the execution order (flow names)."""
+        n = len(self.flows)
+        defs = [self._def_of(f) for f in self.flows]
+        sinks = {i: self._paths(d.sinks.values()) for i, d in enumerate(defs)}
+        srcs = {i: self._paths(d.sources.values()) for i, d in enumerate(defs)}
+        deps: dict[int, set[int]] = {i: set() for i in range(n)}
+        for i in range(n):
+            for j in range(n):
+                if i != j and srcs[i] & sinks[j]:
+                    deps[i].add(j)
+        order: list[int] = []
+        done: set[int] = set()
+        while len(done) < n:
+            ready = [i for i in range(n) if i not in done and deps[i] <= done]
+            if not ready:
+                raise PlannerError("Cascade has a dependency cycle")
+            for i in ready:
+                item = self.flows[i]
+                if isinstance(item, FlowDef):
+                    if self.connector is None:
+                        raise PlannerError(
+                            "Cascade needs connector= to run raw FlowDefs")
+                    item = self.connector.connect(item)
+                item.complete()
+                done.add(i)
+                order.append(defs[i].name)
+        return order

@@ -168,3 +168,46 @@ def test_unknown_fields_dynamic_arity(spark, tmp_path):
         pos(F.col("tuple"), -1).alias("last"),
         F.size("tuple").alias("arity")).collect()}
     assert got == {("a", "c", 3), ("x", "y", 2), ("p", "s", 4)}
+
+
+def test_multi_tail_split_flow(spark, tmp_path):
+    """One upstream split into two tails with separate sinks (reference
+    dispatch :230-242 boundary/split semantics)."""
+    df = spark.createDataFrame([(i, i % 2) for i in range(10)], "v int, par int")
+    head = Pipe("src")
+    evens = Each(head, Fields("par"), ExpressionFilter("par != 0"), name="evens")
+    odds = Each(head, Fields("par"), ExpressionFilter("par != 1"), name="odds")
+    fd = (FlowDef("split")
+          .add_source(head, DataFrameTap(df))
+          .add_tail_sink(evens, Hfs(ParquetScheme(), str(tmp_path / "e"), SinkMode.REPLACE))
+          .add_tail_sink(odds, Hfs(ParquetScheme(), str(tmp_path / "o"), SinkMode.REPLACE)))
+    FlowConnector(spark).connect(fd).complete()
+    assert spark.read.parquet(str(tmp_path / "e")).count() == 5
+    assert spark.read.parquet(str(tmp_path / "o")).count() == 5
+
+
+def test_cascade_dependency_order(spark, tmp_path):
+    """Cascade: flow B reads what flow A writes -> A runs first regardless
+    of construction order."""
+    from cascading_flink_spark import Cascade
+    raw = spark.createDataFrame([(i,) for i in range(6)], "v int")
+    stage1 = str(tmp_path / "stage1")
+    stage2 = str(tmp_path / "stage2")
+
+    a_head = Pipe("raw")
+    a_f = Each(a_head, Fields("v"), ExpressionFilter("v >= 4"), name="a_out")
+    flow_a = FlowConnector(spark).connect(
+        FlowDef("flow_a").add_source(a_head, DataFrameTap(raw))
+        .add_tail_sink(a_f, Hfs(ParquetScheme(), stage1, SinkMode.REPLACE)))
+
+    b_head = Pipe("stage1")
+    b_f = Each(b_head, Fields("v"), ExpressionFilter("v = 0"), name="b_out")
+    # stage1 doesn't exist yet -> flow_b stays a raw FlowDef, connected
+    # lazily by the cascade after flow_a materializes it
+    def_b = (FlowDef("flow_b").add_source(b_head, Hfs(ParquetScheme(), stage1))
+             .add_tail_sink(b_f, Hfs(ParquetScheme(), stage2, SinkMode.REPLACE)))
+
+    # b submitted first; cascade must still run a first
+    order = Cascade(def_b, flow_a, connector=FlowConnector(spark)).complete()
+    assert order == ["flow_a", "flow_b"]
+    assert sorted(r["v"] for r in spark.read.parquet(stage2).collect()) == [1, 2, 3]
