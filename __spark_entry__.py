@@ -26,7 +26,8 @@ from cascading_flink_spark import (
 )
 from cascading_flink_spark.operations import (
     Average, Count, ExpressionFilter, ExpressionFunction, FirstNBuffer,
-    Limit, PyBuffer, RegexParser, RegexSplitGenerator, Sample, Sum, UnGroup,
+    Limit, Md5Sample, PyBuffer, RegexParser, RegexSplitGenerator, Sample,
+    Sum, UnGroup,
 )
 from cascading_flink_spark.extensions import (
     attach_binary_meta, brute_force_topk, decode_stub_features,
@@ -459,11 +460,12 @@ def q_ungroup(spark, sf_dir):
 
 
 def q_sample(spark, sf_dir):
-    """Deterministic hash-based Bernoulli sample (rows-only check: the hash
-    is engine-specific)."""
+    """Deterministic md5-based sample — reproducible across engines, so the
+    oracle re-derives the identical sample (keep first-hex-digit in 0..1 =
+    2/16 = 12.5%)."""
     li = _t(spark, sf_dir, "lineitem")
     samp = Each(Pipe("lineitem"), Fields("l_orderkey", "l_linenumber"),
-                Sample(0.1, seed=42))
+                Md5Sample(sixteenths=2))
     proj = Each(samp, Fields("l_orderkey", "l_linenumber"),
                 ExpressionFunction(Fields("key"),
                                    "concat(l_orderkey, '-', l_linenumber)"),
@@ -803,6 +805,11 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+        """,
+        "sample": """
+            SELECT concat(l_orderkey, '-', l_linenumber) AS key
+            FROM lineitem
+            WHERE substr(md5(concat(l_orderkey::VARCHAR, '-', l_linenumber::VARCHAR)), 1, 1) IN ('0', '1')
         """,
         # minhash_lsh / simhash: engine-specific hashes (xxhash64) — driver
         # records the weaker rows-only check for these.

@@ -37,8 +37,15 @@ BENCH_QUERIES = [
     "text_quality",
     "ngram_jaccard",
     "minhash_lsh",
+    "simhash",
+    "dedup_clusters",
     "ann_topk",
+    "ann_ivf",
     "buffer_span",
+    "rollup",
+    "semi_join",
+    "salted_agg",
+    "token_budget",
 ]
 
 

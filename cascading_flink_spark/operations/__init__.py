@@ -15,8 +15,8 @@ from .functions import (
 )
 from .filters import (
     RegexFilter, ExpressionFilter, FilterNull, FilterNotNull, Sample, Limit,
-    NoOp, Status, RegexMatcher, Debug, And, Or, Not, Xor, PyFilter, CounterOp,
-    ScriptFilter,
+    Md5Sample, NoOp, Status, RegexMatcher, Debug, And, Or, Not, Xor, PyFilter,
+    CounterOp, ScriptFilter,
 )
 from .aggregators import (
     Sum, Count, Average, Min, Max, First, Last, MaxValue, MinValue,

@@ -80,6 +80,25 @@ class Sample(Filter):
         return (h % 1_000_000) >= int(self.fraction * 1_000_000)
 
 
+class Md5Sample(Filter):
+    """Deterministic sample reproducible across engines: keep rows whose
+    md5(key)'s first hex digit falls below a cutoff (fraction in 16ths).
+    Slower than :class:`Sample` (md5 vs xxhash64) but any SQL engine
+    reproduces it — used where a DuckDB oracle must re-derive the sample."""
+
+    def __init__(self, sixteenths: int = 2) -> None:
+        super().__init__()
+        if not 0 < sixteenths <= 16:
+            raise ValueError("sixteenths in 1..16")
+        self.sixteenths = sixteenths
+
+    def remove(self, arg_cols):
+        key = F.concat_ws("-", *[c.cast("string") for c in arg_cols])
+        digit = F.substring(F.md5(key), 1, 1)
+        keep_digits = "0123456789abcdef"[: self.sixteenths]
+        return ~digit.isin(*list(keep_digits))
+
+
 class Limit(Filter):
     """Keep first n rows (Cascading Limit). Planner-special-cased to df.limit."""
 
