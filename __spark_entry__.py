@@ -564,6 +564,22 @@ def q_pivot(spark, sf_dir):
                         for c in ("F", "O", "P")])
 
 
+def q_sessionize(spark, sf_dir):
+    """Batch sessionization with the native session_window (30-min gap) —
+    the same operator the streaming module uses, oracle-checked against a
+    gaps-and-islands SQL formulation.  An event joins a session iff its ts
+    is strictly before previous_ts + gap (session end is exclusive)."""
+    ev = _t(spark, sf_dir, "events")
+    out = (ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("total"))
+           .select(F.col("user_id"),
+                   F.date_format("session_window.start",
+                                 "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+                   "n", "total"))
+    return out
+
+
 # ------------------------------------------------------- driver surface
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -617,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "rollup": q_rollup,
         "pivot": q_pivot,
+        "sessionize": q_sessionize,
         "intersect": q_intersect,
         "except": q_except,
     }
@@ -906,6 +923,26 @@ def oracle_sql() -> dict[str, str]:
                 SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s
             )
             SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id
+        """,
+        "sessionize": """
+            WITH lagd AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sess AS (
+              SELECT user_id, ts, value,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+              FROM lagd
+            )
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   count(*) AS n, round(sum(value), 2) AS total
+            FROM sess GROUP BY user_id, sid
         """,
         "pivot": """
             SELECT o_orderpriority,
