@@ -141,3 +141,30 @@ def test_stream_stream_join(spark, tmp_path, sf_dir):
                       (bp.purchase_ts <= F.expr("click_ts + interval 30 minutes")))
               .count())
     assert got == expect and got > 0
+
+
+def test_dsl_stream_static_cogroup(spark, stream_dir):
+    """The pipe DSL planner compiles unchanged when one input is a stream:
+    CoGroup(stream, static) -> stream-static join."""
+    from cascading_flink_spark import CoGroup, DataFrameTap, FlowDef
+    from cascading_flink_spark.streaming import (
+        FileStreamTap, MemorySink, StreamingFlowConnector)
+    schema = spark.read.parquet(stream_dir).schema
+    static = spark.createDataFrame(
+        [("click", 1.0), ("purchase", 5.0), ("view", 0.5), ("signup", 2.0),
+         ("error", 0.0)], "etype string, weight double")
+    ev = Pipe("events")
+    st = Pipe("weights")
+    j = CoGroup([ev, st], [Fields("event_type"), Fields("etype")])
+    fd = (FlowDef("dsl_ss")
+          .add_source(ev, FileStreamTap(stream_dir, schema=schema))
+          .add_source(st, DataFrameTap(static))
+          .add_tail(j))
+    fd.add_sink(j, MemorySink(output_mode="append"))
+    flow = StreamingFlowConnector(spark).connect(fd)
+    assert flow.dataframe(j.name).isStreaming
+    flow.start(trigger="availableNow")
+    flow.await_termination(120)
+    got = spark.sql(f"SELECT count(*) n FROM {j.name}").collect()[0]["n"]
+    expect = spark.read.parquet(stream_dir).count()  # every event has a weight
+    assert got == expect
