@@ -254,10 +254,26 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
              .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
              .distinct()
              .persist())
+    # Partition the iteration frames by data size, not default parallelism:
+    # each round is several jobs over the label table, and tiny-task swarms
+    # dominate when the dup graph is small (the common case — dup clusters
+    # are a small fraction of the corpus).  ~100k edges per partition.
+    n_edges = edges.count()
+    nparts = max(4, min(edges.sparkSession.sparkContext.defaultParallelism,
+                        n_edges // 100_000 + 1))
+    edges = edges.repartition(nparts)
+    # localCheckpoint (not persist/unpersist) between rounds: it truncates
+    # lineage so each round's plan is constant-size, and avoids Spark's
+    # cascading cache invalidation — unpersisting round k's labels would
+    # also evict round k+1 (whose plan references them), recomputing the
+    # whole chain each round (exponential blow-up on long paths).  At
+    # cluster scale swap for reliable checkpointing every N rounds
+    # (localCheckpoint is executor-local and not fault-tolerant).
     labels = (edges.select(F.col("src").alias("id"))
               .distinct()
               .withColumn("label", F.col("id"))
-              .persist())
+              .repartition(nparts)
+              .localCheckpoint())
     for _ in range(max_iterations):
         neighbor_min = (edges.join(labels, edges.dst == labels.id)
                         .groupBy("src").agg(F.min("label").alias("nmin")))
@@ -266,10 +282,10 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                               F.least(F.col("label"),
                                       F.coalesce(F.col("nmin"), F.col("label")))
                                .alias("label"))
-                      .persist())
+                      .repartition(nparts)
+                      .localCheckpoint())
         changed = (new_labels.alias("n").join(labels.alias("o"), "id")
                    .filter(F.col("n.label") != F.col("o.label")).count())
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
