@@ -156,8 +156,15 @@ class FlowPlanner:
 
         if isinstance(op, Filter):
             if isinstance(op, PyFilter):
-                out = self._pandas_filter(df, op, arg_names)
+                out = self._pandas_filter(df, op, arg_names,
+                                          trap_pipe=pipe.name if pipe.name in self.traps else None)
             else:
+                if pipe.name in self.traps:
+                    raise PlannerError(
+                        f"trap bound to pipe {pipe.name!r}, but {type(op).__name__} "
+                        "is a native operation — only Python operations "
+                        "(PyFunction/PyFilter) can fail row-wise; native "
+                        "expression errors fail the job (Catalyst semantics)")
                 out = df.filter(~op.remove(arg_cols))
             if pipe.output_selector is Fields.ALL:
                 return out
@@ -222,17 +229,59 @@ class FlowPlanner:
                       f"({', '.join(value_names)})")
         return df.select(*keys, F.expr(stack_expr))
 
-    def _pandas_filter(self, df: DataFrame, op: PyFilter, arg_names: list[str]) -> DataFrame:
+    def _pandas_filter(self, df: DataFrame, op: PyFilter, arg_names: list[str],
+                       trap_pipe: str | None = None) -> DataFrame:
         schema = df.schema
         fn = op.fn
-        cols = list(df.columns)
 
-        def _mapper(batches):
+        if trap_pipe is None:
+            def _mapper(batches):
+                for pdf in batches:
+                    mask = fn(pdf[arg_names])
+                    yield pdf[mask]
+
+            return df.mapInPandas(_mapper, schema=schema)
+
+        # trapped: rows where the predicate RAISES divert to the trap
+        # channel (fast path per batch, row-wise isolation on failure)
+        trap_schema = T.StructType(
+            list(schema.fields) +
+            [T.StructField("__error", T.StringType())])
+
+        def _trap_mapper(batches):
+            import pandas as pd
             for pdf in batches:
-                mask = fn(pdf[arg_names])
-                yield pdf[mask]
+                try:
+                    mask = fn(pdf[arg_names])
+                    out = pdf[mask].copy()
+                    out["__error"] = None
+                    yield out
+                    continue
+                except Exception:
+                    pass
+                parts = []
+                for i in range(len(pdf)):
+                    row = pdf.iloc[i:i + 1]
+                    try:
+                        keep = bool(fn(row[arg_names]).iloc[0])
+                        if keep:
+                            r = row.copy()
+                            r["__error"] = None
+                            parts.append(r)
+                    except Exception as ex:
+                        r = row.copy()
+                        r["__error"] = str(ex)
+                        parts.append(r)
+                if parts:
+                    yield pd.concat(parts, ignore_index=True)
 
-        return df.mapInPandas(_mapper, schema=schema)
+        combined = df.mapInPandas(_trap_mapper, schema=trap_schema)
+        self.trap_frames[trap_pipe] = (
+            combined.filter(F.col("__error").isNotNull())
+                    .select(F.to_json(F.struct(*[c for c in df.columns]))
+                             .alias("payload"),
+                            F.col("__error").alias("error")))
+        return combined.filter(F.col("__error").isNull()).drop("__error")
 
     def _pandas_function(self, df: DataFrame, pipe: Each, op: PyFunction,
                          arg_names: list[str], declared: list[str],

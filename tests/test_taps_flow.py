@@ -211,3 +211,31 @@ def test_cascade_dependency_order(spark, tmp_path):
     order = Cascade(def_b, flow_a, connector=FlowConnector(spark)).complete()
     assert order == ["flow_a", "flow_b"]
     assert sorted(r["v"] for r in spark.read.parquet(stage2).collect()) == [1, 2, 3]
+
+
+def test_trap_on_pyfilter(spark, tmp_path):
+    df = spark.createDataFrame([("1",), ("bad",), ("3",)], "s string")
+
+    def pred(pdf):
+        return pdf["s"].map(int) > 1  # raises on 'bad'
+
+    from cascading_flink_spark.operations import PyFilter
+    flt = Each(Pipe("src"), Fields("s"), PyFilter(pred), name="pf")
+    fd = (FlowDef().add_source("src", DataFrameTap(df)).add_tail(flt)
+          .add_sink(flt, Hfs(ParquetScheme(), str(tmp_path / "good"), SinkMode.REPLACE))
+          .add_trap("pf", Hfs(ParquetScheme(), str(tmp_path / "trap"), SinkMode.REPLACE)))
+    FlowConnector(spark).connect(fd).complete()
+    good = {r["s"] for r in spark.read.parquet(str(tmp_path / "good")).collect()}
+    assert good == {"3"}
+    trapped = spark.read.parquet(str(tmp_path / "trap")).collect()
+    assert len(trapped) == 1 and "bad" in trapped[0]["payload"]
+
+
+def test_trap_on_native_op_raises(spark):
+    from cascading_flink_spark.planner import PlannerError
+    df = spark.createDataFrame([(1,)], "v int")
+    nat = Each(Pipe("src"), Fields("v"), ExpressionFilter("v = 0"), name="nat")
+    fd = (FlowDef().add_source("src", DataFrameTap(df)).add_tail(nat)
+          .add_trap("nat", Hfs(ParquetScheme(), "/tmp/never", SinkMode.REPLACE)))
+    with pytest.raises(PlannerError, match="native operation"):
+        FlowConnector(spark).connect(fd)
