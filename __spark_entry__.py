@@ -34,7 +34,7 @@ from cascading_flink_spark.extensions import (
     dedup_clusters, embedding_dup_pairs, exact_dedup, fingerprint, lang_id,
     ivf_topk, lsh_bucketed_topk, minhash_lsh_pairs, ngram_jaccard_pairs,
     quality_features, quality_filter, salted_agg, simhash_dup_pairs,
-    token_budget,
+    stratified_sample, token_budget,
 )
 
 
@@ -580,6 +580,17 @@ def q_sessionize(spark, sf_dir):
     return out
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Balanced-corpus curation: per-stratum deterministic sampling (keep
+    50% of clicks, 10% of views, all errors) — md5 hex-prefix cutoffs any
+    engine reproduces."""
+    ev = _t(spark, sf_dir, "events")
+    out = stratified_sample(ev, "event_type",
+                            {"click": 0.5, "view": 0.1, "error": 1.0},
+                            key_cols=["event_id"])
+    return out.select("event_id", "event_type")
+
+
 # ------------------------------------------------------- driver surface
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -634,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup": q_rollup,
         "pivot": q_pivot,
         "sessionize": q_sessionize,
+        "stratified_sample": q_stratified_sample,
         "intersect": q_intersect,
         "except": q_except,
     }
@@ -923,6 +935,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s
             )
             SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id
+        """,
+        "stratified_sample": """
+            SELECT event_id, event_type FROM events
+            WHERE (event_type = 'click'
+                   AND substr(md5(event_id::VARCHAR), 1, 4) < '8000')
+               OR (event_type = 'view'
+                   AND substr(md5(event_id::VARCHAR), 1, 4) < '1999')
+               OR event_type = 'error'
         """,
         "sessionize": """
             WITH lagd AS (

@@ -22,6 +22,6 @@ from .similarity import (
 from .multimodal import (
     MULTIMODAL_SCHEMA, attach_binary_meta, decode_stub_features,
 )
-from .skew import salted_agg, salted_broadcast_left
+from .skew import salted_agg, salted_broadcast_left, stratified_sample
 
 __all__ = [n for n in dir() if not n.startswith("_")]

@@ -81,3 +81,32 @@ def salted_broadcast_left(fact: DataFrame, dim: DataFrame, on: str,
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(replicas)])))
     out = salted_fact.join(F.broadcast(replicated_dim), on=[on, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      fractions: dict, key_cols: Sequence[str],
+                      granularity: int = 10_000) -> DataFrame:
+    """Deterministic per-stratum sampling (balanced-corpus curation).
+
+    ``fractions`` maps stratum value -> keep fraction (strata absent from
+    the map are dropped).  The keep decision hashes the key columns with
+    md5 so any engine — and any rerun — reproduces the exact sample (the
+    first 4 hex chars compare against a per-stratum cutoff — pure string
+    comparison, no hex-int conversion any engine could disagree on); one
+    map-only pass, no shuffle.  Spark's ``sampleBy`` uses seeded RNG per
+    partition — not reproducible across engines, hence md5.
+    ``granularity`` is retained for API stability (cutoffs quantize to
+    1/65536)."""
+    key = F.concat_ws("-", *[F.col(c).cast("string") for c in key_cols])
+    prefix = F.substring(F.md5(key), 1, 4)  # uniform over 65536 hex buckets
+    cond = None
+    for value, frac in fractions.items():
+        if frac >= 1.0:
+            c = F.col(strata_col) == value
+        else:
+            cutoff = format(int(frac * 65536), "04x")
+            c = (F.col(strata_col) == value) & (prefix < cutoff)
+        cond = c if cond is None else (cond | c)
+    if cond is None:
+        raise ValueError("fractions is empty")
+    return df.filter(cond)

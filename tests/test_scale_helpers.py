@@ -112,3 +112,19 @@ def test_exact_dedup_pairs(spark):
     # normalization: whitespace collapsed + lower-cased -> 1,2,4 identical
     pairs = {(r["keep_id"], r["dup_id"]) for r in exact_dedup_pairs(docs).collect()}
     assert pairs == {(1, 2), (1, 4)}
+
+
+def test_stratified_sample(spark):
+    from cascading_flink_spark.extensions import stratified_sample
+    df = spark.createDataFrame([(i, "a" if i % 2 else "b") for i in range(2000)],
+                               "id long, s string")
+    out = stratified_sample(df, "s", {"a": 0.25, "b": 1.0}, key_cols=["id"])
+    counts = {r["s"]: r["count"] for r in out.groupBy("s").count().collect()}
+    assert counts["b"] == 1000                    # frac 1.0 keeps all
+    assert 150 <= counts["a"] <= 350              # ~25% of 1000
+    # deterministic across invocations
+    again = stratified_sample(df, "s", {"a": 0.25, "b": 1.0}, key_cols=["id"])
+    assert {r["id"] for r in out.collect()} == {r["id"] for r in again.collect()}
+    # unknown strata dropped
+    out2 = stratified_sample(df, "s", {"zzz": 0.5}, key_cols=["id"])
+    assert out2.count() == 0
