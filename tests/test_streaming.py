@@ -168,3 +168,27 @@ def test_dsl_stream_static_cogroup(spark, stream_dir):
     got = spark.sql(f"SELECT count(*) n FROM {j.name}").collect()[0]["n"]
     expect = spark.read.parquet(stream_dir).count()  # every event has a weight
     assert got == expect
+
+
+def test_streaming_checkpoint_no_reprocess(spark, stream_dir, tmp_path):
+    """Restarting a checkpointed streaming flow must not reprocess data the
+    first run already committed (file-source + file-sink exactly-once)."""
+    schema = spark.read.parquet(stream_dir).schema
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        sdf = FileStreamTap(stream_dir, schema=schema).read(spark)
+        q = (sdf.select("event_id")
+             .writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    n1 = spark.read.parquet(out_dir).count()
+    run_once()   # restart against the same checkpoint: nothing new to do
+    n2 = spark.read.parquet(out_dir).count()
+    total = spark.read.parquet(stream_dir).count()
+    assert n1 == total and n2 == total  # no duplicates on restart
