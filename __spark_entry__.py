@@ -359,7 +359,8 @@ def q_token_stats_by_lang(spark, sf_dir):
             .groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").cast("long").alias("sum_tokens"),
-                 F.round(F.avg("n_tokens"), 2).alias("avg_tokens")))
+                 (F.floor(F.avg("n_tokens") * 100 + F.lit(0.5)) / 100)
+                     .alias("avg_tokens")))
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -415,6 +416,46 @@ def q_mixed_join(spark, sf_dir):
                   Fields.RESULTS)
     return _flow(spark, CountBy(tagged, Fields("prio"), "n"),
                  customer=cust, orders=orders)
+
+
+def q_nary_outer_join(spark, sf_dir):
+    """3-way full-outer CoGroup with keys STAGGERED across inputs — keys
+    present only in inputs 2+3 must still co-group into one row (the
+    reference's accumulating full-outer cogroup cascade,
+    FlinkFlowStep.java:706-763; fixed via coalesced key lineage in
+    planner._compile_cogroup)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    a = (cust.filter(F.col("c_custkey") <= 200)
+         .select(F.col("c_custkey").alias("a_key"),
+                 F.col("c_name").alias("a_name")))
+    b = (orders.filter(F.col("o_custkey") <= 400)
+         .select(F.col("o_custkey").alias("b_key"), "o_orderkey",
+                 "o_totalprice"))
+    c = (cust.filter(F.col("c_custkey").between(100, 300))
+         .select(F.col("c_custkey").alias("c_key"),
+                 F.col("c_acctbal").alias("c_bal")))
+    j = CoGroup([Pipe("A"), Pipe("B"), Pipe("C")],
+                [Fields("a_key"), Fields("b_key"), Fields("c_key")],
+                joiner=OuterJoin())
+    pat = Each(j, Fields("a_key", "b_key", "c_key"),
+               ExpressionFunction(
+                   Fields("pattern"),
+                   "concat(CASE WHEN a_key IS NULL THEN '-' ELSE 'A' END, "
+                   "CASE WHEN b_key IS NULL THEN '-' ELSE 'B' END, "
+                   "CASE WHEN c_key IS NULL THEN '-' ELSE 'C' END)"),
+               Fields.ALL)
+    priced = Each(pat, Fields("o_totalprice"),
+                  ExpressionFunction(
+                      Fields("price"),
+                      "cast(coalesce(o_totalprice, 0) as decimal(18,2))"),
+                  Fields.ALL)
+    g = GroupBy(priced, Fields("pattern"))
+    e = Every(g, Fields.NONE, Count("n"), Fields.ALL)
+    e = Every(e, Fields("price"), Sum("total"), Fields.ALL)
+    out = _flow(spark, e, A=a, B=b, C=c)
+    # exact decimal sum cast to double: identical IEEE value in DuckDB
+    return out.select("pattern", "n", F.col("total").cast("double").alias("total"))
 
 
 def q_semi_join(spark, sf_dir):
@@ -631,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dups": q_embedding_dups,
         "multimodal_meta": q_multimodal_meta,
         "mixed_join": q_mixed_join,
+        "nary_outer_join": q_nary_outer_join,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "fingerprint": q_fingerprint,
@@ -813,8 +855,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n_docs,
                    sum(CASE WHEN trim(text) = '' THEN 0
                             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS sum_tokens,
-                   round(avg(CASE WHEN trim(text) = '' THEN 0
-                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END), 2) AS avg_tokens
+                   floor(avg(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) * 100 + 0.5) / 100 AS avg_tokens
             FROM documents GROUP BY lang
         """,
         "ngram_jaccard": """
@@ -865,6 +907,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT coalesce(o_orderpriority, 'NONE') AS prio, count(*) AS n
             FROM customer LEFT JOIN big ON c_custkey = o_custkey
             GROUP BY 1
+        """,
+        "nary_outer_join": """
+            WITH a AS (SELECT c_custkey AS a_key, c_name AS a_name
+                       FROM customer WHERE c_custkey <= 200),
+            b AS (SELECT o_custkey AS b_key, o_orderkey, o_totalprice
+                  FROM orders WHERE o_custkey <= 400),
+            c AS (SELECT c_custkey AS c_key, c_acctbal AS c_bal
+                  FROM customer WHERE c_custkey BETWEEN 100 AND 300),
+            ab AS (SELECT * FROM a FULL JOIN b ON a_key = b_key),
+            j AS (SELECT * FROM ab FULL JOIN c ON coalesce(a_key, b_key) = c_key)
+            SELECT concat(CASE WHEN a_key IS NULL THEN '-' ELSE 'A' END,
+                          CASE WHEN b_key IS NULL THEN '-' ELSE 'B' END,
+                          CASE WHEN c_key IS NULL THEN '-' ELSE 'C' END) AS pattern,
+                   count(*) AS n,
+                   cast(sum(cast(coalesce(o_totalprice, 0) AS decimal(18,2))) AS double) AS total
+            FROM j GROUP BY pattern
         """,
         "semi_join": """
             SELECT * FROM customer

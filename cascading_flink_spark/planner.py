@@ -391,7 +391,17 @@ class FlowPlanner:
                 # key expressions instead of binary comparators.
                 sorts = [root.comparators.get(s, s) for s in sorts]
             return df, keys, sorts, root.reverse_order
-        df, keys = self._compile_cogroup(root)
+        df, lineages = self._compile_cogroup(root)
+        # Every after CoGroup aggregates over the cogroup KEY.  After an
+        # outer link the first input's key columns are NULL for rows born in
+        # later inputs, so materialize the coalesced key value under the
+        # first input's key name (Cascading names the group by the first
+        # input's grouping fields but its value is the cogroup key).
+        keys = []
+        for lin in lineages:
+            if len(lin) > 1:
+                df = df.withColumn(lin[0], F.coalesce(*[F.col(c) for c in lin]))
+            keys.append(lin[0])
         return df, keys, [], False
 
     def _merge_inputs(self, pipes: Sequence[Pipe]) -> DataFrame:
@@ -589,8 +599,17 @@ class FlowPlanner:
         raise PlannerError(f"unsupported Buffer {type(op).__name__}")
 
     # -------------------------------------------------------------- joins
-    def _compile_cogroup(self, pipe: CoGroup | HashJoin) -> tuple[DataFrame, list[str]]:
-        """Returns (joined_df, key_names_of_first_input_after_rename)."""
+    def _compile_cogroup(self, pipe: CoGroup | HashJoin) -> tuple[DataFrame, list[list[str]]]:
+        """Returns (joined_df, key_lineages).
+
+        ``key_lineages`` holds, per key position, the renamed column name
+        each input contributed (first input first).  The cogroup key value
+        of a result row is ``coalesce`` over its lineage — after an outer
+        link, rows born in later inputs carry NULL in earlier inputs' key
+        columns, so both subsequent join links and any downstream grouping
+        must key on the coalesced value (the reference threads exactly this
+        accumulated key tuple through its n-ary full-outer cogroup cascade,
+        FlinkFlowStep.java:706-763)."""
         inputs = [self._compile(p) for p in pipe.previous]
         n = len(inputs)
         arities = [len(d.columns) for d in inputs]
@@ -641,7 +660,8 @@ class FlowPlanner:
         broadcast_rest = isinstance(pipe, HashJoin)
 
         if isinstance(joiner, BufferJoin):
-            return self._compile_bufferjoin(pipe, renamed, key_names, joiner), key_names[0]
+            return (self._compile_bufferjoin(pipe, renamed, key_names, joiner),
+                    [[k] for k in key_names[0]])
 
         keyless = all(len(k) == 0 for k in key_names)
         if keyless:
@@ -656,22 +676,24 @@ class FlowPlanner:
             if len(flags) != n:
                 raise PlannerError("MixedJoin flags arity != inputs")
         else:
-            how = joiner.how
-            if n > 2 and how in ("left", "right", "full"):
-                # n-ary outer semantics follow the chained interpretation of
-                # the reference's full-outer cogroup cascade (:706-763).
-                pass
             flags = None
 
         out = renamed[0]
         acc_outer = flags[0] if flags else None
+        lineages: list[list[str]] = [[kn] for kn in key_names[0]]
         for i in range(1, n):
             right = renamed[i]
             if broadcast_rest:
                 right = F.broadcast(right)
             cond = None
-            for lk, rk in zip(key_names[0], key_names[i]):
-                c = out[lk] == right[rk] if lk in out.columns else F.col(lk) == right[rk]
+            for lin, rk in zip(lineages, key_names[i]):
+                # Key each link on COALESCE over the accumulated lineage so
+                # a key absent from input 1 (NULL there after an outer link)
+                # still co-groups inputs 2..n — the reference's accumulating
+                # full-outer cogroup (FlinkFlowStep.java:706-763).
+                lhs = (F.col(lin[0]) if len(lin) == 1
+                       else F.coalesce(*[F.col(c) for c in lin]))
+                c = lhs == right[rk]
                 cond = c if cond is None else (cond & c)
             if flags is not None:
                 r_outer = flags[i]
@@ -687,7 +709,9 @@ class FlowPlanner:
             else:
                 how_i = joiner.how
             out = out.join(right, on=cond, how=how_i)
-        return out, key_names[0]
+            for lin, rk in zip(lineages, key_names[i]):
+                lin.append(rk)
+        return out, lineages
 
     def _compile_bufferjoin(self, pipe, renamed: list[DataFrame],
                             key_names: list[list[str]], joiner: BufferJoin) -> DataFrame:
