@@ -32,9 +32,9 @@ from cascading_flink_spark.operations import (
 from cascading_flink_spark.extensions import (
     attach_binary_meta, brute_force_topk, decode_stub_features,
     dedup_clusters, embedding_dup_pairs, exact_dedup, fingerprint, lang_id,
-    ivf_topk, lsh_bucketed_topk, minhash_lsh_pairs, ngram_jaccard_pairs,
-    quality_features, quality_filter, salted_agg, simhash_dup_pairs,
-    stratified_sample, token_budget,
+    ivf_topk, lsh_bucketed_topk, minhash_lsh_pairs, minhash_lsh_pairs_md5,
+    ngram_jaccard_pairs, quality_features, quality_filter, salted_agg,
+    simhash_dup_pairs, simhash_md5_pairs, stratified_sample, token_budget,
 )
 
 
@@ -368,12 +368,18 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
-                             n=3, num_hashes=32, bands=8, threshold=0.5)
+    """md5-hex MinHash (lexicographic min over md5 hex strings): fully
+    DuckDB-reproducible, so the correctness gate hash-checks it.  The
+    xxhash64 fast path (minhash_lsh_pairs) is the bench/production variant
+    — identical plan shape, cheaper hashing."""
+    return minhash_lsh_pairs_md5(_t(spark, sf_dir, "documents"),
+                                 n=3, num_hashes=32, bands=8, threshold=0.5)
 
 
 def q_simhash(spark, sf_dir):
-    return simhash_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+    """md5-derived SimHash — DuckDB-reproducible twin of the xxhash64
+    bench variant (simhash_dup_pairs)."""
+    return simhash_md5_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
 def q_ann_topk(spark, sf_dir):
@@ -696,6 +702,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _EN_MARKERS_SQL = "('the','and','of','to','in','is','that','it','for','was')"
 
 
+def _minhash_md5_oracle() -> str:
+    """DuckDB twin of minhash_lsh_pairs_md5(n=3, 32 hashes, 8 bands, t=0.5).
+
+    Same hash family (md5 hex strings, lexicographic min), same banding —
+    bit-identical across engines by construction."""
+    nh, nb = 32, 8
+    rpb = nh // nb
+    min_agree = 16  # threshold 0.5 * 32
+    h_aggs = ",\n                   ".join(
+        f"min(md5('{i}#' || sgl)) AS h{i}" for i in range(nh))
+    band_selects = "\n              UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS bh FROM sig"
+        .format(b=b, cols=", ".join(f"h{b * rpb + r}" for r in range(rpb)))
+        for b in range(nb))
+    agree = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(nh))
+    return f"""
+        WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                      FROM documents),
+        sh AS (SELECT doc_id,
+                      CASE WHEN len(t) >= 3
+                           THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                               for i in range(1, greatest(len(t)-2, 0)+1)])
+                           ELSE [] END AS s
+               FROM toks),
+        inv AS (SELECT doc_id, unnest(s) AS sgl FROM sh WHERE len(s) > 0),
+        sig AS (SELECT doc_id,
+                   {h_aggs}
+                FROM inv GROUP BY doc_id),
+        bands AS ({band_selects}),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        scored AS (SELECT id_a, id_b, ({agree}) AS agree
+                   FROM cand
+                   JOIN sig sa ON sa.doc_id = id_a
+                   JOIN sig sb ON sb.doc_id = id_b)
+        SELECT id_a, id_b,
+               floor(agree * 1.0 / {nh} * 10000 + 0.5) / 10000 AS est_jaccard
+        FROM scored WHERE agree >= {min_agree}
+    """
+
+
+def _simhash_md5_oracle() -> str:
+    """DuckDB twin of simhash_md5_pairs(max_hamming=3): md5 token hashes,
+    per-bit votes, 16 hex-digit signature, 4x16-bit pigeonhole banding."""
+    hexs = "0123456789abcdef"
+    digs = ",\n                    ".join(
+        f"strpos('{hexs}', substr(md5(tk), {j + 1}, 1)) - 1 AS d{j}"
+        for j in range(16))
+    votes = ",\n                     ".join(
+        f"sum(((d{i // 4} >> {i % 4}) & 1) * 2 - 1) AS v{i}" for i in range(64))
+    sig_digits = ",\n                   ".join(
+        " + ".join(f"(CASE WHEN v{4 * j + k} > 0 THEN {1 << k} ELSE 0 END)"
+                   for k in range(4)) + f" AS g{j}"
+        for j in range(16))
+    chunk_selects = "\n              UNION ALL ".join(
+        "SELECT doc_id, {c} AS chunk, {cv} AS cv FROM sig"
+        .format(c=c, cv=" || ".join(f"substr('{hexs}', g{4 * c + k} + 1, 1)"
+                                    for k in range(4)))
+        for c in range(4))
+    hamming = " + ".join(
+        f"bit_count(xor(sa.g{j}, sb.g{j}))" for j in range(16))
+    return f"""
+        WITH inv AS (SELECT doc_id,
+                            unnest(list_distinct(
+                                regexp_split_to_array(lower(trim(text)), '\\s+'))) AS tk
+                     FROM documents),
+        dig AS (SELECT doc_id,
+                    {digs}
+                FROM inv),
+        votes AS (SELECT doc_id,
+                     {votes}
+                  FROM dig GROUP BY doc_id),
+        sig AS (SELECT doc_id,
+                   {sig_digits}
+                FROM votes),
+        chunks AS ({chunk_selects}),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM chunks a JOIN chunks b
+                   ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, cast(({hamming}) AS bigint) AS hamming
+        FROM cand
+        JOIN sig sa ON sa.doc_id = id_a
+        JOIN sig sb ON sb.doc_id = id_b
+        WHERE ({hamming}) <= 3
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "wordcount": """
@@ -968,6 +1063,8 @@ def oracle_sql() -> dict[str, str]:
                        '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s'']+'))::BIGINT AS bpe_tokens
             FROM documents
         """,
+        "minhash_lsh": _minhash_md5_oracle(),
+        "simhash": _simhash_md5_oracle(),
         "dedup_clusters": """
             WITH RECURSIVE
             toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t

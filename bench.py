@@ -17,7 +17,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry
-from cascading_flink_spark.extensions import minhash_lsh_pairs, embedding_dup_pairs
+from cascading_flink_spark.extensions import (
+    embedding_dup_pairs, minhash_lsh_pairs, simhash_dup_pairs,
+)
 from cascading_flink_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -58,17 +60,23 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entry.queries()
 
-    # embedding_dups at bench scale: LSH-bucketed candidate generation
+    # embedding_dups at bench scale: LSH-bucketed candidate generation.
+    # minhash/simhash at bench scale: the xxhash64 fast paths (queries()
+    # carries the md5 cross-engine twins for the correctness gate).
     qs = dict(qs)
     qs["embedding_dups_lsh"] = lambda s, d: embedding_dup_pairs(
         entry._t(s, d, "embeddings"), threshold=0.4, exact=False)
+    qs["minhash_lsh"] = lambda s, d: minhash_lsh_pairs(
+        entry._t(s, d, "documents"), n=3, num_hashes=32, bands=8, threshold=0.5)
+    qs["simhash"] = lambda s, d: simhash_dup_pairs(
+        entry._t(s, d, "documents"), max_hamming=3)
 
     names = BENCH_QUERIES + ["embedding_dups_lsh"]
 
     # JVM/codegen warm-up on the smallest SF so first-query timing isn't
     # dominated by classloading/codegen: one representative per execution
     # path (scan+agg, wide-agg signature pipeline, pandas buffer).
-    for warm in (entry.q_groupby_agg, entry.q_minhash_lsh, entry.q_buffer_span):
+    for warm in (entry.q_groupby_agg, qs["minhash_lsh"], entry.q_buffer_span):
         _execute(warm(spark, "/root/testdata/sf0.001"))
     spark.catalog.clearCache()
 

@@ -13,7 +13,8 @@ from .text import (
 )
 from .dedup import (
     exact_dedup, exact_dedup_pairs, ngram_jaccard_pairs, minhash_lsh_pairs,
-    simhash_bits, simhash_dup_pairs, dedup_clusters,
+    minhash_lsh_pairs_md5, simhash_bits, simhash_dup_pairs,
+    simhash_md5_pairs, dedup_clusters,
 )
 from .similarity import (
     cosine_expr, brute_force_topk, embedding_dup_pairs, lsh_bucketed_topk,

@@ -64,11 +64,19 @@ def exact_dedup_pairs(df: DataFrame, text_col: str = "text",
 
 
 def _word_shingles(text_col: str, n: int):
-    """Distinct word n-gram shingles of lower-cased text, as an array."""
+    """Distinct word n-gram shingles of lower-cased text, as an array.
+
+    Documents shorter than ``n`` tokens yield an EMPTY array (not one
+    truncated shingle) — matching the DuckDB oracles, which emit zero
+    shingles for such docs."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # greatest() keeps the sequence endpoint valid even if Spark evaluates
+    # the then-branch eagerly; the when() guard discards the truncated result
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    return F.array_distinct(F.filter(sh, lambda s: F.length(s) > 0))
+    return F.when(F.size(toks) >= n,
+                  F.array_distinct(F.filter(sh, lambda s: F.length(s) > 0))) \
+            .otherwise(F.array().cast("array<string>"))
 
 
 def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
@@ -182,6 +190,128 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 3, num_hashes: int = 32,
     return (cand.withColumn("est_jaccard", F.round(agree / F.lit(num_hashes), 4))
                 .filter(F.col("est_jaccard") >= threshold)
                 .select("id_a", "id_b", "est_jaccard"))
+
+
+def minhash_lsh_pairs_md5(df: DataFrame, n: int = 3, num_hashes: int = 32,
+                          bands: int = 8, threshold: float = 0.5,
+                          text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """MinHash+LSH with md5-hex hash functions — cross-engine reproducible.
+
+    Same banding plan as :func:`minhash_lsh_pairs`, but each of the
+    ``num_hashes`` permutations is ``min`` over the LEXICOGRAPHIC order of
+    ``md5(seed || '#' || shingle)`` hex strings (a uniform random order of
+    the shingle universe, so a valid MinHash), and band keys are
+    ``md5(concat_ws('|', band rows))``.  md5 hex strings order identically
+    in every engine, so DuckDB reproduces the result bit-for-bit — this is
+    the correctness-gate twin of the xxhash64 fast path (which stays the
+    bench/production variant; md5 costs ~3x more per hash).
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b and signature
+    agreement >= threshold."""
+    rows_per_band = num_hashes // bands
+    if rows_per_band * bands != num_hashes:
+        raise ValueError("num_hashes must be divisible by bands")
+    shingled = _fan_out(df).select(F.col(id_col).alias("id"),
+                                   _word_shingles(text_col, n).alias("sh")) \
+                 .filter(F.size("sh") > 0)
+    inv = shingled.select("id", F.explode("sh").alias("s"))
+    mins = inv.groupBy("id").agg(*[
+        F.min(F.md5(F.concat_ws("#", F.lit(str(i)), F.col("s")))).alias(f"__h{i}")
+        for i in range(num_hashes)
+    ])
+    banded = mins.select(
+        "id", *[F.col(f"__h{i}") for i in range(num_hashes)],
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *[F.col(f"__h{b * rows_per_band + r}")
+                                         for r in range(rows_per_band)])).alias("bh"))
+            for b in range(bands)
+        ])).alias("bk"))
+    banded = banded.select("id", *[f"__h{i}" for i in range(num_hashes)],
+                           F.col("bk.band").alias("band"),
+                           F.col("bk.bh").alias("bh")).persist()
+    a = banded.toDF("id_a", *[f"__a{i}" for i in range(num_hashes)], "band", "bh")
+    b = banded.toDF("id_b", *[f"__b{i}" for i in range(num_hashes)], "band", "bh")
+    cand = (a.join(b, ["band", "bh"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .drop("band", "bh")
+             .dropDuplicates(["id_a", "id_b"]))
+    agree = sum(
+        (F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
+         for i in range(num_hashes)),
+        F.lit(0))
+    min_agree = int(threshold * num_hashes + 1e-9)
+    return (cand.withColumn("__agree", agree)
+                .filter(F.col("__agree") >= min_agree)
+                .select("id_a", "id_b",
+                        (F.floor(F.col("__agree") / num_hashes * 10000 + F.lit(0.5))
+                         / 10000).alias("est_jaccard")))
+
+
+_HEX = "0123456789abcdef"
+
+
+def simhash_md5_pairs(df: DataFrame, max_hamming: int = 3,
+                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """SimHash near-dup pairs with md5-derived token hashes — cross-engine
+    reproducible twin of :func:`simhash_dup_pairs` (same pigeonhole banding
+    plan; the xxhash64 variant stays the bench/production path).
+
+    The 64-bit token hash is the first 16 hex digits of ``md5(token)``;
+    bit ``i`` is bit ``i%4`` of hex digit ``i//4``.  Per-bit +1/-1 votes
+    aggregate exactly as in the fast path; the signature is carried as 16
+    small-int hex-digit values (0-15), so banding keys are 4-digit hex
+    substrings and Hamming distance is a sum of 16 ``bit_count(xor)`` terms
+    — every operation has an identical DuckDB spelling.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b, hamming <= max_hamming."""
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    inv = _fan_out(df).select(F.col(id_col).alias("id"), F.explode(toks).alias("tk"))
+    hx = F.md5("tk")
+    # hex digit j of the token hash, as an int 0..15
+    digs = inv.select("id", *[
+        F.conv(F.substring(hx, j + 1, 1), 16, 10).cast("int").alias(f"__d{j}")
+        for j in range(16)
+    ])
+    votes = digs.groupBy("id").agg(*[
+        F.sum(F.shiftright(F.col(f"__d{i // 4}"), i % 4).bitwiseAND(F.lit(1)) * 2 - 1)
+         .alias(f"__v{i}")
+        for i in range(64)
+    ])
+    # signature digit j = sum_k (vote(4j+k) > 0) << k, kept as 16 int cols
+    sig_digit = [
+        sum((F.when(F.col(f"__v{4 * j + k}") > 0, 1 << k).otherwise(0)
+             for k in range(4)), F.lit(0)).alias(f"__g{j}")
+        for j in range(16)
+    ]
+    sig = votes.select("id", *sig_digit)
+    hex_digit = [F.expr(f"substr('{_HEX}', __g{j} + 1, 1)")
+                 for j in range(16)]
+    # 4-hex-digit chunks (16 bits); pigeonhole: hamming<=3 pairs share >=1
+    chunks = sig.select(
+        "id", *[f"__g{j}" for j in range(16)],
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"),
+                     F.concat(*hex_digit[4 * c:4 * c + 4]).alias("cv"))
+            for c in range(4)
+        ])).alias("ck"))
+    chunks = chunks.select("id", *[f"__g{j}" for j in range(16)],
+                           F.col("ck.chunk").alias("chunk"),
+                           F.col("ck.cv").alias("cv")).persist()
+    a = chunks.toDF("id_a", *[f"__a{j}" for j in range(16)], "chunk", "cv")
+    b = chunks.toDF("id_b", *[f"__b{j}" for j in range(16)], "chunk", "cv")
+    cand = (a.join(b, ["chunk", "cv"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .drop("chunk", "cv")
+             .dropDuplicates(["id_a", "id_b"]))
+    dist = sum(
+        (F.bit_count(F.col(f"__a{j}").bitwiseXOR(F.col(f"__b{j}")))
+         for j in range(16)),
+        F.lit(0))
+    return (cand.withColumn("hamming", dist.cast("long"))
+                .filter(F.col("hamming") <= max_hamming)
+                .select("id_a", "id_b", "hamming"))
 
 
 def simhash_bits(df: DataFrame, text_col: str = "text",

@@ -184,16 +184,29 @@ def embedding_dup_pairs(df: DataFrame, threshold: float = 0.95,
 
 def _kmeans_centroids(corpus: DataFrame, k: int, dim: int,
                       vec_col: str, iterations: int = 3,
-                      sample_cap: int = 4096) -> "np.ndarray":
+                      sample_cap: int = 4096,
+                      id_col: str | None = None) -> "np.ndarray":
     """Deterministic Lloyd iterations on a driver-side sample.
 
     Centroid fitting needs only a representative sample (standard IVF
     practice even at billion scale — FAISS trains on ~256 vectors per
     centroid); the sample is bounded (``sample_cap``) so the driver memory
     stays O(k*dim + cap*dim).  Assignment of the full corpus stays
-    distributed."""
+    distributed.
+
+    The sample is a DETERMINISTIC HASH sample, not ``limit()``: limit takes
+    the first scanned partitions — at 100 TB that's one file, and centroids
+    fit a biased slice (recall silently degrades).  Hashing the id (or the
+    vector bytes) spreads the sample uniformly over the corpus and is
+    rerun-stable."""
+    hash_src = F.col(id_col) if id_col else F.col(vec_col).cast("string")
     sample = np.array(
-        [r[0] for r in corpus.select(vec_col).limit(sample_cap).collect()],
+        [r[0] for r in (corpus
+                        .select(vec_col, F.md5(hash_src.cast("string")).alias("__hk"))
+                        .orderBy("__hk")
+                        .limit(sample_cap)
+                        .select(vec_col)
+                        .collect())],
         dtype=np.float64)
     norms = np.linalg.norm(sample, axis=1, keepdims=True)
     sample = sample / np.clip(norms, 1e-12, None)
@@ -223,7 +236,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     vectorized UDF pass; the cell column is a natural partition/bucket key,
     so at 100 TB the index is written once partitioned by cell and each
     query batch touches n_probe/n_centroids of the data."""
-    cent = _kmeans_centroids(corpus, n_centroids, dim, vec_col)
+    cent = _kmeans_centroids(corpus, n_centroids, dim, vec_col, id_col=id_col)
 
     @F.pandas_udf("int")
     def cell_of(v: pd.Series) -> pd.Series:

@@ -154,7 +154,10 @@ class DateParser(Function):
         (arg,) = arg_cols
         ts = F.to_timestamp(arg, self.fmt)
         if self.as_long:
-            ts = (F.unix_timestamp(ts) * 1000).cast("long")
+            # full epoch millis like Cascading's DateParser —
+            # unix_timestamp() truncates to seconds, losing sub-second
+            # precision when the format carries millis (e.g. 'SSS')
+            ts = F.floor(ts.cast("double") * 1000).cast("long")
         return [ts]
 
 

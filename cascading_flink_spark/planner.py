@@ -447,6 +447,17 @@ class FlowPlanner:
         chain.reverse()
         if not isinstance(node, (GroupBy, CoGroup, HashJoin)):
             raise PlannerError("Every must trace back to GroupBy/CoGroup")
+        for e in chain[:-1]:
+            # Cascading applies each Every's selector sequentially; this
+            # planner compiles the whole chain into ONE aggregation and
+            # applies only the tail's selector — silently ignoring
+            # intermediate non-ALL selectors would change columns, so reject
+            # them loudly instead.
+            if e.output_selector is not Fields.ALL:
+                raise PlannerError(
+                    "output selectors on intermediate Everys in a chain are "
+                    "not supported; use Fields.ALL on intermediate Everys "
+                    "and put the selector on the last Every")
         root = node
         df, keys, sorts, descending = self._grouping_input(root)
 

@@ -1,0 +1,68 @@
+"""md5 cross-engine twins of the MinHash/SimHash fast paths, and the
+short-document shingle guard (docs with < n tokens must emit ZERO shingles,
+matching the DuckDB oracles)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cascading_flink_spark.extensions import (
+    minhash_lsh_pairs, minhash_lsh_pairs_md5, ngram_jaccard_pairs,
+    simhash_dup_pairs, simhash_md5_pairs,
+)
+from cascading_flink_spark.extensions.dedup import _word_shingles
+
+
+def test_short_docs_emit_no_shingles(spark):
+    df = spark.createDataFrame(
+        [("d1", "one two"), ("d2", "one two"), ("d3", ""), ("d4", "a b c d")],
+        "doc_id string, text string")
+    sh = df.select("doc_id", _word_shingles("text", 3).alias("sh")).collect()
+    sizes = {r["doc_id"]: len(r["sh"]) for r in sh}
+    assert sizes == {"d1": 0, "d2": 0, "d3": 0, "d4": 2}
+    # two identical 2-token docs must NOT pair (oracle emits no shingles)
+    pairs = ngram_jaccard_pairs(df, n=3, threshold=0.5)
+    assert pairs.filter((F.col("id_a") == "d1") | (F.col("id_b") == "d1")).count() == 0
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_minhash_md5_finds_near_dups(spark, docs):
+    """The md5 permutation family must find essentially the same near-dup
+    pairs as the xxhash64 family (both estimate the same Jaccard)."""
+    fast = {(r["id_a"], r["id_b"]) for r in
+            minhash_lsh_pairs(docs, n=3, num_hashes=32, bands=8,
+                              threshold=0.5).collect()}
+    md5 = {(r["id_a"], r["id_b"]) for r in
+           minhash_lsh_pairs_md5(docs, n=3, num_hashes=32, bands=8,
+                                 threshold=0.5).collect()}
+    assert md5, "md5 variant found no pairs"
+    # hash-family noise can flip borderline pairs; the high-sim core agrees
+    overlap = len(fast & md5) / max(len(fast | md5), 1)
+    assert overlap >= 0.7, (len(fast), len(md5), overlap)
+
+
+def test_simhash_md5_runs_and_orders_pairs(spark, docs):
+    out = simhash_md5_pairs(docs, max_hamming=3)
+    rows = out.collect()
+    assert rows, "simhash md5 found no pairs"
+    assert all(r["id_a"] < r["id_b"] and r["hamming"] <= 3 for r in rows)
+    # identical token SETS hash to hamming 0 in every family: such pairs
+    # must be reported by both variants
+    toksets = (docs.select("doc_id",
+                           F.sort_array(F.array_distinct(
+                               F.split(F.lower(F.trim("text")), r"\s+"))).alias("ts"))
+               .groupBy("ts").agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+               .filter(F.size("ids") > 1).collect())
+    truth = {(ids[i], ids[j])
+             for r in toksets for ids in [r["ids"]]
+             for i in range(len(ids)) for j in range(i + 1, len(ids))}
+    assert truth, "fixture has no identical-token-set dup pairs"
+    md50 = {(r["id_a"], r["id_b"]) for r in rows if r["hamming"] == 0}
+    fast0 = {(r["id_a"], r["id_b"]) for r in
+             simhash_dup_pairs(docs, max_hamming=0).collect()}
+    assert truth <= md50 and truth <= fast0

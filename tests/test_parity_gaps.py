@@ -39,6 +39,31 @@ def test_date_parser(spark):
     assert any(r["ms"] == 946598400000 for r in rows2)  # 1999-12-31 UTC
 
 
+def test_date_parser_millis_preserved(spark):
+    """Cascading's DateParser emits FULL epoch millis; sub-second precision
+    must survive as_long parity mode."""
+    df = spark.createDataFrame([("2024/03/05 10:00:00.123",)], "d string")
+    p = Each(Pipe("src"), Fields("d"),
+             DateParser(Fields("ms"), "yyyy/MM/dd HH:mm:ss.SSS", as_long=True),
+             Fields.ALL)
+    assert run(spark, df, p).collect()[0]["ms"] == 1709632800123
+
+
+def test_intermediate_every_selector_rejected(spark):
+    """Selectors on intermediate Everys in a chain would be silently
+    ignored (the chain compiles to one aggregation) — reject at plan time."""
+    from cascading_flink_spark import Every, GroupBy
+    from cascading_flink_spark.operations import Count, Sum
+    from cascading_flink_spark.planner import PlannerError
+
+    df = spark.createDataFrame([(1, 2)], "k int, v int")
+    g = GroupBy(Pipe("src"), Fields("k"))
+    e1 = Every(g, Fields("v"), Count("n"), Fields("k", "n"))  # non-ALL
+    e2 = Every(e1, Fields("v"), Sum("s"), Fields.ALL)
+    with pytest.raises(PlannerError, match="intermediate Everys"):
+        run(spark, df, e2)
+
+
 def test_field_formatter(spark):
     df = spark.createDataFrame([(1, "a")], "n int, s string")
     p = Each(Pipe("src"), Fields("n", "s"),
