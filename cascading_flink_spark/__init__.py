@@ -21,7 +21,7 @@ from .taps import (
     BucketedTap, Scheme, TextLine, TextDelimited, UnknownTextDelimited,
     ParquetScheme, JsonScheme, SinkMode, pos,
 )
-from .flow import Cascade, Flow, FlowConnector, FlowDef
+from .flow import Cascade, Flow, FlowConnector, FlowDef, FlowStepJob
 from .planner import FlowPlanner, PlannerError
 from .session import get_spark
 from . import operations

@@ -17,6 +17,8 @@ Traps (per-branch failure capture, reference
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 
 from .operations.assertions import AssertionLevel
@@ -108,6 +110,58 @@ class Flow:
         if not self._planner:
             return {}
         return {name: obs.get for name, obs in self._planner.observations.items()}
+
+    def complete_async(self) -> "FlowStepJob":
+        """Run :meth:`complete` on a background thread and return a job
+        handle with MID-FLIGHT progress polling — the FlinkFlowStepJob
+        analog (the reference polls its accumulator cache every 10s while
+        the job runs, ``FlinkFlowStepJob.java:86``,
+        ``runtime/stats/AccumulatorCache.java:28``)."""
+        return FlowStepJob(self)
+
+
+class FlowStepJob:
+    """Handle for an asynchronously running flow.
+
+    ``live_progress()`` snapshots the Spark status tracker — active jobs
+    and per-stage task counts — while the action runs; ``observe``-based
+    counters resolve when it finishes (Spark exposes observed metrics only
+    at action completion, unlike per-task progress which is live)."""
+
+    def __init__(self, flow: Flow) -> None:
+        self._flow = flow
+        self._error: BaseException | None = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self) -> None:
+        try:
+            self._flow.complete()
+        except BaseException as e:  # surfaced on join()
+            self._error = e
+
+    def running(self) -> bool:
+        return self._thread.is_alive()
+
+    def join(self, timeout: float | None = None) -> None:
+        """Block until the flow finishes; re-raises any execution error."""
+        self._thread.join(timeout)
+        if not self._thread.is_alive() and self._error is not None:
+            raise self._error
+
+    def live_progress(self) -> dict:
+        """Snapshot of in-flight execution: active job ids and per-stage
+        (total, active, completed) task counts."""
+        st = self._flow.spark.sparkContext.statusTracker()
+        stages = []
+        for sid in st.getActiveStageIds():
+            info = st.getStageInfo(sid)
+            if info is not None:
+                stages.append({"stage": sid,
+                               "num_tasks": info.numTasks,
+                               "active": info.numActiveTasks,
+                               "completed": info.numCompletedTasks})
+        return {"active_jobs": list(st.getActiveJobsIds()), "stages": stages}
 
 
 class FlowConnector:

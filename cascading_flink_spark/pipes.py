@@ -193,12 +193,25 @@ class BufferJoin(Joiner):
     ``fn(key_pdf, *group_pdfs) -> pandas.DataFrame[declared]`` compiled to
     ``cogroup().applyInPandas`` (2-way) or tagged-union ``applyInPandas``
     (n-way) — the same union trick the reference uses.
+
+    ``stream_left=True`` is the giant-group-safe mode mirroring the
+    reference's execution exactly: input 0 is STREAMED (never materialized
+    per key) while inputs 1..n-1 are collected per key
+    (``CoGroupBufferClosure.java:213-246`` streams input 0;
+    ``SpillingTupleCollectionFactory.java:41-49`` spills the collected rhs
+    over 10k tuples).  ``fn`` is then called once per Arrow batch chunk of
+    input 0's rows for a key (plus once with an empty chunk for keys with
+    no input-0 rows), so a pathological hot key on the streamed side never
+    materializes in memory.  Requires ``fn`` to be distributive over
+    input-0 chunks — the same contract Cascading's streamed joiner imposes.
     """
 
-    def __init__(self, declared, fn, types: Sequence[str]) -> None:
+    def __init__(self, declared, fn, types: Sequence[str],
+                 stream_left: bool = False) -> None:
         self.declared = Fields.coerce(declared)
         self.fn = fn
         self.types = list(types)
+        self.stream_left = stream_left
 
 
 class CoGroup(Pipe):
@@ -212,7 +225,8 @@ class CoGroup(Pipe):
 
     def __init__(self, pipes: Sequence[Pipe], group_fields: Sequence,
                  declared_fields=None, joiner: Joiner | None = None,
-                 num_self_joins: int = 0, name: str | None = None) -> None:
+                 num_self_joins: int = 0, name: str | None = None,
+                 comparators: dict | None = None) -> None:
         super().__init__(name)
         pipe_list = list(pipes)
         if num_self_joins:
@@ -232,6 +246,12 @@ class CoGroup(Pipe):
             raise ValueError("group_fields must have one entry per pipe")
         self.declared_fields = Fields.coerce(declared_fields) if declared_fields is not None else None
         self.joiner = joiner or InnerJoin()
+        # Custom comparators on JOIN keys (the reference registers them on
+        # every key, types/tuple/TupleTypeInfo.java:79-126): a SQL expression
+        # per key field name (as declared in that input) defining the derived
+        # comparable key, e.g. {"name_l": "lower(name_l)",
+        # "name_r": "lower(name_r)"} joins case-insensitively.
+        self.comparators = dict(comparators) if comparators else None
 
 
 class HashJoin(Pipe):
@@ -244,7 +264,8 @@ class HashJoin(Pipe):
 
     def __init__(self, pipes: Sequence[Pipe], group_fields: Sequence,
                  declared_fields=None, joiner: Joiner | None = None,
-                 name: str | None = None) -> None:
+                 name: str | None = None,
+                 comparators: dict | None = None) -> None:
         super().__init__(name)
         self.previous = list(pipes)
         gf = list(group_fields)
@@ -253,6 +274,7 @@ class HashJoin(Pipe):
         self.group_fields = [Fields.coerce(g) for g in gf]
         self.declared_fields = Fields.coerce(declared_fields) if declared_fields is not None else None
         self.joiner = joiner or InnerJoin()
+        self.comparators = dict(comparators) if comparators else None
 
 
 class Merge(Pipe):

@@ -670,7 +670,18 @@ class FlowPlanner:
         joiner = pipe.joiner
         broadcast_rest = isinstance(pipe, HashJoin)
 
+        # Custom comparators on join keys (TupleTypeInfo.java:79-126):
+        # derive the comparable key per column, GroupBy-style.
+        comp = getattr(pipe, "comparators", None) or {}
+
+        def _keyed(col_name: str):
+            e = comp.get(col_name)
+            return F.expr(e) if e else F.col(col_name)
+
         if isinstance(joiner, BufferJoin):
+            if comp:
+                raise PlannerError(
+                    "comparators are not supported on BufferJoin CoGroups")
             return (self._compile_bufferjoin(pipe, renamed, key_names, joiner),
                     [[k] for k in key_names[0]])
 
@@ -702,9 +713,9 @@ class FlowPlanner:
                 # a key absent from input 1 (NULL there after an outer link)
                 # still co-groups inputs 2..n — the reference's accumulating
                 # full-outer cogroup (FlinkFlowStep.java:706-763).
-                lhs = (F.col(lin[0]) if len(lin) == 1
-                       else F.coalesce(*[F.col(c) for c in lin]))
-                c = lhs == right[rk]
+                lhs = (_keyed(lin[0]) if len(lin) == 1
+                       else F.coalesce(*[_keyed(c) for c in lin]))
+                c = lhs == _keyed(rk)
                 cond = c if cond is None else (cond & c)
             if flags is not None:
                 r_outer = flags[i]
@@ -740,6 +751,9 @@ class FlowPlanner:
             fields.append(T.StructField(nm, dt))
         schema = T.StructType(fields)
         fn = joiner.fn
+
+        if joiner.stream_left:
+            return self._compile_bufferjoin_streamed(renamed, key_names, fn, schema)
 
         if len(renamed) == 2:
             def _apply(key, left_pdf, right_pdf):
@@ -781,6 +795,95 @@ class FlowPlanner:
             return fn(key, *groups)
 
         return unified.groupBy(*key_aliases).applyInPandas(_apply_n, schema=schema)
+
+    def _compile_bufferjoin_streamed(self, renamed, key_names, fn,
+                                     schema) -> DataFrame:
+        """Giant-group-safe BufferJoin: stream input 0, collect the rest.
+
+        Tagged union sorted so each key's rhs rows arrive BEFORE its input-0
+        rows; a group-carry ``mapInPandas`` then accumulates the (bounded)
+        rhs collections per key and calls ``fn`` once per Arrow batch chunk
+        of input-0 rows — input 0 is never materialized per key, so one hot
+        key cannot OOM an executor (the reference's streamed-lhs +
+        spilled-rhs plan, CoGroupBufferClosure.java:213-246,328-416).  The
+        chunk size is the Arrow batch size
+        (``spark.sql.execution.arrow.maxRecordsPerBatch``, default 10k —
+        the same order as the reference's spill threshold)."""
+        import pandas as pd
+
+        n_in = len(renamed)
+        n_keys = len(key_names[0])
+        key_aliases = [f"__k{i}" for i in range(n_keys)]
+        col_types: dict[str, T.DataType] = {}
+        slices: list[list[str]] = []
+        for rdf in renamed:
+            slices.append(list(rdf.columns))
+            for f in rdf.schema.fields:
+                col_types[f.name] = f.dataType
+        all_cols = [c for sl in slices for c in sl]
+        parts = []
+        for idx, (rdf, keys_i, sl) in enumerate(zip(renamed, key_names, slices)):
+            sel = [F.col(k).alias(a) for k, a in zip(keys_i, key_aliases)]
+            sel.append(F.lit(idx).alias("__idx"))
+            own = set(sl)
+            for c in all_cols:
+                sel.append(F.col(c) if c in own
+                           else F.lit(None).cast(col_types[c]).alias(c))
+            parts.append(rdf.select(*sel))
+        unified = parts[0]
+        for prt in parts[1:]:
+            unified = unified.unionByName(prt)
+        # co-partition by key; within a partition: key-major, rhs before lhs
+        lhs_last = (F.col("__idx") == 0).cast("int")
+        sorted_df = (unified.repartition(*[F.col(a) for a in key_aliases])
+                     .sortWithinPartitions(*key_aliases, lhs_last, "__idx"))
+
+        slice_list = slices
+
+        def _stream(batches):
+            cur = None            # current key tuple
+            rhs: dict[int, list] = {}
+            lhs_called = False
+            tmpl = None
+
+            def rhs_frames():
+                return [pd.concat(rhs[i], ignore_index=True) if rhs[i]
+                        else tmpl[slice_list[i]].iloc[0:0]
+                        for i in range(1, n_in)]
+
+            def empty_lhs():
+                return tmpl[slice_list[0]].iloc[0:0]
+
+            for pdf in batches:
+                if tmpl is None:
+                    tmpl = pdf.iloc[0:0]
+                for key, kpdf in pdf.groupby(key_aliases, sort=False,
+                                             dropna=False):
+                    key = key if isinstance(key, tuple) else (key,)
+                    if cur is not None and key != cur:
+                        if not lhs_called:
+                            res = fn(cur, empty_lhs(), *rhs_frames())
+                            if res is not None and len(res):
+                                yield res
+                        cur = None
+                    if cur is None:
+                        cur, rhs, lhs_called = key, {i: [] for i in range(1, n_in)}, False
+                    for i in range(1, n_in):
+                        part = kpdf[kpdf["__idx"] == i][slice_list[i]]
+                        if len(part):
+                            rhs[i].append(part)
+                    lpart = kpdf[kpdf["__idx"] == 0][slice_list[0]]
+                    if len(lpart):
+                        res = fn(cur, lpart, *rhs_frames())
+                        lhs_called = True
+                        if res is not None and len(res):
+                            yield res
+            if cur is not None and not lhs_called:
+                res = fn(cur, empty_lhs(), *rhs_frames())
+                if res is not None and len(res):
+                    yield res
+
+        return sorted_df.mapInPandas(_stream, schema=schema)
 
     # -------------------------------------------------------------- misc
     def _compile_merge(self, pipe: Merge) -> DataFrame:
