@@ -75,8 +75,10 @@ def main() -> None:
 
     # JVM/codegen warm-up on the smallest SF so first-query timing isn't
     # dominated by classloading/codegen: one representative per execution
-    # path (scan+agg, wide-agg signature pipeline, pandas buffer).
-    for warm in (entry.q_groupby_agg, qs["minhash_lsh"], entry.q_buffer_span):
+    # path (scan+agg, split+explode generate, wide-agg signature pipeline,
+    # iterative join/checkpoint machinery, pandas buffer).
+    for warm in (entry.q_groupby_agg, entry.q_wordcount, qs["minhash_lsh"],
+                 entry.q_dedup_clusters, entry.q_buffer_span):
         _execute(warm(spark, "/root/testdata/sf0.001"))
     spark.catalog.clearCache()
 

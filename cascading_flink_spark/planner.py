@@ -38,6 +38,20 @@ class PlannerError(ValueError):
     pass
 
 
+def _python_stage_parts(df: DataFrame) -> int:
+    """Explicit shuffle-partition count for CPU-bound Python stages.
+
+    AQE coalesces shuffles by BYTE size and cannot see per-row Python cost:
+    a keyed repartition feeding a per-group Python buffer collapses to one
+    task on small-byte inputs, serializing every group on a single core
+    (observed: 150k-row/15k-group PyBuffer → 1 task → 6x slower).  An
+    explicit count is exempt from AQE coalescing; ``defaultParallelism``
+    scales with executor count on a real cluster, so the stage keeps
+    cluster-wide parallelism at 100 TB too."""
+    return max(df.sparkSession.sparkContext.defaultParallelism,
+               int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
+
+
 class FlowPlanner:
     """Compile pipes against bound source DataFrames.
 
@@ -433,7 +447,9 @@ class FlowPlanner:
                 return df.orderBy(*[direction(F.expr(s)) for s in sorts])
             return df
         sort_cols = [F.asc(k) for k in keys] + [direction(F.expr(s)) for s in sorts]
-        return df.repartition(*[F.col(k) for k in keys]).sortWithinPartitions(*sort_cols)
+        return df.repartition(_python_stage_parts(df),
+                              *[F.col(k) for k in keys]) \
+                 .sortWithinPartitions(*sort_cols)
 
     def _compile_every_chain(self, tail: Every) -> DataFrame:
         # Collect the chain of Everys back to the grouping root — the same
@@ -555,7 +571,8 @@ class FlowPlanner:
             order = [F.asc(k) for k in key_cols] + \
                     [(F.desc(F.expr(s)) if descending else F.asc(F.expr(s)))
                      for s in sort_keys]
-            sorted_df = df.repartition(*[F.col(k) for k in key_cols]) \
+            sorted_df = df.repartition(_python_stage_parts(df),
+                                       *[F.col(k) for k in key_cols]) \
                           .sortWithinPartitions(*order)
 
             def _mapper(batches):
@@ -835,7 +852,8 @@ class FlowPlanner:
             unified = unified.unionByName(prt)
         # co-partition by key; within a partition: key-major, rhs before lhs
         lhs_last = (F.col("__idx") == 0).cast("int")
-        sorted_df = (unified.repartition(*[F.col(a) for a in key_aliases])
+        sorted_df = (unified.repartition(_python_stage_parts(unified),
+                                         *[F.col(a) for a in key_aliases])
                      .sortWithinPartitions(*key_aliases, lhs_last, "__idx"))
 
         slice_list = slices

@@ -11,7 +11,29 @@ from cascading_flink_spark.extensions import (
     minhash_lsh_pairs, minhash_lsh_pairs_md5, ngram_jaccard_pairs,
     simhash_dup_pairs, simhash_md5_pairs,
 )
-from cascading_flink_spark.extensions.dedup import _word_shingles
+from cascading_flink_spark.extensions.dedup import (
+    _word_shingles, _word_shingles_arrow,
+)
+
+
+def test_shingle_udf_matches_native(spark, sf_dir):
+    """The Arrow-batched shingle UDF (MinHash path) must be bit-identical to
+    the pure-Column expression (ngram path, mirrored by the DuckDB oracles),
+    including order (first occurrence) and the short-doc empty-array
+    guard."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edge = spark.createDataFrame(
+        [("e1", "  leading and   multi  space "), ("e2", "UPPER Case MiX"),
+         ("e3", "a b"), ("e4", ""), ("e5", "x y z x y z x y z")],
+        "doc_id string, text string")
+    for df in (docs, edge):
+        mism = (df.select(F.col("doc_id"),
+                          _word_shingles_arrow("text", 3).alias("u"),
+                          _word_shingles("text", 3).alias("n"))
+                  .filter((F.col("u") != F.col("n")) |
+                          F.col("u").isNull() != F.col("n").isNull())
+                  .count())
+        assert mism == 0
 
 
 def test_short_docs_emit_no_shingles(spark):
