@@ -167,6 +167,87 @@ class UnknownTextDelimited(Scheme):
         out.write.mode(mode.value).text(path)
 
 
+class WritableSequenceFile(Scheme):
+    """Hadoop SequenceFile of Writable key/value pairs — the RDD escape
+    hatch promised by SURVEY.md §2.3 (the reference inherits SequenceFile
+    support from Hadoop formats for free, ``FlinkTestPlatform.java:139-172``;
+    Spark's DataFrame reader has no SequenceFile source, so this is the one
+    tap that drops to the RDD API).
+
+    Reading uses ``sc.sequenceFile`` (Writables auto-convert: Text→str,
+    Int/LongWritable→int, DoubleWritable→float, BytesWritable→bytearray);
+    writing uses ``saveAsSequenceFile`` on a pair RDD.  ``fields`` must
+    declare exactly (key, value); ``key_type``/``value_type`` are Spark SQL
+    type strings used to build the DataFrame schema.
+
+    Only matters for migrating existing k/v data in or out — new data
+    should use :class:`ParquetScheme` (typed, splittable, pushdown-capable;
+    SURVEY §2.3 maps Cascading's tuple ``SequenceFile`` to it).  Full-Tuple
+    SequenceFiles written by Cascading's ``TupleSerialization`` are NOT
+    readable here: their deserializer lives in the Cascading jars, which
+    this pure-PySpark engine deliberately does not ship.
+
+    Scale note: SequenceFiles are splittable, ``sc.sequenceFile`` keeps
+    per-block parallelism, and the pair RDD is converted to a DataFrame
+    with an explicit schema — so reads fan out like any file source; there
+    is no driver-side materialization."""
+
+    def __init__(self, fields=("key", "value"), key_type: str = "string",
+                 value_type: str = "string") -> None:
+        super().__init__(fields)
+        if len(self.fields.names) != 2:
+            raise ValueError("WritableSequenceFile declares exactly "
+                             "(key, value) fields")
+        self.key_type = key_type
+        self.value_type = value_type
+
+    def _schema(self):
+        from pyspark.sql import types as T
+        kn, vn = self.fields.names
+        return T.StructType([
+            T.StructField(kn, T._parse_datatype_string(self.key_type)),
+            T.StructField(vn, T._parse_datatype_string(self.value_type)),
+        ])
+
+    @staticmethod
+    def _fs_path(spark: SparkSession, path: str):
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs, jpath
+
+    def read(self, spark, paths):
+        sc = spark.sparkContext
+        rdds = [sc.sequenceFile(p) for p in paths]
+        rdd = rdds[0] if len(rdds) == 1 else sc.union(rdds)
+        # bytearray (BytesWritable) isn't directly row-encodable -> bytes
+        rdd = rdd.map(lambda kv: (
+            bytes(kv[0]) if isinstance(kv[0], bytearray) else kv[0],
+            bytes(kv[1]) if isinstance(kv[1], bytearray) else kv[1]))
+        return spark.createDataFrame(rdd, self._schema())
+
+    def write(self, df, path, mode):
+        # The RDD API has no save modes; honor SinkMode via the Hadoop
+        # FileSystem (same semantics the DataFrame writer implements).
+        fs, jpath = self._fs_path(df.sparkSession, path)
+        if fs.exists(jpath):
+            if mode is SinkMode.KEEP:
+                raise ValueError(f"SinkMode.KEEP: path exists: {path}")
+            if mode is SinkMode.REPLACE:
+                fs.delete(jpath, True)
+            if mode is SinkMode.UPDATE:
+                raise ValueError(
+                    "SinkMode.UPDATE is not supported for SequenceFile "
+                    "sinks (Hadoop's committer cannot append part files "
+                    "into an existing SequenceFile directory)")
+        kn, vn = self.fields.names
+        out = df.select(kn, vn)
+        rdd = out.rdd.map(tuple)
+        if self.num_sink_parts:
+            rdd = rdd.repartition(self.num_sink_parts)
+        rdd.saveAsSequenceFile(path)
+
+
 def pos(col, position: int):
     """Positional field access over an UNKNOWN tuple column; negative
     positions address from the end; out-of-range positions yield null

@@ -1,0 +1,99 @@
+"""WritableSequenceFile — the SURVEY §2.3 RDD escape hatch for Hadoop
+SequenceFile k/v interop (reference inherits it from Hadoop formats,
+FlinkTestPlatform.java:139-172)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cascading_flink_spark import (
+    DataFrameTap, Each, Fields, FlowConnector, FlowDef, GroupBy, Every,
+    Hfs, Pipe, SinkMode, WritableSequenceFile,
+)
+from cascading_flink_spark.operations.aggregators import Count
+
+
+def _tap(path, mode=SinkMode.KEEP, **kw):
+    return Hfs(WritableSequenceFile(**kw), str(path), sink_mode=mode)
+
+
+def test_roundtrip_string_long(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "k string, v long")
+    out = tmp_path / "seq1"
+    _tap(out, key_type="string", value_type="long",
+         fields=("k", "v")).write(df)
+    back = _tap(out, key_type="string", value_type="long",
+                fields=("k", "v")).read(spark)
+    assert back.schema.simpleString() == "struct<k:string,v:bigint>"
+    assert sorted((r["k"], r["v"]) for r in back.collect()) == \
+        [("a", 1), ("b", 2), ("c", 3)]
+
+
+def test_roundtrip_bytes_value(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x00\xffpayload"))], "k long, v binary")
+    out = tmp_path / "seqb"
+    _tap(out, key_type="long", value_type="binary",
+         fields=("k", "v")).write(df)
+    rows = _tap(out, key_type="long", value_type="binary",
+                fields=("k", "v")).read(spark).collect()
+    assert rows[0]["k"] == 1 and bytes(rows[0]["v"]) == b"\x00\xffpayload"
+
+
+def test_sink_modes(spark, tmp_path):
+    df = spark.createDataFrame([("a", 1)], "k string, v long")
+    df2 = spark.createDataFrame([("z", 9)], "k string, v long")
+    out = tmp_path / "seq2"
+    _tap(out, fields=("k", "v"), value_type="long").write(df)
+    with pytest.raises(ValueError, match="KEEP"):
+        _tap(out, fields=("k", "v"), value_type="long").write(df2)
+    with pytest.raises(ValueError, match="UPDATE"):
+        _tap(out, mode=SinkMode.UPDATE,
+             fields=("k", "v"), value_type="long").write(df2)
+    _tap(out, mode=SinkMode.REPLACE,
+         fields=("k", "v"), value_type="long").write(df2)
+    rows = _tap(out, fields=("k", "v"), value_type="long").read(spark).collect()
+    assert [(r["k"], r["v"]) for r in rows] == [("z", 9)]
+
+
+def test_sequencefile_source_in_flow(spark, tmp_path, sf_dir):
+    """SequenceFile source feeding a real flow: count orders per priority
+    written to / read from a SequenceFile, vs the parquet truth."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    kv = orders.select(F.col("o_orderpriority").alias("k"),
+                       F.col("o_orderkey").alias("v"))
+    seq = tmp_path / "orders_seq"
+    _tap(seq, fields=("k", "v"), value_type="long").write(kv)
+
+    counted = Every(GroupBy(Pipe("seq"), Fields("k")), Fields.NONE,
+                    Count("n"), Fields.ALL)
+    fd = (FlowDef()
+          .add_source("seq", _tap(seq, fields=("k", "v"), value_type="long"))
+          .add_tail(counted))
+    got = {r["k"]: r["n"]
+           for r in FlowConnector(spark).connect(fd).dataframe().collect()}
+    truth = {r["o_orderpriority"]: r["cnt"]
+             for r in orders.groupBy("o_orderpriority")
+                            .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert got == truth
+
+
+def test_num_sink_parts(spark, tmp_path):
+    sch = WritableSequenceFile(fields=("k", "v"), value_type="long")
+    sch.num_sink_parts = 2
+    df = spark.range(100).select(F.col("id").cast("string").alias("k"),
+                                 F.col("id").alias("v"))
+    out = tmp_path / "seqp"
+    Hfs(sch, str(out)).write(df)
+    import glob
+    parts = glob.glob(str(out / "part-*"))
+    assert len(parts) == 2
+    assert _tap(out, fields=("k", "v"),
+                value_type="long").read(spark).count() == 100
+
+
+def test_declares_exactly_two_fields():
+    with pytest.raises(ValueError, match="exactly"):
+        WritableSequenceFile(fields=("k", "v", "extra"))
