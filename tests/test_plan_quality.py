@@ -55,3 +55,12 @@ def test_unique_partial_dedup(spark, sf_dir):
     # dropDuplicates compiles to partial+final HashAggregate (map-side dedup)
     plan = plan_of(spark, "unique", sf_dir)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_python_buffer_stage_keeps_parallelism(spark, sf_dir):
+    """The keyed-PyBuffer shuffle must carry an explicit partition count:
+    AQE coalesces by byte size and cannot see per-row Python cost, so
+    without it the whole buffer stage serializes onto one task
+    (REPARTITION_BY_NUM is exempt from AQE coalescing)."""
+    plan = plan_of(spark, "buffer_span", sf_dir)
+    assert "REPARTITION_BY_NUM" in plan, plan[:4000]
