@@ -30,11 +30,12 @@ from cascading_flink_spark.operations import (
     Sum, UnGroup,
 )
 from cascading_flink_spark.extensions import (
-    attach_binary_meta, brute_force_topk, decode_stub_features,
+    attach_binary_meta, brute_force_topk, chunk_corpus, decode_stub_features,
     dedup_clusters, embedding_dup_pairs, exact_dedup, fingerprint, lang_id,
     ivf_topk, lsh_bucketed_topk, minhash_lsh_pairs, minhash_lsh_pairs_md5,
-    ngram_jaccard_pairs, quality_features, quality_filter, salted_agg,
-    simhash_dup_pairs, simhash_md5_pairs, stratified_sample, token_budget,
+    ngram_jaccard_pairs, quality_features, quality_filter, redact_pii,
+    salted_agg, simhash_dup_pairs, simhash_md5_pairs, stratified_sample,
+    token_budget,
 )
 
 
@@ -545,6 +546,19 @@ def q_token_budget(spark, sf_dir):
     return token_budget(_t(spark, sf_dir, "documents"))
 
 
+def q_chunk_corpus(spark, sf_dir):
+    """Sequence packing: token offsets + context-window chunk span per doc
+    in a deterministic global order, via a two-phase distributed cumsum
+    (no single-partition global window — the scale-safe shape)."""
+    return chunk_corpus(_t(spark, sf_dir, "documents"), context_len=2048)
+
+
+def q_redact_pii(spark, sf_dir):
+    """PII scrubbing: emails/IPv4/SSN-shaped ids replaced with typed
+    placeholders, with per-kind counts (Java-regex/RE2 common dialect)."""
+    return redact_pii(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Connected components over the near-dup pair graph: (id, cluster_id)
     with cluster_id = minimum member (the kept representative)."""
@@ -696,6 +710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "intersect": q_intersect,
         "except": q_except,
+        "chunk_corpus": q_chunk_corpus,
+        "redact_pii": q_redact_pii,
     }
 
 
@@ -1142,5 +1158,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey AS custkey FROM orders
             EXCEPT
             SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+        """,
+        # The Spark side computes the cumsum two-phase (bucketed window +
+        # broadcast base offsets — no single-partition global window); the
+        # oracle uses the plain global-window spelling of the SAME total
+        # order (bucket = first 2 md5 hex chars is a prefix of the md5, so
+        # ORDER BY h, doc_id is the identical order).
+        "chunk_corpus": """
+            WITH d AS (
+                SELECT doc_id,
+                       (CASE WHEN trim(text) = '' THEN 0
+                             ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                        END)::BIGINT AS n_tokens,
+                       md5(CAST(doc_id AS VARCHAR)) AS h
+                FROM documents
+            ), c AS (
+                SELECT doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY h, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0)::BIGINT AS start_offset
+                FROM d WHERE n_tokens > 0
+            )
+            SELECT doc_id, n_tokens, start_offset,
+                   (start_offset // 2048)::BIGINT AS first_chunk,
+                   ((start_offset + n_tokens - 1) // 2048)::BIGINT AS last_chunk
+            FROM c
+        """,
+        "redact_pii": """
+            WITH s1 AS (
+                SELECT doc_id, text AS t0,
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS t1
+                FROM documents
+            ), s2 AS (
+                SELECT doc_id, t0, t1,
+                       regexp_replace(t1,
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                           '<IP>', 'g') AS t2
+                FROM s1
+            )
+            SELECT doc_id,
+                   regexp_replace(t2, '\\b\\d{3}-\\d{2}-\\d{4}\\b',
+                                  '<SSN>', 'g') AS clean_text,
+                   len(regexp_extract_all(t0,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+                   len(regexp_extract_all(t1,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::BIGINT AS n_ipv4,
+                   len(regexp_extract_all(t2,
+                       '\\b\\d{3}-\\d{2}-\\d{4}\\b'))::BIGINT AS n_ssn
+            FROM s2
         """,
     }

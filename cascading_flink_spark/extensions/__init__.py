@@ -9,8 +9,9 @@ only in clearly-marked Arrow-batched UDF paths (multimodal decode).
 
 from .text import (
     token_count, token_budget, quality_features, quality_filter, lang_id,
-    fingerprint,
+    fingerprint, redact_pii,
 )
+from .packing import chunk_corpus
 from .dedup import (
     exact_dedup, exact_dedup_pairs, ngram_jaccard_pairs, minhash_lsh_pairs,
     minhash_lsh_pairs_md5, simhash_bits, simhash_dup_pairs,

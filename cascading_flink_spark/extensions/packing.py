@@ -1,0 +1,70 @@
+"""Sequence packing: assign every document its token offsets in the
+concatenated corpus and the context-window chunks it spans — the
+concat-then-chunk step of LLM pretraining data preparation.
+
+Scale design (the 100 TB story): the naive formulation is a cumulative sum
+over a GLOBAL window order, which Spark executes as a single-partition
+window — the one-machine bottleneck that kills the job at scale.  Here the
+running total is two-phase instead:
+
+1. docs are bucketed by the first 2 hex chars of ``md5(id)`` (256 uniform
+   buckets) and summed within each bucket by a bucket-partitioned window
+   (full cluster parallelism, one shuffle on a uniform key);
+2. the 256 per-bucket totals are turned into running base offsets by a
+   window over 256 rows (trivially small) and broadcast-joined back.
+
+The total order is (bucket, md5(id), id) — deterministic, engine-neutral,
+and exactly reproducible by a plain global-window cumsum in any SQL engine
+(which is what the DuckDB oracle does), so correctness is checked against
+the simple spelling while the Spark plan keeps the scale-safe shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import token_count
+
+
+def chunk_corpus(df: DataFrame, context_len: int,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token offsets and context-window chunk span per document.
+
+    Documents are laid end-to-end in the deterministic global order
+    (md5-bucket, md5(id), id) and cut into ``context_len``-token chunks;
+    each document reports where its tokens land:
+
+    Returns ``(doc_id, n_tokens, start_offset, first_chunk, last_chunk)``
+    with ``first_chunk = start_offset div context_len`` and ``last_chunk =
+    (start_offset + n_tokens - 1) div context_len``.  Zero-token documents
+    are dropped (they occupy no chunk).  Token counting is the whitespace
+    rule of :func:`cascading_flink_spark.extensions.text.token_count`.
+    """
+    if context_len <= 0:
+        raise ValueError("context_len must be positive")
+    d = (df.select(F.col(id_col).alias("id"),
+                   token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+                   F.md5(F.col(id_col).cast("string")).alias("__h"))
+           .filter(F.col("n_tokens") > 0)
+           .withColumn("__b", F.substring("__h", 1, 2)))
+    # phase 1: running total WITHIN each of the 256 uniform buckets
+    w_in = (Window.partitionBy("__b").orderBy("__h", "id")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    d = d.withColumn("__within", F.coalesce(F.sum("n_tokens").over(w_in),
+                                            F.lit(0)))
+    # phase 2: base offset per bucket — a 256-row window, then broadcast
+    w_b = (Window.orderBy("__b")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    base = (d.groupBy("__b").agg(F.sum("n_tokens").alias("__bt"))
+             .withColumn("__base", F.coalesce(F.sum("__bt").over(w_b),
+                                              F.lit(0)))
+             .select("__b", "__base"))
+    start = F.col("__base") + F.col("__within")
+    return (d.join(F.broadcast(base), "__b")
+             .select(F.col("id").alias(id_col),
+                     F.col("n_tokens"),
+                     start.alias("start_offset"),
+                     F.floor(start / context_len).alias("first_chunk"),
+                     F.floor((start + F.col("n_tokens") - 1) / context_len)
+                      .alias("last_chunk")))

@@ -107,6 +107,36 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     return df.select(F.col(id_col), F.md5(norm).alias("fp"))
 
 
+# PII patterns chosen for identical behavior under Java regex (Spark) and
+# RE2 (DuckDB): no lookarounds, no backreferences, \b is the ASCII word
+# boundary in both.  Applied/counted in a fixed order (email, ipv4, ssn)
+# so both engines see the same intermediate text.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Scrub emails / IPv4 addresses / SSN-shaped ids, with per-kind counts.
+
+    Returns ``(doc_id, clean_text, n_email, n_ipv4, n_ssn)``.  Counts are
+    taken on each pattern's input text in the fixed application order, so
+    the redaction and the counts tell one consistent story.  Map-only
+    native ``regexp_replace``/``regexp_count`` — no shuffle, no Python, and
+    the pattern dialect is the Java/RE2 common subset so any engine
+    reproduces it bit-for-bit."""
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).cast("long")
+                       .alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return df.select(F.col(id_col), cur.alias("clean_text"), *counts)
+
+
 # GPT-2-style pre-tokenizer pattern (no lookarounds, so Java regex and RE2
 # agree): contractions, optional-space letter run, optional-space digit run,
 # optional-space punctuation run.

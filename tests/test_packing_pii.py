@@ -1,0 +1,70 @@
+"""Sequence packing (chunk_corpus) and PII redaction (redact_pii)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cascading_flink_spark.extensions import chunk_corpus, redact_pii
+
+
+def test_chunk_corpus_is_a_packing(spark, sf_dir):
+    """Offsets must tile the corpus exactly: sorted starts are the exclusive
+    running sum of token counts, and chunk spans follow from the offsets."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = chunk_corpus(docs, context_len=512).collect()
+    rows = sorted(out, key=lambda r: r["start_offset"])
+    expect_start = 0
+    for r in rows:
+        assert r["start_offset"] == expect_start
+        assert r["first_chunk"] == r["start_offset"] // 512
+        assert r["last_chunk"] == (r["start_offset"] + r["n_tokens"] - 1) // 512
+        expect_start += r["n_tokens"]
+    total = sum(r["n_tokens"] for r in rows)
+    assert expect_start == total and total > 0
+
+
+def test_chunk_corpus_deterministic_and_no_global_window(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {(r["doc_id"], r["start_offset"])
+         for r in chunk_corpus(docs, 2048).collect()}
+    b = {(r["doc_id"], r["start_offset"])
+         for r in chunk_corpus(docs.repartition(7), 2048).collect()}
+    assert a == b, "offsets must not depend on physical partitioning"
+    # the doc-level window must be bucket-partitioned, not global: a global
+    # window shows as 'Window [...]' with an empty partition spec over the
+    # full input; assert the plan partitions by the bucket column
+    plan = chunk_corpus(docs, 2048)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert "windowspecdefinition(__b" in plan or \
+        "windowspecdefinition('__b" in plan, plan[:2000]
+
+
+def test_chunk_corpus_rejects_bad_context():
+    with pytest.raises(ValueError):
+        chunk_corpus(None, 0)
+
+
+def test_redact_pii_synthetic(spark):
+    df = spark.createDataFrame(
+        [(1, "mail me at a.b+c@ex-ample.org or root@h.io thanks"),
+         (2, "server 10.0.254.3 and 192.168.1.1 up"),
+         (3, "ssn 123-45-6789 leaked"),
+         (4, "clean text only"),
+         (5, "mixed bob@x.co on 127.0.0.1 ssn 000-12-3456")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["n_email"] == 2 and out[1]["clean_text"] == \
+        "mail me at <EMAIL> or <EMAIL> thanks"
+    assert out[2]["n_ipv4"] == 2 and out[2]["clean_text"] == \
+        "server <IP> and <IP> up"
+    assert out[3]["n_ssn"] == 1 and out[3]["clean_text"] == "ssn <SSN> leaked"
+    assert out[4]["clean_text"] == "clean text only" and \
+        out[4]["n_email"] == out[4]["n_ipv4"] == out[4]["n_ssn"] == 0
+    assert out[5]["clean_text"] == "mixed <EMAIL> on <IP> ssn <SSN>"
+
+
+def test_redact_pii_counts_are_longs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sch = dict(redact_pii(docs).dtypes)
+    assert sch["n_email"] == sch["n_ipv4"] == sch["n_ssn"] == "bigint"
