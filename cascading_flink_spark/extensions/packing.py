@@ -7,11 +7,17 @@ over a GLOBAL window order, which Spark executes as a single-partition
 window — the one-machine bottleneck that kills the job at scale.  Here the
 running total is two-phase instead:
 
-1. docs are bucketed by the first 2 hex chars of ``md5(id)`` (256 uniform
-   buckets) and summed within each bucket by a bucket-partitioned window
-   (full cluster parallelism, one shuffle on a uniform key);
-2. the 256 per-bucket totals are turned into running base offsets by a
-   window over 256 rows (trivially small) and broadcast-joined back.
+1. docs are bucketed by the first ``bucket_chars`` hex chars of ``md5(id)``
+   (uniform buckets) and summed within each bucket by a bucket-partitioned
+   window (full cluster parallelism, one shuffle on a uniform key);
+2. the per-bucket totals are turned into running base offsets by a window
+   over the tiny bucket table and broadcast-joined back.
+
+``bucket_chars`` defaults to 4 (65536 buckets): each bucket-window task
+sorts corpus/65536 rows — ~1.5 GB per task at 100 TB — while the base
+offset table stays a few MB, comfortably broadcastable.  The bucket is a
+PREFIX of the md5, so the global order — and therefore the result — is
+identical for any bucket width.
 
 The total order is (bucket, md5(id), id) — deterministic, engine-neutral,
 and exactly reproducible by a plain global-window cumsum in any SQL engine
@@ -28,7 +34,8 @@ from .text import token_count
 
 
 def chunk_corpus(df: DataFrame, context_len: int,
-                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                 text_col: str = "text", id_col: str = "doc_id",
+                 bucket_chars: int = 4) -> DataFrame:
     """Token offsets and context-window chunk span per document.
 
     Documents are laid end-to-end in the deterministic global order
@@ -47,8 +54,8 @@ def chunk_corpus(df: DataFrame, context_len: int,
                    token_count(F.col(text_col)).cast("long").alias("n_tokens"),
                    F.md5(F.col(id_col).cast("string")).alias("__h"))
            .filter(F.col("n_tokens") > 0)
-           .withColumn("__b", F.substring("__h", 1, 2)))
-    # phase 1: running total WITHIN each of the 256 uniform buckets
+           .withColumn("__b", F.substring("__h", 1, bucket_chars)))
+    # phase 1: running total WITHIN each uniform md5-prefix bucket
     w_in = (Window.partitionBy("__b").orderBy("__h", "id")
             .rowsBetween(Window.unboundedPreceding, -1))
     d = d.withColumn("__within", F.coalesce(F.sum("n_tokens").over(w_in),
