@@ -35,7 +35,7 @@ from cascading_flink_spark.extensions import (
     ivf_topk, lsh_bucketed_topk, minhash_lsh_pairs, minhash_lsh_pairs_md5,
     ngram_jaccard_pairs, quality_features, quality_filter, redact_pii,
     salted_agg, simhash_dup_pairs, simhash_md5_pairs, stratified_sample,
-    token_budget,
+    token_budget, winnow_pairs,
 )
 
 
@@ -559,6 +559,13 @@ def q_redact_pii(spark, sf_dir):
     return redact_pii(_t(spark, sf_dir, "documents"))
 
 
+def q_winnow_pairs(spark, sf_dir):
+    """Winnowing (MOSS) contained-duplication pairs: shared local
+    fingerprints with a doc-frequency cap on hot boilerplate keys."""
+    return winnow_pairs(_t(spark, sf_dir, "documents"),
+                        k=4, w=4, threshold=0.5, max_df=50)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Connected components over the near-dup pair graph: (id, cluster_id)
     with cluster_id = minimum member (the kept representative)."""
@@ -712,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "except": q_except,
         "chunk_corpus": q_chunk_corpus,
         "redact_pii": q_redact_pii,
+        "winnow_pairs": q_winnow_pairs,
     }
 
 
@@ -1184,6 +1192,38 @@ def oracle_sql() -> dict[str, str]:
                    (start_offset // 2048)::BIGINT AS first_chunk,
                    ((start_offset + n_tokens - 1) // 2048)::BIGINT AS last_chunk
             FROM c
+        """,
+        # Winnowing twin: the fingerprint string md5||'#'||lpad(pos) makes
+        # string min == argmin by (hash, position) in both engines; list
+        # comprehensions reproduce the sliding-window selection exactly.
+        "winnow_pairs": """
+            WITH toks AS (SELECT doc_id,
+                                 regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                          FROM documents),
+            g AS (SELECT doc_id,
+                         [md5(array_to_string(t[i:i+3], ' ')) || '#' ||
+                          lpad((i-1)::VARCHAR, 8, '0')
+                          for i in range(1, len(t)-4+2)] AS fps
+                  FROM toks WHERE len(t) >= 4),
+            sel AS (SELECT doc_id,
+                           list_distinct([list_min(fps[j:j+3])
+                                          for j in range(1, len(fps)-4+2)]) AS s
+                    FROM g WHERE len(fps) >= 4),
+            fp0 AS (SELECT doc_id AS id, unnest(s) AS m FROM sel),
+            fp AS (SELECT DISTINCT id, substr(m, 1, 32) AS fp FROM fp0),
+            sizes AS (SELECT id, count(*) AS n_fp FROM fp GROUP BY 1),
+            rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 50),
+            inv AS (SELECT id, fp.fp FROM fp JOIN rare USING (fp)),
+            shared AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+                       FROM inv a JOIN inv b USING (fp)
+                       WHERE a.id < b.id GROUP BY 1, 2)
+            SELECT id_a, id_b, c AS n_shared,
+                   floor(c * 1.0 / least(sa.n_fp, sb.n_fp) * 10000 + 0.5) / 10000
+                       AS containment
+            FROM shared
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE floor(c * 1.0 / least(sa.n_fp, sb.n_fp) * 10000 + 0.5) / 10000 >= 0.5
         """,
         "redact_pii": """
             WITH s1 AS (

@@ -283,6 +283,108 @@ def minhash_lsh_pairs_md5(df: DataFrame, n: int = 3, num_hashes: int = 32,
 _HEX = "0123456789abcdef"
 
 
+def _gram_fp_strings_arrow(text_col: str, k: int):
+    """Positional k-gram fingerprint strings, Arrow-batched.
+
+    Element i is ``md5(gram_i) || '#' || lpad(i, 8, '0')`` for the k-token
+    gram starting at 0-based token position i — a fixed-width string whose
+    lexicographic order is exactly (hash, position), so a plain string
+    ``min`` implements winnowing's tie-broken argmin in any engine.
+    Tokenization matches :func:`_word_shingles` (trim, lower, split \\s+);
+    docs shorter than ``k`` tokens yield an empty array.  Python's
+    ``hashlib.md5`` over UTF-8 equals Spark's and DuckDB's ``md5``."""
+    @F.pandas_udf("array<string>")
+    def _g(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        def one(t):
+            if t is None:
+                return []
+            toks = t.strip().lower().split()
+            if len(toks) < k:
+                return []
+            return [
+                hashlib.md5(" ".join(toks[i:i + k]).encode("utf-8"))
+                       .hexdigest() + "#" + format(i, "08d")
+                for i in range(len(toks) - k + 1)
+            ]
+        return texts.map(one)
+
+    return _g(F.col(text_col))
+
+
+def winnow_fingerprints(df: DataFrame, k: int = 4, w: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Winnowing (MOSS-style) local fingerprints: per sliding window of
+    ``w`` consecutive k-gram hashes, select the minimum (hash, position)
+    pair; the distinct selections are the document's fingerprints.
+
+    Unlike whole-document fingerprints or MinHash signatures, winnowing
+    guarantees that any shared run of at least ``w + k - 1`` tokens yields
+    at least one shared fingerprint — the property needed to detect
+    CONTAINED duplication (quotes, boilerplate, licensed headers) that
+    whole-doc similarity misses.  [Schleimer, Wilkerson, Aiken, SIGMOD'03.]
+
+    Returns ``(id, fp, pos)`` — fingerprint hash (md5 hex) and the 0-based
+    token position of its gram.  Per-doc work only (bucket-free: the window
+    partitions by document), so the stage is embarrassingly parallel at any
+    scale.  Docs with fewer than ``w`` full windows' worth of grams are
+    skipped (no full window exists)."""
+    fps = (_fan_out(df)
+           .select(F.col(id_col).alias("id"),
+                   _gram_fp_strings_arrow(text_col, k).alias("fps"))
+           .filter(F.size("fps") >= w))
+    e = fps.select("id", F.size("fps").alias("n"),
+                   F.posexplode("fps").alias("pos", "fp"))
+    win = (Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1))
+    sel = (e.withColumn("m", F.min("fp").over(win))
+            .filter(F.col("pos") + w <= F.col("n"))   # full windows only
+            .select("id", "m").distinct())
+    return sel.select("id",
+                      F.substring("m", 1, 32).alias("fp"),
+                      F.substring("m", 34, 8).cast("int").alias("pos"))
+
+
+def winnow_pairs(df: DataFrame, k: int = 4, w: int = 4,
+                 threshold: float = 0.5, max_df: int = 50,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Contained-duplication pairs via shared winnowing fingerprints.
+
+    ``containment = |shared distinct fp hashes| / min(|fp_a|, |fp_b|)`` —
+    near 1.0 when the smaller document's selected content is contained in
+    the other (quotes, mirrored sections), even when whole-doc Jaccard is
+    low.  Fingerprint hashes seen in more than ``max_df`` documents are
+    dropped before the join (ubiquitous boilerplate — exactly the hot keys
+    that would skew the shuffle at 100 TB; dropping them bounds every
+    join key's fan-out by ``max_df``).
+
+    Returns (id_a, id_b, n_shared, containment) with id_a < id_b and
+    containment >= threshold."""
+    from .text import _round_half_up
+    fp = (winnow_fingerprints(df, k, w, text_col, id_col)
+          .select("id", "fp").distinct().persist())
+    sizes = fp.groupBy("id").agg(F.count(F.lit(1)).alias("n_fp"))
+    rare = (fp.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
+              .filter(F.col("__df") <= max_df)
+              .select("fp"))
+    inv = fp.join(rare, "fp")
+    shared = (inv.toDF("fp", "id_a").join(inv.toDF("fp", "id_b"), "fp")
+              .filter(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b")
+              .agg(F.count(F.lit(1)).alias("n_shared")))
+    cont = _round_half_up(
+        F.col("n_shared") /
+        F.least(F.col("na.n_fp"), F.col("nb.n_fp")), 4)
+    return (shared.join(sizes.alias("na"),
+                        F.col("id_a") == F.col("na.id"))
+                  .join(sizes.alias("nb"),
+                        F.col("id_b") == F.col("nb.id"))
+                  .withColumn("containment", cont)
+                  .filter(F.col("containment") >= threshold)
+                  .select("id_a", "id_b", "n_shared", "containment"))
+
+
 def simhash_md5_pairs(df: DataFrame, max_hamming: int = 3,
                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """SimHash near-dup pairs with md5-derived token hashes — cross-engine

@@ -68,3 +68,40 @@ def test_redact_pii_counts_are_longs(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sch = dict(redact_pii(docs).dtypes)
     assert sch["n_email"] == sch["n_ipv4"] == sch["n_ssn"] == "bigint"
+
+
+def test_winnow_guarantee_shared_run(spark):
+    """Winnowing's core property: any shared token run of length
+    >= w + k - 1 (= 7 here) yields at least one shared fingerprint."""
+    from cascading_flink_spark.extensions import winnow_fingerprints
+    shared_run = "lorem ipsum dolor sit amet consectetur adipiscing"  # 7 toks
+    df = spark.createDataFrame(
+        [(1, f"unique one two three {shared_run} four five six seven"),
+         (2, f"{shared_run} totally different tail content here now ok")],
+        "doc_id long, text string")
+    fp = winnow_fingerprints(df, k=4, w=4)
+    a = {r["fp"] for r in fp.filter("id = 1").collect()}
+    b = {r["fp"] for r in fp.filter("id = 2").collect()}
+    assert a & b, "shared 7-token run must share a fingerprint"
+
+
+def test_winnow_max_df_drops_boilerplate(spark):
+    from cascading_flink_spark.extensions import winnow_pairs
+    boiler = "this header is on every single page of the site"
+    rows = [(i, f"{boiler} unique body number {i} with words {i*7} {i*13}")
+            for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # boilerplate fingerprints appear in 20 docs; max_df=5 must drop them,
+    # leaving no pair above threshold
+    assert winnow_pairs(df, k=4, w=4, threshold=0.5, max_df=5).count() == 0
+    # with a permissive cap the boilerplate dominates and pairs appear
+    assert winnow_pairs(df, k=4, w=4, threshold=0.5, max_df=50).count() > 0
+
+
+def test_winnow_positions_valid(spark, sf_dir):
+    from cascading_flink_spark.extensions import winnow_fingerprints
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = winnow_fingerprints(docs, k=4, w=4)
+    bad = fp.filter((F.col("pos") < 0) | F.col("fp").rlike("[^0-9a-f]")).count()
+    assert bad == 0 and fp.count() > 0
