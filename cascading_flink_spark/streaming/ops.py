@@ -114,6 +114,24 @@ def stateful_sessionize(df: DataFrame, key_col: str, ts_col: str,
                                     GroupStateTimeout.ProcessingTimeTimeout))
 
 
+def stream_exact_dedup(df: DataFrame, ts_col: str,
+                       text_col: str = "text",
+                       watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup: drop repeats of identical content arriving
+    within the watermark horizon — the streaming twin of
+    ``extensions.dedup.exact_dedup`` (same md5 fingerprint rule as
+    ``extensions.text.fingerprint``).
+
+    Uses ``dropDuplicatesWithinWatermark``, so the dedup STATE is evicted
+    as the watermark advances: on a continuous 100 TB/day ingest the state
+    store holds only one horizon's worth of fingerprints, where plain
+    ``dropDuplicates`` on a stream would grow key state forever."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return (df.withColumn("fp", F.md5(norm))
+              .withWatermark(ts_col, watermark)
+              .dropDuplicatesWithinWatermark(["fp"]))
+
+
 def stream_stream_join(left: DataFrame, right: DataFrame,
                        on, left_ts: str, right_ts: str,
                        watermark: str = "1 hour",

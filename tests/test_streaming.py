@@ -192,3 +192,34 @@ def test_streaming_checkpoint_no_reprocess(spark, stream_dir, tmp_path):
     n2 = spark.read.parquet(out_dir).count()
     total = spark.read.parquet(stream_dir).count()
     assert n1 == total and n2 == total  # no duplicates on restart
+
+
+def test_stream_exact_dedup(spark, sf_dir, tmp_path):
+    """Duplicate content arriving within the watermark is dropped; the
+    surviving set matches batch exact-dedup on the same data."""
+    from cascading_flink_spark.streaming import stream_exact_dedup
+
+    docs = load(spark, sf_dir, "documents") \
+        .select("doc_id", "text") \
+        .withColumn("ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")))
+    src = str(tmp_path / "docs_in")
+    docs.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = stream_exact_dedup(stream, ts_col="ts", watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("dedup_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+
+    got = spark.sql("SELECT fp FROM dedup_out").collect()
+    fps = [r["fp"] for r in got]
+    # append-mode emission is exactly-once per fingerprint
+    assert len(fps) == len(set(fps))
+    # and covers every distinct content fingerprint from the batch rule
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    expect = {r["fp"] for r in
+              spark.read.parquet(src).select(F.md5(norm).alias("fp"))
+              .distinct().collect()}
+    assert set(fps) == expect
+    spark.catalog.dropTempView("dedup_out")
