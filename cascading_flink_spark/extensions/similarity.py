@@ -224,10 +224,53 @@ def _kmeans_centroids(corpus: DataFrame, k: int, dim: int,
     return cent
 
 
+def _refine_centroids_distributed(corpus: DataFrame, cent: "np.ndarray",
+                                  vec_col: str,
+                                  iterations: int = 1) -> "np.ndarray":
+    """Distributed Lloyd passes over the FULL corpus (not the sample).
+
+    Each pass: assignment is a vectorized-UDF map (broadcasting the k×dim
+    centroid matrix in the closure); the per-cell means reduce via
+    ``posexplode`` + ``groupBy(cell, dim_index)`` — map-side partial
+    aggregation means the shuffle carries at most k·dim partial sums per
+    partition, and only k·dim final rows (~1k) reach the driver.  This is
+    the standard distributed k-means formulation: O(scan) per pass, no
+    driver-side data, safe at any corpus size."""
+    for _ in range(iterations):
+        C = cent
+
+        @F.pandas_udf("struct<c:int, nv:array<double>>")
+        def assign_norm(v: pd.Series) -> pd.DataFrame:
+            M = np.stack(v.to_numpy()).astype(np.float64)
+            M = M / np.clip(np.linalg.norm(M, axis=1, keepdims=True),
+                            1e-12, None)
+            cells = (M @ C.T).argmax(axis=1).astype("int32")
+            return pd.DataFrame({"c": cells, "nv": list(M)})
+
+        a = corpus.select(assign_norm(F.col(vec_col)).alias("s")) \
+                  .select(F.col("s.c").alias("c"),
+                          F.posexplode("s.nv").alias("i", "v"))
+        rows = (a.groupBy("c", "i")
+                 .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+                 .collect())
+        cent = cent.copy()
+        sums = np.zeros_like(cent)
+        counts = np.zeros(len(cent))
+        for r in rows:
+            sums[r["c"], r["i"]] = r["s"]
+            counts[r["c"]] = r["n"]          # same count for every dim
+        for c in range(len(cent)):
+            if counts[c]:
+                m = sums[c] / counts[c]
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_centroids: int = 16, n_probe: int = 4, dim: int = 64,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             query_id_col: str = "query_id") -> DataFrame:
+             query_id_col: str = "query_id",
+             refine_iterations: int = 0) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse k-means quantizer
     partitions the corpus into ``n_centroids`` cells; each query scores only
     its ``n_probe`` nearest cells' vectors.
@@ -235,8 +278,16 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     The scale path complementing LSH: cell assignment is one broadcast-free
     vectorized UDF pass; the cell column is a natural partition/bucket key,
     so at 100 TB the index is written once partitioned by cell and each
-    query batch touches n_probe/n_centroids of the data."""
+    query batch touches n_probe/n_centroids of the data.
+
+    ``refine_iterations > 0`` runs that many distributed Lloyd passes over
+    the FULL corpus after the sample-based init
+    (:func:`_refine_centroids_distributed`) — one extra scan per pass,
+    recommended when cell balance matters more than index-build time."""
     cent = _kmeans_centroids(corpus, n_centroids, dim, vec_col, id_col=id_col)
+    if refine_iterations:
+        cent = _refine_centroids_distributed(corpus, cent, vec_col,
+                                             refine_iterations)
 
     @F.pandas_udf("int")
     def cell_of(v: pd.Series) -> pd.Series:

@@ -87,3 +87,16 @@ def test_ivf_recall_floor(spark, emb, queries):
                                 n_probe=6).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+
+
+def test_ivf_distributed_refinement(spark, emb, queries):
+    """Full-corpus Lloyd refinement must keep (typically improve) recall
+    and must not move any data to the driver beyond k*dim agg rows."""
+    k = 10
+    exact = {(r["query_id"], r["vec_id"])
+             for r in brute_force_topk(emb, queries, k=k).collect()}
+    refined = {(r["query_id"], r["vec_id"])
+               for r in ivf_topk(emb, queries, k=k, n_centroids=16,
+                                 n_probe=6, refine_iterations=2).collect()}
+    recall = len(exact & refined) / len(exact)
+    assert recall >= 0.5, f"refined IVF recall too low: {recall:.2f}"
