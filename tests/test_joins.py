@@ -150,3 +150,57 @@ def test_collision_without_declared_raises(spark, lhs):
     j = CoGroup([Pipe("L"), Pipe("L2")], [Fields("id"), Fields("id")])
     with pytest.raises(PlannerError):
         run(spark, j, L=lhs, L2=lhs)
+
+
+def test_groupby_after_cogroup(spark, sf_dir_small_orders=None):
+    """Join -> GroupBy over the join output (Cascading's
+    CoGroupAfterEvery/GroupByAfterJoin platform shapes)."""
+    o = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 10, 7.0), (3, 20, 1.0), (4, 30, 2.0)],
+        "okey int, cust int, amt double")
+    c = spark.createDataFrame(
+        [(10, "GOLD"), (20, "SILVER"), (30, "GOLD")], "ckey int, seg string")
+    j = CoGroup([Pipe("o"), Pipe("c")], [Fields("cust"), Fields("ckey")],
+                joiner=InnerJoin())
+    g = Every(GroupBy(j, Fields("seg")), Fields("amt"),
+              Sum(Fields("total"), "double"), Fields.ALL)
+    got = {(r["seg"], r["total"]) for r in run(spark, g, o=o, c=c).collect()}
+    assert got == {("GOLD", 14.0), ("SILVER", 1.0)}
+
+
+def test_join_aggregated_branch_back(spark):
+    """Fork: aggregate one branch, join it back to the detail rows
+    (JoinsIntoCoGroup shape) — per-row share of group total."""
+    o = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 10, 15.0), (3, 20, 4.0)],
+        "okey int, cust int, amt double")
+    detail = Pipe("o")
+    tot = Every(GroupBy(Pipe("o"), Fields("cust")), Fields("amt"),
+                Sum(Fields("cust_total"), "double"), Fields.ALL)
+    j = CoGroup([detail, tot], [Fields("cust"), Fields("cust")],
+                joiner=InnerJoin(), declared_fields=Fields(
+                    "okey", "cust", "amt", "cust2", "cust_total"))
+    got = {(r["okey"], r["amt"] / r["cust_total"])
+           for r in run(spark, j, o=o).collect()}
+    assert got == {(1, 0.25), (2, 0.75), (3, 1.0)}
+
+
+def test_diamond_same_source_two_filters_join(spark):
+    """Diamond: one source forked through two different filters, branches
+    joined — planner memoization must keep the branches distinct."""
+    from cascading_flink_spark.operations import ExpressionFilter
+    from cascading_flink_spark.pipes import Rename
+    d = spark.createDataFrame(
+        [(1, 3), (2, 8), (3, 15), (4, 30)], "id int, v int")
+    lo = Each(Pipe("d"), Fields("v"), ExpressionFilter("v >= 10"))
+    lo2 = Rename(lo, Fields("id", "v"), Fields("lid", "lv"))
+    hi = Each(Pipe("d"), Fields("v"), ExpressionFilter("v < 10"))
+    j = CoGroup([lo2, hi], [Fields("lid"), Fields("id")], joiner=InnerJoin())
+    got = {(r["id"], r["lv"], r["v"]) for r in run(spark, j, d=d).collect()}
+    # lo2 keeps v<10 rows (ids 1,2); hi keeps v>=10 rows (ids 3,4) — no overlap
+    assert got == set()
+    # sanity: outer join sees all four ids across the two branches
+    jo = CoGroup([lo2, hi], [Fields("lid"), Fields("id")], joiner=OuterJoin())
+    rows = run(spark, jo, d=d).collect()
+    ids = {r["lid"] or r["id"] for r in rows}
+    assert ids == {1, 2, 3, 4}
