@@ -37,6 +37,7 @@ class FlowDef:
         self.tails: list[Pipe] = []
         self.traps: dict[str, Tap] = {}
         self.assertion_level = AssertionLevel.STRICT
+        self.flow_conf: dict[str, str] = {}
 
     def add_source(self, pipe: Pipe | str, tap: Tap) -> "FlowDef":
         name = pipe if isinstance(pipe, str) else pipe.name
@@ -64,6 +65,18 @@ class FlowDef:
         self.assertion_level = level
         return self
 
+    def with_conf(self, conf: dict[str, str]) -> "FlowDef":
+        """Flow-level engine configuration — the step-level ConfigDef
+        analog (the reference folds step ConfigDefs into each node's
+        Flink Configuration, ``FlinkFlowStep.java:1376-1383``).  The SQL
+        confs are applied around :meth:`Flow.complete` and restored after,
+        so two flows on one session can run with different shuffle
+        partitioning, broadcast thresholds, AQE settings, etc.  Per-PIPE
+        ConfigDef remains a consciously-different mapping (COVERAGE.md):
+        Catalyst has no per-operator configuration."""
+        self.flow_conf.update({k: str(v) for k, v in conf.items()})
+        return self
+
 
 class Flow:
     """A planned flow: every tail compiled to a DataFrame, ready to run."""
@@ -84,19 +97,46 @@ class Flow:
             return next(iter(self._dataframes.values()))
         return self._dataframes[tail_name]
 
+    def _applied_conf(self):
+        """Context manager: apply the FlowDef's flow-level confs for the
+        duration of the action and restore the previous values after
+        (physical planning happens at action time, so confs like shuffle
+        partitions / broadcast threshold / AQE flags take full effect)."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def ctx():
+            saved: dict[str, str | None] = {}
+            for k, v in self.flow_def.flow_conf.items():
+                try:
+                    saved[k] = self.spark.conf.get(k)
+                except Exception:
+                    saved[k] = None
+                self.spark.conf.set(k, v)
+            try:
+                yield
+            finally:
+                for k, old in saved.items():
+                    if old is None:
+                        self.spark.conf.unset(k)
+                    else:
+                        self.spark.conf.set(k, old)
+        return ctx()
+
     def complete(self) -> None:
         """Run the flow: write every tail to its sink (the triggering action,
         like the reference's blocking job submit), then flush trap channels."""
-        for name, df in self._dataframes.items():
-            tap = self.flow_def.sinks.get(name)
-            if tap is None:
-                raise PlannerError(f"tail {name!r} has no bound sink")
-            tap.write(df)
-        if self._planner:
-            for pipe_name, trap_df in self._planner.trap_frames.items():
-                trap_tap = self.flow_def.traps.get(pipe_name)
-                if trap_tap is not None:
-                    trap_tap.write(trap_df)
+        with self._applied_conf():
+            for name, df in self._dataframes.items():
+                tap = self.flow_def.sinks.get(name)
+                if tap is None:
+                    raise PlannerError(f"tail {name!r} has no bound sink")
+                tap.write(df)
+            if self._planner:
+                for pipe_name, trap_df in self._planner.trap_frames.items():
+                    trap_tap = self.flow_def.traps.get(pipe_name)
+                    if trap_tap is not None:
+                        trap_tap.write(trap_df)
 
     def trap_dataframe(self, pipe_name: str) -> DataFrame:
         """Rows diverted by the trap on the named pipe (payload, error)."""

@@ -239,3 +239,32 @@ def test_trap_on_native_op_raises(spark):
           .add_trap("nat", Hfs(ParquetScheme(), "/tmp/never", SinkMode.REPLACE)))
     with pytest.raises(PlannerError, match="native operation"):
         FlowConnector(spark).connect(fd)
+
+
+def test_flow_level_conf_applied_and_restored(spark, tmp_path):
+    """FlowDef.with_conf applies SQL confs around complete() and restores
+    them — the step-level ConfigDef analog (FlinkFlowStep.java:1376-1383).
+    Verified observably: the sink's file count follows the flow's shuffle
+    partition setting."""
+    from cascading_flink_spark import (DataFrameTap, Every, Fields, FlowDef,
+                                       FlowConnector, GroupBy, Hfs,
+                                       ParquetScheme, Pipe, SinkMode)
+    from cascading_flink_spark.operations import Count
+    import glob
+
+    df = spark.range(1000).selectExpr("id % 97 as k", "id as v")
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    out = str(tmp_path / "conf_out")
+    tail = Every(GroupBy(Pipe("d"), Fields("k")), Fields.NONE,
+                 Count("n"), Fields.ALL)
+    fd = (FlowDef("conf_flow")
+          .add_source("d", DataFrameTap(df))
+          .add_tail_sink(tail, Hfs(ParquetScheme(), out, SinkMode.REPLACE))
+          .with_conf({"spark.sql.shuffle.partitions": "3",
+                      "spark.sql.adaptive.enabled": "false"}))
+    FlowConnector(spark).connect(fd).complete()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    parts = glob.glob(f"{out}/part-*")
+    assert len(parts) == 3, parts
+    assert spark.read.parquet(out).count() == 97
