@@ -23,6 +23,7 @@ from .similarity import (
 )
 from .multimodal import (
     MULTIMODAL_SCHEMA, attach_binary_meta, decode_stub_features,
+    frame_sample,
 )
 from .skew import salted_agg, salted_broadcast_left, stratified_sample
 

@@ -97,3 +97,48 @@ def decode_stub_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
             })
 
     return df.mapInPandas(_decode, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("ts_ms", T.LongType(), False),
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("feature", T.ArrayType(T.FloatType()), True),
+])
+
+
+def frame_sample(df: DataFrame, n_frames: int = 4, frame_interval_ms: int = 1000,
+                 dim: int = 8) -> DataFrame:
+    """Video frame sampling: one OUTPUT ROW PER SAMPLED FRAME — the
+    row-exploding decode stage (vs :func:`decode_stub_features`' 1:1 map).
+
+    REAL DECODER GOES HERE: decord/ffmpeg seek to each timestamp and
+    decode + resize one frame.  Stubbed in this container by slicing the
+    payload into ``n_frames`` byte windows and featurizing each with the
+    byte-histogram stub, so row counts, batch shapes and schema are
+    exactly what a real decoder produces.
+
+    Scale notes: the fan-out happens INSIDE the Arrow batch and the
+    ``payload`` bytes are projected away in the same stage — frames never
+    carry source bytes into a shuffle; with B-byte videos and f frames the
+    stage's output is f·dim floats per row, not f·B bytes."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "ts_ms": [],
+                   "n_bytes": [], "feature": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                nb = len(payload) if payload is not None else 0
+                step = max(1, nb // n_frames)
+                for i in range(n_frames):
+                    window = (payload[i * step:(i + 1) * step]
+                              if payload is not None else None)
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(i * frame_interval_ms)
+                    out["n_bytes"].append(nb)
+                    out["feature"].append(_stub_decode(window, dim))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_sample, schema=FRAME_SCHEMA)
