@@ -559,6 +559,20 @@ def q_redact_pii(spark, sf_dir):
     return redact_pii(_t(spark, sf_dir, "documents"))
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end curation composition: quality gates -> exact dedup (keep
+    lowest-id representative per content fingerprint) -> sequence packing
+    of the survivors.  One declarative plan — Catalyst fuses the quality
+    filter into the scan, the dedup is one hash-shuffle on uniform md5
+    keys, and the packing cumsum stays two-phase distributed."""
+    docs = _t(spark, sf_dir, "documents")
+    good = quality_filter(docs, min_tokens=30, max_punct_ratio=0.05)
+    fp = fingerprint(good)
+    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    kept = good.join(keep, "doc_id")
+    return chunk_corpus(kept, context_len=2048)
+
+
 def q_winnow_pairs(spark, sf_dir):
     """Winnowing (MOSS) contained-duplication pairs: shared local
     fingerprints with a doc-frequency cap on hot boilerplate keys."""
@@ -720,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_corpus": q_chunk_corpus,
         "redact_pii": q_redact_pii,
         "winnow_pairs": q_winnow_pairs,
+        "curation_pipeline": q_curation_pipeline,
     }
 
 
@@ -1180,6 +1195,47 @@ def oracle_sql() -> dict[str, str]:
                         END)::BIGINT AS n_tokens,
                        md5(CAST(doc_id AS VARCHAR)) AS h
                 FROM documents
+            ), c AS (
+                SELECT doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY h, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0)::BIGINT AS start_offset
+                FROM d WHERE n_tokens > 0
+            )
+            SELECT doc_id, n_tokens, start_offset,
+                   (start_offset // 2048)::BIGINT AS first_chunk,
+                   ((start_offset + n_tokens - 1) // 2048)::BIGINT AS last_chunk
+            FROM c
+        """,
+        # The chained-pipeline oracle reuses the quality_filter, fingerprint
+        # and chunk_corpus oracle fragments verbatim — the composition must
+        # be exactly the composition of the parts.
+        "curation_pipeline": """
+            WITH base AS (
+              SELECT doc_id, text,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_toks,
+                     regexp_replace(text, '\\s+', '', 'g') AS stripped
+              FROM documents),
+            good AS (
+              SELECT doc_id, text FROM base
+              WHERE n_toks >= 30
+                AND (length(stripped) - length(regexp_replace(stripped, '[^0-9A-Za-z_]', '', 'g'))) * 1.0
+                    / greatest(length(stripped), 1) <= 0.05),
+            fp AS (
+              SELECT doc_id,
+                     md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+              FROM good),
+            keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+            kept AS (SELECT g.doc_id, g.text FROM good g JOIN keep USING (doc_id)),
+            d AS (
+                SELECT doc_id,
+                       (CASE WHEN trim(text) = '' THEN 0
+                             ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                        END)::BIGINT AS n_tokens,
+                       md5(CAST(doc_id AS VARCHAR)) AS h
+                FROM kept
             ), c AS (
                 SELECT doc_id, n_tokens,
                        COALESCE(SUM(n_tokens) OVER (

@@ -64,3 +64,12 @@ def test_python_buffer_stage_keeps_parallelism(spark, sf_dir):
     (REPARTITION_BY_NUM is exempt from AQE coalescing)."""
     plan = plan_of(spark, "buffer_span", sf_dir)
     assert "REPARTITION_BY_NUM" in plan, plan[:4000]
+
+
+def test_curation_pipeline_filter_pushes_to_scan(spark, sf_dir):
+    """Composing quality filter -> dedup -> packing must keep the quality
+    predicate inside the parquet scan's pushed/partial filters (Catalyst
+    sees through the whole chain)."""
+    plan = plan_of(spark, "curation_pipeline", sf_dir)
+    assert re.search(r"PushedFilters: \[IsNotNull\(text\)", plan) or \
+        re.search(r"Filter.*n_toks|Filter.*size\(", plan), plan[:3000]
