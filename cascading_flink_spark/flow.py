@@ -73,7 +73,13 @@ class FlowDef:
         so two flows on one session can run with different shuffle
         partitioning, broadcast thresholds, AQE settings, etc.  Per-PIPE
         ConfigDef remains a consciously-different mapping (COVERAGE.md):
-        Catalyst has no per-operator configuration."""
+        Catalyst has no per-operator configuration.
+
+        Caveat: SQL confs are SESSION-scoped, so two flows running
+        concurrently (``complete_async``) on one session with different
+        ``with_conf`` sets race; give concurrent flows separate sessions
+        (``spark.newSession()``) as the reference gives each job its own
+        Flink environment."""
         self.flow_conf.update({k: str(v) for k, v in conf.items()})
         return self
 

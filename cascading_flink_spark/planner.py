@@ -48,8 +48,12 @@ def _python_stage_parts(df: DataFrame) -> int:
     explicit count is exempt from AQE coalescing; ``defaultParallelism``
     scales with executor count on a real cluster, so the stage keeps
     cluster-wide parallelism at 100 TB too."""
-    return max(df.sparkSession.sparkContext.defaultParallelism,
-               int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
+    try:
+        shuffle_parts = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:     # e.g. "auto" on some builds
+        shuffle_parts = 0
+    return max(df.sparkSession.sparkContext.defaultParallelism, shuffle_parts)
 
 
 class FlowPlanner:
