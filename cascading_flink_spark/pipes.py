@@ -124,7 +124,8 @@ class GroupBy(Pipe):
     def __init__(self, pipes: Pipe | Sequence[Pipe],
                  group_fields=Fields.NONE, sort_fields=None,
                  reverse_order: bool = False, name: str | None = None,
-                 comparators: dict | None = None) -> None:
+                 comparators: dict | None = None,
+                 num_partitions: int | None = None) -> None:
         pipe_list = [pipes] if isinstance(pipes, Pipe) else list(pipes)
         super().__init__(name)
         self.previous = pipe_list
@@ -137,6 +138,12 @@ class GroupBy(Pipe):
         # SQL expression per sort field defining the derived sort key, e.g.
         # {"name": "length(name)"} sorts groups by name length.
         self.comparators = dict(comparators) if comparators else None
+        # Per-grouping parallelism hint — the reference's per-node DOP
+        # (flink.num.shuffleTasks, FlinkFlowStep.java:187-195, applied via
+        # setParallelism on each reduce/sort op :426-438).  None = let the
+        # planner size the stage (AQE for native aggs, default parallelism
+        # for Python buffer stages).
+        self.num_partitions = num_partitions
 
 
 class Joiner:

@@ -451,8 +451,8 @@ class FlowPlanner:
                 return df.orderBy(*[direction(F.expr(s)) for s in sorts])
             return df
         sort_cols = [F.asc(k) for k in keys] + [direction(F.expr(s)) for s in sorts]
-        return df.repartition(_python_stage_parts(df),
-                              *[F.col(k) for k in keys]) \
+        nparts = getattr(pipe, "num_partitions", None) or _python_stage_parts(df)
+        return df.repartition(nparts, *[F.col(k) for k in keys]) \
                  .sortWithinPartitions(*sort_cols)
 
     def _compile_every_chain(self, tail: Every) -> DataFrame:
@@ -486,7 +486,8 @@ class FlowPlanner:
             if len(chain) != 1:
                 raise PlannerError("Buffer must be the only Every on a grouping "
                                    "(BufferAfterEveryAssert/EveryAfterBufferAssert)")
-            return self._compile_buffer(chain[0], df, keys, sorts, descending)
+            return self._compile_buffer(chain[0], df, keys, sorts, descending,
+                                        getattr(root, "num_partitions", None))
 
         incoming = df.columns
         agg_cols: list[Column] = []
@@ -507,6 +508,11 @@ class FlowPlanner:
                 agg_cols.append(op.agg_column(arg_cols))
 
         if keys:
+            # per-grouping DOP hint (reference setParallelism on reduce ops,
+            # FlinkFlowStep.java:426): explicit repartition is AQE-exempt
+            nparts = getattr(root, "num_partitions", None)
+            if nparts:
+                df = df.repartition(nparts, *[df[k] for k in keys])
             out = df.groupBy(*[df[k] for k in keys]).agg(*agg_cols)
         else:
             out = df.agg(*agg_cols)  # keyless/global aggregation (:573-600)
@@ -522,7 +528,8 @@ class FlowPlanner:
         return out.select(*out_names)
 
     def _compile_buffer(self, every: Every, df: DataFrame, keys: list[str],
-                        sorts: list[str], descending: bool) -> DataFrame:
+                        sorts: list[str], descending: bool,
+                        num_partitions: int | None = None) -> DataFrame:
         op = every.operation
         direction = F.desc if descending else F.asc
 
@@ -575,7 +582,7 @@ class FlowPlanner:
             order = [F.asc(k) for k in key_cols] + \
                     [(F.desc(F.expr(s)) if descending else F.asc(F.expr(s)))
                      for s in sort_keys]
-            sorted_df = df.repartition(_python_stage_parts(df),
+            sorted_df = df.repartition(num_partitions or _python_stage_parts(df),
                                        *[F.col(k) for k in key_cols]) \
                           .sortWithinPartitions(*order)
 

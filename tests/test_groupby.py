@@ -133,3 +133,35 @@ def test_aggregateby_sugar(spark, sales):
 def test_unique(spark, sales):
     u = Unique(Pipe("s"), Fields("k"))
     assert run(spark, u, s=sales).count() == 2
+
+
+def test_groupby_num_partitions_hint(spark):
+    """Per-grouping DOP hint — the reference's per-node setParallelism
+    (FlinkFlowStep.java:426) — must appear as an explicit (AQE-exempt)
+    repartition in the plan for both agg and buffer paths."""
+    import pandas as pd
+    from cascading_flink_spark import (DataFrameTap, Every, Fields, FlowDef,
+                                       FlowConnector, GroupBy, Pipe)
+    from cascading_flink_spark.operations import Count
+    from cascading_flink_spark.operations.buffers import PyBuffer
+
+    df = spark.range(500).selectExpr("id % 17 as k", "id as v")
+
+    def run(tail):
+        fd = FlowDef().add_source("d", DataFrameTap(df)).add_tail(tail)
+        return FlowConnector(spark).connect(fd).dataframe(tail.name)
+
+    agg = Every(GroupBy(Pipe("d"), Fields("k"), num_partitions=5),
+                Fields.NONE, Count("n"), Fields.ALL)
+    out = run(agg)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan
+    assert out.count() == 17
+
+    def span(pdf):
+        return pd.DataFrame({"k": pdf["k"].iloc[:1], "n": [len(pdf)]})
+    buf = Every(GroupBy(Pipe("d"), Fields("k"), num_partitions=7),
+                Fields.ALL, PyBuffer(Fields("k", "n"), span, ["long", "long"]),
+                Fields.ALL)
+    out2 = run(buf)
+    assert sum(r["n"] for r in out2.collect()) == 500
