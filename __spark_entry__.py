@@ -35,7 +35,7 @@ from cascading_flink_spark.extensions import (
     ivf_topk, lsh_bucketed_topk, minhash_lsh_pairs, minhash_lsh_pairs_md5,
     ngram_jaccard_pairs, quality_features, quality_filter, redact_pii,
     salted_agg, simhash_dup_pairs, simhash_md5_pairs, stratified_sample,
-    token_budget, winnow_pairs,
+    strip_boilerplate, token_budget, winnow_pairs,
 )
 
 
@@ -573,6 +573,13 @@ def q_curation_pipeline(spark, sf_dir):
     return chunk_corpus(kept, context_len=2048)
 
 
+def q_strip_boilerplate(spark, sf_dir):
+    """Boilerplate removal: tokens covered by k-grams shared across more
+    than max_df docs are dropped (whole repeated runs removed — grams
+    straddling run edges stay rare and protect surrounding prose)."""
+    return strip_boilerplate(_t(spark, sf_dir, "documents"), k=4, max_df=3)
+
+
 def q_winnow_pairs(spark, sf_dir):
     """Winnowing (MOSS) contained-duplication pairs: shared local
     fingerprints with a doc-frequency cap on hot boilerplate keys."""
@@ -735,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "winnow_pairs": q_winnow_pairs,
         "curation_pipeline": q_curation_pipeline,
+        "strip_boilerplate": q_strip_boilerplate,
     }
 
 
@@ -1248,6 +1256,38 @@ def oracle_sql() -> dict[str, str]:
                    (start_offset // 2048)::BIGINT AS first_chunk,
                    ((start_offset + n_tokens - 1) // 2048)::BIGINT AS last_chunk
             FROM c
+        """,
+        "strip_boilerplate": """
+            WITH toks AS (SELECT doc_id,
+                                 CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                                      ELSE regexp_split_to_array(lower(trim(text)), '\\s+')
+                                 END AS t
+                          FROM documents),
+            g AS (SELECT doc_id,
+                         [md5(array_to_string(t[i:i+3], ' ')) || '#' ||
+                          lpad((i-1)::VARCHAR, 8, '0')
+                          for i in range(1, len(t)-4+2)] AS fps
+                  FROM toks WHERE len(t) >= 4),
+            pf AS (SELECT doc_id, substr(m, 1, 32) AS fp,
+                          CAST(substr(m, 34, 8) AS INT) AS pos
+                   FROM (SELECT doc_id, unnest(fps) AS m FROM g)),
+            hot AS (SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM pf)
+                    GROUP BY fp HAVING count(*) > 3),
+            dropset AS (SELECT DISTINCT p.doc_id, p.pos + r.u AS ti
+                        FROM pf p JOIN hot USING (fp)
+                        CROSS JOIN range(0, 4) r(u)),
+            dl AS (SELECT doc_id, list(ti) AS dl FROM dropset GROUP BY doc_id),
+            o AS (SELECT tk.doc_id, tk.t,
+                         [tk.t[i] for i in range(1, len(tk.t)+1)
+                          if NOT coalesce(list_contains(d.dl, i-1), false)] AS kept
+                  FROM toks tk LEFT JOIN dl d USING (doc_id))
+            SELECT doc_id,
+                   -- array_to_string([]) is NULL in DuckDB (string_agg
+                   -- semantics) but '' in Spark's array_join: normalize
+                   coalesce(array_to_string(kept, ' '), '') AS clean_text,
+                   len(kept)::BIGINT AS n_tokens,
+                   (len(t) - len(kept))::BIGINT AS n_dropped
+            FROM o
         """,
         # Winnowing twin: the fingerprint string md5||'#'||lpad(pos) makes
         # string min == argmin by (hash, position) in both engines; list

@@ -385,6 +385,68 @@ def winnow_pairs(df: DataFrame, k: int = 4, w: int = 4,
                   .select("id_a", "id_b", "n_shared", "containment"))
 
 
+def strip_boilerplate(df: DataFrame, k: int = 4, w: int = 4,
+                      max_df: int = 10, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Remove ubiquitous repeated spans (site headers/footers, license
+    banners) from every document.
+
+    A token k-gram whose hash appears in MORE than ``max_df`` documents
+    marks boilerplate; every token covered by such a gram's [pos, pos+k)
+    span is dropped.  Because every gram fully inside a repeated run is
+    hot, the WHOLE run is removed (overlapping spans cover its edges too),
+    while grams straddling the run boundary mix in per-doc text, stay
+    rare, and leave the surrounding prose intact.  Output is the
+    whitespace-normalized, lower-cased token stream with those spans
+    removed — the form downstream dedup / tokenization consumes.
+
+    Returns ``(doc_id, clean_text, n_tokens, n_dropped)``.  Scale shape:
+    gram doc-frequency is one explode + count-distinct shuffle (the same
+    cost class as the n-gram Jaccard frequency step); the hot table that
+    joins back is tiny (only df > max_df survivors), the drop-set join is
+    per-(doc, token-index) equality, and regrouping uses
+    sort_array(collect_list) per doc — all shuffle keys uniform.
+    ``w`` is accepted for signature symmetry with the winnowing ops but
+    unused (removal considers every gram, not a winnowed selection —
+    selection is for DETECTION economy; removal wants full coverage)."""
+    fps = (_fan_out(df)
+           .select(F.col(id_col).alias("id"),
+                   _gram_fp_strings_arrow(text_col, k).alias("fps"))
+           .filter(F.size("fps") > 0)
+           .select("id", F.posexplode("fps").alias("pos", "m"))
+           .select("id", "pos", F.substring("m", 1, 32).alias("fp")))
+    hot = (fps.select("id", "fp").distinct()
+              .groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
+              .filter(F.col("__df") > max_df)
+              .select("fp"))
+    drop = (fps.join(hot, "fp")
+              .select("id", F.explode(
+                  F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("ti"))
+              .distinct())
+    trimmed = F.trim(F.lower(F.col(text_col)))
+    toks_arr = F.when(trimmed == "", F.array().cast("array<string>")) \
+                .otherwise(F.split(trimmed, r"\s+"))
+    toks = (df.select(F.col(id_col).alias("id"), toks_arr.alias("t"))
+              .select("id", F.posexplode_outer("t").alias("ti", "tok")))
+    kept = toks.filter(F.col("ti").isNotNull()) \
+               .join(drop, ["id", "ti"], "left_anti")
+    agg = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(F.sort_array(F.collect_list(F.struct("ti", "tok"))),
+                        lambda s: s["tok"]), " ").alias("clean_text"),
+        F.count(F.lit(1)).alias("n_tokens"))
+    base = df.select(F.col(id_col).alias("id"),
+                     F.size(toks_arr).cast("long").alias("__orig"))
+    return (base.join(agg, "id", "left")
+                .select(F.col("id").alias(id_col),
+                        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                        F.coalesce("n_tokens", F.lit(0)).cast("long")
+                         .alias("n_tokens"),
+                        (F.col("__orig") -
+                         F.coalesce("n_tokens", F.lit(0))).cast("long")
+                         .alias("n_dropped")))
+
+
 def simhash_md5_pairs(df: DataFrame, max_hamming: int = 3,
                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """SimHash near-dup pairs with md5-derived token hashes — cross-engine

@@ -105,3 +105,34 @@ def test_winnow_positions_valid(spark, sf_dir):
     fp = winnow_fingerprints(docs, k=4, w=4)
     bad = fp.filter((F.col("pos") < 0) | F.col("fp").rlike("[^0-9a-f]")).count()
     assert bad == 0 and fp.count() > 0
+
+
+def test_strip_boilerplate_removes_whole_run(spark):
+    from cascading_flink_spark.extensions import strip_boilerplate
+    boiler = "this header is on every single page of the site"
+    rows = [(i, f"{boiler} unique body number {i} with words w{i*7} w{i*13}")
+            for i in range(1, 21)]
+    rows.append((99, "totally clean document with no boilerplate at all here"))
+    rows.append((100, ""))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in strip_boilerplate(df, k=4, max_df=10).collect()}
+    # the full 9-token repeated run is gone (plus the shared lead-in words
+    # whose grams are also identical in every doc)
+    assert boiler not in out[1]["clean_text"]
+    assert "w7" in out[1]["clean_text"] and "w13" in out[1]["clean_text"]
+    assert out[1]["n_dropped"] > 0
+    # untouched docs come through verbatim (normalized) with zero drops
+    assert out[99]["n_dropped"] == 0
+    assert out[99]["clean_text"].startswith("totally clean document")
+    # empty docs survive with empty output
+    assert out[100]["clean_text"] == "" and out[100]["n_tokens"] == 0
+
+
+def test_strip_boilerplate_token_accounting(spark, sf_dir):
+    from cascading_flink_spark.extensions import strip_boilerplate
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = strip_boilerplate(docs, k=4, max_df=3)
+    assert out.count() == docs.count()
+    bad = out.filter((F.col("n_tokens") < 0) | (F.col("n_dropped") < 0)).count()
+    assert bad == 0
