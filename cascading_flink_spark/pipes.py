@@ -358,10 +358,22 @@ class Checkpoint(Pipe):
     """Materialization hint at a branch point.  Flink reuses intermediate
     results natively (reference dispatch ``:230-242`` memoizes per boundary);
     Spark recomputes branches by default, so Checkpoint compiles to
-    ``.cache()`` (SURVEY.md §2.1 #16)."""
+    ``.cache()`` (SURVEY.md §2.1 #16).
 
-    def __init__(self, previous: Pipe, name: str | None = None) -> None:
+    With ``tap`` it is a DURABLE checkpoint (Cascading's checkpoint tap /
+    flow-restart support): if the tap's path already holds data, the
+    upstream subgraph is SKIPPED and the checkpoint is read back —
+    re-running a failed flow resumes after its last completed checkpoint.
+    Otherwise the upstream result is written to the tap when the flow is
+    planned and read back as the branch input.  (The write is one eager
+    job at ``connect()`` time: Spark's lazy model has no between-steps
+    barrier to hang it on, and plan-time is where this planner resolves
+    everything else eagerly too.)"""
+
+    def __init__(self, previous: Pipe, name: str | None = None,
+                 tap=None) -> None:
         super().__init__(name, previous)
+        self.tap = tap
 
 
 # --------------------------------------------------------------------------

@@ -134,6 +134,17 @@ class FlowPlanner:
         if isinstance(pipe, Unique):
             return self._compile_unique(pipe)
         if isinstance(pipe, Checkpoint):
+            if pipe.tap is not None:
+                # Durable checkpoint / flow restart (Cascading checkpoint
+                # taps): existing data short-circuits the upstream subgraph.
+                try:
+                    existing = pipe.tap.read(self.spark)
+                    existing.schema  # force resolution; raises if no data
+                    return existing
+                except Exception:
+                    pass
+                pipe.tap.write(self._compile(pipe.previous[0]))
+                return pipe.tap.read(self.spark)
             return self._compile(pipe.previous[0]).cache()
         if type(pipe) is Pipe:
             if not pipe.previous:

@@ -268,3 +268,40 @@ def test_flow_level_conf_applied_and_restored(spark, tmp_path):
     parts = glob.glob(f"{out}/part-*")
     assert len(parts) == 3, parts
     assert spark.read.parquet(out).count() == 97
+
+
+def test_durable_checkpoint_restart(spark, tmp_path):
+    """Checkpoint with a tap: first plan writes it; re-planning (flow
+    restart) reads the existing data and SKIPS the upstream subgraph —
+    Cascading's checkpoint-tap restart semantics."""
+    from cascading_flink_spark import (DataFrameTap, Each, Fields, FlowDef,
+                                       FlowConnector, Hfs, ParquetScheme,
+                                       Pipe, SinkMode)
+    from cascading_flink_spark.operations import ExpressionFunction
+    from cascading_flink_spark.pipes import Checkpoint
+
+    calls = {"n": 0}
+
+    def build(df):
+        head = Pipe("d")
+        derived = Each(head, Fields("v"),
+                       ExpressionFunction(Fields("doubled"), "v * 2"),
+                       Fields.ALL)
+        cp = Checkpoint(derived, tap=Hfs(ParquetScheme(),
+                                         str(tmp_path / "cp"),
+                                         SinkMode.REPLACE))
+        tail = Each(cp, Fields("doubled"),
+                    ExpressionFunction(Fields("quad"), "doubled * 2"),
+                    Fields.ALL)
+        fd = FlowDef().add_source("d", DataFrameTap(df)).add_tail(tail)
+        return FlowConnector(spark).connect(fd).dataframe(tail.name)
+
+    df1 = spark.createDataFrame([(1, 10), (2, 20)], "id int, v int")
+    out1 = {(r["id"], r["quad"]) for r in build(df1).collect()}
+    assert out1 == {(1, 40), (2, 80)}
+
+    # restart with DIFFERENT source data: the checkpoint must win (upstream
+    # skipped), proving the resume path doesn't recompute
+    df2 = spark.createDataFrame([(9, 999)], "id int, v int")
+    out2 = {(r["id"], r["quad"]) for r in build(df2).collect()}
+    assert out2 == out1
