@@ -465,6 +465,48 @@ def q_nary_outer_join(spark, sf_dir):
     return out.select("pattern", "n", F.col("total").cast("double").alias("total"))
 
 
+def q_logic_filters(spark, sf_dir):
+    """Composed logic filters (And/Or/Not over ExpressionFilters): orders
+    that are high-value OR (urgent AND open)."""
+    from cascading_flink_spark.operations.filters import And, Not, Or
+    orders = _t(spark, sf_dir, "orders")
+    # filters REMOVE rows; keep = NOT(remove). Keep rows where
+    # o_totalprice > 250000 OR (priority = 1-URGENT AND status = 'O').
+    drop_high = ExpressionFilter("o_totalprice > 250000")       # removes high
+    drop_urgent = ExpressionFilter("o_orderpriority = '1-URGENT'")
+    drop_open = ExpressionFilter("o_orderstatus = 'O'")
+    # remove = NOT(high OR (urgent AND open)) = NOT high AND NOT(urgent AND open)
+    keep = And(Not(drop_high), Not(And(drop_urgent, drop_open)))
+    f = Each(Pipe("orders"),
+             Fields("o_totalprice", "o_orderpriority", "o_orderstatus"),
+             keep)
+    r = Each(f, Fields("o_orderkey"),
+             ExpressionFunction(Fields("okey"), "o_orderkey"), Fields.RESULTS)
+    return _flow(spark, r, orders=orders)
+
+
+def q_retain_coerce(spark, sf_dir):
+    """Retain + Rename + Coerce sugar: project, rename, and retype."""
+    from cascading_flink_spark.pipes import Coerce, Rename, Retain
+    orders = _t(spark, sf_dir, "orders")
+    p = Retain(Pipe("orders"), Fields("o_orderkey", "o_totalprice"))
+    p = Rename(p, Fields("o_orderkey", "o_totalprice"),
+               Fields("okey", "price"))
+    p = Coerce(p, Fields("price"), ["long"])
+    return _flow(spark, p, orders=orders)
+
+
+def q_hashjoin_cross(spark, sf_dir):
+    """Keyless HashJoin = broadcast cross product (region x nation)."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    j = HashJoin([Pipe("region"), Pipe("nation")], [Fields.NONE, Fields.NONE])
+    r = Each(j, Fields("r_name", "n_name"),
+             ExpressionFunction(Fields("pair"), "concat(r_name, '|', n_name)"),
+             Fields.RESULTS)
+    return _flow(spark, r, region=region, nation=nation)
+
+
 def q_semi_join(spark, sf_dir):
     """Left-semi: customers with at least one large order (SQL EXISTS)."""
     cust = _t(spark, sf_dir, "customer")
@@ -743,6 +785,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "curation_pipeline": q_curation_pipeline,
         "strip_boilerplate": q_strip_boilerplate,
+        "logic_filters": q_logic_filters,
+        "retain_coerce": q_retain_coerce,
+        "hashjoin_cross": q_hashjoin_cross,
     }
 
 
@@ -1256,6 +1301,20 @@ def oracle_sql() -> dict[str, str]:
                    (start_offset // 2048)::BIGINT AS first_chunk,
                    ((start_offset + n_tokens - 1) // 2048)::BIGINT AS last_chunk
             FROM c
+        """,
+        "logic_filters": """
+            SELECT o_orderkey AS okey FROM orders
+            WHERE o_totalprice > 250000
+               OR (o_orderpriority = '1-URGENT' AND o_orderstatus = 'O')
+        """,
+        "retain_coerce": """
+            -- Spark's double->long cast truncates toward zero; DuckDB's
+            -- CAST rounds, so trunc() first
+            SELECT o_orderkey AS okey, CAST(trunc(o_totalprice) AS BIGINT) AS price
+            FROM orders
+        """,
+        "hashjoin_cross": """
+            SELECT concat(r_name, '|', n_name) AS pair FROM region, nation
         """,
         "strip_boilerplate": """
             WITH toks AS (SELECT doc_id,
