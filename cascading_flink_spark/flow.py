@@ -219,9 +219,21 @@ class FlowConnector:
     def connect(self, flow_def: FlowDef) -> Flow:
         if not flow_def.tails:
             raise PlannerError("FlowDef has no tails")
-        sources = {name: tap.read(self.spark) for name, tap in flow_def.sources.items()}
         planner = FlowPlanner(self.spark, assertion_level=flow_def.assertion_level,
                               traps=set(flow_def.traps))
+        sources = {}
+        for name, tap in flow_def.sources.items():
+            scheme = getattr(tap, "scheme", None)
+            if name in flow_def.traps and hasattr(scheme, "read_trapped"):
+                # SOURCE trap: scheme-level parse failures divert to the
+                # trap channel instead of failing the read (Cascading tap
+                # traps; FlinkFlowProcess.java:169-190)
+                good, bad = scheme.read_trapped(self.spark, tap.paths)
+                sources[name] = good
+                if bad is not None:
+                    planner.trap_frames[name] = bad
+            else:
+                sources[name] = tap.read(self.spark)
         dataframes = {}
         for tail in flow_def.tails:
             heads = tail.heads

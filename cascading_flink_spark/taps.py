@@ -113,6 +113,36 @@ class TextDelimited(Scheme):
             .option("header", str(self.header).lower())
             .csv(path))
 
+    def read_trapped(self, spark, paths):
+        """(good, trapped) split for typed reads — SOURCE traps (the
+        reference inherits tap-level failure capture from Cascading,
+        ``runtime/util/FlinkFlowProcess.java:169-190``): rows whose
+        columns fail type parsing divert to the trap channel as
+        (payload = raw record, error) instead of failing the flow.
+        Untyped reads cannot fail to parse, so they trap nothing."""
+        if self.fields is None or self.types is None:
+            return self.read(spark, paths), None
+        schema = ", ".join(f"`{n}` {t}"
+                           for n, t in zip(self.fields.names, self.types))
+        schema += ", `__corrupt` string"
+        reader = (spark.read
+                  .option("sep", self.delimiter)
+                  .option("header", str(self.header).lower())
+                  .option("mode", "PERMISSIVE")
+                  .option("columnNameOfCorruptRecord", "__corrupt")
+                  .schema(schema))
+        if self.quote is not None:
+            reader = reader.option("quote", self.quote)
+        # cache: Spark disallows queries referencing ONLY the internal
+        # corrupt-record column of a raw CSV/JSON scan
+        df = reader.csv(*paths).cache()
+        good = df.filter(F.col("__corrupt").isNull()).drop("__corrupt")
+        bad = (df.filter(F.col("__corrupt").isNotNull())
+                 .select(F.col("__corrupt").alias("payload"),
+                         F.lit("malformed record: type parse failed")
+                          .alias("error")))
+        return good, bad
+
 
 class ParquetScheme(Scheme):
     """Columnar binary — the SequenceFile analog (SURVEY.md §2.3): typed,

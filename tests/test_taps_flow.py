@@ -305,3 +305,39 @@ def test_durable_checkpoint_restart(spark, tmp_path):
     df2 = spark.createDataFrame([(9, 999)], "id int, v int")
     out2 = {(r["id"], r["quad"]) for r in build(df2).collect()}
     assert out2 == out1
+
+
+def test_source_trap_catches_malformed_rows(spark, tmp_path):
+    """A trap on a HEAD pipe captures rows whose typed CSV parse fails
+    (Cascading source/tap traps) while the flow processes the good rows."""
+    from cascading_flink_spark import (Each, Fields, FlowDef, FlowConnector,
+                                       Hfs, ParquetScheme, Pipe, SinkMode,
+                                       TextDelimited)
+    from cascading_flink_spark.operations import ExpressionFunction
+
+    src = tmp_path / "in.tsv"
+    src.write_text("1\talpha\n2\tbeta\nnot_a_number\tgamma\n4\tdelta\n"
+                   "also_bad\tepsilon\n")
+    head = Pipe("rows")
+    doubled = Each(head, Fields("num"),
+                   ExpressionFunction(Fields("twice"), "num * 2"), Fields.ALL)
+    trap_out = tmp_path / "trapped"
+    fd = (FlowDef("srctrap")
+          .add_source(head, Hfs(TextDelimited(fields=("num", "word"),
+                                              types=("int", "string")),
+                                str(src)))
+          .add_trap(head, Hfs(ParquetScheme(), str(trap_out),
+                              SinkMode.REPLACE))
+          .add_tail(doubled))
+    flow = FlowConnector(spark).connect(fd)
+    good = {(r["num"], r["twice"]) for r in flow.dataframe().collect()}
+    assert good == {(1, 2), (2, 4), (4, 8)}
+    trapped = flow.trap_dataframe("rows").collect()
+    payloads = {r["payload"] for r in trapped}
+    assert payloads == {"not_a_number\tgamma", "also_bad\tepsilon"}
+    assert all("malformed" in r["error"] for r in trapped)
+    # complete() flushes the trap channel to its tap
+    fd.add_sink(doubled, Hfs(ParquetScheme(), str(tmp_path / "out"),
+                             SinkMode.REPLACE))
+    FlowConnector(spark).connect(fd).complete()
+    assert spark.read.parquet(str(trap_out)).count() == 2
