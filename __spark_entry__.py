@@ -356,12 +356,15 @@ def q_token_stats_by_lang(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     toks = F.when(F.trim("text") == "", F.lit(0)) \
             .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    # avg emitted as integer hundredths: both engines compute the same IEEE
+    # double for sum/count*100+0.5, and an integer can never hash-diverge the
+    # way a final /100 double can (1-ulp repr differences).
     return (docs.select("lang", toks.alias("n_tokens"))
             .groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").cast("long").alias("sum_tokens"),
-                 (F.floor(F.avg("n_tokens") * 100 + F.lit(0.5)) / 100)
-                     .alias("avg_tokens")))
+                 F.floor(F.avg("n_tokens") * 100 + F.lit(0.5))
+                     .cast("long").alias("avg_tokens_x100")))
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -1042,8 +1045,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n_docs,
                    sum(CASE WHEN trim(text) = '' THEN 0
                             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS sum_tokens,
-                   floor(avg(CASE WHEN trim(text) = '' THEN 0
-                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) * 100 + 0.5) / 100 AS avg_tokens
+                   CAST(floor(avg(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) * 100 + 0.5) AS BIGINT) AS avg_tokens_x100
             FROM documents GROUP BY lang
         """,
         "ngram_jaccard": """

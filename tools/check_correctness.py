@@ -35,7 +35,10 @@ def norm_cell(v) -> str:
             return "NaN"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return f"{v:.6g}"
+        # Full-precision shortest repr: a 1-ulp cross-engine difference MUST
+        # fail here, so the local mimic can never pass what the driver fails
+        # (round-2 lesson: %.6g masked exactly such a divergence).
+        return repr(v)
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
