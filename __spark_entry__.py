@@ -21,8 +21,8 @@ from pyspark.sql import functions as F
 from cascading_flink_spark import (
     AntiJoin, BufferJoin, CoGroup, CountBy, DataFrameTap, Each, Every,
     Except, Fields, FlowConnector, FlowDef, GroupBy, HashJoin, Intersect,
-    LeftJoin, Merge, MixedJoin, OuterJoin, Pipe, Pivot, Rollup, SemiJoin,
-    Unique,
+    LeftJoin, Merge, MixedJoin, OuterJoin, Pipe, Pivot, RightJoin, Rollup,
+    SemiJoin, Unique,
 )
 from cascading_flink_spark.operations import (
     Average, Count, ExpressionFilter, ExpressionFunction, FirstNBuffer,
@@ -410,16 +410,17 @@ def q_multimodal_meta(spark, sf_dir):
 
 
 def q_mixed_join(spark, sf_dir):
-    """MixedJoin with per-input outer flags: customer is the outer side,
-    the filtered orders input is inner — unmatched customers survive with
-    null order columns."""
+    """MixedJoin with per-input outer flags (Cascading convention: True =
+    that input joined outer / null-padded): customer required, the filtered
+    orders input outer — unmatched customers survive with null order
+    columns (a left join spelled as MixedJoin)."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     big = Each(Pipe("orders"), Fields("o_totalprice"),
                ExpressionFilter("o_totalprice <= 150000"))
     j = CoGroup([Pipe("customer"), big],
                 [Fields("c_custkey"), Fields("o_custkey")],
-                joiner=MixedJoin([True, False]))
+                joiner=MixedJoin([False, True]))
     tagged = Each(j, Fields("o_orderpriority"),
                   ExpressionFunction(Fields("prio"),
                                      "coalesce(o_orderpriority, 'NONE')"),
@@ -428,18 +429,19 @@ def q_mixed_join(spark, sf_dir):
                  customer=cust, orders=orders)
 
 
-def q_nary_outer_join(spark, sf_dir):
-    """3-way full-outer CoGroup with keys STAGGERED across inputs — keys
-    present only in inputs 2+3 must still co-group into one row (the
-    reference's accumulating full-outer cogroup cascade,
-    FlinkFlowStep.java:706-763; fixed via coalesced key lineage in
-    planner._compile_cogroup)."""
+def _q_nary_staggered(spark, sf_dir, joiner):
+    """3-way CoGroup with keys STAGGERED across inputs (A: keys<=200,
+    B: 150..400, C: 100..300 — so some keys live in A and C but skip B)
+    — exercises the reference's accumulate-then-emit
+    joiner model (FlinkFlowStep.java:688-763, TupleOuterJoiner.java:50-63):
+    all inputs co-group through the full-outer cascade, then the joiner
+    emits per key by input presence."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     a = (cust.filter(F.col("c_custkey") <= 200)
          .select(F.col("c_custkey").alias("a_key"),
                  F.col("c_name").alias("a_name")))
-    b = (orders.filter(F.col("o_custkey") <= 400)
+    b = (orders.filter(F.col("o_custkey").between(150, 400))
          .select(F.col("o_custkey").alias("b_key"), "o_orderkey",
                  "o_totalprice"))
     c = (cust.filter(F.col("c_custkey").between(100, 300))
@@ -447,7 +449,7 @@ def q_nary_outer_join(spark, sf_dir):
                  F.col("c_acctbal").alias("c_bal")))
     j = CoGroup([Pipe("A"), Pipe("B"), Pipe("C")],
                 [Fields("a_key"), Fields("b_key"), Fields("c_key")],
-                joiner=OuterJoin())
+                joiner=joiner)
     pat = Each(j, Fields("a_key", "b_key", "c_key"),
                ExpressionFunction(
                    Fields("pattern"),
@@ -466,6 +468,27 @@ def q_nary_outer_join(spark, sf_dir):
     out = _flow(spark, e, A=a, B=b, C=c)
     # exact decimal sum cast to double: identical IEEE value in DuckDB
     return out.select("pattern", "n", F.col("total").cast("double").alias("total"))
+
+
+def q_nary_outer_join(spark, sf_dir):
+    """3-way full-outer CoGroup, staggered keys: keys present only in
+    inputs 2+3 must still co-group into one row (coalesced key lineage,
+    FlinkFlowStep.java:706-763)."""
+    return _q_nary_staggered(spark, sf_dir, OuterJoin())
+
+
+def q_nary_right_join(spark, sf_dir):
+    """3-way RightJoin, staggered keys: a key in A and C but not B emits
+    (a, null, c) — Cascading's accumulate-then-emit, NOT the chained-right
+    fold that would null-pad A (TupleOuterJoiner.java:50-63)."""
+    return _q_nary_staggered(spark, sf_dir, RightJoin())
+
+
+def q_nary_mixed_join(spark, sf_dir):
+    """3-way MixedJoin [required, outer, required]: groups emit iff inputs
+    A and C are present, B null-padded when absent — per-key joiner
+    emission over the accumulating cogroup cascade."""
+    return _q_nary_staggered(spark, sf_dir, MixedJoin([False, True, False]))
 
 
 def q_logic_filters(spark, sf_dir):
@@ -766,6 +789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "mixed_join": q_mixed_join,
         "nary_outer_join": q_nary_outer_join,
+        "nary_right_join": q_nary_right_join,
+        "nary_mixed_join": q_nary_mixed_join,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "fingerprint": q_fingerprint,
@@ -795,6 +820,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _EN_MARKERS_SQL = "('the','and','of','to','in','is','that','it','for','was')"
+
+
+def _nary_staggered_sql(where: str) -> str:
+    """Oracle for the staggered 3-way CoGroup family: full-outer cascade on
+    the coalesced key, then the joiner's emission as a presence filter."""
+    return f"""
+            WITH a AS (SELECT c_custkey AS a_key, c_name AS a_name
+                       FROM customer WHERE c_custkey <= 200),
+            b AS (SELECT o_custkey AS b_key, o_orderkey, o_totalprice
+                  FROM orders WHERE o_custkey BETWEEN 150 AND 400),
+            c AS (SELECT c_custkey AS c_key, c_acctbal AS c_bal
+                  FROM customer WHERE c_custkey BETWEEN 100 AND 300),
+            ab AS (SELECT * FROM a FULL JOIN b ON a_key = b_key),
+            j AS (SELECT * FROM ab FULL JOIN c ON coalesce(a_key, b_key) = c_key)
+            SELECT concat(CASE WHEN a_key IS NULL THEN '-' ELSE 'A' END,
+                          CASE WHEN b_key IS NULL THEN '-' ELSE 'B' END,
+                          CASE WHEN c_key IS NULL THEN '-' ELSE 'C' END) AS pattern,
+                   count(*) AS n,
+                   cast(sum(cast(coalesce(o_totalprice, 0) AS decimal(18,2))) AS double) AS total
+            FROM j WHERE {where} GROUP BY pattern
+        """
 
 
 def _minhash_md5_oracle() -> str:
@@ -1098,22 +1144,13 @@ def oracle_sql() -> dict[str, str]:
             FROM customer LEFT JOIN big ON c_custkey = o_custkey
             GROUP BY 1
         """,
-        "nary_outer_join": """
-            WITH a AS (SELECT c_custkey AS a_key, c_name AS a_name
-                       FROM customer WHERE c_custkey <= 200),
-            b AS (SELECT o_custkey AS b_key, o_orderkey, o_totalprice
-                  FROM orders WHERE o_custkey <= 400),
-            c AS (SELECT c_custkey AS c_key, c_acctbal AS c_bal
-                  FROM customer WHERE c_custkey BETWEEN 100 AND 300),
-            ab AS (SELECT * FROM a FULL JOIN b ON a_key = b_key),
-            j AS (SELECT * FROM ab FULL JOIN c ON coalesce(a_key, b_key) = c_key)
-            SELECT concat(CASE WHEN a_key IS NULL THEN '-' ELSE 'A' END,
-                          CASE WHEN b_key IS NULL THEN '-' ELSE 'B' END,
-                          CASE WHEN c_key IS NULL THEN '-' ELSE 'C' END) AS pattern,
-                   count(*) AS n,
-                   cast(sum(cast(coalesce(o_totalprice, 0) AS decimal(18,2))) AS double) AS total
-            FROM j GROUP BY pattern
-        """,
+        "nary_outer_join": _nary_staggered_sql("true"),
+        # accumulate-then-emit: the full-outer cascade with a presence
+        # filter per required input (keys are non-null in this data, so
+        # key-presence is an exact presence marker here)
+        "nary_right_join": _nary_staggered_sql("c_key IS NOT NULL"),
+        "nary_mixed_join": _nary_staggered_sql(
+            "a_key IS NOT NULL AND c_key IS NOT NULL"),
         "semi_join": """
             SELECT * FROM customer
             WHERE EXISTS (SELECT 1 FROM orders

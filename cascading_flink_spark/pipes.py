@@ -183,10 +183,16 @@ class AntiJoin(Joiner):
 
 
 class MixedJoin(Joiner):
-    """Per-input outer flags (True = keep unmatched rows of that input).
+    """Per-input outer flags, Cascading's convention: True = that input is
+    joined OUTER (its absence for a key is tolerated and null-padded);
+    False = that input is required (a key-group without it emits nothing).
+    ``[False, True]`` is a left join; ``[True, False]`` a right join.
 
-    n-ary semantics via the chained-join interpretation of the reference's
-    full-outer-cogroup plan (``prepareFullOuterCoGroupInput`` ``:706-763``).
+    n-ary semantics are the reference's accumulate-then-emit model: all
+    inputs co-group through a full-outer cascade, then the joiner decides
+    emission per key (``prepareFullOuterCoGroupInput``
+    ``FlinkFlowStep.java:706-763``, ``TupleOuterJoiner.java:50-63``) — a
+    key present in inputs 1 and 3 but not 2 still pairs 1 with 3.
     """
 
     def __init__(self, outer_flags: Sequence[bool]) -> None:

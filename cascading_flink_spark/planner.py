@@ -29,8 +29,8 @@ from .operations.filters import CounterOp, Limit, PyFilter
 from .operations.functions import PyFunction, UnGroup
 from .pipes import (
     AntiJoin, BufferJoin, Checkpoint, CoGroup, Each, Every, Except,
-    GroupBy, HashJoin, Intersect, MixedJoin, Merge, Pipe, Pivot, Rollup,
-    SemiJoin, Unique,
+    GroupBy, HashJoin, InnerJoin, Intersect, LeftJoin, MixedJoin, Merge,
+    OuterJoin, Pipe, Pivot, RightJoin, Rollup, SemiJoin, Unique,
 )
 
 
@@ -732,15 +732,66 @@ class FlowPlanner:
                 out = out.crossJoin(F.broadcast(d) if broadcast_rest else d)
             return out, []
 
-        if isinstance(joiner, MixedJoin):
+        # Accumulate-then-emit (the reference's joiner model,
+        # FlinkFlowStep.java:688-763 + TupleOuterJoiner.java:50-63): all
+        # inputs co-group through a full-outer cascade keyed on the
+        # coalesced accumulated key, then the joiner decides emission per
+        # key as a presence predicate over the REQUIRED inputs —
+        # Inner: all required; Left: input 1; Right: input n; Mixed: every
+        # non-outer-flagged input; Outer: none.  For the required-set
+        # shapes where a chained fold is provably equivalent (all / {first}
+        # / {} / 2-way {last}) we emit the direct chain so Catalyst sees
+        # plain inner/left/right joins with no filter; otherwise we chain
+        # full-outers with constant presence markers and filter at the top
+        # — Catalyst's outer-join elimination + predicate pushdown rewrite
+        # the filtered full-outers back to inner/left/right joins, so the
+        # physical plan matches the direct form.
+        if semi_anti:
+            required = None  # native left_semi/left_anti, no emission filter
+        elif isinstance(joiner, MixedJoin):
             flags = joiner.outer_flags
             if len(flags) != n:
                 raise PlannerError("MixedJoin flags arity != inputs")
+            required = [i for i, outer in enumerate(flags) if not outer]
+        elif isinstance(joiner, InnerJoin):
+            required = list(range(n))
+        elif isinstance(joiner, LeftJoin):
+            required = [0]
+        elif isinstance(joiner, RightJoin):
+            required = [n - 1]
+        elif isinstance(joiner, OuterJoin):
+            required = []
+        else:  # custom Joiner subclass carrying a plain `how`
+            how = getattr(joiner, "how", None)
+            try:
+                required = {"inner": list(range(n)), "left": [0],
+                            "right": [n - 1], "full": []}[how]
+            except KeyError:
+                raise PlannerError(
+                    f"unsupported joiner {type(joiner).__name__}")
+
+        if required is None:
+            chain_how, need_markers = joiner.how, False
+        elif required == list(range(n)):
+            chain_how, need_markers = "inner", False
+        elif not required:
+            chain_how, need_markers = "full", False
+        elif required == [0]:
+            chain_how, need_markers = "left", False
+        elif n == 2 and required == [1]:
+            chain_how, need_markers = "right", False
         else:
-            flags = None
+            chain_how, need_markers = "full", True
+
+        markers = [f"__cfs_present_{i}" for i in range(n)]
+        if need_markers:
+            # A constant marker, not key-IS-NOT-NULL: a row whose join key
+            # is genuinely NULL never matches but must still survive when
+            # its input is outer-preserved, exactly like SQL outer joins.
+            renamed = [d.withColumn(m, F.lit(True))
+                       for d, m in zip(renamed, markers)]
 
         out = renamed[0]
-        acc_outer = flags[0] if flags else None
         lineages: list[list[str]] = [[kn] for kn in key_names[0]]
         for i in range(1, n):
             right = renamed[i]
@@ -750,28 +801,20 @@ class FlowPlanner:
             for lin, rk in zip(lineages, key_names[i]):
                 # Key each link on COALESCE over the accumulated lineage so
                 # a key absent from input 1 (NULL there after an outer link)
-                # still co-groups inputs 2..n — the reference's accumulating
-                # full-outer cogroup (FlinkFlowStep.java:706-763).
+                # still co-groups inputs 2..n (FlinkFlowStep.java:706-763).
                 lhs = (_keyed(lin[0]) if len(lin) == 1
                        else F.coalesce(*[_keyed(c) for c in lin]))
                 c = lhs == _keyed(rk)
                 cond = c if cond is None else (cond & c)
-            if flags is not None:
-                r_outer = flags[i]
-                if acc_outer and r_outer:
-                    how_i = "full"
-                elif acc_outer:
-                    how_i = "left"
-                elif r_outer:
-                    how_i = "right"
-                else:
-                    how_i = "inner"
-                acc_outer = acc_outer or r_outer
-            else:
-                how_i = joiner.how
-            out = out.join(right, on=cond, how=how_i)
+            out = out.join(right, on=cond, how=chain_how)
             for lin, rk in zip(lineages, key_names[i]):
                 lin.append(rk)
+        if need_markers:
+            pred = None
+            for i in required:
+                c = F.col(markers[i]).isNotNull()
+                pred = c if pred is None else (pred & c)
+            out = out.filter(pred).drop(*markers)
         return out, lineages
 
     def _compile_bufferjoin(self, pipe, renamed: list[DataFrame],

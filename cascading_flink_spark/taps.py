@@ -346,7 +346,7 @@ class PartitionTap(Tap):
                     .option("header", str(self.scheme.header).lower())
                     .option("inferSchema", "true")
                     .csv(*self.paths))
-        return self.scheme.read(self.paths)
+        return self.scheme.read(spark, self.paths)
 
     def write(self, df):
         out = df
@@ -357,8 +357,10 @@ class PartitionTap(Tap):
             (writer.option("sep", self.scheme.delimiter)
                    .option("header", str(self.scheme.header).lower())
                    .csv(self.paths[0]))
+        elif isinstance(self.scheme, JsonScheme):
+            writer.json(self.paths[0])
         else:
-            raise ValueError("PartitionTap supports parquet/csv schemes")
+            raise ValueError("PartitionTap supports parquet/csv/json schemes")
 
 
 class BucketedTap(Tap):

@@ -60,9 +60,10 @@ def test_cogroup_outer(spark, lhs, rhs):
 def test_cogroup_mixed_three_way(spark, lhs, rhs):
     j = CoGroup([Pipe("L"), Pipe("R"), Pipe("M")],
                 [Fields("id"), Fields("rid"), Fields("mid")],
-                joiner=MixedJoin([True, False, False]))
+                joiner=MixedJoin([False, True, True]))
     m = lhs.sparkSession.createDataFrame([(2, "m2"), (5, "m5")], "mid int, m string")
-    # L outer (unmatched L rows survive), R and M inner-side
+    # Cascading flag convention: L required (False), R and M outer (True)
+    # -> every L row emits, absent R/M null-padded
     rows = {(r["id"], r["r"], r["m"]) for r in run(spark, j, L=lhs, R=rhs, M=m).collect()}
     assert rows == {(1, None, None), (2, "x", "m2"), (3, "y", None)}
 

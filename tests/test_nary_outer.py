@@ -1,14 +1,20 @@
-"""n-ary (n=3) CoGroup outer-join matrix.
+"""n-ary (n=3) CoGroup joiner-emission matrix.
 
 The reference routes every non-buffer joiner through an accumulating
-full-outer cogroup that threads a coalesced key tuple
-(``/root/reference/src/main/java/com/dataartisans/flink/cascading/planner/FlinkFlowStep.java:706-763``)
-so a key absent from input 1 still co-groups inputs 2..n.  These tests pin
-the repo's chained-with-coalesced-key semantics for every MixedJoin flag
-combination (all 8 for n=3) plus the four standard joiners, against DuckDB
-executing the equivalent chained SQL — an independent engine running the
-same declared semantics (modeled on Cascading's
+full-outer cogroup that threads a coalesced key tuple, then lets the
+Joiner decide emission per key
+(``/root/reference/src/main/java/com/dataartisans/flink/cascading/planner/FlinkFlowStep.java:688-763``,
+``runtime/coGroup/regularJoin/TupleOuterJoiner.java:50-63``): a key-group
+emits iff every REQUIRED (non-outer-flagged) input contributed rows, with
+absent outer inputs null-padded.  These tests pin that accumulate-then-emit
+model for every MixedJoin flag combination (all 8 for n=3) plus the four
+standard joiners, against DuckDB executing the equivalent
+full-outer-cascade-plus-presence-filter SQL — an independent engine running
+the same declared semantics (modeled on Cascading's
 ``JoinFieldedPipesPlatformTest`` join matrix).
+
+MixedJoin flags use Cascading's convention: True = that input is OUTER
+(absence tolerated, null-padded), False = required.
 """
 
 from __future__ import annotations
@@ -47,42 +53,32 @@ def run3(spark, abc, joiner):
           .add_source("B", DataFrameTap(b))
           .add_source("C", DataFrameTap(c)).add_tail(j))
     df = FlowConnector(spark).connect(fd).dataframe(j.name)
+    assert df.columns == ["ka", "va", "kb", "vb", "kc", "vc"]
     return _sorted(tuple(r) for r in df.collect())
 
 
-def duck3(how1, how2):
-    """Chained 3-way join in DuckDB: the second link keys on the coalesced
-    accumulated key, exactly the declared n-ary semantics."""
+def duck3_emit(required):
+    """Accumulate-then-emit in DuckDB: full-outer cascade on the coalesced
+    key with constant presence markers, filtered per the joiner's required
+    set — the declared n-ary semantics, independently executed."""
     con = duckdb.connect()
     con.execute("CREATE TABLE a(ka int, va text); CREATE TABLE b(kb int, vb text); "
                 "CREATE TABLE c(kc int, vc text)")
     con.executemany("INSERT INTO a VALUES (?, ?)", A_ROWS)
     con.executemany("INSERT INTO b VALUES (?, ?)", B_ROWS)
     con.executemany("INSERT INTO c VALUES (?, ?)", C_ROWS)
+    marks = ["pa", "pb", "pc"]
+    where = " AND ".join(f"{marks[i]} IS NOT NULL" for i in required) or "true"
     rows = con.execute(
         f"""SELECT ka, va, kb, vb, kc, vc
-            FROM (SELECT * FROM a {how1} JOIN b ON ka = kb) ab
-            {how2} JOIN c ON coalesce(ab.ka, ab.kb) = kc"""
+            FROM (SELECT * FROM (SELECT *, true AS pa FROM a) a
+                  FULL JOIN (SELECT *, true AS pb FROM b) b ON ka = kb) ab
+            FULL JOIN (SELECT *, true AS pc FROM c) c
+              ON coalesce(ab.ka, ab.kb) = kc
+            WHERE {where}"""
     ).fetchall()
     con.close()
     return _sorted(rows)
-
-
-def chained_hows(flags):
-    """The planner's flag->how fold (flag True = keep that input's
-    unmatched rows)."""
-    hows, acc = [], flags[0]
-    for f in flags[1:]:
-        if acc and f:
-            hows.append("FULL")
-        elif acc:
-            hows.append("LEFT")
-        elif f:
-            hows.append("RIGHT")
-        else:
-            hows.append("INNER")
-        acc = acc or f
-    return hows
 
 
 @pytest.mark.parametrize("flags", [
@@ -91,16 +87,16 @@ def chained_hows(flags):
     (True, True, False), (True, True, True),
 ])
 def test_mixedjoin_flag_matrix(spark, abc, flags):
-    how1, how2 = chained_hows(list(flags))
-    assert run3(spark, abc, MixedJoin(list(flags))) == duck3(how1, how2)
+    required = [i for i, outer in enumerate(flags) if not outer]
+    assert run3(spark, abc, MixedJoin(list(flags))) == duck3_emit(required)
 
 
-@pytest.mark.parametrize("joiner,how", [
-    (InnerJoin(), "INNER"), (LeftJoin(), "LEFT"),
-    (RightJoin(), "RIGHT"), (OuterJoin(), "FULL"),
+@pytest.mark.parametrize("joiner,required", [
+    (InnerJoin(), [0, 1, 2]), (LeftJoin(), [0]),
+    (RightJoin(), [2]), (OuterJoin(), []),
 ])
-def test_standard_joiner_3way(spark, abc, joiner, how):
-    assert run3(spark, abc, joiner) == duck3(how, how)
+def test_standard_joiner_3way(spark, abc, joiner, required):
+    assert run3(spark, abc, joiner) == duck3_emit(required)
 
 
 def test_key_absent_from_first_input_cogroups_later_inputs(spark):
@@ -116,11 +112,35 @@ def test_key_absent_from_first_input_cogroups_later_inputs(spark):
 
 
 def test_right_join_3way_key_skips_middle_input(spark):
-    """Key present in A and C but not B: under chained RIGHT semantics the
-    AB link drops A-only keys, so C's row surfaces null-padded — pinned
-    here so the declared semantics stay stable."""
+    """Key present in A and C but not B: Cascading's accumulate-then-emit
+    RightJoin pairs A's row with C's, null-padding only B
+    (TupleOuterJoiner.java:50-63) — not the chained-RIGHT result of a
+    fully-null-padded C row (round-2 divergence, now closed)."""
     a = spark.createDataFrame([(7, "a7")], "ka int, va string")
     b = spark.createDataFrame([(1, "b1")], "kb int, vb string")
     c = spark.createDataFrame([(7, "c7")], "kc int, vc string")
     rows = run3(spark, (a, b, c), RightJoin())
-    assert rows == [(None, None, None, None, 7, "c7")]
+    assert rows == [(7, "a7", None, None, 7, "c7")]
+
+
+def test_mixed_join_3way_key_skips_optional_middle(spark):
+    """MixedJoin [False, True, False]: A and C required, B outer.  A key in
+    A and C but not B emits (a, null, c); a key only in C does not emit."""
+    a = spark.createDataFrame([(7, "a7"), (8, "a8")], "ka int, va string")
+    b = spark.createDataFrame([(8, "b8")], "kb int, vb string")
+    c = spark.createDataFrame([(7, "c7"), (9, "c9")], "kc int, vc string")
+    rows = run3(spark, (a, b, c), MixedJoin([False, True, False]))
+    assert rows == [(7, "a7", None, None, 7, "c7")]
+
+
+def test_null_join_keys_survive_outer_preservation(spark):
+    """A row whose join key is NULL never matches, but when its input is
+    outer-preserved it must still be emitted (SQL outer-join null-key
+    behavior; the presence filter uses constant markers, not the key)."""
+    a = spark.createDataFrame([(1, "a1")], "ka int, va string")
+    b = spark.createDataFrame([(None, "bnull"), (1, "b1")], "kb int, vb string")
+    c = spark.createDataFrame([(1, "c1")], "kc int, vc string")
+    # B required (its null-key row must survive), A and C outer.
+    rows = run3(spark, (a, b, c), MixedJoin([True, False, True]))
+    assert rows == [(1, "a1", 1, "b1", 1, "c1"),
+                    (None, None, None, "bnull", None, None)]

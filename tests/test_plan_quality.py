@@ -73,3 +73,16 @@ def test_curation_pipeline_filter_pushes_to_scan(spark, sf_dir):
     plan = plan_of(spark, "curation_pipeline", sf_dir)
     assert re.search(r"PushedFilters: \[IsNotNull\(text\)", plan) or \
         re.search(r"Filter.*n_toks|Filter.*size\(", plan), plan[:3000]
+
+
+def test_nary_emission_filter_eliminates_outer_joins(spark, sf_dir):
+    """The accumulate-then-emit joiner compiles Right/Mixed n-ary joins as
+    full-outer cascades plus a presence filter; Catalyst's outer-join
+    elimination must rewrite the filtered full-outers back to the minimal
+    join types (Mixed [req, outer, req] -> inner + left; no residual
+    full-outer), so the declared semantics cost nothing physically."""
+    import __spark_entry__ as entry
+    df = entry.queries()["nary_mixed_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    joins = re.findall(r"Join (\w+)", plan)
+    assert joins and "FullOuter" not in joins, joins

@@ -73,6 +73,21 @@ def test_partition_tap(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(k" in plan
 
 
+def test_partition_tap_json_roundtrip(spark, tmp_path):
+    """Non-parquet/csv schemes hit the generic scheme.read fallback, which
+    must pass the SparkSession through (round-2 verdict: it passed paths in
+    the spark slot and raised TypeError)."""
+    from cascading_flink_spark import JsonScheme
+    df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)], "k string, v int")
+    out = str(tmp_path / "pjson")
+    tap = PartitionTap(Hfs(JsonScheme(), out, SinkMode.REPLACE), ["k"])
+    tap.write(df)
+    assert os.path.isdir(f"{out}/k=a") and os.path.isdir(f"{out}/k=b")
+    back = tap.read(spark)
+    assert sorted((r["k"], int(r["v"])) for r in back.collect()) == \
+        [("a", 1), ("a", 2), ("b", 3)]
+
+
 def test_glob_and_multisource(spark, tmp_path):
     d1, d2 = str(tmp_path / "g1"), str(tmp_path / "g2")
     spark.createDataFrame([(1,)], "a int").write.parquet(d1)
