@@ -38,6 +38,7 @@ class FlowDef:
         self.traps: dict[str, Tap] = {}
         self.assertion_level = AssertionLevel.STRICT
         self.flow_conf: dict[str, str] = {}
+        self.run_id: str | None = None
 
     def add_source(self, pipe: Pipe | str, tap: Tap) -> "FlowDef":
         name = pipe if isinstance(pipe, str) else pipe.name
@@ -63,6 +64,14 @@ class FlowDef:
 
     def set_assertion_level(self, level: AssertionLevel) -> "FlowDef":
         self.assertion_level = level
+        return self
+
+    def set_run_id(self, run_id: str) -> "FlowDef":
+        """Mark the flow restartable (Cascading ``FlowDef.setRunID``): only
+        with a run id do durable Checkpoint taps RESUME from pre-existing
+        data; without one every run recomputes and overwrites, so changed
+        inputs can never be silently served from a stale checkpoint."""
+        self.run_id = run_id
         return self
 
     def with_conf(self, conf: dict[str, str]) -> "FlowDef":
@@ -220,7 +229,8 @@ class FlowConnector:
         if not flow_def.tails:
             raise PlannerError("FlowDef has no tails")
         planner = FlowPlanner(self.spark, assertion_level=flow_def.assertion_level,
-                              traps=set(flow_def.traps))
+                              traps=set(flow_def.traps),
+                              run_id=flow_def.run_id)
         sources = {}
         for name, tap in flow_def.sources.items():
             scheme = getattr(tap, "scheme", None)
@@ -231,7 +241,10 @@ class FlowConnector:
                 good, bad = scheme.read_trapped(self.spark, tap.paths)
                 sources[name] = good
                 if bad is not None:
-                    planner.trap_frames[name] = bad
+                    # union, never assign: a trapped head pipe may ALSO have
+                    # trapped operations on the same pipe name (Cascading
+                    # unions all trapped rows into one trap tap)
+                    planner.add_trap_frame(name, bad)
             else:
                 sources[name] = tap.read(self.spark)
         dataframes = {}

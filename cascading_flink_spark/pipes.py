@@ -367,11 +367,13 @@ class Checkpoint(Pipe):
     ``.cache()`` (SURVEY.md §2.1 #16).
 
     With ``tap`` it is a DURABLE checkpoint (Cascading's checkpoint tap /
-    flow-restart support): if the tap's path already holds data, the
-    upstream subgraph is SKIPPED and the checkpoint is read back —
-    re-running a failed flow resumes after its last completed checkpoint.
-    Otherwise the upstream result is written to the tap when the flow is
-    planned and read back as the branch input.  (The write is one eager
+    flow-restart support): under an explicit ``FlowDef.set_run_id`` (the
+    ``setRunID`` analog), a tap path that already holds data SKIPS the
+    upstream subgraph and reads the checkpoint back — re-running a failed
+    flow resumes after its last completed checkpoint.  Without a run id
+    every run recomputes and overwrites.  Otherwise the upstream result is
+    written to the tap when the flow is planned and read back as the
+    branch input.  (The write is one eager
     job at ``connect()`` time: Spark's lazy model has no between-steps
     barrier to hang it on, and plan-time is where this planner resolves
     everything else eagerly too.)"""

@@ -34,6 +34,16 @@ from .pipes import (
 )
 
 
+def _is_missing_path_error(e: Exception) -> bool:
+    """True only for 'no data there yet' read failures: missing path, or a
+    present-but-empty directory Spark cannot infer a schema from."""
+    msg = str(e)
+    return any(s in msg for s in (
+        "PATH_NOT_FOUND", "Path does not exist",
+        "UNABLE_TO_INFER_SCHEMA", "Unable to infer schema",
+        "FileNotFoundException"))
+
+
 class PlannerError(ValueError):
     pass
 
@@ -67,16 +77,26 @@ class FlowPlanner:
     def __init__(self, spark: SparkSession,
                  assertion_level: AssertionLevel = AssertionLevel.STRICT,
                  debug: bool = False,
-                 traps: set[str] | None = None) -> None:
+                 traps: set[str] | None = None,
+                 run_id: str | None = None) -> None:
         self.spark = spark
         self.assertion_level = assertion_level
         self.debug = debug
         self.traps = traps or set()
+        # Cascading setRunID analog: durable checkpoints resume only when set
+        self.run_id = run_id
         # name -> Observation (CounterOp metrics, read after the action)
         self.observations: dict[str, object] = {}
         # pipe name -> DataFrame of trapped rows (payload json, error)
         self.trap_frames: dict[str, DataFrame] = {}
         self._memo: dict[int, DataFrame] = {}
+
+    def add_trap_frame(self, name: str, df: DataFrame) -> None:
+        """Accumulate trapped rows per pipe name: a head pipe's source trap
+        and operation traps on the same name all land in ONE channel
+        (Cascading unions all trapped rows into the trap tap)."""
+        prev = self.trap_frames.get(name)
+        self.trap_frames[name] = df if prev is None else prev.unionByName(df)
 
     # -------------------------------------------------------------- walk
     def compile(self, pipe: Pipe, sources: dict[str, DataFrame]) -> DataFrame:
@@ -136,13 +156,21 @@ class FlowPlanner:
         if isinstance(pipe, Checkpoint):
             if pipe.tap is not None:
                 # Durable checkpoint / flow restart (Cascading checkpoint
-                # taps): existing data short-circuits the upstream subgraph.
-                try:
-                    existing = pipe.tap.read(self.spark)
-                    existing.schema  # force resolution; raises if no data
-                    return existing
-                except Exception:
-                    pass
+                # taps): existing data short-circuits the upstream subgraph
+                # — but ONLY under an explicit run id (Cascading restarts
+                # from checkpoint taps only when FlowDef.setRunID is given),
+                # so changed inputs are never silently served stale data.
+                if self.run_id is not None:
+                    try:
+                        existing = pipe.tap.read(self.spark)
+                        existing.schema  # force resolution
+                        return existing
+                    except Exception as e:
+                        # Only "no checkpoint yet" may fall through to
+                        # recompute; a corrupt or unreadable checkpoint is a
+                        # real error, not a reason to silently recompute.
+                        if not _is_missing_path_error(e):
+                            raise
                 pipe.tap.write(self._compile(pipe.previous[0]))
                 return pipe.tap.read(self.spark)
             return self._compile(pipe.previous[0]).cache()
@@ -305,11 +333,11 @@ class FlowPlanner:
                     yield pd.concat(parts, ignore_index=True)
 
         combined = df.mapInPandas(_trap_mapper, schema=trap_schema)
-        self.trap_frames[trap_pipe] = (
+        self.add_trap_frame(trap_pipe, (
             combined.filter(F.col("__error").isNotNull())
                     .select(F.to_json(F.struct(*[c for c in df.columns]))
                              .alias("payload"),
-                            F.col("__error").alias("error")))
+                            F.col("__error").alias("error"))))
         return combined.filter(F.col("__error").isNull()).drop("__error")
 
     def _pandas_function(self, df: DataFrame, pipe: Each, op: PyFunction,
@@ -400,10 +428,10 @@ class FlowPlanner:
                     yield pd.concat(out_parts, ignore_index=True)
 
         combined = df.mapInPandas(_trap_mapper, schema=trap_schema)
-        self.trap_frames[pipe.name] = (
+        self.add_trap_frame(pipe.name, (
             combined.filter(F.col("__error").isNotNull())
                     .select(F.col("__payload").alias("payload"),
-                            F.col("__error").alias("error")))
+                            F.col("__error").alias("error"))))
         return (combined.filter(F.col("__error").isNull())
                         .drop("__error", "__payload"))
 

@@ -285,41 +285,69 @@ def test_flow_level_conf_applied_and_restored(spark, tmp_path):
     assert spark.read.parquet(out).count() == 97
 
 
-def test_durable_checkpoint_restart(spark, tmp_path):
-    """Checkpoint with a tap: first plan writes it; re-planning (flow
-    restart) reads the existing data and SKIPS the upstream subgraph —
-    Cascading's checkpoint-tap restart semantics."""
+def _checkpoint_build(spark, tmp_path, df, run_id=None):
     from cascading_flink_spark import (DataFrameTap, Each, Fields, FlowDef,
                                        FlowConnector, Hfs, ParquetScheme,
                                        Pipe, SinkMode)
     from cascading_flink_spark.operations import ExpressionFunction
     from cascading_flink_spark.pipes import Checkpoint
 
-    calls = {"n": 0}
+    head = Pipe("d")
+    derived = Each(head, Fields("v"),
+                   ExpressionFunction(Fields("doubled"), "v * 2"),
+                   Fields.ALL)
+    cp = Checkpoint(derived, tap=Hfs(ParquetScheme(),
+                                     str(tmp_path / "cp"),
+                                     SinkMode.REPLACE))
+    tail = Each(cp, Fields("doubled"),
+                ExpressionFunction(Fields("quad"), "doubled * 2"),
+                Fields.ALL)
+    fd = FlowDef().add_source("d", DataFrameTap(df)).add_tail(tail)
+    if run_id is not None:
+        fd.set_run_id(run_id)
+    return FlowConnector(spark).connect(fd).dataframe(tail.name)
 
-    def build(df):
-        head = Pipe("d")
-        derived = Each(head, Fields("v"),
-                       ExpressionFunction(Fields("doubled"), "v * 2"),
-                       Fields.ALL)
-        cp = Checkpoint(derived, tap=Hfs(ParquetScheme(),
-                                         str(tmp_path / "cp"),
-                                         SinkMode.REPLACE))
-        tail = Each(cp, Fields("doubled"),
-                    ExpressionFunction(Fields("quad"), "doubled * 2"),
-                    Fields.ALL)
-        fd = FlowDef().add_source("d", DataFrameTap(df)).add_tail(tail)
-        return FlowConnector(spark).connect(fd).dataframe(tail.name)
 
+def test_durable_checkpoint_restart(spark, tmp_path):
+    """Checkpoint with a tap under an explicit run id (Cascading
+    ``setRunID``): first plan writes it; re-planning (flow restart) reads
+    the existing data and SKIPS the upstream subgraph."""
     df1 = spark.createDataFrame([(1, 10), (2, 20)], "id int, v int")
-    out1 = {(r["id"], r["quad"]) for r in build(df1).collect()}
+    out1 = {(r["id"], r["quad"])
+            for r in _checkpoint_build(spark, tmp_path, df1, "run-1").collect()}
     assert out1 == {(1, 40), (2, 80)}
 
     # restart with DIFFERENT source data: the checkpoint must win (upstream
     # skipped), proving the resume path doesn't recompute
     df2 = spark.createDataFrame([(9, 999)], "id int, v int")
-    out2 = {(r["id"], r["quad"]) for r in build(df2).collect()}
+    out2 = {(r["id"], r["quad"])
+            for r in _checkpoint_build(spark, tmp_path, df2, "run-1").collect()}
     assert out2 == out1
+
+
+def test_durable_checkpoint_without_run_id_recomputes(spark, tmp_path):
+    """No run id -> no resume: re-planning after the inputs changed must
+    recompute and overwrite, never silently serve stale checkpoint data."""
+    df1 = spark.createDataFrame([(1, 10)], "id int, v int")
+    _checkpoint_build(spark, tmp_path, df1).collect()
+    df2 = spark.createDataFrame([(9, 100)], "id int, v int")
+    out2 = {(r["id"], r["quad"])
+            for r in _checkpoint_build(spark, tmp_path, df2).collect()}
+    assert out2 == {(9, 400)}
+
+
+def test_durable_checkpoint_corrupt_raises(spark, tmp_path):
+    """A present-but-unreadable checkpoint is a real error under a run id —
+    not 'no checkpoint yet', which would silently recompute (round-2
+    verdict: the bare except swallowed permission/corruption errors)."""
+    cp_dir = tmp_path / "cp"
+    cp_dir.mkdir()
+    (cp_dir / "part-00000.parquet").write_bytes(b"this is not parquet")
+    df = spark.createDataFrame([(1, 10)], "id int, v int")
+    with pytest.raises(Exception) as ei:
+        _checkpoint_build(spark, tmp_path, df, "run-1").collect()
+    # the corrupt-file error surfaced; it was not masked as "no checkpoint"
+    assert "parquet" in str(ei.value).lower()
 
 
 def test_source_trap_catches_malformed_rows(spark, tmp_path):
@@ -356,3 +384,39 @@ def test_source_trap_catches_malformed_rows(spark, tmp_path):
                              SinkMode.REPLACE))
     FlowConnector(spark).connect(fd).complete()
     assert spark.read.parquet(str(trap_out)).count() == 2
+
+def test_source_and_operation_trap_union_same_pipe(spark, tmp_path):
+    """A trapped head pipe whose OPERATION also traps (same pipe name) must
+    union both failure channels into one trap frame — Cascading unions all
+    trapped rows into the trap tap (round-2 advice: assignment silently
+    overwrote one channel)."""
+    from cascading_flink_spark import (Each, Fields, FlowDef, FlowConnector,
+                                       Hfs, ParquetScheme, Pipe, SinkMode,
+                                       TextDelimited)
+    from cascading_flink_spark.operations.filters import PyFilter
+
+    src = tmp_path / "in2.tsv"
+    src.write_text("1\talpha\n2\tbeta\nnot_a_number\tgamma\n4\tdelta\n")
+
+    def fussy(pdf):
+        if (pdf["num"] == 2).any():
+            raise ValueError("op rejects num=2")
+        return pdf["num"] >= 0
+
+    head = Pipe("rows")
+    filt = Each(head, Fields("num", "word"), PyFilter(fussy), name="rows")
+    fd = (FlowDef("uniontrap")
+          .add_source(head, Hfs(TextDelimited(fields=("num", "word"),
+                                              types=("int", "string")),
+                                str(src)))
+          .add_trap("rows", Hfs(ParquetScheme(), str(tmp_path / "t2"),
+                                SinkMode.REPLACE))
+          .add_tail(filt))
+    flow = FlowConnector(spark).connect(fd)
+    good = {r["num"] for r in flow.dataframe().collect()}
+    assert good == {1, 4}
+    trapped = flow.trap_dataframe("rows").collect()
+    errors = sorted(r["error"] for r in trapped)
+    assert len(trapped) == 2
+    assert any("malformed" in e for e in errors)      # source-parse failure
+    assert any("op rejects" in e for e in errors)     # operation failure
