@@ -23,12 +23,27 @@ cross-engine reproducibility is not required; md5 where it is).
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import fingerprint
+
+# The Java/RE2 \s set. Python's str.split() also splits on Unicode
+# whitespace (NBSP, U+2028, ...), which the native split(text, '\s+')
+# column and the DuckDB oracles do NOT — tokenize with this exact set so
+# the Arrow twins agree with them on non-ASCII-whitespace documents.
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _java_ws_tokens(t: str) -> list[str]:
+    """Byte-for-byte the token stream of ``split(lower(trim(text)), '\\s+')``:
+    SQL trim strips ASCII spaces only, then split on the Java \\s set (a
+    leading tab yields a leading empty token, exactly as in SQL)."""
+    return _JAVA_WS.split(t.strip(" ").lower())
 
 
 def _fan_out(df: DataFrame) -> DataFrame:
@@ -82,13 +97,14 @@ def _word_shingles_arrow(text_col: str, n: int):
         def one(t):
             if t is None:
                 return []
-            # .split() == trim + split on \s+ ; .lower() == Spark lower()
-            toks = t.strip().lower().split()
+            toks = _java_ws_tokens(t)
             if len(toks) < n:
                 return []
-            # dict.fromkeys = order-preserving distinct (= array_distinct)
+            # dict.fromkeys = order-preserving distinct (= array_distinct);
+            # `if s` = the native filter(sh, length > 0) on empty shingles
             return list(dict.fromkeys(
-                " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)))
+                s for i in range(len(toks) - n + 1)
+                if (s := " ".join(toks[i:i + n]))))
         return texts.map(one)
 
     return _sh(F.col(text_col))
@@ -300,7 +316,7 @@ def _gram_fp_strings_arrow(text_col: str, k: int):
         def one(t):
             if t is None:
                 return []
-            toks = t.strip().lower().split()
+            toks = _java_ws_tokens(t)
             if len(toks) < k:
                 return []
             return [

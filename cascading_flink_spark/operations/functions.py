@@ -154,10 +154,11 @@ class DateParser(Function):
         (arg,) = arg_cols
         ts = F.to_timestamp(arg, self.fmt)
         if self.as_long:
-            # full epoch millis like Cascading's DateParser —
-            # unix_timestamp() truncates to seconds, losing sub-second
-            # precision when the format carries millis (e.g. 'SSS')
-            ts = F.floor(ts.cast("double") * 1000).cast("long")
+            # full epoch millis like Cascading's Date.getTime() —
+            # unix_timestamp() truncates to seconds; floor(double*1000)
+            # loses 1 ms when the IEEE double for fractional seconds lands
+            # just below the integer; unix_millis is the exact integer path
+            ts = F.unix_millis(ts)
         return [ts]
 
 

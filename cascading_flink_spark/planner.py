@@ -971,6 +971,11 @@ class FlowPlanner:
                 for key, kpdf in pdf.groupby(key_aliases, sort=False,
                                              dropna=False):
                     key = key if isinstance(key, tuple) else (key,)
+                    # NaN-safe group identity: null join keys surface as
+                    # NaN/NaT here and NaN != NaN, so a null-key group
+                    # spanning two Arrow batches would be split into two
+                    # keys (discarding its rhs state). Normalize to None.
+                    key = tuple(None if pd.isna(k) else k for k in key)
                     if cur is not None and key != cur:
                         if not lhs_called:
                             res = fn(cur, empty_lhs(), *rhs_frames())

@@ -127,3 +127,35 @@ def test_comparator_rejected_on_bufferjoin(spark, lhs, rhs):
                 comparators={"id": "id"})
     with pytest.raises(PlannerError, match="comparators"):
         run(spark, j, L=lhs, R=rhs)
+
+def test_streamed_null_key_group_spans_batches(spark):
+    """Null join keys form ONE cogroup (Cascading groups null tuples
+    together).  The streamed path's group-change check must be NaN-safe:
+    nulls surface as NaN in pandas groupby keys and NaN != NaN, so without
+    normalization a null-key group spanning two Arrow batches was split —
+    discarding rhs state and emitting a spurious empty-lhs call."""
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+    try:
+        big = (spark.range(500)
+               .select(F.lit(None).cast("int").alias("k"),
+                       F.col("id").alias("v")))
+        small = spark.createDataFrame([(None, "null-tag")], "rk int, tag string")
+
+        def chunk_fn(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"k": [key[0]], "nl": [len(left)],
+                                 "nr": [len(right)]})
+
+        j = CoGroup([Pipe("B"), Pipe("S")], [Fields("k"), Fields("rk")],
+                    joiner=BufferJoin(Fields("k", "nl", "nr"), chunk_fn,
+                                      ["int", "long", "long"],
+                                      stream_left=True))
+        rows = run(spark, j, B=big, S=small).collect()
+        assert sum(r["nl"] for r in rows) == 500
+        assert len(rows) >= 5, "null-key group did not span batches"
+        # rhs state retained across every chunk of the null-key group
+        assert all(r["nr"] == 1 for r in rows), [tuple(r) for r in rows]
+        # no spurious empty-lhs emission mid-group
+        assert all(r["nl"] > 0 for r in rows)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)

@@ -24,7 +24,12 @@ def test_shingle_udf_matches_native(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     edge = spark.createDataFrame(
         [("e1", "  leading and   multi  space "), ("e2", "UPPER Case MiX"),
-         ("e3", "a b"), ("e4", ""), ("e5", "x y z x y z x y z")],
+         ("e3", "a b"), ("e4", ""), ("e5", "x y z x y z x y z"),
+         # non-ASCII whitespace: NBSP / line-sep do NOT split in the Java
+         # \s model (Python str.split() would) — round-2 advice
+         ("e6", "alpha beta gamma delta"),
+         ("e7", "one two three four"),
+         ("e8", "\ttab lead a b c"), ("e9", "a b c d e f")],
         "doc_id string, text string")
     for df in (docs, edge):
         mism = (df.select(F.col("doc_id"),

@@ -42,11 +42,16 @@ def test_date_parser(spark):
 def test_date_parser_millis_preserved(spark):
     """Cascading's DateParser emits FULL epoch millis; sub-second precision
     must survive as_long parity mode."""
-    df = spark.createDataFrame([("2024/03/05 10:00:00.123",)], "d string")
+    # .123: the IEEE double of the fractional second is 122.999...e-3, so a
+    # floor(double*1000) path would emit 122 — unix_millis must stay exact
+    df = spark.createDataFrame(
+        [("2024/03/05 10:00:00.123",), ("2024/03/05 10:00:00.001",),
+         ("2024/03/05 10:00:00.999",)], "d string")
     p = Each(Pipe("src"), Fields("d"),
              DateParser(Fields("ms"), "yyyy/MM/dd HH:mm:ss.SSS", as_long=True),
              Fields.ALL)
-    assert run(spark, df, p).collect()[0]["ms"] == 1709632800123
+    got = sorted(r["ms"] for r in run(spark, df, p).collect())
+    assert got == [1709632800001, 1709632800123, 1709632800999]
 
 
 def test_intermediate_every_selector_rejected(spark):
