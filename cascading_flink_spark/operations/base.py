@@ -45,6 +45,15 @@ class Function(Operation):
         """Return one Column per declared field (non-generator built-ins)."""
         raise NotImplementedError
 
+    def safe_columns(self, arg_cols: list) -> list | None:
+        """try_-compiled variant for trap mode, or None if the operation has
+        no row-safe form.  Contract: a NULL result for NON-NULL arguments
+        means "this row would have thrown" (try_cast/try_to_timestamp/
+        try_divide semantics) — the planner diverts exactly those rows to
+        the pipe's trap channel (Cascading traps catch operation failures
+        row-wise, reference runtime/util/FlinkFlowProcess.java:169-190)."""
+        return None
+
     def generate(self, arg_cols: list):
         """Return an array Column to explode (generator built-ins).
 

@@ -47,6 +47,11 @@ class Coerce(Function):
     def columns(self, arg_cols):
         return [c.cast(t) for c, t in zip(arg_cols, self.types)]
 
+    def safe_columns(self, arg_cols):
+        # try_cast: malformed values become NULL instead of failing the job
+        # (ANSI cast throws); the planner traps null-for-non-null rows
+        return [c.try_cast(t) for c, t in zip(arg_cols, self.types)]
+
 
 class Insert(Function):
     """Insert literal values as new fields (Cascading ``Insert``)."""
@@ -161,6 +166,11 @@ class DateParser(Function):
             ts = F.unix_millis(ts)
         return [ts]
 
+    def safe_columns(self, arg_cols):
+        (arg,) = arg_cols
+        ts = F.try_to_timestamp(arg, F.lit(self.fmt))
+        return [F.unix_millis(ts) if self.as_long else ts]
+
 
 class DateFormatter(Function):
     """Format a timestamp field to string (Cascading ``DateFormatter``)."""
@@ -183,14 +193,24 @@ class ExpressionFunction(Function):
     compiled by Catalyst into codegen'd bytecode.
     """
 
-    def __init__(self, declared, expression: str) -> None:
+    def __init__(self, declared, expression: str,
+                 trap_null_results: bool = False) -> None:
         super().__init__(declared)
         if len(self.declared_names) != 1:
             raise ValueError("ExpressionFunction declares exactly one field")
         self.expression = expression
+        # Opt-in trap mode for expressions written with SQL try_ functions
+        # (try_divide, try_cast, try_add, ...): a NULL result for non-null
+        # arguments diverts the row to the pipe's trap channel.  Off by
+        # default: arbitrary expressions may produce legitimate NULLs,
+        # which must not be mistaken for failures.
+        self.trap_null_results = trap_null_results
 
     def columns(self, arg_cols):
         return [F.expr(self.expression)]
+
+    def safe_columns(self, arg_cols):
+        return [F.expr(self.expression)] if self.trap_null_results else None
 
 
 class SetValue(Function):

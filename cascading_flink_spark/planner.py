@@ -257,7 +257,23 @@ class FlowPlanner:
                     raise PlannerError(f"generator cannot source {src}")
             return df.select(*sel)
 
-        cols = op.columns(arg_cols)
+        trapped_native = pipe.name in self.traps
+        if trapped_native:
+            # Native-op trap mode (Cascading traps catch ANY operation
+            # failure, FlinkFlowProcess.java:169-190): compile the try_
+            # variant and divert rows where a result is NULL for non-null
+            # arguments — exactly the rows the plain expression would have
+            # failed the job on under ANSI semantics.
+            cols = op.safe_columns(arg_cols)
+            if cols is None:
+                raise PlannerError(
+                    f"trap bound to pipe {pipe.name!r}, but "
+                    f"{type(op).__name__} has no row-safe (try_) form — "
+                    "use a Python operation, or an op supporting trap mode "
+                    "(DateParser, Coerce, ExpressionFunction("
+                    "trap_null_results=True))")
+        else:
+            cols = op.columns(arg_cols)
         if len(cols) != len(declared):
             raise PlannerError(
                 f"{type(op).__name__} produced {len(cols)} columns for "
@@ -271,6 +287,21 @@ class FlowPlanner:
                 sel.append(res_map[src[4:]].alias(name))
             else:
                 sel.append(df[src[3:]].alias(name))
+        if trapped_native:
+            args_ok = F.lit(True)
+            for c in arg_cols:
+                args_ok = args_ok & c.isNotNull()
+            any_res_null = F.lit(False)
+            for c in cols:
+                any_res_null = any_res_null | c.isNull()
+            fail = args_ok & any_res_null
+            self.add_trap_frame(pipe.name, df.filter(fail).select(
+                F.to_json(F.struct(*[df[c] for c in incoming]))
+                 .alias("payload"),
+                F.lit(f"{type(op).__name__}: native operation failed "
+                      "(try_-compiled NULL result for non-null arguments)")
+                 .alias("error")))
+            return df.filter(~fail).select(*sel)
         return df.select(*sel)
 
     def _compile_ungroup(self, df: DataFrame, op: UnGroup) -> DataFrame:

@@ -420,3 +420,91 @@ def test_source_and_operation_trap_union_same_pipe(spark, tmp_path):
     assert len(trapped) == 2
     assert any("malformed" in e for e in errors)      # source-parse failure
     assert any("op rejects" in e for e in errors)     # operation failure
+
+def test_native_dateparser_trap(spark, tmp_path):
+    """Malformed dates through the NATIVE DateParser divert to the trap
+    channel instead of failing the job (try_to_timestamp compilation) —
+    closing the biggest remaining Cascading trap-semantics gap."""
+    from cascading_flink_spark import (DataFrameTap, Each, Fields, FlowDef,
+                                       FlowConnector, Hfs, ParquetScheme,
+                                       Pipe, SinkMode)
+    from cascading_flink_spark.operations import DateParser
+
+    df = spark.createDataFrame(
+        [("2024/03/05", "a"), ("not-a-date", "b"), ("1999/12/31", "c"),
+         (None, "d")], "d string, tag string")
+    head = Pipe("dates")
+    parsed = Each(head, Fields("d"),
+                  DateParser(Fields("ts"), "yyyy/MM/dd"), Fields.ALL,
+                  name="dates")
+    fd = (FlowDef("nativetrap")
+          .add_source(head, DataFrameTap(df))
+          .add_trap("dates", Hfs(ParquetScheme(), str(tmp_path / "t"),
+                                 SinkMode.REPLACE))
+          .add_tail(parsed))
+    flow = FlowConnector(spark).connect(fd)
+    good = flow.dataframe().collect()
+    # null input passes through as null result (not a failure, no throw)
+    assert {(r["tag"], r["ts"] is not None) for r in good} == \
+        {("a", True), ("c", True), ("d", False)}
+    trapped = flow.trap_dataframe("dates").collect()
+    assert len(trapped) == 1
+    assert "not-a-date" in trapped[0]["payload"]
+    assert "DateParser" in trapped[0]["error"]
+
+
+def test_native_coerce_trap(spark, tmp_path):
+    """Coerce under a trap compiles to try_cast: uncastable rows divert."""
+    from cascading_flink_spark import (DataFrameTap, Each, Fields,
+                                       FlowDef, FlowConnector, Hfs,
+                                       ParquetScheme, Pipe, SinkMode)
+    from cascading_flink_spark.operations.functions import Coerce
+
+    df = spark.createDataFrame([("1",), ("2",), ("three",)], "s string")
+    head = Pipe("nums")
+    coerced = Each(head, Fields("s"), Coerce(["int"]), Fields.REPLACE,
+                   name="nums")
+    fd = (FlowDef()
+          .add_source(head, DataFrameTap(df))
+          .add_trap("nums", Hfs(ParquetScheme(), str(tmp_path / "t"),
+                                SinkMode.REPLACE))
+          .add_tail(coerced))
+    flow = FlowConnector(spark).connect(fd)
+    assert {r["s"] for r in flow.dataframe().collect()} == {1, 2}
+    trapped = flow.trap_dataframe("nums").collect()
+    assert len(trapped) == 1 and "three" in trapped[0]["payload"]
+
+
+def test_native_expression_trap_opt_in(spark, tmp_path):
+    """ExpressionFunction(trap_null_results=True) with a try_ SQL function:
+    null results for non-null args divert; without the opt-in a trap on a
+    native expression is rejected at connect time."""
+    from cascading_flink_spark import (DataFrameTap, Each, Fields, FlowDef,
+                                       FlowConnector, Hfs, ParquetScheme,
+                                       Pipe, PlannerError, SinkMode)
+    from cascading_flink_spark.operations import ExpressionFunction
+
+    df = spark.createDataFrame([(10, 2), (7, 0), (9, 3)], "a int, b int")
+    head = Pipe("divs")
+    trap_tap = Hfs(ParquetScheme(), str(tmp_path / "t"), SinkMode.REPLACE)
+
+    ratio = Each(head, Fields("a", "b"),
+                 ExpressionFunction(Fields("q"), "try_divide(a, b)",
+                                    trap_null_results=True),
+                 Fields.ALL, name="divs")
+    fd = (FlowDef().add_source(head, DataFrameTap(df))
+          .add_trap("divs", trap_tap).add_tail(ratio))
+    flow = FlowConnector(spark).connect(fd)
+    assert {(r["a"], float(r["q"])) for r in flow.dataframe().collect()} == \
+        {(10, 5.0), (9, 3.0)}
+    trapped = flow.trap_dataframe("divs").collect()
+    assert len(trapped) == 1 and '"a":7' in trapped[0]["payload"]
+
+    # no opt-in -> connect-time rejection, not silent null-mistrapping
+    plain = Each(head, Fields("a", "b"),
+                 ExpressionFunction(Fields("q"), "a / b"),
+                 Fields.ALL, name="divs")
+    fd2 = (FlowDef().add_source(head, DataFrameTap(df))
+           .add_trap("divs", trap_tap).add_tail(plain))
+    with pytest.raises(PlannerError, match="row-safe"):
+        FlowConnector(spark).connect(fd2)
