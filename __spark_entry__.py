@@ -32,7 +32,8 @@ from cascading_flink_spark.operations import (
 from cascading_flink_spark.extensions import (
     attach_binary_meta, brute_force_topk, chunk_corpus, decode_stub_features,
     dedup_clusters, embedding_dup_pairs, exact_dedup, fingerprint, lang_id,
-    ivf_topk, lsh_bucketed_topk, minhash_lsh_pairs, minhash_lsh_pairs_md5,
+    ivf_topk, ivf_topk_md5, lsh_bucketed_topk, lsh_bucketed_topk_md5,
+    minhash_lsh_pairs, minhash_lsh_pairs_md5,
     ngram_jaccard_pairs, quality_features, quality_filter, redact_pii,
     salted_agg, simhash_dup_pairs, simhash_md5_pairs, stratified_sample,
     strip_boilerplate, token_budget, winnow_pairs,
@@ -672,6 +673,41 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_topk(emb, queries_df, k=10, n_centroids=16, n_probe=4)
 
 
+def q_ann_recall(spark, sf_dir):
+    """Recall@10 of the md5-deterministic approximate indexes (Rademacher-
+    plane LSH, hash-sampled no-Lloyd IVF) against brute-force cosine top-k,
+    computed INSIDE the query — every stage (planes from md5, bands,
+    candidate join, rounded rerank, tie-broken top-k, recall arithmetic) is
+    reproduced independently by the DuckDB oracle, so approximate search
+    gets a full value-hash check without pretending it is exact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = (emb.filter(F.col("vec_id") < 5)
+                  .select(F.col("vec_id").alias("query_id"), "embedding"))
+    k = 10
+    truth = (brute_force_topk(emb, queries_df, k=k)
+             .select("query_id", "vec_id"))
+    lsh = (lsh_bucketed_topk_md5(emb, queries_df, k=k, planes=4, dim=64,
+                                 tables=4)
+           .select("query_id", "vec_id"))
+    ivf = (ivf_topk_md5(emb, queries_df, k=k, n_centroids=16, n_probe=4)
+           .select("query_id", "vec_id"))
+
+    def recall_of(approx, method):
+        hits = (truth.join(approx, ["query_id", "vec_id"])
+                .groupBy("query_id")
+                .agg(F.count(F.lit(1)).alias("n_hits")))
+        return (queries_df.select("query_id")
+                .join(hits, "query_id", "left")
+                .select(F.lit(method).alias("method"),
+                        "query_id",
+                        F.coalesce("n_hits", F.lit(0)).cast("long")
+                         .alias("n_hits"),
+                        (F.coalesce("n_hits", F.lit(0)) * 100 / k)
+                         .cast("long").alias("recall_x100")))
+
+    return recall_of(lsh, "lsh").unionByName(recall_of(ivf, "ivf"))
+
+
 def q_rollup(spark, sf_dir):
     """GROUP BY ROLLUP subtotals (beyond the reference's surface)."""
     orders = _t(spark, sf_dir, "orders")
@@ -802,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "dedup_clusters": q_dedup_clusters,
         "ann_ivf": q_ann_ivf,
+        "ann_recall": q_ann_recall,
         "rollup": q_rollup,
         "pivot": q_pivot,
         "sessionize": q_sessionize,
@@ -1126,6 +1163,92 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a, embeddings q
             WHERE q.vec_id < 5 AND a.vec_id <> q.vec_id
             QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY sim DESC, a.vec_id) <= 10
+        """,
+        # Independent reconstruction of the md5-deterministic approximate
+        # indexes: Rademacher planes from md5 hex, band keys via string_agg,
+        # hash-sampled centroids, cosine argmax with id tie-breaks, and the
+        # same recall arithmetic — cross-checks q_ann_recall stage by stage.
+        "ann_recall": """
+            WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            truth AS (
+                SELECT q.vec_id AS query_id, a.vec_id AS vec_id
+                FROM vecs a, vecs q
+                WHERE q.vec_id < 5 AND a.vec_id <> q.vec_id
+                QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY round(list_cosine_similarity(a.v, q.v), 4) DESC,
+                             a.vec_id) <= 10),
+            planes AS (
+                SELECT tt.t, pp.p, dd.d,
+                       CASE WHEN substr(md5(tt.t || '_' || pp.p || '_' || dd.d), 1, 1) >= '8'
+                            THEN 1.0 ELSE -1.0 END AS comp
+                FROM range(4) tt(t), range(4) pp(p), range(64) dd(d)),
+            sums AS (
+                SELECT vecs.vec_id, pl.t, pl.p,
+                       sum(pl.comp * vecs.v[pl.d + 1]) AS s
+                FROM vecs CROSS JOIN planes pl
+                GROUP BY 1, 2, 3),
+            bands AS (
+                SELECT vec_id, t,
+                       string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
+                                  ORDER BY p) AS band
+                FROM sums GROUP BY 1, 2),
+            lsh_cand AS (
+                SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS vec_id
+                FROM bands qb JOIN bands cb
+                  ON qb.t = cb.t AND qb.band = cb.band
+                WHERE qb.vec_id < 5 AND cb.vec_id <> qb.vec_id),
+            lsh_topk AS (
+                SELECT c.query_id, c.vec_id
+                FROM lsh_cand c
+                JOIN vecs a ON a.vec_id = c.vec_id
+                JOIN vecs q ON q.vec_id = c.query_id
+                QUALIFY row_number() OVER (PARTITION BY c.query_id
+                    ORDER BY round(list_cosine_similarity(a.v, q.v), 4) DESC,
+                             c.vec_id) <= 10),
+            cents AS (
+                SELECT vec_id AS cent_id, v
+                FROM vecs ORDER BY md5(vec_id::VARCHAR) LIMIT 16),
+            assign AS (
+                SELECT vecs.vec_id, c.cent_id
+                FROM vecs CROSS JOIN cents c
+                QUALIFY row_number() OVER (PARTITION BY vecs.vec_id
+                    ORDER BY list_cosine_similarity(vecs.v, c.v) DESC,
+                             c.cent_id) = 1),
+            probes AS (
+                SELECT q.vec_id AS query_id, c.cent_id
+                FROM vecs q CROSS JOIN cents c
+                WHERE q.vec_id < 5
+                QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                             c.cent_id) <= 4),
+            ivf_topk AS (
+                SELECT p.query_id, a.vec_id
+                FROM probes p
+                JOIN assign a ON a.cent_id = p.cent_id
+                JOIN vecs av ON av.vec_id = a.vec_id
+                JOIN vecs qv ON qv.vec_id = p.query_id
+                WHERE a.vec_id <> p.query_id
+                QUALIFY row_number() OVER (PARTITION BY p.query_id
+                    ORDER BY round(list_cosine_similarity(av.v, qv.v), 4) DESC,
+                             a.vec_id) <= 10),
+            qids AS (SELECT vec_id AS query_id FROM vecs WHERE vec_id < 5),
+            lsh_hits AS (
+                SELECT t.query_id, count(*) AS n
+                FROM truth t JOIN lsh_topk a USING (query_id, vec_id)
+                GROUP BY 1),
+            ivf_hits AS (
+                SELECT t.query_id, count(*) AS n
+                FROM truth t JOIN ivf_topk a USING (query_id, vec_id)
+                GROUP BY 1)
+            SELECT 'lsh' AS method, q.query_id,
+                   CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+                   CAST(coalesce(h.n, 0) * 100 / 10 AS BIGINT) AS recall_x100
+            FROM qids q LEFT JOIN lsh_hits h USING (query_id)
+            UNION ALL
+            SELECT 'ivf' AS method, q.query_id,
+                   CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+                   CAST(coalesce(h.n, 0) * 100 / 10 AS BIGINT) AS recall_x100
+            FROM qids q LEFT JOIN ivf_hits h USING (query_id)
         """,
         "embedding_dups": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -149,6 +149,117 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                   .drop("__rn"))
 
 
+def _md5_sign_planes(tables: int, planes: int, dim: int) -> list:
+    """±1 (Rademacher) hyperplanes derived from md5 — a valid sign-random-
+    projection family that BOTH engines can reproduce: component (t, p, d)
+    is +1 iff the first hex char of ``md5(f"{t}_{p}_{d}")`` is >= '8'
+    (Python hashlib, Spark ``md5()`` and DuckDB ``md5()`` agree on the hex
+    string, so the oracle can rebuild the identical planes in SQL)."""
+    import hashlib
+
+    mats = []
+    for t in range(tables):
+        M = np.empty((dim, planes), dtype=np.float64)
+        for p in range(planes):
+            for d in range(dim):
+                h = hashlib.md5(f"{t}_{p}_{d}".encode()).hexdigest()
+                M[d, p] = 1.0 if h[0] >= "8" else -1.0
+        mats.append(M)
+    return mats
+
+
+def _md5_band_udf(dim: int, planes: int, tables: int):
+    """vec -> array<string> of per-table band strings ('0'/'1' per plane,
+    bit = dot(vec, plane) >= 0).  Band strings (not packed ints) so the
+    DuckDB twin can build the same keys with string_agg."""
+    mats = _md5_sign_planes(tables, planes, dim)
+
+    @F.pandas_udf("array<string>")
+    def bands(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        per_table = []
+        for P in mats:
+            bits = (M @ P) >= 0
+            per_table.append(["".join(row)
+                              for row in np.where(bits, "1", "0")])
+        return pd.Series([[per_table[t][i] for t in range(tables)]
+                          for i in range(len(M))])
+
+    return bands
+
+
+def lsh_bucketed_topk_md5(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                          planes: int = 8, dim: int = 64, tables: int = 4,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          query_id_col: str = "query_id") -> DataFrame:
+    """Deterministic cross-engine twin of :func:`lsh_bucketed_topk`: md5
+    Rademacher planes, no multiprobe — every stage (bands, candidates,
+    rounded rerank, tie-broken top-k) is reproducible in DuckDB, so the
+    correctness gate can hash-check an APPROXIMATE index end-to-end.  Same
+    scale shape as the production variant: map-only signatures, equality
+    join on (table, band), per-query top-k."""
+    band_udf = _md5_band_udf(dim, planes, tables)
+    c = (_fan_out(corpus)
+         .select(F.col(id_col), F.col(vec_col),
+                 F.posexplode(band_udf(F.col(vec_col))).alias("__t", "__band")))
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"),
+                       F.posexplode(band_udf(F.col(vec_col))).alias("__t", "__band"))
+    sim = F.round(cosine_expr(F.col(vec_col), F.col("__qvec")), 4)
+    scored = (c.join(F.broadcast(q), ["__t", "__band"])
+               .filter(F.col(id_col) != F.col(query_id_col))
+               .select(F.col(query_id_col), F.col(id_col), sim.alias("sim"))
+               .dropDuplicates([query_id_col, id_col]))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") <= k)
+                  .drop("__rn"))
+
+
+def ivf_topk_md5(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                 n_centroids: int = 16, n_probe: int = 4,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 query_id_col: str = "query_id") -> DataFrame:
+    """Deterministic cross-engine IVF twin: centroids are the
+    ``n_centroids`` corpus vectors with the smallest ``md5(id)`` (the
+    unbiased hash-ordered sample), no Lloyd refinement; assignment/probing
+    is cosine argmax with an id tie-break.  Fully NATIVE (no Python in the
+    plan): centroids broadcast, one corpus pass for assignment — the same
+    IVF partition-by-cell shape as :func:`ivf_topk`, expressible in SQL so
+    the gate can hash-check it."""
+    vecs = corpus.select(F.col(id_col), F.col(vec_col))
+    cents = F.broadcast(
+        vecs.orderBy(F.md5(F.col(id_col).cast("string")))
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("__cent_id"),
+                    F.col(vec_col).alias("__cvec")))
+    cos_c = cosine_expr(F.col(vec_col), F.col("__cvec"))
+    w_assign = (Window.partitionBy(id_col)
+                .orderBy(F.desc("__cos"), F.asc("__cent_id")))
+    assign = (_fan_out(vecs).crossJoin(cents)
+              .withColumn("__cos", cos_c)
+              .withColumn("__rn", F.row_number().over(w_assign))
+              .filter(F.col("__rn") == 1)
+              .select(F.col(id_col), F.col(vec_col), F.col("__cent_id")))
+    qv = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    w_probe = (Window.partitionBy(query_id_col)
+               .orderBy(F.desc("__cos"), F.asc("__cent_id")))
+    probes = (qv.crossJoin(cents)
+              .withColumn("__cos", cosine_expr(F.col("__qvec"), F.col("__cvec")))
+              .withColumn("__rn", F.row_number().over(w_probe))
+              .filter(F.col("__rn") <= n_probe)
+              .select(F.col(query_id_col), F.col("__qvec"), F.col("__cent_id")))
+    sim = F.round(cosine_expr(F.col(vec_col), F.col("__qvec")), 4)
+    scored = (assign.join(F.broadcast(probes), "__cent_id")
+              .filter(F.col(id_col) != F.col(query_id_col))
+              .select(F.col(query_id_col), F.col(id_col), sim.alias("sim")))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") <= k)
+                  .drop("__rn"))
+
+
 def embedding_dup_pairs(df: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         planes: int = 8, dim: int = 64, seed: int = 7,
