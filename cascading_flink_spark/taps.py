@@ -48,22 +48,29 @@ class TextLine(Scheme):
     """Line-oriented text (Cascading ``TextLine``; ``FlinkTestPlatform.java:144-150``).
 
     Source fields default to ``('line',)``; requesting ``('offset','line')``
-    adds a byte-offset-like monotonically increasing id (Spark's text source
-    doesn't expose byte offsets; the id preserves per-file ordering which is
-    what flows use it for).
+    reads through Hadoop's ``TextInputFormat`` (the same input format
+    Cascading's TextLine uses), whose record key IS the exact byte offset of
+    each line — identical offsets to the reference, split-parallel.
     """
 
     def __init__(self, fields=("line",)) -> None:
         super().__init__(fields)
 
     def read(self, spark, paths):
-        df = spark.read.text(*paths)
         names = list(self.fields.names)
         if names == ["line"]:
-            return df.withColumnRenamed("value", "line")
+            return spark.read.text(*paths).withColumnRenamed("value", "line")
         if names == ["offset", "line"]:
-            return df.select(F.monotonically_increasing_id().alias("offset"),
-                             F.col("value").alias("line"))
+            # RDD escape hatch: TextInputFormat keys records by exact byte
+            # offset (what Spark's DataFrame text source drops).  Scans stay
+            # split-parallel; the DataFrame conversion is schema-on-rdd.
+            sc = spark.sparkContext
+            rdd = sc.hadoopFile(
+                ",".join(paths),
+                "org.apache.hadoop.mapred.TextInputFormat",
+                "org.apache.hadoop.io.LongWritable",
+                "org.apache.hadoop.io.Text")
+            return spark.createDataFrame(rdd, "offset long, line string")
         raise ValueError(f"TextLine fields must be (line,) or (offset,line), got {names}")
 
     def write(self, df, path, mode):

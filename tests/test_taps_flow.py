@@ -29,12 +29,15 @@ def test_textline_roundtrip(spark, tmp_path):
 
 
 def test_textline_offset_fields(spark, tmp_path):
-    df = spark.createDataFrame([("a",), ("b",)], "line string")
-    out = str(tmp_path / "txt2")
-    Hfs(TextLine(), out, SinkMode.REPLACE).write(df)
-    back = Hfs(TextLine(("offset", "line")), out).read(spark)
+    """(offset, line) reads via Hadoop TextInputFormat: offsets are the
+    EXACT byte positions (Cascading TextLine parity), not a synthetic id."""
+    raw = tmp_path / "txt2"
+    raw.mkdir()
+    (raw / "part-0.txt").write_text("abc\nde\nfghij\n")
+    back = Hfs(TextLine(("offset", "line")), str(raw)).read(spark)
     assert back.columns == ["offset", "line"]
-    assert back.count() == 2
+    rows = sorted((r["offset"], r["line"]) for r in back.collect())
+    assert rows == [(0, "abc"), (4, "de"), (7, "fghij")]
 
 
 def test_textdelimited_roundtrip_typed(spark, tmp_path):
