@@ -18,8 +18,9 @@ from .pipes import (
 )
 from .taps import (
     Tap, Hfs, GlobHfs, MultiSourceTap, PartitionTap, DataFrameTap, MemoryTap,
-    BucketedTap, Scheme, TextLine, TextDelimited, UnknownTextDelimited,
-    ParquetScheme, JsonScheme, SinkMode, WritableSequenceFile, pos,
+    BucketedTap, SnapshotTap, Scheme, TextLine, TextDelimited,
+    UnknownTextDelimited, ParquetScheme, JsonScheme, SinkMode,
+    WritableSequenceFile, pos,
 )
 from .flow import Cascade, Flow, FlowConnector, FlowDef, FlowStepJob
 from .planner import FlowPlanner, PlannerError

@@ -14,6 +14,7 @@ scheme-declared fields, SinkMode, globs, multi-source, dir-partitioning.
 from __future__ import annotations
 
 import enum
+import os
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -397,6 +398,102 @@ class BucketedTap(Tap):
         if self.sort_cols:
             writer = writer.sortBy(*self.sort_cols)
         writer.format("parquet").saveAsTable(self.table_name)
+
+
+class SnapshotTap(Tap):
+    """Versioned table tap — Iceberg's metadata-pointer commit protocol,
+    scaled to a directory layout (no table-format dependency):
+
+    * every ``write`` lands in a fresh ``v_<n>/`` directory, and only after
+      the data write completes is the ``_latest`` pointer file swapped with
+      an atomic ``os.replace`` — concurrent readers always see a COMPLETE
+      snapshot, and a failed/killed write can never corrupt the table
+      (its half-written directory is simply never referenced);
+    * past versions stay readable: ``read(spark, version=n)`` is time
+      travel, ``versions()`` lists the history, ``rollback(n)`` re-points
+      ``_latest`` without touching data.
+
+    SinkMode: KEEP refuses when any snapshot exists; REPLACE/UPDATE both
+    append a new snapshot (the table-format model — "replace" IS a new
+    version; old data is immutable until ``expire``).
+
+    At 100 TB this is the pattern that makes batch pipelines re-runnable:
+    a Cascade step that died mid-write leaves the previous snapshot live,
+    and downstream flows pin the version they started from."""
+
+    def __init__(self, scheme: Scheme, path: str,
+                 sink_mode: SinkMode = SinkMode.UPDATE) -> None:
+        super().__init__(scheme, path, sink_mode)
+
+    # -- metadata ----------------------------------------------------
+    def _pointer(self) -> str:
+        return os.path.join(self.paths[0], "_latest")
+
+    def latest_version(self) -> int | None:
+        try:
+            with open(self._pointer()) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def versions(self) -> list[int]:
+        root = self.paths[0]
+        if not os.path.isdir(root):
+            return []
+        out = []
+        for name in os.listdir(root):
+            if name.startswith("v_"):
+                try:
+                    out.append(int(name[2:]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def _vdir(self, version: int) -> str:
+        return os.path.join(self.paths[0], f"v_{version}")
+
+    # -- IO ----------------------------------------------------------
+    def read(self, spark, version: int | None = None):
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(
+                f"SnapshotTap {self.paths[0]}: no committed snapshot")
+        return self.scheme.read(spark, [self._vdir(v)])
+
+    def write(self, df) -> None:
+        latest = self.latest_version()
+        if self.sink_mode is SinkMode.KEEP and latest is not None:
+            raise ValueError(
+                f"SnapshotTap {self.paths[0]}: SinkMode.KEEP and snapshot "
+                f"v_{latest} exists")
+        os.makedirs(self.paths[0], exist_ok=True)
+        new_v = (latest or 0) + 1
+        # data first, fully; only then the atomic pointer swap commits it
+        self.scheme.write(df, self._vdir(new_v), SinkMode.REPLACE)
+        tmp = self._pointer() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(new_v))
+        os.replace(tmp, self._pointer())
+
+    def rollback(self, version: int) -> None:
+        if version not in self.versions():
+            raise ValueError(f"no snapshot v_{version}")
+        tmp = self._pointer() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, self._pointer())
+
+    def expire(self, keep_last: int = 1) -> list[int]:
+        """Delete all but the newest ``keep_last`` snapshots (never the one
+        ``_latest`` points to).  Returns the versions removed."""
+        import shutil
+        live = self.latest_version()
+        vs = self.versions()
+        to_drop = [v for v in vs[:-keep_last] if v != live] if keep_last else \
+                  [v for v in vs if v != live]
+        for v in to_drop:
+            shutil.rmtree(self._vdir(v), ignore_errors=True)
+        return to_drop
 
 
 class DataFrameTap(Tap):

@@ -511,3 +511,43 @@ def test_native_expression_trap_opt_in(spark, tmp_path):
            .add_trap("divs", trap_tap).add_tail(plain))
     with pytest.raises(PlannerError, match="row-safe"):
         FlowConnector(spark).connect(fd2)
+
+def test_snapshot_tap_versions_and_time_travel(spark, tmp_path):
+    """SnapshotTap: each write is a new immutable snapshot committed by an
+    atomic pointer swap; latest read, time travel, rollback, expire."""
+    from cascading_flink_spark import ParquetScheme, SnapshotTap
+
+    tap = SnapshotTap(ParquetScheme(), str(tmp_path / "tbl"))
+    assert tap.versions() == [] and tap.latest_version() is None
+    with pytest.raises(FileNotFoundError):
+        tap.read(spark)
+
+    tap.write(spark.createDataFrame([(1,)], "a int"))
+    tap.write(spark.createDataFrame([(2,), (3,)], "a int"))
+    assert tap.versions() == [1, 2] and tap.latest_version() == 2
+    assert {r["a"] for r in tap.read(spark).collect()} == {2, 3}
+    # time travel
+    assert {r["a"] for r in tap.read(spark, version=1).collect()} == {1}
+    # rollback re-points without touching data
+    tap.rollback(1)
+    assert {r["a"] for r in tap.read(spark).collect()} == {1}
+    tap.rollback(2)
+
+    # a half-written snapshot directory is never visible: fake one
+    import os
+    os.makedirs(str(tmp_path / "tbl" / "v_9"))
+    assert tap.latest_version() == 2
+    assert {r["a"] for r in tap.read(spark).collect()} == {2, 3}
+
+    # expire keeps the live pointer's snapshot
+    dropped = tap.expire(keep_last=1)
+    assert 1 in dropped and 2 not in dropped
+    assert {r["a"] for r in tap.read(spark).collect()} == {2, 3}
+
+
+def test_snapshot_tap_keep_mode(spark, tmp_path):
+    from cascading_flink_spark import ParquetScheme, SinkMode, SnapshotTap
+    tap = SnapshotTap(ParquetScheme(), str(tmp_path / "t2"), SinkMode.KEEP)
+    tap.write(spark.createDataFrame([(1,)], "a int"))
+    with pytest.raises(ValueError, match="KEEP"):
+        tap.write(spark.createDataFrame([(2,)], "a int"))
