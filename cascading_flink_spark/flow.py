@@ -284,9 +284,16 @@ class Cascade:
     def _def_of(item) -> FlowDef:
         return item if isinstance(item, FlowDef) else item.flow_def
 
-    def complete(self) -> list[str]:
+    def complete(self, parallel: bool = False) -> list[str]:
         """Execute all flows respecting write->read dependencies; returns
-        the execution order (flow names)."""
+        the execution order (flow names).
+
+        ``parallel=True`` runs each dependency wave's flows concurrently on
+        threads (Cascading's Cascade submits independent flows in parallel;
+        Spark's scheduler interleaves jobs from multiple threads using the
+        same session).  Flows carrying ``with_conf`` still run sequentially
+        within their wave — session-scoped SQL confs race across threads
+        (see :meth:`FlowDef.with_conf`)."""
         n = len(self.flows)
         defs = [self._def_of(f) for f in self.flows]
         sinks = {i: self._paths(d.sinks.values()) for i, d in enumerate(defs)}
@@ -298,18 +305,39 @@ class Cascade:
                     deps[i].add(j)
         order: list[int] = []
         done: set[int] = set()
+
+        def _run(i: int):
+            item = self.flows[i]
+            if isinstance(item, FlowDef):
+                if self.connector is None:
+                    raise PlannerError(
+                        "Cascade needs connector= to run raw FlowDefs")
+                item = self.connector.connect(item)
+            item.complete()
+
         while len(done) < n:
             ready = [i for i in range(n) if i not in done and deps[i] <= done]
             if not ready:
                 raise PlannerError("Cascade has a dependency cycle")
+            if parallel:
+                confless = [i for i in ready
+                            if not self._def_of(self.flows[i]).flow_conf]
+                conf_bound = [i for i in ready if i not in confless]
+                if len(confless) > 1:
+                    import concurrent.futures as cf
+                    with cf.ThreadPoolExecutor(len(confless)) as pool:
+                        futs = {pool.submit(_run, i): i for i in confless}
+                        for fut in cf.as_completed(futs):
+                            fut.result()  # re-raise flow errors
+                else:
+                    for i in confless:
+                        _run(i)
+                for i in conf_bound:
+                    _run(i)
+            else:
+                for i in ready:
+                    _run(i)
             for i in ready:
-                item = self.flows[i]
-                if isinstance(item, FlowDef):
-                    if self.connector is None:
-                        raise PlannerError(
-                            "Cascade needs connector= to run raw FlowDefs")
-                    item = self.connector.connect(item)
-                item.complete()
                 done.add(i)
                 order.append(defs[i].name)
         return order

@@ -231,6 +231,38 @@ def test_cascade_dependency_order(spark, tmp_path):
     assert sorted(r["v"] for r in spark.read.parquet(stage2).collect()) == [1, 2, 3]
 
 
+def test_cascade_parallel_waves(spark, tmp_path):
+    """Cascade(parallel=True): independent flows in one dependency wave run
+    concurrently (Cascading's Cascade submits independent flows in
+    parallel); a dependent flow still waits for its whole wave."""
+    from cascading_flink_spark import Cascade
+    raw = spark.createDataFrame([(i,) for i in range(6)], "v int")
+    s_a, s_b, s_c = (str(tmp_path / n) for n in ("pa", "pb", "pc"))
+
+    def producer(name, out, expr):
+        h = Pipe("raw")
+        f = Each(h, Fields("v"), ExpressionFilter(expr), name=f"{name}_out")
+        return (FlowDef(name).add_source(h, DataFrameTap(raw))
+                .add_tail_sink(f, Hfs(ParquetScheme(), out, SinkMode.REPLACE)))
+
+    # a and b independent (wave 1); c reads both (wave 2)
+    def_a = producer("flow_a", s_a, "v >= 3")
+    def_b = producer("flow_b", s_b, "v < 3")
+    ch1, ch2 = Pipe("ina"), Pipe("inb")
+    from cascading_flink_spark import Merge
+    merged = Merge([ch1, ch2], name="c_out")
+    def_c = (FlowDef("flow_c")
+             .add_source(ch1, Hfs(ParquetScheme(), s_a))
+             .add_source(ch2, Hfs(ParquetScheme(), s_b))
+             .add_tail_sink(merged, Hfs(ParquetScheme(), s_c, SinkMode.REPLACE)))
+
+    order = Cascade(def_c, def_a, def_b,
+                    connector=FlowConnector(spark)).complete(parallel=True)
+    assert set(order[:2]) == {"flow_a", "flow_b"} and order[2] == "flow_c"
+    assert sorted(r["v"] for r in spark.read.parquet(s_c).collect()) == \
+        [0, 1, 2, 3, 4, 5]
+
+
 def test_trap_on_pyfilter(spark, tmp_path):
     df = spark.createDataFrame([("1",), ("bad",), ("3",)], "s string")
 
