@@ -132,6 +132,70 @@ def stream_exact_dedup(df: DataFrame, ts_col: str,
               .dropDuplicatesWithinWatermark(["fp"]))
 
 
+def stream_chunk_packer(df: DataFrame, context_len: int,
+                        key_col: str = "lang", text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Streaming sequence packing — the stateful twin of
+    ``extensions.packing.chunk_corpus``: documents arriving on a stream are
+    laid end-to-end per key and cut into ``context_len``-token chunks, with
+    the running token offset carried in state ACROSS micro-batches, so a
+    continuous ingest packs into the same ever-growing chunk sequence a
+    batch job would produce.
+
+    Emits one row per document as it arrives:
+    ``(key, doc_id, n_tokens, start_offset, first_chunk, last_chunk)``.
+    Within a micro-batch, documents pack in the deterministic
+    ``(md5(doc_id), doc_id)`` order — identical to ``chunk_corpus``'s
+    global order, so a single-batch stream reproduces the batch result
+    exactly (asserted in tests); across batches the order is arrival
+    order, which is the only order a stream has.  State per key is one
+    long (the running total): safe at any corpus size."""
+    out_schema = T.StructType([
+        T.StructField("key", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("start_offset", T.LongType()),
+        T.StructField("first_chunk", T.LongType()),
+        T.StructField("last_chunk", T.LongType()),
+    ])
+    state_schema = T.StructType([T.StructField("total", T.LongType())])
+
+    def fn(key, pdfs, state: GroupState):
+        import hashlib
+
+        import pandas as pd
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.copy()
+            pdf["__h"] = pdf["doc_id"].map(
+                lambda s: hashlib.md5(str(s).encode()).hexdigest())
+            pdf = pdf.sort_values(["__h", "doc_id"])
+            toks = pdf["n_tokens"].to_numpy()
+            starts = total + toks.cumsum() - toks
+            total = int(total + toks.sum())
+            yield pd.DataFrame({
+                "key": key[0],
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "n_tokens": toks,
+                "start_offset": starts,
+                "first_chunk": starts // context_len,
+                "last_chunk": (starts + toks - 1) // context_len,
+            })
+        state.update((total,))
+
+    from ..extensions.text import token_count
+    prepared = (df.select(F.col(key_col).cast("string").alias("key"),
+                          F.col(id_col).cast("string").alias("doc_id"),
+                          token_count(F.col(text_col)).cast("long")
+                           .alias("n_tokens"))
+                  .filter(F.col("n_tokens") > 0))
+    return (prepared.groupBy("key")
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
 def stream_stream_join(left: DataFrame, right: DataFrame,
                        on, left_ts: str, right_ts: str,
                        watermark: str = "1 hour",

@@ -223,3 +223,71 @@ def test_stream_exact_dedup(spark, sf_dir, tmp_path):
               .distinct().collect()}
     assert set(fps) == expect
     spark.catalog.dropTempView("dedup_out")
+
+
+def test_stream_chunk_packer_batch_parity(spark, sf_dir, tmp_path):
+    """A single-batch stream through stream_chunk_packer must reproduce
+    chunk_corpus exactly: same (md5, id) packing order, same offsets and
+    chunk spans (one constant key = the batch operator's global order)."""
+    from cascading_flink_spark.extensions import chunk_corpus
+    from cascading_flink_spark.streaming import stream_chunk_packer
+
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id", "text").limit(200)
+            .withColumn("shard", F.lit("all")))
+    src = str(tmp_path / "pack_in")
+    docs.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out = stream_chunk_packer(stream, context_len=512, key_col="shard")
+    q = (out.writeStream.format("memory").queryName("pack_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+
+    got = {r["doc_id"]: (r["n_tokens"], r["start_offset"],
+                         r["first_chunk"], r["last_chunk"])
+           for r in spark.sql("SELECT * FROM pack_out").collect()}
+    expect = {str(r["doc_id"]): (r["n_tokens"], r["start_offset"],
+                                 r["first_chunk"], r["last_chunk"])
+              for r in chunk_corpus(spark.read.parquet(src),
+                                    context_len=512).collect()}
+    assert got == expect
+    spark.catalog.dropTempView("pack_out")
+
+
+def test_stream_chunk_packer_state_carries_across_batches(spark, tmp_path):
+    """The running offset persists in state: a second micro-batch's first
+    document starts exactly where the first batch's total ended."""
+    from cascading_flink_spark.streaming import stream_chunk_packer
+
+    src = tmp_path / "pack2_in"
+    src.mkdir()
+    d1 = spark.createDataFrame([("a", "one two three", "k")],
+                               "doc_id string, text string, shard string")
+    d2 = spark.createDataFrame([("b", "four five", "k")],
+                               "doc_id string, text string, shard string")
+    d1.coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+
+    schema = spark.read.parquet(str(src / "f1")).schema
+    ckpt = str(tmp_path / "ckpt2")
+    out_dir = str(tmp_path / "pack2_out")
+
+    def run_once():
+        stream = (spark.readStream.schema(schema)
+                  .parquet(str(src / "*")))
+        out = stream_chunk_packer(stream, context_len=4, key_col="shard")
+        q = (out.writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()                                              # batch 1: doc a
+    d2.coalesce(1).write.mode("overwrite").parquet(str(src / "f2"))
+    run_once()                                              # batch 2: doc b
+
+    rows = {r["doc_id"]: (r["start_offset"], r["first_chunk"], r["last_chunk"])
+            for r in spark.read.parquet(out_dir).collect()}
+    # doc a: 3 tokens at offset 0 (chunk 0); doc b resumes at offset 3 and
+    # spans the chunk boundary at 4 (chunks 0..1)
+    assert rows == {"a": (0, 0, 0), "b": (3, 0, 1)}
