@@ -86,3 +86,12 @@ def test_nary_emission_filter_eliminates_outer_joins(spark, sf_dir):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     joins = re.findall(r"Join (\w+)", plan)
     assert joins and "FullOuter" not in joins, joins
+
+
+def test_ivf_md5_broadcasts_probe_side(spark, sf_dir):
+    """The deterministic IVF twin must keep the scale shape: tiny
+    centroid/probe sides broadcast (no corpus shuffle for the join)."""
+    import __spark_entry__ as entry
+    df = entry.queries()["ann_recall"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
