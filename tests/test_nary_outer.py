@@ -144,3 +144,23 @@ def test_null_join_keys_survive_outer_preservation(spark):
     rows = run3(spark, (a, b, c), MixedJoin([True, False, True]))
     assert rows == [(1, "a1", 1, "b1", 1, "c1"),
                     (None, None, None, "bnull", None, None)]
+
+
+def test_hashjoin_3way_right_and_mixed(spark, abc):
+    """HashJoin (broadcast-hinted) n-ary Right/Mixed joins go through the
+    same accumulate-then-emit path; the hint must not change results."""
+    from cascading_flink_spark import HashJoin
+
+    def run_hash(joiner):
+        a, b, c = abc
+        j = HashJoin([Pipe("A"), Pipe("B"), Pipe("C")],
+                     [Fields("ka"), Fields("kb"), Fields("kc")],
+                     joiner=joiner)
+        fd = (FlowDef().add_source("A", DataFrameTap(a))
+              .add_source("B", DataFrameTap(b))
+              .add_source("C", DataFrameTap(c)).add_tail(j))
+        df = FlowConnector(spark).connect(fd).dataframe(j.name)
+        return _sorted(tuple(r) for r in df.collect())
+
+    assert run_hash(RightJoin()) == duck3_emit([2])
+    assert run_hash(MixedJoin([False, True, False])) == duck3_emit([0, 2])
