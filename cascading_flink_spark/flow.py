@@ -69,8 +69,10 @@ class FlowDef:
     def set_run_id(self, run_id: str) -> "FlowDef":
         """Mark the flow restartable (Cascading ``FlowDef.setRunID``): only
         with a run id do durable Checkpoint taps RESUME from pre-existing
-        data; without one every run recomputes and overwrites, so changed
-        inputs can never be silently served from a stale checkpoint."""
+        data, and the checkpoint path is SCOPED by the run id (re-running
+        id X resumes X's checkpoints; a new id starts fresh).  Without one
+        every run recomputes and overwrites, so changed inputs can never be
+        silently served from a stale checkpoint."""
         self.run_id = run_id
         return self
 

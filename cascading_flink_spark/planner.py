@@ -160,9 +160,19 @@ class FlowPlanner:
                 # — but ONLY under an explicit run id (Cascading restarts
                 # from checkpoint taps only when FlowDef.setRunID is given),
                 # so changed inputs are never silently served stale data.
+                # The run id also SCOPES the checkpoint path (as Cascading
+                # scopes checkpoint dirs by runID): re-running under run id
+                # X resumes X's checkpoints; a new run id starts fresh
+                # instead of resuming another run's data.
+                tap = pipe.tap
                 if self.run_id is not None:
+                    import copy
+                    import os as _os
+                    tap = copy.copy(pipe.tap)
+                    tap.paths = [_os.path.join(p, self.run_id)
+                                 for p in pipe.tap.paths]
                     try:
-                        existing = pipe.tap.read(self.spark)
+                        existing = tap.read(self.spark)
                         existing.schema  # force resolution
                         return existing
                     except Exception as e:
@@ -171,8 +181,8 @@ class FlowPlanner:
                         # real error, not a reason to silently recompute.
                         if not _is_missing_path_error(e):
                             raise
-                pipe.tap.write(self._compile(pipe.previous[0]))
-                return pipe.tap.read(self.spark)
+                tap.write(self._compile(pipe.previous[0]))
+                return tap.read(self.spark)
             return self._compile(pipe.previous[0]).cache()
         if type(pipe) is Pipe:
             if not pipe.previous:

@@ -375,14 +375,33 @@ def test_durable_checkpoint_corrupt_raises(spark, tmp_path):
     """A present-but-unreadable checkpoint is a real error under a run id —
     not 'no checkpoint yet', which would silently recompute (round-2
     verdict: the bare except swallowed permission/corruption errors)."""
-    cp_dir = tmp_path / "cp"
-    cp_dir.mkdir()
+    cp_dir = tmp_path / "cp" / "run-1"   # checkpoints are scoped by run id
+    cp_dir.mkdir(parents=True)
     (cp_dir / "part-00000.parquet").write_bytes(b"this is not parquet")
     df = spark.createDataFrame([(1, 10)], "id int, v int")
     with pytest.raises(Exception) as ei:
         _checkpoint_build(spark, tmp_path, df, "run-1").collect()
     # the corrupt-file error surfaced; it was not masked as "no checkpoint"
     assert "parquet" in str(ei.value).lower()
+
+
+def test_durable_checkpoint_new_run_id_starts_fresh(spark, tmp_path):
+    """Cascading scopes checkpoint data by runID: re-running under the same
+    id resumes, a NEW id recomputes instead of resuming another run's
+    checkpoint."""
+    df1 = spark.createDataFrame([(1, 10)], "id int, v int")
+    out1 = {(r["id"], r["quad"])
+            for r in _checkpoint_build(spark, tmp_path, df1, "run-1").collect()}
+    assert out1 == {(1, 40)}
+    df2 = spark.createDataFrame([(9, 100)], "id int, v int")
+    # same run id -> resumes run-1's checkpoint (stale by intent)
+    same = {(r["id"], r["quad"])
+            for r in _checkpoint_build(spark, tmp_path, df2, "run-1").collect()}
+    assert same == out1
+    # new run id -> fresh compute from df2
+    fresh = {(r["id"], r["quad"])
+             for r in _checkpoint_build(spark, tmp_path, df2, "run-2").collect()}
+    assert fresh == {(9, 400)}
 
 
 def test_source_trap_catches_malformed_rows(spark, tmp_path):
