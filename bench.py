@@ -89,20 +89,25 @@ def main() -> None:
     spark.catalog.clearCache()
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    timings: dict[str, float] = {}
-    for name in names:
-        fn = qs[name]
-        best = None
-        for _ in range(runs):
+    # rounds are INTERLEAVED (all queries once, then again): a transient
+    # system-load spike then taxes each query in one round instead of
+    # swallowing every consecutive repeat of a single query; best-of-N over
+    # interleaved rounds is a tighter estimator on a noisy shared box.
+    # JIT/codegen warmth is global to the JVM, so round 2+ stays warm.
+    best: dict[str, float] = {}
+    for _ in range(runs):
+        for name in names:
+            fn = qs[name]
             t0 = time.time()
             _execute(fn(spark, SF_DIR))
             elapsed = time.time() - t0
-            best = elapsed if best is None else min(best, elapsed)
+            if name not in best or elapsed < best[name]:
+                best[name] = elapsed
             # release intermediates persisted inside operators so reruns
             # and later queries aren't taxed by cache memory pressure (and
             # reruns measure the full pipeline, not a cache hit)
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+    timings = {name: round(best[name], 3) for name in names}
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
