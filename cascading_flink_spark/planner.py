@@ -205,6 +205,16 @@ class FlowPlanner:
                 return df  # stripped at plan time
             cond = op.condition(arg_cols)
             msg = f"assertion {type(op).__name__} failed on fields {arg_names}"
+            if pipe.name in self.traps:
+                # Cascading traps catch assertion failures row-wise
+                # (FlinkFlowProcess.java:169-190): divert failing rows to
+                # the trap channel instead of failing the job.
+                fail = ~F.coalesce(cond, F.lit(False))
+                self.add_trap_frame(pipe.name, df.filter(fail).select(
+                    F.to_json(F.struct(*[df[c] for c in df.columns]))
+                     .alias("payload"),
+                    F.lit(msg).alias("error")))
+                return df.filter(F.coalesce(cond, F.lit(False)))
             keep = F.when(cond, F.lit(True)).otherwise(F.raise_error(F.lit(msg)))
             return df.filter(keep)
 
@@ -253,6 +263,11 @@ class FlowPlanner:
                                          trapped=pipe.name in self.traps)
 
         if op.is_generator:
+            if pipe.name in self.traps:
+                raise PlannerError(
+                    f"trap bound to pipe {pipe.name!r}, but generator "
+                    f"{type(op).__name__} has no row-safe form — native "
+                    "splits/explodes cannot fail row-wise")
             arr = op.generate(arg_cols)
             out_names, srcs = resolve_output_fields(incoming, arg_names, declared,
                                                     pipe.output_selector)

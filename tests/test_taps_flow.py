@@ -602,3 +602,25 @@ def test_snapshot_tap_keep_mode(spark, tmp_path):
     tap.write(spark.createDataFrame([(1,)], "a int"))
     with pytest.raises(ValueError, match="KEEP"):
         tap.write(spark.createDataFrame([(2,)], "a int"))
+
+
+def test_assertion_failures_divert_to_trap(spark, tmp_path):
+    """Cascading traps catch assertion failures: with a trap bound, rows
+    failing a value assertion divert row-wise instead of failing the job."""
+    from cascading_flink_spark.operations import AssertNotNull
+
+    df = spark.createDataFrame([(1, "x"), (None, "y"), (3, "z")],
+                               "v int, tag string")
+    head = Pipe("rows")
+    checked = Each(head, Fields("v"), AssertNotNull(), Fields.ALL,
+                   name="rows")
+    fd = (FlowDef().add_source(head, DataFrameTap(df))
+          .add_trap("rows", Hfs(ParquetScheme(), str(tmp_path / "t"),
+                                SinkMode.REPLACE))
+          .add_tail(checked))
+    flow = FlowConnector(spark).connect(fd)
+    assert {r["tag"] for r in flow.dataframe().collect()} == {"x", "z"}
+    trapped = flow.trap_dataframe("rows").collect()
+    assert len(trapped) == 1
+    assert '"tag":"y"' in trapped[0]["payload"]
+    assert "AssertNotNull" in trapped[0]["error"]
