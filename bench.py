@@ -62,7 +62,10 @@ def _execute(df) -> None:
 
 
 def main() -> None:
-    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+    try:
+        sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
     spark = get_spark("bench")
     qs = entry.queries()
 
