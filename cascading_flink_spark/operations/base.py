@@ -76,6 +76,13 @@ class Filter(Operation):
         """Column[bool]: True => drop the row (Cascading isRemove)."""
         raise NotImplementedError
 
+    def safe_remove(self, arg_cols: list):
+        """try_-compiled predicate for trap mode, or None.  Contract: a
+        NULL predicate for NON-NULL arguments means "this row would have
+        thrown" — the planner diverts those rows to the trap channel (see
+        ``Function.safe_columns``)."""
+        return None
+
 
 class Aggregator(Operation):
     def agg_column(self, arg_cols: list):

@@ -33,14 +33,25 @@ class RegexFilter(Filter):
 
 
 class ExpressionFilter(Filter):
-    """SQL boolean expression; True => REMOVE (Cascading semantics)."""
+    """SQL boolean expression; True => REMOVE (Cascading semantics).
 
-    def __init__(self, expression: str) -> None:
+    ``trap_null_results=True`` opts the filter into native trap mode for
+    expressions written with SQL try_ functions: under a bound trap, rows
+    where the predicate evaluates NULL for non-null arguments divert to
+    the trap channel (a legitimate three-valued-logic NULL would divert
+    too — hence opt-in)."""
+
+    def __init__(self, expression: str,
+                 trap_null_results: bool = False) -> None:
         super().__init__()
         self.expression = expression
+        self.trap_null_results = trap_null_results
 
     def remove(self, arg_cols):
         return F.expr(self.expression)
+
+    def safe_remove(self, arg_cols):
+        return F.expr(self.expression) if self.trap_null_results else None
 
 
 class FilterNull(Filter):

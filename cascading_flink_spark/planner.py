@@ -235,13 +235,29 @@ class FlowPlanner:
             if isinstance(op, PyFilter):
                 out = self._pandas_filter(df, op, arg_names,
                                           trap_pipe=pipe.name if pipe.name in self.traps else None)
-            else:
-                if pipe.name in self.traps:
+            elif pipe.name in self.traps:
+                # Native-filter trap mode: a NULL predicate for non-null
+                # arguments is the try_-compiled "would have thrown" signal
+                # (same contract as Function.safe_columns).
+                pred = op.safe_remove(arg_cols)
+                if pred is None:
                     raise PlannerError(
-                        f"trap bound to pipe {pipe.name!r}, but {type(op).__name__} "
-                        "is a native operation — only Python operations "
-                        "(PyFunction/PyFilter) can fail row-wise; native "
-                        "expression errors fail the job (Catalyst semantics)")
+                        f"trap bound to pipe {pipe.name!r}, but "
+                        f"{type(op).__name__} has no row-safe (try_) form — "
+                        "use a Python operation, or ExpressionFilter("
+                        "trap_null_results=True) with SQL try_ functions")
+                args_ok = F.lit(True)
+                for c in arg_cols:
+                    args_ok = args_ok & c.isNotNull()
+                fail = args_ok & pred.isNull()
+                self.add_trap_frame(pipe.name, df.filter(fail).select(
+                    F.to_json(F.struct(*[df[c] for c in incoming]))
+                     .alias("payload"),
+                    F.lit(f"{type(op).__name__}: native filter failed "
+                          "(try_-compiled NULL predicate for non-null "
+                          "arguments)").alias("error")))
+                out = df.filter(~fail & ~F.coalesce(pred, F.lit(False)))
+            else:
                 out = df.filter(~op.remove(arg_cols))
             if pipe.output_selector is Fields.ALL:
                 return out

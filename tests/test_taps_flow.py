@@ -287,7 +287,7 @@ def test_trap_on_native_op_raises(spark):
     nat = Each(Pipe("src"), Fields("v"), ExpressionFilter("v = 0"), name="nat")
     fd = (FlowDef().add_source("src", DataFrameTap(df)).add_tail(nat)
           .add_trap("nat", Hfs(ParquetScheme(), "/tmp/never", SinkMode.REPLACE)))
-    with pytest.raises(PlannerError, match="native operation"):
+    with pytest.raises(PlannerError, match="row-safe"):
         FlowConnector(spark).connect(fd)
 
 
@@ -624,3 +624,37 @@ def test_assertion_failures_divert_to_trap(spark, tmp_path):
     assert len(trapped) == 1
     assert '"tag":"y"' in trapped[0]["payload"]
     assert "AssertNotNull" in trapped[0]["error"]
+
+
+def test_native_expression_filter_trap(spark, tmp_path):
+    """ExpressionFilter(trap_null_results=True) under a trap: rows where
+    the try_-predicate is NULL for non-null args divert; rows with NULL
+    args pass through the normal three-valued-logic path."""
+    from cascading_flink_spark import PlannerError
+
+    df = spark.createDataFrame([("10", 2), ("x", 2), ("9", 3), (None, 5)],
+                               "a string, b int")
+    head = Pipe("filt")
+    trap_tap = Hfs(ParquetScheme(), str(tmp_path / "t"), SinkMode.REPLACE)
+    # remove rows where try_cast(a) / b > 2 -> 'x' makes the cast NULL
+    keep = Each(head, Fields("a", "b"),
+                ExpressionFilter("try_divide(cast(try_cast(a AS int) AS double), b) > 2.0",
+                                 trap_null_results=True),
+                name="filt")
+    fd = (FlowDef().add_source(head, DataFrameTap(df))
+          .add_trap("filt", trap_tap).add_tail(keep))
+    flow = FlowConnector(spark).connect(fd)
+    got = {(r["a"], r["b"]) for r in flow.dataframe().collect()}
+    # "10"/2=5 removed; "9"/3=3 removed; null-arg row: pred NULL but args
+    # include NULL -> three-valued logic keeps it (not trapped, not removed)
+    assert got == {(None, 5)}
+    trapped = flow.trap_dataframe("filt").collect()
+    assert len(trapped) == 1 and '"a":"x"' in trapped[0]["payload"]
+
+    # without opt-in: connect-time rejection
+    plain = Each(head, Fields("a", "b"), ExpressionFilter("b > 2"),
+                 name="filt")
+    fd2 = (FlowDef().add_source(head, DataFrameTap(df))
+           .add_trap("filt", trap_tap).add_tail(plain))
+    with pytest.raises(PlannerError, match="row-safe"):
+        FlowConnector(spark).connect(fd2)
