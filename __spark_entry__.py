@@ -30,6 +30,7 @@ from cascading_flink_spark.operations import (
     Sum, UnGroup,
 )
 from cascading_flink_spark.extensions import (
+    asof_join, range_join,
     attach_binary_meta, brute_force_topk, chunk_corpus, decode_stub_features,
     dedup_clusters, embedding_dup_pairs, exact_dedup, fingerprint, lang_id,
     ivf_topk, ivf_topk_md5, lsh_bucketed_topk, lsh_bucketed_topk_md5,
@@ -784,6 +785,50 @@ def q_stratified_sample(spark, sf_dir):
     return out.select("event_id", "event_type")
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join: each purchase matched to the user's most recent click at
+    or before it (union + per-key ordered forward-fill — one shuffle, no
+    candidate explosion).  Oracle: DuckDB's native ASOF LEFT JOIN.
+    Timestamps emitted as exact epoch-micros BIGINTs so no float reaches
+    the hasher; the unmatched-click timestamp is -1, never NULL (a
+    nullable BIGINT becomes float64 in pandas fetches, and 1.7e15 epoch
+    micros then formats as '...0.0' on one engine only)."""
+    ev = _t(spark, sf_dir, "events")
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.col("value").alias("purchase_value"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.unix_micros("ts").alias("click_ts_us"),
+        F.col("value").alias("click_value"))
+    out = asof_join(buys, clicks, on="user_id", left_ts="ts", right_ts="ts",
+                    right_cols={"click_ts_us": "click_ts_us",
+                                "click_value": "click_value"})
+    return out.select(
+        "event_id", "user_id", "purchase_ts_us", "purchase_value",
+        F.coalesce("click_ts_us", F.lit(-1)).alias("click_ts_us"),
+        "click_value")
+
+
+def q_range_join(spark, sf_dir):
+    """Bounded range join: (click, purchase) pairs by the same user with
+    the purchase in [0, 1h] after the click — bucketed equi-join (bucket
+    width = window span), never a nested loop.  Exact integer micros on
+    both engines."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts_us")
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts_us").alias("p_ts_us"))
+    out = range_join(clicks, buys, on="user_id", left_ts="ts_us",
+                     right_ts="p_ts_us", lower_seconds=0,
+                     upper_seconds=3600_000_000)
+    return out.select("click_id", "purchase_id", "user_id",
+                      (F.col("p_ts_us") - F.col("ts_us")).alias("delta_us"))
+
+
 # ------------------------------------------------------- driver surface
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -853,6 +898,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logic_filters": q_logic_filters,
         "retain_coerce": q_retain_coerce,
         "hashjoin_cross": q_hashjoin_cross,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
     }
 
 
@@ -1478,6 +1525,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hashjoin_cross": """
             SELECT concat(r_name, '|', n_name) AS pair FROM region, nation
+        """,
+        "asof_join": """
+            SELECT p.event_id, p.user_id,
+                   epoch_us(p.ts) AS purchase_ts_us,
+                   p.value AS purchase_value,
+                   coalesce(epoch_us(c.ts), -1) AS click_ts_us,
+                   c.value AS click_value
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "range_join": """
+            SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+                   c.user_id, epoch_us(p.ts) - epoch_us(c.ts) AS delta_us
+            FROM events c JOIN events p
+              ON c.user_id = p.user_id
+             AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 3600000000
+            WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         """,
         "strip_boilerplate": """
             WITH toks AS (SELECT doc_id,

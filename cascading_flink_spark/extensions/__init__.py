@@ -27,5 +27,6 @@ from .multimodal import (
     frame_sample,
 )
 from .skew import salted_agg, salted_broadcast_left, stratified_sample
+from .temporal import asof_join, range_join
 
 __all__ = [n for n in dir() if not n.startswith("_")]
