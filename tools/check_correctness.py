@@ -64,6 +64,14 @@ def main() -> int:
     from cascading_flink_spark.session import get_spark
 
     only = set(sys.argv[1:])
+    qs = entrymod.queries()
+    unknown = only - set(qs)
+    if unknown:
+        # An unknown name (typo, or a flag like --queries) must NOT
+        # silently select nothing and print "all checks passed".
+        print(f"ERROR: unknown queries: {sorted(unknown)}; "
+              f"usage: check_correctness.py [query ...]")
+        return 2
     spark = get_spark("check-correctness", cpus=8)
 
     con = duckdb.connect()
@@ -71,7 +79,6 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
-    qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
