@@ -30,7 +30,7 @@ from cascading_flink_spark.operations import (
     Sum, UnGroup,
 )
 from cascading_flink_spark.extensions import (
-    asof_join, range_join,
+    asof_join, range_join, contamination_pairs, decontaminate,
     attach_binary_meta, brute_force_topk, chunk_corpus, decode_stub_features,
     dedup_clusters, embedding_dup_pairs, exact_dedup, fingerprint, lang_id,
     ivf_topk, ivf_topk_md5, lsh_bucketed_topk, lsh_bucketed_topk_md5,
@@ -829,6 +829,25 @@ def q_range_join(spark, sf_dir):
                       (F.col("p_ts_us") - F.col("ts_us")).alias("delta_us"))
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: documents with doc_id%20==0 play the
+    held-out eval set; every remaining (corpus) doc sharing a distinct
+    word 8-gram with an eval doc is reported with its overlap size.
+    Corpus side reaches the probe with zero shuffles (broadcast gram
+    join — plan-asserted in tests); also returns the post-removal corpus
+    size so the anti-join path is exercised too."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    pairs = contamination_pairs(corpus, bench, n=8)
+    kept = decontaminate(corpus, bench, n=8) \
+        .agg(F.count(F.lit(1)).alias("n")) \
+        .select(F.lit(-1).cast("long").alias("doc_id"),
+                F.lit(-1).cast("long").alias("bench_id"),
+                F.col("n").alias("shared_grams"))
+    return pairs.unionByName(kept)
+
+
 # ------------------------------------------------------- driver surface
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -900,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashjoin_cross": q_hashjoin_cross,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -1543,6 +1563,25 @@ def oracle_sql() -> dict[str, str]:
               ON c.user_id = p.user_id
              AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 3600000000
             WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        """,
+        "decontaminate": """
+            WITH toks AS (SELECT doc_id,
+                                 regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                          FROM documents),
+            sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+7], ' ')
+                          for i in range(1, greatest(len(t)-7, 0)+1)]) AS s
+                   FROM toks),
+            inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            pairs AS (SELECT c.doc_id, b.doc_id AS bench_id,
+                             count(*) AS shared_grams
+                      FROM (SELECT * FROM inv WHERE doc_id % 20 <> 0) c
+                      JOIN (SELECT * FROM inv WHERE doc_id % 20 = 0) b USING (g)
+                      GROUP BY 1, 2)
+            SELECT doc_id, bench_id, shared_grams FROM pairs
+            UNION ALL
+            SELECT -1 AS doc_id, -1 AS bench_id,
+                   (SELECT count(*) FROM documents WHERE doc_id % 20 <> 0)
+                   - (SELECT count(DISTINCT doc_id) FROM pairs) AS shared_grams
         """,
         "strip_boilerplate": """
             WITH toks AS (SELECT doc_id,

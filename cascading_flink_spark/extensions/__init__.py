@@ -28,5 +28,6 @@ from .multimodal import (
 )
 from .skew import salted_agg, salted_broadcast_left, stratified_sample
 from .temporal import asof_join, range_join
+from .decontam import contamination_pairs, decontaminate
 
 __all__ = [n for n in dir() if not n.startswith("_")]

@@ -1,0 +1,99 @@
+"""Benchmark decontamination (extensions/decontam.py)."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from cascading_flink_spark.extensions.decontam import (
+    contamination_pairs, decontaminate)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame([
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, text="pack my box with five dozen liquor jugs now"),
+        Row(doc_id=3, text="a quick brown fox jumps over a lazy cat"),
+        Row(doc_id=4, text="completely unrelated content about spark plans"),
+    ])
+
+
+@pytest.fixture(scope="module")
+def bench(spark):
+    return spark.createDataFrame([
+        # 5-gram "quick brown fox jumps over" appears in docs 1 and 3
+        Row(doc_id=100, text="quick brown fox jumps over everything"),
+        Row(doc_id=101, text="five dozen liquor jugs now please"),
+    ])
+
+
+def test_contamination_pairs(spark, corpus, bench):
+    out = contamination_pairs(corpus, bench, n=5)
+    got = sorted((r.doc_id, r.bench_id, r.shared_grams)
+                 for r in out.collect())
+    # doc1 x bench100: 'quick brown fox jumps over' = 1 shared 5-gram
+    # doc2 x bench101: 'five dozen liquor jugs now' = 1
+    # doc3 x bench100: 'quick brown fox jumps over' = 1
+    assert got == [(1, 100, 1), (2, 101, 1), (3, 100, 1)]
+
+
+def test_decontaminate_removes_contaminated(spark, corpus, bench):
+    out = decontaminate(corpus, bench, n=5)
+    assert sorted(r.doc_id for r in out.collect()) == [4]
+    # higher threshold: nothing shares >= 2 grams -> nothing removed
+    out2 = decontaminate(corpus, bench, n=5, min_shared=2)
+    assert sorted(r.doc_id for r in out2.collect()) == [1, 2, 3, 4]
+
+
+def test_corpus_side_never_shuffled_before_probe(spark, corpus, bench):
+    """The gram probe and the anti-join must both be broadcast joins —
+    the 100 TB corpus side must reach them with no Exchange other than
+    the explicit fan-out repartition."""
+    out = decontaminate(corpus, bench, n=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+    pairs_plan = contamination_pairs(corpus, bench, n=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in pairs_plan
+    assert "SortMergeJoin" not in pairs_plan
+
+
+def test_multi_gram_overlap_counts(spark):
+    corpus = spark.range(1).select(
+        F.lit(1).alias("doc_id"),
+        F.lit("a b c d e f g").alias("text"))
+    bench = spark.range(1).select(
+        F.lit(9).alias("doc_id"),
+        F.lit("a b c d e f").alias("text"))
+    # corpus 4-grams: abcd bcde cdef defg; bench: abcd bcde cdef -> 3 shared
+    out = contamination_pairs(corpus, bench, n=4)
+    assert [(r.doc_id, r.bench_id, r.shared_grams)
+            for r in out.collect()] == [(1, 9, 3)]
+
+
+def test_matches_duckdb_on_real_docs(spark, sf_dir):
+    duckdb = pytest.importorskip("duckdb")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    got = sorted((r.doc_id, r.bench_id, r.shared_grams) for r in
+                 contamination_pairs(corpus, bench, n=8).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    exp = con.execute("""
+        WITH toks AS (SELECT doc_id,
+                             regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                      FROM documents),
+        sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+7], ' ')
+                      for i in range(1, greatest(len(t)-7, 0)+1)]) AS s
+               FROM toks),
+        inv AS (SELECT doc_id, unnest(s) AS g FROM sh)
+        SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS shared
+        FROM (SELECT * FROM inv WHERE doc_id % 20 <> 0) c
+        JOIN (SELECT * FROM inv WHERE doc_id % 20 = 0) b USING (g)
+        GROUP BY 1, 2
+    """).fetchall()
+    assert got == sorted(exp)
