@@ -829,6 +829,16 @@ def q_range_join(spark, sf_dir):
                       (F.col("p_ts_us") - F.col("ts_us")).alias("delta_us"))
 
 
+def q_winnow_clusters(spark, sf_dir):
+    """Containment-duplication clusters: winnowing fingerprint pairs
+    (quotes/mirrored sections, not just whole-doc near-dups) fed into the
+    same connected-components operator as dedup_clusters — operators
+    compose; the oracle rebuilds the whole chain with a recursive CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = winnow_pairs(docs, k=4, w=4, threshold=0.5, max_df=50)
+    return dedup_clusters(pairs)
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: documents with doc_id%20==0 play the
     held-out eval set; every remaining (corpus) doc sharing a distinct
@@ -920,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "decontaminate": q_decontaminate,
+        "winnow_clusters": q_winnow_clusters,
     }
 
 
@@ -1646,6 +1657,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.id = id_a
             JOIN sizes sb ON sb.id = id_b
             WHERE floor(c * 1.0 / least(sa.n_fp, sb.n_fp) * 10000 + 0.5) / 10000 >= 0.5
+        """,
+        "winnow_clusters": """
+            WITH RECURSIVE
+            toks AS (SELECT doc_id,
+                            regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                     FROM documents),
+            g AS (SELECT doc_id,
+                         [md5(array_to_string(t[i:i+3], ' ')) || '#' ||
+                          lpad((i-1)::VARCHAR, 8, '0')
+                          for i in range(1, len(t)-4+2)] AS fps
+                  FROM toks WHERE len(t) >= 4),
+            sel AS (SELECT doc_id,
+                           list_distinct([list_min(fps[j:j+3])
+                                          for j in range(1, len(fps)-4+2)]) AS s
+                    FROM g WHERE len(fps) >= 4),
+            fp0 AS (SELECT doc_id AS id, unnest(s) AS m FROM sel),
+            fp AS (SELECT DISTINCT id, substr(m, 1, 32) AS fp FROM fp0),
+            sizes AS (SELECT id, count(*) AS n_fp FROM fp GROUP BY 1),
+            rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 50),
+            inv AS (SELECT id, fp.fp FROM fp JOIN rare USING (fp)),
+            shared AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+                       FROM inv a JOIN inv b USING (fp)
+                       WHERE a.id < b.id GROUP BY 1, 2),
+            pairs AS (SELECT id_a, id_b FROM shared
+                      JOIN sizes sa ON sa.id = id_a
+                      JOIN sizes sb ON sb.id = id_b
+                      WHERE floor(c * 1.0 / least(sa.n_fp, sb.n_fp) * 10000
+                                  + 0.5) / 10000 >= 0.5),
+            edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach(id, r) AS (
+                SELECT s, d FROM edges
+                UNION
+                SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s
+            )
+            SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id
         """,
         "redact_pii": """
             WITH s1 AS (
