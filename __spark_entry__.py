@@ -38,6 +38,8 @@ from cascading_flink_spark.extensions import (
     ngram_jaccard_pairs, quality_features, quality_filter, redact_pii,
     salted_agg, simhash_dup_pairs, simhash_md5_pairs, stratified_sample,
     strip_boilerplate, token_budget, winnow_pairs,
+    repetition_stats, tfidf_topterms, unigram_commonness,
+    event_funnel, value_histogram,
 )
 
 
@@ -858,6 +860,72 @@ def q_decontaminate(spark, sf_dir):
     return pairs.unionByName(kept)
 
 
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 through the pipe DSL: three filtered inputs, two CoGroups,
+    GroupBy revenue, then the keyless sorted GroupBy + Limit = global
+    top-10 (TakeOrderedAndProject physically).  Revenue is rounded with
+    the engine-agnostic half-up form BEFORE the sort so the top-10 cutoff
+    compares identical doubles in every engine."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cf = Each(Pipe("customer"), Fields("c_mktsegment"),
+              ExpressionFilter("c_mktsegment <> 'BUILDING'"))
+    of = Each(Pipe("orders"), Fields("o_orderdate"),
+              ExpressionFilter("o_orderdate >= timestamp '1996-07-01'"))
+    lf = Each(Pipe("lineitem"), Fields("l_shipdate"),
+              ExpressionFilter("l_shipdate <= timestamp '1996-07-01'"))
+    j1 = CoGroup([of, cf], [Fields("o_custkey"), Fields("c_custkey")])
+    j2 = CoGroup([lf, j1], [Fields("l_orderkey"), Fields("o_orderkey")])
+    rev = Each(j2, Fields("l_extendedprice", "l_discount"),
+               ExpressionFunction(Fields("rev"),
+                                  "l_extendedprice * (1 - l_discount)"),
+               Fields.ALL)
+    g = GroupBy(rev, Fields("l_orderkey", "o_orderdate"))
+    e = Every(g, Fields("rev"), Sum("rev_sum"), Fields.ALL)
+    rr = Each(e, Fields("rev_sum"),
+              ExpressionFunction(Fields("revenue"),
+                                 "floor(rev_sum * 100 + 0.5) / 100"),
+              Fields.ALL)
+    rr = Each(rr, Fields("o_orderdate"),
+              ExpressionFunction(Fields("o_date"),
+                                 "date_format(o_orderdate, 'yyyy-MM-dd')"),
+              Fields("l_orderkey", "revenue", "o_date"))
+    top = GroupBy(rr, Fields.NONE,
+                  sort_fields=Fields("revenue", "l_orderkey"),
+                  reverse_order=True)
+    lim = Each(top, Fields.ALL, Limit(10))
+    return _flow(spark, lim, customer=cust, orders=orders, lineitem=li)
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition gates: dup-token ratio + top-bigram
+    coverage per document."""
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_tfidf_topterms(spark, sf_dir):
+    """Top-3 distinctive terms per doc by TF-IDF (rational idf so the
+    score itself is cross-engine hashable)."""
+    return tfidf_topterms(_t(spark, sf_dir, "documents"), k=3)
+
+
+def q_unigram_commonness(spark, sf_dir):
+    """Unigram-LM commonness scoring (cheap perplexity stand-in)."""
+    return unigram_commonness(_t(spark, sf_dir, "documents"))
+
+
+def q_event_funnel(spark, sf_dir):
+    """Ordered funnel view -> click -> purchase over the events stream."""
+    return event_funnel(_t(spark, sf_dir, "events"),
+                        steps=["view", "click", "purchase"])
+
+
+def q_value_histogram(spark, sf_dir):
+    """Exact fixed-width histogram of event values per type."""
+    return value_histogram(_t(spark, sf_dir, "events"), width=25.0)
+
+
 # ------------------------------------------------------- driver surface
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -931,6 +999,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "decontaminate": q_decontaminate,
         "winnow_clusters": q_winnow_clusters,
+        "tpch_q3": q_tpch_q3,
+        "repetition_stats": q_repetition_stats,
+        "tfidf_topterms": q_tfidf_topterms,
+        "unigram_commonness": q_unigram_commonness,
+        "event_funnel": q_event_funnel,
+        "value_histogram": q_value_histogram,
     }
 
 
@@ -1718,5 +1792,132 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(t2,
                        '\\b\\d{3}-\\d{2}-\\d{4}\\b'))::BIGINT AS n_ssn
             FROM s2
+        """,
+        "tpch_q3": """
+            WITH r AS (
+                SELECT l_orderkey,
+                       floor(sum(l_extendedprice * (1 - l_discount)) * 100
+                             + 0.5) / 100 AS revenue,
+                       strftime(o_orderdate, '%Y-%m-%d') AS o_date
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                WHERE c_mktsegment = 'BUILDING'
+                  AND o_orderdate < TIMESTAMP '1996-07-01'
+                  AND l_shipdate > TIMESTAMP '1996-07-01'
+                GROUP BY l_orderkey, o_orderdate
+            )
+            SELECT l_orderkey, revenue, o_date FROM r
+            ORDER BY revenue DESC, l_orderkey DESC LIMIT 10
+        """,
+        "repetition_stats": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS t
+                FROM documents
+            ), base AS (
+                SELECT doc_id, len(t)::BIGINT AS n_tokens,
+                       len(list_distinct(t))::BIGINT AS n_distinct, t
+                FROM toks
+            ), bg AS (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(t) - 1),
+                                             i -> t[i] || ' ' || t[i + 1])) AS bg
+                FROM base WHERE len(t) >= 2
+            ), bgc AS (
+                SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2
+            ), top AS (
+                SELECT doc_id, max(cnt)::BIGINT AS top_bigram_n,
+                       sum(cnt)::BIGINT AS n_bigrams
+                FROM bgc GROUP BY 1
+            )
+            SELECT b.doc_id, b.n_tokens, b.n_distinct,
+                   floor((1 - b.n_distinct / greatest(b.n_tokens, 1)) * 10000
+                         + 0.5) / 10000 AS dup_token_ratio,
+                   coalesce(t.n_bigrams, 0)::BIGINT AS n_bigrams,
+                   coalesce(t.top_bigram_n, 0)::BIGINT AS top_bigram_n,
+                   floor(coalesce(t.top_bigram_n, 0)
+                         / greatest(coalesce(t.n_bigrams, 0), 1) * 10000
+                         + 0.5) / 10000 AS top_bigram_frac
+            FROM base b LEFT JOIN top t USING (doc_id)
+        """,
+        "tfidf_topterms": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                       END AS t
+                FROM documents
+            ), tfc AS (
+                SELECT doc_id, unnest(t) AS term FROM toks
+            ), tf AS (
+                SELECT doc_id, term, count(*)::BIGINT AS tf
+                FROM tfc GROUP BY 1, 2
+            ), dfreq AS (
+                SELECT term, count(*)::BIGINT AS df_docs FROM tf GROUP BY 1
+            ), n AS (
+                SELECT count(*)::BIGINT AS n_docs FROM documents
+            ), scored AS (
+                SELECT doc_id, term, tf, df_docs,
+                       (tf * (n_docs + 1.0)) / (df_docs + 1) AS tfidf
+                FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            ), rk AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+                FROM scored
+            )
+            SELECT doc_id, term, tf, df_docs,
+                   floor(tfidf * 10000 + 0.5) / 10000 AS tfidf
+            FROM rk WHERE rk <= 3
+        """,
+        "unigram_commonness": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                       END AS t
+                FROM documents
+            ), tfc AS (
+                SELECT doc_id, unnest(t) AS term FROM toks
+            ), tf AS (
+                SELECT doc_id, term, count(*)::BIGINT AS tf
+                FROM tfc GROUP BY 1, 2
+            ), corpus AS (
+                SELECT term, sum(tf)::BIGINT AS freq FROM tf GROUP BY 1
+            ), agg AS (
+                SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+                       sum(tf * freq)::BIGINT AS freq_sum
+                FROM tf JOIN corpus USING (term) GROUP BY 1
+            )
+            SELECT doc_id, n_tokens, freq_sum,
+                   floor(freq_sum / n_tokens * 100 + 0.5) / 100 AS commonness
+            FROM agg
+        """,
+        "event_funnel": """
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY 1
+            ), s2 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1
+            ), s3 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+            )
+            SELECT 1 AS step, 'view' AS step_name,
+                   (SELECT count(*) FROM s1)::BIGINT AS n_users
+            UNION ALL
+            SELECT 2, 'click', (SELECT count(*) FROM s2)::BIGINT
+            UNION ALL
+            SELECT 3, 'purchase', (SELECT count(*) FROM s3)::BIGINT
+        """,
+        "value_histogram": """
+            SELECT event_type AS grp, floor(value / 25.0)::BIGINT AS bin,
+                   floor(value / 25.0) * 25.0 AS bin_lo, count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2, 3
         """,
     }

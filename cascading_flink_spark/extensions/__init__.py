@@ -29,5 +29,7 @@ from .multimodal import (
 from .skew import salted_agg, salted_broadcast_left, stratified_sample
 from .temporal import asof_join, range_join
 from .decontam import contamination_pairs, decontaminate
+from .corpus import repetition_stats, tfidf_topterms, unigram_commonness
+from .analytics import event_funnel, value_histogram
 
 __all__ = [n for n in dir() if not n.startswith("_")]

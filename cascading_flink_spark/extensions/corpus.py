@@ -1,0 +1,148 @@
+"""Corpus-level statistics for training-data curation: repetition signals,
+TF-IDF distinctive terms, and unigram-LM commonness scoring.
+
+These are the Gopher/C4-style corpus analyses that decide which documents
+enter a pre-training mix.  All three are built scale-first:
+
+* :func:`repetition_stats` — per-document duplicate-token and top-bigram
+  coverage ratios (the Gopher repetition filters).  Token-level signals are
+  computed natively per row (``array_distinct`` — no shuffle); the bigram
+  frequency pass is one explode + partial-aggregated ``groupBy`` on
+  ``(doc_id, bigram)``, a key that cannot be hot (bounded by one document's
+  bigram count).
+* :func:`tfidf_topterms` — top-k distinctive terms per document.  Term
+  frequencies and document frequencies are two partial-aggregated shuffles;
+  the doc-count scalar joins in as a broadcast, never a ``collect()``.  The
+  idf is the *rational* variant ``(N+1)/(df+1)`` (no logarithm): a log's
+  last-ulp differs across math libraries, while one IEEE multiply + one
+  divide of exact integers is bit-identical in every engine — which makes
+  the score value itself cross-engine hashable, not just the ranking.
+* :func:`unigram_commonness` — mean corpus frequency of a document's
+  tokens (a unigram-LM "commonness" score; low = rare-token/OOV-heavy
+  documents, the cheap perplexity stand-in).  The per-document weighted sum
+  is exact integer arithmetic, so the result is order-independent and
+  hash-stable by construction.
+
+At 100 TB: the vocabulary frame (term -> df/freq) is far larger than a
+broadcast threshold, so the term joins are shuffled equi-joins on ``term``
+— AQE handles the skew of stopword-heavy keys, and every aggregation is
+algebraic (map-side partials).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import _round_half_up, _TOKEN_SPLIT
+
+
+def _tok_array(text_col: str, lower: bool) -> F.Column:
+    t = F.col(text_col)
+    if lower:
+        t = F.lower(t)
+    trimmed = F.trim(t)
+    return F.when(trimmed == "", F.array()) \
+            .otherwise(F.split(trimmed, _TOKEN_SPLIT))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document.
+
+    Returns ``(doc_id, n_tokens, n_distinct, dup_token_ratio, n_bigrams,
+    top_bigram_n, top_bigram_frac)`` where ``dup_token_ratio`` is the
+    fraction of tokens that repeat an earlier token and ``top_bigram_frac``
+    is the share of all bigrams taken by the single most frequent one —
+    both standard "drop boilerplate-y repetitive docs" gates.
+    """
+    toks = _tok_array(text_col, lower=False)
+    n = F.size(toks)
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__t"),
+        n.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+    # adjacent-pair bigrams, built natively inside the row (no shuffle)
+    bigrams = F.when(
+        F.size("__t") >= 2,
+        F.zip_with(F.slice("__t", 1, F.size("__t") - 1),
+                   F.slice("__t", 2, F.size("__t") - 1),
+                   lambda a, b: F.concat(a, F.lit(" "), b)),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = base.select(id_col, F.explode(bigrams).alias("bg"))
+    bgc = bg.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    top = bgc.groupBy(id_col).agg(
+        F.max("cnt").cast("long").alias("top_bigram_n"),
+        F.sum("cnt").cast("long").alias("n_bigrams"))
+    out = base.drop("__t").join(top, on=id_col, how="left")
+    n_bg = F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long")
+    top_n = F.coalesce(F.col("top_bigram_n"), F.lit(0)).cast("long")
+    return out.select(
+        id_col, "n_tokens", "n_distinct",
+        _round_half_up(
+            1 - F.col("n_distinct") / F.greatest(F.col("n_tokens"), F.lit(1)),
+            4).alias("dup_token_ratio"),
+        n_bg.alias("n_bigrams"),
+        top_n.alias("top_bigram_n"),
+        _round_half_up(top_n / F.greatest(n_bg, F.lit(1)), 4)
+            .alias("top_bigram_frac"),
+    )
+
+
+def tfidf_topterms(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Top-``k`` distinctive terms per document by TF-IDF.
+
+    ``tfidf = tf * (N + 1) / (df + 1)`` — the rational idf variant (see
+    module docstring for why no log).  Ties (identical real score) break on
+    term text ascending, so the top-k set is fully deterministic.
+
+    Returns ``(doc_id, term, tf, df_docs, tfidf)``.
+    """
+    toks = _tok_array(text_col, lower=True)
+    tf = (df.select(F.col(id_col), F.explode(toks).alias("term"))
+            .groupBy(id_col, "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df_docs"))
+    n_docs = df.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = (tf.join(dfreq, on="term")
+                .crossJoin(F.broadcast(n_docs))
+                .withColumn("tfidf",
+                            (F.col("tf") * (F.col("n_docs") + F.lit(1.0)))
+                            / (F.col("df_docs") + F.lit(1))))
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (scored.withColumn("__rk", F.row_number().over(w))
+                  .filter(F.col("__rk") <= k)
+                  .select(id_col, "term", "tf", "df_docs",
+                          _round_half_up(F.col("tfidf"), 4).alias("tfidf")))
+
+
+def unigram_commonness(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Unigram-LM commonness score per document.
+
+    Builds corpus-wide token frequencies, then scores each document by the
+    mean corpus frequency of its tokens: ``sum(tf_doc * freq_corpus) /
+    n_tokens``.  Rare-token documents (misspellings, code, OOV junk) score
+    low — the cheap stand-in for LM perplexity filtering.
+
+    Returns ``(doc_id, n_tokens, freq_sum, commonness)``.  ``freq_sum`` is
+    an exact integer (order-independent), ``commonness`` one IEEE division
+    of it — both hash-stable across engines.
+    """
+    toks = _tok_array(text_col, lower=True)
+    tf = (df.select(F.col(id_col), F.explode(toks).alias("term"))
+            .groupBy(id_col, "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    corpus = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("freq"))
+    return (tf.join(corpus, on="term")
+              .groupBy(id_col)
+              .agg(F.sum("tf").cast("long").alias("n_tokens"),
+                   F.sum(F.col("tf") * F.col("freq")).cast("long")
+                      .alias("freq_sum"))
+              .select(id_col, "n_tokens", "freq_sum",
+                      _round_half_up(
+                          F.col("freq_sum") / F.col("n_tokens"), 2)
+                      .alias("commonness")))

@@ -1,0 +1,130 @@
+"""Unit tests for corpus statistics (repetition / tfidf / commonness) and
+event analytics (funnel / histogram) on tiny hand-computed frames."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from cascading_flink_spark.extensions import (
+    event_funnel, repetition_stats, tfidf_topterms, unigram_commonness,
+    value_histogram,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+
+
+class TestRepetitionStats:
+    def test_hand_computed(self, spark):
+        out = {r["doc_id"]: r for r in repetition_stats(_docs(spark, [
+            "a b a b a",          # 5 tokens, 2 distinct; bigrams: a b(x2), b a(x2)
+            "x y z",              # no repetition
+            "",                   # empty
+            "solo",               # single token -> no bigrams
+        ])).collect()}
+        d0 = out[0]
+        assert (d0["n_tokens"], d0["n_distinct"]) == (5, 2)
+        assert d0["dup_token_ratio"] == pytest.approx(1 - 2 / 5)
+        assert (d0["n_bigrams"], d0["top_bigram_n"]) == (4, 2)
+        assert d0["top_bigram_frac"] == pytest.approx(0.5)
+        d1 = out[1]
+        assert d1["dup_token_ratio"] == 0.0 and d1["top_bigram_n"] == 1
+        assert out[2]["n_tokens"] == 0 and out[2]["n_bigrams"] == 0
+        assert out[3]["n_tokens"] == 1 and out[3]["top_bigram_frac"] == 0.0
+
+    def test_repetitive_doc_flags_higher(self, spark):
+        out = {r["doc_id"]: r for r in repetition_stats(_docs(spark, [
+            "spam spam spam spam spam spam",
+            "the quick brown fox jumps high",
+        ])).collect()}
+        assert out[0]["dup_token_ratio"] > out[1]["dup_token_ratio"]
+        assert out[0]["top_bigram_frac"] == 1.0
+
+
+class TestTfidfTopterms:
+    def test_distinctive_term_wins(self, spark):
+        # "zebra" appears only in doc 0; "common" in all docs.
+        docs = _docs(spark, [
+            "common zebra", "common word word", "common filler here",
+        ])
+        top = tfidf_topterms(docs, k=1).collect()
+        by_doc = {r["doc_id"]: r for r in top}
+        assert by_doc[0]["term"] == "zebra"
+        assert by_doc[0]["df_docs"] == 1
+        # tf=1, N=3, df=1 -> 1 * 4 / 2 = 2.0
+        assert by_doc[0]["tfidf"] == pytest.approx(2.0)
+        # doc 1: "word" tf=2 df=1 -> 4.0 beats "common" tf=1 df=3 -> 1.0
+        assert by_doc[1]["term"] == "word"
+
+    def test_k_and_tie_break(self, spark):
+        docs = _docs(spark, ["b a", "a b"])  # identical scores everywhere
+        top = tfidf_topterms(docs, k=2)
+        rows = [(r["doc_id"], r["term"]) for r in top.collect()]
+        # both docs emit both terms; equal scores break on term asc
+        assert sorted(rows) == [(0, "a"), (0, "b"), (1, "a"), (1, "b")]
+
+
+class TestUnigramCommonness:
+    def test_hand_computed(self, spark):
+        # corpus freqs: the=3, rare=1
+        docs = _docs(spark, ["the the rare", "the"])
+        out = {r["doc_id"]: r for r in unigram_commonness(docs).collect()}
+        # doc0: 2*3 + 1*1 = 7 over 3 tokens
+        assert out[0]["freq_sum"] == 7 and out[0]["n_tokens"] == 3
+        assert out[0]["commonness"] == pytest.approx(2.33)
+        assert out[1]["commonness"] == pytest.approx(3.0)
+        # rare-token doc scores lower than common-token doc
+        assert out[0]["commonness"] < out[1]["commonness"]
+
+
+def _events(spark, rows):
+    base = datetime.datetime(2024, 1, 1)
+    return spark.createDataFrame([
+        Row(user_id=u, event_type=t,
+            ts=base + datetime.timedelta(minutes=m), value=float(v))
+        for (u, t, m, v) in rows])
+
+
+class TestEventFunnel:
+    def test_strict_ordering(self, spark):
+        ev = _events(spark, [
+            (1, "view", 0, 1), (1, "click", 5, 1), (1, "purchase", 9, 1),
+            # user 2 clicks BEFORE viewing -> drops out at step 2
+            (2, "click", 0, 1), (2, "view", 5, 1), (2, "purchase", 9, 1),
+            # user 3 views only
+            (3, "view", 0, 1),
+        ])
+        out = {r["step_name"]: r["n_users"] for r in event_funnel(
+            ev, ["view", "click", "purchase"]).collect()}
+        assert out == {"view": 3, "click": 1, "purchase": 1}
+
+    def test_equal_ts_not_counted(self, spark):
+        # strict '>' — a click at the same instant as the view is ambiguous
+        # ordering, so it does not convert.
+        ev = _events(spark, [(1, "view", 0, 1), (1, "click", 0, 1)])
+        out = {r["step_name"]: r["n_users"] for r in event_funnel(
+            ev, ["view", "click"]).collect()}
+        assert out == {"view": 1, "click": 0}
+
+    def test_empty_steps_raises(self, spark):
+        with pytest.raises(ValueError):
+            event_funnel(_events(spark, [(1, "view", 0, 1)]), [])
+
+
+class TestValueHistogram:
+    def test_bins_and_negatives(self, spark):
+        ev = _events(spark, [
+            (1, "a", 0, 0.0), (1, "a", 0, 9.99), (1, "a", 0, 10.0),
+            (1, "b", 0, -0.5),
+        ])
+        rows = {(r["grp"], r["bin"]): (r["bin_lo"], r["n"])
+                for r in value_histogram(ev, width=10.0).collect()}
+        assert rows[("a", 0)] == (0.0, 2)
+        assert rows[("a", 1)] == (10.0, 1)
+        assert rows[("b", -1)] == (-10.0, 1)  # floor, not trunc
