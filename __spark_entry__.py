@@ -33,7 +33,7 @@ from cascading_flink_spark.extensions import (
     asof_join, range_join, contamination_pairs, decontaminate,
     attach_binary_meta, brute_force_topk, chunk_corpus, decode_stub_features,
     dedup_clusters, embedding_dup_pairs, exact_dedup, fingerprint, lang_id,
-    ivf_topk, ivf_topk_md5, lsh_bucketed_topk, lsh_bucketed_topk_md5,
+    ivf_topk, ivf_topk_md5, lsh_bucketed_topk, lsh_bucketed_topk_md5, pq_topk,
     minhash_lsh_pairs, minhash_lsh_pairs_md5,
     ngram_jaccard_pairs, quality_features, quality_filter, redact_pii,
     salted_agg, simhash_dup_pairs, simhash_md5_pairs, stratified_sample,
@@ -926,6 +926,18 @@ def q_value_histogram(spark, sf_dir):
     return value_histogram(_t(spark, sf_dir, "events"), width=25.0)
 
 
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (asymmetric-distance scoring over m-byte
+    codes; rows-only: codebooks come from sample-trained k-means, recall
+    and score fidelity are pytested against brute_force_topk).  Fine
+    subspaces (m=16) because this synthetic corpus is near-uniform — see
+    test_pq_recall_floor."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = (emb.filter(F.col("vec_id") < 5)
+                  .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return pq_topk(emb, queries_df, k=10, m=16, ksub=32, dim=64)
+
+
 # ------------------------------------------------------- driver surface
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1005,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_commonness": q_unigram_commonness,
         "event_funnel": q_event_funnel,
         "value_histogram": q_value_histogram,
+        "ann_pq": q_ann_pq,
     }
 
 

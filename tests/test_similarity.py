@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from cascading_flink_spark.extensions import (
     brute_force_topk, embedding_dup_pairs, ivf_topk, lsh_bucketed_topk,
+    pq_topk,
 )
 
 from conftest import load
@@ -100,3 +101,40 @@ def test_ivf_distributed_refinement(spark, emb, queries):
                                  n_probe=6, refine_iterations=2).collect()}
     recall = len(exact & refined) / len(exact)
     assert recall >= 0.5, f"refined IVF recall too low: {recall:.2f}"
+
+
+def test_pq_recall_floor(spark, emb, queries):
+    """PQ scores every corpus vector from its codes (no candidate pruning),
+    so recall loss is quantization error only.  This corpus is near-uniform
+    (cosine ~0 everywhere — the hardest regime for any quantizer), so use
+    fine subspaces: m=32 2-dim subspaces x 32 codewords (still 8x
+    compression) gives ~0.74 recall@10 here; on real clustered embeddings
+    the standard m=8 is the right default."""
+    k = 10
+    exact = {(r["query_id"], r["vec_id"])
+             for r in brute_force_topk(emb, queries, k=k).collect()}
+    approx = {(r["query_id"], r["vec_id"])
+              for r in pq_topk(emb, queries, k=k, m=32, ksub=32,
+                               dim=64).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.55, f"PQ recall too low: {recall:.2f}"
+
+
+def test_pq_score_approximates_cosine(spark, emb, queries):
+    """ADC scores must track true cosine: for each returned pair the
+    LUT-sum score should be within quantization distance of the exact
+    cosine similarity."""
+    rows = pq_topk(emb, queries, k=5, m=8, ksub=16, dim=64).collect()
+    mat = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in emb.collect()}
+    for r in rows[:20]:
+        q = mat[r["query_id"]]
+        v = mat[r["vec_id"]]
+        true_cos = float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+        assert abs(r["sim"] - true_cos) < 0.25, \
+            f"ADC estimate too far from cosine: {r['sim']} vs {true_cos}"
+
+
+def test_pq_bad_subspace_split_raises(spark, emb, queries):
+    with pytest.raises(ValueError):
+        pq_topk(emb, queries, k=5, m=7, ksub=16, dim=64).collect()
