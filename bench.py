@@ -54,6 +54,13 @@ BENCH_QUERIES = [
     "semi_join",
     "salted_agg",
     "token_budget",
+    # round-3 additions — totals are NOT comparable to BENCH_r02's 20-query
+    # set; compare per-query
+    "tpch_q3",
+    "repetition_stats",
+    "tfidf_topterms",
+    "unigram_commonness",
+    "ann_pq",
 ]
 
 

@@ -88,6 +88,31 @@ def test_nary_emission_filter_eliminates_outer_joins(spark, sf_dir):
     assert joins and "FullOuter" not in joins, joins
 
 
+@pytest.mark.parametrize("query,pattern,why", [
+    ("tpch_q3", r"TakeOrderedAndProject",
+     "global top-10 must not materialize a full sort"),
+    ("tpch_q3", r"PushedFilters: \[.*EqualTo\(c_mktsegment,BUILDING\)",
+     "segment filter must push into the customer scan"),
+    ("tpch_q3", r"PushedFilters: \[.*GreaterThan\(l_shipdate",
+     "ship-date filter must push into the lineitem scan"),
+    ("repetition_stats", r"ReadSchema: (?!.*source)(?!.*lang).*doc_id",
+     "only doc_id+text may be read from the documents scan"),
+    ("repetition_stats", r"HashAggregate",
+     "bigram counting must be a partial-aggregated hash agg"),
+    ("tfidf_topterms", r"ReadSchema: (?!.*source)(?!.*n_chars).*doc_id",
+     "only doc_id+text may be read"),
+    ("unigram_commonness", r"HashAggregate",
+     "term counts must partial-aggregate map-side"),
+    ("event_funnel", r"ReadSchema: (?!.*props)(?!.*value)",
+     "funnel must not read unused event columns"),
+    ("ann_pq", r"Broadcast",
+     "per-query LUTs must broadcast (no corpus shuffle for scoring)"),
+])
+def test_round3_plan_property(spark, sf_dir, query, pattern, why):
+    plan = plan_of(spark, query, sf_dir)
+    assert re.search(pattern, plan), f"{query}: {why}\n--- plan ---\n{plan[:4000]}"
+
+
 def test_ivf_md5_broadcasts_probe_side(spark, sf_dir):
     """The deterministic IVF twin must keep the scale shape: tiny
     centroid/probe sides broadcast (no corpus shuffle for the join)."""
