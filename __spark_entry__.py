@@ -26,8 +26,8 @@ from cascading_flink_spark import (
 )
 from cascading_flink_spark.operations import (
     Average, Count, ExpressionFilter, ExpressionFunction, FirstNBuffer,
-    Limit, Md5Sample, PyBuffer, RegexParser, RegexSplitGenerator, Sample,
-    Sum, UnGroup,
+    Limit, Md5Sample, Min, PyBuffer, RegexParser, RegexSplitGenerator,
+    Sample, Sum, UnGroup,
 )
 from cascading_flink_spark.extensions import (
     asof_join, range_join, contamination_pairs, decontaminate,
@@ -39,7 +39,7 @@ from cascading_flink_spark.extensions import (
     salted_agg, simhash_dup_pairs, simhash_md5_pairs, stratified_sample,
     strip_boilerplate, token_budget, winnow_pairs,
     repetition_stats, tfidf_topterms, unigram_commonness,
-    event_funnel, value_histogram,
+    dedup_keep_best, event_funnel, group_quantiles, value_histogram,
 )
 
 
@@ -926,6 +926,42 @@ def q_value_histogram(spark, sf_dir):
     return value_histogram(_t(spark, sf_dir, "events"), width=25.0)
 
 
+def q_argmin_join(spark, sf_dir):
+    """TPC-H Q2 shape (groupwise argmin): per-brand minimum retail price,
+    equi-joined back on (group, min) to recover the argmin rows — the
+    decorrelated spelling of a correlated min subquery."""
+    part = _t(spark, sf_dir, "part")
+    g = GroupBy(Pipe("part"), Fields("p_brand"))
+    e = Every(g, Fields("p_retailprice"), Min("min_price"),
+              Fields("p_brand", "min_price"))
+    j = CoGroup([Pipe("part"), e],
+                [Fields("p_brand", "p_retailprice"),
+                 Fields("p_brand", "min_price")],
+                declared_fields=Fields("pk", "pname", "brand", "ptype",
+                                       "psize", "price", "b2", "minp"))
+    proj = Each(j, Fields("price"),
+                ExpressionFunction(Fields("price_r"), "round(price, 2)"),
+                Fields("pk", "brand", "price_r"))
+    return _flow(spark, proj, part=part)
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    """Near-dup graph resolved to a kept corpus: per cluster keep the
+    longest member (n_chars desc, id asc); unpaired docs pass through with
+    cluster_id = -1.  The full decision table (doc_id, cluster_id, kept)
+    is returned so drops are auditable."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    return dedup_keep_best(docs, pairs)
+
+
+def q_group_quantiles(spark, sf_dir):
+    """Exact discrete p50/p90/p99 of event values per type (rank-based —
+    engine-reproducible, unlike approx sketches or interpolation)."""
+    return group_quantiles(_t(spark, sf_dir, "events"), "value",
+                           "event_type")
+
+
 def q_ann_pq(spark, sf_dir):
     """Product-quantization ANN (asymmetric-distance scoring over m-byte
     codes; rows-only: codebooks come from sample-trained k-means, recall
@@ -1018,6 +1054,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "value_histogram": q_value_histogram,
         "ann_pq": q_ann_pq,
+        "argmin_join": q_argmin_join,
+        "dedup_keep_best": q_dedup_keep_best,
+        "group_quantiles": q_group_quantiles,
     }
 
 
@@ -1932,5 +1971,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type AS grp, floor(value / 25.0)::BIGINT AS bin,
                    floor(value / 25.0) * 25.0 AS bin_lo, count(*)::BIGINT AS n
             FROM events GROUP BY 1, 2, 3
+        """,
+        "argmin_join": """
+            SELECT p.p_partkey AS pk, p.p_brand AS brand,
+                   round(p.p_retailprice, 2) AS price_r
+            FROM part p
+            JOIN (SELECT p_brand, min(p_retailprice) AS m
+                  FROM part GROUP BY 1) b
+              ON p.p_brand = b.p_brand AND p.p_retailprice = b.m
+        """,
+        "dedup_keep_best": """
+            WITH RECURSIVE
+            toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                     FROM documents),
+            sh AS (SELECT doc_id,
+                          list_distinct([array_to_string(t[i:i+2], ' ')
+                                         for i in range(1, greatest(len(t)-2, 0)+1)]) AS s
+                   FROM toks),
+            inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+            sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+            common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                       FROM inv a JOIN inv b USING (shingle)
+                       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+            pairs AS (SELECT id_a, id_b FROM common
+                      JOIN sizes sa ON sa.doc_id = id_a
+                      JOIN sizes sb ON sb.doc_id = id_b
+                      WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+            edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach(id, r) AS (
+                SELECT s, d FROM edges
+                UNION
+                SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s
+            ),
+            clusters AS (SELECT id, least(id, min(r)) AS cluster_id
+                         FROM reach GROUP BY id),
+            paired AS (SELECT d.doc_id, c.cluster_id,
+                              row_number() OVER (
+                                  PARTITION BY c.cluster_id
+                                  ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk
+                       FROM documents d JOIN clusters c ON d.doc_id = c.id)
+            SELECT doc_id, cluster_id::BIGINT AS cluster_id, (rk = 1) AS kept
+            FROM paired
+            UNION ALL
+            SELECT d.doc_id, CAST(-1 AS BIGINT) AS cluster_id, TRUE AS kept
+            FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id
+            WHERE c.id IS NULL
+        """,
+        "group_quantiles": """
+            WITH r AS (
+                SELECT event_type AS grp, value AS q,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM events
+            )
+            SELECT grp, p, q
+            FROM r CROSS JOIN (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE,
+                                              0.99::DOUBLE]) AS p) ps
+            WHERE rn = ceil(p * n)
         """,
     }

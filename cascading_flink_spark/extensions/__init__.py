@@ -15,7 +15,7 @@ from .packing import chunk_corpus
 from .dedup import (
     exact_dedup, exact_dedup_pairs, ngram_jaccard_pairs, minhash_lsh_pairs,
     minhash_lsh_pairs_md5, simhash_bits, simhash_dup_pairs,
-    simhash_md5_pairs, dedup_clusters, strip_boilerplate,
+    simhash_md5_pairs, dedup_clusters, dedup_keep_best, strip_boilerplate,
     winnow_fingerprints, winnow_pairs,
 )
 from .similarity import (
@@ -30,6 +30,6 @@ from .skew import salted_agg, salted_broadcast_left, stratified_sample
 from .temporal import asof_join, range_join
 from .decontam import contamination_pairs, decontaminate
 from .corpus import repetition_stats, tfidf_topterms, unigram_commonness
-from .analytics import event_funnel, value_histogram
+from .analytics import event_funnel, group_quantiles, value_histogram
 
 __all__ = [n for n in dir() if not n.startswith("_")]

@@ -18,7 +18,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -68,3 +68,31 @@ def value_histogram(df: DataFrame, value_col: str = "value",
               .select("grp", "bin",
                       (F.col("bin") * F.lit(float(width))).alias("bin_lo"),
                       "n"))
+
+
+def group_quantiles(df: DataFrame, value_col: str = "value",
+                    by: str = "event_type",
+                    ps: list[float] | None = None) -> DataFrame:
+    """Exact discrete quantiles per group: for each p, the smallest value
+    whose rank reaches ``ceil(p * n)`` — a real member of the data (no
+    interpolation arithmetic), so the result is reproducible bit-for-bit
+    in any engine, unlike ``approx_percentile`` (sketch-dependent) or
+    continuous quantiles (interpolation formulas differ).
+
+    Returns ``(grp, p, q)``.  One shuffle on the group key; the window
+    sort is per group.  A group so hot its sort won't fit one task is the
+    documented limit — pre-aggregate duplicates or fall back to a
+    fixed-width :func:`value_histogram` + cumulative scan at that point.
+    """
+    if ps is None:
+        ps = [0.5, 0.9, 0.99]
+    ranked = (df.select(F.col(by).alias("grp"),
+                        F.col(value_col).alias("q"))
+                .withColumn("__rn", F.row_number().over(
+                    Window.partitionBy("grp").orderBy("q")))
+                .withColumn("__n", F.count(F.lit(1)).over(
+                    Window.partitionBy("grp"))))
+    p_col = F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p")
+    return (ranked.select("grp", "q", "__rn", "__n", p_col)
+                  .filter(F.col("__rn") == F.ceil(F.col("p") * F.col("__n")))
+                  .select("grp", "p", "q"))

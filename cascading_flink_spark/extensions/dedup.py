@@ -27,7 +27,7 @@ import re
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import fingerprint
@@ -637,3 +637,48 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         if changed == 0:
             break
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_keep_best(df: DataFrame, pairs: DataFrame,
+                    id_col: str = "doc_id",
+                    score: Column | None = None) -> DataFrame:
+    """Resolve a near-duplicate pair graph into the kept corpus: one
+    representative per duplicate cluster plus every unpaired document.
+
+    ``score`` ranks cluster members (default: longest text via ``n_chars``
+    if present, else the lowest id); the winner is (score desc, id asc) —
+    the standard "keep the longest/best copy" curation rule, deterministic
+    under ties.
+
+    Returns ``(id_col, cluster_id, kept)`` for every input document, with
+    ``cluster_id = -1`` for unpaired docs (trivially kept) — returning the
+    full decision table rather than just survivors keeps the operator
+    auditable (why was this doc dropped?) and makes the kept corpus one
+    ``filter("kept")`` away.
+
+    Scale shape: clusters come from :func:`dedup_clusters` (iterative
+    equi-joins); the decision adds one left join corpus<-clusters (cluster
+    table is small — only paired docs) and one window partitioned by
+    cluster_id (cluster sizes are tiny by construction)."""
+    if score is None:
+        score = F.col("n_chars") if "n_chars" in df.columns \
+            else -F.col(id_col)
+    clusters = dedup_clusters(pairs)
+    joined = (df.select(F.col(id_col), score.alias("__score"))
+                .join(clusters.withColumnRenamed("id", id_col),
+                      on=id_col, how="left"))
+    # Rank ONLY the paired subset: putting unpaired docs (the vast majority)
+    # through the cluster window would pile them all into one null
+    # partition — a single-task sort at scale.
+    unpaired = (joined.filter(F.col("cluster_id").isNull())
+                .select(F.col(id_col),
+                        F.lit(-1).cast("long").alias("cluster_id"),
+                        F.lit(True).alias("kept")))
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("__score"),
+                                                 F.asc(id_col))
+    paired = (joined.filter(F.col("cluster_id").isNotNull())
+              .withColumn("__rk", F.row_number().over(w))
+              .select(F.col(id_col),
+                      F.col("cluster_id").cast("long").alias("cluster_id"),
+                      (F.col("__rk") == 1).alias("kept")))
+    return unpaired.unionByName(paired)

@@ -128,3 +128,48 @@ class TestValueHistogram:
         assert rows[("a", 0)] == (0.0, 2)
         assert rows[("a", 1)] == (10.0, 1)
         assert rows[("b", -1)] == (-10.0, 1)  # floor, not trunc
+
+
+class TestGroupQuantiles:
+    def test_hand_computed(self, spark):
+        from cascading_flink_spark.extensions import group_quantiles
+        ev = _events(spark, [(1, "a", 0, v) for v in range(1, 11)])  # 1..10
+        rows = {(r["grp"], r["p"]): r["q"]
+                for r in group_quantiles(ev, "value", "event_type",
+                                         ps=[0.5, 0.9, 1.0]).collect()}
+        # ceil(.5*10)=5 -> 5.0; ceil(.9*10)=9 -> 9.0; ceil(1*10)=10 -> 10.0
+        assert rows == {("a", 0.5): 5.0, ("a", 0.9): 9.0, ("a", 1.0): 10.0}
+
+    def test_quantile_is_data_member(self, spark):
+        from cascading_flink_spark.extensions import group_quantiles
+        ev = _events(spark, [(1, "a", 0, v * 0.37) for v in range(40)]
+                     + [(1, "b", 0, v * 1.91) for v in range(7)])
+        vals = {round(v * 0.37, 10) for v in range(40)} \
+            | {round(v * 1.91, 10) for v in range(7)}
+        for r in group_quantiles(ev).collect():
+            assert round(r["q"], 10) in vals  # discrete: no interpolation
+
+
+class TestDedupKeepBest:
+    def test_keeps_longest_per_cluster_and_singletons(self, spark):
+        from cascading_flink_spark.extensions import dedup_keep_best
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text=t, n_chars=len(t)) for i, t in enumerate([
+                "aa bb cc dd",     # 0: cluster with 1 (longer wins)
+                "aa bb cc dd ee",  # 1: longest -> kept
+                "zz yy xx",        # 2: singleton
+            ])])
+        pairs = spark.createDataFrame([Row(id_a=0, id_b=1)])
+        out = {r["doc_id"]: r for r in dedup_keep_best(docs, pairs).collect()}
+        assert out[0]["cluster_id"] == 0 and not out[0]["kept"]
+        assert out[1]["cluster_id"] == 0 and out[1]["kept"]
+        assert out[2]["cluster_id"] == -1 and out[2]["kept"]
+
+    def test_tie_breaks_on_id(self, spark):
+        from cascading_flink_spark.extensions import dedup_keep_best
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text="same len", n_chars=8) for i in (5, 9)])
+        pairs = spark.createDataFrame([Row(id_a=5, id_b=9)])
+        out = {r["doc_id"]: r["kept"]
+               for r in dedup_keep_best(docs, pairs).collect()}
+        assert out == {5: True, 9: False}
