@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry
 from cascading_flink_spark.extensions import (
-    embedding_dup_pairs, minhash_lsh_pairs, simhash_dup_pairs,
+    embedding_dup_pairs, minhash_lsh_pairs, pq_topk, simhash_dup_pairs,
 )
 from cascading_flink_spark.session import get_spark
 
@@ -61,6 +61,13 @@ BENCH_QUERIES = [
     "tfidf_topterms",
     "unigram_commonness",
     "ann_pq",
+    # round-5 additions (again: compare per-query across rounds, not totals)
+    "asof_join",
+    "range_join",
+    "decontaminate",
+    "winnow_clusters",
+    "event_funnel",
+    "group_quantiles",
 ]
 
 
@@ -86,6 +93,13 @@ def main() -> None:
         entry._t(s, d, "documents"), n=3, num_hashes=32, bands=8, threshold=0.5)
     qs["simhash"] = lambda s, d: simhash_dup_pairs(
         entry._t(s, d, "documents"), max_hamming=3)
+    # ann_pq at bench scale: the Lloyd-trained production path (queries()
+    # carries the md5 cross-engine twin for the correctness gate).
+    qs["ann_pq"] = lambda s, d: pq_topk(
+        entry._t(s, d, "embeddings"),
+        entry._t(s, d, "embeddings").filter("vec_id < 5")
+             .selectExpr("vec_id as query_id", "embedding"),
+        k=10, m=16, ksub=32, dim=64)
 
     names = BENCH_QUERIES + ["embedding_dups_lsh"]
 

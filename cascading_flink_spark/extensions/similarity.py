@@ -470,10 +470,83 @@ def _pq_codebooks(corpus: DataFrame, m: int, ksub: int, dim: int,
     return books
 
 
+def pq_topk_md5(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                m: int = 8, ksub: int = 16, dim: int = 64,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "query_id") -> DataFrame:
+    """Deterministic cross-engine twin of :func:`pq_topk` — the full-oracle
+    evidence row for the PQ family (same pattern as ``ivf_topk_md5``).
+
+    Codebooks are NOT Lloyd-trained: codeword ``c`` of subspace ``j`` is the
+    ``j``-th slice of the normalized corpus vector with the ``c``-th
+    smallest ``md5(id)`` (the unbiased hash-ordered sample both engines can
+    reproduce).  Every stage is NATIVE Spark SQL — normalize, slice, L2
+    argmin via ``min_by`` partial aggregation, ADC score as a grouped sum of
+    broadcast LUT rows — so DuckDB can rebuild the identical top-k lists
+    and the correctness gate hash-checks an approximate index end-to-end.
+
+    Scale shape matches production PQ: codebook is a bounded broadcast
+    (m*ksub rows), encoding is one corpus pass (broadcast mini-join +
+    map-side ``min_by``, no corpus shuffle besides the per-(id) code
+    assembly), scoring joins the m-row-per-vector code table against the
+    broadcast per-query LUT."""
+    dsub = dim // m
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    vd = F.col(vec_col).cast("array<double>")
+    nv = F.transform(vd, lambda x: x / _norm(vd))
+    vecs = corpus.select(F.col(id_col), nv.alias("__nv"))
+    qvecs = queries.select(F.col(query_id_col), nv.alias("__nv"))
+
+    js = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("__j")
+    sub = F.slice("__nv", F.col("__j") * dsub + 1, dsub).alias("__sub")
+
+    # codebook: ksub md5-smallest corpus vectors, sliced per subspace
+    cw = F.broadcast(
+        vecs.withColumn("__hk", F.md5(F.col(id_col).cast("string")))
+            .orderBy("__hk").limit(ksub)
+            .withColumn("__c", F.row_number().over(
+                Window.orderBy("__hk")) - 1)
+            .select("__c", js, "__nv")
+            .select("__c", "__j", sub))
+    cwb = cw.select(F.col("__c"), F.col("__j"), F.col("__sub").alias("__cw"))
+
+    # encode: per (id, j) the L2-argmin codeword (tie-break on c asc) —
+    # min_by over a (l2, c) struct is a partial-agg hash aggregation, so the
+    # shuffle carries one row per (id, j), not ksub candidates
+    l2 = F.aggregate(F.zip_with("__sub", "__cw", lambda x, y: (x - y) * (x - y)),
+                     F.lit(0.0), lambda a, x: a + x)
+    codes = (_fan_out(vecs).select(F.col(id_col), js, "__nv")
+             .select(F.col(id_col), "__j", sub)
+             .join(cwb, "__j")
+             .withColumn("__l2", l2)
+             .groupBy(id_col, "__j")
+             .agg(F.min_by("__c", F.struct("__l2", "__c")).alias("__c")))
+
+    # per-query LUT: lut[(qid, j, c)] = dot(q_sub_j, codeword[j][c])
+    dot = F.aggregate(F.zip_with("__sub", "__cw", lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    lut = F.broadcast(
+        qvecs.select(F.col(query_id_col), js, "__nv")
+             .select(F.col(query_id_col), "__j", sub)
+             .join(cwb, "__j")
+             .select(F.col(query_id_col), "__j", "__c", dot.alias("__lv")))
+
+    scored = (codes.join(lut, ["__j", "__c"])
+              .filter(F.col(id_col) != F.col(query_id_col))
+              .groupBy(query_id_col, id_col)
+              .agg(F.round(F.sum("__lv"), 4).alias("sim")))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") <= k)
+                  .drop("__rn"))
+
+
 def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             m: int = 8, ksub: int = 16, dim: int = 64,
             id_col: str = "vec_id", vec_col: str = "embedding",
-            query_id_col: str = "query_id") -> DataFrame:
+            query_id_col: str = "query_id",
+            max_queries: int = 256) -> DataFrame:
     """Product-quantization approximate top-k (asymmetric distance).
 
     The memory-bound ANN path: each corpus vector compresses to ``m`` small
@@ -489,7 +562,21 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     per-query LUTs — whole-stage codegen, no Python per corpus row; then
     the usual per-query top-k window.  No bucketing means recall loss comes
     only from quantization error, not candidate pruning — the
-    complementary trade to LSH/IVF (which scan less but can miss)."""
+    complementary trade to LSH/IVF (which scan less but can miss).
+
+    Because ADC scores EVERY corpus code against EVERY query (corpus ×
+    queries rows before the top-k), the operator is for small query
+    batches only; ``max_queries`` (default 256) makes that contract
+    explicit — a larger query set raises instead of silently planning a
+    quadratic join (route big batches through ``ivf_topk``/
+    ``lsh_bucketed_topk``, or raise the cap deliberately)."""
+    n_q = queries.limit(max_queries + 1).count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"pq_topk scores corpus x queries rows with no pruning; got "
+            f"> {max_queries} queries (max_queries={max_queries}). Use "
+            f"ivf_topk/lsh_bucketed_topk for large query batches, or pass "
+            f"a higher max_queries explicitly.")
     books = _pq_codebooks(corpus, m, ksub, dim, vec_col, id_col)
     dsub = dim // m
 

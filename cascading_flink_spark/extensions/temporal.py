@@ -8,7 +8,8 @@ calls out as table-stakes for event analytics), built scale-first:
   NOT a range join: implemented as union + per-key ordered forward-fill
   (one shuffle, one sort, no candidate explosion) — the classic
   distributed as-of formulation.  A hot key serializes its partition like
-  any per-key window; salt upstream if one key dominates.
+  any per-key window; pass ``salt=N`` to split it (right rows replicate,
+  left rows scatter — see the docstring).
 * :func:`range_join` — all (left, right) pairs with the same key and
   ``right_ts - left_ts`` within ``[lower, upper]`` seconds.  Implemented
   as a BUCKETED equi-join: right rows land in one time bucket, left rows
@@ -28,14 +29,24 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
               left_ts: str, right_ts: str,
               right_cols: dict[str, str] | None = None,
               direction: str = "backward",
-              tolerance_seconds: float | None = None) -> DataFrame:
+              tolerance_seconds: float | None = None,
+              salt: int | None = None) -> DataFrame:
     """Left as-of join: every left row, plus the nearest right row's
     ``right_cols`` (out_name -> right column; default: all right columns
     prefixed ``r_``) at-or-before (``backward``) / at-or-after
     (``forward``) the left timestamp, per ``on`` key.  Unmatched left rows
-    keep nulls.  ``tolerance_seconds`` bounds how far the match may be."""
+    keep nulls.  ``tolerance_seconds`` bounds how far the match may be.
+
+    ``salt=N`` splits each key's fill across N partitions for skewed keys:
+    right rows REPLICATE to all N salt buckets, left rows scatter by a
+    deterministic hash — each (key, salt) partition then holds every right
+    row it could match plus ~1/N of the left rows, so a dominant key's
+    window sort parallelizes at the cost of N× the (usually far smaller)
+    right side.  Leave ``None`` when keys are roughly uniform."""
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
+    if salt is not None and salt < 2:
+        raise ValueError("salt must be >= 2 (or None)")
     if right_cols is None:
         right_cols = {f"r_{c}": c for c in right.columns
                       if c not in (on, right_ts)}
@@ -56,6 +67,16 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     r = r.select("__k", "__ts", "__side", "__r",
                  *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
                    for c in lcols])
+    part_keys = ["__k"]
+    if salt is not None:
+        # left rows scatter deterministically; right rows replicate to every
+        # bucket so each bucket can fill independently
+        l = l.withColumn(
+            "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in lcols]),
+                             F.lit(salt)).cast("int"))
+        r = r.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        part_keys = ["__k", "__salt"]
     u = l.unionByName(r)
 
     # right rows sort BEFORE left rows at equal timestamps, so ties match
@@ -64,7 +85,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     order = ([F.col("__ts").asc(), F.col("__side").asc()]
              if direction == "backward"
              else [F.col("__ts").desc(), F.col("__side").asc()])
-    w = (Window.partitionBy("__k").orderBy(*order)
+    w = (Window.partitionBy(*part_keys).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, 0))
     filled = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
 

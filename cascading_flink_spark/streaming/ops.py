@@ -15,10 +15,20 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def _ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Event-time columns must be TIMESTAMP; parquet written with the NTZ
+    logical type arrives as TIMESTAMP_NTZ, which watermarks/windows reject.
+    The session timezone is pinned to UTC (session.get_spark), so the cast
+    is the identity on the wall clock."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
     """Late-data bound: rows older than max(event time) - delay are dropped
     from stateful operators; required before streaming window aggs."""
-    return df.withWatermark(ts_col, delay)
+    return _ensure_event_time(df, ts_col).withWatermark(ts_col, delay)
 
 
 def _agg_pairs(aggs: dict[str, str]):
@@ -32,6 +42,7 @@ def tumbling_window_agg(df: DataFrame, ts_col: str, window: str,
                         keys: Sequence[str], aggs: dict[str, str],
                         watermark: str | None = None) -> DataFrame:
     """Non-overlapping event-time windows: groupBy(window(ts), keys).agg."""
+    df = _ensure_event_time(df, ts_col)
     if watermark:
         df = df.withWatermark(ts_col, watermark)
     g = df.groupBy(F.window(ts_col, window), *keys)
@@ -44,6 +55,7 @@ def tumbling_window_agg(df: DataFrame, ts_col: str, window: str,
 def sliding_window_agg(df: DataFrame, ts_col: str, window: str, slide: str,
                        keys: Sequence[str], aggs: dict[str, str],
                        watermark: str | None = None) -> DataFrame:
+    df = _ensure_event_time(df, ts_col)
     if watermark:
         df = df.withWatermark(ts_col, watermark)
     g = df.groupBy(F.window(ts_col, window, slide), *keys)
@@ -57,6 +69,7 @@ def session_window_agg(df: DataFrame, ts_col: str, gap: str,
                        keys: Sequence[str], aggs: dict[str, str],
                        watermark: str | None = None) -> DataFrame:
     """Dynamic-gap session windows (native session_window)."""
+    df = _ensure_event_time(df, ts_col)
     if watermark:
         df = df.withWatermark(ts_col, watermark)
     g = df.groupBy(F.session_window(ts_col, gap), *keys)
@@ -127,7 +140,7 @@ def stream_exact_dedup(df: DataFrame, ts_col: str,
     store holds only one horizon's worth of fingerprints, where plain
     ``dropDuplicates`` on a stream would grow key state forever."""
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
-    return (df.withColumn("fp", F.md5(norm))
+    return (_ensure_event_time(df, ts_col).withColumn("fp", F.md5(norm))
               .withWatermark(ts_col, watermark)
               .dropDuplicatesWithinWatermark(["fp"]))
 
@@ -207,8 +220,8 @@ def stream_stream_join(left: DataFrame, right: DataFrame,
     Spark evict state (unbounded joins would grow forever).  ``on`` is a
     column name or list; the join condition adds
     ``right_ts BETWEEN left_ts - bound AND left_ts + bound``."""
-    lw = left.withWatermark(left_ts, watermark)
-    rw = right.withWatermark(right_ts, watermark)
+    lw = _ensure_event_time(left, left_ts).withWatermark(left_ts, watermark)
+    rw = _ensure_event_time(right, right_ts).withWatermark(right_ts, watermark)
     keys = [on] if isinstance(on, str) else list(on)
     cond = None
     for k in keys:

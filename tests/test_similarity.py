@@ -138,3 +138,30 @@ def test_pq_score_approximates_cosine(spark, emb, queries):
 def test_pq_bad_subspace_split_raises(spark, emb, queries):
     with pytest.raises(ValueError):
         pq_topk(emb, queries, k=5, m=7, ksub=16, dim=64).collect()
+
+
+def test_pq_query_count_guard(spark, emb, queries):
+    """pq_topk scores corpus x queries with no pruning; a big query batch
+    must raise, not silently plan a quadratic join."""
+    import re
+    from cascading_flink_spark.extensions import pq_topk
+    with pytest.raises(ValueError, match="max_queries"):
+        pq_topk(emb, emb.selectExpr("vec_id as query_id", "embedding"),
+                k=5, m=8, ksub=16, dim=64, max_queries=10)
+
+
+def test_pq_md5_twin_matches_brute_force_reasonably(spark, emb, queries):
+    """The md5-codebook twin is an APPROXIMATE index; still, on this corpus
+    its top-10 must overlap exact cosine top-10 (sanity floor, the exact
+    cross-engine pin lives in the ann_pq oracle row)."""
+    from cascading_flink_spark.extensions import brute_force_topk, pq_topk_md5
+    truth = brute_force_topk(emb, queries, k=10)
+    approx = pq_topk_md5(emb, queries, k=10, m=8, ksub=16, dim=64)
+    hits = truth.select("query_id", "vec_id") \
+        .join(approx.select("query_id", "vec_id"), ["query_id", "vec_id"]) \
+        .count()
+    n_q = queries.count()
+    # untrained md5 codebooks on near-uniform synthetic vectors quantize
+    # coarsely; the floor asserts real overlap (>=10% mean recall), the
+    # exact list is pinned cross-engine by the ann_pq oracle row
+    assert hits >= n_q

@@ -114,7 +114,8 @@ def test_range_join_negative_window(spark, trades, quotes):
 
 def test_range_join_matches_brute_force(spark, sf_dir):
     """Bucketed equi-join == brute-force theta join on real events data."""
-    ev = _t(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
     clicks = ev.filter(F.col("event_type") == "click") \
         .select(F.col("event_id").alias("click_id"), "user_id", "ts_us")
     buys = ev.filter(F.col("event_type") == "purchase") \
@@ -154,7 +155,9 @@ def test_asof_matches_duckdb_asof_join(spark, sf_dir):
     buys = ev.filter(F.col("event_type") == "purchase") \
         .select("event_id", "user_id", "ts")
     clicks = ev.filter(F.col("event_type") == "click") \
-        .select("user_id", "ts", F.unix_micros("ts").alias("click_ts_us"))
+        .select("user_id", "ts",
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                 .alias("click_ts_us"))
     got = asof_join(buys, clicks, on="user_id", left_ts="ts",
                     right_ts="ts", right_cols={"click_ts_us": "click_ts_us"})
     got_rows = sorted((r.event_id, r.click_ts_us) for r in got.collect())
@@ -168,3 +171,37 @@ def test_asof_matches_duckdb_asof_join(spark, sf_dir):
           ON p.user_id = c.user_id AND p.ts >= c.ts
     """).fetchall()
     assert got_rows == sorted(exp)
+
+
+def test_asof_salted_matches_unsalted(spark, trades, quotes):
+    """salt=N must be a pure execution-strategy change: identical output."""
+    base = asof_join(trades, quotes, on="sym", left_ts="tts",
+                     right_ts="qts", right_cols={"px": "px"})
+    salted = asof_join(trades, quotes, on="sym", left_ts="tts",
+                       right_ts="qts", right_cols={"px": "px"}, salt=4)
+    assert _collect(salted, "sym", "tts") == _collect(base, "sym", "tts")
+
+
+def test_asof_salt_validates(trades, quotes):
+    with pytest.raises(ValueError):
+        asof_join(trades, quotes, on="sym", left_ts="tts", right_ts="qts",
+                  salt=1)
+
+
+def test_asof_hot_key_salted_1m(spark):
+    """10^6 left rows on ONE key: salt=8 splits the per-key window across
+    partitions (the unsalted plan would sort the whole key in one task).
+    Every match is formula-checkable, so correctness is asserted
+    distributively over the full million rows — no driver collect."""
+    left = spark.range(1_000_000).select(
+        F.lit("hot").alias("k"), F.col("id").cast("double").alias("lts"))
+    right = (spark.range(1000)
+             .select(F.lit("hot").alias("k"),
+                     (F.col("id") * 1000).cast("double").alias("rts"),
+                     (F.col("id") * 1000).cast("double").alias("px")))
+    out = asof_join(left, right, on="k", left_ts="lts", right_ts="rts",
+                    right_cols={"px": "px"}, salt=8)
+    # backward match for lts=i is the greatest multiple of 1000 <= i
+    bad = out.filter(F.col("px") != F.floor(F.col("lts") / 1000) * 1000)
+    assert bad.count() == 0
+    assert out.count() == 1_000_000

@@ -48,6 +48,28 @@ def norm_cell(v) -> str:
     return str(v)
 
 
+_INT_SPARK = {"tinyint", "smallint", "int", "bigint", "long"}
+_FLOAT_SPARK = {"float", "double"}
+
+
+def dtype_mismatches(spark_dtypes, oracle_df) -> list[str]:
+    """int-vs-float type-class clashes between a Spark schema and the
+    pandas frame DuckDB's fetchdf() returns for the oracle."""
+    out = []
+    okinds = {c: oracle_df[c].dtype.kind for c in oracle_df.columns}
+    for col, sdt in spark_dtypes:
+        k = okinds.get(col)
+        if k is None:
+            continue
+        if sdt in _INT_SPARK and k == "f":
+            out.append(f"dtype skew {col}: spark {sdt} vs oracle float64 "
+                       "(cast the oracle aggregate AS BIGINT)")
+        elif sdt in _FLOAT_SPARK and k in "iu":
+            out.append(f"dtype skew {col}: spark {sdt} vs oracle int "
+                       "(cast one side)")
+    return out
+
+
 def value_hash(rows: list[dict], cols: list[str]) -> str:
     cols = sorted(cols)
     lines = sorted("|".join(norm_cell(r[c]) for c in cols) for r in rows)
@@ -117,6 +139,11 @@ def main() -> int:
         problems = []
         if len(srows) != len(orows):
             problems.append(f"rowcount {len(srows)} != {len(orows)}")
+        # dtype-parity: an int64 Spark column whose oracle twin fetches as
+        # float64 (DuckDB HUGEINT sums, or NULL-padded ints) stringifies as
+        # "11757.0" vs "11757" at the driver; norm_cell collapses integral
+        # floats and would mask exactly that, so fail on the type class.
+        problems += dtype_mismatches(sdf.dtypes, ores)
         if sorted(scols) != sorted(ocols):
             problems.append(f"schema {sorted(scols)} != {sorted(ocols)}")
         else:
