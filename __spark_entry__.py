@@ -909,6 +909,77 @@ def q_tpch_q3(spark, sf_dir):
     return _flow(spark, lim, customer=cust, orders=orders, lineitem=li)
 
 
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 through the pipe DSL — the full pricing-summary aggregate
+    set (q_groupby_agg covers the shape; this is the complete query:
+    charge column, all three averages, the classic <= date filter).
+    Scan-heavy: one filter pushed to the parquet scan, one partial-agg
+    hash aggregation, six output rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    filt = Each(Pipe("lineitem"), Fields("l_shipdate"),
+                ExpressionFilter("l_shipdate > timestamp '1998-09-02'"))
+    pr = Each(filt, Fields("l_extendedprice", "l_discount"),
+              ExpressionFunction(Fields("disc_price"),
+                                 "l_extendedprice * (1 - l_discount)"),
+              Fields.ALL)
+    pr = Each(pr, Fields("l_extendedprice", "l_discount", "l_tax"),
+              ExpressionFunction(Fields("charge"),
+                                 "l_extendedprice * (1 - l_discount) * (1 + l_tax)"),
+              Fields.ALL)
+    g = GroupBy(pr, Fields("l_returnflag", "l_linestatus"))
+    e = Every(g, Fields("l_quantity"), Sum("sum_qty"), Fields.ALL)
+    e = Every(e, Fields("l_extendedprice"), Sum("sum_base"), Fields.ALL)
+    e = Every(e, Fields("disc_price"), Sum("sum_disc_price"), Fields.ALL)
+    e = Every(e, Fields("charge"), Sum("sum_charge"), Fields.ALL)
+    e = Every(e, Fields("l_quantity"), Average("avg_qty"), Fields.ALL)
+    e = Every(e, Fields("l_extendedprice"), Average("avg_price"), Fields.ALL)
+    e = Every(e, Fields("l_discount"), Average("avg_disc"), Fields.ALL)
+    e = Every(e, Fields.NONE, Count("count_order"), Fields.ALL)
+    out = _flow(spark, e, lineitem=li)
+    return out.select(
+        "l_returnflag", "l_linestatus",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("sum_base", 2).alias("sum_base"),
+        F.round("sum_disc_price", 2).alias("sum_disc_price"),
+        F.round("sum_charge", 2).alias("sum_charge"),
+        F.round("avg_qty", 2).alias("avg_qty"),
+        F.round("avg_price", 2).alias("avg_price"),
+        F.round("avg_disc", 4).alias("avg_disc"),
+        "count_order")
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers) through the pipe DSL: the
+    per-order quantity rollup's HAVING filter shrinks lineitem to a tiny
+    key set, which then drives the orders/customer joins — AQE sees the
+    post-aggregation size and broadcasts it (plan-asserted), so the big
+    tables never shuffle for the semi-join step."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    g1 = GroupBy(Pipe("lineitem"), Fields("l_orderkey"))
+    e1 = Every(g1, Fields("l_quantity"), Sum("qty_sum"), Fields.ALL)
+    big = Each(e1, Fields("qty_sum"), ExpressionFilter("qty_sum <= 300"))
+    j1 = CoGroup([Pipe("orders"), big],
+                 [Fields("o_orderkey"), Fields("l_orderkey")])
+    j2 = CoGroup([j1, Pipe("customer")],
+                 [Fields("o_custkey"), Fields("c_custkey")])
+    fmt = Each(j2, Fields("o_orderdate"),
+               ExpressionFunction(Fields("o_date"),
+                                  "date_format(o_orderdate, 'yyyy-MM-dd')"),
+               Fields.ALL)
+    fmt = Each(fmt, Fields("qty_sum"),
+               ExpressionFunction(Fields("sum_qty"),
+                                  "floor(qty_sum * 100 + 0.5) / 100"),
+               Fields("c_name", "c_custkey", "o_orderkey", "o_date",
+                      "o_totalprice", "sum_qty"))
+    top = GroupBy(fmt, Fields.NONE,
+                  sort_fields=Fields("o_totalprice", "o_orderkey"),
+                  reverse_order=True)
+    lim = Each(top, Fields.ALL, Limit(100))
+    return _flow(spark, lim, lineitem=li, orders=orders, customer=cust)
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition gates: dup-token ratio + top-bigram
     coverage per document."""
@@ -1033,7 +1104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- red through r04; oracle CAST fix this round needs the row ---
         "token_stats_by_lang": q_token_stats_by_lang,
         # --- new this round ---
-        # (new queries are registered here, inside the first-50 window)
+        "tpch_q1": q_tpch_q1,
+        "tpch_q18": q_tpch_q18,
         # --- backfill to 50: stable greens, oldest-verified first ---
         "wordcount": q_wordcount,
         "groupby_agg": q_groupby_agg,
@@ -1933,6 +2005,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT l_orderkey, revenue, o_date FROM r
             ORDER BY revenue DESC, l_orderkey DESC LIMIT 10
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 2) AS avg_qty,
+                   round(avg(l_extendedprice), 2) AS avg_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q18": """
+            WITH big AS (
+                SELECT l_orderkey, sum(l_quantity) AS qty_sum
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum(l_quantity) > 300)
+            SELECT c_name, c_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+                   o_totalprice,
+                   floor(qty_sum * 100 + 0.5) / 100 AS sum_qty
+            FROM big
+            JOIN orders ON o_orderkey = big.l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 100
         """,
         "repetition_stats": """
             WITH toks AS (

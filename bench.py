@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "unigram_commonness",
     "ann_pq",
     # round-5 additions (again: compare per-query across rounds, not totals)
+    "tpch_q1",
+    "tpch_q18",
     "asof_join",
     "range_join",
     "decontaminate",

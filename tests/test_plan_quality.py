@@ -113,6 +113,30 @@ def test_round3_plan_property(spark, sf_dir, query, pattern, why):
     assert re.search(pattern, plan), f"{query}: {why}\n--- plan ---\n{plan[:4000]}"
 
 
+@pytest.mark.parametrize("query,pattern,why", [
+    ("tpch_q1", r"PushedFilters: \[.*l_shipdate",
+     "Q1's date filter must reach the lineitem scan"),
+    ("tpch_q1", r"ReadSchema: (?!.*l_comment)",
+     "Q1 must prune unused lineitem columns"),
+    ("tpch_q1", r"HashAggregate",
+     "Q1 must partial-aggregate map-side"),
+    ("tpch_q18", r"BroadcastHashJoin",
+     "the HAVING-shrunk key set must broadcast into orders/customer"),
+    ("tpch_q18", r"TakeOrderedAndProject",
+     "Q18's global top-100 must not materialize a full sort"),
+])
+def test_round5_plan_property(spark, sf_dir, query, pattern, why):
+    plan = plan_of(spark, query, sf_dir)
+    assert re.search(pattern, plan), f"{query}: {why}\n--- plan ---\n{plan[:4000]}"
+
+
+def test_tpch_q18_no_sort_merge_join(spark, sf_dir):
+    """All three Q18 joins ride the broadcast of the tiny HAVING output —
+    a SortMergeJoin here would shuffle orders+customer at 100 TB."""
+    plan = plan_of(spark, "tpch_q18", sf_dir)
+    assert "SortMergeJoin" not in plan, plan[:4000]
+
+
 def test_ivf_md5_broadcasts_probe_side(spark, sf_dir):
     """The deterministic IVF twin must keep the scale shape: tiny
     centroid/probe sides broadcast (no corpus shuffle for the join)."""
