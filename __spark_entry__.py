@@ -41,6 +41,7 @@ from cascading_flink_spark.extensions import (
     strip_boilerplate, token_budget, winnow_pairs,
     repetition_stats, tfidf_topterms, unigram_commonness,
     dedup_keep_best, event_funnel, group_quantiles, value_histogram,
+    domain_quota, shuffle_shard, token_budget_mixture,
 )
 
 
@@ -980,6 +981,70 @@ def q_tpch_q18(spark, sf_dir):
     return _flow(spark, lim, lineitem=li, orders=orders, customer=cust)
 
 
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 (promotion effect) through the pipe DSL: one month of
+    lineitem HashJoin'd against broadcast part, conditional revenue ratio
+    as a single keyless aggregate row.  Integer-hundredths output so no
+    final-division double crosses the hasher."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    lf = Each(Pipe("lineitem"), Fields("l_shipdate"),
+              ExpressionFilter("NOT (l_shipdate >= timestamp '1996-03-01' "
+                               "AND l_shipdate < timestamp '1996-04-01')"))
+    j = HashJoin([lf, Pipe("part")],
+                 [Fields("l_partkey"), Fields("p_partkey")])
+    rev = Each(j, Fields("l_extendedprice", "l_discount"),
+               ExpressionFunction(Fields("rev"),
+                                  "l_extendedprice * (1 - l_discount)"),
+               Fields.ALL)
+    pr = Each(rev, Fields("p_type", "rev"),
+              ExpressionFunction(Fields("promo_rev"),
+                                 "CASE WHEN p_type LIKE 'PROMO%' "
+                                 "THEN rev ELSE 0.0 END"),
+              Fields.ALL)
+    g = GroupBy(pr, Fields.NONE)
+    e = Every(g, Fields("promo_rev"), Sum("sum_promo"), Fields.ALL)
+    e = Every(e, Fields("rev"), Sum("sum_rev"), Fields.ALL)
+    out = _flow(spark, e, lineitem=li, part=part)
+    return out.select(
+        F.floor(F.col("sum_promo") * 100 / F.col("sum_rev") * 100 + 0.5)
+         .cast("long").alias("promo_pct_x100"))
+
+
+def q_domain_quota(spark, sf_dir):
+    """Per-domain document cap (crawl-dominance control): keep at most 10
+    docs per source by deterministic md5 order."""
+    docs = _t(spark, sf_dir, "documents")
+    out = domain_quota(docs, "source", max_docs=10)
+    return out.select("doc_id", "source")
+
+
+def q_token_mixture(spark, sf_dir):
+    """Per-language token-budget mixture cut: greedy md5-ordered prefix of
+    each language's docs until the running token total hits the budget.
+    en binds hard (~half the corpus), de binds loosely, fr is unbounded;
+    es/zh are dropped — exercising every branch."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.when(F.trim("text") == "", F.lit(0)) \
+            .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    with_toks = docs.select("doc_id", "lang",
+                            toks.cast("long").alias("n_tokens"))
+    out = token_budget_mixture(with_toks,
+                               {"en": 6000, "de": 2000, "fr": 10_000_000},
+                               lang_col="lang", token_col="n_tokens")
+    return out.select("doc_id", "lang", "n_tokens")
+
+
+def q_shuffle_shard(spark, sf_dir):
+    """Deterministic training-order shuffle: (shard, shard_pos) for every
+    doc from seeded md5 — reproducible epoch ordering any engine can
+    verify."""
+    docs = _t(spark, sf_dir, "documents")
+    out = shuffle_shard(docs, num_shards=8)
+    return out.select("doc_id", "shard", F.col("shard_pos").cast("long")
+                      .alias("shard_pos"))
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition gates: dup-token ratio + top-bigram
     coverage per document."""
@@ -1106,6 +1171,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round ---
         "tpch_q1": q_tpch_q1,
         "tpch_q18": q_tpch_q18,
+        "tpch_q14": q_tpch_q14,
+        "domain_quota": q_domain_quota,
+        "token_mixture": q_token_mixture,
+        "shuffle_shard": q_shuffle_shard,
         # --- backfill to 50: stable greens, oldest-verified first ---
         "wordcount": q_wordcount,
         "groupby_agg": q_groupby_agg,
@@ -1271,6 +1340,17 @@ def _simhash_md5_oracle() -> str:
         JOIN sig sb ON sb.doc_id = id_b
         WHERE ({hamming}) <= 3
     """
+
+
+def _hex8_to_int_sql(expr: str) -> str:
+    """DuckDB twin of Spark's conv(substr(x, 1, 8), 16, 10): fold the first
+    8 hex digits of ``expr`` into an integer with explicit strpos
+    arithmetic (DuckDB has no base-conv builtin)."""
+    val = "0"
+    for i in range(1, 9):
+        val = (f"({val} * 16 + strpos('0123456789abcdef', "
+               f"substr({expr}, {i}, 1)) - 1)")
+    return val
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2005,6 +2085,53 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT l_orderkey, revenue, o_date FROM r
             ORDER BY revenue DESC, l_orderkey DESC LIMIT 10
+        """,
+        "tpch_q14": """
+            SELECT CAST(floor(
+                       sum(CASE WHEN p_type LIKE 'PROMO%'
+                                THEN l_extendedprice * (1 - l_discount)
+                                ELSE 0.0 END) * 100
+                       / sum(l_extendedprice * (1 - l_discount)) * 100
+                       + 0.5) AS BIGINT) AS promo_pct_x100
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+        """,
+        "domain_quota": """
+            SELECT doc_id, source FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY source
+                ORDER BY md5('quota#' || doc_id), doc_id) <= 10
+        """,
+        "token_mixture": """
+            WITH t AS (
+                SELECT doc_id, lang,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS n_tokens
+                FROM documents),
+            b(lang, budget) AS (
+                VALUES ('en', 6000), ('de', 2000), ('fr', 10000000)),
+            c AS (
+                SELECT t.doc_id, t.lang, t.n_tokens, b.budget,
+                       sum(t.n_tokens) OVER (
+                           PARTITION BY t.lang
+                           ORDER BY md5('mixture#' || t.doc_id), t.doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM t JOIN b USING (lang))
+            SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+            FROM c WHERE cum <= budget
+        """,
+        "shuffle_shard": f"""
+            WITH k AS (
+                SELECT doc_id, md5('epoch0#' || doc_id) AS key
+                FROM documents)
+            SELECT doc_id,
+                   CAST({_hex8_to_int_sql('key')} % 8 AS INT) AS shard,
+                   CAST(row_number() OVER (
+                       PARTITION BY {_hex8_to_int_sql('key')} % 8
+                       ORDER BY key, doc_id) AS BIGINT) AS shard_pos
+            FROM k
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

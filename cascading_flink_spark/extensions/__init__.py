@@ -27,6 +27,7 @@ from .multimodal import (
     frame_sample,
 )
 from .skew import salted_agg, salted_broadcast_left, stratified_sample
+from .mixture import domain_quota, shuffle_shard, token_budget_mixture
 from .temporal import asof_join, range_join
 from .decontam import contamination_pairs, decontaminate
 from .corpus import repetition_stats, tfidf_topterms, unigram_commonness
