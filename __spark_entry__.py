@@ -42,6 +42,7 @@ from cascading_flink_spark.extensions import (
     repetition_stats, tfidf_topterms, unigram_commonness,
     dedup_keep_best, event_funnel, group_quantiles, value_histogram,
     domain_quota, shuffle_shard, token_budget_mixture,
+    group_centroids, inverted_index, ngram_counts,
 )
 
 
@@ -1045,6 +1046,37 @@ def q_shuffle_shard(spark, sf_dir):
                       .alias("shard_pos"))
 
 
+def q_ngram_counts(spark, sf_dir):
+    """Corpus bigram count table with min-count pruning — the LM /
+    contamination-probe building block."""
+    return ngram_counts(_t(spark, sf_dir, "documents"), n=2, min_count=3)
+
+
+def q_inverted_index(spark, sf_dir):
+    """Term -> capped posting list + full document frequency.  Postings
+    emit as a comma-joined string of the numerically-sorted ids (array
+    cells stringify differently across engine fetch layers; a flat string
+    hashes identically)."""
+    idx = inverted_index(_t(spark, sf_dir, "documents"), max_postings=20)
+    return idx.select(
+        "term", "df",
+        F.array_join(F.transform("postings", lambda x: x.cast("string")), ",")
+         .alias("postings"))
+
+
+def q_group_centroids(spark, sf_dir):
+    """Per-label mean embedding (corpus landscape / IVF warm start);
+    posexplode + per-dim partial agg, centroid assembled from dim rows —
+    re-exploded here to integer ten-thousandths per component so the gate
+    hashes scalars, not float arrays."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = group_centroids(emb, "label", dim=64)
+    return cents.select(
+        "label", "n", F.posexplode("centroid").alias("i", "m")
+    ).select("label", "n", "i",
+             F.floor(F.col("m") * 10000 + 0.5).cast("long").alias("m_x10000"))
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition gates: dup-token ratio + top-bigram
     coverage per document."""
@@ -1175,6 +1207,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quota": q_domain_quota,
         "token_mixture": q_token_mixture,
         "shuffle_shard": q_shuffle_shard,
+        "ngram_counts": q_ngram_counts,
+        "inverted_index": q_inverted_index,
+        "group_centroids": q_group_centroids,
         # --- backfill to 50: stable greens, oldest-verified first ---
         "wordcount": q_wordcount,
         "groupby_agg": q_groupby_agg,
@@ -2132,6 +2167,54 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY {_hex8_to_int_sql('key')} % 8
                        ORDER BY key, doc_id) AS BIGINT) AS shard_pos
             FROM k
+        """,
+        "ngram_counts": """
+            WITH toks AS (
+                SELECT CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                       END AS t
+                FROM documents),
+            g AS (
+                SELECT unnest(CASE WHEN len(t) >= 2
+                              THEN [t[i] || ' ' || t[i + 1]
+                                    for i in range(1, len(t))]
+                              ELSE []::VARCHAR[] END) AS gram
+                FROM toks)
+            SELECT gram, count(*)::BIGINT AS n_occurrences
+            FROM g WHERE len(gram) > 0
+            GROUP BY gram HAVING count(*) >= 3
+        """,
+        "inverted_index": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                       END AS tk
+                FROM documents),
+            p AS (
+                SELECT doc_id, unnest(list_distinct(tk)) AS term FROM t),
+            r AS (
+                SELECT doc_id, term,
+                       row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+                       count(*) OVER (PARTITION BY term) AS df
+                FROM p WHERE len(term) > 0)
+            SELECT term, CAST(any_value(df) AS BIGINT) AS df,
+                   array_to_string(list_sort(list(doc_id)), ',') AS postings
+            FROM r WHERE rn <= 20 GROUP BY term
+        """,
+        "group_centroids": """
+            WITH e AS (
+                SELECT label, ii - 1 AS i, (embedding::DOUBLE[])[ii] AS v
+                FROM (SELECT label, embedding,
+                             unnest(range(1, len(embedding) + 1)) AS ii
+                      FROM embeddings)
+            ),
+            d AS (
+                SELECT label, i, sum(v) AS s, count(*) AS n
+                FROM e GROUP BY 1, 2)
+            SELECT label, CAST(n AS BIGINT) AS n, CAST(i AS INT) AS i,
+                   CAST(floor(round(s / n, 4) * 10000 + 0.5) AS BIGINT) AS m_x10000
+            FROM d
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

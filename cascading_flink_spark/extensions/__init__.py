@@ -19,7 +19,8 @@ from .dedup import (
     winnow_fingerprints, winnow_pairs,
 )
 from .similarity import (
-    cosine_expr, brute_force_topk, embedding_dup_pairs, lsh_bucketed_topk,
+    cosine_expr, brute_force_topk, embedding_dup_pairs, group_centroids,
+    lsh_bucketed_topk,
     lsh_bucketed_topk_md5, ivf_topk, ivf_topk_md5, pq_topk, pq_topk_md5,
 )
 from .multimodal import (
@@ -30,7 +31,8 @@ from .skew import salted_agg, salted_broadcast_left, stratified_sample
 from .mixture import domain_quota, shuffle_shard, token_budget_mixture
 from .temporal import asof_join, range_join
 from .decontam import contamination_pairs, decontaminate
-from .corpus import repetition_stats, tfidf_topterms, unigram_commonness
+from .corpus import (inverted_index, ngram_counts, repetition_stats,
+                     tfidf_topterms, unigram_commonness)
 from .analytics import event_funnel, group_quantiles, value_histogram
 
 __all__ = [n for n in dir() if not n.startswith("_")]

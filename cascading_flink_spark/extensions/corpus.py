@@ -146,3 +146,52 @@ def unigram_commonness(df: DataFrame, text_col: str = "text",
                       _round_half_up(
                           F.col("freq_sum") / F.col("n_tokens"), 2)
                       .alias("commonness")))
+
+
+def ngram_counts(df: DataFrame, n: int = 2, min_count: int = 2,
+                 text_col: str = "text", lower: bool = True) -> DataFrame:
+    """Corpus n-gram count table: ``(gram, n_docs, n_occurrences)`` for
+    every word n-gram appearing in at least ``min_count`` documents.
+
+    The building block for count-based language models, contamination
+    probe tables (see ``decontam``), and boilerplate mining: one explode +
+    one partial-agg hash aggregation, with the ``min_count`` threshold
+    pruning the singleton-heavy tail BEFORE any downstream join sees it
+    (at 100 TB the singleton tail is most of the table)."""
+    toks = _tok_array(text_col, lower)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    ).otherwise(F.array())
+    per_doc = (df.select(F.explode(grams).alias("gram"))
+                 .filter(F.length("gram") > 0))
+    return (per_doc.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .filter(F.col("n_occurrences") >= min_count))
+
+
+def inverted_index(df: DataFrame, max_postings: int = 100,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   lower: bool = True) -> DataFrame:
+    """Term -> posting-list index: ``(term, df, postings)`` where
+    ``postings`` is the sorted array of up to ``max_postings`` doc ids
+    containing the term (distinct per doc).
+
+    ``max_postings`` caps hot terms (stopwords) — the exact skew control a
+    posting-list build needs at scale: the cap is applied with a window
+    rank INSIDE each term group before ``collect_list``, so no unbounded
+    array ever materializes.  df (document frequency) still counts ALL
+    docs, so the cap loses no ranking signal."""
+    toks = _tok_array(text_col, lower)
+    posting = (df.select(F.col(id_col), F.explode(F.array_distinct(toks))
+                         .alias("term"))
+               .filter(F.length("term") > 0))
+    w = Window.partitionBy("term").orderBy(F.col(id_col))
+    ranked = (posting.withColumn("__rn", F.row_number().over(w))
+              .withColumn("__df", F.count(F.lit(1)).over(
+                  Window.partitionBy("term"))))
+    return (ranked.filter(F.col("__rn") <= max_postings)
+            .groupBy("term")
+            .agg(F.first("__df").alias("df"),
+                 F.sort_array(F.collect_list(id_col)).alias("postings")))

@@ -623,3 +623,28 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     return (scored.withColumn("__rn", F.row_number().over(w))
                   .filter(F.col("__rn") <= k)
                   .drop("__rn"))
+
+
+def group_centroids(df: DataFrame, group_col: str, dim: int = 64,
+                    vec_col: str = "embedding",
+                    decimals: int = 4) -> DataFrame:
+    """Per-group mean embedding: ``(group, n, centroid)`` with the centroid
+    rounded per component.
+
+    The standard corpus-landscape tool (domain/language centroids feed
+    clustering, drift monitoring, and IVF warm starts).  posexplode +
+    groupBy(group, dim_index) partial-aggregates map-side, so the shuffle
+    carries at most groups x dim partial sums per partition — the same
+    reduction shape as distributed k-means; the final per-group array
+    assembles from dim rows."""
+    exploded = df.select(F.col(group_col).alias("grp"),
+                         F.posexplode(F.col(vec_col).cast("array<double>"))
+                          .alias("i", "v"))
+    per_dim = (exploded.groupBy("grp", "i")
+               .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")))
+    rounded = F.round(F.col("s") / F.col("n"), decimals)
+    return (per_dim.groupBy("grp")
+            .agg(F.first("n").alias("n"),
+                 F.array_sort(F.collect_list(F.struct("i", rounded.alias("m"))))
+                  .getField("m").alias("centroid"))
+            .select(F.col("grp").alias(group_col), "n", "centroid"))

@@ -173,3 +173,35 @@ class TestDedupKeepBest:
         out = {r["doc_id"]: r["kept"]
                for r in dedup_keep_best(docs, pairs).collect()}
         assert out == {5: True, 9: False}
+
+
+def test_ngram_counts_prunes_min_count(spark):
+    from cascading_flink_spark.extensions import ngram_counts
+    df = spark.createDataFrame(
+        [("a b c",), ("a b d",), ("x y",)], "text string")
+    rows = {r["gram"]: r["n_occurrences"]
+            for r in ngram_counts(df, n=2, min_count=2).collect()}
+    assert rows == {"a b": 2}  # singletons pruned
+
+
+def test_inverted_index_caps_postings_keeps_full_df(spark):
+    from cascading_flink_spark.extensions import inverted_index
+    df = spark.createDataFrame(
+        [(i, "common term%d" % (i % 2)) for i in range(10)],
+        "doc_id long, text string")
+    rows = {r["term"]: r for r in
+            inverted_index(df, max_postings=3).collect()}
+    assert rows["common"]["df"] == 10          # df counts ALL docs
+    assert len(rows["common"]["postings"]) == 3  # postings capped
+    assert rows["common"]["postings"] == [0, 1, 2]  # lowest ids, sorted
+
+
+def test_group_centroids_mean_per_dim(spark):
+    from cascading_flink_spark.extensions import group_centroids
+    df = spark.createDataFrame(
+        [(1, [1.0, 3.0]), (1, [3.0, 5.0]), (2, [10.0, 20.0])],
+        "label int, embedding array<double>")
+    rows = {r["label"]: r for r in
+            group_centroids(df, "label", dim=2).collect()}
+    assert rows[1]["n"] == 2 and rows[1]["centroid"] == [2.0, 4.0]
+    assert rows[2]["n"] == 1 and rows[2]["centroid"] == [10.0, 20.0]
