@@ -1046,6 +1046,66 @@ def q_shuffle_shard(spark, sf_dir):
                       .alias("shard_pos"))
 
 
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change) through the pipe DSL: the
+    pure scan-filter-aggregate query — every predicate must reach the
+    parquet scan, one keyless partial agg, one output row as integer
+    hundredths."""
+    li = _t(spark, sf_dir, "lineitem")
+    keep = ("l_shipdate >= timestamp '1996-01-01' "
+            "AND l_shipdate < timestamp '1997-01-01' "
+            "AND l_discount >= 0.05 AND l_discount <= 0.07 "
+            "AND l_quantity < 24")
+    f = Each(Pipe("lineitem"),
+             Fields("l_shipdate", "l_discount", "l_quantity"),
+             ExpressionFilter(f"NOT ({keep})"))
+    rev = Each(f, Fields("l_extendedprice", "l_discount"),
+               ExpressionFunction(Fields("rev"),
+                                  "l_extendedprice * l_discount"),
+               Fields.ALL)
+    g = GroupBy(rev, Fields.NONE)
+    e = Every(g, Fields("rev"), Sum("rev_sum"), Fields.ALL)
+    out = _flow(spark, e, lineitem=li)
+    return out.select(F.floor(F.col("rev_sum") * 100 + 0.5)
+                      .cast("long").alias("revenue_x100"))
+
+
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting) through the pipe DSL: one
+    quarter of orders, returned lineitems only, customer + broadcast
+    nation enrichment, top-20 by lost revenue."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    lf = Each(Pipe("lineitem"), Fields("l_returnflag"),
+              ExpressionFilter("l_returnflag <> 'R'"))
+    of = Each(Pipe("orders"), Fields("o_orderdate"),
+              ExpressionFilter("NOT (o_orderdate >= timestamp '1996-01-01' "
+                               "AND o_orderdate < timestamp '1996-04-01')"))
+    j1 = CoGroup([of, Pipe("customer")],
+                 [Fields("o_custkey"), Fields("c_custkey")])
+    j2 = CoGroup([lf, j1], [Fields("l_orderkey"), Fields("o_orderkey")])
+    j3 = HashJoin([j2, Pipe("nation")],
+                  [Fields("c_nationkey"), Fields("n_nationkey")])
+    rev = Each(j3, Fields("l_extendedprice", "l_discount"),
+               ExpressionFunction(Fields("rev"),
+                                  "l_extendedprice * (1 - l_discount)"),
+               Fields.ALL)
+    g = GroupBy(rev, Fields("c_custkey", "c_name", "c_acctbal", "n_name"))
+    e = Every(g, Fields("rev"), Sum("rev_sum"), Fields.ALL)
+    rr = Each(e, Fields("rev_sum"),
+              ExpressionFunction(Fields("revenue"),
+                                 "floor(rev_sum * 100 + 0.5) / 100"),
+              Fields("c_custkey", "c_name", "c_acctbal", "n_name", "revenue"))
+    top = GroupBy(rr, Fields.NONE,
+                  sort_fields=Fields("revenue", "c_custkey"),
+                  reverse_order=True)
+    lim = Each(top, Fields.ALL, Limit(20))
+    return _flow(spark, lim, lineitem=li, orders=orders,
+                 customer=cust, nation=nation)
+
+
 def q_ngram_counts(spark, sf_dir):
     """Corpus bigram count table with min-count pruning — the LM /
     contamination-probe building block."""
@@ -1210,6 +1270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_counts": q_ngram_counts,
         "inverted_index": q_inverted_index,
         "group_centroids": q_group_centroids,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q10": q_tpch_q10,
         # --- backfill to 50: stable greens, oldest-verified first ---
         "wordcount": q_wordcount,
         "groupby_agg": q_groupby_agg,
@@ -2167,6 +2229,29 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY {_hex8_to_int_sql('key')} % 8
                        ORDER BY key, doc_id) AS BIGINT) AS shard_pos
             FROM k
+        """,
+        "tpch_q6": """
+            SELECT CAST(floor(sum(l_extendedprice * l_discount) * 100 + 0.5)
+                        AS BIGINT) AS revenue_x100
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "tpch_q10": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   floor(sum(l_extendedprice * (1 - l_discount)) * 100
+                         + 0.5) / 100 AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey DESC LIMIT 20
         """,
         "ngram_counts": """
             WITH toks AS (

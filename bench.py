@@ -11,6 +11,13 @@ scheduler/GC/page-cache noise — measured round-3: identical code, two
 back-to-back best-of-2 totals 21.8s vs 25.6s — and best-of-3 reports the
 code's actual cost rather than the noise floor.  Set SPARK_GRAFT_BENCH_RUNS
 to change N.
+
+Noise band (round-5 re-pin, SPARK_GRAFT_BENCH_RUNS=5): identical-code
+queries drift +-10-20% between runs on this shared box; anything beyond
+that is real.  The round-3 simhash/minhash "regressions" were real —
+multi-second Catalyst codegen on 64/32-expression aggregate plans, fixed
+in round 5 by one-pass Arrow signature computation (simhash 3.3s -> 1.3s,
+minhash 2.8s -> 1.9s at sf0.1, both below their round-2 numbers).
 """
 
 from __future__ import annotations
@@ -64,6 +71,8 @@ BENCH_QUERIES = [
     # round-5 additions (again: compare per-query across rounds, not totals)
     "tpch_q1",
     "tpch_q18",
+    "tpch_q6",
+    "tpch_q10",
     "asof_join",
     "range_join",
     "decontaminate",

@@ -124,6 +124,14 @@ def test_round3_plan_property(spark, sf_dir, query, pattern, why):
      "the HAVING-shrunk key set must broadcast into orders/customer"),
     ("tpch_q18", r"TakeOrderedAndProject",
      "Q18's global top-100 must not materialize a full sort"),
+    ("tpch_q6", r"PushedFilters: \[.*l_discount.*l_quantity|PushedFilters: \[.*l_quantity.*l_discount",
+     "every Q6 predicate must reach the lineitem scan"),
+    ("tpch_q10", r"BroadcastHashJoin",
+     "the nation dim in Q10 must broadcast"),
+    ("tpch_q10", r"TakeOrderedAndProject",
+     "Q10's global top-20 must not materialize a full sort"),
+    ("tpch_q10", r"PushedFilters: \[.*EqualTo\(l_returnflag,R\)",
+     "the returnflag filter must push into the lineitem scan"),
 ])
 def test_round5_plan_property(spark, sf_dir, query, pattern, why):
     plan = plan_of(spark, query, sf_dir)
