@@ -79,20 +79,29 @@ def group_quantiles(df: DataFrame, value_col: str = "value",
     in any engine, unlike ``approx_percentile`` (sketch-dependent) or
     continuous quantiles (interpolation formulas differ).
 
-    Returns ``(grp, p, q)``.  One shuffle on the group key; the window
-    sort is per group.  A group so hot its sort won't fit one task is the
-    documented limit — pre-aggregate duplicates or fall back to a
-    fixed-width :func:`value_histogram` + cumulative scan at that point.
+    Returns ``(grp, p, q)``.  Duplicates pre-aggregate FIRST (one
+    partial-agg hash aggregation), so the per-group window sorts only the
+    DISTINCT values with their counts — the rank is then read off the
+    cumulative count.  A hot group with repeated values (the common shape:
+    status codes, rounded metrics, prices) costs its distinct-value count,
+    not its row count.  The residual limit is a hot group of fully unique
+    continuous values — there, cut cardinality first (fixed-width
+    :func:`value_histogram` bins, then recurse into the one bin holding
+    the target rank) or accept ``approx_percentile``.
     """
     if ps is None:
         ps = [0.5, 0.9, 0.99]
-    ranked = (df.select(F.col(by).alias("grp"),
-                        F.col(value_col).alias("q"))
-                .withColumn("__rn", F.row_number().over(
-                    Window.partitionBy("grp").orderBy("q")))
-                .withColumn("__n", F.count(F.lit(1)).over(
-                    Window.partitionBy("grp"))))
+    per_val = (df.select(F.col(by).alias("grp"), F.col(value_col).alias("q"))
+                 .groupBy("grp", "q")
+                 .agg(F.count(F.lit(1)).alias("__c")))
+    w = Window.partitionBy("grp").orderBy("q") \
+              .rowsBetween(Window.unboundedPreceding, 0)
+    cum = (per_val.withColumn("__cum", F.sum("__c").over(w))
+                  .withColumn("__n", F.sum("__c").over(
+                      Window.partitionBy("grp"))))
     p_col = F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p")
-    return (ranked.select("grp", "q", "__rn", "__n", p_col)
-                  .filter(F.col("__rn") == F.ceil(F.col("p") * F.col("__n")))
-                  .select("grp", "p", "q"))
+    t = F.ceil(F.col("p") * F.col("__n"))
+    # the quantile value's cumulative range [cum - c, cum) covers rank t
+    return (cum.select("grp", "q", "__c", "__cum", "__n", p_col)
+               .filter((F.col("__cum") >= t) & (F.col("__cum") - F.col("__c") < t))
+               .select("grp", "p", "q"))

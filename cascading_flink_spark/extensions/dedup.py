@@ -117,39 +117,54 @@ def _minhash_sig_arrow(text_col: str, n: int, num_hashes: int):
     document inside a single vectorized UDF — array<long> of length
     ``num_hashes`` (empty for docs with no shingles).
 
-    Hash family: one strong 64-bit base hash per shingle (blake2b-8) plus
-    ``num_hashes`` multiply-shift derivations ``a_i * h + b_i mod 2^64``
-    (odd ``a_i``) — the standard one-permutation-style construction; the
-    (S x num_hashes) numpy matrix min-reduces per doc with no explode, no
-    shuffle, no 32-expression aggregate codegen.  Replaces the explode +
-    per-seed min(xxhash64) formulation: measured 2.0s -> 1.0s for the
-    signature stage at sf0.1 (the old form ALSO paid multi-second Catalyst
-    codegen on its 32-aggregate plan)."""
+    Hash family: each DISTINCT token hashes once (blake2b-8, memoized per
+    batch — vocabulary is tiny relative to token count), shingle base
+    hashes derive as a vectorized position-weighted polynomial over the
+    token-hash array (``sum_i P_i * T[j+i] mod 2^64``, odd ``P_i``), and
+    ``num_hashes`` signature rows come from multiply-shift derivations
+    ``a_i * h + b_i mod 2^64`` min-reduced per doc — the standard
+    one-permutation-style construction.  No explode, no shuffle, no
+    32-expression aggregate codegen, and (unlike a per-shingle string
+    join + hash) no per-shingle Python work.  Measured at sf0.1: full
+    pipeline 2.8s -> 2.2s vs the explode + min(xxhash64) formulation
+    (whose 32-aggregate plan pays multi-second Catalyst codegen); at the
+    8x replication both formulations converge (~7s) because the banded
+    candidate join, not the signature, dominates there.  Duplicate
+    shingles need no dedup: duplicates cannot change a min."""
     import hashlib
 
     A = ((2 * np.arange(num_hashes, dtype=np.uint64) + 1)
          * np.uint64(0x9E3779B97F4A7C15) | np.uint64(1))
     B = np.arange(num_hashes, dtype=np.uint64) * np.uint64(0xBF58476D1CE4E5B9)
+    P = [np.uint64(((0x9E3779B97F4A7C15 * (2 * i + 3)) & 0xFFFFFFFFFFFFFFFF) | 1)
+         for i in range(n)]
 
     @F.pandas_udf("array<long>")
     def _sig(texts: pd.Series) -> pd.Series:
+        memo: dict[str, int] = {}
+
+        def th(tk):
+            h = memo.get(tk)
+            if h is None:
+                h = int.from_bytes(
+                    hashlib.blake2b(tk.encode(), digest_size=8).digest(),
+                    "little")
+                memo[tk] = h
+            return h
+
         def one(t):
             if t is None:
                 return []
             toks = _java_ws_tokens(t)
             if len(toks) < n:
                 return []
-            sh = dict.fromkeys(
-                s for i in range(len(toks) - n + 1)
-                if (s := " ".join(toks[i:i + n])))
-            if not sh:
-                return []
-            H = np.fromiter(
-                (int.from_bytes(
-                    hashlib.blake2b(s.encode(), digest_size=8).digest(),
-                    "little") for s in sh),
-                dtype=np.uint64, count=len(sh))
-            M = H[:, None] * A[None, :] + B[None, :]     # wraps mod 2^64
+            T = np.fromiter((th(tk) for tk in toks),
+                            dtype=np.uint64, count=len(toks))
+            m = len(T) - n + 1
+            H = T[0:m] * P[0]
+            for i in range(1, n):
+                H = H + T[i:m + i] * P[i]               # wraps mod 2^64
+            M = H[:, None] * A[None, :] + B[None, :]
             return M.min(axis=0).view(np.int64).tolist()
         return texts.map(one)
 
@@ -262,21 +277,25 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 3, num_hashes: int = 32,
                            F.col("bk.bh").alias("bh")).persist()
     a = banded.toDF("id_a", "sig_a", "band", "bh")
     b = banded.toDF("id_b", "sig_b", "band", "bh")
-    cand = (a.join(b, ["band", "bh"])
-             .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b", "sig_a", "sig_b")
-             .dropDuplicates(["id_a", "id_b"]))
     # Signature agreement as an unrolled sum of per-position equality —
     # whole-stage-codegen'd integer compares.  (zip_with/filter higher-order
     # lambdas are interpreted per element; over ~1M candidate pairs that
-    # interpretation dominated the whole query.)
+    # interpretation dominated the whole query.)  Score and threshold
+    # BEFORE the pair-dedup aggregation: agreement is identical for every
+    # banded duplicate of a pair, and dropping the two 32-long signature
+    # arrays first shrinks the dedup shuffle payload ~20x (the candidate
+    # join itself, which must carry both signatures to score, remains the
+    # dominant cost at the 8x replication's dup-cluster density).
     agree = sum(
         (F.when(F.col("sig_a")[i] == F.col("sig_b")[i], 1).otherwise(0)
          for i in range(num_hashes)),
         F.lit(0))
-    return (cand.withColumn("est_jaccard", F.round(agree / F.lit(num_hashes), 4))
-                .filter(F.col("est_jaccard") >= threshold)
-                .select("id_a", "id_b", "est_jaccard"))
+    return (a.join(b, ["band", "bh"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("est_jaccard", F.round(agree / F.lit(num_hashes), 4))
+             .filter(F.col("est_jaccard") >= threshold)
+             .select("id_a", "id_b", "est_jaccard")
+             .dropDuplicates(["id_a", "id_b"]))
 
 
 def minhash_lsh_pairs_md5(df: DataFrame, n: int = 3, num_hashes: int = 32,
@@ -320,20 +339,22 @@ def minhash_lsh_pairs_md5(df: DataFrame, n: int = 3, num_hashes: int = 32,
                            F.col("bk.bh").alias("bh")).persist()
     a = banded.toDF("id_a", *[f"__a{i}" for i in range(num_hashes)], "band", "bh")
     b = banded.toDF("id_b", *[f"__b{i}" for i in range(num_hashes)], "band", "bh")
-    cand = (a.join(b, ["band", "bh"])
-             .filter(F.col("id_a") < F.col("id_b"))
-             .drop("band", "bh")
-             .dropDuplicates(["id_a", "id_b"]))
     agree = sum(
         (F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
          for i in range(num_hashes)),
         F.lit(0))
     min_agree = int(threshold * num_hashes + 1e-9)
-    return (cand.withColumn("__agree", agree)
-                .filter(F.col("__agree") >= min_agree)
-                .select("id_a", "id_b",
-                        (F.floor(F.col("__agree") / num_hashes * 10000 + F.lit(0.5))
-                         / 10000).alias("est_jaccard")))
+    # score/threshold before the pair-dedup (same reorder as the fast
+    # variant): identical result set, dedup shuffle drops the 2x32 md5
+    # string columns
+    return (a.join(b, ["band", "bh"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("__agree", agree)
+             .filter(F.col("__agree") >= min_agree)
+             .select("id_a", "id_b",
+                     (F.floor(F.col("__agree") / num_hashes * 10000 + F.lit(0.5))
+                      / 10000).alias("est_jaccard"))
+             .dropDuplicates(["id_a", "id_b"]))
 
 
 _HEX = "0123456789abcdef"
