@@ -42,7 +42,7 @@ from cascading_flink_spark.extensions import (
     repetition_stats, tfidf_topterms, unigram_commonness,
     dedup_keep_best, event_funnel, group_quantiles, value_histogram,
     domain_quota, shuffle_shard, token_budget_mixture,
-    group_centroids, inverted_index, ngram_counts,
+    group_centroids, inverted_index, ngram_counts, bm25_scores,
 )
 
 
@@ -1106,6 +1106,15 @@ def q_tpch_q10(spark, sf_dir):
                  customer=cust, nation=nation)
 
 
+_BM25_TERMS = ["the", "data", "model", "system"]
+
+
+def q_bm25(spark, sf_dir):
+    """BM25 ranked retrieval over the documents table for a fixed query
+    term set — completes the search family (inverted_index + tfidf)."""
+    return bm25_scores(_t(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
 def q_ngram_counts(spark, sf_dir):
     """Corpus bigram count table with min-count pruning — the LM /
     contamination-probe building block."""
@@ -1272,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_centroids": q_group_centroids,
         "tpch_q6": q_tpch_q6,
         "tpch_q10": q_tpch_q10,
+        "bm25": q_bm25,
         # --- backfill to 50: stable greens, oldest-verified first ---
         "wordcount": q_wordcount,
         "groupby_agg": q_groupby_agg,
@@ -2252,6 +2262,33 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < TIMESTAMP '1996-04-01'
             GROUP BY c_custkey, c_name, c_acctbal, n_name
             ORDER BY revenue DESC, c_custkey DESC LIMIT 20
+        """,
+        "bm25": """
+            WITH base AS (
+                SELECT doc_id,
+                       CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                       END AS t
+                FROM documents),
+            dl AS (SELECT doc_id, len(t) AS dl FROM base),
+            stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM (SELECT doc_id, unnest(t) AS term FROM base)
+                WHERE term IN ('the', 'data', 'model', 'system')
+                GROUP BY 1, 2),
+            docfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+            SELECT doc_id,
+                   CAST(floor(sum(
+                       ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                       * tf * (1.2 + 1)
+                       / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                   ) * 10000 + 0.5) AS BIGINT) AS score_x10000
+            FROM tf
+            JOIN docfreq USING (term)
+            JOIN dl USING (doc_id)
+            CROSS JOIN stats
+            GROUP BY doc_id
         """,
         "ngram_counts": """
             WITH toks AS (

@@ -195,3 +195,46 @@ def inverted_index(df: DataFrame, max_postings: int = 100,
             .groupBy("term")
             .agg(F.first("__df").alias("df"),
                  F.sort_array(F.collect_list(id_col)).alias("postings")))
+
+
+def bm25_scores(df: DataFrame, query_terms: list[str],
+                k1: float = 1.2, b: float = 0.75,
+                text_col: str = "text", id_col: str = "doc_id",
+                lower: bool = True) -> DataFrame:
+    """BM25 relevance of every matching document against a fixed query
+    term set: ``(doc_id, score)``, score > 0 only (non-matching docs are
+    absent).
+
+    Classic Robertson/Sparck-Jones BM25: ``sum_q idf(q) * tf*(k1+1) /
+    (tf + k1*(1 - b + b*dl/avgdl))`` with
+    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``.  Scale shape: the term
+    filter (an ``isin`` over the broadcast literal query set) prunes the
+    exploded token stream to query terms BEFORE any shuffle, so the
+    per-(doc, term) tf aggregation touches only matching postings; df and
+    the avgdl scalar are tiny aggregates joined back by broadcast.  The
+    completion of the search family: :func:`inverted_index` is the index,
+    :func:`tfidf_topterms` the per-doc summary, this the ranked retrieval."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = _tok_array(text_col, lower)
+    base = df.select(F.col(id_col), toks.alias("__t"))
+    dl = base.select(F.col(id_col), F.size("__t").alias("__dl"))
+    stats = F.broadcast(dl.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__dl").alias("__avgdl")))
+    hits = (base.select(F.col(id_col), F.explode("__t").alias("__term"))
+            .filter(F.col("__term").isin(*query_terms)))
+    tf = hits.groupBy(id_col, "__term").agg(F.count(F.lit(1)).alias("__tf"))
+    docfreq = F.broadcast(
+        tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df")))
+    idf = F.log(F.lit(1.0) + (F.col("__n") - F.col("__df") + 0.5)
+                / (F.col("__df") + 0.5))
+    norm = (F.col("__tf") * (k1 + 1)
+            / (F.col("__tf") + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))))
+    return (tf.join(docfreq, "__term")
+              .join(dl, id_col)
+              .crossJoin(stats)
+              .withColumn("__s", idf * norm)
+              .groupBy(id_col)
+              .agg(F.floor(F.sum("__s") * 10000 + 0.5).cast("long")
+                    .alias("score_x10000")))

@@ -233,7 +233,15 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
             .dropDuplicates(["id_a", "id_b"]))
     sh_a = shingled.toDF("id_a", "sh_a")
     sh_b = shingled.toDF("id_b", "sh_b")
+    # PPJoin's companion length filter: J(a,b) >= t forces
+    # t*|a| <= |b| and t*|b| <= |a|; rejecting size-incompatible
+    # candidates costs two integer compares and skips the O(|a|+|b|)
+    # array_intersect — the verify step is the output-bound cost at the
+    # 8x replication's duplicate density.
+    len_ok = ((F.size("sh_b") * F.lit(1.0) >= threshold * F.size("sh_a")) &
+              (F.size("sh_a") * F.lit(1.0) >= threshold * F.size("sh_b")))
     verified = (cand.join(sh_a, "id_a").join(sh_b, "id_b")
+                .filter(len_ok)
                 .withColumn("n_common",
                             F.size(F.array_intersect("sh_a", "sh_b")))
                 .withColumn("__j",

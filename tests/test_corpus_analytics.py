@@ -205,3 +205,19 @@ def test_group_centroids_mean_per_dim(spark):
             group_centroids(df, "label", dim=2).collect()}
     assert rows[1]["n"] == 2 and rows[1]["centroid"] == [2.0, 4.0]
     assert rows[2]["n"] == 1 and rows[2]["centroid"] == [10.0, 20.0]
+
+
+def test_bm25_ranks_by_relevance(spark):
+    from cascading_flink_spark.extensions import bm25_scores
+    import pytest as _pt
+    df = spark.createDataFrame(
+        [(1, "data data data filler filler"),
+         (2, "data filler filler filler filler"),
+         (3, "nothing relevant here at all")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r["score_x10000"]
+            for r in bm25_scores(df, ["data"]).collect()}
+    assert set(rows) == {1, 2}          # non-matching doc absent
+    assert rows[1] > rows[2] > 0        # higher tf ranks higher
+    with _pt.raises(ValueError):
+        bm25_scores(df, [])
