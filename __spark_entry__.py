@@ -1106,6 +1106,25 @@ def q_tpch_q10(spark, sf_dir):
                  customer=cust, nation=nation)
 
 
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution) through the pipe DSL:
+    left CoGroup so order-less customers keep c_count = 0 (Count with
+    skip_nulls — Cascading's count(col) mode), then a second aggregation
+    over the counts.  Two shuffles by construction; the first keys on the
+    uniform custkey."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    j = CoGroup([Pipe("customer"), Pipe("orders")],
+                [Fields("c_custkey"), Fields("o_custkey")],
+                joiner=LeftJoin())
+    g1 = GroupBy(j, Fields("c_custkey"))
+    e1 = Every(g1, Fields("o_orderkey"), Count("c_count", skip_nulls=True),
+               Fields.ALL)
+    g2 = GroupBy(e1, Fields("c_count"))
+    e2 = Every(g2, Fields.NONE, Count("custdist"), Fields.ALL)
+    return _flow(spark, e2, customer=cust, orders=orders)
+
+
 _BM25_TERMS = ["the", "data", "model", "system"]
 
 
@@ -1281,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_centroids": q_group_centroids,
         "tpch_q6": q_tpch_q6,
         "tpch_q10": q_tpch_q10,
+        "tpch_q13": q_tpch_q13,
         "bm25": q_bm25,
         # --- backfill to 50: stable greens, oldest-verified first ---
         "wordcount": q_wordcount,
@@ -2262,6 +2282,14 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < TIMESTAMP '1996-04-01'
             GROUP BY c_custkey, c_name, c_acctbal, n_name
             ORDER BY revenue DESC, c_custkey DESC LIMIT 20
+        """,
+        "tpch_q13": """
+            WITH cc AS (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                GROUP BY c_custkey)
+            SELECT c_count, count(*) AS custdist
+            FROM cc GROUP BY c_count
         """,
         "bm25": """
             WITH base AS (

@@ -132,6 +132,16 @@ def test_round3_plan_property(spark, sf_dir, query, pattern, why):
      "Q10's global top-20 must not materialize a full sort"),
     ("tpch_q10", r"PushedFilters: \[.*EqualTo\(l_returnflag,R\)",
      "the returnflag filter must push into the lineitem scan"),
+    ("tpch_q13", r"HashAggregate",
+     "both Q13 aggregations must be hash-based with partial/final split"),
+    ("domain_quota", r"WindowGroupLimit",
+     "the per-domain cap must push the rank limit below the window sort"),
+    ("bm25", r"Broadcast",
+     "df/avgdl statistics must join back by broadcast"),
+    ("ngram_counts", r"HashAggregate",
+     "gram counting must partial-aggregate map-side"),
+    ("group_centroids", r"HashAggregate",
+     "per-dim sums must partial-aggregate map-side"),
 ])
 def test_round5_plan_property(spark, sf_dir, query, pattern, why):
     plan = plan_of(spark, query, sf_dir)
