@@ -1,0 +1,63 @@
+"""Property-based pins for the mixture operators: the Spark implementations
+must equal a direct Python model of their md5-greedy semantics on arbitrary
+inputs (hypothesis generates the corpora; a few examples at small size —
+each example is a Spark job)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+try:
+    from hypothesis import given, settings, strategies as st
+except ImportError:                                    # pragma: no cover
+    pytest.skip("hypothesis unavailable", allow_module_level=True)
+
+from cascading_flink_spark.extensions import (
+    domain_quota, token_budget_mixture,
+)
+
+docs_strategy = st.lists(
+    st.tuples(st.integers(0, 200),            # doc_id (may repeat; dedup below)
+              st.sampled_from(["a", "b", "c"]),  # domain / lang
+              st.integers(0, 50)),            # n_tokens
+    min_size=1, max_size=30).map(
+        lambda rows: list({r[0]: r for r in rows}.values()))
+
+
+def _md5(seed, i):
+    return hashlib.md5(f"{seed}#{i}".encode()).hexdigest()
+
+
+@settings(max_examples=6, deadline=None)
+@given(docs_strategy, st.integers(1, 5))
+def test_domain_quota_equals_python_model(spark, docs, cap):
+    df = spark.createDataFrame(
+        docs, "doc_id long, source string, n_tokens long")
+    got = {r.doc_id for r in domain_quota(df, "source", cap).collect()}
+    expect = set()
+    for dom in {d for _, d, _ in docs}:
+        members = sorted((r for r in docs if r[1] == dom),
+                         key=lambda r: (_md5("quota", r[0]), r[0]))
+        expect |= {r[0] for r in members[:cap]}
+    assert got == expect
+
+
+@settings(max_examples=6, deadline=None)
+@given(docs_strategy, st.integers(0, 120))
+def test_token_budget_equals_python_model(spark, docs, budget):
+    df = spark.createDataFrame(
+        docs, "doc_id long, lang string, n_tokens long")
+    got = {r.doc_id for r in
+           token_budget_mixture(df, {"a": budget, "b": 10_000}).collect()}
+    expect = set()
+    for lang, b in (("a", budget), ("b", 10_000)):
+        run = 0
+        for r in sorted((r for r in docs if r[1] == lang),
+                        key=lambda r: (_md5("mixture", r[0]), r[0])):
+            run += r[2]
+            if run > b:
+                break
+            expect.add(r[0])
+    assert got == expect
