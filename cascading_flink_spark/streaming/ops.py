@@ -209,6 +209,74 @@ def stream_chunk_packer(df: DataFrame, context_len: int,
                                     "append", GroupStateTimeout.NoTimeout))
 
 
+def stream_token_quota(df: DataFrame, budgets: dict[str, int],
+                       key_col: str = "lang", text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Streaming per-key token quota — the stateful twin of
+    ``extensions.mixture.token_budget_mixture``: documents arriving on a
+    stream are admitted while the key's RUNNING token total (carried in
+    state across micro-batches) stays within that key's budget; once a
+    key's budget is exhausted every later document is dropped for good.
+
+    Emits admitted documents as ``(key, doc_id, n_tokens, running_total)``.
+    Within a micro-batch, documents are considered in the deterministic
+    ``(md5(doc_id), doc_id)`` order — so a single-batch stream admits
+    exactly the batch operator's set (asserted in tests); across batches
+    the order is arrival order.  Keys absent from ``budgets`` are dropped.
+    State per key is one long: safe at any corpus size, and a continuous
+    ingest can cut a target mixture without ever re-scanning history.
+    Nuance: within one micro-batch an overshooting document also blocks
+    the rest of that batch's md5 order (exact batch-operator parity);
+    across batches only ADMITTED tokens advance the running total."""
+    out_schema = T.StructType([
+        T.StructField("key", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("running_total", T.LongType()),
+    ])
+    state_schema = T.StructType([T.StructField("total", T.LongType())])
+    budgets = {str(k): int(v) for k, v in budgets.items()}
+
+    def fn(key, pdfs, state: GroupState):
+        import hashlib
+
+        import pandas as pd
+        budget = budgets.get(key[0])
+        if budget is None:
+            return iter(())
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            if not len(pdf) or total >= budget:
+                continue
+            pdf = pdf.copy()
+            # same seeded order key as mixture.token_budget_mixture, so a
+            # single-batch stream admits exactly the batch operator's set
+            pdf["__h"] = pdf["doc_id"].map(
+                lambda s: hashlib.md5(f"mixture#{s}".encode()).hexdigest())
+            pdf = pdf.sort_values(["__h", "doc_id"])
+            cum = total + pdf["n_tokens"].to_numpy().cumsum()
+            keep = cum <= budget
+            if keep.any():
+                kept = pdf[keep]
+                yield pd.DataFrame({
+                    "key": key[0],
+                    "doc_id": kept["doc_id"].to_numpy(),
+                    "n_tokens": kept["n_tokens"].to_numpy(),
+                    "running_total": cum[keep],
+                })
+                total = int(cum[keep][-1])
+        state.update((total,))
+
+    toks = F.when(F.trim(F.col(text_col)) == "", F.lit(0)) \
+            .otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+    prepared = df.select(F.col(key_col).cast("string").alias("key"),
+                         F.col(id_col).cast("string").alias("doc_id"),
+                         toks.cast("long").alias("n_tokens"))
+    return (prepared.groupBy("key")
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
 def stream_stream_join(left: DataFrame, right: DataFrame,
                        on, left_ts: str, right_ts: str,
                        watermark: str = "1 hour",

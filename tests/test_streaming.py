@@ -291,3 +291,66 @@ def test_stream_chunk_packer_state_carries_across_batches(spark, tmp_path):
     # doc a: 3 tokens at offset 0 (chunk 0); doc b resumes at offset 3 and
     # spans the chunk boundary at 4 (chunks 0..1)
     assert rows == {"a": (0, 0, 0), "b": (3, 0, 1)}
+
+
+def test_stream_token_quota_batch_parity(spark, sf_dir, tmp_path):
+    """A single-batch stream through stream_token_quota must admit exactly
+    token_budget_mixture's set (same md5-greedy prefix per language)."""
+    from cascading_flink_spark.extensions import token_budget_mixture
+    from cascading_flink_spark.streaming import stream_token_quota
+
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id", "lang", "text").limit(300))
+    src = str(tmp_path / "quota_in")
+    docs.write.mode("overwrite").parquet(src)
+
+    budgets = {"en": 800, "de": 400}
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out = stream_token_quota(stream, budgets)
+    q = (out.writeStream.format("memory").queryName("quota_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+
+    got = {r["doc_id"] for r in spark.sql("SELECT * FROM quota_out").collect()}
+    toks = F.when(F.trim("text") == "", F.lit(0)) \
+            .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    batch_in = spark.read.parquet(src).select(
+        "doc_id", "lang", toks.cast("long").alias("n_tokens"))
+    expect = {str(r["doc_id"]) for r in
+              token_budget_mixture(batch_in, budgets).collect()}
+    assert got == expect and expect
+    spark.catalog.dropTempView("quota_out")
+
+
+def test_stream_token_quota_state_blocks_across_batches(spark, tmp_path):
+    """Once a key's budget is spent in batch 1, batch 2's documents for
+    that key are rejected; an unlisted key never emits."""
+    from cascading_flink_spark.streaming import stream_token_quota
+
+    src = tmp_path / "quota2_in"
+    src.mkdir()
+    d1 = spark.createDataFrame([("a", "en", "one two three")],
+                               "doc_id string, lang string, text string")
+    d2 = spark.createDataFrame([("b", "en", "four five"),
+                                ("c", "xx", "zz zz")],
+                               "doc_id string, lang string, text string")
+    d1.coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+    schema = spark.read.parquet(str(src / "f1")).schema
+    ckpt = str(tmp_path / "qckpt")
+    out_dir = str(tmp_path / "quota2_out")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        out = stream_token_quota(stream, {"en": 3})
+        q = (out.writeStream.format("parquet")
+             .option("checkpointLocation", ckpt)
+             .option("path", out_dir)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(60)
+
+    run_once()                       # admits doc a (3 tokens = budget)
+    d2.coalesce(1).write.mode("overwrite").parquet(str(src / "f2"))
+    run_once()                       # b would overshoot; xx unlisted
+    rows = spark.read.parquet(out_dir).collect()
+    assert {r["doc_id"] for r in rows} == {"a"}
+    assert rows[0]["running_total"] == 3
