@@ -617,13 +617,17 @@ def q_salted_agg(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    """Approximate ANN via multiprobe hyperplane LSH (rows-only: recall is
-    approximate by construction; exactness is verified against
-    brute_force_topk in tests)."""
+    """Approximate ANN through the md5-deterministic LSH twin (Rademacher
+    planes from md5 hex): DuckDB rebuilds the identical bands, candidates,
+    rerank and tie-broken top-k, upgrading this row from rows-only to a
+    full value hash (same upgrade path ann_pq took in round 5).  The
+    multiprobe xxhash64 production variant (lsh_bucketed_topk) stays the
+    bench path."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = (emb.filter(F.col("vec_id") < 5)
                   .select(F.col("vec_id").alias("query_id"), "embedding"))
-    return lsh_bucketed_topk(emb, queries_df, k=10, planes=12, dim=64)
+    return lsh_bucketed_topk_md5(emb, queries_df, k=10, planes=4, dim=64,
+                                 tables=4)
 
 
 def q_token_budget(spark, sf_dir):
@@ -681,12 +685,14 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF approximate ANN: k-means cells + n_probe nearest cells per query
-    (rows-only: approximate; recall floor asserted vs brute force in tests)."""
+    """IVF approximate ANN through the md5-deterministic twin (hash-ordered
+    centroid sample, cosine-argmax assignment with id tie-breaks) — fully
+    DuckDB-rebuildable, so the gate hash-checks the top-k lists.  The
+    Lloyd-trained production path (ivf_topk) stays the bench path."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = (emb.filter(F.col("vec_id") < 5)
                   .select(F.col("vec_id").alias("query_id"), "embedding"))
-    return ivf_topk(emb, queries_df, k=10, n_centroids=16, n_probe=4)
+    return ivf_topk_md5(emb, queries_df, k=10, n_centroids=16, n_probe=4)
 
 
 def q_ann_recall(spark, sf_dir):
@@ -1302,6 +1308,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": q_tpch_q10,
         "tpch_q13": q_tpch_q13,
         "bm25": q_bm25,
+        # upgraded r5 from rows-only to md5-twin full oracles
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         # --- backfill to 50: stable greens, oldest-verified first ---
         "wordcount": q_wordcount,
         "groupby_agg": q_groupby_agg,
@@ -1344,10 +1353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ungroup": q_ungroup,
         "sample": q_sample,
         "salted_agg": q_salted_agg,
-        "ann_lsh": q_ann_lsh,
         "token_budget": q_token_budget,
         "dedup_clusters": q_dedup_clusters,
-        "ann_ivf": q_ann_ivf,
         "ann_recall": q_ann_recall,
         "rollup": q_rollup,
         "pivot": q_pivot,
@@ -1676,6 +1683,69 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a, embeddings q
             WHERE q.vec_id < 5 AND a.vec_id <> q.vec_id
             QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY sim DESC, a.vec_id) <= 10
+        """,
+        # Independent rebuilds of the md5-deterministic approximate-index
+        # top-k lists themselves (ann_recall cross-checks the recall
+        # arithmetic; these hash the full ranked output).
+        "ann_lsh": """
+            WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            planes AS (
+                SELECT tt.t, pp.p, dd.d,
+                       CASE WHEN substr(md5(tt.t || '_' || pp.p || '_' || dd.d), 1, 1) >= '8'
+                            THEN 1.0 ELSE -1.0 END AS comp
+                FROM range(4) tt(t), range(4) pp(p), range(64) dd(d)),
+            sums AS (
+                SELECT vecs.vec_id, pl.t, pl.p,
+                       sum(pl.comp * vecs.v[pl.d + 1]) AS s
+                FROM vecs CROSS JOIN planes pl
+                GROUP BY 1, 2, 3),
+            bands AS (
+                SELECT vec_id, t,
+                       string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
+                                  ORDER BY p) AS band
+                FROM sums GROUP BY 1, 2),
+            cand AS (
+                SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS vec_id
+                FROM bands qb JOIN bands cb
+                  ON qb.t = cb.t AND qb.band = cb.band
+                WHERE qb.vec_id < 5 AND cb.vec_id <> qb.vec_id)
+            SELECT query_id, vec_id, sim FROM (
+                SELECT c.query_id, c.vec_id,
+                       round(list_cosine_similarity(a.v, q.v), 4) AS sim
+                FROM cand c
+                JOIN vecs a ON a.vec_id = c.vec_id
+                JOIN vecs q ON q.vec_id = c.query_id)
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, vec_id) <= 10
+        """,
+        "ann_ivf": """
+            WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cents AS (
+                SELECT vec_id AS cent_id, v
+                FROM vecs ORDER BY md5(vec_id::VARCHAR) LIMIT 16),
+            assign AS (
+                SELECT vecs.vec_id, c.cent_id
+                FROM vecs CROSS JOIN cents c
+                QUALIFY row_number() OVER (PARTITION BY vecs.vec_id
+                    ORDER BY list_cosine_similarity(vecs.v, c.v) DESC,
+                             c.cent_id) = 1),
+            probes AS (
+                SELECT q.vec_id AS query_id, c.cent_id
+                FROM vecs q CROSS JOIN cents c
+                WHERE q.vec_id < 5
+                QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                             c.cent_id) <= 4)
+            SELECT query_id, vec_id, sim FROM (
+                SELECT p.query_id, a.vec_id,
+                       round(list_cosine_similarity(av.v, qv.v), 4) AS sim
+                FROM probes p
+                JOIN assign a ON a.cent_id = p.cent_id
+                JOIN vecs av ON av.vec_id = a.vec_id
+                JOIN vecs qv ON qv.vec_id = p.query_id
+                WHERE a.vec_id <> p.query_id)
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, vec_id) <= 10
         """,
         # Independent reconstruction of the md5-deterministic approximate
         # indexes: Rademacher planes from md5 hex, band keys via string_agg,

@@ -31,7 +31,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry
 from cascading_flink_spark.extensions import (
-    embedding_dup_pairs, minhash_lsh_pairs, pq_topk, simhash_dup_pairs,
+    embedding_dup_pairs, ivf_topk, minhash_lsh_pairs, pq_topk,
+    simhash_dup_pairs,
 )
 from cascading_flink_spark.session import get_spark
 
@@ -113,6 +114,13 @@ def main() -> None:
         entry._t(s, d, "documents"), n=3, num_hashes=32, bands=8, threshold=0.5)
     qs["simhash"] = lambda s, d: simhash_dup_pairs(
         entry._t(s, d, "documents"), max_hamming=3)
+    # ann_ivf at bench scale: the Lloyd-trained production path (queries()
+    # carries the md5 cross-engine twin for the correctness gate).
+    qs["ann_ivf"] = lambda s, d: ivf_topk(
+        entry._t(s, d, "embeddings"),
+        entry._t(s, d, "embeddings").filter("vec_id < 5")
+             .selectExpr("vec_id as query_id", "embedding"),
+        k=10, n_centroids=16, n_probe=4)
     # ann_pq at bench scale: the Lloyd-trained production path (queries()
     # carries the md5 cross-engine twin for the correctness gate).
     qs["ann_pq"] = lambda s, d: pq_topk(
