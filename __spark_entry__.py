@@ -944,15 +944,20 @@ def q_tpch_q1(spark, sf_dir):
     e = Every(e, Fields("l_discount"), Average("avg_disc"), Fields.ALL)
     e = Every(e, Fields.NONE, Count("count_order"), Fields.ALL)
     out = _flow(spark, e, lineitem=li)
+
+    # Integer-scaled outputs (floor(x*scale + 0.5) AS BIGINT), the repo's
+    # q6/q10/q14 convention: Spark's HALF_UP vs DuckDB's round can disagree
+    # on halfway doubles, so no final-division double crosses the hasher.
+    def _ix(c, scale):
+        return (F.floor(F.col(c) * scale + F.lit(0.5)).cast("long")
+                .alias(f"{c}_x{scale}"))
+
     return out.select(
         "l_returnflag", "l_linestatus",
-        F.round("sum_qty", 2).alias("sum_qty"),
-        F.round("sum_base", 2).alias("sum_base"),
-        F.round("sum_disc_price", 2).alias("sum_disc_price"),
-        F.round("sum_charge", 2).alias("sum_charge"),
-        F.round("avg_qty", 2).alias("avg_qty"),
-        F.round("avg_price", 2).alias("avg_price"),
-        F.round("avg_disc", 4).alias("avg_disc"),
+        _ix("sum_qty", 100), _ix("sum_base", 100),
+        _ix("sum_disc_price", 100), _ix("sum_charge", 100),
+        _ix("avg_qty", 100), _ix("avg_price", 100),
+        _ix("avg_disc", 10000),
         "count_order")
 
 
@@ -2390,19 +2395,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_counts": """
             WITH toks AS (
-                SELECT CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                SELECT doc_id,
+                       CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
                             ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
                        END AS t
                 FROM documents),
             g AS (
-                SELECT unnest(CASE WHEN len(t) >= 2
+                SELECT doc_id,
+                       unnest(CASE WHEN len(t) >= 2
                               THEN [t[i] || ' ' || t[i + 1]
                                     for i in range(1, len(t))]
                               ELSE []::VARCHAR[] END) AS gram
                 FROM toks)
-            SELECT gram, count(*)::BIGINT AS n_occurrences
+            SELECT gram, count(DISTINCT doc_id)::BIGINT AS n_docs,
+                   count(*)::BIGINT AS n_occurrences
             FROM g WHERE len(gram) > 0
-            GROUP BY gram HAVING count(*) >= 3
+            GROUP BY gram HAVING count(DISTINCT doc_id) >= 3
         """,
         "inverted_index": """
             WITH t AS (
@@ -2438,13 +2446,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-                   round(avg(l_quantity), 2) AS avg_qty,
-                   round(avg(l_extendedprice), 2) AS avg_price,
-                   round(avg(l_discount), 4) AS avg_disc,
+                   CAST(floor(sum(l_quantity) * 100 + 0.5) AS BIGINT) AS sum_qty_x100,
+                   CAST(floor(sum(l_extendedprice) * 100 + 0.5) AS BIGINT) AS sum_base_x100,
+                   CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT) AS sum_disc_price_x100,
+                   CAST(floor(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100 + 0.5) AS BIGINT) AS sum_charge_x100,
+                   CAST(floor(avg(l_quantity) * 100 + 0.5) AS BIGINT) AS avg_qty_x100,
+                   CAST(floor(avg(l_extendedprice) * 100 + 0.5) AS BIGINT) AS avg_price_x100,
+                   CAST(floor(avg(l_discount) * 10000 + 0.5) AS BIGINT) AS avg_disc_x10000,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'

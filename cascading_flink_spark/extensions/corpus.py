@@ -151,19 +151,23 @@ def unigram_commonness(df: DataFrame, text_col: str = "text",
 
 
 def ngram_counts(df: DataFrame, n: int = 2, min_count: int = 2,
-                 text_col: str = "text", lower: bool = True) -> DataFrame:
+                 text_col: str = "text", id_col: str = "doc_id",
+                 lower: bool = True) -> DataFrame:
     """Corpus n-gram count table: ``(gram, n_docs, n_occurrences)`` for
-    every word n-gram appearing in at least ``min_count`` documents.
+    every word n-gram appearing in at least ``min_count`` DISTINCT
+    documents (``n_docs``-thresholded, so a gram repeated ``min_count``
+    times inside one document does not survive — the contamination-probe
+    contract; ``n_occurrences`` still counts every occurrence).
 
     The building block for count-based language models, contamination
     probe tables (see ``decontam``), and boilerplate mining: one explode +
-    one partial-agg hash aggregation, with the ``min_count`` threshold
-    pruning the singleton-heavy tail BEFORE any downstream join sees it
-    (at 100 TB the singleton tail is most of the table).  Gram expansion
-    is one Arrow pass (the native ``transform(sequence, slice+concat_ws)``
-    higher-order lambda is interpreted per element — measured 3.4s vs
-    1.1s at sf0.1 for the whole count table); duplicates are kept, this
-    counts OCCURRENCES."""
+    one aggregation (count-distinct expands to a two-phase partial agg on
+    ``(gram, doc)`` then ``gram`` — both algebraic), with the ``min_count``
+    threshold pruning the singleton-heavy tail BEFORE any downstream join
+    sees it (at 100 TB the singleton tail is most of the table).  Gram
+    expansion is one Arrow pass (the native ``transform(sequence,
+    slice+concat_ws)`` higher-order lambda is interpreted per element —
+    measured 3.4s vs 1.1s at sf0.1 for the whole count table)."""
     from .dedup import _JAVA_WS
 
     @F.pandas_udf("array<string>")
@@ -182,10 +186,12 @@ def ngram_counts(df: DataFrame, n: int = 2, min_count: int = 2,
         return texts.map(one)
 
     per_doc = (df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-                 .select(F.explode(_grams(F.col(text_col))).alias("gram")))
+                 .select(F.col(id_col),
+                         F.explode(_grams(F.col(text_col))).alias("gram")))
     return (per_doc.groupBy("gram")
-            .agg(F.count(F.lit(1)).alias("n_occurrences"))
-            .filter(F.col("n_occurrences") >= min_count))
+            .agg(F.count_distinct(F.col(id_col)).alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_occurrences"))
+            .filter(F.col("n_docs") >= min_count))
 
 
 def inverted_index(df: DataFrame, max_postings: int = 100,
@@ -195,23 +201,51 @@ def inverted_index(df: DataFrame, max_postings: int = 100,
     ``postings`` is the sorted array of up to ``max_postings`` doc ids
     containing the term (distinct per doc).
 
-    ``max_postings`` caps hot terms (stopwords) — the exact skew control a
-    posting-list build needs at scale: the cap is applied with a window
-    rank INSIDE each term group before ``collect_list``, so no unbounded
-    array ever materializes.  df (document frequency) still counts ALL
-    docs, so the cap loses no ranking signal."""
+    ``max_postings`` caps hot terms (stopwords) with a partial top-N
+    merge — the skew control a posting-list build needs at scale: each
+    Arrow chunk first reduces to its own ``max_postings`` smallest doc ids
+    per term (map-side, no shuffle, bounded memory), and the single
+    shuffled aggregation then merges those bounded partials
+    (``flatten`` + ``sort_array`` + ``slice``).  A stopword appearing in
+    every document therefore never lands its full posting set in one
+    task's sort — the per-term final merge sees at most ``max_postings ×
+    chunks`` rows, not ``df`` rows (the previous ``row_number`` window
+    formulation sorted all ``df`` rows in one task before the rank
+    filter).  The per-chunk partial also carries its row count, so df
+    (document frequency) still counts ALL docs exactly and the cap loses
+    no ranking signal."""
     toks = _tok_array(text_col, lower)
     posting = (df.select(F.col(id_col), F.explode(F.array_distinct(toks))
                          .alias("term"))
                .filter(F.length("term") > 0))
-    w = Window.partitionBy("term").orderBy(F.col(id_col))
-    ranked = (posting.withColumn("__rn", F.row_number().over(w))
-              .withColumn("__df", F.count(F.lit(1)).over(
-                  Window.partitionBy("term"))))
-    return (ranked.filter(F.col("__rn") <= max_postings)
-            .groupBy("term")
-            .agg(F.first("__df").alias("df"),
-                 F.sort_array(F.collect_list(id_col)).alias("postings")))
+    id_type = posting.schema[id_col].dataType.simpleString()
+    n = int(max_postings)
+
+    def _partial_topn(pdfs):
+        # Per Arrow chunk (~10k rows, so bounded memory): the N smallest
+        # ids per term, with the chunk's exact per-term row count carried
+        # on the term's first surviving row (0 elsewhere).  Any chunking
+        # is correct: each of the global N smallest ids survives its own
+        # chunk's cut, and df is the sum of the carried counts.  Pandas
+        # string sort matches Spark's UTF8 binary order on the ids' ASCII
+        # domain; the final sort_array re-ranks in Spark semantics anyway.
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            top = (pdf.sort_values(["term", id_col])
+                   .groupby("term", sort=False).head(n))
+            counts = pdf.groupby("term", sort=False)[id_col].size()
+            top = top.assign(
+                __cnt=top["term"].map(counts)
+                .where(~top["term"].duplicated(), 0))
+            yield top[["term", "__cnt", id_col]]
+
+    partial = posting.mapInPandas(
+        _partial_topn, schema=f"term string, __cnt long, {id_col} {id_type}")
+    return (partial.groupBy("term")
+            .agg(F.sum("__cnt").alias("df"),
+                 F.slice(F.sort_array(F.collect_list(id_col)),
+                         1, n).alias("postings")))
 
 
 def bm25_scores(df: DataFrame, query_terms: list[str],

@@ -120,20 +120,30 @@ def range_join(left: DataFrame, right: DataFrame, on: str,
         raise ValueError("range_join supports inner joins")
     span = max(upper_seconds - lower_seconds, 1e-9)
 
-    lus = F.col(left_ts).cast("double")
-    rus = F.col(right_ts).cast("double")
     # right row -> its single bucket; left row -> every bucket its window
     # [ts+lower, ts+upper] overlaps (window span == bucket width, so at
     # most 2 buckets; sequence() handles boundary-exact cases).
-    r = right.withColumn("__bucket", F.floor(rus / span))
+    r = right.withColumn(
+        "__bucket", F.floor(F.col(right_ts).cast("double") / span))
+    lus = F.col(left_ts).cast("double")
     lo_b = F.floor((lus + float(lower_seconds)) / span)
     hi_b = F.floor((lus + float(upper_seconds)) / span)
     l = left.withColumn("__bucket", F.explode(F.sequence(lo_b, hi_b)))
 
-    cond = ((l[on] == r[on]) & (l["__bucket"] == r["__bucket"]) &
-            (rus - lus >= float(lower_seconds)) &
-            (rus - lus <= float(upper_seconds)))
-    joined = l.alias("l").join(r.alias("r"), on=cond, how="inner")
+    # Alias FIRST, then build the condition from qualified refs: with
+    # same-lineage inputs (e.g. two filters of one table) an unqualified
+    # l[on] == r[on] degenerates to a trivially-true self-comparison that
+    # Spark only rescues via dataset-id disambiguation, and a left/right
+    # timestamp name collision would silently bind both sides to one frame.
+    l = l.alias("l")
+    r = r.alias("r")
+    qlus = F.col(f"l.{left_ts}").cast("double")
+    qrus = F.col(f"r.{right_ts}").cast("double")
+    cond = ((F.col(f"l.{on}") == F.col(f"r.{on}")) &
+            (F.col("l.__bucket") == F.col("r.__bucket")) &
+            (qrus - qlus >= float(lower_seconds)) &
+            (qrus - qlus <= float(upper_seconds)))
+    joined = l.join(r, on=cond, how="inner")
     return joined.select(*[F.col(f"l.{c}") for c in left.columns],
                          *[F.col(f"r.{c}") for c in right.columns
                            if c != on])

@@ -178,10 +178,25 @@ class TestDedupKeepBest:
 def test_ngram_counts_prunes_min_count(spark):
     from cascading_flink_spark.extensions import ngram_counts
     df = spark.createDataFrame(
-        [("a b c",), ("a b d",), ("x y",)], "text string")
-    rows = {r["gram"]: r["n_occurrences"]
+        [(1, "a b c"), (2, "a b d"), (3, "x y")],
+        "doc_id long, text string")
+    rows = {r["gram"]: (r["n_docs"], r["n_occurrences"])
             for r in ngram_counts(df, n=2, min_count=2).collect()}
-    assert rows == {"a b": 2}  # singletons pruned
+    assert rows == {"a b": (2, 2)}  # singletons pruned
+
+
+def test_ngram_counts_thresholds_on_distinct_docs(spark):
+    """A gram repeated min_count times inside ONE document must not
+    survive — the threshold is document frequency, not occurrences
+    (the contamination-probe contract)."""
+    from cascading_flink_spark.extensions import ngram_counts
+    df = spark.createDataFrame(
+        [(1, "p q p q p q"), (2, "r s"), (3, "r s")],
+        "doc_id long, text string")
+    rows = {r["gram"]: (r["n_docs"], r["n_occurrences"])
+            for r in ngram_counts(df, n=2, min_count=2).collect()}
+    # "p q" occurs 3x but only in doc 1 -> pruned; "q p" 2x one doc -> pruned
+    assert rows == {"r s": (2, 2)}
 
 
 def test_inverted_index_caps_postings_keeps_full_df(spark):
@@ -194,6 +209,28 @@ def test_inverted_index_caps_postings_keeps_full_df(spark):
     assert rows["common"]["df"] == 10          # df counts ALL docs
     assert len(rows["common"]["postings"]) == 3  # postings capped
     assert rows["common"]["postings"] == [0, 1, 2]  # lowest ids, sorted
+
+
+def test_inverted_index_hot_term_no_window_sort(spark):
+    """One stopword in >50% of a 40k-doc corpus: the partial top-N merge
+    must (a) stay exact — global N smallest ids, exact df — across many
+    partitions/Arrow chunks, and (b) compile to a plan with NO window
+    over the term groups (the skew hazard the r5 formulation had: a hot
+    term's full posting set sorting in one task)."""
+    from cascading_flink_spark.extensions import inverted_index
+    docs = spark.range(40_000).selectExpr(
+        "id AS doc_id",
+        "concat('hot w', CAST(id % 7919 AS STRING),"
+        " IF(id % 2 = 0, ' even', '')) AS text").repartition(16)
+    idx = inverted_index(docs, max_postings=5)
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    rows = {r["term"]: r for r in idx.collect()}
+    assert rows["hot"]["df"] == 40_000
+    assert rows["hot"]["postings"] == [0, 1, 2, 3, 4]
+    assert rows["even"]["df"] == 20_000
+    assert rows["even"]["postings"] == [0, 2, 4, 6, 8]
+    assert rows["w123"]["df"] == 40_000 // 7919 + (1 if 123 < 40_000 % 7919 else 0)
 
 
 def test_group_centroids_mean_per_dim(spark):

@@ -132,6 +132,34 @@ def test_range_join_matches_brute_force(spark, sf_dir):
         sorted((r.click_id, r.purchase_id) for r in brute.collect())
 
 
+def test_range_join_same_lineage_shared_ts_name(spark, sf_dir):
+    """Both sides split from ONE events scan AND the two timestamp columns
+    share a name: the classic self-join ambiguity.  The qualified
+    alias-first condition must neither degenerate to a trivially-true
+    equals nor bind both timestamp refs to one side (regression for the
+    pre-alias l[on] == r[on] construction)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select(F.col("event_id").alias("click_id"), "user_id", "ts_us")
+    buys = ev.filter(F.col("event_type") == "purchase") \
+        .select(F.col("event_id").alias("purchase_id"), "user_id", "ts_us")
+    got = range_join(clicks, buys, on="user_id", left_ts="ts_us",
+                     right_ts="ts_us", lower_seconds=0,
+                     upper_seconds=3600_000_000)
+    brute = clicks.join(
+        buys.withColumnRenamed("user_id", "u2")
+            .withColumnRenamed("ts_us", "p_ts_us"),
+        (F.col("user_id") == F.col("u2")) &
+        (F.col("p_ts_us") - F.col("ts_us") >= 0) &
+        (F.col("p_ts_us") - F.col("ts_us") <= 3600_000_000))
+    assert sorted((r.click_id, r.purchase_id)
+                  for r in got.select("click_id", "purchase_id").collect()) \
+        == sorted((r.click_id, r.purchase_id) for r in brute.collect())
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
 def test_range_join_plan_no_nested_loop(spark, trades, quotes):
     out = range_join(trades, quotes, on="sym", left_ts="tts",
                      right_ts="qts", lower_seconds=0.0, upper_seconds=5.0)

@@ -62,8 +62,15 @@ def dtype_mismatches(spark_dtypes, oracle_df) -> list[str]:
         if k is None:
             continue
         if sdt in _INT_SPARK and k == "f":
-            out.append(f"dtype skew {col}: spark {sdt} vs oracle float64 "
-                       "(cast the oracle aggregate AS BIGINT)")
+            # pandas fetchdf() coerces a NULL-padded integer column (e.g.
+            # unmatched outer-join rows) to float64 even when the engine
+            # type is BIGINT — that is fetch-layer noise, not a dtype skew
+            # (the driver hashes NULL, not "nan"), so only flag when the
+            # column has no NULLs and the float64 is a genuine HUGEINT/
+            # double disagreement.
+            if not oracle_df[col].isna().any():
+                out.append(f"dtype skew {col}: spark {sdt} vs oracle "
+                           "float64 (cast the oracle aggregate AS BIGINT)")
         elif sdt in _FLOAT_SPARK and k in "iu":
             out.append(f"dtype skew {col}: spark {sdt} vs oracle int "
                        "(cast one side)")
