@@ -1136,6 +1136,67 @@ def q_tpch_q13(spark, sf_dir):
     return _flow(spark, e2, customer=cust, orders=orders)
 
 
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting) through the pipe DSL
+    — the exists / not-exists chain over lineitem self-joins the other
+    TPC-H queries don't exercise (reference CoGroup self-join surface:
+    planner/FlinkFlowStep.java:1191-1236).  The synthetic lineitem has no
+    l_receiptdate/l_commitdate, so "late" is l_shipdate > 1997-09-01;
+    the query shape is exact Q21: late lines of finalized orders, EXISTS
+    another supplier on the order (SemiJoin against the >= 2-distinct-
+    supplier orders), NOT EXISTS another LATE supplier (AntiJoin against
+    the >= 2-distinct-late-supplier orders), one nation via broadcast
+    HashJoin, count per supplier, top-100.  Scale shape: both exists
+    branches are partial-agg count-distincts keyed on the uniform
+    orderkey, the semi/anti probes compile to LeftSemi/LeftAnti on a
+    HAVING-shrunk key set, and nation is a broadcast."""
+    from cascading_flink_spark.operations import CountDistinct
+    from cascading_flink_spark.pipes import Rename, Retain
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+
+    # l1: late lineitems (ExpressionFilter REMOVES matching rows)
+    l1 = Each(Pipe("lineitem"), Fields("l_shipdate"),
+              ExpressionFilter("l_shipdate <= timestamp '1997-09-01'"))
+    # EXISTS l2: orders with >= 2 distinct suppliers (any lineitem)
+    gm = GroupBy(Pipe("lineitem"), Fields("l_orderkey"))
+    em = Every(gm, Fields("l_suppkey"), CountDistinct("nsup"), Fields.ALL)
+    multi = Each(em, Fields("nsup"), ExpressionFilter("nsup < 2"))
+    multi = Rename(multi, Fields("l_orderkey"), Fields("mk"))
+    # NOT EXISTS l3: orders with >= 2 distinct LATE suppliers
+    glm = GroupBy(l1, Fields("l_orderkey"))
+    elm = Every(glm, Fields("l_suppkey"), CountDistinct("nlate"), Fields.ALL)
+    latemulti = Each(elm, Fields("nlate"), ExpressionFilter("nlate < 2"))
+    latemulti = Rename(latemulti, Fields("l_orderkey"), Fields("lmk"))
+
+    s1 = CoGroup([l1, multi], [Fields("l_orderkey"), Fields("mk")],
+                 joiner=SemiJoin())
+    s2 = CoGroup([s1, latemulti], [Fields("l_orderkey"), Fields("lmk")],
+                 joiner=AntiJoin())
+    of = Each(Pipe("orders"), Fields("o_orderstatus"),
+              ExpressionFilter("o_orderstatus <> 'F'"))
+    j1 = CoGroup([s2, of], [Fields("l_orderkey"), Fields("o_orderkey")])
+    j2 = CoGroup([j1, Pipe("supplier")],
+                 [Fields("l_suppkey"), Fields("s_suppkey")])
+    nf = Each(Pipe("nation"), Fields("n_name"),
+              ExpressionFilter("n_name <> 'NATION_6'"))
+    j3 = HashJoin([j2, nf], [Fields("s_nationkey"), Fields("n_nationkey")])
+    g = GroupBy(j3, Fields("s_name"))
+    e = Every(g, Fields.NONE, Count("numwait"), Fields.ALL)
+    neg = Each(e, Fields("numwait"),
+               ExpressionFunction(Fields("neg_wait"), "-numwait"),
+               Fields.ALL)
+    top = GroupBy(neg, Fields.NONE,
+                  sort_fields=Fields("neg_wait", "s_name"))
+    lim = Each(top, Fields.ALL, Limit(100))
+    out = Retain(lim, Fields("s_name", "numwait"))
+    return _flow(spark, out, lineitem=li, orders=orders,
+                 supplier=supplier, nation=nation)
+
+
 _BM25_TERMS = ["the", "data", "model", "system"]
 
 
@@ -1300,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- red through r04; oracle CAST fix this round needs the row ---
         "token_stats_by_lang": q_token_stats_by_lang,
         # --- new this round ---
+        "tpch_q21": q_tpch_q21,
         "tpch_q1": q_tpch_q1,
         "tpch_q18": q_tpch_q18,
         "tpch_q14": q_tpch_q14,
@@ -2365,6 +2427,27 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY c_custkey)
             SELECT c_count, count(*) AS custdist
             FROM cc GROUP BY c_count
+        """,
+        "tpch_q21": """
+            WITH l1 AS (
+                SELECT * FROM lineitem
+                WHERE l_shipdate > TIMESTAMP '1997-09-01'),
+            multi AS (
+                SELECT l_orderkey FROM lineitem
+                GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) >= 2),
+            latemulti AS (
+                SELECT l_orderkey FROM l1
+                GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) >= 2)
+            SELECT s_name, count(*)::BIGINT AS numwait
+            FROM l1
+            JOIN orders ON o_orderkey = l_orderkey AND o_orderstatus = 'F'
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_6'
+            WHERE l_orderkey IN (SELECT l_orderkey FROM multi)
+              AND l_orderkey NOT IN (SELECT l_orderkey FROM latemulti)
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 100
         """,
         "bm25": """
             WITH base AS (

@@ -26,28 +26,80 @@ def _md5_order(id_col: str, seed: str) -> "F.Column":
     return F.md5(F.concat(F.lit(seed + "#"), F.col(id_col).cast("string")))
 
 
+def _md5_frac(id_col: str, seed: str) -> "F.Column":
+    """The md5 order key as a uniform fraction in [0, 1): the first 60
+    bits of the digest scaled down.  Rows sorted by :func:`_md5_order`
+    are sorted by this fraction (same leading bits), so a ``frac <= t``
+    filter keeps an exact PREFIX of the md5 order."""
+    return (F.conv(F.substring(_md5_order(id_col, seed), 1, 15), 16, 10)
+            .cast("double") / float(16 ** 15))
+
+
 def domain_quota(df: DataFrame, domain_col: str, max_docs: int,
-                 id_col: str = "doc_id", seed: str = "quota") -> DataFrame:
+                 id_col: str = "doc_id", seed: str = "quota",
+                 strategy: str = "window",
+                 oversample: float = 2.0) -> DataFrame:
     """Keep at most ``max_docs`` rows per domain, chosen by deterministic
     md5 order (an unbiased per-domain sample, not "first files scanned").
 
-    One shuffle on the domain key.  A mega-domain ranks its rows in one
-    task's sort; at 100 TB pre-filter such domains with a cheap
-    count-aggregate + per-domain md5-threshold pass (two scans, no big
-    sort) — the window form here is the exact semantics and the right
-    default for the heavy tail of normal domains."""
-    w = Window.partitionBy(domain_col).orderBy(_md5_order(id_col, seed),
-                                               F.col(id_col))
-    return (df.withColumn("__rn", F.row_number().over(w))
+    ``strategy="window"`` (default): one shuffle on the domain key, one
+    per-domain rank — right for the heavy tail of normal domains, but a
+    mega-domain ranks all its rows in one task's sort.
+
+    ``strategy="twoscan"``: the mega-key-safe path with IDENTICAL output.
+    Scan 1 counts rows per domain (partial agg).  Domains within quota
+    keep every row with no sort at all; over-quota domains pre-filter to
+    the rows whose md5 fraction falls below ``oversample * max_docs /
+    count`` — an exact prefix of the md5 order, ~``oversample * max_docs``
+    rows — and only that bounded set is ranked.  A domain whose prefix
+    undershoots ``max_docs`` survivors (Chernoff-rare at any real
+    ``max_docs``) is rescued through the full window path, so the result
+    is exact, not approximate."""
+    order = [_md5_order(id_col, seed), F.col(id_col)]
+    if strategy == "window":
+        w = Window.partitionBy(domain_col).orderBy(*order)
+        return (df.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") <= max_docs)
+                  .drop("__rn"))
+    if strategy != "twoscan":
+        raise ValueError("strategy must be 'window' or 'twoscan'")
+
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    d = df.join(counts, domain_col)
+    cold = d.filter(F.col("__n") <= max_docs).drop("__n")
+    hot = d.filter(F.col("__n") > max_docs)
+    thresh = F.least(F.lit(1.0),
+                     F.lit(float(oversample) * max_docs) / F.col("__n"))
+    surv = hot.filter(_md5_frac(id_col, seed) <= thresh)
+    w = Window.partitionBy(domain_col).orderBy(*order)
+    ranked = surv.withColumn("__rn", F.row_number().over(w))
+    # Exactness guard: every hot domain needs >= max_docs prefix survivors
+    # (the prefix property makes its smallest max_docs = the domain's
+    # smallest max_docs).  Undershooting domains (astronomically rare)
+    # re-rank their FULL row set instead.  Derived as hot-domains MINUS
+    # covered-domains so a domain whose prefix caught zero rows (absent
+    # from `ranked` entirely) is still rescued.
+    covered = (ranked.groupBy(domain_col).agg(F.max("__rn").alias("__m"))
+               .filter(F.col("__m") >= max_docs).select(domain_col))
+    short = (hot.select(domain_col).distinct()
+             .join(covered, domain_col, "left_anti"))
+    picked = (ranked.filter(F.col("__rn") <= max_docs)
+              .join(F.broadcast(short), domain_col, "left_anti")
+              .drop("__rn", "__n"))
+    rescue = (hot.join(F.broadcast(short), domain_col, "left_semi")
+              .withColumn("__rn", F.row_number().over(w))
               .filter(F.col("__rn") <= max_docs)
-              .drop("__rn"))
+              .drop("__rn", "__n"))
+    return cold.unionByName(picked).unionByName(rescue).select(*df.columns)
 
 
 def token_budget_mixture(df: DataFrame, budgets: dict[str, int],
                          lang_col: str = "lang",
                          token_col: str = "n_tokens",
                          id_col: str = "doc_id",
-                         seed: str = "mixture") -> DataFrame:
+                         seed: str = "mixture",
+                         strategy: str = "window",
+                         oversample: float = 2.0) -> DataFrame:
     """Sample to a per-language TOKEN budget: walk each language's docs in
     deterministic md5 order and keep them while the running token total
     (including the current doc) stays within that language's budget.
@@ -55,20 +107,67 @@ def token_budget_mixture(df: DataFrame, budgets: dict[str, int],
     This is how a target mixture ("200 B tokens English, 50 B code, ...")
     is actually cut from a corpus: quota by tokens, not documents, so long
     docs don't let a language overshoot.  Languages absent from
-    ``budgets`` are dropped.  One shuffle on the language key; the
-    cumulative window is the standard prefix-sum shape (for a hot language
-    at extreme scale, pre-slice by md5 range exactly as in
-    :func:`domain_quota`)."""
+    ``budgets`` are dropped.
+
+    ``strategy="window"`` (default): one shuffle on the language key; the
+    cumulative window is the standard prefix-sum shape — a hot language
+    sorts in one task.  ``strategy="twoscan"``: the mega-key-safe path
+    with IDENTICAL output.  Scan 1 totals tokens per language; a language
+    whose corpus fits its budget keeps every row with no sort, an
+    over-budget language pre-filters to the md5-order PREFIX whose
+    fraction is below ``oversample * budget / total_tokens`` (expected
+    token mass ``oversample * budget``) and prefix-sums only that bounded
+    set.  Exactness: the admitted set is a prefix of the md5 order, and
+    any prefix carrying strictly more than ``budget`` tokens contains the
+    whole admitted set (token counts are non-negative); a language whose
+    surviving prefix carries <= budget tokens (Chernoff-rare) is rescued
+    through the full window path."""
     mapping = F.create_map(
         *[x for k, v in budgets.items() for x in (F.lit(k), F.lit(int(v)))])
-    w = (Window.partitionBy(lang_col)
-         .orderBy(_md5_order(id_col, seed), F.col(id_col))
+    order = [_md5_order(id_col, seed), F.col(id_col)]
+    w = (Window.partitionBy(lang_col).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, 0))
-    return (df.withColumn("__budget", mapping[F.col(lang_col)])
-              .filter(F.col("__budget").isNotNull())
-              .withColumn("__cum", F.sum(F.col(token_col).cast("long")).over(w))
+    tok = F.col(token_col).cast("long")
+    if strategy == "window":
+        return (df.withColumn("__budget", mapping[F.col(lang_col)])
+                  .filter(F.col("__budget").isNotNull())
+                  .withColumn("__cum", F.sum(tok).over(w))
+                  .filter(F.col("__cum") <= F.col("__budget"))
+                  .drop("__budget", "__cum"))
+    if strategy != "twoscan":
+        raise ValueError("strategy must be 'window' or 'twoscan'")
+
+    base = (df.withColumn("__budget", mapping[F.col(lang_col)])
+              .filter(F.col("__budget").isNotNull()))
+    totals = base.groupBy(lang_col).agg(F.sum(tok).alias("__tot"))
+    d = base.join(totals, lang_col)
+    cold = d.filter(F.col("__tot") <= F.col("__budget")) \
+            .drop("__budget", "__tot")
+    hot = d.filter(F.col("__tot") > F.col("__budget"))
+    thresh = F.least(
+        F.lit(1.0),
+        F.lit(float(oversample)) * F.col("__budget") / F.col("__tot"))
+    surv = hot.filter(_md5_frac(id_col, seed) <= thresh)
+    cummed = surv.withColumn("__cum", F.sum(tok).over(w))
+    # Exactness guard: the surviving prefix must carry MORE than budget
+    # tokens (strictly — trailing zero-token rows of an exactly-full
+    # prefix would belong to the admitted set but sit past the cut).
+    # Derived as hot-languages MINUS covered-languages so a language
+    # whose prefix caught zero rows is still rescued.
+    covered = (cummed.groupBy(lang_col)
+               .agg(F.max("__cum").alias("__m"),
+                    F.max("__budget").alias("__b"))
+               .filter(F.col("__m") > F.col("__b")).select(lang_col))
+    short = (hot.select(lang_col).distinct()
+             .join(covered, lang_col, "left_anti"))
+    picked = (cummed.filter(F.col("__cum") <= F.col("__budget"))
+              .join(F.broadcast(short), lang_col, "left_anti")
+              .drop("__budget", "__tot", "__cum"))
+    rescue = (hot.join(F.broadcast(short), lang_col, "left_semi")
+              .withColumn("__cum", F.sum(tok).over(w))
               .filter(F.col("__cum") <= F.col("__budget"))
-              .drop("__budget", "__cum"))
+              .drop("__budget", "__tot", "__cum"))
+    return cold.unionByName(picked).unionByName(rescue).select(*df.columns)
 
 
 def shuffle_shard(df: DataFrame, num_shards: int,

@@ -54,6 +54,85 @@ def test_token_budget_drops_unlisted_languages(spark, docs):
     assert out.filter("lang = 'en'").count() == 0
 
 
+def test_domain_quota_twoscan_equals_window(spark, docs):
+    a = {r.doc_id for r in domain_quota(docs, "source", 5).collect()}
+    b = {r.doc_id for r in
+         domain_quota(docs, "source", 5, strategy="twoscan").collect()}
+    assert a == b
+    out = domain_quota(docs, "source", 5, strategy="twoscan")
+    assert out.columns == docs.columns
+
+
+def test_token_budget_twoscan_equals_window(spark, docs):
+    budgets = {"en": 300, "de": 10_000_000}
+    a = {r.doc_id for r in token_budget_mixture(docs, budgets).collect()}
+    b = {r.doc_id for r in
+         token_budget_mixture(docs, budgets, strategy="twoscan").collect()}
+    assert a == b
+
+
+def test_mixture_strategy_validates(spark, docs):
+    with pytest.raises(ValueError):
+        domain_quota(docs, "source", 5, strategy="nope")
+    with pytest.raises(ValueError):
+        token_budget_mixture(docs, {"en": 1}, strategy="nope")
+
+
+def test_domain_quota_twoscan_mega_domain_bounded_sort(spark):
+    """One domain with 200k rows, max_docs=100: the twoscan path must (a)
+    equal the window path exactly, and (b) rank only the md5-threshold
+    prefix — ~oversample*max_docs rows, not 200k — so a mega-domain never
+    single-task sorts.  (b) is checked by replicating the public
+    threshold formula: the surviving prefix is tiny, and those survivors
+    are the only rows the twoscan window ever sees."""
+    from cascading_flink_spark.extensions.mixture import _md5_frac
+    mega = spark.range(200_000).selectExpr(
+        "id AS doc_id", "'hot' AS source", "5 AS n_tokens")
+    small = spark.range(200_000, 200_050).selectExpr(
+        "id AS doc_id", "'cold' AS source", "5 AS n_tokens")
+    df = mega.unionByName(small)
+    a = {r.doc_id for r in domain_quota(df, "source", 100).collect()}
+    b = {r.doc_id for r in
+         domain_quota(df, "source", 100, strategy="twoscan").collect()}
+    assert a == b
+    assert len(b & set(range(200_000))) == 100      # mega capped
+    assert len(b & set(range(200_000, 200_050))) == 50  # cold kept whole
+    # the sort input: rows under the md5 threshold 2*100/200000 = 1e-3
+    survivors = mega.filter(_md5_frac("doc_id", "quota") <= 2.0 * 100 / 200_000)
+    n_surv = survivors.count()
+    assert 100 <= n_surv < 2_000  # ~200 expected; never the full 200k
+
+
+def test_token_budget_twoscan_mega_language(spark):
+    mega = spark.range(100_000).selectExpr(
+        "id AS doc_id", "'en' AS lang", "CAST(2 + id % 5 AS LONG) AS n_tokens")
+    budgets = {"en": 1000}
+    a = {r.doc_id for r in token_budget_mixture(mega, budgets).collect()}
+    b = {r.doc_id for r in
+         token_budget_mixture(mega, budgets, strategy="twoscan").collect()}
+    assert a == b and 0 < len(a) < 100_000
+
+
+def test_twoscan_rescue_path_exact(spark):
+    """Force the undershoot rescue with a sub-1 oversample: the prefix
+    catches (far) fewer than max_docs survivors, so the guard must route
+    the domain through the full window path and still return the exact
+    window-path answer."""
+    df = spark.range(10_000).selectExpr(
+        "id AS doc_id", "'hot' AS source", "'en' AS lang",
+        "5 AS n_tokens")
+    a = {r.doc_id for r in domain_quota(df, "source", 5_000).collect()}
+    b = {r.doc_id for r in
+         domain_quota(df, "source", 5_000, strategy="twoscan",
+                      oversample=0.01).collect()}
+    assert a == b
+    c = {r.doc_id for r in token_budget_mixture(df, {"en": 25_000}).collect()}
+    d = {r.doc_id for r in
+         token_budget_mixture(df, {"en": 25_000}, strategy="twoscan",
+                              oversample=0.01).collect()}
+    assert c == d
+
+
 def test_shuffle_shard_partitions_everything_once(spark, docs):
     out = shuffle_shard(docs, num_shards=8)
     assert out.count() == 200

@@ -42,6 +42,12 @@ def test_domain_quota_equals_python_model(spark, docs, cap):
                          key=lambda r: (_md5("quota", r[0]), r[0]))
         expect |= {r[0] for r in members[:cap]}
     assert got == expect
+    # the mega-key-safe path must be output-identical (oversample=0.5
+    # exercises the rescue branch on these tiny domains)
+    two = {r.doc_id for r in
+           domain_quota(df, "source", cap, strategy="twoscan",
+                        oversample=0.5).collect()}
+    assert two == expect
 
 
 @settings(max_examples=6, deadline=None)
@@ -61,3 +67,8 @@ def test_token_budget_equals_python_model(spark, docs, budget):
                 break
             expect.add(r[0])
     assert got == expect
+    two = {r.doc_id for r in
+           token_budget_mixture(df, {"a": budget, "b": 10_000},
+                                strategy="twoscan",
+                                oversample=0.5).collect()}
+    assert two == expect

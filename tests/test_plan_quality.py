@@ -148,6 +148,28 @@ def test_round5_plan_property(spark, sf_dir, query, pattern, why):
     assert re.search(pattern, plan), f"{query}: {why}\n--- plan ---\n{plan[:4000]}"
 
 
+@pytest.mark.parametrize("query,pattern,why", [
+    ("tpch_q21", r"LeftSemi",
+     "the EXISTS branch must compile to a semi join, not an inner+dedup"),
+    ("tpch_q21", r"LeftAnti",
+     "the NOT EXISTS branch must compile to an anti join"),
+    ("tpch_q21", r"BroadcastHashJoin",
+     "the nation dim in Q21 must broadcast"),
+    ("tpch_q21", r"TakeOrderedAndProject",
+     "Q21's global top-100 must not materialize a full sort"),
+    ("tpch_q21", r"PushedFilters: \[.*o_orderstatus",
+     "the order-status filter must push into the orders scan"),
+])
+def test_round6_plan_property(spark, sf_dir, query, pattern, why):
+    plan = plan_of(spark, query, sf_dir)
+    assert re.search(pattern, plan), f"{query}: {why}\n--- plan ---\n{plan[:4000]}"
+
+
+def test_tpch_q21_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, "tpch_q21", sf_dir)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
 def test_tpch_q18_no_sort_merge_join(spark, sf_dir):
     """All three Q18 joins ride the broadcast of the tiny HAVING output —
     a SortMergeJoin here would shuffle orders+customer at 100 TB."""
