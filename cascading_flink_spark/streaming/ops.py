@@ -178,10 +178,13 @@ def stream_chunk_packer(df: DataFrame, context_len: int,
 
         import pandas as pd
         total = state.get[0] if state.exists else 0
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.copy()
+        # concatenate the Arrow chunk iterator BEFORE sorting: a micro-
+        # batch larger than arrow.maxRecordsPerBatch arrives as several
+        # chunks, and per-chunk sorting would silently turn the documented
+        # md5 order into chunk-order greedy
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
             pdf["__h"] = pdf["doc_id"].map(
                 lambda s: hashlib.md5(str(s).encode()).hexdigest())
             pdf = pdf.sort_values(["__h", "doc_id"])
@@ -245,10 +248,13 @@ def stream_token_quota(df: DataFrame, budgets: dict[str, int],
         if budget is None:
             return iter(())
         total = state.get[0] if state.exists else 0
-        for pdf in pdfs:
-            if not len(pdf) or total >= budget:
-                continue
-            pdf = pdf.copy()
+        # concat the Arrow chunk iterator BEFORE sorting (see
+        # stream_chunk_packer): per-chunk sorting would break the
+        # documented whole-micro-batch md5 admission order for any
+        # micro-batch above arrow.maxRecordsPerBatch
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks and total < budget:
+            pdf = pd.concat(chunks, ignore_index=True)
             # same seeded order key as mixture.token_budget_mixture, so a
             # single-batch stream admits exactly the batch operator's set
             pdf["__h"] = pdf["doc_id"].map(

@@ -354,3 +354,121 @@ def test_stream_token_quota_state_blocks_across_batches(spark, tmp_path):
     rows = spark.read.parquet(out_dir).collect()
     assert {r["doc_id"] for r in rows} == {"a"}
     assert rows[0]["running_total"] == 3
+
+
+# ---------------------------------------------------------------- round 6:
+# multi-batch golden fixtures with mid-sequence checkpoint restarts — the
+# cross-batch semantics the single-batch parity tests can't see.  All
+# expected values are pinned literals (md5 orders precomputed by hand).
+
+def _run_available_now(spark, schema, src_glob, ckpt, out_dir, build):
+    stream = spark.readStream.schema(schema).parquet(src_glob)
+    q = (build(stream).writeStream.format("parquet")
+         .option("checkpointLocation", ckpt)
+         .option("path", out_dir)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+
+def test_stream_chunk_packer_three_batch_golden(spark, tmp_path):
+    """3 file-stream batches, restart between each: every document's
+    (start_offset, first_chunk, last_chunk) must land exactly where the
+    continuous packing sequence puts it, with the within-batch md5 order
+    (a2 < a1 < a3; b1 < b2) and the state-carried running offset both
+    pinned as literals."""
+    from cascading_flink_spark.streaming import stream_chunk_packer
+
+    src = tmp_path / "pack3_in"
+    src.mkdir()
+    batches = [
+        [("a1", "t t", "k"), ("a2", "t t t", "k"), ("a3", "t", "k")],
+        [("b1", "t t t", "k"), ("b2", "t t t t t", "k")],
+        [("c1", "t t", "k")],
+    ]
+    sch = "doc_id string, text string, shard string"
+    spark.createDataFrame(batches[0], sch).coalesce(1) \
+        .write.parquet(str(src / "f0"))
+    schema = spark.read.parquet(str(src / "f0")).schema
+    ckpt, out_dir = str(tmp_path / "pack3_ck"), str(tmp_path / "pack3_out")
+
+    for i, batch in enumerate(batches):
+        if i:  # batch 0 already written; each loop turn is a restart
+            spark.createDataFrame(batch, sch).coalesce(1) \
+                .write.parquet(str(src / f"f{i}"))
+        _run_available_now(
+            spark, schema, str(src / "*"), ckpt, out_dir,
+            lambda s: stream_chunk_packer(s, context_len=4, key_col="shard"))
+
+    rows = {r["doc_id"]: (r["start_offset"], r["first_chunk"], r["last_chunk"])
+            for r in spark.read.parquet(out_dir).collect()}
+    assert rows == {
+        "a2": (0, 0, 0), "a1": (3, 0, 1), "a3": (5, 1, 1),   # batch 1
+        "b1": (6, 1, 2), "b2": (9, 2, 3),                     # batch 2
+        "c1": (14, 3, 3),                                     # batch 3
+    }
+
+
+def test_stream_token_quota_three_batch_golden(spark, tmp_path):
+    """3 batches against budget en=9 with restarts in between: batch 1
+    admits the md5-prefix d2,d4,d1 (cum 4,7,8) and blocks d3 (would be
+    10); batch 2 admits e3 (cum 9) and the overshooting e1 blocks the
+    rest of its batch (the documented mid-batch nuance); batch 3 is
+    rejected outright — the budget is exactly spent."""
+    from cascading_flink_spark.streaming import stream_token_quota
+
+    src = tmp_path / "quota3_in"
+    src.mkdir()
+    w = lambda n: " ".join(["t"] * n)
+    batches = [
+        [("d1", "en", w(1)), ("d2", "en", w(4)),
+         ("d3", "en", w(2)), ("d4", "en", w(3))],
+        [("e1", "en", w(3)), ("e2", "en", w(1)), ("e3", "en", w(1))],
+        [("f1", "en", w(1))],
+    ]
+    sch = "doc_id string, lang string, text string"
+    spark.createDataFrame(batches[0], sch).coalesce(1) \
+        .write.parquet(str(src / "f0"))
+    schema = spark.read.parquet(str(src / "f0")).schema
+    ckpt, out_dir = str(tmp_path / "quota3_ck"), str(tmp_path / "quota3_out")
+
+    for i, batch in enumerate(batches):
+        if i:
+            spark.createDataFrame(batch, sch).coalesce(1) \
+                .write.parquet(str(src / f"f{i}"))
+        _run_available_now(
+            spark, schema, str(src / "*"), ckpt, out_dir,
+            lambda s: stream_token_quota(s, {"en": 9}))
+
+    rows = {r["doc_id"]: r["running_total"]
+            for r in spark.read.parquet(out_dir).collect()}
+    assert rows == {"d2": 4, "d4": 7, "d1": 8, "e3": 9}
+
+
+def test_stream_token_quota_md5_order_across_arrow_chunks(spark, tmp_path):
+    """Admission must follow the WHOLE micro-batch's md5 order even when
+    the batch spans several Arrow chunks (regression: per-chunk sorting
+    admitted a chunk-order-greedy set).  With maxRecordsPerBatch=2 the 8
+    docs arrive as 4 chunks in file order; chunk-greedy would admit
+    {g0,g1,g3,g2}, global md5 order admits {g3,g0,g5,g4}."""
+    from cascading_flink_spark.streaming import stream_token_quota
+
+    docs = [(f"g{i}", "en", "t t") for i in range(8)]
+    src = str(tmp_path / "arrow_in")
+    spark.createDataFrame(docs, "doc_id string, lang string, text string") \
+        .coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = stream_token_quota(stream, {"en": 8})
+        q = (out.writeStream.format("memory").queryName("arrow_quota")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(60)
+        got = {r["doc_id"] for r in
+               spark.sql("SELECT * FROM arrow_quota").collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+        spark.catalog.dropTempView("arrow_quota")
+    assert got == {"g3", "g0", "g5", "g4"}
