@@ -89,6 +89,33 @@ BENCH_QUERIES = [
     "ngram_counts",
     "inverted_index",
     "group_centroids",
+    # round-6 additions — the previously-unbenched risk surface (VERDICT r5
+    # Next #3): the Python-runtime join, the n-ary outer-join family, the
+    # windowed dedup resolution, and the md5-twin ANN path.  As with r3/r5
+    # set changes: compare per-query across rounds, not totals.
+    "bufferjoin",
+    "nary_right_join",
+    "nary_mixed_join",
+    "dedup_keep_best",
+    "value_histogram",
+    "argmin_join",
+    "ann_lsh",
+    "tpch_q21",
+    # round-6 TPC-H widening: Q4/Q5/Q7/Q12/Q15/Q17/Q19/Q22 through the DSL
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q7",
+    "tpch_q12",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q22",
+    "tpch_q2",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q20",
 ]
 
 

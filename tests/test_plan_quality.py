@@ -165,6 +165,79 @@ def test_round6_plan_property(spark, sf_dir, query, pattern, why):
     assert re.search(pattern, plan), f"{query}: {why}\n--- plan ---\n{plan[:4000]}"
 
 
+@pytest.mark.parametrize("query,pattern,why", [
+    ("tpch_q4", r"LeftSemi",
+     "Q4's EXISTS must compile to a semi join"),
+    ("tpch_q4", r"PushedFilters: \[.*GreaterThanOrEqual\(o_orderdate",
+     "Q4's quarter filter must push into the orders scan"),
+    ("tpch_q4", r"PushedFilters: \[.*EqualTo\(l_returnflag,R\)",
+     "Q4's late-line filter must push into the lineitem scan"),
+    ("tpch_q5", r"EqualTo\(r_name,ASIA\)",
+     "Q5's region filter must push into the region scan"),
+    ("tpch_q5", r"BroadcastHashJoin",
+     "Q5's nation/region dims must broadcast"),
+    ("tpch_q7", r"BroadcastHashJoin",
+     "Q7's renamed nation branches must broadcast"),
+    ("tpch_q7", r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate",
+     "Q7's two-year window must push into the lineitem scan"),
+    ("tpch_q12", r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate",
+     "Q12's year filter must push into the lineitem scan"),
+    ("tpch_q15", r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate",
+     "Q15's quarter filter must push into the lineitem scan"),
+    ("tpch_q17", r"PushedFilters: \[.*EqualTo\(p_brand,Brand#1\)",
+     "Q17's brand filter must push into the part scan"),
+    ("tpch_q17", r"BroadcastHashJoin",
+     "Q17's filtered part dim must broadcast (shrinks the probe before "
+     "the per-part stats join)"),
+    ("tpch_q19", r"PushedFilters: \[.*LessThanOrEqual\(l_quantity,30.0\)",
+     "Q19's quantity envelope (union of the OR bands) must push into "
+     "the lineitem scan"),
+    ("tpch_q19", r"PushedFilters: \[.*Or\(",
+     "Q19's OR-of-ANDs must reach a scan as a pushed disjunction"),
+    ("tpch_q22", r"LeftAnti",
+     "Q22's NOT EXISTS must compile to an anti join"),
+    ("tpch_q22", r"In\(c_nationkey",
+     "Q22's country-code list must push into the customer scan"),
+])
+def test_round6_tpch_plan_property(spark, sf_dir, query, pattern, why):
+    plan = plan_of(spark, query, sf_dir)
+    assert re.search(pattern, plan), f"{query}: {why}\n--- plan ---\n{plan[:4000]}"
+
+
+@pytest.mark.parametrize("query,pattern,why", [
+    ("tpch_q2", r"EqualTo\(r_name,EUROPE\)",
+     "Q2's region filter must push into the region scan"),
+    ("tpch_q2", r"TakeOrderedAndProject",
+     "Q2's top-100 must not materialize a full sort"),
+    ("tpch_q8", r"EqualTo\(p_type,ECONOMY\)",
+     "Q8's part-type filter must push into the part scan"),
+    ("tpch_q8", r"BroadcastHashJoin",
+     "Q8's two nation roles and region must broadcast"),
+    ("tpch_q9", r"StringContains\(p_name,red\)",
+     "Q9's LIKE filter must push into the part scan as a contains"),
+    ("tpch_q11", r"EqualTo\(n_name,NATION_4\)",
+     "Q11's nation filter must push into the nation scan"),
+    ("tpch_q16", r"LeftAnti",
+     "Q16's NOT IN complaint-supplier exclusion must compile to an "
+     "anti join"),
+    ("tpch_q16", r"LessThan\(s_acctbal,0.0\)",
+     "Q16's complaint proxy filter must push into the supplier scan"),
+    ("tpch_q20", r"LeftSemi",
+     "Q20's nested-IN supplier membership must compile to a semi join"),
+    ("tpch_q20", r"StringStartsWith\(p_name,red\)",
+     "Q20's part-name prefix filter must push into the part scan"),
+])
+def test_round6b_tpch_plan_property(spark, sf_dir, query, pattern, why):
+    plan = plan_of(spark, query, sf_dir)
+    assert re.search(pattern, plan), f"{query}: {why}\n--- plan ---\n{plan[:4000]}"
+
+
+def test_tpch_q5_q7_no_cartesian(spark, sf_dir):
+    for q in ("tpch_q5", "tpch_q7"):
+        plan = plan_of(spark, q, sf_dir)
+        assert "CartesianProduct" not in plan, plan[:4000]
+
+
 def test_tpch_q21_no_cartesian(spark, sf_dir):
     plan = plan_of(spark, "tpch_q21", sf_dir)
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
