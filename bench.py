@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "tpch_q11",
     "tpch_q16",
     "tpch_q20",
+    "paragraph_dedup",
 ]
 
 

@@ -849,3 +849,75 @@ def dedup_keep_best(df: DataFrame, pairs: DataFrame,
                       F.col("cluster_id").cast("long").alias("cluster_id"),
                       (F.col("__rk") == 1).alias("kept")))
     return unpaired.unionByName(paired)
+
+
+def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    delim: str | None = r"\n{2,}",
+                    window_words: int = 0,
+                    seed: str = "pdedup",
+                    join_str: str | None = None) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup with document reassembly —
+    the CCNet/RefinedWeb curation step that removes boilerplate
+    paragraphs (headers, footers, license blocks) repeated across
+    documents while keeping each document's unique prose.
+
+    Segmentation: ``delim`` splits the text into natural paragraphs; for
+    corpora without paragraph structure set ``window_words=k`` to segment
+    into fixed k-word windows instead (``delim`` is then ignored).  Each
+    distinct segment keeps exactly ONE occurrence corpus-wide — the one
+    with the smallest md5(seed#id#segment-index) key, a deterministic,
+    engine-agnostic "first occurrence" any SQL engine reproduces — and
+    every other occurrence is dropped.  Documents are reassembled from
+    their surviving segments in original order; documents whose segments
+    are all dropped vanish from the output (fully-boilerplate docs).
+
+    Returns ``(id_col, clean_text, n_kept)``.
+
+    Scale shape (100 TB): segmentation is a native split + posexplode
+    (no Python); the keep-decision is ONE partial-agg groupBy on the
+    segment hash (min over the md5 key — hot boilerplate segments
+    combine map-side, so a segment in half the corpus is an aggregation
+    hot key, not a sort hot key) and ONE equi-join back on
+    (segment-hash, key); reassembly is a per-document collect bounded by
+    document length.  No windows, no driver pulls.
+
+    Reference has no counterpart (stops at the relational layer); the
+    op slots into the same extension family as exact_dedup above.
+    """
+    if join_str is None:
+        join_str = " " if (window_words and window_words > 0) else "\n\n"
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    if window_words and window_words > 0:
+        k = int(window_words)
+        n_segs = F.ceil(F.size(toks) / F.lit(k)).cast("int")
+        seg_arr = F.transform(
+            F.sequence(F.lit(1), n_segs),
+            lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * k + 1, k)))
+    else:
+        seg_arr = F.split(F.col(text_col), delim)
+    segs = (df.select(F.col(id_col), seg_arr.alias("__segs"))
+              .select(id_col, F.posexplode("__segs")
+                      .alias("seg_idx", "seg")))
+    keyed = segs.withColumn(
+        "__k", F.md5(F.concat_ws("#", F.lit(seed), F.col(id_col),
+                                 F.col("seg_idx"))))
+    # one partial-agg min per distinct segment; md5 the segment itself as
+    # the join key so giant paragraphs don't travel twice through the
+    # shuffle
+    keyed = keyed.withColumn("__seg_h", F.md5("seg"))
+    keep = keyed.groupBy("__seg_h").agg(F.min("__k").alias("__keep_k"))
+    # alias-first before the same-lineage join (keep derives from keyed) —
+    # pre-alias column refs here would hit Spark's trivially-true-equals
+    # self-join ambiguity (the range_join lesson, temporal.py)
+    k, p = keyed.alias("pd_k"), keep.alias("pd_p")
+    kept = (k.join(p, (F.col("pd_k.__seg_h") == F.col("pd_p.__seg_h"))
+                   & (F.col("pd_k.__k") == F.col("pd_p.__keep_k")))
+             .select(F.col("pd_k." + id_col).alias(id_col),
+                     F.col("pd_k.seg_idx").alias("seg_idx"),
+                     F.col("pd_k.seg").alias("seg")))
+    return (kept.groupBy(id_col)
+                .agg(F.concat_ws(join_str, F.array_sort(
+                         F.collect_list(F.struct("seg_idx", "seg")))
+                     .getField("seg")).alias("clean_text"),
+                     F.count(F.lit(1)).alias("n_kept")))

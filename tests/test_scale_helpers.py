@@ -128,3 +128,51 @@ def test_stratified_sample(spark):
     # unknown strata dropped
     out2 = stratified_sample(df, "s", {"zzz": 0.5}, key_cols=["id"])
     assert out2.count() == 0
+
+
+def test_paragraph_dedup_reassembly(spark):
+    from cascading_flink_spark.extensions import paragraph_dedup
+    rows = [
+        ("d1", "common header text\n\nunique alpha body\n\ncommon footer"),
+        ("d2", "common header text\n\nunique beta body\n\ncommon footer"),
+        ("d3", "common header text"),            # fully boilerplate
+        ("d4", "solo document entirely unique"),
+        ("d5", "dup dup\n\ndup dup"),            # within-doc duplicate
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+
+    # every distinct paragraph survives exactly once, corpus-wide
+    all_kept = [p for r in out.values() for p in r["clean_text"].split("\n\n")]
+    assert len(all_kept) == len(set(all_kept))
+    assert set(all_kept) == {"common header text", "unique alpha body",
+                             "unique beta body", "common footer",
+                             "solo document entirely unique", "dup dup"}
+    # reassembly preserves original order of surviving segments
+    for did, r in out.items():
+        orig = dict(rows)[did].split("\n\n")
+        kept = r["clean_text"].split("\n\n")
+        assert [p for p in orig if p in kept][:len(kept)] == kept \
+            or kept == [p for p in orig if p in kept]
+    # within-doc dup collapses; unique doc intact
+    assert out["d4"]["clean_text"] == "solo document entirely unique"
+    assert out["d5"]["clean_text"] == "dup dup" and out["d5"]["n_kept"] == 1
+    # deterministic across invocations
+    again = {r["doc_id"]: r["clean_text"]
+             for r in paragraph_dedup(df).collect()}
+    assert again == {k: v["clean_text"] for k, v in out.items()}
+
+
+def test_paragraph_dedup_window_mode(spark):
+    from cascading_flink_spark.extensions import paragraph_dedup
+    rows = [("a", "w1 w2 w3 w4"), ("b", "w1 w2 w3 w4"), ("c", "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           paragraph_dedup(df, window_words=2).collect()}
+    # the two identical docs share their 2-word windows: each window kept
+    # exactly once corpus-wide
+    kept_total = sum(r["n_kept"] for r in out.values()
+                     if r["doc_id"] in ("a", "b"))
+    assert kept_total == 2
+    # empty text yields one empty segment kept for exactly one doc
+    assert sum(1 for r in out.values() if r["clean_text"] == "") <= 1
