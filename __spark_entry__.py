@@ -41,7 +41,7 @@ from cascading_flink_spark.extensions import (
     strip_boilerplate, token_budget, winnow_pairs,
     repetition_stats, tfidf_topterms, unigram_commonness,
     dedup_keep_best, event_funnel, group_quantiles, value_histogram,
-    paragraph_dedup,
+    bigram_lm_scores, paragraph_dedup,
     domain_quota, shuffle_shard, token_budget_mixture,
     group_centroids, inverted_index, ngram_counts, bm25_scores,
 )
@@ -360,6 +360,13 @@ def q_window_agg_events(spark, sf_dir):
 
 def q_dedup_exact(spark, sf_dir):
     return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_bigram_lm(spark, sf_dir):
+    """Bigram-LM cross-entropy quality score (the CCNet perplexity
+    filter): average negative log-likelihood per document under the
+    corpus's own add-1-smoothed bigram model."""
+    return bigram_lm_scores(_t(spark, sf_dir, "documents"))
 
 
 def q_paragraph_dedup(spark, sf_dir):
@@ -1925,6 +1932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_mixture": q_token_mixture,
         "shuffle_shard": q_shuffle_shard,
         "paragraph_dedup": q_paragraph_dedup,
+        "bigram_lm": q_bigram_lm,
         # --- rewritten in r5 AFTER their last (r4) driver check ---
         "simhash": q_simhash,
         "minhash_lsh": q_minhash_lsh,
@@ -1952,9 +1960,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nary_right_join": q_nary_right_join,
         "nary_mixed_join": q_nary_mixed_join,
         "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
         # --- beyond slot 50 (not driver-checked this round): all
         # mimic-green on round-6 code, see COVERAGE.md rotation log ---
+        "anti_join": q_anti_join,
         "fingerprint": q_fingerprint,
         "ungroup": q_ungroup,
         "sample": q_sample,
@@ -2256,6 +2264,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS keep_id, count(*) AS n_dups
             FROM documents
             GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+        """,
+        "bigram_lm": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+                FROM documents),
+            idx AS (
+                SELECT doc_id, t,
+                       unnest(generate_series(1, len(t) - 1)) AS i
+                FROM toks WHERE len(t) >= 2),
+            occ AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM idx),
+            tfb AS (SELECT doc_id, w1, w2, count(*) AS tf
+                    FROM occ GROUP BY 1, 2, 3),
+            cb AS (SELECT w1, w2, count(*) AS c2 FROM occ GROUP BY 1, 2),
+            cc AS (SELECT w1, sum(c2) AS c1 FROM cb GROUP BY 1),
+            v AS (SELECT count(DISTINCT w2) AS vocab FROM occ)
+            SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+                   CAST(floor(sum(tf * (ln(c1 + vocab) - ln(c2 + 1.0)))
+                              / sum(tf) * 10000 + 0.5) AS BIGINT)
+                       AS nll_x10000
+            FROM tfb
+            JOIN cb USING (w1, w2)
+            JOIN cc USING (w1)
+            CROSS JOIN v
+            GROUP BY doc_id
         """,
         "paragraph_dedup": """
             WITH toks AS (

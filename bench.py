@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "tpch_q16",
     "tpch_q20",
     "paragraph_dedup",
+    "bigram_lm",
 ]
 
 

@@ -289,3 +289,69 @@ def bm25_scores(df: DataFrame, query_terms: list[str],
               .groupBy(id_col)
               .agg(F.floor(F.sum("__s") * 10000 + 0.5).cast("long")
                     .alias("score_x10000")))
+
+
+def bigram_lm_scores(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     k_smooth: int = 1) -> DataFrame:
+    """CCNet-style count-LM quality score: each document's average
+    negative log-likelihood (nats) under an add-k-smoothed bigram model
+    trained on the corpus itself.
+
+    ``P(w2|w1) = (c(w1,w2) + k) / (c(w1,*) + k*V)`` with ``V`` the
+    distinct-second-word vocabulary; a document's score is
+    ``sum(tf_b * (ln(c1 + k*V) - ln(c2 + k))) / n_bigrams`` — low means
+    fluent/common phrasing, high means OOV junk, the perplexity-filter
+    signal of the CCNet pipeline.  Documents with fewer than two tokens
+    have no bigrams and drop out.
+
+    Returns ``(doc_id, n_bigrams, nll_x10000)``: the exact bigram count
+    and the integer-scaled score (floor(x*10000+0.5), the repo's
+    cross-engine hashing convention for log-sum outputs, as in bm25).
+
+    Scale shape (100 TB): bigram expansion is one Arrow pass; all counts
+    are partial-agg aggregations (a stopword bigram is a map-side-combine
+    hot key, never a sort key); the count-table joins are equi-joins
+    whose build side carries ONE row per key, so a hot probe key is
+    shallow (AQE skew-split handles residue); V rides a 1-row broadcast.
+    No windows, no driver pulls, no all-pairs."""
+    from .dedup import _JAVA_WS
+
+    @F.pandas_udf("array<string>")
+    def _bigrams(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return []
+            toks = _JAVA_WS.split(t.strip(" ").lower())
+            if len(toks) < 2:
+                return []
+            return [toks[i] + " " + toks[i + 1]
+                    for i in range(len(toks) - 1)]
+        return texts.map(one)
+
+    occ = (df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+             .select(F.col(id_col),
+                     F.explode(_bigrams(F.col(text_col))).alias("gram"))
+             .withColumn("w1", F.substring_index("gram", " ", 1))
+             .withColumn("w2", F.substring_index("gram", " ", -1)))
+    tfb = occ.groupBy(id_col, "gram").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"))
+    c2 = occ.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("long").alias("c2"))
+    c1 = (c2.withColumn("w1", F.substring_index("gram", " ", 1))
+            .groupBy("w1").agg(F.sum("c2").cast("long").alias("c1")))
+    vocab = F.broadcast(occ.agg(
+        F.count_distinct("w2").cast("long").alias("vocab")))
+    k = int(k_smooth)
+    term_nll = (F.col("tf")
+                * (F.log(F.col("c1") + k * F.col("vocab"))
+                   - F.log(F.col("c2") + F.lit(float(k)))))
+    return (tfb.join(c2, "gram")
+               .withColumn("w1", F.substring_index("gram", " ", 1))
+               .join(c1, "w1")
+               .crossJoin(vocab)
+               .withColumn("__nll", term_nll)
+               .groupBy(id_col)
+               .agg(F.sum("tf").cast("long").alias("n_bigrams"),
+                    (F.floor(F.sum("__nll") / F.sum("tf") * 10000 + 0.5)
+                     .cast("long").alias("nll_x10000"))))

@@ -258,3 +258,25 @@ def test_bm25_ranks_by_relevance(spark):
     assert rows[1] > rows[2] > 0        # higher tf ranks higher
     with _pt.raises(ValueError):
         bm25_scores(df, [])
+
+
+def test_bigram_lm_scores_ranks_oov(spark):
+    from cascading_flink_spark.extensions import bigram_lm_scores
+    # "the cat sat" phrasing repeats across docs; zq doc is OOV junk
+    rows = [("a", "the cat sat on the mat"),
+            ("b", "the cat sat on the rug"),
+            ("c", "the cat sat on the mat again"),
+            ("d", "zq xv qj wk zq bn"),
+            ("e", "x")]                      # single token: no bigrams
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in bigram_lm_scores(df).collect()}
+    assert "e" not in out                    # no bigrams -> dropped
+    assert out["d"]["n_bigrams"] == 5
+    # every bigram in d is a singleton; a/b/c share most bigrams -> the
+    # OOV doc must score strictly worse (higher nll)
+    common_max = max(out[k]["nll_x10000"] for k in ("a", "b", "c"))
+    assert out["d"]["nll_x10000"] > common_max
+    # deterministic
+    again = {r["doc_id"]: r["nll_x10000"]
+             for r in bigram_lm_scores(df).collect()}
+    assert again == {k: v["nll_x10000"] for k, v in out.items()}
