@@ -1892,7 +1892,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     so the least-recently-driver-verified queries must sit at the front.
     Rotation is documented in COVERAGE.md ("Driver-slot rotation").
 
-    Round-6 front block (slots 1-50): the 8 new TPC-H queries; queries
+    Round-6 front block (slots 1-50): the 14 new TPC-H queries plus the
+    new paragraph_dedup/bigram_lm curation ops; queries
     whose CODE changed this round after their last driver check (tpch_q21,
     tpch_q1 integer-scaled output, range_join alias fix, asof_join salt,
     inverted_index partial top-N, ngram_counts doc-frequency threshold,
