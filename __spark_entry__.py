@@ -34,7 +34,7 @@ from cascading_flink_spark.extensions import (
     attach_binary_meta, brute_force_topk, chunk_corpus, decode_stub_features,
     dedup_clusters, embedding_dup_pairs, exact_dedup, fingerprint, lang_id,
     ivf_topk, ivf_topk_md5, lsh_bucketed_topk, lsh_bucketed_topk_md5,
-    pq_topk, pq_topk_md5,
+    pq_topk, pq_topk_md5, semdedup_pairs, semdedup_pairs_md5,
     minhash_lsh_pairs, minhash_lsh_pairs_md5,
     ngram_jaccard_pairs, quality_features, quality_filter, redact_pii,
     salted_agg, simhash_dup_pairs, simhash_md5_pairs, stratified_sample,
@@ -430,6 +430,15 @@ def q_ann_topk(spark, sf_dir):
 def q_embedding_dups(spark, sf_dir):
     return embedding_dup_pairs(_t(spark, sf_dir, "embeddings"),
                                threshold=0.4, exact=True)
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup semantic-dedup pairs via the md5-deterministic twin
+    (hash-sampled centroids, cosine-argmax cells, within-cell pairwise);
+    the production path (semdedup_pairs) trains Lloyd centroids on the
+    same bounded hash sample."""
+    return semdedup_pairs_md5(_t(spark, sf_dir, "embeddings"),
+                              threshold=0.3, n_clusters=16)
 
 
 def q_multimodal_meta(spark, sf_dir):
@@ -1934,6 +1943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shard": q_shuffle_shard,
         "paragraph_dedup": q_paragraph_dedup,
         "bigram_lm": q_bigram_lm,
+        "semdedup": q_semdedup,
         # --- rewritten in r5 AFTER their last (r4) driver check ---
         "simhash": q_simhash,
         "minhash_lsh": q_minhash_lsh,
@@ -1960,9 +1970,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nary_outer_join": q_nary_outer_join,
         "nary_right_join": q_nary_right_join,
         "nary_mixed_join": q_nary_mixed_join,
-        "semi_join": q_semi_join,
         # --- beyond slot 50 (not driver-checked this round): all
         # mimic-green on round-6 code, see COVERAGE.md rotation log ---
+        "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "fingerprint": q_fingerprint,
         "ungroup": q_ungroup,
@@ -2265,6 +2275,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS keep_id, count(*) AS n_dups
             FROM documents
             GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+        """,
+        "semdedup": """
+            WITH vecs AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cents AS (
+                SELECT vec_id AS cent_id, v
+                FROM vecs ORDER BY md5(vec_id::VARCHAR) LIMIT 16),
+            assign AS (
+                SELECT vecs.vec_id, c.cent_id, vecs.v
+                FROM vecs CROSS JOIN cents c
+                QUALIFY row_number() OVER (PARTITION BY vecs.vec_id
+                    ORDER BY list_cosine_similarity(vecs.v, c.v) DESC,
+                             c.cent_id) = 1)
+            SELECT id_a, id_b, sim FROM (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       round(list_cosine_similarity(a.v, b.v), 4) AS sim
+                FROM assign a
+                JOIN assign b ON a.cent_id = b.cent_id
+                            AND a.vec_id < b.vec_id)
+            WHERE sim >= 0.3
         """,
         "bigram_lm": """
             WITH toks AS (

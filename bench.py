@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "tpch_q20",
     "paragraph_dedup",
     "bigram_lm",
+    "semdedup",
 ]
 
 

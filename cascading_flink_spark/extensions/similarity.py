@@ -648,3 +648,87 @@ def group_centroids(df: DataFrame, group_col: str, dim: int = 64,
                  F.array_sort(F.collect_list(F.struct("i", rounded.alias("m"))))
                   .getField("m").alias("centroid"))
             .select(F.col("grp").alias(group_col), "n", "centroid"))
+
+
+def semdedup_pairs(df: DataFrame, threshold: float = 0.93,
+                   n_clusters: int = 16, id_col: str = "vec_id",
+                   vec_col: str = "embedding", dim: int = 64,
+                   iterations: int = 3) -> DataFrame:
+    """SemDeDup-style semantic dedup pairs (Abbas et al. 2023 pattern):
+    k-means-partition the embedding space, then compare pairs ONLY within
+    a cluster — near-duplicates land in the same cell because they are
+    near in cosine space, so the quadratic comparison is confined to
+    cluster-sized blocks.
+
+    Returns ``(id_a, id_b, sim)`` with ``id_a < id_b`` and
+    ``sim >= threshold``.
+
+    Scale shape (100 TB): centroids train on a bounded deterministic hash
+    sample (:func:`_kmeans_centroids` — the FAISS-style practice);
+    assignment is one Arrow map with the k x dim matrix in the closure
+    (no join, no shuffle); the pairwise stage is an equi-join on the cell
+    id.  Cost is sum of squared cluster sizes — the method's intrinsic
+    price — so ``n_clusters`` must scale with the corpus (N/1k-N/10k
+    vectors per cluster in practice); a pathological mega-cluster (all
+    embeddings identical) degrades to all-pairs, which IS the correct
+    answer for that input.  For the cross-engine gate use
+    :func:`semdedup_pairs_md5`."""
+    cent = _kmeans_centroids(df, n_clusters, dim, vec_col,
+                             iterations=iterations, id_col=id_col)
+    C = cent
+
+    @F.pandas_udf("int")
+    def _cell(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        M = M / np.clip(np.linalg.norm(M, axis=1, keepdims=True),
+                        1e-12, None)
+        return pd.Series((M @ C.T).argmax(axis=1).astype("int32"))
+
+    assigned = (_fan_out(df)
+                .select(F.col(id_col), F.col(vec_col),
+                        _cell(F.col(vec_col)).alias("__cell")))
+    a = assigned.select(F.col("__cell"), F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("va"))
+    b = assigned.select(F.col("__cell"), F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("vb"))
+    sim = F.round(cosine_expr(F.col("va"), F.col("vb")), 4)
+    return (a.join(b, "__cell")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", sim.alias("sim"))
+             .filter(F.col("sim") >= threshold))
+
+
+def semdedup_pairs_md5(df: DataFrame, threshold: float = 0.93,
+                       n_clusters: int = 16, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Deterministic cross-engine SemDeDup twin: centroids are the
+    ``n_clusters`` corpus vectors with the smallest ``md5(id)`` (the
+    unbiased hash-ordered sample, as in :func:`ivf_topk_md5`), assignment
+    is cosine argmax with an id tie-break, and the within-cell pairwise
+    stage is identical to :func:`semdedup_pairs`.  Fully native (no
+    Python in the plan), so DuckDB can rebuild it stage by stage and the
+    driver can value-hash the pair set."""
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    cents = F.broadcast(
+        vecs.orderBy(F.md5(F.col(id_col).cast("string")))
+            .limit(n_clusters)
+            .select(F.col(id_col).alias("__cent_id"),
+                    F.col(vec_col).alias("__cvec")))
+    w_assign = (Window.partitionBy(id_col)
+                .orderBy(F.desc("__cos"), F.asc("__cent_id")))
+    assigned = (_fan_out(vecs).crossJoin(cents)
+                .withColumn("__cos",
+                            cosine_expr(F.col(vec_col), F.col("__cvec")))
+                .withColumn("__rn", F.row_number().over(w_assign))
+                .filter(F.col("__rn") == 1)
+                .select(F.col(id_col), F.col(vec_col),
+                        F.col("__cent_id").alias("__cell")))
+    a = assigned.select(F.col("__cell"), F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("va"))
+    b = assigned.select(F.col("__cell"), F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("vb"))
+    sim = F.round(cosine_expr(F.col("va"), F.col("vb")), 4)
+    return (a.join(b, "__cell")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", sim.alias("sim"))
+             .filter(F.col("sim") >= threshold))

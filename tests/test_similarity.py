@@ -165,3 +165,29 @@ def test_pq_md5_twin_matches_brute_force_reasonably(spark, emb, queries):
     # coarsely; the floor asserts real overlap (>=10% mean recall), the
     # exact list is pinned cross-engine by the ann_pq oracle row
     assert hits >= n_q
+
+
+def test_semdedup_finds_planted_near_dups(spark):
+    import numpy as np
+    from cascading_flink_spark.extensions import (
+        semdedup_pairs, semdedup_pairs_md5)
+    rng = np.random.RandomState(11)
+    base = rng.randn(60, 16)
+    rows = [(i, base[i].tolist()) for i in range(60)]
+    # planted near-duplicates: tiny perturbations of vectors 0..4
+    for j in range(5):
+        rows.append((100 + j, (base[j] + 0.01 * rng.randn(16)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r["id_a"], r["id_b"])
+           for r in semdedup_pairs(df, threshold=0.98, n_clusters=4,
+                                   dim=16).collect()}
+    # identical-direction pairs always share a cell (argmax of the same
+    # cosine row), so every planted pair must be found
+    assert {(j, 100 + j) for j in range(5)} <= got
+    # md5 twin agrees on the planted set too
+    md5 = {(r["id_a"], r["id_b"])
+           for r in semdedup_pairs_md5(df, threshold=0.98,
+                                       n_clusters=4).collect()}
+    assert {(j, 100 + j) for j in range(5)} <= md5
+    # no false positives: random 16-dim gaussians are never cos>=0.98
+    assert got - {(j, 100 + j) for j in range(5)} == set()
