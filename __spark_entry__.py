@@ -40,7 +40,8 @@ from cascading_flink_spark.extensions import (
     salted_agg, simhash_dup_pairs, simhash_md5_pairs, stratified_sample,
     strip_boilerplate, token_budget, winnow_pairs,
     repetition_stats, tfidf_topterms, unigram_commonness,
-    dedup_keep_best, event_funnel, group_quantiles, value_histogram,
+    dedup_keep_best, event_funnel, group_quantiles,
+    group_quantiles_binned, value_histogram,
     bigram_lm_scores, paragraph_dedup,
     domain_quota, shuffle_shard, token_budget_mixture,
     group_centroids, inverted_index, ngram_counts, bm25_scores,
@@ -1875,6 +1876,14 @@ def q_group_quantiles(spark, sf_dir):
                            "event_type")
 
 
+def q_group_quantiles_binned(spark, sf_dir):
+    """Same exact rank-quantile semantics through the two-pass bin
+    recursion (the hot-group-safe path) — same oracle as
+    group_quantiles by construction."""
+    return group_quantiles_binned(_t(spark, sf_dir, "events"), "value",
+                                  "event_type")
+
+
 def q_ann_pq(spark, sf_dir):
     """Product-quantization ANN through the md5-deterministic twin
     (pq_topk_md5): md5-sampled codebooks, native L2 argmin encode, ADC
@@ -1944,6 +1953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "bigram_lm": q_bigram_lm,
         "semdedup": q_semdedup,
+        "group_quantiles_binned": q_group_quantiles_binned,
         # --- rewritten in r5 AFTER their last (r4) driver check ---
         "simhash": q_simhash,
         "minhash_lsh": q_minhash_lsh,
@@ -1969,9 +1979,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixed_join": q_mixed_join,
         "nary_outer_join": q_nary_outer_join,
         "nary_right_join": q_nary_right_join,
-        "nary_mixed_join": q_nary_mixed_join,
         # --- beyond slot 50 (not driver-checked this round): all
         # mimic-green on round-6 code, see COVERAGE.md rotation log ---
+        "nary_mixed_join": q_nary_mixed_join,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "fingerprint": q_fingerprint,
@@ -3598,6 +3608,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE c.id IS NULL
         """,
         "group_quantiles": """
+            WITH r AS (
+                SELECT event_type AS grp, value AS q,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM events
+            )
+            SELECT grp, p, q
+            FROM r CROSS JOIN (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE,
+                                              0.99::DOUBLE]) AS p) ps
+            WHERE rn = ceil(p * n)
+        """,
+        "group_quantiles_binned": """
             WITH r AS (
                 SELECT event_type AS grp, value AS q,
                        row_number() OVER (PARTITION BY event_type

@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "paragraph_dedup",
     "bigram_lm",
     "semdedup",
+    "group_quantiles_binned",
 ]
 
 

@@ -35,6 +35,7 @@ from .decontam import contamination_pairs, decontaminate
 from .corpus import (bigram_lm_scores, bm25_scores, inverted_index,
                      ngram_counts, repetition_stats,
                      tfidf_topterms, unigram_commonness)
-from .analytics import event_funnel, group_quantiles, value_histogram
+from .analytics import (event_funnel, group_quantiles,
+                        group_quantiles_binned, value_histogram)
 
 __all__ = [n for n in dir() if not n.startswith("_")]

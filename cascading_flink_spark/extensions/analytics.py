@@ -84,10 +84,9 @@ def group_quantiles(df: DataFrame, value_col: str = "value",
     DISTINCT values with their counts — the rank is then read off the
     cumulative count.  A hot group with repeated values (the common shape:
     status codes, rounded metrics, prices) costs its distinct-value count,
-    not its row count.  The residual limit is a hot group of fully unique
-    continuous values — there, cut cardinality first (fixed-width
-    :func:`value_histogram` bins, then recurse into the one bin holding
-    the target rank) or accept ``approx_percentile``.
+    not its row count.  For a hot group of fully unique continuous values
+    use :func:`group_quantiles_binned` — the two-pass bin recursion with
+    identical output (per-group sorts bounded by ``bins`` and ~n/bins).
     """
     if ps is None:
         ps = [0.5, 0.9, 0.99]
@@ -105,3 +104,77 @@ def group_quantiles(df: DataFrame, value_col: str = "value",
     return (cum.select("grp", "q", "__c", "__cum", "__n", p_col)
                .filter((F.col("__cum") >= t) & (F.col("__cum") - F.col("__c") < t))
                .select("grp", "p", "q"))
+
+
+def group_quantiles_binned(df: DataFrame, value_col: str = "value",
+                           by: str = "event_type",
+                           ps: list[float] | None = None,
+                           bins: int = 1024) -> DataFrame:
+    """Exact discrete quantiles per group via the two-pass bin recursion
+    named in :func:`group_quantiles` — the hot-group-safe path.
+
+    Pass 1 histograms each group into ``bins`` fixed-width bins (per-bin
+    counts are a partial aggregation; the per-group cumulative window
+    sorts at most ``bins`` rows per group, never the group's row count)
+    and locates, for every p, the single bin holding rank
+    ``ceil(p * n)``.  Pass 2 sorts ONLY the rows of those target bins
+    (expected n/bins rows each; duplicates pre-aggregate first exactly as
+    in the one-pass path) and reads the value at the residual rank.
+
+    Identical output to :func:`group_quantiles` by construction — the
+    same smallest-value-reaching-rank definition, so the same oracle —
+    but a group of a billion rows costs two scans plus a sort of
+    ~n/bins rows instead of one sort of n distinct values.  Residual
+    limit: an adversarial group packing everything into one bin (range
+    collapse) degrades to the one-pass cost; real metrics spread.
+
+    Returns ``(grp, p, q)``.
+    """
+    if ps is None:
+        ps = [0.5, 0.9, 0.99]
+    vals = df.select(F.col(by).alias("grp"), F.col(value_col).alias("q"))
+    stats = (vals.groupBy("grp")
+             .agg(F.min("q").alias("__lo"), F.max("q").alias("__hi"),
+                  F.count(F.lit(1)).alias("__n")))
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+    # identical binning expression in both passes; width 0 (constant
+    # group) puts everything in bin 0
+    def bin_of(q):
+        return F.when(F.col("__hi") == F.col("__lo"), F.lit(0)) \
+                .otherwise(F.least(F.lit(bins - 1),
+                                   F.floor((q - F.col("__lo")) / width))) \
+                .cast("long")
+
+    binned = (vals.join(F.broadcast(stats), "grp")
+              .select("grp", "q", bin_of(F.col("q")).alias("__bin")))
+    per_bin = (binned.groupBy("grp", "__bin")
+               .agg(F.count(F.lit(1)).alias("__bc")))
+    wb = Window.partitionBy("grp").orderBy("__bin") \
+               .rowsBetween(Window.unboundedPreceding, 0)
+    cum_bins = (per_bin.withColumn("__bcum", F.sum("__bc").over(wb))
+                .join(F.broadcast(stats.select("grp", "__n")), "grp"))
+    p_col = F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p")
+    t = F.ceil(F.col("p") * F.col("__n"))
+    # the target bin's cumulative range covers rank t; residual rank is
+    # local to the bin
+    targets = (cum_bins.select("grp", "__bin", "__bc", "__bcum", "__n",
+                               p_col)
+               .filter((F.col("__bcum") >= t)
+                       & (F.col("__bcum") - F.col("__bc") < t))
+               .select("grp", "__bin", "p",
+                       (t - (F.col("__bcum") - F.col("__bc")))
+                       .alias("__local_rank")))
+    # pass 2: only rows of target bins; duplicates pre-aggregate first
+    hit = (binned.join(F.broadcast(targets.select("grp", "__bin")
+                                   .distinct()),
+                       ["grp", "__bin"])
+           .groupBy("grp", "__bin", "q")
+           .agg(F.count(F.lit(1)).alias("__c")))
+    wv = Window.partitionBy("grp", "__bin").orderBy("q") \
+               .rowsBetween(Window.unboundedPreceding, 0)
+    cum_vals = hit.withColumn("__vcum", F.sum("__c").over(wv))
+    return (cum_vals.join(targets, ["grp", "__bin"])
+            .filter((F.col("__vcum") >= F.col("__local_rank"))
+                    & (F.col("__vcum") - F.col("__c")
+                       < F.col("__local_rank")))
+            .select("grp", "p", "q"))

@@ -280,3 +280,29 @@ def test_bigram_lm_scores_ranks_oov(spark):
     again = {r["doc_id"]: r["nll_x10000"]
              for r in bigram_lm_scores(df).collect()}
     assert again == {k: v["nll_x10000"] for k, v in out.items()}
+
+
+def test_group_quantiles_binned_equals_exact(spark):
+    import random
+    from cascading_flink_spark.extensions import (
+        group_quantiles, group_quantiles_binned)
+    rng = random.Random(5)
+    rows = []
+    # continuous group, duplicate-heavy group, constant group, tiny group
+    rows += [("cont", rng.uniform(0, 1000)) for _ in range(3000)]
+    rows += [("dups", float(rng.randint(1, 5))) for _ in range(3000)]
+    rows += [("const", 42.0) for _ in range(500)]
+    rows += [("tiny", 7.0)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    ps = [0.1, 0.5, 0.9, 0.99]
+    exact = {(r["grp"], r["p"]): r["q"]
+             for r in group_quantiles(df, "value", "event_type", ps).collect()}
+    binned = {(r["grp"], r["p"]): r["q"]
+              for r in group_quantiles_binned(df, "value", "event_type",
+                                              ps, bins=32).collect()}
+    assert binned == exact
+    # degenerate bins=1 must still be exact (pure fallback to one bin)
+    one = {(r["grp"], r["p"]): r["q"]
+           for r in group_quantiles_binned(df, "value", "event_type",
+                                           ps, bins=1).collect()}
+    assert one == exact
