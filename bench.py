@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entry
 from cascading_flink_spark.extensions import (
     embedding_dup_pairs, ivf_topk, minhash_lsh_pairs, pq_topk,
-    simhash_dup_pairs,
+    semdedup_pairs, simhash_dup_pairs,
 )
 from cascading_flink_spark.session import get_spark
 
@@ -152,6 +152,10 @@ def main() -> None:
         entry._t(s, d, "embeddings").filter("vec_id < 5")
              .selectExpr("vec_id as query_id", "embedding"),
         k=10, n_centroids=16, n_probe=4)
+    # semdedup at bench scale: the Lloyd-trained production path (queries()
+    # carries the md5 cross-engine twin for the correctness gate).
+    qs["semdedup"] = lambda s, d: semdedup_pairs(
+        entry._t(s, d, "embeddings"), threshold=0.3, n_clusters=16)
     # ann_pq at bench scale: the Lloyd-trained production path (queries()
     # carries the md5 cross-engine twin for the correctness gate).
     qs["ann_pq"] = lambda s, d: pq_topk(
