@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -303,3 +305,52 @@ def stream_stream_join(left: DataFrame, right: DataFrame,
         cond = c if cond is None else (cond & c)
     cond = cond & (rw[right_ts] >= F.expr(f"{left_ts} - {time_bound}"))                 & (rw[right_ts] <= F.expr(f"{left_ts} + {time_bound}"))
     return lw.join(rw, cond, how)
+
+
+def stream_decontaminate(stream: DataFrame, benchmark: DataFrame,
+                         n: int = 8, min_shared: int = 1,
+                         text_col: str = "text",
+                         bench_text_col: str | None = None) -> DataFrame:
+    """Streaming benchmark decontamination: drop incoming documents that
+    share >= ``min_shared`` distinct word ``n``-grams with the (static)
+    benchmark set — the streaming twin of ``extensions.decontam
+    .decontaminate`` with identical shingle semantics.
+
+    The benchmark gram set collects ONCE on the driver (eval sets are
+    megabytes — the same boundedness argument as the batch op's broadcast
+    join) and ships to executors as a Spark broadcast; each micro-batch
+    row is then checked in one stateless Arrow pass.  No state store, no
+    stream shuffle, any output mode — at 100 TB/day ingest this is a map
+    over the stream, which is exactly what a contamination gate must be."""
+    from ..extensions.dedup import _java_ws_tokens, _word_shingles
+
+    bench_text_col = bench_text_col or text_col
+    grams = {r[0] for r in benchmark
+             .select(F.explode(_word_shingles(bench_text_col, n)))
+             .distinct().collect()}
+    bc = stream.sparkSession.sparkContext.broadcast(grams)
+    k = int(min_shared)
+
+    @F.pandas_udf("boolean")
+    def _clean(texts: pd.Series) -> pd.Series:
+        bench = bc.value
+
+        def ok(t):
+            if t is None:
+                return True
+            toks = _java_ws_tokens(t)
+            if len(toks) < n:
+                return True
+            shared = 0
+            seen = set()
+            for i in range(len(toks) - n + 1):
+                s = " ".join(toks[i:i + n])
+                if s and s not in seen and s in bench:
+                    seen.add(s)
+                    shared += 1
+                    if shared >= k:
+                        return False
+            return True
+        return texts.map(ok)
+
+    return stream.filter(_clean(F.col(text_col)))

@@ -472,3 +472,36 @@ def test_stream_token_quota_md5_order_across_arrow_chunks(spark, tmp_path):
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
         spark.catalog.dropTempView("arrow_quota")
     assert got == {"g3", "g0", "g5", "g4"}
+
+
+def test_stream_decontaminate_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming gate admits exactly the ids the batch decontaminate
+    keeps — same shingle semantics, same min_shared rule."""
+    from cascading_flink_spark.extensions import decontaminate
+    from cascading_flink_spark.streaming import stream_decontaminate
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # benchmark = a slice of the corpus itself -> guaranteed contamination
+    bench = (docs.filter(F.col("doc_id") % 50 == 0)
+             .select(F.col("doc_id").alias("bench_id"),
+                     F.col("text")))
+    src = str(tmp_path / "stream_in")
+    docs.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = stream_decontaminate(stream, bench, n=8, min_shared=1)
+    q = (out.writeStream.format("memory").queryName("decon_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+
+    got = {r["doc_id"] for r in
+           spark.sql("SELECT doc_id FROM decon_out").collect()}
+    expect = {r["doc_id"] for r in
+              decontaminate(spark.read.parquet(src), bench, n=8,
+                            min_shared=1, bench_text_col="text",
+                            bench_id_col="bench_id").collect()}
+    assert got == expect
+    # the gate actually dropped something (bench slice is non-empty)
+    assert len(got) < docs.count()
+    spark.catalog.dropTempView("decon_out")
