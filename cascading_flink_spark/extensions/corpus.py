@@ -340,16 +340,18 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text",
 
     occ = (df.repartition(df.sparkSession.sparkContext.defaultParallelism)
              .select(F.col(id_col),
-                     F.explode(_bigrams(F.col(text_col))).alias("gram"))
-             .withColumn("w1", F.substring_index("gram", " ", 1))
-             .withColumn("w2", F.substring_index("gram", " ", -1)))
+                     F.explode(_bigrams(F.col(text_col))).alias("gram")))
+    # every count table derives from the (doc, gram) partials so the
+    # Arrow bigram pass runs ONCE (deriving c2/c1/vocab straight from
+    # occ re-evaluates the UDF per branch — 4 ArrowEvalPython stages in
+    # the physical plan before this refactor)
     tfb = occ.groupBy(id_col, "gram").agg(
-        F.count(F.lit(1)).cast("long").alias("tf"))
-    c2 = occ.groupBy("gram").agg(
-        F.count(F.lit(1)).cast("long").alias("c2"))
+        F.count(F.lit(1)).cast("long").alias("tf")).persist()
+    c2 = tfb.groupBy("gram").agg(F.sum("tf").cast("long").alias("c2"))
     c1 = (c2.withColumn("w1", F.substring_index("gram", " ", 1))
             .groupBy("w1").agg(F.sum("c2").cast("long").alias("c1")))
-    vocab = F.broadcast(occ.agg(
+    vocab = F.broadcast(c2.select(
+        F.substring_index("gram", " ", -1).alias("w2")).agg(
         F.count_distinct("w2").cast("long").alias("vocab")))
     k = int(k_smooth)
     term_nll = (F.col("tf")

@@ -684,9 +684,11 @@ def semdedup_pairs(df: DataFrame, threshold: float = 0.93,
                         1e-12, None)
         return pd.Series((M @ C.T).argmax(axis=1).astype("int32"))
 
+    # persist: both join sides read the same assignment — without it the
+    # Arrow assignment pass runs twice
     assigned = (_fan_out(df)
                 .select(F.col(id_col), F.col(vec_col),
-                        _cell(F.col(vec_col)).alias("__cell")))
+                        _cell(F.col(vec_col)).alias("__cell")).persist())
     a = assigned.select(F.col("__cell"), F.col(id_col).alias("id_a"),
                         F.col(vec_col).alias("va"))
     b = assigned.select(F.col("__cell"), F.col(id_col).alias("id_b"),
@@ -722,7 +724,7 @@ def semdedup_pairs_md5(df: DataFrame, threshold: float = 0.93,
                 .withColumn("__rn", F.row_number().over(w_assign))
                 .filter(F.col("__rn") == 1)
                 .select(F.col(id_col), F.col(vec_col),
-                        F.col("__cent_id").alias("__cell")))
+                        F.col("__cent_id").alias("__cell")).persist())
     a = assigned.select(F.col("__cell"), F.col(id_col).alias("id_a"),
                         F.col(vec_col).alias("va"))
     b = assigned.select(F.col("__cell"), F.col(id_col).alias("id_b"),
