@@ -44,7 +44,7 @@ from cascading_flink_spark.extensions import (
     group_quantiles_binned, value_histogram,
     bigram_lm_scores, paragraph_dedup,
     domain_quota, shuffle_shard, token_budget_mixture,
-    group_centroids, inverted_index, ngram_counts, bm25_scores,
+    corpus_report, group_centroids, inverted_index, ngram_counts, bm25_scores,
 )
 
 
@@ -361,6 +361,13 @@ def q_window_agg_events(spark, sf_dir):
 
 def q_dedup_exact(spark, sf_dir):
     return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_corpus_report(spark, sf_dir):
+    """Data-card slice summary per (lang, source): doc counts, token and
+    char mass, emptiness, int-scaled mean — the reproducible report a
+    curation run publishes before any mixture cut."""
+    return corpus_report(_t(spark, sf_dir, "documents"))
 
 
 def q_bigram_lm(spark, sf_dir):
@@ -1954,6 +1961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": q_bigram_lm,
         "semdedup": q_semdedup,
         "group_quantiles_binned": q_group_quantiles_binned,
+        "corpus_report": q_corpus_report,
         # --- rewritten in r5 AFTER their last (r4) driver check ---
         "simhash": q_simhash,
         "minhash_lsh": q_minhash_lsh,
@@ -1978,9 +1986,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "mixed_join": q_mixed_join,
         "nary_outer_join": q_nary_outer_join,
-        "nary_right_join": q_nary_right_join,
         # --- beyond slot 50 (not driver-checked this round): all
         # mimic-green on round-6 code, see COVERAGE.md rotation log ---
+        "nary_right_join": q_nary_right_join,
         "nary_mixed_join": q_nary_mixed_join,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
@@ -2285,6 +2293,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS keep_id, count(*) AS n_dups
             FROM documents
             GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+        """,
+        "corpus_report": """
+            SELECT lang, source, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text),
+                                                           '\\s+')) END)
+                        AS BIGINT) AS total_tokens,
+                   CAST(sum(len(text)) AS BIGINT) AS total_chars,
+                   CAST(sum(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_empty,
+                   CAST(floor(sum(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text),
+                                                           '\\s+')) END)
+                              * 100 / count(*) + 0.5) AS BIGINT)
+                       AS avg_tokens_x100
+            FROM documents GROUP BY lang, source
         """,
         "semdedup": """
             WITH vecs AS (

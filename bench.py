@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "bigram_lm",
     "semdedup",
     "group_quantiles_binned",
+    "corpus_report",
 ]
 
 

@@ -32,7 +32,8 @@ from .skew import salted_agg, salted_broadcast_left, stratified_sample
 from .mixture import domain_quota, shuffle_shard, token_budget_mixture
 from .temporal import asof_join, range_join
 from .decontam import contamination_pairs, decontaminate
-from .corpus import (bigram_lm_scores, bm25_scores, inverted_index,
+from .corpus import (bigram_lm_scores, bm25_scores, corpus_report,
+                     inverted_index,
                      ngram_counts, repetition_stats,
                      tfidf_topterms, unigram_commonness)
 from .analytics import (event_funnel, group_quantiles,

@@ -366,3 +366,33 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text",
                .agg(F.sum("tf").cast("long").alias("n_bigrams"),
                     (F.floor(F.sum("__nll") / F.sum("tf") * 10000 + 0.5)
                      .cast("long").alias("nll_x10000"))))
+
+
+def corpus_report(df: DataFrame, by: list[str] | None = None,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Data-card summary per corpus slice: ``(by..., n_docs,
+    total_tokens, total_chars, n_empty, avg_tokens_x100)``.
+
+    The first thing a curation run publishes (and the sanity gate before
+    a mixture cut): slice sizes, token mass, and emptiness per
+    (language, source, ...) — all exact integers plus one int-scaled
+    mean, so the report is reproducible bit-for-bit in any engine.  One
+    partial-agg aggregation; token counting is the native whitespace
+    rule shared with the mixture/budget operators."""
+    by = by or ["lang", "source"]
+    trimmed = F.trim(F.col(text_col))
+    n_tokens = F.when(trimmed == "", F.lit(0)) \
+                .otherwise(F.size(F.split(trimmed, r"\s+"))).cast("long")
+    base = df.select(*[F.col(c) for c in by],
+                     n_tokens.alias("__nt"),
+                     F.length(F.col(text_col)).cast("long").alias("__nc"),
+                     (trimmed == "").cast("long").alias("__empty"))
+    return (base.groupBy(*by)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("__nt").alias("total_tokens"),
+                 F.sum("__nc").alias("total_chars"),
+                 F.sum("__empty").alias("n_empty"))
+            .withColumn("avg_tokens_x100",
+                        F.floor(F.col("total_tokens") * 100
+                                / F.col("n_docs") + 0.5).cast("long")))

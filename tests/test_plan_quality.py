@@ -232,6 +232,30 @@ def test_round6b_tpch_plan_property(spark, sf_dir, query, pattern, why):
     assert re.search(pattern, plan), f"{query}: {why}\n--- plan ---\n{plan[:4000]}"
 
 
+def test_paragraph_dedup_no_window(spark, sf_dir):
+    """The keep-decision must stay a partial-agg min + equi-join — a
+    Window here would single-task-sort a hot boilerplate segment."""
+    plan = plan_of(spark, "paragraph_dedup", sf_dir)
+    assert "Window" not in plan, plan[:4000]
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_broadcasts_centroids(spark, sf_dir):
+    """The centroid table must broadcast; the pairwise stage must be an
+    equi-join on the cell id (no cartesian over the corpus)."""
+    plan = plan_of(spark, "semdedup", sf_dir)
+    assert "CartesianProduct" not in plan, plan[:4000]
+    assert re.search(r"Broadcast(HashJoin|NestedLoopJoin)", plan)
+
+
+def test_binned_quantiles_no_unbounded_group_sort(spark, sf_dir):
+    """Pass-1 windows sort bins (bounded), pass-2 windows sort only
+    target-bin rows; stats frames ride broadcasts."""
+    plan = plan_of(spark, "group_quantiles_binned", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_tpch_q5_q7_no_cartesian(spark, sf_dir):
     for q in ("tpch_q5", "tpch_q7"):
         plan = plan_of(spark, q, sf_dir)
