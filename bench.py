@@ -14,7 +14,12 @@ to change N.
 
 Noise band (round-5 re-pin, SPARK_GRAFT_BENCH_RUNS=5): identical-code
 queries drift +-10-20% between runs on this shared box; anything beyond
-that is real.  The round-3 simhash/minhash "regressions" were real —
+that is real.
+
+Round-6 per-query comparability notes: ngram_counts gained the
+doc-frequency threshold this round (ADVICE r5) — one extra aggregation
+phase, so its row is NOT comparable to BENCH_r05's occurrence-only
+version (~0.7s -> ~1.2s is the semantic change, not a regression).  The round-3 simhash/minhash "regressions" were real —
 multi-second Catalyst codegen on 64/32-expression aggregate plans, fixed
 in round 5 by one-pass Arrow signature computation (simhash 3.3s -> 1.3s,
 minhash 2.8s -> 1.9s at sf0.1, both below their round-2 numbers).
