@@ -126,6 +126,16 @@ BENCH_QUERIES = [
     "semdedup",
     "group_quantiles_binned",
     "corpus_report",
+    # remaining regex/Arrow-heavy curation paths with no bench row yet —
+    # the last perf blind spots with non-trivial per-row cost
+    "chunk_corpus",
+    "redact_pii",
+    "strip_boilerplate",
+    "curation_pipeline",
+    "winnow_pairs",
+    "lang_id",
+    "sessionize",
+    "stratified_sample",
 ]
 
 
