@@ -1917,8 +1917,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     so the least-recently-driver-verified queries must sit at the front.
     Rotation is documented in COVERAGE.md ("Driver-slot rotation").
 
-    Round-6 front block (slots 1-50): the 14 new TPC-H queries plus the
-    new paragraph_dedup/bigram_lm curation ops; queries
+    Round-6 front block (slots 1-50), exact layout in COVERAGE.md
+    ("Driver-slot rotation"): 16 TPC-H entries (14 NEW queries + the new
+    tpch_q21 + tpch_q1 whose output re-scaled this round), then queries
     whose CODE changed this round after their last driver check (tpch_q21,
     tpch_q1 integer-scaled output, range_join alias fix, asof_join salt,
     inverted_index partial top-N, ngram_counts doc-frequency threshold,
@@ -1932,7 +1933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
 
     return {
-        # --- round-6 window: new TPC-H (slots 1-10) ---
+        # --- round-6 window: TPC-H block, 16 entries (slots 1-16) ---
         "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
         "tpch_q7": q_tpch_q7,

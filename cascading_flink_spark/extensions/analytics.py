@@ -90,7 +90,12 @@ def group_quantiles(df: DataFrame, value_col: str = "value",
     """
     if ps is None:
         ps = [0.5, 0.9, 0.99]
+    # quantiles are over NON-NULL values (the standard semantics; it also
+    # keeps this path and the binned path identical — unfiltered, Spark
+    # windows sort nulls first while least()/floor() binning would park
+    # them in the last bin)
     per_val = (df.select(F.col(by).alias("grp"), F.col(value_col).alias("q"))
+                 .filter(F.col("q").isNotNull())
                  .groupBy("grp", "q")
                  .agg(F.count(F.lit(1)).alias("__c")))
     w = Window.partitionBy("grp").orderBy("q") \
@@ -132,7 +137,9 @@ def group_quantiles_binned(df: DataFrame, value_col: str = "value",
     """
     if ps is None:
         ps = [0.5, 0.9, 0.99]
-    vals = df.select(F.col(by).alias("grp"), F.col(value_col).alias("q"))
+    # non-null values only, exactly as in group_quantiles (see note there)
+    vals = (df.select(F.col(by).alias("grp"), F.col(value_col).alias("q"))
+              .filter(F.col("q").isNotNull()))
     stats = (vals.groupBy("grp")
              .agg(F.min("q").alias("__lo"), F.max("q").alias("__hi"),
                   F.count(F.lit(1)).alias("__n")))

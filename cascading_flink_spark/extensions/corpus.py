@@ -380,12 +380,13 @@ def corpus_report(df: DataFrame, by: list[str] | None = None,
     mean, so the report is reproducible bit-for-bit in any engine.  One
     partial-agg aggregation; token counting is the native whitespace
     rule shared with the mixture/budget operators."""
+    from .text import token_count
+
     by = by or ["lang", "source"]
     trimmed = F.trim(F.col(text_col))
-    n_tokens = F.when(trimmed == "", F.lit(0)) \
-                .otherwise(F.size(F.split(trimmed, r"\s+"))).cast("long")
     base = df.select(*[F.col(c) for c in by],
-                     n_tokens.alias("__nt"),
+                     token_count(F.col(text_col)).cast("long")
+                      .alias("__nt"),
                      F.length(F.col(text_col)).cast("long").alias("__nc"),
                      (trimmed == "").cast("long").alias("__empty"))
     return (base.groupBy(*by)

@@ -64,14 +64,22 @@ def domain_quota(df: DataFrame, domain_col: str, max_docs: int,
     if strategy != "twoscan":
         raise ValueError("strategy must be 'window' or 'twoscan'")
 
-    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
-    d = df.join(counts, domain_col)
-    cold = d.filter(F.col("__n") <= max_docs).drop("__n")
+    # Key every grouping/join on a NULL-surrogate string: the window path
+    # ranks NULL-domain rows as one ordinary group, but every equi-join
+    # below would silently drop a NULL key (NULL never equals NULL), so
+    # the two strategies would diverge on corpora with missing domains.
+    # The \x00 prefix cannot collide with a real domain's cast.
+    dk = F.when(F.col(domain_col).isNull(), F.lit("\x00<null-domain>")) \
+          .otherwise(F.col(domain_col).cast("string"))
+    d0 = df.withColumn("__dk", dk)
+    counts = d0.groupBy("__dk").agg(F.count(F.lit(1)).alias("__n"))
+    d = d0.join(counts, "__dk")
+    cold = d.filter(F.col("__n") <= max_docs).drop("__n", "__dk")
     hot = d.filter(F.col("__n") > max_docs)
     thresh = F.least(F.lit(1.0),
                      F.lit(float(oversample) * max_docs) / F.col("__n"))
     surv = hot.filter(_md5_frac(id_col, seed) <= thresh)
-    w = Window.partitionBy(domain_col).orderBy(*order)
+    w = Window.partitionBy("__dk").orderBy(*order)
     ranked = surv.withColumn("__rn", F.row_number().over(w))
     # Exactness guard: every hot domain needs >= max_docs prefix survivors
     # (the prefix property makes its smallest max_docs = the domain's
@@ -79,17 +87,17 @@ def domain_quota(df: DataFrame, domain_col: str, max_docs: int,
     # re-rank their FULL row set instead.  Derived as hot-domains MINUS
     # covered-domains so a domain whose prefix caught zero rows (absent
     # from `ranked` entirely) is still rescued.
-    covered = (ranked.groupBy(domain_col).agg(F.max("__rn").alias("__m"))
-               .filter(F.col("__m") >= max_docs).select(domain_col))
-    short = (hot.select(domain_col).distinct()
-             .join(covered, domain_col, "left_anti"))
+    covered = (ranked.groupBy("__dk").agg(F.max("__rn").alias("__m"))
+               .filter(F.col("__m") >= max_docs).select("__dk"))
+    short = (hot.select("__dk").distinct()
+             .join(covered, "__dk", "left_anti"))
     picked = (ranked.filter(F.col("__rn") <= max_docs)
-              .join(F.broadcast(short), domain_col, "left_anti")
-              .drop("__rn", "__n"))
-    rescue = (hot.join(F.broadcast(short), domain_col, "left_semi")
+              .join(F.broadcast(short), "__dk", "left_anti")
+              .drop("__rn", "__n", "__dk"))
+    rescue = (hot.join(F.broadcast(short), "__dk", "left_semi")
               .withColumn("__rn", F.row_number().over(w))
               .filter(F.col("__rn") <= max_docs)
-              .drop("__rn", "__n"))
+              .drop("__rn", "__n", "__dk"))
     return cold.unionByName(picked).unionByName(rescue).select(*df.columns)
 
 

@@ -650,6 +650,23 @@ def group_centroids(df: DataFrame, group_col: str, dim: int = 64,
             .select(F.col("grp").alias(group_col), "n", "centroid"))
 
 
+def _within_cell_pairs(assigned, id_col: str, vec_col: str,
+                       threshold: float):
+    """Shared pairwise stage of the SemDeDup pair ops: equi-join on the
+    cell id, ordered pair filter, rounded cosine, threshold.  One
+    definition so the md5 twin stays a valid cross-engine oracle for the
+    production path."""
+    a = assigned.select(F.col("__cell"), F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("va"))
+    b = assigned.select(F.col("__cell"), F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("vb"))
+    sim = F.round(cosine_expr(F.col("va"), F.col("vb")), 4)
+    return (a.join(b, "__cell")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", sim.alias("sim"))
+             .filter(F.col("sim") >= threshold))
+
+
 def semdedup_pairs(df: DataFrame, threshold: float = 0.93,
                    n_clusters: int = 16, id_col: str = "vec_id",
                    vec_col: str = "embedding", dim: int = 64,
@@ -689,15 +706,7 @@ def semdedup_pairs(df: DataFrame, threshold: float = 0.93,
     assigned = (_fan_out(df)
                 .select(F.col(id_col), F.col(vec_col),
                         _cell(F.col(vec_col)).alias("__cell")).persist())
-    a = assigned.select(F.col("__cell"), F.col(id_col).alias("id_a"),
-                        F.col(vec_col).alias("va"))
-    b = assigned.select(F.col("__cell"), F.col(id_col).alias("id_b"),
-                        F.col(vec_col).alias("vb"))
-    sim = F.round(cosine_expr(F.col("va"), F.col("vb")), 4)
-    return (a.join(b, "__cell")
-             .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b", sim.alias("sim"))
-             .filter(F.col("sim") >= threshold))
+    return _within_cell_pairs(assigned, id_col, vec_col, threshold)
 
 
 def semdedup_pairs_md5(df: DataFrame, threshold: float = 0.93,
@@ -725,12 +734,4 @@ def semdedup_pairs_md5(df: DataFrame, threshold: float = 0.93,
                 .filter(F.col("__rn") == 1)
                 .select(F.col(id_col), F.col(vec_col),
                         F.col("__cent_id").alias("__cell")).persist())
-    a = assigned.select(F.col("__cell"), F.col(id_col).alias("id_a"),
-                        F.col(vec_col).alias("va"))
-    b = assigned.select(F.col("__cell"), F.col(id_col).alias("id_b"),
-                        F.col(vec_col).alias("vb"))
-    sim = F.round(cosine_expr(F.col("va"), F.col("vb")), 4)
-    return (a.join(b, "__cell")
-             .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b", sim.alias("sim"))
-             .filter(F.col("sim") >= threshold))
+    return _within_cell_pairs(assigned, id_col, vec_col, threshold)

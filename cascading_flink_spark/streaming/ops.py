@@ -275,8 +275,8 @@ def stream_token_quota(df: DataFrame, budgets: dict[str, int],
                 total = int(cum[keep][-1])
         state.update((total,))
 
-    toks = F.when(F.trim(F.col(text_col)) == "", F.lit(0)) \
-            .otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+    from ..extensions.text import token_count
+    toks = token_count(F.col(text_col))
     prepared = df.select(F.col(key_col).cast("string").alias("key"),
                          F.col(id_col).cast("string").alias("doc_id"),
                          toks.cast("long").alias("n_tokens"))
@@ -310,24 +310,38 @@ def stream_stream_join(left: DataFrame, right: DataFrame,
 def stream_decontaminate(stream: DataFrame, benchmark: DataFrame,
                          n: int = 8, min_shared: int = 1,
                          text_col: str = "text",
-                         bench_text_col: str | None = None) -> DataFrame:
+                         bench_text_col: str | None = None,
+                         bench_id_col: str | None = None) -> DataFrame:
     """Streaming benchmark decontamination: drop incoming documents that
-    share >= ``min_shared`` distinct word ``n``-grams with the (static)
-    benchmark set — the streaming twin of ``extensions.decontam
-    .decontaminate`` with identical shingle semantics.
+    share >= ``min_shared`` distinct word ``n``-grams with any SINGLE
+    benchmark document — the streaming twin of ``extensions.decontam
+    .decontaminate`` with identical shingle AND grouping semantics (the
+    batch op thresholds per (doc, bench_doc) pair, so pooling grams
+    across the whole benchmark would over-drop for ``min_shared`` > 1;
+    when ``bench_id_col`` is None every benchmark row counts as its own
+    document, matching the batch default of ``bench_id_col=id_col`` only
+    if ids are distinct — pass it explicitly when they are not).
 
-    The benchmark gram set collects ONCE on the driver (eval sets are
-    megabytes — the same boundedness argument as the batch op's broadcast
-    join) and ships to executors as a Spark broadcast; each micro-batch
-    row is then checked in one stateless Arrow pass.  No state store, no
-    stream shuffle, any output mode — at 100 TB/day ingest this is a map
-    over the stream, which is exactly what a contamination gate must be."""
+    The benchmark gram -> bench-doc-ids table collects ONCE on the driver
+    (eval sets are megabytes — the same boundedness argument as the batch
+    op's broadcast join) and ships to executors as a Spark broadcast;
+    each micro-batch row is then checked in one stateless Arrow pass.  No
+    state store, no stream shuffle, any output mode — at 100 TB/day
+    ingest this is a map over the stream, which is exactly what a
+    contamination gate must be."""
     from ..extensions.dedup import _java_ws_tokens, _word_shingles
 
     bench_text_col = bench_text_col or text_col
-    grams = {r[0] for r in benchmark
-             .select(F.explode(_word_shingles(bench_text_col, n)))
-             .distinct().collect()}
+    bid = (F.col(bench_id_col) if bench_id_col
+           else F.monotonically_increasing_id())
+    rows = (benchmark
+            .select(bid.alias("__bid"),
+                    F.explode(_word_shingles(bench_text_col, n))
+                     .alias("__g"))
+            .distinct().collect())
+    grams: dict = {}
+    for r in rows:
+        grams.setdefault(r["__g"], []).append(r["__bid"])
     bc = stream.sparkSession.sparkContext.broadcast(grams)
     k = int(min_shared)
 
@@ -341,15 +355,17 @@ def stream_decontaminate(stream: DataFrame, benchmark: DataFrame,
             toks = _java_ws_tokens(t)
             if len(toks) < n:
                 return True
-            shared = 0
             seen = set()
+            per_bench: dict = {}
             for i in range(len(toks) - n + 1):
                 s = " ".join(toks[i:i + n])
-                if s and s not in seen and s in bench:
+                if s and s not in seen:
                     seen.add(s)
-                    shared += 1
-                    if shared >= k:
-                        return False
+                    for b in bench.get(s, ()):
+                        c = per_bench.get(b, 0) + 1
+                        if c >= k:
+                            return False
+                        per_bench[b] = c
             return True
         return texts.map(ok)
 

@@ -293,6 +293,7 @@ def test_group_quantiles_binned_equals_exact(spark):
     rows += [("dups", float(rng.randint(1, 5))) for _ in range(3000)]
     rows += [("const", 42.0) for _ in range(500)]
     rows += [("tiny", 7.0)]
+    rows += [("cont", None), ("nulls", None), ("nulls", 3.0)]
     df = spark.createDataFrame(rows, "event_type string, value double")
     ps = [0.1, 0.5, 0.9, 0.99]
     exact = {(r["grp"], r["p"]): r["q"]

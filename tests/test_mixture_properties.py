@@ -20,7 +20,7 @@ from cascading_flink_spark.extensions import (
 
 docs_strategy = st.lists(
     st.tuples(st.integers(0, 200),            # doc_id (may repeat; dedup below)
-              st.sampled_from(["a", "b", "c"]),  # domain / lang
+              st.sampled_from(["a", "b", "c", None]),  # domain / lang (None: missing)
               st.integers(0, 50)),            # n_tokens
     min_size=1, max_size=30).map(
         lambda rows: list({r[0]: r for r in rows}.values()))

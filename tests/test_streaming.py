@@ -490,7 +490,8 @@ def test_stream_decontaminate_matches_batch(spark, sf_dir, tmp_path):
 
     stream = spark.readStream.schema(
         spark.read.parquet(src).schema).parquet(src)
-    out = stream_decontaminate(stream, bench, n=8, min_shared=1)
+    out = stream_decontaminate(stream, bench, n=8, min_shared=1,
+                               bench_id_col="bench_id")
     q = (out.writeStream.format("memory").queryName("decon_out")
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination(60)
@@ -505,3 +506,37 @@ def test_stream_decontaminate_matches_batch(spark, sf_dir, tmp_path):
     # the gate actually dropped something (bench slice is non-empty)
     assert len(got) < docs.count()
     spark.catalog.dropTempView("decon_out")
+
+
+def test_stream_decontaminate_min_shared_counts_per_bench_doc(spark, tmp_path):
+    """min_shared thresholds per SINGLE benchmark document (the batch
+    rule): one gram shared with each of two bench docs must NOT trip
+    min_shared=2, two grams with one bench doc must."""
+    from cascading_flink_spark.extensions import decontaminate
+    from cascading_flink_spark.streaming import stream_decontaminate
+
+    docs = spark.createDataFrame(
+        [("x", "aa bb cc xx ee ff gg"),      # 1 gram with A, 1 with B
+         ("y", "aa bb cc dd"),               # 2 grams with A
+         ("z", "zz zz zz zz")],              # clean
+        ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [("A", "aa bb cc dd"), ("B", "ee ff gg")],
+        ["bench_id", "text"])
+    src = str(tmp_path / "ms_in")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = stream_decontaminate(stream, bench, n=3, min_shared=2,
+                               bench_id_col="bench_id")
+    q = (out.writeStream.format("memory").queryName("ms_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM ms_out").collect()}
+    assert got == {"x", "z"}
+    expect = {r["doc_id"] for r in
+              decontaminate(spark.read.parquet(src), bench, n=3,
+                            min_shared=2, bench_text_col="text",
+                            bench_id_col="bench_id").collect()}
+    assert got == expect
+    spark.catalog.dropTempView("ms_out")
