@@ -158,3 +158,21 @@ def test_shuffle_shard_seed_reshuffles(spark, docs):
 def test_shuffle_shard_validates(spark, docs):
     with pytest.raises(ValueError):
         shuffle_shard(docs, 0)
+
+
+def test_domain_quota_twoscan_keeps_hot_null_domain(spark):
+    """A NULL domain (missing metadata — often the biggest slice) must
+    survive the twoscan path identically to the window path, including
+    when it is the over-quota hot domain."""
+    from cascading_flink_spark.extensions import domain_quota
+    rows = ([(i, None) for i in range(500)]          # hot NULL domain
+            + [(1000 + i, "a") for i in range(3)])   # small real domain
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    win = {r.doc_id for r in
+           domain_quota(df, "source", 10, strategy="window").collect()}
+    two = {r.doc_id for r in
+           domain_quota(df, "source", 10, strategy="twoscan",
+                        oversample=2.0).collect()}
+    assert two == win
+    assert len([d for d in two if d < 1000]) == 10   # null slice capped
+    assert {1000, 1001, 1002} <= two                 # small domain intact
