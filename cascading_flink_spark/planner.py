@@ -256,7 +256,11 @@ class FlowPlanner:
                     F.lit(f"{type(op).__name__}: native filter failed "
                           "(try_-compiled NULL predicate for non-null "
                           "arguments)").alias("error")))
-                out = df.filter(~fail & ~F.coalesce(pred, F.lit(False)))
+                # standard SQL three-valued semantics for the non-failure
+                # rows: a NULL predicate over NULL arguments drops the row
+                # exactly as the untrapped `filter(~remove)` does — binding
+                # a trap must not change which non-failing rows survive
+                out = df.filter(~fail & ~pred)
             else:
                 out = df.filter(~op.remove(arg_cols))
             if pipe.output_selector is Fields.ALL:
@@ -404,7 +408,12 @@ class FlowPlanner:
                 if parts:
                     yield pd.concat(parts, ignore_index=True)
 
-        combined = df.mapInPandas(_trap_mapper, schema=trap_schema)
+        # cache: the good branch (sink) and the trap branch (trap tap) both
+        # read this frame — uncached, the Python mapper would re-execute
+        # over the full input once per action (and a nondeterministic fn
+        # could even disagree between the two runs); taps.read_trapped
+        # caches for the same reason
+        combined = df.mapInPandas(_trap_mapper, schema=trap_schema).cache()
         self.add_trap_frame(trap_pipe, (
             combined.filter(F.col("__error").isNotNull())
                     .select(F.to_json(F.struct(*[c for c in df.columns]))
@@ -499,7 +508,12 @@ class FlowPlanner:
                 if out_parts:
                     yield pd.concat(out_parts, ignore_index=True)
 
-        combined = df.mapInPandas(_trap_mapper, schema=trap_schema)
+        # cache: the good branch (sink) and the trap branch (trap tap) both
+        # read this frame — uncached, the Python mapper would re-execute
+        # over the full input once per action (and a nondeterministic fn
+        # could even disagree between the two runs); taps.read_trapped
+        # caches for the same reason
+        combined = df.mapInPandas(_trap_mapper, schema=trap_schema).cache()
         self.add_trap_frame(pipe.name, (
             combined.filter(F.col("__error").isNotNull())
                     .select(F.col("__payload").alias("payload"),
@@ -672,14 +686,24 @@ class FlowPlanner:
             if not keys:
                 # Keyless/global buffer: one group = all rows (documented
                 # memory bound, like the reference's dop-1 global group,
-                # FlinkFlowStep.java:573-600).
-                return df.groupBy(F.lit(1).alias("__g")).applyInPandas(
-                    lambda pdf: fn(pdf.drop(columns=["__g"], errors="ignore")
-                                   .sort_values(sort_keys, ascending=asc,
-                                                kind="mergesort")
-                                   if sort_keys else pdf.drop(columns=["__g"],
-                                                              errors="ignore")),
-                    schema=schema)
+                # FlinkFlowStep.java:573-600).  Sort keys may be
+                # comparator-rewritten SQL expressions, which pandas
+                # sort_values cannot evaluate — compute them as temp
+                # columns Spark-side and sort on those.
+                tmp = [f"__cfs_sort_{i}" for i in range(len(sort_keys))]
+                prep = df
+                for cn, s in zip(tmp, sort_keys):
+                    prep = prep.withColumn(cn, F.expr(s))
+                drop_cols = ["__g"] + tmp
+
+                def _keyless(pdf):
+                    if tmp:
+                        pdf = pdf.sort_values(tmp, ascending=asc,
+                                              kind="mergesort")
+                    return fn(pdf.drop(columns=drop_cols, errors="ignore"))
+
+                return prep.groupBy(F.lit(1).alias("__g")).applyInPandas(
+                    _keyless, schema=schema)
 
             # Keyed buffer: repartition+sortWithinPartitions gives each
             # partition its groups contiguously and pre-sorted (the physical
@@ -771,9 +795,14 @@ class FlowPlanner:
         # Resolve declared output names per input slice (Cascading requires
         # declaredFields on name collisions; same rule here).  Semi/anti
         # joins emit only the left input's columns, so the right side may
-        # collide freely.
+        # collide freely — but the join CONDITION still references both
+        # sides, so the probe input's columns get unique temp names (the
+        # natural CoGroup([L, R], [Fields('id'), Fields('id')],
+        # joiner=SemiJoin()) would otherwise build the ambiguous
+        # col('id') == col('id')).
         if semi_anti:
-            slices = [list(d.columns) for d in inputs]
+            slices = [list(inputs[0].columns),
+                      [f"__cfs_r_{i}" for i in range(arities[1])]]
         elif pipe.declared_fields is not None:
             declared = list(pipe.declared_fields.names)
             if len(declared) != sum(arities):
@@ -907,8 +936,12 @@ class FlowPlanner:
                 c = lhs == _keyed(rk)
                 cond = c if cond is None else (cond & c)
             out = out.join(right, on=cond, how=chain_how)
-            for lin, rk in zip(lineages, key_names[i]):
-                lin.append(rk)
+            # semi/anti output carries ONLY the left columns — appending
+            # the probe side's key names would make downstream grouping
+            # coalesce over columns that do not exist
+            if chain_how not in ("left_semi", "left_anti"):
+                for lin, rk in zip(lineages, key_names[i]):
+                    lin.append(rk)
         if need_markers:
             pred = None
             for i in required:

@@ -116,10 +116,15 @@ class TextDelimited(Scheme):
 
     def write(self, df, path, mode):
         out = df.coalesce(self.num_sink_parts) if self.num_sink_parts else df
-        (out.write.mode(mode.value)
-            .option("sep", self.delimiter)
-            .option("header", str(self.header).lower())
-            .csv(path))
+        writer = (out.write.mode(mode.value)
+                  .option("sep", self.delimiter)
+                  .option("header", str(self.header).lower()))
+        # mirror the read-side quote char so write/read roundtrips agree
+        # (a custom quote written with Spark's default '"' would re-read
+        # with wrong arity on values containing the delimiter)
+        if self.quote is not None:
+            writer = writer.option("quote", self.quote)
+        writer.csv(path)
 
     def read_trapped(self, spark, paths):
         """(good, trapped) split for typed reads — SOURCE traps (the
@@ -201,7 +206,12 @@ class UnknownTextDelimited(Scheme):
                                  re.escape(self.delimiter)).alias("tuple"))
 
     def write(self, df, path, mode):
-        out = df.select(F.concat_ws(self.delimiter, F.col("tuple")).alias("value"))
+        # concat_ws SKIPS null elements (shifting every later position on
+        # re-read); render them as empty fields instead, as a delimited
+        # file must
+        padded = F.transform(F.col("tuple"),
+                             lambda x: F.coalesce(x, F.lit("")))
+        out = df.select(F.concat_ws(self.delimiter, padded).alias("value"))
         out.write.mode(mode.value).text(path)
 
 
@@ -349,11 +359,30 @@ class PartitionTap(Tap):
         if isinstance(self.scheme, ParquetScheme):
             return spark.read.parquet(*self.paths)
         if isinstance(self.scheme, TextDelimited):
-            return (spark.read
-                    .option("sep", self.scheme.delimiter)
-                    .option("header", str(self.scheme.header).lower())
-                    .option("inferSchema", "true")
-                    .csv(*self.paths))
+            sc = self.scheme
+            reader = (spark.read
+                      .option("sep", sc.delimiter)
+                      .option("header", str(sc.header).lower())
+                      .option("inferSchema", "true"))
+            if sc.quote is not None:
+                reader = reader.option("quote", sc.quote)
+            df = reader.csv(*self.paths)
+            # honor the scheme's declared fields/types: headerless files
+            # come back _c0/_c1... otherwise (partition columns are named
+            # by their directories and excluded from the file contents)
+            if sc.fields is not None and not sc.header:
+                data_fields = [f for f in sc.fields.names
+                               if f not in self.partition_fields]
+                positional = [c for c in df.columns if c.startswith("_c")]
+                if len(positional) == len(data_fields):
+                    for old, new in zip(positional, data_fields):
+                        df = df.withColumnRenamed(old, new)
+            if sc.fields is not None and sc.types is not None:
+                tmap = dict(zip(sc.fields.names, sc.types))
+                for c in df.columns:
+                    if c in tmap:
+                        df = df.withColumn(c, F.col(c).cast(tmap[c]))
+            return df
         return self.scheme.read(spark, self.paths)
 
     def write(self, df):
@@ -362,9 +391,11 @@ class PartitionTap(Tap):
         if isinstance(self.scheme, ParquetScheme):
             writer.parquet(self.paths[0])
         elif isinstance(self.scheme, TextDelimited):
-            (writer.option("sep", self.scheme.delimiter)
-                   .option("header", str(self.scheme.header).lower())
-                   .csv(self.paths[0]))
+            writer = (writer.option("sep", self.scheme.delimiter)
+                      .option("header", str(self.scheme.header).lower()))
+            if self.scheme.quote is not None:
+                writer = writer.option("quote", self.scheme.quote)
+            writer.csv(self.paths[0])
         elif isinstance(self.scheme, JsonScheme):
             writer.json(self.paths[0])
         else:
@@ -433,8 +464,16 @@ class SnapshotTap(Tap):
         try:
             with open(self._pointer()) as f:
                 return int(f.read().strip())
-        except (FileNotFoundError, ValueError):
+        except FileNotFoundError:
             return None
+        except ValueError as e:
+            # A garbled pointer is NOT "no snapshots": treating it that way
+            # would make read() claim an empty table and write() bypass
+            # SinkMode.KEEP and overwrite committed v_1 data.  Loud error;
+            # rollback() repairs the pointer to a known-good version.
+            raise ValueError(
+                f"SnapshotTap {self.paths[0]}: corrupt _latest pointer "
+                f"({e}); use rollback(<version>) to repair") from e
 
     def versions(self) -> list[int]:
         root = self.paths[0]
@@ -467,7 +506,10 @@ class SnapshotTap(Tap):
                 f"SnapshotTap {self.paths[0]}: SinkMode.KEEP and snapshot "
                 f"v_{latest} exists")
         os.makedirs(self.paths[0], exist_ok=True)
-        new_v = (latest or 0) + 1
+        # next version from the ON-DISK version list, not the pointer: after
+        # rollback(1) of {v_1,v_2,v_3} the pointer says 1 but v_2/v_3 are
+        # still committed, immutable data — pointer+1 would REPLACE v_2
+        new_v = max(self.versions(), default=latest or 0) + 1
         # data first, fully; only then the atomic pointer swap commits it
         self.scheme.write(df, self._vdir(new_v), SinkMode.REPLACE)
         tmp = self._pointer() + ".tmp"

@@ -629,7 +629,9 @@ def test_assertion_failures_divert_to_trap(spark, tmp_path):
 def test_native_expression_filter_trap(spark, tmp_path):
     """ExpressionFilter(trap_null_results=True) under a trap: rows where
     the try_-predicate is NULL for non-null args divert; rows with NULL
-    args pass through the normal three-valued-logic path."""
+    args follow the same SQL three-valued logic as the untrapped
+    ``filter(~remove)`` — a NULL predicate drops the row.  Binding a trap
+    must not change which non-failing rows survive."""
     from cascading_flink_spark import PlannerError
 
     df = spark.createDataFrame([("10", 2), ("x", 2), ("9", 3), (None, 5)],
@@ -645,11 +647,29 @@ def test_native_expression_filter_trap(spark, tmp_path):
           .add_trap("filt", trap_tap).add_tail(keep))
     flow = FlowConnector(spark).connect(fd)
     got = {(r["a"], r["b"]) for r in flow.dataframe().collect()}
-    # "10"/2=5 removed; "9"/3=3 removed; null-arg row: pred NULL but args
-    # include NULL -> three-valued logic keeps it (not trapped, not removed)
-    assert got == {(None, 5)}
+    # "10"/2=5 removed; "9"/3=3 removed; null-arg row: pred NULL with a
+    # NULL arg -> dropped by three-valued logic (not trapped), exactly as
+    # the untrapped filter would drop it
+    assert got == set()
     trapped = flow.trap_dataframe("filt").collect()
     assert len(trapped) == 1 and '"a":"x"' in trapped[0]["payload"]
+
+    # trapped/untrapped parity on the surviving set: the same filter with
+    # no trap bound keeps the same rows (the null-arg row dropped by both)
+    plain_keep = Each(head, Fields("a", "b"),
+                      ExpressionFilter(
+                          "try_divide(cast(try_cast(a AS int) AS double), "
+                          "b) > 2.0"),
+                      name="filt_plain")
+    fd_plain = (FlowDef().add_source(head, DataFrameTap(df))
+                .add_tail(plain_keep))
+    got_plain = {(r["a"], r["b"]) for r in
+                 FlowConnector(spark).connect(fd_plain)
+                 .dataframe(plain_keep.name).collect()}
+    # untrapped drops the 'x' failure row too (NULL predicate), so the
+    # only difference a trap makes is WHERE the failure row goes — never
+    # the surviving set
+    assert got_plain == got
 
     # without opt-in: connect-time rejection
     plain = Each(head, Fields("a", "b"), ExpressionFilter("b > 2"),
@@ -658,3 +678,74 @@ def test_native_expression_filter_trap(spark, tmp_path):
            .add_trap("filt", trap_tap).add_tail(plain))
     with pytest.raises(PlannerError, match="row-safe"):
         FlowConnector(spark).connect(fd2)
+
+
+def test_textdelimited_custom_quote_roundtrip(spark, tmp_path):
+    """Write-side quote must mirror the read side: a value containing the
+    delimiter survives a custom-quote roundtrip with correct arity."""
+    df = spark.createDataFrame([("a,b", 1), ("plain", 2)], ["s", "n"])
+    scheme = TextDelimited(fields=Fields("s", "n"), types=["string", "int"],
+                           delimiter=",", quote="'")
+    path = str(tmp_path / "q")
+    scheme.write(df, path, SinkMode.REPLACE)
+    back = {(r["s"], r["n"]) for r in scheme.read(spark, [path]).collect()}
+    assert back == {("a,b", 1), ("plain", 2)}
+
+
+def test_snapshot_tap_write_after_rollback_preserves_history(spark, tmp_path):
+    """A write after rollback() must allocate a NEW version, never
+    overwrite a committed snapshot."""
+    from cascading_flink_spark.taps import SnapshotTap
+    tap = SnapshotTap(ParquetScheme(), str(tmp_path / "snap"))
+    for v in (1, 2, 3):
+        tap.write(spark.createDataFrame([(v,)], ["x"]))
+    tap.rollback(1)
+    tap.write(spark.createDataFrame([(99,)], ["x"]))
+    assert tap.versions() == [1, 2, 3, 4]
+    # v_2 kept its original committed contents
+    assert tap.read(spark, version=2).collect()[0]["x"] == 2
+    assert tap.read(spark).collect()[0]["x"] == 99
+
+
+def test_snapshot_tap_corrupt_pointer_raises(spark, tmp_path):
+    from cascading_flink_spark.taps import SnapshotTap
+    tap = SnapshotTap(ParquetScheme(), str(tmp_path / "snap2"))
+    tap.write(spark.createDataFrame([(1,)], ["x"]))
+    with open(tap._pointer(), "w") as f:
+        f.write("garbage")
+    with pytest.raises(ValueError, match="corrupt _latest"):
+        tap.read(spark)
+    with pytest.raises(ValueError, match="corrupt _latest"):
+        tap.write(spark.createDataFrame([(2,)], ["x"]))
+    tap.rollback(1)                      # repairs the pointer
+    assert tap.read(spark).collect()[0]["x"] == 1
+
+
+def test_partition_tap_headerless_declared_fields(spark, tmp_path):
+    """PartitionTap reads must honor the scheme's declared fields/types
+    (headerless CSV would otherwise come back _c0/_c1)."""
+    df = spark.createDataFrame([("a", 1, "p1"), ("b", 2, "p2")],
+                               ["s", "n", "part"])
+    tap = PartitionTap(Hfs(TextDelimited(fields=Fields("s", "n", "part"),
+                                         types=["string", "int", "string"],
+                                         header=False),
+                           str(tmp_path / "pt")), ["part"])
+    tap.write(df)
+    back = tap.read(spark)
+    assert set(back.columns) == {"s", "n", "part"}
+    assert dict(back.dtypes)["n"] == "int"
+    assert {(r["s"], r["n"], r["part"]) for r in back.collect()} == \
+        {("a", 1, "p1"), ("b", 2, "p2")}
+
+
+def test_unknown_textdelimited_null_fields_keep_positions(spark, tmp_path):
+    """NULL tuple elements must render as EMPTY fields, not vanish (which
+    would shift every later position on re-read)."""
+    from cascading_flink_spark.taps import UnknownTextDelimited
+    df = spark.createDataFrame([(["a", None, "c"],), (["x", "y", "z"],)],
+                               "tuple array<string>")
+    scheme = UnknownTextDelimited(delimiter="\t")
+    path = str(tmp_path / "unk")
+    scheme.write(df, path, SinkMode.REPLACE)
+    back = {tuple(r["tuple"]) for r in scheme.read(spark, [path]).collect()}
+    assert back == {("a", "", "c"), ("x", "y", "z")}
