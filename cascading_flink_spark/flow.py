@@ -124,13 +124,16 @@ class Flow:
         @contextlib.contextmanager
         def ctx():
             saved: dict[str, str | None] = {}
-            for k, v in self.flow_def.flow_conf.items():
-                try:
-                    saved[k] = self.spark.conf.get(k)
-                except Exception:
-                    saved[k] = None
-                self.spark.conf.set(k, v)
+            # apply INSIDE the try: a failing conf.set (e.g. a
+            # non-runtime-modifiable key) must still restore the confs
+            # already applied, not leak them into the shared session
             try:
+                for k, v in self.flow_def.flow_conf.items():
+                    try:
+                        saved[k] = self.spark.conf.get(k)
+                    except Exception:
+                        saved[k] = None
+                    self.spark.conf.set(k, v)
                 yield
             finally:
                 for k, old in saved.items():
@@ -279,8 +282,28 @@ class Cascade:
         out = set()
         for tap in taps:
             for p in getattr(tap, "paths", []) or []:
-                out.add(p.rstrip("/"))
+                out.add(Cascade._normalize(p))
         return out
+
+    @staticmethod
+    def _normalize(p: str) -> str:
+        """Strip glob components: the dependency base of '/data/out/*.pq'
+        is '/data/out' (a source tap reading a glob under a sink's
+        directory depends on that sink)."""
+        parts = p.rstrip("/").split("/")
+        base = []
+        for seg in parts:
+            if any(ch in seg for ch in "*?["):
+                break
+            base.append(seg)
+        return "/".join(base) or p.rstrip("/")
+
+    @staticmethod
+    def _overlaps(src: str, sink: str) -> bool:
+        """True when one normalized path contains the other — exact match,
+        a glob source under a sink dir, or a source dir above a sink."""
+        return (src == sink or src.startswith(sink + "/")
+                or sink.startswith(src + "/"))
 
     @staticmethod
     def _def_of(item) -> FlowDef:
@@ -303,7 +326,8 @@ class Cascade:
         deps: dict[int, set[int]] = {i: set() for i in range(n)}
         for i in range(n):
             for j in range(n):
-                if i != j and srcs[i] & sinks[j]:
+                if i != j and any(self._overlaps(s, k)
+                                  for s in srcs[i] for k in sinks[j]):
                     deps[i].add(j)
         order: list[int] = []
         done: set[int] = set()

@@ -65,7 +65,10 @@ class Average(_Unary):
 
 
 class Min(_Unary):
-    """Numeric min (Cascading ``Min`` coerces to number)."""
+    """Numeric min (Cascading ``Min`` coerces to number — reference-
+    faithful double semantics, so 64-bit integers beyond 2^53 lose
+    precision and unparseable strings null out, exactly as in Cascading;
+    use ``MinValue``/``MaxValue`` for type-preserving extrema)."""
 
     def agg_column(self, arg_cols):
         (arg,) = arg_cols

@@ -28,7 +28,11 @@ class RegexFilter(Filter):
 
     def remove(self, arg_cols):
         (arg,) = arg_cols
-        found = arg.rlike(self.pattern)
+        # a NULL argument MATCHES NOTHING (java.util.regex semantics):
+        # remove_match keeps it, keep-match removes it.  The raw rlike is
+        # NULL for NULL args, and filter(~NULL) would silently drop the
+        # row in BOTH modes.
+        found = F.coalesce(arg.rlike(self.pattern), F.lit(False))
         return found if self.remove_match else ~found
 
 

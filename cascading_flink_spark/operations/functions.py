@@ -31,7 +31,16 @@ class Identity(Function):
         if self.declared is Fields.ARGS:
             cols = list(arg_cols)
         else:
-            cols = list(arg_cols)[: len(self.declared_names)]
+            n = len(self.declared_names)
+            if n and n != len(arg_cols):
+                # Cascading's Identity raises on arity mismatch; silently
+                # truncating would turn a selector typo into data loss.
+                # Zero declared fields stay legal — the Discard idiom
+                # (SWAP with empty results) drops the argument columns.
+                raise ValueError(
+                    f"Identity: declared arity {n} != argument arity "
+                    f"{len(arg_cols)}")
+            cols = list(arg_cols)[:n] if n == 0 else list(arg_cols)
         if self.types is not None:
             cols = [c.cast(t) for c, t in zip(cols, self.types)]
         return cols
@@ -138,9 +147,22 @@ class RegexReplace(Function):
         (arg,) = arg_cols
         if self.replace_all:
             return [F.regexp_replace(arg, self.pattern, self.replacement)]
-        # replace-first: anchor trick — match lazily up to first occurrence
-        return [F.regexp_replace(arg, "^(.*?)" + self.pattern,
-                                 "$1" + self.replacement)]
+        # replace-first: lazy-prefix anchor, with the user's pattern
+        # wrapped in its own group.  The two injected groups (prefix,
+        # whole-match) shift the user's group numbering by 2, so unescaped
+        # $N in the replacement and \N backrefs in the pattern renumber
+        # (+2; $0 maps to the wrapped whole match = group 2); '(?s)' keeps
+        # '.' matching newlines so a first occurrence after a newline is
+        # still found.
+        import re as _re
+
+        def _shift(m):
+            return m.group(1) + str(int(m.group(2)) + 2)
+
+        repl = _re.sub(r"(?<!\\)(\$)(\d+)", _shift, self.replacement)
+        pat = _re.sub(r"(\\)(\d+)", _shift, self.pattern)
+        return [F.regexp_replace(arg, "(?s)^(.*?)(" + pat + ")",
+                                 "$1" + repl)]
 
 
 class DateParser(Function):

@@ -97,10 +97,13 @@ class Every(Pipe):
             operation, argument_selector = argument_selector, Fields.ALL
         if not isinstance(operation, (Aggregator, Buffer)):
             raise ValueError("Every hosts an Aggregator or Buffer")
-        if not isinstance(previous, (GroupBy, CoGroup, Every)):
+        if not isinstance(previous, (GroupBy, CoGroup, HashJoin, Every)):
             # BufferAfterEveryAssert / structural checks, reference
-            # FlinkConnector.java:96-100
-            raise ValueError("Every must follow GroupBy, CoGroup, or Every")
+            # FlinkConnector.java:96-100.  HashJoin counts: the planner's
+            # Every chain accepts it as a grouping root (aggregate over
+            # the join key), same as CoGroup.
+            raise ValueError(
+                "Every must follow GroupBy, CoGroup, HashJoin, or Every")
         if isinstance(operation, Buffer) and isinstance(previous, Every):
             raise ValueError("Buffer must directly follow the GroupBy (BufferAfterEveryAssert)")
         self.argument_selector = Fields.coerce(argument_selector)
@@ -248,8 +251,14 @@ class CoGroup(Pipe):
             if len(pipe_list) != 1:
                 raise ValueError("num_self_joins requires exactly one pipe")
             pipe_list = pipe_list * (num_self_joins + 1)
-            group_fields = list(group_fields) * (num_self_joins + 1) \
-                if len(list(group_fields)) == 1 else group_fields
+            gl = list(group_fields)
+            if gl and isinstance(gl[0], (Fields, list, tuple)) and len(gl) == 1:
+                # a per-input list of ONE key spec replicates per replica;
+                # a bare Fields or flat name list needs nothing here — the
+                # shared-key normalization below already fans it out (the
+                # old unconditional `list(group_fields) * n` turned a flat
+                # ['id'] into a duplicated two-field key ['id','id'])
+                group_fields = gl * (num_self_joins + 1)
         self.previous = pipe_list
         gf = list(group_fields)
         if len(gf) and not isinstance(gf[0], (Fields, list, tuple)):
@@ -285,6 +294,10 @@ class HashJoin(Pipe):
         if len(gf) and not isinstance(gf[0], (Fields, list, tuple)):
             gf = [gf] * len(self.previous)
         self.group_fields = [Fields.coerce(g) for g in gf]
+        if len(self.group_fields) != len(self.previous):
+            # same clear assembly-time error as CoGroup — without it the
+            # planner truncates the zip and dies in an opaque IndexError
+            raise ValueError("group_fields must have one entry per pipe")
         self.declared_fields = Fields.coerce(declared_fields) if declared_fields is not None else None
         self.joiner = joiner or InnerJoin()
         self.comparators = dict(comparators) if comparators else None

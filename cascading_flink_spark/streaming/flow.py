@@ -65,10 +65,27 @@ class StreamingFlowConnector:
     def connect(self, flow_def: FlowDef) -> StreamingFlow:
         if not flow_def.tails:
             raise PlannerError("FlowDef has no tails")
+        # FlowDef features the streaming runtime cannot honor must fail
+        # LOUDLY at connect time: silently compiling in non-trap mode
+        # would send rows the batch engine diverts to a trap into the
+        # query as failures/NULLs instead.
+        if flow_def.traps:
+            raise PlannerError(
+                "traps are not supported on streaming flows (a failed row "
+                "has no side-channel tap in Structured Streaming); filter "
+                "explicitly or run the trapped stage in batch")
+        if flow_def.flow_conf:
+            raise PlannerError(
+                "with_conf is not supported on streaming flows: a "
+                "streaming query outlives connect(), so scoped "
+                "apply-and-restore semantics cannot hold — set the conf "
+                "on the session instead")
         sources = {}
         for name, tap in flow_def.sources.items():
             sources[name] = tap.read(self.spark)
-        planner = FlowPlanner(self.spark, assertion_level=flow_def.assertion_level)
+        planner = FlowPlanner(self.spark,
+                              assertion_level=flow_def.assertion_level,
+                              run_id=flow_def.run_id)
         dataframes = {}
         for tail in flow_def.tails:
             dataframes[tail.name] = planner.compile(tail, sources)

@@ -116,3 +116,78 @@ def test_sink_parallelism(spark, tmp_path):
     files = [f for f in os.listdir(out) if f.endswith(".parquet")]
     assert len(files) == 1
     assert spark.read.parquet(out).count() == 100
+
+
+def test_regex_replace_first_group_refs_and_newlines(spark):
+    """replace-first must keep the user's group numbering ($1 = their
+    first group) and find occurrences after a newline."""
+    from cascading_flink_spark.operations import RegexReplace
+    df = spark.createDataFrame([("a1 b2",), ("x\nfoo9",)], ["s"])
+    head = Pipe("src")
+    rep = Each(head, Fields("s"),
+               RegexReplace(Fields("out"), r"(\d+)", "<$1>",
+                            replace_all=False),
+               Fields.RESULTS)
+    fd = FlowDef().add_source("src", DataFrameTap(df)).add_tail(rep)
+    got = {r["out"] for r in
+           FlowConnector(spark).connect(fd).dataframe(rep.name).collect()}
+    # only the FIRST number is wrapped; the group ref resolves to the
+    # user's digits, and the newline row still matches
+    assert got == {"a<1> b2", "x\nfoo<9>"}
+
+
+def test_regex_filter_null_arg_never_matches(spark):
+    """NULL arguments match nothing: keep-match drops them, remove-match
+    keeps them — never a silent three-valued drop in both modes."""
+    from cascading_flink_spark.operations import RegexFilter
+    df = spark.createDataFrame([("ERROR x",), ("ok",), (None,)], ["s"])
+    head = Pipe("src")
+    keep_match = Each(head, Fields("s"), RegexFilter("ERROR"))
+    fd = FlowDef().add_source("src", DataFrameTap(df)).add_tail(keep_match)
+    got = {r["s"] for r in
+           FlowConnector(spark).connect(fd).dataframe(keep_match.name).collect()}
+    assert got == {"ERROR x"}
+    rm = Each(head, Fields("s"), RegexFilter("ERROR", remove_match=True))
+    fd2 = FlowDef().add_source("src", DataFrameTap(df)).add_tail(rm)
+    got2 = {r["s"] for r in
+            FlowConnector(spark).connect(fd2).dataframe(rm.name).collect()}
+    assert got2 == {"ok", None}
+
+
+def test_every_after_hashjoin(spark):
+    """The planner supports HashJoin-rooted Every chains; assembly must
+    accept them too."""
+    from cascading_flink_spark import Every, HashJoin
+    from cascading_flink_spark.operations import Count, Sum
+    L = spark.createDataFrame([(1, 10.0), (1, 5.0), (2, 1.0)], ["k", "v"])
+    R = spark.createDataFrame([(1, "a"), (2, "b")], ["rk", "tag"])
+    j = HashJoin([Pipe("L"), Pipe("R")], [Fields("k"), Fields("rk")])
+    e = Every(j, Fields("v"), Sum("total"), Fields.ALL)
+    fd = (FlowDef().add_source("L", DataFrameTap(L))
+          .add_source("R", DataFrameTap(R)).add_tail(e))
+    got = {(r["k"], r["total"]) for r in
+           FlowConnector(spark).connect(fd).dataframe(e.name).collect()}
+    assert got == {(1, 15.0), (2, 1.0)}
+
+
+def test_hashjoin_arity_validation():
+    from cascading_flink_spark import HashJoin
+    with pytest.raises(ValueError, match="one entry per pipe"):
+        HashJoin([Pipe("a"), Pipe("b")], [Fields("id")])
+
+
+def test_self_join_flat_key_spellings(spark):
+    """num_self_joins accepts Fields('id'), ['id'] and [Fields('id')]
+    spellings identically (the flat forms used to become a duplicated
+    two-field key)."""
+    from cascading_flink_spark import CoGroup
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    outs = []
+    for spec in (Fields("id"), ["id"], [Fields("id")]):
+        j = CoGroup([Pipe("src")], spec, num_self_joins=1,
+                    declared_fields=Fields("id", "v", "id2", "v2"))
+        fd = FlowDef().add_source("src", DataFrameTap(df)).add_tail(j)
+        rows = {tuple(r) for r in
+                FlowConnector(spark).connect(fd).dataframe(j.name).collect()}
+        outs.append(rows)
+    assert outs[0] == outs[1] == outs[2] == {(1, "a", 1, "a"), (2, "b", 2, "b")}
