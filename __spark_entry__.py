@@ -2397,7 +2397,7 @@ def oracle_sql() -> dict[str, str]:
                    length(text) AS n_chars,
                    len(toks) AS n_tokens,
                    floor(length(stripped) * 1.0 / greatest(len(toks), 1) * 100 + 0.5) / 100 AS avg_token_len,
-                   floor((length(stripped) - length(regexp_replace(stripped, '[^0-9A-Za-z_]', '', 'g'))) * 1.0
+                   floor((length(stripped) - length(regexp_replace(stripped, '[^\\p{{L}}\\p{{N}}_]', '', 'g'))) * 1.0
                          / greatest(length(stripped), 1) * 10000 + 0.5) / 10000 AS punct_ratio,
                    floor(length(regexp_replace(stripped, '[^0-9]', '', 'g')) * 1.0
                          / greatest(length(stripped), 1) * 10000 + 0.5) / 10000 AS digit_ratio,
@@ -2658,7 +2658,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT doc_id, lang FROM base
             WHERE n_toks >= 30
-              AND (length(stripped) - length(regexp_replace(stripped, '[^0-9A-Za-z_]', '', 'g'))) * 1.0
+              AND (length(stripped) - length(regexp_replace(stripped, '[^\\p{L}\\p{N}_]', '', 'g'))) * 1.0
                   / greatest(length(stripped), 1) <= 0.05
         """,
         "ungroup": """
@@ -2839,7 +2839,7 @@ def oracle_sql() -> dict[str, str]:
             good AS (
               SELECT doc_id, text FROM base
               WHERE n_toks >= 30
-                AND (length(stripped) - length(regexp_replace(stripped, '[^0-9A-Za-z_]', '', 'g'))) * 1.0
+                AND (length(stripped) - length(regexp_replace(stripped, '[^\\p{L}\\p{N}_]', '', 'g'))) * 1.0
                     / greatest(length(stripped), 1) <= 0.05),
             fp AS (
               SELECT doc_id,

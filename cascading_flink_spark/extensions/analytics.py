@@ -37,9 +37,12 @@ def event_funnel(events: DataFrame, steps: list[str],
                      .select(F.lit(i).alias("step"),
                              F.lit(name).alias("step_name"), "n_users"))
 
+    # persist each stage frame: every count branch AND the next stage read
+    # it — unpersisted, stage k's branch would re-execute the whole join
+    # chain for steps 1..k-1, scanning the events source O(steps^2) times
     cur = (events.filter(F.col(type_col) == steps[0])
                  .groupBy(user_col)
-                 .agg(F.min(ts_col).alias("__t")))
+                 .agg(F.min(ts_col).alias("__t")).persist())
     counts = [_count(cur, 1, steps[0])]
     for i, step in enumerate(steps[1:], start=2):
         ev = events.filter(F.col(type_col) == step) \
@@ -47,7 +50,7 @@ def event_funnel(events: DataFrame, steps: list[str],
         cur = (ev.join(cur, on=user_col)
                  .filter(F.col("__ts") > F.col("__t"))
                  .groupBy(user_col)
-                 .agg(F.min("__ts").alias("__t")))
+                 .agg(F.min("__ts").alias("__t")).persist())
         counts.append(_count(cur, i, step))
     out = counts[0]
     for c in counts[1:]:

@@ -351,7 +351,12 @@ def minhash_lsh_pairs_md5(df: DataFrame, n: int = 3, num_hashes: int = 32,
         (F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
          for i in range(num_hashes)),
         F.lit(0))
-    min_agree = int(threshold * num_hashes + 1e-9)
+    import math
+    # ceil, not floor: agreement/num_hashes >= threshold requires the NEXT
+    # integer when threshold*num_hashes is fractional (floor admitted
+    # pairs strictly below threshold, diverging from the fast variant's
+    # est_jaccard >= threshold filter)
+    min_agree = math.ceil(threshold * num_hashes - 1e-9)
     # score/threshold before the pair-dedup (same reorder as the fast
     # variant): identical result set, dedup shuffle drops the 2x32 md5
     # string columns
@@ -368,6 +373,19 @@ def minhash_lsh_pairs_md5(df: DataFrame, n: int = 3, num_hashes: int = 32,
 _HEX = "0123456789abcdef"
 
 
+def _gram_fp_list(toks: list, k: int) -> list:
+    """The 'md5(gram)#lpad(pos,8)' fingerprint strings for every k-gram —
+    ONE definition of the format the winnowing family and its DuckDB
+    oracles reproduce (lexicographic order == (hash, position))."""
+    import hashlib
+
+    return [
+        hashlib.md5(" ".join(toks[i:i + k]).encode("utf-8"))
+               .hexdigest() + "#" + format(i, "08d")
+        for i in range(len(toks) - k + 1)
+    ]
+
+
 def _gram_fp_strings_arrow(text_col: str, k: int):
     """Positional k-gram fingerprint strings, Arrow-batched.
 
@@ -380,19 +398,13 @@ def _gram_fp_strings_arrow(text_col: str, k: int):
     ``hashlib.md5`` over UTF-8 equals Spark's and DuckDB's ``md5``."""
     @F.pandas_udf("array<string>")
     def _g(texts: pd.Series) -> pd.Series:
-        import hashlib
-
         def one(t):
             if t is None:
                 return []
             toks = _java_ws_tokens(t)
             if len(toks) < k:
                 return []
-            return [
-                hashlib.md5(" ".join(toks[i:i + k]).encode("utf-8"))
-                       .hexdigest() + "#" + format(i, "08d")
-                for i in range(len(toks) - k + 1)
-            ]
+            return _gram_fp_list(toks, k)
         return texts.map(one)
 
     return _g(F.col(text_col))
@@ -426,19 +438,13 @@ def winnow_fingerprints(df: DataFrame, k: int = 4, w: int = 4,
 
     @F.pandas_udf("array<string>")
     def _winnowed(texts: pd.Series) -> pd.Series:
-        import hashlib
-
         def one(t):
             if t is None:
                 return []
             toks = _java_ws_tokens(t)
             if len(toks) < k:
                 return []
-            fps = [
-                hashlib.md5(" ".join(toks[i:i + k]).encode("utf-8"))
-                       .hexdigest() + "#" + format(i, "08d")
-                for i in range(len(toks) - k + 1)
-            ]
+            fps = _gram_fp_list(toks, k)
             if len(fps) < w:
                 return []
             sel, dq = {}, deque()          # dq: indices, increasing values
@@ -576,6 +582,11 @@ def simhash_md5_pairs(df: DataFrame, max_hamming: int = 3,
     — every operation has an identical DuckDB spelling.
 
     Returns (id_a, id_b, hamming) with id_a < id_b, hamming <= max_hamming."""
+    if max_hamming > 3:
+        raise ValueError(
+            "simhash banding uses 4 x 16-bit chunks, which only guarantees "
+            "candidate generation for max_hamming <= 3 (pigeonhole); a "
+            "higher bound would silently miss pairs")
     toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
     inv = _fan_out(df).select(F.col(id_col).alias("id"), F.explode(toks).alias("tk"))
     hx = F.md5("tk")
@@ -670,6 +681,11 @@ def simhash_dup_pairs(df: DataFrame, max_hamming: int = 3,
     Pigeonhole banding: split the 64-bit signature into 4 x 16-bit chunks;
     any pair within distance 3 agrees on >= 1 chunk, so candidates come from
     equality joins on (chunk_idx, chunk_value) — no all-pairs shuffle."""
+    if max_hamming > 3:
+        raise ValueError(
+            "simhash banding uses 4 x 16-bit chunks, which only guarantees "
+            "candidate generation for max_hamming <= 3 (pigeonhole); a "
+            "higher bound would silently miss pairs")
     sims = simhash_bits(df, text_col, id_col)
     chunks = sims.select(
         "id", "simhash",
@@ -803,6 +819,15 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         labels = new_labels.drop("__prev")
         if changed == 0:
             break
+    else:
+        # one-hop min-label propagation converges in O(component diameter)
+        # rounds; returning early would silently split a long-chain
+        # cluster into several "representatives", leaving duplicates in
+        # the kept corpus
+        raise RuntimeError(
+            f"dedup_clusters: not converged after {max_iterations} rounds "
+            f"({changed} labels still changing) — a component's diameter "
+            "exceeds max_iterations; raise max_iterations")
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 
@@ -818,7 +843,8 @@ def dedup_keep_best(df: DataFrame, pairs: DataFrame,
     under ties.
 
     Returns ``(id_col, cluster_id, kept)`` for every input document, with
-    ``cluster_id = -1`` for unpaired docs (trivially kept) — returning the
+    ``cluster_id = -1`` (numeric ids; NULL for other id types) for
+    unpaired docs (trivially kept) — returning the
     full decision table rather than just survivors keeps the operator
     auditable (why was this doc dropped?) and makes the kept corpus one
     ``filter("kept")`` away.
@@ -827,26 +853,40 @@ def dedup_keep_best(df: DataFrame, pairs: DataFrame,
     equi-joins); the decision adds one left join corpus<-clusters (cluster
     table is small — only paired docs) and one window partitioned by
     cluster_id (cluster sizes are tiny by construction)."""
+    import pyspark.sql.types as _T
+
+    id_type = df.schema[id_col].dataType
+    numeric_id = isinstance(id_type, _T.NumericType)
     if score is None:
-        score = F.col("n_chars") if "n_chars" in df.columns \
-            else -F.col(id_col)
+        if "n_chars" in df.columns:
+            score = F.col("n_chars")
+        elif numeric_id:
+            score = -F.col(id_col)
+        else:
+            # lowest-id-wins for non-numeric ids: rank ascending via a
+            # constant score, the id tie-break below decides
+            score = F.lit(0)
     clusters = dedup_clusters(pairs)
     joined = (df.select(F.col(id_col), score.alias("__score"))
                 .join(clusters.withColumnRenamed("id", id_col),
                       on=id_col, how="left"))
+    # cluster ids share the id column's type (the min member id); casting
+    # to long would NULL every string cluster id.  Unpaired sentinel: -1
+    # for numeric ids, NULL for other types (documented).
+    sentinel = (F.lit(-1) if numeric_id else F.lit(None)).cast(id_type)
     # Rank ONLY the paired subset: putting unpaired docs (the vast majority)
     # through the cluster window would pile them all into one null
     # partition — a single-task sort at scale.
     unpaired = (joined.filter(F.col("cluster_id").isNull())
                 .select(F.col(id_col),
-                        F.lit(-1).cast("long").alias("cluster_id"),
+                        sentinel.alias("cluster_id"),
                         F.lit(True).alias("kept")))
     w = Window.partitionBy("cluster_id").orderBy(F.desc("__score"),
                                                  F.asc(id_col))
     paired = (joined.filter(F.col("cluster_id").isNotNull())
               .withColumn("__rk", F.row_number().over(w))
               .select(F.col(id_col),
-                      F.col("cluster_id").cast("long").alias("cluster_id"),
+                      F.col("cluster_id").cast(id_type).alias("cluster_id"),
                       (F.col("__rk") == 1).alias("kept")))
     return unpaired.unionByName(paired)
 

@@ -34,10 +34,10 @@ def _norm(a: Column) -> Column:
                               F.lit(0.0), lambda acc, x: acc + x))
 
 
-def _fan_out(df: DataFrame) -> DataFrame:
-    """Repartition to default parallelism: vector-math stages are CPU-bound
-    and inherit the scan's (often single) split count on small file sets."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+# shared with the dedup/decontam modules — one definition of the
+# repartition-to-default-parallelism helper (vector-math stages are
+# CPU-bound and inherit the scan's often-single split count)
+from .dedup import _fan_out  # noqa: E402
 
 
 def cosine_expr(a: Column, b: Column) -> Column:

@@ -53,9 +53,18 @@ def salted_agg(df: DataFrame, keys: Sequence[str], aggs: dict[str, str],
         fn = spec.split("(", 1)[0].strip().lower()
         arg = spec.split("(", 1)[1].rstrip(") ")
         if fn == "avg":
+            # count(ARG), not count(1): avg() skips NULL values, so the
+            # decomposition must too or a null-bearing group averages low
             phase1.append(F.expr(f"sum({arg})").alias(f"__s_{name}"))
-            phase1.append(F.expr("count(1)").alias(f"__c_{name}"))
+            phase1.append(F.expr(f"count({arg})").alias(f"__c_{name}"))
             phase2.append((F.sum(f"__s_{name}") / F.sum(f"__c_{name}")).alias(name))
+            continue
+        if fn == "count":
+            # honor the argument's null-skipping: count(x) skips NULL x,
+            # count() / count(*) / count(1) count rows
+            carg = arg if arg not in ("", "*", "1") else "1"
+            phase1.append(F.expr(f"count({carg})").alias(f"__p_{name}"))
+            phase2.append(F.expr(f"sum(__p_{name})").alias(name))
             continue
         if fn not in _DECOMPOSE:
             raise ValueError(f"salted_agg cannot decompose {spec!r}")

@@ -52,7 +52,11 @@ def quality_features(df: DataFrame, text_col: str = "text",
     n_chars = F.length(t)
     stripped = F.regexp_replace(t, r"\s+", "")
     n_nonspace = F.length(stripped)
-    n_punct = n_nonspace - F.length(F.regexp_replace(stripped, r"[^\w]", ""))
+    # Unicode letter/digit classes, not \w: Java (and RE2) \w is
+    # ASCII-only, which would score every non-Latin-script document as
+    # pure punctuation and wipe whole languages at the quality gate
+    n_punct = n_nonspace - F.length(
+        F.regexp_replace(stripped, r"[^\p{L}\p{N}_]", ""))
     n_digits = F.length(F.regexp_replace(stripped, r"[^0-9]", ""))
     lower_toks = F.split(F.lower(F.col(text_col)), _TOKEN_SPLIT)
     n_stop = F.size(F.filter(lower_toks, lambda tk: tk.isin(*EN_MARKERS)))
@@ -74,7 +78,11 @@ def quality_filter(df: DataFrame, text_col: str = "text",
     toks = _tokens(t)
     stripped = F.regexp_replace(t, r"\s+", "")
     n_nonspace = F.length(stripped)
-    n_punct = n_nonspace - F.length(F.regexp_replace(stripped, r"[^\w]", ""))
+    # Unicode letter/digit classes, not \w: Java (and RE2) \w is
+    # ASCII-only, which would score every non-Latin-script document as
+    # pure punctuation and wipe whole languages at the quality gate
+    n_punct = n_nonspace - F.length(
+        F.regexp_replace(stripped, r"[^\p{L}\p{N}_]", ""))
     return df.filter(
         (F.size(toks) >= min_tokens) &
         (n_punct / F.greatest(n_nonspace, F.lit(1)) <= max_punct_ratio))

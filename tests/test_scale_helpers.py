@@ -176,3 +176,40 @@ def test_paragraph_dedup_window_mode(spark):
     assert kept_total == 2
     # empty text yields one empty segment kept for exactly one doc
     assert sum(1 for r in out.values() if r["clean_text"] == "") <= 1
+
+
+def test_salted_agg_null_semantics(spark):
+    """avg/count must skip NULL values exactly as plain aggregates do."""
+    from pyspark.sql import functions as F
+    from cascading_flink_spark.extensions import salted_agg
+    df = spark.createDataFrame(
+        [("a", 2.0), ("a", None), ("b", 4.0)], "k string, v double")
+    got = {r["k"]: (r["m"], r["c"]) for r in
+           salted_agg(df, ["k"], {"m": "avg(v)", "c": "count(v)"}).collect()}
+    plain = {r["k"]: (r["m"], r["c"]) for r in
+             df.groupBy("k").agg(F.avg("v").alias("m"),
+                                 F.count("v").alias("c")).collect()}
+    assert got == plain and got["a"] == (2.0, 1)
+
+
+def test_dedup_keep_best_string_ids(spark):
+    """String doc ids keep string cluster ids (NULL sentinel for
+    unpaired) instead of nulled-out long casts."""
+    from cascading_flink_spark.extensions import dedup_keep_best
+    docs = spark.createDataFrame(
+        [("da", "xx"), ("db", "xxxx"), ("dc", "solo")],
+        ["doc_id", "text"]).withColumn(
+        "n_chars", F.length("text"))
+    pairs = spark.createDataFrame([("da", "db")], ["id_a", "id_b"])
+    out = {r["doc_id"]: r for r in dedup_keep_best(docs, pairs).collect()}
+    assert out["da"]["cluster_id"] == "da" == out["db"]["cluster_id"]
+    assert out["db"]["kept"] and not out["da"]["kept"]   # longer wins
+    assert out["dc"]["cluster_id"] is None and out["dc"]["kept"]
+
+
+def test_simhash_max_hamming_validated(spark):
+    from cascading_flink_spark.extensions import simhash_dup_pairs
+    import pytest as _pytest
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_dup_pairs(df, max_hamming=4)
