@@ -19,7 +19,11 @@ that is real.
 Round-6 per-query comparability notes: ngram_counts gained the
 doc-frequency threshold this round (ADVICE r5) — one extra aggregation
 phase, so its row is NOT comparable to BENCH_r05's occurrence-only
-version (~0.7s -> ~1.2s is the semantic change, not a regression).  The round-3 simhash/minhash "regressions" were real —
+version (~0.7s -> ~1.2s is the semantic change, not a regression).
+event_funnel now persists each funnel stage (an s-step funnel scans the
+events source O(s) times instead of O(s^2) — the 100 TB fix); at sf0.1
+the persist's materialization overhead costs ~0.4s more than the cheap
+recompute it replaces, a deliberate toy-scale-for-cluster-scale trade.  The round-3 simhash/minhash "regressions" were real —
 multi-second Catalyst codegen on 64/32-expression aggregate plans, fixed
 in round 5 by one-pass Arrow signature computation (simhash 3.3s -> 1.3s,
 minhash 2.8s -> 1.9s at sf0.1, both below their round-2 numbers).
