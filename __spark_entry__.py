@@ -3500,8 +3500,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM bgc GROUP BY 1
             )
             SELECT b.doc_id, b.n_tokens, b.n_distinct,
-                   floor((1 - b.n_distinct / greatest(b.n_tokens, 1)) * 10000
-                         + 0.5) / 10000 AS dup_token_ratio,
+                   CASE WHEN b.n_tokens = 0 THEN 0.0
+                        ELSE floor((1 - b.n_distinct
+                                    / greatest(b.n_tokens, 1)) * 10000
+                                   + 0.5) / 10000
+                   END AS dup_token_ratio,
                    coalesce(t.n_bigrams, 0)::BIGINT AS n_bigrams,
                    coalesce(t.top_bigram_n, 0)::BIGINT AS top_bigram_n,
                    floor(coalesce(t.top_bigram_n, 0)

@@ -83,9 +83,11 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     top_n = F.coalesce(F.col("top_bigram_n"), F.lit(0)).cast("long")
     return out.select(
         id_col, "n_tokens", "n_distinct",
-        _round_half_up(
-            1 - F.col("n_distinct") / F.greatest(F.col("n_tokens"), F.lit(1)),
-            4).alias("dup_token_ratio"),
+        F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+            _round_half_up(
+                1 - F.col("n_distinct")
+                / F.greatest(F.col("n_tokens"), F.lit(1)), 4))
+         .alias("dup_token_ratio"),    # 0/0 repeated tokens is 0, not 1
         n_bg.alias("n_bigrams"),
         top_n.alias("top_bigram_n"),
         _round_half_up(top_n / F.greatest(n_bg, F.lit(1)), 4)
@@ -185,9 +187,10 @@ def ngram_counts(df: DataFrame, n: int = 2, min_count: int = 2,
                     if (s := " ".join(toks[i:i + n]))]
         return texts.map(one)
 
-    per_doc = (df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-                 .select(F.col(id_col),
-                         F.explode(_grams(F.col(text_col))).alias("gram")))
+    from .dedup import _fan_out
+    per_doc = (_fan_out(df)
+               .select(F.col(id_col),
+                       F.explode(_grams(F.col(text_col))).alias("gram")))
     # two-level aggregation instead of count_distinct+count in one agg:
     # mixing a distinct and a non-distinct aggregate makes Catalyst plan
     # an Expand (each row duplicated per aggregate family before the
@@ -262,8 +265,8 @@ def bm25_scores(df: DataFrame, query_terms: list[str],
                 text_col: str = "text", id_col: str = "doc_id",
                 lower: bool = True) -> DataFrame:
     """BM25 relevance of every matching document against a fixed query
-    term set: ``(doc_id, score)``, score > 0 only (non-matching docs are
-    absent).
+    term set: ``(doc_id, score_x10000)`` (integer-scaled, the repo's
+    cross-engine hashing convention); non-matching docs are absent.
 
     Classic Robertson/Sparck-Jones BM25: ``sum_q idf(q) * tf*(k1+1) /
     (tf + k1*(1 - b + b*dl/avgdl))`` with
@@ -276,6 +279,10 @@ def bm25_scores(df: DataFrame, query_terms: list[str],
     :func:`tfidf_topterms` the per-doc summary, this the ranked retrieval."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    if lower:
+        # document tokens are lowercased below; an uppercase query term
+        # would silently match nothing
+        query_terms = [t.lower() for t in query_terms]
     toks = _tok_array(text_col, lower)
     base = df.select(F.col(id_col), toks.alias("__t"))
     dl = base.select(F.col(id_col), F.size("__t").alias("__dl"))
@@ -338,13 +345,17 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text",
                     for i in range(len(toks) - 1)]
         return texts.map(one)
 
-    occ = (df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-             .select(F.col(id_col),
-                     F.explode(_bigrams(F.col(text_col))).alias("gram")))
+    from .dedup import _fan_out
+    occ = (_fan_out(df)
+           .select(F.col(id_col),
+                   F.explode(_bigrams(F.col(text_col))).alias("gram")))
     # every count table derives from the (doc, gram) partials so the
     # Arrow bigram pass runs ONCE (deriving c2/c1/vocab straight from
     # occ re-evaluates the UDF per branch — 4 ArrowEvalPython stages in
     # the physical plan before this refactor)
+    # persisted for the lifetime of the returned frame (all count tables
+    # derive from it); long-lived sessions release it via
+    # spark.catalog.clearCache() after consuming the result
     tfb = occ.groupBy(id_col, "gram").agg(
         F.count(F.lit(1)).cast("long").alias("tf")).persist()
     c2 = tfb.groupBy("gram").agg(F.sum("tf").cast("long").alias("c2"))
@@ -369,8 +380,7 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text",
 
 
 def corpus_report(df: DataFrame, by: list[str] | None = None,
-                  text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
+                  text_col: str = "text") -> DataFrame:
     """Data-card summary per corpus slice: ``(by..., n_docs,
     total_tokens, total_chars, n_empty, avg_tokens_x100)``.
 

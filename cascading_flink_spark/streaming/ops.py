@@ -144,7 +144,8 @@ def stream_exact_dedup(df: DataFrame, ts_col: str,
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     return (_ensure_event_time(df, ts_col).withColumn("fp", F.md5(norm))
               .withWatermark(ts_col, watermark)
-              .dropDuplicatesWithinWatermark(["fp"]))
+              .dropDuplicatesWithinWatermark(["fp"])
+              .drop("fp"))  # schema parity with the batch twin
 
 
 def stream_chunk_packer(df: DataFrame, context_len: int,
@@ -277,9 +278,13 @@ def stream_token_quota(df: DataFrame, budgets: dict[str, int],
 
     from ..extensions.text import token_count
     toks = token_count(F.col(text_col))
+    # drop null token counts (null text): one NaN would poison the whole
+    # micro-batch's cumsum and silently reject every later document; the
+    # batch twin's window sum skips nulls
     prepared = df.select(F.col(key_col).cast("string").alias("key"),
                          F.col(id_col).cast("string").alias("doc_id"),
-                         toks.cast("long").alias("n_tokens"))
+                         toks.cast("long").alias("n_tokens")) \
+                 .filter(F.col("n_tokens").isNotNull())
     return (prepared.groupBy("key")
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
@@ -303,7 +308,11 @@ def stream_stream_join(left: DataFrame, right: DataFrame,
     for k in keys:
         c = lw[k] == rw[k]
         cond = c if cond is None else (cond & c)
-    cond = cond & (rw[right_ts] >= F.expr(f"{left_ts} - {time_bound}"))                 & (rw[right_ts] <= F.expr(f"{left_ts} + {time_bound}"))
+    # qualify the left timestamp via the side handle: a bare F.expr on the
+    # joined schema is ambiguous whenever both streams carry that name
+    bound = F.expr(f"{time_bound}")
+    cond = cond & (rw[right_ts] >= lw[left_ts] - bound) \
+                 & (rw[right_ts] <= lw[left_ts] + bound)
     return lw.join(rw, cond, how)
 
 
@@ -334,8 +343,14 @@ def stream_decontaminate(stream: DataFrame, benchmark: DataFrame,
     bench_text_col = bench_text_col or text_col
     bid = (F.col(bench_id_col) if bench_id_col
            else F.monotonically_increasing_id())
+    # materialize the bench id in its OWN projection BEFORE the explode:
+    # in one select, monotonically_increasing_id() evaluates in the
+    # Project above the Generate — once per exploded GRAM, which would
+    # give every gram a unique "document" and make min_shared > 1
+    # unreachable
     rows = (benchmark
-            .select(bid.alias("__bid"),
+            .select(bid.alias("__bid"), F.col(bench_text_col))
+            .select("__bid",
                     F.explode(_word_shingles(bench_text_col, n))
                      .alias("__g"))
             .distinct().collect())

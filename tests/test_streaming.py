@@ -212,12 +212,15 @@ def test_stream_exact_dedup(spark, sf_dir, tmp_path):
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination(60)
 
-    got = spark.sql("SELECT fp FROM dedup_out").collect()
+    # output schema matches the batch twin: no helper fp column
+    assert "fp" not in spark.table("dedup_out").columns
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    got = spark.sql("SELECT text FROM dedup_out") \
+               .select(F.md5(norm).alias("fp")).collect()
     fps = [r["fp"] for r in got]
     # append-mode emission is exactly-once per fingerprint
     assert len(fps) == len(set(fps))
     # and covers every distinct content fingerprint from the batch rule
-    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
     expect = {r["fp"] for r in
               spark.read.parquet(src).select(F.md5(norm).alias("fp"))
               .distinct().collect()}
@@ -540,3 +543,47 @@ def test_stream_decontaminate_min_shared_counts_per_bench_doc(spark, tmp_path):
                             bench_id_col="bench_id").collect()}
     assert got == expect
     spark.catalog.dropTempView("ms_out")
+
+
+def test_stream_decontaminate_default_bench_ids(spark, tmp_path):
+    """Without bench_id_col, each benchmark ROW is its own document —
+    two grams shared with one row must trip min_shared=2 (a per-gram id
+    assignment would make min_shared > 1 unreachable)."""
+    from cascading_flink_spark.streaming import stream_decontaminate
+    docs = spark.createDataFrame(
+        [("y", "aa bb cc dd"), ("z", "clean words only here")],
+        ["doc_id", "text"])
+    bench = spark.createDataFrame([("aa bb cc dd",)], ["text"])
+    src = str(tmp_path / "dflt_in")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = stream_decontaminate(stream, bench, n=3, min_shared=2)
+    q = (out.writeStream.format("memory").queryName("dflt_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = {r["doc_id"] for r in
+           spark.sql("SELECT doc_id FROM dflt_out").collect()}
+    assert got == {"z"}
+    spark.catalog.dropTempView("dflt_out")
+
+
+def test_stream_token_quota_null_text_does_not_poison_batch(spark, tmp_path):
+    """A null-text document must not turn the cumsum into NaN and reject
+    every later document in the micro-batch."""
+    from cascading_flink_spark.streaming import stream_token_quota
+    docs = spark.createDataFrame(
+        [(1, "en", "three short words"), (2, "en", None),
+         (3, "en", "more words arrive here")],
+        ["doc_id", "lang", "text"])
+    src = str(tmp_path / "nq_in")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = stream_token_quota(stream, {"en": 1000}, key_col="lang")
+    q = (out.writeStream.format("memory").queryName("nq_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM nq_out").collect()}
+    assert got == {"1", "3"}
+    spark.catalog.dropTempView("nq_out")
