@@ -44,6 +44,8 @@ from cascading_flink_spark.extensions import (
     group_quantiles_binned, value_histogram,
     bigram_lm_scores, paragraph_dedup,
     domain_quota, shuffle_shard, token_budget_mixture,
+    temperature_budgets, temperature_mixture,
+    gopher_quality, blocklist_stats, rolling_stats,
     corpus_report, group_centroids, inverted_index, ngram_counts, bm25_scores,
 )
 
@@ -1091,6 +1093,76 @@ def q_shuffle_shard(spark, sf_dir):
                       .alias("shard_pos"))
 
 
+def _doc_tokens(spark, sf_dir):
+    """(doc_id, lang, n_tokens) — the shared whitespace token-count
+    projection the mixture queries feed."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.when(F.trim("text") == "", F.lit(0)) \
+            .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    return docs.select("doc_id", "lang", toks.cast("long").alias("n_tokens"))
+
+
+def q_temperature_budgets(spark, sf_dir):
+    """Temperature-weighted (alpha=0.5) per-language token allocation for
+    an 8000-token budget — exact integer isqrt weights, so the whole
+    allocation table is value-hash oracle-checkable."""
+    return temperature_budgets(_doc_tokens(spark, sf_dir), 8000) \
+        .select("lang", "corpus_tokens", "weight", "budget")
+
+
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature-mixture cut: data-derived sqrt-weighted budgets, then
+    md5-ordered per-language admission (the multilingual-corpus shaping
+    step; head language flattened, tail languages up-sampled)."""
+    return temperature_mixture(_doc_tokens(spark, sf_dir), 8000) \
+        .select("doc_id", "lang", "n_tokens")
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-style document quality rule flags, thresholds tuned so each
+    rule splits this corpus (word band 30..120, mean word length band
+    3.00..4.50, >=1 stopword marker)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = gopher_quality(docs, min_words=30, max_words=120,
+                         min_mean_word_len_x100=300,
+                         max_mean_word_len_x100=450,
+                         min_stop_hits=1)
+    return out.select(
+        "doc_id", "n_words", "mean_word_len_x100", "symbol_ratio_x10000",
+        "alpha_word_ratio_x10000", "n_stop_hits", "n_lines",
+        F.col("ok_words").cast("long").alias("ok_words"),
+        F.col("ok_word_len").cast("long").alias("ok_word_len"),
+        F.col("ok_symbols").cast("long").alias("ok_symbols"),
+        F.col("ok_alpha").cast("long").alias("ok_alpha"),
+        F.col("ok_stopwords").cast("long").alias("ok_stopwords"),
+        F.col("ok_lines").cast("long").alias("ok_lines"),
+        F.col("pass").cast("long").alias("ok_all"))
+
+
+def q_blocklist(spark, sf_dir):
+    """Token-membership blocklist gate: per-doc blocked-token occurrence
+    and distinct-entry counts plus the keep flag."""
+    docs = _t(spark, sf_dir, "documents")
+    return blocklist_stats(docs, ["spark", "hash", "window"]) \
+        .select("doc_id", "n_hits", "n_terms", "kept")
+
+
+def q_rolling_stats(spark, sf_dir):
+    """Per-user moving-frame statistics over the event stream: 5-row
+    moving sum/min/max in exact integer cents, step delta, running count.
+    Timestamps emitted as epoch-micros BIGINTs and the first-event delta
+    coalesced to 0 (cum_n = 1 disambiguates) so no nullable-BIGINT column
+    reaches the pandas fetch as float64."""
+    ev = _t(spark, sf_dir, "events")
+    out = rolling_stats(ev)
+    return out.select(
+        "user_id", "event_id", _epoch_us("ts").alias("ts_us"),
+        "value_cents", "mov_sum_cents", "mov_min_cents", "mov_max_cents",
+        F.col("mov_n").cast("long").alias("mov_n"),
+        F.coalesce("delta_cents", F.lit(0)).alias("delta_cents"),
+        "cum_n")
+
+
 def q_tpch_q6(spark, sf_dir):
     """TPC-H Q6 (forecasting revenue change) through the pipe DSL: the
     pure scan-filter-aggregate query — every predicate must reach the
@@ -1918,7 +1990,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotation is documented in COVERAGE.md ("Driver-slot rotation").
 
     Round-6 front block (slots 1-50), exact layout in COVERAGE.md
-    ("Driver-slot rotation"): 16 TPC-H entries (14 NEW queries + the new
+    ("Driver-slot rotation"): 5 NEW session-2 operators
+    (temperature_budgets/mixture, gopher_quality, blocklist,
+    rolling_stats), 16 TPC-H entries (14 NEW queries + the new
     tpch_q21 + tpch_q1 whose output re-scaled this round), then queries
     whose CODE changed this round after their last driver check (tpch_q21,
     tpch_q1 integer-scaled output, range_join alias fix, asof_join salt,
@@ -1927,13 +2001,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     internals were rewritten in round 5 AFTER their last driver check
     (r4); then the longest-stale r4-only greens.  Back block: r5-green
     unchanged queries (every one re-verified by the round-6 local mimic,
-    log in COVERAGE.md) plus 4 r4-greens (multimodal_meta, ann_recall,
-    rollup, pivot — unchanged since r3, mimic-green) deferred to the
-    round-7 window.
+    log in COVERAGE.md) plus the r4-greens deferred to the round-7
+    window (multimodal_meta, ann_recall, rollup, pivot — unchanged since
+    r3 — and text_quality, lang_id, ann_topk, mixed_join,
+    nary_outer_join, displaced by the 5 new session-2 slots; all
+    mimic-green on round-6 code).
     """
 
     return {
-        # --- round-6 window: TPC-H block, 16 entries (slots 1-16) ---
+        # --- NEW round-6 session-2 operators (slots 1-5) ---
+        "temperature_budgets": q_temperature_budgets,
+        "temperature_mixture": q_temperature_mixture,
+        "gopher_quality": q_gopher_quality,
+        "blocklist": q_blocklist,
+        "rolling_stats": q_rolling_stats,
+        # --- round-6 window: TPC-H block, 16 entries (slots 6-21) ---
         "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
         "tpch_q7": q_tpch_q7,
@@ -1982,13 +2064,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countby_events": q_countby_events,
         "window_agg_events": q_window_agg_events,
         "dedup_exact": q_dedup_exact,
+        # --- beyond slot 50 (not driver-checked this round): all
+        # mimic-green on round-6 code, see COVERAGE.md rotation log.
+        # text_quality..nary_outer_join displaced from the window by the
+        # five new session-2 operators above (all r4-green + mimic-green;
+        # deferred to the round-7 window) ---
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "ann_topk": q_ann_topk,
         "mixed_join": q_mixed_join,
         "nary_outer_join": q_nary_outer_join,
-        # --- beyond slot 50 (not driver-checked this round): all
-        # mimic-green on round-6 code, see COVERAGE.md rotation log ---
         "nary_right_join": q_nary_right_join,
         "nary_mixed_join": q_nary_mixed_join,
         "semi_join": q_semi_join,
@@ -3106,6 +3191,183 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY {_hex8_to_int_sql('key')} % 8
                        ORDER BY key, doc_id) AS BIGINT) AS shard_pos
             FROM k
+        """,
+        "temperature_budgets": """
+            WITH t AS (
+                SELECT lang,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS n
+                FROM documents),
+            c AS (
+                SELECT lang, CAST(sum(n) AS BIGINT) AS corpus_tokens
+                FROM t GROUP BY lang),
+            w AS (
+                SELECT lang, corpus_tokens,
+                       CAST(CASE WHEN (r + 1) * (r + 1) <= corpus_tokens
+                                 THEN r + 1
+                                 WHEN r * r <= corpus_tokens THEN r
+                                 ELSE r - 1 END AS BIGINT) AS weight
+                FROM (SELECT lang, corpus_tokens,
+                             CAST(floor(sqrt(CAST(corpus_tokens AS DOUBLE)))
+                                  AS BIGINT) AS r
+                      FROM c)),
+            s AS (SELECT CAST(sum(weight) AS BIGINT) AS tot FROM w)
+            SELECT lang, corpus_tokens, weight,
+                   CAST((8000 // tot) * weight
+                        + ((8000 % tot) * weight) // tot AS BIGINT) AS budget
+            FROM w CROSS JOIN s
+        """,
+        "temperature_mixture": """
+            WITH t AS (
+                SELECT doc_id, lang,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS n_tokens
+                FROM documents),
+            c AS (
+                SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens
+                FROM t GROUP BY lang),
+            w AS (
+                SELECT lang,
+                       CAST(CASE WHEN (r + 1) * (r + 1) <= corpus_tokens
+                                 THEN r + 1
+                                 WHEN r * r <= corpus_tokens THEN r
+                                 ELSE r - 1 END AS BIGINT) AS weight
+                FROM (SELECT lang, corpus_tokens,
+                             CAST(floor(sqrt(CAST(corpus_tokens AS DOUBLE)))
+                                  AS BIGINT) AS r
+                      FROM c)),
+            s AS (SELECT CAST(sum(weight) AS BIGINT) AS tot FROM w),
+            b AS (
+                SELECT lang,
+                       CAST((8000 // tot) * weight
+                            + ((8000 % tot) * weight) // tot AS BIGINT)
+                           AS budget
+                FROM w CROSS JOIN s),
+            adm AS (
+                SELECT t.doc_id, t.lang, t.n_tokens, b.budget,
+                       sum(t.n_tokens) OVER (
+                           PARTITION BY t.lang
+                           ORDER BY md5('temper#' || t.doc_id), t.doc_id
+                           ROWS UNBOUNDED PRECEDING) AS running
+                FROM t JOIN b USING (lang))
+            SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+            FROM adm WHERE running <= budget
+        """,
+        "gopher_quality": """
+            WITH raw AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS toks,
+                       regexp_split_to_array(lower(text), '\\s+') AS ltoks,
+                       str_split(text, chr(10)) AS lines,
+                       CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+                            AS BIGINT) AS n_nonspace,
+                       CAST(length(regexp_replace(text, '[^#]', '', 'g'))
+                            + len(regexp_extract_all(text, '\\.\\.\\.'))
+                            AS BIGINT) AS n_sym
+                FROM documents),
+            m AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS BIGINT) AS n_words,
+                       greatest(CAST(len(toks) AS BIGINT), 1) AS nw1,
+                       n_nonspace, n_sym,
+                       CAST(len(list_filter(toks,
+                            x -> regexp_matches(x, '\\p{L}')))
+                            AS BIGINT) AS n_alpha_words,
+                       CAST((CASE WHEN list_contains(ltoks, 'the') THEN 1 ELSE 0 END)
+                          + (CASE WHEN list_contains(ltoks, 'and') THEN 1 ELSE 0 END)
+                          + (CASE WHEN list_contains(ltoks, 'of') THEN 1 ELSE 0 END)
+                          + (CASE WHEN list_contains(ltoks, 'to') THEN 1 ELSE 0 END)
+                          + (CASE WHEN list_contains(ltoks, 'in') THEN 1 ELSE 0 END)
+                          + (CASE WHEN list_contains(ltoks, 'is') THEN 1 ELSE 0 END)
+                          + (CASE WHEN list_contains(ltoks, 'that') THEN 1 ELSE 0 END)
+                          + (CASE WHEN list_contains(ltoks, 'it') THEN 1 ELSE 0 END)
+                          + (CASE WHEN list_contains(ltoks, 'for') THEN 1 ELSE 0 END)
+                          + (CASE WHEN list_contains(ltoks, 'was') THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_stop_hits,
+                       CAST(len(lines) AS BIGINT) AS n_lines,
+                       greatest(CAST(len(lines) AS BIGINT), 1) AS nl1,
+                       CAST(len(list_filter(lines,
+                            x -> regexp_matches(trim(x), '^[-*•] ')))
+                            AS BIGINT) AS n_bullet,
+                       CAST(len(list_filter(lines,
+                            x -> regexp_matches(rtrim(x), '\\.\\.\\.$')))
+                            AS BIGINT) AS n_ell_lines
+                FROM raw)
+            SELECT doc_id, n_words,
+                   (n_nonspace * 100) // nw1 AS mean_word_len_x100,
+                   (n_sym * 10000) // nw1 AS symbol_ratio_x10000,
+                   (n_alpha_words * 10000) // nw1 AS alpha_word_ratio_x10000,
+                   n_stop_hits, n_lines,
+                   CAST(CASE WHEN n_words >= 30 AND n_words <= 120
+                        THEN 1 ELSE 0 END AS BIGINT) AS ok_words,
+                   CAST(CASE WHEN n_nonspace * 100 >= 300 * nw1
+                             AND n_nonspace * 100 <= 450 * nw1
+                        THEN 1 ELSE 0 END AS BIGINT) AS ok_word_len,
+                   CAST(CASE WHEN n_sym * 10000 <= 1000 * nw1
+                        THEN 1 ELSE 0 END AS BIGINT) AS ok_symbols,
+                   CAST(CASE WHEN n_alpha_words * 10000 >= 8000 * nw1
+                        THEN 1 ELSE 0 END AS BIGINT) AS ok_alpha,
+                   CAST(CASE WHEN n_stop_hits >= 1
+                        THEN 1 ELSE 0 END AS BIGINT) AS ok_stopwords,
+                   CAST(CASE WHEN n_bullet * 10000 <= 9000 * nl1
+                             AND n_ell_lines * 10000 <= 3000 * nl1
+                        THEN 1 ELSE 0 END AS BIGINT) AS ok_lines,
+                   CAST(CASE WHEN n_words >= 30 AND n_words <= 120
+                             AND n_nonspace * 100 >= 300 * nw1
+                             AND n_nonspace * 100 <= 450 * nw1
+                             AND n_sym * 10000 <= 1000 * nw1
+                             AND n_alpha_words * 10000 >= 8000 * nw1
+                             AND n_stop_hits >= 1
+                             AND n_bullet * 10000 <= 9000 * nl1
+                             AND n_ell_lines * 10000 <= 3000 * nl1
+                        THEN 1 ELSE 0 END AS BIGINT) AS ok_all
+            FROM m
+        """,
+        "blocklist": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(lower(text)) = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(lower(text)),
+                                                       '\\s+')
+                       END AS toks
+                FROM documents)
+            SELECT doc_id,
+                   CAST(len(list_filter(toks,
+                        x -> x IN ('hash', 'spark', 'window')))
+                        AS BIGINT) AS n_hits,
+                   CAST((CASE WHEN list_contains(toks, 'hash') THEN 1 ELSE 0 END)
+                      + (CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END)
+                      + (CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_terms,
+                   CAST(CASE WHEN len(list_filter(toks,
+                        x -> x IN ('hash', 'spark', 'window'))) = 0
+                        THEN 1 ELSE 0 END AS BIGINT) AS kept
+            FROM t
+        """,
+        "rolling_stats": """
+            WITH e AS (
+                SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                FROM events)
+            SELECT user_id, event_id, ts_us,
+                   cents AS value_cents,
+                   CAST(sum(cents) OVER w5 AS BIGINT) AS mov_sum_cents,
+                   min(cents) OVER w5 AS mov_min_cents,
+                   max(cents) OVER w5 AS mov_max_cents,
+                   CAST(count(*) OVER w5 AS BIGINT) AS mov_n,
+                   CAST(coalesce(cents - lag(cents, 1) OVER s, 0)
+                        AS BIGINT) AS delta_cents,
+                   CAST(row_number() OVER s AS BIGINT) AS cum_n
+            FROM e
+            WINDOW w5 AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+                   s AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "tpch_q6": """
             SELECT CAST(floor(sum(l_extendedprice * l_discount) * 100 + 0.5)

@@ -140,6 +140,12 @@ BENCH_QUERIES = [
     "lang_id",
     "sessionize",
     "stratified_sample",
+    # round-6 session-2 operators (set change: 79 -> 83 rows; totals are
+    # not comparable to earlier rounds — compare per-query)
+    "temperature_mixture",
+    "gopher_quality",
+    "blocklist",
+    "rolling_stats",
 ]
 
 

@@ -9,7 +9,7 @@ only in clearly-marked Arrow-batched UDF paths (multimodal decode).
 
 from .text import (
     token_count, token_budget, quality_features, quality_filter, lang_id,
-    fingerprint, redact_pii,
+    fingerprint, redact_pii, gopher_quality, blocklist_stats,
 )
 from .packing import chunk_corpus
 from .dedup import (
@@ -29,7 +29,8 @@ from .multimodal import (
     frame_sample,
 )
 from .skew import salted_agg, salted_broadcast_left, stratified_sample
-from .mixture import domain_quota, shuffle_shard, token_budget_mixture
+from .mixture import (domain_quota, shuffle_shard, token_budget_mixture,
+                      temperature_budgets, temperature_mixture)
 from .temporal import asof_join, range_join
 from .decontam import contamination_pairs, decontaminate
 from .corpus import (bigram_lm_scores, bm25_scores, corpus_report,
@@ -37,6 +38,7 @@ from .corpus import (bigram_lm_scores, bm25_scores, corpus_report,
                      ngram_counts, repetition_stats,
                      tfidf_topterms, unigram_commonness)
 from .analytics import (event_funnel, group_quantiles,
-                        group_quantiles_binned, value_histogram)
+                        group_quantiles_binned, rolling_stats,
+                        value_histogram)
 
 __all__ = [n for n in dir() if not n.startswith("_")]

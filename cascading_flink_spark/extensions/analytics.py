@@ -73,6 +73,59 @@ def value_histogram(df: DataFrame, value_col: str = "value",
                       "n"))
 
 
+def rolling_stats(events: DataFrame, key_col: str = "user_id",
+                  ts_col: str = "ts", id_col: str = "event_id",
+                  value_col: str = "value",
+                  window_rows: int = 5) -> DataFrame:
+    """Per-key ordered moving-frame statistics — the sliding-window
+    profile (moving sum / min / max, step delta, running count) that
+    monitoring and feature pipelines compute over an event stream, as
+    one batch window pass.
+
+    Each event gets, over the frame of the last ``window_rows`` events
+    of the SAME key ordered by ``(ts, id)`` (the id breaks timestamp
+    ties deterministically):
+
+    * ``mov_sum_cents`` / ``mov_min_cents`` / ``mov_max_cents`` — over
+      the value in integer cents (``floor(value*100 + 0.5)``: one IEEE
+      multiply+add+floor, so any engine bins identically and every
+      aggregate is exact long arithmetic — no float summation-order
+      drift can reach the output)
+    * ``mov_n`` — rows actually in the frame (< ``window_rows`` near the
+      key's start; consumers divide for the moving average)
+    * ``delta_cents`` — difference from the previous event's cents
+      (NULL on each key's first event)
+    * ``cum_n`` — running event count for the key
+
+    Scale shape (100 TB): ONE shuffle on the key; every frame is bounded
+    by ``window_rows``, and running aggregates stream through the sorted
+    partition — cost is the per-key sort.  A mega-key (one user with a
+    large fraction of all events) serializes in one task's sort, the
+    same documented limit as ``group_quantiles``; bound it upstream
+    (sessionize first, or split the key by day) — the moving frame is
+    then computed per sub-key.
+    """
+    if window_rows < 1:
+        raise ValueError("window_rows must be >= 1")
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    base = events.withColumn("__cents", cents)
+    order = [F.col(ts_col), F.col(id_col)]
+    frame = (Window.partitionBy(key_col).orderBy(*order)
+             .rowsBetween(-(window_rows - 1), 0))
+    seq = Window.partitionBy(key_col).orderBy(*order)
+    return (base.select(
+        F.col(key_col), F.col(id_col), F.col(ts_col),
+        F.col("__cents").alias("value_cents"),
+        F.sum("__cents").over(frame).alias("mov_sum_cents"),
+        F.min("__cents").over(frame).alias("mov_min_cents"),
+        F.max("__cents").over(frame).alias("mov_max_cents"),
+        F.count(F.lit(1)).over(frame).alias("mov_n"),
+        (F.col("__cents") - F.lag("__cents", 1).over(seq))
+            .alias("delta_cents"),
+        F.row_number().over(seq).cast("long").alias("cum_n"),
+    ))
+
+
 def group_quantiles(df: DataFrame, value_col: str = "value",
                     by: str = "event_type",
                     ps: list[float] | None = None) -> DataFrame:

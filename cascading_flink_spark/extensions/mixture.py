@@ -178,6 +178,110 @@ def token_budget_mixture(df: DataFrame, budgets: dict[str, int],
     return cold.unionByName(picked).unionByName(rescue).select(*df.columns)
 
 
+def temperature_budgets(df: DataFrame, total_budget: int,
+                        lang_col: str = "lang",
+                        token_col: str = "n_tokens",
+                        alpha: float = 0.5) -> DataFrame:
+    """Temperature-weighted per-language token budgets: the allocation
+    table behind multilingual mixture sampling (XLM-R / mT5 style), where
+    language ``l`` holding ``c_l`` corpus tokens gets
+    ``budget_l = floor(total_budget * c_l^alpha / sum_k c_k^alpha)`` —
+    ``alpha < 1`` flattens the head languages and up-samples the tail.
+
+    Returns one row per language: ``(lang, corpus_tokens, weight,
+    budget)``.
+
+    ``alpha=0.5`` (the default) is computed in EXACT integer arithmetic:
+    ``weight = isqrt(corpus_tokens)`` via a floor(sqrt)+/-1 correction
+    (both engines' IEEE sqrt is correctly rounded, and the correction
+    makes any half-ulp disagreement irrelevant), the weight total is an
+    exact long sum, and the floor division uses the overflow-free
+    identity ``(B div S)*s + ((B mod S)*s) div S`` — exact whenever
+    ``(B mod S) * max(s) < 2^63``, i.e. for any corpus under ~4e18
+    tokens.  Any engine reproduces it bit-for-bit, so the allocation is
+    a full value-hash oracle row, unlike double ``pow`` whose last ulp
+    is implementation-defined.  Other ``alpha`` values use double
+    ``pow`` (pytest-only evidence; documented flake risk at exact
+    floor boundaries).
+
+    Scale shape (100 TB): one partial-agg groupBy on the language key
+    (combine map-side), then arithmetic over the tiny per-language
+    table.  No windows, no driver pulls.
+    """
+    if total_budget < 0:
+        raise ValueError("total_budget must be >= 0")
+    tok = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
+    # unlabeled (NULL-language) rows are excluded from the allocation
+    # entirely — counting their mass in the weight total while the
+    # admission equi-join silently drops them would skew every budget
+    # (the same NULL-key trap domain_quota's twoscan path documents)
+    counts = (df.filter(F.col(lang_col).isNotNull())
+                .groupBy(lang_col).agg(F.sum(tok).alias("corpus_tokens")))
+    if alpha == 0.5:
+        c = F.col("corpus_tokens")
+        r = F.floor(F.sqrt(c.cast("double"))).cast("long")
+        s = (F.when((r + 1) * (r + 1) <= c, r + 1)
+              .when(r * r <= c, r)
+              .otherwise(r - 1))
+        weighted = counts.withColumn("weight", s)
+        total = weighted.agg(F.sum("weight").alias("__S"))
+        return (weighted.crossJoin(F.broadcast(total))
+                .withColumn(
+                    "budget",
+                    F.when(F.col("__S") <= 0, F.lit(0).cast("long"))
+                     .otherwise(
+                        F.expr(f"({total_budget} DIV __S) * weight"
+                               f" + (({total_budget} % __S) * weight)"
+                               " DIV __S").cast("long")))
+                .drop("__S")
+                .select(lang_col, "corpus_tokens", "weight", "budget"))
+    weighted = counts.withColumn(
+        "weight", F.pow(F.col("corpus_tokens").cast("double"),
+                        F.lit(float(alpha))))
+    total = weighted.agg(F.sum("weight").alias("__S"))
+    return (weighted.crossJoin(F.broadcast(total))
+            .withColumn("budget",
+                        F.floor(F.lit(float(total_budget))
+                                * F.col("weight") / F.col("__S"))
+                         .cast("long"))
+            .drop("__S")
+            .select(lang_col, "corpus_tokens", "weight", "budget"))
+
+
+def temperature_mixture(df: DataFrame, total_budget: int,
+                        lang_col: str = "lang",
+                        token_col: str = "n_tokens",
+                        id_col: str = "doc_id",
+                        seed: str = "temper",
+                        alpha: float = 0.5) -> DataFrame:
+    """Cut a temperature-weighted multilingual mixture: derive each
+    language's token budget with :func:`temperature_budgets`, then admit
+    that language's docs in deterministic md5 order while the running
+    token total stays within the budget — :func:`token_budget_mixture`'s
+    admission rule with data-derived budgets instead of a hand dict.
+
+    Returns the admitted rows (original columns); NULL-language rows are
+    dropped (see :func:`temperature_budgets`).  One groupBy for the
+    allocation (broadcast back — the per-language table is tiny), one
+    prefix-sum window on the language key for admission.  A mega
+    language sorts in one task's window, exactly as
+    :func:`token_budget_mixture` documents; at that scale route the
+    derived budgets through its ``strategy="twoscan"`` path instead.
+    """
+    budgets = temperature_budgets(df, total_budget, lang_col=lang_col,
+                                  token_col=token_col, alpha=alpha) \
+        .select(lang_col, "budget")
+    tok = F.col(token_col).cast("long")
+    order = [_md5_order(id_col, seed), F.col(id_col)]
+    w = (Window.partitionBy(lang_col).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (df.join(F.broadcast(budgets), lang_col)
+              .withColumn("__cum", F.sum(tok).over(w))
+              .filter(F.col("__cum") <= F.col("budget"))
+              .drop("budget", "__cum")
+              .select(*df.columns))
+
+
 def shuffle_shard(df: DataFrame, num_shards: int,
                   id_col: str = "doc_id", seed: str = "epoch0") -> DataFrame:
     """Deterministic global shuffle + shard assignment for training output:

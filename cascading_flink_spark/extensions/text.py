@@ -145,6 +145,147 @@ def redact_pii(df: DataFrame, text_col: str = "text",
     return df.select(F.col(id_col), cur.alias("clean_text"), *counts)
 
 
+def gopher_quality(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_mean_word_len_x100: int = 300,
+                   max_mean_word_len_x100: int = 1000,
+                   max_symbol_ratio_x10000: int = 1000,
+                   min_alpha_word_ratio_x10000: int = 8000,
+                   min_stop_hits: int = 2,
+                   max_bullet_line_ratio_x10000: int = 9000,
+                   max_ellipsis_line_ratio_x10000: int = 3000) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, public): the
+    standard pre-training repetition-free gate set, one flag per rule
+    plus the conjunction.
+
+    Rules (thresholds are integer-scaled params; every comparison is
+    cross-multiplied integer arithmetic, so no double ever reaches the
+    output or the comparisons — any engine reproduces it bit-for-bit):
+
+    * word count within ``[min_words, max_words]``
+    * mean word length (non-space chars per word) within
+      ``[min/max_mean_word_len_x100] / 100``
+    * symbol-to-word ratio (``#`` chars + ``...`` runs, per word) at most
+      ``max_symbol_ratio_x10000 / 10000``
+    * fraction of words containing at least one Unicode letter at least
+      ``min_alpha_word_ratio_x10000 / 10000`` (``\\p{L}``, not ASCII —
+      same non-Latin-script rationale as :func:`quality_features`)
+    * at least ``min_stop_hits`` DISTINCT stopword markers present
+      (:data:`EN_MARKERS` — the Gopher "must contain 2 of ..." rule)
+    * fraction of lines starting with a bullet (``-``/``*``/``•``)
+      at most ``max_bullet_line_ratio_x10000 / 10000``, and fraction of
+      lines ending in ``...`` at most
+      ``max_ellipsis_line_ratio_x10000 / 10000``
+
+    Returns ``(doc_id, n_words, mean_word_len_x100, symbol_ratio_x10000,
+    alpha_word_ratio_x10000, n_stop_hits, n_lines, ok_words, ok_word_len,
+    ok_symbols, ok_alpha, ok_stopwords, ok_lines, pass)`` — all longs /
+    booleans.  Map-only native expressions: no shuffle, no Python; at
+    100 TB this is an embarrassingly parallel projection exactly like
+    :func:`quality_features`.
+    """
+    t = F.col(text_col)
+    toks = _tokens(t)
+    n_words = F.size(toks).cast("long")
+    nw1 = F.greatest(n_words, F.lit(1))
+    n_nonspace = F.length(F.regexp_replace(t, r"\s+", "")).cast("long")
+    n_hash = F.length(F.regexp_replace(t, r"[^#]", "")).cast("long")
+    n_ellipsis = F.regexp_count(t, F.lit(r"\.\.\.")).cast("long")
+    n_sym = n_hash + n_ellipsis
+    n_alpha_words = F.size(
+        F.filter(toks, lambda w: w.rlike(r"\p{L}"))).cast("long")
+    lower_toks = F.split(F.lower(t), _TOKEN_SPLIT)
+    n_stop = sum(
+        (F.array_contains(lower_toks, m).cast("long") for m in EN_MARKERS),
+        F.lit(0).cast("long"))
+    lines = F.split(t, r"\n")
+    n_lines = F.size(lines).cast("long")
+    nl1 = F.greatest(n_lines, F.lit(1))
+    n_bullet = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•] "))) \
+        .cast("long")
+    n_ell_lines = F.size(
+        F.filter(lines, lambda ln: F.rtrim(ln).rlike(r"\.\.\.$"))) \
+        .cast("long")
+
+    ok_words = (n_words >= min_words) & (n_words <= max_words)
+    # mean word length in [lo/100, hi/100]  <=>  lo*n_words <= 100*chars
+    # <= hi*n_words (integer cross-multiplication, exact)
+    ok_word_len = ((n_nonspace * 100 >= F.lit(int(min_mean_word_len_x100)) * nw1)
+                   & (n_nonspace * 100 <= F.lit(int(max_mean_word_len_x100)) * nw1))
+    ok_symbols = n_sym * 10000 <= F.lit(int(max_symbol_ratio_x10000)) * nw1
+    ok_alpha = (n_alpha_words * 10000
+                >= F.lit(int(min_alpha_word_ratio_x10000)) * nw1)
+    ok_stop = n_stop >= min_stop_hits
+    ok_lines = ((n_bullet * 10000
+                 <= F.lit(int(max_bullet_line_ratio_x10000)) * nl1)
+                & (n_ell_lines * 10000
+                   <= F.lit(int(max_ellipsis_line_ratio_x10000)) * nl1))
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        # floor-scaled diagnostics (exact integer DIV below)
+        (n_nonspace * 100).cast("long").alias("__mwl_num"),
+        nw1.alias("__nw1"), nl1.alias("__nl1"),
+        (n_sym * 10000).alias("__sym_num"),
+        (n_alpha_words * 10000).alias("__alpha_num"),
+        n_stop.alias("n_stop_hits"),
+        n_lines.alias("n_lines"),
+        ok_words.alias("ok_words"), ok_word_len.alias("ok_word_len"),
+        ok_symbols.alias("ok_symbols"), ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stopwords"), ok_lines.alias("ok_lines"),
+        (ok_words & ok_word_len & ok_symbols & ok_alpha & ok_stop
+         & ok_lines).alias("pass"),
+    ).select(
+        id_col, "n_words",
+        F.expr("__mwl_num DIV __nw1").cast("long")
+            .alias("mean_word_len_x100"),
+        F.expr("__sym_num DIV __nw1").cast("long")
+            .alias("symbol_ratio_x10000"),
+        F.expr("__alpha_num DIV __nw1").cast("long")
+            .alias("alpha_word_ratio_x10000"),
+        "n_stop_hits", "n_lines", "ok_words", "ok_word_len", "ok_symbols",
+        "ok_alpha", "ok_stopwords", "ok_lines", "pass",
+    )
+
+
+def blocklist_stats(df: DataFrame, terms: list[str],
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Token-membership blocklist scan — the NSFW / spam wordlist gate of
+    a crawl-curation pipeline, by exact lower-cased whitespace-token
+    membership (not substring regex, so "classic" never trips a "ass"
+    entry and the DuckDB oracle re-derives the identical rule with no
+    regex-dialect pitfalls).
+
+    Returns ``(doc_id, n_hits, n_terms, kept)``: total blocked-token
+    occurrences, DISTINCT blocklist entries present, and
+    ``kept = (n_hits == 0)`` as a long 0/1.  Map-only native
+    higher-order-function expressions; no shuffle, no Python.  At 100 TB
+    real blocklists are a few thousand entries — a literal array in the
+    plan (or a broadcast join for very large lists); this takes the
+    literal-array form.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    lowered = sorted({str(x).lower() for x in terms})
+    t = F.col(text_col)
+    trimmed = F.trim(F.lower(t))
+    toks = F.when(trimmed == "", F.array()) \
+            .otherwise(F.split(trimmed, _TOKEN_SPLIT))
+    n_hits = F.size(F.filter(toks, lambda w: w.isin(*lowered))).cast("long")
+    n_terms = sum(
+        (F.array_contains(toks, m).cast("long") for m in lowered),
+        F.lit(0).cast("long"))
+    return df.select(
+        F.col(id_col),
+        n_hits.alias("n_hits"),
+        n_terms.alias("n_terms"),
+        (n_hits == 0).cast("long").alias("kept"),
+    )
+
+
 # GPT-2-style pre-tokenizer pattern (no lookarounds, so Java regex and RE2
 # agree): contractions, optional-space letter run, optional-space digit run,
 # optional-space punctuation run.

@@ -1,0 +1,175 @@
+"""Unit tests for the round-6 session-2 curation operators: Gopher-style
+quality rules, token blocklist stats, and per-key moving-frame rolling
+statistics — all on tiny hand-computed frames."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+
+from cascading_flink_spark.extensions import (
+    blocklist_stats, gopher_quality, rolling_stats,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+
+
+class TestGopherQuality:
+    def test_word_count_band(self, spark):
+        out = {r["doc_id"]: r for r in gopher_quality(_docs(spark, [
+            "one two three",            # 3 words
+            "a b c d e f",              # 6 words
+            "",                         # empty
+        ]), min_words=4, max_words=5).collect()}
+        assert not out[0]["ok_words"] and out[0]["n_words"] == 3
+        assert not out[1]["ok_words"] and out[1]["n_words"] == 6
+        assert out[2]["n_words"] == 0 and not out[2]["ok_words"]
+
+    def test_mean_word_len_boundaries_inclusive(self, spark):
+        # "ab ab" -> 4 chars / 2 words = 2.00 exactly; both boundaries
+        # are inclusive integer cross-multiplications
+        out = {r["doc_id"]: r for r in gopher_quality(_docs(spark, [
+            "ab ab",                # mean 2.00
+            "a a",                  # mean 1.00
+            "abcdef abcdef",        # mean 6.00
+        ]), min_words=1, max_words=100,
+            min_mean_word_len_x100=200,
+            max_mean_word_len_x100=200).collect()}
+        assert out[0]["ok_word_len"] and out[0]["mean_word_len_x100"] == 200
+        assert not out[1]["ok_word_len"]
+        assert not out[2]["ok_word_len"]
+
+    def test_symbol_ratio_counts_hashes_and_ellipses(self, spark):
+        # 2 '#' chars + 1 '...' run over 4 words = 0.75 -> 7500 x10000
+        out = {r["doc_id"]: r for r in gopher_quality(_docs(spark, [
+            "ok# then# more... words",
+            "clean words only here",
+        ]), min_words=1, max_symbol_ratio_x10000=5000).collect()}
+        assert out[0]["symbol_ratio_x10000"] == 7500
+        assert not out[0]["ok_symbols"]
+        assert out[1]["symbol_ratio_x10000"] == 0 and out[1]["ok_symbols"]
+
+    def test_alpha_word_ratio_unicode(self, spark):
+        # 2 of 4 words carry a letter -> 0.5; the non-Latin word counts
+        # as alphabetic (\p{L}, not ASCII \w)
+        out = {r["doc_id"]: r for r in gopher_quality(_docs(spark, [
+            "word 123 456 789",
+            "你好 123",
+        ]), min_words=1, min_alpha_word_ratio_x10000=5000).collect()}
+        assert out[0]["alpha_word_ratio_x10000"] == 2500
+        assert not out[0]["ok_alpha"]
+        assert out[1]["alpha_word_ratio_x10000"] == 5000
+        assert out[1]["ok_alpha"]
+
+    def test_stop_hits_count_distinct_markers(self, spark):
+        out = {r["doc_id"]: r for r in gopher_quality(_docs(spark, [
+            "the the the the",          # one DISTINCT marker
+            "the cat and it was fine",  # the, and, it, was = 4
+        ]), min_words=1, min_stop_hits=2).collect()}
+        assert out[0]["n_stop_hits"] == 1 and not out[0]["ok_stopwords"]
+        assert out[1]["n_stop_hits"] == 4 and out[1]["ok_stopwords"]
+
+    def test_line_rules(self, spark):
+        bullets = "- one thing\n- another thing\n- third thing"
+        ells = "first line...\nsecond line...\nthird stays"
+        out = {r["doc_id"]: r for r in gopher_quality(_docs(spark, [
+            bullets, ells, "plain one-line doc",
+        ]), min_words=1, max_bullet_line_ratio_x10000=9000,
+            max_ellipsis_line_ratio_x10000=3000).collect()}
+        assert out[0]["n_lines"] == 3 and not out[0]["ok_lines"]
+        # 2/3 ellipsis-ended > 0.3
+        assert not out[1]["ok_lines"]
+        assert out[2]["ok_lines"]
+
+    def test_pass_is_conjunction(self, spark):
+        good = "the quick brown fox jumps over the lazy dog again today"
+        out = gopher_quality(_docs(spark, [good]), min_words=5,
+                             max_words=100, min_stop_hits=1).collect()[0]
+        assert out["pass"] and all(
+            out[c] for c in ("ok_words", "ok_word_len", "ok_symbols",
+                             "ok_alpha", "ok_stopwords", "ok_lines"))
+
+
+class TestBlocklistStats:
+    def test_token_membership_not_substring(self, spark):
+        # "classic" must NOT trip an "ass" entry — membership is by
+        # whole lower-cased token
+        out = {r["doc_id"]: r for r in blocklist_stats(_docs(spark, [
+            "classic glass art",
+            "bad ass attitude",
+        ]), ["ass"]).collect()}
+        assert out[0]["n_hits"] == 0 and out[0]["kept"] == 1
+        assert out[1]["n_hits"] == 1 and out[1]["kept"] == 0
+
+    def test_counts_total_vs_distinct(self, spark):
+        out = blocklist_stats(_docs(spark, [
+            "Spam SPAM eggs spam scam",
+        ]), ["spam", "scam", "ham"]).collect()[0]
+        assert out["n_hits"] == 4          # 3x spam + 1x scam
+        assert out["n_terms"] == 2         # spam, scam
+        assert out["kept"] == 0
+
+    def test_empty_and_clean(self, spark):
+        out = {r["doc_id"]: r for r in blocklist_stats(_docs(spark, [
+            "", "perfectly fine text",
+        ]), ["bad"]).collect()}
+        assert out[0]["n_hits"] == 0 and out[0]["kept"] == 1
+        assert out[1]["kept"] == 1
+
+    def test_empty_terms_raises(self, spark):
+        with pytest.raises(ValueError):
+            blocklist_stats(_docs(spark, ["x"]), [])
+
+
+class TestRollingStats:
+    def _events(self, spark, rows):
+        return spark.createDataFrame(
+            [Row(user_id=u, event_id=i,
+                 ts=datetime.datetime(2024, 1, 1, 0, 0, s), value=v)
+             for u, i, s, v in rows])
+
+    def test_hand_computed_frames(self, spark):
+        out = {r["event_id"]: r for r in rolling_stats(self._events(spark, [
+            # user 1: values 1.00, 2.00, 3.00, 4.00 at t=0..3
+            (1, 10, 0, 1.0), (1, 11, 1, 2.0), (1, 12, 2, 3.0),
+            (1, 13, 3, 4.0),
+            (2, 20, 0, 10.0),
+        ]), window_rows=3).collect()}
+        assert (out[10]["mov_sum_cents"], out[10]["mov_n"]) == (100, 1)
+        assert (out[12]["mov_sum_cents"], out[12]["mov_n"]) == (600, 3)
+        # frame slides: rows 11..13 only
+        assert (out[13]["mov_sum_cents"], out[13]["mov_min_cents"],
+                out[13]["mov_max_cents"]) == (900, 200, 400)
+        assert out[10]["delta_cents"] is None
+        assert out[13]["delta_cents"] == 100
+        assert out[13]["cum_n"] == 4
+        assert out[20]["mov_n"] == 1 and out[20]["cum_n"] == 1
+
+    def test_timestamp_ties_break_by_id(self, spark):
+        out = {r["event_id"]: r for r in rolling_stats(self._events(spark, [
+            (1, 2, 0, 5.0), (1, 1, 0, 3.0),     # same ts; id orders 1 then 2
+        ]), window_rows=2).collect()}
+        assert out[1]["cum_n"] == 1 and out[1]["delta_cents"] is None
+        assert out[2]["cum_n"] == 2 and out[2]["delta_cents"] == 200
+
+    def test_half_cent_rounding_is_floor_plus_half(self, spark):
+        # the binning is defined as the IEEE result of floor(x*100+0.5),
+        # not decimal rounding: 2.675 is stored as 2.67499..., but
+        # 2.675*100 rounds to exactly 267.5, so +0.5 -> 268.0 -> 268.
+        # Any IEEE engine (Spark, DuckDB, numpy) computes the identical
+        # chain, which is the property the oracle hash relies on.
+        out = {r["event_id"]: r for r in rolling_stats(self._events(spark, [
+            (1, 1, 0, 0.005), (1, 2, 1, 2.675),
+        ]), window_rows=2).collect()}
+        assert out[1]["value_cents"] == 1
+        assert out[2]["value_cents"] == 268
+
+    def test_window_rows_validation(self, spark):
+        with pytest.raises(ValueError):
+            rolling_stats(self._events(spark, [(1, 1, 0, 1.0)]),
+                          window_rows=0)

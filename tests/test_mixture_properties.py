@@ -72,3 +72,45 @@ def test_token_budget_equals_python_model(spark, docs, budget):
                                 strategy="twoscan",
                                 oversample=0.5).collect()}
     assert two == expect
+
+
+@settings(max_examples=6, deadline=None)
+@given(docs_strategy, st.integers(0, 500))
+def test_temperature_mixture_equals_python_model(spark, docs, budget):
+    """temperature_budgets/temperature_mixture must equal the exact
+    integer model: isqrt weights, overflow-free floor allocation, then
+    md5-greedy admission per language (NULL-language rows excluded)."""
+    import math
+
+    from cascading_flink_spark.extensions import (
+        temperature_budgets, temperature_mixture,
+    )
+
+    df = spark.createDataFrame(
+        docs, "doc_id long, lang string, n_tokens long")
+    langs: dict = {}
+    for i, lang, n in docs:
+        if lang is not None:
+            langs.setdefault(lang, []).append((i, n))
+    weights = {l: math.isqrt(sum(n for _, n in rows))
+               for l, rows in langs.items()}
+    S = sum(weights.values())
+    budgets = {l: ((budget // S) * w + ((budget % S) * w) // S) if S > 0
+               else 0 for l, w in weights.items()}
+
+    got_b = {(r.lang, r.corpus_tokens, r.weight, r.budget)
+             for r in temperature_budgets(df, budget).collect()}
+    expect_b = {(l, sum(n for _, n in rows), weights[l], budgets[l])
+                for l, rows in langs.items()}
+    assert got_b == expect_b
+
+    expect = set()
+    for l, rows in langs.items():
+        run = 0
+        for i, n in sorted(rows, key=lambda r: (_md5("temper", r[0]), r[0])):
+            run += n
+            if run > budgets[l]:
+                break
+            expect.add(i)
+    got = {r.doc_id for r in temperature_mixture(df, budget).collect()}
+    assert got == expect

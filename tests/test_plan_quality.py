@@ -281,3 +281,28 @@ def test_ivf_md5_broadcasts_probe_side(spark, sf_dir):
     df = entry.queries()["ann_recall"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_temperature_mixture_broadcasts_budget_table(spark, sf_dir):
+    """The per-language allocation table is tiny and must broadcast back
+    onto the corpus — a SortMergeJoin here would shuffle the whole
+    corpus twice (once for the join, once for the admission window)."""
+    plan = plan_of(spark, "temperature_mixture", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan[:4000]
+    assert "CartesianProduct" not in plan
+
+
+def test_gopher_and_blocklist_are_map_only(spark, sf_dir):
+    """Quality gates are embarrassingly parallel projections: no shuffle
+    (Exchange), no Python (BatchEvalPython/ArrowEvalPython) may appear."""
+    for q in ("gopher_quality", "blocklist"):
+        plan = plan_of(spark, q, sf_dir)
+        assert "Exchange" not in plan, f"{q} shuffles:\n{plan[:4000]}"
+        assert "EvalPython" not in plan, f"{q} leaves the JVM:\n{plan[:4000]}"
+
+
+def test_rolling_stats_single_shuffle(spark, sf_dir):
+    """One hash partitioning on the key serves every window: frames,
+    lag and row_number all reuse the same (key, ts, id) sort order."""
+    plan = plan_of(spark, "rolling_stats", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:4000]
