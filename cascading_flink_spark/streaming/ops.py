@@ -290,6 +290,111 @@ def stream_token_quota(df: DataFrame, budgets: dict[str, int],
                                     "append", GroupStateTimeout.NoTimeout))
 
 
+def stream_rolling_stats(df: DataFrame, key_col: str = "user_id",
+                         ts_col: str = "ts", id_col: str = "event_id",
+                         value_col: str = "value",
+                         window_rows: int = 5) -> DataFrame:
+    """Streaming per-key moving-frame statistics — the stateful twin of
+    ``extensions.analytics.rolling_stats``: each arriving event gets the
+    moving sum/min/max over the last ``window_rows`` events of its key
+    (in integer cents, exact long arithmetic), the delta from the
+    previous event, and the running event count, with the trailing frame
+    carried in state across micro-batches.
+
+    Emits ``(key, event_id, ts_us, value_cents, mov_sum_cents,
+    mov_min_cents, mov_max_cents, mov_n, delta_cents, cum_n)``.  Within a
+    micro-batch events are processed in ``(ts_us, event_id-as-string)``
+    order; a single-batch stream whose id strings sort like their natural
+    order (or with no timestamp ties) therefore reproduces the batch
+    operator exactly (asserted in tests); across batches the order is
+    arrival order — a late event is ranked when it ARRIVES, the standard
+    streaming trade-off (use the batch operator for reprocessing).
+
+    State per key is one bounded tuple: the running count plus the last
+    ``window_rows - 1`` cents values — safe at any stream length.  NULL
+    values ride through exactly as in the batch twin: they occupy frame
+    slots (``mov_n`` counts rows), are skipped by sum/min/max, and make
+    the adjacent deltas NULL.
+    """
+    if window_rows < 1:
+        raise ValueError("window_rows must be >= 1")
+    out_schema = T.StructType([
+        T.StructField("key", T.StringType()),
+        T.StructField("event_id", T.StringType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("value_cents", T.LongType()),
+        T.StructField("mov_sum_cents", T.LongType()),
+        T.StructField("mov_min_cents", T.LongType()),
+        T.StructField("mov_max_cents", T.LongType()),
+        T.StructField("mov_n", T.LongType()),
+        T.StructField("delta_cents", T.LongType()),
+        T.StructField("cum_n", T.LongType()),
+    ])
+    # tail: the last window_rows-1 cents (None for null values); tailmask
+    # marks which tail slots hold a real value (an array<long> state
+    # column round-trips None elements, but the mask keeps the encoding
+    # explicit and cheap to validate)
+    state_schema = T.StructType([
+        T.StructField("cnt", T.LongType()),
+        T.StructField("tail", T.ArrayType(T.LongType(), True)),
+        T.StructField("tailmask", T.ArrayType(T.BooleanType(), False)),
+        T.StructField("prev", T.LongType()),
+    ])
+    keep = max(window_rows - 1, 0)
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            cnt, tail_vals, tail_mask, prev = state.get
+            window = [v if m else None
+                      for v, m in zip(tail_vals, tail_mask)]
+        else:
+            cnt, window, prev = 0, [], None
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True) \
+                    .sort_values(["ts_us", "event_id"])
+            out = {c: [] for c in ("event_id", "ts_us", "value_cents",
+                                   "mov_sum_cents", "mov_min_cents",
+                                   "mov_max_cents", "mov_n", "delta_cents",
+                                   "cum_n")}
+            for r in pdf.itertuples():
+                c = None if pd.isna(r.cents) else int(r.cents)
+                frame = (window + [c])[-window_rows:]
+                vals = [v for v in frame if v is not None]
+                delta = (c - prev
+                         if (cnt > 0 and prev is not None and c is not None)
+                         else None)
+                cnt += 1
+                out["event_id"].append(r.event_id)
+                out["ts_us"].append(int(r.ts_us))
+                out["value_cents"].append(c)
+                out["mov_sum_cents"].append(sum(vals) if vals else None)
+                out["mov_min_cents"].append(min(vals) if vals else None)
+                out["mov_max_cents"].append(max(vals) if vals else None)
+                out["mov_n"].append(len(frame))
+                out["delta_cents"].append(delta)
+                out["cum_n"].append(cnt)
+                window = (window + [c])[-keep:] if keep else []
+                prev = c
+            res = pd.DataFrame(out)
+            res.insert(0, "key", key[0])
+            yield res
+        state.update((cnt, list(window),
+                      [v is not None for v in window], prev))
+
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    prepared = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(id_col).cast("string").alias("event_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+        cents.alias("cents"))
+    return (prepared.groupBy("key")
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
 def stream_stream_join(left: DataFrame, right: DataFrame,
                        on, left_ts: str, right_ts: str,
                        watermark: str = "1 hour",

@@ -587,3 +587,85 @@ def test_stream_token_quota_null_text_does_not_poison_batch(spark, tmp_path):
     got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM nq_out").collect()}
     assert got == {"1", "3"}
     spark.catalog.dropTempView("nq_out")
+
+
+def test_stream_rolling_stats_batch_parity(spark, sf_dir, tmp_path):
+    """A single-batch stream through stream_rolling_stats must equal the
+    batch rolling_stats output row-for-row (ids here are same-length
+    strings, so the stream's string tie-break equals the numeric one)."""
+    from cascading_flink_spark.extensions import rolling_stats
+    from cascading_flink_spark.streaming import stream_rolling_stats
+
+    ev = (load(spark, sf_dir, "events")
+          .filter(F.col("user_id") < 20)
+          .select("user_id", "event_id", "ts", "value"))
+    src = str(tmp_path / "roll_in")
+    ev.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = stream_rolling_stats(stream, window_rows=3)
+    q = (out.writeStream.format("memory").queryName("roll_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+
+    got = {r["event_id"]: (r["mov_sum_cents"], r["mov_min_cents"],
+                           r["mov_max_cents"], r["mov_n"],
+                           r["delta_cents"], r["cum_n"])
+           for r in spark.sql("SELECT * FROM roll_out").collect()}
+    expect = {str(r["event_id"]): (r["mov_sum_cents"], r["mov_min_cents"],
+                                   r["mov_max_cents"], r["mov_n"],
+                                   r["delta_cents"], r["cum_n"])
+              for r in rolling_stats(
+                  spark.read.parquet(src), window_rows=3).collect()}
+    assert got == expect and expect
+    spark.catalog.dropTempView("roll_out")
+
+
+def test_stream_rolling_stats_three_batch_golden(spark, tmp_path):
+    """3 batches with checkpoint restarts: the trailing frame, prev value
+    and running count must carry across batches exactly — frames span
+    batch boundaries (e3's frame = [d2's 300, e2's 100, e3's 400])."""
+    from cascading_flink_spark.streaming import stream_rolling_stats
+
+    src = tmp_path / "roll3_in"
+    src.mkdir()
+    import datetime as _dt
+    mk = lambda i, s, v: ("u", f"e{i}",
+                          _dt.datetime(2024, 1, 1, 0, 0, s), v)
+    batches = [
+        [mk(1, 1, 1.0), mk(2, 2, 3.0)],
+        [mk(3, 4, 4.0), mk(4, 3, 1.0)],   # e4 sorts before e3 by ts
+        [mk(5, 5, None)],                  # null value rides through
+    ]
+    sch = ("user_id string, event_id string, ts timestamp, value double")
+    from pyspark.sql import functions as SF
+    def write(i):
+        spark.createDataFrame(batches[i], sch).coalesce(1) \
+            .write.parquet(str(src / f"f{i}"))
+    write(0)
+    schema = spark.read.parquet(str(src / "f0")).schema
+    ckpt, out_dir = str(tmp_path / "roll3_ck"), str(tmp_path / "roll3_out")
+
+    for i in range(len(batches)):
+        if i:
+            write(i)
+        _run_available_now(
+            spark, schema, str(src / "*"), ckpt, out_dir,
+            lambda s: stream_rolling_stats(s, key_col="user_id",
+                                           window_rows=3))
+
+    rows = {r["event_id"]: (r["mov_sum_cents"], r["mov_n"],
+                            r["delta_cents"], r["cum_n"])
+            for r in spark.read.parquet(out_dir).collect()}
+    assert rows == {
+        "e1": (100, 1, None, 1),
+        "e2": (400, 2, 200, 2),
+        # batch 2 sorts by ts: e4 (t=3, 1.00) then e3 (t=4, 4.00);
+        # frames carry batch 1's values
+        "e4": (500, 3, -200, 3),          # [100, 300, 100]
+        "e3": (800, 3, 300, 4),           # [300, 100, 400]
+        # batch 3: null value occupies a frame slot, sum skips it,
+        # delta from a non-null prev to null is NULL
+        "e5": (500, 3, None, 5),          # [100, 400, None]
+    }
