@@ -47,6 +47,7 @@ from cascading_flink_spark.extensions import (
     temperature_budgets, temperature_mixture,
     gopher_quality, blocklist_stats, rolling_stats,
     corpus_report, group_centroids, inverted_index, ngram_counts, bm25_scores,
+    sq_quantize, sq_topk,
 )
 
 
@@ -1976,6 +1977,29 @@ def q_ann_pq(spark, sf_dir):
     return pq_topk_md5(emb, queries_df, k=10, m=8, ksub=16, dim=64)
 
 
+def q_sq_codes(spark, sf_dir):
+    """8-bit scalar quantization of the embedding table (sq_quantize):
+    global per-dim min/max ranges -> uint8 codes, the write-once quarter-
+    size index every downstream similarity scan reads.  Codes are exact
+    integers from a fixed-order double formula, so the oracle rebuilds
+    them bit-for-bit (joined to one CSV string per vector — the driver
+    compare hashes scalar cells)."""
+    codes = sq_quantize(_t(spark, sf_dir, "embeddings"), dim=64)
+    return codes.select(
+        "vec_id",
+        F.array_join(F.col("codes").cast("array<string>"), ",").alias("codes_csv"))
+
+
+def q_sq_topk(spark, sf_dir):
+    """Asymmetric cosine top-k over the quantized corpus (sq_topk):
+    corpus side dequantized from 8-bit codes, query side full precision
+    — the FAISS SQ8 trade, scoring in native zip_with/aggregate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = (emb.filter(F.col("vec_id") < 5)
+                  .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return sq_topk(emb, queries_df, k=10, dim=64)
+
+
 # ------------------------------------------------------- driver surface
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2009,7 +2033,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
 
     return {
-        # --- NEW round-6 session-2 operators (slots 1-5) ---
+        # --- NEW round-6 session-3 operators (front of window) ---
+        "sq_codes": q_sq_codes,
+        "sq_topk": q_sq_topk,
+        # --- NEW round-6 session-2 operators ---
         "temperature_budgets": q_temperature_budgets,
         "temperature_mixture": q_temperature_mixture,
         "gopher_quality": q_gopher_quality,
@@ -2260,6 +2287,54 @@ def _hex8_to_int_sql(expr: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # Independent rebuild of the scalar-quantization index: DuckDB
+        # refits the per-dim min/max ranges and replays the exact-order
+        # code formula floor((x-lo)*255/(hi-lo)+0.5).
+        "sq_codes": """
+            WITH stats AS (
+                SELECT i, min(e.embedding[i]::DOUBLE) AS lo,
+                          max(e.embedding[i]::DOUBLE) AS hi
+                FROM embeddings e, range(1, 65) r(i)
+                GROUP BY i),
+            s AS (SELECT list(lo ORDER BY i) AS lo,
+                         list(hi ORDER BY i) AS hi FROM stats)
+            SELECT e.vec_id,
+                   array_to_string(
+                       [CASE WHEN s.hi[i] = s.lo[i] THEN 0
+                             ELSE CAST(floor((e.embedding[i]::DOUBLE - s.lo[i])
+                                             * 255.0 / (s.hi[i] - s.lo[i])
+                                             + 0.5) AS INT) END
+                        for i in range(1, 65)], ',') AS codes_csv
+            FROM embeddings e, s
+        """,
+        "sq_topk": """
+            WITH stats AS (
+                SELECT i, min(e.embedding[i]::DOUBLE) AS lo,
+                          max(e.embedding[i]::DOUBLE) AS hi
+                FROM embeddings e, range(1, 65) r(i)
+                GROUP BY i),
+            s AS (SELECT list(lo ORDER BY i) AS lo,
+                         list(hi ORDER BY i) AS hi FROM stats),
+            codes AS (
+                SELECT e.vec_id,
+                       [CASE WHEN s.hi[i] = s.lo[i] THEN 0
+                             ELSE CAST(floor((e.embedding[i]::DOUBLE - s.lo[i])
+                                             * 255.0 / (s.hi[i] - s.lo[i])
+                                             + 0.5) AS INT) END
+                        for i in range(1, 65)] AS c
+                FROM embeddings e, s),
+            deq AS (
+                SELECT codes.vec_id,
+                       [s.lo[i] + codes.c[i] * (s.hi[i] - s.lo[i]) / 255.0
+                        for i in range(1, 65)] AS v
+                FROM codes, s)
+            SELECT q.vec_id AS query_id, a.vec_id AS vec_id,
+                   round(list_cosine_similarity(a.v, q.embedding::DOUBLE[]), 4) AS sim
+            FROM deq a, embeddings q
+            WHERE q.vec_id < 5 AND a.vec_id <> q.vec_id
+            QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                                       ORDER BY sim DESC, a.vec_id) <= 10
+        """,
         "wordcount": """
             SELECT word, count(*) AS n
             FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word

@@ -146,6 +146,10 @@ BENCH_QUERIES = [
     "gopher_quality",
     "blocklist",
     "rolling_stats",
+    # round-6 session-3 operators (set change: 83 -> 85 rows; totals are
+    # not comparable to earlier rounds — compare per-query)
+    "sq_codes",
+    "sq_topk",
 ]
 
 

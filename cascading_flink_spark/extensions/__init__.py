@@ -22,7 +22,7 @@ from .similarity import (
     cosine_expr, brute_force_topk, embedding_dup_pairs, group_centroids,
     lsh_bucketed_topk,
     lsh_bucketed_topk_md5, ivf_topk, ivf_topk_md5, pq_topk, pq_topk_md5,
-    semdedup_pairs, semdedup_pairs_md5,
+    semdedup_pairs, semdedup_pairs_md5, sq_minmax, sq_quantize, sq_topk,
 )
 from .multimodal import (
     MULTIMODAL_SCHEMA, attach_binary_meta, decode_stub_features,

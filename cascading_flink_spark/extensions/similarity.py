@@ -735,3 +735,107 @@ def semdedup_pairs_md5(df: DataFrame, threshold: float = 0.93,
                 .select(F.col(id_col), F.col(vec_col),
                         F.col("__cent_id").alias("__cell")).persist())
     return _within_cell_pairs(assigned, id_col, vec_col, threshold)
+
+
+def sq_minmax(corpus: DataFrame, vec_col: str = "embedding",
+              dim: int = 64) -> tuple[list[float], list[float]]:
+    """Global per-dimension (lo, hi) ranges for scalar quantization.
+
+    One posexplode partial aggregate (map-side combine shrinks every
+    partition to ``dim`` rows before the shuffle) followed by a bounded
+    O(dim) driver pull — the training cost of the SQ index is a single
+    corpus scan regardless of corpus size."""
+    rows = (corpus.select(F.posexplode(F.col(vec_col).cast("array<double>"))
+                           .alias("i", "x"))
+            .groupBy("i")
+            .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+            .collect())
+    lo, hi = [0.0] * dim, [0.0] * dim
+    for r in rows:
+        lo[r["i"]], hi[r["i"]] = float(r["lo"]), float(r["hi"])
+    return lo, hi
+
+
+def _sq_arrays(lo: list[float], hi: list[float]):
+    lo_arr = F.array(*[F.lit(float(x)) for x in lo])
+    hi_arr = F.array(*[F.lit(float(x)) for x in hi])
+    return lo_arr, hi_arr
+
+
+def _sq_code_expr(vec: Column, lo: list[float], hi: list[float]) -> Column:
+    """8-bit code per component: floor((x-lo)*255/(hi-lo) + 0.5), clamped.
+
+    Pure double arithmetic in a fixed evaluation order so any engine
+    replaying the same formula on the same doubles lands on identical
+    codes (the driver value-hashes them)."""
+    lo_arr, hi_arr = _sq_arrays(lo, hi)
+    def code(x, i):
+        l = F.element_at(lo_arr, i + 1)
+        h = F.element_at(hi_arr, i + 1)
+        raw = F.floor((x - l) * F.lit(255.0) / (h - l) + F.lit(0.5))
+        clamped = F.greatest(F.lit(0).cast("bigint"),
+                             F.least(F.lit(255).cast("bigint"), raw))
+        return F.when(h == l, F.lit(0)).otherwise(clamped.cast("int"))
+    return F.transform(vec.cast("array<double>"), code)
+
+
+def _sq_dequant_expr(codes: Column, lo: list[float], hi: list[float]) -> Column:
+    lo_arr, hi_arr = _sq_arrays(lo, hi)
+    def deq(c, i):
+        l = F.element_at(lo_arr, i + 1)
+        h = F.element_at(hi_arr, i + 1)
+        return l + c.cast("double") * (h - l) / F.lit(255.0)
+    return F.transform(codes, deq)
+
+
+def sq_quantize(corpus: DataFrame, id_col: str = "vec_id",
+                vec_col: str = "embedding", dim: int = 64,
+                stats: tuple[list[float], list[float]] | None = None
+                ) -> DataFrame:
+    """8-bit scalar quantization of an embedding column:
+    ``(id, codes array<int>)``.
+
+    The scale play: a float32 embedding column is the dominant I/O cost of
+    every similarity scan; uint8 codes cut the bytes 4x (8x vs float64)
+    with a per-dim affine map, and parquet stores the int arrays
+    dictionary/RLE-compressed on top.  Production flow is quantize once ->
+    write the codes table -> serve every downstream scan from it (the same
+    write-once shape as the LSH bucket index).  Max reconstruction error
+    is (hi-lo)/510 per dimension, uniform across the corpus.
+
+    ``stats`` lets callers reuse ranges fitted on one corpus for another
+    (or skip the fitting scan when ranges are known)."""
+    lo, hi = stats if stats is not None else sq_minmax(corpus, vec_col, dim)
+    return corpus.select(F.col(id_col),
+                         _sq_code_expr(F.col(vec_col), lo, hi).alias("codes"))
+
+
+def sq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            query_id_col: str = "query_id", dim: int = 64,
+            stats: tuple[list[float], list[float]] | None = None
+            ) -> DataFrame:
+    """Asymmetric cosine top-k over scalar-quantized vectors:
+    ``(query_id, vec_id, sim)``.
+
+    Corpus side scores from dequantized 8-bit codes (the quarter-size
+    scan); the (small, broadcast) query side stays full precision —
+    the same asymmetric-distance trade FAISS's SQ8 index makes.  Scoring
+    is a native zip_with/aggregate expression inside whole-stage codegen;
+    the only shuffle is the final per-query top-k.  At 100 TB the codes
+    table is written once by :func:`sq_quantize` and this becomes a
+    pure scan over 1/4 of the bytes brute force reads."""
+    lo, hi = stats if stats is not None else sq_minmax(corpus, vec_col, dim)
+    codes = sq_quantize(corpus, id_col, vec_col, dim, stats=(lo, hi))
+    deq = _sq_dequant_expr(F.col("__codes"), lo, hi)
+    q = F.broadcast(queries.select(F.col(query_id_col),
+                                   F.col(vec_col).alias("__qvec")))
+    scored = (_fan_out(codes.select(F.col(id_col), F.col("codes").alias("__codes")))
+              .crossJoin(q)
+              .filter(F.col(id_col) != F.col(query_id_col))
+              .select(F.col(query_id_col), F.col(id_col),
+                      F.round(cosine_expr(deq, F.col("__qvec")), 4).alias("sim")))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") <= k)
+                  .drop("__rn"))

@@ -191,3 +191,51 @@ def test_semdedup_finds_planted_near_dups(spark):
     assert {(j, 100 + j) for j in range(5)} <= md5
     # no false positives: random 16-dim gaussians are never cos>=0.98
     assert got - {(j, 100 + j) for j in range(5)} == set()
+
+
+def test_sq_codes_bounds_and_reconstruction(spark, emb):
+    """Codes land in [0,255]; dequantization error per dimension is
+    bounded by half a quantization step ((hi-lo)/510)."""
+    from cascading_flink_spark.extensions import sq_minmax, sq_quantize
+    lo, hi = sq_minmax(emb, dim=64)
+    codes = {r["vec_id"]: r["codes"]
+             for r in sq_quantize(emb, dim=64, stats=(lo, hi)).collect()}
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    assert set(codes) == set(vecs)
+    for vid, cs in list(codes.items())[:200]:
+        assert len(cs) == 64
+        assert all(0 <= c <= 255 for c in cs)
+        for i, c in enumerate(cs):
+            step = (hi[i] - lo[i]) / 255.0
+            deq = lo[i] + c * step
+            assert abs(deq - vecs[vid][i]) <= step / 2 + 1e-9
+
+
+def test_sq_topk_recall_vs_brute_force(spark, emb, queries):
+    """8-bit quantization preserves the cosine neighborhood: require >=0.7
+    top-10 overlap with full-precision brute force (SQ8 typically loses
+    only a few tail neighbors)."""
+    from cascading_flink_spark.extensions import sq_topk
+    exact = brute_force_topk(emb, queries, k=10).collect()
+    approx = sq_topk(emb, queries, k=10, dim=64).collect()
+    by_q = {}
+    for r in exact:
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = total = 0
+    for qid, ids in by_q.items():
+        got = {r["vec_id"] for r in approx if r["query_id"] == qid}
+        hits += len(ids & got)
+        total += len(ids)
+    assert hits / total >= 0.7, f"SQ recall {hits/total:.2f}"
+
+
+def test_sq_stats_reuse_skips_refit(spark, emb):
+    """Passing precomputed stats must produce identical codes to the
+    self-fitted path (the write-once production flow quantizes new
+    batches with the original corpus ranges)."""
+    from cascading_flink_spark.extensions import sq_minmax, sq_quantize
+    stats = sq_minmax(emb, dim=64)
+    a = {r["vec_id"]: r["codes"] for r in sq_quantize(emb, dim=64).collect()}
+    b = {r["vec_id"]: r["codes"]
+         for r in sq_quantize(emb, dim=64, stats=stats).collect()}
+    assert a == b
