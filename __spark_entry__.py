@@ -47,7 +47,7 @@ from cascading_flink_spark.extensions import (
     temperature_budgets, temperature_mixture,
     gopher_quality, blocklist_stats, rolling_stats,
     corpus_report, group_centroids, inverted_index, ngram_counts, bm25_scores,
-    sq_quantize, sq_topk,
+    overlap_chunks, sq_quantize, sq_topk,
 )
 
 
@@ -2000,6 +2000,14 @@ def q_sq_topk(spark, sf_dir):
     return sq_topk(emb, queries_df, k=10, dim=64)
 
 
+def q_overlap_chunks(spark, sf_dir):
+    """Sliding-window RAG chunking (overlap_chunks): 32-token windows at
+    stride 24 per document — map-only, zero-shuffle; the oracle replays
+    the same window walk with list slicing."""
+    return overlap_chunks(_t(spark, sf_dir, "documents"),
+                          context_len=32, stride=24)
+
+
 # ------------------------------------------------------- driver surface
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2036,6 +2044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW round-6 session-3 operators (front of window) ---
         "sq_codes": q_sq_codes,
         "sq_topk": q_sq_topk,
+        "overlap_chunks": q_overlap_chunks,
         # --- NEW round-6 session-2 operators ---
         "temperature_budgets": q_temperature_budgets,
         "temperature_mixture": q_temperature_mixture,
@@ -2334,6 +2343,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE q.vec_id < 5 AND a.vec_id <> q.vec_id
             QUALIFY row_number() OVER (PARTITION BY q.vec_id
                                        ORDER BY sim DESC, a.vec_id) <= 10
+        """,
+        "overlap_chunks": """
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS t
+                FROM documents),
+            n AS (SELECT doc_id, t, len(t)::BIGINT AS n
+                  FROM d WHERE len(t) > 0),
+            c AS (SELECT doc_id, t, n,
+                         CASE WHEN n <= 32 THEN 1
+                              ELSE 1 + (n - 32 + 24 - 1) // 24 END AS num
+                  FROM n),
+            e AS (SELECT doc_id, t, unnest(range(0, num)) AS j FROM c)
+            SELECT doc_id, j AS chunk_id,
+                   len(t[j*24+1 : j*24+32])::BIGINT AS chunk_tokens,
+                   array_to_string(t[j*24+1 : j*24+32], ' ') AS chunk_text
+            FROM e
         """,
         "wordcount": """
             SELECT word, count(*) AS n

@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     # not comparable to earlier rounds — compare per-query)
     "sq_codes",
     "sq_topk",
+    "overlap_chunks",
 ]
 
 

@@ -11,7 +11,7 @@ from .text import (
     token_count, token_budget, quality_features, quality_filter, lang_id,
     fingerprint, redact_pii, gopher_quality, blocklist_stats,
 )
-from .packing import chunk_corpus
+from .packing import chunk_corpus, overlap_chunks
 from .dedup import (
     exact_dedup, exact_dedup_pairs, ngram_jaccard_pairs, minhash_lsh_pairs,
     minhash_lsh_pairs_md5, simhash_bits, simhash_dup_pairs,

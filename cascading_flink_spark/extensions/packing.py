@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import token_count
+from .text import _tokens, token_count
 
 
 def chunk_corpus(df: DataFrame, context_len: int,
@@ -75,3 +75,45 @@ def chunk_corpus(df: DataFrame, context_len: int,
                      F.floor(start / context_len).alias("first_chunk"),
                      F.floor((start + F.col("n_tokens") - 1) / context_len)
                       .alias("last_chunk")))
+
+
+def overlap_chunks(df: DataFrame, context_len: int, stride: int,
+                   text_col: str = "text", id_col: str = "doc_id"
+                   ) -> DataFrame:
+    """Per-document sliding-window token chunks — the RAG / long-context
+    chunking step: chunk ``j`` covers tokens
+    ``[j*stride, j*stride + context_len)`` of the document.
+
+    Returns ``(doc_id, chunk_id, chunk_tokens, chunk_text)``; the chunk
+    count is ``1`` for documents of at most ``context_len`` tokens, else
+    ``1 + ceil((n - context_len) / stride)`` (the final window may be
+    shorter).  ``stride < context_len`` gives overlapping context,
+    ``stride == context_len`` disjoint blocks, ``stride > context_len``
+    gapped sampling — all three are just parameter choices of the same
+    window walk.  Zero-token documents are dropped (they chunk to
+    nothing), matching :func:`chunk_corpus`.
+
+    Scale shape: tokenize -> per-row chunk-index explode -> slice, all
+    native expressions inside one narrow stage — ZERO shuffles, so the
+    operator scales linearly with input splits and never concentrates a
+    long document anywhere (a doc's chunks stay in its partition).
+    Tokenization is the shared whitespace rule of
+    :func:`cascading_flink_spark.extensions.text.token_count`."""
+    if context_len <= 0:
+        raise ValueError("context_len must be positive")
+    if stride <= 0:
+        raise ValueError("stride must be positive")
+    d = (df.select(F.col(id_col), _tokens(F.col(text_col)).alias("__t"))
+           .withColumn("__n", F.size("__t").cast("long"))
+           .filter(F.col("__n") > 0))
+    num = F.when(F.col("__n") <= context_len, F.lit(1).cast("long")) \
+           .otherwise(F.lit(1) + F.expr(
+               f"(__n - {context_len} + {stride} - 1) div {stride}"))
+    chunk = F.slice(F.col("__t"),
+                    (F.col("__j") * stride + 1).cast("int"), context_len)
+    return (d.withColumn("__j", F.explode(F.sequence(F.lit(0).cast("long"),
+                                                     num - 1)))
+             .select(F.col(id_col),
+                     F.col("__j").alias("chunk_id"),
+                     F.size(chunk).cast("long").alias("chunk_tokens"),
+                     F.array_join(chunk, " ").alias("chunk_text")))

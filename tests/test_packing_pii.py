@@ -136,3 +136,55 @@ def test_strip_boilerplate_token_accounting(spark, sf_dir):
     assert out.count() == docs.count()
     bad = out.filter((F.col("n_tokens") < 0) | (F.col("n_dropped") < 0)).count()
     assert bad == 0
+
+
+def _py_chunks(text, context_len, stride):
+    toks = text.strip().split()
+    if not toks:
+        return []
+    n = len(toks)
+    num = 1 if n <= context_len else 1 + -(-(n - context_len) // stride)
+    out = []
+    for j in range(num):
+        c = toks[j * stride: j * stride + context_len]
+        out.append((j, len(c), " ".join(c)))
+    return out
+
+
+@pytest.mark.parametrize("context_len,stride", [(32, 24), (16, 16), (8, 12)])
+def test_overlap_chunks_matches_python_model(spark, sf_dir, context_len, stride):
+    """Overlap (stride<ctx), disjoint (stride==ctx) and gapped (stride>ctx)
+    walks all match the per-document Python model."""
+    from cascading_flink_spark.extensions import overlap_chunks
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60).cache()
+    got = {}
+    for r in overlap_chunks(docs, context_len, stride).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_tokens"], r["chunk_text"]))
+    for r in docs.collect():
+        expect = _py_chunks(r["text"], context_len, stride)
+        have = sorted(got.get(r["doc_id"], []))
+        assert have == expect, f"doc {r['doc_id']}"
+
+
+def test_overlap_chunks_zero_shuffle_plan(spark, sf_dir):
+    """The chunk walk is map-only: no Exchange, no Python eval in the plan."""
+    from cascading_flink_spark.extensions import overlap_chunks
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = overlap_chunks(docs, 32, 24)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+    assert "EvalPython" not in plan, plan[:2000]
+
+
+def test_overlap_chunks_drops_empty_and_validates(spark):
+    from cascading_flink_spark.extensions import overlap_chunks
+    df = spark.createDataFrame([(1, "  "), (2, "a b c")], "doc_id long, text string")
+    rows = overlap_chunks(df, 2, 1).collect()
+    assert {r["doc_id"] for r in rows} == {2}
+    assert [(r["chunk_id"], r["chunk_text"]) for r in sorted(rows, key=lambda r: r["chunk_id"])] == \
+        [(0, "a b"), (1, "b c")]
+    with pytest.raises(ValueError):
+        overlap_chunks(df, 0, 1)
+    with pytest.raises(ValueError):
+        overlap_chunks(df, 2, 0)
