@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cascading_flink_spark import (
@@ -47,7 +47,7 @@ from cascading_flink_spark.extensions import (
     temperature_budgets, temperature_mixture,
     gopher_quality, blocklist_stats, rolling_stats,
     corpus_report, group_centroids, inverted_index, ngram_counts, bm25_scores,
-    overlap_chunks, sq_quantize, sq_topk,
+    normalize_urls, overlap_chunks, sq_quantize, sq_topk, url_dedup,
 )
 
 
@@ -2008,6 +2008,40 @@ def q_overlap_chunks(spark, sf_dir):
                           context_len=32, stride=24)
 
 
+def _messy_url() -> Column:
+    """Deterministic crawl-style URL per document, deliberately messy —
+    mixed-case scheme/host, www, default port, tracking params, fragments
+    — everything normalize_urls must canonicalize.  Both engines build the
+    identical raw string from the documents table."""
+    m = F.col("doc_id") % 4
+    tail = (F.when(m == 0, F.lit("/?utm_source=rss&utm_campaign=x"))
+             .when(m == 1, F.concat(F.lit("?id="),
+                                    (F.col("doc_id") % 7).cast("string"),
+                                    F.lit("&utm_medium=email&ref=tw")))
+             .when(m == 2, F.lit("/#section-2"))
+             .otherwise(F.lit("/")))
+    return F.concat(F.lit("HTTPS://WWW."), F.col("source"),
+                    F.lit(".Example.COM:443/docs/"),
+                    (F.col("doc_id") % 40).cast("string"), tail)
+
+
+def q_url_normalize(spark, sf_dir):
+    """Crawl-URL canonicalization (normalize_urls): fragment/tracking-param
+    strip, case/port/www folding, trailing-slash trim — all RE2-dialect
+    native regexps, replayed step-for-step by the oracle."""
+    raw = _t(spark, sf_dir, "documents").select("doc_id",
+                                                _messy_url().alias("url"))
+    return normalize_urls(raw).select("doc_id", "url", "norm_url", "domain")
+
+
+def q_url_dedup(spark, sf_dir):
+    """Canonical-URL dedup (url_dedup): one partial-agg shuffle on the
+    canonical key; keeps the smallest doc_id per URL."""
+    raw = _t(spark, sf_dir, "documents").select("doc_id",
+                                                _messy_url().alias("url"))
+    return url_dedup(raw)
+
+
 # ------------------------------------------------------- driver surface
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2045,6 +2079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_codes": q_sq_codes,
         "sq_topk": q_sq_topk,
         "overlap_chunks": q_overlap_chunks,
+        "url_normalize": q_url_normalize,
+        "url_dedup": q_url_dedup,
         # --- NEW round-6 session-2 operators ---
         "temperature_budgets": q_temperature_budgets,
         "temperature_mixture": q_temperature_mixture,
@@ -2343,6 +2379,99 @@ def oracle_sql() -> dict[str, str]:
             WHERE q.vec_id < 5 AND a.vec_id <> q.vec_id
             QUALIFY row_number() OVER (PARTITION BY q.vec_id
                                        ORDER BY sim DESC, a.vec_id) <= 10
+        """,
+        # The URL oracles rebuild the messy raw URL AND replay the full
+        # normalization pipeline step-for-step in RE2 (regexp_replace
+        # needs the explicit 'g' flag where Spark replaces globally).
+        "url_normalize": """
+            WITH raw AS (
+                SELECT doc_id,
+                       'HTTPS://WWW.' || source || '.Example.COM:443/docs/'
+                       || CAST(doc_id % 40 AS VARCHAR)
+                       || CASE doc_id % 4
+                            WHEN 0 THEN '/?utm_source=rss&utm_campaign=x'
+                            WHEN 1 THEN '?id=' || CAST(doc_id % 7 AS VARCHAR)
+                                        || '&utm_medium=email&ref=tw'
+                            WHEN 2 THEN '/#section-2'
+                            ELSE '/' END AS url
+                FROM documents),
+            parts AS (
+                SELECT doc_id, url,
+                       regexp_replace(trim(url), '#.*$', '', 'g') AS u
+                FROM raw),
+            ext AS (
+                SELECT doc_id, url,
+                       lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)(.*)$', 1)) AS scheme,
+                       regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)(.*)$', 2) AS auth,
+                       regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)(.*)$', 3) AS rest
+                FROM parts),
+            hostp AS (
+                SELECT doc_id, url, scheme, rest,
+                       CASE WHEN scheme = 'http'
+                            THEN regexp_replace(regexp_replace(lower(regexp_replace(auth, '^[^@]*@', '')), '^www\\.', ''), ':80$', '')
+                            WHEN scheme = 'https'
+                            THEN regexp_replace(regexp_replace(lower(regexp_replace(auth, '^[^@]*@', '')), '^www\\.', ''), ':443$', '')
+                            ELSE regexp_replace(lower(regexp_replace(auth, '^[^@]*@', '')), '^www\\.', '')
+                       END AS host,
+                       regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path,
+                       regexp_replace(regexp_replace(regexp_replace(
+                           regexp_extract(rest, '\\?(.*)$', 1),
+                           '(utm_[a-z0-9_]+|fbclid|gclid|msclkid|ref)=[^&#]*&?', '', 'g'),
+                           '[?&]+$', ''), '^&+', '') AS query
+                FROM ext)
+            SELECT doc_id, url,
+                   CASE WHEN scheme = '' THEN trim(url)
+                        ELSE scheme || '://' || host || path ||
+                             CASE WHEN query = '' THEN '' ELSE '?' || query END
+                   END AS norm_url,
+                   regexp_extract(host, '([a-z0-9-]+\\.[a-z0-9-]+)$', 1) AS domain
+            FROM hostp
+        """,
+        "url_dedup": """
+            WITH raw AS (
+                SELECT doc_id,
+                       'HTTPS://WWW.' || source || '.Example.COM:443/docs/'
+                       || CAST(doc_id % 40 AS VARCHAR)
+                       || CASE doc_id % 4
+                            WHEN 0 THEN '/?utm_source=rss&utm_campaign=x'
+                            WHEN 1 THEN '?id=' || CAST(doc_id % 7 AS VARCHAR)
+                                        || '&utm_medium=email&ref=tw'
+                            WHEN 2 THEN '/#section-2'
+                            ELSE '/' END AS url
+                FROM documents),
+            parts AS (
+                SELECT doc_id, url,
+                       regexp_replace(trim(url), '#.*$', '', 'g') AS u
+                FROM raw),
+            ext AS (
+                SELECT doc_id, url,
+                       lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)(.*)$', 1)) AS scheme,
+                       regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)(.*)$', 2) AS auth,
+                       regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)(.*)$', 3) AS rest
+                FROM parts),
+            hostp AS (
+                SELECT doc_id, url, scheme, rest,
+                       CASE WHEN scheme = 'http'
+                            THEN regexp_replace(regexp_replace(lower(regexp_replace(auth, '^[^@]*@', '')), '^www\\.', ''), ':80$', '')
+                            WHEN scheme = 'https'
+                            THEN regexp_replace(regexp_replace(lower(regexp_replace(auth, '^[^@]*@', '')), '^www\\.', ''), ':443$', '')
+                            ELSE regexp_replace(lower(regexp_replace(auth, '^[^@]*@', '')), '^www\\.', '')
+                       END AS host,
+                       regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path,
+                       regexp_replace(regexp_replace(regexp_replace(
+                           regexp_extract(rest, '\\?(.*)$', 1),
+                           '(utm_[a-z0-9_]+|fbclid|gclid|msclkid|ref)=[^&#]*&?', '', 'g'),
+                           '[?&]+$', ''), '^&+', '') AS query
+                FROM ext),
+            norm AS (
+                SELECT doc_id,
+                       CASE WHEN scheme = '' THEN trim(url)
+                            ELSE scheme || '://' || host || path ||
+                                 CASE WHEN query = '' THEN '' ELSE '?' || query END
+                       END AS norm_url
+                FROM hostp)
+            SELECT norm_url, min(doc_id) AS keep_id, count(*) AS n_docs
+            FROM norm GROUP BY norm_url
         """,
         "overlap_chunks": """
             WITH d AS (

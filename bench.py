@@ -151,6 +151,8 @@ BENCH_QUERIES = [
     "sq_codes",
     "sq_topk",
     "overlap_chunks",
+    "url_normalize",
+    "url_dedup",
 ]
 
 

@@ -32,6 +32,8 @@ from .skew import salted_agg, salted_broadcast_left, stratified_sample
 from .mixture import (domain_quota, shuffle_shard, token_budget_mixture,
                       temperature_budgets, temperature_mixture)
 from .temporal import asof_join, range_join
+from .urls import (normalize_url_expr, normalize_urls, url_dedup,
+                   url_domain_expr)
 from .decontam import contamination_pairs, decontaminate
 from .corpus import (bigram_lm_scores, bm25_scores, corpus_report,
                      inverted_index,

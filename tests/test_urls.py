@@ -1,0 +1,74 @@
+"""URL canonicalization (normalize_urls/url_dedup): rule-by-rule edge
+cases vs hand-written expectations, plus the zero-shuffle plan guarantee."""
+
+from __future__ import annotations
+
+import pytest
+
+from cascading_flink_spark.extensions import normalize_urls, url_dedup
+
+
+CASES = [
+    # fragment stripped
+    ("https://example.com/a#frag", "https://example.com/a"),
+    # scheme+host lowercased, www and default port stripped
+    ("HTTPS://WWW.Example.COM:443/Path", "https://example.com/Path"),
+    ("http://Example.com:80/", "http://example.com"),
+    # non-default port kept
+    ("http://example.com:8080/x", "http://example.com:8080/x"),
+    # :443 only stripped for https
+    ("http://example.com:443/x", "http://example.com:443/x"),
+    # userinfo dropped
+    ("https://user:pw@example.com/x", "https://example.com/x"),
+    # tracking params dropped, separators tidied, real params kept
+    ("https://e.com/p?utm_source=a&id=1&utm_medium=b", "https://e.com/p?id=1"),
+    ("https://e.com/p?id=1&fbclid=xyz", "https://e.com/p?id=1"),
+    ("https://e.com/p?gclid=xyz", "https://e.com/p"),
+    ("https://e.com/p?ref=tw&msclkid=1&x=2", "https://e.com/p?x=2"),
+    # trailing slashes trimmed (path kept otherwise intact, case preserved)
+    ("https://e.com/a/b///", "https://e.com/a/b"),
+    ("https://e.com/", "https://e.com"),
+    # non-URL strings pass through trimmed
+    ("  not a url  ", "not a url"),
+    ("ftp://Mixed.Case.Host/File", "ftp://mixed.case.host/File"),
+]
+
+
+def test_normalize_url_rules(spark):
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(CASES)],
+        "doc_id long, url string")
+    got = {r["doc_id"]: r["norm_url"]
+           for r in normalize_urls(df, "url").collect()}
+    for i, (raw, want) in enumerate(CASES):
+        assert got[i] == want, f"{raw!r}: {got[i]!r} != {want!r}"
+
+
+def test_url_domain(spark):
+    df = spark.createDataFrame(
+        [(1, "https://a.b.Example.COM/x"), (2, "https://example.com"),
+         (3, "plain text")],
+        "doc_id long, url string")
+    got = {r["doc_id"]: r["domain"] for r in normalize_urls(df, "url").collect()}
+    assert got[1] == "example.com"
+    assert got[2] == "example.com"
+    assert got[3] == ""
+
+
+def test_url_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(10, "https://e.com/p?utm_source=a"),
+         (3, "https://E.com/p/"),
+         (7, "https://e.com/q")],
+        "doc_id long, url string")
+    rows = {r["norm_url"]: (r["keep_id"], r["n_docs"])
+            for r in url_dedup(df).collect()}
+    assert rows == {"https://e.com/p": (3, 2), "https://e.com/q": (7, 1)}
+
+
+def test_normalize_urls_map_only_plan(spark):
+    df = spark.createDataFrame([(1, "https://e.com/")], "doc_id long, url string")
+    plan = normalize_urls(df, "url")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+    assert "EvalPython" not in plan, plan[:2000]
