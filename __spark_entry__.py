@@ -47,7 +47,8 @@ from cascading_flink_spark.extensions import (
     temperature_budgets, temperature_mixture,
     gopher_quality, blocklist_stats, rolling_stats,
     corpus_report, group_centroids, inverted_index, ngram_counts, bm25_scores,
-    normalize_urls, overlap_chunks, sq_quantize, sq_topk, url_dedup,
+    dedup_against, normalize_urls, overlap_chunks, sq_quantize, sq_topk,
+    url_dedup,
 )
 
 
@@ -2008,6 +2009,19 @@ def q_overlap_chunks(spark, sf_dir):
                           context_len=32, stride=24)
 
 
+def q_dedup_against(spark, sf_dir):
+    """Incremental cross-corpus dedup (dedup_against, minhash md5 mode):
+    odd-id docs are the incoming batch, even-id docs the curated
+    reference; near-dups of the reference are dropped.  Candidates come
+    from the new x ref banded join only — never ref x ref."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    out = dedup_against(new, ref, method="minhash", use_md5=True,
+                        threshold=0.5)
+    return out.select("doc_id", "source")
+
+
 def _messy_url() -> Column:
     """Deterministic crawl-style URL per document, deliberately messy —
     mixed-case scheme/host, www, default port, tracking params, fragments
@@ -2081,6 +2095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_chunks": q_overlap_chunks,
         "url_normalize": q_url_normalize,
         "url_dedup": q_url_dedup,
+        "dedup_against": q_dedup_against,
         # --- NEW round-6 session-2 operators ---
         "temperature_budgets": q_temperature_budgets,
         "temperature_mixture": q_temperature_mixture,
@@ -2230,14 +2245,11 @@ def _nary_staggered_sql(where: str) -> str:
         """
 
 
-def _minhash_md5_oracle() -> str:
-    """DuckDB twin of minhash_lsh_pairs_md5(n=3, 32 hashes, 8 bands, t=0.5).
-
-    Same hash family (md5 hex strings, lexicographic min), same banding —
-    bit-identical across engines by construction."""
-    nh, nb = 32, 8
+def _md5_minhash_ctes(nh: int, nb: int) -> tuple[str, str, str]:
+    """The shared md5-MinHash oracle fragments: (signature aggregates,
+    band-key selects, per-position agreement sum) — one spelling for the
+    within-corpus pair oracle and the cross-corpus dedup_against oracle."""
     rpb = nh // nb
-    min_agree = 16  # threshold 0.5 * 32
     h_aggs = ",\n                   ".join(
         f"min(md5('{i}#' || sgl)) AS h{i}" for i in range(nh))
     band_selects = "\n              UNION ALL ".join(
@@ -2246,6 +2258,17 @@ def _minhash_md5_oracle() -> str:
         for b in range(nb))
     agree = " + ".join(
         f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(nh))
+    return h_aggs, band_selects, agree
+
+
+def _minhash_md5_oracle() -> str:
+    """DuckDB twin of minhash_lsh_pairs_md5(n=3, 32 hashes, 8 bands, t=0.5).
+
+    Same hash family (md5 hex strings, lexicographic min), same banding —
+    bit-identical across engines by construction."""
+    nh, nb = 32, 8
+    min_agree = 16  # threshold 0.5 * 32
+    h_aggs, band_selects, agree = _md5_minhash_ctes(nh, nb)
     return f"""
         WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
                       FROM documents),
@@ -2270,6 +2293,43 @@ def _minhash_md5_oracle() -> str:
         SELECT id_a, id_b,
                floor(agree * 1.0 / {nh} * 10000 + 0.5) / 10000 AS est_jaccard
         FROM scored WHERE agree >= {min_agree}
+    """
+
+
+def _dedup_against_md5_oracle() -> str:
+    """DuckDB twin of dedup_against(method='minhash', use_md5=True,
+    t=0.5) on the odd-vs-even doc_id split: rebuilds both sides' md5
+    MinHash band keys, finds odd docs agreeing >= 16/32 with ANY even
+    doc, and returns the surviving odd rows."""
+    nh, nb = 32, 8
+    min_agree = 16
+    h_aggs, band_selects, agree = _md5_minhash_ctes(nh, nb)
+    return f"""
+        WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                      FROM documents),
+        sh AS (SELECT doc_id,
+                      CASE WHEN len(t) >= 3
+                           THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                               for i in range(1, greatest(len(t)-2, 0)+1)])
+                           ELSE [] END AS s
+               FROM toks),
+        inv AS (SELECT doc_id, unnest(s) AS sgl FROM sh WHERE len(s) > 0),
+        sig AS (SELECT doc_id,
+                   {h_aggs}
+                FROM inv GROUP BY doc_id),
+        bands AS ({band_selects}),
+        cand AS (SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_ref
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.bh = b.bh
+                 WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+        matched AS (SELECT DISTINCT id_new
+                    FROM cand
+                    JOIN sig sa ON sa.doc_id = id_new
+                    JOIN sig sb ON sb.doc_id = id_ref
+                    WHERE ({agree}) >= {min_agree})
+        SELECT d.doc_id, d.source FROM documents d
+        WHERE d.doc_id % 2 = 1
+          AND d.doc_id NOT IN (SELECT id_new FROM matched)
     """
 
 
@@ -2996,6 +3056,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "minhash_lsh": _minhash_md5_oracle(),
+        "dedup_against": _dedup_against_md5_oracle(),
         "simhash": _simhash_md5_oracle(),
         "dedup_clusters": """
             WITH RECURSIVE

@@ -40,8 +40,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry
 from cascading_flink_spark.extensions import (
-    embedding_dup_pairs, ivf_topk, minhash_lsh_pairs, pq_topk,
-    semdedup_pairs, simhash_dup_pairs,
+    dedup_against, embedding_dup_pairs, ivf_topk, minhash_lsh_pairs,
+    pq_topk, semdedup_pairs, simhash_dup_pairs,
 )
 from cascading_flink_spark.session import get_spark
 
@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "overlap_chunks",
     "url_normalize",
     "url_dedup",
+    "dedup_against",
 ]
 
 
@@ -178,6 +179,12 @@ def main() -> None:
         entry._t(s, d, "documents"), n=3, num_hashes=32, bands=8, threshold=0.5)
     qs["simhash"] = lambda s, d: simhash_dup_pairs(
         entry._t(s, d, "documents"), max_hamming=3)
+    # dedup_against at bench scale: the xxhash64 fast family (queries()
+    # carries the md5 cross-engine twin for the correctness gate).
+    qs["dedup_against"] = lambda s, d: dedup_against(
+        entry._t(s, d, "documents").filter("doc_id % 2 = 1"),
+        entry._t(s, d, "documents").filter("doc_id % 2 = 0"),
+        method="minhash", threshold=0.5).select("doc_id", "source")
     # ann_ivf at bench scale: the Lloyd-trained production path (queries()
     # carries the md5 cross-engine twin for the correctness gate).
     qs["ann_ivf"] = lambda s, d: ivf_topk(

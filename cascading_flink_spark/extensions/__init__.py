@@ -13,6 +13,7 @@ from .text import (
 )
 from .packing import chunk_corpus, overlap_chunks
 from .dedup import (
+    dedup_against,
     exact_dedup, exact_dedup_pairs, ngram_jaccard_pairs, minhash_lsh_pairs,
     minhash_lsh_pairs_md5, simhash_bits, simhash_dup_pairs,
     simhash_md5_pairs, dedup_clusters, dedup_keep_best, paragraph_dedup,

@@ -251,6 +251,62 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     return verified.select("id_a", "id_b", F.round("__j", 4).alias("jaccard"))
 
 
+def _check_bands(num_hashes: int, bands: int) -> int:
+    rows_per_band = num_hashes // bands
+    if rows_per_band * bands != num_hashes:
+        raise ValueError("num_hashes must be divisible by bands")
+    return rows_per_band
+
+
+def _xx_banded(df: DataFrame, text_col: str, id_col: str, n: int,
+               num_hashes: int, bands: int) -> DataFrame:
+    """xxhash64 MinHash signatures + LSH band keys:
+    ``(id, sig, band, bh)`` — one row per (doc, band).  Shared by the
+    within-corpus pair generator and cross-corpus dedup_against."""
+    rows_per_band = _check_bands(num_hashes, bands)
+    sig = (_fan_out(df)
+           .select(F.col(id_col).alias("id"),
+                   _minhash_sig_arrow(text_col, n, num_hashes).alias("sig"))
+           .filter(F.size("sig") > 0))
+    banded = sig.select(
+        "id", "sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
+                                  for r in range(rows_per_band)]).alias("bh"))
+            for b in range(bands)
+        ])).alias("bk"))
+    return banded.select("id", "sig", F.col("bk.band").alias("band"),
+                         F.col("bk.bh").alias("bh"))
+
+
+def _md5_banded(df: DataFrame, text_col: str, id_col: str, n: int,
+                num_hashes: int, bands: int) -> DataFrame:
+    """md5-hex MinHash signatures + band keys (the cross-engine family):
+    ``(id, __h0..__h{num_hashes-1}, band, bh)``."""
+    rows_per_band = _check_bands(num_hashes, bands)
+    shingled = _fan_out(df).select(F.col(id_col).alias("id"),
+                                   _word_shingles_arrow(text_col, n).alias("sh")) \
+                 .filter(F.size("sh") > 0)
+    inv = shingled.select("id", F.explode("sh").alias("s"))
+    mins = inv.groupBy("id").agg(*[
+        F.min(F.md5(F.concat_ws("#", F.lit(str(i)), F.col("s")))).alias(f"__h{i}")
+        for i in range(num_hashes)
+    ])
+    banded = mins.select(
+        "id", *[F.col(f"__h{i}") for i in range(num_hashes)],
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *[F.col(f"__h{b * rows_per_band + r}")
+                                         for r in range(rows_per_band)])).alias("bh"))
+            for b in range(bands)
+        ])).alias("bk"))
+    return banded.select("id", *[f"__h{i}" for i in range(num_hashes)],
+                         F.col("bk.band").alias("band"),
+                         F.col("bk.bh").alias("bh"))
+
+
 def minhash_lsh_pairs(df: DataFrame, n: int = 3, num_hashes: int = 32,
                       bands: int = 8, threshold: float = 0.5,
                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -266,23 +322,7 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 3, num_hashes: int = 32,
     Returns (id_a, id_b, est_jaccard).  Deterministic (seeded hashes), but
     engine-specific (xxhash64) — correctness gate uses the rows-only check.
     """
-    rows_per_band = num_hashes // bands
-    if rows_per_band * bands != num_hashes:
-        raise ValueError("num_hashes must be divisible by bands")
-    sig = (_fan_out(df)
-           .select(F.col(id_col).alias("id"),
-                   _minhash_sig_arrow(text_col, n, num_hashes).alias("sig"))
-           .filter(F.size("sig") > 0))
-    banded = sig.select(
-        "id", "sig",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
-                                  for r in range(rows_per_band)]).alias("bh"))
-            for b in range(bands)
-        ])).alias("bk"))
-    banded = banded.select("id", "sig", F.col("bk.band").alias("band"),
-                           F.col("bk.bh").alias("bh")).persist()
+    banded = _xx_banded(df, text_col, id_col, n, num_hashes, bands).persist()
     a = banded.toDF("id_a", "sig_a", "band", "bh")
     b = banded.toDF("id_b", "sig_b", "band", "bh")
     # Signature agreement as an unrolled sum of per-position equality —
@@ -322,29 +362,7 @@ def minhash_lsh_pairs_md5(df: DataFrame, n: int = 3, num_hashes: int = 32,
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b and signature
     agreement >= threshold."""
-    rows_per_band = num_hashes // bands
-    if rows_per_band * bands != num_hashes:
-        raise ValueError("num_hashes must be divisible by bands")
-    shingled = _fan_out(df).select(F.col(id_col).alias("id"),
-                                   _word_shingles_arrow(text_col, n).alias("sh")) \
-                 .filter(F.size("sh") > 0)
-    inv = shingled.select("id", F.explode("sh").alias("s"))
-    mins = inv.groupBy("id").agg(*[
-        F.min(F.md5(F.concat_ws("#", F.lit(str(i)), F.col("s")))).alias(f"__h{i}")
-        for i in range(num_hashes)
-    ])
-    banded = mins.select(
-        "id", *[F.col(f"__h{i}") for i in range(num_hashes)],
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *[F.col(f"__h{b * rows_per_band + r}")
-                                         for r in range(rows_per_band)])).alias("bh"))
-            for b in range(bands)
-        ])).alias("bk"))
-    banded = banded.select("id", *[f"__h{i}" for i in range(num_hashes)],
-                           F.col("bk.band").alias("band"),
-                           F.col("bk.bh").alias("bh")).persist()
+    banded = _md5_banded(df, text_col, id_col, n, num_hashes, bands).persist()
     a = banded.toDF("id_a", *[f"__a{i}" for i in range(num_hashes)], "band", "bh")
     b = banded.toDF("id_b", *[f"__b{i}" for i in range(num_hashes)], "band", "bh")
     agree = sum(
@@ -368,6 +386,67 @@ def minhash_lsh_pairs_md5(df: DataFrame, n: int = 3, num_hashes: int = 32,
                      (F.floor(F.col("__agree") / num_hashes * 10000 + F.lit(0.5))
                       / 10000).alias("est_jaccard"))
              .dropDuplicates(["id_a", "id_b"]))
+
+
+def dedup_against(new: DataFrame, reference: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  method: str = "exact", n: int = 3, num_hashes: int = 32,
+                  bands: int = 8, threshold: float = 0.5,
+                  use_md5: bool = False) -> DataFrame:
+    """Incremental cross-corpus dedup: the rows of ``new`` that do NOT
+    duplicate the already-curated ``reference`` corpus (all original
+    columns preserved).
+
+    ``method='exact'`` anti-joins on the whitespace-normalized md5
+    content fingerprint (:func:`...text.fingerprint`); ``'minhash'``
+    drops near-duplicates via banded MinHash candidate generation and
+    signature-agreement verification at ``threshold`` (``use_md5=True``
+    switches to the cross-engine md5 hash family the oracle replays;
+    xxhash64 is the production/bench path).
+
+    The 100 TB shape: candidates come from a ``new x reference`` banded
+    equality join only — never reference x reference — so each incoming
+    crawl batch costs O(batch) joined against the corpus's PRECOMPUTED
+    fingerprint/band-key table (compute it once with
+    :func:`sq-style <_md5_banded>` write-once discipline; the reference
+    side here recomputes it for self-containment).  New-side documents
+    too short to shingle have no band keys and survive, as with the
+    within-corpus pair generators."""
+    if method == "exact":
+        from .text import fingerprint_expr
+        fp = fingerprint_expr(F.col(text_col))
+        ref_fp = reference.select(fp.alias("__fp")).distinct()
+        return (new.withColumn("__fp", fp)
+                   .join(ref_fp, "__fp", "left_anti")
+                   .drop("__fp"))
+    if method != "minhash":
+        raise ValueError(f"unknown method {method!r}")
+    import math
+    min_agree = math.ceil(threshold * num_hashes - 1e-9)
+    if use_md5:
+        a = _md5_banded(new, text_col, id_col, n, num_hashes, bands) \
+            .toDF("id_new", *[f"__a{i}" for i in range(num_hashes)],
+                  "band", "bh")
+        b = _md5_banded(reference, text_col, id_col, n, num_hashes, bands) \
+            .toDF("id_ref", *[f"__b{i}" for i in range(num_hashes)],
+                  "band", "bh")
+        agree = sum(
+            (F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
+             for i in range(num_hashes)), F.lit(0))
+    else:
+        a = _xx_banded(new, text_col, id_col, n, num_hashes, bands) \
+            .toDF("id_new", "sig_a", "band", "bh")
+        b = _xx_banded(reference, text_col, id_col, n, num_hashes, bands) \
+            .toDF("id_ref", "sig_b", "band", "bh")
+        agree = sum(
+            (F.when(F.col("sig_a")[i] == F.col("sig_b")[i], 1).otherwise(0)
+             for i in range(num_hashes)), F.lit(0))
+    matched = (a.join(b, ["band", "bh"])
+                .withColumn("__agree", agree)
+                .filter(F.col("__agree") >= min_agree)
+                .select(F.col("id_new").alias("__mid"))
+                .distinct())
+    return new.join(matched, new[id_col] == matched["__mid"], "left_anti")
 
 
 _HEX = "0123456789abcdef"

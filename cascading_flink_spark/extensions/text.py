@@ -111,8 +111,14 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     """Deterministic document fingerprint: md5 of whitespace-normalized,
     lower-cased text.  md5 (not xxhash) so any engine reproduces it —
     the cross-system content-address for dedup joins."""
-    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
-    return df.select(F.col(id_col), F.md5(norm).alias("fp"))
+    return df.select(F.col(id_col), fingerprint_expr(F.col(text_col)).alias("fp"))
+
+
+def fingerprint_expr(text: Column) -> Column:
+    """The fingerprint column expression itself (md5 of whitespace-
+    normalized, lower-cased text) — shared with cross-corpus dedup so
+    both spell the content address identically."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))))
 
 
 # PII patterns chosen for identical behavior under Java regex (Spark) and

@@ -93,3 +93,64 @@ def test_simhash_md5_runs_and_orders_pairs(spark, docs):
     fast0 = {(r["id_a"], r["id_b"]) for r in
              simhash_dup_pairs(docs, max_hamming=0).collect()}
     assert truth <= md50 and truth <= fast0
+
+
+# ---------------------------------------------------------- dedup_against
+
+def _corpus(spark):
+    ref = [(i, f"the quick brown fox document number {i} jumps over the lazy dog")
+           for i in range(100, 110)]
+    new = [
+        # 200: exact copy of ref 100 -> dropped by exact AND minhash
+        (200, ref[0][1]),
+        # 201: near-copy of ref 101 (one token changed) -> minhash only
+        (201, ref[1][1].replace("jumps", "leaps")),
+        # 202: unrelated -> survives both
+        (202, "completely different content about spark shuffles and parquet"),
+        # 203: too short to shingle -> survives minhash by construction
+        (203, "tiny doc"),
+    ]
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    return mk(new), mk(ref)
+
+
+def test_dedup_against_exact(spark):
+    from cascading_flink_spark.extensions import dedup_against
+    new, ref = _corpus(spark)
+    kept = {r["doc_id"] for r in dedup_against(new, ref, method="exact").collect()}
+    assert kept == {201, 202, 203}
+
+
+def test_dedup_against_exact_normalizes_whitespace_and_case(spark):
+    from cascading_flink_spark.extensions import dedup_against
+    new = spark.createDataFrame([(1, "  Hello   World ")], "doc_id long, text string")
+    ref = spark.createDataFrame([(9, "hello world")], "doc_id long, text string")
+    assert dedup_against(new, ref, method="exact").count() == 0
+
+
+def test_dedup_against_minhash_both_families(spark):
+    from cascading_flink_spark.extensions import dedup_against
+    new, ref = _corpus(spark)
+    for md5 in (False, True):
+        kept = {r["doc_id"]
+                for r in dedup_against(new, ref, method="minhash",
+                                       threshold=0.5, use_md5=md5).collect()}
+        assert kept == {202, 203}, f"use_md5={md5}: {kept}"
+
+
+def test_dedup_against_never_drops_reference_only_dups(spark):
+    """Dups WITHIN the new batch are not dedup_against's job (that's the
+    within-corpus operators'): two identical new docs both survive when
+    absent from the reference."""
+    from cascading_flink_spark.extensions import dedup_against
+    new = spark.createDataFrame(
+        [(1, "same text here"), (2, "same text here")], "doc_id long, text string")
+    ref = spark.createDataFrame([(9, "other text")], "doc_id long, text string")
+    assert dedup_against(new, ref, method="exact").count() == 2
+
+
+def test_dedup_against_rejects_unknown_method(spark):
+    from cascading_flink_spark.extensions import dedup_against
+    new = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dedup_against(new, new, method="bogus")
