@@ -490,3 +490,57 @@ def stream_decontaminate(stream: DataFrame, benchmark: DataFrame,
         return texts.map(ok)
 
     return stream.filter(_clean(F.col(text_col)))
+
+
+def stream_domain_quota(df: DataFrame, max_docs: int,
+                        domain_col: str = "source",
+                        id_col: str = "doc_id",
+                        seed: str = "quota") -> DataFrame:
+    """Streaming per-domain document quota — the stateful twin of
+    ``extensions.mixture.domain_quota``: documents arriving on a stream
+    are admitted while the domain's RUNNING admitted count (one long of
+    state per domain, carried across micro-batches) stays below
+    ``max_docs``; afterwards the domain is capped for good.
+
+    Emits ``(domain, doc_id, admitted_rank)`` with rank 1..max_docs per
+    domain.  Within one micro-batch documents are considered in the same
+    seeded ``(md5(seed#id), id)`` order as the batch operator — a
+    single-batch stream admits exactly ``domain_quota``'s set (asserted
+    in tests); across batches it is arrival order, the streaming analog
+    of crawl-order dominance control.  State is one counter per domain:
+    safe at any corpus size."""
+    if max_docs <= 0:
+        raise ValueError("max_docs must be positive")
+    out_schema = T.StructType([
+        T.StructField("domain", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("admitted_rank", T.LongType()),
+    ])
+    state_schema = T.StructType([T.StructField("n", T.LongType())])
+
+    def fn(key, pdfs, state: GroupState):
+        import hashlib
+        n = state.get[0] if state.exists else 0
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks and n < max_docs:
+            # whole-micro-batch order (concat before sort — the
+            # stream_chunk_packer lesson): per-chunk sorting would break
+            # the documented md5 admission order above Arrow chunk size
+            pdf = pd.concat(chunks, ignore_index=True)
+            pdf["__h"] = pdf["doc_id"].map(
+                lambda s: hashlib.md5(f"{seed}#{s}".encode()).hexdigest())
+            pdf = pdf.sort_values(["__h", "doc_id"]).head(max_docs - n)
+            if len(pdf):
+                yield pd.DataFrame({
+                    "domain": key[0],
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "admitted_rank": n + 1 + pd.RangeIndex(len(pdf)),
+                })
+                n += len(pdf)
+        state.update((n,))
+
+    prepared = df.select(F.col(domain_col).cast("string").alias("domain"),
+                         F.col(id_col).cast("string").alias("doc_id"))
+    return (prepared.groupBy("domain")
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))

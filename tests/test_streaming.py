@@ -669,3 +669,71 @@ def test_stream_rolling_stats_three_batch_golden(spark, tmp_path):
         # delta from a non-null prev to null is NULL
         "e5": (500, 3, None, 5),          # [100, 400, None]
     }
+
+
+def test_stream_domain_quota_batch_parity(spark, sf_dir, tmp_path):
+    """A single-batch stream through stream_domain_quota must admit
+    exactly domain_quota's set (same seeded md5 order per domain)."""
+    from cascading_flink_spark.extensions import domain_quota
+    from cascading_flink_spark.streaming import stream_domain_quota
+
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id", "source").limit(300))
+    src = str(tmp_path / "dq_in")
+    docs.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out = stream_domain_quota(stream, max_docs=5)
+    q = (out.writeStream.format("memory").queryName("dq_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+
+    got = {r["doc_id"] for r in spark.sql("SELECT * FROM dq_out").collect()}
+    expect = {str(r["doc_id"]) for r in
+              domain_quota(spark.read.parquet(src), "source", 5).collect()}
+    assert got == expect and expect
+    spark.catalog.dropTempView("dq_out")
+
+
+def test_stream_domain_quota_three_batch_golden(spark, tmp_path):
+    """3 batches, restart between each, max_docs=3: domain k fills in
+    batch 1 (md5 order a1<a4<a2, a3 blocked), domain m tops up across
+    batches (b1 then b3<b2) and rejects batch 3 outright.  Ranks pinned
+    as literals from the precomputed md5(quota#id) order."""
+    from cascading_flink_spark.streaming import stream_domain_quota
+
+    src = tmp_path / "dq3_in"
+    src.mkdir()
+    batches = [
+        [("a1", "k"), ("a2", "k"), ("a3", "k"), ("a4", "k"), ("b1", "m")],
+        [("c1", "k"), ("b2", "m"), ("b3", "m")],
+        [("d1", "m")],
+    ]
+    sch = "doc_id string, dom string"
+    spark.createDataFrame(batches[0], sch).coalesce(1) \
+        .write.parquet(str(src / "f0"))
+    schema = spark.read.parquet(str(src / "f0")).schema
+    ckpt, out_dir = str(tmp_path / "dq3_ck"), str(tmp_path / "dq3_out")
+
+    for i, batch in enumerate(batches):
+        if i:
+            spark.createDataFrame(batch, sch).coalesce(1) \
+                .write.parquet(str(src / f"f{i}"))
+        _run_available_now(
+            spark, schema, str(src / "*"), ckpt, out_dir,
+            lambda s: stream_domain_quota(s, max_docs=3, domain_col="dom"))
+
+    rows = {r["doc_id"]: (r["domain"], r["admitted_rank"])
+            for r in spark.read.parquet(out_dir).collect()}
+    assert rows == {
+        "a1": ("k", 1), "a4": ("k", 2), "a2": ("k", 3),
+        "b1": ("m", 1), "b3": ("m", 2), "b2": ("m", 3),
+    }
+
+
+def test_stream_domain_quota_rejects_bad_max(spark):
+    from cascading_flink_spark.streaming import stream_domain_quota
+    import pytest as _pytest
+    df = spark.readStream.format("rate").load()
+    with _pytest.raises(ValueError):
+        stream_domain_quota(df, max_docs=0)
