@@ -47,8 +47,8 @@ from cascading_flink_spark.extensions import (
     temperature_budgets, temperature_mixture,
     gopher_quality, blocklist_stats, rolling_stats,
     corpus_report, group_centroids, inverted_index, ngram_counts, bm25_scores,
-    dedup_against, normalize_urls, overlap_chunks, sq_quantize, sq_topk,
-    url_dedup,
+    dedup_against, normalize_urls, oov_stats, overlap_chunks,
+    random_project, sq_quantize, sq_topk, url_dedup,
 )
 
 
@@ -2022,6 +2022,24 @@ def q_dedup_against(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def q_random_project(spark, sf_dir):
+    """Johnson-Lindenstrauss sign projection 64 -> 16 (random_project):
+    md5-Rademacher planes, left-fold dots — the oracle rebuilds planes
+    and projection; components integer-scaled x10000 and CSV-joined for
+    scalar hashing (the group_centroids convention)."""
+    rp = random_project(_t(spark, sf_dir, "embeddings"), out_dim=16, dim=64)
+    scaled = F.transform(
+        F.col("rp"),
+        lambda y: F.floor(y * 10000 + F.lit(0.5)).cast("bigint").cast("string"))
+    return rp.select("vec_id", F.array_join(scaled, ",").alias("rp_x10000_csv"))
+
+
+def q_oov_stats(spark, sf_dir):
+    """Per-document OOV rate vs the corpus head vocabulary (oov_stats,
+    min_df=5) — exact integers end-to-end."""
+    return oov_stats(_t(spark, sf_dir, "documents"), min_df=5)
+
+
 def _messy_url() -> Column:
     """Deterministic crawl-style URL per document, deliberately messy —
     mixed-case scheme/host, www, default port, tracking params, fragments
@@ -2096,6 +2114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "url_dedup": q_url_dedup,
         "dedup_against": q_dedup_against,
+        "random_project": q_random_project,
+        "oov_stats": q_oov_stats,
         # --- NEW round-6 session-2 operators ---
         "temperature_budgets": q_temperature_budgets,
         "temperature_mixture": q_temperature_mixture,
@@ -2439,6 +2459,41 @@ def oracle_sql() -> dict[str, str]:
             WHERE q.vec_id < 5 AND a.vec_id <> q.vec_id
             QUALIFY row_number() OVER (PARTITION BY q.vec_id
                                        ORDER BY sim DESC, a.vec_id) <= 10
+        """,
+        # Independent rebuild of the JL sign projection: DuckDB derives
+        # the same md5-Rademacher planes and replays the left-fold dots.
+        "random_project": """
+            WITH signs AS (
+                SELECT jj.j,
+                       [CASE WHEN substr(md5('rp_' || jj.j || '_' || i), 1, 1) >= '8'
+                             THEN 1.0 ELSE -1.0 END
+                        for i in range(0, 64)] AS s
+                FROM range(16) jj(j)),
+            proj AS (
+                SELECT e.vec_id, signs.j,
+                       round(list_sum([e.embedding[i]::DOUBLE * signs.s[i]
+                                       for i in range(1, 65)]) / 4.0, 4) AS y
+                FROM embeddings e, signs)
+            SELECT vec_id,
+                   array_to_string(
+                       list(CAST(floor(y * 10000 + 0.5) AS BIGINT)::VARCHAR
+                            ORDER BY j), ',') AS rp_x10000_csv
+            FROM proj GROUP BY vec_id
+        """,
+        "oov_stats": """
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+                FROM documents WHERE trim(text) <> ''),
+            dt AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                   FROM toks GROUP BY 1, 2),
+            vocab AS (SELECT term, count(*)::BIGINT AS df FROM dt GROUP BY term)
+            SELECT dt.doc_id,
+                   sum(dt.tf)::BIGINT AS n_tokens,
+                   sum(CASE WHEN v.df < 5 THEN dt.tf ELSE 0 END)::BIGINT AS n_oov,
+                   CAST((sum(CASE WHEN v.df < 5 THEN dt.tf ELSE 0 END) * 10000)
+                        // sum(dt.tf) AS BIGINT) AS oov_x10000
+            FROM dt JOIN vocab v USING (term)
+            GROUP BY dt.doc_id
         """,
         # The URL oracles rebuild the messy raw URL AND replay the full
         # normalization pipeline step-for-step in RE2 (regexp_replace

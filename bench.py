@@ -154,6 +154,8 @@ BENCH_QUERIES = [
     "url_normalize",
     "url_dedup",
     "dedup_against",
+    "random_project",
+    "oov_stats",
 ]
 
 

@@ -23,7 +23,8 @@ from .similarity import (
     cosine_expr, brute_force_topk, embedding_dup_pairs, group_centroids,
     lsh_bucketed_topk,
     lsh_bucketed_topk_md5, ivf_topk, ivf_topk_md5, pq_topk, pq_topk_md5,
-    semdedup_pairs, semdedup_pairs_md5, sq_minmax, sq_quantize, sq_topk,
+    random_project, semdedup_pairs, semdedup_pairs_md5, sq_minmax,
+    sq_quantize, sq_topk,
 )
 from .multimodal import (
     MULTIMODAL_SCHEMA, attach_binary_meta, decode_stub_features,
@@ -38,7 +39,7 @@ from .urls import (normalize_url_expr, normalize_urls, url_dedup,
 from .decontam import contamination_pairs, decontaminate
 from .corpus import (bigram_lm_scores, bm25_scores, corpus_report,
                      inverted_index,
-                     ngram_counts, repetition_stats,
+                     ngram_counts, oov_stats, repetition_stats,
                      tfidf_topterms, unigram_commonness)
 from .analytics import (event_funnel, group_quantiles,
                         group_quantiles_binned, rolling_stats,

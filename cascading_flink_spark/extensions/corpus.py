@@ -407,3 +407,36 @@ def corpus_report(df: DataFrame, by: list[str] | None = None,
             .withColumn("avg_tokens_x100",
                         F.floor(F.col("total_tokens") * 100
                                 / F.col("n_docs") + 0.5).cast("long")))
+
+
+def oov_stats(df: DataFrame, min_df: int = 5, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Vocabulary coverage per document: the out-of-vocabulary rate
+    against the corpus's own head vocabulary (tokens appearing in at
+    least ``min_df`` distinct documents).
+
+    Returns ``(doc_id, n_tokens, n_oov, oov_x10000)`` with ``oov_x10000 =
+    n_oov * 10000 div n_tokens`` — exact integers end-to-end, so the
+    result hashes identically in any engine.  High OOV flags junk, code,
+    and off-language documents (the C4/Gopher-family coverage gate);
+    zero-token documents emit nothing.
+
+    Scale shape: per-(doc, term) counts partial-aggregate map-side; the
+    table has one row per doc-term, so ``count(*)`` per term IS document
+    frequency — no second scan.  The df join shuffles on the term key
+    (Zipf-distributed but with per-doc pre-aggregation the heaviest term
+    carries at most one row per document containing it); at 100 TB a
+    higher ``min_df`` plus a df-table broadcast turns it into a
+    broadcast join on the vocabulary head."""
+    toks = _tok_array(text_col, lower=True)
+    tf = (df.select(F.col(id_col), F.explode(toks).alias("term"))
+            .groupBy(id_col, "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    out = (tf.join(dfreq, "term")
+             .groupBy(id_col)
+             .agg(F.sum("tf").cast("long").alias("n_tokens"),
+                  F.sum(F.when(F.col("df") < min_df, F.col("tf"))
+                         .otherwise(F.lit(0))).cast("long").alias("n_oov")))
+    return out.withColumn("oov_x10000",
+                          F.expr("n_oov * 10000 div n_tokens"))

@@ -839,3 +839,32 @@ def sq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     return (scored.withColumn("__rn", F.row_number().over(w))
                   .filter(F.col("__rn") <= k)
                   .drop("__rn"))
+
+
+def random_project(df: DataFrame, out_dim: int = 16, dim: int = 64,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   seed: str = "rp", decimals: int = 4) -> DataFrame:
+    """Johnson-Lindenstrauss sign (Rademacher) random projection:
+    ``(id, rp array<double>)`` with ``rp[j] = dot(x, s_j) / sqrt(out_dim)``
+    and ``s_j[i] = ±1`` from ``md5(f"{seed}_{j}_{i}")`` — the same
+    engine-agnostic plane family as :func:`lsh_bucketed_topk_md5`, so any
+    SQL engine rebuilds the projection bit-for-bit (components are
+    left-fold dots, rounded at ``decimals``).
+
+    The scale play: dim -> out_dim cuts every downstream similarity
+    shuffle, scan and pairwise score by dim/out_dim while JL preserves
+    pairwise geometry for out_dim = O(log n / eps^2); project once, run
+    the banded/bucketed candidate stages in the reduced space, rerank
+    survivors on the full vectors.  Map-only — zero shuffles."""
+    import hashlib
+    import math
+    if out_dim <= 0:
+        raise ValueError("out_dim must be positive")
+    signs = [[1.0 if hashlib.md5(f"{seed}_{j}_{i}".encode()).hexdigest()[0] >= "8"
+              else -1.0 for i in range(dim)] for j in range(out_dim)]
+    inv = F.lit(math.sqrt(float(out_dim)))
+    vec = F.col(vec_col).cast("array<double>")
+    comps = [F.round(_dot(vec, F.array(*[F.lit(s) for s in row])) / inv,
+                     decimals)
+             for row in signs]
+    return df.select(F.col(id_col), F.array(*comps).alias("rp"))

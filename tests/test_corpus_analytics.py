@@ -307,3 +307,28 @@ def test_group_quantiles_binned_equals_exact(spark):
            for r in group_quantiles_binned(df, "value", "event_type",
                                            ps, bins=1).collect()}
     assert one == exact
+
+
+def test_oov_stats_hand_fixture(spark):
+    """min_df=2 head vocab = {a, b}; OOV occurrences counted exactly,
+    ratio is integer floor-division x10000."""
+    from cascading_flink_spark.extensions import oov_stats
+    df = spark.createDataFrame(
+        [(1, "a b a rare1"), (2, "a b"), (3, "b zzz zzz"), (4, "   ")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_x10000"])
+            for r in oov_stats(df, min_df=2).collect()}
+    assert rows == {
+        1: (4, 1, 2500),    # rare1 appears in 1 doc only
+        2: (2, 0, 0),
+        3: (3, 2, 6666),    # zzz twice in one doc -> df=1 -> OOV
+    }
+    assert 4 not in rows    # whitespace-only doc emits nothing
+
+
+def test_oov_stats_case_folds(spark):
+    from cascading_flink_spark.extensions import oov_stats
+    df = spark.createDataFrame(
+        [(1, "Tok tok"), (2, "TOK")], "doc_id long, text string")
+    rows = {r["doc_id"]: r["n_oov"] for r in oov_stats(df, min_df=2).collect()}
+    assert rows == {1: 0, 2: 0}

@@ -239,3 +239,57 @@ def test_sq_stats_reuse_skips_refit(spark, emb):
     b = {r["vec_id"]: r["codes"]
          for r in sq_quantize(emb, dim=64, stats=stats).collect()}
     assert a == b
+
+
+def test_random_project_matches_python_model(spark, emb):
+    """Left-fold semantics: each component must equal the Python
+    reimplementation (same md5 planes, same fold order) exactly."""
+    import hashlib
+    from cascading_flink_spark.extensions import random_project
+    rows = random_project(emb.limit(50), out_dim=8, dim=64).collect()
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.limit(50).collect()}
+    signs = [[1.0 if hashlib.md5(f"rp_{j}_{i}".encode()).hexdigest()[0] >= "8"
+              else -1.0 for i in range(64)] for j in range(8)]
+    inv = 8 ** 0.5
+    for r in rows:
+        x = [float(v) for v in vecs[r["vec_id"]]]
+        for j in range(8):
+            acc = 0.0
+            for i in range(64):
+                acc = acc + x[i] * signs[j][i]
+            assert r["rp"][j] == round(acc / inv, 4) or \
+                abs(r["rp"][j] - acc / inv) < 1.5e-4
+
+
+def test_random_project_separates_near_dups(spark, emb):
+    """The operator's design point: near-dup pairs (cosine ~1) must stay
+    clearly separated from unrelated pairs AFTER projection, so reduced-
+    space candidate generation keeps its recall.  (On near-orthogonal
+    random vectors the correlation of tiny cosines is ~sqrt(out/in) by
+    construction — not the regime this targets.)"""
+    from cascading_flink_spark.extensions import random_project
+    rng = np.random.default_rng(11)
+    base = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.filter(F.col("vec_id") < 30).collect()}
+    rows = [(int(vid), v.tolist()) for vid, v in base.items()]
+    rows += [(int(vid) + 100000,
+              (v + rng.normal(0, 0.02, size=v.shape)).tolist())
+             for vid, v in base.items()]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    proj = {r["vec_id"]: np.array(r["rp"], dtype=np.float64)
+            for r in random_project(df, out_dim=16, dim=64).collect()}
+    cos = lambda a, b: float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    planted = [cos(proj[v], proj[v + 100000]) for v in base]
+    unrelated = [cos(proj[a], proj[b]) for a in base for b in base if a < b]
+    assert min(planted) > 0.9, f"planted pair dropped to {min(planted):.3f}"
+    assert np.mean(np.abs(unrelated)) < 0.4
+
+
+def test_random_project_map_only_and_validates(spark, emb):
+    from cascading_flink_spark.extensions import random_project
+    plan = random_project(emb, out_dim=4, dim=64)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        random_project(emb, out_dim=0)
