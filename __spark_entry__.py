@@ -2531,7 +2531,7 @@ def oracle_sql() -> dict[str, str]:
                        regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path,
                        regexp_replace(regexp_replace(regexp_replace(
                            regexp_extract(rest, '\\?(.*)$', 1),
-                           '(utm_[a-z0-9_]+|fbclid|gclid|msclkid|ref)=[^&#]*&?', '', 'g'),
+                           '(^|&)(utm_[a-z0-9_]+|fbclid|gclid|msclkid|ref)=[^&#]*', '', 'g'),
                            '[?&]+$', ''), '^&+', '') AS query
                 FROM ext)
             SELECT doc_id, url,
@@ -2575,7 +2575,7 @@ def oracle_sql() -> dict[str, str]:
                        regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path,
                        regexp_replace(regexp_replace(regexp_replace(
                            regexp_extract(rest, '\\?(.*)$', 1),
-                           '(utm_[a-z0-9_]+|fbclid|gclid|msclkid|ref)=[^&#]*&?', '', 'g'),
+                           '(^|&)(utm_[a-z0-9_]+|fbclid|gclid|msclkid|ref)=[^&#]*', '', 'g'),
                            '[?&]+$', ''), '^&+', '') AS query
                 FROM ext),
             norm AS (

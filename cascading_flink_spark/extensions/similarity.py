@@ -752,6 +752,10 @@ def sq_minmax(corpus: DataFrame, vec_col: str = "embedding",
             .collect())
     lo, hi = [0.0] * dim, [0.0] * dim
     for r in rows:
+        if r["i"] >= dim:
+            raise ValueError(
+                f"corpus vectors have >= {r['i'] + 1} dimensions, "
+                f"dim={dim}: pass the true dimensionality")
         lo[r["i"]], hi[r["i"]] = float(r["lo"]), float(r["hi"])
     return lo, hi
 

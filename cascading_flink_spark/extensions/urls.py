@@ -27,7 +27,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _URL_PAT = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)(.*)$"
-_TRACK_PAT = r"(utm_[a-z0-9_]+|fbclid|gclid|msclkid|ref)=[^&#]*&?"
+# Anchored at start-of-query or '&' so a key only matches as a whole
+# parameter name ('href=x'/'refresh=1' must NOT lose their 'ref' infix),
+# and WITHOUT consuming the trailing '&' (consuming it would swallow the
+# boundary the next tracking param needs — 'a&utm_1=x&utm_2=y' would keep
+# utm_2).  Removing '&key=value' leaves the next real param's own '&'
+# intact, so no double-separator cleanup is needed.
+_TRACK_PAT = r"(^|&)(utm_[a-z0-9_]+|fbclid|gclid|msclkid|ref)=[^&#]*"
 
 
 def normalize_url_expr(url: Column) -> Column:

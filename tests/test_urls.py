@@ -72,3 +72,25 @@ def test_normalize_urls_map_only_plan(spark):
         .executedPlan().toString()
     assert "Exchange" not in plan, plan[:2000]
     assert "EvalPython" not in plan, plan[:2000]
+
+
+def test_tracking_strip_boundary_cases(spark):
+    """'ref' must only match as a whole parameter name, and consecutive
+    tracking params must all be removed (regression: an unanchored
+    pattern corrupted 'href=' and kept the second of two adjacent
+    tracking params)."""
+    cases = [
+        ("https://e.com/p?href=x", "https://e.com/p?href=x"),
+        ("https://e.com/p?refresh=1", "https://e.com/p?refresh=1"),
+        ("https://e.com/p?a=1&href=x&utm_a=b", "https://e.com/p?a=1&href=x"),
+        ("https://e.com/p?a=1&utm_1=x&utm_2=y&b=2", "https://e.com/p?a=1&b=2"),
+        ("https://e.com/p?utm_1=x&utm_2=y&b=2", "https://e.com/p?b=2"),
+        ("https://e.com/p?utm_1=x&utm_2=y", "https://e.com/p"),
+    ]
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(cases)],
+        "doc_id long, url string")
+    got = {r["doc_id"]: r["norm_url"]
+           for r in normalize_urls(df, "url").collect()}
+    for i, (raw, want) in enumerate(cases):
+        assert got[i] == want, f"{raw!r}: {got[i]!r} != {want!r}"
