@@ -2163,6 +2163,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_join": q_cross_join,
         "self_join": q_self_join,
         "merge_union": q_merge_union,
+        # --- beyond slot 50 (not driver-checked this round): all
+        # mimic-green on round-6 code, see COVERAGE.md rotation log.
+        # unique..dedup_exact and text_quality..nary_outer_join displaced
+        # from the window by the 8 session-3 + 5 session-2 new operators
+        # above (all r4-green + mimic-green; deferred to the round-7
+        # window) ---
         "unique": q_unique,
         "topk_per_group": q_topk_per_group,
         "global_sort_limit": q_global_sort_limit,
@@ -2171,11 +2177,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countby_events": q_countby_events,
         "window_agg_events": q_window_agg_events,
         "dedup_exact": q_dedup_exact,
-        # --- beyond slot 50 (not driver-checked this round): all
-        # mimic-green on round-6 code, see COVERAGE.md rotation log.
-        # text_quality..nary_outer_join displaced from the window by the
-        # five new session-2 operators above (all r4-green + mimic-green;
-        # deferred to the round-7 window) ---
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "ann_topk": q_ann_topk,

@@ -306,3 +306,53 @@ def test_rolling_stats_single_shuffle(spark, sf_dir):
     lag and row_number all reuse the same (key, ts, id) sort order."""
     plan = plan_of(spark, "rolling_stats", sf_dir)
     assert plan.count("Exchange hashpartitioning") == 1, plan[:4000]
+
+
+def test_sq_topk_broadcasts_queries_single_topk_shuffle(spark, sf_dir):
+    """The query side broadcasts (corpus streams once over the quantized
+    codes); the only exchange is the final per-query top-k window."""
+    plan = plan_of(spark, "sq_topk", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, \
+        plan[:4000]
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan, plan[:4000]
+
+
+def test_sq_codes_and_url_normalize_map_only(spark, sf_dir):
+    """Quantization and URL canonicalization are pure projections: no
+    Exchange, no Python."""
+    for q in ("sq_codes", "url_normalize"):
+        plan = plan_of(spark, q, sf_dir)
+        assert "Exchange" not in plan, f"{q} shuffles:\n{plan[:4000]}"
+        assert "EvalPython" not in plan, f"{q} leaves the JVM:\n{plan[:4000]}"
+
+
+def test_url_dedup_partial_aggregates(spark, sf_dir):
+    """The canonical-URL group-by must partial-aggregate map-side
+    (HashAggregate before AND after one Exchange), never sort the rows."""
+    plan = plan_of(spark, "url_dedup", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:4000]
+    assert "HashAggregate" in plan
+
+
+def test_oov_stats_partial_aggregates(spark, sf_dir):
+    """Doc-term and df aggregations both partial-aggregate; nothing
+    interprets rows in Python."""
+    plan = plan_of(spark, "oov_stats", sf_dir)
+    assert "HashAggregate" in plan
+    assert "EvalPython" not in plan, plan[:4000]
+    assert "CartesianProduct" not in plan
+
+
+def test_random_project_map_only_query(spark, sf_dir):
+    plan = plan_of(spark, "random_project", sf_dir)
+    assert "Exchange" not in plan, plan[:4000]
+    assert "EvalPython" not in plan, plan[:4000]
+
+
+def test_dedup_against_no_cartesian(spark, sf_dir):
+    """Cross-corpus candidates must come from the banded equality join —
+    a cartesian/nested-loop between the corpora is the scale failure."""
+    plan = plan_of(spark, "dedup_against", sf_dir)
+    assert "CartesianProduct" not in plan, plan[:4000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:4000]
