@@ -59,3 +59,71 @@ def test_bigram_lm_equals_python_model(spark, docs):
         assert got[did][0] == expect[did][0]
         assert abs(got[did][1] - expect[did][1]) <= 1, (did, got[did],
                                                         expect[did])
+
+
+# --------------------------------------------------- overlap_chunks pin
+
+chunk_params = st.tuples(st.integers(1, 10), st.integers(1, 12))
+chunk_docs = st.lists(
+    st.tuples(st.integers(0, 20), st.integers(0, 25)),
+    min_size=1, max_size=6).map(
+        lambda rows: [(i, n) for i, n in {r[0]: r[1] for r in rows}.items()])
+
+
+def _chunk_model(n, context_len, stride):
+    toks = [f"w{k}" for k in range(n)]
+    if not toks:
+        return []
+    num = 1 if n <= context_len else 1 + -(-(n - context_len) // stride)
+    return [(j, len(toks[j * stride: j * stride + context_len]),
+             " ".join(toks[j * stride: j * stride + context_len]))
+            for j in range(num)]
+
+
+@settings(max_examples=12, deadline=None)
+@given(docs=chunk_docs, params=chunk_params)
+def test_overlap_chunks_property(spark, docs, params):
+    """For arbitrary token counts and any (context, stride) pair the
+    chunk walk must match the Python model exactly."""
+    from cascading_flink_spark.extensions import overlap_chunks
+    context_len, stride = params
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{k}" for k in range(n))) for i, n in docs],
+        "doc_id long, text string")
+    got = {}
+    for r in overlap_chunks(df, context_len, stride).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_tokens"], r["chunk_text"]))
+    for i, n in docs:
+        assert sorted(got.get(i, [])) == _chunk_model(n, context_len, stride)
+
+
+# --------------------------------------------------------- oov_stats pin
+
+oov_docs = st.lists(
+    st.tuples(st.integers(0, 15),
+              st.lists(st.sampled_from(["a", "b", "c", "x", "y", "z"]),
+                       min_size=0, max_size=8)),
+    min_size=1, max_size=8).map(
+        lambda rows: [(i, toks) for i, toks in {r[0]: r[1] for r in rows}.items()])
+
+
+@settings(max_examples=12, deadline=None)
+@given(docs=oov_docs, min_df=st.integers(1, 4))
+def test_oov_stats_property(spark, docs, min_df):
+    from cascading_flink_spark.extensions import oov_stats
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in docs], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_x10000"])
+           for r in oov_stats(df, min_df=min_df).collect()}
+    dfreq = Counter()
+    for _, toks in docs:
+        for t in set(toks):
+            dfreq[t] += 1
+    for i, toks in docs:
+        if not toks:
+            assert i not in got
+            continue
+        n_oov = sum(1 for t in toks if dfreq[t] < min_df)
+        assert got[i] == (len(toks), n_oov, n_oov * 10000 // len(toks)), \
+            f"doc {i}"
