@@ -19,7 +19,7 @@ from .pipes import (
 from .taps import (
     Tap, Hfs, GlobHfs, MultiSourceTap, PartitionTap, DataFrameTap, MemoryTap,
     BucketedTap, SnapshotTap, Scheme, TextLine, TextDelimited,
-    UnknownTextDelimited, ParquetScheme, JsonScheme, SinkMode,
+    UnknownTextDelimited, OrcScheme, ParquetScheme, JsonScheme, SinkMode,
     WritableSequenceFile, pos,
 )
 from .flow import Cascade, Flow, FlowConnector, FlowDef, FlowStepJob

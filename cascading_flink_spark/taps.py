@@ -172,6 +172,22 @@ class ParquetScheme(Scheme):
         out.write.mode(mode.value).parquet(path)
 
 
+class OrcScheme(Scheme):
+    """ORC columnar binary — same role as :class:`ParquetScheme` for
+    Hive-ecosystem interop (typed, splittable, predicate pushdown +
+    column pruning via Spark's native ORC reader)."""
+
+    def read(self, spark, paths):
+        df = spark.read.orc(*paths)
+        if self.fields is not None:
+            df = df.select(*self.fields.names)
+        return df
+
+    def write(self, df, path, mode):
+        out = df.coalesce(self.num_sink_parts) if self.num_sink_parts else df
+        out.write.mode(mode.value).orc(path)
+
+
 class JsonScheme(Scheme):
     def read(self, spark, paths):
         df = spark.read.json(*paths)

@@ -749,3 +749,21 @@ def test_unknown_textdelimited_null_fields_keep_positions(spark, tmp_path):
     scheme.write(df, path, SinkMode.REPLACE)
     back = {tuple(r["tuple"]) for r in scheme.read(spark, [path]).collect()}
     assert back == {("a", "", "c"), ("x", "y", "z")}
+
+
+def test_orc_scheme_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    """ORC tap: write + read-back equality, SinkMode honored, and the
+    native reader prunes columns / pushes filters like parquet."""
+    from cascading_flink_spark import OrcScheme
+    df = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    out = str(tmp_path / "orc_out")
+    Hfs(OrcScheme(), out, SinkMode.REPLACE).write(df)
+    back = Hfs(OrcScheme(), out).read(spark)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    with pytest.raises(Exception):
+        Hfs(OrcScheme(), out, SinkMode.KEEP).write(df)
+    plan = (back.filter(F.col("n_regionkey") == 1).select("n_name")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "ReadSchema" in plan and "n_name" in plan
+    assert "PushedFilters: [IsNotNull(n_regionkey), EqualTo(n_regionkey,1)]" \
+        in plan or "EqualTo(n_regionkey,1)" in plan, plan[:3000]
