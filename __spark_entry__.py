@@ -47,8 +47,8 @@ from cascading_flink_spark.extensions import (
     temperature_budgets, temperature_mixture,
     gopher_quality, blocklist_stats, rolling_stats,
     corpus_report, group_centroids, inverted_index, ngram_counts, bm25_scores,
-    dedup_against, normalize_urls, oov_stats, overlap_chunks,
-    random_project, sq_quantize, sq_topk, url_dedup,
+    compression_stats, dedup_against, hot_keys, normalize_urls, oov_stats,
+    overlap_chunks, random_project, sq_quantize, sq_topk, url_dedup,
 )
 
 
@@ -2040,6 +2040,21 @@ def q_oov_stats(spark, sf_dir):
     return oov_stats(_t(spark, sf_dir, "documents"), min_df=5)
 
 
+def q_hot_keys(spark, sf_dir):
+    """Join-key skew profiler (hot_keys): top-20 heaviest user_ids in
+    events with exact integer mass shares; compiles to partial agg +
+    broadcast total + TakeOrderedAndProject."""
+    return hot_keys(_t(spark, sf_dir, "events"), "user_id", top=20)
+
+
+def q_compression_stats(spark, sf_dir):
+    """zlib compressibility gate (compression_stats) — deterministic but
+    not SQL-expressible (no zlib in the oracle engine): the driver
+    records the rows-only check; byte-exactness vs the Python zlib model
+    is pinned in tests/test_curation_ops.py."""
+    return compression_stats(_t(spark, sf_dir, "documents"))
+
+
 def _messy_url() -> Column:
     """Deterministic crawl-style URL per document, deliberately messy —
     mixed-case scheme/host, www, default port, tracking params, fragments
@@ -2116,6 +2131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against": q_dedup_against,
         "random_project": q_random_project,
         "oov_stats": q_oov_stats,
+        "hot_keys": q_hot_keys,
+        "compression_stats": q_compression_stats,
         # --- NEW round-6 session-2 operators ---
         "temperature_budgets": q_temperature_budgets,
         "temperature_mixture": q_temperature_mixture,
@@ -2161,14 +2178,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         # --- longest-stale r4-only greens rotating back through ---
         "cross_join": q_cross_join,
-        "self_join": q_self_join,
-        "merge_union": q_merge_union,
         # --- beyond slot 50 (not driver-checked this round): all
         # mimic-green on round-6 code, see COVERAGE.md rotation log.
-        # unique..dedup_exact and text_quality..nary_outer_join displaced
-        # from the window by the 8 session-3 + 5 session-2 new operators
-        # above (all r4-green + mimic-green; deferred to the round-7
-        # window) ---
+        # self_join..dedup_exact and text_quality..nary_outer_join
+        # displaced from the window by the 10 session-3 + 5 session-2 new
+        # operators above (all r4-green + mimic-green; deferred to the
+        # round-7 window) ---
+        "self_join": q_self_join,
+        "merge_union": q_merge_union,
         "unique": q_unique,
         "topk_per_group": q_topk_per_group,
         "global_sort_limit": q_global_sort_limit,
@@ -2460,6 +2477,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE q.vec_id < 5 AND a.vec_id <> q.vec_id
             QUALIFY row_number() OVER (PARTITION BY q.vec_id
                                        ORDER BY sim DESC, a.vec_id) <= 10
+        """,
+        "hot_keys": """
+            WITH c AS (SELECT user_id AS key, count(*)::BIGINT AS n
+                       FROM events GROUP BY 1),
+            t AS (SELECT sum(n)::BIGINT AS tt FROM c)
+            SELECT key, n, CAST((n * 10000) // tt AS BIGINT) AS share_x10000
+            FROM c, t
+            ORDER BY n DESC, key ASC LIMIT 20
         """,
         # Independent rebuild of the JL sign projection: DuckDB derives
         # the same md5-Rademacher planes and replays the left-fold dots.

@@ -156,6 +156,8 @@ BENCH_QUERIES = [
     "dedup_against",
     "random_project",
     "oov_stats",
+    "hot_keys",
+    "compression_stats",
 ]
 
 

@@ -9,7 +9,8 @@ only in clearly-marked Arrow-batched UDF paths (multimodal decode).
 
 from .text import (
     token_count, token_budget, quality_features, quality_filter, lang_id,
-    fingerprint, redact_pii, gopher_quality, blocklist_stats,
+    compression_stats, fingerprint, redact_pii, gopher_quality,
+    blocklist_stats,
 )
 from .packing import chunk_corpus, overlap_chunks
 from .dedup import (
@@ -42,7 +43,7 @@ from .corpus import (bigram_lm_scores, bm25_scores, corpus_report,
                      ngram_counts, oov_stats, repetition_stats,
                      tfidf_topterms, unigram_commonness)
 from .analytics import (event_funnel, group_quantiles,
-                        group_quantiles_binned, rolling_stats,
+                        group_quantiles_binned, hot_keys, rolling_stats,
                         value_histogram)
 
 __all__ = [n for n in dir() if not n.startswith("_")]

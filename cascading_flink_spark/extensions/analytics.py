@@ -241,3 +241,24 @@ def group_quantiles_binned(df: DataFrame, value_col: str = "value",
                     & (F.col("__vcum") - F.col("__c")
                        < F.col("__local_rank")))
             .select("grp", "p", "q"))
+
+
+def hot_keys(df: DataFrame, key_col: str, top: int = 20) -> DataFrame:
+    """Skew diagnosis for any prospective join/group key: the ``top``
+    heaviest keys with exact counts and corpus mass share
+    ``(key, n, share_x10000)``, ordered by (n desc, key asc).
+
+    The pre-flight check before keying a shuffle at 100 TB: one partial
+    aggregate on the key, a 1-row total cross-joined back (the tpch_q11
+    integer-threshold pattern), and a global top-N that compiles to
+    TakeOrderedAndProject — no full sort, no second scan.  NULL keys are
+    counted as a key (they hash to one partition too — the most common
+    real-world skew)."""
+    counts = df.groupBy(F.col(key_col).alias("key")) \
+               .agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("__t"))
+    return (counts.crossJoin(F.broadcast(total))
+                  .select("key", "n",
+                          F.expr("n * 10000 div __t").alias("share_x10000"))
+                  .orderBy(F.desc("n"), F.asc("key"))
+                  .limit(top))

@@ -7,6 +7,8 @@ these are embarrassingly parallel map-only stages with no shuffle.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -311,3 +313,33 @@ def token_budget(df: DataFrame, text_col: str = "text",
                                     F.lit(BPE_ISH_PATTERN), F.lit(0)))
          .cast("long").alias("bpe_tokens"),
     )
+
+
+def compression_stats(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", level: int = 6) -> DataFrame:
+    """Per-document zlib compressibility — the classic cheap junk
+    detector (boilerplate, generated spam and repeated templates compress
+    far below prose; CCNet/RefinedWeb-family pipelines gate on it):
+    ``(doc_id, n_bytes, n_compressed, ratio_x10000)`` with ``ratio_x10000
+    = n_compressed * 10000 div n_bytes`` (0 for empty docs).
+
+    Runs as one Arrow-batched ``pandas_udf`` projection (zlib is
+    CPU-trivial next to the scan) — map-only, zero shuffles.  The byte
+    counts are deterministic for a given zlib version/level, but not
+    SQL-expressible, so the driver records the rows-only check; exactness
+    is pinned against the Python model in tests."""
+    @F.pandas_udf("long")
+    def _clen(s: pd.Series) -> pd.Series:
+        import zlib
+        return s.map(lambda t: 0 if not t
+                     else len(zlib.compress(t.encode("utf-8"), level)))
+
+    n_bytes = F.length(F.encode(F.coalesce(F.col(text_col), F.lit("")),
+                                "utf-8")).cast("long")
+    return (df.select(F.col(id_col), n_bytes.alias("n_bytes"),
+                      _clen(F.coalesce(F.col(text_col), F.lit("")))
+                      .alias("n_compressed"))
+              .withColumn("ratio_x10000",
+                          F.when(F.col("n_bytes") == 0, F.lit(0).cast("long"))
+                           .otherwise(F.expr(
+                               "n_compressed * 10000 div n_bytes"))))

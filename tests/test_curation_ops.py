@@ -173,3 +173,54 @@ class TestRollingStats:
         with pytest.raises(ValueError):
             rolling_stats(self._events(spark, [(1, 1, 0, 1.0)]),
                           window_rows=0)
+
+
+def test_compression_stats_matches_zlib_model(spark, sf_dir):
+    """Byte-exact vs the Python zlib model (same library, level 6), and
+    junk must compress far below prose."""
+    import zlib
+    from cascading_flink_spark.extensions import compression_stats
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(80)
+    got = {r["doc_id"]: (r["n_bytes"], r["n_compressed"], r["ratio_x10000"])
+           for r in compression_stats(docs).collect()}
+    for r in docs.collect():
+        raw = (r["text"] or "").encode("utf-8")
+        nc = 0 if not raw else len(zlib.compress(raw, 6))
+        want = (len(raw), nc, 0 if not raw else nc * 10000 // len(raw))
+        assert got[r["doc_id"]] == want, r["doc_id"]
+
+
+def test_compression_stats_flags_repetitive_junk(spark):
+    from cascading_flink_spark.extensions import compression_stats
+    df = spark.createDataFrame(
+        [(1, "spam " * 400),
+         (2, "The quick brown fox jumps over the lazy dog; meanwhile a "
+             "barge drifted past the estuary carrying seventeen crates "
+             "of mismatched porcelain."),
+         (3, "")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r["ratio_x10000"]
+            for r in compression_stats(df).collect()}
+    assert rows[1] < rows[2] / 5, rows     # junk compresses ~an order better
+    assert rows[3] == 0
+
+
+def test_hot_keys_fixture(spark):
+    from cascading_flink_spark.extensions import hot_keys
+    df = spark.createDataFrame(
+        [(k,) for k in ["a"] * 6 + ["b"] * 3 + [None] * 2 + ["c"]],
+        "k string")
+    rows = [(r["key"], r["n"], r["share_x10000"])
+            for r in hot_keys(df, "k", top=3).collect()]
+    assert rows == [("a", 6, 5000), ("b", 3, 2500), (None, 2, 1666)]
+
+
+def test_hot_keys_plan_take_ordered(spark, sf_dir):
+    """Top-N must compile to TakeOrderedAndProject (no global sort) with
+    the total broadcast back."""
+    from cascading_flink_spark.extensions import hot_keys
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = hot_keys(ev, "event_type")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
