@@ -94,3 +94,71 @@ def test_tracking_strip_boundary_cases(spark):
            for r in normalize_urls(df, "url").collect()}
     for i, (raw, want) in enumerate(cases):
         assert got[i] == want, f"{raw!r}: {got[i]!r} != {want!r}"
+
+
+# ------------------------------------------------- property pin vs re model
+
+try:
+    from hypothesis import given, settings, strategies as st
+    _HYP = True
+except ImportError:                                    # pragma: no cover
+    _HYP = False
+
+
+def _model_normalize(url):
+    """Python re replay of normalize_url_expr (same patterns, same order:
+    the Java-regex/RE2/Python-re common dialect)."""
+    import re
+    u = re.sub(r"#.*$", "", url.strip())
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)(.*)$", u)
+    if not m:
+        return url.strip()
+    scheme = m.group(1).lower()
+    host = re.sub(r"^www\.", "", re.sub(r"^[^@]*@", "", m.group(2)).lower())
+    if scheme == "http":
+        host = re.sub(r":80$", "", host)
+    elif scheme == "https":
+        host = re.sub(r":443$", "", host)
+    rest = m.group(3)
+    path = re.sub(r"/+$", "", re.match(r"^([^?]*)", rest).group(1))
+    qm = re.search(r"\?(.*)$", rest)
+    query = qm.group(1) if qm else ""
+    query = re.sub(r"(^|&)(utm_[a-z0-9_]+|fbclid|gclid|msclkid|ref)=[^&#]*",
+                   "", query)
+    query = re.sub(r"^&+", "", re.sub(r"[?&]+$", "", query))
+    return f"{scheme}://{host}{path}" + (f"?{query}" if query else "")
+
+
+if _HYP:
+    _param = st.sampled_from(
+        ["utm_source=x", "utm_a=1", "ref=tw", "href=keep", "id=7", "x=",
+         "fbclid=abc", "refresh=1", "a=b"])
+    _urls = st.builds(
+        lambda scheme, user, labels, port, segs, slash, params, frag:
+            scheme + "://" + (user + "@" if user else "")
+            + ".".join(labels) + port
+            + "".join("/" + s for s in segs) + ("/" if slash else "")
+            + ("?" + "&".join(params) if params else "")
+            + ("#frag" if frag else ""),
+        scheme=st.sampled_from(["http", "https", "HTTPS", "HTTP", "ftp"]),
+        user=st.sampled_from(["", "u", "u:pw"]),
+        labels=st.lists(st.sampled_from(["www", "WWW", "News", "example",
+                                         "com", "org"]),
+                        min_size=2, max_size=4),
+        port=st.sampled_from(["", ":80", ":443", ":8080"]),
+        segs=st.lists(st.sampled_from(["a", "B", "path2"]), max_size=3),
+        slash=st.booleans(),
+        params=st.lists(_param, max_size=4),
+        frag=st.booleans())
+
+    @settings(max_examples=15, deadline=None)
+    @given(urls=st.lists(st.one_of(_urls, st.sampled_from(
+        ["", "  ", "not a url", "weird://", "a b c"])),
+        min_size=1, max_size=12))
+    def test_normalize_url_property(spark, urls):
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], "doc_id long, url string")
+        got = {r["doc_id"]: r["norm_url"]
+               for r in normalize_urls(df, "url", domain_col=None).collect()}
+        for i, u in enumerate(urls):
+            assert got[i] == _model_normalize(u), repr(u)
