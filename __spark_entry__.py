@@ -47,8 +47,9 @@ from cascading_flink_spark.extensions import (
     temperature_budgets, temperature_mixture,
     gopher_quality, blocklist_stats, rolling_stats,
     corpus_report, group_centroids, inverted_index, ngram_counts, bm25_scores,
-    compression_stats, dedup_against, hot_keys, normalize_urls, oov_stats,
-    overlap_chunks, random_project, sq_quantize, sq_topk, url_dedup,
+    clean_text, compression_stats, dedup_against, hot_keys, normalize_urls,
+    oov_stats, overlap_chunks, random_project, sq_quantize, sq_topk,
+    url_dedup,
 )
 
 
@@ -2055,6 +2056,21 @@ def q_compression_stats(spark, sf_dir):
     return compression_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_clean_text(spark, sf_dir):
+    """Unicode-light normalization (clean_text) over deterministically
+    dirtied documents — curly quotes, em dash, ellipsis, NBSP, zero-width
+    space and doubled blanks prepended by doc_id residue; the oracle
+    dirties and cleans identically (RE2 \\x{...} escape spellings of the
+    same code points)."""
+    m = F.col("doc_id") % 3
+    prefix = (F.when(m == 0, F.lit("“Quote” — "))
+               .when(m == 1, F.lit("‘x’… "))
+               .otherwise(F.lit("A\u200b B\u00a0C  ")))
+    messy = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(prefix, F.col("text")).alias("text"))
+    return clean_text(messy)
+
+
 def _messy_url() -> Column:
     """Deterministic crawl-style URL per document, deliberately messy —
     mixed-case scheme/host, www, default port, tracking params, fragments
@@ -2133,6 +2149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_stats": q_oov_stats,
         "hot_keys": q_hot_keys,
         "compression_stats": q_compression_stats,
+        "clean_text": q_clean_text,
         # --- NEW round-6 session-2 operators ---
         "temperature_budgets": q_temperature_budgets,
         "temperature_mixture": q_temperature_mixture,
@@ -2176,14 +2193,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_dups": q_embedding_dups,
         "sessionize": q_sessionize,
-        # --- longest-stale r4-only greens rotating back through ---
-        "cross_join": q_cross_join,
         # --- beyond slot 50 (not driver-checked this round): all
         # mimic-green on round-6 code, see COVERAGE.md rotation log.
-        # self_join..dedup_exact and text_quality..nary_outer_join
-        # displaced from the window by the 10 session-3 + 5 session-2 new
+        # cross_join..dedup_exact and text_quality..nary_outer_join
+        # displaced from the window by the 11 session-3 + 5 session-2 new
         # operators above (all r4-green + mimic-green; deferred to the
         # round-7 window) ---
+        "cross_join": q_cross_join,
         "self_join": q_self_join,
         "merge_union": q_merge_union,
         "unique": q_unique,
@@ -2477,6 +2493,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE q.vec_id < 5 AND a.vec_id <> q.vec_id
             QUALIFY row_number() OVER (PARTITION BY q.vec_id
                                        ORDER BY sim DESC, a.vec_id) <= 10
+        """,
+        # clean_text: dirty identically, then replay drop -> translate ->
+        # ellipsis -> whitespace-collapse -> trim.  Control/zero-width
+        # code points are spelled with RE2 \\x{...} escapes (same points
+        # the Spark pattern holds as literals); the fold table uses
+        # chr(160) for NBSP.
+        "clean_text": """
+            WITH raw AS (
+                SELECT doc_id,
+                       CASE doc_id % 3
+                         WHEN 0 THEN '“Quote” — ' || text
+                         WHEN 1 THEN '‘x’… ' || text
+                         ELSE 'A' || chr(8203) || ' B' || chr(160) || 'C  ' || text
+                       END AS t
+                FROM documents),
+            c AS (
+                SELECT doc_id, t,
+                       trim(regexp_replace(regexp_replace(
+                           translate(
+                               regexp_replace(t,
+                                   '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f\\x{200b}-\\x{200d}\\x{feff}]',
+                                   '', 'g'),
+                               '‘’“”–—' || chr(160),
+                               '''''""-- '),
+                           '…', '...', 'g'),
+                           '\\s+', ' ', 'g')) AS clean
+                FROM raw)
+            SELECT doc_id, clean AS clean_text, clean <> t AS changed FROM c
         """,
         "hot_keys": """
             WITH c AS (SELECT user_id AS key, count(*)::BIGINT AS n

@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "oov_stats",
     "hot_keys",
     "compression_stats",
+    "clean_text",
 ]
 
 

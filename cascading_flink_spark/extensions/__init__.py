@@ -9,8 +9,8 @@ only in clearly-marked Arrow-batched UDF paths (multimodal decode).
 
 from .text import (
     token_count, token_budget, quality_features, quality_filter, lang_id,
-    compression_stats, fingerprint, redact_pii, gopher_quality,
-    blocklist_stats,
+    clean_text, clean_text_expr, compression_stats, fingerprint,
+    redact_pii, gopher_quality, blocklist_stats,
 )
 from .packing import chunk_corpus, overlap_chunks
 from .dedup import (

@@ -343,3 +343,38 @@ def compression_stats(df: DataFrame, text_col: str = "text",
                           F.when(F.col("n_bytes") == 0, F.lit(0).cast("long"))
                            .otherwise(F.expr(
                                "n_compressed * 10000 div n_bytes"))))
+
+
+# Char-for-char folds (translate): curly quotes -> ASCII, en/em dash -> '-',
+# NBSP -> space.  Multi-char folds (ellipsis) and deletions (control /
+# zero-width chars) go through regexp_replace.  Explicit code points only
+# (no shorthand classes) -- the Java-regex/RE2 common dialect.
+_FOLD_SRC = "\u2018\u2019\u201c\u201d\u2013\u2014\u00a0"
+_FOLD_DST = "''\"\"-- "
+_DROP_PAT = ("[\u0000-\u0008\u000b\u000c\u000e-\u001f\u007f"
+             "\u200b\u200c\u200d\ufeff]")
+
+
+def clean_text_expr(text: Column) -> Column:
+    """The normalization expression: drop control/zero-width chars, fold
+    typographic quotes/dashes/NBSP/ellipsis to ASCII, collapse whitespace
+    runs, trim."""
+    t = F.regexp_replace(text, _DROP_PAT, "")
+    t = F.translate(t, _FOLD_SRC, _FOLD_DST)
+    t = F.regexp_replace(t, "\u2026", "...")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def clean_text(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Unicode-light text normalization -- the standard cleanup pass before
+    fingerprinting/shingling (stray control chars or typographic quotes
+    otherwise split exact-dup groups): ``(doc_id, clean_text, changed)``.
+
+    Map-only native expressions (translate + 3 regexp passes), zero
+    shuffles; the fold table and patterns are explicit code points in the
+    engine-common dialect so the oracle replays the pipeline verbatim."""
+    cleaned = clean_text_expr(F.col(text_col))
+    return df.select(F.col(id_col), cleaned.alias("clean_text"),
+                     (cleaned != F.col(text_col)).alias("changed"))

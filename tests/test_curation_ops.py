@@ -224,3 +224,45 @@ def test_hot_keys_plan_take_ordered(spark, sf_dir):
         .executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan[:3000]
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+
+def test_clean_text_folds(spark):
+    """Each fold class: control chars dropped, zero-width dropped, curly
+    quotes/dashes folded, ellipsis expanded, NBSP and runs collapsed."""
+    from cascading_flink_spark.extensions import clean_text
+    rows = [
+        (1, "a\u0001b\u007fc"),
+        (2, "A\u200bB\ufeffC"),
+        (3, "\u2018x\u2019 \u201cy\u201d"),
+        (4, "a \u2013 b \u2014 c"),
+        (5, "wait\u2026 what"),
+        (6, "a\u00a0b   c\t\nd"),
+        (7, "  already clean  "),
+        (8, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["clean_text"], r["changed"])
+           for r in clean_text(df).collect()}
+    assert got[1] == ("abc", True)
+    assert got[2] == ("ABC", True)
+    assert got[3] == ("'x' \"y\"", True)
+    assert got[4] == ("a - b - c", True)
+    assert got[5] == ("wait... what", True)
+    assert got[6] == ("a b c d", True)
+    assert got[7] == ("already clean", True)   # trim counts as a change
+    assert got[8] == ("", False)
+
+
+def test_clean_text_idempotent(spark, sf_dir):
+    """Cleaning twice must equal cleaning once (the pipeline is a
+    normal form)."""
+    from cascading_flink_spark.extensions import clean_text
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    once = clean_text(docs)
+    twice = clean_text(once.select("doc_id",
+                                   once["clean_text"].alias("text")))
+    a = {r["doc_id"]: r["clean_text"] for r in once.collect()}
+    b = {r["doc_id"]: r["clean_text"] for r in twice.collect()}
+    assert a == b
+    assert not any(r["changed"] for r in twice.collect())
