@@ -10,7 +10,7 @@ capability inventory this package reproduces.
 from .fields import Fields, FieldsResolutionError
 from .pipes import (
     Pipe, Each, Every, GroupBy, CoGroup, HashJoin, Merge, Checkpoint,
-    Intersect, Except, Rollup, Cube, Pivot,
+    Intersect, Except, Rollup, Cube, Pivot, Transform,
     Joiner, InnerJoin, LeftJoin, RightJoin, OuterJoin, MixedJoin, BufferJoin,
     SemiJoin, AntiJoin,
     Retain, Discard, Rename, Coerce, Unique,

@@ -373,6 +373,26 @@ class Pivot(Pipe):
         self.agg_expr = agg_expr
 
 
+class Transform(Pipe):
+    """Generic DataFrame-level sub-assembly: splice any ``fn(DataFrame) ->
+    DataFrame`` into a pipe assembly — THE bridge between the Cascading-
+    style DSL and the extension operators (dedup, similarity, mixture,
+    URL canonicalization, ...): ``Transform(pipe, lambda df:
+    exact_dedup(df))``.
+
+    The function receives the compiled upstream DataFrame and must return
+    a DataFrame; everything downstream (traps, grouping, sinks) composes
+    normally.  Declarative fns (extension operators are all built from
+    native Column expressions) keep full Catalyst optimization across the
+    splice — this is sugar, not an optimization barrier."""
+
+    def __init__(self, previous: Pipe, fn, name: str | None = None) -> None:
+        if not callable(fn):
+            raise TypeError("Transform fn must be callable")
+        super().__init__(name, previous)
+        self.fn = fn
+
+
 class Checkpoint(Pipe):
     """Materialization hint at a branch point.  Flink reuses intermediate
     results natively (reference dispatch ``:230-242`` memoizes per boundary);

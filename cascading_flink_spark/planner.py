@@ -30,7 +30,7 @@ from .operations.functions import PyFunction, UnGroup
 from .pipes import (
     AntiJoin, BufferJoin, Checkpoint, CoGroup, Each, Every, Except,
     GroupBy, HashJoin, InnerJoin, Intersect, LeftJoin, MixedJoin, Merge,
-    OuterJoin, Pipe, Pivot, RightJoin, Rollup, SemiJoin, Unique,
+    OuterJoin, Pipe, Pivot, RightJoin, Rollup, SemiJoin, Transform, Unique,
 )
 
 
@@ -153,6 +153,13 @@ class FlowPlanner:
             return grouped.agg(*aggs)
         if isinstance(pipe, Unique):
             return self._compile_unique(pipe)
+        if isinstance(pipe, Transform):
+            out = pipe.fn(self._compile(pipe.previous[0]))
+            if not isinstance(out, DataFrame):
+                raise TypeError(
+                    f"Transform '{pipe.name}' fn returned "
+                    f"{type(out).__name__}, expected DataFrame")
+            return out
         if isinstance(pipe, Checkpoint):
             if pipe.tap is not None:
                 # Durable checkpoint / flow restart (Cascading checkpoint

@@ -767,3 +767,55 @@ def test_orc_scheme_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
     assert "ReadSchema" in plan and "n_name" in plan
     assert "PushedFilters: [IsNotNull(n_regionkey), EqualTo(n_regionkey,1)]" \
         in plan or "EqualTo(n_regionkey,1)" in plan, plan[:3000]
+
+
+def test_transform_splices_extension_operator(spark, sf_dir):
+    """Transform bridges the pipe DSL and the extension operators: a
+    quality gate spliced mid-assembly, with normal DSL grouping after."""
+    from cascading_flink_spark import Transform
+    from cascading_flink_spark.pipes import CountBy
+    from cascading_flink_spark.extensions import quality_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = Pipe("docs")
+    p = Transform(p, lambda df: quality_filter(df, min_tokens=20))
+    p = CountBy(p, "lang", "n")
+    fd = FlowDef().add_source("docs", DataFrameTap(docs)).add_tail(p)
+    out = FlowConnector(spark).connect(fd).dataframe(p.name)
+    got = {r["lang"]: r["n"] for r in out.collect()}
+    expect = {r["lang"]: r["n"]
+              for r in quality_filter(docs, min_tokens=20)
+              .groupBy("lang").count().withColumnRenamed("count", "n")
+              .collect()}
+    assert got == expect and got
+
+
+def test_transform_rejects_non_dataframe_and_non_callable(spark, sf_dir):
+    from cascading_flink_spark import Transform
+
+    docs = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    with pytest.raises(TypeError):
+        Transform(Pipe("x"), "not callable")
+    bad = Transform(Pipe("n"), lambda df: df.collect())
+    fd = FlowDef().add_source("n", DataFrameTap(docs)).add_tail(bad)
+    with pytest.raises(TypeError):
+        FlowConnector(spark).connect(fd)
+
+
+def test_transform_memoized_across_branches(spark, sf_dir):
+    """A Transform at a branch point compiles once (planner memo), like
+    any other pipe."""
+    from cascading_flink_spark import Transform
+    from cascading_flink_spark.pipes import CountBy
+
+    calls = []
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = Transform(Pipe("docs"), lambda df: (calls.append(1), df)[1])
+    b1 = CountBy(base, "lang", "n")
+    b2 = CountBy(base, "source", "n")
+    fd = (FlowDef().add_source("docs", DataFrameTap(docs))
+          .add_tail(b1).add_tail(b2))
+    flow = FlowConnector(spark).connect(fd)
+    assert len(calls) == 1
+    assert flow.dataframe(b1.name).count() > 0
+    assert flow.dataframe(b2.name).count() > 0
