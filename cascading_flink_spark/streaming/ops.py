@@ -544,3 +544,34 @@ def stream_domain_quota(df: DataFrame, max_docs: int,
     return (prepared.groupBy("domain")
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+def stream_embedding_gate(stream: DataFrame, reference: DataFrame,
+                          threshold: float = 0.95, planes: int = 12,
+                          dim: int = 64, id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Streaming embedding near-dup gate against a STATIC curated
+    reference: an arriving vector is dropped iff some reference vector in
+    its LSH bucket has cosine >= ``threshold``; survivors pass through
+    unchanged.  The streaming counterpart of
+    ``extensions.dedup.dedup_against`` for the embedding modality.
+
+    Completely STATELESS: one md5-Rademacher band (the
+    :func:`...similarity._md5_sign_planes` family, computed identically
+    on both sides) keys a stream-static LEFT ANTI equi-join whose
+    condition also applies the exact cosine check — no state store, no
+    watermark, no stream shuffle beyond the join.  A single band table
+    keeps the anti-join per-row exact (multi-table OR-semantics would
+    need stateful vote counting); recall for cosine ~ 1 pairs is
+    (1 - theta/pi)^planes — near 1 at the near-dup design point — and
+    every bucket candidate is verified by exact cosine, so precision is
+    exact.  At 100 TB the reference band table is precomputed once and
+    reused across the whole ingest."""
+    from ..extensions.similarity import _md5_band_udf, cosine_expr
+    band = _md5_band_udf(dim, planes, tables=1)
+    ref = (reference.select(F.col(vec_col).alias("__rvec"),
+                            band(F.col(vec_col)).getItem(0).alias("__rband")))
+    s = stream.withColumn("__sband", band(F.col(vec_col)).getItem(0))
+    cond = (F.col("__sband") == F.col("__rband")) & \
+           (cosine_expr(F.col(vec_col), F.col("__rvec")) >= threshold)
+    return s.join(ref, cond, "left_anti").drop("__sband")

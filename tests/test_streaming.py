@@ -737,3 +737,41 @@ def test_stream_domain_quota_rejects_bad_max(spark):
     df = spark.readStream.format("rate").load()
     with _pytest.raises(ValueError):
         stream_domain_quota(df, max_docs=0)
+
+
+def test_stream_embedding_gate_drops_planted_dups(spark, sf_dir, tmp_path):
+    """A stream carrying noisy copies of reference vectors plus fresh
+    vectors: copies are dropped, fresh vectors pass; parity with the same
+    stateless join run in batch."""
+    import numpy as np
+    from cascading_flink_spark.streaming import stream_embedding_gate
+
+    emb = load(spark, sf_dir, "embeddings")
+    ref = emb.filter(F.col("vec_id") < 100).cache()
+    rng = np.random.default_rng(5)
+    base = {r["vec_id"]: np.array(r["embedding"], dtype=np.float32)
+            for r in ref.limit(10).collect()}
+    rows = [(int(v) + 5000,
+             (x + rng.normal(0, 0.005, x.shape).astype(np.float32)).tolist())
+            for v, x in base.items()]          # near-dups of the reference
+    fresh = [(int(r["vec_id"]) + 9000, r["embedding"])
+             for r in emb.filter(F.col("vec_id").between(200, 209)).collect()]
+    batch_in = spark.createDataFrame(rows + fresh,
+                                     "vec_id long, embedding array<float>")
+    src = str(tmp_path / "eg_in")
+    batch_in.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(batch_in.schema).parquet(src)
+    out = stream_embedding_gate(stream, ref, threshold=0.98)
+    q = (out.writeStream.format("memory").queryName("eg_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = {r["vec_id"] for r in spark.sql("SELECT * FROM eg_out").collect()}
+    spark.catalog.dropTempView("eg_out")
+
+    batch_out = {r["vec_id"] for r in
+                 stream_embedding_gate(batch_in, ref, threshold=0.98).collect()}
+    assert got == batch_out                       # stream == batch (stateless)
+    assert {v for v, _ in fresh} <= got           # fresh vectors pass
+    planted = {v for v, _ in rows}
+    assert len(planted & got) <= 2, planted & got  # near-dups gated (LSH recall)
