@@ -47,6 +47,7 @@ from cascading_flink_spark.extensions import (
     temperature_budgets, temperature_mixture,
     gopher_quality, blocklist_stats, rolling_stats,
     corpus_report, group_centroids, inverted_index, ngram_counts, bm25_scores,
+    bpe_encode, bpe_train,
     clean_text, compression_stats, dedup_against, hot_keys, normalize_urls,
     oov_stats, overlap_chunks, random_project, sq_quantize, sq_topk,
     url_dedup,
@@ -2071,6 +2072,19 @@ def q_clean_text(spark, sf_dir):
     return clean_text(messy)
 
 
+def q_bpe_fertility(spark, sf_dir):
+    """Real BPE tokenizer budget (bpe_train + bpe_encode): merge table
+    trained driver-side on the md5-ordered sample (the IVF-codebook
+    pattern), corpus encoded in one Arrow pass.  Deterministic
+    (hash-ordered sample, lexicographic tie-breaks) but the iterative
+    merge algorithm is not SQL-expressible — rows-only driver check;
+    the algorithm is pinned against the classic Sennrich example and a
+    Python model in tests/test_corpus_analytics.py."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=100)
+    return bpe_encode(docs, merges)
+
+
 def _messy_url() -> Column:
     """Deterministic crawl-style URL per document, deliberately messy —
     mixed-case scheme/host, www, default port, tracking params, fragments
@@ -2150,6 +2164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_keys": q_hot_keys,
         "compression_stats": q_compression_stats,
         "clean_text": q_clean_text,
+        "bpe_fertility": q_bpe_fertility,
         # --- NEW round-6 session-2 operators ---
         "temperature_budgets": q_temperature_budgets,
         "temperature_mixture": q_temperature_mixture,
@@ -2195,10 +2210,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         # --- beyond slot 50 (not driver-checked this round): all
         # mimic-green on round-6 code, see COVERAGE.md rotation log.
-        # cross_join..dedup_exact and text_quality..nary_outer_join
-        # displaced from the window by the 11 session-3 + 5 session-2 new
-        # operators above (all r4-green + mimic-green; deferred to the
-        # round-7 window) ---
+        # sessionize sits at slot 50 exactly; cross_join..dedup_exact and
+        # text_quality..nary_outer_join displaced from the window by the
+        # 12 session-3 + 5 session-2 new operators above (all r4-green +
+        # mimic-green; deferred to the round-7 window) ---
         "cross_join": q_cross_join,
         "self_join": q_self_join,
         "merge_union": q_merge_union,

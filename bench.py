@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "hot_keys",
     "compression_stats",
     "clean_text",
+    "bpe_fertility",
 ]
 
 

@@ -34,6 +34,7 @@ from .multimodal import (
 from .skew import salted_agg, salted_broadcast_left, stratified_sample
 from .mixture import (domain_quota, shuffle_shard, token_budget_mixture,
                       temperature_budgets, temperature_mixture)
+from .bpe import bpe_encode, bpe_train, encode_word
 from .temporal import asof_join, range_join
 from .urls import (normalize_url_expr, normalize_urls, url_dedup,
                    url_domain_expr)

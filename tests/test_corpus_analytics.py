@@ -332,3 +332,58 @@ def test_oov_stats_case_folds(spark):
         [(1, "Tok tok"), (2, "TOK")], "doc_id long, text string")
     rows = {r["doc_id"]: r["n_oov"] for r in oov_stats(df, min_df=2).collect()}
     assert rows == {1: 0, 2: 0}
+
+
+def test_bpe_train_sennrich_example(spark):
+    """The classic BPE walk-through: corpus {low x5, lower x2, newest x6,
+    widest x3} — first merges must be (e,s), (es,t), (est,EOW) ... (the
+    published order, count ties broken lexicographically)."""
+    from cascading_flink_spark.extensions import bpe_train
+    rows = ([("a%d" % i, "low") for i in range(5)]
+            + [("b%d" % i, "lower") for i in range(2)]
+            + [("c%d" % i, "newest") for i in range(6)]
+            + [("d%d" % i, "widest") for i in range(3)])
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    merges = bpe_train(df, num_merges=4)
+    assert merges[0] == ("e", "s")          # 9 occurrences
+    assert merges[1] == ("es", "t")         # 9
+    assert merges[2] == ("est", "▁")   # 9 (end-of-word)
+    assert merges[3] == ("l", "o")          # 7
+
+
+def test_bpe_encode_matches_python_model(spark, sf_dir):
+    """Distributed encoding must equal the driver-side model word-by-word
+    (same merges, same inference rule)."""
+    from cascading_flink_spark.extensions import (bpe_encode, bpe_train,
+                                                  encode_word)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60).cache()
+    merges = bpe_train(docs, num_merges=50)
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    got = {r["doc_id"]: (r["n_words"], r["n_bpe_tokens"], r["fertility_x100"])
+           for r in bpe_encode(docs, merges).collect()}
+    for r in docs.collect():
+        ws = (r["text"] or "").lower().split()
+        n_bpe = sum(len(encode_word(w, ranks)) for w in ws)
+        want = (len(ws), n_bpe,
+                0 if not ws else n_bpe * 100 // len(ws))
+        assert got[r["doc_id"]] == want, r["doc_id"]
+
+
+def test_bpe_more_merges_lower_fertility(spark, sf_dir):
+    from cascading_flink_spark.extensions import bpe_encode, bpe_train
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100).cache()
+    few = bpe_train(docs, num_merges=10)
+    many = bpe_train(docs, num_merges=200)
+    tot = lambda m: sum(r["n_bpe_tokens"]
+                        for r in bpe_encode(docs, m).collect())
+    assert tot(many) < tot(few)
+
+
+def test_bpe_train_scan_order_free(spark, sf_dir):
+    """The md5-ordered sample makes the merge table independent of
+    physical partitioning."""
+    from cascading_flink_spark.extensions import bpe_train
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = bpe_train(docs, num_merges=30)
+    b = bpe_train(docs.repartition(13), num_merges=30)
+    assert a == b
