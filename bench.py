@@ -146,8 +146,9 @@ BENCH_QUERIES = [
     "gopher_quality",
     "blocklist",
     "rolling_stats",
-    # round-6 session-3 operators (set change: 83 -> 85 rows; totals are
-    # not comparable to earlier rounds — compare per-query)
+    # round-6 session-3 operators (set change: 83 -> 95 rows + the
+    # embedding_dups_lsh extra = 96 total; totals are not comparable to
+    # earlier rounds — compare per-query)
     "sq_codes",
     "sq_topk",
     "overlap_chunks",
