@@ -48,7 +48,8 @@ from cascading_flink_spark.extensions import (
     gopher_quality, blocklist_stats, rolling_stats,
     corpus_report, group_centroids, inverted_index, ngram_counts, bm25_scores,
     bpe_encode, bpe_train,
-    clean_text, compression_stats, dedup_against, hot_keys, normalize_urls,
+    clean_text, compression_stats, dedup_against, group_split, hot_keys,
+    normalize_urls,
     oov_stats, overlap_chunks, random_project, sq_quantize, sq_topk,
     url_dedup,
 )
@@ -2085,6 +2086,14 @@ def q_bpe_fertility(spark, sf_dir):
     return bpe_encode(docs, merges)
 
 
+def q_group_split(spark, sf_dir):
+    """Leakage-safe train/test split keyed by source domain (group_split):
+    a whole domain is test iff its md5 hex prefix clears the cut — no
+    document-level leakage possible."""
+    return group_split(_t(spark, sf_dir, "documents"), "source",
+                       test_frac=0.2).select("doc_id", "source", "split")
+
+
 def _messy_url() -> Column:
     """Deterministic crawl-style URL per document, deliberately messy —
     mixed-case scheme/host, www, default port, tracking params, fragments
@@ -2165,6 +2174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_stats": q_compression_stats,
         "clean_text": q_clean_text,
         "bpe_fertility": q_bpe_fertility,
+        "group_split": q_group_split,
         # --- NEW round-6 session-2 operators ---
         "temperature_budgets": q_temperature_budgets,
         "temperature_mixture": q_temperature_mixture,
@@ -2206,14 +2216,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
-        "embedding_dups": q_embedding_dups,
-        "sessionize": q_sessionize,
         # --- beyond slot 50 (not driver-checked this round): all
         # mimic-green on round-6 code, see COVERAGE.md rotation log.
-        # sessionize sits at slot 50 exactly; cross_join..dedup_exact and
+        # ngram_jaccard sits at slot 50 exactly; embedding_dups,
+        # sessionize, cross_join..dedup_exact and
         # text_quality..nary_outer_join displaced from the window by the
-        # 12 session-3 + 5 session-2 new operators above (all r4-green +
-        # mimic-green; deferred to the round-7 window) ---
+        # 13 session-3 + 5 session-2 new operators above (all
+        # r4/r5-green + mimic-green; deferred to the round-7 window) ---
+        "embedding_dups": q_embedding_dups,
+        "sessionize": q_sessionize,
         "cross_join": q_cross_join,
         "self_join": q_self_join,
         "merge_union": q_merge_union,
@@ -2536,6 +2547,12 @@ def oracle_sql() -> dict[str, str]:
                            '\\s+', ' ', 'g')) AS clean
                 FROM raw)
             SELECT doc_id, clean AS clean_text, clean <> t AS changed FROM c
+        """,
+        "group_split": """
+            SELECT doc_id, source,
+                   CASE WHEN substr(md5('split#' || source), 1, 6) < '333333'
+                        THEN 'test' ELSE 'train' END AS split
+            FROM documents
         """,
         "hot_keys": """
             WITH c AS (SELECT user_id AS key, count(*)::BIGINT AS n

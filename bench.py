@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "compression_stats",
     "clean_text",
     "bpe_fertility",
+    "group_split",
 ]
 
 

@@ -32,7 +32,8 @@ from .multimodal import (
     frame_sample,
 )
 from .skew import salted_agg, salted_broadcast_left, stratified_sample
-from .mixture import (domain_quota, shuffle_shard, token_budget_mixture,
+from .mixture import (domain_quota, group_split, shuffle_shard,
+                      token_budget_mixture,
                       temperature_budgets, temperature_mixture)
 from .bpe import bpe_encode, bpe_train, encode_word
 from .temporal import asof_join, range_join

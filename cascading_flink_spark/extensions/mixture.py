@@ -304,3 +304,36 @@ def shuffle_shard(df: DataFrame, num_shards: int,
               .withColumn("shard_pos", F.row_number().over(w))
               .withColumnRenamed("__shard", "shard")
               .drop("__key"))
+
+
+def group_split(df: DataFrame, group_col: str, test_frac: float = 0.1,
+                seed: str = "split", out_col: str = "split",
+                hex_digits: int = 6) -> DataFrame:
+    """Leakage-safe train/test split: the split key is the GROUP (domain,
+    dedup cluster id, URL host), never the document — every row of a
+    group lands on the same side, so near-duplicates and same-source
+    documents cannot straddle the eval boundary (the dedup-test-leakage
+    failure mode; pair with dedup_clusters to split by cluster).
+
+    A group is 'test' iff the first ``hex_digits`` hex chars of
+    ``md5(seed#group)`` fall below ``floor(test_frac * 16^hex_digits)``
+    — the :func:`stratified_sample` hex-prefix rule: deterministic,
+    engine-agnostic (plain string compare of md5 hex), rerun-stable, and
+    a new seed is a fresh independent split.  Resolution is
+    1/16^hex_digits (~6e-8 at the default).  NULL groups go to 'train'
+    (a NULL key hashes nowhere; sending unknown provenance to test would
+    contaminate evaluation silently).  Map-only — zero shuffles."""
+    if not 0.0 <= test_frac <= 1.0:
+        raise ValueError("test_frac must be in [0, 1]")
+    cut_int = int(test_frac * 16 ** hex_digits)
+    # at test_frac=1.0 the cut overflows to hex_digits+1 chars and the
+    # lexicographic compare would send EVERYTHING to train; any hex
+    # prefix sorts below 'g', so 'g' is the all-test sentinel
+    cut = ("g" if cut_int >= 16 ** hex_digits
+           else format(cut_int, f"0{hex_digits}x"))
+    h = F.substring(
+        F.md5(F.concat(F.lit(seed + "#"), F.col(group_col).cast("string"))),
+        1, hex_digits)
+    return df.withColumn(
+        out_col,
+        F.when(h < cut, F.lit("test")).otherwise(F.lit("train")))

@@ -176,3 +176,43 @@ def test_domain_quota_twoscan_keeps_hot_null_domain(spark):
     assert two == win
     assert len([d for d in two if d < 1000]) == 10   # null slice capped
     assert {1000, 1001, 1002} <= two                 # small domain intact
+
+
+def test_group_split_whole_group_one_side(spark, sf_dir):
+    from cascading_flink_spark.extensions import group_split
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = group_split(docs, "source", test_frac=0.3)
+    sides = (out.groupBy("source").agg(F.countDistinct("split").alias("k"))
+             .collect())
+    assert all(r["k"] == 1 for r in sides)
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "test"} and "train" in splits
+
+
+def test_group_split_fraction_and_determinism(spark):
+    from cascading_flink_spark.extensions import group_split
+    df = spark.createDataFrame([(i, f"g{i}") for i in range(2000)],
+                               "doc_id long, g string")
+    out = group_split(df, "g", test_frac=0.25)
+    frac = out.filter("split = 'test'").count() / 2000
+    assert 0.20 < frac < 0.30, frac
+    again = group_split(df.repartition(7), "g", test_frac=0.25)
+    assert {(r["doc_id"], r["split"]) for r in out.collect()} == \
+        {(r["doc_id"], r["split"]) for r in again.collect()}
+    # a different seed is an independent split, same expected mass
+    other = group_split(df, "g", test_frac=0.25, seed="fold2")
+    moved = out.alias("a").join(other.alias("b"), "doc_id") \
+        .filter("a.split <> b.split").count()
+    assert moved > 0
+
+
+def test_group_split_null_group_goes_to_train_and_validates(spark):
+    from cascading_flink_spark.extensions import group_split
+    import pytest as _pytest
+    df = spark.createDataFrame([(1, None), (2, "g")],
+                               "doc_id long, g string")
+    rows = {r["doc_id"]: r["split"]
+            for r in group_split(df, "g", test_frac=1.0).collect()}
+    assert rows[1] == "train" and rows[2] == "test"
+    with _pytest.raises(ValueError):
+        group_split(df, "g", test_frac=1.5)
