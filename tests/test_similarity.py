@@ -293,3 +293,29 @@ def test_random_project_map_only_and_validates(spark, emb):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         random_project(emb, out_dim=0)
+
+
+def test_sq_write_once_index_flow(spark, emb, queries, tmp_path):
+    """The production flow: fit ranges once, write the codes table, serve
+    top-k from the STORED codes + saved stats — results identical to the
+    self-contained path."""
+    from cascading_flink_spark.extensions import sq_minmax, sq_quantize, sq_topk
+    stats = sq_minmax(emb, dim=64)
+    idx = str(tmp_path / "sq_index")
+    sq_quantize(emb, dim=64, stats=stats).write.parquet(idx)
+    stored = spark.read.parquet(idx)
+    # rebuild a corpus-shaped frame from stored codes by dequantizing via
+    # sq_topk's own stats path: compare against the direct computation
+    direct = {(r["query_id"], r["vec_id"]): r["sim"]
+              for r in sq_topk(emb, queries, k=5, dim=64, stats=stats).collect()}
+    # stored-codes serving: dequantize codes and score as embeddings
+    from cascading_flink_spark.extensions.similarity import _sq_dequant_expr
+    from pyspark.sql import functions as F2
+    served_corpus = stored.select(
+        "vec_id", _sq_dequant_expr(F2.col("codes"), *stats).alias("embedding"))
+    # quantizing an already-dequantized corpus with the same stats is a
+    # fixed point (codes round-trip), so sq_topk over it must agree
+    served = {(r["query_id"], r["vec_id"]): r["sim"]
+              for r in sq_topk(served_corpus, queries, k=5, dim=64,
+                               stats=stats).collect()}
+    assert served == direct
