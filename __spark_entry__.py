@@ -2535,10 +2535,10 @@ def oracle_sql() -> dict[str, str]:
                        END AS t
                 FROM documents),
             c AS (
-                SELECT doc_id, t,
+                SELECT doc_id, coalesce(t, '') AS t,
                        trim(regexp_replace(regexp_replace(
                            translate(
-                               regexp_replace(t,
+                               regexp_replace(coalesce(t, ''),
                                    '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f\\x{200b}-\\x{200d}\\x{feff}]',
                                    '', 'g'),
                                '‘’“”–—' || chr(160),
@@ -2560,7 +2560,7 @@ def oracle_sql() -> dict[str, str]:
             t AS (SELECT sum(n)::BIGINT AS tt FROM c)
             SELECT key, n, CAST((n * 10000) // tt AS BIGINT) AS share_x10000
             FROM c, t
-            ORDER BY n DESC, key ASC LIMIT 20
+            ORDER BY n DESC, key ASC NULLS LAST LIMIT 20
         """,
         # Independent rebuild of the JL sign projection: DuckDB derives
         # the same md5-Rademacher planes and replays the left-fold dots.
@@ -2572,9 +2572,14 @@ def oracle_sql() -> dict[str, str]:
                         for i in range(0, 64)] AS s
                 FROM range(16) jj(j)),
             proj AS (
+                -- explicit left fold (list_reduce) mirrors Spark's
+                -- aggregate() addition order exactly, so the /4 + round
+                -- lands on the identical double rather than relying on
+                -- list_sum's unspecified summation order
                 SELECT e.vec_id, signs.j,
-                       round(list_sum([e.embedding[i]::DOUBLE * signs.s[i]
-                                       for i in range(1, 65)]) / 4.0, 4) AS y
+                       round(list_reduce([e.embedding[i]::DOUBLE * signs.s[i]
+                                          for i in range(1, 65)],
+                                         (acc, x) -> acc + x) / 4.0, 4) AS y
                 FROM embeddings e, signs)
             SELECT vec_id,
                    array_to_string(
@@ -2641,7 +2646,12 @@ def oracle_sql() -> dict[str, str]:
                         ELSE scheme || '://' || host || path ||
                              CASE WHEN query = '' THEN '' ELSE '?' || query END
                    END AS norm_url,
-                   regexp_extract(host, '([a-z0-9-]+\\.[a-z0-9-]+)$', 1) AS domain
+                   CASE WHEN regexp_extract(regexp_replace(host, ':[0-9]+$', ''),
+                                            '([a-z0-9-]+\\.[a-z0-9-]+)$', 1) = ''
+                        THEN regexp_replace(host, ':[0-9]+$', '')
+                        ELSE regexp_extract(regexp_replace(host, ':[0-9]+$', ''),
+                                            '([a-z0-9-]+\\.[a-z0-9-]+)$', 1)
+                   END AS domain
             FROM hostp
         """,
         "url_dedup": """
@@ -2701,7 +2711,8 @@ def oracle_sql() -> dict[str, str]:
                   FROM d WHERE len(t) > 0),
             c AS (SELECT doc_id, t, n,
                          CASE WHEN n <= 32 THEN 1
-                              ELSE 1 + (n - 32 + 24 - 1) // 24 END AS num
+                              ELSE least(1 + (n - 32 + 24 - 1) // 24,
+                                         1 + (n - 1) // 24) END AS num
                   FROM n),
             e AS (SELECT doc_id, t, unnest(range(0, num)) AS j FROM c)
             SELECT doc_id, j AS chunk_id,

@@ -28,8 +28,8 @@ from .similarity import (
     sq_quantize, sq_topk,
 )
 from .multimodal import (
-    MULTIMODAL_SCHEMA, attach_binary_meta, decode_stub_features,
-    frame_sample,
+    MEDIA_SCHEMA, MULTIMODAL_SCHEMA, attach_binary_meta, decode_media,
+    decode_stub_features, frame_sample,
 )
 from .skew import salted_agg, salted_broadcast_left, stratified_sample
 from .mixture import (domain_quota, group_split, shuffle_shard,

@@ -128,22 +128,28 @@ def rolling_stats(events: DataFrame, key_col: str = "user_id",
 
 def group_quantiles(df: DataFrame, value_col: str = "value",
                     by: str = "event_type",
-                    ps: list[float] | None = None) -> DataFrame:
+                    ps: list[float] | None = None,
+                    strategy: str = "binned") -> DataFrame:
     """Exact discrete quantiles per group: for each p, the smallest value
     whose rank reaches ``ceil(p * n)`` — a real member of the data (no
     interpolation arithmetic), so the result is reproducible bit-for-bit
     in any engine, unlike ``approx_percentile`` (sketch-dependent) or
     continuous quantiles (interpolation formulas differ).
 
-    Returns ``(grp, p, q)``.  Duplicates pre-aggregate FIRST (one
-    partial-agg hash aggregation), so the per-group window sorts only the
-    DISTINCT values with their counts — the rank is then read off the
-    cumulative count.  A hot group with repeated values (the common shape:
-    status codes, rounded metrics, prices) costs its distinct-value count,
-    not its row count.  For a hot group of fully unique continuous values
-    use :func:`group_quantiles_binned` — the two-pass bin recursion with
-    identical output (per-group sorts bounded by ``bins`` and ~n/bins).
+    Returns ``(grp, p, q)``.  The DEFAULT execution is the hot-group-safe
+    two-pass bin recursion of :func:`group_quantiles_binned` (identical
+    output by construction; per-group sorts bounded by ``bins`` and
+    ~n/bins) — a billion-row group through the default entry point must
+    never sort in one task.  ``strategy="onepass"`` selects the explicit
+    small-data variant: one partial-agg dedup plus a per-group window
+    over the DISTINCT values — cheaper when groups are modest or values
+    repeat heavily (status codes, prices), but a hot group of unique
+    continuous values sorts its whole distinct set in a single task.
     """
+    if strategy == "binned":
+        return group_quantiles_binned(df, value_col=value_col, by=by, ps=ps)
+    if strategy != "onepass":
+        raise ValueError("strategy must be 'binned' or 'onepass'")
     if ps is None:
         ps = [0.5, 0.9, 0.99]
     # quantiles are over NON-NULL values (the standard semantics; it also
@@ -253,12 +259,14 @@ def hot_keys(df: DataFrame, key_col: str, top: int = 20) -> DataFrame:
     integer-threshold pattern), and a global top-N that compiles to
     TakeOrderedAndProject — no full sort, no second scan.  NULL keys are
     counted as a key (they hash to one partition too — the most common
-    real-world skew)."""
+    real-world skew); the tie-order pins NULL last EXPLICITLY (Spark's
+    bare ASC defaults nulls-first, SQL engines default NULLS LAST — an
+    implicit default would flip the cutoff row set between engines)."""
     counts = df.groupBy(F.col(key_col).alias("key")) \
                .agg(F.count(F.lit(1)).alias("n"))
     total = counts.agg(F.sum("n").alias("__t"))
     return (counts.crossJoin(F.broadcast(total))
                   .select("key", "n",
                           F.expr("n * 10000 div __t").alias("share_x10000"))
-                  .orderBy(F.desc("n"), F.asc("key"))
+                  .orderBy(F.desc("n"), F.asc_nulls_last("key"))
                   .limit(top))

@@ -37,24 +37,26 @@ def _md5_frac(id_col: str, seed: str) -> "F.Column":
 
 def domain_quota(df: DataFrame, domain_col: str, max_docs: int,
                  id_col: str = "doc_id", seed: str = "quota",
-                 strategy: str = "window",
+                 strategy: str = "twoscan",
                  oversample: float = 2.0) -> DataFrame:
     """Keep at most ``max_docs`` rows per domain, chosen by deterministic
     md5 order (an unbiased per-domain sample, not "first files scanned").
 
-    ``strategy="window"`` (default): one shuffle on the domain key, one
-    per-domain rank — right for the heavy tail of normal domains, but a
-    mega-domain ranks all its rows in one task's sort.
+    ``strategy="twoscan"`` (DEFAULT — a crawl with one mega-domain is the
+    *expected* input for a domain quota, so the mega-key-safe path must
+    be the one users get without reading docs): identical output to the
+    window path.  Scan 1 counts rows per domain (partial agg).  Domains
+    within quota keep every row with no sort at all; over-quota domains
+    pre-filter to the rows whose md5 fraction falls below ``oversample *
+    max_docs / count`` — an exact prefix of the md5 order, ~``oversample
+    * max_docs`` rows — and only that bounded set is ranked.  A domain
+    whose prefix undershoots ``max_docs`` survivors (Chernoff-rare at
+    any real ``max_docs``) is rescued through the full window path, so
+    the result is exact, not approximate.
 
-    ``strategy="twoscan"``: the mega-key-safe path with IDENTICAL output.
-    Scan 1 counts rows per domain (partial agg).  Domains within quota
-    keep every row with no sort at all; over-quota domains pre-filter to
-    the rows whose md5 fraction falls below ``oversample * max_docs /
-    count`` — an exact prefix of the md5 order, ~``oversample * max_docs``
-    rows — and only that bounded set is ranked.  A domain whose prefix
-    undershoots ``max_docs`` survivors (Chernoff-rare at any real
-    ``max_docs``) is rescued through the full window path, so the result
-    is exact, not approximate."""
+    ``strategy="window"``: the explicit small-data variant — one shuffle
+    on the domain key, one per-domain rank; cheaper when no domain is
+    huge, but a mega-domain ranks all its rows in one task's sort."""
     order = [_md5_order(id_col, seed), F.col(id_col)]
     if strategy == "window":
         w = Window.partitionBy(domain_col).orderBy(*order)
@@ -101,56 +103,31 @@ def domain_quota(df: DataFrame, domain_col: str, max_docs: int,
     return cold.unionByName(picked).unionByName(rescue).select(*df.columns)
 
 
-def token_budget_mixture(df: DataFrame, budgets: dict[str, int],
-                         lang_col: str = "lang",
-                         token_col: str = "n_tokens",
-                         id_col: str = "doc_id",
-                         seed: str = "mixture",
-                         strategy: str = "window",
-                         oversample: float = 2.0) -> DataFrame:
-    """Sample to a per-language TOKEN budget: walk each language's docs in
-    deterministic md5 order and keep them while the running token total
-    (including the current doc) stays within that language's budget.
-
-    This is how a target mixture ("200 B tokens English, 50 B code, ...")
-    is actually cut from a corpus: quota by tokens, not documents, so long
-    docs don't let a language overshoot.  Languages absent from
-    ``budgets`` are dropped.
-
-    ``strategy="window"`` (default): one shuffle on the language key; the
-    cumulative window is the standard prefix-sum shape — a hot language
-    sorts in one task.  ``strategy="twoscan"``: the mega-key-safe path
-    with IDENTICAL output.  Scan 1 totals tokens per language; a language
-    whose corpus fits its budget keeps every row with no sort, an
-    over-budget language pre-filters to the md5-order PREFIX whose
-    fraction is below ``oversample * budget / total_tokens`` (expected
-    token mass ``oversample * budget``) and prefix-sums only that bounded
-    set.  Exactness: the admitted set is a prefix of the md5 order, and
-    any prefix carrying strictly more than ``budget`` tokens contains the
-    whole admitted set (token counts are non-negative); a language whose
-    surviving prefix carries <= budget tokens (Chernoff-rare) is rescued
-    through the full window path."""
-    mapping = F.create_map(
-        *[x for k, v in budgets.items() for x in (F.lit(k), F.lit(int(v)))])
+def _admit_token_budget(base: DataFrame, out_cols: list[str],
+                        lang_col: str, token_col: str, id_col: str,
+                        seed: str, strategy: str,
+                        oversample: float) -> DataFrame:
+    """Shared token-budget admission: ``base`` carries a non-null
+    ``__budget`` column; rows are admitted in md5 order while each
+    language's running token total stays within its budget.  Both the
+    window path and the mega-key-safe twoscan path live here so
+    :func:`token_budget_mixture` (hand budgets) and
+    :func:`temperature_mixture` (data-derived budgets) share one
+    implementation and one exactness argument."""
     order = [_md5_order(id_col, seed), F.col(id_col)]
     w = (Window.partitionBy(lang_col).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, 0))
     tok = F.col(token_col).cast("long")
     if strategy == "window":
-        return (df.withColumn("__budget", mapping[F.col(lang_col)])
-                  .filter(F.col("__budget").isNotNull())
-                  .withColumn("__cum", F.sum(tok).over(w))
-                  .filter(F.col("__cum") <= F.col("__budget"))
-                  .drop("__budget", "__cum"))
+        return (base.withColumn("__cum", F.sum(tok).over(w))
+                    .filter(F.col("__cum") <= F.col("__budget"))
+                    .select(*out_cols))
     if strategy != "twoscan":
         raise ValueError("strategy must be 'window' or 'twoscan'")
 
-    base = (df.withColumn("__budget", mapping[F.col(lang_col)])
-              .filter(F.col("__budget").isNotNull()))
     totals = base.groupBy(lang_col).agg(F.sum(tok).alias("__tot"))
     d = base.join(totals, lang_col)
-    cold = d.filter(F.col("__tot") <= F.col("__budget")) \
-            .drop("__budget", "__tot")
+    cold = d.filter(F.col("__tot") <= F.col("__budget"))
     hot = d.filter(F.col("__tot") > F.col("__budget"))
     thresh = F.least(
         F.lit(1.0),
@@ -169,13 +146,54 @@ def token_budget_mixture(df: DataFrame, budgets: dict[str, int],
     short = (hot.select(lang_col).distinct()
              .join(covered, lang_col, "left_anti"))
     picked = (cummed.filter(F.col("__cum") <= F.col("__budget"))
-              .join(F.broadcast(short), lang_col, "left_anti")
-              .drop("__budget", "__tot", "__cum"))
+              .join(F.broadcast(short), lang_col, "left_anti"))
     rescue = (hot.join(F.broadcast(short), lang_col, "left_semi")
               .withColumn("__cum", F.sum(tok).over(w))
-              .filter(F.col("__cum") <= F.col("__budget"))
-              .drop("__budget", "__tot", "__cum"))
-    return cold.unionByName(picked).unionByName(rescue).select(*df.columns)
+              .filter(F.col("__cum") <= F.col("__budget")))
+    return (cold.select(*out_cols)
+                .unionByName(picked.select(*out_cols))
+                .unionByName(rescue.select(*out_cols)))
+
+
+def token_budget_mixture(df: DataFrame, budgets: dict[str, int],
+                         lang_col: str = "lang",
+                         token_col: str = "n_tokens",
+                         id_col: str = "doc_id",
+                         seed: str = "mixture",
+                         strategy: str = "twoscan",
+                         oversample: float = 2.0) -> DataFrame:
+    """Sample to a per-language TOKEN budget: walk each language's docs in
+    deterministic md5 order and keep them while the running token total
+    (including the current doc) stays within that language's budget.
+
+    This is how a target mixture ("200 B tokens English, 50 B code, ...")
+    is actually cut from a corpus: quota by tokens, not documents, so long
+    docs don't let a language overshoot.  Languages absent from
+    ``budgets`` are dropped.
+
+    ``strategy="twoscan"`` (DEFAULT — a language holding most of the
+    corpus is the expected input of a mixture cut, so the mega-key-safe
+    path must be what users get by default): identical output to the
+    window path.  Scan 1 totals tokens per language; a language whose
+    corpus fits its budget keeps every row with no sort, an over-budget
+    language pre-filters to the md5-order PREFIX whose fraction is below
+    ``oversample * budget / total_tokens`` (expected token mass
+    ``oversample * budget``) and prefix-sums only that bounded set.
+    Exactness: the admitted set is a prefix of the md5 order, and any
+    prefix carrying strictly more than ``budget`` tokens contains the
+    whole admitted set (token counts are non-negative); a language whose
+    surviving prefix carries <= budget tokens (Chernoff-rare) is rescued
+    through the full window path.
+
+    ``strategy="window"``: the explicit small-data variant — one shuffle
+    on the language key, the standard prefix-sum window; a hot language
+    sorts in one task."""
+    mapping = F.create_map(
+        *[x for k, v in budgets.items() for x in (F.lit(k), F.lit(int(v)))])
+    base = (df.withColumn("__budget", mapping[F.col(lang_col)])
+              .filter(F.col("__budget").isNotNull()))
+    return _admit_token_budget(base, list(df.columns), lang_col, token_col,
+                               id_col, seed, strategy, oversample)
 
 
 def temperature_budgets(df: DataFrame, total_budget: int,
@@ -253,33 +271,28 @@ def temperature_mixture(df: DataFrame, total_budget: int,
                         token_col: str = "n_tokens",
                         id_col: str = "doc_id",
                         seed: str = "temper",
-                        alpha: float = 0.5) -> DataFrame:
+                        alpha: float = 0.5,
+                        strategy: str = "twoscan",
+                        oversample: float = 2.0) -> DataFrame:
     """Cut a temperature-weighted multilingual mixture: derive each
     language's token budget with :func:`temperature_budgets`, then admit
     that language's docs in deterministic md5 order while the running
     token total stays within the budget — :func:`token_budget_mixture`'s
-    admission rule with data-derived budgets instead of a hand dict.
+    admission rule with data-derived budgets instead of a hand dict
+    (the two share :func:`_admit_token_budget`, so the mega-key-safe
+    ``twoscan`` default and the explicit ``window`` variant behave
+    identically here).
 
     Returns the admitted rows (original columns); NULL-language rows are
     dropped (see :func:`temperature_budgets`).  One groupBy for the
-    allocation (broadcast back — the per-language table is tiny), one
-    prefix-sum window on the language key for admission.  A mega
-    language sorts in one task's window, exactly as
-    :func:`token_budget_mixture` documents; at that scale route the
-    derived budgets through its ``strategy="twoscan"`` path instead.
-    """
+    allocation (broadcast back — the per-language table is tiny), then
+    the shared admission."""
     budgets = temperature_budgets(df, total_budget, lang_col=lang_col,
                                   token_col=token_col, alpha=alpha) \
-        .select(lang_col, "budget")
-    tok = F.col(token_col).cast("long")
-    order = [_md5_order(id_col, seed), F.col(id_col)]
-    w = (Window.partitionBy(lang_col).orderBy(*order)
-         .rowsBetween(Window.unboundedPreceding, 0))
-    return (df.join(F.broadcast(budgets), lang_col)
-              .withColumn("__cum", F.sum(tok).over(w))
-              .filter(F.col("__cum") <= F.col("budget"))
-              .drop("budget", "__cum")
-              .select(*df.columns))
+        .select(lang_col, F.col("budget").alias("__budget"))
+    base = df.join(F.broadcast(budgets), lang_col)
+    return _admit_token_budget(base, list(df.columns), lang_col, token_col,
+                               id_col, seed, strategy, oversample)
 
 
 def shuffle_shard(df: DataFrame, num_shards: int,

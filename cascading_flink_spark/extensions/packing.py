@@ -86,8 +86,13 @@ def overlap_chunks(df: DataFrame, context_len: int, stride: int,
 
     Returns ``(doc_id, chunk_id, chunk_tokens, chunk_text)``; the chunk
     count is ``1`` for documents of at most ``context_len`` tokens, else
-    ``1 + ceil((n - context_len) / stride)`` (the final window may be
-    shorter).  ``stride < context_len`` gives overlapping context,
+    ``1 + ceil((n - context_len) / stride)`` capped at
+    ``1 + floor((n - 1) / stride)`` — the cap only bites when
+    ``stride > context_len``, where the uncapped formula would emit a
+    trailing chunk starting past the last token (zero tokens, empty
+    text), contradicting the "final window may be shorter" contract
+    (the final window is shorter, never empty).  ``stride <
+    context_len`` gives overlapping context,
     ``stride == context_len`` disjoint blocks, ``stride > context_len``
     gapped sampling — all three are just parameter choices of the same
     window walk.  Zero-token documents are dropped (they chunk to
@@ -107,8 +112,10 @@ def overlap_chunks(df: DataFrame, context_len: int, stride: int,
            .withColumn("__n", F.size("__t").cast("long"))
            .filter(F.col("__n") > 0))
     num = F.when(F.col("__n") <= context_len, F.lit(1).cast("long")) \
-           .otherwise(F.lit(1) + F.expr(
-               f"(__n - {context_len} + {stride} - 1) div {stride}"))
+           .otherwise(F.least(
+               F.lit(1) + F.expr(
+                   f"(__n - {context_len} + {stride} - 1) div {stride}"),
+               F.lit(1) + F.expr(f"(__n - 1) div {stride}")))
     chunk = F.slice(F.col("__t"),
                     (F.col("__j") * stride + 1).cast("int"), context_len)
     return (d.withColumn("__j", F.explode(F.sequence(F.lit(0).cast("long"),

@@ -374,7 +374,12 @@ def clean_text(df: DataFrame, text_col: str = "text",
 
     Map-only native expressions (translate + 3 regexp passes), zero
     shuffles; the fold table and patterns are explicit code points in the
-    engine-common dialect so the oracle replays the pipeline verbatim."""
-    cleaned = clean_text_expr(F.col(text_col))
+    engine-common dialect so the oracle replays the pipeline verbatim.
+
+    NULL text coalesces to '' first (matching :func:`compression_stats`),
+    so ``changed`` is always a real boolean — a downstream filter on
+    either polarity would otherwise silently drop NULL-text rows."""
+    src = F.coalesce(F.col(text_col), F.lit(""))
+    cleaned = clean_text_expr(src)
     return df.select(F.col(id_col), cleaned.alias("clean_text"),
-                     (cleaned != F.col(text_col)).alias("changed"))
+                     (cleaned != src).alias("changed"))

@@ -63,10 +63,19 @@ def url_domain_expr(url: Column) -> Column:
     """Registered-domain heuristic: the last two labels of the normalized
     host (``a.b.example.com -> example.com``).  Good enough for quota /
     mixture keys on generic TLDs; swap in a public-suffix join table for
-    ccTLD precision."""
+    ccTLD precision.
+
+    A non-default port (``example.com:8080`` — the :80/:443 defaults are
+    already gone after normalization) is stripped before extraction, and
+    a host the two-label pattern cannot match (``localhost``, a bare IP
+    octet tail is still matched) falls back to the whole port-stripped
+    host — a quota/mixture key must never silently collapse such URLs
+    into one empty-string group."""
     norm = normalize_url_expr(url)
     host = F.regexp_extract(norm, _URL_PAT, 2)
-    return F.regexp_extract(host, r"([a-z0-9-]+\.[a-z0-9-]+)$", 1)
+    bare = F.regexp_replace(host, r":[0-9]+$", "")
+    two = F.regexp_extract(bare, r"([a-z0-9-]+\.[a-z0-9-]+)$", 1)
+    return F.when(two == "", bare).otherwise(two)
 
 
 def normalize_urls(df: DataFrame, url_col: str = "url",

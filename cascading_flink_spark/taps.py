@@ -306,10 +306,16 @@ class WritableSequenceFile(Scheme):
                     "into an existing SequenceFile directory)")
         kn, vn = self.fields.names
         out = df.select(kn, vn)
-        rdd = out.rdd.map(tuple)
         if self.num_sink_parts:
-            rdd = rdd.repartition(self.num_sink_parts)
-        rdd.saveAsSequenceFile(path)
+            # coalesce, not repartition: the reference's sink-DOP
+            # adjustment is explicitly sort-preserving
+            # (FlinkFlowStep.java:424-458) — a shuffle here would destroy
+            # an upstream GroupBy's sort order on the way into the files.
+            # coalesce only merges partitions (it cannot grow the count),
+            # which keeps each input partition's row order intact;
+            # matching the DataFrame sinks, which already use coalesce.
+            out = out.coalesce(self.num_sink_parts)
+        out.rdd.map(tuple).saveAsSequenceFile(path)
 
 
 def pos(col, position: int):

@@ -297,7 +297,8 @@ def test_group_quantiles_binned_equals_exact(spark):
     df = spark.createDataFrame(rows, "event_type string, value double")
     ps = [0.1, 0.5, 0.9, 0.99]
     exact = {(r["grp"], r["p"]): r["q"]
-             for r in group_quantiles(df, "value", "event_type", ps).collect()}
+             for r in group_quantiles(df, "value", "event_type", ps,
+                                      strategy="onepass").collect()}
     binned = {(r["grp"], r["p"]): r["q"]
               for r in group_quantiles_binned(df, "value", "event_type",
                                               ps, bins=32).collect()}

@@ -74,7 +74,9 @@ def _chunk_model(n, context_len, stride):
     toks = [f"w{k}" for k in range(n)]
     if not toks:
         return []
-    num = 1 if n <= context_len else 1 + -(-(n - context_len) // stride)
+    num = (1 if n <= context_len
+           else min(1 + -(-(n - context_len) // stride),
+                    1 + (n - 1) // stride))
     return [(j, len(toks[j * stride: j * stride + context_len]),
              " ".join(toks[j * stride: j * stride + context_len]))
             for j in range(num)]

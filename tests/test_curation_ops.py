@@ -240,6 +240,7 @@ def test_clean_text_folds(spark):
         (6, "a\u00a0b   c\t\nd"),
         (7, "  already clean  "),
         (8, ""),
+        (9, None),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: (r["clean_text"], r["changed"])
@@ -252,6 +253,9 @@ def test_clean_text_folds(spark):
     assert got[6] == ("a b c d", True)
     assert got[7] == ("already clean", True)   # trim counts as a change
     assert got[8] == ("", False)
+    # NULL coalesces to '' (compression_stats convention): a filter on
+    # either polarity of `changed` must not silently drop the row
+    assert got[9] == ("", False)
 
 
 def test_clean_text_idempotent(spark, sf_dir):

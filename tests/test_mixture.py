@@ -27,7 +27,8 @@ def test_domain_quota_caps_every_domain(spark, docs):
 
 
 def test_domain_quota_deterministic_and_seeded(spark, docs):
-    a = {r.doc_id for r in domain_quota(docs, "source", 5).collect()}
+    a = {r.doc_id for r in
+         domain_quota(docs, "source", 5, strategy="window").collect()}
     b = {r.doc_id for r in domain_quota(docs, "source", 5).collect()}
     assert a == b
     c = {r.doc_id for r in
@@ -55,7 +56,8 @@ def test_token_budget_drops_unlisted_languages(spark, docs):
 
 
 def test_domain_quota_twoscan_equals_window(spark, docs):
-    a = {r.doc_id for r in domain_quota(docs, "source", 5).collect()}
+    a = {r.doc_id for r in
+         domain_quota(docs, "source", 5, strategy="window").collect()}
     b = {r.doc_id for r in
          domain_quota(docs, "source", 5, strategy="twoscan").collect()}
     assert a == b
@@ -65,7 +67,8 @@ def test_domain_quota_twoscan_equals_window(spark, docs):
 
 def test_token_budget_twoscan_equals_window(spark, docs):
     budgets = {"en": 300, "de": 10_000_000}
-    a = {r.doc_id for r in token_budget_mixture(docs, budgets).collect()}
+    a = {r.doc_id for r in
+         token_budget_mixture(docs, budgets, strategy="window").collect()}
     b = {r.doc_id for r in
          token_budget_mixture(docs, budgets, strategy="twoscan").collect()}
     assert a == b
@@ -91,7 +94,8 @@ def test_domain_quota_twoscan_mega_domain_bounded_sort(spark):
     small = spark.range(200_000, 200_050).selectExpr(
         "id AS doc_id", "'cold' AS source", "5 AS n_tokens")
     df = mega.unionByName(small)
-    a = {r.doc_id for r in domain_quota(df, "source", 100).collect()}
+    a = {r.doc_id for r in
+         domain_quota(df, "source", 100, strategy="window").collect()}
     b = {r.doc_id for r in
          domain_quota(df, "source", 100, strategy="twoscan").collect()}
     assert a == b
@@ -107,7 +111,8 @@ def test_token_budget_twoscan_mega_language(spark):
     mega = spark.range(100_000).selectExpr(
         "id AS doc_id", "'en' AS lang", "CAST(2 + id % 5 AS LONG) AS n_tokens")
     budgets = {"en": 1000}
-    a = {r.doc_id for r in token_budget_mixture(mega, budgets).collect()}
+    a = {r.doc_id for r in
+         token_budget_mixture(mega, budgets, strategy="window").collect()}
     b = {r.doc_id for r in
          token_budget_mixture(mega, budgets, strategy="twoscan").collect()}
     assert a == b and 0 < len(a) < 100_000
@@ -121,16 +126,51 @@ def test_twoscan_rescue_path_exact(spark):
     df = spark.range(10_000).selectExpr(
         "id AS doc_id", "'hot' AS source", "'en' AS lang",
         "5 AS n_tokens")
-    a = {r.doc_id for r in domain_quota(df, "source", 5_000).collect()}
+    a = {r.doc_id for r in
+         domain_quota(df, "source", 5_000, strategy="window").collect()}
     b = {r.doc_id for r in
          domain_quota(df, "source", 5_000, strategy="twoscan",
                       oversample=0.01).collect()}
     assert a == b
-    c = {r.doc_id for r in token_budget_mixture(df, {"en": 25_000}).collect()}
+    c = {r.doc_id for r in
+         token_budget_mixture(df, {"en": 25_000},
+                              strategy="window").collect()}
     d = {r.doc_id for r in
          token_budget_mixture(df, {"en": 25_000}, strategy="twoscan",
                               oversample=0.01).collect()}
     assert c == d
+
+
+def test_mixture_defaults_are_mega_key_safe(spark):
+    """The DEFAULT entry points must be the mega-key-safe twoscan path
+    (a crawl with one mega-domain / one dominant language is the
+    EXPECTED input): signature defaults pinned, and a skewed corpus
+    (one key holding >50% of rows) through the bare defaults equals the
+    explicit window path exactly."""
+    import inspect
+    from cascading_flink_spark.extensions import temperature_mixture
+    for fn in (domain_quota, token_budget_mixture, temperature_mixture):
+        assert inspect.signature(fn).parameters["strategy"].default \
+            == "twoscan", fn.__name__
+    skew = spark.range(3_000).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id < 2000 THEN 'mega' ELSE 'd' || (id % 7) END AS source",
+        "CASE WHEN id < 2000 THEN 'en' ELSE 'l' || (id % 3) END AS lang",
+        "CAST(1 + id % 9 AS LONG) AS n_tokens")
+    dq = {r.doc_id for r in domain_quota(skew, "source", 50).collect()}
+    dq_w = {r.doc_id for r in
+            domain_quota(skew, "source", 50, strategy="window").collect()}
+    assert dq == dq_w
+    tb = {r.doc_id for r in
+          token_budget_mixture(skew, {"en": 500, "l1": 10_000}).collect()}
+    tb_w = {r.doc_id for r in
+            token_budget_mixture(skew, {"en": 500, "l1": 10_000},
+                                 strategy="window").collect()}
+    assert tb == tb_w
+    tm = {r.doc_id for r in temperature_mixture(skew, 2_000).collect()}
+    tm_w = {r.doc_id for r in
+            temperature_mixture(skew, 2_000, strategy="window").collect()}
+    assert tm == tm_w
 
 
 def test_shuffle_shard_partitions_everything_once(spark, docs):

@@ -114,3 +114,8 @@ def test_temperature_mixture_equals_python_model(spark, docs, budget):
             expect.add(i)
     got = {r.doc_id for r in temperature_mixture(df, budget).collect()}
     assert got == expect
+    # the explicit window variant is output-identical to the twoscan
+    # default (shared _admit_token_budget: one exactness argument)
+    win = {r.doc_id for r in
+           temperature_mixture(df, budget, strategy="window").collect()}
+    assert win == expect

@@ -54,3 +54,88 @@ def test_decode_features_normalized(spark, sf_dir):
     for r in feats:
         assert abs(sum(r["feature"]) - 1.0) < 1e-3
         assert r["n_bytes"] > 0
+
+
+# ------------------------------------------------------------- real decode
+
+def _wav_bytes(rate=8000, channels=1, n_frames=1600, sampwidth=2):
+    """A real PCM WAV built with the stdlib: 200 Hz square-ish wave."""
+    import io
+    import struct
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(rate)
+        frames = b"".join(
+            struct.pack("<" + "h" * channels,
+                        *([12000 if (i // 20) % 2 == 0 else -12000]
+                          * channels))
+            for i in range(n_frames))
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_decode_media_real_wav(spark):
+    """REAL audio decode via the stdlib wave module: exact duration /
+    sample-rate / channel metadata and a non-trivial RMS envelope."""
+    from cascading_flink_spark.extensions import decode_media
+    df = spark.createDataFrame(
+        [(1, _wav_bytes(rate=8000, n_frames=1600)),
+         (2, _wav_bytes(rate=16000, channels=2, n_frames=8000))],
+        "media_id long, payload binary")
+    media = (df.selectExpr("media_id", "'audio' AS modality",
+                           "'audio/wav' AS mime", "payload",
+                           "map() AS meta"))
+    out = {r["media_id"]: r for r in decode_media(media).collect()}
+    assert out[1]["decoder"] == "wav"
+    assert out[1]["duration_ms"] == 200          # 1600 / 8000 s
+    assert out[1]["sample_rate"] == 8000 and out[1]["channels"] == 1
+    assert out[2]["duration_ms"] == 500          # 8000 / 16000 s
+    assert out[2]["sample_rate"] == 16000 and out[2]["channels"] == 2
+    # RMS of a +/-12000 square wave at int16 scale ~ 12000/32768
+    for mid in (1, 2):
+        feats = out[mid]["feature"]
+        assert len(feats) == 8
+        assert all(0.3 < f < 0.45 for f in feats), feats
+    assert out[1]["width"] is None               # image meta stays NULL
+
+
+def test_decode_media_stub_fallback_parity(spark):
+    """A payload no real decoder accepts falls back to the byte-histogram
+    stub — same features as decode_stub_features, flagged 'stub'."""
+    from cascading_flink_spark.extensions import decode_media
+    payload = b"not media, just bytes" * 10
+    media = spark.createDataFrame(
+        [(7, "audio", "application/octet-stream", payload, {})],
+        schema="media_id long, modality string, mime string, "
+               "payload binary, meta map<string,string>")
+    row = decode_media(media).collect()[0]
+    assert row["decoder"] == "stub"
+    assert row["duration_ms"] is None
+    from cascading_flink_spark.extensions.multimodal import _stub_decode
+    expect = _stub_decode(payload, 8)
+    assert [round(f, 6) for f in row["feature"]] == expect
+
+
+def test_decode_media_real_image_with_pil(spark):
+    """Runs only where PIL is installed (skip-marked otherwise): true
+    width/height from a real PNG decode."""
+    import pytest
+    from cascading_flink_spark.extensions.multimodal import _HAS_PIL
+    if not _HAS_PIL:
+        pytest.skip("PIL not installed in this environment")
+    import io
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.new("RGB", (37, 21), (200, 10, 10)).save(buf, format="PNG")
+    from cascading_flink_spark.extensions import decode_media
+    media = spark.createDataFrame(
+        [(5, "image", "image/png", buf.getvalue(), {})],
+        schema="media_id long, modality string, mime string, "
+               "payload binary, meta map<string,string>")
+    row = decode_media(media).collect()[0]
+    assert row["decoder"] == "pil"
+    assert (row["width"], row["height"]) == (37, 21)
+    assert abs(sum(row["feature"]) - 1.0) < 1e-3

@@ -143,7 +143,9 @@ def _py_chunks(text, context_len, stride):
     if not toks:
         return []
     n = len(toks)
-    num = 1 if n <= context_len else 1 + -(-(n - context_len) // stride)
+    num = (1 if n <= context_len
+           else min(1 + -(-(n - context_len) // stride),
+                    1 + (n - 1) // stride))
     out = []
     for j in range(num):
         c = toks[j * stride: j * stride + context_len]
@@ -165,6 +167,20 @@ def test_overlap_chunks_matches_python_model(spark, sf_dir, context_len, stride)
         expect = _py_chunks(r["text"], context_len, stride)
         have = sorted(got.get(r["doc_id"], []))
         assert have == expect, f"doc {r['doc_id']}"
+
+
+def test_overlap_chunks_gapped_no_empty_chunks(spark):
+    """stride > context_len (n=21, ctx=8, stride=12): the uncapped chunk
+    count emitted a trailing j=2 chunk with zero tokens and empty text;
+    every emitted chunk must carry at least one token."""
+    from cascading_flink_spark.extensions import overlap_chunks
+    df = spark.createDataFrame([(1, " ".join(f"w{k}" for k in range(21)))],
+                               "doc_id long, text string")
+    rows = sorted(overlap_chunks(df, 8, 12).collect(),
+                  key=lambda r: r["chunk_id"])
+    assert [(r["chunk_id"], r["chunk_tokens"]) for r in rows] == \
+        [(0, 8), (1, 8)]
+    assert all(r["chunk_tokens"] > 0 for r in rows)
 
 
 def test_overlap_chunks_zero_shuffle_plan(spark, sf_dir):

@@ -94,6 +94,32 @@ def test_num_sink_parts(spark, tmp_path):
                 value_type="long").read(spark).count() == 100
 
 
+def test_num_sink_parts_preserves_sort_order(spark, tmp_path):
+    """Forcing the sink DOP must not destroy an upstream sort: the
+    reference's sink-parallelism adjustment is explicitly
+    sort-preserving (FlinkFlowStep.java:424-458).  Regression: the RDD
+    path used repartition (a shuffle) where the DataFrame sinks use
+    coalesce; each written part file must now be internally ordered."""
+    sch = WritableSequenceFile(fields=("k", "v"), value_type="long")
+    sch.num_sink_parts = 2
+    df = (spark.range(500)
+          .select(F.format_string("k%05d", F.col("id")).alias("k"),
+                  F.col("id").alias("v"))
+          .orderBy("k"))
+    out = tmp_path / "seq_sorted"
+    Hfs(sch, str(out)).write(df)
+    import glob
+    parts = sorted(glob.glob(str(out / "part-*")))
+    assert len(parts) <= 2 and parts
+    total = 0
+    for p in parts:
+        ks = [r["k"] for r in _tap(p, fields=("k", "v"),
+                                   value_type="long").read(spark).collect()]
+        assert ks == sorted(ks), f"part {p} lost its sort order"
+        total += len(ks)
+    assert total == 500
+
+
 def test_declares_exactly_two_fields():
     with pytest.raises(ValueError, match="exactly"):
         WritableSequenceFile(fields=("k", "v", "extra"))

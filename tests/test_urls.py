@@ -47,12 +47,22 @@ def test_normalize_url_rules(spark):
 def test_url_domain(spark):
     df = spark.createDataFrame(
         [(1, "https://a.b.Example.COM/x"), (2, "https://example.com"),
-         (3, "plain text")],
+         (3, "plain text"),
+         # non-default port must not hide the domain (regression: the
+         # end-anchored two-label pattern missed 'example.com:8080' and
+         # collapsed every such URL into one ''-domain group)
+         (4, "https://sub.Example.com:8080/x"),
+         # single-label host falls back to the whole (port-stripped) host
+         (5, "http://localhost:8080/x"),
+         (6, "http://intranet/page")],
         "doc_id long, url string")
     got = {r["doc_id"]: r["domain"] for r in normalize_urls(df, "url").collect()}
     assert got[1] == "example.com"
     assert got[2] == "example.com"
     assert got[3] == ""
+    assert got[4] == "example.com"
+    assert got[5] == "localhost"
+    assert got[6] == "intranet"
 
 
 def test_url_dedup_keeps_min_id(spark):

@@ -52,26 +52,35 @@ _INT_SPARK = {"tinyint", "smallint", "int", "bigint", "long"}
 _FLOAT_SPARK = {"float", "double"}
 
 
-def dtype_mismatches(spark_dtypes, oracle_df) -> list[str]:
+def dtype_mismatches(spark_dtypes, arrow_schema) -> list[str]:
     """int-vs-float type-class clashes between a Spark schema and the
-    pandas frame DuckDB's fetchdf() returns for the oracle."""
+    oracle's TRUE DuckDB column types, read off the Arrow result schema.
+
+    Arrow types are exact regardless of row content — a NULL-padded
+    BIGINT column stays int64 here, where a pandas ``fetchdf()`` frame
+    coerces it to float64 and used to raise a spurious "cast AS BIGINT"
+    warning (the round-5/6 advice item).  Only genuine engine-type skews
+    remain: a DuckDB HUGEINT/DECIMAL aggregate (arrow decimal128) or
+    DOUBLE against a Spark integer, and the reverse."""
+    import pyarrow as pa
     out = []
-    okinds = {c: oracle_df[c].dtype.kind for c in oracle_df.columns}
+    okinds = {}
+    for f in arrow_schema:
+        if pa.types.is_integer(f.type):
+            okinds[f.name] = "int"
+        elif pa.types.is_floating(f.type):
+            okinds[f.name] = "float"
+        elif pa.types.is_decimal(f.type):
+            okinds[f.name] = "decimal"
     for col, sdt in spark_dtypes:
         k = okinds.get(col)
         if k is None:
             continue
-        if sdt in _INT_SPARK and k == "f":
-            # pandas fetchdf() coerces a NULL-padded integer column (e.g.
-            # unmatched outer-join rows) to float64 even when the engine
-            # type is BIGINT — that is fetch-layer noise, not a dtype skew
-            # (the driver hashes NULL, not "nan"), so only flag when the
-            # column has no NULLs and the float64 is a genuine HUGEINT/
-            # double disagreement.
-            if not oracle_df[col].isna().any():
-                out.append(f"dtype skew {col}: spark {sdt} vs oracle "
-                           "float64 (cast the oracle aggregate AS BIGINT)")
-        elif sdt in _FLOAT_SPARK and k in "iu":
+        if sdt in _INT_SPARK and k in ("float", "decimal"):
+            out.append(f"dtype skew {col}: spark {sdt} vs oracle "
+                       f"{'HUGEINT/DECIMAL' if k == 'decimal' else 'DOUBLE'}"
+                       " (cast the oracle aggregate AS BIGINT)")
+        elif sdt in _FLOAT_SPARK and k == "int":
             out.append(f"dtype skew {col}: spark {sdt} vs oracle int "
                        "(cast one side)")
     return out
@@ -130,6 +139,11 @@ def main() -> int:
                 print(f"     WARNING {name}: 0 rows — weak evidence")
             continue
         try:
+            # arrow pass: TRUE engine column types for the dtype check;
+            # fetchdf pass: the value frame in the same normalization the
+            # gate has always hashed (oracles are deterministic, so the
+            # double execution is safe and cheap at sf0.01)
+            otbl = con.execute(sql).fetch_arrow_table()
             ores = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
@@ -146,11 +160,12 @@ def main() -> int:
         problems = []
         if len(srows) != len(orows):
             problems.append(f"rowcount {len(srows)} != {len(orows)}")
-        # dtype-parity: an int64 Spark column whose oracle twin fetches as
-        # float64 (DuckDB HUGEINT sums, or NULL-padded ints) stringifies as
-        # "11757.0" vs "11757" at the driver; norm_cell collapses integral
-        # floats and would mask exactly that, so fail on the type class.
-        problems += dtype_mismatches(sdf.dtypes, ores)
+        # dtype-parity: an int64 Spark column whose oracle twin is a DuckDB
+        # HUGEINT/DOUBLE stringifies as "11757.0" vs "11757" at the driver;
+        # norm_cell collapses integral floats and would mask exactly that,
+        # so fail on the TRUE engine type class (arrow schema — immune to
+        # pandas' NULL-padded-int -> float64 fetch coercion).
+        problems += dtype_mismatches(sdf.dtypes, otbl.schema)
         if sorted(scols) != sorted(ocols):
             problems.append(f"schema {sorted(scols)} != {sorted(ocols)}")
         else:
