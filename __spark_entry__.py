@@ -52,6 +52,7 @@ from cascading_flink_spark.extensions import (
     normalize_urls,
     oov_stats, overlap_chunks, random_project, sq_quantize, sq_topk,
     url_dedup,
+    quality_classifier, default_bucket_weights,
 )
 
 
@@ -2094,6 +2095,15 @@ def q_group_split(spark, sf_dir):
                        test_frac=0.2).select("doc_id", "source", "split")
 
 
+def q_quality_classifier(spark, sf_dir):
+    """fastText-style linear quality classifier (quality_classifier):
+    integer-scaled hand features + hashed bag-of-tokens bucket weights,
+    bias calibrated to split this corpus near 50/50 at score >= 0.
+    Exact integer arithmetic end-to-end (the oracle replays the dot
+    product bit-for-bit)."""
+    return quality_classifier(_t(spark, sf_dir, "documents"), bias=-12500)
+
+
 def _messy_url() -> Column:
     """Deterministic crawl-style URL per document, deliberately messy —
     mixed-case scheme/host, www, default port, tracking params, fragments
@@ -2161,6 +2171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
 
     return {
+        "quality_classifier": q_quality_classifier,
         # --- NEW round-6 session-3 operators (front of window) ---
         "sq_codes": q_sq_codes,
         "sq_topk": q_sq_topk,
@@ -2470,11 +2481,76 @@ def _hex8_to_int_sql(expr: str) -> str:
     return val
 
 
+def _quality_classifier_oracle() -> str:
+    """DuckDB twin of quality_classifier(bias=-12500): same integer-scaled
+    features, same md5-prefix token buckets, same literal weight tables —
+    the whole dot product is integer arithmetic, so bit-identical."""
+    from cascading_flink_spark.extensions import (
+        DEFAULT_FEATURE_WEIGHTS as FW, default_bucket_weights)
+    wts = "[" + ", ".join(str(w) for w in default_bucket_weights(64)) + "]"
+    markers = "['the','and','of','to','in','is','that','it','for','was']"
+    hex8 = _hex8_to_int_sql("md5(x)")
+    score = (f"-12500 + ({FW['mean_word_len_x100']}) * mean_word_len_x100"
+             f" + ({FW['punct_ratio_x10000']}) * punct_ratio_x10000"
+             f" + ({FW['digit_ratio_x10000']}) * digit_ratio_x10000"
+             f" + ({FW['stopword_ratio_x10000']}) * stopword_ratio_x10000"
+             f" + ({FW['alpha_word_ratio_x10000']}) * alpha_word_ratio_x10000"
+             " + bag_score")
+    return f"""
+        WITH raw AS (
+            SELECT doc_id, coalesce(text, '') AS t FROM documents),
+        f AS (
+            SELECT doc_id,
+                   CASE WHEN trim(t) = '' THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(trim(t), '\\s+')
+                   END AS toks,
+                   CASE WHEN trim(lower(t)) = '' THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(trim(lower(t)), '\\s+')
+                   END AS ltoks,
+                   regexp_replace(t, '\\s+', '', 'g') AS stripped
+            FROM raw),
+        m AS (
+            SELECT doc_id,
+                   greatest(CAST(len(toks) AS BIGINT), 1) AS nw1,
+                   CAST(length(stripped) AS BIGINT) AS ns,
+                   greatest(CAST(length(stripped) AS BIGINT), 1) AS ns1,
+                   CAST(length(stripped) - length(regexp_replace(stripped,
+                        '[^\\p{{L}}\\p{{N}}_]', '', 'g')) AS BIGINT) AS np,
+                   CAST(length(regexp_replace(stripped, '[^0-9]', '', 'g'))
+                        AS BIGINT) AS nd,
+                   CAST(len(list_filter(ltoks,
+                        x -> list_contains({markers}, x))) AS BIGINT) AS nst,
+                   CAST(len(list_filter(toks,
+                        x -> regexp_matches(x, '\\p{{L}}'))) AS BIGINT) AS na,
+                   CAST(coalesce(list_sum(list_transform(ltoks,
+                        x -> ({wts})[CAST(({hex8}) % 64 + 1 AS INT)])), 0)
+                        AS BIGINT) AS wsum
+            FROM f),
+        feats AS (
+            SELECT doc_id,
+                   (ns * 100) // nw1 AS mean_word_len_x100,
+                   (np * 10000) // ns1 AS punct_ratio_x10000,
+                   (nd * 10000) // ns1 AS digit_ratio_x10000,
+                   (nst * 10000) // nw1 AS stopword_ratio_x10000,
+                   (na * 10000) // nw1 AS alpha_word_ratio_x10000,
+                   (wsum * 10000) // nw1 AS bag_score
+            FROM m)
+        SELECT doc_id, mean_word_len_x100, punct_ratio_x10000,
+               digit_ratio_x10000, stopword_ratio_x10000,
+               alpha_word_ratio_x10000, bag_score,
+               CAST({score} AS BIGINT) AS score,
+               CAST(CASE WHEN {score} >= 0 THEN 1 ELSE 0 END AS BIGINT)
+                   AS kept
+        FROM feats
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         # Independent rebuild of the scalar-quantization index: DuckDB
         # refits the per-dim min/max ranges and replays the exact-order
         # code formula floor((x-lo)*255/(hi-lo)+0.5).
+        "quality_classifier": _quality_classifier_oracle(),
         "sq_codes": """
             WITH stats AS (
                 SELECT i, min(e.embedding[i]::DOUBLE) AS lo,

@@ -11,6 +11,8 @@ from .text import (
     token_count, token_budget, quality_features, quality_filter, lang_id,
     clean_text, clean_text_expr, compression_stats, fingerprint,
     redact_pii, gopher_quality, blocklist_stats,
+    quality_classifier, default_bucket_weights,
+    CLASSIFIER_FEATURES, DEFAULT_FEATURE_WEIGHTS,
 )
 from .packing import chunk_corpus, overlap_chunks
 from .dedup import (

@@ -345,6 +345,136 @@ def compression_stats(df: DataFrame, text_col: str = "text",
                                "n_compressed * 10000 div n_bytes"))))
 
 
+# ------------------------------------------------------------------
+# Quality classifier: the fastText-style linear scoring stage of public
+# curation pipelines (CCNet / Gopher lineage) — a trained classifier's
+# coefficients applied as a map-only projection.
+
+#: Feature names the classifier scores, in fixed order.  All are
+#: integer-scaled (x100 / x10000) so the dot product is exact integer
+#: arithmetic end-to-end.
+CLASSIFIER_FEATURES = (
+    "mean_word_len_x100",
+    "punct_ratio_x10000",
+    "digit_ratio_x10000",
+    "stopword_ratio_x10000",
+    "alpha_word_ratio_x10000",
+)
+
+#: Stand-in "pre-trained" coefficients (a real deployment loads the
+#: trained logistic/fastText weights; these defaults are calibrated on the
+#: synthetic corpus so the gate is discriminative rather than constant).
+#: Units: score contribution per integer-scaled feature unit.
+DEFAULT_FEATURE_WEIGHTS = {
+    "mean_word_len_x100": -2,
+    "punct_ratio_x10000": -6,
+    "digit_ratio_x10000": -3,
+    "stopword_ratio_x10000": 4,
+    "alpha_word_ratio_x10000": 1,
+}
+
+
+def default_bucket_weights(n_buckets: int = 64) -> list[int]:
+    """Deterministic stand-in for trained hashed-token coefficients:
+    ``w[j] = ((j * 37) % 21) - 10`` (zero-mean over a full cycle).  A real
+    deployment replaces this with the trained fastText bucket table; the
+    plumbing (hash -> bucket -> literal-array lookup) is identical."""
+    return [((j * 37) % 21) - 10 for j in range(n_buckets)]
+
+
+def quality_classifier(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       feature_weights: dict[str, int] | None = None,
+                       bucket_weights: list[int] | None = None,
+                       bias: int = 0,
+                       n_buckets: int = 64) -> DataFrame:
+    """Linear quality classifier — the fastText-classifier stage of a
+    curation pipeline (CCNet/Gopher lineage), as one map-only projection.
+
+    Two signal families, combined in EXACT integer arithmetic (no double
+    ever reaches a comparison or the output, so any engine reproduces it
+    bit-for-bit):
+
+    * hand-crafted quality features (:data:`CLASSIFIER_FEATURES` — the
+      integer-scaled ratios of :func:`quality_features` /
+      :func:`gopher_quality`), each multiplied by its coefficient;
+    * a hashed bag-of-tokens score — every lower-cased token hashes to
+      one of ``n_buckets`` buckets via the engine-neutral md5-prefix
+      integer (``conv(substr(md5(tok),1,8),16,10) % n_buckets``), the
+      bucket coefficients are a literal array in the plan (the broadcast
+      weight table of a fastText model), and the per-doc score is the
+      integer mean ``(sum_of_bucket_weights * 10000) div n_tokens``.
+
+    ``score = bias + sum_f w_f * f + bag_score``; ``kept = score >= 0``.
+
+    Returns ``(doc_id, <the 5 features>, bag_score, score, kept)`` — all
+    longs.  Weight tables ride the plan as literals (equivalently a
+    broadcast): at 100 TB this is an embarrassingly parallel map-only
+    stage with zero shuffles, exactly like :func:`gopher_quality`.
+    """
+    fw = dict(DEFAULT_FEATURE_WEIGHTS)
+    if feature_weights:
+        unknown = set(feature_weights) - set(CLASSIFIER_FEATURES)
+        if unknown:
+            raise ValueError(f"unknown classifier features: {sorted(unknown)}")
+        fw.update({k: int(v) for k, v in feature_weights.items()})
+    bw = (default_bucket_weights(n_buckets) if bucket_weights is None
+          else [int(x) for x in bucket_weights])
+    if len(bw) != n_buckets:
+        raise ValueError("bucket_weights length must equal n_buckets")
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = _tokens(t)
+    n_tokens = F.size(toks).cast("long")
+    nw1 = F.greatest(n_tokens, F.lit(1))
+    lt = F.trim(F.lower(t))
+    ltoks = F.when(lt == "", F.array()).otherwise(F.split(lt, _TOKEN_SPLIT))
+    stripped = F.regexp_replace(t, r"\s+", "")
+    n_nonspace = F.length(stripped).cast("long")
+    ns1 = F.greatest(n_nonspace, F.lit(1))
+    # Unicode classes, not \w — see quality_features
+    n_punct = n_nonspace - F.length(
+        F.regexp_replace(stripped, r"[^\p{L}\p{N}_]", ""))
+    n_digits = F.length(F.regexp_replace(stripped, r"[^0-9]", "")).cast("long")
+    n_stop = F.size(F.filter(ltoks, lambda tk: tk.isin(*EN_MARKERS))) \
+        .cast("long")
+    n_alpha_words = F.size(
+        F.filter(toks, lambda w: w.rlike(r"\p{L}"))).cast("long")
+
+    feats = {
+        "mean_word_len_x100": F.expr(f"__ns * 100 DIV __nw1"),
+        "punct_ratio_x10000": F.expr("__np * 10000 DIV __ns1"),
+        "digit_ratio_x10000": F.expr("__nd * 10000 DIV __ns1"),
+        "stopword_ratio_x10000": F.expr("__nst * 10000 DIV __nw1"),
+        "alpha_word_ratio_x10000": F.expr("__na * 10000 DIV __nw1"),
+    }
+    warr = F.array(*[F.lit(int(x)).cast("long") for x in bw])
+    bucket1 = lambda tk: (  # noqa: E731 — 1-based literal-array index
+        F.pmod(F.conv(F.substring(F.md5(tk), 1, 8), 16, 10).cast("long"),
+               F.lit(n_buckets)) + 1).cast("int")
+    wsum = F.aggregate(
+        F.transform(ltoks, lambda tk: F.element_at(warr, bucket1(tk))),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    staged = df.select(
+        F.col(id_col), n_nonspace.alias("__ns"), ns1.alias("__ns1"),
+        nw1.alias("__nw1"), n_punct.cast("long").alias("__np"),
+        n_digits.alias("__nd"), n_stop.alias("__nst"),
+        n_alpha_words.alias("__na"), wsum.alias("__wsum"))
+    staged = staged.select(
+        F.col(id_col),
+        *[feats[name].cast("long").alias(name)
+          for name in CLASSIFIER_FEATURES],
+        F.expr("__wsum * 10000 DIV __nw1").cast("long").alias("bag_score"))
+    score = sum(
+        (F.col(name) * F.lit(int(fw[name])) for name in CLASSIFIER_FEATURES),
+        F.lit(int(bias)).cast("long")) + F.col("bag_score")
+    return staged.select(
+        id_col, *CLASSIFIER_FEATURES, "bag_score",
+        score.cast("long").alias("score"),
+        (score >= 0).cast("long").alias("kept"))
+
+
 # Char-for-char folds (translate): curly quotes -> ASCII, en/em dash -> '-',
 # NBSP -> space.  Multi-char folds (ellipsis) and deletions (control /
 # zero-width chars) go through regexp_replace.  Explicit code points only

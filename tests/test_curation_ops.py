@@ -270,3 +270,94 @@ def test_clean_text_idempotent(spark, sf_dir):
     b = {r["doc_id"]: r["clean_text"] for r in twice.collect()}
     assert a == b
     assert not any(r["changed"] for r in twice.collect())
+
+
+# ------------------------------------------------------------------
+# quality_classifier: fastText-style linear scorer, pinned to an exact
+# Python model (same md5 buckets, same integer arithmetic).
+
+def _classifier_model(texts, fw=None, bw=None, bias=0, n_buckets=64):
+    """Pure-Python twin of quality_classifier."""
+    import hashlib
+    import re
+
+    from cascading_flink_spark.extensions import (
+        DEFAULT_FEATURE_WEIGHTS, default_bucket_weights,
+    )
+    from cascading_flink_spark.extensions.text import EN_MARKERS
+
+    fw = {**DEFAULT_FEATURE_WEIGHTS, **(fw or {})}
+    bw = bw if bw is not None else default_bucket_weights(n_buckets)
+
+    def tdiv(a, b):  # Spark DIV / DuckDB //: truncation toward zero
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    out = []
+    for i, t in enumerate(texts):
+        t = t or ""
+        toks = t.strip().split() if t.strip() else []
+        ltoks = t.lower().strip().split() if t.lower().strip() else []
+        stripped = re.sub(r"\s+", "", t)
+        ns, nw1 = len(stripped), max(len(toks), 1)
+        ns1 = max(ns, 1)
+        np_ = ns - len(re.sub(r"[^\w]", "", stripped, flags=re.UNICODE))
+        nd = len(re.sub(r"[^0-9]", "", stripped))
+        nst = sum(1 for w in ltoks if w in EN_MARKERS)
+        na = sum(1 for w in toks if re.search(r"[^\W\d_]", w, re.UNICODE))
+        wsum = sum(
+            bw[int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % n_buckets]
+            for w in ltoks)
+        feats = {
+            "mean_word_len_x100": tdiv(ns * 100, nw1),
+            "punct_ratio_x10000": tdiv(np_ * 10000, ns1),
+            "digit_ratio_x10000": tdiv(nd * 10000, ns1),
+            "stopword_ratio_x10000": tdiv(nst * 10000, nw1),
+            "alpha_word_ratio_x10000": tdiv(na * 10000, nw1),
+        }
+        bag = tdiv(wsum * 10000, nw1)
+        score = bias + sum(fw[k] * v for k, v in feats.items()) + bag
+        out.append((i, *feats.values(), bag, score, int(score >= 0)))
+    return out
+
+
+def test_quality_classifier_matches_python_model(spark):
+    from cascading_flink_spark.extensions import quality_classifier
+    texts = [
+        "the cat sat on the mat and it was good",
+        "x" * 50,
+        "123 456 789",
+        "!!! ??? ...",
+        "",
+        "   ",
+        None,
+        "naïve café résumé über",          # non-ASCII letters
+        "mixed 123 text!! with, punct.",
+        "the the the the the",
+    ]
+    from pyspark.sql import Row
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    got = sorted(tuple(r) for r in
+                 quality_classifier(df, bias=-12500).collect())
+    want = sorted(_classifier_model(texts, bias=-12500))
+    assert got == want
+
+
+def test_quality_classifier_custom_weights_and_validation(spark):
+    from pyspark.sql import Row
+
+    from cascading_flink_spark.extensions import quality_classifier
+    df = spark.createDataFrame([Row(doc_id=0, text="the a b")])
+    # all-zero weights + bias decides alone
+    row = quality_classifier(
+        df, feature_weights={k: 0 for k in (
+            "mean_word_len_x100", "punct_ratio_x10000",
+            "digit_ratio_x10000", "stopword_ratio_x10000",
+            "alpha_word_ratio_x10000")},
+        bucket_weights=[0] * 64, bias=7).collect()[0]
+    assert row["score"] == 7 and row["kept"] == 1
+    with pytest.raises(ValueError):
+        quality_classifier(df, feature_weights={"nope": 1}).collect()
+    with pytest.raises(ValueError):
+        quality_classifier(df, bucket_weights=[1, 2, 3]).collect()

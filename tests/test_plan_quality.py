@@ -356,3 +356,12 @@ def test_dedup_against_no_cartesian(spark, sf_dir):
     plan = plan_of(spark, "dedup_against", sf_dir)
     assert "CartesianProduct" not in plan, plan[:4000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:4000]
+
+
+def test_quality_classifier_map_only(spark, sf_dir):
+    """The classifier is a broadcast-weights linear scorer: a pure
+    projection — no Exchange, no Python in the plan (the weight tables
+    ride as literals)."""
+    plan = plan_of(spark, "quality_classifier", sf_dir)
+    assert "Exchange" not in plan, plan[:4000]
+    assert "EvalPython" not in plan, plan[:4000]
