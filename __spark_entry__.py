@@ -53,6 +53,7 @@ from cascading_flink_spark.extensions import (
     oov_stats, overlap_chunks, random_project, sq_quantize, sq_topk,
     url_dedup,
     quality_classifier, default_bucket_weights,
+    curate_corpus,
 )
 
 
@@ -2095,6 +2096,30 @@ def q_group_split(spark, sf_dir):
                        test_frac=0.2).select("doc_id", "source", "split")
 
 
+def q_curation_flagship(spark, sf_dir):
+    """The end-to-end curation flagship (curate_corpus): clean ->
+    Gopher+blocklist gates -> canonical-URL dedup -> md5-MinHash LSH
+    dedup (connected components, keep min-id representative) ->
+    benchmark decontamination (8-grams, doc_id%20==0 held out) ->
+    temperature mixture (8000-token budget) -> leakage-safe source
+    split -> sequence packing.  One declarative plan; the oracle
+    replays every stage (md5 twin).  The xxhash64 fast-hash variant of
+    stage 4 is the bench path (identical plan shape)."""
+    from cascading_flink_spark.extensions.text import clean_text_expr
+    docs = _t(spark, sf_dir, "documents").withColumn("url", _messy_url())
+    bench = docs.filter(F.col("doc_id") % 20 == 0).select(
+        "doc_id", clean_text_expr(F.coalesce("text", F.lit(""))).alias("text"))
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return curate_corpus(
+        corpus, bench, use_md5=True,
+        gopher_kwargs=dict(min_words=30, max_words=120,
+                           min_mean_word_len_x100=300,
+                           max_mean_word_len_x100=450,
+                           min_stop_hits=1),
+        blocklist_terms=["dup"],
+        total_budget=8000, test_frac=0.2, context_len=512)
+
+
 def q_quality_classifier(spark, sf_dir):
     """fastText-style linear quality classifier (quality_classifier):
     integer-scaled hand features + hashed bag-of-tokens bucket weights,
@@ -2171,6 +2196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
 
     return {
+        "curation_flagship": q_curation_flagship,
         "quality_classifier": q_quality_classifier,
         # --- NEW round-6 session-3 operators (front of window) ---
         "sq_codes": q_sq_codes,
@@ -2481,6 +2507,220 @@ def _hex8_to_int_sql(expr: str) -> str:
     return val
 
 
+def _curation_flagship_oracle() -> str:
+    """DuckDB replay of the WHOLE curation flagship — every stage's
+    spelling is copied verbatim from that stage's standalone oracle
+    (clean_text, gopher_quality, blocklist, url_dedup, minhash_lsh,
+    dedup_clusters, decontaminate, temperature_mixture, group_split,
+    chunk_corpus), chained through CTEs on the shrinking corpus."""
+    nh, nb = 32, 8
+    min_agree = 16  # threshold 0.5 * 32
+    h_aggs, band_selects, agree = _md5_minhash_ctes(nh, nb)
+    clean = ("trim(regexp_replace(regexp_replace(translate("
+             "regexp_replace(coalesce(text, ''), "
+             "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f"
+             "\\x{200b}-\\x{200d}\\x{feff}]', '', 'g'), "
+             "'‘’“”–—' || chr(160), "
+             "'''''\"\"-- '), "
+             "'…', '...', 'g'), '\\s+', ' ', 'g'))")
+    stop_sum = " + ".join(
+        f"(CASE WHEN list_contains(ltoks, '{m}') THEN 1 ELSE 0 END)"
+        for m in ["the", "and", "of", "to", "in", "is", "that", "it",
+                  "for", "was"])
+    url_pat = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)(.*)$"
+    return f"""
+        WITH RECURSIVE
+        raw AS (
+            SELECT doc_id, lang, source, {clean} AS text,
+                   'HTTPS://WWW.' || source || '.Example.COM:443/docs/'
+                   || CAST(doc_id % 40 AS VARCHAR)
+                   || CASE doc_id % 4
+                        WHEN 0 THEN '/?utm_source=rss&utm_campaign=x'
+                        WHEN 1 THEN '?id=' || CAST(doc_id % 7 AS VARCHAR)
+                                    || '&utm_medium=email&ref=tw'
+                        WHEN 2 THEN '/#section-2'
+                        ELSE '/' END AS url
+            FROM documents),
+        bench AS (SELECT doc_id, text FROM raw WHERE doc_id % 20 = 0),
+        corp0 AS (SELECT * FROM raw WHERE doc_id % 20 <> 0),
+        gm AS (
+            SELECT *,
+                   CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(trim(text), '\\s+')
+                   END AS toks,
+                   regexp_split_to_array(lower(text), '\\s+') AS ltoks,
+                   CASE WHEN trim(lower(text)) = ''
+                        THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                   END AS btoks,
+                   str_split(text, chr(10)) AS lines,
+                   CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+                        AS BIGINT) AS n_nonspace,
+                   CAST(length(regexp_replace(text, '[^#]', '', 'g'))
+                        + len(regexp_extract_all(text, '\\.\\.\\.'))
+                        AS BIGINT) AS n_sym
+            FROM corp0),
+        g2 AS (
+            SELECT *,
+                   CAST(len(toks) AS BIGINT) AS n_words,
+                   greatest(CAST(len(toks) AS BIGINT), 1) AS nw1,
+                   CAST(len(list_filter(toks,
+                        x -> regexp_matches(x, '\\p{{L}}')))
+                        AS BIGINT) AS n_alpha,
+                   CAST({stop_sum} AS BIGINT) AS n_stop,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   greatest(CAST(len(lines) AS BIGINT), 1) AS nl1,
+                   CAST(len(list_filter(lines,
+                        x -> regexp_matches(trim(x), '^[-*•] ')))
+                        AS BIGINT) AS n_bullet,
+                   CAST(len(list_filter(lines,
+                        x -> regexp_matches(rtrim(x), '\\.\\.\\.$')))
+                        AS BIGINT) AS n_ell
+            FROM gm),
+        gated AS (
+            SELECT doc_id, lang, source, text, url FROM g2
+            WHERE n_words >= 30 AND n_words <= 120
+              AND n_nonspace * 100 >= 300 * nw1
+              AND n_nonspace * 100 <= 450 * nw1
+              AND n_sym * 10000 <= 1000 * nw1
+              AND n_alpha * 10000 >= 8000 * nw1
+              AND n_stop >= 1
+              AND n_bullet * 10000 <= 9000 * nl1
+              AND n_ell * 10000 <= 3000 * nl1
+              AND len(list_filter(btoks, x -> x IN ('dup'))) = 0),
+        parts AS (
+            SELECT doc_id, regexp_replace(trim(url), '#.*$', '', 'g') AS u
+            FROM gated),
+        ext AS (
+            SELECT doc_id,
+                   lower(regexp_extract(u, '{url_pat}', 1)) AS scheme,
+                   regexp_extract(u, '{url_pat}', 2) AS auth,
+                   regexp_extract(u, '{url_pat}', 3) AS rest
+            FROM parts),
+        hostp AS (
+            SELECT doc_id, scheme, rest,
+                   CASE WHEN scheme = 'http'
+                        THEN regexp_replace(regexp_replace(lower(regexp_replace(auth, '^[^@]*@', '')), '^www\\.', ''), ':80$', '')
+                        WHEN scheme = 'https'
+                        THEN regexp_replace(regexp_replace(lower(regexp_replace(auth, '^[^@]*@', '')), '^www\\.', ''), ':443$', '')
+                        ELSE regexp_replace(lower(regexp_replace(auth, '^[^@]*@', '')), '^www\\.', '')
+                   END AS host,
+                   regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       regexp_extract(rest, '\\?(.*)$', 1),
+                       '(^|&)(utm_[a-z0-9_]+|fbclid|gclid|msclkid|ref)=[^&#]*', '', 'g'),
+                       '[?&]+$', ''), '^&+', '') AS query
+            FROM ext),
+        norm AS (
+            SELECT doc_id,
+                   scheme || '://' || host || path ||
+                   CASE WHEN query = '' THEN '' ELSE '?' || query END
+                       AS norm_url
+            FROM hostp),
+        ukeep AS (SELECT norm_url, min(doc_id) AS keep_id
+                  FROM norm GROUP BY norm_url),
+        corp1 AS (SELECT g.* FROM gated g
+                  JOIN ukeep k ON g.doc_id = k.keep_id),
+        mt AS (SELECT doc_id,
+                      regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+               FROM corp1),
+        sh AS (SELECT doc_id,
+                      CASE WHEN len(t) >= 3
+                           THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                               for i in range(1, greatest(len(t)-2, 0)+1)])
+                           ELSE [] END AS s
+               FROM mt),
+        inv AS (SELECT doc_id, unnest(s) AS sgl FROM sh WHERE len(s) > 0),
+        sig AS (SELECT doc_id,
+                   {h_aggs}
+                FROM inv GROUP BY doc_id),
+        bands AS ({band_selects}),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        pairs AS (SELECT id_a, id_b
+                  FROM cand
+                  JOIN sig sa ON sa.doc_id = id_a
+                  JOIN sig sb ON sb.doc_id = id_b
+                  WHERE ({agree}) >= {min_agree}),
+        edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(id, r) AS (
+            SELECT s, d FROM edges
+            UNION
+            SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s
+        ),
+        clus AS (SELECT id, least(id, min(r)) AS cluster_id
+                 FROM reach GROUP BY id),
+        dups AS (SELECT id FROM clus WHERE id <> cluster_id),
+        corp2 AS (SELECT * FROM corp1
+                  WHERE doc_id NOT IN (SELECT id FROM dups)),
+        ct AS (SELECT doc_id,
+                      regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+               FROM corp2),
+        csh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+7], ' ')
+                       for i in range(1, greatest(len(t)-7, 0)+1)]) AS s
+                FROM ct),
+        cinv AS (SELECT doc_id, unnest(s) AS g FROM csh),
+        bt AS (SELECT doc_id,
+                      regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+               FROM bench),
+        bsh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+7], ' ')
+                       for i in range(1, greatest(len(t)-7, 0)+1)]) AS s
+                FROM bt),
+        binv AS (SELECT doc_id, unnest(s) AS g FROM bsh),
+        bad AS (SELECT DISTINCT c.doc_id FROM cinv c JOIN binv b USING (g)),
+        corp3 AS (SELECT * FROM corp2
+                  WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+        tk AS (SELECT doc_id, lang, source,
+                      CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                      END AS n_tokens
+               FROM corp3),
+        c AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens
+              FROM tk GROUP BY lang),
+        w AS (SELECT lang,
+                     CAST(CASE WHEN (r + 1) * (r + 1) <= corpus_tokens
+                               THEN r + 1
+                               WHEN r * r <= corpus_tokens THEN r
+                               ELSE r - 1 END AS BIGINT) AS weight
+              FROM (SELECT lang, corpus_tokens,
+                           CAST(floor(sqrt(CAST(corpus_tokens AS DOUBLE)))
+                                AS BIGINT) AS r
+                    FROM c)),
+        s AS (SELECT CAST(sum(weight) AS BIGINT) AS tot FROM w),
+        b AS (SELECT lang,
+                     CAST((8000 // tot) * weight
+                          + ((8000 % tot) * weight) // tot AS BIGINT)
+                         AS budget
+              FROM w CROSS JOIN s),
+        adm AS (SELECT tk.doc_id, tk.lang, tk.source, tk.n_tokens, b.budget,
+                       sum(tk.n_tokens) OVER (
+                           PARTITION BY tk.lang
+                           ORDER BY md5('temper#' || tk.doc_id), tk.doc_id
+                           ROWS UNBOUNDED PRECEDING) AS running
+                FROM tk JOIN b USING (lang)),
+        corp4 AS (SELECT doc_id, lang, source,
+                         CAST(n_tokens AS BIGINT) AS n_tokens
+                  FROM adm WHERE running <= budget),
+        sp AS (SELECT *,
+                      CASE WHEN substr(md5('split#' || source), 1, 6)
+                               < '333333'
+                           THEN 'test' ELSE 'train' END AS split
+               FROM corp4),
+        ch AS (SELECT doc_id, lang, source, split, n_tokens,
+                      COALESCE(SUM(n_tokens) OVER (
+                          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0)::BIGINT AS start_offset
+               FROM sp WHERE n_tokens > 0)
+        SELECT doc_id, lang, source, split, n_tokens, start_offset,
+               (start_offset // 512)::BIGINT AS first_chunk,
+               ((start_offset + n_tokens - 1) // 512)::BIGINT AS last_chunk
+        FROM ch
+    """
+
+
 def _quality_classifier_oracle() -> str:
     """DuckDB twin of quality_classifier(bias=-12500): same integer-scaled
     features, same md5-prefix token buckets, same literal weight tables —
@@ -2550,6 +2790,7 @@ def oracle_sql() -> dict[str, str]:
         # Independent rebuild of the scalar-quantization index: DuckDB
         # refits the per-dim min/max ranges and replays the exact-order
         # code formula floor((x-lo)*255/(hi-lo)+0.5).
+        "curation_flagship": _curation_flagship_oracle(),
         "quality_classifier": _quality_classifier_oracle(),
         "sq_codes": """
             WITH stats AS (

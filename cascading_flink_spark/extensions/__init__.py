@@ -13,7 +13,9 @@ from .text import (
     redact_pii, gopher_quality, blocklist_stats,
     quality_classifier, default_bucket_weights,
     CLASSIFIER_FEATURES, DEFAULT_FEATURE_WEIGHTS,
+    gopher_pass_expr, blocklist_hits_expr,
 )
+from .curation import curate_corpus
 from .packing import chunk_corpus, overlap_chunks
 from .dedup import (
     dedup_against,

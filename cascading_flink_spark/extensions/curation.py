@@ -1,0 +1,120 @@
+"""End-to-end corpus curation: the flagship composition of the
+training-data layer — one declarative flow from raw crawl rows to packed
+training chunks.
+
+Stage order (the standard public-pipeline shape, CCNet/Gopher/RefinedWeb
+lineage):
+
+1. **clean**: Unicode-light normalization (:func:`..text.clean_text_expr`)
+   — map-only, fused into the scan;
+2. **quality gates**: Gopher rule conjunction + token blocklist as ONE
+   scan filter (:func:`..text.gopher_pass_expr`,
+   :func:`..text.blocklist_hits_expr`) — no projection, no join back;
+3. **URL dedup**: canonicalize the crawl URL and keep the smallest id per
+   canonical URL (one partial-agg shuffle on the canonical key);
+4. **near-dup dedup**: MinHash+LSH candidate pairs -> connected
+   components -> keep each cluster's minimum-id representative (banded
+   equality joins; the output-bound dup-id set anti-joins back);
+5. **decontamination**: drop documents sharing a word n-gram with the
+   held-out benchmark (benchmark grams broadcast; the corpus never
+   shuffles);
+6. **mixture**: temperature-weighted per-language token budgets, admitted
+   in deterministic md5 order (mega-key-safe twoscan admission);
+7. **split**: leakage-safe group split on the source domain (map-only);
+8. **packing**: token offsets + context-window chunk spans in the
+   deterministic global order (two-phase distributed cumsum).
+
+Every stage is the already-proven public operator — this module only
+composes them, so the pipeline's scale story is the sum of its parts:
+zero cartesians, no driver-side loops, shuffles bounded to the URL-dedup
+key agg, the banded-join candidate generation, the per-language admission
+window, and the packing cumsum.
+
+The full chain is DuckDB-replayable when ``use_md5=True`` (the
+correctness-gate twin); ``use_md5=False`` swaps stage 4's hashes for the
+xxhash64 fast path (the bench/production variant, identical plan shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .decontam import decontaminate
+from .dedup import dedup_clusters, minhash_lsh_pairs, minhash_lsh_pairs_md5
+from .mixture import group_split, temperature_mixture
+from .packing import chunk_corpus
+from .text import (blocklist_hits_expr, clean_text_expr, gopher_pass_expr,
+                   token_count)
+from .urls import normalize_url_expr
+
+
+def curate_corpus(docs: DataFrame, benchmark: DataFrame,
+                  *,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  lang_col: str = "lang", group_col: str = "source",
+                  url_col: str | None = "url",
+                  blocklist_terms: list[str] | None = None,
+                  gopher_kwargs: dict | None = None,
+                  decontam_n: int = 8,
+                  minhash_n: int = 3, num_hashes: int = 32, bands: int = 8,
+                  threshold: float = 0.5, use_md5: bool = False,
+                  total_budget: int = 8000,
+                  test_frac: float = 0.2,
+                  context_len: int = 512,
+                  mixture_strategy: str = "twoscan") -> DataFrame:
+    """Run the whole curation pipeline; returns one row per surviving
+    document: ``(doc_id, lang, source, split, n_tokens, start_offset,
+    first_chunk, last_chunk)``.
+
+    ``docs`` must carry ``(id_col, text_col, lang_col, group_col[,
+    url_col])``; ``benchmark`` carries ``(id_col, text_col)`` (the
+    held-out eval set — its grams broadcast against the corpus).  Set
+    ``url_col=None`` to skip URL dedup when no crawl URL exists.
+    """
+    # 1-2. clean + quality gates, fused into one scan-side filter chain
+    cleaned = docs.withColumn(text_col, clean_text_expr(
+        F.coalesce(F.col(text_col), F.lit(""))))
+    gate = gopher_pass_expr(F.col(text_col), **(gopher_kwargs or {}))
+    if blocklist_terms:
+        gate = gate & (blocklist_hits_expr(F.col(text_col),
+                                           blocklist_terms) == 0)
+    gated = cleaned.filter(gate)
+
+    # 3. canonical-URL dedup: keep the smallest id per canonical URL.
+    # One partial-agg shuffle on the canonical key; survivors anti-join
+    # the (output-bound) dropped-id set.
+    if url_col is not None:
+        keyed = gated.withColumn("__cu", normalize_url_expr(F.col(url_col)))
+        keep = (keyed.groupBy("__cu")
+                     .agg(F.min(id_col).alias("__keep_id")))
+        gated = (keyed.join(keep, "__cu")
+                      .filter(F.col(id_col) == F.col("__keep_id"))
+                      .drop("__cu", "__keep_id"))
+
+    # 4. near-dup dedup: banded MinHash candidates -> connected
+    # components -> drop every non-representative member
+    pair_fn = minhash_lsh_pairs_md5 if use_md5 else minhash_lsh_pairs
+    pairs = pair_fn(gated, n=minhash_n, num_hashes=num_hashes, bands=bands,
+                    threshold=threshold, text_col=text_col, id_col=id_col)
+    dup_ids = (dedup_clusters(pairs)
+               .filter(F.col("id") != F.col("cluster_id"))
+               .select(F.col("id").alias(id_col)))
+    deduped = gated.join(dup_ids, id_col, "left_anti")
+
+    # 5. decontamination: benchmark grams broadcast, corpus unshuffled
+    decon = decontaminate(deduped, benchmark, n=decontam_n,
+                          text_col=text_col, id_col=id_col)
+
+    # 6. temperature mixture on whitespace token counts
+    counted = decon.withColumn(
+        "n_tokens", token_count(F.col(text_col)).cast("long"))
+    admitted = temperature_mixture(counted, total_budget,
+                                   lang_col=lang_col, id_col=id_col,
+                                   strategy=mixture_strategy)
+
+    # 7-8. leakage-safe split by source group, then sequence packing
+    split = group_split(admitted, group_col, test_frac=test_frac)
+    return chunk_corpus(split, context_len, text_col=text_col,
+                        id_col=id_col,
+                        carry_cols=[lang_col, group_col, "split"])

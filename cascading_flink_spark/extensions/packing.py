@@ -35,22 +35,28 @@ from .text import _tokens, token_count
 
 def chunk_corpus(df: DataFrame, context_len: int,
                  text_col: str = "text", id_col: str = "doc_id",
-                 bucket_chars: int = 4) -> DataFrame:
+                 bucket_chars: int = 4,
+                 carry_cols: list[str] | None = None) -> DataFrame:
     """Token offsets and context-window chunk span per document.
 
     Documents are laid end-to-end in the deterministic global order
     (md5-bucket, md5(id), id) and cut into ``context_len``-token chunks;
     each document reports where its tokens land:
 
-    Returns ``(doc_id, n_tokens, start_offset, first_chunk, last_chunk)``
+    Returns ``(doc_id, *carry_cols, n_tokens, start_offset, first_chunk,
+    last_chunk)``
     with ``first_chunk = start_offset div context_len`` and ``last_chunk =
     (start_offset + n_tokens - 1) div context_len``.  Zero-token documents
     are dropped (they occupy no chunk).  Token counting is the whitespace
     rule of :func:`cascading_flink_spark.extensions.text.token_count`.
+    ``carry_cols`` names input columns (e.g. lang/source/split labels) to
+    carry through onto the output rows — carried in the narrow projection,
+    so no join-back is ever needed.
     """
     if context_len <= 0:
         raise ValueError("context_len must be positive")
-    d = (df.select(F.col(id_col).alias("id"),
+    carry = list(carry_cols or [])
+    d = (df.select(F.col(id_col).alias("id"), *carry,
                    token_count(F.col(text_col)).cast("long").alias("n_tokens"),
                    F.md5(F.col(id_col).cast("string")).alias("__h"))
            .filter(F.col("n_tokens") > 0)
@@ -69,7 +75,7 @@ def chunk_corpus(df: DataFrame, context_len: int,
              .select("__b", "__base"))
     start = F.col("__base") + F.col("__within")
     return (d.join(F.broadcast(base), "__b")
-             .select(F.col("id").alias(id_col),
+             .select(F.col("id").alias(id_col), *carry,
                      F.col("n_tokens"),
                      start.alias("start_offset"),
                      F.floor(start / context_len).alias("first_chunk"),

@@ -153,6 +153,110 @@ def redact_pii(df: DataFrame, text_col: str = "text",
     return df.select(F.col(id_col), cur.alias("clean_text"), *counts)
 
 
+def _gopher_metrics(t: Column) -> dict[str, Column]:
+    """The raw Gopher rule metrics as Column expressions over text ``t``
+    — one spelling shared by :func:`gopher_quality` (diagnostic
+    projection) and :func:`gopher_pass_expr` (inline scan filter)."""
+    toks = _tokens(t)
+    n_words = F.size(toks).cast("long")
+    lower_toks = F.split(F.lower(t), _TOKEN_SPLIT)
+    lines = F.split(t, r"\n")
+    n_lines = F.size(lines).cast("long")
+    return {
+        "n_words": n_words,
+        "nw1": F.greatest(n_words, F.lit(1)),
+        "n_nonspace": F.length(F.regexp_replace(t, r"\s+", "")).cast("long"),
+        "n_sym": (F.length(F.regexp_replace(t, r"[^#]", "")).cast("long")
+                  + F.regexp_count(t, F.lit(r"\.\.\.")).cast("long")),
+        "n_alpha_words": F.size(
+            F.filter(toks, lambda w: w.rlike(r"\p{L}"))).cast("long"),
+        "n_stop": sum(
+            (F.array_contains(lower_toks, m).cast("long")
+             for m in EN_MARKERS),
+            F.lit(0).cast("long")),
+        "n_lines": n_lines,
+        "nl1": F.greatest(n_lines, F.lit(1)),
+        "n_bullet": F.size(
+            F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•] ")))
+            .cast("long"),
+        "n_ell_lines": F.size(
+            F.filter(lines, lambda ln: F.rtrim(ln).rlike(r"\.\.\.$")))
+            .cast("long"),
+    }
+
+
+def _gopher_flags(m: dict[str, Column], min_words: int, max_words: int,
+                  min_mean_word_len_x100: int, max_mean_word_len_x100: int,
+                  max_symbol_ratio_x10000: int,
+                  min_alpha_word_ratio_x10000: int, min_stop_hits: int,
+                  max_bullet_line_ratio_x10000: int,
+                  max_ellipsis_line_ratio_x10000: int) -> dict[str, Column]:
+    """Per-rule pass flags from :func:`_gopher_metrics` output — every
+    comparison is cross-multiplied integer arithmetic (exact)."""
+    nw1, nl1 = m["nw1"], m["nl1"]
+    return {
+        "ok_words": ((m["n_words"] >= min_words)
+                     & (m["n_words"] <= max_words)),
+        # mean word length in [lo/100, hi/100]  <=>  lo*n_words <=
+        # 100*chars <= hi*n_words (integer cross-multiplication, exact)
+        "ok_word_len": (
+            (m["n_nonspace"] * 100
+             >= F.lit(int(min_mean_word_len_x100)) * nw1)
+            & (m["n_nonspace"] * 100
+               <= F.lit(int(max_mean_word_len_x100)) * nw1)),
+        "ok_symbols": (m["n_sym"] * 10000
+                       <= F.lit(int(max_symbol_ratio_x10000)) * nw1),
+        "ok_alpha": (m["n_alpha_words"] * 10000
+                     >= F.lit(int(min_alpha_word_ratio_x10000)) * nw1),
+        "ok_stop": m["n_stop"] >= min_stop_hits,
+        "ok_lines": (
+            (m["n_bullet"] * 10000
+             <= F.lit(int(max_bullet_line_ratio_x10000)) * nl1)
+            & (m["n_ell_lines"] * 10000
+               <= F.lit(int(max_ellipsis_line_ratio_x10000)) * nl1)),
+    }
+
+
+def gopher_pass_expr(text: Column,
+                     min_words: int = 50, max_words: int = 100_000,
+                     min_mean_word_len_x100: int = 300,
+                     max_mean_word_len_x100: int = 1000,
+                     max_symbol_ratio_x10000: int = 1000,
+                     min_alpha_word_ratio_x10000: int = 8000,
+                     min_stop_hits: int = 2,
+                     max_bullet_line_ratio_x10000: int = 9000,
+                     max_ellipsis_line_ratio_x10000: int = 3000) -> Column:
+    """The Gopher rule conjunction as ONE boolean Column — the form a
+    curation pipeline fuses straight into the scan filter (no projection,
+    no join back on doc_id).  Spelled by the same rule expressions as
+    :func:`gopher_quality`, so the two can never drift."""
+    flags = _gopher_flags(
+        _gopher_metrics(text), min_words, max_words,
+        min_mean_word_len_x100, max_mean_word_len_x100,
+        max_symbol_ratio_x10000, min_alpha_word_ratio_x10000,
+        min_stop_hits, max_bullet_line_ratio_x10000,
+        max_ellipsis_line_ratio_x10000)
+    out = flags["ok_words"]
+    for name in ("ok_word_len", "ok_symbols", "ok_alpha", "ok_stop",
+                 "ok_lines"):
+        out = out & flags[name]
+    return out
+
+
+def blocklist_hits_expr(text: Column, terms: list[str]) -> Column:
+    """Blocked-token occurrence count as a Column (the inline-filter form
+    of :func:`blocklist_stats` — ``blocklist_hits_expr(t, terms) == 0``
+    is the keep gate), by the same exact lower-cased whitespace-token
+    membership rule."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    lowered = sorted({str(x).lower() for x in terms})
+    trimmed = F.trim(F.lower(text))
+    toks = F.when(trimmed == "", F.array()) \
+            .otherwise(F.split(trimmed, _TOKEN_SPLIT))
+    return F.size(F.filter(toks, lambda w: w.isin(*lowered))).cast("long")
+
+
 def gopher_quality(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id",
                    min_words: int = 50, max_words: int = 100_000,
@@ -192,44 +296,24 @@ def gopher_quality(df: DataFrame, text_col: str = "text",
     booleans.  Map-only native expressions: no shuffle, no Python; at
     100 TB this is an embarrassingly parallel projection exactly like
     :func:`quality_features`.
+
+    The rule expressions are shared with :func:`gopher_pass_expr` (the
+    inline-filter form curation pipelines fuse into the scan), so both
+    spell every rule identically.
     """
     t = F.col(text_col)
-    toks = _tokens(t)
-    n_words = F.size(toks).cast("long")
-    nw1 = F.greatest(n_words, F.lit(1))
-    n_nonspace = F.length(F.regexp_replace(t, r"\s+", "")).cast("long")
-    n_hash = F.length(F.regexp_replace(t, r"[^#]", "")).cast("long")
-    n_ellipsis = F.regexp_count(t, F.lit(r"\.\.\.")).cast("long")
-    n_sym = n_hash + n_ellipsis
-    n_alpha_words = F.size(
-        F.filter(toks, lambda w: w.rlike(r"\p{L}"))).cast("long")
-    lower_toks = F.split(F.lower(t), _TOKEN_SPLIT)
-    n_stop = sum(
-        (F.array_contains(lower_toks, m).cast("long") for m in EN_MARKERS),
-        F.lit(0).cast("long"))
-    lines = F.split(t, r"\n")
-    n_lines = F.size(lines).cast("long")
-    nl1 = F.greatest(n_lines, F.lit(1))
-    n_bullet = F.size(
-        F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•] "))) \
-        .cast("long")
-    n_ell_lines = F.size(
-        F.filter(lines, lambda ln: F.rtrim(ln).rlike(r"\.\.\.$"))) \
-        .cast("long")
-
-    ok_words = (n_words >= min_words) & (n_words <= max_words)
-    # mean word length in [lo/100, hi/100]  <=>  lo*n_words <= 100*chars
-    # <= hi*n_words (integer cross-multiplication, exact)
-    ok_word_len = ((n_nonspace * 100 >= F.lit(int(min_mean_word_len_x100)) * nw1)
-                   & (n_nonspace * 100 <= F.lit(int(max_mean_word_len_x100)) * nw1))
-    ok_symbols = n_sym * 10000 <= F.lit(int(max_symbol_ratio_x10000)) * nw1
-    ok_alpha = (n_alpha_words * 10000
-                >= F.lit(int(min_alpha_word_ratio_x10000)) * nw1)
-    ok_stop = n_stop >= min_stop_hits
-    ok_lines = ((n_bullet * 10000
-                 <= F.lit(int(max_bullet_line_ratio_x10000)) * nl1)
-                & (n_ell_lines * 10000
-                   <= F.lit(int(max_ellipsis_line_ratio_x10000)) * nl1))
+    m = _gopher_metrics(t)
+    flags = _gopher_flags(
+        m, min_words, max_words, min_mean_word_len_x100,
+        max_mean_word_len_x100, max_symbol_ratio_x10000,
+        min_alpha_word_ratio_x10000, min_stop_hits,
+        max_bullet_line_ratio_x10000, max_ellipsis_line_ratio_x10000)
+    (n_words, nw1, n_nonspace, n_sym, n_alpha_words, n_stop, n_lines,
+     nl1) = (m["n_words"], m["nw1"], m["n_nonspace"], m["n_sym"],
+             m["n_alpha_words"], m["n_stop"], m["n_lines"], m["nl1"])
+    ok_words, ok_word_len, ok_symbols, ok_alpha, ok_stop, ok_lines = (
+        flags["ok_words"], flags["ok_word_len"], flags["ok_symbols"],
+        flags["ok_alpha"], flags["ok_stop"], flags["ok_lines"])
     return df.select(
         F.col(id_col),
         n_words.alias("n_words"),
@@ -282,7 +366,7 @@ def blocklist_stats(df: DataFrame, terms: list[str],
     trimmed = F.trim(F.lower(t))
     toks = F.when(trimmed == "", F.array()) \
             .otherwise(F.split(trimmed, _TOKEN_SPLIT))
-    n_hits = F.size(F.filter(toks, lambda w: w.isin(*lowered))).cast("long")
+    n_hits = blocklist_hits_expr(t, terms)
     n_terms = sum(
         (F.array_contains(toks, m).cast("long") for m in lowered),
         F.lit(0).cast("long"))

@@ -1,0 +1,126 @@
+"""End-to-end tests for the curation flagship (`curate_corpus`) —
+each stage's effect is asserted on a hand-built corpus where the
+expected survivors are known, plus plan-shape checks on the composed
+pipeline (no cartesian product, filters fused into one gated scan).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cascading_flink_spark.extensions import curate_corpus
+
+# A paragraph that passes the relaxed Gopher gate used below: >= 10
+# words, ordinary mean word length, no bullets/ellipses.
+GOOD = ("the quick brown fox jumps over the lazy dog and then it runs "
+        "far away into the green quiet forest to rest for a while")
+GOOD2 = ("a completely different second document about cooking pasta "
+         "with fresh tomatoes garlic and olive oil for dinner tonight "
+         "it is simple and everyone enjoys the final warm result")
+GOOD3 = ("this third article describes mountain hiking trails with "
+         "steady climbs broad views and careful planning advice for "
+         "weather food water and safe return routes before darkness")
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "url string")
+
+
+def _curate(docs, bench, **kw):
+    base = dict(use_md5=False,
+                gopher_kwargs=dict(min_words=10, max_words=500,
+                                   min_stop_hits=0),
+                total_budget=100000, test_frac=0.2, context_len=64)
+    base.update(kw)
+    return curate_corpus(docs, bench, **base)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, GOOD, "en", "s1", "https://www.a.example.com/x"),
+        # 2: exact near-dup of 1 (identical text) -> minhash dedup drops it
+        (2, GOOD, "en", "s2", "https://b.example.com/y"),
+        (3, GOOD2, "en", "s3", "https://c.example.com/z"),
+        # 4: same canonical URL as 3 (tracking params + fragment) -> url dedup
+        (4, GOOD3, "en", "s4",
+         "https://c.example.com/z?utm_source=rss#frag"),
+        # 5: fails the word-count gate (too short)
+        (5, "way too short", "en", "s5", "https://d.example.com/"),
+        (6, GOOD3, "de", "s6", "https://e.example.com/w"),
+    ]
+    return _mk(spark, rows)
+
+
+def test_stagewise_survivors(spark, corpus):
+    # benchmark shares an 8-gram with GOOD2 -> doc 3 is decontaminated;
+    # its URL-twin doc 4 was already dropped by URL dedup (min id kept).
+    bench = spark.createDataFrame(
+        [(100, "irrelevant words then " + " ".join(GOOD2.split()[:8]))],
+        "doc_id long, text string")
+    out = _curate(corpus, bench).orderBy("doc_id")
+    rows = out.collect()
+    ids = [r.doc_id for r in rows]
+    # 1 survives (rep of cluster {1,2}); 2 near-dup; 3 decontaminated;
+    # 4 url-dup of 3 (min id 3 kept at the url stage, then 3 dropped
+    # later -> 4 stays gone, matching a real single-pass pipeline);
+    # 5 gated; 6 survives.
+    assert ids == [1, 6]
+    assert out.columns == ["doc_id", "lang", "source", "split",
+                           "n_tokens", "start_offset", "first_chunk",
+                           "last_chunk"]
+    for r in rows:
+        assert r.split in ("train", "test")
+        assert r.first_chunk == r.start_offset // 64
+        assert r.last_chunk == (r.start_offset + r.n_tokens - 1) // 64
+
+
+def test_budget_respected_per_lang(spark, corpus):
+    bench = spark.createDataFrame([(100, "nothing shared here")],
+                                  "doc_id long, text string")
+    unlimited = _curate(corpus, bench).count()
+    out = _curate(corpus, bench, total_budget=55)
+    per_lang = (out.groupBy("lang").agg(F.sum("n_tokens").alias("t"))
+                   .collect())
+    total = sum(r.t for r in per_lang)
+    assert total <= 55
+    assert out.count() <= unlimited
+
+
+def test_md5_twin_same_shape_and_blocklist(spark, corpus):
+    bench = spark.createDataFrame([(100, "nothing shared here")],
+                                  "doc_id long, text string")
+    out = _curate(corpus, bench, use_md5=True,
+                  blocklist_terms=["tomatoes"]).collect()
+    ids = sorted(r.doc_id for r in out)
+    # blocklist kills GOOD2 (doc 3) at the gate; 4 then survives URL
+    # dedup alone, and the near-dup stage collapses the identical-text
+    # pair {4, 6} onto its min id 4.
+    assert ids == [1, 4]
+
+
+def test_no_url_column_mode(spark, corpus):
+    bench = spark.createDataFrame([(100, "nothing shared here")],
+                                  "doc_id long, text string")
+    out = _curate(corpus.drop("url"), bench, url_col=None).collect()
+    ids = sorted(r.doc_id for r in out)
+    # without URL dedup both 3 and 4 reach minhash; identical-URL pair
+    # (3,4) have different texts so both survive near-dup too.
+    assert 3 in ids and 4 in ids
+
+
+def test_plan_has_no_cartesian_and_fused_gate(spark, corpus):
+    bench = spark.createDataFrame([(100, "nothing shared here")],
+                                  "doc_id long, text string")
+    plan = _curate(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # The only nested-loop joins allowed are temperature_mixture's 1-row
+    # broadcast of the global weight total (Cross against a single
+    # aggregate row) — every one must be a BuildRight Cross, never an
+    # unconstrained join of two corpus-sized sides.
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "BuildRight, Cross" in line
