@@ -2176,49 +2176,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     so the least-recently-driver-verified queries must sit at the front.
     Rotation is documented in COVERAGE.md ("Driver-slot rotation").
 
-    Round-6 front block (slots 1-50), exact layout in COVERAGE.md
-    ("Driver-slot rotation"): 5 NEW session-2 operators
-    (temperature_budgets/mixture, gopher_quality, blocklist,
-    rolling_stats), 16 TPC-H entries (14 NEW queries + the new
-    tpch_q21 + tpch_q1 whose output re-scaled this round), then queries
-    whose CODE changed this round after their last driver check (tpch_q21,
-    tpch_q1 integer-scaled output, range_join alias fix, asof_join salt,
-    inverted_index partial top-N, ngram_counts doc-frequency threshold,
-    the mixture two-scan path); the 6 queries whose dedup/similarity
-    internals were rewritten in round 5 AFTER their last driver check
-    (r4); then the longest-stale r4-only greens.  Back block: r5-green
-    unchanged queries (every one re-verified by the round-6 local mimic,
-    log in COVERAGE.md) plus the r4-greens deferred to the round-7
-    window (multimodal_meta, ann_recall, rollup, pivot — unchanged since
-    r3 — and text_quality, lang_id, ann_topk, mixed_join,
-    nary_outer_join, displaced by the 5 new session-2 slots; all
-    mimic-green on round-6 code).
+    Round-7 front block (slots 1-50): the 2 NEW round-7 operators
+    (curation_flagship, quality_classifier); the 17 queries whose code
+    or oracle changed this round after their last driver check (the
+    advice-fix sweep: clean_text NULL coalesce, gopher refactor onto
+    shared metric helpers + blocklist, url port/single-label fix,
+    overlap_chunks gapped-sampling cap, chunk_corpus carry_cols,
+    hot_keys tie order, group_quantiles binned-by-default dispatch,
+    domain_quota/token_mixture/token_budget/temperature_mixture twoscan
+    defaults + temperature_budgets/shuffle_shard module churn,
+    multimodal real-decode tier, random_project ordered-fold oracle);
+    then the 31 deferred r4-greens flagged by VERDICT r6 "Next #1" —
+    the last queries whose newest driver row predates r5.  Back block:
+    r6-driver-green queries whose code did not change this round, then
+    the r5-greens (all re-verified by the committed round-6 mimic; the
+    round-7 mimic re-verifies them again at round end).
     """
 
     return {
+        # --- NEW round 7 ---
         "curation_flagship": q_curation_flagship,
         "quality_classifier": q_quality_classifier,
-        # --- NEW round-6 session-3 operators (front of window) ---
-        "sq_codes": q_sq_codes,
-        "sq_topk": q_sq_topk,
-        "overlap_chunks": q_overlap_chunks,
-        "url_normalize": q_url_normalize,
-        "url_dedup": q_url_dedup,
-        "dedup_against": q_dedup_against,
-        "random_project": q_random_project,
-        "oov_stats": q_oov_stats,
-        "hot_keys": q_hot_keys,
-        "compression_stats": q_compression_stats,
+        # --- code/oracle changed this round after last driver check ---
         "clean_text": q_clean_text,
-        "bpe_fertility": q_bpe_fertility,
-        "group_split": q_group_split,
-        # --- NEW round-6 session-2 operators ---
-        "temperature_budgets": q_temperature_budgets,
-        "temperature_mixture": q_temperature_mixture,
         "gopher_quality": q_gopher_quality,
         "blocklist": q_blocklist,
+        "url_normalize": q_url_normalize,
+        "url_dedup": q_url_dedup,
+        "overlap_chunks": q_overlap_chunks,
+        "chunk_corpus": q_chunk_corpus,
+        "hot_keys": q_hot_keys,
+        "group_quantiles": q_group_quantiles,
+        "domain_quota": q_domain_quota,
+        "token_mixture": q_token_mixture,
+        "token_budget": q_token_budget,
+        "temperature_mixture": q_temperature_mixture,
+        "temperature_budgets": q_temperature_budgets,
+        "shuffle_shard": q_shuffle_shard,
+        "multimodal_meta": q_multimodal_meta,
+        "random_project": q_random_project,
+        # --- the 31 deferred r4-greens (VERDICT r6 Next #1) ---
+        "embedding_dups": q_embedding_dups,
+        "sessionize": q_sessionize,
+        "ann_recall": q_ann_recall,
+        "rollup": q_rollup,
+        "pivot": q_pivot,
+        "ungroup": q_ungroup,
+        "sample": q_sample,
+        "salted_agg": q_salted_agg,
+        "stratified_sample": q_stratified_sample,
+        "quality_filter": q_quality_filter,
+        "fingerprint": q_fingerprint,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "nary_mixed_join": q_nary_mixed_join,
+        "nary_right_join": q_nary_right_join,
+        "nary_outer_join": q_nary_outer_join,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "ann_topk": q_ann_topk,
+        "mixed_join": q_mixed_join,
+        "cross_join": q_cross_join,
+        "self_join": q_self_join,
+        "merge_union": q_merge_union,
+        "unique": q_unique,
+        "topk_per_group": q_topk_per_group,
+        "global_sort_limit": q_global_sort_limit,
+        "buffer_span": q_buffer_span,
+        "bufferjoin": q_bufferjoin,
+        "countby_events": q_countby_events,
+        "window_agg_events": q_window_agg_events,
+        "dedup_exact": q_dedup_exact,
+        # --- beyond slot 50: r6-driver-green, code unchanged this
+        # round (re-verified by the round-7 round-end mimic) ---
+        "sq_codes": q_sq_codes,
+        "sq_topk": q_sq_topk,
+        "dedup_against": q_dedup_against,
+        "oov_stats": q_oov_stats,
+        "compression_stats": q_compression_stats,
+        "bpe_fertility": q_bpe_fertility,
+        "group_split": q_group_split,
         "rolling_stats": q_rolling_stats,
-        # --- round-6 window: TPC-H block, 16 entries (slots 6-21) ---
         "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
         "tpch_q7": q_tpch_q7,
@@ -2235,67 +2273,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20": q_tpch_q20,
         "tpch_q21": q_tpch_q21,
         "tpch_q1": q_tpch_q1,
-        # --- code changed this round after last driver check ---
         "range_join": q_range_join,
         "asof_join": q_asof_join,
         "inverted_index": q_inverted_index,
         "ngram_counts": q_ngram_counts,
-        "domain_quota": q_domain_quota,
-        "token_mixture": q_token_mixture,
-        "shuffle_shard": q_shuffle_shard,
         "paragraph_dedup": q_paragraph_dedup,
         "bigram_lm": q_bigram_lm,
         "semdedup": q_semdedup,
         "group_quantiles_binned": q_group_quantiles_binned,
         "corpus_report": q_corpus_report,
-        # --- rewritten in r5 AFTER their last (r4) driver check ---
         "simhash": q_simhash,
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
-        # --- beyond slot 50 (not driver-checked this round): all
-        # mimic-green on round-6 code, see COVERAGE.md rotation log.
-        # ngram_jaccard sits at slot 50 exactly; embedding_dups,
-        # sessionize, cross_join..dedup_exact and
-        # text_quality..nary_outer_join displaced from the window by the
-        # 13 session-3 + 5 session-2 new operators above (all
-        # r4/r5-green + mimic-green; deferred to the round-7 window) ---
-        "embedding_dups": q_embedding_dups,
-        "sessionize": q_sessionize,
-        "cross_join": q_cross_join,
-        "self_join": q_self_join,
-        "merge_union": q_merge_union,
-        "unique": q_unique,
-        "topk_per_group": q_topk_per_group,
-        "global_sort_limit": q_global_sort_limit,
-        "buffer_span": q_buffer_span,
-        "bufferjoin": q_bufferjoin,
-        "countby_events": q_countby_events,
-        "window_agg_events": q_window_agg_events,
-        "dedup_exact": q_dedup_exact,
-        "text_quality": q_text_quality,
-        "lang_id": q_lang_id,
-        "ann_topk": q_ann_topk,
-        "mixed_join": q_mixed_join,
-        "nary_outer_join": q_nary_outer_join,
-        "nary_right_join": q_nary_right_join,
-        "nary_mixed_join": q_nary_mixed_join,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
-        "fingerprint": q_fingerprint,
-        "ungroup": q_ungroup,
-        "sample": q_sample,
-        "salted_agg": q_salted_agg,
-        "token_budget": q_token_budget,
-        "stratified_sample": q_stratified_sample,
-        "quality_filter": q_quality_filter,
-        "multimodal_meta": q_multimodal_meta,
-        "ann_recall": q_ann_recall,
-        "rollup": q_rollup,
-        "pivot": q_pivot,
+        # --- r5-green, unchanged since (mimic-re-verified) ---
         "intersect": q_intersect,
         "except": q_except,
-        "chunk_corpus": q_chunk_corpus,
         "redact_pii": q_redact_pii,
         "winnow_pairs": q_winnow_pairs,
         "curation_pipeline": q_curation_pipeline,
@@ -2314,7 +2307,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq": q_ann_pq,
         "argmin_join": q_argmin_join,
         "dedup_keep_best": q_dedup_keep_best,
-        "group_quantiles": q_group_quantiles,
         "token_stats_by_lang": q_token_stats_by_lang,
         "tpch_q18": q_tpch_q18,
         "tpch_q14": q_tpch_q14,

@@ -162,6 +162,48 @@ BENCH_QUERIES = [
     "clean_text",
     "bpe_fertility",
     "group_split",
+    # round-7 additions (set change: 96 -> 127 rows; totals are not
+    # comparable to earlier rounds — compare per-query).  The two new
+    # round-7 operators, then the last 29 previously-unbenched queries —
+    # the thin relational/expression paths left out of earlier rounds
+    # because their cost is dominated by the shared scan/shuffle
+    # machinery already measured elsewhere; benched now so no declared
+    # query lacks a perf row.  `embedding_dups` itself stays excluded by
+    # design: its queries() entry is the exact all-pairs O(n^2)
+    # correctness variant, benched as embedding_dups_lsh (the scale
+    # path).  curation_flagship runs here with the xxhash64 near-dup
+    # stage (use_md5=False override below), the production variant; its
+    # md5 twin is the correctness-gate spelling.
+    "curation_flagship",
+    "quality_classifier",
+    "temperature_budgets",
+    "multimodal_meta",
+    "ann_recall",
+    "pivot",
+    "ungroup",
+    "sample",
+    "quality_filter",
+    "fingerprint",
+    "anti_join",
+    "nary_outer_join",
+    "mixed_join",
+    "cross_join",
+    "self_join",
+    "merge_union",
+    "unique",
+    "global_sort_limit",
+    "intersect",
+    "except",
+    "logic_filters",
+    "retain_coerce",
+    "hashjoin_cross",
+    "token_stats_by_lang",
+    "cogroup_inner",
+    "cogroup_left",
+    "cogroup_outer",
+    "date_format",
+    "expression_filter",
+    "regex_parse",
 ]
 
 
@@ -204,6 +246,31 @@ def main() -> None:
     # carries the md5 cross-engine twin for the correctness gate).
     qs["semdedup"] = lambda s, d: semdedup_pairs(
         entry._t(s, d, "embeddings"), threshold=0.3, n_clusters=16)
+    # curation_flagship at bench scale: identical stage chain but the
+    # near-dup stage uses the xxhash64 fast MinHash (queries() carries
+    # the md5 cross-engine twin for the correctness gate; plan shape is
+    # identical, only the hash expressions differ).
+    from cascading_flink_spark.extensions import curate_corpus
+    from cascading_flink_spark.extensions.text import clean_text_expr
+    from pyspark.sql import functions as F
+
+    def _flagship_fast(s, d):
+        docs = entry._t(s, d, "documents").withColumn(
+            "url", entry._messy_url())
+        bench_df = docs.filter(F.col("doc_id") % 20 == 0).select(
+            "doc_id",
+            clean_text_expr(F.coalesce("text", F.lit(""))).alias("text"))
+        corpus = docs.filter(F.col("doc_id") % 20 != 0)
+        return curate_corpus(
+            corpus, bench_df, use_md5=False,
+            gopher_kwargs=dict(min_words=30, max_words=120,
+                               min_mean_word_len_x100=300,
+                               max_mean_word_len_x100=450,
+                               min_stop_hits=1),
+            blocklist_terms=["dup"],
+            total_budget=8000, test_frac=0.2, context_len=512)
+
+    qs["curation_flagship"] = _flagship_fast
     # ann_pq at bench scale: the Lloyd-trained production path (queries()
     # carries the md5 cross-engine twin for the correctness gate).
     qs["ann_pq"] = lambda s, d: pq_topk(

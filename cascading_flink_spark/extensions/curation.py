@@ -93,7 +93,21 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame,
                       .drop("__cu", "__keep_id"))
 
     # 4. near-dup dedup: banded MinHash candidates -> connected
-    # components -> drop every non-representative member
+    # components -> drop every non-representative member.  Checkpoint the
+    # gated corpus first: the pair generation references it three times
+    # (band keys + both sides of the signature-agreement join) and the
+    # survivor anti-join a fourth — without a materialization boundary
+    # each reference replays the regex-heavy clean/gate/URL chain, and
+    # because analysis walks the LOGICAL plan, a plain persist still
+    # leaves every downstream transformation re-analyzing the whole
+    # expression tree (measured: driver-side analysis, not execution,
+    # dominated the composed pipeline).  localCheckpoint truncates the
+    # plan to a flat scan of the materialized corpus; lazy, so nothing
+    # runs until the dedup stage's own count.  At cluster scale this is
+    # the boundary a real pipeline would write to durable storage
+    # (swap for reliable checkpoint/parquet there — localCheckpoint is
+    # executor-local and not fault-tolerant).
+    gated = gated.localCheckpoint(eager=False)
     pair_fn = minhash_lsh_pairs_md5 if use_md5 else minhash_lsh_pairs
     pairs = pair_fn(gated, n=minhash_n, num_hashes=num_hashes, bands=bands,
                     threshold=threshold, text_col=text_col, id_col=id_col)
@@ -106,9 +120,15 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame,
     decon = decontaminate(deduped, benchmark, n=decontam_n,
                           text_col=text_col, id_col=id_col)
 
-    # 6. temperature mixture on whitespace token counts
-    counted = decon.withColumn(
+    # 6. temperature mixture on whitespace token counts.  Second
+    # materialization boundary (same argument as stage 4): the mixture's
+    # totals + admission branches and the packing cumsum all re-reference
+    # the curated corpus, and the decontamination gram-explosion sits in
+    # its plan — truncate here so the five downstream references scan the
+    # materialized frame.
+    counted = (decon.withColumn(
         "n_tokens", token_count(F.col(text_col)).cast("long"))
+        .localCheckpoint(eager=False))
     admitted = temperature_mixture(counted, total_budget,
                                    lang_col=lang_col, id_col=id_col,
                                    strategy=mixture_strategy)

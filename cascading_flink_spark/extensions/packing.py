@@ -56,11 +56,17 @@ def chunk_corpus(df: DataFrame, context_len: int,
     if context_len <= 0:
         raise ValueError("context_len must be positive")
     carry = list(carry_cols or [])
+    # The narrow tokenized frame feeds BOTH cumsum phases (the per-bucket
+    # running total and the bucket-base aggregate) — persist it so the
+    # tokenization regex and the (possibly deep) upstream plan run once,
+    # not once per branch.  It is the pruned projection (id, carry,
+    # n_tokens, hash), a small fraction of the input width.
     d = (df.select(F.col(id_col).alias("id"), *carry,
                    token_count(F.col(text_col)).cast("long").alias("n_tokens"),
                    F.md5(F.col(id_col).cast("string")).alias("__h"))
            .filter(F.col("n_tokens") > 0)
-           .withColumn("__b", F.substring("__h", 1, bucket_chars)))
+           .withColumn("__b", F.substring("__h", 1, bucket_chars))
+           .persist())
     # phase 1: running total WITHIN each uniform md5-prefix bucket
     w_in = (Window.partitionBy("__b").orderBy("__h", "id")
             .rowsBetween(Window.unboundedPreceding, -1))
