@@ -16,6 +16,14 @@ Noise band (round-5 re-pin, SPARK_GRAFT_BENCH_RUNS=5): identical-code
 queries drift +-10-20% between runs on this shared box; anything beyond
 that is real.
 
+Round-7 re-pin of the BENCH_r06 outliers (VERDICT r6 "What's wrong #1"):
+dedup_clusters 3.49s and ann_ivf 1.77s were flagged as +43%/+38% vs r5
+with no note.  An idle-box best-of-5 run on round-7 code measured
+dedup_clusters 2.51s, ann_ivf 1.20s, anchor ngram_jaccard 2.0s — all
+back at their r5 levels (2.44 / 1.28), so the r6 numbers were cache/load
+pressure from the 2x-longer 91-query bench session, not a code
+regression; no bisect needed.
+
 Round-6 per-query comparability notes: ngram_counts gained the
 doc-frequency threshold this round (ADVICE r5) — one extra aggregation
 phase, so its row is NOT comparable to BENCH_r05's occurrence-only

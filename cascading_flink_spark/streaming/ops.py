@@ -575,3 +575,66 @@ def stream_embedding_gate(stream: DataFrame, reference: DataFrame,
     cond = (F.col("__sband") == F.col("__rband")) & \
            (cosine_expr(F.col(vec_col), F.col("__rvec")) >= threshold)
     return s.join(ref, cond, "left_anti").drop("__sband")
+
+
+def stream_curate(stream: DataFrame, benchmark: DataFrame,
+                  budgets: dict[str, int],
+                  *,
+                  ts_col: str = "ts", text_col: str = "text",
+                  id_col: str = "doc_id", lang_col: str = "lang",
+                  url_col: str | None = None,
+                  gopher_kwargs: dict | None = None,
+                  blocklist_terms: list[str] | None = None,
+                  decontam_n: int = 8,
+                  dedup_watermark: str = "10 minutes") -> DataFrame:
+    """Streaming curation pipeline — the continuous-ingest twin of
+    ``extensions.curation.curate_corpus``, composed from the already-
+    proven streaming stages:
+
+    1. **clean + quality gates** (stateless map): Unicode-light
+       normalization, Gopher rule conjunction, token blocklist — the
+       exact batch expressions, fused into the stream's first projection;
+    2. **dedup within the watermark horizon**: canonical-URL key when
+       ``url_col`` is given, else the content fingerprint — via
+       ``dropDuplicatesWithinWatermark``, so key state is evicted as the
+       watermark advances (a continuous crawl can't hold every URL ever
+       seen; the horizon is the recrawl window).  Unlike the batch twin's
+       min-id rule, the survivor is the FIRST arrival — arrival order is
+       the only order a stream has (same note as every stateful twin);
+    3. **decontamination** (stateless broadcast map): benchmark grams
+       collected once, checked per micro-batch row;
+    4. **token quota** (stateful): per-``lang_col`` running totals
+       carried across micro-batches; hand ``budgets`` because a stream
+       has no corpus totals to derive temperature weights from.
+
+    Emits ``stream_token_quota``'s schema: ``(key, doc_id, n_tokens,
+    running_total)`` per admitted document, in arrival order.  Stages
+    2-4 match their batch twins exactly on a single micro-batch
+    (tested); across batches the stateful semantics take over.
+    """
+    from ..extensions.text import (blocklist_hits_expr, clean_text_expr,
+                                   gopher_pass_expr)
+    from ..extensions.urls import normalize_url_expr
+
+    cleaned = stream.withColumn(text_col, clean_text_expr(
+        F.coalesce(F.col(text_col), F.lit(""))))
+    gate = gopher_pass_expr(F.col(text_col), **(gopher_kwargs or {}))
+    if blocklist_terms:
+        gate = gate & (blocklist_hits_expr(F.col(text_col),
+                                           blocklist_terms) == 0)
+    gated = cleaned.filter(gate)
+
+    if url_col is not None:
+        deduped = (_ensure_event_time(gated, ts_col)
+                   .withColumn("__cu", normalize_url_expr(F.col(url_col)))
+                   .withWatermark(ts_col, dedup_watermark)
+                   .dropDuplicatesWithinWatermark(["__cu"])
+                   .drop("__cu"))
+    else:
+        deduped = stream_exact_dedup(gated, ts_col, text_col=text_col,
+                                     watermark=dedup_watermark)
+
+    decon = stream_decontaminate(deduped, benchmark, n=decontam_n,
+                                 text_col=text_col)
+    return stream_token_quota(decon, budgets, key_col=lang_col,
+                              text_col=text_col, id_col=id_col)
