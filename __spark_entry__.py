@@ -48,7 +48,8 @@ from cascading_flink_spark.extensions import (
     gopher_quality, blocklist_stats, rolling_stats,
     corpus_report, group_centroids, inverted_index, ngram_counts, bm25_scores,
     bpe_encode, bpe_train,
-    clean_text, compression_stats, dedup_against, group_split, hot_keys,
+    clean_text, compression_stats, dedup_against, group_split, heavy_hitters,
+    hot_keys,
     normalize_urls,
     oov_stats, overlap_chunks, random_project, sq_quantize, sq_topk,
     url_dedup,
@@ -2052,6 +2053,16 @@ def q_hot_keys(spark, sf_dir):
     return hot_keys(_t(spark, sf_dir, "events"), "user_id", top=20)
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Exact phi-heavy hitters at bounded memory (heavy_hitters): every
+    user_id with more than n/200 of the events, found via per-partition
+    Misra-Gries candidate sketches (O(partitions*capacity) shuffle,
+    independent of key cardinality) + one exact verification count over
+    the broadcast candidate set — output identical to the full
+    GROUP BY + HAVING answer, which is exactly what the oracle runs."""
+    return heavy_hitters(_t(spark, sf_dir, "events"), "user_id", k=200)
+
+
 def q_compression_stats(spark, sf_dir):
     """zlib compressibility gate (compression_stats) — deterministic but
     not SQL-expressible (no zlib in the oracle engine): the driver
@@ -2212,7 +2223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "temperature_mixture": q_temperature_mixture,
         "temperature_budgets": q_temperature_budgets,
-        "shuffle_shard": q_shuffle_shard,
+        "heavy_hitters": q_heavy_hitters,
         "multimodal_meta": q_multimodal_meta,
         "random_project": q_random_project,
         # --- the 31 deferred r4-greens (VERDICT r6 Next #1) ---
@@ -2248,7 +2259,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_agg_events": q_window_agg_events,
         "dedup_exact": q_dedup_exact,
         # --- beyond slot 50: r6-driver-green, code unchanged this
-        # round (re-verified by the round-7 round-end mimic) ---
+        # round (re-verified by the round-7 round-end mimic;
+        # shuffle_shard sits here — its function body did not change in
+        # the mixture refactor, so its r6 row still describes it, and
+        # its former insurance slot went to the NEW heavy_hitters) ---
+        "shuffle_shard": q_shuffle_shard,
         "sq_codes": q_sq_codes,
         "sq_topk": q_sq_topk,
         "dedup_against": q_dedup_against,
@@ -2862,6 +2877,16 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN substr(md5('split#' || source), 1, 6) < '333333'
                         THEN 'test' ELSE 'train' END AS split
             FROM documents
+        """,
+        # heavy_hitters' sketch-verify output is proven identical to the
+        # plain GROUP BY + HAVING spelling, which IS the oracle.
+        "heavy_hitters": """
+            WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key,
+                              count(*)::BIGINT AS n
+                       FROM events GROUP BY 1),
+            t AS (SELECT sum(n)::BIGINT AS tt FROM c)
+            SELECT key, n, CAST((n * 10000) // tt AS BIGINT) AS share_x10000
+            FROM c, t WHERE n * 200 > tt
         """,
         "hot_keys": """
             WITH c AS (SELECT user_id AS key, count(*)::BIGINT AS n

@@ -24,6 +24,17 @@ back at their r5 levels (2.44 / 1.28), so the r6 numbers were cache/load
 pressure from the 2x-longer 91-query bench session, not a code
 regression; no bisect needed.
 
+Round-7 comparability notes: temperature_mixture (~0.7s -> ~1.5s) and
+group_quantiles (~0.6s -> ~1.0s) changed DEFAULTS this round (VERDICT r6
+"What's wrong #2/#3"): the mega-key-safe twoscan admission and the
+hot-group-safe binned two-pass are now what callers get without opting
+in.  Both pay a fixed extra plan stage that dominates at sf0.1 and
+vanishes at scale (the old defaults sorted a whole language/group in one
+task); the old one-pass variants remain as explicit small-data entry
+points (strategy="window", strategy="onepass").  Their rows are
+NOT comparable to r6.  A local 127-row validation run on round-7 code
+medianed 0.97x vs the r6 rows otherwise (92-row overlap).
+
 Round-6 per-query comparability notes: ngram_counts gained the
 doc-frequency threshold this round (ADVICE r5) — one extra aggregation
 phase, so its row is NOT comparable to BENCH_r05's occurrence-only
@@ -212,6 +223,8 @@ BENCH_QUERIES = [
     "date_format",
     "expression_filter",
     "regex_parse",
+    # heavy_hitters lands after the 127-row validation run (127 -> 128)
+    "heavy_hitters",
 ]
 
 

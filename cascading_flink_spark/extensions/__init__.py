@@ -49,7 +49,8 @@ from .corpus import (bigram_lm_scores, bm25_scores, corpus_report,
                      ngram_counts, oov_stats, repetition_stats,
                      tfidf_topterms, unigram_commonness)
 from .analytics import (event_funnel, group_quantiles,
-                        group_quantiles_binned, hot_keys, rolling_stats,
+                        group_quantiles_binned, heavy_hitters, hot_keys,
+                        rolling_stats,
                         value_histogram)
 
 __all__ = [n for n in dir() if not n.startswith("_")]

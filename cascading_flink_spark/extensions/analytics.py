@@ -270,3 +270,80 @@ def hot_keys(df: DataFrame, key_col: str, top: int = 20) -> DataFrame:
                           F.expr("n * 10000 div __t").alias("share_x10000"))
                   .orderBy(F.desc("n"), F.asc_nulls_last("key"))
                   .limit(top))
+
+
+def heavy_hitters(df: DataFrame, key_col: str, k: int = 100,
+                  capacity: int | None = None) -> DataFrame:
+    """EXACT phi-heavy hitters — every key occurring MORE than n/``k``
+    times — at bounded memory: ``(key, n, share_x10000)`` ordered by
+    (n desc, key asc), NULL keys counted like :func:`hot_keys`.
+
+    :func:`hot_keys` group-counts every distinct key, which is the right
+    tool until the key's cardinality itself is the problem: counting
+    every URL/shingle/user in a 100 TB corpus shuffles one row per
+    DISTINCT key.  This operator is the classic two-pass sketch-verify
+    alternative whose shuffle is O(partitions * k), independent of
+    cardinality:
+
+    1. **Candidates**: a Misra-Gries summary of ``capacity`` (default
+       ``4*k``) counters per partition (one Arrow pass, O(capacity)
+       memory).  MG guarantees any key with partition frequency
+       > n_p/(capacity+1) survives its partition summary, so every
+       global > n/k key survives in at least one partition — the
+       candidate union is a SUPERSET of the true heavy hitters (the
+       standard MG merge bound; capacity > k widens the safety margin
+       and costs only sketch width).
+    2. **Verify**: one exact count of the candidate keys only — the
+       candidate set (<= partitions * capacity rows) broadcasts into a
+       map-side semi-join filter, so the second scan aggregates a tiny
+       key set — then the exact ``n * k > total`` threshold.
+
+    Output is therefore IDENTICAL to the full GROUP BY + HAVING answer
+    (oracle-checked), with the full-cardinality shuffle replaced by a
+    broadcast of ~partitions*capacity candidates.  NULL keys ride
+    through a sentinel in the sketch and come back as real NULLs."""
+    if k <= 1:
+        raise ValueError("k must be > 1 (threshold is count*k > total)")
+    cap = int(capacity) if capacity is not None else 4 * int(k)
+    if cap < k:
+        raise ValueError("capacity must be >= k or the MG superset "
+                         "guarantee for the n/k threshold is lost")
+    import pandas as pd
+
+    # distinct sentinel for NULL so the dict-keyed sketch can hold it;
+    # chr(0) prefix keeps it out of any real string key's space
+    NULL_S = "\x00__null__"
+
+    def mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf["__k"]:
+                key = NULL_S if v is None else v
+                if key in counters:
+                    counters[key] += 1
+                elif len(counters) < cap:
+                    counters[key] = 1
+                else:
+                    dead = [c for c in counters if counters[c] == 1]
+                    for c in counters:
+                        counters[c] -= 1
+                    for c in dead:
+                        del counters[c]
+        if counters:
+            yield pd.DataFrame({"__k": list(counters.keys())})
+
+    keyed = df.select(F.col(key_col).cast("string").alias("__k"))
+    cands = (keyed.mapInPandas(mg, "__k string")
+                  .withColumn("__k", F.when(F.col("__k") == NULL_S,
+                                            F.lit(None))
+                                      .otherwise(F.col("__k")))
+                  .distinct())
+    counts = (keyed.join(F.broadcast(cands),
+                         keyed["__k"].eqNullSafe(cands["__k"]), "left_semi")
+                   .groupBy("__k").agg(F.count(F.lit(1)).alias("n")))
+    total = keyed.agg(F.count(F.lit(1)).alias("__t"))
+    return (counts.crossJoin(F.broadcast(total))
+                  .filter(F.col("n") * k > F.col("__t"))
+                  .select(F.col("__k").alias("key"), "n",
+                          F.expr("n * 10000 div __t").alias("share_x10000"))
+                  .orderBy(F.desc("n"), F.asc_nulls_last("key")))

@@ -388,3 +388,58 @@ def test_bpe_train_scan_order_free(spark, sf_dir):
     a = bpe_train(docs, num_merges=30)
     b = bpe_train(docs.repartition(13), num_merges=30)
     assert a == b
+
+
+# ------------------------------------------------------- heavy_hitters
+
+def _exact_hitters(spark, df, key_col, k):
+    tot = df.count()
+    return {(r["key"], r["n"]) for r in
+            df.groupBy(F.col(key_col).cast("string").alias("key"))
+              .agg(F.count(F.lit(1)).alias("n"))
+              .filter(F.col("n") * k > tot).collect()}
+
+
+def test_heavy_hitters_identical_to_exact_groupby(spark):
+    from cascading_flink_spark.extensions import heavy_hitters
+    import random
+    rng = random.Random(7)
+    # zipf-ish: few heavy keys, long uniform tail across many partitions
+    rows = ([("mega",)] * 4000 + [("big",)] * 900
+            + [(f"mid{i % 7}",) for i in range(700)]
+            + [(f"tail{rng.randrange(3000)}",) for _ in range(4000)])
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k string").repartition(16)
+    got = {(r["key"], r["n"]) for r in heavy_hitters(df, "k", k=50).collect()}
+    assert got == _exact_hitters(spark, df, "k", 50) and ("mega", 4000) in got
+
+
+def test_heavy_hitters_counts_null_keys(spark):
+    from cascading_flink_spark.extensions import heavy_hitters
+    rows = [(None,)] * 500 + [(f"k{i}",) for i in range(400)]
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    out = heavy_hitters(df, "k", k=3).collect()
+    assert [(r["key"], r["n"]) for r in out] == [(None, 500)]
+    assert out[0]["share_x10000"] == 500 * 10000 // 900
+
+
+def test_heavy_hitters_small_capacity_still_exact(spark):
+    """capacity == k is the tight MG bound: the guarantee must still
+    hold (superset of true > n/k keys survives the per-partition
+    sketches), so the verified output stays identical to exact."""
+    from cascading_flink_spark.extensions import heavy_hitters
+    rows = ([("a",)] * 300 + [("b",)] * 200
+            + [(f"t{i}",) for i in range(450)])
+    df = spark.createDataFrame(rows, "k string").repartition(16)
+    got = {(r["key"], r["n"]) for r in
+           heavy_hitters(df, "k", k=5, capacity=5).collect()}
+    assert got == _exact_hitters(spark, df, "k", 5)
+
+
+def test_heavy_hitters_validates_args(spark):
+    from cascading_flink_spark.extensions import heavy_hitters
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "k", k=1)
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "k", k=10, capacity=5)
