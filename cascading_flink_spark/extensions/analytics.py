@@ -296,7 +296,9 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int = 100,
     2. **Verify**: one exact count of the candidate keys only — the
        candidate set (<= partitions * capacity rows) broadcasts into a
        map-side semi-join filter, so the second scan aggregates a tiny
-       key set — then the exact ``n * k > total`` threshold.
+       key set — then the exact ``n * k > total`` threshold.  The grand
+       total rides out of the sketch pass as per-partition count rows,
+       so the whole operator is exactly TWO scans of the input.
 
     Output is therefore IDENTICAL to the full GROUP BY + HAVING answer
     (oracle-checked), with the full-cardinality shuffle replaced by a
@@ -310,38 +312,52 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int = 100,
                          "guarantee for the n/k threshold is lost")
     import pandas as pd
 
-    # distinct sentinel for NULL so the dict-keyed sketch can hold it;
-    # chr(0) prefix keeps it out of any real string key's space
+    # distinct sentinels (chr(0) prefix keeps them out of any real
+    # string key's space): one for NULL keys in the dict-keyed sketch,
+    # one for the per-partition count rows that carry the grand total
+    # out of the sketch pass (saving a third scan of the input)
     NULL_S = "\x00__null__"
+    COUNT_S = "\x00__rows__"
 
     def mg(batches):
+        # Batched MG (the mergeable-summaries formulation, Agarwal et
+        # al.): fold each Arrow chunk's exact value_counts into the
+        # counter table, then if it overflows ``cap``, subtract the
+        # (cap+1)-th largest count from every counter and drop the
+        # non-positive ones.  Total decrement mass stays <= n_p/(cap+1),
+        # so the survival guarantee is the per-row sketch's, at
+        # vectorized speed (no per-row Python).
         counters: dict = {}
+        n_rows = 0
         for pdf in batches:
-            for v in pdf["__k"]:
-                key = NULL_S if v is None else v
-                if key in counters:
-                    counters[key] += 1
-                elif len(counters) < cap:
-                    counters[key] = 1
-                else:
-                    dead = [c for c in counters if counters[c] == 1]
-                    for c in counters:
-                        counters[c] -= 1
-                    for c in dead:
-                        del counters[c]
-        if counters:
-            yield pd.DataFrame({"__k": list(counters.keys())})
+            n_rows += len(pdf)
+            col = pdf["__k"].fillna(NULL_S)
+            for key, cnt in col.value_counts().items():
+                counters[key] = counters.get(key, 0) + int(cnt)
+            if len(counters) > cap:
+                cut = sorted(counters.values(), reverse=True)[cap]
+                counters = {c: n - cut for c, n in counters.items()
+                            if n > cut}
+        if n_rows:
+            # candidates (count unused) + ONE partition-count row; a
+            # fully-compressed-away table still reports its row count
+            yield pd.DataFrame({"__k": list(counters) + [COUNT_S],
+                                "__n": [0] * len(counters) + [n_rows]})
 
     keyed = df.select(F.col(key_col).cast("string").alias("__k"))
-    cands = (keyed.mapInPandas(mg, "__k string")
-                  .withColumn("__k", F.when(F.col("__k") == NULL_S,
-                                            F.lit(None))
-                                      .otherwise(F.col("__k")))
-                  .distinct())
+    # persist the (tiny: <= partitions * (capacity+1) rows) sketch
+    # output — both the total and the candidate set read it, and
+    # without the pin each reference would rescan the input
+    sketch = keyed.mapInPandas(mg, "__k string, __n long").persist()
+    total = (sketch.filter(F.col("__k") == COUNT_S)
+                   .agg(F.sum("__n").alias("__t")))
+    cands = (sketch.filter(F.col("__k") != COUNT_S)
+                   .select(F.when(F.col("__k") == NULL_S, F.lit(None))
+                            .otherwise(F.col("__k")).alias("__k"))
+                   .distinct())
     counts = (keyed.join(F.broadcast(cands),
                          keyed["__k"].eqNullSafe(cands["__k"]), "left_semi")
                    .groupBy("__k").agg(F.count(F.lit(1)).alias("n")))
-    total = keyed.agg(F.count(F.lit(1)).alias("__t"))
     return (counts.crossJoin(F.broadcast(total))
                   .filter(F.col("n") * k > F.col("__t"))
                   .select(F.col("__k").alias("key"), "n",

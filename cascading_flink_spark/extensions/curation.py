@@ -83,9 +83,18 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame,
 
     # 3. canonical-URL dedup: keep the smallest id per canonical URL.
     # One partial-agg shuffle on the canonical key; survivors anti-join
-    # the (output-bound) dropped-id set.
+    # the (output-bound) dropped-id set.  A NULL or empty URL means "no
+    # URL", not "the same URL": such rows get a per-document sentinel
+    # key so they are exempt from URL dedup rather than collapsing into
+    # one group that keeps a single arbitrary survivor.
     if url_col is not None:
-        keyed = gated.withColumn("__cu", normalize_url_expr(F.col(url_col)))
+        norm = normalize_url_expr(F.col(url_col))
+        keyed = gated.withColumn(
+            "__cu",
+            F.when(norm.isNull() | (norm == ""),
+                   F.concat(F.lit("\x00nourl\x00"),
+                            F.col(id_col).cast("string")))
+             .otherwise(norm))
         keep = (keyed.groupBy("__cu")
                      .agg(F.min(id_col).alias("__keep_id")))
         gated = (keyed.join(keep, "__cu")

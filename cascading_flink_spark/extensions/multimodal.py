@@ -158,13 +158,19 @@ def _decode_wav_real(payload: bytes, dim: int):
         sampwidth = w.getsampwidth()
         raw = w.readframes(n_frames)
     duration_ms = int(n_frames * 1000 / rate) if rate else 0
-    dtype = {1: np.int8, 2: np.int16, 4: np.int32}.get(sampwidth)
-    if dtype is None:                                  # e.g. 24-bit PCM
-        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
-        scale = 255.0
-    else:
+    if sampwidth == 1:
+        # WAV stores 8-bit PCM as UNSIGNED bytes (0-255, silence at
+        # 128), unlike the signed wider widths — recenter before scaling
+        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+                   - 128.0)
+        scale = 128.0
+    elif sampwidth in (2, 4):
+        dtype = {2: np.int16, 4: np.int32}[sampwidth]
         samples = np.frombuffer(raw, dtype=dtype).astype(np.float64)
         scale = float(2 ** (8 * sampwidth - 1))
+    else:                                              # e.g. 24-bit PCM
+        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+        scale = 255.0
     feature = []
     if samples.size:
         windows = np.array_split(samples, dim)

@@ -625,8 +625,16 @@ def stream_curate(stream: DataFrame, benchmark: DataFrame,
     gated = cleaned.filter(gate)
 
     if url_col is not None:
+        # NULL/empty URL = "no URL": per-document sentinel key exempts
+        # the row from URL dedup (same rule as the batch twin) instead
+        # of collapsing every no-URL doc onto one survivor per horizon
+        norm = normalize_url_expr(F.col(url_col))
+        key = (F.when(norm.isNull() | (norm == ""),
+                      F.concat(F.lit("\x00nourl\x00"),
+                               F.col(id_col).cast("string")))
+                .otherwise(norm))
         deduped = (_ensure_event_time(gated, ts_col)
-                   .withColumn("__cu", normalize_url_expr(F.col(url_col)))
+                   .withColumn("__cu", key)
                    .withWatermark(ts_col, dedup_watermark)
                    .dropDuplicatesWithinWatermark(["__cu"])
                    .drop("__cu"))

@@ -112,6 +112,22 @@ def test_no_url_column_mode(spark, corpus):
     assert 3 in ids and 4 in ids
 
 
+def test_null_and_empty_urls_are_exempt_from_url_dedup(spark):
+    # three gate-passing docs with no usable URL must ALL survive the
+    # URL stage (NULL/empty mean "no URL", not "the same URL"); their
+    # distinct texts keep them clear of the near-dup stage too
+    rows = [
+        (1, GOOD, "en", "s1", None),
+        (2, GOOD2, "en", "s2", None),
+        (3, GOOD3, "en", "s3", ""),
+    ]
+    docs = _mk(spark, rows)
+    bench = spark.createDataFrame([(100, "nothing shared here")],
+                                  "doc_id long, text string")
+    ids = sorted(r.doc_id for r in _curate(docs, bench).collect())
+    assert ids == [1, 2, 3]
+
+
 def test_plan_has_no_cartesian_and_fused_gate(spark, corpus):
     bench = spark.createDataFrame([(100, "nothing shared here")],
                                   "doc_id long, text string")

@@ -139,3 +139,28 @@ def test_decode_media_real_image_with_pil(spark):
     assert row["decoder"] == "pil"
     assert (row["width"], row["height"]) == (37, 21)
     assert abs(sum(row["feature"]) - 1.0) < 1e-3
+
+
+def test_decode_wav_8bit_unsigned_silence_is_zero_energy():
+    """8-bit WAV PCM is UNSIGNED (silence = 0x80): a silent clip must
+    produce a ~zero RMS envelope, and a full-scale square wave ~1.0 —
+    the signed-int8 misread would report 1.0 for silence."""
+    import io
+    import wave
+
+    from cascading_flink_spark.extensions.multimodal import _decode_wav_real
+
+    def wav8(samples):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(1)
+            w.setframerate(8000)
+            w.writeframes(bytes(samples))
+        return buf.getvalue()
+
+    meta, silent, kind = _decode_wav_real(wav8([128] * 800), dim=4)
+    assert kind == "wav" and meta["sample_rate"] == 8000
+    assert all(v == 0.0 for v in silent)
+    _, loud, _ = _decode_wav_real(wav8([0, 255] * 400), dim=4)
+    assert all(v > 0.9 for v in loud)
