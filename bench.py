@@ -223,8 +223,10 @@ BENCH_QUERIES = [
     "date_format",
     "expression_filter",
     "regex_parse",
-    # heavy_hitters lands after the 127-row validation run (127 -> 128)
+    # heavy_hitters + pack_bins land after the 127-row validation run
+    # (127 -> 129)
     "heavy_hitters",
+    "pack_bins",
 ]
 
 

@@ -16,7 +16,7 @@ from .text import (
     gopher_pass_expr, blocklist_hits_expr,
 )
 from .curation import curate_corpus
-from .packing import chunk_corpus, overlap_chunks
+from .packing import chunk_corpus, overlap_chunks, pack_bins
 from .dedup import (
     dedup_against,
     exact_dedup, exact_dedup_pairs, ngram_jaccard_pairs, minhash_lsh_pairs,

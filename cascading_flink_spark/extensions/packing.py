@@ -136,3 +136,78 @@ def overlap_chunks(df: DataFrame, context_len: int, stride: int,
                      F.col("__j").alias("chunk_id"),
                      F.size(chunk).cast("long").alias("chunk_tokens"),
                      F.array_join(chunk, " ").alias("chunk_text")))
+
+
+def pack_bins(df: DataFrame, capacity: int,
+              text_col: str = "text", id_col: str = "doc_id",
+              bucket_chars: int = 2) -> DataFrame:
+    """No-split sequence packing: walk documents in the deterministic
+    global order (md5-bucket, md5(id), id) and NEXT-FIT them into
+    fixed-``capacity`` token bins — a document never splits across bins
+    (the SFT-style packing rule; :func:`chunk_corpus` is the splitting
+    pretraining variant).  A document longer than ``capacity`` gets a
+    bin of its own (documented overflow rule — truncation is a
+    tokenizer-side decision, not a packer decision).
+
+    Returns ``(doc_id, n_tokens, bin, offset_in_bin)``: ``bin`` is the
+    global bin index, ``offset_in_bin`` the document's first-token
+    position inside it.  Zero-token documents are dropped.
+
+    Scale shape: documents hash into ``16^bucket_chars`` md5-prefix
+    buckets; the sequential next-fit walk runs per bucket in ONE Arrow
+    pass (next-fit is inherently sequential — per-bucket is how the
+    sequence dependency parallelizes, and bins never span buckets by
+    construction), then each bucket's local bin indices are offset by
+    the exclusive running sum of bins-per-bucket — a window over at
+    most ``16^bucket_chars`` aggregate rows, broadcast back.  Identical
+    two-phase shape to :func:`chunk_corpus`, so the same exactness and
+    scale arguments apply; per-bucket state is two longs."""
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    import pandas as pd
+
+    d = (df.select(F.col(id_col).alias("id"),
+                   token_count(F.col(text_col)).cast("long")
+                    .alias("n_tokens"),
+                   F.md5(F.col(id_col).cast("string")).alias("__h"))
+           .filter(F.col("n_tokens") > 0)
+           .withColumn("__b", F.substring("__h", 1, bucket_chars)))
+
+    out_schema = ("id string, n_tokens long, __b string, "
+                  "__local_bin long, offset_in_bin long")
+
+    def nextfit(key, pdf):
+        pdf = pdf.sort_values(["__h", "id"])
+        bins, offs = [], []
+        cur_bin, fill = 0, 0
+        for n in pdf["n_tokens"]:
+            if fill > 0 and fill + n > capacity:
+                cur_bin += 1
+                fill = 0
+            bins.append(cur_bin)
+            offs.append(fill)
+            fill += int(n)
+        return pd.DataFrame({"id": pdf["id"].astype(str),
+                             "n_tokens": pdf["n_tokens"],
+                             "__b": key[0],
+                             "__local_bin": bins,
+                             "offset_in_bin": offs})
+
+    packed = (d.withColumn("id", F.col("id").cast("string"))
+                .groupBy("__b").applyInPandas(nextfit, out_schema))
+    # bucket bin-count exclusive prefix sum over <= 16^bucket_chars rows
+    w_b = (Window.orderBy("__b")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    base = (packed.groupBy("__b")
+            .agg((F.max("__local_bin") + 1).alias("__nb"))
+            .withColumn("__base", F.coalesce(F.sum("__nb").over(w_b),
+                                             F.lit(0)))
+            .select("__b", "__base"))
+    # the Arrow pass carried the id as a string; restore the input type
+    id_type = df.schema[id_col].dataType
+    return (packed.join(F.broadcast(base), "__b")
+                  .select(F.col("id").cast(id_type).alias(id_col),
+                          F.col("n_tokens"),
+                          (F.col("__base") + F.col("__local_bin"))
+                           .alias("bin"),
+                          F.col("offset_in_bin")))

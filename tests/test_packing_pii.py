@@ -204,3 +204,53 @@ def test_overlap_chunks_drops_empty_and_validates(spark):
         overlap_chunks(df, 0, 1)
     with pytest.raises(ValueError):
         overlap_chunks(df, 2, 0)
+
+
+# ------------------------------------------------------------ pack_bins
+
+def test_pack_bins_invariants(spark, sf_dir):
+    from cascading_flink_spark.extensions import pack_bins
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = pack_bins(docs, capacity=128).collect()
+    assert rows
+    by_bin = {}
+    for r in rows:
+        by_bin.setdefault(r.bin, []).append(r)
+    # bins are contiguous 0..max
+    assert sorted(by_bin) == list(range(len(by_bin)))
+    for members in by_bin.values():
+        members.sort(key=lambda r: r.offset_in_bin)
+        off = 0
+        for r in members:
+            assert r.offset_in_bin == off  # docs are packed back-to-back
+            off += r.n_tokens
+        # a bin only exceeds capacity when a single oversized doc owns it
+        if off > 128:
+            assert len(members) == 1 and members[0].offset_in_bin == 0
+
+
+def test_pack_bins_deterministic_under_partitioning(spark, sf_dir):
+    from cascading_flink_spark.extensions import pack_bins
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(map(tuple, pack_bins(docs, 512).collect()))
+    b = sorted(map(tuple, pack_bins(docs.repartition(17), 512).collect()))
+    assert a == b
+
+
+def test_pack_bins_oversized_doc_gets_own_bin(spark):
+    from cascading_flink_spark.extensions import pack_bins
+    docs = spark.createDataFrame(
+        [(1, "w " * 50), (2, "x " * 7), (3, "y " * 6)],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in pack_bins(docs, capacity=10).collect()}
+    big = rows[1]
+    assert big.offset_in_bin == 0 and big.n_tokens == 50
+    # nothing shares the oversized doc's bin
+    assert all(r.bin != big.bin for i, r in rows.items() if i != 1)
+
+
+def test_pack_bins_validates_capacity(spark):
+    from cascading_flink_spark.extensions import pack_bins
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        pack_bins(docs, capacity=0)
