@@ -140,30 +140,45 @@ def overlap_chunks(df: DataFrame, context_len: int, stride: int,
 
 def pack_bins(df: DataFrame, capacity: int,
               text_col: str = "text", id_col: str = "doc_id",
-              bucket_chars: int = 2) -> DataFrame:
-    """No-split sequence packing: walk documents in the deterministic
-    global order (md5-bucket, md5(id), id) and NEXT-FIT them into
+              bucket_chars: int = 2,
+              strategy: str = "nextfit") -> DataFrame:
+    """No-split sequence packing: pack documents WHOLE into
     fixed-``capacity`` token bins — a document never splits across bins
     (the SFT-style packing rule; :func:`chunk_corpus` is the splitting
     pretraining variant).  A document longer than ``capacity`` gets a
     bin of its own (documented overflow rule — truncation is a
     tokenizer-side decision, not a packer decision).
 
+    ``strategy="nextfit"`` (default): walk the deterministic global
+    order (md5-bucket, md5(id), id), close the current bin when the
+    next document overflows it.  One sequential O(n) pass; this is the
+    DuckDB-replayable spelling the correctness gate checks.
+
+    ``strategy="bfd"``: best-fit decreasing — documents sorted by
+    (tokens desc, md5, id), each placed into the open bin with the
+    least remaining room that still fits (ties: lowest bin id), else a
+    new bin.  O(n log n) via a sorted remainder list; measurably fewer
+    bins / less padding than next-fit on long-tailed corpora, pinned
+    against a Python model in pytest (the placement recursion carries
+    per-bin state no SQL window expresses, so no oracle twin).
+
     Returns ``(doc_id, n_tokens, bin, offset_in_bin)``: ``bin`` is the
     global bin index, ``offset_in_bin`` the document's first-token
     position inside it.  Zero-token documents are dropped.
 
     Scale shape: documents hash into ``16^bucket_chars`` md5-prefix
-    buckets; the sequential next-fit walk runs per bucket in ONE Arrow
-    pass (next-fit is inherently sequential — per-bucket is how the
-    sequence dependency parallelizes, and bins never span buckets by
-    construction), then each bucket's local bin indices are offset by
-    the exclusive running sum of bins-per-bucket — a window over at
-    most ``16^bucket_chars`` aggregate rows, broadcast back.  Identical
+    buckets; the inherently-sequential packing walk runs per bucket in
+    ONE Arrow pass (per-bucket is how the sequence dependency
+    parallelizes, and bins never span buckets by construction), then
+    each bucket's local bin indices are offset by the exclusive
+    running sum of bins-per-bucket — a window over at most
+    ``16^bucket_chars`` aggregate rows, broadcast back.  Identical
     two-phase shape to :func:`chunk_corpus`, so the same exactness and
-    scale arguments apply; per-bucket state is two longs."""
+    scale arguments apply."""
     if capacity <= 0:
         raise ValueError("capacity must be positive")
+    if strategy not in ("nextfit", "bfd"):
+        raise ValueError("strategy must be 'nextfit' or 'bfd'")
     import pandas as pd
 
     d = (df.select(F.col(id_col).alias("id"),
@@ -193,8 +208,43 @@ def pack_bins(df: DataFrame, capacity: int,
                              "__local_bin": bins,
                              "offset_in_bin": offs})
 
+    def bfd(key, pdf):
+        from bisect import bisect_left, insort
+
+        pdf = pdf.sort_values(["__h", "id"])
+        pdf = pdf.iloc[(-pdf["n_tokens"].to_numpy()).argsort(kind="stable")]
+        fills: list = []          # fill per bin, indexed by local bin id
+        # open bins keyed by (remaining, bin_id), sorted — best fit is
+        # the FIRST entry with remaining >= n (least room that fits;
+        # ties break to the lowest bin id by the tuple order)
+        open_bins: list = []
+        bins, offs = [], []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            i = bisect_left(open_bins, (n, -1))
+            if i < len(open_bins):
+                rem, b = open_bins.pop(i)
+                bins.append(b)
+                offs.append(fills[b])
+                fills[b] += n
+                if rem - n > 0:
+                    insort(open_bins, (rem - n, b))
+            else:
+                b = len(fills)
+                bins.append(b)
+                offs.append(0)
+                fills.append(n)
+                if capacity - n > 0:
+                    insort(open_bins, (capacity - n, b))
+        return pd.DataFrame({"id": pdf["id"].astype(str),
+                             "n_tokens": pdf["n_tokens"],
+                             "__b": key[0],
+                             "__local_bin": bins,
+                             "offset_in_bin": offs})
+
+    walk = nextfit if strategy == "nextfit" else bfd
     packed = (d.withColumn("id", F.col("id").cast("string"))
-                .groupBy("__b").applyInPandas(nextfit, out_schema))
+                .groupBy("__b").applyInPandas(walk, out_schema))
     # bucket bin-count exclusive prefix sum over <= 16^bucket_chars rows
     w_b = (Window.orderBy("__b")
            .rowsBetween(Window.unboundedPreceding, -1))

@@ -254,3 +254,62 @@ def test_pack_bins_validates_capacity(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         pack_bins(docs, capacity=0)
+
+
+def test_pack_bins_bfd_pinned_against_python_model(spark, sf_dir):
+    """strategy='bfd' has no SQL oracle (per-bin state recursion) — pin
+    it against an independent Python replay of the documented rule."""
+    import hashlib
+    from bisect import bisect_left, insort
+
+    from cascading_flink_spark.extensions import pack_bins
+    from cascading_flink_spark.extensions.text import token_count as _tc
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cap = 256
+    got = {r.doc_id: (r.n_tokens, r.bin, r.offset_in_bin)
+           for r in pack_bins(docs, cap, strategy="bfd").collect()}
+
+    toks = {r.doc_id: r.n for r in
+            docs.select("doc_id", _tc(F.col("text")).alias("n")).collect()}
+    per_bucket: dict = {}
+    for i, n in toks.items():
+        if n > 0:
+            h = hashlib.md5(str(i).encode()).hexdigest()
+            per_bucket.setdefault(h[:2], []).append((h, i, n))
+    model, base = {}, 0
+    for b in sorted(per_bucket):
+        rows = sorted(per_bucket[b])                      # (md5, id) order
+        rows.sort(key=lambda t: -t[2])                    # stable desc
+        fills, open_bins = [], []
+        for _, i, n in rows:
+            j = bisect_left(open_bins, (n, -1))
+            if j < len(open_bins):
+                rem, k = open_bins.pop(j)
+                model[i] = (n, base + k, fills[k])
+                fills[k] += n
+                if rem - n > 0:
+                    insort(open_bins, (rem - n, k))
+            else:
+                k = len(fills)
+                model[i] = (n, base + k, 0)
+                fills.append(n)
+                if cap - n > 0:
+                    insort(open_bins, (cap - n, k))
+        base += len(fills)
+    assert got == model and got
+
+
+def test_pack_bins_bfd_packs_no_worse_than_nextfit(spark, sf_dir):
+    from cascading_flink_spark.extensions import pack_bins
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_nf = pack_bins(docs, 256).agg(F.max("bin")).collect()[0][0]
+    n_bfd = pack_bins(docs, 256, strategy="bfd") \
+        .agg(F.max("bin")).collect()[0][0]
+    assert n_bfd <= n_nf
+
+
+def test_pack_bins_rejects_unknown_strategy(spark):
+    from cascading_flink_spark.extensions import pack_bins
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        pack_bins(docs, 10, strategy="ffd")
