@@ -3715,24 +3715,33 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ), t AS (
                 SELECT doc_id, n_tokens, substr(h, 1, 2) AS b,
-                       row_number() OVER (ORDER BY h, doc_id) AS rn
+                       row_number() OVER (PARTITION BY substr(h, 1, 2)
+                                          ORDER BY h, doc_id) AS rn
                 FROM d WHERE n_tokens > 0
-            ), walk(rn, doc_id, n_tokens, b, bin, off) AS (
-                SELECT rn, doc_id, n_tokens, b, 0::BIGINT, 0::BIGINT
+            ), walk(b, rn, doc_id, n_tokens, lbin, off) AS (
+                -- every bucket's walk advances one document per
+                -- iteration IN PARALLEL: recursion depth = the largest
+                -- bucket, exactly the Spark per-bucket Arrow pass
+                SELECT b, rn, doc_id, n_tokens, 0::BIGINT, 0::BIGINT
                 FROM t WHERE rn = 1
                 UNION ALL
-                SELECT t.rn, t.doc_id, t.n_tokens, t.b,
-                       CASE WHEN t.b <> w.b
-                              OR (w.off + w.n_tokens > 0
-                                  AND w.off + w.n_tokens + t.n_tokens > 512)
-                            THEN w.bin + 1 ELSE w.bin END,
-                       CASE WHEN t.b <> w.b
-                              OR (w.off + w.n_tokens > 0
-                                  AND w.off + w.n_tokens + t.n_tokens > 512)
+                SELECT t.b, t.rn, t.doc_id, t.n_tokens,
+                       CASE WHEN w.off + w.n_tokens + t.n_tokens > 512
+                            THEN w.lbin + 1 ELSE w.lbin END,
+                       CASE WHEN w.off + w.n_tokens + t.n_tokens > 512
                             THEN 0 ELSE w.off + w.n_tokens END
-                FROM walk w JOIN t ON t.rn = w.rn + 1
+                FROM walk w JOIN t ON t.b = w.b AND t.rn = w.rn + 1
+            ), nb AS (
+                SELECT b, max(lbin) + 1 AS cnt FROM walk GROUP BY b
+            ), base AS (
+                SELECT b, COALESCE(SUM(cnt) OVER (
+                    ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0)::BIGINT AS bb
+                FROM nb
             )
-            SELECT doc_id, n_tokens, bin, off AS offset_in_bin FROM walk
+            SELECT w.doc_id, w.n_tokens, (base.bb + w.lbin)::BIGINT AS bin,
+                   w.off AS offset_in_bin
+            FROM walk w JOIN base USING (b)
         """,
         "chunk_corpus": """
             WITH d AS (
