@@ -174,7 +174,9 @@ def pack_bins(df: DataFrame, capacity: int,
     running sum of bins-per-bucket — a window over at most
     ``16^bucket_chars`` aggregate rows, broadcast back.  Identical
     two-phase shape to :func:`chunk_corpus`, so the same exactness and
-    scale arguments apply."""
+    scale arguments apply.  ``bucket_chars=0`` collapses to ONE bucket —
+    a single sequential walk over the whole (md5, id) order (test-scale
+    only; it serializes the packing into one task)."""
     if capacity <= 0:
         raise ValueError("capacity must be positive")
     if strategy not in ("nextfit", "bfd"):

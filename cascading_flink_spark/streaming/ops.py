@@ -646,3 +646,73 @@ def stream_curate(stream: DataFrame, benchmark: DataFrame,
                                  text_col=text_col)
     return stream_token_quota(decon, budgets, key_col=lang_col,
                               text_col=text_col, id_col=id_col)
+
+
+def stream_pack_bins(df: DataFrame, capacity: int,
+                     key_col: str = "lang", text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Streaming no-split sequence packing — the stateful twin of
+    ``extensions.packing.pack_bins``: documents arriving on a stream are
+    NEXT-FIT whole into fixed-``capacity`` token bins per key, with the
+    open bin's (index, fill) carried in state ACROSS micro-batches; a
+    document never splits across bins, and an over-``capacity`` document
+    gets a bin of its own (the batch twin's overflow rule).
+
+    Emits one row per document: ``(key, doc_id, n_tokens, bin,
+    offset_in_bin)`` with per-key bin indices.  Within a micro-batch,
+    documents pack in the deterministic ``(md5(doc_id), doc_id)`` order
+    — the batch twin's in-bucket order, so a single-batch stream with
+    one key reproduces the batch walk exactly (asserted in tests);
+    across batches the order is arrival order, the only order a stream
+    has.  State per key is two longs (open-bin index + fill): bounded at
+    any corpus size."""
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    out_schema = T.StructType([
+        T.StructField("key", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("bin", T.LongType()),
+        T.StructField("offset_in_bin", T.LongType()),
+    ])
+    state_schema = T.StructType([T.StructField("bin", T.LongType()),
+                                 T.StructField("fill", T.LongType())])
+
+    def fn(key, pdfs, state: GroupState):
+        import hashlib
+
+        import pandas as pd
+        cur_bin, fill = state.get if state.exists else (0, 0)
+        # concat the Arrow chunk iterator BEFORE sorting (see
+        # stream_chunk_packer): per-chunk sorting would break the
+        # documented whole-micro-batch md5 packing order
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            pdf["__h"] = pdf["doc_id"].map(
+                lambda s: hashlib.md5(str(s).encode()).hexdigest())
+            pdf = pdf.sort_values(["__h", "doc_id"])
+            bins, offs = [], []
+            for n in pdf["n_tokens"]:
+                if fill > 0 and fill + n > capacity:
+                    cur_bin += 1
+                    fill = 0
+                bins.append(cur_bin)
+                offs.append(fill)
+                fill += int(n)
+            yield pd.DataFrame({"key": key[0],
+                                "doc_id": pdf["doc_id"].to_numpy(),
+                                "n_tokens": pdf["n_tokens"],
+                                "bin": bins,
+                                "offset_in_bin": offs})
+        state.update((int(cur_bin), int(fill)))
+
+    from ..extensions.text import token_count
+    prepared = (df.select(F.col(key_col).cast("string").alias("key"),
+                          F.col(id_col).cast("string").alias("doc_id"),
+                          token_count(F.col(text_col)).cast("long")
+                           .alias("n_tokens"))
+                  .filter(F.col("n_tokens") > 0))
+    return (prepared.groupBy("key")
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))

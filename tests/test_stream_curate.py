@@ -124,3 +124,82 @@ def test_quota_state_blocks_across_batches(spark, tmp_path):
     # 42 of 45 tokens already spent -> doc 3's 21 tokens are rejected
     assert {r["doc_id"] for r in spark.read.parquet(out_dir).collect()} \
         == {"1", "2"}
+
+
+# -------------------------------------------------------- stream_pack_bins
+
+def test_stream_pack_bins_single_batch_parity(spark, sf_dir, tmp_path):
+    """One micro-batch, one key: identical bins to the batch twin run as
+    a single sequential walk (bucket_chars=0 — the md5-prefix bucket
+    order IS the md5 order, so only the bucket resets differ and a
+    single bucket removes them)."""
+    from cascading_flink_spark.extensions import pack_bins
+    from cascading_flink_spark.streaming import stream_pack_bins
+
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id", "text").limit(200)
+            .withColumn("lang", F.lit("en")))
+    src = str(tmp_path / "pb_in")
+    docs.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema) \
+                  .parquet(src)
+    out = stream_pack_bins(stream, capacity=256)
+    q = (out.writeStream.format("memory").queryName("pb_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"]: (r["n_tokens"], r["bin"], r["offset_in_bin"])
+           for r in spark.sql("SELECT * FROM pb_out").collect()}
+    spark.catalog.dropTempView("pb_out")
+
+    expect = {str(r.doc_id): (r.n_tokens, r.bin, r.offset_in_bin)
+              for r in pack_bins(spark.read.parquet(src), 256,
+                                 bucket_chars=0).collect()}
+    assert got == expect and got
+
+
+def test_stream_pack_bins_fill_carries_across_batches(spark, tmp_path):
+    from cascading_flink_spark.streaming import stream_pack_bins
+
+    schema = "doc_id string, lang string, text string"
+    b1 = spark.createDataFrame([("a", "en", "one two three")], schema)
+    b2 = spark.createDataFrame([("b", "en", "four five"),
+                                ("c", "en", "six seven eight nine")], schema)
+    src = tmp_path / "pb2_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "pb2_ckpt")
+    out_dir = str(tmp_path / "pb2_out")
+    b1.coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+
+    def run_once():
+        stream = spark.readStream.schema(b1.schema).parquet(str(src / "*"))
+        q = (stream_pack_bins(stream, capacity=6).writeStream
+             .format("parquet").option("checkpointLocation", ckpt)
+             .option("path", out_dir)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(60)
+
+    run_once()          # a: 3 tokens -> bin 0 @ 0 (fill 3)
+    b2.coalesce(1).write.mode("overwrite").parquet(str(src / "f2"))
+    run_once()          # md5 order in batch 2 is (c, b):
+    #   c: 4 tokens, fill 3+4 > 6 -> bin 1 @ 0 (fill 4)
+    #   b: 2 tokens, fits        -> bin 1 @ 4
+    rows = {r["doc_id"]: r for r in spark.read.parquet(out_dir).collect()}
+    import hashlib
+    order = sorted(["b", "c"],
+                   key=lambda s: hashlib.md5(s.encode()).hexdigest())
+    assert (rows["a"]["bin"], rows["a"]["offset_in_bin"]) == (0, 0)
+    first, second = order
+    sizes = {"b": 2, "c": 4}
+    fill = 3
+    expected = {}
+    cur_bin = 0
+    for d in order:
+        n = sizes[d]
+        if fill > 0 and fill + n > 6:
+            cur_bin += 1
+            fill = 0
+        expected[d] = (cur_bin, fill)
+        fill += n
+    for d in ("b", "c"):
+        assert (rows[d]["bin"], rows[d]["offset_in_bin"]) == expected[d]
