@@ -62,7 +62,8 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame,
                   total_budget: int = 8000,
                   test_frac: float = 0.2,
                   context_len: int = 512,
-                  mixture_strategy: str = "twoscan") -> DataFrame:
+                  mixture_strategy: str = "twoscan",
+                  return_stages: bool = False):
     """Run the whole curation pipeline; returns one row per surviving
     document: ``(doc_id, lang, source, split, n_tokens, start_offset,
     first_chunk, last_chunk)``.
@@ -71,7 +72,17 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame,
     url_col])``; ``benchmark`` carries ``(id_col, text_col)`` (the
     held-out eval set — its grams broadcast against the corpus).  Set
     ``url_col=None`` to skip URL dedup when no crawl URL exists.
+
+    ``return_stages=True`` returns ``(packed, stages)`` where
+    ``stages`` is an ordered dict of each intermediate DataFrame
+    (``gated``, ``url_deduped``, ``deduped``, ``decontaminated``,
+    ``admitted``, ``split``) — all LAZY, so auditing costs nothing
+    until a stage is counted; ``stages["gated"].count()`` etc. answers
+    "which stage dropped my corpus" without re-running the pipeline
+    (the dedup/mixture inputs are checkpointed, so stage counts reuse
+    the materialized boundaries rather than replaying upstream).
     """
+    stages: dict[str, DataFrame] = {}
     # 1-2. clean + quality gates, fused into one scan-side filter chain
     cleaned = docs.withColumn(text_col, clean_text_expr(
         F.coalesce(F.col(text_col), F.lit(""))))
@@ -80,6 +91,7 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame,
         gate = gate & (blocklist_hits_expr(F.col(text_col),
                                            blocklist_terms) == 0)
     gated = cleaned.filter(gate)
+    stages["gated"] = gated
 
     # 3. canonical-URL dedup: keep the smallest id per canonical URL.
     # One partial-agg shuffle on the canonical key; survivors anti-join
@@ -100,6 +112,7 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame,
         gated = (keyed.join(keep, "__cu")
                       .filter(F.col(id_col) == F.col("__keep_id"))
                       .drop("__cu", "__keep_id"))
+    stages["url_deduped"] = gated
 
     # 4. near-dup dedup: banded MinHash candidates -> connected
     # components -> drop every non-representative member.  Checkpoint the
@@ -124,10 +137,12 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame,
                .filter(F.col("id") != F.col("cluster_id"))
                .select(F.col("id").alias(id_col)))
     deduped = gated.join(dup_ids, id_col, "left_anti")
+    stages["deduped"] = deduped
 
     # 5. decontamination: benchmark grams broadcast, corpus unshuffled
     decon = decontaminate(deduped, benchmark, n=decontam_n,
                           text_col=text_col, id_col=id_col)
+    stages["decontaminated"] = decon
 
     # 6. temperature mixture on whitespace token counts.  Second
     # materialization boundary (same argument as stage 4): the mixture's
@@ -141,9 +156,12 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame,
     admitted = temperature_mixture(counted, total_budget,
                                    lang_col=lang_col, id_col=id_col,
                                    strategy=mixture_strategy)
+    stages["admitted"] = admitted
 
     # 7-8. leakage-safe split by source group, then sequence packing
     split = group_split(admitted, group_col, test_frac=test_frac)
-    return chunk_corpus(split, context_len, text_col=text_col,
-                        id_col=id_col,
-                        carry_cols=[lang_col, group_col, "split"])
+    stages["split"] = split
+    packed = chunk_corpus(split, context_len, text_col=text_col,
+                          id_col=id_col,
+                          carry_cols=[lang_col, group_col, "split"])
+    return (packed, stages) if return_stages else packed

@@ -140,3 +140,22 @@ def test_plan_has_no_cartesian_and_fused_gate(spark, corpus):
     for line in plan.splitlines():
         if "BroadcastNestedLoopJoin" in line:
             assert "BuildRight, Cross" in line
+
+
+def test_return_stages_exposes_lazy_stage_frames(spark, corpus):
+    bench = spark.createDataFrame([(100, "nothing shared here")],
+                                  "doc_id long, text string")
+    packed, stages = _curate(corpus, bench, return_stages=True)
+    assert list(stages) == ["gated", "url_deduped", "deduped",
+                            "decontaminated", "admitted", "split"]
+    counts = {k: v.count() for k, v in stages.items()}
+    # the funnel only narrows, and each stage count matches the story:
+    # 5 docs pass the gate (doc 5 too short), URL dedup drops doc 4,
+    # near-dup drops doc 2, nothing decontaminates, budget is unlimited
+    assert counts["gated"] == 5
+    assert counts["url_deduped"] == 4
+    assert counts["deduped"] == 3
+    assert counts["decontaminated"] == 3
+    assert counts["admitted"] == 3
+    assert counts["split"] == 3
+    assert packed.count() == 3
