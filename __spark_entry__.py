@@ -56,6 +56,7 @@ from cascading_flink_spark.extensions import (
     url_dedup,
     quality_classifier, default_bucket_weights,
     curate_corpus,
+    c4_rules, cardinality_report, dup_spans, sample_k_per_group,
 )
 
 
@@ -2186,6 +2187,46 @@ def q_url_dedup(spark, sf_dir):
     return url_dedup(raw)
 
 
+def q_c4_rules(spark, sf_dir):
+    """C4 page-cleaning rules.  The synthetic corpus is punctuation-free
+    one-liners, so the query first *structures* it deterministically (both
+    engines replay the same transform): a sentence break after every
+    'join', a doc_id%17 lorem-ipsum suffix, a doc_id%13 curly-brace
+    suffix.  Every rule then splits the corpus: line retention, sentence
+    minimum, lorem and curly page gates."""
+    docs = _t(spark, sf_dir, "documents")
+    pre = F.concat(
+        F.regexp_replace(F.col("text"), "join", "join.\n"),
+        F.when(F.col("doc_id") % 17 == 0,
+               F.lit("\nlorem ipsum dolor sit.")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0,
+               F.lit("\ncode { block")).otherwise(F.lit("")))
+    return c4_rules(docs.select("doc_id", pre.alias("text")),
+                    min_line_words=3, min_sentences=2)
+
+
+def q_sample_k_per_group(spark, sf_dir):
+    """Exact deterministic k-per-group sample: 20 events per event_type by
+    md5(event_id) order."""
+    ev = _t(spark, sf_dir, "events")
+    out = sample_k_per_group(ev, "event_type", 20, ["event_id"])
+    return out.select("event_id", "event_type", "user_id", "value")
+
+
+def q_cardinality_report(spark, sf_dir):
+    """Per-event-type cardinality profile (exact twin; the HLL path is the
+    100 TB profiler, pinned within rsd bounds in pytest)."""
+    ev = _t(spark, sf_dir, "events")
+    return cardinality_report(ev, "event_type", ["user_id", "value"])
+
+
+def q_dup_spans(spark, sf_dir):
+    """Exact duplicated-substring spans over the documents table: maximal
+    token ranges whose every 8-gram occurs in >= 2 distinct docs."""
+    docs = _t(spark, sf_dir, "documents")
+    return dup_spans(docs, k=8, min_docs=2)
+
+
 # ------------------------------------------------------- driver surface
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2356,6 +2397,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cogroup_outer": q_cogroup_outer,
         "hashjoin_broadcast": q_hashjoin_broadcast,
         "nary_join": q_nary_join,
+        # round-7 session-4 additions (beyond the checked window;
+        # mimic + sf0.1 verified this round, rotate forward next round)
+        "c4_rules": q_c4_rules,
+        "sample_k_per_group": q_sample_k_per_group,
+        "cardinality_report": q_cardinality_report,
+        "dup_spans": q_dup_spans,
     }
 
 
@@ -4775,5 +4822,106 @@ def oracle_sql() -> dict[str, str]:
             FROM r CROSS JOIN (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE,
                                               0.99::DOUBLE]) AS p) ps
             WHERE rn = ceil(p * n)
+        """,
+        "c4_rules": """
+            WITH pre AS (
+                SELECT doc_id,
+                       regexp_replace(text, 'join', 'join.' || chr(10), 'g')
+                       || CASE WHEN doc_id % 17 = 0
+                               THEN chr(10) || 'lorem ipsum dolor sit.'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 13 = 0
+                               THEN chr(10) || 'code { block'
+                               ELSE '' END AS text
+                FROM documents),
+            k AS (
+                SELECT doc_id, coalesce(text, '') AS text,
+                       str_split(coalesce(text, ''), chr(10)) AS lines,
+                       list_filter(str_split(coalesce(text, ''), chr(10)),
+                           x -> regexp_matches(trim(x), '[.!?"]$')
+                                AND len(regexp_split_to_array(trim(x),
+                                                              '\\s+')) >= 3
+                                AND NOT contains(lower(x), 'javascript'))
+                           AS kept
+                FROM pre),
+            c AS (
+                SELECT doc_id, text, lines, kept,
+                       -- array_to_string([]) is NULL in DuckDB where
+                       -- Spark's array_join gives '' — coalesce to match
+                       coalesce(array_to_string(kept, chr(10)), '')
+                           AS clean_text,
+                       CAST(length(regexp_replace(
+                           coalesce(array_to_string(kept, chr(10)), ''),
+                           '[^.!?]', '', 'g')) AS BIGINT) AS n_sentences,
+                       (CASE WHEN contains(lower(text), 'lorem ipsum')
+                             THEN 1 ELSE 0 END) AS has_lorem,
+                       (CASE WHEN contains(text, '{') THEN 1 ELSE 0 END)
+                           AS has_curly
+                FROM k)
+            SELECT doc_id,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(kept) AS BIGINT) AS n_kept_lines,
+                   n_sentences,
+                   CAST(has_lorem AS BIGINT) AS has_lorem,
+                   CAST(has_curly AS BIGINT) AS has_curly,
+                   CAST(CASE WHEN n_sentences >= 2 THEN 1 ELSE 0 END
+                        AS BIGINT) AS ok_sentences,
+                   CAST(CASE WHEN n_sentences >= 2 AND has_lorem = 0
+                                  AND has_curly = 0
+                             THEN 1 ELSE 0 END AS BIGINT) AS pass,
+                   clean_text
+            FROM c
+        """,
+        "sample_k_per_group": """
+            SELECT event_id, event_type, user_id, value
+            FROM (SELECT event_id, event_type, user_id, value,
+                         row_number() OVER (
+                             PARTITION BY event_type
+                             ORDER BY md5(CAST(event_id AS VARCHAR))) AS rn
+                  FROM events)
+            WHERE rn <= 20
+        """,
+        "cardinality_report": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT user_id) AS BIGINT)
+                       AS user_id_distinct,
+                   CAST(count(DISTINCT value) AS BIGINT) AS value_distinct
+            FROM events GROUP BY event_type
+        """,
+        "dup_spans": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                FROM documents),
+            pos AS (
+                SELECT doc_id, t, unnest(range(0, len(t) - 8 + 1)) AS pos
+                FROM toks WHERE len(t) >= 8),
+            grams AS (
+                SELECT doc_id, pos,
+                       md5(array_to_string(t[pos + 1 : pos + 8], ' ')) AS g
+                FROM pos),
+            dupg AS (
+                SELECT g FROM grams
+                GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+            dup AS (
+                SELECT doc_id, pos FROM grams JOIN dupg USING (g)),
+            isl AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos > lag(pos) OVER (
+                                 PARTITION BY doc_id ORDER BY pos) + 8
+                            THEN 1 ELSE 0 END AS brk
+                FROM dup),
+            grp AS (
+                SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id
+                                      ORDER BY pos) AS island
+                FROM isl)
+            SELECT doc_id,
+                   CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) + 7 AS BIGINT) AS span_end,
+                   CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_tokens,
+                   CAST(count(*) AS BIGINT) AS n_grams
+            FROM grp GROUP BY doc_id, island
         """,
     }

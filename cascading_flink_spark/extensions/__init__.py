@@ -14,11 +14,12 @@ from .text import (
     quality_classifier, default_bucket_weights,
     CLASSIFIER_FEATURES, DEFAULT_FEATURE_WEIGHTS,
     gopher_pass_expr, blocklist_hits_expr,
+    c4_line_keep_expr, c4_rules,
 )
 from .curation import curate_corpus
 from .packing import chunk_corpus, overlap_chunks, pack_bins
 from .dedup import (
-    dedup_against,
+    dedup_against, dup_spans,
     exact_dedup, exact_dedup_pairs, ngram_jaccard_pairs, minhash_lsh_pairs,
     minhash_lsh_pairs_md5, simhash_bits, simhash_dup_pairs,
     simhash_md5_pairs, dedup_clusters, dedup_keep_best, paragraph_dedup,
@@ -35,7 +36,8 @@ from .multimodal import (
     MEDIA_SCHEMA, MULTIMODAL_SCHEMA, attach_binary_meta, decode_media,
     decode_stub_features, frame_sample,
 )
-from .skew import salted_agg, salted_broadcast_left, stratified_sample
+from .skew import (salted_agg, salted_broadcast_left, sample_k_per_group,
+                   stratified_sample)
 from .mixture import (domain_quota, group_split, shuffle_shard,
                       token_budget_mixture,
                       temperature_budgets, temperature_mixture)
@@ -48,7 +50,7 @@ from .corpus import (bigram_lm_scores, bm25_scores, corpus_report,
                      inverted_index,
                      ngram_counts, oov_stats, repetition_stats,
                      tfidf_topterms, unigram_commonness)
-from .analytics import (event_funnel, group_quantiles,
+from .analytics import (cardinality_report, event_funnel, group_quantiles,
                         group_quantiles_binned, heavy_hitters, hot_keys,
                         rolling_stats,
                         value_histogram)

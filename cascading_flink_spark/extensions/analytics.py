@@ -363,3 +363,29 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int = 100,
                   .select(F.col("__k").alias("key"), "n",
                           F.expr("n * 10000 div __t").alias("share_x10000"))
                   .orderBy(F.desc("n"), F.asc_nulls_last("key")))
+
+
+def cardinality_report(df: DataFrame, group_col: str,
+                       cols: list[str], exact: bool = True,
+                       rsd: float = 0.05) -> DataFrame:
+    """Per-group cardinality profile: row count + distinct count per column.
+
+    ``exact=True`` (the correctness-gate twin) computes true
+    ``count_distinct`` — a two-phase partial-deduplicating shuffle per
+    column, fine up to very large groups.  ``exact=False`` switches every
+    distinct to ``approx_count_distinct`` (HyperLogLog++, relative
+    standard deviation ``rsd``): single-pass, constant memory per group —
+    the 100 TB profiling path where a distinct-shuffle per column over
+    the full corpus is the bottleneck.  Both paths share one aggregation
+    (partial-agg map-side combine); output schema is identical so callers
+    can flip the flag by data size.  Pytest pins approx within 5*rsd of
+    exact on the same input.
+    """
+    if exact:
+        aggs = [F.count_distinct(F.col(c)).alias(f"{c}_distinct")
+                for c in cols]
+    else:
+        aggs = [F.approx_count_distinct(c, rsd).alias(f"{c}_distinct")
+                for c in cols]
+    return (df.groupBy(group_col)
+              .agg(F.count(F.lit(1)).alias("n_rows"), *aggs))

@@ -1040,3 +1040,56 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
                          F.collect_list(F.struct("seg_idx", "seg")))
                      .getField("seg")).alias("clean_text"),
                      F.count(F.lit(1)).alias("n_kept")))
+
+
+def dup_spans(df: DataFrame, k: int = 8, min_docs: int = 2,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicated-substring spans: maximal token ranges whose every
+    k-gram also occurs in at least ``min_docs - 1`` other documents — the
+    exact-substring dedup of public "train-data dedup" practice (contrast
+    the *approximate* winnowing family above, which samples fingerprints).
+
+    Returns ``(doc_id, span_start, span_end, span_tokens, n_grams)`` with
+    token positions 0-based inclusive; overlapping or touching duplicated
+    k-grams merge into one span (gaps-and-islands over per-doc position
+    order).
+
+    Scale shape (100 TB): grams are md5-hashed before the shuffle so the
+    doc-frequency count and the dup-gram join move 32-byte keys, not
+    k-token strings; the count is a partial-aggregated groupBy (hot
+    phrases combine map-side); the per-doc island window sorts only that
+    doc's duplicated positions (bounded by document length, never by
+    corpus size).  Total shuffle volume is O(total tokens) for the count
+    + O(duplicated positions) for the rest — output-bound, the same
+    contract as the winnowing operators.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    # greatest() keeps the sequence endpoint valid even if the then-branch
+    # is evaluated eagerly for short docs; the when() guard discards it
+    pos_arr = F.when(n >= k, F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))) \
+               .otherwise(F.array().cast("array<int>"))
+    grams = (_fan_out(df)
+             .select(F.col(id_col).alias("id"), toks.alias("t"),
+                     F.explode(pos_arr).alias("pos"))
+             .select("id", "pos",
+                     F.md5(F.concat_ws(
+                         " ", F.slice(F.col("t"), F.col("pos") + 1, k)))
+                      .alias("g")))
+    dup_grams = (grams.groupBy("g")
+                 .agg(F.count_distinct("id").alias("n_docs"))
+                 .filter(F.col("n_docs") >= min_docs)
+                 .select("g"))
+    dup = grams.join(dup_grams, "g").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    brk = F.when(F.col("pos") > F.lag("pos").over(w) + k, 1).otherwise(0)
+    islands = (dup.withColumn("__brk", brk)
+               .withColumn("__isl", F.sum("__brk").over(
+                   w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (islands.groupBy("id", "__isl")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + (k - 1)).alias("span_end"),
+                 (F.max("pos") - F.min("pos") + k).alias("span_tokens"),
+                 F.count(F.lit(1)).alias("n_grams"))
+            .select(F.col("id").alias(id_col), "span_start", "span_end",
+                    "span_tokens", "n_grams"))

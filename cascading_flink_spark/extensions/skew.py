@@ -119,3 +119,26 @@ def stratified_sample(df: DataFrame, strata_col: str,
     if cond is None:
         raise ValueError("fractions is empty")
     return df.filter(cond)
+
+
+def sample_k_per_group(df: DataFrame, group_col: str, k: int,
+                       key_cols: Sequence[str]) -> DataFrame:
+    """Deterministic exact-k sampling per group (balanced eval-set carving).
+
+    Where :func:`stratified_sample` keeps a *fraction* per stratum, this
+    keeps exactly ``min(k, group size)`` rows per group, chosen by md5
+    order over ``key_cols`` — engine- and rerun-reproducible, no RNG.
+
+    Scale shape: ``row_number`` + ``<= k`` filter compiles to Spark's
+    WindowGroupLimit, which prunes to k rows per group map-side *before*
+    the shuffle — a mega-group never materializes on one reducer (same
+    plan shape as the FirstNBuffer top-N path, plan-asserted in tests).
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat_ws("-", *[F.col(c).cast("string")
+                                   for c in key_cols]))
+    w = Window.partitionBy(group_col).orderBy(key.asc())
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= k)
+              .drop("__rn"))

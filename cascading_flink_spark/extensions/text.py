@@ -597,3 +597,55 @@ def clean_text(df: DataFrame, text_col: str = "text",
     cleaned = clean_text_expr(src)
     return df.select(F.col(id_col), cleaned.alias("clean_text"),
                      (cleaned != src).alias("changed"))
+
+
+def c4_line_keep_expr(line: Column, min_words: int = 3) -> Column:
+    """C4 line-retention rule (Raffel et al. 2020, public): keep a line iff
+    it ends in terminal punctuation, carries at least ``min_words``
+    whitespace words, and does not mention "javascript" (boilerplate
+    cookie/JS warnings).  Pure Column expression for reuse in batch and
+    streaming variants."""
+    t = F.trim(line)
+    return (t.rlike(r'[.!?"]$')
+            & (F.size(F.split(t, _TOKEN_SPLIT)) >= min_words)
+            & ~F.lower(t).contains("javascript"))
+
+
+def c4_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             min_line_words: int = 3, min_sentences: int = 5) -> DataFrame:
+    """C4-style page cleaning (the public Colossal Clean Crawled Corpus
+    heuristics): per-line retention + page-level gates, one map-only pass.
+
+    Line rule: keep lines ending in terminal punctuation with >=
+    ``min_line_words`` words and no "javascript" mention
+    (:func:`c4_line_keep_expr`).  Page gates: the kept text must carry >=
+    ``min_sentences`` sentence-final marks, and the raw page must not
+    contain "lorem ipsum" or a ``{`` (code/template leakage).  The
+    dirty-word gate is the existing :func:`blocklist_stats` — compose it
+    upstream rather than duplicating it here.
+
+    Returns ``(doc_id, n_lines, n_kept_lines, n_sentences, has_lorem,
+    has_curly, ok_sentences, pass, clean_text)`` with flags as longs so
+    the oracle hash-matches.  Map-only: no shuffle at any scale; the
+    line filter runs inside codegen via a higher-order array filter, so
+    100 TB of pages stream through with zero state.
+    """
+    src = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(src, "\n")
+    kept = F.filter(lines, lambda ln: c4_line_keep_expr(ln, min_line_words))
+    clean = F.array_join(kept, "\n")
+    n_sentences = F.length(F.regexp_replace(clean, r"[^.!?]", ""))
+    has_lorem = F.lower(src).contains("lorem ipsum")
+    has_curly = src.contains("{")
+    ok_sent = n_sentences >= min_sentences
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        n_sentences.cast("long").alias("n_sentences"),
+        has_lorem.cast("long").alias("has_lorem"),
+        has_curly.cast("long").alias("has_curly"),
+        ok_sent.cast("long").alias("ok_sentences"),
+        (ok_sent & ~has_lorem & ~has_curly).cast("long").alias("pass"),
+        clean.alias("clean_text"),
+    )
