@@ -57,6 +57,7 @@ from cascading_flink_spark.extensions import (
     quality_classifier, default_bucket_weights,
     curate_corpus,
     c4_rules, cardinality_report, dup_spans, sample_k_per_group,
+    strip_dup_spans,
 )
 
 
@@ -2227,6 +2228,13 @@ def q_dup_spans(spark, sf_dir):
     return dup_spans(docs, k=8, min_docs=2)
 
 
+def q_strip_dup_spans(spark, sf_dir):
+    """Duplicated-substring removal: min-doc_id owner keeps each shared
+    8-gram, every other doc drops the covered tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    return strip_dup_spans(docs, k=8, min_docs=2)
+
+
 # ------------------------------------------------------- driver surface
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2403,6 +2411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_k_per_group": q_sample_k_per_group,
         "cardinality_report": q_cardinality_report,
         "dup_spans": q_dup_spans,
+        "strip_dup_spans": q_strip_dup_spans,
     }
 
 
@@ -4923,5 +4932,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_tokens,
                    CAST(count(*) AS BIGINT) AS n_grams
             FROM grp GROUP BY doc_id, island
+        """,
+        "strip_dup_spans": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                FROM documents),
+            pos AS (
+                SELECT doc_id, t, unnest(range(0, len(t) - 8 + 1)) AS pos
+                FROM toks WHERE len(t) >= 8),
+            grams AS (
+                SELECT doc_id, pos,
+                       md5(array_to_string(t[pos + 1 : pos + 8], ' ')) AS g
+                FROM pos),
+            owners AS (
+                SELECT g, min(doc_id) AS owner FROM grams
+                GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+            removed AS (
+                SELECT DISTINCT gr.doc_id, gr.pos + u.i AS ti
+                FROM grams gr JOIN owners o USING (g)
+                CROSS JOIN range(0, 8) u(i)
+                WHERE gr.doc_id != o.owner),
+            tok2 AS (
+                SELECT doc_id, ti1 - 1 AS ti, t[ti1] AS tok
+                FROM (SELECT doc_id, t,
+                             unnest(range(1, len(t) + 1)) AS ti1
+                      FROM toks)),
+            kept AS (
+                SELECT k.doc_id,
+                       string_agg(k.tok, ' ' ORDER BY k.ti) AS clean_text,
+                       CAST(count(*) AS BIGINT) AS n_tokens_kept
+                FROM tok2 k
+                WHERE NOT EXISTS (SELECT 1 FROM removed r
+                                  WHERE r.doc_id = k.doc_id
+                                    AND r.ti = k.ti)
+                GROUP BY k.doc_id)
+            SELECT toks.doc_id,
+                   coalesce(kept.clean_text, '') AS clean_text,
+                   CAST(coalesce(kept.n_tokens_kept, 0) AS BIGINT)
+                       AS n_tokens_kept,
+                   CAST(len(toks.t) - coalesce(kept.n_tokens_kept, 0)
+                        AS BIGINT) AS n_tokens_removed
+            FROM toks LEFT JOIN kept USING (doc_id)
         """,
     }

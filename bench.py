@@ -227,11 +227,12 @@ BENCH_QUERIES = [
     # (127 -> 129)
     "heavy_hitters",
     "pack_bins",
-    # round-7 session-4 additions (129 -> 133)
+    # round-7 session-4 additions (129 -> 134)
     "c4_rules",
     "sample_k_per_group",
     "cardinality_report",
     "dup_spans",
+    "strip_dup_spans",
 ]
 
 

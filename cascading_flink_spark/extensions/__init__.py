@@ -23,7 +23,7 @@ from .dedup import (
     exact_dedup, exact_dedup_pairs, ngram_jaccard_pairs, minhash_lsh_pairs,
     minhash_lsh_pairs_md5, simhash_bits, simhash_dup_pairs,
     simhash_md5_pairs, dedup_clusters, dedup_keep_best, paragraph_dedup,
-    strip_boilerplate, winnow_fingerprints, winnow_pairs,
+    strip_boilerplate, strip_dup_spans, winnow_fingerprints, winnow_pairs,
 )
 from .similarity import (
     cosine_expr, brute_force_topk, embedding_dup_pairs, group_centroids,

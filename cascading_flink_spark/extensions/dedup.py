@@ -1093,3 +1093,68 @@ def dup_spans(df: DataFrame, k: int = 8, min_docs: int = 2,
                  F.count(F.lit(1)).alias("n_grams"))
             .select(F.col("id").alias(id_col), "span_start", "span_end",
                     "span_tokens", "n_grams"))
+
+
+def strip_dup_spans(df: DataFrame, k: int = 8, min_docs: int = 2,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Remove cross-document duplicated substrings, keeping one canonical
+    copy — the "drop the other copies of every duplicated span" pass that
+    follows exact-substring detection (:func:`dup_spans`).
+
+    For every k-gram occurring in >= ``min_docs`` distinct docs, the doc
+    with the smallest id is the canonical owner and keeps its text; every
+    other doc drops the tokens covered by that gram.  Remaining tokens
+    reassemble in order.  Returns ``(doc_id, clean_text, n_tokens_kept,
+    n_tokens_removed)``.
+
+    Scale shape: gram ownership is the same partial-agg count/min pass as
+    :func:`dup_spans` (32-byte md5 keys); covered-position expansion is a
+    bounded explode (k positions per removed gram, distinct-folded before
+    the anti-join); reassembly groups each doc's own tokens — per-doc
+    state only, never corpus-wide.  Everything shuffles on doc id or gram
+    hash; volume is O(total tokens + k * removed grams).
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = _fan_out(df).select(F.col(id_col).alias("id"), toks.alias("t"))
+    grams = (base
+             .select("id", "t", F.explode(
+                 F.when(F.size(F.col("t")) >= k,
+                        F.sequence(F.lit(0),
+                                   F.greatest(F.size(F.col("t")) - k,
+                                              F.lit(0))))
+                  .otherwise(F.array().cast("array<int>"))).alias("pos"))
+             .select("id", "pos",
+                     F.md5(F.concat_ws(
+                         " ", F.slice(F.col("t"), F.col("pos") + 1, k)))
+                      .alias("g")))
+    owners = (grams.groupBy("g")
+              .agg(F.count_distinct("id").alias("n_docs"),
+                   F.min("id").alias("owner"))
+              .filter(F.col("n_docs") >= min_docs)
+              .select("g", "owner"))
+    removed = (grams.join(owners, "g")
+               .filter(F.col("id") != F.col("owner"))
+               .select("id", F.explode(
+                   F.sequence(F.col("pos"), F.col("pos") + (k - 1)))
+                   .alias("ti"))
+               .distinct())
+    tokens = base.select("id", F.posexplode("t").alias("ti", "tok"))
+    kept = tokens.join(removed, ["id", "ti"], "left_anti")
+    out = (kept.groupBy("id")
+           .agg(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct(F.col("ti"), F.col("tok")))),
+                        lambda s: s["tok"]), " ").alias("clean_text"),
+                F.count(F.lit(1)).alias("n_tokens_kept")))
+    totals = base.select("id", F.size("t").alias("n_total"))
+    return (totals.join(out, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.coalesce(F.col("clean_text"), F.lit(""))
+                     .alias("clean_text"),
+                    F.coalesce(F.col("n_tokens_kept"), F.lit(0))
+                     .cast("long").alias("n_tokens_kept"),
+                    (F.col("n_total") - F.coalesce(F.col("n_tokens_kept"),
+                                                   F.lit(0)))
+                     .cast("long").alias("n_tokens_removed")))

@@ -7,6 +7,7 @@ import pytest
 
 from cascading_flink_spark.extensions import (
     c4_rules, cardinality_report, dup_spans, sample_k_per_group,
+    strip_dup_spans,
 )
 
 def load(spark, sf_dir, name):
@@ -181,3 +182,38 @@ def test_dup_spans_plan_no_cartesian_and_partitioned_windows(spark, sf_dir):
     assert "BroadcastNestedLoop" not in plan
     # the island windows must partition by doc id (never a global window)
     assert "windowspecdefinition(id#" in plan
+
+
+# --------------------------------------------------------- strip_dup_spans
+
+def test_strip_dup_spans_owner_keeps_text(spark):
+    rows = [(1, "x a b c d y z q"),
+            (2, "p a b c d r s t"),
+            (3, "completely different tokens only here now ok fine")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in strip_dup_spans(df, k=4, min_docs=2)
+           .collect()}
+    assert out[1]["clean_text"] == "x a b c d y z q"      # canonical owner
+    assert out[2]["clean_text"] == "p r s t"              # span dropped
+    assert out[2]["n_tokens_removed"] == 4
+    assert out[3]["n_tokens_removed"] == 0                # untouched
+
+
+def test_strip_dup_spans_total_tokens_conserved(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    out = strip_dup_spans(docs, k=8)
+    row = out.agg(F.sum(F.col("n_tokens_kept") +
+                        F.col("n_tokens_removed")).alias("s")).first()
+    toks = docs.select(F.size(F.split(F.lower(F.trim("text")), r"\s+"))
+                       .alias("n")).agg(F.sum("n").alias("s")).first()
+    assert row["s"] == toks["s"]
+
+
+def test_strip_dup_spans_fully_removed_doc_is_empty_string(spark):
+    # doc 2 is a verbatim copy of doc 1's full text -> every token covered
+    rows = [(1, "a b c d e f"), (2, "a b c d e f")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in strip_dup_spans(df, k=4, min_docs=2)
+           .collect()}
+    assert out[1]["clean_text"] == "a b c d e f"
+    assert out[2]["clean_text"] == "" and out[2]["n_tokens_kept"] == 0
