@@ -217,3 +217,27 @@ def test_strip_dup_spans_fully_removed_doc_is_empty_string(spark):
            .collect()}
     assert out[1]["clean_text"] == "a b c d e f"
     assert out[2]["clean_text"] == "" and out[2]["n_tokens_kept"] == 0
+
+
+# ------------------------------------------------------ streaming parity
+
+def test_c4_rules_streams_as_is(spark, sf_dir, tmp_path):
+    """c4_rules is a stateless projection, so it applies to a streaming
+    frame unchanged: one availableNow micro-batch reproduces the batch
+    output exactly (the streaming-twin contract, with no twin needed)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text") \
+        .limit(200)
+    src = str(tmp_path / "c4_in")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    q = (c4_rules(stream).writeStream.format("memory")
+         .queryName("c4_stream").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["doc_id"], r["n_kept_lines"], r["pass"], r["clean_text"])
+           for r in spark.sql("SELECT * FROM c4_stream").collect()}
+    spark.catalog.dropTempView("c4_stream")
+    want = {(r["doc_id"], r["n_kept_lines"], r["pass"], r["clean_text"])
+            for r in c4_rules(spark.read.parquet(src)).collect()}
+    assert got == want
