@@ -44,8 +44,8 @@ from .decontam import decontaminate
 from .dedup import dedup_clusters, minhash_lsh_pairs, minhash_lsh_pairs_md5
 from .mixture import group_split, temperature_mixture
 from .packing import chunk_corpus
-from .text import (blocklist_hits_expr, clean_text_expr, gopher_pass_expr,
-                   token_count)
+from .text import (blocklist_hits_expr, c4_line_keep_expr, clean_text_expr,
+                   gopher_pass_expr, token_count)
 from .urls import normalize_url_expr
 
 
@@ -56,6 +56,7 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame,
                   url_col: str | None = "url",
                   blocklist_terms: list[str] | None = None,
                   gopher_kwargs: dict | None = None,
+                  c4_kwargs: dict | None = None,
                   decontam_n: int = 8,
                   minhash_n: int = 3, num_hashes: int = 32, bands: int = 8,
                   threshold: float = 0.5, use_md5: bool = False,
@@ -83,8 +84,28 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame,
     the materialized boundaries rather than replaying upstream).
     """
     stages: dict[str, DataFrame] = {}
+    # 0. Optional C4 stage (opt-in; line-structured crawls only — the
+    # default corpus here is one-line docs where it would be a no-op).
+    # MUST precede clean_text, which collapses whitespace runs and
+    # would erase the line structure C4 filters on: page gates on the
+    # RAW page (lorem ipsum / curly bracket), then per-line retention
+    # (:func:`..text.c4_line_keep_expr`).  Fuses into the scan — zero
+    # extra shuffles.
+    raw = docs
+    if c4_kwargs is not None:
+        src = F.coalesce(F.col(text_col), F.lit(""))
+        if c4_kwargs.get("page_gates", True):
+            raw = raw.filter(~F.lower(src).contains("lorem ipsum")
+                             & ~src.contains("{"))
+        min_line_words = c4_kwargs.get("min_line_words", 3)
+        raw = raw.withColumn(
+            text_col,
+            F.array_join(
+                F.filter(F.split(src, "\n"),
+                         lambda ln: c4_line_keep_expr(ln, min_line_words)),
+                "\n"))
     # 1-2. clean + quality gates, fused into one scan-side filter chain
-    cleaned = docs.withColumn(text_col, clean_text_expr(
+    cleaned = raw.withColumn(text_col, clean_text_expr(
         F.coalesce(F.col(text_col), F.lit(""))))
     gate = gopher_pass_expr(F.col(text_col), **(gopher_kwargs or {}))
     if blocklist_terms:

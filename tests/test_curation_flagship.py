@@ -159,3 +159,32 @@ def test_return_stages_exposes_lazy_stage_frames(spark, corpus):
     assert counts["admitted"] == 3
     assert counts["split"] == 3
     assert packed.count() == 3
+
+
+def test_c4_stage_opt_in(spark):
+    """c4_kwargs adds page gates + line retention ahead of the gopher
+    gate; default (None) leaves the pipeline byte-identical."""
+    body = GOOD + "."
+    rows = [
+        # multi-line page: one good line + one junk line -> junk dropped,
+        # survivor still passes gopher on the kept line
+        (1, body + "\nshort junk", "en", "s1", "https://a.example.com/1"),
+        # lorem ipsum page -> dropped entirely by the page gate
+        (2, body + "\nlorem ipsum dolor", "en", "s2",
+         "https://b.example.com/2"),
+        # curly-brace page -> dropped
+        (3, body + "\n{template}", "en", "s3", "https://c.example.com/3"),
+    ]
+    docs = _mk(spark, rows)
+    bench = _mk(spark, []).select("doc_id", "text")
+    out, stages = _curate(docs, bench, c4_kwargs=dict(min_line_words=3),
+                          return_stages=True)
+    assert {r["doc_id"] for r in stages["gated"].select("doc_id")
+            .collect()} == {1}
+    assert {r["doc_id"] for r in out.collect()} == {1}
+    # and the default path is unchanged: no c4_kwargs -> the page gates
+    # never run, all three docs reach the gated stage (the later
+    # near-dup stage still collapses the shared body to doc 1)
+    _, stages_d = _curate(docs, bench, return_stages=True)
+    assert {r["doc_id"] for r in stages_d["gated"].select("doc_id")
+            .collect()} == {1, 2, 3}
