@@ -56,8 +56,8 @@ from cascading_flink_spark.extensions import (
     url_dedup,
     quality_classifier, default_bucket_weights,
     curate_corpus,
-    c4_rules, cardinality_report, dup_spans, sample_k_per_group,
-    strip_dup_spans,
+    c4_rules, cardinality_report, dup_spans, gram_novelty,
+    sample_k_per_group, strip_dup_spans,
 )
 
 
@@ -2235,6 +2235,12 @@ def q_strip_dup_spans(spark, sf_dir):
     return strip_dup_spans(docs, k=8, min_docs=2)
 
 
+def q_gram_novelty(spark, sf_dir):
+    """Per-doc fraction of corpus-unique 8-grams (integer-scaled)."""
+    docs = _t(spark, sf_dir, "documents")
+    return gram_novelty(docs, k=8)
+
+
 # ------------------------------------------------------- driver surface
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2412,6 +2418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cardinality_report": q_cardinality_report,
         "dup_spans": q_dup_spans,
         "strip_dup_spans": q_strip_dup_spans,
+        "gram_novelty": q_gram_novelty,
     }
 
 
@@ -4974,5 +4981,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(toks.t) - coalesce(kept.n_tokens_kept, 0)
                         AS BIGINT) AS n_tokens_removed
             FROM toks LEFT JOIN kept USING (doc_id)
+        """,
+        "gram_novelty": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                FROM documents),
+            grams AS (
+                SELECT doc_id,
+                       md5(array_to_string(t[pos + 1 : pos + 8], ' ')) AS g
+                FROM (SELECT doc_id, t,
+                             unnest(range(0, len(t) - 8 + 1)) AS pos
+                      FROM toks WHERE len(t) >= 8)),
+            docfreq AS (
+                SELECT g, count(DISTINCT doc_id) AS n_docs
+                FROM grams GROUP BY g),
+            per_doc AS (
+                SELECT gr.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_grams,
+                       CAST(sum(CASE WHEN d.n_docs = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_novel_grams
+                FROM grams gr JOIN docfreq d USING (g)
+                GROUP BY gr.doc_id)
+            SELECT toks.doc_id,
+                   CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(p.n_novel_grams, 0) AS BIGINT)
+                       AS n_novel_grams,
+                   CAST(floor(coalesce(p.n_novel_grams, 0) * 10000
+                              / greatest(coalesce(p.n_grams, 0), 1))
+                        AS BIGINT) AS novelty_x10000
+            FROM toks LEFT JOIN per_doc p USING (doc_id)
         """,
     }

@@ -19,7 +19,7 @@ from .text import (
 from .curation import curate_corpus
 from .packing import chunk_corpus, overlap_chunks, pack_bins
 from .dedup import (
-    dedup_against, dup_spans,
+    dedup_against, dup_spans, gram_novelty,
     exact_dedup, exact_dedup_pairs, ngram_jaccard_pairs, minhash_lsh_pairs,
     minhash_lsh_pairs_md5, simhash_bits, simhash_dup_pairs,
     simhash_md5_pairs, dedup_clusters, dedup_keep_best, paragraph_dedup,

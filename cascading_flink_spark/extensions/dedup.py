@@ -1158,3 +1158,46 @@ def strip_dup_spans(df: DataFrame, k: int = 8, min_docs: int = 2,
                     (F.col("n_total") - F.coalesce(F.col("n_tokens_kept"),
                                                    F.lit(0)))
                      .cast("long").alias("n_tokens_removed")))
+
+
+def gram_novelty(df: DataFrame, k: int = 8, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document k-gram novelty: what fraction of a doc's k-grams
+    occur in NO other document — the inverse signal of :func:`dup_spans`
+    (high novelty = original text, low = boilerplate/template/copy).
+
+    Returns ``(doc_id, n_grams, n_novel_grams, novelty_x10000)`` with the
+    ratio integer-scaled (floor) so any engine reproduces it exactly;
+    docs shorter than ``k`` tokens report 0 grams and novelty 0.
+
+    Scale shape: identical to :func:`dup_spans` — md5 gram keys, one
+    partial-agg doc-frequency count, one join back, one per-doc agg.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    pos_arr = F.when(n >= k, F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))) \
+               .otherwise(F.array().cast("array<int>"))
+    grams = (_fan_out(df)
+             .select(F.col(id_col).alias("id"), toks.alias("t"),
+                     F.explode(pos_arr).alias("pos"))
+             .select("id",
+                     F.md5(F.concat_ws(
+                         " ", F.slice(F.col("t"), F.col("pos") + 1, k)))
+                      .alias("g")))
+    docfreq = grams.groupBy("g").agg(F.count_distinct("id").alias("n_docs"))
+    per_doc = (grams.join(docfreq, "g")
+               .groupBy("id")
+               .agg(F.count(F.lit(1)).alias("n_grams"),
+                    F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0))
+                     .alias("n_novel_grams")))
+    ids = df.select(F.col(id_col).alias("id"))
+    return (ids.join(per_doc, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.coalesce("n_grams", F.lit(0)).cast("long")
+                     .alias("n_grams"),
+                    F.coalesce("n_novel_grams", F.lit(0)).cast("long")
+                     .alias("n_novel_grams"),
+                    F.floor(F.coalesce("n_novel_grams", F.lit(0))
+                            * 10000 / F.greatest(
+                                F.coalesce("n_grams", F.lit(0)), F.lit(1)))
+                     .cast("long").alias("novelty_x10000")))

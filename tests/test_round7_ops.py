@@ -241,3 +241,27 @@ def test_c4_rules_streams_as_is(spark, sf_dir, tmp_path):
     want = {(r["doc_id"], r["n_kept_lines"], r["pass"], r["clean_text"])
             for r in c4_rules(spark.read.parquet(src)).collect()}
     assert got == want
+
+
+# ------------------------------------------------------------ gram_novelty
+
+def test_gram_novelty_worked_example(spark):
+    from cascading_flink_spark.extensions import gram_novelty
+    rows = [(1, "a b c d e"),          # grams: "a b c", "b c d", "c d e"
+            (2, "x b c d y"),          # shares "b c d" with doc 1
+            (3, "p q")]                # too short: 0 grams
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in gram_novelty(df, k=3).collect()}
+    assert out[1]["n_grams"] == 3 and out[1]["n_novel_grams"] == 2
+    assert out[1]["novelty_x10000"] == 6666          # floor(2/3 * 10000)
+    assert out[2]["n_novel_grams"] == 2
+    assert out[3]["n_grams"] == 0 and out[3]["novelty_x10000"] == 0
+
+
+def test_gram_novelty_all_unique_is_10000(spark):
+    from cascading_flink_spark.extensions import gram_novelty
+    rows = [(1, "completely original text with many tokens here"),
+            (2, "another entirely different document body right now")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for r in gram_novelty(df, k=3).collect():
+        assert r["novelty_x10000"] == 10000
