@@ -4852,8 +4852,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents),
             k AS (
                 SELECT doc_id, coalesce(text, '') AS text,
-                       str_split(coalesce(text, ''), chr(10)) AS lines,
-                       list_filter(str_split(coalesce(text, ''), chr(10)),
+                       regexp_split_to_array(coalesce(text, ''),
+                                             '\\r?\\n') AS lines,
+                       list_filter(regexp_split_to_array(
+                                       coalesce(text, ''), '\\r?\\n'),
                            x -> regexp_matches(trim(x), '[.!?"]$')
                                 AND len(regexp_split_to_array(trim(x),
                                                               '\\s+')) >= 3

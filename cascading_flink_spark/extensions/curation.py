@@ -101,7 +101,7 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame,
         raw = raw.withColumn(
             text_col,
             F.array_join(
-                F.filter(F.split(src, "\n"),
+                F.filter(F.split(src, "\r?\n"),
                          lambda ln: c4_line_keep_expr(ln, min_line_words)),
                 "\n"))
     # 1-2. clean + quality gates, fused into one scan-side filter chain

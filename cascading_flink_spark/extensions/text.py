@@ -631,7 +631,11 @@ def c4_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     100 TB of pages stream through with zero state.
     """
     src = F.coalesce(F.col(text_col), F.lit(""))
-    lines = F.split(src, "\n")
+    # split on \r?\n, not \n: a trailing \r is a Java-regex line
+    # terminator, so rlike's $ would match before it while RE2-family
+    # engines (the oracle) would not — consuming the \r at the split
+    # keeps CRLF corpora engine-agnostic
+    lines = F.split(src, "\r?\n")
     kept = F.filter(lines, lambda ln: c4_line_keep_expr(ln, min_line_words))
     clean = F.array_join(kept, "\n")
     n_sentences = F.length(F.regexp_replace(clean, r"[^.!?]", ""))

@@ -265,3 +265,14 @@ def test_gram_novelty_all_unique_is_10000(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     for r in gram_novelty(df, k=3).collect():
         assert r["novelty_x10000"] == 10000
+
+
+def test_c4_rules_crlf_lines(spark):
+    """CRLF line endings: the \\r is consumed at the split, so the
+    terminal-punct test sees the true last character (Java's $ would
+    otherwise match before a trailing \\r while RE2 engines would not)."""
+    rows = [(1, "A good crlf sentence here.\r\nshort\r\nAnother kept one!")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    r = c4_rules(df).collect()[0]
+    assert r["n_lines"] == 3 and r["n_kept_lines"] == 2
+    assert "\r" not in r["clean_text"]
