@@ -128,9 +128,10 @@ def sample_k_per_group(df: DataFrame, group_col: str, k: int,
     Where :func:`stratified_sample` keeps a *fraction* per stratum, this
     keeps exactly ``min(k, group size)`` rows per group, chosen by md5
     order over ``key_cols`` — engine- and rerun-reproducible, no RNG.
-    ``key_cols`` should uniquely identify rows: md5 ties (duplicate
-    keys) fall back to ``row_number``'s arbitrary tie order, which other
-    engines need not reproduce.
+    ``key_cols`` should uniquely identify rows and be non-null: md5
+    ties (duplicate keys) fall back to ``row_number``'s arbitrary tie
+    order, and NULL keys sort NULLS FIRST here but NULLS LAST in most
+    SQL engines — neither is reproducible across engines.
 
     Scale shape: ``row_number`` + ``<= k`` filter compiles to Spark's
     WindowGroupLimit, which prunes to k rows per group map-side *before*
