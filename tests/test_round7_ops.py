@@ -3,7 +3,6 @@ cardinality_report, dup_spans."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-import pytest
 
 from cascading_flink_spark.extensions import (
     c4_rules, cardinality_report, dup_spans, sample_k_per_group,
