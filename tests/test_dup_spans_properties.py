@@ -105,3 +105,28 @@ def test_strip_dup_spans_matches_python_model(spark, docs):
                          r["n_tokens_removed"])
            for r in strip_dup_spans(df, k=K, min_docs=2).collect()}
     assert got == _model_strip(docs)
+
+
+def _model_novelty(docs):
+    by_gram: dict[str, set[int]] = {}
+    for did, text in docs:
+        for _, g in _grams(text.split()):
+            by_gram.setdefault(g, set()).add(did)
+    out = {}
+    for did, text in docs:
+        gs = [g for _, g in _grams(text.split())]
+        novel = sum(1 for g in gs if len(by_gram[g]) == 1)
+        out[did] = (len(gs), novel,
+                    novel * 10000 // max(len(gs), 1))
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(docs_strategy)
+def test_gram_novelty_matches_python_model(spark, docs):
+    from cascading_flink_spark.extensions import gram_novelty
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {r["doc_id"]: (r["n_grams"], r["n_novel_grams"],
+                         r["novelty_x10000"])
+           for r in gram_novelty(df, k=K).collect()}
+    assert got == _model_novelty(docs)
