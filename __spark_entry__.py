@@ -2241,6 +2241,28 @@ def q_gram_novelty(spark, sf_dir):
     return gram_novelty(docs, k=8)
 
 
+def q_minhash_recall(spark, sf_dir):
+    """Recall evidence for the banded MinHash scale path: exact 3-gram
+    Jaccard pairs at t=0.5 are ground truth; the md5 MinHash+LSH pairs
+    (32 hashes, 8 bands, same t) are the candidate set.  One row:
+    (n_true, n_hit, recall_x10000) — the minhash analogue of ann_recall,
+    with the DuckDB oracle independently rebuilding BOTH pair sets."""
+    docs = _t(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(docs, n=3, threshold=0.5) \
+        .select("id_a", "id_b")
+    lsh = minhash_lsh_pairs_md5(docs, n=3, num_hashes=32, bands=8,
+                                threshold=0.5) \
+        .select("id_a", "id_b").withColumn("__hit", F.lit(1))
+    return (truth.join(lsh, ["id_a", "id_b"], "left")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_true"),
+                 F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                  .cast("long").alias("n_hit"))
+            .select("n_true", "n_hit",
+                    F.floor(F.col("n_hit") * 10000
+                            / F.greatest(F.col("n_true"), F.lit(1)))
+                     .cast("long").alias("recall_x10000")))
+
+
 # ------------------------------------------------------- driver surface
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2419,6 +2441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "strip_dup_spans": q_strip_dup_spans,
         "gram_novelty": q_gram_novelty,
+        "minhash_recall": q_minhash_recall,
     }
 
 
@@ -5013,5 +5036,40 @@ def oracle_sql() -> dict[str, str]:
                               / greatest(coalesce(p.n_grams, 0), 1))
                         AS BIGINT) AS novelty_x10000
             FROM toks LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "minhash_recall": f"""
+            WITH lsh AS ({_minhash_md5_oracle()}),
+            toks2 AS (SELECT doc_id,
+                             regexp_split_to_array(lower(trim(text)),
+                                                   '\\s+') AS t
+                      FROM documents),
+            sh2 AS (SELECT doc_id,
+                           CASE WHEN len(t) >= 3
+                                THEN list_distinct(
+                                    [array_to_string(t[i:i+2], ' ')
+                                     for i in range(1,
+                                         greatest(len(t)-2, 0)+1)])
+                                ELSE [] END AS s
+                    FROM toks2),
+            inv2 AS (SELECT doc_id, unnest(s) AS shingle FROM sh2),
+            sizes2 AS (SELECT doc_id, len(s) AS n FROM sh2),
+            common2 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                               count(*) AS c
+                        FROM inv2 a JOIN inv2 b USING (shingle)
+                        WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+            truth AS (SELECT id_a, id_b
+                      FROM common2
+                      JOIN sizes2 sa ON sa.doc_id = id_a
+                      JOIN sizes2 sb ON sb.doc_id = id_b
+                      WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5)
+            SELECT CAST(count(*) AS BIGINT) AS n_true,
+                   CAST(sum(CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_hit,
+                   CAST(floor(sum(CASE WHEN l.id_a IS NOT NULL THEN 1
+                                       ELSE 0 END) * 10000
+                              / greatest(count(*), 1)) AS BIGINT)
+                       AS recall_x10000
+            FROM truth t
+            LEFT JOIN lsh l ON l.id_a = t.id_a AND l.id_b = t.id_b
         """,
     }

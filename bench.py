@@ -227,13 +227,14 @@ BENCH_QUERIES = [
     # (127 -> 129)
     "heavy_hitters",
     "pack_bins",
-    # round-7 session-4 additions (129 -> 135)
+    # round-7 session-4 additions (129 -> 136)
     "c4_rules",
     "sample_k_per_group",
     "cardinality_report",
     "dup_spans",
     "strip_dup_spans",
     "gram_novelty",
+    "minhash_recall",
 ]
 
 

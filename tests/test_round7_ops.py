@@ -275,3 +275,15 @@ def test_c4_rules_crlf_lines(spark):
     r = c4_rules(df).collect()[0]
     assert r["n_lines"] == 3 and r["n_kept_lines"] == 2
     assert "\r" not in r["clean_text"]
+
+
+def test_minhash_recall_query_shape(spark, sf_dir):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+    rows = entry.queries()["minhash_recall"](spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert 0 <= r["n_hit"] <= r["n_true"]
+    assert r["recall_x10000"] == (r["n_hit"] * 10000 //
+                                  max(r["n_true"], 1))
