@@ -4933,7 +4933,11 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": """
             WITH toks AS (
                 SELECT doc_id,
-                       regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                       CASE WHEN trim(coalesce(text, '')) = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(
+                                lower(trim(coalesce(text, ''))), '\\s+')
+                       END AS t
                 FROM documents),
             pos AS (
                 SELECT doc_id, t, unnest(range(0, len(t) - 8 + 1)) AS pos
@@ -4968,7 +4972,11 @@ def oracle_sql() -> dict[str, str]:
         "strip_dup_spans": """
             WITH toks AS (
                 SELECT doc_id,
-                       regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                       CASE WHEN trim(coalesce(text, '')) = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(
+                                lower(trim(coalesce(text, ''))), '\\s+')
+                       END AS t
                 FROM documents),
             pos AS (
                 SELECT doc_id, t, unnest(range(0, len(t) - 8 + 1)) AS pos
@@ -5010,7 +5018,11 @@ def oracle_sql() -> dict[str, str]:
         "gram_novelty": """
             WITH toks AS (
                 SELECT doc_id,
-                       regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                       CASE WHEN trim(coalesce(text, '')) = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(
+                                lower(trim(coalesce(text, ''))), '\\s+')
+                       END AS t
                 FROM documents),
             grams AS (
                 SELECT doc_id,

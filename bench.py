@@ -1,7 +1,11 @@
 #!/usr/bin/env python
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
-sf0.1) on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+sf0.1) on local[$SPARK_GRAFT_CPUS].  Prints the full JSON line
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+first, writes the same dict to bench_full.json (committed per round), and
+ends with a compact <2000-byte summary line (total + slowest queries +
+pointer) sized to survive the driver's 2000-char tail capture — see the
+note in main().
 
 Each query executes fully via a noop-format write (no driver collect cost);
 the timing includes Catalyst planning + execution.  Every query runs three
@@ -343,13 +347,46 @@ def main() -> None:
     timings = {name: round(best[name], 3) for name in names}
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    full = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    # The driver keeps only the LAST ~2000 chars of stdout and parses the
+    # tail (BENCH_r07.json: "tail" is exactly 2000 chars, "parsed": null
+    # because the one 5KB line was head-truncated mid-dict).  A 140-query
+    # dict can never fit that window, so: (1) the COMPLETE result goes to
+    # bench_full.json next to this script (committed per round — the
+    # judge's full per-query record), and to stdout's head for any
+    # full-capture consumer; (2) the FINAL line is a compact summary that
+    # always fits the 2000-char window and parses: total + the slowest
+    # queries that fit + a pointer to the full dict.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_full.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(json.dumps(full))
+    summary = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries_full": "bench_full.json",
+        "queries": {},
+    }
+    budget = 1800
+    for name, t in sorted(timings.items(), key=lambda kv: -kv[1]):
+        summary["queries"][name] = round(t, 2)
+        if len(json.dumps(summary, separators=(",", ":"))) > budget:
+            del summary["queries"][name]
+            break
+    summary["queries_note"] = (
+        f"slowest {len(summary['queries'])} of {len(timings)}; "
+        "full dict printed above and in bench_full.json")
+    print(json.dumps(summary, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -37,12 +37,17 @@ def event_funnel(events: DataFrame, steps: list[str],
                      .select(F.lit(i).alias("step"),
                              F.lit(name).alias("step_name"), "n_users"))
 
-    # persist each stage frame: every count branch AND the next stage read
-    # it — unpersisted, stage k's branch would re-execute the whole join
-    # chain for steps 1..k-1, scanning the events source O(steps^2) times
+    # pin each stage frame: every count branch AND the next stage read
+    # it — unpinned, stage k's branch would re-execute the whole join
+    # chain for steps 1..k-1, scanning the events source O(steps^2)
+    # times.  localCheckpoint(eager=False) instead of persist(): same
+    # branch-reuse, but the blocks are scoped to the returned frame's
+    # lifetime (ContextCleaner frees them on GC) rather than parked in
+    # the cached-query registry until someone clears the cache
     cur = (events.filter(F.col(type_col) == steps[0])
                  .groupBy(user_col)
-                 .agg(F.min(ts_col).alias("__t")).persist())
+                 .agg(F.min(ts_col).alias("__t"))
+                 .localCheckpoint(eager=False))
     counts = [_count(cur, 1, steps[0])]
     for i, step in enumerate(steps[1:], start=2):
         ev = events.filter(F.col(type_col) == step) \
@@ -50,7 +55,8 @@ def event_funnel(events: DataFrame, steps: list[str],
         cur = (ev.join(cur, on=user_col)
                  .filter(F.col("__ts") > F.col("__t"))
                  .groupBy(user_col)
-                 .agg(F.min("__ts").alias("__t")).persist())
+                 .agg(F.min("__ts").alias("__t"))
+                 .localCheckpoint(eager=False))
         counts.append(_count(cur, i, step))
     out = counts[0]
     for c in counts[1:]:
@@ -303,7 +309,9 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int = 100,
     Output is therefore IDENTICAL to the full GROUP BY + HAVING answer
     (oracle-checked), with the full-cardinality shuffle replaced by a
     broadcast of ~partitions*capacity candidates.  NULL keys ride
-    through a sentinel in the sketch and come back as real NULLs."""
+    through a dedicated ``__isnull`` sketch column (and the partition
+    row counts through a ``__rowcnt`` marker column) — no in-band
+    sentinel key values, so any representable string key is reportable."""
     if k <= 1:
         raise ValueError("k must be > 1 (threshold is count*k > total)")
     cap = int(capacity) if capacity is not None else 4 * int(k)
@@ -312,13 +320,6 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int = 100,
                          "guarantee for the n/k threshold is lost")
     import pandas as pd
 
-    # distinct sentinels (chr(0) prefix keeps them out of any real
-    # string key's space): one for NULL keys in the dict-keyed sketch,
-    # one for the per-partition count rows that carry the grand total
-    # out of the sketch pass (saving a third scan of the input)
-    NULL_S = "\x00__null__"
-    COUNT_S = "\x00__rows__"
-
     def mg(batches):
         # Batched MG (the mergeable-summaries formulation, Agarwal et
         # al.): fold each Arrow chunk's exact value_counts into the
@@ -326,33 +327,58 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int = 100,
         # (cap+1)-th largest count from every counter and drop the
         # non-positive ones.  Total decrement mass stays <= n_p/(cap+1),
         # so the survival guarantee is the per-row sketch's, at
-        # vectorized speed (no per-row Python).
+        # vectorized speed (no per-row Python).  NULL keys get their own
+        # out-of-dict counter and ride out as a dedicated __isnull
+        # column; the per-partition row count rides out as a __rowcnt
+        # marker row — no in-band sentinel key values, so EVERY
+        # representable string key (including "\\x00..." ones) is a
+        # first-class candidate.
         counters: dict = {}
+        null_counter = 0
         n_rows = 0
         for pdf in batches:
             n_rows += len(pdf)
-            col = pdf["__k"].fillna(NULL_S)
+            col = pdf["__k"]
+            null_counter += int(col.isna().sum())
             for key, cnt in col.value_counts().items():
                 counters[key] = counters.get(key, 0) + int(cnt)
-            if len(counters) > cap:
-                cut = sorted(counters.values(), reverse=True)[cap]
+            width = len(counters) + (1 if null_counter > 0 else 0)
+            if width > cap:
+                vals = list(counters.values())
+                if null_counter > 0:
+                    vals.append(null_counter)
+                cut = sorted(vals, reverse=True)[cap]
                 counters = {c: n - cut for c, n in counters.items()
                             if n > cut}
+                null_counter = max(0, null_counter - cut)
         if n_rows:
             # candidates (count unused) + ONE partition-count row; a
             # fully-compressed-away table still reports its row count
-            yield pd.DataFrame({"__k": list(counters) + [COUNT_S],
-                                "__n": [0] * len(counters) + [n_rows]})
+            ks = list(counters)
+            isnull = [False] * len(ks)
+            if null_counter > 0:
+                ks.append(None)
+                isnull.append(True)
+            yield pd.DataFrame({
+                "__k": ks + [None],
+                "__isnull": isnull + [False],
+                "__n": [0] * len(ks) + [n_rows],
+                "__rowcnt": [False] * len(ks) + [True]})
 
     keyed = df.select(F.col(key_col).cast("string").alias("__k"))
-    # persist the (tiny: <= partitions * (capacity+1) rows) sketch
-    # output — both the total and the candidate set read it, and
-    # without the pin each reference would rescan the input
-    sketch = keyed.mapInPandas(mg, "__k string, __n long").persist()
-    total = (sketch.filter(F.col("__k") == COUNT_S)
+    # The sketch output is tiny (<= partitions * (capacity+1) rows) but
+    # read by BOTH the total and the candidate branch; localCheckpoint
+    # (eager=False) pins it for the branches while scoping the blocks to
+    # this frame's lifetime (ContextCleaner releases them when the
+    # caller's reference is collected) — unlike persist(), repeated
+    # operator calls leave nothing in the cached-query registry.
+    sketch = (keyed.mapInPandas(
+        mg, "__k string, __isnull boolean, __n long, __rowcnt boolean")
+        .localCheckpoint(eager=False))
+    total = (sketch.filter(F.col("__rowcnt"))
                    .agg(F.sum("__n").alias("__t")))
-    cands = (sketch.filter(F.col("__k") != COUNT_S)
-                   .select(F.when(F.col("__k") == NULL_S, F.lit(None))
+    cands = (sketch.filter(~F.col("__rowcnt"))
+                   .select(F.when(F.col("__isnull"), F.lit(None))
                             .otherwise(F.col("__k")).alias("__k"))
                    .distinct())
     counts = (keyed.join(F.broadcast(cands),

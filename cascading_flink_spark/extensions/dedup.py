@@ -49,13 +49,20 @@ def _java_ws_tokens(t: str) -> list[str]:
 
 
 def _fan_out(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to the session's default parallelism.
+    """Round-robin repartition to the session's default parallelism — but
+    ONLY when the input is under-split.
 
     The CPU-heavy per-document stages (shingling, hashing) inherit the
     scan's split count; small file counts (one parquet file locally) would
-    otherwise serialize them on one core.  At cluster scale with many
-    splits this is a cheap rebalance; results are partition-independent."""
+    otherwise serialize them on one core.  A round-robin ``repartition()``
+    is a FULL network exchange of the corpus — never cheap — so on a real
+    100 TB read (thousands of splits, already >= cluster parallelism) it
+    is pure waste; skip it whenever the input already carries at least the
+    session's default parallelism.  Results are partition-independent
+    either way."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    if not df.isStreaming and df.rdd.getNumPartitions() >= target:
+        return df
     return df.repartition(target)
 
 
@@ -219,13 +226,17 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     # (1-0.8)*10 evaluates to 1.9999999999999996, which floor()+1 would turn
     # into a too-short prefix and silently drop pairs at exactly j == t.
     prefix_len = F.col("n_sh") - F.ceil(threshold * F.col("n_sh") - 1e-9) + 1
-    # Persist the two small frames every downstream branch re-reads: the
+    # Pin the two small frames every downstream branch re-reads: the
     # self-join + verify would otherwise recompute the full shingle pipeline
     # per branch (5x work and high run-to-run variance).  Both are tiny
     # relative to input (prefix ~20% of shingles; shingled = 1 row/doc).
-    shingled = shingled.persist()
+    # localCheckpoint(eager=False), not persist(): the shingle frame is
+    # NOT small at 100 TB, and checkpoint blocks are scoped to the
+    # returned frame's lifetime (ContextCleaner frees them on GC) instead
+    # of accumulating in the cached-query registry across operator calls.
+    shingled = shingled.localCheckpoint(eager=False)
     prefix = (ranked.filter(F.col("rn") <= prefix_len)
-              .select("id", "shingle").persist())
+              .select("id", "shingle").localCheckpoint(eager=False))
     cand = (prefix.toDF("id_a", "shingle")
             .join(prefix.toDF("id_b", "shingle"), "shingle")
             .filter(F.col("id_a") < F.col("id_b"))
@@ -1042,6 +1053,16 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
                      F.count(F.lit(1)).alias("n_kept")))
 
 
+def _span_toks(text_col: str) -> Column:
+    """Tokenizer shared by the dup-span family: NULL text coalesces to ''
+    and empty/whitespace-only text yields ZERO tokens (not [""]) — the
+    library-wide ``token_count() == 0`` convention of text._tokens(),
+    so pack_bins/chunk_corpus and this family agree on empty docs."""
+    t = F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
+    return F.when(t == "", F.array().cast("array<string>")) \
+            .otherwise(F.split(t, r"\s+"))
+
+
 def dup_spans(df: DataFrame, k: int = 8, min_docs: int = 2,
               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact duplicated-substring spans: maximal token ranges whose every
@@ -1063,7 +1084,7 @@ def dup_spans(df: DataFrame, k: int = 8, min_docs: int = 2,
     + O(duplicated positions) for the rest — output-bound, the same
     contract as the winnowing operators.
     """
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = _span_toks(text_col)
     n = F.size(toks)
     # greatest() keeps the sequence endpoint valid even if the then-branch
     # is evaluated eagerly for short docs; the when() guard discards it
@@ -1115,7 +1136,7 @@ def strip_dup_spans(df: DataFrame, k: int = 8, min_docs: int = 2,
     state only, never corpus-wide.  Everything shuffles on doc id or gram
     hash; volume is O(total tokens + k * removed grams).
     """
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = _span_toks(text_col)
     base = _fan_out(df).select(F.col(id_col).alias("id"), toks.alias("t"))
     grams = (base
              .select("id", "t", F.explode(
@@ -1173,7 +1194,7 @@ def gram_novelty(df: DataFrame, k: int = 8, text_col: str = "text",
     Scale shape: identical to :func:`dup_spans` — md5 gram keys, one
     partial-agg doc-frequency count, one join back, one per-doc agg.
     """
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = _span_toks(text_col)
     n = F.size(toks)
     pos_arr = F.when(n >= k, F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))) \
                .otherwise(F.array().cast("array<int>"))

@@ -57,16 +57,19 @@ def chunk_corpus(df: DataFrame, context_len: int,
         raise ValueError("context_len must be positive")
     carry = list(carry_cols or [])
     # The narrow tokenized frame feeds BOTH cumsum phases (the per-bucket
-    # running total and the bucket-base aggregate) — persist it so the
+    # running total and the bucket-base aggregate) — pin it so the
     # tokenization regex and the (possibly deep) upstream plan run once,
     # not once per branch.  It is the pruned projection (id, carry,
     # n_tokens, hash), a small fraction of the input width.
+    # localCheckpoint(eager=False), not persist(): block lifetime is then
+    # scoped to the returned frame (ContextCleaner frees on GC) instead
+    # of accumulating in the cached-query registry call after call.
     d = (df.select(F.col(id_col).alias("id"), *carry,
                    token_count(F.col(text_col)).cast("long").alias("n_tokens"),
                    F.md5(F.col(id_col).cast("string")).alias("__h"))
            .filter(F.col("n_tokens") > 0)
            .withColumn("__b", F.substring("__h", 1, bucket_chars))
-           .persist())
+           .localCheckpoint(eager=False))
     # phase 1: running total WITHIN each uniform md5-prefix bucket
     w_in = (Window.partitionBy("__b").orderBy("__h", "id")
             .rowsBetween(Window.unboundedPreceding, -1))
@@ -245,8 +248,13 @@ def pack_bins(df: DataFrame, capacity: int,
                              "offset_in_bin": offs})
 
     walk = nextfit if strategy == "nextfit" else bfd
+    # Pin the packing walk's output: BOTH the bin-count aggregate and the
+    # final join read it, and without the pin the per-bucket walk and its
+    # upstream scan + tokenization would execute twice (same branching
+    # reason chunk_corpus pins its tokenized frame).
     packed = (d.withColumn("id", F.col("id").cast("string"))
-                .groupBy("__b").applyInPandas(walk, out_schema))
+                .groupBy("__b").applyInPandas(walk, out_schema)
+                .localCheckpoint(eager=False))
     # bucket bin-count exclusive prefix sum over <= 16^bucket_chars rows
     w_b = (Window.orderBy("__b")
            .rowsBetween(Window.unboundedPreceding, -1))
