@@ -32,6 +32,7 @@ from cascading_flink_spark.operations import (
 from cascading_flink_spark.extensions import (
     asof_join, range_join, contamination_pairs, decontaminate,
     attach_binary_meta, brute_force_topk, chunk_corpus, decode_stub_features,
+    image_dups,
     dedup_clusters, embedding_dup_pairs, exact_dedup, fingerprint, lang_id,
     ivf_topk, ivf_topk_md5, lsh_bucketed_topk, lsh_bucketed_topk_md5,
     pq_topk, pq_topk_md5, semdedup_pairs, semdedup_pairs_md5,
@@ -471,6 +472,38 @@ def q_multimodal_meta(spark, sf_dir):
                                "payload", "doc_id", modality="image")
     feats = decode_stub_features(media)
     return feats.select("media_id", "modality", "n_bytes")
+
+
+def _synthetic_raster_payload():
+    """Deterministic synthetic 9x8 grayscale raster as REAL binary, keyed
+    by doc_id: doc_id % 50 picks the base image, one noise cell per doc
+    (position (doc_id*31) % 72, +40 gray levels) perturbs at most 2 dHash
+    bits — so same-base pairs sit within Hamming <= 4 of each other and
+    cross-base pairs verify away.  Integer arithmetic only, so any engine
+    rebuilds the identical bytes."""
+    d = F.col("doc_id")
+    cells = F.transform(
+        F.sequence(F.lit(0), F.lit(71)),
+        lambda i: ((d % 50) * 7 + i * 13 +
+                   F.when((d * 31) % 72 == i, F.lit(40))
+                    .otherwise(F.lit(0))) % 256)
+    return F.unhex(F.concat_ws(
+        "", F.transform(cells, lambda v: F.lpad(F.hex(v), 2, "0"))))
+
+
+def q_image_dups(spark, sf_dir):
+    """Perceptual image near-dup pairs (multimodal dedup): synthetic raw
+    grayscale rasters ride as binary payloads through the canonical
+    multimodal schema; image_dups decodes bytes -> 64-bit dHash -> banded
+    Hamming-<=4 join (exact by pigeonhole: 8 bands > 4).  The oracle
+    replays generator + dHash arithmetic in SQL and verifies ALL pairs
+    brute-force — so a banding bug that dropped a qualifying pair would
+    hash-mismatch, not hide."""
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_binary_meta(
+        docs.select("doc_id", _synthetic_raster_payload().alias("payload")),
+        "payload", "doc_id", modality="image", mime="image/x-raw-gray")
+    return image_dups(media, max_hamming=4)
 
 
 def q_mixed_join(spark, sf_dir):
@@ -2294,6 +2327,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
 
     return {
+        # --- NEW round 8 ---
+        "image_dups": q_image_dups,
         # --- NEW round 7 ---
         "curation_flagship": q_curation_flagship,
         "quality_classifier": q_quality_classifier,
@@ -3599,6 +3634,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS media_id, 'image' AS modality,
                    octet_length(encode(text))::BIGINT AS n_bytes
             FROM documents
+        """,
+        "image_dups": """
+            -- replay the synthetic raster generator + dHash arithmetic,
+            -- then verify ALL pairs brute-force (no banding): a Spark-side
+            -- banding bug that dropped a qualifying pair would mismatch
+            WITH cells AS (
+                SELECT doc_id, i,
+                       ((doc_id % 50) * 7 + i * 13 +
+                        CASE WHEN (doc_id * 31) % 72 = i THEN 40 ELSE 0 END
+                       ) % 256 AS v
+                FROM documents, range(0, 72) t(i)),
+            bits AS (
+                SELECT l.doc_id, ((l.i // 9) * 8 + (l.i % 9)) AS b,
+                       CASE WHEN l.v < r.v THEN 1 ELSE 0 END AS bit
+                FROM cells l JOIN cells r
+                  ON r.doc_id = l.doc_id AND r.i = l.i + 1
+                WHERE l.i % 9 < 8),
+            hashes AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN b < 63
+                                     THEN bit * (1::BIGINT << b)
+                                     ELSE 0 END) AS BIGINT)
+                       + CASE WHEN max(CASE WHEN b = 63 THEN bit
+                                            ELSE 0 END) = 1
+                              THEN -9223372036854775807 - 1 ELSE 0 END AS h
+                FROM bits GROUP BY doc_id)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
+            FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.h, b.h)) <= 4
         """,
         "mixed_join": """
             WITH big AS (SELECT * FROM orders WHERE o_totalprice > 150000)

@@ -239,6 +239,8 @@ BENCH_QUERIES = [
     "strip_dup_spans",
     "gram_novelty",
     "minhash_recall",
+    # round-8 additions (136 -> 137)
+    "image_dups",
 ]
 
 

@@ -34,7 +34,7 @@ from .similarity import (
 )
 from .multimodal import (
     MEDIA_SCHEMA, MULTIMODAL_SCHEMA, attach_binary_meta, decode_media,
-    decode_stub_features, frame_sample,
+    decode_stub_features, frame_sample, image_dhash, image_dups,
 )
 from .skew import (salted_agg, salted_broadcast_left, sample_k_per_group,
                    stratified_sample)

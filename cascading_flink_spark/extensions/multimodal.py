@@ -271,3 +271,122 @@ def frame_sample(df: DataFrame, n_frames: int = 4, frame_interval_ms: int = 1000
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+# ------------------------------------------------------- perceptual image dedup
+
+DHASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("dhash", T.LongType(), False),
+    T.StructField("decoder", T.StringType(), False),   # pil|raw|stub
+])
+
+
+def image_dhash(df: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual difference-hash per image: ``(media_id, dhash, decoder)``.
+
+    The classic dHash (Krawetz): decode -> grayscale -> resize to
+    ``(grid+1) x grid`` -> compare each pixel to its right neighbour ->
+    ``grid*grid``-bit signature (bit ``r*grid+c`` set iff
+    ``px[r][c] < px[r][c+1]``), packed into a signed 64-bit long for
+    ``grid=8`` (two's-complement, so bit 63 rides in the sign).
+
+    Decode tiers, like :func:`decode_media` (never raises — a corrupt
+    payload in a 100 TB batch must not kill the stage):
+
+    1. ``pil`` — PIL behind the import guard: real image formats.
+    2. ``raw`` — a payload of exactly ``grid*(grid+1)`` bytes is decoded
+       as a raw row-major 8-bit grayscale raster (a real miniature
+       format, and the cross-engine oracle's spelling: byte arithmetic
+       any engine reproduces bit-for-bit).
+    3. ``stub`` — deterministic stride-resample of the payload bytes to
+       the raster size, so schema and batch shape survive any input.
+
+    One Arrow pass; payload bytes are projected away inside the stage so
+    hashes — 8 bytes a row — are all that ever reaches a shuffle."""
+    if not (1 <= grid * grid <= 64):
+        raise ValueError("grid*grid must fit a 64-bit hash")
+    n_cells = grid * (grid + 1)
+
+    def _raster(payload):
+        if payload is not None and _HAS_PIL:
+            try:
+                import io
+                img = _PILImage.open(io.BytesIO(bytes(payload)))
+                small = img.convert("L").resize((grid + 1, grid))
+                return list(small.getdata()), "pil"
+            except Exception:
+                pass
+        if payload is not None and len(payload) == n_cells:
+            return list(payload), "raw"
+        if payload:
+            L = len(payload)
+            return [payload[(i * L) // n_cells] for i in range(n_cells)], "stub"
+        return [0] * n_cells, "stub"
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, decs = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px, dec = _raster(bytes(payload) if payload is not None
+                                  else None)
+                v = 0
+                for r in range(grid):
+                    base = r * (grid + 1)
+                    for c in range(grid):
+                        if px[base + c] < px[base + c + 1]:
+                            v |= 1 << (r * grid + c)
+                if v >= 1 << 63:
+                    v -= 1 << 64
+                ids.append(mid)
+                hashes.append(v)
+                decs.append(dec)
+            yield pd.DataFrame({"media_id": ids, "dhash": hashes,
+                                "decoder": decs})
+
+    return df.mapInPandas(_hash, schema=DHASH_SCHEMA)
+
+
+def image_dups(df: DataFrame, max_hamming: int = 4, grid: int = 8,
+               bands: int = 8) -> DataFrame:
+    """Perceptual near-duplicate image pairs: ``(id_a, id_b, hamming)``
+    for every pair whose dHash Hamming distance is <= ``max_hamming`` —
+    the image analogue of ``simhash_md5_pairs``, same banded contract.
+
+    EXACT, not approximate: the 64-bit hash splits into ``bands`` equal
+    bit-bands and only pairs agreeing on at least one band are verified;
+    with ``bands > max_hamming`` the pigeonhole principle guarantees any
+    qualifying pair shares an identical band, so banding prunes without
+    ever missing a pair.
+
+    Scale shape (100 TB): one Arrow hash pass (payloads projected away
+    in-stage), the self-join shuffles 8-byte hashes on band keys (band
+    cardinality 2^(64/bands) spreads hot buckets), and the verify is two
+    integer instructions (xor + popcount) per candidate — candidate-
+    bound, like every dedup operator in this package."""
+    if bands <= max_hamming:
+        raise ValueError("bands must exceed max_hamming for the "
+                         "pigeonhole exactness guarantee")
+    nbits = grid * grid
+    if nbits % bands:
+        raise ValueError("bands must divide the hash width")
+    width = nbits // bands
+    mask = (1 << width) - 1
+
+    h = image_dhash(df, grid=grid)
+    bandrows = h.select(
+        "media_id", "dhash",
+        F.posexplode(F.array(*[
+            F.shiftright("dhash", width * b).bitwiseAND(F.lit(mask))
+            for b in range(bands)])).alias("band", "bv"))
+    a = bandrows.select(F.col("media_id").alias("id_a"),
+                        F.col("dhash").alias("ha"), "band", "bv")
+    b = bandrows.select(F.col("media_id").alias("id_b"),
+                        F.col("dhash").alias("hb"), "band", "bv")
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (a.join(b, ["band", "bv"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "ha", "hb")
+             .dropDuplicates(["id_a", "id_b"])
+             .filter(ham <= max_hamming)
+             .select("id_a", "id_b", ham.cast("int").alias("hamming")))

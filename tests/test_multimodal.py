@@ -164,3 +164,56 @@ def test_decode_wav_8bit_unsigned_silence_is_zero_energy():
     assert all(v == 0.0 for v in silent)
     _, loud, _ = _decode_wav_real(wav8([0, 255] * 400), dim=4)
     assert all(v > 0.9 for v in loud)
+
+
+def test_image_dhash_known_value_and_decoder_tiers(spark):
+    from cascading_flink_spark.extensions.multimodal import image_dhash
+
+    # raw tier: 72-byte strictly-increasing raster -> every right
+    # neighbour is larger -> ALL 64 bits set -> two's complement -1
+    ramp = bytes(range(72))
+    # raw tier: strictly-decreasing raster -> no bit set -> 0
+    fall = bytes(reversed(range(72)))
+    # stub tier: wrong length payload still hashes deterministically
+    blob = b"not-a-raster" * 5
+    media = spark.createDataFrame(
+        [(1, "image", ramp), (2, "image", fall), (3, "image", blob),
+         (4, "image", None)],
+        "media_id long, modality string, payload binary")
+    rows = {r["media_id"]: r for r in image_dhash(media).collect()}
+    assert rows[1]["dhash"] == -1 and rows[1]["decoder"] == "raw"
+    assert rows[2]["dhash"] == 0 and rows[2]["decoder"] == "raw"
+    assert rows[3]["decoder"] == "stub"
+    assert rows[4]["dhash"] == 0 and rows[4]["decoder"] == "stub"
+
+
+def test_image_dups_exact_pairs_and_guards(spark):
+    import pytest as _pytest
+
+    from cascading_flink_spark.extensions.multimodal import image_dups
+
+    base = list(range(0, 144, 2))                      # 72 cells
+    near = list(base)
+    near[10] += 3                                      # flips <= 2 dHash bits
+    far = [255 if c % 2 else 0 for c in range(72)]     # unrelated image
+    # (NOT another monotone gradient: dHash correctly sees all smooth
+    # gradients as near-identical; alternation flips ~half the bits)
+    media = spark.createDataFrame(
+        [(1, "image", bytes(base)), (2, "image", bytes(near)),
+         (3, "image", bytes(far))],
+        "media_id long, modality string, payload binary")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in image_dups(media, max_hamming=4).collect()}
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] <= 2
+    with _pytest.raises(ValueError):
+        image_dups(media, max_hamming=8, bands=8)      # pigeonhole broken
+    with _pytest.raises(ValueError):
+        image_dups(media, bands=7)                     # 7 does not divide 64
+
+
+def test_image_dups_plan_no_cartesian(spark, sf_dir):
+    import __spark_entry__ as entry
+    df = entry.queries()["image_dups"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
