@@ -11,7 +11,7 @@ from .text import (
     token_count, token_budget, quality_features, quality_filter, lang_id,
     clean_text, clean_text_expr, compression_stats, fingerprint,
     redact_pii, gopher_quality, blocklist_stats,
-    quality_classifier, default_bucket_weights,
+    quality_classifier, default_bucket_weights, load_fasttext_weights,
     CLASSIFIER_FEATURES, DEFAULT_FEATURE_WEIGHTS,
     gopher_pass_expr, blocklist_hits_expr,
     c4_line_keep_expr, c4_rules,

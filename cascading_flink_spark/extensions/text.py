@@ -466,6 +466,75 @@ def default_bucket_weights(n_buckets: int = 64) -> list[int]:
     return [((j * 37) % 21) - 10 for j in range(n_buckets)]
 
 
+def load_fasttext_weights(path: str, n_buckets: int = 64,
+                          scale: int = 10000) -> dict:
+    """Load an externally trained linear-classifier weight table in the
+    public fastText ``.vec`` TEXT format (the word-vector interchange
+    format: a ``<n_rows> <dim>`` header line, then ``<term> <value>``
+    rows) with ``dim == 1`` — one scalar coefficient per term, which is
+    exactly what a linear (fastText-supervised-style) quality classifier
+    is.  Term namespaces:
+
+    * ``__label__bias`` — the intercept;
+    * ``f_<name>`` — a hand-crafted feature coefficient, ``<name>`` one
+      of :data:`CLASSIFIER_FEATURES`;
+    * ``b_<j>`` — hashed-token bucket ``j`` (0-based, ``< n_buckets``).
+
+    Float file values become EXACT integers via ``int(round(v * scale))``
+    (documented contract — the classifier's cross-engine bit-for-bit
+    scoring requires integer weights).  Buckets absent from the file
+    weigh 0.  Returns ``{"feature_weights", "bucket_weights", "bias",
+    "n_buckets"}``, ready to splat into :func:`quality_classifier`::
+
+        quality_classifier(df, **load_fasttext_weights("model.vec"))
+
+    The table loads driver-side and rides the plan as literals (the
+    broadcast pattern for model weights) — the right shape at 100 TB,
+    where a per-row file read or a join against a 70-row table would be
+    absurd."""
+    feature_weights: dict[str, int] = {}
+    bucket = [0] * n_buckets
+    bias = 0
+    with open(path, encoding="utf-8") as f:
+        header = f.readline().split()
+        if len(header) != 2:
+            raise ValueError(f"{path}: expected '<n> <dim>' header")
+        n_rows, dim = int(header[0]), int(header[1])
+        if dim != 1:
+            raise ValueError(
+                f"{path}: dim={dim}; a linear classifier table has dim=1")
+        seen = 0
+        for line in f:
+            if not line.strip():
+                continue
+            term, *vals = line.split()
+            if len(vals) != 1:
+                raise ValueError(f"{path}: row {term!r} has {len(vals)} "
+                                 "values, expected 1")
+            v = int(round(float(vals[0]) * scale))
+            if term == "__label__bias":
+                bias = v
+            elif term.startswith("f_"):
+                name = term[2:]
+                if name not in CLASSIFIER_FEATURES:
+                    raise ValueError(f"{path}: unknown feature {name!r}")
+                feature_weights[name] = v
+            elif term.startswith("b_"):
+                j = int(term[2:])
+                if not 0 <= j < n_buckets:
+                    raise ValueError(f"{path}: bucket {j} out of range "
+                                     f"for n_buckets={n_buckets}")
+                bucket[j] = v
+            else:
+                raise ValueError(f"{path}: unrecognised term {term!r}")
+            seen += 1
+        if seen != n_rows:
+            raise ValueError(f"{path}: header declares {n_rows} rows, "
+                             f"found {seen}")
+    return {"feature_weights": feature_weights, "bucket_weights": bucket,
+            "bias": bias, "n_buckets": n_buckets}
+
+
 def quality_classifier(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
                        feature_weights: dict[str, int] | None = None,

@@ -361,3 +361,56 @@ def test_quality_classifier_custom_weights_and_validation(spark):
         quality_classifier(df, feature_weights={"nope": 1}).collect()
     with pytest.raises(ValueError):
         quality_classifier(df, bucket_weights=[1, 2, 3]).collect()
+
+
+def test_load_fasttext_weights_fixture_end_to_end(spark):
+    """VERDICT r7 Next #6: external weight import in the public fastText
+    .vec text format, splatted into the unchanged quality_classifier
+    signature, still exact-integer — pinned against the Python model."""
+    import os
+
+    from pyspark.sql import Row
+
+    from cascading_flink_spark.extensions import (
+        load_fasttext_weights, quality_classifier,
+    )
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "quality_weights.vec")
+    w = load_fasttext_weights(path)
+    # the fixture's float coefficients became exact ints at scale 10000
+    assert w["bias"] == 500
+    assert w["feature_weights"]["punct_ratio_x10000"] == -6
+    assert len(w["bucket_weights"]) == 64
+    assert all(isinstance(x, int) for x in w["bucket_weights"])
+
+    texts = ["the cat sat on the mat", "12345!!!", "", None,
+             "naïve café 99 bottles of beer on the wall"]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    got = sorted(tuple(r) for r in quality_classifier(df, **w).collect())
+    want = sorted(_classifier_model(
+        texts, fw=w["feature_weights"], bw=w["bucket_weights"],
+        bias=w["bias"]))
+    assert got == want
+
+
+def test_load_fasttext_weights_validation(tmp_path):
+    import pytest as _pytest
+
+    from cascading_flink_spark.extensions import load_fasttext_weights
+
+    def write(name, body):
+        p = tmp_path / name
+        p.write_text(body)
+        return str(p)
+
+    with _pytest.raises(ValueError, match="dim=2"):
+        load_fasttext_weights(write("d.vec", "1 2\nb_0 0.1 0.2\n"))
+    with _pytest.raises(ValueError, match="unknown feature"):
+        load_fasttext_weights(write("f.vec", "1 1\nf_nope 0.1\n"))
+    with _pytest.raises(ValueError, match="out of range"):
+        load_fasttext_weights(write("b.vec", "1 1\nb_64 0.1\n"))
+    with _pytest.raises(ValueError, match="unrecognised term"):
+        load_fasttext_weights(write("t.vec", "1 1\nwhat 0.1\n"))
+    with _pytest.raises(ValueError, match="declares 3 rows"):
+        load_fasttext_weights(write("n.vec", "3 1\nb_0 0.1\n"))
