@@ -2178,6 +2178,31 @@ def q_curation_flagship(spark, sf_dir):
         total_budget=8000, test_frac=0.2, context_len=512)
 
 
+def q_curation_despan(spark, sf_dir):
+    """The flagship with the opt-in exact-substring stage enabled
+    (dupspan_kwargs): after MinHash near-dup removal, strip_dup_spans
+    drops every cross-document duplicated 4-gram span (smallest-id owner
+    keeps it) before decontamination — the ExactSubstr pass public
+    pipelines run after fuzzy dedup (Lee et al. 2022).  k=4 so the stage
+    measurably rewrites this corpus (11 of 71 sf0.01 survivors; k=8
+    would be vacuous here).  Oracle = the full flagship chain with the
+    stage's CTEs spliced in."""
+    from cascading_flink_spark.extensions.text import clean_text_expr
+    docs = _t(spark, sf_dir, "documents").withColumn("url", _messy_url())
+    bench = docs.filter(F.col("doc_id") % 20 == 0).select(
+        "doc_id", clean_text_expr(F.coalesce("text", F.lit(""))).alias("text"))
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return curate_corpus(
+        corpus, bench, use_md5=True,
+        gopher_kwargs=dict(min_words=30, max_words=120,
+                           min_mean_word_len_x100=300,
+                           max_mean_word_len_x100=450,
+                           min_stop_hits=1),
+        blocklist_terms=["dup"],
+        dupspan_kwargs=dict(k=4, min_docs=2),
+        total_budget=8000, test_frac=0.2, context_len=512)
+
+
 def q_quality_classifier(spark, sf_dir):
     """fastText-style linear quality classifier (quality_classifier):
     integer-scaled hand features + hashed bag-of-tokens bucket weights,
@@ -2329,6 +2354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- NEW round 8 ---
         "image_dups": q_image_dups,
+        "curation_despan": q_curation_despan,
         # --- NEW round 7 ---
         "curation_flagship": q_curation_flagship,
         "quality_classifier": q_quality_classifier,
@@ -2538,10 +2564,10 @@ def _minhash_md5_oracle() -> str:
                            ELSE [] END AS s
                FROM toks),
         inv AS (SELECT doc_id, unnest(s) AS sgl FROM sh WHERE len(s) > 0),
-        sig AS (SELECT doc_id,
+        sig AS MATERIALIZED (SELECT doc_id,
                    {h_aggs}
                 FROM inv GROUP BY doc_id),
-        bands AS ({band_selects}),
+        bands AS MATERIALIZED ({band_selects}),
         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                  FROM bands a JOIN bands b
                    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
@@ -2573,10 +2599,10 @@ def _dedup_against_md5_oracle() -> str:
                            ELSE [] END AS s
                FROM toks),
         inv AS (SELECT doc_id, unnest(s) AS sgl FROM sh WHERE len(s) > 0),
-        sig AS (SELECT doc_id,
+        sig AS MATERIALIZED (SELECT doc_id,
                    {h_aggs}
                 FROM inv GROUP BY doc_id),
-        bands AS ({band_selects}),
+        bands AS MATERIALIZED ({band_selects}),
         cand AS (SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_ref
                  FROM bands a JOIN bands b
                    ON a.band = b.band AND a.bh = b.bh
@@ -2623,7 +2649,7 @@ def _simhash_md5_oracle() -> str:
         votes AS (SELECT doc_id,
                      {votes}
                   FROM dig GROUP BY doc_id),
-        sig AS (SELECT doc_id,
+        sig AS MATERIALIZED (SELECT doc_id,
                    {sig_digits}
                 FROM votes),
         chunks AS ({chunk_selects}),
@@ -2649,12 +2675,57 @@ def _hex8_to_int_sql(expr: str) -> str:
     return val
 
 
-def _curation_flagship_oracle() -> str:
+def _dupspan_ctes(k: int = 4) -> str:
+    """The flagship's opt-in exact-substring stage (strip_dup_spans with
+    ``k``, min_docs=2, min_tokens_kept=1), spelled exactly like the
+    standalone strip_dup_spans oracle but over the post-near-dup corpus:
+    lowercased k-gram keys, smallest-id owner keeps, other docs drop the
+    covered ORIGINAL-case tokens and reassemble; zero-token docs drop.
+    k=4 in the driver query: measured at sf0.01 it rewrites 11 of the 71
+    surviving docs (k=8 is a no-op on this corpus — gating + MinHash
+    already removed every shared 8-gram), so the gate exercises the
+    stage rather than vacuously passing."""
+    return f"""
+        dst AS MATERIALIZED (SELECT doc_id, lang, source, url,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS t
+                FROM corp2),
+        dpos AS (SELECT doc_id, t, unnest(range(0, len(t) - {k} + 1)) AS pos
+                 FROM dst WHERE len(t) >= {k}),
+        dgr AS (SELECT doc_id, pos,
+                       md5(array_to_string(
+                           list_transform(t[pos + 1 : pos + {k}],
+                                          x -> lower(x)), ' ')) AS g
+                FROM dpos),
+        down AS (SELECT g, min(doc_id) AS owner FROM dgr
+                 GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        drem AS (SELECT DISTINCT gr.doc_id, gr.pos + u.i AS ti
+                 FROM dgr gr JOIN down o USING (g)
+                 CROSS JOIN range(0, {k}) u(i)
+                 WHERE gr.doc_id != o.owner),
+        dtok AS (SELECT doc_id, ti1 - 1 AS ti, t[ti1] AS tok
+                 FROM (SELECT doc_id, t,
+                              unnest(range(1, len(t) + 1)) AS ti1
+                       FROM dst)),
+        dkept AS (SELECT k.doc_id,
+                         string_agg(k.tok, ' ' ORDER BY k.ti) AS text
+                  FROM dtok k
+                  WHERE NOT EXISTS (SELECT 1 FROM drem r
+                                    WHERE r.doc_id = k.doc_id
+                                      AND r.ti = k.ti)
+                  GROUP BY k.doc_id),
+        corp2b AS (SELECT c.doc_id, c.lang, c.source, k.text, c.url
+                   FROM corp2 c JOIN dkept k USING (doc_id)),"""
+
+
+def _curation_flagship_oracle(dupspan: bool = False) -> str:
     """DuckDB replay of the WHOLE curation flagship — every stage's
     spelling is copied verbatim from that stage's standalone oracle
     (clean_text, gopher_quality, blocklist, url_dedup, minhash_lsh,
-    dedup_clusters, decontaminate, temperature_mixture, group_split,
-    chunk_corpus), chained through CTEs on the shrinking corpus."""
+    dedup_clusters, [strip_dup_spans when ``dupspan``], decontaminate,
+    temperature_mixture, group_split, chunk_corpus), chained through
+    CTEs on the shrinking corpus."""
     nh, nb = 32, 8
     min_agree = 16  # threshold 0.5 * 32
     h_aggs, band_selects, agree = _md5_minhash_ctes(nh, nb)
@@ -2672,7 +2743,7 @@ def _curation_flagship_oracle() -> str:
     url_pat = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)(.*)$"
     return f"""
         WITH RECURSIVE
-        raw AS (
+        raw AS MATERIALIZED (
             SELECT doc_id, lang, source, {clean} AS text,
                    'HTTPS://WWW.' || source || '.Example.COM:443/docs/'
                    || CAST(doc_id % 40 AS VARCHAR)
@@ -2719,7 +2790,7 @@ def _curation_flagship_oracle() -> str:
                         x -> regexp_matches(rtrim(x), '\\.\\.\\.$')))
                         AS BIGINT) AS n_ell
             FROM gm),
-        gated AS (
+        gated AS MATERIALIZED (
             SELECT doc_id, lang, source, text, url FROM g2
             WHERE n_words >= 30 AND n_words <= 120
               AND n_nonspace * 100 >= 300 * nw1
@@ -2761,7 +2832,7 @@ def _curation_flagship_oracle() -> str:
             FROM hostp),
         ukeep AS (SELECT norm_url, min(doc_id) AS keep_id
                   FROM norm GROUP BY norm_url),
-        corp1 AS (SELECT g.* FROM gated g
+        corp1 AS MATERIALIZED (SELECT g.* FROM gated g
                   JOIN ukeep k ON g.doc_id = k.keep_id),
         mt AS (SELECT doc_id,
                       regexp_split_to_array(lower(trim(text)), '\\s+') AS t
@@ -2773,10 +2844,10 @@ def _curation_flagship_oracle() -> str:
                            ELSE [] END AS s
                FROM mt),
         inv AS (SELECT doc_id, unnest(s) AS sgl FROM sh WHERE len(s) > 0),
-        sig AS (SELECT doc_id,
+        sig AS MATERIALIZED (SELECT doc_id,
                    {h_aggs}
                 FROM inv GROUP BY doc_id),
-        bands AS ({band_selects}),
+        bands AS MATERIALIZED ({band_selects}),
         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                  FROM bands a JOIN bands b
                    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
@@ -2785,7 +2856,7 @@ def _curation_flagship_oracle() -> str:
                   JOIN sig sa ON sa.doc_id = id_a
                   JOIN sig sb ON sb.doc_id = id_b
                   WHERE ({agree}) >= {min_agree}),
-        edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+        edges AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM pairs
                   UNION SELECT id_b, id_a FROM pairs),
         reach(id, r) AS (
             SELECT s, d FROM edges
@@ -2795,11 +2866,11 @@ def _curation_flagship_oracle() -> str:
         clus AS (SELECT id, least(id, min(r)) AS cluster_id
                  FROM reach GROUP BY id),
         dups AS (SELECT id FROM clus WHERE id <> cluster_id),
-        corp2 AS (SELECT * FROM corp1
-                  WHERE doc_id NOT IN (SELECT id FROM dups)),
+        corp2 AS MATERIALIZED (SELECT * FROM corp1
+                  WHERE doc_id NOT IN (SELECT id FROM dups)),{_dupspan_ctes() if dupspan else ''}
         ct AS (SELECT doc_id,
                       regexp_split_to_array(lower(trim(text)), '\\s+') AS t
-               FROM corp2),
+               FROM {'corp2b' if dupspan else 'corp2'}),
         csh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+7], ' ')
                        for i in range(1, greatest(len(t)-7, 0)+1)]) AS s
                 FROM ct),
@@ -2812,9 +2883,9 @@ def _curation_flagship_oracle() -> str:
                 FROM bt),
         binv AS (SELECT doc_id, unnest(s) AS g FROM bsh),
         bad AS (SELECT DISTINCT c.doc_id FROM cinv c JOIN binv b USING (g)),
-        corp3 AS (SELECT * FROM corp2
+        corp3 AS MATERIALIZED (SELECT * FROM {'corp2b' if dupspan else 'corp2'}
                   WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
-        tk AS (SELECT doc_id, lang, source,
+        tk AS MATERIALIZED (SELECT doc_id, lang, source,
                       CASE WHEN trim(text) = '' THEN 0
                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
                       END AS n_tokens
@@ -2933,6 +3004,7 @@ def oracle_sql() -> dict[str, str]:
         # refits the per-dim min/max ranges and replays the exact-order
         # code formula floor((x-lo)*255/(hi-lo)+0.5).
         "curation_flagship": _curation_flagship_oracle(),
+        "curation_despan": _curation_flagship_oracle(dupspan=True),
         "quality_classifier": _quality_classifier_oracle(),
         "sq_codes": """
             WITH stats AS (
@@ -3742,7 +3814,7 @@ def oracle_sql() -> dict[str, str]:
                       JOIN sizes sa ON sa.doc_id = id_a
                       JOIN sizes sb ON sb.doc_id = id_b
                       WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
-            edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+            edges AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM pairs
                       UNION SELECT id_b, id_a FROM pairs),
             reach(id, r) AS (
                 SELECT s, d FROM edges
@@ -4098,7 +4170,7 @@ def oracle_sql() -> dict[str, str]:
                       JOIN sizes sb ON sb.id = id_b
                       WHERE floor(c * 1.0 / least(sa.n_fp, sb.n_fp) * 10000
                                   + 0.5) / 10000 >= 0.5),
-            edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+            edges AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM pairs
                       UNION SELECT id_b, id_a FROM pairs),
             reach(id, r) AS (
                 SELECT s, d FROM edges
@@ -4880,7 +4952,7 @@ def oracle_sql() -> dict[str, str]:
                       JOIN sizes sa ON sa.doc_id = id_a
                       JOIN sizes sb ON sb.doc_id = id_b
                       WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
-            edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+            edges AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM pairs
                       UNION SELECT id_b, id_a FROM pairs),
             reach(id, r) AS (
                 SELECT s, d FROM edges
@@ -5035,12 +5107,13 @@ def oracle_sql() -> dict[str, str]:
             FROM grp GROUP BY doc_id, island
         """,
         "strip_dup_spans": """
+            -- gram keys on LOWERCASED tokens; reassembly keeps original case
             WITH toks AS (
                 SELECT doc_id,
                        CASE WHEN trim(coalesce(text, '')) = ''
                             THEN CAST([] AS VARCHAR[])
                             ELSE regexp_split_to_array(
-                                lower(trim(coalesce(text, ''))), '\\s+')
+                                trim(coalesce(text, '')), '\\s+')
                        END AS t
                 FROM documents),
             pos AS (
@@ -5048,7 +5121,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM toks WHERE len(t) >= 8),
             grams AS (
                 SELECT doc_id, pos,
-                       md5(array_to_string(t[pos + 1 : pos + 8], ' ')) AS g
+                       md5(array_to_string(
+                           list_transform(t[pos + 1 : pos + 8],
+                                          x -> lower(x)), ' ')) AS g
                 FROM pos),
             owners AS (
                 SELECT g, min(doc_id) AS owner FROM grams

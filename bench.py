@@ -239,8 +239,9 @@ BENCH_QUERIES = [
     "strip_dup_spans",
     "gram_novelty",
     "minhash_recall",
-    # round-8 additions (136 -> 137)
+    # round-8 additions (136 -> 138)
     "image_dups",
+    "curation_despan",
 ]
 
 
@@ -308,6 +309,28 @@ def main() -> None:
             total_budget=8000, test_frac=0.2, context_len=512)
 
     qs["curation_flagship"] = _flagship_fast
+
+    # curation_despan at bench scale: same fast-hash variant, with the
+    # opt-in exact-substring stage enabled (the md5 twin is the
+    # correctness-gate spelling)
+    def _despan_fast(s, d):
+        docs = entry._t(s, d, "documents").withColumn(
+            "url", entry._messy_url())
+        bench_df = docs.filter(F.col("doc_id") % 20 == 0).select(
+            "doc_id",
+            clean_text_expr(F.coalesce("text", F.lit(""))).alias("text"))
+        corpus = docs.filter(F.col("doc_id") % 20 != 0)
+        return curate_corpus(
+            corpus, bench_df, use_md5=False,
+            gopher_kwargs=dict(min_words=30, max_words=120,
+                               min_mean_word_len_x100=300,
+                               max_mean_word_len_x100=450,
+                               min_stop_hits=1),
+            blocklist_terms=["dup"],
+            dupspan_kwargs=dict(k=4, min_docs=2),
+            total_budget=8000, test_frac=0.2, context_len=512)
+
+    qs["curation_despan"] = _despan_fast
     # ann_pq at bench scale: the Lloyd-trained production path (queries()
     # carries the md5 cross-engine twin for the correctness gate).
     qs["ann_pq"] = lambda s, d: pq_topk(

@@ -15,6 +15,10 @@ lineage):
 4. **near-dup dedup**: MinHash+LSH candidate pairs -> connected
    components -> keep each cluster's minimum-id representative (banded
    equality joins; the output-bound dup-id set anti-joins back);
+   optionally followed by the **exact-substring pass** (``dupspan_kwargs``
+   opt-in): strip_dup_spans removes every cross-document duplicated
+   k-gram span that survives document-level MinHash — the ExactSubstr
+   step of Lee et al. 2022;
 5. **decontamination**: drop documents sharing a word n-gram with the
    held-out benchmark (benchmark grams broadcast; the corpus never
    shuffles);
@@ -41,7 +45,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .decontam import decontaminate
-from .dedup import dedup_clusters, minhash_lsh_pairs, minhash_lsh_pairs_md5
+from .dedup import (dedup_clusters, minhash_lsh_pairs, minhash_lsh_pairs_md5,
+                    strip_dup_spans)
 from .mixture import group_split, temperature_mixture
 from .packing import chunk_corpus
 from .text import (blocklist_hits_expr, c4_line_keep_expr, clean_text_expr,
@@ -60,6 +65,7 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame,
                   decontam_n: int = 8,
                   minhash_n: int = 3, num_hashes: int = 32, bands: int = 8,
                   threshold: float = 0.5, use_md5: bool = False,
+                  dupspan_kwargs: dict | None = None,
                   total_budget: int = 8000,
                   test_frac: float = 0.2,
                   context_len: int = 512,
@@ -76,8 +82,9 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame,
 
     ``return_stages=True`` returns ``(packed, stages)`` where
     ``stages`` is an ordered dict of each intermediate DataFrame
-    (``gated``, ``url_deduped``, ``deduped``, ``decontaminated``,
-    ``admitted``, ``split``) — all LAZY, so auditing costs nothing
+    (``gated``, ``url_deduped``, ``deduped``, ``despanned`` when the
+    opt-in stage is on, ``decontaminated``, ``admitted``, ``split``) —
+    all LAZY, so auditing costs nothing
     until a stage is counted; ``stages["gated"].count()`` etc. answers
     "which stage dropped my corpus" without re-running the pipeline
     (the dedup/mixture inputs are checkpointed, so stage counts reuse
@@ -159,6 +166,30 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame,
                .select(F.col("id").alias(id_col)))
     deduped = gated.join(dup_ids, id_col, "left_anti")
     stages["deduped"] = deduped
+
+    # 4.5. Optional exact-substring pass (opt-in, like the C4 stage):
+    # the ExactSubstr step public pipelines run AFTER fuzzy dedup (Lee
+    # et al., "Deduplicating Training Data Makes Language Models
+    # Better") — whole-document near-dups are already gone, this strips
+    # the duplicated SPANS (boilerplate, licence blocks, quoted chunks)
+    # that survive document-level MinHash.  The smallest-id owner keeps
+    # each span; other docs drop those tokens and docs falling under
+    # ``min_tokens_kept`` drop entirely.  Same banded/bounded contract
+    # as the rest of the dedup family: md5 gram keys, partial-agg doc
+    # frequency, one doc-id join back onto the corpus.
+    if dupspan_kwargs is not None:
+        stripped = strip_dup_spans(
+            deduped, k=dupspan_kwargs.get("k", 8),
+            min_docs=dupspan_kwargs.get("min_docs", 2),
+            text_col=text_col, id_col=id_col)
+        min_kept = dupspan_kwargs.get("min_tokens_kept", 1)
+        deduped = (deduped.drop(text_col)
+                   .join(stripped
+                         .filter(F.col("n_tokens_kept") >= min_kept)
+                         .select(id_col,
+                                 F.col("clean_text").alias(text_col)),
+                         id_col))
+        stages["despanned"] = deduped
 
     # 5. decontamination: benchmark grams broadcast, corpus unshuffled
     decon = decontaminate(deduped, benchmark, n=decontam_n,

@@ -1053,12 +1053,17 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
                      F.count(F.lit(1)).alias("n_kept")))
 
 
-def _span_toks(text_col: str) -> Column:
+def _span_toks(text_col: str, lowered: bool = True) -> Column:
     """Tokenizer shared by the dup-span family: NULL text coalesces to ''
     and empty/whitespace-only text yields ZERO tokens (not [""]) — the
     library-wide ``token_count() == 0`` convention of text._tokens(),
-    so pack_bins/chunk_corpus and this family agree on empty docs."""
-    t = F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
+    so pack_bins/chunk_corpus and this family agree on empty docs.
+    ``lowered=False`` keeps original case (reassembly path); the token
+    BOUNDARIES are identical either way (whitespace split), so original
+    and lowered arrays align position-for-position."""
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    if lowered:
+        t = F.lower(t)
     return F.when(t == "", F.array().cast("array<string>")) \
             .otherwise(F.split(t, r"\s+"))
 
@@ -1123,11 +1128,14 @@ def strip_dup_spans(df: DataFrame, k: int = 8, min_docs: int = 2,
     copy — the "drop the other copies of every duplicated span" pass that
     follows exact-substring detection (:func:`dup_spans`).
 
-    For every k-gram occurring in >= ``min_docs`` distinct docs, the doc
-    with the smallest id is the canonical owner and keeps its text; every
-    other doc drops the tokens covered by that gram.  Remaining tokens
-    reassemble in order.  Returns ``(doc_id, clean_text, n_tokens_kept,
-    n_tokens_removed)``.
+    For every k-gram occurring in >= ``min_docs`` distinct docs (grams
+    keyed on LOWERCASED tokens, so "The Same Span" and "the same span"
+    deduplicate), the doc with the smallest id is the canonical owner and
+    keeps its text; every other doc drops the tokens covered by that
+    gram.  Remaining tokens reassemble in order with their ORIGINAL case
+    (token boundaries are whitespace, so the original and lowered arrays
+    align position-for-position).  Returns ``(doc_id, clean_text,
+    n_tokens_kept, n_tokens_removed)``.
 
     Scale shape: gram ownership is the same partial-agg count/min pass as
     :func:`dup_spans` (32-byte md5 keys); covered-position expansion is a
@@ -1136,8 +1144,9 @@ def strip_dup_spans(df: DataFrame, k: int = 8, min_docs: int = 2,
     state only, never corpus-wide.  Everything shuffles on doc id or gram
     hash; volume is O(total tokens + k * removed grams).
     """
-    toks = _span_toks(text_col)
+    toks = _span_toks(text_col, lowered=False)
     base = _fan_out(df).select(F.col(id_col).alias("id"), toks.alias("t"))
+    lower_t = F.transform(F.col("t"), lambda x: F.lower(x))
     grams = (base
              .select("id", "t", F.explode(
                  F.when(F.size(F.col("t")) >= k,
@@ -1147,7 +1156,7 @@ def strip_dup_spans(df: DataFrame, k: int = 8, min_docs: int = 2,
                   .otherwise(F.array().cast("array<int>"))).alias("pos"))
              .select("id", "pos",
                      F.md5(F.concat_ws(
-                         " ", F.slice(F.col("t"), F.col("pos") + 1, k)))
+                         " ", F.slice(lower_t, F.col("pos") + 1, k)))
                       .alias("g")))
     owners = (grams.groupBy("g")
               .agg(F.count_distinct("id").alias("n_docs"),

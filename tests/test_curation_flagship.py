@@ -188,3 +188,37 @@ def test_c4_stage_opt_in(spark):
     _, stages_d = _curate(docs, bench, return_stages=True)
     assert {r["doc_id"] for r in stages_d["gated"].select("doc_id")
             .collect()} == {1, 2, 3}
+
+
+def test_dupspan_stage_opt_in(spark):
+    """VERDICT r7 Next #8: the exact-substring pass after fuzzy dedup.
+    Docs 1/2 share a licence-style 6-gram block but are NOT near-dups
+    (different bodies), so MinHash keeps both; the dupspan stage strips
+    the shared block from the non-owner, and the stripped doc's token
+    count shrinks accordingly."""
+    LICENCE = "this text is licensed under creative commons attribution"
+    rows = [
+        (1, GOOD + " " + LICENCE, "en", "s1", "https://a.example.com/1"),
+        (2, GOOD2 + " " + LICENCE, "en", "s2", "https://b.example.com/2"),
+        (3, GOOD3, "en", "s3", "https://c.example.com/3"),
+    ]
+    docs = _mk(spark, rows)
+    bench = _mk(spark, []).select("doc_id", "text")
+    out, stages = _curate(docs, bench,
+                          dupspan_kwargs=dict(k=6, min_docs=2),
+                          return_stages=True)
+    # all three survive minhash (distinct bodies) and the stage
+    assert {r["doc_id"] for r in stages["deduped"].select("doc_id")
+            .collect()} == {1, 2, 3}
+    texts = {r["doc_id"]: r["text"] for r in
+             stages["despanned"].select("doc_id", "text").collect()}
+    assert LICENCE in texts[1]                       # owner keeps
+    assert LICENCE not in texts[2]                   # non-owner stripped
+    assert texts[2].startswith(GOOD2.split()[0])
+    assert texts[3] == GOOD3                         # untouched
+    nt = {r["doc_id"]: r["n_tokens"] for r in out.collect()}
+    assert nt[1] == len((GOOD + " " + LICENCE).split())
+    assert nt[2] < len((GOOD2 + " " + LICENCE).split())
+    # default path: no dupspan_kwargs -> no despanned stage, licence stays
+    _, st_d = _curate(docs, bench, return_stages=True)
+    assert "despanned" not in st_d

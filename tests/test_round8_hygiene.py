@@ -67,6 +67,15 @@ def test_dup_span_family_empty_and_null_docs_zero_tokens(spark):
         assert s[i]["clean_text"] == ""
     assert s[4]["n_tokens_removed"] == 0      # owner keeps its text
     assert s[5]["n_tokens_removed"] == 8      # the shared 8-gram drops
+    # case: gram keys fold case (docs 4/6 dedup) but reassembly keeps
+    # the survivor's ORIGINAL case
+    up = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "A B C D E F G H x Y z")],
+        "doc_id int, text string")
+    u = {r["doc_id"]: r for r in
+         strip_dup_spans(up, k=8, min_docs=2).collect()}
+    assert u[1]["clean_text"] == "a b c d e f g h"   # owner untouched
+    assert u[2]["clean_text"] == "x Y z"             # case preserved
     g = {r["doc_id"]: r for r in gram_novelty(df, k=8).collect()}
     for i in (1, 2, 3):
         assert g[i]["n_grams"] == 0 and g[i]["novelty_x10000"] == 0
