@@ -32,7 +32,7 @@ from cascading_flink_spark.operations import (
 from cascading_flink_spark.extensions import (
     asof_join, range_join, contamination_pairs, decontaminate,
     attach_binary_meta, brute_force_topk, chunk_corpus, decode_stub_features,
-    image_dups,
+    audio_dups, image_dups,
     dedup_clusters, embedding_dup_pairs, exact_dedup, fingerprint, lang_id,
     ivf_topk, ivf_topk_md5, lsh_bucketed_topk, lsh_bucketed_topk_md5,
     pq_topk, pq_topk_md5, semdedup_pairs, semdedup_pairs_md5,
@@ -489,6 +489,37 @@ def _synthetic_raster_payload():
                     .otherwise(F.lit(0))) % 256)
     return F.unhex(F.concat_ws(
         "", F.transform(cells, lambda v: F.lpad(F.hex(v), 2, "0"))))
+
+
+def _synthetic_pcm_payload():
+    """Deterministic synthetic 8-bit-unsigned PCM clip (260 samples = 65
+    exact 4-sample envelope windows) as REAL binary, keyed by doc_id:
+    doc_id % 40 picks the base waveform, one bumped window per doc
+    (window (doc_id*17) % 65, +25 amplitude) perturbs at most 2 envelope
+    bits — same-base pairs sit within Hamming <= 4.  Integer arithmetic
+    only, so any engine rebuilds the identical bytes."""
+    d = F.col("doc_id")
+    cells = F.transform(
+        F.sequence(F.lit(0), F.lit(259)),
+        lambda i: ((d % 40) * 7 + (i * 13) % 251 +
+                   F.when(F.floor(i / 4) == (d * 17) % 65, F.lit(25))
+                    .otherwise(F.lit(0))) % 256)
+    return F.unhex(F.concat_ws(
+        "", F.transform(cells, lambda v: F.lpad(F.hex(v), 2, "0"))))
+
+
+def q_audio_dups(spark, sf_dir):
+    """Perceptual audio near-dup pairs (multimodal dedup): synthetic raw
+    PCM clips ride as binary payloads; audio_dups decodes bytes ->
+    64-bit integer envelope hash (65 window means, adjacent compares) ->
+    the shared banded Hamming join (hamming_pairs, exact by pigeonhole).
+    The oracle replays generator + envelope arithmetic in SQL and
+    verifies ALL pairs brute-force."""
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_binary_meta(
+        docs.select("doc_id", _synthetic_pcm_payload().alias("payload")),
+        "payload", "doc_id", modality="audio", mime="audio/x-raw-u8")
+    return audio_dups(media, max_hamming=4)
 
 
 def q_image_dups(spark, sf_dir):
@@ -2355,6 +2386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW round 8 ---
         "image_dups": q_image_dups,
         "curation_despan": q_curation_despan,
+        "audio_dups": q_audio_dups,
         # --- the 7 session-4 queries: no driver row yet (r7 Next #1) ---
         "c4_rules": q_c4_rules,
         "sample_k_per_group": q_sample_k_per_group,
@@ -3700,6 +3732,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS media_id, 'image' AS modality,
                    octet_length(encode(text))::BIGINT AS n_bytes
             FROM documents
+        """,
+        "audio_dups": """
+            -- replay the synthetic PCM generator + envelope-hash
+            -- arithmetic, then verify ALL pairs brute-force (no banding)
+            WITH samp AS (
+                SELECT doc_id, i,
+                       ((doc_id % 40) * 7 + (i * 13) % 251 +
+                        CASE WHEN i // 4 = (doc_id * 17) % 65
+                             THEN 25 ELSE 0 END) % 256 AS v
+                FROM documents, range(0, 260) t(i)),
+            wm AS (
+                SELECT doc_id, i // 4 AS w,
+                       CAST(sum(v) // 4 AS BIGINT) AS m
+                FROM samp GROUP BY doc_id, i // 4),
+            bits AS (
+                SELECT l.doc_id, l.w AS b,
+                       CASE WHEN l.m < r.m THEN 1 ELSE 0 END AS bit
+                FROM wm l JOIN wm r
+                  ON r.doc_id = l.doc_id AND r.w = l.w + 1),
+            hashes AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN b < 63
+                                     THEN bit * (1::BIGINT << b)
+                                     ELSE 0 END) AS BIGINT)
+                       + CASE WHEN max(CASE WHEN b = 63 THEN bit
+                                            ELSE 0 END) = 1
+                              THEN -9223372036854775807 - 1 ELSE 0 END AS h
+                FROM bits GROUP BY doc_id)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
+            FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.h, b.h)) <= 4
         """,
         "image_dups": """
             -- replay the synthetic raster generator + dHash arithmetic,

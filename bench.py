@@ -239,9 +239,10 @@ BENCH_QUERIES = [
     "strip_dup_spans",
     "gram_novelty",
     "minhash_recall",
-    # round-8 additions (136 -> 138)
+    # round-8 additions (136 -> 139)
     "image_dups",
     "curation_despan",
+    "audio_dups",
 ]
 
 

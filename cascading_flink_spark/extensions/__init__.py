@@ -33,8 +33,9 @@ from .similarity import (
     sq_quantize, sq_topk,
 )
 from .multimodal import (
-    MEDIA_SCHEMA, MULTIMODAL_SCHEMA, attach_binary_meta, decode_media,
-    decode_stub_features, frame_sample, image_dhash, image_dups,
+    MEDIA_SCHEMA, MULTIMODAL_SCHEMA, attach_binary_meta, audio_dups,
+    audio_envelope_hash, decode_media, decode_stub_features, frame_sample,
+    hamming_pairs, image_dhash, image_dups,
 )
 from .skew import (salted_agg, salted_broadcast_left, sample_k_per_group,
                    stratified_sample)

@@ -347,42 +347,40 @@ def image_dhash(df: DataFrame, grid: int = 8) -> DataFrame:
     return df.mapInPandas(_hash, schema=DHASH_SCHEMA)
 
 
-def image_dups(df: DataFrame, max_hamming: int = 4, grid: int = 8,
-               bands: int = 8) -> DataFrame:
-    """Perceptual near-duplicate image pairs: ``(id_a, id_b, hamming)``
-    for every pair whose dHash Hamming distance is <= ``max_hamming`` —
-    the image analogue of ``simhash_md5_pairs``, same banded contract.
+def hamming_pairs(hashed: DataFrame, hash_col: str, max_hamming: int = 4,
+                  bands: int = 8, nbits: int = 64,
+                  id_col: str = "media_id") -> DataFrame:
+    """Banded Hamming self-join shared by the perceptual dedup family:
+    ``(id_a, id_b, hamming)`` for every pair of rows whose ``nbits``-bit
+    signatures differ in <= ``max_hamming`` bits.
 
-    EXACT, not approximate: the 64-bit hash splits into ``bands`` equal
+    EXACT, not approximate: the hash splits into ``bands`` equal
     bit-bands and only pairs agreeing on at least one band are verified;
     with ``bands > max_hamming`` the pigeonhole principle guarantees any
     qualifying pair shares an identical band, so banding prunes without
     ever missing a pair.
 
-    Scale shape (100 TB): one Arrow hash pass (payloads projected away
-    in-stage), the self-join shuffles 8-byte hashes on band keys (band
-    cardinality 2^(64/bands) spreads hot buckets), and the verify is two
-    integer instructions (xor + popcount) per candidate — candidate-
-    bound, like every dedup operator in this package."""
+    Scale shape (100 TB): the self-join shuffles 8-byte hashes on band
+    keys (band cardinality 2^(nbits/bands) spreads hot buckets) and the
+    verify is two integer instructions (xor + popcount) per candidate —
+    candidate-bound, like every dedup operator in this package."""
     if bands <= max_hamming:
         raise ValueError("bands must exceed max_hamming for the "
                          "pigeonhole exactness guarantee")
-    nbits = grid * grid
     if nbits % bands:
         raise ValueError("bands must divide the hash width")
     width = nbits // bands
     mask = (1 << width) - 1
 
-    h = image_dhash(df, grid=grid)
-    bandrows = h.select(
-        "media_id", "dhash",
+    bandrows = hashed.select(
+        F.col(id_col), F.col(hash_col).alias("__h"),
         F.posexplode(F.array(*[
-            F.shiftright("dhash", width * b).bitwiseAND(F.lit(mask))
+            F.shiftright(hash_col, width * b).bitwiseAND(F.lit(mask))
             for b in range(bands)])).alias("band", "bv"))
-    a = bandrows.select(F.col("media_id").alias("id_a"),
-                        F.col("dhash").alias("ha"), "band", "bv")
-    b = bandrows.select(F.col("media_id").alias("id_b"),
-                        F.col("dhash").alias("hb"), "band", "bv")
+    a = bandrows.select(F.col(id_col).alias("id_a"),
+                        F.col("__h").alias("ha"), "band", "bv")
+    b = bandrows.select(F.col(id_col).alias("id_b"),
+                        F.col("__h").alias("hb"), "band", "bv")
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (a.join(b, ["band", "bv"])
              .filter(F.col("id_a") < F.col("id_b"))
@@ -390,3 +388,116 @@ def image_dups(df: DataFrame, max_hamming: int = 4, grid: int = 8,
              .dropDuplicates(["id_a", "id_b"])
              .filter(ham <= max_hamming)
              .select("id_a", "id_b", ham.cast("int").alias("hamming")))
+
+
+def image_dups(df: DataFrame, max_hamming: int = 4, grid: int = 8,
+               bands: int = 8) -> DataFrame:
+    """Perceptual near-duplicate image pairs: ``(id_a, id_b, hamming)``
+    for every pair whose dHash Hamming distance is <= ``max_hamming`` —
+    the image analogue of ``simhash_md5_pairs``; banding contract and
+    exactness guarantee in :func:`hamming_pairs`.  One Arrow hash pass
+    (payload bytes projected away in-stage) feeds the shared banded
+    join."""
+    h = image_dhash(df, grid=grid)
+    return hamming_pairs(h, "dhash", max_hamming=max_hamming, bands=bands,
+                         nbits=grid * grid)
+
+
+AHASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("ahash", T.LongType(), False),
+    T.StructField("decoder", T.StringType(), False),   # wav|rawpcm|stub
+])
+
+_N_WINDOWS = 65      # 65 window means -> 64 adjacent comparisons -> 64 bits
+
+
+def audio_envelope_hash(df: DataFrame) -> DataFrame:
+    """Perceptual audio signature per clip: ``(media_id, ahash, decoder)``.
+
+    The audio dHash: decode to 8-bit-unsigned mono samples, split into 65
+    equal index windows (sample ``i`` of ``n`` lands in window
+    ``i * 65 // n`` — the standard integer partitioning, identical in any
+    engine), take each window's INTEGER mean amplitude (``sum div
+    count``), and compare each window mean to its right neighbour —
+    a 64-bit envelope-shape signature packed exactly like the image
+    dHash (two's complement, bit 63 in the sign).  Loudness-invariant
+    enough for near-dup detection, exact-integer so any engine
+    reproduces it.
+
+    Decode tiers (never raises — corrupt payloads must not kill a
+    100 TB stage):
+
+    1. ``wav`` — RIFF payloads through the stdlib ``wave`` module:
+       8-bit unsigned used as-is, 16/32-bit recentred to 0..255 via
+       ``(s + 2^(w-1)) >> (8w - 8)``; multi-channel frames stay
+       interleaved in file order (deterministic, and the envelope is
+       channel-agnostic at this granularity).
+    2. ``rawpcm`` — any other non-empty payload is decoded as raw 8-bit
+       unsigned PCM, one byte per sample (a real miniature format, and
+       the cross-engine oracle's spelling).
+    3. ``stub`` — empty/NULL payloads hash to 0.
+
+    One Arrow pass; payloads are projected away inside the stage."""
+
+    def _samples(payload):
+        if payload and payload[:4] == b"RIFF":
+            try:
+                import io
+                import wave
+
+                import numpy as np
+                with wave.open(io.BytesIO(payload), "rb") as w:
+                    sw = w.getsampwidth()
+                    raw = w.readframes(w.getnframes())
+                if sw == 1:
+                    return list(raw), "wav"
+                if sw in (2, 4):
+                    dtype = {2: "<i2", 4: "<i4"}[sw]
+                    arr = np.frombuffer(raw, dtype=dtype).astype(np.int64)
+                    return list((arr + (1 << (8 * sw - 1)))
+                                >> (8 * sw - 8)), "wav"
+            except Exception:
+                pass
+        if payload:
+            return list(payload), "rawpcm"
+        return None, "stub"
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, decs = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                s, dec = _samples(bytes(payload)
+                                  if payload is not None else None)
+                v = 0
+                if s and len(s) >= _N_WINDOWS:
+                    n = len(s)
+                    sums = [0] * _N_WINDOWS
+                    cnts = [0] * _N_WINDOWS
+                    for i, x in enumerate(s):
+                        w = i * _N_WINDOWS // n
+                        sums[w] += int(x)
+                        cnts[w] += 1
+                    means = [sums[w] // cnts[w] for w in range(_N_WINDOWS)]
+                    for b in range(_N_WINDOWS - 1):
+                        if means[b] < means[b + 1]:
+                            v |= 1 << b
+                    if v >= 1 << 63:
+                        v -= 1 << 64
+                ids.append(mid)
+                hashes.append(v)
+                decs.append(dec)
+            yield pd.DataFrame({"media_id": ids, "ahash": hashes,
+                                "decoder": decs})
+
+    return df.mapInPandas(_hash, schema=AHASH_SCHEMA)
+
+
+def audio_dups(df: DataFrame, max_hamming: int = 4,
+               bands: int = 8) -> DataFrame:
+    """Perceptual near-duplicate audio pairs: ``(id_a, id_b, hamming)``
+    over the 64-bit envelope hash — the audio analogue of
+    :func:`image_dups`, sharing :func:`hamming_pairs`' banding contract
+    and pigeonhole exactness guarantee."""
+    h = audio_envelope_hash(df)
+    return hamming_pairs(h, "ahash", max_hamming=max_hamming, bands=bands)

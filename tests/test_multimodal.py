@@ -217,3 +217,62 @@ def test_image_dups_plan_no_cartesian(spark, sf_dir):
     df = entry.queries()["image_dups"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def _wav_pcm_bytes(samples, sampwidth=1, rate=8000):
+    import io
+    import struct
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(sampwidth)
+        w.setframerate(rate)
+        if sampwidth == 1:
+            w.writeframes(bytes(samples))
+        else:
+            w.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+def test_audio_envelope_hash_tiers_and_known_values(spark):
+    from cascading_flink_spark.extensions.multimodal import (
+        audio_envelope_hash,
+    )
+
+    # rising staircase: every window mean < the next -> all 64 bits -> -1
+    rise = bytes(min(255, i) for i in range(260))
+    fall = bytes(reversed(rise))
+    # 16-bit WAV of the same staircase must hash identically to the raw
+    # 8-bit tier: (s + 32768) >> 8 recentres each sample to the same
+    # 0..255 value when s = (v - 128) << 8
+    wav16 = _wav_pcm_bytes([(min(255, i) - 128) << 8 for i in range(260)],
+                       sampwidth=2)
+    short = bytes(range(10))                           # < 65 samples -> 0
+    media = spark.createDataFrame(
+        [(1, "audio", rise), (2, "audio", fall), (3, "audio", wav16),
+         (4, "audio", short), (5, "audio", None)],
+        "media_id long, modality string, payload binary")
+    rows = {r["media_id"]: r for r in audio_envelope_hash(media).collect()}
+    assert rows[1]["ahash"] == -1 and rows[1]["decoder"] == "rawpcm"
+    assert rows[2]["ahash"] == 0
+    assert rows[3]["ahash"] == -1 and rows[3]["decoder"] == "wav"
+    assert rows[4]["ahash"] == 0 and rows[4]["decoder"] == "rawpcm"
+    assert rows[5]["ahash"] == 0 and rows[5]["decoder"] == "stub"
+
+
+def test_audio_dups_exact_pairs(spark):
+    from cascading_flink_spark.extensions.multimodal import audio_dups
+
+    base = [((i * 13) % 251) for i in range(260)]
+    near = list(base)
+    for i in range(40, 44):                            # bump one window
+        near[i] = min(255, near[i] + 25)
+    far = [255 if (i // 4) % 2 else 0 for i in range(260)]
+    media = spark.createDataFrame(
+        [(1, "audio", bytes(base)), (2, "audio", bytes(near)),
+         (3, "audio", bytes(far))],
+        "media_id long, modality string, payload binary")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in audio_dups(media, max_hamming=4).collect()}
+    assert set(pairs) == {(1, 2)} and pairs[(1, 2)] <= 4
