@@ -303,10 +303,15 @@ def image_dhash(df: DataFrame, grid: int = 8) -> DataFrame:
        the raster size, so schema and batch shape survive any input.
 
     One Arrow pass; payload bytes are projected away inside the stage so
-    hashes — 8 bytes a row — are all that ever reaches a shuffle."""
+    hashes — 8 bytes a row — are all that ever reaches a shuffle.  The
+    input fans out to the session's parallelism first (when under-split):
+    decode is the CPU stage, and a single-file local read would
+    otherwise run it on one core."""
     if not (1 <= grid * grid <= 64):
         raise ValueError("grid*grid must fit a 64-bit hash")
     n_cells = grid * (grid + 1)
+    from .dedup import _fan_out
+    df = _fan_out(df)
 
     def _raster(payload):
         if payload is not None and _HAS_PIL:
@@ -349,34 +354,61 @@ def image_dhash(df: DataFrame, grid: int = 8) -> DataFrame:
 
 def hamming_pairs(hashed: DataFrame, hash_col: str, max_hamming: int = 4,
                   bands: int = 8, nbits: int = 64,
-                  id_col: str = "media_id") -> DataFrame:
+                  id_col: str = "media_id",
+                  band_rows: int = 1) -> DataFrame:
     """Banded Hamming self-join shared by the perceptual dedup family:
     ``(id_a, id_b, hamming)`` for every pair of rows whose ``nbits``-bit
     signatures differ in <= ``max_hamming`` bits.
 
     EXACT, not approximate: the hash splits into ``bands`` equal
-    bit-bands and only pairs agreeing on at least one band are verified;
-    with ``bands > max_hamming`` the pigeonhole principle guarantees any
-    qualifying pair shares an identical band, so banding prunes without
+    bit-sub-bands; candidate keys are every combination of ``band_rows``
+    sub-bands (all C(bands, band_rows) combos), and only key-sharing
+    pairs are verified.  A pair with <= ``max_hamming`` bit errors
+    touches at most ``max_hamming`` sub-bands, leaving
+    ``bands - max_hamming`` clean ones — so any
+    ``band_rows <= bands - max_hamming`` guarantees some emitted combo
+    is error-free on both sides (pigeonhole): banding prunes without
     ever missing a pair.
 
-    Scale shape (100 TB): the self-join shuffles 8-byte hashes on band
-    keys (band cardinality 2^(nbits/bands) spreads hot buckets) and the
-    verify is two integer instructions (xor + popcount) per candidate —
-    candidate-bound, like every dedup operator in this package."""
+    ``band_rows`` trades rows for key cardinality, exactly like MinHash
+    LSH's rows-per-band: 1 combo key spans ``band_rows * nbits/bands``
+    bits, so key cardinality is 2^that.  With the 64-bit default,
+    ``band_rows=1`` gives 8 rows/doc at 2^8 = 256 distinct keys per
+    band — fine to ~10k rows, but beyond that EVERY bucket is a hot key
+    (measured: 160k docs -> ~625 docs/bucket -> ~400M candidate pairs,
+    a non-terminating join).  ``band_rows=2`` gives 28 rows/doc at
+    2^16 keys (160k docs -> ~2 docs/bucket, linear), the right setting
+    at corpus scale; the verify stays two integer instructions
+    (xor + popcount) per candidate."""
     if bands <= max_hamming:
         raise ValueError("bands must exceed max_hamming for the "
                          "pigeonhole exactness guarantee")
     if nbits % bands:
         raise ValueError("bands must divide the hash width")
+    if not 1 <= band_rows <= bands - max_hamming:
+        raise ValueError("band_rows must be in [1, bands - max_hamming] "
+                         "to keep the clean-combo guarantee")
     width = nbits // bands
     mask = (1 << width) - 1
+    from itertools import combinations
 
+    def sub(b):
+        return F.shiftright(hash_col, width * b).bitwiseAND(F.lit(mask))
+
+    combo_keys = []
+    for combo in combinations(range(bands), band_rows):
+        key = F.lit(0).cast("long")
+        for b in combo:
+            key = F.shiftleft(key, width).bitwiseOR(sub(b))
+        combo_keys.append(key)
+    # pin the hash pass: both sides of the self-join read it, and
+    # without the boundary the (expensive — it decodes the corpus)
+    # upstream hash stage executes twice.  localCheckpoint(eager=False)
+    # scopes the blocks to this frame's lifetime (see dedup.py).
+    hashed = hashed.localCheckpoint(eager=False)
     bandrows = hashed.select(
         F.col(id_col), F.col(hash_col).alias("__h"),
-        F.posexplode(F.array(*[
-            F.shiftright(hash_col, width * b).bitwiseAND(F.lit(mask))
-            for b in range(bands)])).alias("band", "bv"))
+        F.posexplode(F.array(*combo_keys)).alias("band", "bv"))
     a = bandrows.select(F.col(id_col).alias("id_a"),
                         F.col("__h").alias("ha"), "band", "bv")
     b = bandrows.select(F.col(id_col).alias("id_b"),
@@ -391,16 +423,18 @@ def hamming_pairs(hashed: DataFrame, hash_col: str, max_hamming: int = 4,
 
 
 def image_dups(df: DataFrame, max_hamming: int = 4, grid: int = 8,
-               bands: int = 8) -> DataFrame:
+               bands: int = 8, band_rows: int = 1) -> DataFrame:
     """Perceptual near-duplicate image pairs: ``(id_a, id_b, hamming)``
     for every pair whose dHash Hamming distance is <= ``max_hamming`` —
     the image analogue of ``simhash_md5_pairs``; banding contract and
     exactness guarantee in :func:`hamming_pairs`.  One Arrow hash pass
     (payload bytes projected away in-stage) feeds the shared banded
-    join."""
+    join.  Pass ``band_rows=2`` beyond ~10k images (see
+    :func:`hamming_pairs` on key cardinality — the result set is
+    identical, only the candidate pruning changes)."""
     h = image_dhash(df, grid=grid)
     return hamming_pairs(h, "dhash", max_hamming=max_hamming, bands=bands,
-                         nbits=grid * grid)
+                         nbits=grid * grid, band_rows=band_rows)
 
 
 AHASH_SCHEMA = T.StructType([
@@ -439,6 +473,9 @@ def audio_envelope_hash(df: DataFrame) -> DataFrame:
     3. ``stub`` — empty/NULL payloads hash to 0.
 
     One Arrow pass; payloads are projected away inside the stage."""
+
+    from .dedup import _fan_out
+    df = _fan_out(df)
 
     def _samples(payload):
         if payload and payload[:4] == b"RIFF":
@@ -494,10 +531,12 @@ def audio_envelope_hash(df: DataFrame) -> DataFrame:
 
 
 def audio_dups(df: DataFrame, max_hamming: int = 4,
-               bands: int = 8) -> DataFrame:
+               bands: int = 8, band_rows: int = 1) -> DataFrame:
     """Perceptual near-duplicate audio pairs: ``(id_a, id_b, hamming)``
     over the 64-bit envelope hash — the audio analogue of
     :func:`image_dups`, sharing :func:`hamming_pairs`' banding contract
-    and pigeonhole exactness guarantee."""
+    and pigeonhole exactness guarantee (``band_rows=2`` beyond ~10k
+    clips, identical result set)."""
     h = audio_envelope_hash(df)
-    return hamming_pairs(h, "ahash", max_hamming=max_hamming, bands=bands)
+    return hamming_pairs(h, "ahash", max_hamming=max_hamming, bands=bands,
+                         band_rows=band_rows)

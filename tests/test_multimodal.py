@@ -276,3 +276,36 @@ def test_audio_dups_exact_pairs(spark):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"]
              for r in audio_dups(media, max_hamming=4).collect()}
     assert set(pairs) == {(1, 2)} and pairs[(1, 2)] <= 4
+
+
+def test_hamming_pairs_band_rows_identical_results(spark):
+    """band_rows trades candidate pruning for key cardinality but NEVER
+    changes the result (pigeonhole: <= max_hamming errors touch <=
+    max_hamming sub-bands, so any band_rows <= bands - max_hamming combo
+    set still contains a clean key per qualifying pair)."""
+    import random
+
+    import pytest as _pytest
+
+    from cascading_flink_spark.extensions.multimodal import (
+        hamming_pairs, image_dhash,
+    )
+    random.seed(2)
+    rows = []
+    for g in range(8):
+        base = [random.randrange(256) for _ in range(72)]
+        for j in range(5):
+            r = list(base)
+            r[random.randrange(72)] = random.randrange(256)
+            rows.append((g * 10 + j, "image", bytes(r)))
+    df = spark.createDataFrame(
+        rows, "media_id long, modality string, payload binary")
+    h = image_dhash(df)
+    sets = [
+        {(r["id_a"], r["id_b"], r["hamming"])
+         for r in hamming_pairs(h, "dhash", max_hamming=4,
+                                band_rows=br).collect()}
+        for br in (1, 2, 4)]
+    assert sets[0] and sets[0] == sets[1] == sets[2]
+    with _pytest.raises(ValueError):
+        hamming_pairs(h, "dhash", max_hamming=4, band_rows=5)
