@@ -32,7 +32,7 @@ from cascading_flink_spark.operations import (
 from cascading_flink_spark.extensions import (
     asof_join, range_join, contamination_pairs, decontaminate,
     attach_binary_meta, brute_force_topk, chunk_corpus, decode_stub_features,
-    audio_dups, image_dups,
+    audio_dups, image_dups, video_dups,
     dedup_clusters, embedding_dup_pairs, exact_dedup, fingerprint, lang_id,
     ivf_topk, ivf_topk_md5, lsh_bucketed_topk, lsh_bucketed_topk_md5,
     pq_topk, pq_topk_md5, semdedup_pairs, semdedup_pairs_md5,
@@ -520,6 +520,38 @@ def q_audio_dups(spark, sf_dir):
         docs.select("doc_id", _synthetic_pcm_payload().alias("payload")),
         "payload", "doc_id", modality="audio", mime="audio/x-raw-u8")
     return audio_dups(media, max_hamming=4)
+
+
+def _synthetic_video_payload():
+    """Deterministic synthetic 4-frame video (4 consecutive raw 9x8
+    grayscale rasters = 288 bytes) as REAL binary, keyed by doc_id:
+    doc_id % 45 picks the base footage, frame f shifts the base by f*31,
+    and each doc bumps one cell per frame (position (doc_id*31 + f*7) %
+    72, +40) — so same-base videos keep every aligned frame within
+    Hamming <= 4.  Integer arithmetic only; any engine rebuilds the
+    identical bytes."""
+    d = F.col("doc_id")
+    cells = F.transform(
+        F.sequence(F.lit(0), F.lit(287)),
+        lambda j: ((d % 45) * 7 + F.floor(j / 72) * 31 + (j % 72) * 13 +
+                   F.when(j % 72 == (d * 31 + F.floor(j / 72) * 7) % 72,
+                          F.lit(40)).otherwise(F.lit(0))) % 256)
+    return F.unhex(F.concat_ws(
+        "", F.transform(cells, lambda v: F.lpad(F.hex(v), 2, "0"))))
+
+
+def q_video_dups(spark, sf_dir):
+    """Frame-aligned perceptual video near-dup pairs (multimodal dedup):
+    synthetic 4-frame raw-raster clips ride as binary; video_dups
+    decodes frames -> per-frame dHash -> banded candidate join on
+    (frame_idx, band) -> full aligned-frame verify, keeping pairs with
+    >= 2 close frames.  The oracle replays generator + per-frame dHash
+    arithmetic and verifies ALL pairs brute-force."""
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_binary_meta(
+        docs.select("doc_id", _synthetic_video_payload().alias("payload")),
+        "payload", "doc_id", modality="video", mime="video/x-raw-frames")
+    return video_dups(media, max_hamming=4, min_frames=2)
 
 
 def q_image_dups(spark, sf_dir):
@@ -2387,6 +2419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dups": q_image_dups,
         "curation_despan": q_curation_despan,
         "audio_dups": q_audio_dups,
+        "video_dups": q_video_dups,
         # --- the 7 session-4 queries: no driver row yet (r7 Next #1) ---
         "c4_rules": q_c4_rules,
         "sample_k_per_group": q_sample_k_per_group,
@@ -3732,6 +3765,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS media_id, 'image' AS modality,
                    octet_length(encode(text))::BIGINT AS n_bytes
             FROM documents
+        """,
+        "video_dups": """
+            -- replay the synthetic 4-frame generator + per-frame dHash,
+            -- then verify ALL pairs brute-force (no banding)
+            WITH cells AS (
+                SELECT doc_id, f, i,
+                       ((doc_id % 45) * 7 + f * 31 + i * 13 +
+                        CASE WHEN i = (doc_id * 31 + f * 7) % 72
+                             THEN 40 ELSE 0 END) % 256 AS v
+                FROM documents, range(0, 4) fr(f), range(0, 72) t(i)),
+            bits AS (
+                SELECT l.doc_id, l.f, ((l.i // 9) * 8 + (l.i % 9)) AS b,
+                       CASE WHEN l.v < r.v THEN 1 ELSE 0 END AS bit
+                FROM cells l JOIN cells r
+                  ON r.doc_id = l.doc_id AND r.f = l.f AND r.i = l.i + 1
+                WHERE l.i % 9 < 8),
+            hashes AS MATERIALIZED (
+                SELECT doc_id, f,
+                       CAST(sum(CASE WHEN b < 63
+                                     THEN bit * (1::BIGINT << b)
+                                     ELSE 0 END) AS BIGINT)
+                       + CASE WHEN max(CASE WHEN b = 63 THEN bit
+                                            ELSE 0 END) = 1
+                              THEN -9223372036854775807 - 1 ELSE 0 END AS h
+                FROM bits GROUP BY doc_id, f)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(sum(CASE WHEN bit_count(xor(a.h, b.h)) <= 4
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_close_frames
+            FROM hashes a JOIN hashes b
+              ON a.doc_id < b.doc_id AND a.f = b.f
+            GROUP BY a.doc_id, b.doc_id
+            HAVING sum(CASE WHEN bit_count(xor(a.h, b.h)) <= 4
+                            THEN 1 ELSE 0 END) >= 2
         """,
         "audio_dups": """
             -- replay the synthetic PCM generator + envelope-hash

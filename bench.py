@@ -239,10 +239,11 @@ BENCH_QUERIES = [
     "strip_dup_spans",
     "gram_novelty",
     "minhash_recall",
-    # round-8 additions (136 -> 139)
+    # round-8 additions (136 -> 140)
     "image_dups",
     "curation_despan",
     "audio_dups",
+    "video_dups",
 ]
 
 

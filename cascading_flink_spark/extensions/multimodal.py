@@ -540,3 +540,136 @@ def audio_dups(df: DataFrame, max_hamming: int = 4,
     h = audio_envelope_hash(df)
     return hamming_pairs(h, "ahash", max_hamming=max_hamming, bands=bands,
                          band_rows=band_rows)
+
+
+VFRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("dhash", T.LongType(), False),
+    T.StructField("decoder", T.StringType(), False),   # raw|stub
+])
+
+
+def video_frame_hashes(df: DataFrame, grid: int = 8,
+                       stub_frames: int = 4) -> DataFrame:
+    """Per-frame perceptual hashes for video payloads:
+    ``(media_id, frame_idx, dhash, decoder)``.
+
+    Decode tiers (never raises):
+
+    1. ``raw`` — a payload whose length is a positive multiple of the
+       raster size ``grid*(grid+1)`` decodes as consecutive raw
+       grayscale frames (the miniature format of :func:`image_dhash`'s
+       raw tier, one raster per frame — and the cross-engine oracle's
+       spelling).  A real deployment swaps this tier for
+       decord/ffmpeg frame sampling; the fan-out, per-frame hashing,
+       and downstream join shapes are identical.
+    2. ``stub`` — any other non-empty payload stride-samples into
+       ``stub_frames`` byte windows, each hashed like the image stub.
+
+    Same dHash bit layout as :func:`image_dhash`; payloads are
+    projected away inside the Arrow stage, so what shuffles is 12 bytes
+    per frame."""
+    n_cells = grid * (grid + 1)
+    from .dedup import _fan_out
+    df = _fan_out(df)
+
+    def _pack(px):
+        v = 0
+        for r in range(grid):
+            base = r * (grid + 1)
+            for c in range(grid):
+                if px[base + c] < px[base + c + 1]:
+                    v |= 1 << (r * grid + c)
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, hashes, decs = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(payload) if payload is not None else b""
+                if p and len(p) % n_cells == 0:
+                    frames = [list(p[k * n_cells:(k + 1) * n_cells])
+                              for k in range(len(p) // n_cells)]
+                    dec = "raw"
+                elif p:
+                    L = len(p)
+                    frames = []
+                    for k in range(stub_frames):
+                        lo, hi = k * L // stub_frames, (k + 1) * L // stub_frames
+                        wlen = hi - lo
+                        frames.append(
+                            [p[lo + (i * wlen) // n_cells] if wlen else 0
+                             for i in range(n_cells)])
+                    dec = "stub"
+                else:
+                    frames = [[0] * n_cells]
+                    dec = "stub"
+                for k, px in enumerate(frames):
+                    ids.append(mid)
+                    fidx.append(k)
+                    hashes.append(_pack(px))
+                    decs.append(dec)
+            yield pd.DataFrame({"media_id": ids, "frame_idx": fidx,
+                                "dhash": hashes, "decoder": decs})
+
+    return df.mapInPandas(_hash, schema=VFRAME_SCHEMA)
+
+
+def video_dups(df: DataFrame, max_hamming: int = 4, min_frames: int = 2,
+               grid: int = 8, bands: int = 8,
+               band_rows: int = 1) -> DataFrame:
+    """Frame-aligned perceptual video near-dup pairs:
+    ``(id_a, id_b, n_close_frames)`` for every pair of videos with at
+    least ``min_frames`` aligned frames (same frame index) whose dHashes
+    sit within ``max_hamming`` — re-encodes and watermark overlays move
+    individual frame hashes a few bits, identical footage keeps most
+    frames close.
+
+    EXACT like the rest of the family: a qualifying pair has >= 1 close
+    aligned frame, that frame pair shares a clean band combo
+    (:func:`hamming_pairs`' pigeonhole argument), and candidates verify
+    by re-joining their full frame sets.  Scale shape: the candidate
+    join keys on (frame_idx, band key) — 12-byte rows; the verify joins
+    only candidate pairs' frames, bounded by frames-per-video."""
+    if bands <= max_hamming:
+        raise ValueError("bands must exceed max_hamming")
+    nbits = grid * grid
+    if nbits % bands:
+        raise ValueError("bands must divide the hash width")
+    if not 1 <= band_rows <= bands - max_hamming:
+        raise ValueError("band_rows must be in [1, bands - max_hamming]")
+    width = nbits // bands
+    mask = (1 << width) - 1
+    from itertools import combinations
+
+    fh = video_frame_hashes(df, grid=grid).localCheckpoint(eager=False)
+
+    def sub(b):
+        return F.shiftright("dhash", width * b).bitwiseAND(F.lit(mask))
+
+    combo_keys = []
+    for combo in combinations(range(bands), band_rows):
+        key = F.lit(0).cast("long")
+        for b in combo:
+            key = F.shiftleft(key, width).bitwiseOR(sub(b))
+        combo_keys.append(key)
+    bandrows = fh.select(
+        "media_id", "frame_idx",
+        F.posexplode(F.array(*combo_keys)).alias("band", "bv"))
+    cand = (bandrows.alias("a")
+            .join(bandrows.alias("b"), ["frame_idx", "band", "bv"])
+            .filter(F.col("a.media_id") < F.col("b.media_id"))
+            .select(F.col("a.media_id").alias("id_a"),
+                    F.col("b.media_id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    fa = fh.select(F.col("media_id").alias("id_a"), "frame_idx",
+                   F.col("dhash").alias("ha"))
+    fb = fh.select(F.col("media_id").alias("id_b"), "frame_idx",
+                   F.col("dhash").alias("hb"))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (cand.join(fa, "id_a").join(fb, ["id_b", "frame_idx"])
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.when(ham <= max_hamming, 1).otherwise(0))
+                  .cast("long").alias("n_close_frames"))
+            .filter(F.col("n_close_frames") >= min_frames))

@@ -309,3 +309,55 @@ def test_hamming_pairs_band_rows_identical_results(spark):
     assert sets[0] and sets[0] == sets[1] == sets[2]
     with _pytest.raises(ValueError):
         hamming_pairs(h, "dhash", max_hamming=4, band_rows=5)
+
+
+def test_video_frame_hashes_raw_tier_and_stub(spark):
+    from cascading_flink_spark.extensions.multimodal import (
+        video_frame_hashes,
+    )
+    ramp = bytes(range(72))
+    fall = bytes(reversed(range(72)))
+    vid = ramp + fall + ramp                            # 3 raw frames
+    blob = b"not frames" * 11                           # stub tier
+    media = spark.createDataFrame(
+        [(1, "video", vid), (2, "video", blob), (3, "video", None)],
+        "media_id long, modality string, payload binary")
+    rows = video_frame_hashes(media).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["media_id"], {})[r["frame_idx"]] = r
+    assert len(by[1]) == 3 and by[1][0]["decoder"] == "raw"
+    assert by[1][0]["dhash"] == -1                      # rising frame
+    assert by[1][1]["dhash"] == 0                       # falling frame
+    assert by[1][2]["dhash"] == -1
+    assert len(by[2]) == 4 and by[2][0]["decoder"] == "stub"
+    assert len(by[3]) == 1 and by[3][0]["dhash"] == 0
+
+
+def test_video_dups_frame_aligned_pairs(spark):
+    from cascading_flink_spark.extensions.multimodal import video_dups
+    import random
+    random.seed(3)
+    f0 = [random.randrange(256) for _ in range(72)]
+    f1 = [random.randrange(256) for _ in range(72)]
+    f2 = [random.randrange(256) for _ in range(72)]
+    alt = [255 if i % 2 else 0 for i in range(72)]
+    near1 = list(f1); near1[30] = (near1[30] + 60) % 256
+    inv = [0 if i % 2 else 255 for i in range(72)]      # ~inverse of alt
+    v1 = bytes(f0 + f1 + f2)
+    v2 = bytes(f0 + near1 + f2)        # 3 close frames -> dup
+    v3 = bytes(f0 + alt + alt)         # shares only frame 0 with v1/v2
+    v4 = bytes(inv + inv + inv)        # nothing close to anything
+    media = spark.createDataFrame(
+        [(1, "video", v1), (2, "video", v2), (3, "video", v3),
+         (4, "video", v4)],
+        "media_id long, modality string, payload binary")
+    got = {(r["id_a"], r["id_b"]): r["n_close_frames"]
+           for r in video_dups(media, max_hamming=4,
+                               min_frames=2).collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == 3
+    # min_frames=1 admits the single-shared-frame pairs too
+    got1 = {(r["id_a"], r["id_b"]) for r in
+            video_dups(media, max_hamming=4, min_frames=1).collect()}
+    assert (1, 3) in got1 and (2, 3) in got1 and (3, 4) not in got1
