@@ -32,7 +32,7 @@ from cascading_flink_spark.operations import (
 from cascading_flink_spark.extensions import (
     asof_join, range_join, contamination_pairs, decontaminate,
     attach_binary_meta, brute_force_topk, chunk_corpus, decode_stub_features,
-    audio_dups, image_dups, video_dups,
+    audio_dups, image_dups, resize_images, video_dups,
     dedup_clusters, embedding_dup_pairs, exact_dedup, fingerprint, lang_id,
     ivf_topk, ivf_topk_md5, lsh_bucketed_topk, lsh_bucketed_topk_md5,
     pq_topk, pq_topk_md5, semdedup_pairs, semdedup_pairs_md5,
@@ -567,6 +567,24 @@ def q_image_dups(spark, sf_dir):
         docs.select("doc_id", _synthetic_raster_payload().alias("payload")),
         "payload", "doc_id", modality="image", mime="image/x-raw-gray")
     return image_dups(media, max_hamming=4)
+
+
+def q_image_resize(spark, sf_dir):
+    """Batch image resize (multimodal transform whose OUTPUT is bytes):
+    synthetic 9x8 raw grayscale rasters ride as binary payloads;
+    resize_images nearest-neighbour-resamples each to 5x4 with the
+    floor index map src = (dst * in_dim) // out_dim — pure integer
+    arithmetic, so the oracle replays generator + index map in SQL and
+    the resized bytes compare hex-for-hex cross-engine."""
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_binary_meta(
+        docs.select("doc_id", _synthetic_raster_payload().alias("payload")),
+        "payload", "doc_id", modality="image", mime="image/x-raw-gray")
+    out = resize_images(media, out_width=5, out_height=4,
+                        raw_width=9, raw_height=8)
+    return out.select("media_id", "decoder", "in_width", "in_height",
+                      "out_width", "out_height", "n_bytes_in",
+                      "n_bytes_out", F.hex("payload").alias("payload_hex"))
 
 
 def q_mixed_join(spark, sf_dir):
@@ -2420,6 +2438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_despan": q_curation_despan,
         "audio_dups": q_audio_dups,
         "video_dups": q_video_dups,
+        "image_resize": q_image_resize,
         # --- the 7 session-4 queries: no driver row yet (r7 Next #1) ---
         "c4_rules": q_c4_rules,
         "sample_k_per_group": q_sample_k_per_group,
@@ -3861,6 +3880,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
             FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.h, b.h)) <= 4
+        """,
+        "image_resize": """
+            -- replay the synthetic raster generator + the nearest-
+            -- neighbour floor index map src = (dst * in_dim) // out_dim,
+            -- then rebuild the resized payload byte-for-byte as hex
+            WITH cells AS (
+                SELECT doc_id, i,
+                       ((doc_id % 50) * 7 + i * 13 +
+                        CASE WHEN (doc_id * 31) % 72 = i THEN 40 ELSE 0 END
+                       ) % 256 AS v
+                FROM documents, range(0, 72) t(i)),
+            out_px AS (
+                SELECT doc_id, j,
+                       (((j // 5) * 8) // 4) * 9 + (((j % 5) * 9) // 5) AS src
+                FROM documents, range(0, 20) t(j))
+            SELECT o.doc_id AS media_id, 'raw' AS decoder,
+                   CAST(9 AS INTEGER) AS in_width,
+                   CAST(8 AS INTEGER) AS in_height,
+                   CAST(5 AS INTEGER) AS out_width,
+                   CAST(4 AS INTEGER) AS out_height,
+                   CAST(72 AS BIGINT) AS n_bytes_in,
+                   CAST(20 AS BIGINT) AS n_bytes_out,
+                   upper(string_agg(printf('%02x', c.v), '' ORDER BY o.j))
+                       AS payload_hex
+            FROM out_px o JOIN cells c
+              ON c.doc_id = o.doc_id AND c.i = o.src
+            GROUP BY o.doc_id
         """,
         "mixed_join": """
             WITH big AS (SELECT * FROM orders WHERE o_totalprice > 150000)

@@ -239,11 +239,12 @@ BENCH_QUERIES = [
     "strip_dup_spans",
     "gram_novelty",
     "minhash_recall",
-    # round-8 additions (136 -> 140)
+    # round-8 additions (136 -> 141)
     "image_dups",
     "curation_despan",
     "audio_dups",
     "video_dups",
+    "image_resize",
 ]
 
 

@@ -35,7 +35,8 @@ from .similarity import (
 from .multimodal import (
     MEDIA_SCHEMA, MULTIMODAL_SCHEMA, attach_binary_meta, audio_dups,
     audio_envelope_hash, decode_media, decode_stub_features, frame_sample,
-    hamming_pairs, image_dhash, image_dups, video_dups, video_frame_hashes,
+    hamming_pairs, image_dhash, image_dups, resize_images, video_dups,
+    video_frame_hashes,
 )
 from .skew import (salted_agg, salted_broadcast_left, sample_k_per_group,
                    stratified_sample)

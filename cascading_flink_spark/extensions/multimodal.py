@@ -673,3 +673,108 @@ def video_dups(df: DataFrame, max_hamming: int = 4, min_frames: int = 2,
             .agg(F.sum(F.when(ham <= max_hamming, 1).otherwise(0))
                   .cast("long").alias("n_close_frames"))
             .filter(F.col("n_close_frames") >= min_frames))
+
+
+# ------------------------------------------------------------------- resize
+
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("modality", T.StringType(), False),
+    T.StructField("decoder", T.StringType(), False),   # pil|raw|stub
+    T.StructField("in_width", T.IntegerType(), True),
+    T.StructField("in_height", T.IntegerType(), True),
+    T.StructField("out_width", T.IntegerType(), False),
+    T.StructField("out_height", T.IntegerType(), False),
+    T.StructField("n_bytes_in", T.LongType(), False),
+    T.StructField("n_bytes_out", T.LongType(), False),
+    T.StructField("payload", T.BinaryType(), True),    # the resized image
+])
+
+
+def resize_images(df: DataFrame, out_width: int, out_height: int,
+                  raw_width: int | None = None,
+                  raw_height: int | None = None) -> DataFrame:
+    """Batch image resize: multimodal rows -> ``out_width x out_height``
+    images re-emitted as a fresh ``payload`` binary column (the one
+    multimodal transform whose OUTPUT is bytes, unlike the decode /
+    hash / frame-sample stages which project payloads away).
+
+    Decode tiers, like :func:`decode_media` (never raises — a corrupt
+    payload in a 100 TB batch must not kill the stage):
+
+    1. ``pil`` — PIL behind the import guard: real formats, bilinear
+       resize, re-encoded as PNG.
+    2. ``raw`` — when ``raw_width``/``raw_height`` are given and the
+       payload is exactly ``raw_width * raw_height`` bytes, it is a raw
+       row-major 8-bit grayscale raster; nearest-neighbour resample with
+       the floor index map ``src = (dst * in_dim) // out_dim`` — pure
+       integer arithmetic any engine reproduces byte-for-byte (the
+       cross-engine oracle's spelling).
+    3. ``stub`` — deterministic stride-resample of whatever bytes are
+       present to ``out_width * out_height``, so schema and batch shape
+       survive any input.
+
+    Scale notes: one Arrow ``mapInPandas`` pass, no shuffle; the output
+    rows carry ``out_width * out_height`` bytes (+ PNG overhead on the
+    pil tier) regardless of input size, so a downscale pass SHRINKS the
+    bytes that reach any downstream exchange.  Input splits are already
+    byte-ranged by the source; no fan-out needed — resize is bandwidth-
+    bound, not CPU-bound like the hash stages."""
+    if out_width < 1 or out_height < 1:
+        raise ValueError("output dimensions must be positive")
+    n_out = out_width * out_height
+    n_raw = (raw_width * raw_height
+             if raw_width is not None and raw_height is not None else None)
+
+    def _resize_one(payload):
+        """-> (decoder, in_w, in_h, out_bytes)"""
+        import numpy as np
+        if payload and _HAS_PIL:
+            try:
+                import io
+                img = _PILImage.open(io.BytesIO(payload))
+                in_w, in_h = img.size
+                small = img.convert("L").resize(
+                    (out_width, out_height), _PILImage.BILINEAR)
+                buf = io.BytesIO()
+                small.save(buf, format="PNG")
+                return "pil", in_w, in_h, buf.getvalue()
+            except Exception:
+                pass
+        if payload is not None and n_raw is not None and len(payload) == n_raw:
+            px = np.frombuffer(payload, dtype=np.uint8).reshape(
+                raw_height, raw_width)
+            rows = (np.arange(out_height) * raw_height) // out_height
+            cols = (np.arange(out_width) * raw_width) // out_width
+            return ("raw", raw_width, raw_height,
+                    px[np.ix_(rows, cols)].tobytes())
+        if payload:
+            L = len(payload)
+            idx = (np.arange(n_out) * L) // n_out
+            return ("stub", None, None,
+                    np.frombuffer(payload, dtype=np.uint8)[idx].tobytes())
+        return "stub", None, None, bytes(n_out)
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "modality", "decoder",
+                                   "in_width", "in_height", "out_width",
+                                   "out_height", "n_bytes_in",
+                                   "n_bytes_out", "payload")}
+            for mid, mod, payload in zip(pdf["media_id"], pdf["modality"],
+                                         pdf["payload"]):
+                payload = bytes(payload) if payload is not None else None
+                dec, in_w, in_h, data = _resize_one(payload)
+                out["media_id"].append(mid)
+                out["modality"].append(mod)
+                out["decoder"].append(dec)
+                out["in_width"].append(in_w)
+                out["in_height"].append(in_h)
+                out["out_width"].append(out_width)
+                out["out_height"].append(out_height)
+                out["n_bytes_in"].append(len(payload) if payload else 0)
+                out["n_bytes_out"].append(len(data))
+                out["payload"].append(data)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_resize, schema=RESIZE_SCHEMA)

@@ -361,3 +361,80 @@ def test_video_dups_frame_aligned_pairs(spark):
     got1 = {(r["id_a"], r["id_b"]) for r in
             video_dups(media, max_hamming=4, min_frames=1).collect()}
     assert (1, 3) in got1 and (2, 3) in got1 and (3, 4) not in got1
+
+
+# ----------------------------------------------------------------- resize
+
+def test_resize_raw_nearest_neighbour_exact(spark):
+    """Raw tier: 4x2 grayscale raster -> 2x2 via the floor index map
+    src = (dst * in_dim) // out_dim; expected bytes computed by hand."""
+    from cascading_flink_spark.extensions import resize_images
+    # row-major 4 wide x 2 high: rows [10,20,30,40], [50,60,70,80]
+    payload = bytes([10, 20, 30, 40, 50, 60, 70, 80])
+    media = attach_binary_meta(
+        spark.createDataFrame([(1, payload)], "doc_id long, payload binary"),
+        bytes_col="payload", id_col="doc_id", modality="image")
+    out = resize_images(media, out_width=2, out_height=2,
+                        raw_width=4, raw_height=2).collect()[0]
+    # cols: (0*4)//2=0, (1*4)//2=2 ; rows: (0*2)//2=0, (1*2)//2=1
+    assert out["decoder"] == "raw"
+    assert (out["in_width"], out["in_height"]) == (4, 2)
+    assert (out["out_width"], out["out_height"]) == (2, 2)
+    assert (out["n_bytes_in"], out["n_bytes_out"]) == (8, 4)
+    assert bytes(out["payload"]) == bytes([10, 30, 50, 70])
+
+
+def test_resize_identity_when_dims_match(spark):
+    from cascading_flink_spark.extensions import resize_images
+    payload = bytes(range(12))
+    media = attach_binary_meta(
+        spark.createDataFrame([(7, payload)], "doc_id long, payload binary"),
+        bytes_col="payload", id_col="doc_id", modality="image")
+    out = resize_images(media, out_width=4, out_height=3,
+                        raw_width=4, raw_height=3).collect()[0]
+    assert out["decoder"] == "raw"
+    assert bytes(out["payload"]) == payload
+
+
+def test_resize_stub_and_empty_tiers_never_raise(spark):
+    """Wrong-length payloads stride-resample; NULL/empty payloads produce
+    zero bytes at the target size — a corrupt 100 TB batch never kills
+    the stage."""
+    from cascading_flink_spark.extensions import resize_images
+    media = attach_binary_meta(
+        spark.createDataFrame(
+            [(1, bytes([9, 9, 9])), (2, None), (3, b"")],
+            "doc_id long, payload binary"),
+        bytes_col="payload", id_col="doc_id", modality="image")
+    rows = {r["media_id"]: r for r in
+            resize_images(media, out_width=3, out_height=2,
+                          raw_width=5, raw_height=5).collect()}
+    assert all(r["decoder"] == "stub" for r in rows.values())
+    assert bytes(rows[1]["payload"]) == bytes([9] * 6)
+    assert bytes(rows[2]["payload"]) == bytes(6)
+    assert bytes(rows[3]["payload"]) == bytes(6)
+    assert all(r["n_bytes_out"] == 6 for r in rows.values())
+
+
+def test_resize_streaming_stateless_parity(spark, tmp_path):
+    """resize_images is a stateless mapInPandas projection — it runs on a
+    stream unchanged; single-batch output equals the batch twin."""
+    from cascading_flink_spark.extensions import resize_images
+    payload = bytes(range(72))
+    batch = attach_binary_meta(
+        spark.createDataFrame([(1, payload), (2, payload[::-1])],
+                              "doc_id long, payload binary"),
+        bytes_col="payload", id_col="doc_id", modality="image")
+    expected = {(r["media_id"], bytes(r["payload"]))
+                for r in resize_images(batch, 3, 3,
+                                       raw_width=9, raw_height=8).collect()}
+    src_dir = str(tmp_path / "in")
+    batch.write.parquet(src_dir)
+    stream = (spark.readStream.schema(batch.schema).parquet(src_dir))
+    out = resize_images(stream, 3, 3, raw_width=9, raw_height=8)
+    q = (out.writeStream.format("memory").queryName("resize_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["media_id"], bytes(r["payload"]))
+           for r in spark.sql("SELECT * FROM resize_stream").collect()}
+    assert got == expected
