@@ -309,40 +309,15 @@ def image_dhash(df: DataFrame, grid: int = 8) -> DataFrame:
     otherwise run it on one core."""
     if not (1 <= grid * grid <= 64):
         raise ValueError("grid*grid must fit a 64-bit hash")
-    n_cells = grid * (grid + 1)
     from .dedup import _fan_out
     df = _fan_out(df)
-
-    def _raster(payload):
-        if payload is not None and _HAS_PIL:
-            try:
-                import io
-                img = _PILImage.open(io.BytesIO(bytes(payload)))
-                small = img.convert("L").resize((grid + 1, grid))
-                return list(small.getdata()), "pil"
-            except Exception:
-                pass
-        if payload is not None and len(payload) == n_cells:
-            return list(payload), "raw"
-        if payload:
-            L = len(payload)
-            return [payload[(i * L) // n_cells] for i in range(n_cells)], "stub"
-        return [0] * n_cells, "stub"
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, hashes, decs = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                px, dec = _raster(bytes(payload) if payload is not None
-                                  else None)
-                v = 0
-                for r in range(grid):
-                    base = r * (grid + 1)
-                    for c in range(grid):
-                        if px[base + c] < px[base + c + 1]:
-                            v |= 1 << (r * grid + c)
-                if v >= 1 << 63:
-                    v -= 1 << 64
+                v, dec = dhash_bytes(
+                    bytes(payload) if payload is not None else None, grid)
                 ids.append(mid)
                 hashes.append(v)
                 decs.append(dec)
@@ -350,6 +325,42 @@ def image_dhash(df: DataFrame, grid: int = 8) -> DataFrame:
                                 "decoder": decs})
 
     return df.mapInPandas(_hash, schema=DHASH_SCHEMA)
+
+
+def _raster_px(payload: bytes | None, grid: int):
+    """Shared decode-to-raster core of the dHash family: payload ->
+    (``grid*(grid+1)`` row-major grayscale pixels, decoder tier)."""
+    n_cells = grid * (grid + 1)
+    if payload is not None and _HAS_PIL:
+        try:
+            import io
+            img = _PILImage.open(io.BytesIO(bytes(payload)))
+            small = img.convert("L").resize((grid + 1, grid))
+            return list(small.getdata()), "pil"
+        except Exception:
+            pass
+    if payload is not None and len(payload) == n_cells:
+        return list(payload), "raw"
+    if payload:
+        L = len(payload)
+        return [payload[(i * L) // n_cells] for i in range(n_cells)], "stub"
+    return [0] * n_cells, "stub"
+
+
+def dhash_bytes(payload: bytes | None, grid: int = 8):
+    """One payload -> (signed-64-bit dHash, decoder tier).  The single
+    spelling of the hash shared by the batch operators and the streaming
+    twin, so their signatures can never drift apart."""
+    px, dec = _raster_px(payload, grid)
+    v = 0
+    for r in range(grid):
+        base = r * (grid + 1)
+        for c in range(grid):
+            if px[base + c] < px[base + c + 1]:
+                v |= 1 << (r * grid + c)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v, dec
 
 
 def hamming_pairs(hashed: DataFrame, hash_col: str, max_hamming: int = 4,

@@ -16,7 +16,7 @@ from .ops import (
     session_window_agg, stateful_sessionize, stream_chunk_packer,
     stream_curate, stream_pack_bins,
     stream_decontaminate, stream_domain_quota, stream_embedding_gate,
-    stream_exact_dedup,
+    stream_exact_dedup, stream_media_dedup,
     stream_rolling_stats, stream_stream_join, stream_token_quota,
 )
 

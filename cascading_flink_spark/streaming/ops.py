@@ -716,3 +716,79 @@ def stream_pack_bins(df: DataFrame, capacity: int,
     return (prepared.groupBy("key")
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+def stream_media_dedup(stream: DataFrame, ts_col: str = "ts",
+                       payload_col: str = "payload",
+                       id_col: str = "media_id",
+                       watermark: str = "10 minutes",
+                       grid: int = 8,
+                       reference: DataFrame | None = None,
+                       max_hamming: int = 4,
+                       bands: int = 8) -> DataFrame:
+    """Streaming perceptual image dedup — the streaming twin of
+    ``extensions.multimodal.image_dups``, split the way a continuous
+    ingest actually needs it:
+
+    1. **Static-reference near-dup gate** (``reference`` given): an
+       arriving image is dropped iff some reference image's dHash sits
+       within ``max_hamming`` bits.  Spelled as ``bands`` chained
+       stream-static LEFT ANTI equi-joins, one per ``nbits/bands``-wide
+       sub-band, each verifying the full Hamming distance in its join
+       condition — EXACT by the same pigeonhole argument as
+       :func:`...multimodal.hamming_pairs` (a pair within ``max_hamming``
+       has at least one clean sub-band when ``bands > max_hamming``), and
+       a chain of anti-joins drops a row matched by ANY band, so the
+       union-of-matches semantics needs no state.  The reference sides
+       are tiny (8-byte hashes) and broadcast; at 100 TB the curated
+       hash table is computed once and reused for the whole ingest.
+    2. **Horizon self-dedup**: ``dropDuplicatesWithinWatermark`` on the
+       exact dHash — repeats of the same perceptual hash arriving within
+       the watermark are dropped while the state store holds only one
+       horizon of 8-byte hashes.  WITHIN-stream near-dup (Hamming > 0)
+       banding would need cross-band vote state; that remains the batch
+       twin's job, by design.
+
+    The hash itself is :func:`...multimodal.dhash_bytes` — the identical
+    spelling the batch family uses — applied via a stateless Arrow UDF,
+    so batch and stream signatures can never drift.  Survivors pass
+    through with their original columns plus ``dhash``."""
+    if bands <= max_hamming:
+        raise ValueError("bands must exceed max_hamming")
+    nbits = grid * grid
+    if nbits % bands:
+        raise ValueError("bands must divide the hash width")
+    width = nbits // bands
+    mask = (1 << width) - 1
+
+    from ..extensions.multimodal import dhash_bytes
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.LongType())
+    def _dhash(payloads: pd.Series) -> pd.Series:
+        return pd.Series(
+            [dhash_bytes(bytes(p) if p is not None else None, grid)[0]
+             for p in payloads])
+
+    s = (_ensure_event_time(stream, ts_col)
+         .withColumn("dhash", _dhash(F.col(payload_col))))
+
+    if reference is not None:
+        ref_hashes = (reference
+                      .withColumn("__rhash", _dhash(F.col(payload_col)))
+                      .select("__rhash"))
+
+        def sub(col, b):
+            return F.shiftright(col, width * b).bitwiseAND(F.lit(mask))
+
+        ham = F.bit_count(F.col("dhash").bitwiseXOR(F.col("__rhash")))
+        for b in range(bands):
+            ref_b = (ref_hashes.select("__rhash",
+                                       sub(F.col("__rhash"), b).alias("__rb"))
+                     .dropDuplicates())
+            cond = (sub(F.col("dhash"), b) == F.col("__rb")) & \
+                   (ham <= max_hamming)
+            s = s.join(F.broadcast(ref_b), cond, "left_anti")
+
+    return (s.withWatermark(ts_col, watermark)
+             .dropDuplicatesWithinWatermark(["dhash"]))

@@ -67,12 +67,25 @@ def test_python_buffer_stage_keeps_parallelism(spark, sf_dir):
 
 
 def test_curation_pipeline_filter_pushes_to_scan(spark, sf_dir):
-    """Composing quality filter -> dedup -> packing must keep the quality
-    predicate inside the parquet scan's pushed/partial filters (Catalyst
-    sees through the whole chain)."""
-    plan = plan_of(spark, "curation_pipeline", sf_dir)
+    """Composing quality filter -> dedup must keep the quality predicate
+    inside the parquet scan's pushed/partial filters (Catalyst sees
+    through the chain).  chunk_corpus localCheckpoints its narrow
+    tokenized projection (cache scoping, r8), so the FULL pipeline plan
+    starts at the checkpoint boundary — the pushdown property is
+    asserted on the segment upstream of it, where the scan lives."""
+    from pyspark.sql import functions as F
+    from cascading_flink_spark.extensions import quality_filter, fingerprint
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    good = quality_filter(docs, min_tokens=30, max_punct_ratio=0.05)
+    keep = (fingerprint(good).groupBy("fp")
+            .agg(F.min("doc_id").alias("doc_id")).select("doc_id"))
+    upstream = good.join(keep, "doc_id")
+    plan = upstream._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"PushedFilters: \[IsNotNull\(text\)", plan) or \
         re.search(r"Filter.*n_toks|Filter.*size\(", plan), plan[:3000]
+    # and the full pipeline plan indeed starts at the checkpoint boundary
+    full = plan_of(spark, "curation_pipeline", sf_dir)
+    assert "Scan ExistingRDD" in full
 
 
 def test_nary_emission_filter_eliminates_outer_joins(spark, sf_dir):

@@ -775,3 +775,120 @@ def test_stream_embedding_gate_drops_planted_dups(spark, sf_dir, tmp_path):
     assert {v for v, _ in fresh} <= got           # fresh vectors pass
     planted = {v for v, _ in rows}
     assert len(planted & got) <= 2, planted & got  # near-dups gated (LSH recall)
+
+
+def _raster72(base: int, bump: int | None = None) -> bytes:
+    """9x8 raw grayscale raster in the synthetic family's arithmetic;
+    bumping one cell (+40) moves at most 2 dHash bits."""
+    return bytes(((base * 7 + i * 13 +
+                   (40 if bump is not None and i == bump else 0)) % 256)
+                 for i in range(72))
+
+
+def test_stream_media_dedup_exact_horizon(spark, tmp_path):
+    """Repeats of the same perceptual hash within the watermark are
+    dropped; survivors carry the batch family's exact dHash values."""
+    from cascading_flink_spark.extensions.multimodal import dhash_bytes
+    from cascading_flink_spark.streaming import stream_media_dedup
+
+    rows = [(i, _raster72(i % 3), 1_700_000_000 + i) for i in range(9)]
+    df = spark.createDataFrame(
+        rows, "media_id long, payload binary, sec long") \
+        .withColumn("ts", F.timestamp_seconds("sec")).drop("sec")
+    src = str(tmp_path / "media_in")
+    df.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = stream_media_dedup(stream, ts_col="ts", watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("media_dedup_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+
+    got = spark.sql("SELECT dhash FROM media_dedup_out").collect()
+    hashes = sorted(r["dhash"] for r in got)
+    expect = sorted({dhash_bytes(_raster72(b))[0] for b in range(3)})
+    assert hashes == expect                 # one survivor per distinct hash
+    spark.catalog.dropTempView("media_dedup_out")
+
+
+def test_stream_media_dedup_reference_gate_exact(spark, tmp_path):
+    """The chained per-band anti-joins drop exactly the stream images
+    within max_hamming of SOME reference image — verified against a
+    brute-force Hamming computation on the same hashes."""
+    from cascading_flink_spark.extensions.multimodal import dhash_bytes
+    from cascading_flink_spark.streaming import stream_media_dedup
+
+    ref_rows = [(100 + b, _raster72(b)) for b in range(4)]
+    reference = spark.createDataFrame(ref_rows,
+                                      "media_id long, payload binary")
+    # stream: near-dups of each reference base (one bumped cell) plus
+    # genuinely far images (descending ramps: dHash bits ~all inverted
+    # vs the ascending reference family)
+    stream_rows = ([(b, _raster72(b, bump=(b * 31) % 72)) for b in range(4)]
+                   + [(10 + b, bytes(((b * 7 + (72 - i) * 13) % 256)
+                                     for i in range(72)))
+                      for b in range(4)])
+    df = spark.createDataFrame(stream_rows,
+                               "media_id long, payload binary") \
+        .withColumn("ts", F.timestamp_seconds(F.lit(1_700_000_000)
+                                              + F.col("media_id")))
+    src = str(tmp_path / "gate_in")
+    df.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = stream_media_dedup(stream, ts_col="ts", watermark="1 hour",
+                             reference=reference, max_hamming=4)
+    q = (out.writeStream.format("memory").queryName("media_gate_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+
+    got = {r["media_id"] for r in
+           spark.sql("SELECT media_id FROM media_gate_out").collect()}
+    ref_hashes = [dhash_bytes(p)[0] for _, p in ref_rows]
+    expect = set()
+    for mid, p in stream_rows:
+        h = dhash_bytes(p)[0]
+        if all(bin((h ^ r) & ((1 << 64) - 1)).count("1") > 4
+               for r in ref_hashes):
+            expect.add(mid)
+    assert got == expect
+    assert got == {10, 11, 12, 13}          # the gate dropped all near-dups
+    spark.catalog.dropTempView("media_gate_out")
+
+
+def test_stream_media_dedup_state_across_batches(spark, tmp_path):
+    """The dedup state store persists across micro-batches: a duplicate
+    hash arriving in a later batch within the watermark is dropped."""
+    from cascading_flink_spark.streaming import stream_media_dedup
+
+    src = tmp_path / "media2_in"
+    src.mkdir()
+    mk = lambda rows: spark.createDataFrame(
+        rows, "media_id long, payload binary, sec long") \
+        .withColumn("ts", F.timestamp_seconds("sec")).drop("sec")
+    d1 = mk([(1, _raster72(0), 1_700_000_000)])
+    d2 = mk([(2, _raster72(0), 1_700_000_060),    # dup of batch-1 hash
+             (3, _raster72(1), 1_700_000_061)])   # new hash
+    d1.coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+
+    schema = spark.read.parquet(str(src / "f1")).schema
+    ckpt = str(tmp_path / "media2_ckpt")
+    out_dir = str(tmp_path / "media2_out")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        out = stream_media_dedup(stream, ts_col="ts", watermark="1 hour")
+        q = (out.writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    d2.coalesce(1).write.mode("overwrite").parquet(str(src / "f2"))
+    run_once()
+
+    got = sorted(r["media_id"]
+                 for r in spark.read.parquet(out_dir).collect())
+    assert got == [1, 3]                    # 2 deduped across batches
