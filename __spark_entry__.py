@@ -32,6 +32,7 @@ from cascading_flink_spark.operations import (
 from cascading_flink_spark.extensions import (
     asof_join, range_join, contamination_pairs, decontaminate,
     attach_binary_meta, brute_force_topk, chunk_corpus, decode_stub_features,
+    frame_sample,
     audio_dups, image_dups, resize_images, video_dups,
     dedup_clusters, embedding_dup_pairs, exact_dedup, fingerprint, lang_id,
     ivf_topk, ivf_topk_md5, lsh_bucketed_topk, lsh_bucketed_topk_md5,
@@ -567,6 +568,21 @@ def q_image_dups(spark, sf_dir):
         docs.select("doc_id", _synthetic_raster_payload().alias("payload")),
         "payload", "doc_id", modality="image", mime="image/x-raw-gray")
     return image_dups(media, max_hamming=4)
+
+
+def q_frame_sample(spark, sf_dir):
+    """Row-exploding video frame sampling: one output row per sampled
+    frame with its timestamp — the decode fan-out stage of a video
+    pipeline.  The frame grid (media_id x frame_idx, ts arithmetic,
+    byte counts) hash-matches an oracle rebuilding the same grid; the
+    stub feature vector itself stays pytest-pinned (float32 rounding is
+    not a stable cross-engine surface)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_binary_meta(
+        docs.select("doc_id", _synthetic_video_payload().alias("payload")),
+        "payload", "doc_id", modality="video", mime="video/x-raw-frames")
+    frames = frame_sample(media, n_frames=4, frame_interval_ms=250)
+    return frames.select("media_id", "frame_idx", "ts_ms", "n_bytes")
 
 
 def q_image_resize(spark, sf_dir):
@@ -2439,6 +2455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_dups": q_audio_dups,
         "video_dups": q_video_dups,
         "image_resize": q_image_resize,
+        "frame_sample": q_frame_sample,
         # --- the 7 session-4 queries: no driver row yet (r7 Next #1) ---
         "c4_rules": q_c4_rules,
         "sample_k_per_group": q_sample_k_per_group,
@@ -3880,6 +3897,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
             FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.h, b.h)) <= 4
+        """,
+        "frame_sample": """
+            -- the frame grid of the row-exploding sampler: 4 frames per
+            -- video at 250ms spacing over the 288-byte synthetic payloads
+            SELECT doc_id AS media_id,
+                   CAST(f AS INTEGER) AS frame_idx,
+                   CAST(f * 250 AS BIGINT) AS ts_ms,
+                   CAST(288 AS BIGINT) AS n_bytes
+            FROM documents, range(0, 4) t(f)
         """,
         "image_resize": """
             -- replay the synthetic raster generator + the nearest-

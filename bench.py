@@ -239,12 +239,13 @@ BENCH_QUERIES = [
     "strip_dup_spans",
     "gram_novelty",
     "minhash_recall",
-    # round-8 additions (136 -> 141)
+    # round-8 additions (136 -> 142)
     "image_dups",
     "curation_despan",
     "audio_dups",
     "video_dups",
     "image_resize",
+    "frame_sample",
 ]
 
 
