@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 
 def event_funnel(events: DataFrame, steps: list[str],
                  user_col: str = "user_id", ts_col: str = "ts",
-                 type_col: str = "event_type") -> DataFrame:
+                 type_col: str = "event_type",
+                 pin_stages: bool = True) -> DataFrame:
     """Ordered funnel: users must hit each step strictly after the
     previous step's (earliest qualifying) time.
 
@@ -43,20 +44,24 @@ def event_funnel(events: DataFrame, steps: list[str],
     # times.  localCheckpoint(eager=False) instead of persist(): same
     # branch-reuse, but the blocks are scoped to the returned frame's
     # lifetime (ContextCleaner frees them on GC) rather than parked in
-    # the cached-query registry until someone clears the cache
-    cur = (events.filter(F.col(type_col) == steps[0])
-                 .groupBy(user_col)
-                 .agg(F.min(ts_col).alias("__t"))
-                 .localCheckpoint(eager=False))
+    # the cached-query registry until someone clears the cache.
+    # pin_stages=False skips the pinning — for plan inspection (the
+    # boundary hides the source scans from explain) or when a caller
+    # composes the funnel into its own cached/checkpointed plan
+    def _pin(frame: DataFrame) -> DataFrame:
+        return frame.localCheckpoint(eager=False) if pin_stages else frame
+
+    cur = _pin(events.filter(F.col(type_col) == steps[0])
+                     .groupBy(user_col)
+                     .agg(F.min(ts_col).alias("__t")))
     counts = [_count(cur, 1, steps[0])]
     for i, step in enumerate(steps[1:], start=2):
         ev = events.filter(F.col(type_col) == step) \
                    .select(user_col, F.col(ts_col).alias("__ts"))
-        cur = (ev.join(cur, on=user_col)
-                 .filter(F.col("__ts") > F.col("__t"))
-                 .groupBy(user_col)
-                 .agg(F.min("__ts").alias("__t"))
-                 .localCheckpoint(eager=False))
+        cur = _pin(ev.join(cur, on=user_col)
+                     .filter(F.col("__ts") > F.col("__t"))
+                     .groupBy(user_col)
+                     .agg(F.min("__ts").alias("__t")))
         counts.append(_count(cur, i, step))
     out = counts[0]
     for c in counts[1:]:

