@@ -31,6 +31,7 @@ from cascading_flink_spark.operations import (
 )
 from cascading_flink_spark.extensions import (
     asof_join, range_join, contamination_pairs, decontaminate,
+    decontaminate_bloom,
     attach_binary_meta, brute_force_topk, chunk_corpus, decode_stub_features,
     frame_sample,
     audio_dups, image_dups, resize_images, video_dups,
@@ -1065,6 +1066,23 @@ def q_decontaminate(spark, sf_dir):
                 F.lit(-1).cast("long").alias("bench_id"),
                 F.col("n").alias("shared_grams"))
     return pairs.unionByName(kept)
+
+
+def q_decontaminate_bloom(spark, sf_dir):
+    """Bloom-prefiltered decontamination — the scale path for when the
+    held-out side's gram table outgrows a row broadcast: the benchmark's
+    6-grams are folded into a broadcast 2^20-bit Bloom bitmap, the corpus
+    grams are probed map-side with pure codegen bit arithmetic (zero
+    corpus shuffle before the filter), and only survivors reach the exact
+    verify join — so the output is IDENTICAL to exact decontamination and
+    the DuckDB oracle simply replays the exact semantics (the bitmap can
+    only add verify work, never change the answer).  min_shared=2 with
+    ANY single benchmark doc."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return (decontaminate_bloom(corpus, bench, n=6, min_shared=2)
+            .select("doc_id"))
 
 
 def q_tpch_q3(spark, sf_dir):
@@ -2450,6 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         # --- NEW round 8 ---
+        "decontaminate_bloom": q_decontaminate_bloom,
         "image_dups": q_image_dups,
         "curation_despan": q_curation_despan,
         "audio_dups": q_audio_dups,
@@ -4256,6 +4275,23 @@ def oracle_sql() -> dict[str, str]:
               ON c.user_id = p.user_id
              AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 3600000000
             WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        """,
+        "decontaminate_bloom": """
+            WITH toks AS (SELECT doc_id,
+                                 regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                          FROM documents),
+            sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+5], ' ')
+                          for i in range(1, greatest(len(t)-5, 0)+1)]) AS s
+                   FROM toks),
+            inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            pairs AS (SELECT c.doc_id, b.doc_id AS bench_id,
+                             count(*) AS shared
+                      FROM (SELECT * FROM inv WHERE doc_id % 20 <> 0) c
+                      JOIN (SELECT * FROM inv WHERE doc_id % 20 = 0) b USING (g)
+                      GROUP BY 1, 2),
+            bad AS (SELECT DISTINCT doc_id FROM pairs WHERE shared >= 2)
+            SELECT doc_id FROM documents
+            WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
         """,
         "decontaminate": """
             WITH toks AS (SELECT doc_id,

@@ -18,8 +18,9 @@ convention covers all of them.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .dedup import _fan_out, _word_shingles
 
@@ -47,6 +48,119 @@ def contamination_pairs(corpus: DataFrame, benchmark: DataFrame,
                 .agg(F.count(F.lit(1)).alias("shared_grams"))
                 .select(F.col("__cid").alias(id_col), "bench_id",
                         "shared_grams"))
+
+
+def _bloom_positions(col: Column, m_bits: int, k: int) -> list[Column]:
+    """``k`` bit positions in ``[0, m_bits)`` for one key — k independent
+    xxhash64 draws (the key hashed together with the probe index), pmod'd
+    into the bitmap.  No add/multiply double-hashing: Spark 4 runs ANSI
+    arithmetic, where a wrapped ``h1 + i*h2`` would raise on overflow."""
+    return [F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits))
+            for i in range(k)]
+
+
+def build_bloom_bitmap(df: DataFrame, col: str,
+                       m_bits: int = 1 << 20, k: int = 4) -> list[int]:
+    """Aggregate a Bloom bitmap over ``df[col]`` and return it as a list of
+    ``m_bits / 64`` longs.
+
+    One distributed pass: explode each key's k bit positions, group by
+    64-bit word index, ``bit_or`` the masks.  The driver pull is bounded by
+    the FILTER size (m_bits/64 longs — 128 KiB at the 2^20 default), never
+    by the data: this is the one driver-side collect in the bloom path and
+    it is O(filter), the same order as broadcasting it back out."""
+    if m_bits % 64 != 0:
+        raise ValueError("m_bits must be a multiple of 64")
+    pos = (df.select(F.explode(F.array(
+               *_bloom_positions(F.col(col), m_bits, k))).alias("__p"))
+             .select((F.col("__p") / 64).cast("long").alias("__w"),
+                     F.pmod(F.col("__p"), F.lit(64)).cast("int").alias("__b")))
+    words = (pos.groupBy("__w")
+                .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), __b)"))
+                      .alias("__m"))
+                .collect())
+    bitmap = [0] * (m_bits // 64)
+    for r in words:
+        bitmap[r["__w"]] = r["__m"]
+    return bitmap
+
+
+def bloom_might_contain(col: Column, bitmap_col: Column,
+                        m_bits: int, k: int) -> Column:
+    """Membership predicate against a bitmap carried as an ``array<long>``
+    column (broadcast-joined onto the probe side).  Pure codegen Column
+    arithmetic — no UDF, no Python in the hot path.  False positives only
+    (rate ~(1 - e^{-kn/m})^k); never a false negative."""
+    test = None
+    for p in _bloom_positions(col, m_bits, k):
+        word = F.element_at(bitmap_col, ((p / 64).cast("int") + F.lit(1)))
+        bit = F.pmod(p, F.lit(64)).cast("int")
+        hit = F.getbit(word, bit) == 1
+        test = hit if test is None else (test & hit)
+    return test
+
+
+def decontaminate_bloom(corpus: DataFrame, benchmark: DataFrame,
+                        n: int = 8, min_shared: int = 1,
+                        m_bits: int = 1 << 20, k: int = 4,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        bench_text_col: str | None = None,
+                        bench_id_col: str | None = None) -> DataFrame:
+    """:func:`decontaminate` with a broadcast-Bloom gram prefilter — the
+    scale path for when the benchmark gram table outgrows a row broadcast.
+
+    :func:`decontaminate` broadcasts the benchmark's GRAM TABLE, which is
+    fine for megabyte eval sets but dies when the held-out side is itself
+    large (decontaminating against another corpus shard, a 100M-gram eval
+    suite, ...).  This variant broadcasts a fixed-size BITMAP instead:
+
+    1. one pass over the benchmark builds an ``m_bits`` Bloom bitmap of its
+       gram hashes (:func:`build_bloom_bitmap` — driver pull bounded by the
+       filter size, not the data);
+    2. the corpus is shingled map-side and each gram probed against the
+       broadcast bitmap with pure codegen Column arithmetic
+       (:func:`bloom_might_contain`) — zero corpus shuffle, and the ~99 %
+       of grams that match nothing die BEFORE any exchange;
+    3. survivors (true hits + the bitmap's false-positive trickle) flow
+       into an ordinary shuffle join against the benchmark gram table for
+       EXACT verification, so the operator's output is identical to
+       :func:`decontaminate` — the bloom only prunes, never decides.
+
+    At 100 TB the verify join's corpus side is O(true contamination +
+    fpp × grams) instead of O(all grams): the bitmap turns a full-corpus
+    shuffle join into a trickle join.  Output equality with the exact
+    operator is pytest-pinned, including under a deliberately undersized
+    bitmap (high fpp) where only the verify join keeps it exact."""
+    bench_text_col = bench_text_col or text_col
+    bench_id_col = bench_id_col or id_col
+    spark = corpus.sparkSession
+    bench_grams = benchmark.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.explode(_word_shingles(bench_text_col, n)).alias("__g"))
+    bitmap = build_bloom_bitmap(bench_grams.select("__g").distinct(),
+                                "__g", m_bits=m_bits, k=k)
+    bloom_df = spark.createDataFrame(
+        [(bitmap,)], T.StructType([T.StructField(
+            "__bloom", T.ArrayType(T.LongType(), False), False)]))
+    corpus_grams = (_fan_out(corpus)
+                    .select(F.col(id_col).alias("__cid"),
+                            F.explode(_word_shingles(text_col, n))
+                             .alias("__g"))
+                    .crossJoin(F.broadcast(bloom_df))
+                    .filter(bloom_might_contain(
+                        F.col("__g"), F.col("__bloom"), m_bits, k))
+                    .drop("__bloom"))
+    # exact verify: deliberately NOT broadcast — the premise is that the
+    # benchmark gram table is too big for one; the bloom already shrank
+    # the corpus side to a trickle, so the shuffle is tiny.  (AQE may
+    # still choose a broadcast at test scale; that is a runtime win, not
+    # a plan requirement.)
+    hits = corpus_grams.join(bench_grams, "__g")
+    bad = (hits.groupBy("__cid", "bench_id")
+               .agg(F.count(F.lit(1)).alias("__shared"))
+               .filter(F.col("__shared") >= int(min_shared))
+               .select(F.col("__cid").alias(id_col)).distinct())
+    return corpus.join(F.broadcast(bad), on=id_col, how="left_anti")
 
 
 def decontaminate(corpus: DataFrame, benchmark: DataFrame,

@@ -6,7 +6,8 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from cascading_flink_spark.extensions.decontam import (
-    contamination_pairs, decontaminate)
+    bloom_might_contain, build_bloom_bitmap, contamination_pairs,
+    decontaminate, decontaminate_bloom)
 
 
 @pytest.fixture(scope="module")
@@ -97,3 +98,65 @@ def test_matches_duckdb_on_real_docs(spark, sf_dir):
         GROUP BY 1, 2
     """).fetchall()
     assert got == sorted(exp)
+
+
+# ---------------------------------------------------------------- bloom
+
+def test_bloom_equals_exact(spark, sf_dir):
+    """decontaminate_bloom output is IDENTICAL to decontaminate — the
+    bitmap only prunes the verify join's input, never the answer."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    exact = sorted(r.doc_id for r in
+                   decontaminate(corpus, bench, n=6, min_shared=2)
+                   .select("doc_id").collect())
+    got = sorted(r.doc_id for r in
+                 decontaminate_bloom(corpus, bench, n=6, min_shared=2)
+                 .select("doc_id").collect())
+    assert got == exact and len(exact) > 0
+
+
+def test_bloom_exact_under_saturated_bitmap(spark, corpus, bench):
+    """A deliberately undersized bitmap (256 bits for hundreds of grams =
+    near-total false-positive rate) must still return the exact answer:
+    the verify join is the decider, the bloom only a prefilter."""
+    exact = sorted(r.doc_id for r in
+                   decontaminate(corpus, bench, n=5).collect())
+    got = sorted(r.doc_id for r in
+                 decontaminate_bloom(corpus, bench, n=5,
+                                     m_bits=256, k=2).collect())
+    assert got == exact
+
+
+def test_bloom_bitmap_bounds(spark, bench):
+    """Driver pull is bounded by the FILTER size (m_bits/64 longs), and
+    every set bit round-trips through the membership predicate (no false
+    negatives by construction)."""
+    grams = bench.select(F.explode(F.split(F.lower("text"), " "))
+                         .alias("__g")).distinct()
+    bm = build_bloom_bitmap(grams, "__g", m_bits=1024, k=3)
+    assert len(bm) == 1024 // 64
+    from pyspark.sql import types as T
+    bloom_df = spark.createDataFrame(
+        [(bm,)], T.StructType([T.StructField(
+            "__bloom", T.ArrayType(T.LongType(), False), False)]))
+    misses = (grams.crossJoin(F.broadcast(bloom_df))
+              .filter(~bloom_might_contain(F.col("__g"), F.col("__bloom"),
+                                           1024, 3))
+              .count())
+    assert misses == 0
+    with pytest.raises(ValueError):
+        build_bloom_bitmap(grams, "__g", m_bits=100)
+
+
+def test_bloom_corpus_side_unshuffled_before_prefilter(spark, corpus, bench):
+    """The corpus must reach the bloom probe through a broadcast
+    (BroadcastNestedLoopJoin on the 1-row bitmap) with no Exchange before
+    it: the filter is map-side.  The exact verify join downstream is
+    allowed to shuffle — that is the design."""
+    out = decontaminate_bloom(corpus, bench, n=5, m_bits=1 << 14)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    # the bitmap probe itself is codegen bit arithmetic, not a UDF
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
