@@ -36,7 +36,8 @@ from cascading_flink_spark.extensions import (
     frame_sample,
     audio_dups, image_dups, resize_images, video_dups,
     dedup_clusters, embedding_dup_pairs, exact_dedup, fingerprint, lang_id,
-    ivf_topk, ivf_topk_md5, lsh_bucketed_topk, lsh_bucketed_topk_md5,
+    ivf_topk, ivf_topk_md5, kmeans_md5, lsh_bucketed_topk,
+    lsh_bucketed_topk_md5,
     pq_topk, pq_topk_md5, semdedup_pairs, semdedup_pairs_md5,
     minhash_lsh_pairs, minhash_lsh_pairs_md5,
     ngram_jaccard_pairs, quality_features, quality_filter, redact_pii,
@@ -1066,6 +1067,64 @@ def q_decontaminate(spark, sf_dir):
                 F.lit(-1).cast("long").alias("bench_id"),
                 F.col("n").alias("shared_grams"))
     return pairs.unionByName(kept)
+
+
+def q_kmeans(spark, sf_dir):
+    """Full-corpus spherical k-means with a complete value-hash gate —
+    the board's first ITERATIVE algorithm whose every Lloyd round the
+    DuckDB oracle replays exactly (integer-scaled vectors make the
+    centroid means order-free; md5-ranked init; cosine argmax with index
+    tie-breaks).  k=8, 2 update rounds, final assignment returned."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_md5(emb, k=8, iterations=2)
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled-Lloyd DuckDB twin of :func:`kmeans_md5` (same k / same
+    iteration count as q_kmeans): one CTE pair (assign a{i}, means m{i} ->
+    centroids c{i}) per iteration, generated so the SQL can never drift
+    from the declared round count."""
+    sql = """
+        WITH v AS (SELECT vec_id,
+                          [round(x * 1000000)::BIGINT
+                           for x in embedding::DOUBLE[]] AS sv
+                   FROM embeddings),
+        vd AS (SELECT vec_id, sv::DOUBLE[] AS dv, sv FROM v),
+        ranked AS (SELECT vec_id,
+                          row_number() OVER (ORDER BY md5(vec_id::VARCHAR))
+                            - 1 AS cluster
+                   FROM v),
+        c0 AS (SELECT r.cluster, vd.dv AS cvec
+               FROM ranked r JOIN vd USING (vec_id)
+               WHERE r.cluster < {k})""".format(k=k)
+    step = """,
+        a{i} AS (SELECT vec_id, cluster FROM (
+                   SELECT vd.vec_id, c.cluster,
+                          row_number() OVER (PARTITION BY vd.vec_id
+                            ORDER BY list_cosine_similarity(vd.dv, c.cvec)
+                                       DESC, c.cluster) AS rn
+                   FROM vd CROSS JOIN c{p} c) WHERE rn = 1),
+        m{i} AS (SELECT a.cluster, r.i AS pos,
+                        sum(vd.sv[r.i])::BIGINT AS s, count(*) AS n
+                 FROM a{i} a JOIN vd USING (vec_id)
+                 CROSS JOIN range(1, {dim} + 1) r(i)
+                 GROUP BY 1, 2),
+        c{i} AS (SELECT c.cluster,
+                        CASE WHEN count(m.pos) = 0 THEN any_value(c.cvec)
+                             ELSE list(m.s / m.n ORDER BY m.pos) END AS cvec
+                 FROM c{p} c LEFT JOIN m{i} m USING (cluster)
+                 GROUP BY c.cluster)"""
+    for i in range(1, iters + 1):
+        sql += step.format(i=i, p=i - 1, dim=dim)
+    sql += """
+        SELECT vec_id, cluster, sim FROM (
+          SELECT vd.vec_id, c.cluster,
+                 round(list_cosine_similarity(vd.dv, c.cvec), 4) AS sim,
+                 row_number() OVER (PARTITION BY vd.vec_id
+                   ORDER BY list_cosine_similarity(vd.dv, c.cvec) DESC,
+                            c.cluster) AS rn
+          FROM vd CROSS JOIN c{n} c) WHERE rn = 1""".format(n=iters)
+    return sql
 
 
 def q_decontaminate_bloom(spark, sf_dir):
@@ -2468,6 +2527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         # --- NEW round 8 ---
+        "kmeans": q_kmeans,
         "decontaminate_bloom": q_decontaminate_bloom,
         "image_dups": q_image_dups,
         "curation_despan": q_curation_despan,
@@ -4276,6 +4336,7 @@ def oracle_sql() -> dict[str, str]:
              AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 3600000000
             WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         """,
+        "kmeans": _kmeans_oracle(k=8, iters=2, dim=64),
         "decontaminate_bloom": """
             WITH toks AS (SELECT doc_id,
                                  regexp_split_to_array(lower(trim(text)), '\\s+') AS t

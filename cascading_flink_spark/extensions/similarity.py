@@ -22,6 +22,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -258,6 +259,93 @@ def ivf_topk_md5(corpus: DataFrame, queries: DataFrame, k: int = 10,
     return (scored.withColumn("__rn", F.row_number().over(w))
                   .filter(F.col("__rn") <= k)
                   .drop("__rn"))
+
+
+def kmeans_md5(corpus: DataFrame, k: int = 8, iterations: int = 2,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               scale: int = 1_000_000) -> DataFrame:
+    """Deterministic cross-engine spherical k-means: full-corpus Lloyd
+    iterations whose EVERY intermediate is bit-reproducible in ANSI SQL,
+    so the final assignment passes a value-hash gate — the evidence twin
+    for the library's iterative clustering (the production Lloyd paths,
+    :func:`_kmeans_centroids` + :func:`_refine_centroids_distributed`,
+    stay float-sampled and serve :func:`ivf_topk`).
+
+    Determinism recipe (the parts a naive port gets wrong):
+
+    * vectors are INTEGER-scaled up front (``round(x * scale)`` as long) —
+      per-cluster dimension sums are then exact integers, ORDER-FREE in
+      both engines, and the centroid mean ``sum / count`` is one division
+      of two exactly-representable integers: bit-identical doubles with no
+      ordered-fold gymnastics in the update step.  Cosine is
+      scale-invariant, so assignments equal the unscaled ones.
+    * init = the ``k`` vectors with the smallest ``md5(id)`` (the same
+      hash-ordered unbiased sample as :func:`ivf_topk_md5`), cluster label
+      = md5 rank.
+    * assignment = cosine argmax with a cluster-index tie-break
+      (``row_number``), the convention the whole ann family gates under.
+    * an emptied cluster keeps its previous centroid (replayed identically
+      by the oracle).
+
+    Each iteration is one distributed assign pass (centroids broadcast,
+    map-side argmax) + one ``posexplode`` partial-agg reduction; the only
+    driver pull is k·dim sum/count rows per iteration (~512 values) — the
+    same bounded k·dim contract as the IVF/PQ trainers.  At 100 TB this IS
+    the standard distributed Lloyd: O(scan) per iteration, no all-pairs,
+    no driver-side data.
+
+    Returns (id_col, cluster, sim) — the final assignment after
+    ``iterations`` centroid updates, sim rounded to 4dp."""
+    spark = corpus.sparkSession
+    sv = F.transform(F.col(vec_col).cast("array<double>"),
+                     lambda x: F.round(x * scale, 0).cast("long"))
+    vecs = (_fan_out(corpus)
+            .select(F.col(id_col), sv.alias("__sv"))
+            .withColumn("__dv", F.col("__sv").cast("array<double>"))
+            .persist())
+    seeds = (vecs.orderBy(F.md5(F.col(id_col).cast("string")))
+                 .limit(k)
+                 .select("__sv")
+                 .collect())
+    # centroid state lives on the driver between iterations: k x dim
+    # doubles, nothing else ever leaves the executors
+    cents: list[list[float]] = [[float(x) for x in r["__sv"]] for r in seeds]
+
+    def cent_df(c):
+        return F.broadcast(spark.createDataFrame(
+            [(i, v) for i, v in enumerate(c)],
+            T.StructType([
+                T.StructField("__cluster", T.IntegerType(), False),
+                T.StructField("__cvec", T.ArrayType(T.DoubleType(), False),
+                              False)])))
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("__cos"), F.asc("__cluster"))
+
+    def assign_to(c):
+        return (vecs.crossJoin(cent_df(c))
+                .withColumn("__cos", cosine_expr(F.col("__dv"),
+                                                 F.col("__cvec")))
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1))
+
+    for _ in range(iterations):
+        rows = (assign_to(cents)
+                .select("__cluster", F.posexplode("__sv").alias("__p", "__v"))
+                .groupBy("__cluster", "__p")
+                .agg(F.sum("__v").alias("__s"),
+                     F.count(F.lit(1)).alias("__n"))
+                .collect())
+        nxt = [list(c) for c in cents]          # empty cluster keeps its own
+        for r in rows:
+            # exact-int / exact-int: the same correctly-rounded double the
+            # oracle's BIGINT / BIGINT division produces
+            nxt[r["__cluster"]][r["__p"]] = r["__s"] / r["__n"]
+        cents = nxt
+    return (assign_to(cents)
+            .select(F.col(id_col),
+                    F.col("__cluster").alias("cluster"),
+                    F.round("__cos", 4).alias("sim")))
 
 
 def embedding_dup_pairs(df: DataFrame, threshold: float = 0.95,

@@ -319,3 +319,58 @@ def test_sq_write_once_index_flow(spark, emb, queries, tmp_path):
               for r in sq_topk(served_corpus, queries, k=5, dim=64,
                                stats=stats).collect()}
     assert served == direct
+
+
+# ------------------------------------------------------------- kmeans_md5
+
+def test_kmeans_md5_partitions_corpus(spark, emb):
+    from cascading_flink_spark.extensions import kmeans_md5
+    out = kmeans_md5(emb, k=4, iterations=1).collect()
+    n = emb.count()
+    assert len(out) == n                      # every vector assigned once
+    clusters = {r.cluster for r in out}
+    assert clusters <= set(range(4)) and len(clusters) >= 2
+    assert all(-1.0 <= r.sim <= 1.0 for r in out)
+
+
+def test_kmeans_md5_deterministic(spark, emb):
+    """Two independent runs produce identical assignments AND sims — the
+    whole point of the integer-scaled update + md5 init + tie-broken
+    argmax (partition order must not leak into the result)."""
+    from cascading_flink_spark.extensions import kmeans_md5
+    a = sorted(map(tuple, kmeans_md5(emb, k=4, iterations=2).collect()))
+    b = sorted(map(tuple, kmeans_md5(
+        emb.repartition(7), k=4, iterations=2).collect()))
+    assert a == b
+
+
+def test_kmeans_md5_empty_cluster_keeps_centroid(spark):
+    """Two identical seed vectors: the higher-indexed twin loses every
+    tie-broken assignment, empties, and must KEEP its previous centroid
+    (not crash, not NaN) — the documented oracle-replayed rule."""
+    from pyspark.sql import Row
+    from cascading_flink_spark.extensions import kmeans_md5
+    df = spark.createDataFrame([
+        Row(vec_id=1, embedding=[1.0, 0.0]),
+        Row(vec_id=2, embedding=[1.0, 0.0]),
+        Row(vec_id=3, embedding=[0.0, 1.0]),
+    ])
+    out = kmeans_md5(df, k=3, iterations=2).collect()
+    assert len(out) == 3
+    assert all(r.sim == r.sim for r in out)   # no NaN
+    # the two identical vectors land together; the third sits alone
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, []).append(r.vec_id)
+    groups = sorted(sorted(v) for v in by_cluster.values())
+    assert groups == [[1, 2], [3]]
+
+
+def test_kmeans_md5_assignment_is_codegen(spark, emb):
+    """The assign pass must stay JVM-side: broadcast centroids, native
+    zip_with/aggregate cosine — no Python eval anywhere in the plan."""
+    from cascading_flink_spark.extensions import kmeans_md5
+    plan = kmeans_md5(emb, k=4, iterations=1) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Broadcast" in plan
