@@ -246,6 +246,9 @@ BENCH_QUERIES = [
     "video_dups",
     "image_resize",
     "frame_sample",
+    # round-8 session-2 additions (142 -> 144)
+    "kmeans",
+    "decontaminate_bloom",
 ]
 
 

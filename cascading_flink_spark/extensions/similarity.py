@@ -299,10 +299,14 @@ def kmeans_md5(corpus: DataFrame, k: int = 8, iterations: int = 2,
     spark = corpus.sparkSession
     sv = F.transform(F.col(vec_col).cast("array<double>"),
                      lambda x: F.round(x * scale, 0).cast("long"))
+    # localCheckpoint, not persist(): the scaled-vector frame is re-read by
+    # every Lloyd round plus the final assignment, and block lifetime then
+    # follows this frame's GC instead of piling up in the CacheManager
+    # (the round-8 hygiene convention; see test_round8_hygiene.py)
     vecs = (_fan_out(corpus)
             .select(F.col(id_col), sv.alias("__sv"))
             .withColumn("__dv", F.col("__sv").cast("array<double>"))
-            .persist())
+            .localCheckpoint(eager=False))
     seeds = (vecs.orderBy(F.md5(F.col(id_col).cast("string")))
                  .limit(k)
                  .select("__sv")

@@ -44,11 +44,14 @@ def test_operator_caches_leave_query_cache_empty(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     spark.catalog.clearCache()
+    from cascading_flink_spark.extensions.similarity import kmeans_md5
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     for _ in range(3):
         chunk_corpus(docs, context_len=64).count()
         pack_bins(docs, capacity=128).count()
         heavy_hitters(events.select("event_type"), "event_type", k=5).count()
         event_funnel(events, ["view", "click"]).count()
+        kmeans_md5(emb, k=4, iterations=1).count()
     cm = spark._jsparkSession.sharedState().cacheManager()
     assert cm.isEmpty(), \
         "operator-internal pins must not pile up in the cached-query registry"
