@@ -403,7 +403,9 @@ def dedup_against(new: DataFrame, reference: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   method: str = "exact", n: int = 3, num_hashes: int = 32,
                   bands: int = 8, threshold: float = 0.5,
-                  use_md5: bool = False) -> DataFrame:
+                  use_md5: bool = False,
+                  bloom_bits: int | None = None,
+                  bloom_k: int = 4) -> DataFrame:
     """Incremental cross-corpus dedup: the rows of ``new`` that do NOT
     duplicate the already-curated ``reference`` corpus (all original
     columns preserved).
@@ -422,14 +424,43 @@ def dedup_against(new: DataFrame, reference: DataFrame,
     :func:`sq-style <_md5_banded>` write-once discipline; the reference
     side here recomputes it for self-containment).  New-side documents
     too short to shingle have no band keys and survive, as with the
-    within-corpus pair generators."""
+    within-corpus pair generators.
+
+    ``bloom_bits`` (exact method only) prepends a broadcast-Bloom
+    prefilter over the reference fingerprints: new-side rows whose
+    fingerprint misses the bitmap are DEFINITELY clean (Bloom filters
+    have no false negatives) and pass through with ZERO shuffle; only
+    bitmap hits — true dupes plus the false-positive trickle — reach the
+    exact anti-join.  Output identical to the plain exact path (pytest-
+    pinned, including under a saturated bitmap); at 100 TB the anti-join's
+    new-side input shrinks from the whole batch to O(dup rate), the same
+    trick :func:`~.decontam.decontaminate_bloom` plays on gram tables."""
     if method == "exact":
         from .text import fingerprint_expr
         fp = fingerprint_expr(F.col(text_col))
         ref_fp = reference.select(fp.alias("__fp")).distinct()
-        return (new.withColumn("__fp", fp)
-                   .join(ref_fp, "__fp", "left_anti")
-                   .drop("__fp"))
+        if bloom_bits is None:
+            return (new.withColumn("__fp", fp)
+                       .join(ref_fp, "__fp", "left_anti")
+                       .drop("__fp"))
+        # local import: decontam imports helpers from this module
+        from .decontam import bloom_might_contain, build_bloom_bitmap
+        bitmap = build_bloom_bitmap(ref_fp, "__fp",
+                                    m_bits=bloom_bits, k=bloom_k)
+        bloom_df = new.sparkSession.createDataFrame(
+            [(bitmap,)], T.StructType([T.StructField(
+                "__bloom", T.ArrayType(T.LongType(), False), False)]))
+        probed = (new.withColumn("__fp", fp)
+                     .crossJoin(F.broadcast(bloom_df))
+                     .withColumn("__hit", bloom_might_contain(
+                         F.col("__fp"), F.col("__bloom"),
+                         bloom_bits, bloom_k))
+                     .drop("__bloom"))
+        clean = probed.filter(~F.col("__hit")).drop("__fp", "__hit")
+        verified = (probed.filter(F.col("__hit")).drop("__hit")
+                          .join(ref_fp, "__fp", "left_anti")
+                          .drop("__fp"))
+        return clean.unionByName(verified)
     if method != "minhash":
         raise ValueError(f"unknown method {method!r}")
     import math

@@ -154,3 +154,35 @@ def test_dedup_against_rejects_unknown_method(spark):
     new = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         dedup_against(new, new, method="bogus")
+
+
+def test_dedup_against_bloom_equals_exact(spark, sf_dir):
+    """The bloom_bits prefilter may only shrink the anti-join's input,
+    never change the kept set — pinned on real docs at a sane bitmap AND
+    at a saturated 128-bit bitmap where nearly every row is a false
+    positive and the verify join does all the work."""
+    from cascading_flink_spark.extensions import dedup_against
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = docs.filter("doc_id % 2 = 1")
+    ref = docs.filter("doc_id % 2 = 0")
+    exact = {r["doc_id"]
+             for r in dedup_against(new, ref, method="exact").collect()}
+    for m_bits in (1 << 20, 128):
+        kept = {r["doc_id"]
+                for r in dedup_against(new, ref, method="exact",
+                                       bloom_bits=m_bits).collect()}
+        assert kept == exact, f"m_bits={m_bits}"
+
+
+def test_dedup_against_bloom_clean_rows_skip_the_anti_join(spark):
+    """Plan shape: the bloom branch splits the batch BEFORE the anti-join
+    (one side is a pure filter+union with no join at all), and the probe
+    is codegen bit arithmetic, not Python."""
+    from cascading_flink_spark.extensions import dedup_against
+    new = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    ref = spark.createDataFrame([(9, "b")], "doc_id long, text string")
+    out = dedup_against(new, ref, method="exact", bloom_bits=1 << 10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert {r["doc_id"] for r in out.collect()} == {1}
