@@ -282,8 +282,12 @@ def kmeans_md5(corpus: DataFrame, k: int = 8, iterations: int = 2,
     * init = the ``k`` vectors with the smallest ``md5(id)`` (the same
       hash-ordered unbiased sample as :func:`ivf_topk_md5`), cluster label
       = md5 rank.
-    * assignment = cosine argmax with a cluster-index tie-break
-      (``row_number``), the convention the whole ann family gates under.
+    * assignment = cosine argmax with a cluster-index tie-break, the
+      convention the whole ann family gates under — computed as a MAP-ONLY
+      higher-order ``aggregate`` over a literal centroid array (a strict
+      ``>`` fold in index order IS "ORDER BY cos DESC, cluster ASC"), so a
+      Lloyd round never shuffles the corpus: the only exchange per round
+      is the k·dim partial-aggregated sum/count reduction.
     * an emptied cluster keeps its previous centroid (replayed identically
       by the oracle).
 
@@ -315,23 +319,28 @@ def kmeans_md5(corpus: DataFrame, k: int = 8, iterations: int = 2,
     # doubles, nothing else ever leaves the executors
     cents: list[list[float]] = [[float(x) for x in r["__sv"]] for r in seeds]
 
-    def cent_df(c):
-        return F.broadcast(spark.createDataFrame(
-            [(i, v) for i, v in enumerate(c)],
-            T.StructType([
-                T.StructField("__cluster", T.IntegerType(), False),
-                T.StructField("__cvec", T.ArrayType(T.DoubleType(), False),
-                              False)])))
-
-    w = Window.partitionBy(id_col).orderBy(
-        F.desc("__cos"), F.asc("__cluster"))
-
     def assign_to(c):
-        return (vecs.crossJoin(cent_df(c))
-                .withColumn("__cos", cosine_expr(F.col("__dv"),
-                                                 F.col("__cvec")))
-                .withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1))
+        # literal centroid array + a strict-> fold in index order = cosine
+        # argmax with the ascending-cluster tie-break, as ONE map-side
+        # expression: no crossJoin row explosion, no per-round
+        # Window-partitionBy(id) corpus shuffle
+        cent_lit = F.array(*[
+            F.struct(F.lit(i).alias("c"),
+                     F.lit(v).cast("array<double>").alias("v"))
+            for i, v in enumerate(c)])
+        best = F.aggregate(
+            cent_lit,
+            F.struct(F.lit(-1).alias("c"),
+                     F.lit(float("-inf")).alias("cos")),
+            lambda acc, x: F.when(
+                cosine_expr(F.col("__dv"), x["v"]) > acc["cos"],
+                F.struct(x["c"].alias("c"),
+                         cosine_expr(F.col("__dv"), x["v"]).alias("cos"))
+            ).otherwise(acc))
+        return (vecs.withColumn("__best", best)
+                .select(F.col(id_col), "__sv",
+                        F.col("__best.c").alias("__cluster"),
+                        F.col("__best.cos").alias("__cos")))
 
     for _ in range(iterations):
         rows = (assign_to(cents)

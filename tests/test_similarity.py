@@ -366,11 +366,14 @@ def test_kmeans_md5_empty_cluster_keeps_centroid(spark):
     assert groups == [[1, 2], [3]]
 
 
-def test_kmeans_md5_assignment_is_codegen(spark, emb):
-    """The assign pass must stay JVM-side: broadcast centroids, native
-    zip_with/aggregate cosine — no Python eval anywhere in the plan."""
+def test_kmeans_md5_assignment_is_maponly_codegen(spark, emb):
+    """The assign pass must be a MAP: literal-centroid argmax fold, no
+    join, no Window-partitionBy(id) corpus shuffle, no Python eval — the
+    per-round cost at 100 TB is one scan plus a k*dim partial-agg
+    reduction, nothing else."""
     from cascading_flink_spark.extensions import kmeans_md5
     plan = kmeans_md5(emb, k=4, iterations=1) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "Broadcast" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
