@@ -160,3 +160,33 @@ def test_bloom_corpus_side_unshuffled_before_prefilter(spark, corpus, bench):
     assert "BroadcastNestedLoopJoin" in plan
     # the bitmap probe itself is codegen bit arithmetic, not a UDF
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bloom_no_false_negatives_property(spark):
+    """Property pin (hypothesis): for ARBITRARY key sets and filter
+    geometries, every inserted key passes the membership predicate —
+    Bloom filters must never have a false negative, which is the entire
+    correctness argument for the prefilter (the verify join only ever
+    removes false POSITIVES)."""
+    hypothesis = pytest.importorskip("hypothesis")
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import types as T
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(st.text(min_size=0, max_size=30), min_size=1,
+                    max_size=40, unique=True),
+           st.sampled_from([64, 256, 1024]),
+           st.integers(1, 5))
+    def check(keys, m_bits, k):
+        df = spark.createDataFrame([(x,) for x in keys], "g string")
+        bm = build_bloom_bitmap(df, "g", m_bits=m_bits, k=k)
+        bloom_df = spark.createDataFrame(
+            [(bm,)], T.StructType([T.StructField(
+                "__bloom", T.ArrayType(T.LongType(), False), False)]))
+        misses = (df.crossJoin(F.broadcast(bloom_df))
+                  .filter(~bloom_might_contain(F.col("g"),
+                                               F.col("__bloom"), m_bits, k))
+                  .count())
+        assert misses == 0
+
+    check()
