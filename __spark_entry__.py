@@ -2508,8 +2508,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     least-recently-driver-verified queries must sit at the front.
     Rotation is documented in COVERAGE.md ("Driver-slot rotation").
 
-    Round-8 front block (slots 1-50): the 2 NEW round-8 operators
-    (image_dups, curation_despan); the 7 round-7 session-4 queries that
+    Round-8 front block (slots 1-50): the NEW round-8 operators (kmeans
+    and decontaminate_bloom from session 2 lead; then image_dups,
+    curation_despan and the session-1 media family); the 7 round-7
+    session-4 queries that
     were appended AFTER the r7 driver check and therefore have no driver
     row at all (VERDICT r7 "What's missing #1" / "Next #1" — c4_rules,
     sample_k_per_group, cardinality_report, dup_spans, strip_dup_spans,
