@@ -28,7 +28,8 @@ from .dedup import (
 from .similarity import (
     cosine_expr, brute_force_topk, embedding_dup_pairs, group_centroids,
     lsh_bucketed_topk,
-    lsh_bucketed_topk_md5, ivf_topk, ivf_topk_md5, kmeans_md5,
+    lsh_bucketed_topk_md5, ivf_topk, ivf_topk_md5,
+    kmeans, kmeans_assign, kmeans_md5,
     pq_topk, pq_topk_md5,
     random_project, semdedup_pairs, semdedup_pairs_md5, sq_minmax,
     sq_quantize, sq_topk,

@@ -261,6 +261,75 @@ def ivf_topk_md5(corpus: DataFrame, queries: DataFrame, k: int = 10,
                   .drop("__rn"))
 
 
+def _argmax_cosine(vec: Column, centroids: list[list[float]]) -> Column:
+    """``struct<c:int, cos:double>`` — cosine argmax over a LITERAL
+    centroid array, as one map-side higher-order ``aggregate`` fold: a
+    strict ``>`` in index order reproduces "ORDER BY cos DESC, cluster
+    ASC" exactly (first maximum wins ties), with no crossJoin row
+    explosion and no Window-partitionBy corpus shuffle.  Pure codegen —
+    usable in any projection, including a STREAMING one."""
+    cent_lit = F.array(*[
+        F.struct(F.lit(i).alias("c"),
+                 F.lit(v).cast("array<double>").alias("v"))
+        for i, v in enumerate(centroids)])
+    return F.aggregate(
+        cent_lit,
+        F.struct(F.lit(-1).alias("c"),
+                 F.lit(float("-inf")).alias("cos")),
+        lambda acc, x: F.when(
+            cosine_expr(vec, x["v"]) > acc["cos"],
+            F.struct(x["c"].alias("c"),
+                     cosine_expr(vec, x["v"]).alias("cos"))
+        ).otherwise(acc))
+
+
+def kmeans_assign(df: DataFrame, centroids: list[list[float]],
+                  vec_col: str = "embedding",
+                  cluster_col: str = "cluster",
+                  sim_col: str = "sim") -> DataFrame:
+    """Assign every row to its nearest (cosine) centroid: all original
+    columns plus (``cluster_col``, ``sim_col`` rounded to 4dp).
+
+    A STATELESS map-side projection — no join, no shuffle, no state — so
+    it runs unchanged on a Structured Streaming frame: train centroids
+    once in batch (:func:`kmeans` / :func:`_kmeans_centroids`), then
+    route a 100 TB/day embedding stream through this as the inference
+    path (streaming parity pinned in ``tests/test_streaming.py``)."""
+    best = _argmax_cosine(F.col(vec_col).cast("array<double>"),
+                          centroids)
+    return (df.withColumn("__best", best)
+              .withColumn(cluster_col, F.col("__best.c"))
+              .withColumn(sim_col, F.round(F.col("__best.cos"), 4))
+              .drop("__best"))
+
+
+def kmeans(corpus: DataFrame, k: int = 8, dim: int = 64,
+           sample_iterations: int = 3, refine_iterations: int = 1,
+           id_col: str = "vec_id",
+           vec_col: str = "embedding") -> DataFrame:
+    """Production spherical k-means over the full corpus: Lloyd-train on
+    a deterministic hash SAMPLE (:func:`_kmeans_centroids` — FAISS-style
+    bounded driver fit), optionally refine with distributed full-corpus
+    passes (:func:`_refine_centroids_distributed` — k·dim partial-agg
+    reductions, no driver data), then assign every row with the map-only
+    literal-centroid argmax (:func:`kmeans_assign`).
+
+    The evidence twin :func:`kmeans_md5` (hash-seeded, integer-scaled,
+    fully SQL-replayable) carries the correctness gate; this path trades
+    its bit-reproducibility for Lloyd-trained centroid quality — the same
+    twin split as ivf_topk / ivf_topk_md5.  Note the trainers L2-normalize
+    internally, so assignment similarity is computed against UNIT
+    centroids; cosine is scale-invariant on the row side."""
+    cent = _kmeans_centroids(corpus, k=k, dim=dim, vec_col=vec_col,
+                             iterations=sample_iterations, id_col=id_col)
+    if refine_iterations:
+        cent = _refine_centroids_distributed(corpus, cent, vec_col,
+                                             iterations=refine_iterations)
+    return kmeans_assign(_fan_out(corpus), [list(map(float, c))
+                                            for c in cent],
+                         vec_col=vec_col)
+
+
 def kmeans_md5(corpus: DataFrame, k: int = 8, iterations: int = 2,
                id_col: str = "vec_id", vec_col: str = "embedding",
                scale: int = 1_000_000) -> DataFrame:
@@ -320,24 +389,8 @@ def kmeans_md5(corpus: DataFrame, k: int = 8, iterations: int = 2,
     cents: list[list[float]] = [[float(x) for x in r["__sv"]] for r in seeds]
 
     def assign_to(c):
-        # literal centroid array + a strict-> fold in index order = cosine
-        # argmax with the ascending-cluster tie-break, as ONE map-side
-        # expression: no crossJoin row explosion, no per-round
-        # Window-partitionBy(id) corpus shuffle
-        cent_lit = F.array(*[
-            F.struct(F.lit(i).alias("c"),
-                     F.lit(v).cast("array<double>").alias("v"))
-            for i, v in enumerate(c)])
-        best = F.aggregate(
-            cent_lit,
-            F.struct(F.lit(-1).alias("c"),
-                     F.lit(float("-inf")).alias("cos")),
-            lambda acc, x: F.when(
-                cosine_expr(F.col("__dv"), x["v"]) > acc["cos"],
-                F.struct(x["c"].alias("c"),
-                         cosine_expr(F.col("__dv"), x["v"]).alias("cos"))
-            ).otherwise(acc))
-        return (vecs.withColumn("__best", best)
+        return (vecs.withColumn("__best",
+                                _argmax_cosine(F.col("__dv"), c))
                 .select(F.col(id_col), "__sv",
                         F.col("__best.c").alias("__cluster"),
                         F.col("__best.cos").alias("__cos")))

@@ -377,3 +377,18 @@ def test_kmeans_md5_assignment_is_maponly_codegen(spark, emb):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_kmeans_production_path(spark, emb):
+    """The Lloyd-trained production kmeans: every row assigned, cluster
+    ids in range, assignment frame keeps the original columns, and the
+    assign stage is the same map-only fold the md5 twin uses."""
+    from cascading_flink_spark.extensions import kmeans
+    out = kmeans(emb, k=4, dim=64, sample_iterations=2,
+                 refine_iterations=1)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    assert {r.cluster for r in rows} <= set(range(4))
+    assert "embedding" in out.columns and "sim" in out.columns
+    # Lloyd-trained centroids should be used: at least 2 clusters occupied
+    assert len({r.cluster for r in rows}) >= 2

@@ -892,3 +892,35 @@ def test_stream_media_dedup_state_across_batches(spark, tmp_path):
     got = sorted(r["media_id"]
                  for r in spark.read.parquet(out_dir).collect())
     assert got == [1, 3]                    # 2 deduped across batches
+
+
+def test_kmeans_assign_streaming_parity(spark, sf_dir, tmp_path):
+    """kmeans_assign is a stateless map-side projection, so the SAME
+    trained centroids route a stream to byte-identical assignments as the
+    batch path — the train-in-batch / assign-on-stream inference pattern."""
+    from cascading_flink_spark.extensions import kmeans_assign
+
+    emb = load(spark, sf_dir, "embeddings").limit(200)
+    src = str(tmp_path / "km_in")
+    emb.write.mode("overwrite").parquet(src)
+
+    # any fixed centroid set works for the parity pin; unit-ish rows keep
+    # the cosine well-conditioned
+    cents = [list(r["embedding"]) for r in
+             spark.read.parquet(src).orderBy("vec_id").limit(3).collect()]
+    cents = [[float(x) for x in c] for c in cents]
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema) \
+                  .parquet(src)
+    out = kmeans_assign(stream, cents).select("vec_id", "cluster", "sim")
+    q = (out.writeStream.format("memory").queryName("km_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+
+    got = sorted(map(tuple,
+                     spark.sql("SELECT * FROM km_out").collect()))
+    expect = sorted(map(tuple,
+                        kmeans_assign(spark.read.parquet(src), cents)
+                        .select("vec_id", "cluster", "sim").collect()))
+    assert got == expect and len(expect) == 200
+    spark.catalog.dropTempView("km_out")
