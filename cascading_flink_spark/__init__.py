@@ -19,7 +19,8 @@ from .pipes import (
 from .taps import (
     Tap, Hfs, GlobHfs, MultiSourceTap, PartitionTap, DataFrameTap, MemoryTap,
     BucketedTap, SnapshotTap, Scheme, TextLine, TextDelimited,
-    UnknownTextDelimited, OrcScheme, ParquetScheme, JsonScheme, SinkMode,
+    UnknownTextDelimited, OrcScheme, ParquetScheme, JsonScheme,
+    XmlScheme, SinkMode,
     WritableSequenceFile, pos,
 )
 from .flow import Cascade, Flow, FlowConnector, FlowDef, FlowStepJob

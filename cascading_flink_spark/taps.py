@@ -200,6 +200,32 @@ class JsonScheme(Scheme):
         out.write.mode(mode.value).json(path)
 
 
+class XmlScheme(Scheme):
+    """XML records via Spark 4's NATIVE xml data source (one row per
+    ``row_tag`` element; attributes surface as ``_attr`` columns).  Fills
+    the Cascading-ecosystem XML-scheme role (cascading.xml's XPath taps)
+    with a splittable, schema-inferring columnar read — no external jar.
+    Like :class:`JsonScheme`, declared fields prune columns at the source;
+    at cluster scale prefer an explicit read schema over inference (Spark
+    samples the files to infer, an extra pass)."""
+
+    def __init__(self, fields=None, row_tag: str = "row") -> None:
+        super().__init__(fields)
+        self.row_tag = row_tag
+
+    def read(self, spark, paths):
+        df = (spark.read.format("xml").option("rowTag", self.row_tag)
+              .load(list(paths)))
+        if self.fields is not None:
+            df = df.select(*self.fields.names)
+        return df
+
+    def write(self, df, path, mode):
+        out = df.coalesce(self.num_sink_parts) if self.num_sink_parts else df
+        (out.write.mode(mode.value).format("xml")
+            .option("rowTag", self.row_tag).save(path))
+
+
 class UnknownTextDelimited(Scheme):
     """Dynamic-arity delimited text -> a single ``tuple array<string>``
     column — the ``Fields.UNKNOWN`` escape hatch (SURVEY §1.2/§1.3: the

@@ -819,3 +819,33 @@ def test_transform_memoized_across_branches(spark, sf_dir):
     assert len(calls) == 1
     assert flow.dataframe(b1.name).count() > 0
     assert flow.dataframe(b2.name).count() > 0
+
+
+def test_xml_scheme_roundtrip(spark, tmp_path):
+    """Spark 4's native xml source behind the Scheme interface: typed
+    round trip, custom row tag, declared-fields column pruning."""
+    from cascading_flink_spark import XmlScheme
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "n long, s string")
+    out = str(tmp_path / "xml")
+    Hfs(XmlScheme(row_tag="rec"), out, SinkMode.REPLACE).write(df)
+    back = Hfs(XmlScheme(fields=("n", "s"), row_tag="rec"), out).read(spark)
+    assert back.columns == ["n", "s"]
+    assert {(r["n"], r["s"]) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_xml_scheme_through_flow(spark, tmp_path):
+    """An XML source tap drives a flow end-to-end like any other scheme."""
+    from cascading_flink_spark import FlowDef, XmlScheme
+    src_dir = str(tmp_path / "xml_src")
+    spark.createDataFrame([(3, "x"), (1, "y"), (2, "y")],
+                          "n long, s string") \
+        .write.format("xml").option("rowTag", "row").save(src_dir)
+    head = Pipe("xmlsrc")
+    tail = Each(head, Fields("n"), ExpressionFilter("n < 2"),
+                name="filtered")
+    fd = (FlowDef().add_source(head, Hfs(XmlScheme(), src_dir))
+          .add_tail(tail))
+    got = sorted((r["n"], r["s"]) for r in
+                 FlowConnector(spark).connect(fd)
+                 .dataframe("filtered").collect())
+    assert got == [(2, "y"), (3, "x")]
