@@ -47,7 +47,7 @@ from cascading_flink_spark.extensions import (
     dedup_keep_best, event_funnel, group_quantiles,
     group_quantiles_binned, value_histogram,
     bigram_lm_scores, paragraph_dedup,
-    domain_quota, shuffle_shard, token_budget_mixture,
+    curriculum_shards, domain_quota, shuffle_shard, token_budget_mixture,
     temperature_budgets, temperature_mixture,
     gopher_quality, blocklist_stats, rolling_stats,
     corpus_report, group_centroids, inverted_index, ngram_counts, bm25_scores,
@@ -1067,6 +1067,22 @@ def q_decontaminate(spark, sf_dir):
                 F.lit(-1).cast("long").alias("bench_id"),
                 F.col("n").alias("shared_grams"))
     return pairs.unionByName(kept)
+
+
+def q_curriculum(spark, sf_dir):
+    """Curriculum ordering: exact global rank by (token-count difficulty,
+    doc_id) through the distributed-sort ranking shape (hash-sampled
+    composite range buckets -> within-bucket windows -> broadcast base
+    offsets; NO single-partition global window), cut into 8 contiguous
+    easy->hard shards with the closed-form ntile-style arithmetic the
+    oracle replays.  Partition- and sample-independence pytest-pinned."""
+    from cascading_flink_spark.extensions.text import token_count
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        token_count(F.coalesce("text", F.lit(""))).cast("long")
+            .alias("difficulty"))
+    return curriculum_shards(d, 8, "difficulty")
 
 
 def q_kmeans(spark, sf_dir):
@@ -2529,6 +2545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         # --- NEW round 8 ---
+        "curriculum": q_curriculum,
         "kmeans": q_kmeans,
         "decontaminate_bloom": q_decontaminate_bloom,
         "image_dups": q_image_dups,
@@ -4337,6 +4354,21 @@ def oracle_sql() -> dict[str, str]:
               ON c.user_id = p.user_id
              AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 3600000000
             WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        """,
+        "curriculum": """
+            WITH d AS (SELECT doc_id,
+                              (CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                                    ELSE len(regexp_split_to_array(
+                                             trim(coalesce(text, '')), '\\s+'))
+                               END)::BIGINT AS difficulty
+                       FROM documents),
+            r AS (SELECT doc_id, difficulty,
+                         row_number() OVER (ORDER BY difficulty, doc_id) AS rank,
+                         count(*) OVER () AS total
+                  FROM d)
+            SELECT doc_id, difficulty, rank::BIGINT AS rank,
+                   floor((rank - 1) * 8 / total)::INT AS shard
+            FROM r
         """,
         "kmeans": _kmeans_oracle(k=8, iters=2, dim=64),
         "decontaminate_bloom": """

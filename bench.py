@@ -246,9 +246,10 @@ BENCH_QUERIES = [
     "video_dups",
     "image_resize",
     "frame_sample",
-    # round-8 session-2 additions (142 -> 144)
+    # round-8 session-2 additions (142 -> 145)
     "kmeans",
     "decontaminate_bloom",
+    "curriculum",
 ]
 
 

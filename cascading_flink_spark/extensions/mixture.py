@@ -350,3 +350,91 @@ def group_split(df: DataFrame, group_col: str, test_frac: float = 0.1,
     return df.withColumn(
         out_col,
         F.when(h < cut, F.lit("test")).otherwise(F.lit("train")))
+
+
+def global_rank(df: DataFrame, score_col: str, id_col: str = "doc_id",
+                rank_col: str = "rank", buckets: int = 64,
+                sample_cap: int = 4096) -> DataFrame:
+    """EXACT dense global row_number by ``(score_col, id_col)`` ascending —
+    without the single-partition global Window that
+    ``row_number() OVER (ORDER BY ...)`` plans naively (the thing the
+    WindowExec "No Partition Defined" warning is about, and a guaranteed
+    OOM at 100 TB).
+
+    The distributed-sort ranking shape, all declarative:
+
+    1. a deterministic md5-hash SAMPLE (``sample_cap`` rows, bounded
+       driver pull — the same boundedness contract as the IVF trainers)
+       yields ``buckets - 1`` composite ``(score, id)`` boundary pairs;
+    2. every row buckets by counting boundaries ``<=`` its own
+       ``(score, id)`` struct (lexicographic struct comparison in one
+       codegen ``aggregate`` fold — ties split EXACTLY because the
+       boundary includes the tiebreak column, so low-cardinality scores
+       cannot hot-spot a bucket);
+    3. within-bucket ``row_number`` windows run over ~1/buckets of the
+       data each; bucket base offsets are a ``buckets``-row aggregate
+       cumsum, broadcast back.
+
+    ``base + within`` equals the global row_number for ANY boundary
+    choice (bucketing respects the total order), so the result is
+    partition- and sample-independent — the oracle is plainly
+    ``row_number() OVER (ORDER BY score, id)``.  Scores must be
+    non-null."""
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    s, i = F.col(score_col), F.col(id_col)
+    sample = (df.select(s.alias("__s"), i.alias("__i"),
+                        F.md5(i.cast("string")).alias("__hk"))
+                .orderBy("__hk").limit(sample_cap)
+                .select("__s", "__i").collect())
+    pairs = sorted((r["__s"], r["__i"]) for r in sample)
+    bnds = []
+    if len(pairs) > 1 and buckets > 1:
+        step = len(pairs) / buckets
+        bnds = sorted({pairs[min(int(j * step), len(pairs) - 1)]
+                       for j in range(1, buckets)})
+    cur = F.struct(s.alias("s"), i.alias("i"))
+    if bnds:
+        b_lit = F.array(*[F.struct(F.lit(a).alias("s"), F.lit(b).alias("i"))
+                          for a, b in bnds])
+        bucket = F.aggregate(
+            b_lit, F.lit(0),
+            lambda acc, x: acc + F.when(x <= cur, 1).otherwise(0))
+    else:
+        bucket = F.lit(0)
+    d = df.withColumn("__bk", bucket)
+    w_in = Window.partitionBy("__bk").orderBy(s.asc(), i.asc())
+    w_b = (Window.orderBy("__bk")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    bases = (d.groupBy("__bk").agg(F.count(F.lit(1)).alias("__c"))
+              .withColumn("__base", F.coalesce(F.sum("__c").over(w_b),
+                                               F.lit(0)))
+              .select("__bk", "__base"))
+    return (d.withColumn("__within", F.row_number().over(w_in))
+             .join(F.broadcast(bases), "__bk")
+             .withColumn(rank_col,
+                         (F.col("__base") + F.col("__within")).cast("long"))
+             .drop("__bk", "__within", "__base"))
+
+
+def curriculum_shards(df: DataFrame, n_shards: int, score_col: str,
+                      id_col: str = "doc_id",
+                      shard_col: str = "shard") -> DataFrame:
+    """Curriculum-ordering shards: rank the corpus by a difficulty score
+    (easy -> hard), then cut the ranking into ``n_shards`` contiguous
+    shards — shard 0 is the easiest slice, the standard length/difficulty
+    curriculum for staged pre-training.  ``shard = floor((rank - 1) *
+    n_shards / total)`` (sizes differ by at most 1); the same closed-form
+    arithmetic is the oracle, so the whole op — distributed ranking
+    included — hash-checks cross-engine.  Built on :func:`global_rank`;
+    the total is a broadcast 1-row aggregate, keeping one declarative
+    plan."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    ranked = global_rank(df, score_col, id_col=id_col)
+    total = df.agg(F.count(F.lit(1)).cast("long").alias("__total"))
+    return (ranked.crossJoin(F.broadcast(total))
+            .withColumn(shard_col,
+                        F.floor((F.col("rank") - 1) * n_shards
+                                / F.col("__total")).cast("int"))
+            .drop("__total"))

@@ -256,3 +256,78 @@ def test_group_split_null_group_goes_to_train_and_validates(spark):
     assert rows[1] == "train" and rows[2] == "test"
     with _pytest.raises(ValueError):
         group_split(df, "g", test_frac=1.5)
+
+
+# ----------------------------------------------------- global_rank
+
+def test_global_rank_equals_naive_window(spark, sf_dir):
+    """The bucketed two-phase rank must equal the naive global-window
+    row_number EXACTLY — including on a low-cardinality score where tie
+    runs span bucket boundaries (the composite (score, id) boundary is
+    what makes that safe)."""
+    from pyspark.sql import Window
+    from cascading_flink_spark.extensions import global_rank
+    from cascading_flink_spark.extensions.text import token_count
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = docs.select("doc_id",
+                    token_count(F.coalesce("text", F.lit(""))).cast("long")
+                     .alias("difficulty"))
+    got = {(r.doc_id, r.rank) for r in global_rank(d, "difficulty").collect()}
+    w = Window.orderBy(F.col("difficulty").asc(), F.col("doc_id").asc())
+    exp = {(r.doc_id, r.rank) for r in
+           d.withColumn("rank", F.row_number().over(w).cast("long"))
+           .collect()}
+    assert got == exp and len(got) > 0
+
+
+def test_global_rank_partition_and_sample_independent(spark):
+    """Any bucket geometry / sample size / input partitioning yields the
+    SAME ranks — boundaries only route, never decide."""
+    from cascading_flink_spark.extensions import global_rank
+    rows = [(i, (i * 7) % 13) for i in range(200)]       # many score ties
+    d = spark.createDataFrame(rows, "doc_id long, sc long")
+    base = {(r.doc_id, r.rank)
+            for r in global_rank(d, "sc", buckets=64).collect()}
+    for kw in (dict(buckets=1), dict(buckets=5, sample_cap=17),
+               dict(buckets=200)):
+        got = {(r.doc_id, r.rank)
+               for r in global_rank(d.repartition(7), "sc", **kw).collect()}
+        assert got == base, kw
+
+
+def test_global_rank_no_global_window(spark):
+    """The plan must contain NO partition-less Window (the 100 TB
+    justification): every Window sort key set includes the bucket."""
+    from cascading_flink_spark.extensions import global_rank
+    d = spark.range(100).selectExpr("id as doc_id", "id % 9 as sc")
+    plan = global_rank(d, "sc", buckets=8) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    import re
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        # partition clause precedes the sort spec; bucket or tiny
+        # bases-frame windows only
+        assert "__bk" in spec, f"partition-less window: {spec}"
+
+
+def test_curriculum_shards_sizes_and_order(spark):
+    """Shards are contiguous in rank, sizes differ by at most one, and
+    shard indices are monotone in the score."""
+    from cascading_flink_spark.extensions import curriculum_shards
+    rows = [(i, 1000 - i) for i in range(101)]
+    d = spark.createDataFrame(rows, "doc_id long, sc long")
+    out = curriculum_shards(d, 4, "sc").collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    sizes = [len(by_shard[s]) for s in sorted(by_shard)]
+    assert sorted(by_shard) == [0, 1, 2, 3]
+    assert max(sizes) - min(sizes) <= 1 and sum(sizes) == 101
+    # rank ranges are contiguous and ordered by shard
+    hi = 0
+    for s in sorted(by_shard):
+        ranks = sorted(r.rank for r in by_shard[s])
+        assert ranks[0] == hi + 1 and ranks[-1] == hi + len(ranks)
+        hi = ranks[-1]
+    with pytest.raises(ValueError):
+        curriculum_shards(d, 0, "sc")
