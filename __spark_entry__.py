@@ -36,7 +36,7 @@ from cascading_flink_spark.extensions import (
     frame_sample,
     audio_dups, image_dups, resize_images, video_dups,
     dedup_clusters, embedding_dup_pairs, exact_dedup, fingerprint, lang_id,
-    ivf_topk, ivf_topk_md5, kmeans_md5, lsh_bucketed_topk,
+    hash_embed, ivf_topk, ivf_topk_md5, kmeans_md5, lsh_bucketed_topk,
     lsh_bucketed_topk_md5,
     pq_topk, pq_topk_md5, semdedup_pairs, semdedup_pairs_md5,
     minhash_lsh_pairs, minhash_lsh_pairs_md5,
@@ -1067,6 +1067,24 @@ def q_decontaminate(spark, sf_dir):
                 F.lit(-1).cast("long").alias("bench_id"),
                 F.col("n").alias("shared_grams"))
     return pairs.unionByName(kept)
+
+
+def q_hash_embed(spark, sf_dir):
+    """Signed feature-hashing embeddings from raw text (the hashing
+    trick): dim=16 integer vector per document, built in ONE zero-shuffle
+    higher-order fold per row — an embedding FEATURIZER with a full
+    value-hash gate (md5 bucketing + all-integer signed counts are
+    exactly replayable; the oracle rebuilds every bucket sum over a
+    doc x dim grid).  The gate compares the exploded (doc, pos, v) rows —
+    scalar cells hash engine-agnostically where raw array cells would
+    compare numpy-vs-list formatting."""
+    docs = _t(spark, sf_dir, "documents")
+    return (hash_embed(
+        docs.select("doc_id", F.coalesce("text", F.lit("")).alias("text")),
+        dim=16)
+        .select("doc_id", F.posexplode("emb").alias("pos", "v"))
+        .select("doc_id", F.col("pos").cast("int").alias("pos"),
+                F.col("v").cast("long").alias("v")))
 
 
 def q_curriculum(spark, sf_dir):
@@ -2545,6 +2563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         # --- NEW round 8 ---
+        "hash_embed": q_hash_embed,
         "curriculum": q_curriculum,
         "kmeans": q_kmeans,
         "decontaminate_bloom": q_decontaminate_bloom,
@@ -4354,6 +4373,30 @@ def oracle_sql() -> dict[str, str]:
               ON c.user_id = p.user_id
              AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 3600000000
             WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        """,
+        "hash_embed": f"""
+            WITH toks AS (SELECT doc_id,
+                                 CASE WHEN trim(coalesce(text, '')) = ''
+                                      THEN []::VARCHAR[]
+                                      ELSE regexp_split_to_array(
+                                             trim(coalesce(text, '')), '\\s+')
+                                 END AS t
+                          FROM documents),
+            tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+            h AS (SELECT doc_id,
+                         {_hex8_to_int_sql("md5('he0#' || tk)")} % 16 AS b,
+                         CASE WHEN strpos('01234567',
+                                          substr(md5('he0#' || tk), 9, 1)) > 0
+                              THEN 1 ELSE -1 END AS s
+                  FROM tok),
+            agg AS (SELECT doc_id, b, sum(s)::BIGINT AS v
+                    FROM h GROUP BY 1, 2),
+            grid AS (SELECT d.doc_id, r.i AS b
+                     FROM (SELECT doc_id FROM documents) d
+                     CROSS JOIN range(0, 16) r(i))
+            SELECT g.doc_id, g.b::INT AS pos,
+                   coalesce(a.v, 0)::BIGINT AS v
+            FROM grid g LEFT JOIN agg a ON a.doc_id = g.doc_id AND a.b = g.b
         """,
         "curriculum": """
             WITH d AS (SELECT doc_id,

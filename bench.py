@@ -250,6 +250,7 @@ BENCH_QUERIES = [
     "kmeans",
     "decontaminate_bloom",
     "curriculum",
+    "hash_embed",
 ]
 
 

@@ -27,6 +27,7 @@ from .dedup import (
 )
 from .similarity import (
     cosine_expr, brute_force_topk, embedding_dup_pairs, group_centroids,
+    hash_embed,
     lsh_bucketed_topk,
     lsh_bucketed_topk_md5, ivf_topk, ivf_topk_md5,
     kmeans, kmeans_assign, kmeans_md5,

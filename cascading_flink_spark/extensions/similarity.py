@@ -261,6 +261,44 @@ def ivf_topk_md5(corpus: DataFrame, queries: DataFrame, k: int = 10,
                   .drop("__rn"))
 
 
+def hash_embed(df: DataFrame, dim: int = 64, text_col: str = "text",
+               id_col: str = "doc_id", seed: str = "he0",
+               out_col: str = "emb") -> DataFrame:
+    """Signed feature-hashing bag-of-words embeddings (Weinberger et al.
+    2009, the hashing trick): a ``dim``-long integer vector per document
+    where each whitespace token adds ±1 to the bucket
+    ``md5(seed#token)[:8] mod dim`` (sign from the 9th hex digit).
+
+    Creates the embedding COLUMN from raw text with ZERO shuffle: the
+    whole vector builds inside one higher-order ``aggregate`` fold over
+    the token array (an O(tokens · dim) map per row — CPU-bound and
+    embarrassingly parallel, the correct 100 TB shape; the alternative
+    explode + groupBy(doc, bucket) + reassemble pays two shuffles of the
+    token stream).  All-integer arithmetic and md5 bucketing make the
+    output exactly reproducible cross-engine, so the driver query gets a
+    full value-hash gate — unusual for a featurizer.  Feed the result to
+    :func:`random_project` / :func:`kmeans_assign` / the ANN family
+    (cast to the float vector they expect).  NULL text embeds as NULL —
+    coalesce upstream if zero vectors are wanted."""
+    from .text import _tokens
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    zero = F.array_repeat(F.lit(0).cast("long"), dim)
+
+    def upd(acc, t):
+        h = F.md5(F.concat(F.lit(seed + "#"), t))
+        b = F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),
+                   F.lit(dim))
+        s = (F.when(F.substring(h, 9, 1)
+                    .isin(*"01234567"), F.lit(1))
+             .otherwise(F.lit(-1))).cast("long")
+        return F.transform(acc, lambda v, i: v + F.when(i == b, s)
+                                                  .otherwise(F.lit(0)))
+
+    return df.withColumn(out_col,
+                         F.aggregate(_tokens(F.col(text_col)), zero, upd))
+
+
 def _argmax_cosine(vec: Column, centroids: list[list[float]]) -> Column:
     """``struct<c:int, cos:double>`` — cosine argmax over a LITERAL
     centroid array, as one map-side higher-order ``aggregate`` fold: a

@@ -392,3 +392,69 @@ def test_kmeans_production_path(spark, emb):
     assert "embedding" in out.columns and "sim" in out.columns
     # Lloyd-trained centroids should be used: at least 2 clusters occupied
     assert len({r.cluster for r in rows}) >= 2
+
+
+# ------------------------------------------------------------- hash_embed
+
+def test_hash_embed_matches_python_model(spark, sf_dir):
+    """Exact pin vs a direct Python model of the hashing trick on real
+    docs: md5 bucket, 9th-hex-digit sign, integer sums."""
+    import hashlib
+    import re as _re
+    from cascading_flink_spark.extensions import hash_embed
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    out = hash_embed(
+        docs.select("doc_id", F.coalesce("text", F.lit("")).alias("text")),
+        dim=16)
+    got = {r.doc_id: list(r.emb) for r in out.collect()}
+
+    def model(t):
+        # SQL trim strips SPACES only; split on the Java \s set
+        t = t.strip(" ")
+        toks = [] if t == "" else _re.split(r"[ \t\n\x0b\f\r]+", t)
+        v = [0] * 16
+        for tk in toks:
+            h = hashlib.md5(("he0#" + tk).encode()).hexdigest()
+            v[int(h[:8], 16) % 16] += 1 if h[8] in "01234567" else -1
+        return v
+
+    txt = {r.doc_id: (r.text or "") for r in docs.collect()}
+    assert all(got[d] == model(txt[d]) for d in got) and len(got) == 100
+
+
+def test_hash_embed_zero_shuffle_and_null_semantics(spark):
+    """The whole vector builds map-side (no Exchange, no Python eval);
+    empty text -> zero vector, NULL text -> NULL (documented)."""
+    from pyspark.sql import Row
+    from cascading_flink_spark.extensions import hash_embed
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="a b a"),
+        Row(doc_id=2, text=""),
+        Row(doc_id=3, text=None),
+    ])
+    out = hash_embed(df, dim=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = {r.doc_id: r.emb for r in out.collect()}
+    assert rows[2] == [0] * 8
+    assert rows[3] is None
+    assert sum(abs(x) for x in rows[1]) > 0
+    with pytest.raises(ValueError):
+        hash_embed(df, dim=0)
+
+
+def test_hash_embed_feeds_the_ann_family(spark, sf_dir):
+    """The featurizer's output (cast to float) drops straight into the
+    cosine machinery — embedding creation and search compose."""
+    from cascading_flink_spark.extensions import brute_force_topk, hash_embed
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    emb = (hash_embed(
+        docs.select("doc_id", F.coalesce("text", F.lit("")).alias("text")),
+        dim=16)
+        .select(F.col("doc_id").alias("vec_id"),
+                F.col("emb").cast("array<float>").alias("embedding")))
+    qs = (emb.filter(F.col("vec_id") < 3)
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    top = brute_force_topk(emb, qs, k=3)
+    assert top.count() == 3 * qs.count()
