@@ -423,20 +423,30 @@ def test_hash_embed_matches_python_model(spark, sf_dir):
 
 
 def test_hash_embed_zero_shuffle_and_null_semantics(spark):
-    """The whole vector builds map-side (no Exchange, no Python eval);
-    empty text -> zero vector, NULL text -> NULL (documented)."""
+    """Both spellings build the vector map-side with no Exchange; the
+    Arrow default is an ArrowEval (never row-at-a-time BatchEvalPython),
+    the native fold is pure codegen expressions.  Empty text -> zero
+    vector, NULL text -> NULL (documented)."""
     from pyspark.sql import Row
     from cascading_flink_spark.extensions import hash_embed
     df = spark.createDataFrame([
         Row(doc_id=1, text="a b a"),
         Row(doc_id=2, text=""),
         Row(doc_id=3, text=None),
-    ])
-    out = hash_embed(df, dim=8)
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    rows = {r.doc_id: r.emb for r in out.collect()}
+    ]).repartition(spark.sparkContext.defaultParallelism)
+    # well-split input: _fan_out passes through, so the ONLY Exchange in
+    # either plan is this test's own setup repartition
+    arrow_plan = hash_embed(df, dim=8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert arrow_plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in arrow_plan
+    assert "ArrowEvalPython" in arrow_plan
+    native = hash_embed(df, dim=8, use_arrow=False)
+    native_plan = native._jdf.queryExecution().executedPlan().toString()
+    assert native_plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in native_plan \
+        and "ArrowEvalPython" not in native_plan
+    rows = {r.doc_id: r.emb for r in native.collect()}
     assert rows[2] == [0] * 8
     assert rows[3] is None
     assert sum(abs(x) for x in rows[1]) > 0
@@ -458,3 +468,22 @@ def test_hash_embed_feeds_the_ann_family(spark, sf_dir):
           .select(F.col("vec_id").alias("query_id"), "embedding"))
     top = brute_force_topk(emb, qs, k=3)
     assert top.count() == 3 * qs.count()
+
+
+def test_hash_embed_arrow_equals_native(spark, sf_dir):
+    """The Arrow default and the SQL-replayable native fold are the SAME
+    function — pinned over real docs including NULL/empty/odd-whitespace
+    rows (the tokenization twin must not lowercase or strip tabs)."""
+    from pyspark.sql import Row
+    from cascading_flink_spark.extensions import hash_embed
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(80) \
+        .select("doc_id", "text").unionByName(spark.createDataFrame([
+            Row(doc_id=900001, text=None),
+            Row(doc_id=900002, text=""),
+            Row(doc_id=900003, text=" \tMiXeD Case\ttokens  "),
+        ]))
+    a = {r.doc_id: r.emb and list(r.emb)
+         for r in hash_embed(docs, dim=16, use_arrow=True).collect()}
+    b = {r.doc_id: r.emb and list(r.emb)
+         for r in hash_embed(docs, dim=16, use_arrow=False).collect()}
+    assert a == b and len(a) == 83
