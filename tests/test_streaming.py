@@ -924,3 +924,31 @@ def test_kmeans_assign_streaming_parity(spark, sf_dir, tmp_path):
                         .select("vec_id", "cluster", "sim").collect()))
     assert got == expect and len(expect) == 200
     spark.catalog.dropTempView("km_out")
+
+
+def test_hash_embed_streaming_parity(spark, sf_dir, tmp_path):
+    """hash_embed's Arrow pass is stateless, so the featurizer runs on a
+    Structured Streaming frame unchanged and produces byte-identical
+    vectors to batch — embed-on-ingest with zero state."""
+    from cascading_flink_spark.extensions import hash_embed
+
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
+            .limit(150))
+    src = str(tmp_path / "he_in")
+    docs.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema) \
+                  .parquet(src)
+    out = hash_embed(stream, dim=16).select("doc_id", "emb")
+    q = (out.writeStream.format("memory").queryName("he_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+
+    got = {r["doc_id"]: list(r["emb"])
+           for r in spark.sql("SELECT * FROM he_out").collect()}
+    expect = {r["doc_id"]: list(r["emb"])
+              for r in hash_embed(spark.read.parquet(src), dim=16)
+              .select("doc_id", "emb").collect()}
+    assert got == expect and len(expect) == 150
+    spark.catalog.dropTempView("he_out")
