@@ -55,6 +55,10 @@ def _bloom_positions(col: Column, m_bits: int, k: int) -> list[Column]:
     xxhash64 draws (the key hashed together with the probe index), pmod'd
     into the bitmap.  No add/multiply double-hashing: Spark 4 runs ANSI
     arithmetic, where a wrapped ``h1 + i*h2`` would raise on overflow."""
+    if k < 1:
+        # k=0 would build an empty bitmap (everything "clean") and make
+        # bloom_might_contain return None, crashing filter() obscurely
+        raise ValueError("k must be >= 1")
     return [F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits))
             for i in range(k)]
 

@@ -395,7 +395,14 @@ def global_rank(df: DataFrame, score_col: str, id_col: str = "doc_id",
                        for j in range(1, buckets)})
     cur = F.struct(s.alias("s"), i.alias("i"))
     if bnds:
-        b_lit = F.array(*[F.struct(F.lit(a).alias("s"), F.lit(b).alias("i"))
+        # cast each boundary literal back to the SOURCE column type:
+        # F.lit() of a collected decimal/timestamp/date round-trips to a
+        # different literal type and the struct <= comparison would fail
+        # at analysis time
+        s_t = df.schema[score_col].dataType
+        i_t = df.schema[id_col].dataType
+        b_lit = F.array(*[F.struct(F.lit(a).cast(s_t).alias("s"),
+                                   F.lit(b).cast(i_t).alias("i"))
                           for a, b in bnds])
         bucket = F.aggregate(
             b_lit, F.lit(0),

@@ -341,20 +341,26 @@ def _argmax_cosine(vec: Column, centroids: list[list[float]]) -> Column:
     strict ``>`` in index order reproduces "ORDER BY cos DESC, cluster
     ASC" exactly (first maximum wins ties), with no crossJoin row
     explosion and no Window-partitionBy corpus shuffle.  Pure codegen —
-    usable in any projection, including a STREAMING one."""
-    cent_lit = F.array(*[
-        F.struct(F.lit(i).alias("c"),
-                 F.lit(v).cast("array<double>").alias("v"))
-        for i, v in enumerate(centroids)])
+    usable in any projection, including a STREAMING one.
+
+    Each cosine is computed ONCE: the fold runs over a pre-transformed
+    ``(c, cos)`` struct array, not the raw centroids, so the dominant
+    per-row cost of a Lloyd round / assign pass is k cosines, not 2k
+    (higher-order functions run interpreted — the duplicate eval was
+    measurable).  A vector with a NULL element yields NULL cosines and
+    the fold keeps the ``c = -1`` sentinel — callers that feed the
+    result into positional updates MUST reject ``c < 0`` (see
+    :func:`kmeans_md5`)."""
+    scored = F.transform(
+        F.array(*[F.lit(v).cast("array<double>")
+                  for v in centroids]),
+        lambda v, i: F.struct(i.alias("c"),
+                              cosine_expr(vec, v).alias("cos")))
     return F.aggregate(
-        cent_lit,
+        scored,
         F.struct(F.lit(-1).alias("c"),
                  F.lit(float("-inf")).alias("cos")),
-        lambda acc, x: F.when(
-            cosine_expr(vec, x["v"]) > acc["cos"],
-            F.struct(x["c"].alias("c"),
-                     cosine_expr(vec, x["v"]).alias("cos"))
-        ).otherwise(acc))
+        lambda acc, x: F.when(x["cos"] > acc["cos"], x).otherwise(acc))
 
 
 def kmeans_assign(df: DataFrame, centroids: list[list[float]],
@@ -460,7 +466,13 @@ def kmeans_md5(corpus: DataFrame, k: int = 8, iterations: int = 2,
                  .collect())
     # centroid state lives on the driver between iterations: k x dim
     # doubles, nothing else ever leaves the executors
-    cents: list[list[float]] = [[float(x) for x in r["__sv"]] for r in seeds]
+    cents: list[list[float]] = []
+    for r in seeds:
+        if r["__sv"] is None or any(x is None for x in r["__sv"]):
+            raise ValueError(
+                f"kmeans_md5: seed vector has NULL elements — {vec_col} "
+                "must be non-null end-to-end; filter or impute first")
+        cents.append([float(x) for x in r["__sv"]])
 
     def assign_to(c):
         return (vecs.withColumn("__best",
@@ -478,6 +490,16 @@ def kmeans_md5(corpus: DataFrame, k: int = 8, iterations: int = 2,
                 .collect())
         nxt = [list(c) for c in cents]          # empty cluster keeps its own
         for r in rows:
+            if r["__cluster"] is None or r["__cluster"] < 0:
+                # a NULL vector element makes every cosine NULL and the
+                # argmax fold keeps its -1 sentinel; without this guard
+                # Python negative indexing would silently corrupt cluster
+                # k-1's centroid.  Vectors must be non-null end-to-end
+                # (same contract as global_rank's scores).
+                raise ValueError(
+                    f"kmeans_md5: unassigned rows (cluster "
+                    f"{r['__cluster']}) — {vec_col} contains NULL "
+                    "elements; filter or impute them first")
             # exact-int / exact-int: the same correctly-rounded double the
             # oracle's BIGINT / BIGINT division produces
             nxt[r["__cluster"]][r["__p"]] = r["__s"] / r["__n"]

@@ -190,3 +190,17 @@ def test_bloom_no_false_negatives_property(spark):
         assert misses == 0
 
     check()
+
+
+def test_bloom_k_zero_raises(spark):
+    """k=0 would hash nothing: an all-clean empty bitmap and a None
+    predicate that crashes filter() obscurely (ADVICE r8) — both builder
+    and probe must refuse up front."""
+    from pyspark.sql import functions as F2
+    from cascading_flink_spark.extensions.decontam import (
+        bloom_might_contain, build_bloom_bitmap)
+    d = spark.createDataFrame([("a",)], "g string")
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        build_bloom_bitmap(d, "g", m_bits=128, k=0)
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        bloom_might_contain(F2.col("g"), F2.lit([0]), m_bits=128, k=0)

@@ -331,3 +331,27 @@ def test_curriculum_shards_sizes_and_order(spark):
         hi = ranks[-1]
     with pytest.raises(ValueError):
         curriculum_shards(d, 0, "sc")
+
+
+def test_global_rank_decimal_and_timestamp_keys(spark):
+    """Boundary literals are cast back to the SOURCE column types, so
+    score/id types whose F.lit() round-trip differs (decimal, timestamp)
+    still analyze and rank exactly (ADVICE r8)."""
+    from pyspark.sql import Window
+    from cascading_flink_spark.extensions import global_rank
+    d = spark.createDataFrame(
+        [(f"d{i:03d}", i % 7) for i in range(60)],
+        "doc_id string, raw int"
+    ).selectExpr(
+        "doc_id",
+        "CAST(raw AS DECIMAL(10,2)) / 3 AS sc",
+        "timestamp_seconds(1700000000 + raw * 3600) AS ts")
+    for col in ("sc", "ts"):
+        got = {(r.doc_id, r.rank)
+               for r in global_rank(d, col, buckets=8,
+                                    sample_cap=11).collect()}
+        w = Window.orderBy(F.col(col).asc(), F.col("doc_id").asc())
+        exp = {(r.doc_id, r.rank) for r in
+               d.withColumn("rank",
+                            F.row_number().over(w).cast("long")).collect()}
+        assert got == exp, col

@@ -487,3 +487,40 @@ def test_hash_embed_arrow_equals_native(spark, sf_dir):
     b = {r.doc_id: r.emb and list(r.emb)
          for r in hash_embed(docs, dim=16, use_arrow=False).collect()}
     assert a == b and len(a) == 83
+
+
+def test_kmeans_md5_null_vector_element_raises(spark):
+    """A NULL embedding element nulls every cosine, the argmax fold keeps
+    its -1 sentinel, and the centroid update must REFUSE (ADVICE r8: the
+    unguarded loop corrupted cluster k-1 via Python negative indexing)."""
+    from pyspark.sql import Row
+    from cascading_flink_spark.extensions import kmeans_md5
+    # md5-rank order of ids 1..6 is [6, 4, 1, 2, 5, 3], so with k=2 the
+    # seeds are 6 and 4: a NULL in id=3 reaches the UPDATE loop guard...
+    rows = [Row(vec_id=i, embedding=[1.0 * i, 0.5]) for i in (1, 2, 4, 5, 6)]
+    df = spark.createDataFrame(rows + [Row(vec_id=3,
+                                           embedding=[0.0, None])])
+    with pytest.raises(ValueError, match="NULL"):
+        kmeans_md5(df, k=2, iterations=1).collect()
+    # ...and a NULL in id=6 (the first seed) is caught at seed extraction
+    df2 = spark.createDataFrame(rows[:-1] + [Row(vec_id=6,
+                                                 embedding=[0.0, None])])
+    with pytest.raises(ValueError, match="NULL"):
+        kmeans_md5(df2, k=2, iterations=1).collect()
+
+
+def test_argmax_cosine_single_eval_and_tiebreak(spark):
+    """The fold runs over a PRE-SCORED (c, cos) struct array — one cosine
+    per centroid, not two (the when-condition duplicate was the dominant
+    per-row Lloyd cost) — and strict > keeps the LOWEST index on ties."""
+    from cascading_flink_spark.extensions.similarity import (
+        _argmax_cosine)
+    cents = [[0.0, 1.0], [1.0, 0.0], [1.0, 0.0], [0.5, 0.5]]
+    d = spark.createDataFrame([([1.0, 0.0],)], "v array<double>")
+    r = d.select(_argmax_cosine(F.col("v"), cents).alias("b")).first()
+    assert r.b.c == 1 and abs(r.b.cos - 1.0) < 1e-12   # tie: 1 beats 2
+    # one cosine per centroid: the transform lambda holds the ONLY
+    # cosine (2 norm SQRTs), the fold compares pre-scored structs — the
+    # old shape re-evaluated cosine in the when-branch (4 SQRTs)
+    col_str = repr(_argmax_cosine(F.col("v"), cents)).upper()
+    assert col_str.count("SQRT") == 2, col_str.count("SQRT")
