@@ -62,6 +62,9 @@ from cascading_flink_spark.extensions import (
     curate_corpus,
     c4_rules, cardinality_report, dup_spans, gram_novelty,
     sample_k_per_group, strip_dup_spans,
+    contamination_spans, strip_spans_against,
+    dsir_select, dsir_weights,
+    pagerank,
 )
 
 
@@ -1101,6 +1104,77 @@ def q_curriculum(spark, sf_dir):
         token_count(F.coalesce("text", F.lit(""))).cast("long")
             .alias("difficulty"))
     return curriculum_shards(d, 8, "difficulty")
+
+
+def _dsir_split(spark, sf_dir):
+    """Shared DSIR fixture: every 7th document plays the TARGET corpus
+    (the "looks like this" side), the rest are the RAW pool to score."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.filter(F.col("doc_id") % 7 != 0),
+            docs.filter(F.col("doc_id") % 7 == 0))
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    bag models fit on target vs raw, per-doc log-likelihood ratio as an
+    exact integer (per-bucket ln rounded once to 1e-6, doc score an
+    order-free integer sum) — the oracle rebuilds both bucket tables,
+    the 512-row weight table, the normalizer constant and every doc
+    score.  Map-only scoring: broadcast weight table, no corpus shuffle
+    wider than (doc, bucket) partials."""
+    raw, target = _dsir_split(spark, sf_dir)
+    return dsir_weights(raw, target, buckets=512)
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR selection: the 50 most target-like raw documents —
+    deterministic zero-temperature top-k by (weight, doc_id), planned as
+    TakeOrderedAndProject (k rows per partition, never a global sort)."""
+    raw, target = _dsir_split(spark, sf_dir)
+    return dsir_select(raw, target, 50, buckets=512)
+
+
+def q_pagerank(spark, sf_dir):
+    """Integer-scaled PageRank (3 unrolled iterations) over a 50-node
+    link graph derived from the events table (src = user_id % 50,
+    dst = (user_id*7 + event_id) % 50 — plain integer arithmetic any
+    engine replays).  Every update is exact integer DIV arithmetic, so
+    the oracle's generated per-iteration CTEs reproduce rank_x
+    bit-for-bit — the graph analogue of the kmeans unrolled-Lloyd
+    gate."""
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 50).alias("src"),
+        ((F.col("user_id") * 7 + F.col("event_id")) % 50).alias("dst"))
+    return pagerank(edges, iterations=3)
+
+
+def _decontam_split(spark, sf_dir):
+    """Shared span-decontamination fixture: every 20th document is the
+    held-out reference (the q_decontaminate convention), the rest the
+    training corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.filter(F.col("doc_id") % 20 != 0),
+            docs.filter(F.col("doc_id") % 20 == 0))
+
+
+def q_decontam_spans(spark, sf_dir):
+    """Span-level contamination detection: maximal corpus token ranges
+    whose every 4-gram also occurs in the benchmark side — WHERE the
+    contamination sits, not just which document (contamination_pairs'
+    span analogue; k=4 so the gate exercises non-vacuous islands at
+    sf0.01)."""
+    corp, bench = _decontam_split(spark, sf_dir)
+    return contamination_spans(corp, bench, k=4)
+
+
+def q_strip_spans_against(spark, sf_dir):
+    """Span-level decontamination: REMOVE benchmark-matching 4-gram
+    spans from corpus documents instead of dropping the documents —
+    kept tokens reassemble in original case; every corpus row
+    survives."""
+    corp, bench = _decontam_split(spark, sf_dir)
+    return strip_spans_against(corp, bench, k=4)
 
 
 def q_kmeans(spark, sf_dir):
@@ -2562,6 +2636,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
 
     return {
+        # --- NEW round 9 ---
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
+        "pagerank": q_pagerank,
+        "decontam_spans": q_decontam_spans,
+        "strip_spans_against": q_strip_spans_against,
         # --- NEW round 8 ---
         "hash_embed": q_hash_embed,
         "curriculum": q_curriculum,
@@ -2874,6 +2954,99 @@ def _simhash_md5_oracle() -> str:
         JOIN sig sb ON sb.doc_id = id_b
         WHERE ({hamming}) <= 3
     """
+
+
+def _dsir_oracle(select_n: int | None = None, buckets: int = 512,
+                 alpha: int = 1, seed: str = "dsir") -> str:
+    """DuckDB twin of dsir_weights / dsir_select (target = doc_id % 7
+    == 0, raw = the rest): rebuilds the hashed unigram+bigram feature
+    stream, both bucket count tables, the integer-scaled per-bucket
+    log-ratios, the normalizer constant and every raw doc's exact
+    integer score; ``select_n`` adds the deterministic top-n cut."""
+    hexpr = _hex8_to_int_sql(f"md5('{seed}#' || g)")
+    sql = f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CASE WHEN trim(coalesce(text, '')) = ''
+                        THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(
+                            trim(lower(coalesce(text, ''))), '\\s+')
+                   END AS t
+            FROM documents),
+        uni AS (SELECT doc_id, unnest(t) AS g FROM base),
+        bi AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+               FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+                     FROM base WHERE len(t) >= 2)),
+        feats AS (SELECT doc_id, {hexpr} % {buckets} AS b
+                  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        rc AS (SELECT b, count(*)::BIGINT AS r_f FROM feats
+               WHERE doc_id % 7 <> 0 GROUP BY b),
+        tc AS (SELECT b, count(*)::BIGINT AS t_f FROM feats
+               WHERE doc_id % 7 = 0 GROUP BY b),
+        w AS (SELECT coalesce(rc.b, tc.b) AS b,
+                     coalesce(t_f, 0)::BIGINT AS t_f,
+                     coalesce(r_f, 0)::BIGINT AS r_f
+              FROM rc FULL OUTER JOIN tc ON rc.b = tc.b),
+        lr AS (SELECT b, floor((ln(t_f + {alpha}) - ln(r_f + {alpha}))
+                               * 1e6 + 0.5)::BIGINT AS lr_x1e6 FROM w),
+        c0 AS (SELECT floor((ln(sum(r_f) + {alpha} * {buckets})
+                             - ln(sum(t_f) + {alpha} * {buckets}))
+                            * 1e6 + 0.5)::BIGINT AS c0 FROM w),
+        docf AS (SELECT doc_id, b, count(*)::BIGINT AS c FROM feats
+                 WHERE doc_id % 7 <> 0 GROUP BY 1, 2),
+        sc AS (SELECT doc_id, sum(c * lr_x1e6)::BIGINT AS s,
+                      sum(c)::BIGINT AS n
+               FROM docf JOIN lr USING (b) GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(sc.n, 0)::BIGINT AS n_feats,
+               (coalesce(sc.s, 0)
+                + coalesce(sc.n, 0) * (SELECT c0 FROM c0))::BIGINT
+                   AS logw_x1e6
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
+        LEFT JOIN sc USING (doc_id)
+    """
+    if select_n is not None:
+        sql += f"""
+        ORDER BY logw_x1e6 DESC, doc_id LIMIT {select_n}
+        """
+    return sql
+
+
+def _pagerank_oracle(iters: int = 3, n_mod: int = 50,
+                     scale: int = 1_000_000, d: int = 85) -> str:
+    """Generated unrolled-iteration DuckDB twin of
+    :func:`~cascading_flink_spark.extensions.graph.pagerank` (same
+    integer DIV arithmetic; ``//`` on positive BIGINTs truncates exactly
+    like Spark's DIV) — the kmeans-oracle convention for iterative
+    algorithms: one CTE pair per round, generated so the SQL can never
+    drift from the declared iteration count."""
+    sql = f"""
+        WITH e AS (SELECT user_id % {n_mod} AS src,
+                          (user_id * 7 + event_id) % {n_mod} AS dst
+                   FROM events),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        n1 AS (SELECT count(*)::BIGINT AS n FROM nodes),
+        deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
+        r0 AS (SELECT node, ({scale} // n)::BIGINT AS r
+               FROM nodes CROSS JOIN n1)"""
+    step = """,
+        c{i} AS (SELECT e.dst AS node,
+                        ((r.r * {d}) // (100 * dg.deg))::BIGINT AS c
+                 FROM e JOIN deg dg ON dg.src = e.src
+                        JOIN r{p} r ON r.node = e.src),
+        r{i} AS (SELECT nd.node,
+                        (({scale} * {rest}) // (100 * n1.n)
+                         + coalesce(s.s, 0))::BIGINT AS r
+                 FROM nodes nd CROSS JOIN n1
+                 LEFT JOIN (SELECT node, sum(c)::BIGINT AS s
+                            FROM c{i} GROUP BY node) s
+                        ON s.node = nd.node)"""
+    for i in range(1, iters + 1):
+        sql += step.format(i=i, p=i - 1, d=d, rest=100 - d, scale=scale)
+    sql += f"""
+        SELECT node, r AS rank_x FROM r{iters}
+    """
+    return sql
 
 
 def _hex8_to_int_sql(expr: str) -> str:
@@ -3215,6 +3388,104 @@ def oracle_sql() -> dict[str, str]:
         # Independent rebuild of the scalar-quantization index: DuckDB
         # refits the per-dim min/max ranges and replays the exact-order
         # code formula floor((x-lo)*255/(hi-lo)+0.5).
+        "dsir_weights": _dsir_oracle(),
+        "dsir_select": _dsir_oracle(select_n=50),
+        "pagerank": _pagerank_oracle(iters=3),
+        "decontam_spans": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(coalesce(text, '')) = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(
+                                lower(trim(coalesce(text, ''))), '\\s+')
+                       END AS t
+                FROM documents),
+            cg AS (
+                SELECT doc_id, pos,
+                       md5(array_to_string(t[pos + 1 : pos + 4], ' ')) AS g
+                FROM (SELECT doc_id, t,
+                             unnest(range(0, len(t) - 4 + 1)) AS pos
+                      FROM toks
+                      WHERE len(t) >= 4 AND doc_id % 20 <> 0)),
+            rg AS (
+                SELECT DISTINCT
+                       md5(array_to_string(t[pos + 1 : pos + 4], ' ')) AS g
+                FROM (SELECT t, unnest(range(0, len(t) - 4 + 1)) AS pos
+                      FROM toks
+                      WHERE len(t) >= 4 AND doc_id % 20 = 0)),
+            hit AS (SELECT doc_id, pos FROM cg JOIN rg USING (g)),
+            isl AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos > lag(pos) OVER (
+                                 PARTITION BY doc_id ORDER BY pos) + 4
+                            THEN 1 ELSE 0 END AS brk
+                FROM hit),
+            grp AS (
+                SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id
+                                      ORDER BY pos) AS island
+                FROM isl)
+            SELECT doc_id,
+                   CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) + 3 AS BIGINT) AS span_end,
+                   CAST(max(pos) - min(pos) + 4 AS BIGINT) AS span_tokens,
+                   CAST(count(*) AS BIGINT) AS n_grams
+            FROM grp GROUP BY doc_id, island
+        """,
+        "strip_spans_against": """
+            -- gram keys on LOWERCASED tokens; reassembly keeps original
+            -- case; the reference side (doc_id % 20 = 0) never outputs
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(coalesce(text, '')) = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(
+                                trim(coalesce(text, '')), '\\s+')
+                       END AS t
+                FROM documents),
+            corp AS (SELECT * FROM toks WHERE doc_id % 20 <> 0),
+            cg AS (
+                SELECT doc_id, pos,
+                       md5(array_to_string(
+                           list_transform(t[pos + 1 : pos + 4],
+                                          x -> lower(x)), ' ')) AS g
+                FROM (SELECT doc_id, t,
+                             unnest(range(0, len(t) - 4 + 1)) AS pos
+                      FROM corp WHERE len(t) >= 4)),
+            rg AS (
+                SELECT DISTINCT
+                       md5(array_to_string(
+                           list_transform(t[pos + 1 : pos + 4],
+                                          x -> lower(x)), ' ')) AS g
+                FROM (SELECT t, unnest(range(0, len(t) - 4 + 1)) AS pos
+                      FROM toks
+                      WHERE len(t) >= 4 AND doc_id % 20 = 0)),
+            removed AS (
+                SELECT DISTINCT cg.doc_id, cg.pos + u.i AS ti
+                FROM cg JOIN rg USING (g)
+                CROSS JOIN range(0, 4) u(i)),
+            tok2 AS (
+                SELECT doc_id, ti1 - 1 AS ti, t[ti1] AS tok
+                FROM (SELECT doc_id, t,
+                             unnest(range(1, len(t) + 1)) AS ti1
+                      FROM corp)),
+            kept AS (
+                SELECT k.doc_id,
+                       string_agg(k.tok, ' ' ORDER BY k.ti) AS clean_text,
+                       CAST(count(*) AS BIGINT) AS n_tokens_kept
+                FROM tok2 k
+                WHERE NOT EXISTS (SELECT 1 FROM removed r
+                                  WHERE r.doc_id = k.doc_id
+                                    AND r.ti = k.ti)
+                GROUP BY k.doc_id)
+            SELECT corp.doc_id,
+                   coalesce(kept.clean_text, '') AS clean_text,
+                   CAST(coalesce(kept.n_tokens_kept, 0) AS BIGINT)
+                       AS n_tokens_kept,
+                   CAST(len(corp.t) - coalesce(kept.n_tokens_kept, 0)
+                        AS BIGINT) AS n_tokens_removed
+            FROM corp LEFT JOIN kept USING (doc_id)
+        """,
         "curation_flagship": _curation_flagship_oracle(),
         "curation_despan": _curation_flagship_oracle(dupspan=True),
         "quality_classifier": _quality_classifier_oracle(),

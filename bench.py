@@ -74,6 +74,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # paths.  embedding_dups uses the LSH (scale) variant here — the exact
 # all-pairs variant is for the sf0.01 correctness gate only.
 BENCH_QUERIES = [
+    # round 9
+    "dsir_weights",
+    "dsir_select",
+    "pagerank",
+    "decontam_spans",
+    "strip_spans_against",
     "groupby_agg",
     "nary_join",
     "hashjoin_broadcast",

@@ -51,9 +51,12 @@ from .bpe import bpe_encode, bpe_train, encode_word
 from .temporal import asof_join, range_join
 from .urls import (normalize_url_expr, normalize_urls, url_dedup,
                    url_domain_expr)
-from .decontam import (contamination_pairs, decontaminate,
+from .decontam import (contamination_pairs, contamination_spans,
+                       decontaminate,
                        decontaminate_bloom, build_bloom_bitmap,
-                       bloom_might_contain)
+                       bloom_might_contain, strip_spans_against)
+from .dsir import dsir_bucket_weights, dsir_select, dsir_weights
+from .graph import pagerank
 from .corpus import (bigram_lm_scores, bm25_scores, corpus_report,
                      inverted_index,
                      ngram_counts, oov_stats, repetition_stats,

@@ -183,3 +183,140 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
     bad = (pairs.filter(F.col("shared_grams") >= int(min_shared))
                 .select(id_col).distinct())
     return corpus.join(F.broadcast(bad), on=id_col, how="left_anti")
+
+
+def _contaminated_positions(corpus: DataFrame, reference: DataFrame,
+                            k: int, text_col: str, id_col: str,
+                            ref_text_col: str, ref_id_col: str,
+                            broadcast_ref: bool) -> DataFrame:
+    """(id, pos) of every corpus token k-gram (LOWERCASED whitespace
+    tokens, the dup-span family spelling) that also occurs anywhere in
+    the reference — the shared candidate stage of
+    :func:`contamination_spans` / :func:`strip_spans_against`.
+
+    Grams are md5-hashed BEFORE any join (32-byte keys); the reference
+    side collapses to its DISTINCT gram set.  ``broadcast_ref=True``
+    (the benchmark-decontamination case: the reference is megabytes)
+    keeps the corpus entirely unshuffled — the same zero-corpus-exchange
+    contract as :func:`decontaminate`.  For corpus-vs-corpus use pass
+    ``False`` and let AQE pick the join strategy."""
+    from .dedup import _fan_out, _span_toks
+
+    def gram_stream(df, tcol, icol):
+        toks = _span_toks(tcol)
+        n = F.size(toks)
+        pos_arr = (F.when(n >= k, F.sequence(F.lit(0),
+                                             F.greatest(n - k, F.lit(0))))
+                   .otherwise(F.array().cast("array<int>")))
+        return (df.select(F.col(icol).alias("id"), toks.alias("t"),
+                          F.explode(pos_arr).alias("pos"))
+                  .select("id", "pos",
+                          F.md5(F.concat_ws(
+                              " ", F.slice(F.col("t"), F.col("pos") + 1,
+                                           k))).alias("g")))
+
+    ref_grams = (gram_stream(reference, ref_text_col, ref_id_col)
+                 .select("g").distinct())
+    if broadcast_ref:
+        ref_grams = F.broadcast(ref_grams)
+    return (gram_stream(_fan_out(corpus), text_col, id_col)
+            .join(ref_grams, "g")
+            .select("id", "pos"))
+
+
+def contamination_spans(corpus: DataFrame, reference: DataFrame,
+                        k: int = 8, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        ref_text_col: str | None = None,
+                        ref_id_col: str | None = None,
+                        broadcast_ref: bool = True) -> DataFrame:
+    """Span-level contamination detection: maximal token ranges of each
+    corpus document whose every ``k``-gram also occurs somewhere in the
+    reference corpus — the SPAN analogue of :func:`contamination_pairs`
+    (doc-level says "this document overlaps"; this says exactly WHERE).
+
+    Returns ``(doc_id, span_start, span_end, span_tokens, n_grams)``,
+    positions 0-based inclusive; overlapping/touching contaminated
+    k-grams merge into one span (gaps-and-islands in per-doc position
+    order, the :func:`~.dedup.dup_spans` island rule).
+
+    Scale shape (100 TB): the corpus never shuffles before the gram
+    probe (broadcast reference gram set); the island window sorts only
+    each doc's CONTAMINATED positions — bounded by doc length and by
+    true contamination, never by corpus size.  Output-bound, like the
+    whole dup-span family."""
+    from pyspark.sql import Window
+    hits = _contaminated_positions(corpus, reference, k, text_col, id_col,
+                                   ref_text_col or text_col,
+                                   ref_id_col or id_col, broadcast_ref)
+    w = Window.partitionBy("id").orderBy("pos")
+    brk = F.when(F.col("pos") > F.lag("pos").over(w) + k, 1).otherwise(0)
+    islands = (hits.withColumn("__brk", brk)
+               .withColumn("__isl", F.sum("__brk").over(
+                   w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (islands.groupBy("id", "__isl")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + (k - 1)).alias("span_end"),
+                 (F.max("pos") - F.min("pos") + k).alias("span_tokens"),
+                 F.count(F.lit(1)).alias("n_grams"))
+            .select(F.col("id").alias(id_col), "span_start", "span_end",
+                    "span_tokens", "n_grams"))
+
+
+def strip_spans_against(corpus: DataFrame, reference: DataFrame,
+                        k: int = 8, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        ref_text_col: str | None = None,
+                        ref_id_col: str | None = None,
+                        broadcast_ref: bool = True) -> DataFrame:
+    """Span-level decontamination: REMOVE every token covered by a
+    reference-matching ``k``-gram instead of dropping whole documents —
+    the surgical alternative to :func:`decontaminate` public pipelines
+    use when a long document embeds a short benchmark string (drop the
+    quoted span, keep the surrounding prose).
+
+    Gram keys are LOWERCASED (case-insensitive contamination); removed
+    tokens leave the remaining ORIGINAL-case tokens to reassemble in
+    order, single-space joined — exactly
+    :func:`~.dedup.strip_dup_spans`'s convention, with the reference
+    corpus playing the owner role (the reference always "keeps" its
+    text; it is not part of the output).  Every corpus row survives:
+    a fully-contaminated document comes back with ``clean_text = ''``.
+
+    Returns ``(doc_id, clean_text, n_tokens_kept, n_tokens_removed)``.
+
+    Scale shape: probe stage as :func:`contamination_spans` (no corpus
+    shuffle before the broadcast gram probe); covered-position expansion
+    is a bounded explode (k positions per contaminated gram,
+    distinct-folded); reassembly groups each doc's own tokens — per-doc
+    state, O(total tokens + k * contaminated grams) shuffle volume."""
+    from .dedup import _fan_out, _span_toks
+    hits = _contaminated_positions(corpus, reference, k, text_col, id_col,
+                                   ref_text_col or text_col,
+                                   ref_id_col or id_col, broadcast_ref)
+    removed = (hits.select("id", F.explode(
+                   F.sequence(F.col("pos"), F.col("pos") + (k - 1)))
+                   .alias("ti"))
+               .distinct())
+    base = (_fan_out(corpus)
+            .select(F.col(id_col).alias("id"),
+                    _span_toks(text_col, lowered=False).alias("t")))
+    tokens = base.select("id", F.posexplode("t").alias("ti", "tok"))
+    kept = tokens.join(removed, ["id", "ti"], "left_anti")
+    out = (kept.groupBy("id")
+           .agg(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct(F.col("ti"), F.col("tok")))),
+                        lambda s: s["tok"]), " ").alias("clean_text"),
+                F.count(F.lit(1)).alias("n_tokens_kept")))
+    totals = base.select("id", F.size("t").alias("n_total"))
+    return (totals.join(out, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.coalesce(F.col("clean_text"), F.lit(""))
+                     .alias("clean_text"),
+                    F.coalesce(F.col("n_tokens_kept"), F.lit(0))
+                     .cast("long").alias("n_tokens_kept"),
+                    (F.col("n_total") - F.coalesce(F.col("n_tokens_kept"),
+                                                   F.lit(0)))
+                     .cast("long").alias("n_tokens_removed")))

@@ -1,0 +1,166 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al., 2023,
+arXiv:2302.03169): pick raw-corpus documents whose hashed-n-gram
+distribution looks like a TARGET corpus, the standard public recipe for
+"give me web data that reads like Wikipedia/books" pretraining mixtures.
+
+The published estimator is a bag-of-hashed-n-grams multinomial over
+``m`` buckets fit on each side; a document's importance weight is
+
+    log w(x) = sum_f c_f(x) * (log p_target(f) - log p_raw(f))
+
+with add-``alpha`` smoothing.  Selection takes the top-``n`` weights
+(the paper resamples with Gumbel noise; the deterministic twin here
+ranks by the weight itself with a doc-id tie-break, which is the
+zero-temperature limit and reproducible cross-engine).
+
+Determinism recipe (the repo's integer-scale-first convention): each
+bucket's log-ratio is rounded ONCE to 1e-6 (``lr_x1e6`` as BIGINT), a
+document's weight is then an exact INTEGER sum ``sum(c_f * lr_x1e6) +
+n(x) * c0_x1e6`` — order-free in any engine — where the constant
+``c0_x1e6`` collects the normalizer difference ``ln(R + alpha*m) -
+ln(T + alpha*m)``.  The only doubles are one ``ln`` per bucket of
+exact-integer inputs, the same class bigram_lm/bm25 gate under.
+
+Scale design (100 TB raw / small target): two shingling scans produce
+``<= m``-row bucket count tables (partial-agg, map-side combined); the
+per-document scorer joins a BROADCAST m-row weight table onto the raw
+corpus's exploded features and partial-aggregates per doc — no corpus
+shuffle wider than (doc_id, bucket) rows, no windows, no driver pulls.
+Top-``n`` selection is a TakeOrderedAndProject, never a full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _feature_stream(df: DataFrame, text_col: str, id_col: str,
+                    buckets: int, ngrams: int, seed: str) -> DataFrame:
+    """One row per hashed n-gram occurrence: ``(id, b)``.
+
+    Features are LOWERCASED whitespace unigrams (+ bigrams for
+    ``ngrams=2``, the paper's default), bucketed by the library's
+    cross-engine md5 spelling (first 8 hex digits mod ``buckets`` —
+    the hash_embed convention, replayable in ANSI SQL)."""
+    from .text import _tokens
+    toks = _tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    grams = toks
+    if ngrams >= 2:
+        n = F.size(toks)
+        bi = (F.when(n >= 2, F.transform(
+                  F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+                  lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                                        F.element_at(toks, i + 1))))
+              .otherwise(F.array().cast("array<string>")))
+        grams = F.concat(toks, bi)
+    h = F.md5(F.concat(F.lit(seed + "#"), F.col("__g")))
+    b = F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),
+               F.lit(buckets))
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(grams).alias("__g"))
+              .select("id", b.alias("b")))
+
+
+def dsir_bucket_weights(raw: DataFrame, target: DataFrame,
+                        buckets: int = 4096, ngrams: int = 2,
+                        alpha: int = 1, seed: str = "dsir",
+                        text_col: str = "text",
+                        id_col: str = "doc_id",
+                        target_text_col: str | None = None,
+                        target_id_col: str | None = None) -> DataFrame:
+    """The ``<= buckets``-row weight table ``(b, t_f, r_f, lr_x1e6)``:
+    per-bucket target/raw occurrence counts and the integer-scaled
+    smoothed log-ratio ``floor((ln(t_f + alpha) - ln(r_f + alpha)) *
+    1e6 + 0.5)``.  Broadcast-sized by construction; the reusable half of
+    :func:`dsir_weights` (score several raw shards, or a STREAM, against
+    one fitted table)."""
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    if ngrams not in (1, 2):
+        raise ValueError("ngrams must be 1 or 2")
+    if alpha < 1:
+        raise ValueError("alpha must be >= 1 (integer smoothing)")
+    rc = (_feature_stream(raw, text_col, id_col, buckets, ngrams, seed)
+          .groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("r_f")))
+    tc = (_feature_stream(target, target_text_col or text_col,
+                          target_id_col or id_col, buckets, ngrams, seed)
+          .groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("t_f")))
+    a = F.lit(int(alpha)).cast("long")
+    return (rc.join(tc, "b", "full_outer")
+            .select(F.col("b").cast("long").alias("b"),
+                    F.coalesce("t_f", F.lit(0)).cast("long").alias("t_f"),
+                    F.coalesce("r_f", F.lit(0)).cast("long").alias("r_f"))
+            .withColumn("lr_x1e6",
+                        F.floor((F.log(F.col("t_f") + a)
+                                 - F.log(F.col("r_f") + a)) * 1e6 + 0.5)
+                         .cast("long")))
+
+
+def dsir_weights(raw: DataFrame, target: DataFrame,
+                 buckets: int = 4096, ngrams: int = 2, alpha: int = 1,
+                 seed: str = "dsir", text_col: str = "text",
+                 id_col: str = "doc_id",
+                 target_text_col: str | None = None,
+                 target_id_col: str | None = None,
+                 weight_table: DataFrame | None = None) -> DataFrame:
+    """Per-document DSIR importance weights over the raw corpus:
+    ``(id_col, n_feats, logw_x1e6)`` for EVERY raw row (featureless
+    documents score 0 with ``n_feats = 0``).
+
+    ``logw_x1e6`` is the exact integer ``sum(c_f * lr_x1e6) + n_feats *
+    c0_x1e6`` — see the module docstring for why that is the
+    cross-engine-safe spelling of the paper's log-likelihood ratio.
+    Pass a pre-fitted ``weight_table`` (:func:`dsir_bucket_weights`) to
+    skip refitting when scoring many shards."""
+    if weight_table is None:
+        weight_table = dsir_bucket_weights(
+            raw, target, buckets=buckets, ngrams=ngrams, alpha=alpha,
+            seed=seed, text_col=text_col, id_col=id_col,
+            target_text_col=target_text_col, target_id_col=target_id_col)
+    a = F.lit(int(alpha)).cast("long")
+    m = F.lit(int(buckets)).cast("long")
+    # the normalizer constant: one 1-row aggregate over the weight
+    # table, broadcast back — keeps the whole operator one declarative
+    # plan (no collect)
+    c0 = (weight_table.agg(
+              F.floor((F.log(F.sum("r_f") + a * m)
+                       - F.log(F.sum("t_f") + a * m)) * 1e6 + 0.5)
+               .cast("long").alias("__c0")))
+    doc = (_feature_stream(raw, text_col, id_col, buckets, ngrams, seed)
+           .groupBy("id", "b")
+           .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+           .join(F.broadcast(weight_table.select("b", "lr_x1e6")), "b")
+           .groupBy("id")
+           .agg(F.sum(F.col("__c") * F.col("lr_x1e6")).alias("__s"),
+                F.sum("__c").alias("__n")))
+    return (raw.select(F.col(id_col))
+            .join(doc.withColumnRenamed("id", id_col), id_col, "left")
+            .crossJoin(F.broadcast(c0))
+            .select(F.col(id_col),
+                    F.coalesce("__n", F.lit(0)).cast("long")
+                     .alias("n_feats"),
+                    (F.coalesce("__s", F.lit(0))
+                     + F.coalesce("__n", F.lit(0)) * F.col("__c0"))
+                     .cast("long").alias("logw_x1e6")))
+
+
+def dsir_select(raw: DataFrame, target: DataFrame, n: int,
+                buckets: int = 4096, ngrams: int = 2, alpha: int = 1,
+                seed: str = "dsir", text_col: str = "text",
+                id_col: str = "doc_id",
+                target_text_col: str | None = None,
+                target_id_col: str | None = None) -> DataFrame:
+    """The ``n`` raw documents most target-like under DSIR: top-``n``
+    ``logw_x1e6`` with a doc-id tie-break (deterministic zero-temperature
+    selection; the paper's Gumbel resampling adds noise the gate cannot
+    replay).  Plans as TakeOrderedAndProject — k rows per partition then
+    k at the driver, never a global sort."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    w = dsir_weights(raw, target, buckets=buckets, ngrams=ngrams,
+                     alpha=alpha, seed=seed, text_col=text_col,
+                     id_col=id_col, target_text_col=target_text_col,
+                     target_id_col=target_id_col)
+    return (w.orderBy(F.col("logw_x1e6").desc(), F.col(id_col).asc())
+             .limit(int(n)))

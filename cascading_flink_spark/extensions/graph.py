@@ -1,0 +1,94 @@
+"""Graph analytics over edge-list DataFrames — the link-graph signals a
+web-corpus curation pipeline ranks crawl frontiers and weights domains
+with (Page/Brin/Motwani/Winograd 1999; the simplified dangling-mass-
+dropping formulation of the classic MapReduce/Pregel examples).
+
+The library already has connected components (``dedup.dedup_clusters``);
+this module adds the iterative-propagation family.
+
+Determinism recipe: ranks are SCALED LONGS end-to-end.  Every update is
+integer arithmetic — ``contrib = (rank * damping_x100) DIV (100 *
+outdeg)`` (truncating integer division; all operands positive, so DIV ==
+floor in both Spark and DuckDB), ``rank' = base + sum(contribs)`` — so N
+iterations are bit-reproducible in ANSI SQL and the oracle replays them
+as generated unrolled CTEs, the :func:`~.similarity.kmeans_md5`
+convention for iterative algorithms.
+
+Scale design (100 TB edge list): one iteration is ONE equi-join
+(rank onto edges, key = src) plus ONE partial-aggregated groupBy
+(contributions by dst) — hot destinations (the "everyone links to the
+homepage" skew) combine map-side; nothing ever sorts, windows, or pulls
+to the driver.  The edge+outdeg frame is read every iteration, so it is
+pinned once with a lazy ``localCheckpoint`` (the repo's cache-hygiene
+convention).  On a real cluster, bucketing the edge table by ``src``
+makes the per-iteration join shuffle-free on the big side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(edges: DataFrame, iterations: int = 3,
+             damping_x100: int = 85, scale: int = 1_000_000,
+             src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Integer-scaled PageRank over a directed edge list: ``(node,
+    rank_x)`` for every node appearing as a source or destination, where
+    ``rank_x`` is the rank scaled by ``scale`` (a long; ``rank_x /
+    scale`` is the conventional value).
+
+    Semantics (the simplified classic formulation):
+
+    * init: every node starts at ``scale DIV n_nodes``;
+    * each iteration, node ``u`` sends ``(rank_u * damping_x100) DIV
+      (100 * outdeg_u)`` along EACH out-edge (parallel edges contribute
+      multiply — pre-``distinct()`` the edge list for simple-graph
+      semantics);
+    * ``rank'_v = base + sum(incoming contributions)`` with ``base =
+      (scale * (100 - damping_x100)) DIV (100 * n_nodes)``;
+    * dangling nodes (no out-edges) keep receiving but their own mass is
+      dropped, not redistributed — total mass shrinks slightly, relative
+      order is the standard one.  Exact integer arithmetic throughout:
+      any engine reproduces ``rank_x`` bit-for-bit.
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    if not 0 <= damping_x100 <= 100:
+        raise ValueError("damping_x100 must be in [0, 100]")
+    if scale < 1:
+        raise ValueError("scale must be >= 1")
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct())
+    outdeg = e.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("__deg"))
+    # read once per iteration — pin lazily (localCheckpoint, never bare
+    # persist: CacheManager stays empty, block lifetime follows the frame)
+    ed = e.join(outdeg, "src").localCheckpoint(eager=False)
+    n1 = F.broadcast(nodes.agg(
+        F.count(F.lit(1)).cast("long").alias("__n")))
+    rank = (nodes.crossJoin(n1)
+            .select("node",
+                    F.expr(f"CAST({scale} AS BIGINT) DIV __n")
+                     .alias("rank_x"))
+            .localCheckpoint(eager=False))
+    d = int(damping_x100)
+    for _ in range(int(iterations)):
+        contrib = (ed.join(rank.withColumnRenamed("node", "src"), "src")
+                   .select(F.col("dst").alias("node"),
+                           F.expr(f"(rank_x * {d}) DIV (100 * __deg)")
+                            .alias("__c")))
+        incoming = contrib.groupBy("node").agg(
+            F.sum("__c").cast("long").alias("__in"))
+        rank = (nodes.crossJoin(n1)
+                .join(incoming, "node", "left")
+                .select("node",
+                        (F.expr(f"(CAST({scale} AS BIGINT) * {100 - d}) "
+                                f"DIV (100 * __n)")
+                         + F.coalesce(F.col("__in"), F.lit(0)))
+                         .cast("long").alias("rank_x"))
+                .localCheckpoint(eager=False))
+    return rank

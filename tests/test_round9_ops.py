@@ -1,0 +1,282 @@
+"""Round-9 operators: DSIR importance resampling (dsir.py), integer
+PageRank (graph.py), span-level decontamination (decontam.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cascading_flink_spark.extensions import (
+    contamination_spans, dsir_bucket_weights, dsir_select, dsir_weights,
+    pagerank, strip_spans_against,
+)
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ------------------------------------------------------------------ DSIR
+
+@pytest.fixture(scope="module")
+def dsir_docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs"),
+        (3, "the quick brown fox likes the quick brown cat"),
+        (4, "sphinx of black quartz judge my vow"),
+        (5, "the lazy dog sleeps all day the lazy dog"),
+        (6, None),
+        (7, "   "),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _py_dsir(raw_rows, tgt_rows, buckets, alpha=1, ngrams=2, seed="dsir"):
+    """Reference Python model of dsir_weights' integer recipe."""
+    import hashlib
+
+    def feats(text):
+        toks = (text or "").strip().lower().split()
+        grams = list(toks)
+        if ngrams >= 2:
+            grams += [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        return [int(hashlib.md5(f"{seed}#{g}".encode()).hexdigest()[:8],
+                    16) % buckets for g in grams]
+
+    rf, tf = {}, {}
+    rawf = {i: feats(t) for i, t in raw_rows}
+    for fs in rawf.values():
+        for b in fs:
+            rf[b] = rf.get(b, 0) + 1
+    for _, t in tgt_rows:
+        for b in feats(t):
+            tf[b] = tf.get(b, 0) + 1
+    lr = {b: math.floor((math.log(tf.get(b, 0) + alpha)
+                         - math.log(rf.get(b, 0) + alpha)) * 1e6 + 0.5)
+          for b in set(rf) | set(tf)}
+    c0 = math.floor((math.log(sum(rf.values()) + alpha * buckets)
+                     - math.log(sum(tf.values()) + alpha * buckets))
+                    * 1e6 + 0.5)
+    out = {}
+    for i, fs in rawf.items():
+        out[i] = (len(fs), sum(lr[b] for b in fs) + len(fs) * c0)
+    return out
+
+
+def test_dsir_weights_match_python_model(spark, dsir_docs):
+    raw = dsir_docs.filter("doc_id % 2 = 1")     # 1,3,5,7
+    tgt = dsir_docs.filter("doc_id % 2 = 0")     # 2,4,6
+    got = {r.doc_id: (r.n_feats, r.logw_x1e6)
+           for r in dsir_weights(raw, tgt, buckets=64).collect()}
+    exp = _py_dsir([(r.doc_id, r.text) for r in raw.collect()],
+                   [(r.doc_id, r.text) for r in tgt.collect()], buckets=64)
+    assert got == exp
+    # featureless raw doc scores zero with zero features
+    assert got[7] == (0, 0)
+
+
+def test_dsir_weights_partition_independent(spark, dsir_docs):
+    raw = dsir_docs.filter("doc_id % 2 = 1")
+    tgt = dsir_docs.filter("doc_id % 2 = 0")
+    a = sorted(map(tuple, dsir_weights(raw, tgt, buckets=64).collect()))
+    b = sorted(map(tuple, dsir_weights(raw.repartition(5), tgt,
+                                       buckets=64).collect()))
+    assert a == b
+
+
+def test_dsir_target_like_docs_score_higher(spark):
+    """A raw doc written in the target's vocabulary must outscore one
+    written in the raw pool's own vocabulary — the whole point."""
+    tgt = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta epsilon zeta") for i in range(5)],
+        "doc_id long, text string")
+    raw = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),
+         (2, "xylophone quartz vortex jackdaw"),
+         (3, "xylophone quartz vortex jackdaw")],
+        "doc_id long, text string")
+    w = {r.doc_id: r.logw_x1e6
+         for r in dsir_weights(raw, tgt, buckets=256).collect()}
+    assert w[1] > w[2] == w[3]
+    top = dsir_select(raw, tgt, 1, buckets=256).collect()
+    assert [r.doc_id for r in top] == [1]
+
+
+def test_dsir_plan_shapes(spark, dsir_docs):
+    """Scoring stays JVM-side: broadcast weight-table join, no Python
+    eval, no windows; selection plans as TakeOrderedAndProject."""
+    raw = dsir_docs.filter("doc_id % 2 = 1")
+    tgt = dsir_docs.filter("doc_id % 2 = 0")
+    p = _plan(dsir_weights(raw, tgt, buckets=64))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Window" not in p
+    assert "BroadcastHashJoin" in p
+    # top-k never plans a global sort: TakeOrderedAndProject carries the
+    # ordering (the reattach join may sort-merge locally, which is fine)
+    ps = _plan(dsir_select(raw, tgt, 2, buckets=64))
+    assert "TakeOrderedAndProject" in ps
+
+
+def test_dsir_prefitted_weight_table_reuse(spark, dsir_docs):
+    raw = dsir_docs.filter("doc_id % 2 = 1")
+    tgt = dsir_docs.filter("doc_id % 2 = 0")
+    wt = dsir_bucket_weights(raw, tgt, buckets=64)
+    a = sorted(map(tuple,
+                   dsir_weights(raw, tgt, buckets=64).collect()))
+    b = sorted(map(tuple,
+                   dsir_weights(raw, tgt, buckets=64,
+                                weight_table=wt).collect()))
+    assert a == b
+    # weight-table invariants: every bucket row carries both counts
+    rows = wt.collect()
+    assert all(r.t_f >= 0 and r.r_f >= 0 for r in rows)
+    assert all(r.t_f + r.r_f > 0 for r in rows)   # only observed buckets
+
+
+def test_dsir_validations(spark, dsir_docs):
+    raw = dsir_docs.filter("doc_id % 2 = 1")
+    tgt = dsir_docs.filter("doc_id % 2 = 0")
+    with pytest.raises(ValueError):
+        dsir_bucket_weights(raw, tgt, buckets=1)
+    with pytest.raises(ValueError):
+        dsir_bucket_weights(raw, tgt, ngrams=3)
+    with pytest.raises(ValueError):
+        dsir_bucket_weights(raw, tgt, alpha=0)
+    with pytest.raises(ValueError):
+        dsir_select(raw, tgt, 0)
+
+
+# -------------------------------------------------------------- pagerank
+
+def test_pagerank_star_graph_hand_check(spark):
+    """3 -> 0, 2 -> 0, 1 -> 0, 0 -> 1 (star into 0, 0 points at 1):
+    replay the integer arithmetic by hand for one iteration."""
+    edges = spark.createDataFrame(
+        [(3, 0), (2, 0), (1, 0), (0, 1)], "src long, dst long")
+    out = {r.node: r.rank_x
+           for r in pagerank(edges, iterations=1).collect()}
+    # n=4, r0 = 250000 each, base = 1000000*15 DIV 400 = 37500
+    # contrib per edge = (250000*85) DIV (100*1) = 212500
+    assert out == {0: 37500 + 3 * 212500,   # 675000
+                   1: 37500 + 212500,        # 250000
+                   2: 37500, 3: 37500}
+
+
+def test_pagerank_deterministic_and_partition_independent(spark):
+    rows = [(i % 37, (i * 11 + 3) % 37) for i in range(400)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    a = sorted(map(tuple, pagerank(e, iterations=3).collect()))
+    b = sorted(map(tuple, pagerank(e.repartition(7),
+                                   iterations=3).collect()))
+    assert a == b and len(a) == 37
+
+
+def test_pagerank_mass_and_positivity(spark):
+    rows = [(i % 20, (i * 7 + 1) % 20) for i in range(100)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    out = pagerank(e, iterations=4).collect()
+    total = sum(r.rank_x for r in out)
+    # dangling drop + floor loss only ever SHRINK mass
+    assert 0 < total <= 1_000_000
+    assert all(r.rank_x > 0 for r in out)
+
+
+def test_pagerank_sink_node_receives_but_never_sends(spark):
+    """A pure sink keeps base + incoming; its mass is dropped, not
+    redistributed (the documented simplified formulation)."""
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    out = {r.node: r.rank_x
+           for r in pagerank(edges, iterations=2).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[3] > out[1]        # sink accumulates, source decays to base
+
+
+def test_pagerank_plan_no_python_no_window(spark):
+    e = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    p = _plan(pagerank(e, iterations=2))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Window" not in p
+
+
+def test_pagerank_validations(spark):
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank(e, iterations=-1)
+    with pytest.raises(ValueError):
+        pagerank(e, damping_x100=101)
+    with pytest.raises(ValueError):
+        pagerank(e, scale=0)
+
+
+# ------------------------------------------- span-level decontamination
+
+@pytest.fixture(scope="module")
+def span_corpus(spark):
+    corp = spark.createDataFrame([
+        (1, "intro words here THE SECRET BENCHMARK ANSWER trailing prose"),
+        (2, "completely original text with no overlap at all whatsoever"),
+        (3, "the secret benchmark answer"),           # fully contaminated
+        (4, ""),
+        (5, None),
+    ], "doc_id long, text string")
+    ref = spark.createDataFrame([
+        (100, "leading context the secret benchmark answer and more"),
+    ], "ref_id long, body string")
+    return corp, ref
+
+
+def test_strip_spans_against_semantics(spark, span_corpus):
+    corp, ref = span_corpus
+    out = {r.doc_id: r for r in strip_spans_against(
+        corp, ref, k=4, ref_text_col="body", ref_id_col="ref_id").collect()}
+    assert set(out) == {1, 2, 3, 4, 5}                # every row survives
+    # case-insensitive gram match removed the quoted span, original case
+    # kept elsewhere
+    assert out[1].clean_text == "intro words here trailing prose"
+    assert out[1].n_tokens_removed == 4
+    assert out[2].clean_text == \
+        "completely original text with no overlap at all whatsoever"
+    assert out[2].n_tokens_removed == 0
+    assert out[3].clean_text == "" and out[3].n_tokens_removed == 4
+    assert out[4].clean_text == "" and out[4].n_tokens_kept == 0
+    assert out[5].clean_text == "" and out[5].n_tokens_removed == 0
+
+
+def test_strip_spans_token_conservation(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corp = docs.filter("doc_id % 10 <> 0")
+    ref = docs.filter("doc_id % 10 = 0")
+    out = strip_spans_against(corp, ref, k=4)
+    chk = (out.join(corp.select("doc_id", F.when(
+                F.trim(F.coalesce("text", F.lit(""))) == "", 0)
+            .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+            .alias("n_total")), "doc_id")
+           .filter(F.col("n_tokens_kept") + F.col("n_tokens_removed")
+                   != F.col("n_total")))
+    assert chk.count() == 0
+
+
+def test_contamination_spans_islands(spark, span_corpus):
+    corp, ref = span_corpus
+    spans = contamination_spans(
+        corp, ref, k=4, ref_text_col="body", ref_id_col="ref_id").collect()
+    by_doc = {r.doc_id: r for r in spans}
+    assert set(by_doc) == {1, 3}
+    # doc 1: the 4-gram starts at token 3 (0-based), one island of 1 gram
+    assert (by_doc[1].span_start, by_doc[1].span_end,
+            by_doc[1].span_tokens, by_doc[1].n_grams) == (3, 6, 4, 1)
+    assert (by_doc[3].span_start, by_doc[3].span_end) == (0, 3)
+
+
+def test_span_decontam_corpus_unshuffled_before_probe(spark, span_corpus):
+    """broadcast_ref=True keeps the corpus side exchange-free up to the
+    gram probe: the only joins are broadcast ones (decontaminate's
+    contract, extended to spans)."""
+    corp, ref = span_corpus
+    p = _plan(contamination_spans(corp, ref, k=4, ref_text_col="body",
+                                  ref_id_col="ref_id"))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
