@@ -42,8 +42,14 @@ def _feature_stream(df: DataFrame, text_col: str, id_col: str,
     Features are LOWERCASED whitespace unigrams (+ bigrams for
     ``ngrams=2``, the paper's default), bucketed by the library's
     cross-engine md5 spelling (first 8 hex digits mod ``buckets`` —
-    the hash_embed convention, replayable in ANSI SQL)."""
+    the hash_embed convention, replayable in ANSI SQL).
+
+    The md5-per-gram explode is the CPU-heavy stage, so the input is
+    fanned out first (``_fan_out`` — a no-op on well-split reads, a
+    rebalance when a single local file would serialize the stage)."""
+    from .dedup import _fan_out
     from .text import _tokens
+    df = _fan_out(df)
     toks = _tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
     grams = toks
     if ngrams >= 2:
@@ -75,17 +81,26 @@ def dsir_bucket_weights(raw: DataFrame, target: DataFrame,
     1e6 + 0.5)``.  Broadcast-sized by construction; the reusable half of
     :func:`dsir_weights` (score several raw shards, or a STREAM, against
     one fitted table)."""
+    _validate(buckets, ngrams, alpha)
+    rc = (_feature_stream(raw, text_col, id_col, buckets, ngrams, seed)
+          .groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("r_f")))
+    tc = (_feature_stream(target, target_text_col or text_col,
+                          target_id_col or id_col, buckets, ngrams, seed)
+          .groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("t_f")))
+    return _weights_from_counts(rc, tc, alpha)
+
+
+def _validate(buckets: int, ngrams: int, alpha: int) -> None:
     if buckets < 2:
         raise ValueError("buckets must be >= 2")
     if ngrams not in (1, 2):
         raise ValueError("ngrams must be 1 or 2")
     if alpha < 1:
         raise ValueError("alpha must be >= 1 (integer smoothing)")
-    rc = (_feature_stream(raw, text_col, id_col, buckets, ngrams, seed)
-          .groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("r_f")))
-    tc = (_feature_stream(target, target_text_col or text_col,
-                          target_id_col or id_col, buckets, ngrams, seed)
-          .groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("t_f")))
+
+
+def _weights_from_counts(rc: DataFrame, tc: DataFrame,
+                         alpha: int) -> DataFrame:
     a = F.lit(int(alpha)).cast("long")
     return (rc.join(tc, "b", "full_outer")
             .select(F.col("b").cast("long").alias("b"),
@@ -112,12 +127,27 @@ def dsir_weights(raw: DataFrame, target: DataFrame,
     c0_x1e6`` — see the module docstring for why that is the
     cross-engine-safe spelling of the paper's log-likelihood ratio.
     Pass a pre-fitted ``weight_table`` (:func:`dsir_bucket_weights`) to
-    skip refitting when scoring many shards."""
+    skip refitting when scoring many shards.
+
+    The raw corpus is shingled ONCE: the per-doc bucket partials feed
+    BOTH the raw count table and the scorer (pinned with a lazy
+    localCheckpoint, the bigram_lm one-pass lesson — deriving each from
+    the stream re-runs the md5 explode per branch).  The pin is
+    executor-local; a real cluster run that needs fault tolerance swaps
+    it for a durable checkpoint tap, the flagship's documented trade."""
+    _validate(buckets, ngrams, alpha)
+    docf = (_feature_stream(raw, text_col, id_col, buckets, ngrams, seed)
+            .groupBy("id", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+            .localCheckpoint(eager=False))
     if weight_table is None:
-        weight_table = dsir_bucket_weights(
-            raw, target, buckets=buckets, ngrams=ngrams, alpha=alpha,
-            seed=seed, text_col=text_col, id_col=id_col,
-            target_text_col=target_text_col, target_id_col=target_id_col)
+        rc = docf.groupBy("b").agg(F.sum("__c").cast("long").alias("r_f"))
+        tc = (_feature_stream(target, target_text_col or text_col,
+                              target_id_col or id_col, buckets, ngrams,
+                              seed)
+              .groupBy("b")
+              .agg(F.count(F.lit(1)).cast("long").alias("t_f")))
+        weight_table = _weights_from_counts(rc, tc, alpha)
     a = F.lit(int(alpha)).cast("long")
     m = F.lit(int(buckets)).cast("long")
     # the normalizer constant: one 1-row aggregate over the weight
@@ -127,9 +157,7 @@ def dsir_weights(raw: DataFrame, target: DataFrame,
               F.floor((F.log(F.sum("r_f") + a * m)
                        - F.log(F.sum("t_f") + a * m)) * 1e6 + 0.5)
                .cast("long").alias("__c0")))
-    doc = (_feature_stream(raw, text_col, id_col, buckets, ngrams, seed)
-           .groupBy("id", "b")
-           .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    doc = (docf
            .join(F.broadcast(weight_table.select("b", "lr_x1e6")), "b")
            .groupBy("id")
            .agg(F.sum(F.col("__c") * F.col("lr_x1e6")).alias("__s"),
