@@ -55,7 +55,8 @@ from .decontam import (contamination_pairs, contamination_spans,
                        decontaminate,
                        decontaminate_bloom, build_bloom_bitmap,
                        bloom_might_contain, strip_spans_against)
-from .dsir import dsir_bucket_weights, dsir_select, dsir_weights
+from .dsir import (dsir_bucket_weights, dsir_score_expr, dsir_select,
+                   dsir_weight_array, dsir_weights)
 from .graph import pagerank
 from .corpus import (bigram_lm_scores, bm25_scores, corpus_report,
                      inverted_index,

@@ -192,3 +192,62 @@ def dsir_select(raw: DataFrame, target: DataFrame, n: int,
                      target_id_col=target_id_col)
     return (w.orderBy(F.col("logw_x1e6").desc(), F.col(id_col).asc())
              .limit(int(n)))
+
+
+def dsir_weight_array(weight_table: DataFrame, buckets: int,
+                      alpha: int = 1) -> tuple[list[int], int]:
+    """Densify a fitted weight table into ``(lr_list, c0_x1e6)`` for the
+    map-only scorer (:func:`dsir_score_expr`): ``lr_list[b]`` is the
+    bucket's integer log-ratio (0 for never-observed buckets — exactly
+    what the formula yields at ``t_f = r_f = 0``).
+
+    The driver pull is bounded by the FILTER size (``buckets`` longs,
+    32 KiB at the 4096 default), never by data — the same contract as
+    the Bloom bitmap.  ``c0`` is computed by the ENGINE (one 1-row
+    aggregate), not Python math, so the scorer is bit-identical to
+    :func:`dsir_weights`."""
+    a = F.lit(int(alpha)).cast("long")
+    m = F.lit(int(buckets)).cast("long")
+    rows = weight_table.select("b", "lr_x1e6").collect()
+    lr = [0] * int(buckets)
+    for r in rows:
+        lr[int(r["b"])] = int(r["lr_x1e6"])
+    c0 = weight_table.agg(
+        F.floor((F.log(F.sum("r_f") + a * m)
+                 - F.log(F.sum("t_f") + a * m)) * 1e6 + 0.5)
+         .cast("long").alias("c0")).first()["c0"]
+    return lr, int(c0)
+
+
+def dsir_score_expr(text: Column, lr: list[int], c0: int,
+                    buckets: int, ngrams: int = 2,
+                    seed: str = "dsir") -> Column:
+    """``logw_x1e6`` as a pure-codegen Column over one text value: the
+    MAP-ONLY spelling of :func:`dsir_weights` (higher-order fold over
+    the doc's grams against a literal weight array) — bit-identical to
+    the join path (parity pytest-pinned), with zero shuffle and zero
+    state, so it runs unchanged in a STREAMING projection
+    (:func:`~cascading_flink_spark.streaming.ops.stream_dsir_gate`)."""
+    from .text import _tokens
+    toks = _tokens(F.lower(F.coalesce(text, F.lit(""))))
+    grams = toks
+    if ngrams >= 2:
+        n = F.size(toks)
+        bi = (F.when(n >= 2, F.transform(
+                  F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+                  lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                                        F.element_at(toks, i + 1))))
+              .otherwise(F.array().cast("array<string>")))
+        grams = F.concat(toks, bi)
+    lr_arr = F.lit([int(x) for x in lr])
+
+    def bucket(g):
+        h = F.md5(F.concat(F.lit(seed + "#"), g))
+        return F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),
+                      F.lit(buckets))
+
+    s = F.aggregate(
+        grams, F.lit(0).cast("long"),
+        lambda acc, g: acc + F.element_at(lr_arr,
+                                          (bucket(g) + 1).cast("int")))
+    return (s + F.size(grams).cast("long") * F.lit(int(c0))).cast("long")

@@ -15,7 +15,8 @@ from .ops import (
     with_watermark, tumbling_window_agg, sliding_window_agg,
     session_window_agg, stateful_sessionize, stream_chunk_packer,
     stream_curate, stream_pack_bins,
-    stream_decontaminate, stream_domain_quota, stream_embedding_gate,
+    stream_decontaminate, stream_domain_quota, stream_dsir_gate,
+    stream_embedding_gate,
     stream_exact_dedup, stream_media_dedup,
     stream_rolling_stats, stream_stream_join, stream_token_quota,
 )

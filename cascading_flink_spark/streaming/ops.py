@@ -792,3 +792,30 @@ def stream_media_dedup(stream: DataFrame, ts_col: str = "ts",
 
     return (s.withWatermark(ts_col, watermark)
              .dropDuplicatesWithinWatermark(["dhash"]))
+
+
+def stream_dsir_gate(stream: DataFrame, lr: list[int], c0: int,
+                     min_logw_x1e6: int, buckets: int = 4096,
+                     ngrams: int = 2, seed: str = "dsir",
+                     text_col: str = "text",
+                     score_col: str = "logw_x1e6") -> DataFrame:
+    """Streaming DSIR admission gate: score each arriving document
+    against a PRE-FITTED weight table (densified to ``(lr, c0)`` by
+    :func:`...extensions.dsir.dsir_weight_array`) and keep rows with
+    ``logw_x1e6 >= min_logw_x1e6`` — the streaming counterpart of
+    ``dsir_select`` for a continuous ingest where "top n" becomes a
+    threshold (fit the table and pick the cutoff on a batch sample,
+    then gate the firehose).
+
+    Completely STATELESS: the scorer is one codegen higher-order fold
+    per row against the broadcast literal weight array
+    (:func:`...extensions.dsir.dsir_score_expr`, bit-identical to the
+    batch join path — parity pytest-pinned) — no state store, no
+    watermark, no stream shuffle.  At 100 TB/day the table is fitted
+    once per refresh and the gate is a pure map over the ingest."""
+    from ..extensions.dsir import dsir_score_expr
+    scored = stream.withColumn(
+        score_col, dsir_score_expr(F.col(text_col), lr, c0,
+                                   buckets=buckets, ngrams=ngrams,
+                                   seed=seed))
+    return scored.filter(F.col(score_col) >= int(min_logw_x1e6))

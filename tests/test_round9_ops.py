@@ -280,3 +280,56 @@ def test_span_decontam_corpus_unshuffled_before_probe(spark, span_corpus):
                                   ref_id_col="ref_id"))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+# ------------------------------------------------ map-only DSIR scorer
+
+def test_dsir_score_expr_parity_with_join_path(spark, sf_dir):
+    """The literal-array fold scores BIT-IDENTICALLY to the broadcast
+    join path on real documents — the streaming gate's exactness
+    contract."""
+    from cascading_flink_spark.extensions import (
+        dsir_bucket_weights, dsir_score_expr, dsir_weight_array)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = docs.filter("doc_id % 7 <> 0")
+    tgt = docs.filter("doc_id % 7 = 0")
+    wt = dsir_bucket_weights(raw, tgt, buckets=256)
+    lr, c0 = dsir_weight_array(wt, buckets=256)
+    join_path = {r.doc_id: r.logw_x1e6
+                 for r in dsir_weights(raw, tgt, buckets=256,
+                                       weight_table=wt).collect()}
+    map_path = {r.doc_id: r.w for r in raw.select(
+        "doc_id", dsir_score_expr(F.col("text"), lr, c0,
+                                  buckets=256).alias("w")).collect()}
+    assert join_path == map_path and len(join_path) > 50
+
+
+def test_stream_dsir_gate_parity_and_threshold(spark, sf_dir, tmp_path):
+    """The streaming gate admits exactly the batch filter's rows
+    (stateless map, no state store), and the score column rides along."""
+    from cascading_flink_spark.extensions import (
+        dsir_bucket_weights, dsir_weight_array)
+    from cascading_flink_spark.streaming import stream_dsir_gate
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = docs.filter("doc_id % 7 <> 0").select("doc_id", "text")
+    tgt = docs.filter("doc_id % 7 = 0")
+    wt = dsir_bucket_weights(raw, tgt, buckets=256)
+    lr, c0 = dsir_weight_array(wt, buckets=256)
+    cut = 0
+    src = str(tmp_path / "dsir_in")
+    raw.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(raw.schema).parquet(src)
+    out = stream_dsir_gate(stream, lr, c0, cut, buckets=256)
+    q = (out.writeStream.format("memory").queryName("dsir_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = {r["doc_id"]: r["logw_x1e6"]
+           for r in spark.sql("SELECT * FROM dsir_out").collect()}
+    spark.catalog.dropTempView("dsir_out")
+    batch = {r["doc_id"]: r["logw_x1e6"]
+             for r in stream_dsir_gate(raw, lr, c0, cut,
+                                       buckets=256).collect()}
+    assert got == batch and got
+    # the threshold actually gates: some rows fall below
+    assert len(got) < raw.count()
+    assert all(v >= cut for v in got.values())
