@@ -357,7 +357,8 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text",
     # derive from it); long-lived sessions release it via
     # spark.catalog.clearCache() after consuming the result
     tfb = occ.groupBy(id_col, "gram").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")).persist()
+        F.count(F.lit(1)).cast("long").alias("tf")) \
+        .localCheckpoint(eager=False)
     c2 = tfb.groupBy("gram").agg(F.sum("tf").cast("long").alias("c2"))
     c1 = (c2.withColumn("w1", F.substring_index("gram", " ", 1))
             .groupBy("w1").agg(F.sum("c2").cast("long").alias("c1")))

@@ -333,7 +333,8 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 3, num_hashes: int = 32,
     Returns (id_a, id_b, est_jaccard).  Deterministic (seeded hashes), but
     engine-specific (xxhash64) — correctness gate uses the rows-only check.
     """
-    banded = _xx_banded(df, text_col, id_col, n, num_hashes, bands).persist()
+    banded = _xx_banded(df, text_col, id_col, n, num_hashes, bands)\
+        .localCheckpoint(eager=False)
     a = banded.toDF("id_a", "sig_a", "band", "bh")
     b = banded.toDF("id_b", "sig_b", "band", "bh")
     # Signature agreement as an unrolled sum of per-position equality —
@@ -373,7 +374,8 @@ def minhash_lsh_pairs_md5(df: DataFrame, n: int = 3, num_hashes: int = 32,
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b and signature
     agreement >= threshold."""
-    banded = _md5_banded(df, text_col, id_col, n, num_hashes, bands).persist()
+    banded = _md5_banded(df, text_col, id_col, n, num_hashes, bands)\
+        .localCheckpoint(eager=False)
     a = banded.toDF("id_a", *[f"__a{i}" for i in range(num_hashes)], "band", "bh")
     b = banded.toDF("id_b", *[f"__b{i}" for i in range(num_hashes)], "band", "bh")
     agree = sum(
@@ -605,7 +607,7 @@ def winnow_pairs(df: DataFrame, k: int = 4, w: int = 4,
     containment >= threshold."""
     from .text import _round_half_up
     fp = (winnow_fingerprints(df, k, w, text_col, id_col)
-          .select("id", "fp").distinct().persist())
+          .select("id", "fp").distinct().localCheckpoint(eager=False))
     sizes = fp.groupBy("id").agg(F.count(F.lit(1)).alias("n_fp"))
     rare = (fp.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
               .filter(F.col("__df") <= max_df)
@@ -740,7 +742,8 @@ def simhash_md5_pairs(df: DataFrame, max_hamming: int = 3,
         ])).alias("ck"))
     chunks = chunks.select("id", *[f"__g{j}" for j in range(16)],
                            F.col("ck.chunk").alias("chunk"),
-                           F.col("ck.cv").alias("cv")).persist()
+                           F.col("ck.cv").alias("cv")) \
+        .localCheckpoint(eager=False)
     a = chunks.toDF("id_a", *[f"__a{j}" for j in range(16)], "chunk", "cv")
     b = chunks.toDF("id_b", *[f"__b{j}" for j in range(16)], "chunk", "cv")
     dist = sum(
@@ -817,7 +820,8 @@ def simhash_dup_pairs(df: DataFrame, max_hamming: int = 3,
             for c in range(4)
         ])).alias("ck"))
     chunks = chunks.select("id", "simhash", F.col("ck.chunk").alias("chunk"),
-                           F.col("ck.cv").alias("cv")).persist()
+                           F.col("ck.cv").alias("cv")) \
+        .localCheckpoint(eager=False)
     a = chunks.toDF("id_a", "sh_a", "chunk", "cv")
     b = chunks.toDF("id_b", "sh_b", "chunk", "cv")
     dist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
@@ -856,7 +860,8 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     generation) is never recomputed.  Identical output by construction
     (min-label per component, same id ordering semantics); the distributed
     path takes over exactly when the pair list could hurt driver memory."""
-    pairs = pairs.select(F.col(id_a), F.col(id_b)).persist()
+    pairs = (pairs.select(F.col(id_a), F.col(id_b))
+             .localCheckpoint(eager=False))
     n_pairs = pairs.count()
     if n_pairs <= driver_cutoff_edges:
         spark = pairs.sparkSession
@@ -898,7 +903,7 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
              .alias("e"))
              .select("e.src", "e.dst")
              .distinct()
-             .persist())
+             .localCheckpoint(eager=False))
     # Partition the iteration frames by data size, not default parallelism:
     # each round is several jobs over the label table, and tiny-task swarms
     # dominate when the dup graph is small (the common case — dup clusters

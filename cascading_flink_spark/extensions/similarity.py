@@ -531,7 +531,7 @@ def embedding_dup_pairs(df: DataFrame, threshold: float = 0.95,
         sig = (_fan_out(df)
                .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                        F.posexplode(sig_udf(F.col(vec_col))).alias("__t", "__sig"))
-               .persist())
+               .localCheckpoint(eager=False))
         lb = sig.toDF("id_a", "va", "__t", "__sig")
         rb = sig.toDF("id_b", "vb", "__t", "__sig")
         cand = (lb.join(rb, ["__t", "__sig"])
@@ -955,7 +955,8 @@ def semdedup_pairs(df: DataFrame, threshold: float = 0.93,
     # Arrow assignment pass runs twice
     assigned = (_fan_out(df)
                 .select(F.col(id_col), F.col(vec_col),
-                        _cell(F.col(vec_col)).alias("__cell")).persist())
+                        _cell(F.col(vec_col)).alias("__cell"))
+             .localCheckpoint(eager=False))
     return _within_cell_pairs(assigned, id_col, vec_col, threshold)
 
 
@@ -983,7 +984,8 @@ def semdedup_pairs_md5(df: DataFrame, threshold: float = 0.93,
                 .withColumn("__rn", F.row_number().over(w_assign))
                 .filter(F.col("__rn") == 1)
                 .select(F.col(id_col), F.col(vec_col),
-                        F.col("__cent_id").alias("__cell")).persist())
+                        F.col("__cent_id").alias("__cell"))
+             .localCheckpoint(eager=False))
     return _within_cell_pairs(assigned, id_col, vec_col, threshold)
 
 

@@ -57,6 +57,37 @@ def test_operator_caches_leave_query_cache_empty(spark, sf_dir):
         "operator-internal pins must not pile up in the cached-query registry"
 
 
+def test_remaining_operator_pins_leave_query_cache_empty(spark, sf_dir):
+    """Round-9 sweep of the persist() stragglers the round-8 pass missed
+    (banded minhash/simhash signatures, winnow fingerprints, dedup
+    cluster edges, IVF cells, bigram_lm count partials, embedding-dup
+    signatures, dsir doc partials): all localCheckpoint-scoped now."""
+    from cascading_flink_spark.extensions import (
+        bigram_lm_scores, dedup_clusters, dsir_weights,
+        embedding_dup_pairs, ivf_topk, minhash_lsh_pairs,
+        simhash_dup_pairs, winnow_pairs,
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id < 3").selectExpr("vec_id as query_id",
+                                            "embedding")
+    spark.catalog.clearCache()
+    pairs = minhash_lsh_pairs(docs, n=3, num_hashes=16, bands=4,
+                              threshold=0.5)
+    pairs.count()
+    simhash_dup_pairs(docs, max_hamming=3).count()
+    winnow_pairs(docs, k=4, w=5).count()
+    dedup_clusters(pairs).count()
+    ivf_topk(emb, q, k=5, n_centroids=4, n_probe=2).count()
+    bigram_lm_scores(docs).count()
+    embedding_dup_pairs(emb, threshold=0.4, exact=False).count()
+    dsir_weights(docs.filter("doc_id % 7 <> 0"),
+                 docs.filter("doc_id % 7 = 0"), buckets=64).count()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), \
+        "no operator may leave entries in the cached-query registry"
+
+
 def test_dup_span_family_empty_and_null_docs_zero_tokens(spark):
     rows = [(1, None), (2, ""), (3, "   "),
             (4, "a b c d e f g h a b c d e f g h"),
