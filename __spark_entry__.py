@@ -64,7 +64,7 @@ from cascading_flink_spark.extensions import (
     sample_k_per_group, strip_dup_spans,
     contamination_spans, strip_spans_against,
     dsir_select, dsir_weights,
-    pagerank,
+    hits, pagerank,
 )
 
 
@@ -1147,6 +1147,18 @@ def q_pagerank(spark, sf_dir):
         (F.col("user_id") % 50).alias("src"),
         ((F.col("user_id") * 7 + F.col("event_id")) % 50).alias("dst"))
     return pagerank(edges, iterations=3)
+
+
+def q_hits(spark, sf_dir):
+    """Integer-scaled HITS hubs/authorities (2 unrolled iterations) over
+    the same 50-node events-derived link graph as q_pagerank; every
+    update (in/out-neighbour sums + L-infinity rescale) is exact integer
+    DIV arithmetic the oracle's generated CTEs replay bit-for-bit."""
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 50).alias("src"),
+        ((F.col("user_id") * 7 + F.col("event_id")) % 50).alias("dst"))
+    return hits(edges, iterations=2)
 
 
 def _decontam_split(spark, sf_dir):
@@ -2640,6 +2652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
         "pagerank": q_pagerank,
+        "hits": q_hits,
         "decontam_spans": q_decontam_spans,
         "strip_spans_against": q_strip_spans_against,
         # --- NEW round 8 ---
@@ -3049,6 +3062,48 @@ def _pagerank_oracle(iters: int = 3, n_mod: int = 50,
     return sql
 
 
+def _hits_oracle(iters: int = 2, n_mod: int = 50,
+                 scale: int = 1_000_000) -> str:
+    """Generated unrolled-iteration DuckDB twin of
+    :func:`~cascading_flink_spark.extensions.graph.hits`: in/out-
+    neighbour integer sums + L-infinity rescale per round, `//` on
+    positive BIGINTs == Spark's DIV."""
+    sql = f"""
+        WITH e AS (SELECT user_id % {n_mod} AS src,
+                          (user_id * 7 + event_id) % {n_mod} AS dst
+                   FROM events),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        h0 AS (SELECT node, {scale}::BIGINT AS h FROM nodes)"""
+    step = """,
+        ar{i} AS (SELECT e.dst AS node, sum(h.h)::BIGINT AS a
+                  FROM e JOIN h{p} h ON h.node = e.src GROUP BY e.dst),
+        af{i} AS (SELECT nd.node, coalesce(r.a, 0)::BIGINT AS a
+                  FROM nodes nd LEFT JOIN ar{i} r ON r.node = nd.node),
+        a{i} AS (SELECT node,
+                        ((a * {scale}) // greatest(
+                            (SELECT max(a) FROM af{i}), 1))::BIGINT AS a
+                 FROM af{i}),
+        hr{i} AS (SELECT e.src AS node, sum(a.a)::BIGINT AS h
+                  FROM e JOIN a{i} a ON a.node = e.dst GROUP BY e.src),
+        hf{i} AS (SELECT nd.node, coalesce(r.h, 0)::BIGINT AS h
+                  FROM nodes nd LEFT JOIN hr{i} r ON r.node = nd.node),
+        h{i} AS (SELECT node,
+                        ((h * {scale}) // greatest(
+                            (SELECT max(h) FROM hf{i}), 1))::BIGINT AS h
+                 FROM hf{i})"""
+    for i in range(1, iters + 1):
+        sql += step.format(i=i, p=i - 1, scale=scale)
+    sql += f"""
+        SELECT nd.node,
+               coalesce(h.h, 0)::BIGINT AS hub_x,
+               coalesce(a.a, 0)::BIGINT AS auth_x
+        FROM nodes nd
+        LEFT JOIN h{iters} h ON h.node = nd.node
+        LEFT JOIN a{iters} a ON a.node = nd.node
+    """
+    return sql
+
+
 def _hex8_to_int_sql(expr: str) -> str:
     """DuckDB twin of Spark's conv(substr(x, 1, 8), 16, 10): fold the first
     8 hex digits of ``expr`` into an integer with explicit strpos
@@ -3391,6 +3446,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": _dsir_oracle(),
         "dsir_select": _dsir_oracle(select_n=50),
         "pagerank": _pagerank_oracle(iters=3),
+        "hits": _hits_oracle(iters=2),
         "decontam_spans": """
             WITH toks AS (
                 SELECT doc_id,

@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "dsir_weights",
     "dsir_select",
     "pagerank",
+    "hits",
     "decontam_spans",
     "strip_spans_against",
     "groupby_agg",

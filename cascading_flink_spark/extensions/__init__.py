@@ -57,7 +57,7 @@ from .decontam import (contamination_pairs, contamination_spans,
                        bloom_might_contain, strip_spans_against)
 from .dsir import (dsir_bucket_weights, dsir_score_expr, dsir_select,
                    dsir_weight_array, dsir_weights)
-from .graph import pagerank
+from .graph import hits, pagerank
 from .corpus import (bigram_lm_scores, bm25_scores, corpus_report,
                      inverted_index,
                      ngram_counts, oov_stats, repetition_stats,

@@ -333,3 +333,45 @@ def test_stream_dsir_gate_parity_and_threshold(spark, sf_dir, tmp_path):
     # the threshold actually gates: some rows fall below
     assert len(got) < raw.count()
     assert all(v >= cut for v in got.values())
+
+
+# ------------------------------------------------------------------ HITS
+
+def test_hits_hub_authority_separation(spark):
+    """Bipartite-ish graph: 1,2,3 all point at 9 and 10; nothing points
+    back.  Sources become pure hubs (auth 0), sinks pure authorities
+    (hub 0), and the L-inf rescale puts the max of each vector at
+    scale."""
+    from cascading_flink_spark.extensions import hits
+    edges = spark.createDataFrame(
+        [(1, 9), (1, 10), (2, 9), (2, 10), (3, 9)], "src long, dst long")
+    out = {r.node: (r.hub_x, r.auth_x)
+           for r in hits(edges, iterations=2).collect()}
+    assert out[9][0] == 0 and out[10][0] == 0          # sinks: no hub
+    assert out[1][1] == 0 and out[2][1] == 0 == out[3][1]
+    assert max(h for h, _ in out.values()) == 1_000_000
+    assert max(a for _, a in out.values()) == 1_000_000
+    # 1 links to both top authorities; 3 only to one -> weaker hub
+    assert out[1][0] == out[2][0] > out[3][0]
+    # 9 has 3 in-links vs 10's 2 -> stronger authority
+    assert out[9][1] > out[10][1]
+
+
+def test_hits_deterministic_partition_independent(spark):
+    from cascading_flink_spark.extensions import hits
+    rows = [(i % 23, (i * 5 + 2) % 23) for i in range(150)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    a = sorted(map(tuple, hits(e, iterations=2).collect()))
+    b = sorted(map(tuple, hits(e.repartition(6), iterations=2).collect()))
+    assert a == b and len(a) == 23
+
+
+def test_hits_plan_and_validations(spark):
+    from cascading_flink_spark.extensions import hits
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    p = _plan(hits(e, iterations=1))
+    assert "BatchEvalPython" not in p and "Window" not in p
+    with pytest.raises(ValueError):
+        hits(e, iterations=0)
+    with pytest.raises(ValueError):
+        hits(e, scale=0)
