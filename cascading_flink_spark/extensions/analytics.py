@@ -140,7 +140,8 @@ def rolling_stats(events: DataFrame, key_col: str = "user_id",
 def group_quantiles(df: DataFrame, value_col: str = "value",
                     by: str = "event_type",
                     ps: list[float] | None = None,
-                    strategy: str = "binned") -> DataFrame:
+                    strategy: str = "binned",
+                    approx_accuracy: int = 10000) -> DataFrame:
     """Exact discrete quantiles per group: for each p, the smallest value
     whose rank reaches ``ceil(p * n)`` — a real member of the data (no
     interpolation arithmetic), so the result is reproducible bit-for-bit
@@ -156,11 +157,34 @@ def group_quantiles(df: DataFrame, value_col: str = "value",
     over the DISTINCT values — cheaper when groups are modest or values
     repeat heavily (status codes, prices), but a hot group of unique
     continuous values sorts its whole distinct set in a single task.
+
+    ``strategy="approx"`` is the sketch scale path (the
+    cardinality_report exact/HLL++ twin pattern): one
+    ``approx_percentile`` partial aggregation, NO second pass and NO
+    per-group sort at all — rank error bounded by ``n /
+    approx_accuracy`` (pytest-pinned).  Sketch results are
+    engine-specific, so this path is not oracle-gateable; the exact
+    strategies carry the correctness gate.
     """
     if strategy == "binned":
         return group_quantiles_binned(df, value_col=value_col, by=by, ps=ps)
+    if strategy == "approx":
+        if ps is None:
+            ps = [0.5, 0.9, 0.99]
+        agg = (df.select(F.col(by).alias("grp"),
+                         F.col(value_col).alias("q"))
+                 .filter(F.col("q").isNotNull())
+                 .groupBy("grp")
+                 .agg(F.percentile_approx(
+                         "q", [float(p) for p in ps],
+                         int(approx_accuracy)).alias("__qs")))
+        pair = F.explode(F.arrays_zip(
+            F.array(*[F.lit(float(p)) for p in ps]).alias("p"),
+            F.col("__qs").alias("q"))).alias("pq")
+        return agg.select("grp", pair).select(
+            "grp", F.col("pq.p").alias("p"), F.col("pq.q").alias("q"))
     if strategy != "onepass":
-        raise ValueError("strategy must be 'binned' or 'onepass'")
+        raise ValueError("strategy must be 'binned', 'onepass' or 'approx'")
     if ps is None:
         ps = [0.5, 0.9, 0.99]
     # quantiles are over NON-NULL values (the standard semantics; it also

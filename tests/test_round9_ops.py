@@ -375,3 +375,40 @@ def test_hits_plan_and_validations(spark):
         hits(e, iterations=0)
     with pytest.raises(ValueError):
         hits(e, scale=0)
+
+
+# ----------------------------------------- group_quantiles approx path
+
+def test_group_quantiles_approx_rank_error_bound(spark, sf_dir):
+    """The sketch path honors approx_percentile's rank guarantee: the
+    returned value's true rank sits within n/accuracy of ceil(p*n) —
+    and the plan has no Window at all (pure partial agg)."""
+    from cascading_flink_spark.extensions import group_quantiles
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    acc = 100
+    out = group_quantiles(ev, strategy="approx",
+                          approx_accuracy=acc)
+    rows = out.collect()
+    assert rows
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    vals = {}
+    for r in ev.select("event_type", "value").filter(
+            "value IS NOT NULL").collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    for v in vals.values():
+        v.sort()
+    import bisect
+    for r in rows:
+        v = vals[r.grp]
+        n = len(v)
+        true_rank = bisect.bisect_right(v, r.q)
+        assert abs(true_rank - r.p * n) <= n / acc + 1, \
+            (r.grp, r.p, r.q, true_rank, n)
+
+
+def test_group_quantiles_rejects_unknown_strategy(spark, sf_dir):
+    from cascading_flink_spark.extensions import group_quantiles
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    with pytest.raises(ValueError):
+        group_quantiles(ev, strategy="nope")
