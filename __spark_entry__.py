@@ -2628,96 +2628,119 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     least-recently-driver-verified queries must sit at the front.
     Rotation is documented in COVERAGE.md ("Driver-slot rotation").
 
-    Round-8 front block (slots 1-50): the NEW round-8 operators (kmeans
-    and decontaminate_bloom from session 2 lead; then image_dups,
-    curation_despan and the session-1 media family); the 7 round-7
-    session-4 queries that
-    were appended AFTER the r7 driver check and therefore have no driver
-    row at all (VERDICT r7 "What's missing #1" / "Next #1" — c4_rules,
-    sample_k_per_group, cardinality_report, dup_spans, strip_dup_spans,
-    gram_novelty, minhash_recall); the queries whose semantics or oracle
-    changed this round (heavy_hitters sentinel redesign, pack_bins/
-    chunk_corpus/event_funnel cache scoping, curation_flagship module
-    churn + oracle CTE materialization, quality_classifier module churn,
-    the minhash-fragment oracles); the queries whose PLAN changed via the
-    _fan_out repartition gate (every shingling/hashing/ANN input path);
-    then the stalest rows — the r5-greens whose newest driver row is
-    still CORRECTNESS_r05 (mimic-verified every round since).  Back
-    block: everything with an r6/r7 driver row on unchanged code, all
-    re-verified by the committed round-8 round-end mimic.
+    Round-9 front block (slots 1-50): the 6 NEW round-9 queries
+    (dsir_weights/dsir_select — DSIR importance resampling — pagerank +
+    hits — the integer graph family — and decontam_spans/
+    strip_spans_against — span-level decontamination); the 4 queries
+    whose operators carried ADVICE-r8 fixes (kmeans via the single-eval
+    argmax fold, curriculum via global_rank's typed boundary casts,
+    decontaminate_bloom/dedup_against via the bloom k validation); the
+    17 queries whose PLAN changed in the round-9 persist ->
+    localCheckpoint hygiene sweep (banded minhash/simhash signatures,
+    winnow fingerprints, cluster pair/edge frames, IVF cells, bigram_lm
+    count partials, embedding-dup signatures) or whose module gained a
+    code branch (group_quantiles strategy=approx); then 23 of the 25
+    stalest rows — r5-greens whose newest driver row is CORRECTNESS_r05
+    (mimic-verified every round since; value_histogram and wordcount,
+    the two r5 leftovers, lead the round-10 rotation with the r6
+    block).  Back block: everything with an r6-r8 driver row on
+    unchanged code, all re-verified by the committed round-9 round-end
+    mimic.
     """
 
     return {
-        # --- NEW round 9 ---
+        # --- NEW round 9 (no driver row yet) ---
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
         "pagerank": q_pagerank,
         "hits": q_hits,
         "decontam_spans": q_decontam_spans,
         "strip_spans_against": q_strip_spans_against,
-        # --- NEW round 8 ---
-        "hash_embed": q_hash_embed,
-        "curriculum": q_curriculum,
+        # --- ADVICE r8 fixes (argmax fold, global_rank casts, bloom
+        # validation) re-gated on changed code ---
         "kmeans": q_kmeans,
+        "curriculum": q_curriculum,
         "decontaminate_bloom": q_decontaminate_bloom,
-        "image_dups": q_image_dups,
+        "dedup_against": q_dedup_against,
+        # --- plan/code changed this round: persist->localCheckpoint
+        # sweep across the banded/IVF/count-partial internals, plus
+        # the dsir fan-out and group_quantiles strategy branch ---
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "winnow_pairs": q_winnow_pairs,
+        "winnow_clusters": q_winnow_clusters,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
+        "bigram_lm": q_bigram_lm,
+        "embedding_dups": q_embedding_dups,
+        "ann_ivf": q_ann_ivf,
+        "ann_recall": q_ann_recall,
+        "semdedup": q_semdedup,
+        "minhash_recall": q_minhash_recall,
+        "curation_flagship": q_curation_flagship,
         "curation_despan": q_curation_despan,
+        "curation_pipeline": q_curation_pipeline,
+        "group_quantiles": q_group_quantiles,
+        # --- stalest driver rows (last green row r05; mimic-verified
+        # every round since) ---
+        "argmin_join": q_argmin_join,
+        "bm25": q_bm25,
+        "cogroup_inner": q_cogroup_inner,
+        "cogroup_left": q_cogroup_left,
+        "cogroup_outer": q_cogroup_outer,
+        "date_format": q_date_format,
+        "expression_filter": q_expression_filter,
+        "groupby_agg": q_groupby_agg,
+        "hashjoin_broadcast": q_hashjoin_broadcast,
+        "hashjoin_cross": q_hashjoin_cross,
+        "nary_join": q_nary_join,
+        "regex_parse": q_regex_parse,
+        "repetition_stats": q_repetition_stats,
+        "retain_coerce": q_retain_coerce,
+        "tfidf_topterms": q_tfidf_topterms,
+        "token_stats_by_lang": q_token_stats_by_lang,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q6": q_tpch_q6,
+        "unigram_commonness": q_unigram_commonness,
+        # --- beyond slot 50: r6-r8 driver-green on unchanged code,
+        # re-verified by the committed round-9 round-end mimic ---
+        "hash_embed": q_hash_embed,
+        "image_dups": q_image_dups,
         "audio_dups": q_audio_dups,
         "video_dups": q_video_dups,
         "image_resize": q_image_resize,
         "frame_sample": q_frame_sample,
-        # --- the 7 session-4 queries: no driver row yet (r7 Next #1) ---
         "c4_rules": q_c4_rules,
         "sample_k_per_group": q_sample_k_per_group,
         "cardinality_report": q_cardinality_report,
         "dup_spans": q_dup_spans,
         "strip_dup_spans": q_strip_dup_spans,
         "gram_novelty": q_gram_novelty,
-        "minhash_recall": q_minhash_recall,
-        # --- semantics/oracle changed this round ---
         "heavy_hitters": q_heavy_hitters,
         "pack_bins": q_pack_bins,
         "chunk_corpus": q_chunk_corpus,
         "event_funnel": q_event_funnel,
-        "curation_flagship": q_curation_flagship,
         "quality_classifier": q_quality_classifier,
-        "minhash_lsh": q_minhash_lsh,
-        "dedup_against": q_dedup_against,
-        "dedup_clusters": q_dedup_clusters,
-        "winnow_clusters": q_winnow_clusters,
-        # --- plan changed this round (_fan_out gate) ---
-        "winnow_pairs": q_winnow_pairs,
-        "ngram_jaccard": q_ngram_jaccard,
-        "simhash": q_simhash,
         "strip_boilerplate": q_strip_boilerplate,
         "ngram_counts": q_ngram_counts,
-        "bigram_lm": q_bigram_lm,
         "decontaminate": q_decontaminate,
-        "semdedup": q_semdedup,
-        "embedding_dups": q_embedding_dups,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
         "ann_pq": q_ann_pq,
-        "ann_recall": q_ann_recall,
         "sq_codes": q_sq_codes,
         "sq_topk": q_sq_topk,
         "random_project": q_random_project,
         "group_centroids": q_group_centroids,
-        # --- stalest driver rows (last green row r05) ---
         "intersect": q_intersect,
         "except": q_except,
         "redact_pii": q_redact_pii,
-        "curation_pipeline": q_curation_pipeline,
         "logic_filters": q_logic_filters,
-        "retain_coerce": q_retain_coerce,
-        "hashjoin_cross": q_hashjoin_cross,
-        "tpch_q3": q_tpch_q3,
-        "repetition_stats": q_repetition_stats,
-        "tfidf_topterms": q_tfidf_topterms,
-        "unigram_commonness": q_unigram_commonness,
         "value_histogram": q_value_histogram,
-        "argmin_join": q_argmin_join,
         "clean_text": q_clean_text,
         "gopher_quality": q_gopher_quality,
         "blocklist": q_blocklist,
@@ -2725,14 +2748,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "overlap_chunks": q_overlap_chunks,
         "hot_keys": q_hot_keys,
-        "group_quantiles": q_group_quantiles,
         "domain_quota": q_domain_quota,
         "token_mixture": q_token_mixture,
         "token_budget": q_token_budget,
         "temperature_mixture": q_temperature_mixture,
         "multimodal_meta": q_multimodal_meta,
-        # --- beyond slot 50: r6/r7-driver-green on unchanged code,
-        # re-verified by the committed round-8 mimic ---
         "sessionize": q_sessionize,
         "rollup": q_rollup,
         "pivot": q_pivot,
@@ -2790,24 +2810,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "group_quantiles_binned": q_group_quantiles_binned,
         "corpus_report": q_corpus_report,
-        "dedup_keep_best": q_dedup_keep_best,
-        "token_stats_by_lang": q_token_stats_by_lang,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q13": q_tpch_q13,
-        "bm25": q_bm25,
         "wordcount": q_wordcount,
-        "groupby_agg": q_groupby_agg,
-        "expression_filter": q_expression_filter,
-        "regex_parse": q_regex_parse,
-        "date_format": q_date_format,
-        "cogroup_inner": q_cogroup_inner,
-        "cogroup_left": q_cogroup_left,
-        "cogroup_outer": q_cogroup_outer,
-        "hashjoin_broadcast": q_hashjoin_broadcast,
-        "nary_join": q_nary_join,
+
     }
 
 
