@@ -2472,6 +2472,33 @@ def q_curation_flagship(spark, sf_dir):
         total_budget=8000, test_frac=0.2, context_len=512)
 
 
+def q_curation_dsir(spark, sf_dir):
+    """The flagship with the opt-in DSIR quality-targeted-selection
+    stage (dsir_kwargs): after decontamination, keep the 50 survivors
+    whose hashed-n-gram distribution best matches a target slice
+    (cleaned docs with doc_id % 13 == 0) — the "select data that reads
+    like the target" pass between cleaning and mixture.  The oracle
+    replays the whole chain INCLUDING the dsir bucket tables, weight
+    table, normalizer and the top-50 cut."""
+    from cascading_flink_spark.extensions.text import clean_text_expr
+    docs = _t(spark, sf_dir, "documents").withColumn("url", _messy_url())
+    cleaned = clean_text_expr(F.coalesce("text", F.lit("")))
+    bench = docs.filter(F.col("doc_id") % 20 == 0).select(
+        "doc_id", cleaned.alias("text"))
+    target = docs.filter(F.col("doc_id") % 13 == 0).select(
+        "doc_id", cleaned.alias("text"))
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return curate_corpus(
+        corpus, bench, use_md5=True,
+        gopher_kwargs=dict(min_words=30, max_words=120,
+                           min_mean_word_len_x100=300,
+                           max_mean_word_len_x100=450,
+                           min_stop_hits=1),
+        blocklist_terms=["dup"],
+        dsir_kwargs=dict(target=target, keep_n=50, buckets=512),
+        total_budget=8000, test_frac=0.2, context_len=512)
+
+
 def q_curation_despan(spark, sf_dir):
     """The flagship with the opt-in exact-substring stage enabled
     (dupspan_kwargs): after MinHash near-dup removal, strip_dup_spans
@@ -2656,6 +2683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "decontam_spans": q_decontam_spans,
         "strip_spans_against": q_strip_spans_against,
+        "curation_dsir": q_curation_dsir,
         # --- ADVICE r8 fixes (argmax fold, global_rank casts, bloom
         # validation) re-gated on changed code ---
         "kmeans": q_kmeans,
@@ -3163,13 +3191,77 @@ def _dupspan_ctes(k: int = 4) -> str:
                    FROM corp2 c JOIN dkept k USING (doc_id)),"""
 
 
-def _curation_flagship_oracle(dupspan: bool = False) -> str:
+def _curation_dsir_ctes(keep_n: int = 50, buckets: int = 512,
+                        target_mod: int = 13, seed: str = "dsir") -> str:
+    """The flagship's opt-in DSIR quality-targeted-selection stage
+    (curate_corpus ``dsir_kwargs``), spelled exactly like the standalone
+    dsir oracle but with the post-decontamination corpus (``corp3``) as
+    the raw pool and the cleaned ``raw`` slice ``doc_id % target_mod =
+    0`` as the target: rebuild both bucket tables, the weight table,
+    the normalizer, every survivor's score, and keep the top
+    ``keep_n`` by (weight DESC, doc_id)."""
+    hexpr = _hex8_to_int_sql(f"md5('{seed}#' || g)")
+    return f""",
+        dzb AS (SELECT doc_id,
+                       CASE WHEN trim(coalesce(text, '')) = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(
+                                trim(lower(coalesce(text, ''))), '\\s+')
+                       END AS t
+                FROM corp3),
+        dztb AS (SELECT doc_id,
+                        CASE WHEN trim(coalesce(text, '')) = ''
+                             THEN CAST([] AS VARCHAR[])
+                             ELSE regexp_split_to_array(
+                                 trim(lower(coalesce(text, ''))), '\\s+')
+                        END AS t
+                 FROM raw WHERE doc_id % {target_mod} = 0),
+        dzru AS (SELECT doc_id, unnest(t) AS g FROM dzb),
+        dzrb AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+                 FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+                       FROM dzb WHERE len(t) >= 2)),
+        dztu AS (SELECT doc_id, unnest(t) AS g FROM dztb),
+        dztbg AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+                  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+                        FROM dztb WHERE len(t) >= 2)),
+        dzrf AS (SELECT doc_id, {hexpr} % {buckets} AS b
+                 FROM (SELECT * FROM dzru UNION ALL SELECT * FROM dzrb)),
+        dztf AS (SELECT doc_id, {hexpr} % {buckets} AS b
+                 FROM (SELECT * FROM dztu UNION ALL SELECT * FROM dztbg)),
+        dzrc AS (SELECT b, count(*)::BIGINT AS r_f FROM dzrf GROUP BY b),
+        dztc AS (SELECT b, count(*)::BIGINT AS t_f FROM dztf GROUP BY b),
+        dzw AS (SELECT coalesce(dzrc.b, dztc.b) AS b,
+                       coalesce(t_f, 0)::BIGINT AS t_f,
+                       coalesce(r_f, 0)::BIGINT AS r_f
+                FROM dzrc FULL OUTER JOIN dztc ON dzrc.b = dztc.b),
+        dzlr AS (SELECT b, floor((ln(t_f + 1) - ln(r_f + 1))
+                                 * 1e6 + 0.5)::BIGINT AS lr FROM dzw),
+        dzc0 AS (SELECT floor((ln(sum(r_f) + {buckets})
+                               - ln(sum(t_f) + {buckets}))
+                              * 1e6 + 0.5)::BIGINT AS c0 FROM dzw),
+        dzdf AS (SELECT doc_id, b, count(*)::BIGINT AS c FROM dzrf
+                 GROUP BY 1, 2),
+        dzsc AS (SELECT doc_id, sum(c * lr)::BIGINT AS s,
+                        sum(c)::BIGINT AS n
+                 FROM dzdf JOIN dzlr USING (b) GROUP BY doc_id),
+        dzsel AS (SELECT c.doc_id
+                  FROM corp3 c LEFT JOIN dzsc sc ON sc.doc_id = c.doc_id
+                  ORDER BY (coalesce(sc.s, 0)
+                            + coalesce(sc.n, 0)
+                              * (SELECT c0 FROM dzc0)) DESC, c.doc_id
+                  LIMIT {keep_n}),
+        corpD AS MATERIALIZED (SELECT * FROM corp3
+                  WHERE doc_id IN (SELECT doc_id FROM dzsel))"""
+
+
+def _curation_flagship_oracle(dupspan: bool = False,
+                              dsir: bool = False) -> str:
     """DuckDB replay of the WHOLE curation flagship — every stage's
     spelling is copied verbatim from that stage's standalone oracle
     (clean_text, gopher_quality, blocklist, url_dedup, minhash_lsh,
     dedup_clusters, [strip_dup_spans when ``dupspan``], decontaminate,
-    temperature_mixture, group_split, chunk_corpus), chained through
-    CTEs on the shrinking corpus."""
+    [DSIR selection when ``dsir``], temperature_mixture, group_split,
+    chunk_corpus), chained through CTEs on the shrinking corpus."""
     nh, nb = 32, 8
     min_agree = 16  # threshold 0.5 * 32
     h_aggs, band_selects, agree = _md5_minhash_ctes(nh, nb)
@@ -3328,12 +3420,12 @@ def _curation_flagship_oracle(dupspan: bool = False) -> str:
         binv AS (SELECT doc_id, unnest(s) AS g FROM bsh),
         bad AS (SELECT DISTINCT c.doc_id FROM cinv c JOIN binv b USING (g)),
         corp3 AS MATERIALIZED (SELECT * FROM {'corp2b' if dupspan else 'corp2'}
-                  WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+                  WHERE doc_id NOT IN (SELECT doc_id FROM bad)){_curation_dsir_ctes() if dsir else ''},
         tk AS MATERIALIZED (SELECT doc_id, lang, source,
                       CASE WHEN trim(text) = '' THEN 0
                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
                       END AS n_tokens
-               FROM corp3),
+               FROM {'corpD' if dsir else 'corp3'}),
         c AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens
               FROM tk GROUP BY lang),
         w AS (SELECT lang,
@@ -3548,6 +3640,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "curation_flagship": _curation_flagship_oracle(),
         "curation_despan": _curation_flagship_oracle(dupspan=True),
+        "curation_dsir": _curation_flagship_oracle(dsir=True),
         "quality_classifier": _quality_classifier_oracle(),
         "sq_codes": """
             WITH stats AS (

@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "hits",
     "decontam_spans",
     "strip_spans_against",
+    "curation_dsir",
     "groupby_agg",
     "nary_join",
     "hashjoin_broadcast",
@@ -347,6 +348,29 @@ def main() -> None:
             total_budget=8000, test_frac=0.2, context_len=512)
 
     qs["curation_despan"] = _despan_fast
+
+    # curation_dsir at bench scale: same fast-hash variant with the
+    # opt-in DSIR selection stage (the md5 twin is the gate spelling)
+    def _dsir_flagship_fast(s, d):
+        docs = entry._t(s, d, "documents").withColumn(
+            "url", entry._messy_url())
+        cleaned = clean_text_expr(F.coalesce("text", F.lit("")))
+        bench_df = docs.filter(F.col("doc_id") % 20 == 0).select(
+            "doc_id", cleaned.alias("text"))
+        target = docs.filter(F.col("doc_id") % 13 == 0).select(
+            "doc_id", cleaned.alias("text"))
+        corpus = docs.filter(F.col("doc_id") % 20 != 0)
+        return curate_corpus(
+            corpus, bench_df, use_md5=False,
+            gopher_kwargs=dict(min_words=30, max_words=120,
+                               min_mean_word_len_x100=300,
+                               max_mean_word_len_x100=450,
+                               min_stop_hits=1),
+            blocklist_terms=["dup"],
+            dsir_kwargs=dict(target=target, keep_n=50, buckets=512),
+            total_budget=8000, test_frac=0.2, context_len=512)
+
+    qs["curation_dsir"] = _dsir_flagship_fast
     # ann_pq at bench scale: the Lloyd-trained production path (queries()
     # carries the md5 cross-engine twin for the correctness gate).
     qs["ann_pq"] = lambda s, d: pq_topk(

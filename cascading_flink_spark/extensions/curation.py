@@ -22,6 +22,11 @@ lineage):
 5. **decontamination**: drop documents sharing a word n-gram with the
    held-out benchmark (benchmark grams broadcast; the corpus never
    shuffles);
+5.5. **quality-targeted selection** (``dsir_kwargs`` opt-in): DSIR
+   importance resampling (:mod:`..dsir`) keeps the ``keep_n`` surviving
+   documents whose hashed-n-gram distribution best matches a supplied
+   TARGET corpus — the "select web data that reads like the target"
+   pass public pipelines run between cleaning and mixture;
 6. **mixture**: temperature-weighted per-language token budgets, admitted
    in deterministic md5 order (mega-key-safe twoscan admission);
 7. **split**: leakage-safe group split on the source domain (map-only);
@@ -66,6 +71,7 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame,
                   minhash_n: int = 3, num_hashes: int = 32, bands: int = 8,
                   threshold: float = 0.5, use_md5: bool = False,
                   dupspan_kwargs: dict | None = None,
+                  dsir_kwargs: dict | None = None,
                   total_budget: int = 8000,
                   test_frac: float = 0.2,
                   context_len: int = 512,
@@ -82,8 +88,9 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame,
 
     ``return_stages=True`` returns ``(packed, stages)`` where
     ``stages`` is an ordered dict of each intermediate DataFrame
-    (``gated``, ``url_deduped``, ``deduped``, ``despanned`` when the
-    opt-in stage is on, ``decontaminated``, ``admitted``, ``split``) —
+    (``gated``, ``url_deduped``, ``deduped``, ``despanned`` /
+    ``dsir_selected`` when those opt-in stages are on,
+    ``decontaminated``, ``admitted``, ``split``) —
     all LAZY, so auditing costs nothing
     until a stage is counted; ``stages["gated"].count()`` etc. answers
     "which stage dropped my corpus" without re-running the pipeline
@@ -195,6 +202,26 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame,
     decon = decontaminate(deduped, benchmark, n=decontam_n,
                           text_col=text_col, id_col=id_col)
     stages["decontaminated"] = decon
+
+    # 5.5. Optional DSIR quality-targeted selection (opt-in): keep the
+    # keep_n survivors whose hashed-n-gram distribution best matches
+    # dsir_kwargs["target"] (a (id, text) frame, pre-cleaned to the
+    # pipeline's text form).  Selection is a TakeOrderedAndProject over
+    # integer-exact weights; the keep_n-row id set broadcasts back —
+    # the corpus side never shuffles for this stage beyond the
+    # (doc, bucket) scoring partials.
+    if dsir_kwargs is not None:
+        from .dsir import dsir_select
+        keep = dsir_select(
+            decon, dsir_kwargs["target"],
+            n=dsir_kwargs.get("keep_n", 1000),
+            buckets=dsir_kwargs.get("buckets", 4096),
+            ngrams=dsir_kwargs.get("ngrams", 2),
+            alpha=dsir_kwargs.get("alpha", 1),
+            seed=dsir_kwargs.get("seed", "dsir"),
+            text_col=text_col, id_col=id_col).select(id_col)
+        decon = decon.join(F.broadcast(keep), id_col)
+        stages["dsir_selected"] = decon
 
     # 6. temperature mixture on whitespace token counts.  Second
     # materialization boundary (same argument as stage 4): the mixture's

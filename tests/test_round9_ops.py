@@ -412,3 +412,43 @@ def test_group_quantiles_rejects_unknown_strategy(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     with pytest.raises(ValueError):
         group_quantiles(ev, strategy="nope")
+
+
+# ---------------------------------------------- DSIR flagship stage
+
+def test_curation_dsir_stage_selects_and_chains(spark, sf_dir):
+    """The opt-in DSIR stage caps the decontaminated corpus at keep_n
+    target-like docs; downstream stages run on the selected set only,
+    and the stage frame appears in the stages dict."""
+    from cascading_flink_spark.extensions import curate_corpus
+    from cascading_flink_spark.extensions.text import clean_text_expr
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .withColumn("url", F.lit("https://ex.com/a"))
+    cleaned = clean_text_expr(F.coalesce("text", F.lit("")))
+    bench = docs.filter("doc_id % 20 = 0").select(
+        "doc_id", cleaned.alias("text"))
+    target = docs.filter("doc_id % 13 = 0").select(
+        "doc_id", cleaned.alias("text"))
+    corpus = docs.filter("doc_id % 20 <> 0")
+    packed, stages = curate_corpus(
+        corpus, bench, use_md5=True, url_col=None,
+        gopher_kwargs=dict(min_words=1, max_words=10**6,
+                           min_mean_word_len_x100=0,
+                           max_mean_word_len_x100=10**6,
+                           min_stop_hits=0),
+        dsir_kwargs=dict(target=target, keep_n=10, buckets=128),
+        total_budget=100000, test_frac=0.2, context_len=64,
+        return_stages=True)
+    assert "dsir_selected" in stages
+    sel = stages["dsir_selected"]
+    n_sel = sel.count()
+    assert 0 < n_sel <= 10
+    assert n_sel <= stages["decontaminated"].count()
+    # selected ids are exactly the top-10 dsir weights of the decon set
+    from cascading_flink_spark.extensions import dsir_select
+    expect = {r.doc_id for r in dsir_select(
+        stages["decontaminated"], target, 10, buckets=128).collect()}
+    assert {r.doc_id for r in sel.select("doc_id").collect()} == expect
+    # the packed output only contains selected docs
+    out_ids = {r.doc_id for r in packed.collect()}
+    assert out_ids <= expect
