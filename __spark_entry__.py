@@ -37,6 +37,7 @@ from cascading_flink_spark.extensions import (
     audio_dups, image_dups, resize_images, video_dups,
     dedup_clusters, embedding_dup_pairs, exact_dedup, fingerprint, lang_id,
     hash_embed, ivf_topk, ivf_topk_md5, kmeans_md5, lsh_bucketed_topk,
+    margin_mine,
     lsh_bucketed_topk_md5,
     pq_topk, pq_topk_md5, semdedup_pairs, semdedup_pairs_md5,
     minhash_lsh_pairs, minhash_lsh_pairs_md5,
@@ -1147,6 +1148,19 @@ def q_pagerank(spark, sf_dir):
         (F.col("user_id") % 50).alias("src"),
         ((F.col("user_id") * 7 + F.col("event_id")) % 50).alias("dst"))
     return pagerank(edges, iterations=3)
+
+
+def q_margin_mine(spark, sf_dir):
+    """Margin-based bitext mining (Artetxe & Schwenk): even-id vs
+    odd-id embeddings as the two sides, mutual-best cosine pairs scored
+    by the 4-NN ratio margin — ordering on unrounded cosines with id
+    tie-breaks, every score integer (4dp-rounded cosines, exact k-sums,
+    one truncating DIV), so the oracle replays pairs, ranks, k-sums,
+    margins and the threshold cut."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return margin_mine(emb.filter(F.col("vec_id") % 2 == 0),
+                       emb.filter(F.col("vec_id") % 2 == 1),
+                       k=4, threshold_x1e4=10200)
 
 
 def q_hits(spark, sf_dir):
@@ -2684,6 +2698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_spans": q_decontam_spans,
         "strip_spans_against": q_strip_spans_against,
         "curation_dsir": q_curation_dsir,
+        "margin_mine": q_margin_mine,
         # --- ADVICE r8 fixes (argmax fold, global_rank casts, bloom
         # validation) re-gated on changed code ---
         "kmeans": q_kmeans,
@@ -3543,6 +3558,34 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _dsir_oracle(select_n=50),
         "pagerank": _pagerank_oracle(iters=3),
         "hits": _hits_oracle(iters=2),
+        "margin_mine": """
+            WITH sa AS (SELECT vec_id AS id_a, embedding::DOUBLE[] AS va
+                        FROM embeddings WHERE vec_id % 2 = 0),
+            sb AS (SELECT vec_id AS id_b, embedding::DOUBLE[] AS vb
+                   FROM embeddings WHERE vec_id % 2 = 1),
+            p AS (SELECT id_a, id_b,
+                         list_cosine_similarity(va, vb) AS c,
+                         floor(list_cosine_similarity(va, vb)
+                               * 10000 + 0.5)::BIGINT AS cx
+                  FROM sa CROSS JOIN sb),
+            r AS (SELECT *,
+                         row_number() OVER (PARTITION BY id_a
+                             ORDER BY c DESC, id_b) AS rx,
+                         row_number() OVER (PARTITION BY id_b
+                             ORDER BY c DESC, id_a) AS ry
+                  FROM p),
+            kx AS (SELECT id_a, sum(cx)::BIGINT AS sx FROM r
+                   WHERE rx <= 4 GROUP BY id_a),
+            ky AS (SELECT id_b, sum(cx)::BIGINT AS sy FROM r
+                   WHERE ry <= 4 GROUP BY id_b)
+            SELECT r.id_a, r.id_b, r.cx AS sim_x1e4,
+                   ((r.cx * 8 * 10000) // (kx.sx + ky.sy))::BIGINT
+                       AS margin_x1e4
+            FROM r JOIN kx USING (id_a) JOIN ky USING (id_b)
+            WHERE r.rx = 1 AND r.ry = 1 AND r.cx > 0
+              AND kx.sx + ky.sy > 0
+              AND ((r.cx * 8 * 10000) // (kx.sx + ky.sy)) >= 10200
+        """,
         "decontam_spans": """
             WITH toks AS (
                 SELECT doc_id,

@@ -452,3 +452,58 @@ def test_curation_dsir_stage_selects_and_chains(spark, sf_dir):
     # the packed output only contains selected docs
     out_ids = {r.doc_id for r in packed.collect()}
     assert out_ids <= expect
+
+
+# ------------------------------------------------------------ margin_mine
+
+def test_margin_mine_mutual_best_and_hub_deflation(spark):
+    """Hand-built geometry: a1/b1 are a clean mutual pair; b_hub is near
+    BOTH a2 and a3 (a hub), so even though a2's best is b_hub, the
+    margin deflates it below the clean pair's."""
+    from cascading_flink_spark.extensions import margin_mine
+    import math
+    def unit(theta, phi=0.0):
+        return [math.cos(theta), math.sin(theta) * math.cos(phi),
+                math.sin(theta) * math.sin(phi), 0.0]
+    a = spark.createDataFrame([
+        (0, unit(0.00)),            # pairs with b 1
+        (2, unit(1.00)),            # hub-adjacent
+        (4, unit(1.05)),            # hub-adjacent
+    ], "vec_id long, embedding array<double>")
+    b = spark.createDataFrame([
+        (1, unit(0.02)),            # the clean partner of a0
+        (3, unit(1.02)),            # the hub: near a2 AND a4
+        (5, unit(2.2)),             # far from everything
+    ], "vec_id long, embedding array<double>")
+    out = {(r.id_a, r.id_b): r.margin_x1e4
+           for r in margin_mine(a, b, k=2,
+                                threshold_x1e4=0).collect()}
+    assert (0, 1) in out
+    # the hub pair may be mutual-best too, but its margin must be lower
+    for pair, m in out.items():
+        if pair != (0, 1):
+            assert m < out[(0, 1)], (pair, m, out)
+
+
+def test_margin_mine_candidates_path_matches_exact_on_full_graph(spark, sf_dir):
+    """Passing the full cross product as candidates reproduces the
+    exact path bit-for-bit (the ANN-candidates hook changes candidate
+    GENERATION only, never the margin math)."""
+    from cascading_flink_spark.extensions import margin_mine
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.filter("vec_id % 2 = 0").limit(40)
+    b = emb.filter("vec_id % 2 = 1").limit(40)
+    cand = (a.selectExpr("vec_id AS id_a")
+             .crossJoin(b.selectExpr("vec_id AS id_b")))
+    exact = sorted(map(tuple, margin_mine(
+        a, b, k=3, threshold_x1e4=0).collect()))
+    viac = sorted(map(tuple, margin_mine(
+        a, b, k=3, threshold_x1e4=0, candidates=cand).collect()))
+    assert exact == viac and exact
+
+
+def test_margin_mine_validations(spark, sf_dir):
+    from cascading_flink_spark.extensions import margin_mine
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError):
+        margin_mine(emb, emb, k=0)
