@@ -65,7 +65,8 @@ from cascading_flink_spark.extensions import (
     sample_k_per_group, strip_dup_spans,
     contamination_spans, strip_spans_against,
     dsir_select, dsir_weights,
-    hits, pagerank,
+    hits, pagerank, triangle_count,
+    cohort_retention,
 )
 
 
@@ -1173,6 +1174,28 @@ def q_hits(spark, sf_dir):
         (F.col("user_id") % 50).alias("src"),
         ((F.col("user_id") * 7 + F.col("event_id")) % 50).alias("dst"))
     return hits(edges, iterations=2)
+
+
+def q_triangle_count(spark, sf_dir):
+    """Per-node triangle counts (degree-oriented compact-forward
+    enumeration) over the events-derived graph — exact integer joins
+    end-to-end; the oracle replays the canonicalization, degree
+    orientation, wedge join and closing semi-join."""
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 50).alias("src"),
+        ((F.col("user_id") * 7 + F.col("event_id")) % 50).alias("dst"))
+    return triangle_count(edges)
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix over the events table: cohort =
+    each user's first active epoch-week (truncating integer division of
+    epoch-micros), retention = distinct users active k weeks later, the
+    ratio one integer DIV — the whole triangle chart value-hashes
+    cross-engine."""
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev)
 
 
 def _decontam_split(spark, sf_dir):
@@ -2699,6 +2722,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_spans_against": q_strip_spans_against,
         "curation_dsir": q_curation_dsir,
         "margin_mine": q_margin_mine,
+        "triangle_count": q_triangle_count,
+        "cohort_retention": q_cohort_retention,
         # --- ADVICE r8 fixes (argmax fold, global_rank casts, bloom
         # validation) re-gated on changed code ---
         "kmeans": q_kmeans,
@@ -3558,6 +3583,58 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _dsir_oracle(select_n=50),
         "pagerank": _pagerank_oracle(iters=3),
         "hits": _hits_oracle(iters=2),
+        "triangle_count": """
+            WITH e0 AS (SELECT user_id % 50 AS src,
+                               (user_id * 7 + event_id) % 50 AS dst
+                        FROM events),
+            e AS (SELECT DISTINCT least(src, dst) AS a,
+                                  greatest(src, dst) AS b
+                  FROM e0 WHERE src <> dst),
+            deg AS (SELECT node, count(*)::BIGINT AS deg
+                    FROM (SELECT a AS node FROM e
+                          UNION ALL SELECT b FROM e)
+                    GROUP BY node),
+            o AS (SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b)
+                              THEN e.a ELSE e.b END AS u,
+                         CASE WHEN (da.deg, e.a) < (db.deg, e.b)
+                              THEN e.b ELSE e.a END AS v
+                  FROM e JOIN deg da ON da.node = e.a
+                         JOIN deg db ON db.node = e.b),
+            tri AS (SELECT w.u, w.v1, w.v2
+                    FROM (SELECT o1.u, o1.v AS v1, o2.v AS v2
+                          FROM o o1 JOIN o o2 ON o1.u = o2.u
+                          WHERE o1.v < o2.v) w
+                    WHERE EXISTS (SELECT 1 FROM o
+                                  WHERE (o.u = w.v1 AND o.v = w.v2)
+                                     OR (o.u = w.v2 AND o.v = w.v1))),
+            per AS (SELECT node, count(*)::BIGINT AS n
+                    FROM (SELECT u AS node FROM tri
+                          UNION ALL SELECT v1 FROM tri
+                          UNION ALL SELECT v2 FROM tri)
+                    GROUP BY node)
+            SELECT d.node, coalesce(p.n, 0)::BIGINT AS n_triangles
+            FROM deg d LEFT JOIN per p ON p.node = d.node
+        """,
+        "cohort_retention": """
+            WITH act AS (SELECT DISTINCT user_id AS u,
+                                epoch_us(ts::TIMESTAMP)
+                                  // 604800000000 AS p
+                         FROM events
+                         WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            cohort AS (SELECT u, min(p) AS c FROM act GROUP BY u),
+            sizes AS (SELECT c, count(*)::BIGINT AS cohort_size
+                      FROM cohort GROUP BY c),
+            ret AS (SELECT ch.c AS cohort_period, a.p - ch.c AS period_offset,
+                           count(DISTINCT a.u)::BIGINT AS n_users
+                    FROM act a JOIN cohort ch ON ch.u = a.u
+                    GROUP BY 1, 2)
+            SELECT r.cohort_period::BIGINT AS cohort_period,
+                   r.period_offset::BIGINT AS period_offset,
+                   r.n_users, s.cohort_size,
+                   ((r.n_users * 10000) // s.cohort_size)::BIGINT
+                       AS retention_x1e4
+            FROM ret r JOIN sizes s ON s.c = r.cohort_period
+        """,
         "margin_mine": """
             WITH sa AS (SELECT vec_id AS id_a, embedding::DOUBLE[] AS va
                         FROM embeddings WHERE vec_id % 2 = 0),

@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "strip_spans_against",
     "curation_dsir",
     "margin_mine",
+    "triangle_count",
+    "cohort_retention",
     "groupby_agg",
     "nary_join",
     "hashjoin_broadcast",

@@ -57,12 +57,13 @@ from .decontam import (contamination_pairs, contamination_spans,
                        bloom_might_contain, strip_spans_against)
 from .dsir import (dsir_bucket_weights, dsir_score_expr, dsir_select,
                    dsir_weight_array, dsir_weights)
-from .graph import hits, pagerank
+from .graph import hits, pagerank, triangle_count
 from .corpus import (bigram_lm_scores, bm25_scores, corpus_report,
                      inverted_index,
                      ngram_counts, oov_stats, repetition_stats,
                      tfidf_topterms, unigram_commonness)
-from .analytics import (cardinality_report, event_funnel, group_quantiles,
+from .analytics import (cardinality_report, cohort_retention,
+                        event_funnel, group_quantiles,
                         group_quantiles_binned, heavy_hitters, hot_keys,
                         rolling_stats,
                         value_histogram)

@@ -444,3 +444,50 @@ def cardinality_report(df: DataFrame, group_col: str,
                 for c in cols]
     return (df.groupBy(group_col)
               .agg(F.count(F.lit(1)).alias("n_rows"), *aggs))
+
+
+def cohort_retention(df: DataFrame, ts_col: str = "ts",
+                     user_col: str = "user_id",
+                     period_us: int = 7 * 86400 * 1_000_000) -> DataFrame:
+    """Cohort retention matrix: group users by their FIRST-active period
+    (the cohort), then count how many of each cohort were active again
+    ``k`` periods later — the classic product-analytics triangle chart.
+
+    Returns ``(cohort_period, period_offset, n_users, cohort_size,
+    retention_x1e4)`` with one row per (cohort, offset) that had any
+    activity; ``period_offset = 0`` rows carry the cohort definition
+    itself (``n_users == cohort_size``, retention 10000).
+
+    Determinism recipe: periods are pure integer arithmetic —
+    ``epoch_micros(ts) DIV period_us`` (truncating division agrees
+    across engines for the modern-era positive timestamps in scope;
+    the session pins UTC so wall clocks agree) — and the retention
+    ratio is one truncating integer division, so the whole matrix
+    value-hashes cross-engine.
+
+    Scale shape (100 TB of events): one distinct over (user, period)
+    — partial-aggregated, the natural dedup of per-user event bursts —
+    one min-per-user aggregate for cohorts, one join back on user_col,
+    and one final count_distinct.  Shuffles key on user and on the
+    tiny (cohort, offset) grid; no windows, no driver pulls."""
+    if period_us < 1:
+        raise ValueError("period_us must be >= 1")
+    p = F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) "
+               f"DIV {int(period_us)}")
+    act = (df.select(F.col(user_col).alias("u"), p.alias("p"))
+             .filter(F.col("u").isNotNull() & F.col("p").isNotNull())
+             .distinct())
+    cohort = act.groupBy("u").agg(F.min("p").alias("c"))
+    sizes = cohort.groupBy("c").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size"))
+    ret = (act.join(cohort, "u")
+           .groupBy(F.col("c").alias("cohort_period"),
+                    (F.col("p") - F.col("c")).alias("period_offset"))
+           .agg(F.count_distinct("u").cast("long").alias("n_users")))
+    return (ret.join(sizes.withColumnRenamed("c", "cohort_period"),
+                     "cohort_period")
+            .select(F.col("cohort_period").cast("long"),
+                    F.col("period_offset").cast("long"),
+                    "n_users", "cohort_size",
+                    F.expr("(n_users * 10000) DIV cohort_size")
+                     .cast("long").alias("retention_x1e4")))

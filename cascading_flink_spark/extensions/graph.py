@@ -156,3 +156,57 @@ def hits(edges: DataFrame, iterations: int = 2, scale: int = 1_000_000,
             .select("node",
                     F.coalesce("h", F.lit(0)).cast("long").alias("hub_x"),
                     F.coalesce("a", F.lit(0)).cast("long").alias("auth_x")))
+
+
+def triangle_count(edges: DataFrame, src_col: str = "src",
+                   dst_col: str = "dst") -> DataFrame:
+    """Exact per-node triangle counts over an undirected view of the
+    edge list: ``(node, n_triangles)`` for EVERY node (0 when none) —
+    the local clustering signal (spam farms and link rings are
+    triangle-dense; genuine topic hubs are star-shaped).
+
+    Algorithm: the degree-oriented compact-forward enumeration
+    (Latapy 2008; cf. Suri & Vassilvitskii's MapReduce formulation) —
+    canonicalize each undirected edge, orient every edge from the
+    endpoint with the smaller ``(degree, node)`` to the larger, then
+    one self-join builds wedges and one semi-join closes them.  The
+    orientation bounds each node's out-degree by O(sqrt(m)) on any
+    graph, so wedge generation is O(m^1.5) worst-case instead of
+    sum(deg^2) — the difference between hours and minutes when one
+    celebrity node has 10^7 neighbours.  Every step is an exact
+    integer equi-join, deterministic and replayable in ANSI SQL.
+
+    Self-loops are dropped; parallel edges collapse (simple-graph
+    semantics, unlike :func:`pagerank`'s multigraph contributions)."""
+    e = (edges.select(F.least(src_col, dst_col).alias("a"),
+                      F.greatest(src_col, dst_col).alias("b"))
+         .filter(F.col("a") != F.col("b"))
+         .distinct()
+         .localCheckpoint(eager=False))
+    deg = (e.select(F.col("a").alias("node"))
+           .unionByName(e.select(F.col("b").alias("node")))
+           .groupBy("node")
+           .agg(F.count(F.lit(1)).cast("long").alias("deg")))
+    da = deg.toDF("a", "__da")
+    db = deg.toDF("b", "__db")
+    keyed = e.join(da, "a").join(db, "b")
+    lo_first = (F.struct(F.col("__da"), F.col("a"))
+                < F.struct(F.col("__db"), F.col("b")))
+    o = (keyed.select(
+            F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"))
+         .localCheckpoint(eager=False))
+    # wedges at u: two oriented out-edges; close with the oriented (v1,v2)
+    o1 = o.toDF("u", "v1")
+    o2 = o.toDF("u", "v2")
+    wedges = o1.join(o2, "u").filter(F.col("v1") < F.col("v2"))
+    closer = o.toDF("v1", "v2").unionByName(
+        o.select(F.col("v").alias("v1"), F.col("u").alias("v2")))
+    tris = wedges.join(closer, ["v1", "v2"], "left_semi")
+    per_node = (tris.select(F.explode(F.array("u", "v1", "v2"))
+                            .alias("node"))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    return (deg.select("node").join(per_node, "node", "left")
+            .select("node", F.coalesce("n", F.lit(0)).cast("long")
+                    .alias("n_triangles")))

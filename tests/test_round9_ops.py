@@ -507,3 +507,86 @@ def test_margin_mine_validations(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     with pytest.raises(ValueError):
         margin_mine(emb, emb, k=0)
+
+
+# ---------------------------------------------------------- triangles
+
+def test_triangle_count_hand_graph(spark):
+    """K4 minus one edge: nodes {0,1,2,3}, all pairs except (2,3) —
+    exactly 2 triangles (0,1,2) and (0,1,3); nodes 0,1 sit in both."""
+    from cascading_flink_spark.extensions import triangle_count
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3),
+         (1, 0),          # parallel reverse edge collapses
+         (2, 2)],         # self loop drops
+        "src long, dst long")
+    out = {r.node: r.n_triangles
+           for r in triangle_count(edges).collect()}
+    assert out == {0: 2, 1: 2, 2: 1, 3: 1}
+
+
+def test_triangle_count_matches_networkx_free_model(spark):
+    """Random-ish graph vs a pure-Python triangle counter."""
+    from cascading_flink_spark.extensions import triangle_count
+    from itertools import combinations
+    rows = [((i * 7) % 19, (i * 11 + 3) % 19) for i in range(60)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_count(e).collect()}
+    adj = {}
+    for s, d in rows:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    exp = {n: 0 for n in adj}
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                exp[n] += 1
+    assert got == exp
+
+
+def test_triangle_count_partition_independent_no_python(spark):
+    from cascading_flink_spark.extensions import triangle_count
+    rows = [((i * 5) % 17, (i * 3 + 1) % 17) for i in range(50)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    a = sorted(map(tuple, triangle_count(e).collect()))
+    b = sorted(map(tuple, triangle_count(e.repartition(5)).collect()))
+    assert a == b
+    p = _plan(triangle_count(e))
+    assert "BatchEvalPython" not in p and "Window" not in p
+
+
+# ----------------------------------------------------- cohort retention
+
+def test_cohort_retention_hand_events(spark):
+    """Two cohorts: users 1,2 first active week 0 (user 1 returns weeks
+    1 and 2, user 2 never returns); user 3 first active week 1."""
+    from cascading_flink_spark.extensions import cohort_retention
+    W = 7 * 86400
+    rows = [(1, 0), (2, 3600), (1, W + 10), (1, 2 * W + 10),
+            (3, W + 50), (1, 20)]          # dup week-0 activity collapses
+    df = spark.createDataFrame(
+        [(u, s) for u, s in rows], "user_id long, secs long"
+    ).selectExpr("user_id", "timestamp_seconds(secs) AS ts")
+    out = {(r.cohort_period, r.period_offset):
+           (r.n_users, r.cohort_size, r.retention_x1e4)
+           for r in cohort_retention(df).collect()}
+    assert out == {
+        (0, 0): (2, 2, 10000),
+        (0, 1): (1, 2, 5000),
+        (0, 2): (1, 2, 5000),
+        (1, 0): (1, 1, 10000),
+    }
+
+
+def test_cohort_retention_offset0_equals_cohort_size(spark, sf_dir):
+    from cascading_flink_spark.extensions import cohort_retention
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = cohort_retention(ev).collect()
+    assert rows
+    for r in rows:
+        if r.period_offset == 0:
+            assert r.n_users == r.cohort_size and r.retention_x1e4 == 10000
+        assert 0 <= r.n_users <= r.cohort_size
+    with pytest.raises(ValueError):
+        cohort_retention(ev, period_us=0)
