@@ -39,6 +39,18 @@ points (strategy="window", strategy="onepass").  Their rows are
 NOT comparable to r6.  A local 127-row validation run on round-7 code
 medianed 0.97x vs the r6 rows otherwise (92-row overlap).
 
+Round-9 comparability note: the persist() -> localCheckpoint cache-
+hygiene sweep (banded signatures, winnow fingerprints, cluster
+pair/edge frames, IVF cells, bigram_lm partials) re-scoped 17 queries'
+internal pins.  Net effect is flat-to-FASTER (winnow_clusters 3.6->2.5,
+winnow_pairs 2.7->2.0, bigram_lm 2.4->1.8, curation_flagship 8.6->7.0);
+the one upward mover is dedup_keep_best 3.7->5.6 (with dedup_clusters
++16% and ngram_jaccard +20% inside the noise band) — an idle best-of-5
+re-pin measured 7.6s best with an 8.5+-1s spread, i.e. the row's
+run-to-run variance exceeds the round-over-round delta; the union-find
+pair pin it sits on now follows block lifetime instead of parking in
+the CacheManager, the documented trade of the sweep.
+
 Round-6 per-query comparability notes: ngram_counts gained the
 doc-frequency threshold this round (ADVICE r5) — one extra aggregation
 phase, so its row is NOT comparable to BENCH_r05's occurrence-only
