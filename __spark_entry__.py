@@ -64,7 +64,7 @@ from cascading_flink_spark.extensions import (
     c4_rules, cardinality_report, dup_spans, gram_novelty,
     sample_k_per_group, strip_dup_spans,
     contamination_spans, strip_spans_against,
-    dsir_select, dsir_weights,
+    dsir_sample, dsir_select, dsir_weights,
     hits, pagerank, triangle_count,
     cohort_retention,
 )
@@ -1134,6 +1134,14 @@ def q_dsir_select(spark, sf_dir):
     TakeOrderedAndProject (k rows per partition, never a global sort)."""
     raw, target = _dsir_split(spark, sf_dir)
     return dsir_select(raw, target, 50, buckets=512)
+
+
+def q_dsir_sample(spark, sf_dir):
+    """SAMPLED DSIR selection (the paper's Gumbel-top-k resampling):
+    50 docs drawn without replacement proportional to w(x), noise from
+    seeded md5 uniforms so the oracle replays the identical draw."""
+    raw, target = _dsir_split(spark, sf_dir)
+    return dsir_sample(raw, target, 50, buckets=512)
 
 
 def q_pagerank(spark, sf_dir):
@@ -2716,6 +2724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW round 9 (no driver row yet) ---
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
+        "dsir_sample": q_dsir_sample,
         "pagerank": q_pagerank,
         "hits": q_hits,
         "decontam_spans": q_decontam_spans,
@@ -3042,7 +3051,9 @@ def _simhash_md5_oracle() -> str:
 
 
 def _dsir_oracle(select_n: int | None = None, buckets: int = 512,
-                 alpha: int = 1, seed: str = "dsir") -> str:
+                 alpha: int = 1, seed: str = "dsir",
+                 sample_n: int | None = None,
+                 temperature: float = 1.0) -> str:
     """DuckDB twin of dsir_weights / dsir_select (target = doc_id % 7
     == 0, raw = the rest): rebuilds the hashed unigram+bigram feature
     stream, both bucket count tables, the integer-scaled per-bucket
@@ -3093,6 +3104,18 @@ def _dsir_oracle(select_n: int | None = None, buckets: int = 512,
     if select_n is not None:
         sql += f"""
         ORDER BY logw_x1e6 DESC, doc_id LIMIT {select_n}
+        """
+    if sample_n is not None:
+        # Gumbel-top-k: key = logw/T + (-ln(-ln u)), u from the same
+        # md5-hex8 draw the Spark side uses — seeded, replayable noise
+        md5_expr = "md5('" + seed + "#g#' || doc_id)"
+        u = f"(({_hex8_to_int_sql(md5_expr)}) + 0.5) / 4294967296.0"
+        sql = f"""
+        SELECT doc_id, n_feats, logw_x1e6 FROM (
+            SELECT *, logw_x1e6 / {1e6 * float(temperature)}
+                      + (-ln(-ln({u}))) AS k
+            FROM ({sql})
+        ) ORDER BY k DESC, doc_id LIMIT {sample_n}
         """
     return sql
 
@@ -3581,6 +3604,7 @@ def oracle_sql() -> dict[str, str]:
         # code formula floor((x-lo)*255/(hi-lo)+0.5).
         "dsir_weights": _dsir_oracle(),
         "dsir_select": _dsir_oracle(select_n=50),
+        "dsir_sample": _dsir_oracle(sample_n=50),
         "pagerank": _pagerank_oracle(iters=3),
         "hits": _hits_oracle(iters=2),
         "triangle_count": """

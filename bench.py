@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     # round 9
     "dsir_weights",
     "dsir_select",
+    "dsir_sample",
     "pagerank",
     "hits",
     "decontam_spans",

@@ -251,3 +251,49 @@ def dsir_score_expr(text: Column, lr: list[int], c0: int,
         lambda acc, g: acc + F.element_at(lr_arr,
                                           (bucket(g) + 1).cast("int")))
     return (s + F.size(grams).cast("long") * F.lit(int(c0))).cast("long")
+
+
+def dsir_sample(raw: DataFrame, target: DataFrame, n: int,
+                temperature: float = 1.0,
+                buckets: int = 4096, ngrams: int = 2, alpha: int = 1,
+                seed: str = "dsir", text_col: str = "text",
+                id_col: str = "doc_id",
+                target_text_col: str | None = None,
+                target_id_col: str | None = None) -> DataFrame:
+    """SAMPLED DSIR selection — the paper's actual resampling step:
+    draw ``n`` raw documents WITHOUT replacement with probability
+    proportional to ``w(x)^(1/temperature)`` via the Gumbel-top-k trick
+    (rank by ``log w(x)/temperature + G_i`` where ``G_i = -ln(-ln u_i)``
+    and take the top ``n``) — :func:`dsir_select` is the
+    zero-temperature limit of this.
+
+    Determinism: the Gumbel noise is derived from md5 uniforms
+    (``u_i = (hex8(md5(seed~"#g#"~id)) + 0.5) / 2^32``, never exactly 0
+    or 1), so the draw is seeded and any engine replays the identical
+    sample — the repo's md5-randomness convention.  The ranking key is
+    a double (logw/T + G), ordered with an id tie-break; keys are
+    continuous md5 draws, so rank boundaries are never within
+    float-noise of each other in practice (the same accepted risk class
+    as the ann family's unrounded-cosine ordering).
+
+    Plans as TakeOrderedAndProject over the :func:`dsir_weights`
+    frame — no global sort, no extra shuffle."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    w = dsir_weights(raw, target, buckets=buckets, ngrams=ngrams,
+                     alpha=alpha, seed=seed, text_col=text_col,
+                     id_col=id_col, target_text_col=target_text_col,
+                     target_id_col=target_id_col)
+    h = F.md5(F.concat(F.lit(seed + "#g#"),
+                       F.col(id_col).cast("string")))
+    u = ((F.conv(F.substring(h, 1, 8), 16, 10).cast("double") + 0.5)
+         / F.lit(float(1 << 32)))
+    gumbel = -F.log(-F.log(u))
+    key = (F.col("logw_x1e6").cast("double")
+           / F.lit(1e6 * float(temperature))) + gumbel
+    return (w.withColumn("__k", key)
+             .orderBy(F.col("__k").desc(), F.col(id_col).asc())
+             .limit(int(n))
+             .drop("__k"))

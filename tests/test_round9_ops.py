@@ -590,3 +590,34 @@ def test_cohort_retention_offset0_equals_cohort_size(spark, sf_dir):
         assert 0 <= r.n_users <= r.cohort_size
     with pytest.raises(ValueError):
         cohort_retention(ev, period_us=0)
+
+
+# ------------------------------------------------------------ dsir_sample
+
+def test_dsir_sample_gumbel_limits_and_determinism(spark, sf_dir):
+    """temperature -> 0 recovers the deterministic top-k; a huge
+    temperature drowns the weights in Gumbel noise (selection differs
+    from top-k); the draw is seeded/partition-independent."""
+    from cascading_flink_spark.extensions import dsir_sample, dsir_select
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = docs.filter("doc_id % 7 <> 0")
+    tgt = docs.filter("doc_id % 7 = 0")
+    topk = {r.doc_id for r in dsir_select(raw, tgt, 20,
+                                          buckets=256).collect()}
+    cold = {r.doc_id for r in dsir_sample(raw, tgt, 20,
+                                          temperature=1e-9,
+                                          buckets=256).collect()}
+    assert cold == topk
+    hot = {r.doc_id for r in dsir_sample(raw, tgt, 20,
+                                         temperature=1e9,
+                                         buckets=256).collect()}
+    assert hot != topk
+    a = {r.doc_id for r in dsir_sample(raw, tgt, 20,
+                                       buckets=256).collect()}
+    b = {r.doc_id for r in dsir_sample(raw.repartition(7), tgt, 20,
+                                       buckets=256).collect()}
+    assert a == b and len(a) == 20
+    with pytest.raises(ValueError):
+        dsir_sample(raw, tgt, 0)
+    with pytest.raises(ValueError):
+        dsir_sample(raw, tgt, 5, temperature=0)
