@@ -1172,6 +1172,21 @@ def q_margin_mine(spark, sf_dir):
                        k=4, threshold_x1e4=10200)
 
 
+def q_pagerank_ppr(spark, sf_dir):
+    """Personalized WEIGHTED PageRank: teleport mass lands only on seed
+    nodes 0-4 (topic-sensitive proximity, Haveliwala 2002) and each edge
+    carries an integer weight (event_id % 5 + 1) — both variants of the
+    same exact-integer recipe, oracle = the generated unrolled CTEs with
+    the seed base and weighted contributions."""
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 50).alias("src"),
+        ((F.col("user_id") * 7 + F.col("event_id")) % 50).alias("dst"),
+        (F.col("event_id") % 5 + 1).alias("w"))
+    return pagerank(edges, iterations=3, weight_col="w",
+                    seeds=[0, 1, 2, 3, 4])
+
+
 def q_hits(spark, sf_dir):
     """Integer-scaled HITS hubs/authorities (2 unrolled iterations) over
     the same 50-node events-derived link graph as q_pagerank; every
@@ -2726,6 +2741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "dsir_sample": q_dsir_sample,
         "pagerank": q_pagerank,
+        "pagerank_ppr": q_pagerank_ppr,
         "hits": q_hits,
         "decontam_spans": q_decontam_spans,
         "strip_spans_against": q_strip_spans_against,
@@ -3121,36 +3137,61 @@ def _dsir_oracle(select_n: int | None = None, buckets: int = 512,
 
 
 def _pagerank_oracle(iters: int = 3, n_mod: int = 50,
-                     scale: int = 1_000_000, d: int = 85) -> str:
+                     scale: int = 1_000_000, d: int = 85,
+                     weighted: bool = False,
+                     seeds: list | None = None) -> str:
     """Generated unrolled-iteration DuckDB twin of
     :func:`~cascading_flink_spark.extensions.graph.pagerank` (same
     integer DIV arithmetic; ``//`` on positive BIGINTs truncates exactly
     like Spark's DIV) — the kmeans-oracle convention for iterative
     algorithms: one CTE pair per round, generated so the SQL can never
-    drift from the declared iteration count."""
+    drift from the declared iteration count.  ``weighted`` replays the
+    ``event_id % 5 + 1`` edge weights; ``seeds`` the personalized
+    teleport set."""
+    w_expr = "(event_id % 5 + 1)" if weighted else "1"
     sql = f"""
         WITH e AS (SELECT user_id % {n_mod} AS src,
-                          (user_id * 7 + event_id) % {n_mod} AS dst
+                          (user_id * 7 + event_id) % {n_mod} AS dst,
+                          {w_expr}::BIGINT AS w
                    FROM events),
         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
         n1 AS (SELECT count(*)::BIGINT AS n FROM nodes),
-        deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
+        deg AS (SELECT src, sum(w)::BIGINT AS deg FROM e GROUP BY src),"""
+    if seeds is None:
+        sql += f"""
         r0 AS (SELECT node, ({scale} // n)::BIGINT AS r
                FROM nodes CROSS JOIN n1)"""
+        base = f"({scale} * {{rest}}) // (100 * n1.n)"
+        base_from = "FROM nodes nd CROSS JOIN n1"
+    else:
+        ns = len(seeds)
+        in_seeds = ", ".join(str(s) for s in seeds)
+        sql += f"""
+        r0 AS (SELECT node,
+                      (CASE WHEN node IN ({in_seeds})
+                            THEN {int(scale) // ns} ELSE 0 END)::BIGINT AS r
+               FROM nodes)"""
+        seed_base = None  # computed per-step below
+        base = (f"CASE WHEN nd.node IN ({in_seeds}) "
+                f"THEN {{seed_base}} ELSE 0 END")
+        base_from = "FROM nodes nd"
     step = """,
         c{i} AS (SELECT e.dst AS node,
-                        ((r.r * {d}) // (100 * dg.deg))::BIGINT AS c
+                        ((r.r * {d} * e.w) // (100 * dg.deg))::BIGINT AS c
                  FROM e JOIN deg dg ON dg.src = e.src
                         JOIN r{p} r ON r.node = e.src),
         r{i} AS (SELECT nd.node,
-                        (({scale} * {rest}) // (100 * n1.n)
+                        (""" + base + """
                          + coalesce(s.s, 0))::BIGINT AS r
-                 FROM nodes nd CROSS JOIN n1
+                 """ + base_from + """
                  LEFT JOIN (SELECT node, sum(c)::BIGINT AS s
                             FROM c{i} GROUP BY node) s
                         ON s.node = nd.node)"""
     for i in range(1, iters + 1):
-        sql += step.format(i=i, p=i - 1, d=d, rest=100 - d, scale=scale)
+        kw = dict(i=i, p=i - 1, d=d, rest=100 - d)
+        if seeds is not None:
+            kw["seed_base"] = (int(scale) * (100 - d)) // (100 * len(seeds))
+        sql += step.format(**kw)
     sql += f"""
         SELECT node, r AS rank_x FROM r{iters}
     """
@@ -3606,6 +3647,8 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _dsir_oracle(select_n=50),
         "dsir_sample": _dsir_oracle(sample_n=50),
         "pagerank": _pagerank_oracle(iters=3),
+        "pagerank_ppr": _pagerank_oracle(iters=3, weighted=True,
+                                         seeds=[0, 1, 2, 3, 4]),
         "hits": _hits_oracle(iters=2),
         "triangle_count": """
             WITH e0 AS (SELECT user_id % 50 AS src,

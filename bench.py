@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "dsir_select",
     "dsir_sample",
     "pagerank",
+    "pagerank_ppr",
     "hits",
     "decontam_spans",
     "strip_spans_against",

@@ -32,7 +32,9 @@ from pyspark.sql import functions as F
 
 def pagerank(edges: DataFrame, iterations: int = 3,
              damping_x100: int = 85, scale: int = 1_000_000,
-             src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+             src_col: str = "src", dst_col: str = "dst",
+             weight_col: str | None = None,
+             seeds: list | None = None) -> DataFrame:
     """Integer-scaled PageRank over a directed edge list: ``(node,
     rank_x)`` for every node appearing as a source or destination, where
     ``rank_x`` is the rank scaled by ``scale`` (a long; ``rank_x /
@@ -51,6 +53,20 @@ def pagerank(edges: DataFrame, iterations: int = 3,
       dropped, not redistributed — total mass shrinks slightly, relative
       order is the standard one.  Exact integer arithmetic throughout:
       any engine reproduces ``rank_x`` bit-for-bit.
+
+    Two standard variants, same integer recipe:
+
+    * ``weight_col`` — WEIGHTED PageRank: the column must carry POSITIVE
+      INTEGER edge weights (crawl link counts, click volumes); ``u``
+      sends ``(rank_u * damping_x100 * w) DIV (100 * W_u)`` with ``W_u``
+      its total out-weight.  Integer headroom: ``rank * 100 * w`` must
+      stay under 2^63 (w < ~9e13 at the default scale).
+    * ``seeds`` — PERSONALIZED PageRank (topic-sensitive, Haveliwala
+      2002): the teleport mass lands only on the seed nodes (init and
+      base = ``scale DIV n_seeds`` / ``(scale * (100-d)) DIV (100 *
+      n_seeds)`` on seeds, 0 elsewhere) — rank becomes proximity to the
+      seed set, the "rank hosts near these trusted domains" query.
+      ``seeds`` is a bounded literal list (broadcast into the plan).
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
@@ -58,39 +74,66 @@ def pagerank(edges: DataFrame, iterations: int = 3,
         raise ValueError("damping_x100 must be in [0, 100]")
     if scale < 1:
         raise ValueError("scale must be >= 1")
-    e = edges.select(F.col(src_col).alias("src"),
-                     F.col(dst_col).alias("dst"))
+    if seeds is not None and not seeds:
+        raise ValueError("seeds must be a non-empty list (or None)")
+    cols = [F.col(src_col).alias("src"), F.col(dst_col).alias("dst")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("long").alias("__w"))
+    e = edges.select(*cols)
+    if weight_col is None:
+        e = e.withColumn("__w", F.lit(1).cast("long"))
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
              .distinct())
     outdeg = e.groupBy("src").agg(
-        F.count(F.lit(1)).cast("long").alias("__deg"))
+        F.sum("__w").cast("long").alias("__deg"))
     # read once per iteration — pin lazily (localCheckpoint, never bare
     # persist: CacheManager stays empty, block lifetime follows the frame)
     ed = e.join(outdeg, "src").localCheckpoint(eager=False)
-    n1 = F.broadcast(nodes.agg(
-        F.count(F.lit(1)).cast("long").alias("__n")))
-    rank = (nodes.crossJoin(n1)
-            .select("node",
-                    F.expr(f"CAST({scale} AS BIGINT) DIV __n")
-                     .alias("rank_x"))
-            .localCheckpoint(eager=False))
     d = int(damping_x100)
+    if seeds is None:
+        n1 = F.broadcast(nodes.agg(
+            F.count(F.lit(1)).cast("long").alias("__n")))
+        rank = (nodes.crossJoin(n1)
+                .select("node",
+                        F.expr(f"CAST({scale} AS BIGINT) DIV __n")
+                         .alias("rank_x")))
+        base = (F.expr(f"(CAST({scale} AS BIGINT) * {100 - d}) "
+                       f"DIV (100 * __n)"))
+
+        def with_base(incoming):
+            return (nodes.crossJoin(n1)
+                    .join(incoming, "node", "left")
+                    .select("node",
+                            (base + F.coalesce(F.col("__in"), F.lit(0)))
+                             .cast("long").alias("rank_x")))
+    else:
+        ns = len(seeds)
+        is_seed = F.col("node").isin(*seeds)
+        rank = nodes.select(
+            "node",
+            F.when(is_seed, F.lit(int(scale) // ns))
+             .otherwise(F.lit(0)).cast("long").alias("rank_x"))
+        seed_base = (int(scale) * (100 - d)) // (100 * ns)
+
+        def with_base(incoming):
+            return (nodes.join(incoming, "node", "left")
+                    .select("node",
+                            (F.when(is_seed, F.lit(seed_base))
+                              .otherwise(F.lit(0))
+                             + F.coalesce(F.col("__in"), F.lit(0)))
+                             .cast("long").alias("rank_x")))
+
+    rank = rank.localCheckpoint(eager=False)
     for _ in range(int(iterations)):
         contrib = (ed.join(rank.withColumnRenamed("node", "src"), "src")
                    .select(F.col("dst").alias("node"),
-                           F.expr(f"(rank_x * {d}) DIV (100 * __deg)")
+                           F.expr(f"(rank_x * {d} * __w) "
+                                  f"DIV (100 * __deg)")
                             .alias("__c")))
         incoming = contrib.groupBy("node").agg(
             F.sum("__c").cast("long").alias("__in"))
-        rank = (nodes.crossJoin(n1)
-                .join(incoming, "node", "left")
-                .select("node",
-                        (F.expr(f"(CAST({scale} AS BIGINT) * {100 - d}) "
-                                f"DIV (100 * __n)")
-                         + F.coalesce(F.col("__in"), F.lit(0)))
-                         .cast("long").alias("rank_x"))
-                .localCheckpoint(eager=False))
+        rank = with_base(incoming).localCheckpoint(eager=False)
     return rank
 
 

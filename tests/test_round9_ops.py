@@ -621,3 +621,50 @@ def test_dsir_sample_gumbel_limits_and_determinism(spark, sf_dir):
         dsir_sample(raw, tgt, 0)
     with pytest.raises(ValueError):
         dsir_sample(raw, tgt, 5, temperature=0)
+
+
+# ------------------------------------------- personalized/weighted PR
+
+def test_pagerank_personalized_seed_proximity(spark):
+    """Chain 0 -> 1 -> 2 -> 3 with seed {0}: replay the seeded integer
+    arithmetic by hand for all three iterations (the init pulse travels
+    the chain while the teleport base refills only the seed)."""
+    from cascading_flink_spark.extensions import pagerank
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3)],
+                              "src long, dst long")
+    out = {r.node: r.rank_x
+           for r in pagerank(e, iterations=3, seeds=[0]).collect()}
+    # r0 = [1e6, 0, 0, 0]; base(seed) = 1e6*15 DIV 100 = 150000
+    # iter1: [150000, 850000, 0, 0]
+    # iter2: [150000, 127500, 722500, 0]
+    # iter3: [150000, 127500, 108375, 614125]
+    assert out == {0: 150000, 1: 127500, 2: 108375, 3: 614125}
+    # unweighted unpersonalized on the same graph differs
+    plain = {r.node: r.rank_x for r in pagerank(e, iterations=3).collect()}
+    assert plain != out
+
+
+def test_pagerank_weighted_favors_heavy_edge(spark):
+    """0 sends to 1 (weight 9) and 2 (weight 1): node 1 receives 9x
+    node 2's contribution, replayed by hand for one iteration."""
+    from cascading_flink_spark.extensions import pagerank
+    e = spark.createDataFrame([(0, 1, 9), (0, 2, 1)],
+                              "src long, dst long, w long")
+    out = {r.node: r.rank_x
+           for r in pagerank(e, iterations=1, weight_col="w").collect()}
+    # n=3, r0 = 333333 each, base = 1000000*15 DIV 300 = 50000
+    # contrib(0->1) = (333333*85*9) DIV (100*10) = 254999
+    # contrib(0->2) = (333333*85*1) DIV (100*10) = 28333
+    assert out == {0: 50000, 1: 50000 + 254999, 2: 50000 + 28333}
+
+
+def test_pagerank_weight1_equals_unweighted(spark):
+    from cascading_flink_spark.extensions import pagerank
+    rows = [(i % 13, (i * 5 + 1) % 13, 1) for i in range(60)]
+    e = spark.createDataFrame(rows, "src long, dst long, w long")
+    a = sorted(map(tuple, pagerank(e, iterations=2,
+                                   weight_col="w").collect()))
+    b = sorted(map(tuple, pagerank(e.drop("w"), iterations=2).collect()))
+    assert a == b
+    with pytest.raises(ValueError):
+        pagerank(e, seeds=[])
