@@ -2715,24 +2715,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     least-recently-driver-verified queries must sit at the front.
     Rotation is documented in COVERAGE.md ("Driver-slot rotation").
 
-    Round-9 front block (slots 1-50): the 6 NEW round-9 queries
-    (dsir_weights/dsir_select — DSIR importance resampling — pagerank +
-    hits — the integer graph family — and decontam_spans/
-    strip_spans_against — span-level decontamination); the 4 queries
-    whose operators carried ADVICE-r8 fixes (kmeans via the single-eval
-    argmax fold, curriculum via global_rank's typed boundary casts,
+    Round-9 front block (slots 1-50): the 12 NEW round-9 queries
+    (dsir_weights/dsir_select/dsir_sample — DSIR importance resampling
+    incl. the Gumbel-top-k draw — pagerank/pagerank_ppr/hits/
+    triangle_count — the integer graph family — decontam_spans/
+    strip_spans_against — span-level decontamination — curation_dsir,
+    margin_mine, cohort_retention); the 4 queries whose operators
+    carried ADVICE-r8 fixes (kmeans via the single-eval argmax fold,
+    curriculum via global_rank's typed boundary casts,
     decontaminate_bloom/dedup_against via the bloom k validation); the
     17 queries whose PLAN changed in the round-9 persist ->
     localCheckpoint hygiene sweep (banded minhash/simhash signatures,
     winnow fingerprints, cluster pair/edge frames, IVF cells, bigram_lm
     count partials, embedding-dup signatures) or whose module gained a
-    code branch (group_quantiles strategy=approx); then 23 of the 25
+    code branch (group_quantiles strategy=approx); then 17 of the 25
     stalest rows — r5-greens whose newest driver row is CORRECTNESS_r05
-    (mimic-verified every round since; value_histogram and wordcount,
-    the two r5 leftovers, lead the round-10 rotation with the r6
-    block).  Back block: everything with an r6-r8 driver row on
-    unchanged code, all re-verified by the committed round-9 round-end
-    mimic.
+    (mimic-verified every round since).  The window ends at tpch_q10
+    (slot 50); the eight r5 leftovers (tpch_q13, tpch_q14, tpch_q18,
+    tpch_q3, tpch_q6, unigram_commonness, value_histogram, wordcount)
+    lead the round-10 rotation.  Back block: everything with an r6-r8
+    driver row on unchanged code, all re-verified by the committed
+    round-9 round-end mimic (tools/mimic_r9.log).
     """
 
     return {
@@ -2794,14 +2797,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topterms": q_tfidf_topterms,
         "token_stats_by_lang": q_token_stats_by_lang,
         "tpch_q10": q_tpch_q10,
+        # --- beyond slot 50 (the round-9 insertions displaced these
+        # eight r5 leftovers past the cutoff — they lead the round-10
+        # rotation); then r6-r8 driver-green rows on unchanged code,
+        # all re-verified by the committed round-9 round-end mimic ---
         "tpch_q13": q_tpch_q13,
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
         "tpch_q3": q_tpch_q3,
         "tpch_q6": q_tpch_q6,
         "unigram_commonness": q_unigram_commonness,
-        # --- beyond slot 50: r6-r8 driver-green on unchanged code,
-        # re-verified by the committed round-9 round-end mimic ---
         "hash_embed": q_hash_embed,
         "image_dups": q_image_dups,
         "audio_dups": q_audio_dups,
@@ -3718,17 +3723,21 @@ def oracle_sql() -> dict[str, str]:
                          row_number() OVER (PARTITION BY id_b
                              ORDER BY c DESC, id_a) AS ry
                   FROM p),
-            kx AS (SELECT id_a, sum(cx)::BIGINT AS sx FROM r
+            kx AS (SELECT id_a, sum(cx)::BIGINT AS sx,
+                          count(*)::BIGINT AS nx FROM r
                    WHERE rx <= 4 GROUP BY id_a),
-            ky AS (SELECT id_b, sum(cx)::BIGINT AS sy FROM r
+            ky AS (SELECT id_b, sum(cx)::BIGINT AS sy,
+                          count(*)::BIGINT AS ny FROM r
                    WHERE ry <= 4 GROUP BY id_b)
             SELECT r.id_a, r.id_b, r.cx AS sim_x1e4,
-                   ((r.cx * 8 * 10000) // (kx.sx + ky.sy))::BIGINT
+                   ((r.cx * 2 * kx.nx * ky.ny * 10000)
+                    // (kx.sx * ky.ny + ky.sy * kx.nx))::BIGINT
                        AS margin_x1e4
             FROM r JOIN kx USING (id_a) JOIN ky USING (id_b)
             WHERE r.rx = 1 AND r.ry = 1 AND r.cx > 0
-              AND kx.sx + ky.sy > 0
-              AND ((r.cx * 8 * 10000) // (kx.sx + ky.sy)) >= 10200
+              AND kx.sx * ky.ny + ky.sy * kx.nx > 0
+              AND ((r.cx * 2 * kx.nx * ky.ny * 10000)
+                   // (kx.sx * ky.ny + ky.sy * kx.nx)) >= 10200
         """,
         "decontam_spans": """
             WITH toks AS (

@@ -353,9 +353,9 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text",
     # Arrow bigram pass runs ONCE (deriving c2/c1/vocab straight from
     # occ re-evaluates the UDF per branch — 4 ArrowEvalPython stages in
     # the physical plan before this refactor)
-    # persisted for the lifetime of the returned frame (all count tables
-    # derive from it); long-lived sessions release it via
-    # spark.catalog.clearCache() after consuming the result
+    # pinned with a lazy localCheckpoint (all count tables derive from
+    # it); block lifetime follows the returned frame — freed by the
+    # ContextCleaner on GC, never parked in the CacheManager
     tfb = occ.groupBy(id_col, "gram").agg(
         F.count(F.lit(1)).cast("long").alias("tf")) \
         .localCheckpoint(eager=False)

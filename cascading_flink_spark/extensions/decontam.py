@@ -200,6 +200,11 @@ def _contaminated_positions(corpus: DataFrame, reference: DataFrame,
     keeps the corpus entirely unshuffled — the same zero-corpus-exchange
     contract as :func:`decontaminate`.  For corpus-vs-corpus use pass
     ``False`` and let AQE pick the join strategy."""
+    if k < 1:
+        # k=0 would md5 an empty slice on BOTH sides — every token of
+        # every document "contaminated", the whole corpus silently
+        # stripped to '' instead of an error
+        raise ValueError("k must be >= 1")
     from .dedup import _fan_out, _span_toks
 
     def gram_stream(df, tcol, icol):

@@ -157,10 +157,18 @@ def dsir_weights(raw: DataFrame, target: DataFrame,
               F.floor((F.log(F.sum("r_f") + a * m)
                        - F.log(F.sum("t_f") + a * m)) * 1e6 + 0.5)
                .cast("long").alias("__c0")))
+    # LEFT join + coalesce(lr, 0): a pre-fitted table may lack buckets
+    # this shard observes — those grams carry log-ratio 0 (exactly what
+    # the formula yields at t_f = r_f = 0) but MUST still count toward
+    # n_feats and the n*c0 normalizer term, or batch scoring would
+    # diverge from dsir_score_expr / stream_dsir_gate on unseen buckets
+    # (cross-shard scoring regression, pinned in pytest)
     doc = (docf
-           .join(F.broadcast(weight_table.select("b", "lr_x1e6")), "b")
+           .join(F.broadcast(weight_table.select("b", "lr_x1e6")), "b",
+                 "left")
            .groupBy("id")
-           .agg(F.sum(F.col("__c") * F.col("lr_x1e6")).alias("__s"),
+           .agg(F.sum(F.col("__c")
+                      * F.coalesce("lr_x1e6", F.lit(0))).alias("__s"),
                 F.sum("__c").alias("__n")))
     return (raw.select(F.col(id_col))
             .join(doc.withColumnRenamed("id", id_col), id_col, "left")

@@ -78,13 +78,24 @@ def pagerank(edges: DataFrame, iterations: int = 3,
         raise ValueError("seeds must be a non-empty list (or None)")
     cols = [F.col(src_col).alias("src"), F.col(dst_col).alias("dst")]
     if weight_col is not None:
-        cols.append(F.col(weight_col).cast("long").alias("__w"))
+        # enforce the documented positive-integer contract IN the plan:
+        # a zero/negative weight would either divide by zero deep inside
+        # iteration 1 or silently break DIV==// cross-engine equality
+        w = F.col(weight_col).cast("long")
+        cols.append(F.when(w > 0, w)
+                    .otherwise(F.raise_error(F.lit(
+                        "pagerank: edge weights must be positive "
+                        "integers")).cast("long")).alias("__w"))
     e = edges.select(*cols)
     if weight_col is None:
         e = e.withColumn("__w", F.lit(1).cast("long"))
+    # pinned like ed below: nodes (and the n1 count built on it) are
+    # re-read by EVERY iteration's base/reattach join — unpinned, each
+    # round would re-scan and re-distinct the full edge list
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
-             .distinct())
+             .distinct()
+             .localCheckpoint(eager=False))
     outdeg = e.groupBy("src").agg(
         F.sum("__w").cast("long").alias("__deg"))
     # read once per iteration — pin lazily (localCheckpoint, never bare

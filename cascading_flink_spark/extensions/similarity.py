@@ -1179,15 +1179,25 @@ def margin_mine(a: DataFrame, b: DataFrame, k: int = 4,
     r = (p.withColumn("__rx", F.row_number().over(wx))
           .withColumn("__ry", F.row_number().over(wy))
           .localCheckpoint(eager=False))
+    # carry the ACTUAL neighbour counts: a side with fewer than k
+    # neighbours (tiny set, sparse ANN candidate graph) averages over
+    # what it has — dividing its short sum as if it were a k-sum would
+    # inflate the margin and admit hubs the paper's avg_k rejects
     kx = (r.filter(F.col("__rx") <= k).groupBy("id_a")
-           .agg(F.sum("__cx").cast("long").alias("__sx")))
+           .agg(F.sum("__cx").cast("long").alias("__sx"),
+                F.count(F.lit(1)).cast("long").alias("__nx")))
     ky = (r.filter(F.col("__ry") <= k).groupBy("id_b")
-           .agg(F.sum("__cx").cast("long").alias("__sy")))
+           .agg(F.sum("__cx").cast("long").alias("__sy"),
+                F.count(F.lit(1)).cast("long").alias("__ny")))
     best = (r.filter((F.col("__rx") == 1) & (F.col("__ry") == 1))
              .join(kx, "id_a").join(ky, "id_b"))
-    margin = F.expr(f"(__cx * {2 * k} * 10000) DIV (__sx + __sy)")
+    # margin = cx / ((sx/nx + sy/ny) / 2) in exact integers:
+    # (cx * 2 * nx * ny * 1e4) DIV (sx*ny + sy*nx)
+    margin = F.expr("(__cx * 2 * __nx * __ny * 10000) "
+                    "DIV (__sx * __ny + __sy * __nx)")
     return (best.filter((F.col("__cx") > 0)
-                        & (F.col("__sx") + F.col("__sy") > 0))
+                        & (F.col("__sx") * F.col("__ny")
+                           + F.col("__sy") * F.col("__nx") > 0))
             .select("id_a", "id_b",
                     F.col("__cx").alias("sim_x1e4"),
                     margin.cast("long").alias("margin_x1e4"))

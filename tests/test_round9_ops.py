@@ -668,3 +668,73 @@ def test_pagerank_weight1_equals_unweighted(spark):
     assert a == b
     with pytest.raises(ValueError):
         pagerank(e, seeds=[])
+
+
+# ------------------------------------------- code-review regressions
+
+def test_dsir_prefitted_table_scores_unseen_buckets(spark):
+    """Scoring a NEW shard against a table fitted elsewhere: grams in
+    buckets the fit never saw carry lr=0 but still count toward n_feats
+    and the n*c0 term — batch must stay bit-identical to the map-only
+    scorer (the stream gate) on cross-shard input."""
+    from cascading_flink_spark.extensions import (
+        dsir_bucket_weights, dsir_score_expr, dsir_weight_array,
+        dsir_weights)
+    fit_raw = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta gamma delta")],
+        "doc_id long, text string")
+    tgt = spark.createDataFrame(
+        [(9, "alpha alpha beta")], "doc_id long, text string")
+    wt = dsir_bucket_weights(fit_raw, tgt, buckets=64)
+    # the new shard introduces grams the fit never observed
+    shard = spark.createDataFrame(
+        [(5, "alpha zzz_unseen qqq_nova beta")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_feats, r.logw_x1e6)
+           for r in dsir_weights(shard, tgt, buckets=64,
+                                 weight_table=wt).collect()}
+    lr, c0 = dsir_weight_array(wt, buckets=64)
+    exp = {r.doc_id: (r.n, r.w) for r in shard.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim("text")), r"\s+")).alias("__t"),
+        dsir_score_expr(F.col("text"), lr, c0, buckets=64).alias("w"))
+        .selectExpr("doc_id", "__t * 2 - 1 AS n", "w").collect()}
+    # n_feats = unigrams + bigrams = t + (t-1)
+    assert got == exp, (got, exp)
+    assert got[5][0] == 7                   # 4 unigrams + 3 bigrams
+
+
+def test_margin_mine_short_side_uses_actual_counts(spark):
+    """One b-vector with k=4: its 'k-sum' covers a single cosine, so a
+    perfect mutual pair's margin must be the true avg-based value
+    (2*cx*1*1*1e4 DIV (sx*1 + sy*1)), not the 2k-inflated one."""
+    from cascading_flink_spark.extensions import margin_mine
+    a = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    b = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    out = {(r.id_a, r.id_b): r.margin_x1e4
+           for r in margin_mine(a, b, k=4, threshold_x1e4=0).collect()}
+    # pair (0,1): cx=10000; x-side neighbours of 0: only b1 (cx 10000),
+    # y-side neighbours of 1: a0 (10000) + a2 (0) -> sy=10000, ny=2
+    # margin = (10000*2*1*2*10000) DIV (10000*2 + 10000*1) = 13333
+    assert out == {(0, 1): 13333}
+
+
+def test_pagerank_zero_weight_raises(spark):
+    from cascading_flink_spark.extensions import pagerank
+    import py4j
+    e = spark.createDataFrame([(0, 1, 0)], "src long, dst long, w long")
+    with pytest.raises(Exception, match="positive"):
+        pagerank(e, iterations=1, weight_col="w").collect()
+
+
+def test_span_decontam_k_zero_raises(spark, span_corpus):
+    corp, ref = span_corpus
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        strip_spans_against(corp, ref, k=0, ref_text_col="body",
+                            ref_id_col="ref_id")
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        contamination_spans(corp, ref, k=0, ref_text_col="body",
+                            ref_id_col="ref_id")
