@@ -1,0 +1,103 @@
+"""Property pins for contamination_spans / strip_spans_against: the
+Spark plans must equal direct Python models of the span-decontamination
+semantics on arbitrary small corpus/reference splits (hypothesis draws
+docs from a tiny alphabet so cross-side k-gram collisions are common;
+few examples — each is a Spark job)."""
+
+from __future__ import annotations
+
+import pytest
+
+try:
+    from hypothesis import given, settings, strategies as st
+except ImportError:                                    # pragma: no cover
+    pytest.skip("hypothesis unavailable", allow_module_level=True)
+
+from cascading_flink_spark.extensions import (
+    contamination_spans, strip_spans_against,
+)
+
+K = 3
+WORDS = ["a", "b", "c", "d"]
+
+corpus_strategy = st.lists(
+    # min_size=1 tokens: the empty-doc tokenization convention is
+    # pinned separately in test_round9_ops (same note as the dup_spans
+    # property file)
+    st.tuples(st.integers(0, 20),
+              st.lists(st.sampled_from(WORDS), min_size=1, max_size=12)),
+    min_size=1, max_size=5).map(
+        lambda rows: [(i, " ".join(toks))
+                      for i, toks in {r[0]: r[1] for r in rows}.items()])
+
+ref_strategy = st.lists(
+    st.tuples(st.integers(100, 110),
+              st.lists(st.sampled_from(WORDS), min_size=1, max_size=12)),
+    min_size=1, max_size=3).map(
+        lambda rows: [(i, " ".join(toks))
+                      for i, toks in {r[0]: r[1] for r in rows}.items()])
+
+
+def _grams(toks):
+    return [(p, " ".join(toks[p:p + K]))
+            for p in range(len(toks) - K + 1)]
+
+
+def _hit_positions(corpus, ref):
+    """doc_id -> sorted gram positions whose k-gram occurs in the ref."""
+    ref_grams = {g for _, text in ref for _, g in _grams(text.split())}
+    out = {}
+    for did, text in corpus:
+        ps = sorted(p for p, g in _grams(text.split()) if g in ref_grams)
+        if ps:
+            out[did] = ps
+    return out
+
+
+def _model_spans(corpus, ref):
+    spans = set()
+    for did, ps in _hit_positions(corpus, ref).items():
+        start = prev = ps[0]
+        grams = 1
+        for p in ps[1:]:
+            if p > prev + K:
+                spans.add((did, start, prev + K - 1,
+                           prev - start + K, grams))
+                start, grams = p, 0
+            prev = p
+            grams += 1
+        spans.add((did, start, prev + K - 1, prev - start + K, grams))
+    return spans
+
+
+def _model_strip(corpus, ref):
+    hits = _hit_positions(corpus, ref)
+    out = {}
+    for did, text in corpus:
+        toks = text.split()
+        covered = set()
+        for p in hits.get(did, []):
+            covered.update(range(p, p + K))
+        kept = [t for i, t in enumerate(toks) if i not in covered]
+        out[did] = (" ".join(kept), len(kept), len(toks) - len(kept))
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(corpus=corpus_strategy, ref=ref_strategy)
+def test_contamination_spans_matches_python_model(spark, corpus, ref):
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    rdf = spark.createDataFrame(ref, "doc_id long, text string")
+    got = {(r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_grams)
+           for r in contamination_spans(cdf, rdf, k=K).collect()}
+    assert got == _model_spans(corpus, ref)
+
+
+@settings(max_examples=8, deadline=None)
+@given(corpus=corpus_strategy, ref=ref_strategy)
+def test_strip_spans_against_matches_python_model(spark, corpus, ref):
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    rdf = spark.createDataFrame(ref, "doc_id long, text string")
+    got = {r.doc_id: (r.clean_text, r.n_tokens_kept, r.n_tokens_removed)
+           for r in strip_spans_against(cdf, rdf, k=K).collect()}
+    assert got == _model_strip(corpus, ref)
