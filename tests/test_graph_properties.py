@@ -1,0 +1,90 @@
+"""Property pins for the graph family: pagerank (plain / weighted /
+personalized) and hits must equal direct Python replays of the exact
+integer arithmetic on arbitrary small random graphs."""
+
+from __future__ import annotations
+
+import pytest
+
+try:
+    from hypothesis import given, settings, strategies as st
+except ImportError:                                    # pragma: no cover
+    pytest.skip("hypothesis unavailable", allow_module_level=True)
+
+from cascading_flink_spark.extensions import hits, pagerank
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7), st.integers(1, 5)),
+    min_size=1, max_size=14)
+
+SCALE = 1_000_000
+
+
+def _py_pagerank(edges, iters, d=85, weighted=False, seeds=None):
+    nodes = sorted({s for s, _, _ in edges} | {t for _, t, _ in edges})
+    deg = {}
+    for s, _, w in edges:
+        deg[s] = deg.get(s, 0) + (w if weighted else 1)
+    if seeds is None:
+        n = len(nodes)
+        r = {v: SCALE // n for v in nodes}
+        base = {v: (SCALE * (100 - d)) // (100 * n) for v in nodes}
+    else:
+        ss = set(seeds)
+        r = {v: (SCALE // len(ss) if v in ss else 0) for v in nodes}
+        sb = (SCALE * (100 - d)) // (100 * len(ss))
+        base = {v: (sb if v in ss else 0) for v in nodes}
+    for _ in range(iters):
+        inc = {v: 0 for v in nodes}
+        for s, t, w in edges:
+            ww = w if weighted else 1
+            inc[t] += (r[s] * d * ww) // (100 * deg[s])
+        r = {v: base[v] + inc[v] for v in nodes}
+    return r
+
+
+def _py_hits(edges, iters):
+    e = [(s, t) for s, t, _ in edges]
+    nodes = sorted({s for s, t in e} | {t for s, t in e})
+    h = {v: SCALE for v in nodes}
+
+    def norm(vec):
+        mx = max(max(vec.values()), 1)
+        return {v: (x * SCALE) // mx for v, x in vec.items()}
+
+    a = {v: 0 for v in nodes}
+    for _ in range(iters):
+        a = {v: 0 for v in nodes}
+        for s, t in e:
+            a[t] += h[s]
+        a = norm(a)
+        h = {v: 0 for v in nodes}
+        for s, t in e:
+            h[s] += a[t]
+        h = norm(h)
+    return h, a
+
+
+@settings(max_examples=6, deadline=None)
+@given(edges=edges_strategy, weighted=st.booleans(),
+       use_seeds=st.booleans())
+def test_pagerank_matches_python_model(spark, edges, weighted, use_seeds):
+    seeds = None
+    if use_seeds:
+        nodes = sorted({s for s, _, _ in edges} | {t for _, t, _ in edges})
+        seeds = nodes[: max(1, len(nodes) // 2)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {r.node: r.rank_x for r in pagerank(
+        df, iterations=2, weight_col="w" if weighted else None,
+        seeds=seeds).collect()}
+    assert got == _py_pagerank(edges, 2, weighted=weighted, seeds=seeds)
+
+
+@settings(max_examples=6, deadline=None)
+@given(edges=edges_strategy)
+def test_hits_matches_python_model(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {r.node: (r.hub_x, r.auth_x)
+           for r in hits(df, iterations=2).collect()}
+    eh, ea = _py_hits(edges, 2)
+    assert got == {v: (eh[v], ea[v]) for v in eh}
