@@ -3692,7 +3692,8 @@ def oracle_sql() -> dict[str, str]:
                                 epoch_us(ts::TIMESTAMP)
                                   // 604800000000 AS p
                          FROM events
-                         WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+                         WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                           AND epoch_us(ts::TIMESTAMP) >= 0),
             cohort AS (SELECT u, min(p) AS c FROM act GROUP BY u),
             sizes AS (SELECT c, count(*)::BIGINT AS cohort_size
                       FROM cohort GROUP BY c),

@@ -459,11 +459,15 @@ def cohort_retention(df: DataFrame, ts_col: str = "ts",
     itself (``n_users == cohort_size``, retention 10000).
 
     Determinism recipe: periods are pure integer arithmetic —
-    ``epoch_micros(ts) DIV period_us`` (truncating division agrees
-    across engines for the modern-era positive timestamps in scope;
-    the session pins UTC so wall clocks agree) — and the retention
-    ratio is one truncating integer division, so the whole matrix
-    value-hashes cross-engine.
+    ``epoch_micros(ts) DIV period_us`` (truncating division; Spark DIV
+    and DuckDB ``//`` both truncate toward zero, verified, so the
+    engines agree on every sign) — and the retention ratio is one
+    truncating integer division, so the whole matrix value-hashes
+    cross-engine.  Pre-1970 timestamps (negative epoch micros) are OUT
+    OF CONTRACT and filtered in-plan: truncation makes the period-0
+    window double-width around the epoch ((-period, period) collapses
+    to one bucket), which would skew cohort assignment — the operator
+    keeps only rows with non-negative raw epoch micros (pytest-pinned).
 
     Scale shape (100 TB of events): one distinct over (user, period)
     — partial-aggregated, the natural dedup of per-user event bursts —
@@ -472,10 +476,16 @@ def cohort_retention(df: DataFrame, ts_col: str = "ts",
     tiny (cohort, offset) grid; no windows, no driver pulls."""
     if period_us < 1:
         raise ValueError("period_us must be >= 1")
+    us = F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP))")
     p = F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) "
                f"DIV {int(period_us)}")
-    act = (df.select(F.col(user_col).alias("u"), p.alias("p"))
-             .filter(F.col("u").isNotNull() & F.col("p").isNotNull())
+    # the scope filter is on the RAW epoch, not on p: a negative epoch in
+    # (-period_us, 0) truncates to p = 0 and would sneak into the
+    # double-width bucket a p >= 0 filter cannot see
+    act = (df.select(F.col(user_col).alias("u"), p.alias("p"), us.alias("__us"))
+             .filter(F.col("u").isNotNull() & F.col("p").isNotNull()
+                     & (F.col("__us") >= 0))
+             .drop("__us")
              .distinct())
     cohort = act.groupBy("u").agg(F.min("p").alias("c"))
     sizes = cohort.groupBy("c").agg(

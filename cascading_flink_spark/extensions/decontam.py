@@ -236,9 +236,12 @@ def contamination_spans(corpus: DataFrame, reference: DataFrame,
                         ref_id_col: str | None = None,
                         broadcast_ref: bool = True) -> DataFrame:
     """Span-level contamination detection: maximal token ranges of each
-    corpus document whose every ``k``-gram also occurs somewhere in the
-    reference corpus — the SPAN analogue of :func:`contamination_pairs`
-    (doc-level says "this document overlaps"; this says exactly WHERE).
+    corpus document FULLY COVERED by reference-matching ``k``-grams —
+    every token in a span lies inside at least one ``k``-gram that also
+    occurs in the reference corpus (an interior ``k``-gram of a merged
+    span need not itself match) — the SPAN analogue of
+    :func:`contamination_pairs` (doc-level says "this document
+    overlaps"; this says exactly WHERE).
 
     Returns ``(doc_id, span_start, span_end, span_tokens, n_grams)``,
     positions 0-based inclusive; overlapping/touching contaminated

@@ -1106,10 +1106,13 @@ def _span_toks(text_col: str, lowered: bool = True) -> Column:
 
 def dup_spans(df: DataFrame, k: int = 8, min_docs: int = 2,
               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Exact duplicated-substring spans: maximal token ranges whose every
-    k-gram also occurs in at least ``min_docs - 1`` other documents — the
-    exact-substring dedup of public "train-data dedup" practice (contrast
-    the *approximate* winnowing family above, which samples fingerprints).
+    """Exact duplicated-substring spans: maximal token ranges fully
+    covered by duplicated k-grams — every token in a span lies inside at
+    least one k-gram that also occurs in ``min_docs - 1`` other documents
+    (an interior k-gram of a merged span need not itself be duplicated) —
+    the exact-substring dedup of public "train-data dedup" practice
+    (contrast the *approximate* winnowing family above, which samples
+    fingerprints).
 
     Returns ``(doc_id, span_start, span_end, span_tokens, n_grams)`` with
     token positions 0-based inclusive; overlapping or touching duplicated

@@ -236,6 +236,13 @@ def dsir_score_expr(text: Column, lr: list[int], c0: int,
     the join path (parity pytest-pinned), with zero shuffle and zero
     state, so it runs unchanged in a STREAMING projection
     (:func:`~cascading_flink_spark.streaming.ops.stream_dsir_gate`)."""
+    if len(lr) != int(buckets):
+        # fail HERE with the cause, not deep inside element_at as an
+        # ANSI INVALID_ARRAY_INDEX mid-stream task failure
+        raise ValueError(
+            f"dsir_score_expr: len(lr) == {len(lr)} but buckets == "
+            f"{buckets}; pass the array from dsir_weight_array(table, "
+            f"buckets) fitted with the SAME bucket count")
     from .text import _tokens
     toks = _tokens(F.lower(F.coalesce(text, F.lit(""))))
     grams = toks

@@ -66,7 +66,11 @@ def pagerank(edges: DataFrame, iterations: int = 3,
       base = ``scale DIV n_seeds`` / ``(scale * (100-d)) DIV (100 *
       n_seeds)`` on seeds, 0 elsewhere) — rank becomes proximity to the
       seed set, the "rank hosts near these trusted domains" query.
-      ``seeds`` is a bounded literal list (broadcast into the plan).
+      ``seeds`` is a bounded literal list (broadcast into the plan) of
+      DISTINCT node ids that must ALL appear in the graph — a stale
+      seed would silently shrink the total teleport mass, so the plan
+      validates the seed count against the node set and raises
+      (``raise_error``, the weight-guard pattern) on a miss.
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
@@ -120,11 +124,27 @@ def pagerank(edges: DataFrame, iterations: int = 3,
                              .cast("long").alias("rank_x")))
     else:
         ns = len(seeds)
+        if len(set(seeds)) != ns:
+            raise ValueError("pagerank: seeds must be distinct")
         is_seed = F.col("node").isin(*seeds)
-        rank = nodes.select(
-            "node",
-            F.when(is_seed, F.lit(int(scale) // ns))
-             .otherwise(F.lit(0)).cast("long").alias("rank_x"))
+        # enforce "every seed exists in the graph" IN the plan (the
+        # weight-guard pattern): a stale seed list would silently shrink
+        # the teleport mass below the documented scale DIV n_seeds
+        # per-seed allocation.  One 1-row aggregate over the (pinned)
+        # node set, broadcast into the init frame.
+        seed_chk = F.broadcast(nodes.agg(
+            F.when(F.sum(F.when(is_seed, 1).otherwise(0)) == ns,
+                   F.lit(1))
+             .otherwise(F.raise_error(F.lit(
+                 "pagerank: every seed must appear in the graph "
+                 "(as a source or destination)")).cast("int"))
+             .alias("__ok")))
+        rank = (nodes.crossJoin(seed_chk)
+                .select(
+                    "node",
+                    (F.when(is_seed, F.lit(int(scale) // ns))
+                      .otherwise(F.lit(0)) * F.col("__ok"))
+                     .cast("long").alias("rank_x")))
         seed_base = (int(scale) * (100 - d)) // (100 * ns)
 
         def with_base(incoming):
