@@ -1162,10 +1162,13 @@ def q_pagerank(spark, sf_dir):
 def q_margin_mine(spark, sf_dir):
     """Margin-based bitext mining (Artetxe & Schwenk): even-id vs
     odd-id embeddings as the two sides, mutual-best cosine pairs scored
-    by the 4-NN ratio margin — ordering on unrounded cosines with id
-    tie-breaks, every score integer (4dp-rounded cosines, exact k-sums,
-    one truncating DIV), so the oracle replays pairs, ranks, k-sums,
-    margins and the threshold cut."""
+    by the 4-NN ratio margin over the operator's DEFAULT banded-LSH
+    candidate graph (md5-Rademacher bands, 4 tables x 8 planes — no
+    CartesianProduct anywhere, plan-asserted) — ordering on unrounded
+    cosines with id tie-breaks, every score integer (4dp-rounded
+    cosines, exact k-sums, one truncating DIV), so the oracle replays
+    the planes, bands, candidate set, ranks, k-sums, margins and the
+    threshold cut."""
     emb = _t(spark, sf_dir, "embeddings")
     return margin_mine(emb.filter(F.col("vec_id") % 2 == 0),
                        emb.filter(F.col("vec_id") % 2 == 1),
@@ -3713,11 +3716,35 @@ def oracle_sql() -> dict[str, str]:
                         FROM embeddings WHERE vec_id % 2 = 0),
             sb AS (SELECT vec_id AS id_b, embedding::DOUBLE[] AS vb
                    FROM embeddings WHERE vec_id % 2 = 1),
-            p AS (SELECT id_a, id_b,
+            planes AS (
+                SELECT tt.t, pp.p, dd.d,
+                       CASE WHEN substr(md5(tt.t || '_' || pp.p || '_'
+                                            || dd.d), 1, 1) >= '8'
+                            THEN 1.0 ELSE -1.0 END AS comp
+                FROM range(4) tt(t), range(8) pp(p), range(64) dd(d)),
+            ba AS (SELECT id_a, t,
+                          string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0'
+                                     END, '' ORDER BY p) AS band
+                   FROM (SELECT sa.id_a, pl.t, pl.p,
+                                sum(pl.comp * sa.va[pl.d + 1]) AS s
+                         FROM sa CROSS JOIN planes pl GROUP BY 1, 2, 3)
+                   GROUP BY 1, 2),
+            bb AS (SELECT id_b, t,
+                          string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0'
+                                     END, '' ORDER BY p) AS band
+                   FROM (SELECT sb.id_b, pl.t, pl.p,
+                                sum(pl.comp * sb.vb[pl.d + 1]) AS s
+                         FROM sb CROSS JOIN planes pl GROUP BY 1, 2, 3)
+                   GROUP BY 1, 2),
+            cand AS (SELECT DISTINCT ba.id_a, bb.id_b
+                     FROM ba JOIN bb ON ba.t = bb.t AND ba.band = bb.band),
+            p AS (SELECT cd.id_a, cd.id_b,
                          list_cosine_similarity(va, vb) AS c,
                          floor(list_cosine_similarity(va, vb)
                                * 10000 + 0.5)::BIGINT AS cx
-                  FROM sa CROSS JOIN sb),
+                  FROM cand cd
+                  JOIN sa ON sa.id_a = cd.id_a
+                  JOIN sb ON sb.id_b = cd.id_b),
             r AS (SELECT *,
                          row_number() OVER (PARTITION BY id_a
                              ORDER BY c DESC, id_b) AS rx,

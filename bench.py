@@ -389,29 +389,10 @@ def main() -> None:
 
     qs["curation_dsir"] = _dsir_flagship_fast
 
-    # margin_mine at bench scale: margins over banded-LSH ANN candidates
-    # (the documented production semantics — CCMatrix mines margins over
-    # the ANN k-NN graph); queries() carries the exact cross-join twin
-    # for the correctness gate.
-    def _margin_fast(s, d):
-        from cascading_flink_spark.extensions.similarity import (
-            _multi_signature_udf, margin_mine)
-        emb = entry._t(s, d, "embeddings")
-        a = emb.filter("vec_id % 2 = 0")
-        b = emb.filter("vec_id % 2 = 1")
-        sig = _multi_signature_udf(64, planes=8, seed=7, tables=4)
-        sa = a.select(F.col("vec_id").alias("id_a"),
-                      F.posexplode(sig(F.col("embedding")))
-                       .alias("__t", "__s"))
-        sb = b.select(F.col("vec_id").alias("id_b"),
-                      F.posexplode(sig(F.col("embedding")))
-                       .alias("__t", "__s"))
-        cand = (sa.join(sb, ["__t", "__s"])
-                .select("id_a", "id_b").distinct())
-        return margin_mine(a, b, k=4, threshold_x1e4=10200,
-                           candidates=cand)
-
-    qs["margin_mine"] = _margin_fast
+    # margin_mine: no bench override any more — the operator's DEFAULT
+    # is now the banded-LSH candidate graph (md5-Rademacher bands, no
+    # CartesianProduct), so queries()'s gate spelling IS the production
+    # path and the bench measures it directly.
     # ann_pq at bench scale: the Lloyd-trained production path (queries()
     # carries the md5 cross-engine twin for the correctness gate).
     qs["ann_pq"] = lambda s, d: pq_topk(

@@ -30,7 +30,7 @@ from .similarity import (
     hash_embed,
     lsh_bucketed_topk,
     lsh_bucketed_topk_md5, ivf_topk, ivf_topk_md5,
-    kmeans, kmeans_assign, kmeans_md5, margin_mine,
+    kmeans, kmeans_assign, kmeans_md5, margin_candidates, margin_mine,
     pq_topk, pq_topk_md5,
     random_project, semdedup_pairs, semdedup_pairs_md5, sq_minmax,
     sq_quantize, sq_topk,

@@ -1126,10 +1126,40 @@ def random_project(df: DataFrame, out_dim: int = 16, dim: int = 64,
     return df.select(F.col(id_col), F.array(*comps).alias("rp"))
 
 
+def margin_candidates(a: DataFrame, b: DataFrame,
+                      planes: int = 8, tables: int = 4, dim: int = 64,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """The banded-LSH candidate graph :func:`margin_mine` mines over by
+    DEFAULT: ``(id_a, id_b)`` pairs sharing an md5-Rademacher band
+    (:func:`_md5_band_udf` — ``tables`` tables of ``planes`` sign bits)
+    in at least one table.
+
+    Scale shape: two map-only signature passes + one equality join on
+    (table, band) + a distinct — NO CartesianProduct anywhere
+    (plan-asserted in pytest), and the bands are the engine-agnostic
+    md5 family, so a SQL gate replays the identical candidate set.
+    Exposed so callers can materialize/write the graph once and feed it
+    back as ``candidates=`` across many mining runs."""
+    band_udf = _md5_band_udf(dim, planes, tables)
+    sa = (_fan_out(a)
+          .select(F.col(id_col).alias("id_a"),
+                  F.posexplode(band_udf(F.col(vec_col)))
+                   .alias("__t", "__band")))
+    sb = b.select(F.col(id_col).alias("id_b"),
+                  F.posexplode(band_udf(F.col(vec_col)))
+                   .alias("__t", "__band"))
+    return (sa.join(sb, ["__t", "__band"])
+            .select("id_a", "id_b").distinct())
+
+
 def margin_mine(a: DataFrame, b: DataFrame, k: int = 4,
                 threshold_x1e4: int = 10500,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                candidates: DataFrame | None = None) -> DataFrame:
+                candidates: DataFrame | None = None,
+                exact: bool = False,
+                planes: int = 8, tables: int = 4,
+                dim: int = 64) -> DataFrame:
     """Margin-based bitext/pair mining (Artetxe & Schwenk 2019, the
     LASER/CCMatrix recipe): mutual-nearest cosine pairs between two
     embedding sets, scored by the RATIO margin
@@ -1151,20 +1181,36 @@ def margin_mine(a: DataFrame, b: DataFrame, k: int = 4,
     (sum_k(x) + sum_k(y))`` — so the whole output value-hashes
     cross-engine.
 
-    Scale shape: the default candidate set is the exact cross join
-    (test scale / one-shard mining).  At 100 TB pass ``candidates`` —
-    an ``(id_a, id_b)`` frame from the ANN family (banded LSH buckets,
-    IVF cells) — and both the k-neighbour averages and the mutual-best
-    test run over the candidate graph only, which is how production
-    margin mining is defined (margins over the ANN k-NN, CCMatrix
-    practice).  Downstream math is identical either way: two bounded
-    per-id windows + two partial-agg k-sums, no driver pulls."""
+    Scale shape — the DEFAULT is banded, never a cross join: with no
+    ``candidates`` the operator builds its own candidate graph from the
+    md5-Rademacher band family (:func:`_md5_band_udf` — ``tables``
+    tables of ``planes`` sign bits; a pair is a candidate iff it shares
+    a band in >= 1 table), so the heavy side is two map-only signature
+    passes plus equality joins on (table, band) — no CartesianProduct
+    anywhere in the plan (plan-asserted in pytest), and the bands are
+    engine-agnostic so the DuckDB gate replays the identical candidate
+    set.  Both the k-neighbour averages and the mutual-best test then
+    run over the candidate graph only, which is how production margin
+    mining is defined (margins over the ANN k-NN, CCMatrix practice).
+
+    Pass ``candidates`` — an ``(id_a, id_b)`` frame from any ANN family
+    (seeded LSH buckets, IVF cells) — to supply your own graph, or
+    ``exact=True`` to opt IN to the exact cross join (tiny sets /
+    one-shard mining only; margins over ALL pairs).  Downstream math is
+    identical on every path: two bounded per-id windows + two
+    partial-agg k-sums, no driver pulls."""
     if k < 1:
         raise ValueError("k must be >= 1")
+    if candidates is not None and exact:
+        raise ValueError("pass candidates OR exact=True, not both")
     fa = _fan_out(a).select(F.col(id_col).alias("id_a"),
                             F.col(vec_col).alias("__va"))
     fb = b.select(F.col(id_col).alias("id_b"),
                   F.col(vec_col).alias("__vb"))
+    if candidates is None and not exact:
+        candidates = margin_candidates(a, b, planes=planes, tables=tables,
+                                       dim=dim, id_col=id_col,
+                                       vec_col=vec_col)
     if candidates is None:
         pairs = fa.crossJoin(fb)
     else:

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from cascading_flink_spark.extensions import (
     cohort_retention, dsir_bucket_weights, dsir_score_expr,
-    dsir_weight_array, margin_mine, pagerank,
+    dsir_weight_array, margin_candidates, margin_mine, pagerank,
 )
 
 
@@ -75,6 +75,48 @@ def test_pagerank_seeded_still_green_when_seeds_present(spark):
 def test_dsir_score_expr_rejects_wrong_length_weight_array():
     with pytest.raises(ValueError, match="len\\(lr\\)"):
         dsir_score_expr(F.lit("hello world"), [0, 0, 0], c0=0, buckets=8)
+
+
+# ----------------------------------------------- margin_mine banded default
+
+def test_margin_candidates_plan_has_no_cartesian(spark, sf_dir):
+    """The DEFAULT candidate stage (the only stage whose shape changes
+    with the candidate strategy — downstream margin math is checkpoint-
+    pinned and identical on every path) must be banded equality joins,
+    never a cross join.  margin_mine's internal localCheckpoint
+    truncates ITS executed plan to a Scan ExistingRDD, so the assertion
+    targets the candidate frame the default routes through."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.filter("vec_id % 2 = 0")
+    b = emb.filter("vec_id % 2 = 1")
+    p = _plan(margin_candidates(a, b))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Generate posexplode" in p  # the banded signature explode
+
+
+def test_margin_mine_default_routes_through_banded_candidates(spark, sf_dir):
+    """Default output == explicitly passing margin_candidates — proves
+    the no-args spelling mines over the banded graph, not a cross
+    join, and finds a non-trivial pair set on the near-dup corpus."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.filter("vec_id % 2 = 0")
+    b = emb.filter("vec_id % 2 = 1")
+    dflt = sorted(map(tuple, margin_mine(
+        a, b, k=4, threshold_x1e4=10000).collect()))
+    viac = sorted(map(tuple, margin_mine(
+        a, b, k=4, threshold_x1e4=10000,
+        candidates=margin_candidates(a, b)).collect()))
+    assert dflt == viac and dflt
+    for id_a, id_b, *_ in dflt:
+        assert id_a % 2 == 0 and id_b % 2 == 1
+
+
+def test_margin_mine_candidates_and_exact_mutually_exclusive(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cand = emb.selectExpr("vec_id AS id_a", "vec_id + 1 AS id_b")
+    with pytest.raises(ValueError, match="not both"):
+        margin_mine(emb, emb, candidates=cand, exact=True)
 
 
 def test_dsir_weight_array_roundtrips_into_score_expr(spark):

@@ -476,8 +476,8 @@ def test_margin_mine_mutual_best_and_hub_deflation(spark):
         (5, unit(2.2)),             # far from everything
     ], "vec_id long, embedding array<double>")
     out = {(r.id_a, r.id_b): r.margin_x1e4
-           for r in margin_mine(a, b, k=2,
-                                threshold_x1e4=0).collect()}
+           for r in margin_mine(a, b, k=2, threshold_x1e4=0,
+                                exact=True).collect()}
     assert (0, 1) in out
     # the hub pair may be mutual-best too, but its margin must be lower
     for pair, m in out.items():
@@ -496,7 +496,7 @@ def test_margin_mine_candidates_path_matches_exact_on_full_graph(spark, sf_dir):
     cand = (a.selectExpr("vec_id AS id_a")
              .crossJoin(b.selectExpr("vec_id AS id_b")))
     exact = sorted(map(tuple, margin_mine(
-        a, b, k=3, threshold_x1e4=0).collect()))
+        a, b, k=3, threshold_x1e4=0, exact=True).collect()))
     viac = sorted(map(tuple, margin_mine(
         a, b, k=3, threshold_x1e4=0, candidates=cand).collect()))
     assert exact == viac and exact
@@ -715,7 +715,8 @@ def test_margin_mine_short_side_uses_actual_counts(spark):
     b = spark.createDataFrame(
         [(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
     out = {(r.id_a, r.id_b): r.margin_x1e4
-           for r in margin_mine(a, b, k=4, threshold_x1e4=0).collect()}
+           for r in margin_mine(a, b, k=4, threshold_x1e4=0,
+                                exact=True).collect()}
     # pair (0,1): cx=10000; x-side neighbours of 0: only b1 (cx 10000),
     # y-side neighbours of 1: a0 (10000) + a2 (0) -> sy=10000, ny=2
     # margin = (10000*2*1*2*10000) DIV (10000*2 + 10000*1) = 13333
