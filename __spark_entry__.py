@@ -1144,6 +1144,25 @@ def q_dsir_sample(spark, sf_dir):
     return dsir_sample(raw, target, 50, buckets=512)
 
 
+def q_dsir_mixture(spark, sf_dir):
+    """DSIR mixture-of-targets (the paper's practical recipe): two
+    target domains fitted independently — 'news' (the even half of the
+    doc_id % 7 == 0 slice) and 'wiki' (the odd half) — each claiming an
+    EXACT 25-doc quota from the shared raw pool, domains filling in
+    sorted-name order with later domains excluded from earlier picks.
+    One raw shingling pass feeds both scorers; the oracle replays both
+    weight tables, both normalizers, both top-25 cuts and the NOT IN
+    exclusion chain."""
+    from cascading_flink_spark.extensions import dsir_mixture_select
+    raw, target = _dsir_split(spark, sf_dir)
+    return dsir_mixture_select(
+        raw,
+        targets={"news": target.filter(F.col("doc_id") % 2 == 0),
+                 "wiki": target.filter(F.col("doc_id") % 2 == 1)},
+        quotas={"news": 25, "wiki": 25},
+        buckets=512)
+
+
 def q_pagerank(spark, sf_dir):
     """Integer-scaled PageRank (3 unrolled iterations) over a 50-node
     link graph derived from the events table (src = user_id % 50,
@@ -1188,6 +1207,21 @@ def q_pagerank_ppr(spark, sf_dir):
         (F.col("event_id") % 5 + 1).alias("w"))
     return pagerank(edges, iterations=3, weight_col="w",
                     seeds=[0, 1, 2, 3, 4])
+
+
+def q_pagerank_dangling(spark, sf_dir):
+    """Sum-preserving PageRank (dangling='redistribute'): sources span
+    0-39 but destinations 0-49, so nodes 40-49 are DANGLING — each
+    iteration their pooled rank is damped and spread uniformly
+    ((D * 85) DIV (100 * n) per node, exact integer DIV), the classic
+    formulation NetworkX/GraphX users cross-check against.  Oracle =
+    the generated unrolled CTEs with one pooled-rank scalar subquery
+    per round."""
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 40).alias("src"),
+        ((F.col("user_id") * 7 + F.col("event_id")) % 50).alias("dst"))
+    return pagerank(edges, iterations=3, dangling="redistribute")
 
 
 def q_hits(spark, sf_dir):
@@ -2744,10 +2778,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- NEW round 9 (no driver row yet) ---
         "dsir_weights": q_dsir_weights,
+        "dsir_mixture": q_dsir_mixture,
         "dsir_select": q_dsir_select,
         "dsir_sample": q_dsir_sample,
         "pagerank": q_pagerank,
         "pagerank_ppr": q_pagerank_ppr,
+        "pagerank_dangling": q_pagerank_dangling,
         "hits": q_hits,
         "decontam_spans": q_decontam_spans,
         "strip_spans_against": q_strip_spans_against,
@@ -3144,10 +3180,84 @@ def _dsir_oracle(select_n: int | None = None, buckets: int = 512,
     return sql
 
 
+def _dsir_mixture_oracle(domains: list | None = None, buckets: int = 512,
+                         alpha: int = 1, seed: str = "dsir") -> str:
+    """DuckDB twin of dsir_mixture_select over the q_dsir_mixture
+    fixture (raw = doc_id % 7 <> 0; each domain a predicate slice of
+    the doc_id % 7 == 0 target pool): ONE shared feature stream, one
+    raw count table, then per domain — in sorted-name order — its own
+    weight table, normalizer, scores and exact top-quota cut with a
+    NOT IN exclusion chain against every earlier domain's picks."""
+    if domains is None:
+        domains = [("news", "doc_id % 7 = 0 AND doc_id % 2 = 0", 25),
+                   ("wiki", "doc_id % 7 = 0 AND doc_id % 2 = 1", 25)]
+    domains = sorted(domains)
+    hexpr = _hex8_to_int_sql(f"md5('{seed}#' || g)")
+    sql = f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CASE WHEN trim(coalesce(text, '')) = ''
+                        THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(
+                            trim(lower(coalesce(text, ''))), '\\s+')
+                   END AS t
+            FROM documents),
+        uni AS (SELECT doc_id, unnest(t) AS g FROM base),
+        bi AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+               FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+                     FROM base WHERE len(t) >= 2)),
+        feats AS (SELECT doc_id, {hexpr} % {buckets} AS b
+                  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        rc AS (SELECT b, count(*)::BIGINT AS r_f FROM feats
+               WHERE doc_id % 7 <> 0 GROUP BY b),
+        docf AS (SELECT doc_id, b, count(*)::BIGINT AS c FROM feats
+                 WHERE doc_id % 7 <> 0 GROUP BY 1, 2),
+        rawids AS (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0)"""
+    for i, (dom, pred, quota) in enumerate(domains):
+        excl = ""
+        if i > 0:
+            prior = " UNION ALL ".join(
+                f"SELECT doc_id FROM pick{j}" for j in range(i))
+            excl = f"WHERE doc_id NOT IN (SELECT doc_id FROM ({prior}))"
+        sql += f""",
+        tc{i} AS (SELECT b, count(*)::BIGINT AS t_f FROM feats
+                  WHERE {pred} GROUP BY b),
+        w{i} AS (SELECT coalesce(rc.b, tc{i}.b) AS b,
+                        coalesce(t_f, 0)::BIGINT AS t_f,
+                        coalesce(r_f, 0)::BIGINT AS r_f
+                 FROM rc FULL OUTER JOIN tc{i} ON rc.b = tc{i}.b),
+        lr{i} AS (SELECT b, floor((ln(t_f + {alpha}) - ln(r_f + {alpha}))
+                                  * 1e6 + 0.5)::BIGINT AS lr FROM w{i}),
+        c0{i} AS (SELECT floor((ln(sum(r_f) + {alpha} * {buckets})
+                                - ln(sum(t_f) + {alpha} * {buckets}))
+                               * 1e6 + 0.5)::BIGINT AS c0 FROM w{i}),
+        sc{i} AS (SELECT doc_id, sum(c * lr)::BIGINT AS s,
+                         sum(c)::BIGINT AS n
+                  FROM docf JOIN lr{i} USING (b) GROUP BY doc_id),
+        scored{i} AS (SELECT d.doc_id,
+                             coalesce(sc{i}.n, 0)::BIGINT AS n_feats,
+                             (coalesce(sc{i}.s, 0)
+                              + coalesce(sc{i}.n, 0)
+                                * (SELECT c0 FROM c0{i}))::BIGINT
+                                 AS logw_x1e6
+                      FROM rawids d LEFT JOIN sc{i} USING (doc_id)),
+        pick{i} AS (SELECT doc_id, '{dom}' AS domain, n_feats, logw_x1e6
+                    FROM scored{i} {excl}
+                    ORDER BY logw_x1e6 DESC, doc_id LIMIT {quota})"""
+    union = " UNION ALL ".join(
+        f"SELECT * FROM pick{i}" for i in range(len(domains)))
+    sql += f"""
+        SELECT * FROM ({union})
+    """
+    return sql
+
+
 def _pagerank_oracle(iters: int = 3, n_mod: int = 50,
                      scale: int = 1_000_000, d: int = 85,
                      weighted: bool = False,
-                     seeds: list | None = None) -> str:
+                     seeds: list | None = None,
+                     src_mod: int | None = None,
+                     dangling: bool = False) -> str:
     """Generated unrolled-iteration DuckDB twin of
     :func:`~cascading_flink_spark.extensions.graph.pagerank` (same
     integer DIV arithmetic; ``//`` on positive BIGINTs truncates exactly
@@ -3155,10 +3265,14 @@ def _pagerank_oracle(iters: int = 3, n_mod: int = 50,
     algorithms: one CTE pair per round, generated so the SQL can never
     drift from the declared iteration count.  ``weighted`` replays the
     ``event_id % 5 + 1`` edge weights; ``seeds`` the personalized
-    teleport set."""
+    teleport set; ``src_mod`` shrinks the source range below ``n_mod``
+    so nodes ``src_mod..n_mod-1`` are DANGLING, and ``dangling=True``
+    replays the sum-preserving redistribute variant (one pooled-rank
+    scalar subquery per round)."""
     w_expr = "(event_id % 5 + 1)" if weighted else "1"
+    sm = src_mod if src_mod is not None else n_mod
     sql = f"""
-        WITH e AS (SELECT user_id % {n_mod} AS src,
+        WITH e AS (SELECT user_id % {sm} AS src,
                           (user_id * 7 + event_id) % {n_mod} AS dst,
                           {w_expr}::BIGINT AS w
                    FROM events),
@@ -3183,13 +3297,30 @@ def _pagerank_oracle(iters: int = 3, n_mod: int = 50,
         base = (f"CASE WHEN nd.node IN ({in_seeds}) "
                 f"THEN {{seed_base}} ELSE 0 END")
         base_from = "FROM nodes nd"
-    step = """,
+    if dangling:
+        if seeds is None:
+            gain = "+ ((SELECT dgl FROM dng{i}) * {d}) // (100 * n1.n)"
+        else:
+            ns = len(seeds)
+            in_seeds = ", ".join(str(s) for s in seeds)
+            gain = (f"+ CASE WHEN nd.node IN ({in_seeds}) THEN "
+                    "((SELECT dgl FROM dng{i}) * {d}) // "
+                    f"(100 * {ns}) ELSE 0 END")
+        dng_cte = """,
+        dng{i} AS (SELECT coalesce(sum(r), 0)::BIGINT AS dgl
+                   FROM r{p}
+                   WHERE node NOT IN (SELECT src FROM e))"""
+    else:
+        gain = ""
+        dng_cte = ""
+    step = dng_cte + """,
         c{i} AS (SELECT e.dst AS node,
                         ((r.r * {d} * e.w) // (100 * dg.deg))::BIGINT AS c
                  FROM e JOIN deg dg ON dg.src = e.src
                         JOIN r{p} r ON r.node = e.src),
         r{i} AS (SELECT nd.node,
                         (""" + base + """
+                         """ + gain + """
                          + coalesce(s.s, 0))::BIGINT AS r
                  """ + base_from + """
                  LEFT JOIN (SELECT node, sum(c)::BIGINT AS s
@@ -3652,9 +3783,12 @@ def oracle_sql() -> dict[str, str]:
         # refits the per-dim min/max ranges and replays the exact-order
         # code formula floor((x-lo)*255/(hi-lo)+0.5).
         "dsir_weights": _dsir_oracle(),
+        "dsir_mixture": _dsir_mixture_oracle(),
         "dsir_select": _dsir_oracle(select_n=50),
         "dsir_sample": _dsir_oracle(sample_n=50),
         "pagerank": _pagerank_oracle(iters=3),
+        "pagerank_dangling": _pagerank_oracle(iters=3, src_mod=40,
+                                              dangling=True),
         "pagerank_ppr": _pagerank_oracle(iters=3, weighted=True,
                                          seeds=[0, 1, 2, 3, 4]),
         "hits": _hits_oracle(iters=2),

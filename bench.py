@@ -86,6 +86,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # paths.  embedding_dups uses the LSH (scale) variant here — the exact
 # all-pairs variant is for the sf0.01 correctness gate only.
 BENCH_QUERIES = [
+    # round 10
+    "pagerank_dangling",
+    "dsir_mixture",
     # round 9
     "dsir_weights",
     "dsir_select",

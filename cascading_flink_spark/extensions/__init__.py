@@ -55,8 +55,9 @@ from .decontam import (contamination_pairs, contamination_spans,
                        decontaminate,
                        decontaminate_bloom, build_bloom_bitmap,
                        bloom_might_contain, strip_spans_against)
-from .dsir import (dsir_bucket_weights, dsir_sample, dsir_score_expr,
-                   dsir_select, dsir_weight_array, dsir_weights)
+from .dsir import (dsir_bucket_weights, dsir_mixture_select, dsir_sample,
+                   dsir_score_expr, dsir_select, dsir_weight_array,
+                   dsir_weights)
 from .graph import hits, pagerank, triangle_count
 from .corpus import (bigram_lm_scores, bm25_scores, corpus_report,
                      inverted_index,

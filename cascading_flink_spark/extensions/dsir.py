@@ -202,6 +202,95 @@ def dsir_select(raw: DataFrame, target: DataFrame, n: int,
              .limit(int(n)))
 
 
+def dsir_mixture_select(raw: DataFrame, targets: dict, quotas: dict,
+                        buckets: int = 4096, ngrams: int = 2,
+                        alpha: int = 1, seed: str = "dsir",
+                        text_col: str = "text", id_col: str = "doc_id",
+                        target_text_col: str | None = None,
+                        target_id_col: str | None = None) -> DataFrame:
+    """DSIR with a MIXTURE of targets — the paper's practical use: fit
+    one weight table per target domain and fill an EXACT per-domain
+    quota from one shared raw pool.  ``targets`` maps domain name ->
+    target corpus; ``quotas`` maps the same names -> how many raw docs
+    that domain may claim.  Returns ``(id_col, domain, n_feats,
+    logw_x1e6)`` — each selected document appears EXACTLY once.
+
+    Collision rule (deterministic, cross-engine): domains claim docs in
+    SORTED DOMAIN-NAME order; a later domain picks its top-``quota``
+    among docs no earlier domain took (the greedy fill any SQL engine
+    replays with top-n + NOT IN chains).  Per-domain scoring is the
+    exact :func:`dsir_weights` integer recipe against that domain's
+    weight table.
+
+    Scale design: the raw corpus is shingled ONCE (the pinned per-doc
+    bucket partials feed the shared raw count table and every domain's
+    scorer); each domain then adds only its own small target scan, a
+    broadcast ``<= buckets``-row weight join, a partial-agg per-doc sum
+    and a TakeOrderedAndProject — and the anti-join against earlier
+    picks is bounded by ``sum(quotas)`` rows (broadcast), never by
+    data.  Domain count is a parameter (a handful), not data, so the
+    Python loop here builds one declarative plan, not a driver loop
+    over rows."""
+    if not targets:
+        raise ValueError("targets must be a non-empty dict")
+    if set(targets) != set(quotas):
+        raise ValueError("targets and quotas must share the same keys")
+    for dom, q in quotas.items():
+        if int(q) < 1:
+            raise ValueError(f"quota for {dom!r} must be >= 1")
+    _validate(buckets, ngrams, alpha)
+    docf = (_feature_stream(raw, text_col, id_col, buckets, ngrams, seed)
+            .groupBy("id", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+            .localCheckpoint(eager=False))
+    rc = docf.groupBy("b").agg(F.sum("__c").cast("long").alias("r_f"))
+    ids = raw.select(F.col(id_col)).localCheckpoint(eager=False)
+    a = F.lit(int(alpha)).cast("long")
+    m = F.lit(int(buckets)).cast("long")
+    picks: list[DataFrame] = []
+    taken: DataFrame | None = None
+    for dom in sorted(targets):
+        tc = (_feature_stream(targets[dom], target_text_col or text_col,
+                              target_id_col or id_col, buckets, ngrams,
+                              seed)
+              .groupBy("b")
+              .agg(F.count(F.lit(1)).cast("long").alias("t_f")))
+        wt = _weights_from_counts(rc, tc, alpha)
+        c0 = wt.agg(F.floor((F.log(F.sum("r_f") + a * m)
+                             - F.log(F.sum("t_f") + a * m)) * 1e6 + 0.5)
+                     .cast("long").alias("__c0"))
+        doc = (docf
+               .join(F.broadcast(wt.select("b", "lr_x1e6")), "b", "left")
+               .groupBy("id")
+               .agg(F.sum(F.col("__c")
+                          * F.coalesce("lr_x1e6", F.lit(0))).alias("__s"),
+                    F.sum("__c").alias("__n")))
+        scored = (ids
+                  .join(doc.withColumnRenamed("id", id_col), id_col, "left")
+                  .crossJoin(F.broadcast(c0))
+                  .select(F.col(id_col),
+                          F.coalesce("__n", F.lit(0)).cast("long")
+                           .alias("n_feats"),
+                          (F.coalesce("__s", F.lit(0))
+                           + F.coalesce("__n", F.lit(0)) * F.col("__c0"))
+                           .cast("long").alias("logw_x1e6")))
+        if taken is not None:
+            scored = scored.join(F.broadcast(taken), id_col, "left_anti")
+        pick = (scored
+                .orderBy(F.col("logw_x1e6").desc(), F.col(id_col).asc())
+                .limit(int(quotas[dom]))
+                .select(F.col(id_col), F.lit(dom).alias("domain"),
+                        "n_feats", "logw_x1e6")
+                .localCheckpoint(eager=False))
+        picks.append(pick)
+        t = pick.select(F.col(id_col))
+        taken = t if taken is None else taken.unionByName(t)
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def dsir_weight_array(weight_table: DataFrame, buckets: int,
                       alpha: int = 1) -> tuple[list[int], int]:
     """Densify a fitted weight table into ``(lr_list, c0_x1e6)`` for the

@@ -34,7 +34,8 @@ def pagerank(edges: DataFrame, iterations: int = 3,
              damping_x100: int = 85, scale: int = 1_000_000,
              src_col: str = "src", dst_col: str = "dst",
              weight_col: str | None = None,
-             seeds: list | None = None) -> DataFrame:
+             seeds: list | None = None,
+             dangling: str = "drop") -> DataFrame:
     """Integer-scaled PageRank over a directed edge list: ``(node,
     rank_x)`` for every node appearing as a source or destination, where
     ``rank_x`` is the rank scaled by ``scale`` (a long; ``rank_x /
@@ -49,10 +50,19 @@ def pagerank(edges: DataFrame, iterations: int = 3,
       semantics);
     * ``rank'_v = base + sum(incoming contributions)`` with ``base =
       (scale * (100 - damping_x100)) DIV (100 * n_nodes)``;
-    * dangling nodes (no out-edges) keep receiving but their own mass is
-      dropped, not redistributed — total mass shrinks slightly, relative
-      order is the standard one.  Exact integer arithmetic throughout:
-      any engine reproduces ``rank_x`` bit-for-bit.
+    * dangling nodes (no out-edges) keep receiving; what happens to
+      THEIR mass is ``dangling``: ``"drop"`` (default — total mass
+      shrinks slightly, relative order is the standard simplified
+      formulation) or ``"redistribute"`` (the sum-preserving classic:
+      each iteration the danglers' pooled rank ``D`` is damped and
+      spread uniformly — every node gains ``(D * damping_x100) DIV
+      (100 * n_nodes)``; with ``seeds`` it lands on the seed set
+      instead, ``DIV (100 * n_seeds)`` per seed — matching what
+      NetworkX/GraphX users expect to cross-check against, up to the
+      documented integer truncation).  Exact integer arithmetic
+      throughout: any engine reproduces ``rank_x`` bit-for-bit; the
+      redistribute variant costs one extra 1-row anti-join aggregate
+      per iteration, broadcast back.
 
     Two standard variants, same integer recipe:
 
@@ -80,6 +90,8 @@ def pagerank(edges: DataFrame, iterations: int = 3,
         raise ValueError("scale must be >= 1")
     if seeds is not None and not seeds:
         raise ValueError("seeds must be a non-empty list (or None)")
+    if dangling not in ("drop", "redistribute"):
+        raise ValueError("dangling must be 'drop' or 'redistribute'")
     cols = [F.col(src_col).alias("src"), F.col(dst_col).alias("dst")]
     if weight_col is not None:
         # enforce the documented positive-integer contract IN the plan:
@@ -116,12 +128,16 @@ def pagerank(edges: DataFrame, iterations: int = 3,
         base = (F.expr(f"(CAST({scale} AS BIGINT) * {100 - d}) "
                        f"DIV (100 * __n)"))
 
-        def with_base(incoming):
-            return (nodes.crossJoin(n1)
-                    .join(incoming, "node", "left")
-                    .select("node",
-                            (base + F.coalesce(F.col("__in"), F.lit(0)))
-                             .cast("long").alias("rank_x")))
+        def with_base(incoming, dg=None):
+            out = nodes.crossJoin(n1).join(incoming, "node", "left")
+            gain = F.lit(0).cast("long")
+            if dg is not None:
+                out = out.crossJoin(F.broadcast(dg))
+                gain = F.expr(f"(__dg * {d}) DIV (100 * __n)")
+            return out.select(
+                "node",
+                (base + gain + F.coalesce(F.col("__in"), F.lit(0)))
+                 .cast("long").alias("rank_x"))
     else:
         ns = len(seeds)
         if len(set(seeds)) != ns:
@@ -147,15 +163,28 @@ def pagerank(edges: DataFrame, iterations: int = 3,
                      .cast("long").alias("rank_x")))
         seed_base = (int(scale) * (100 - d)) // (100 * ns)
 
-        def with_base(incoming):
-            return (nodes.join(incoming, "node", "left")
-                    .select("node",
-                            (F.when(is_seed, F.lit(seed_base))
-                              .otherwise(F.lit(0))
-                             + F.coalesce(F.col("__in"), F.lit(0)))
-                             .cast("long").alias("rank_x")))
+        def with_base(incoming, dg=None):
+            out = nodes.join(incoming, "node", "left")
+            gain = F.lit(0).cast("long")
+            if dg is not None:
+                out = out.crossJoin(F.broadcast(dg))
+                gain = F.when(is_seed,
+                              F.expr(f"(__dg * {d}) DIV (100 * {ns})")) \
+                        .otherwise(F.lit(0))
+            return out.select(
+                "node",
+                (F.when(is_seed, F.lit(seed_base)).otherwise(F.lit(0))
+                 + gain + F.coalesce(F.col("__in"), F.lit(0)))
+                 .cast("long").alias("rank_x"))
 
     rank = rank.localCheckpoint(eager=False)
+    # the danglers are a FIXED set (nodes never appearing as a source)
+    # — resolve it once, outside the loop, pinned with the node set
+    dang_nodes = None
+    if dangling == "redistribute":
+        dang_nodes = (nodes.join(outdeg.select(F.col("src").alias("node")),
+                                 "node", "left_anti")
+                      .localCheckpoint(eager=False))
     for _ in range(int(iterations)):
         contrib = (ed.join(rank.withColumnRenamed("node", "src"), "src")
                    .select(F.col("dst").alias("node"),
@@ -164,7 +193,12 @@ def pagerank(edges: DataFrame, iterations: int = 3,
                             .alias("__c")))
         incoming = contrib.groupBy("node").agg(
             F.sum("__c").cast("long").alias("__in"))
-        rank = with_base(incoming).localCheckpoint(eager=False)
+        dg = None
+        if dang_nodes is not None:
+            dg = (dang_nodes.join(rank, "node")
+                  .agg(F.coalesce(F.sum("rank_x"), F.lit(0))
+                        .cast("long").alias("__dg")))
+        rank = with_base(incoming, dg).localCheckpoint(eager=False)
     return rank
 
 

@@ -20,7 +20,8 @@ edges_strategy = st.lists(
 SCALE = 1_000_000
 
 
-def _py_pagerank(edges, iters, d=85, weighted=False, seeds=None):
+def _py_pagerank(edges, iters, d=85, weighted=False, seeds=None,
+                 dangling="drop"):
     nodes = sorted({s for s, _, _ in edges} | {t for _, t, _ in edges})
     deg = {}
     for s, _, w in edges:
@@ -34,12 +35,22 @@ def _py_pagerank(edges, iters, d=85, weighted=False, seeds=None):
         r = {v: (SCALE // len(ss) if v in ss else 0) for v in nodes}
         sb = (SCALE * (100 - d)) // (100 * len(ss))
         base = {v: (sb if v in ss else 0) for v in nodes}
+    dang = [v for v in nodes if v not in deg]
     for _ in range(iters):
         inc = {v: 0 for v in nodes}
         for s, t, w in edges:
             ww = w if weighted else 1
             inc[t] += (r[s] * d * ww) // (100 * deg[s])
-        r = {v: base[v] + inc[v] for v in nodes}
+        gain = {v: 0 for v in nodes}
+        if dangling == "redistribute":
+            pool = sum(r[v] for v in dang)
+            if seeds is None:
+                g = (pool * d) // (100 * len(nodes))
+                gain = {v: g for v in nodes}
+            else:
+                g = (pool * d) // (100 * len(ss))
+                gain = {v: (g if v in ss else 0) for v in nodes}
+        r = {v: base[v] + gain[v] + inc[v] for v in nodes}
     return r
 
 
@@ -78,6 +89,22 @@ def test_pagerank_matches_python_model(spark, edges, weighted, use_seeds):
         df, iterations=2, weight_col="w" if weighted else None,
         seeds=seeds).collect()}
     assert got == _py_pagerank(edges, 2, weighted=weighted, seeds=seeds)
+
+
+@settings(max_examples=6, deadline=None)
+@given(edges=edges_strategy, use_seeds=st.booleans())
+def test_pagerank_redistribute_matches_python_model(spark, edges,
+                                                    use_seeds):
+    seeds = None
+    if use_seeds:
+        nodes = sorted({s for s, _, _ in edges} | {t for _, t, _ in edges})
+        seeds = nodes[: max(1, len(nodes) // 2)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {r.node: r.rank_x for r in pagerank(
+        df, iterations=2, seeds=seeds,
+        dangling="redistribute").collect()}
+    assert got == _py_pagerank(edges, 2, seeds=seeds,
+                               dangling="redistribute")
 
 
 @settings(max_examples=6, deadline=None)
