@@ -2621,6 +2621,32 @@ def q_curation_despan(spark, sf_dir):
         total_budget=8000, test_frac=0.2, context_len=512)
 
 
+def q_curation_margin(spark, sf_dir):
+    """The flagship with the opt-in cross-lingual pair-mining stage
+    (margin_kwargs): after MinHash dedup, mine mutual-best ratio-margin
+    pairs between the 'en' slice and the rest over dim=16 hash-trick
+    embeddings (banded md5-Rademacher candidates — no cross join) and
+    drop each mined pair's non-pivot member as a semantic translation
+    dup before decontamination.  Oracle = the full flagship chain with
+    the stage's CTEs spliced in (hash_embed spelling + the margin_mine
+    spelling over the post-dedup corpus)."""
+    from cascading_flink_spark.extensions.text import clean_text_expr
+    docs = _t(spark, sf_dir, "documents").withColumn("url", _messy_url())
+    bench = docs.filter(F.col("doc_id") % 20 == 0).select(
+        "doc_id", clean_text_expr(F.coalesce("text", F.lit(""))).alias("text"))
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return curate_corpus(
+        corpus, bench, use_md5=True,
+        gopher_kwargs=dict(min_words=30, max_words=120,
+                           min_mean_word_len_x100=300,
+                           max_mean_word_len_x100=450,
+                           min_stop_hits=1),
+        blocklist_terms=["dup"],
+        margin_kwargs=dict(side_a="en", k=4, threshold_x1e4=10200,
+                           dim=16),
+        total_budget=8000, test_frac=0.2, context_len=512)
+
+
 def q_quality_classifier(spark, sf_dir):
     """fastText-style linear quality classifier (quality_classifier):
     integer-scaled hand features + hashed bag-of-tokens bucket weights,
@@ -2788,6 +2814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_spans": q_decontam_spans,
         "strip_spans_against": q_strip_spans_against,
         "curation_dsir": q_curation_dsir,
+        "curation_margin": q_curation_margin,
         "margin_mine": q_margin_mine,
         "triangle_count": q_triangle_count,
         "cohort_retention": q_cohort_retention,
@@ -3497,17 +3524,114 @@ def _curation_dsir_ctes(keep_n: int = 50, buckets: int = 512,
                   WHERE doc_id IN (SELECT doc_id FROM dzsel))"""
 
 
+def _margin_ctes(src: str, side_a: str = "en", dim: int = 16,
+                 planes: int = 8, tables: int = 4, k: int = 4,
+                 thr: int = 10200, seed: str = "he0") -> str:
+    """The flagship's opt-in cross-lingual pair-mining stage
+    (curate_corpus ``margin_kwargs``) as chained CTEs over the
+    post-dedup corpus ``src``: hash-trick embeddings (the hash_embed
+    oracle spelling, densified per doc), md5-Rademacher bands on both
+    sides, banded candidates, integer margin math and the mutual-best
+    threshold cut — the mined pairs' non-pivot members drop into
+    ``corp2m``."""
+    hexpr = _hex8_to_int_sql(f"md5('{seed}#' || tk)")
+    return f"""
+        mmtk AS (SELECT doc_id, lang,
+                        CASE WHEN trim(coalesce(text, '')) = ''
+                             THEN []::VARCHAR[]
+                             ELSE regexp_split_to_array(
+                                 trim(coalesce(text, '')), '\\s+')
+                        END AS t
+                 FROM {src}),
+        mmh AS (SELECT doc_id, {hexpr} % {dim} AS b,
+                       CASE WHEN strpos('01234567',
+                                substr(md5('{seed}#' || tk), 9, 1)) > 0
+                            THEN 1 ELSE -1 END AS s
+                FROM (SELECT doc_id, unnest(t) AS tk FROM mmtk)),
+        mmagg AS (SELECT doc_id, b, sum(s)::BIGINT AS v
+                  FROM mmh GROUP BY 1, 2),
+        mmemb AS (SELECT g.doc_id, g.lang,
+                         list(coalesce(a.v, 0)::DOUBLE ORDER BY g.b)
+                             AS emb
+                  FROM (SELECT doc_id, lang, r.i AS b FROM mmtk
+                        CROSS JOIN range(0, {dim}) r(i)) g
+                  LEFT JOIN mmagg a
+                         ON a.doc_id = g.doc_id AND a.b = g.b
+                  GROUP BY 1, 2),
+        mma AS (SELECT doc_id AS id_a, emb AS va FROM mmemb
+                WHERE lang = '{side_a}'
+                  AND list_dot_product(emb, emb) > 0),
+        mmb AS (SELECT doc_id AS id_b, emb AS vb FROM mmemb
+                WHERE lang <> '{side_a}'
+                  AND list_dot_product(emb, emb) > 0),
+        mmpl AS (SELECT tt.t, pp.p, dd.d,
+                        CASE WHEN substr(md5(tt.t || '_' || pp.p || '_'
+                                             || dd.d), 1, 1) >= '8'
+                             THEN 1.0 ELSE -1.0 END AS comp
+                 FROM range({tables}) tt(t), range({planes}) pp(p),
+                      range({dim}) dd(d)),
+        mmba AS (SELECT id_a, t,
+                        string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0'
+                                   END, '' ORDER BY p) AS band
+                 FROM (SELECT mma.id_a, pl.t, pl.p,
+                              sum(pl.comp * mma.va[pl.d + 1]) AS s
+                       FROM mma CROSS JOIN mmpl pl GROUP BY 1, 2, 3)
+                 GROUP BY 1, 2),
+        mmbb AS (SELECT id_b, t,
+                        string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0'
+                                   END, '' ORDER BY p) AS band
+                 FROM (SELECT mmb.id_b, pl.t, pl.p,
+                              sum(pl.comp * mmb.vb[pl.d + 1]) AS s
+                       FROM mmb CROSS JOIN mmpl pl GROUP BY 1, 2, 3)
+                 GROUP BY 1, 2),
+        mmcand AS (SELECT DISTINCT mmba.id_a, mmbb.id_b
+                   FROM mmba JOIN mmbb
+                     ON mmba.t = mmbb.t AND mmba.band = mmbb.band),
+        mmp AS (SELECT cd.id_a, cd.id_b,
+                       list_cosine_similarity(va, vb) AS c,
+                       floor(list_cosine_similarity(va, vb)
+                             * 10000 + 0.5)::BIGINT AS cx
+                FROM mmcand cd
+                JOIN mma ON mma.id_a = cd.id_a
+                JOIN mmb ON mmb.id_b = cd.id_b),
+        mmr AS (SELECT *,
+                       row_number() OVER (PARTITION BY id_a
+                           ORDER BY c DESC, id_b) AS rx,
+                       row_number() OVER (PARTITION BY id_b
+                           ORDER BY c DESC, id_a) AS ry
+                FROM mmp),
+        mmkx AS (SELECT id_a, sum(cx)::BIGINT AS sx,
+                        count(*)::BIGINT AS nx FROM mmr
+                 WHERE rx <= {k} GROUP BY id_a),
+        mmky AS (SELECT id_b, sum(cx)::BIGINT AS sy,
+                        count(*)::BIGINT AS ny FROM mmr
+                 WHERE ry <= {k} GROUP BY id_b),
+        mmdrop AS (SELECT r.id_b
+                   FROM mmr r JOIN mmkx kx USING (id_a)
+                              JOIN mmky ky USING (id_b)
+                   WHERE r.rx = 1 AND r.ry = 1 AND r.cx > 0
+                     AND kx.sx * ky.ny + ky.sy * kx.nx > 0
+                     AND ((r.cx * 2 * kx.nx * ky.ny * 10000)
+                          // (kx.sx * ky.ny + ky.sy * kx.nx)) >= {thr}),
+        corp2m AS MATERIALIZED (SELECT * FROM {src}
+                   WHERE doc_id NOT IN (SELECT id_b FROM mmdrop)),"""
+
+
 def _curation_flagship_oracle(dupspan: bool = False,
-                              dsir: bool = False) -> str:
+                              dsir: bool = False,
+                              margin: bool = False) -> str:
     """DuckDB replay of the WHOLE curation flagship — every stage's
     spelling is copied verbatim from that stage's standalone oracle
     (clean_text, gopher_quality, blocklist, url_dedup, minhash_lsh,
-    dedup_clusters, [strip_dup_spans when ``dupspan``], decontaminate,
-    [DSIR selection when ``dsir``], temperature_mixture, group_split,
-    chunk_corpus), chained through CTEs on the shrinking corpus."""
+    dedup_clusters, [strip_dup_spans when ``dupspan``], [cross-lingual
+    margin mining when ``margin``], decontaminate, [DSIR selection when
+    ``dsir``], temperature_mixture, group_split, chunk_corpus), chained
+    through CTEs on the shrinking corpus."""
     nh, nb = 32, 8
     min_agree = 16  # threshold 0.5 * 32
     h_aggs, band_selects, agree = _md5_minhash_ctes(nh, nb)
+    post_dedup = "corp2b" if dupspan else "corp2"
+    decon_src = "corp2m" if margin else post_dedup
     clean = ("trim(regexp_replace(regexp_replace(translate("
              "regexp_replace(coalesce(text, ''), "
              "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f"
@@ -3646,10 +3770,10 @@ def _curation_flagship_oracle(dupspan: bool = False,
                  FROM reach GROUP BY id),
         dups AS (SELECT id FROM clus WHERE id <> cluster_id),
         corp2 AS MATERIALIZED (SELECT * FROM corp1
-                  WHERE doc_id NOT IN (SELECT id FROM dups)),{_dupspan_ctes() if dupspan else ''}
+                  WHERE doc_id NOT IN (SELECT id FROM dups)),{_dupspan_ctes() if dupspan else ''}{_margin_ctes(post_dedup) if margin else ''}
         ct AS (SELECT doc_id,
                       regexp_split_to_array(lower(trim(text)), '\\s+') AS t
-               FROM {'corp2b' if dupspan else 'corp2'}),
+               FROM {decon_src}),
         csh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+7], ' ')
                        for i in range(1, greatest(len(t)-7, 0)+1)]) AS s
                 FROM ct),
@@ -3662,7 +3786,7 @@ def _curation_flagship_oracle(dupspan: bool = False,
                 FROM bt),
         binv AS (SELECT doc_id, unnest(s) AS g FROM bsh),
         bad AS (SELECT DISTINCT c.doc_id FROM cinv c JOIN binv b USING (g)),
-        corp3 AS MATERIALIZED (SELECT * FROM {'corp2b' if dupspan else 'corp2'}
+        corp3 AS MATERIALIZED (SELECT * FROM {decon_src}
                   WHERE doc_id NOT IN (SELECT doc_id FROM bad)){_curation_dsir_ctes() if dsir else ''},
         tk AS MATERIALIZED (SELECT doc_id, lang, source,
                       CASE WHEN trim(text) = '' THEN 0
@@ -3999,6 +4123,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_flagship": _curation_flagship_oracle(),
         "curation_despan": _curation_flagship_oracle(dupspan=True),
         "curation_dsir": _curation_flagship_oracle(dsir=True),
+        "curation_margin": _curation_flagship_oracle(margin=True),
         "quality_classifier": _quality_classifier_oracle(),
         "sq_codes": """
             WITH stats AS (

@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     # round 10
     "pagerank_dangling",
     "dsir_mixture",
+    "curation_margin",
     # round 9
     "dsir_weights",
     "dsir_select",
@@ -391,6 +392,29 @@ def main() -> None:
             total_budget=8000, test_frac=0.2, context_len=512)
 
     qs["curation_dsir"] = _dsir_flagship_fast
+
+    # curation_margin at bench scale: same fast-hash variant with the
+    # opt-in cross-lingual pair-mining stage (the md5 twin is the gate
+    # spelling)
+    def _margin_flagship_fast(s, d):
+        docs = entry._t(s, d, "documents").withColumn(
+            "url", entry._messy_url())
+        bench_df = docs.filter(F.col("doc_id") % 20 == 0).select(
+            "doc_id",
+            clean_text_expr(F.coalesce("text", F.lit(""))).alias("text"))
+        corpus = docs.filter(F.col("doc_id") % 20 != 0)
+        return curate_corpus(
+            corpus, bench_df, use_md5=False,
+            gopher_kwargs=dict(min_words=30, max_words=120,
+                               min_mean_word_len_x100=300,
+                               max_mean_word_len_x100=450,
+                               min_stop_hits=1),
+            blocklist_terms=["dup"],
+            margin_kwargs=dict(side_a="en", k=4, threshold_x1e4=10200,
+                               dim=16),
+            total_budget=8000, test_frac=0.2, context_len=512)
+
+    qs["curation_margin"] = _margin_flagship_fast
 
     # margin_mine: no bench override any more — the operator's DEFAULT
     # is now the banded-LSH candidate graph (md5-Rademacher bands, no

@@ -19,6 +19,14 @@ lineage):
    opt-in): strip_dup_spans removes every cross-document duplicated
    k-gram span that survives document-level MinHash — the ExactSubstr
    step of Lee et al. 2022;
+4.7. **cross-lingual pair mining** (``margin_kwargs`` opt-in):
+   margin-based mutual-best mining (Artetxe & Schwenk, the CCMatrix
+   recipe) between a pivot-language slice and the rest of the corpus
+   over hash-trick embeddings — mined pairs are semantic cross-lingual
+   near-duplicates (translations) that document-level MinHash cannot
+   see; the pivot-side member keeps its slot, the mined partner drops.
+   Candidates come from :func:`..similarity.margin_candidates`'s banded
+   default — no cross join;
 5. **decontamination**: drop documents sharing a word n-gram with the
    held-out benchmark (benchmark grams broadcast; the corpus never
    shuffles);
@@ -71,6 +79,7 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame,
                   minhash_n: int = 3, num_hashes: int = 32, bands: int = 8,
                   threshold: float = 0.5, use_md5: bool = False,
                   dupspan_kwargs: dict | None = None,
+                  margin_kwargs: dict | None = None,
                   dsir_kwargs: dict | None = None,
                   total_budget: int = 8000,
                   test_frac: float = 0.2,
@@ -89,7 +98,7 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame,
     ``return_stages=True`` returns ``(packed, stages)`` where
     ``stages`` is an ordered dict of each intermediate DataFrame
     (``gated``, ``url_deduped``, ``deduped``, ``despanned`` /
-    ``dsir_selected`` when those opt-in stages are on,
+    ``margin_mined`` / ``dsir_selected`` when those opt-in stages are on,
     ``decontaminated``, ``admitted``, ``split``) —
     all LAZY, so auditing costs nothing
     until a stage is counted; ``stages["gated"].count()`` etc. answers
@@ -197,6 +206,45 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame,
                                  F.col("clean_text").alias(text_col)),
                          id_col))
         stages["despanned"] = deduped
+
+    # 4.7. Optional cross-lingual pair-mining dedup (opt-in): mine
+    # mutual-best ratio-margin pairs between the pivot-language slice
+    # (side_a) and the rest over dim-long hash-trick embeddings
+    # (hash_embed — zero-shuffle featurizer), candidates from the banded
+    # md5-Rademacher default (no cross join), then drop each mined
+    # pair's NON-pivot member: a high-margin mutual-best pair is a
+    # translation/semantic dup that spends mixture budget twice.
+    # Zero-norm embeddings (text that hashes to nothing) are excluded
+    # from mining IN the plan — cosine would be 0/0 on either engine.
+    if margin_kwargs is not None:
+        from .similarity import _dot, hash_embed, margin_mine
+        side_col = margin_kwargs.get("side_col", lang_col)
+        side_a = margin_kwargs["side_a"]
+        side_b = margin_kwargs.get("side_b")
+        mdim = margin_kwargs.get("dim", 16)
+        cond_a = F.col(side_col) == side_a
+        cond_b = (F.col(side_col) == side_b) if side_b is not None \
+            else (F.col(side_col) != side_a)
+        deduped = deduped.localCheckpoint(eager=False)
+
+        def _emb(side_df):
+            e = hash_embed(side_df, dim=mdim, text_col=text_col,
+                           id_col=id_col,
+                           seed=margin_kwargs.get("seed", "he0"))
+            ecol = F.col("emb").cast("array<double>")
+            return (e.filter(_dot(ecol, ecol) > 0)
+                     .select(F.col(id_col), F.col("emb")))
+
+        mined = margin_mine(
+            _emb(deduped.filter(cond_a)), _emb(deduped.filter(cond_b)),
+            k=margin_kwargs.get("k", 4),
+            threshold_x1e4=margin_kwargs.get("threshold_x1e4", 10500),
+            id_col=id_col, vec_col="emb", dim=mdim,
+            planes=margin_kwargs.get("planes", 8),
+            tables=margin_kwargs.get("tables", 4))
+        drop = mined.select(F.col("id_b").alias(id_col))
+        deduped = deduped.join(F.broadcast(drop), id_col, "left_anti")
+        stages["margin_mined"] = deduped
 
     # 5. decontamination: benchmark grams broadcast, corpus unshuffled
     decon = decontaminate(deduped, benchmark, n=decontam_n,

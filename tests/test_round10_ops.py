@@ -152,6 +152,35 @@ def test_margin_mine_candidates_and_exact_mutually_exclusive(spark, sf_dir):
         margin_mine(emb, emb, candidates=cand, exact=True)
 
 
+# ------------------------------------------- flagship margin stage
+
+def test_flagship_margin_stage_drops_only_non_pivot_docs(spark, sf_dir):
+    from cascading_flink_spark.extensions.curation import curate_corpus
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    kw = dict(
+        gopher_kwargs=dict(min_words=30, max_words=120,
+                           min_mean_word_len_x100=300,
+                           max_mean_word_len_x100=450, min_stop_hits=1),
+        blocklist_terms=["dup"], url_col=None, use_md5=True,
+        total_budget=8000, test_frac=0.2, context_len=512,
+        return_stages=True)
+    _, plain = curate_corpus(corpus, bench, **kw)
+    _, mined = curate_corpus(
+        corpus, bench,
+        margin_kwargs=dict(side_a="en", k=4, threshold_x1e4=9000, dim=16),
+        **kw)
+    assert "margin_mined" in mined and "margin_mined" not in plain
+    before = {r.doc_id: r.lang for r in plain["deduped"]
+              .select("doc_id", "lang").collect()}
+    after = {r.doc_id for r in mined["margin_mined"]
+             .select("doc_id").collect()}
+    dropped = set(before) - after
+    assert dropped, "margin stage was vacuous on this corpus"
+    assert all(before[d] != "en" for d in dropped)  # pivot side kept
+
+
 # ------------------------------------------------ dsir_mixture_select
 
 @pytest.fixture(scope="module")
