@@ -214,8 +214,16 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     # native transform(sequence, slice+concat_ws) even with the persisted
     # frame reused across branches (re-measured round 5: 2.8s -> 2.3s at
     # sf0.1; output verified identical in test_shingle_udf_matches_native)
-    shingled = _fan_out(df).select(F.col(id_col).alias("id"),
-                                   _word_shingles_arrow(text_col, n).alias("sh"))
+    # Pin the shingle frame BEFORE deriving anything from it: unlike
+    # persist(), localCheckpoint substitutes no plans in a registry —
+    # only frames built FROM the checkpointed object read the blocks, so
+    # deriving `inv` first would recompute the Arrow shingler for the
+    # whole prefix branch (measured: the r9 hygiene sweep's 1.5x
+    # dedup_clusters/keep_best regression was exactly this ordering).
+    shingled = (_fan_out(df)
+                .select(F.col(id_col).alias("id"),
+                        _word_shingles_arrow(text_col, n).alias("sh"))
+                .localCheckpoint(eager=False))
     inv = shingled.select("id", F.explode("sh").alias("shingle"))
     freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
     w = Window.partitionBy("id").orderBy(F.asc("f"), F.asc("shingle"))
@@ -226,15 +234,11 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     # (1-0.8)*10 evaluates to 1.9999999999999996, which floor()+1 would turn
     # into a too-short prefix and silently drop pairs at exactly j == t.
     prefix_len = F.col("n_sh") - F.ceil(threshold * F.col("n_sh") - 1e-9) + 1
-    # Pin the two small frames every downstream branch re-reads: the
-    # self-join + verify would otherwise recompute the full shingle pipeline
-    # per branch (5x work and high run-to-run variance).  Both are tiny
-    # relative to input (prefix ~20% of shingles; shingled = 1 row/doc).
-    # localCheckpoint(eager=False), not persist(): the shingle frame is
-    # NOT small at 100 TB, and checkpoint blocks are scoped to the
-    # returned frame's lifetime (ContextCleaner frees them on GC) instead
-    # of accumulating in the cached-query registry across operator calls.
-    shingled = shingled.localCheckpoint(eager=False)
+    # Pin the prefix frame both sides of the self-join re-read (tiny:
+    # ~20% of shingles).  localCheckpoint(eager=False), not persist():
+    # checkpoint blocks are scoped to the returned frame's lifetime
+    # (ContextCleaner frees them on GC) instead of accumulating in the
+    # cached-query registry across operator calls.
     prefix = (ranked.filter(F.col("rn") <= prefix_len)
               .select("id", "shingle").localCheckpoint(eager=False))
     cand = (prefix.toDF("id_a", "shingle")
