@@ -152,6 +152,29 @@ def test_margin_mine_candidates_and_exact_mutually_exclusive(spark, sf_dir):
         margin_mine(emb, emb, candidates=cand, exact=True)
 
 
+# ----------------------------------- graph family: no single-task stages
+
+def test_graph_family_plans_have_no_single_partition_exchange(spark, sf_dir):
+    """The scaling claim (README graph rows) rests on every shuffle
+    hash-partitioning across the cluster: a SinglePartition exchange or
+    a partition-less window would serialize an iteration at 1000x.
+    triangle_count/hits/pagerank executed plans must contain neither
+    (the broadcast 1-row aggregates plan as BroadcastExchange, which is
+    fine and expected)."""
+    from cascading_flink_spark.extensions import hits, triangle_count
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    edges = ev.select(
+        (F.col("user_id") % 50).alias("src"),
+        ((F.col("user_id") * 7 + F.col("event_id")) % 50).alias("dst"))
+    for df in (pagerank(edges, iterations=2),
+               pagerank(edges, iterations=2, dangling="redistribute"),
+               hits(edges, iterations=1),
+               triangle_count(edges)):
+        p = _plan(df)
+        assert "Exchange SinglePartition" not in p, p[:2000]
+        assert "Window" not in p
+
+
 # ------------------------------------------- flagship margin stage
 
 def test_flagship_margin_stage_drops_only_non_pivot_docs(spark, sf_dir):
