@@ -5,11 +5,19 @@ factor (``user_id % (50 * N)``), not just its edge multiplicity — the
 round-10 answer to "the 8x rows mostly measure job latency because the
 node set is fixed at 50".
 
-Usage: python tools/graph_scale.py SF_DIR FACTOR [REPS]
+Usage: python tools/graph_scale.py SF_DIR FACTOR [REPS] [BASE_NODES]
        e.g. python tools/graph_scale.py /tmp/sf0.1x8 8
 (the directory should be a tools/replicate_sf.py output so edge count
 and node count BOTH grow ~FACTOR-fold; FACTOR=1 with /root/testdata/sf0.1
 gives the baseline row).
+
+BASE_NODES picks the density regime.  The default 50 reproduces the
+driver queries' key arithmetic — but measured densities are 1.0 / 0.99
+/ 0.71 at 1x/8x/32x (the modulus saturates), so the 32x graph is a
+near-CLIQUE and triangle counting there measures the O(m^1.5) wedge
+work on ~10^9 wedges, not scaling.  BASE_NODES=2000 keeps average
+degree ~50 constant while nodes and edges both grow FACTOR-fold — the
+realistic sparse-web-graph regime the README scaling rows use.
 
 Prints one line per operator: best-of-REPS wall seconds, node count,
 edge count (distinct canonical for triangles, multigraph for PR/HITS),
@@ -37,7 +45,8 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
-    n_mod = 50 * factor
+    base_nodes = int(sys.argv[4]) if len(sys.argv) > 4 else 50
+    n_mod = base_nodes * factor
     spark = get_spark("graph-scale", cpus=int(
         os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
