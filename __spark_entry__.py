@@ -1224,6 +1224,38 @@ def q_pagerank_dangling(spark, sf_dir):
     return pagerank(edges, iterations=3, dangling="redistribute")
 
 
+def _thin_graph(spark, sf_dir):
+    """Shared sparse link-graph fixture for the community/core queries:
+    500 candidate nodes, edges thinned to every 11th event (avg degree
+    ~3.6 at sf0.01 — sparse enough that peeling and label votes are
+    non-trivial, unlike the dense %50 pagerank graph)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
+    return ev.select(
+        (F.col("user_id") % 500).alias("src"),
+        ((F.col("user_id") * 7 + F.col("event_id")) % 500).alias("dst"))
+
+
+def q_label_prop(spark, sf_dir):
+    """Synchronous min-tie-break label-propagation communities
+    (Raghavan et al. 2007's deterministic synchronous variant): 3
+    rounds over the sparse 500-node link graph; every round is one
+    equi-join + two partial aggs (vote counts, then argmax as
+    min(struct(-count, label)) — no windows).  Oracle = generated
+    unrolled CTEs with the same (count DESC, label ASC) vote rule."""
+    from cascading_flink_spark.extensions import label_propagation
+    return label_propagation(_thin_graph(spark, sf_dir), iterations=3)
+
+
+def q_k_core(spark, sf_dir):
+    """k-core decomposition (synchronous Batagelj-Zaversnik peeling):
+    6 rounds of drop-all-degree<3-nodes over the sparse 500-node graph
+    — reaches the exact 3-core at sf0.01 (fixpoint measured at 5
+    peels; 220 of ~500 nodes survive).  Every round is one partial-agg
+    degree count + two semi-joins; oracle = generated unrolled CTEs."""
+    from cascading_flink_spark.extensions import k_core
+    return k_core(_thin_graph(spark, sf_dir), k=3, rounds=6)
+
+
 def q_hits(spark, sf_dir):
     """Integer-scaled HITS hubs/authorities (2 unrolled iterations) over
     the same 50-node events-derived link graph as q_pagerank; every
@@ -2781,14 +2813,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-10 front block (slots 1-50): the 3 NEW round-10 queries
     (curation_margin — the flagship's opt-in cross-lingual pair-mining
     stage — dsir_mixture — per-domain quota DSIR — pagerank_dangling —
-    sum-preserving redistribute variant); the 8 queries whose plan or
-    code changed this round (margin_mine's banded-LSH default,
+    sum-preserving redistribute variant — label_prop / k_core — the
+    synchronous-deterministic community/core graph pair); the 8
+    queries whose plan or code changed this round (margin_mine's banded-LSH default,
     cohort_retention's epoch-scope filter, pagerank/pagerank_ppr's
     in-plan seed guard, and the ngram_jaccard checkpoint-ordering fix
     that also feeds dedup_clusters / dedup_keep_best and
-    minhash_recall's exact ground truth); the 8 r5-stale rows; all 29
-    r6-stale rows; and 2 oldest-r7 fillers (anti_join, blocklist) —
-    after this round no query's newest driver row is older than r7.
+    minhash_recall's exact ground truth); the 8 r5-stale rows; and all
+    29 r6-stale rows — 5+8+8+29 = exactly 50; after this round no
+    query's newest driver row is older than r7.
     Back block: everything with an r7-r9 driver row on unchanged code,
     re-verified by the committed round-end mimic
     (tools/mimic_r10.log).
@@ -2799,6 +2832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_margin": q_curation_margin,
         "dsir_mixture": q_dsir_mixture,
         "pagerank_dangling": q_pagerank_dangling,
+        "label_prop": q_label_prop,
+        "k_core": q_k_core,
         # --- plan/code changed round 10: margin_mine banded default;
         # cohort_retention epoch-scope filter; pagerank family (seed
         # guard + dangling param); the ngram_jaccard pin-ordering fix
@@ -2852,7 +2887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
-        # --- 2 oldest-r7 fillers to complete the 50 ---
+        # --- slots 51-52 since label_prop/k_core landed: the 2
+        # oldest-r7 rows, first in line for the round-11 window ---
         "anti_join": q_anti_join,
         "blocklist": q_blocklist,
         # --- back block (r7-r9 rows on unchanged code, re-verified by
@@ -3267,6 +3303,70 @@ def _dsir_mixture_oracle(domains: list | None = None, buckets: int = 512,
         f"SELECT * FROM pick{i}" for i in range(len(domains)))
     sql += f"""
         SELECT * FROM ({union})
+    """
+    return sql
+
+
+_THIN_EDGES_SQL = """
+        WITH e0 AS (SELECT user_id % 500 AS src,
+                           (user_id * 7 + event_id) % 500 AS dst
+                    FROM events WHERE event_id % 11 = 0)"""
+
+
+def _label_prop_oracle(iters: int = 3) -> str:
+    """Generated unrolled-iteration DuckDB twin of
+    :func:`~cascading_flink_spark.extensions.graph.label_propagation`
+    over the thin-graph fixture: doubled edge list, labels init to the
+    node id, each round the (count DESC, label ASC) neighbour vote —
+    the argmax the Spark side spells as min(struct(-count, label))."""
+    sql = _THIN_EDGES_SQL + """,
+        ue AS (SELECT src, dst FROM e0
+               UNION ALL SELECT dst, src FROM e0),
+        l0 AS (SELECT DISTINCT src AS node, src AS label FROM ue)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+        v{i} AS (SELECT ue.dst AS node, l.label,
+                        count(*)::BIGINT AS c
+                 FROM ue JOIN l{i - 1} l ON l.node = ue.src
+                 GROUP BY 1, 2),
+        l{i} AS (SELECT node, label FROM v{i}
+                 QUALIFY row_number() OVER (PARTITION BY node
+                     ORDER BY c DESC, label) = 1)"""
+    sql += f"""
+        SELECT node::BIGINT AS node, label::BIGINT AS label FROM l{iters}
+    """
+    return sql
+
+
+def _k_core_oracle(k: int = 3, rounds: int = 6) -> str:
+    """Generated unrolled-round DuckDB twin of
+    :func:`~cascading_flink_spark.extensions.graph.k_core` over the
+    thin-graph fixture: canonical simple edges, then per round a degree
+    count + both-endpoints-kept edge trim, with the final deg >= k
+    membership filter the Spark side applies."""
+    sql = _THIN_EDGES_SQL + """,
+        g0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+                                            greatest(src, dst) AS b
+               FROM e0 WHERE src <> dst)"""
+    # each g{i} is read 4x by round i+1 (degree union twice, trim
+    # twice): MATERIALIZED, or un-materialized CTE inlining re-evaluates
+    # the whole chain 4^rounds times (measured: fd exhaustion at 6)
+    for i in range(1, rounds + 1):
+        sql += f""",
+        d{i} AS MATERIALIZED (SELECT node, count(*)::BIGINT AS deg
+                 FROM (SELECT a AS node FROM g{i - 1}
+                       UNION ALL SELECT b FROM g{i - 1})
+                 GROUP BY node),
+        k{i} AS (SELECT node FROM d{i} WHERE deg >= {k}),
+        g{i} AS MATERIALIZED (SELECT * FROM g{i - 1}
+                 WHERE a IN (SELECT node FROM k{i})
+                   AND b IN (SELECT node FROM k{i}))"""
+    sql += f""",
+        dfin AS (SELECT node, count(*)::BIGINT AS deg
+                 FROM (SELECT a AS node FROM g{rounds}
+                       UNION ALL SELECT b FROM g{rounds})
+                 GROUP BY node)
+        SELECT node::BIGINT AS node, deg FROM dfin WHERE deg >= {k}
     """
     return sql
 
@@ -3905,6 +4005,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_oracle(iters=3),
         "pagerank_dangling": _pagerank_oracle(iters=3, src_mod=40,
                                               dangling=True),
+        "label_prop": _label_prop_oracle(iters=3),
+        "k_core": _k_core_oracle(k=3, rounds=6),
         "pagerank_ppr": _pagerank_oracle(iters=3, weighted=True,
                                          seeds=[0, 1, 2, 3, 4]),
         "hits": _hits_oracle(iters=2),

@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "pagerank_dangling",
     "dsir_mixture",
     "curation_margin",
+    "label_prop",
+    "k_core",
     # round 9
     "dsir_weights",
     "dsir_select",

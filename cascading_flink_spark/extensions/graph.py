@@ -266,6 +266,111 @@ def hits(edges: DataFrame, iterations: int = 2, scale: int = 1_000_000,
                     F.coalesce("a", F.lit(0)).cast("long").alias("auth_x")))
 
 
+def label_propagation(edges: DataFrame, iterations: int = 3,
+                      src_col: str = "src",
+                      dst_col: str = "dst") -> DataFrame:
+    """SYNCHRONOUS label-propagation communities (Raghavan et al. 2007,
+    the deterministic synchronous variant) over the undirected view of
+    the edge list: ``(node, label)`` after exactly ``iterations``
+    rounds, where each round every node simultaneously adopts the most
+    frequent label among its neighbours, ties broken by the SMALLEST
+    label — the spam-ring / topic-cluster signal a link-graph curation
+    pass wants next to PageRank.
+
+    Determinism: classic asynchronous LPA is order-dependent (its
+    results change with visit order); the synchronous min-tie-break
+    variant is a pure function of the graph, so N rounds replay
+    bit-for-bit in ANSI SQL (generated unrolled CTEs, the
+    :func:`pagerank` convention).  Synchronous LPA can oscillate on
+    bipartite structures — a fixed ``iterations`` makes that
+    deterministic too (the caller picks the horizon, as with
+    :func:`pagerank`).  Known min-tie-break property: in round 1 every
+    neighbour label is distinct, so sparse bridges can leak a small
+    label one hop into a neighbouring community before majorities form
+    (pytest pins the effect on 3- vs 4-cliques) — communities of
+    minimum degree >= 3 separate cleanly.
+
+    Scale shape: per round ONE equi-join (labels onto the doubled edge
+    list) + TWO partial-aggregated groupBys — the per-(node, label)
+    vote count, then the per-node argmax as ``min(struct(-count,
+    label))`` — no windows, no driver pulls; hot nodes combine
+    map-side.  Labels init to the node id, so parallel edges vote
+    multiply (pre-``distinct()`` for simple-graph votes)."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst"))
+    ue = (e.unionByName(e.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+          .localCheckpoint(eager=False))
+    labels = (ue.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node"))
+              .localCheckpoint(eager=False))
+    for _ in range(int(iterations)):
+        votes = (ue.join(labels.withColumnRenamed("node", "src"), "src")
+                 .groupBy(F.col("dst").alias("node"), "label")
+                 .agg(F.count(F.lit(1)).cast("long").alias("__c")))
+        # argmax by (count DESC, label ASC) as a plain aggregate:
+        # min(struct(-count, label)) — partial-agg combinable, no window
+        labels = (votes.groupBy("node")
+                  .agg(F.min(F.struct((-F.col("__c")).alias("nc"),
+                                      F.col("label").alias("l")))
+                        .alias("__m"))
+                  .select("node", F.col("__m.l").alias("label"))
+                  .localCheckpoint(eager=False))
+    return labels
+
+
+def k_core(edges: DataFrame, k: int = 2, rounds: int = 8,
+           src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """k-core decomposition by iterative peeling over the undirected
+    SIMPLE view of the edge list: ``(node, deg)`` for every node still
+    alive after exactly ``rounds`` peels, where each peel drops all
+    nodes of current degree < ``k`` at once (Batagelj & Zaversnik's
+    synchronous formulation) — the "densely-embedded host" signal
+    (cores survive, tendrils and isolated chains peel away).
+
+    ``rounds`` bounds the peel like :func:`pagerank`'s ``iterations``
+    bounds the walk: synchronous peeling removes at least one node per
+    round until fixpoint, so ``rounds`` >= the peel depth (typically
+    tiny — each round strips a whole "onion layer") yields the exact
+    k-core; a smaller horizon yields the documented intermediate.
+    Every step is an exact integer degree count + a semi-join, so N
+    rounds replay bit-for-bit in ANSI SQL (generated unrolled CTEs).
+
+    Scale shape: per round one partial-agg degree count + two
+    left-semi joins filtering the edge list — no windows, no driver
+    pulls; the edge frame shrinks monotonically.  Self-loops drop and
+    parallel edges collapse (simple-graph semantics, like
+    :func:`triangle_count`)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    g = (edges.select(F.least(src_col, dst_col).alias("a"),
+                      F.greatest(src_col, dst_col).alias("b"))
+         .filter(F.col("a") != F.col("b"))
+         .distinct()
+         .localCheckpoint(eager=False))
+    for _ in range(int(rounds)):
+        deg = (g.select(F.col("a").alias("node"))
+               .unionByName(g.select(F.col("b").alias("node")))
+               .groupBy("node")
+               .agg(F.count(F.lit(1)).cast("long").alias("deg")))
+        keep = deg.filter(F.col("deg") >= int(k)).select("node")
+        g = (g.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+             .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+             .localCheckpoint(eager=False))
+    deg = (g.select(F.col("a").alias("node"))
+           .unionByName(g.select(F.col("b").alias("node")))
+           .groupBy("node")
+           .agg(F.count(F.lit(1)).cast("long").alias("deg")))
+    # the FINAL membership filter: a node can survive the last peel's
+    # edge trim yet sit below k (its neighbours were trimmed in the
+    # same round) — at fixpoint this filter is a no-op
+    return deg.filter(F.col("deg") >= int(k))
+
+
 def triangle_count(edges: DataFrame, src_col: str = "src",
                    dst_col: str = "dst") -> DataFrame:
     """Exact per-node triangle counts over an undirected view of the

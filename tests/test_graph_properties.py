@@ -11,7 +11,8 @@ try:
 except ImportError:                                    # pragma: no cover
     pytest.skip("hypothesis unavailable", allow_module_level=True)
 
-from cascading_flink_spark.extensions import hits, pagerank
+from cascading_flink_spark.extensions import (hits, k_core,
+                                              label_propagation, pagerank)
 
 edges_strategy = st.lists(
     st.tuples(st.integers(0, 7), st.integers(0, 7), st.integers(1, 5)),
@@ -105,6 +106,54 @@ def test_pagerank_redistribute_matches_python_model(spark, edges,
         dangling="redistribute").collect()}
     assert got == _py_pagerank(edges, 2, seeds=seeds,
                                dangling="redistribute")
+
+
+def _py_label_prop(edges, iters):
+    ue = [(s, t) for s, t, _ in edges] + [(t, s) for s, t, _ in edges]
+    nodes = sorted({s for s, _ in ue})
+    lab = {v: v for v in nodes}
+    for _ in range(iters):
+        votes = {}
+        for s, t in ue:
+            votes.setdefault(t, {}).setdefault(lab[s], 0)
+            votes[t][lab[s]] += 1
+        lab = {v: min(vs, key=lambda l: (-vs[l], l))
+               for v, vs in votes.items()}
+    return lab
+
+
+def _py_k_core(edges, k, rounds):
+    g = {(min(s, t), max(s, t)) for s, t, _ in edges if s != t}
+    for _ in range(rounds):
+        deg = {}
+        for a, b in g:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {v for v, d in deg.items() if d >= k}
+        g = {(a, b) for a, b in g if a in keep and b in keep}
+    deg = {}
+    for a, b in g:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    return {v: d for v, d in deg.items() if d >= k}
+
+
+@settings(max_examples=6, deadline=None)
+@given(edges=edges_strategy)
+def test_label_propagation_matches_python_model(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {r.node: r.label
+           for r in label_propagation(df, iterations=2).collect()}
+    assert got == _py_label_prop(edges, 2)
+
+
+@settings(max_examples=6, deadline=None)
+@given(edges=edges_strategy, k=st.integers(1, 4))
+def test_k_core_matches_python_model(spark, edges, k):
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {r.node: r.deg
+           for r in k_core(df, k=k, rounds=3).collect()}
+    assert got == _py_k_core(edges, k, 3)
 
 
 @settings(max_examples=6, deadline=None)

@@ -152,6 +152,57 @@ def test_margin_mine_candidates_and_exact_mutually_exclusive(spark, sf_dir):
         margin_mine(emb, emb, candidates=cand, exact=True)
 
 
+# ----------------------------------- label_propagation / k_core
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: by round 3 each clique
+    carries its own minimum id as the community label — the
+    within-clique majority (3 votes) outvotes the bridge (1 vote) once
+    labels start agreeing.  (3-cliques would NOT separate: in round 1
+    every neighbour label is distinct, so the min tie-break leaks the
+    bridge label into the far clique — a known property of the
+    min-tie-break variant, and why the fixture uses 4-cliques.)"""
+    from cascading_flink_spark.extensions import label_propagation
+    import itertools
+    cl1 = list(itertools.combinations([0, 1, 2, 3], 2))
+    cl2 = list(itertools.combinations([10, 11, 12, 13], 2))
+    bridge = [(3, 10)]
+    e = spark.createDataFrame(cl1 + cl2 + bridge, "src long, dst long")
+    out = {r.node: r.label
+           for r in label_propagation(e, iterations=3).collect()}
+    assert all(out[v] == 0 for v in (0, 1, 2, 3)), out
+    assert all(out[v] == 10 for v in (10, 11, 12, 13)), out
+
+
+def test_label_propagation_validation(spark):
+    from cascading_flink_spark.extensions import label_propagation
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="iterations"):
+        label_propagation(e, iterations=0)
+
+
+def test_k_core_peels_tendrils_keeps_clique(spark):
+    """A 4-clique with a pendant chain: the 3-core is exactly the
+    clique (every member at degree 3); the chain peels away, and the
+    peel CASCADES (the chain's inner node only drops once its outer
+    neighbour is gone — needs >1 round)."""
+    from cascading_flink_spark.extensions import k_core
+    clique = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    chain = [(3, 4), (4, 5)]
+    e = spark.createDataFrame(clique + chain, "src long, dst long")
+    out = {r.node: r.deg for r in k_core(e, k=3, rounds=4).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_k_core_validations(spark):
+    from cascading_flink_spark.extensions import k_core
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="k must"):
+        k_core(e, k=0)
+    with pytest.raises(ValueError, match="rounds"):
+        k_core(e, rounds=0)
+
+
 # ----------------------------------- graph family: no single-task stages
 
 def test_graph_family_plans_have_no_single_partition_exchange(spark, sf_dir):
@@ -166,10 +217,13 @@ def test_graph_family_plans_have_no_single_partition_exchange(spark, sf_dir):
     edges = ev.select(
         (F.col("user_id") % 50).alias("src"),
         ((F.col("user_id") * 7 + F.col("event_id")) % 50).alias("dst"))
+    from cascading_flink_spark.extensions import k_core, label_propagation
     for df in (pagerank(edges, iterations=2),
                pagerank(edges, iterations=2, dangling="redistribute"),
                hits(edges, iterations=1),
-               triangle_count(edges)):
+               triangle_count(edges),
+               label_propagation(edges, iterations=2),
+               k_core(edges, k=3, rounds=2)):
         p = _plan(df)
         assert "Exchange SinglePartition" not in p, p[:2000]
         assert "Window" not in p
