@@ -2810,7 +2810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     least-recently-driver-verified queries must sit at the front.
     Rotation is documented in COVERAGE.md ("Driver-slot rotation").
 
-    Round-10 front block (slots 1-50): the 3 NEW round-10 queries
+    Round-10 front block (slots 1-50): the 5 NEW round-10 queries
     (curation_margin — the flagship's opt-in cross-lingual pair-mining
     stage — dsir_mixture — per-domain quota DSIR — pagerank_dangling —
     sum-preserving redistribute variant — label_prop / k_core — the

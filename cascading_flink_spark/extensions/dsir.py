@@ -112,6 +112,47 @@ def _weights_from_counts(rc: DataFrame, tc: DataFrame,
                          .cast("long")))
 
 
+def _score_docs(docf: DataFrame, ids: DataFrame, weight_table: DataFrame,
+                alpha: int, buckets: int, id_col: str) -> DataFrame:
+    """Shared per-document scorer: ``(id_col, n_feats, logw_x1e6)`` for
+    every row of ``ids`` given pinned per-doc bucket partials ``docf``
+    (``(id, b, __c)``) and a fitted weight table — the single spelling
+    :func:`dsir_weights` and :func:`dsir_mixture_select` both use, so
+    the coalesce(lr, 0)-still-counts-toward-n_feats subtlety (the
+    round-9 cross-shard regression fix) lives in exactly one place."""
+    a = F.lit(int(alpha)).cast("long")
+    m = F.lit(int(buckets)).cast("long")
+    # the normalizer constant: one 1-row aggregate over the weight
+    # table, broadcast back — keeps the whole operator one declarative
+    # plan (no collect)
+    c0 = (weight_table.agg(
+              F.floor((F.log(F.sum("r_f") + a * m)
+                       - F.log(F.sum("t_f") + a * m)) * 1e6 + 0.5)
+               .cast("long").alias("__c0")))
+    # LEFT join + coalesce(lr, 0): a pre-fitted table may lack buckets
+    # this shard observes — those grams carry log-ratio 0 (exactly what
+    # the formula yields at t_f = r_f = 0) but MUST still count toward
+    # n_feats and the n*c0 normalizer term, or batch scoring would
+    # diverge from dsir_score_expr / stream_dsir_gate on unseen buckets
+    # (cross-shard scoring regression, pinned in pytest)
+    doc = (docf
+           .join(F.broadcast(weight_table.select("b", "lr_x1e6")), "b",
+                 "left")
+           .groupBy("id")
+           .agg(F.sum(F.col("__c")
+                      * F.coalesce("lr_x1e6", F.lit(0))).alias("__s"),
+                F.sum("__c").alias("__n")))
+    return (ids
+            .join(doc.withColumnRenamed("id", id_col), id_col, "left")
+            .crossJoin(F.broadcast(c0))
+            .select(F.col(id_col),
+                    F.coalesce("__n", F.lit(0)).cast("long")
+                     .alias("n_feats"),
+                    (F.coalesce("__s", F.lit(0))
+                     + F.coalesce("__n", F.lit(0)) * F.col("__c0"))
+                     .cast("long").alias("logw_x1e6")))
+
+
 def dsir_weights(raw: DataFrame, target: DataFrame,
                  buckets: int = 4096, ngrams: int = 2, alpha: int = 1,
                  seed: str = "dsir", text_col: str = "text",
@@ -148,37 +189,8 @@ def dsir_weights(raw: DataFrame, target: DataFrame,
               .groupBy("b")
               .agg(F.count(F.lit(1)).cast("long").alias("t_f")))
         weight_table = _weights_from_counts(rc, tc, alpha)
-    a = F.lit(int(alpha)).cast("long")
-    m = F.lit(int(buckets)).cast("long")
-    # the normalizer constant: one 1-row aggregate over the weight
-    # table, broadcast back — keeps the whole operator one declarative
-    # plan (no collect)
-    c0 = (weight_table.agg(
-              F.floor((F.log(F.sum("r_f") + a * m)
-                       - F.log(F.sum("t_f") + a * m)) * 1e6 + 0.5)
-               .cast("long").alias("__c0")))
-    # LEFT join + coalesce(lr, 0): a pre-fitted table may lack buckets
-    # this shard observes — those grams carry log-ratio 0 (exactly what
-    # the formula yields at t_f = r_f = 0) but MUST still count toward
-    # n_feats and the n*c0 normalizer term, or batch scoring would
-    # diverge from dsir_score_expr / stream_dsir_gate on unseen buckets
-    # (cross-shard scoring regression, pinned in pytest)
-    doc = (docf
-           .join(F.broadcast(weight_table.select("b", "lr_x1e6")), "b",
-                 "left")
-           .groupBy("id")
-           .agg(F.sum(F.col("__c")
-                      * F.coalesce("lr_x1e6", F.lit(0))).alias("__s"),
-                F.sum("__c").alias("__n")))
-    return (raw.select(F.col(id_col))
-            .join(doc.withColumnRenamed("id", id_col), id_col, "left")
-            .crossJoin(F.broadcast(c0))
-            .select(F.col(id_col),
-                    F.coalesce("__n", F.lit(0)).cast("long")
-                     .alias("n_feats"),
-                    (F.coalesce("__s", F.lit(0))
-                     + F.coalesce("__n", F.lit(0)) * F.col("__c0"))
-                     .cast("long").alias("logw_x1e6")))
+    return _score_docs(docf, raw.select(F.col(id_col)), weight_table,
+                       alpha, buckets, id_col)
 
 
 def dsir_select(raw: DataFrame, target: DataFrame, n: int,
@@ -245,8 +257,6 @@ def dsir_mixture_select(raw: DataFrame, targets: dict, quotas: dict,
             .localCheckpoint(eager=False))
     rc = docf.groupBy("b").agg(F.sum("__c").cast("long").alias("r_f"))
     ids = raw.select(F.col(id_col)).localCheckpoint(eager=False)
-    a = F.lit(int(alpha)).cast("long")
-    m = F.lit(int(buckets)).cast("long")
     picks: list[DataFrame] = []
     taken: DataFrame | None = None
     for dom in sorted(targets):
@@ -256,24 +266,7 @@ def dsir_mixture_select(raw: DataFrame, targets: dict, quotas: dict,
               .groupBy("b")
               .agg(F.count(F.lit(1)).cast("long").alias("t_f")))
         wt = _weights_from_counts(rc, tc, alpha)
-        c0 = wt.agg(F.floor((F.log(F.sum("r_f") + a * m)
-                             - F.log(F.sum("t_f") + a * m)) * 1e6 + 0.5)
-                     .cast("long").alias("__c0"))
-        doc = (docf
-               .join(F.broadcast(wt.select("b", "lr_x1e6")), "b", "left")
-               .groupBy("id")
-               .agg(F.sum(F.col("__c")
-                          * F.coalesce("lr_x1e6", F.lit(0))).alias("__s"),
-                    F.sum("__c").alias("__n")))
-        scored = (ids
-                  .join(doc.withColumnRenamed("id", id_col), id_col, "left")
-                  .crossJoin(F.broadcast(c0))
-                  .select(F.col(id_col),
-                          F.coalesce("__n", F.lit(0)).cast("long")
-                           .alias("n_feats"),
-                          (F.coalesce("__s", F.lit(0))
-                           + F.coalesce("__n", F.lit(0)) * F.col("__c0"))
-                           .cast("long").alias("logw_x1e6")))
+        scored = _score_docs(docf, ids, wt, alpha, buckets, id_col)
         if taken is not None:
             scored = scored.join(F.broadcast(taken), id_col, "left_anti")
         pick = (scored

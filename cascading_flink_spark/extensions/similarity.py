@@ -1208,9 +1208,21 @@ def margin_mine(a: DataFrame, b: DataFrame, k: int = 4,
     fb = b.select(F.col(id_col).alias("id_b"),
                   F.col(vec_col).alias("__vb"))
     if candidates is None and not exact:
-        candidates = margin_candidates(a, b, planes=planes, tables=tables,
-                                       dim=dim, id_col=id_col,
-                                       vec_col=vec_col)
+        # the DEFAULT consumes each side TWICE (band signatures +
+        # cosine scoring) — pin the projected frames so an expensive
+        # upstream (e.g. the flagship's hash_embed featurizer) runs
+        # once per side, then build the banded candidates from the
+        # pinned frames (same math as margin_candidates — equality
+        # pytest-pinned)
+        fa = fa.localCheckpoint(eager=False)
+        fb = fb.localCheckpoint(eager=False)
+        band_udf = _md5_band_udf(dim, planes, tables)
+        sa = fa.select("id_a", F.posexplode(band_udf(F.col("__va")))
+                       .alias("__t", "__band"))
+        sb = fb.select("id_b", F.posexplode(band_udf(F.col("__vb")))
+                       .alias("__t", "__band"))
+        candidates = (sa.join(sb, ["__t", "__band"])
+                      .select("id_a", "id_b").distinct())
     if candidates is None:
         pairs = fa.crossJoin(fb)
     else:
