@@ -890,6 +890,24 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_topk_md5(emb, queries_df, k=10, n_centroids=16, n_probe=4)
 
 
+def q_rrf_hybrid(spark, sf_dir):
+    """Reciprocal-rank fusion of two heterogeneous ANN indexes (the
+    hybrid-search combiner): the md5-LSH and md5-IVF top-10 lists for
+    the same 5 queries, fused by rrf_x = sum(1e6 DIV (60 + rank)) with
+    ranks from (sim DESC, id ASC) — every contribution one truncating
+    integer division, so the fused scores value-hash cross-engine.
+    The oracle embeds both index oracles verbatim as derived tables
+    and replays the rank/fuse arithmetic."""
+    from cascading_flink_spark.extensions import rrf_fuse
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = (emb.filter(F.col("vec_id") < 5)
+                  .select(F.col("vec_id").alias("query_id"), "embedding"))
+    lsh = lsh_bucketed_topk_md5(emb, queries_df, k=10, planes=4, dim=64,
+                                tables=4)
+    ivf = ivf_topk_md5(emb, queries_df, k=10, n_centroids=16, n_probe=4)
+    return rrf_fuse([lsh, ivf], k=60)
+
+
 def q_ann_recall(spark, sf_dir):
     """Recall@10 of the md5-deterministic approximate indexes (Rademacher-
     plane LSH, hash-sampled no-Lloyd IVF) against brute-force cosine top-k,
@@ -1256,6 +1274,16 @@ def q_k_core(spark, sf_dir):
     return k_core(_thin_graph(spark, sf_dir), k=3, rounds=6)
 
 
+def q_bfs_distances(spark, sf_dir):
+    """Exact hop distances from a seed set (layered BFS, 3 relaxation
+    rounds over the sparse 500-node graph, undirected view): the
+    crawl-depth / link-proximity signal.  Every relaxation is integer
+    min-arithmetic; oracle = generated unrolled MATERIALIZED CTEs."""
+    from cascading_flink_spark.extensions import bfs_distances
+    return bfs_distances(_thin_graph(spark, sf_dir), seeds=[0, 1, 2],
+                         max_hops=3)
+
+
 def q_hits(spark, sf_dir):
     """Integer-scaled HITS hubs/authorities (2 unrolled iterations) over
     the same 50-node events-derived link graph as q_pagerank; every
@@ -1288,6 +1316,32 @@ def q_cohort_retention(spark, sf_dir):
     cross-engine."""
     ev = _t(spark, sf_dir, "events")
     return cohort_retention(ev)
+
+
+_SESSION_GAP_US = 6 * 3600 * 1_000_000  # 6h — the sf events' median
+# inter-event gap is ~7.3h, so the fixture yields a healthy mix of
+# multi-event sessions (10% of gaps are under ~69 min) and singletons.
+
+
+def q_session_labels(spark, sf_dir):
+    """Gap-based sessionization labels over the events table: a new
+    session whenever a user's inter-event gap exceeds 6h; session_n =
+    running sum of boundary flags, session_seq derived in the SAME
+    window pass (rn - boundary rn + 1) — all exact long arithmetic over
+    epoch micros with event_id tie-breaks, so every label value-hashes
+    cross-engine."""
+    from cascading_flink_spark.extensions import sessionize
+    return sessionize(_t(spark, sf_dir, "events"),
+                      gap_us=_SESSION_GAP_US)
+
+
+def q_session_stats(spark, sf_dir):
+    """Per-session summary (n_events, start/end epoch micros, duration)
+    aggregated from the q_sessionize labels — one partial-agg groupBy
+    on (user, session_n) over the single sessionize window pass."""
+    from cascading_flink_spark.extensions import session_stats
+    return session_stats(_t(spark, sf_dir, "events"),
+                         gap_us=_SESSION_GAP_US)
 
 
 def _decontam_split(spark, sf_dir):
@@ -2834,6 +2888,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_dangling": q_pagerank_dangling,
         "label_prop": q_label_prop,
         "k_core": q_k_core,
+        "bfs_distances": q_bfs_distances,
+        "rrf_hybrid": q_rrf_hybrid,
+        "session_labels": q_session_labels,
+        "session_stats": q_session_stats,
         # --- plan/code changed round 10: margin_mine banded default;
         # cohort_retention epoch-scope filter; pagerank family (seed
         # guard + dangling param); the ngram_jaccard pin-ordering fix
@@ -3369,6 +3427,123 @@ def _k_core_oracle(k: int = 3, rounds: int = 6) -> str:
         SELECT node::BIGINT AS node, deg FROM dfin WHERE deg >= {k}
     """
     return sql
+
+
+def _bfs_oracle(seeds: list, hops: int = 3) -> str:
+    """Generated unrolled-round DuckDB twin of
+    :func:`~cascading_flink_spark.extensions.graph.bfs_distances` over
+    the thin-graph fixture: doubled edge list, seed init at 0, one
+    min-relaxation per round (MATERIALIZED — each d{i} is read twice
+    by round i+1)."""
+    in_seeds = ", ".join(str(x) for x in seeds)
+    sql = _THIN_EDGES_SQL + f""",
+        ue AS MATERIALIZED (SELECT src, dst FROM e0
+               UNION ALL SELECT dst, src FROM e0),
+        d0 AS (SELECT DISTINCT src AS node, 0::BIGINT AS dist
+               FROM ue WHERE src IN ({in_seeds}))"""
+    for i in range(1, hops + 1):
+        sql += f""",
+        d{i} AS MATERIALIZED (
+            SELECT node, min(dist)::BIGINT AS dist FROM (
+                SELECT node, dist FROM d{i - 1}
+                UNION ALL
+                SELECT ue.dst AS node, d.dist + 1 AS dist
+                FROM ue JOIN d{i - 1} d ON d.node = ue.src)
+            GROUP BY node)"""
+    sql += f"""
+        SELECT node::BIGINT AS node, dist FROM d{hops}
+    """
+    return sql
+
+
+def _rrf_oracle(k: int = 60, scale: int = 1_000_000) -> str:
+    """DuckDB twin of q_rrf_hybrid: both approximate-index oracles
+    embedded verbatim as WITH-bearing derived tables, then the exact
+    rank + truncating-division fusion arithmetic."""
+    return f"""
+        WITH lsh AS ({_ANN_LSH_SQL}),
+        ivf AS ({_ANN_IVF_SQL}),
+        r1 AS (SELECT query_id, vec_id,
+                      row_number() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, vec_id) AS r
+               FROM lsh),
+        r2 AS (SELECT query_id, vec_id,
+                      row_number() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, vec_id) AS r
+               FROM ivf),
+        u AS (SELECT query_id, vec_id, {scale} // ({k} + r) AS s FROM r1
+              UNION ALL
+              SELECT query_id, vec_id, {scale} // ({k} + r) FROM r2)
+        SELECT query_id, vec_id, sum(s)::BIGINT AS rrf_x,
+               count(*)::BIGINT AS n_lists
+        FROM u GROUP BY 1, 2
+    """
+
+
+# The md5-deterministic approximate-index twins, shared between their
+# own gate entries and the rrf_hybrid fusion oracle (which embeds both
+# as WITH-bearing derived tables).
+_ANN_LSH_SQL = """
+            WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            planes AS (
+                SELECT tt.t, pp.p, dd.d,
+                       CASE WHEN substr(md5(tt.t || '_' || pp.p || '_' || dd.d), 1, 1) >= '8'
+                            THEN 1.0 ELSE -1.0 END AS comp
+                FROM range(4) tt(t), range(4) pp(p), range(64) dd(d)),
+            sums AS (
+                SELECT vecs.vec_id, pl.t, pl.p,
+                       sum(pl.comp * vecs.v[pl.d + 1]) AS s
+                FROM vecs CROSS JOIN planes pl
+                GROUP BY 1, 2, 3),
+            bands AS (
+                SELECT vec_id, t,
+                       string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
+                                  ORDER BY p) AS band
+                FROM sums GROUP BY 1, 2),
+            cand AS (
+                SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS vec_id
+                FROM bands qb JOIN bands cb
+                  ON qb.t = cb.t AND qb.band = cb.band
+                WHERE qb.vec_id < 5 AND cb.vec_id <> qb.vec_id)
+            SELECT query_id, vec_id, sim FROM (
+                SELECT c.query_id, c.vec_id,
+                       round(list_cosine_similarity(a.v, q.v), 4) AS sim
+                FROM cand c
+                JOIN vecs a ON a.vec_id = c.vec_id
+                JOIN vecs q ON q.vec_id = c.query_id)
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, vec_id) <= 10
+        """
+
+_ANN_IVF_SQL = """
+            WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cents AS (
+                SELECT vec_id AS cent_id, v
+                FROM vecs ORDER BY md5(vec_id::VARCHAR) LIMIT 16),
+            assign AS (
+                SELECT vecs.vec_id, c.cent_id
+                FROM vecs CROSS JOIN cents c
+                QUALIFY row_number() OVER (PARTITION BY vecs.vec_id
+                    ORDER BY list_cosine_similarity(vecs.v, c.v) DESC,
+                             c.cent_id) = 1),
+            probes AS (
+                SELECT q.vec_id AS query_id, c.cent_id
+                FROM vecs q CROSS JOIN cents c
+                WHERE q.vec_id < 5
+                QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                             c.cent_id) <= 4)
+            SELECT query_id, vec_id, sim FROM (
+                SELECT p.query_id, a.vec_id,
+                       round(list_cosine_similarity(av.v, qv.v), 4) AS sim
+                FROM probes p
+                JOIN assign a ON a.cent_id = p.cent_id
+                JOIN vecs av ON av.vec_id = a.vec_id
+                JOIN vecs qv ON qv.vec_id = p.query_id
+                WHERE a.vec_id <> p.query_id)
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, vec_id) <= 10
+        """
 
 
 def _pagerank_oracle(iters: int = 3, n_mod: int = 50,
@@ -4007,6 +4182,8 @@ def oracle_sql() -> dict[str, str]:
                                               dangling=True),
         "label_prop": _label_prop_oracle(iters=3),
         "k_core": _k_core_oracle(k=3, rounds=6),
+        "bfs_distances": _bfs_oracle(seeds=[0, 1, 2], hops=3),
+        "rrf_hybrid": _rrf_oracle(k=60),
         "pagerank_ppr": _pagerank_oracle(iters=3, weighted=True,
                                          seeds=[0, 1, 2, 3, 4]),
         "hits": _hits_oracle(iters=2),
@@ -4041,6 +4218,51 @@ def oracle_sql() -> dict[str, str]:
                     GROUP BY node)
             SELECT d.node, coalesce(p.n, 0)::BIGINT AS n_triangles
             FROM deg d LEFT JOIN per p ON p.node = d.node
+        """,
+        "session_labels": f"""
+            WITH e AS (SELECT user_id, event_id,
+                              epoch_us(ts::TIMESTAMP) AS ts_us
+                       FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            l AS (SELECT user_id, event_id, ts_us,
+                         CASE WHEN lag(ts_us) OVER w IS NULL
+                                OR ts_us - lag(ts_us) OVER w
+                                   > {_SESSION_GAP_US}
+                              THEN 1 ELSE 0 END AS ns,
+                         row_number() OVER w AS rn
+                  FROM e WINDOW w AS (PARTITION BY user_id
+                                      ORDER BY ts_us, event_id))
+            SELECT user_id, event_id, ts_us,
+                   (sum(ns) OVER w2)::BIGINT AS session_n,
+                   (rn - max(CASE WHEN ns = 1 THEN rn END) OVER w2
+                       + 1)::BIGINT AS session_seq
+            FROM l WINDOW w2 AS (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id
+                                 ROWS UNBOUNDED PRECEDING)
+        """,
+        "session_stats": f"""
+            WITH e AS (SELECT user_id, event_id,
+                              epoch_us(ts::TIMESTAMP) AS ts_us
+                       FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            l AS (SELECT user_id, event_id, ts_us,
+                         CASE WHEN lag(ts_us) OVER w IS NULL
+                                OR ts_us - lag(ts_us) OVER w
+                                   > {_SESSION_GAP_US}
+                              THEN 1 ELSE 0 END AS ns
+                  FROM e WINDOW w AS (PARTITION BY user_id
+                                      ORDER BY ts_us, event_id)),
+            s AS (SELECT user_id, ts_us,
+                         (sum(ns) OVER (PARTITION BY user_id
+                                        ORDER BY ts_us, event_id
+                                        ROWS UNBOUNDED PRECEDING))::BIGINT
+                             AS session_n
+                  FROM l)
+            SELECT user_id, session_n,
+                   count(*)::BIGINT AS n_events,
+                   min(ts_us) AS start_us, max(ts_us) AS end_us,
+                   (max(ts_us) - min(ts_us))::BIGINT AS duration_us
+            FROM s GROUP BY 1, 2
         """,
         "cohort_retention": """
             WITH act AS (SELECT DISTINCT user_id AS u,
@@ -4763,66 +4985,8 @@ def oracle_sql() -> dict[str, str]:
         # Independent rebuilds of the md5-deterministic approximate-index
         # top-k lists themselves (ann_recall cross-checks the recall
         # arithmetic; these hash the full ranked output).
-        "ann_lsh": """
-            WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-            planes AS (
-                SELECT tt.t, pp.p, dd.d,
-                       CASE WHEN substr(md5(tt.t || '_' || pp.p || '_' || dd.d), 1, 1) >= '8'
-                            THEN 1.0 ELSE -1.0 END AS comp
-                FROM range(4) tt(t), range(4) pp(p), range(64) dd(d)),
-            sums AS (
-                SELECT vecs.vec_id, pl.t, pl.p,
-                       sum(pl.comp * vecs.v[pl.d + 1]) AS s
-                FROM vecs CROSS JOIN planes pl
-                GROUP BY 1, 2, 3),
-            bands AS (
-                SELECT vec_id, t,
-                       string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
-                                  ORDER BY p) AS band
-                FROM sums GROUP BY 1, 2),
-            cand AS (
-                SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS vec_id
-                FROM bands qb JOIN bands cb
-                  ON qb.t = cb.t AND qb.band = cb.band
-                WHERE qb.vec_id < 5 AND cb.vec_id <> qb.vec_id)
-            SELECT query_id, vec_id, sim FROM (
-                SELECT c.query_id, c.vec_id,
-                       round(list_cosine_similarity(a.v, q.v), 4) AS sim
-                FROM cand c
-                JOIN vecs a ON a.vec_id = c.vec_id
-                JOIN vecs q ON q.vec_id = c.query_id)
-            QUALIFY row_number() OVER (PARTITION BY query_id
-                ORDER BY sim DESC, vec_id) <= 10
-        """,
-        "ann_ivf": """
-            WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-            cents AS (
-                SELECT vec_id AS cent_id, v
-                FROM vecs ORDER BY md5(vec_id::VARCHAR) LIMIT 16),
-            assign AS (
-                SELECT vecs.vec_id, c.cent_id
-                FROM vecs CROSS JOIN cents c
-                QUALIFY row_number() OVER (PARTITION BY vecs.vec_id
-                    ORDER BY list_cosine_similarity(vecs.v, c.v) DESC,
-                             c.cent_id) = 1),
-            probes AS (
-                SELECT q.vec_id AS query_id, c.cent_id
-                FROM vecs q CROSS JOIN cents c
-                WHERE q.vec_id < 5
-                QUALIFY row_number() OVER (PARTITION BY q.vec_id
-                    ORDER BY list_cosine_similarity(q.v, c.v) DESC,
-                             c.cent_id) <= 4)
-            SELECT query_id, vec_id, sim FROM (
-                SELECT p.query_id, a.vec_id,
-                       round(list_cosine_similarity(av.v, qv.v), 4) AS sim
-                FROM probes p
-                JOIN assign a ON a.cent_id = p.cent_id
-                JOIN vecs av ON av.vec_id = a.vec_id
-                JOIN vecs qv ON qv.vec_id = p.query_id
-                WHERE a.vec_id <> p.query_id)
-            QUALIFY row_number() OVER (PARTITION BY query_id
-                ORDER BY sim DESC, vec_id) <= 10
-        """,
+        "ann_lsh": _ANN_LSH_SQL,
+        "ann_ivf": _ANN_IVF_SQL,
         # Independent reconstruction of the md5-deterministic approximate
         # indexes: Rademacher planes from md5 hex, band keys via string_agg,
         # hash-sampled centroids, cosine argmax with id tie-breaks, and the

@@ -87,6 +87,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # all-pairs variant is for the sf0.01 correctness gate only.
 BENCH_QUERIES = [
     # round 10
+    "bfs_distances",
+    "rrf_hybrid",
+    "session_labels",
+    "session_stats",
     "pagerank_dangling",
     "dsir_mixture",
     "curation_margin",

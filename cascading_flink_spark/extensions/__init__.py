@@ -32,7 +32,7 @@ from .similarity import (
     lsh_bucketed_topk_md5, ivf_topk, ivf_topk_md5,
     kmeans, kmeans_assign, kmeans_md5, margin_candidates, margin_mine,
     pq_topk, pq_topk_md5,
-    random_project, semdedup_pairs, semdedup_pairs_md5, sq_minmax,
+    random_project, rrf_fuse, semdedup_pairs, semdedup_pairs_md5, sq_minmax,
     sq_quantize, sq_topk,
 )
 from .multimodal import (
@@ -58,8 +58,8 @@ from .decontam import (contamination_pairs, contamination_spans,
 from .dsir import (dsir_bucket_weights, dsir_mixture_select, dsir_sample,
                    dsir_score_expr, dsir_select, dsir_weight_array,
                    dsir_weights)
-from .graph import (hits, k_core, label_propagation, pagerank,
-                    triangle_count)
+from .graph import (bfs_distances, hits, k_core, label_propagation,
+                    pagerank, triangle_count)
 from .corpus import (bigram_lm_scores, bm25_scores, corpus_report,
                      inverted_index,
                      ngram_counts, oov_stats, repetition_stats,
@@ -67,7 +67,7 @@ from .corpus import (bigram_lm_scores, bm25_scores, corpus_report,
 from .analytics import (cardinality_report, cohort_retention,
                         event_funnel, group_quantiles,
                         group_quantiles_binned, heavy_hitters, hot_keys,
-                        rolling_stats,
+                        rolling_stats, session_stats, sessionize,
                         value_histogram)
 
 __all__ = [n for n in dir() if not n.startswith("_")]

@@ -446,6 +446,79 @@ def cardinality_report(df: DataFrame, group_col: str,
               .agg(F.count(F.lit(1)).alias("n_rows"), *aggs))
 
 
+def sessionize(events: DataFrame, key_col: str = "user_id",
+               ts_col: str = "ts", id_col: str = "event_id",
+               gap_us: int = 1800 * 1_000_000) -> DataFrame:
+    """Gap-based sessionization: label every event with its session —
+    ``(key, id, ts_us, session_n, session_seq)`` where a NEW session
+    starts whenever the gap to the key's previous event exceeds
+    ``gap_us`` — the batch twin of
+    :func:`~cascading_flink_spark.streaming.ops.stateful_sessionize`
+    and the prerequisite of every dwell-time / journey analysis
+    (``rolling_stats`` and ``group_quantiles`` both document
+    "sessionize first" as the mega-key bound).
+
+    Determinism recipe: timestamps become integer epoch micros
+    (``unix_micros``), ordering is ``(ts_us, id)`` — the id breaks
+    timestamp ties — and the session boundary test ``ts_us - prev >
+    gap_us`` (strictly greater; equal-timestamp bursts share a
+    session) is exact long arithmetic.  ``session_n`` is the running
+    sum of boundary flags (1-based per key), ``session_seq`` the
+    1-based position within the session, derived as ``rn -
+    max(boundary rn so far) + 1`` so BOTH columns come out of the SAME
+    window pass.
+
+    Scale shape (100 TB of events): ONE shuffle on ``key_col``; every
+    derived column is a running aggregate streaming through the sorted
+    partition — no second window partitioning, no driver pulls.  A
+    mega-key serializes in one task's sort (the documented
+    ``rolling_stats`` limit); bound it upstream by splitting the key
+    by day."""
+    if gap_us < 1:
+        raise ValueError("gap_us must be >= 1")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(key_col).orderBy("__us", id_col)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # NULL keys/timestamps are out of contract (engines disagree on NULL
+    # sort position — Spark NULLS FIRST, DuckDB NULLS LAST) and dropped
+    # in-plan, the cohort_retention convention.
+    base = (events.filter(F.col(key_col).isNotNull()
+                          & F.col(ts_col).isNotNull())
+            .select(F.col(key_col), F.col(id_col), us.alias("__us"))
+            .withColumn("__ns", F.when(
+                (F.col("__us") - F.lag("__us", 1).over(w) > F.lit(int(gap_us)))
+                | F.lag("__us", 1).over(w).isNull(), 1).otherwise(0))
+            .withColumn("__rn", F.row_number().over(w)))
+    return base.select(
+        F.col(key_col), F.col(id_col), F.col("__us").alias("ts_us"),
+        F.sum("__ns").over(run).cast("long").alias("session_n"),
+        (F.col("__rn")
+         - F.max(F.when(F.col("__ns") == 1, F.col("__rn"))).over(run)
+         + 1).cast("long").alias("session_seq"))
+
+
+def session_stats(events: DataFrame, key_col: str = "user_id",
+                  ts_col: str = "ts", id_col: str = "event_id",
+                  gap_us: int = 1800 * 1_000_000) -> DataFrame:
+    """Per-session summary over :func:`sessionize`: ``(key, session_n,
+    n_events, start_us, end_us, duration_us)`` — the session-length /
+    dwell-time table product analytics aggregates from the labels.
+
+    One extra partial-aggregated ``groupBy (key, session_n)`` on top of
+    the sessionize window pass; all exact long arithmetic (duration is
+    a difference of epoch micros).  Same single-shuffle-class shape:
+    the groupBy keys refine the window partitioning, so at scale AQE
+    coalesces what is already nearly co-located."""
+    lab = sessionize(events, key_col=key_col, ts_col=ts_col,
+                     id_col=id_col, gap_us=gap_us)
+    return (lab.groupBy(key_col, "session_n")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.min("ts_us").alias("start_us"),
+                 F.max("ts_us").alias("end_us"))
+            .withColumn("duration_us",
+                        (F.col("end_us") - F.col("start_us")).cast("long")))
+
+
 def cohort_retention(df: DataFrame, ts_col: str = "ts",
                      user_col: str = "user_id",
                      period_us: int = 7 * 86400 * 1_000_000) -> DataFrame:

@@ -371,6 +371,66 @@ def k_core(edges: DataFrame, k: int = 2, rounds: int = 8,
     return deg.filter(F.col("deg") >= int(k))
 
 
+def bfs_distances(edges: DataFrame, seeds: list, max_hops: int = 3,
+                  src_col: str = "src", dst_col: str = "dst",
+                  directed: bool = False) -> DataFrame:
+    """Exact hop distances from a seed set: ``(node, dist)`` for every
+    node within ``max_hops`` of any seed (layered BFS; unreached nodes
+    are absent) — the crawl-depth / link-proximity signal ("how many
+    hops from the trusted domains is this host?").
+
+    Each round relaxes every edge once: ``dist'(v) = min(dist(v),
+    min over in-neighbours u of dist(u) + 1)`` — pure integer
+    arithmetic, so ``max_hops`` rounds replay bit-for-bit in ANSI SQL
+    (generated unrolled CTEs, the :func:`pagerank` convention).
+    ``directed=False`` (default) walks the undirected view.
+
+    ``seeds`` is a bounded literal list of DISTINCT node ids that must
+    all appear in the graph (the :func:`pagerank` in-plan guard — a
+    stale seed would silently return an empty/shrunken neighbourhood).
+
+    Scale shape: per round ONE equi-join (frontier distances onto the
+    edge list) + one partial-agg min + a union-min with the previous
+    round — no windows, no driver pulls.  The distance frame is at
+    most the reached set, monotonically growing but bounded by
+    nodes."""
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    if not seeds:
+        raise ValueError("seeds must be a non-empty list")
+    if len(set(seeds)) != len(seeds):
+        raise ValueError("bfs_distances: seeds must be distinct")
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst"))
+    if not directed:
+        e = e.unionByName(e.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    e = e.localCheckpoint(eager=False)
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct())
+    is_seed = F.col("node").isin(*seeds)
+    ns = len(seeds)
+    seed_chk = F.broadcast(nodes.agg(
+        F.when(F.sum(F.when(is_seed, 1).otherwise(0)) == ns, F.lit(0))
+         .otherwise(F.raise_error(F.lit(
+             "bfs_distances: every seed must appear in the graph "
+             "(as a source or destination)")).cast("int"))
+         .alias("__z")))
+    dist = (nodes.filter(is_seed).crossJoin(seed_chk)
+            .select("node", F.col("__z").cast("long").alias("dist"))
+            .localCheckpoint(eager=False))
+    for _ in range(int(max_hops)):
+        relax = (e.join(dist.withColumnRenamed("node", "src"), "src")
+                 .select(F.col("dst").alias("node"),
+                         (F.col("dist") + 1).alias("dist")))
+        dist = (dist.unionByName(relax)
+                .groupBy("node")
+                .agg(F.min("dist").cast("long").alias("dist"))
+                .localCheckpoint(eager=False))
+    return dist
+
+
 def triangle_count(edges: DataFrame, src_col: str = "src",
                    dst_col: str = "dst") -> DataFrame:
     """Exact per-node triangle counts over an undirected view of the

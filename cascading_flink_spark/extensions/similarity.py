@@ -1126,6 +1126,48 @@ def random_project(df: DataFrame, out_dim: int = 16, dim: int = 64,
     return df.select(F.col(id_col), F.array(*comps).alias("rp"))
 
 
+def rrf_fuse(results: list, k: int = 60,
+             query_id_col: str = "query_id", id_col: str = "vec_id",
+             sim_col: str = "sim", scale: int = 1_000_000) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of
+    several per-query candidate lists: ``(query_id, vec_id, rrf_x,
+    n_lists)`` where ``rrf_x = sum over lists of scale DIV (k +
+    rank)`` — the standard zero-tuning way to combine heterogeneous
+    retrieval indexes (LSH + IVF + PQ top-k lists, BM25 + dense), and
+    the fusion step of every hybrid-search pipeline.
+
+    Determinism recipe: within each list, rank = ``row_number`` by
+    (``sim_col`` DESC, id ASC) — the ann family's 4dp-rounded
+    similarities make ranks engine-identical — and every contribution
+    is one truncating integer division, so the fused scores value-hash
+    cross-engine.  ``n_lists`` (how many lists surfaced the candidate)
+    rides along for coverage-style filters.
+
+    Scale shape: one bounded per-query window per list (top-k lists
+    are k rows per query by construction), a union, and one
+    partial-agg groupBy — no cross joins, no driver pulls; fusing L
+    lists costs L window sorts over L*k rows per query."""
+    if not results:
+        raise ValueError("results must be a non-empty list")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    scored = []
+    for df in results:
+        w = (Window.partitionBy(query_id_col)
+             .orderBy(F.desc(sim_col), F.asc(id_col)))
+        scored.append(
+            df.withColumn("__r", F.row_number().over(w))
+              .select(query_id_col, id_col,
+                      F.expr(f"CAST({int(scale)} AS BIGINT) "
+                             f"DIV ({int(k)} + __r)").alias("__s")))
+    u = scored[0]
+    for s in scored[1:]:
+        u = u.unionByName(s)
+    return (u.groupBy(query_id_col, id_col)
+            .agg(F.sum("__s").cast("long").alias("rrf_x"),
+                 F.count(F.lit(1)).cast("long").alias("n_lists")))
+
+
 def margin_candidates(a: DataFrame, b: DataFrame,
                       planes: int = 8, tables: int = 4, dim: int = 64,
                       id_col: str = "vec_id",

@@ -11,7 +11,7 @@ try:
 except ImportError:                                    # pragma: no cover
     pytest.skip("hypothesis unavailable", allow_module_level=True)
 
-from cascading_flink_spark.extensions import (hits, k_core,
+from cascading_flink_spark.extensions import (bfs_distances, hits, k_core,
                                               label_propagation, pagerank)
 
 edges_strategy = st.lists(
@@ -154,6 +154,32 @@ def test_k_core_matches_python_model(spark, edges, k):
     got = {r.node: r.deg
            for r in k_core(df, k=k, rounds=3).collect()}
     assert got == _py_k_core(edges, k, 3)
+
+
+def _py_bfs(edges, seeds, hops, directed):
+    e = [(s, t) for s, t, _ in edges]
+    if not directed:
+        e = e + [(t, s) for s, t in e]
+    dist = {v: 0 for v in seeds}
+    for _ in range(hops):
+        nd = dict(dist)
+        for s, t in e:
+            if s in dist and dist[s] + 1 < nd.get(t, 1 << 60):
+                nd[t] = dist[s] + 1
+        dist = nd
+    return dist
+
+
+@settings(max_examples=6, deadline=None)
+@given(edges=edges_strategy, directed=st.booleans(),
+       hops=st.integers(1, 3))
+def test_bfs_distances_matches_python_model(spark, edges, directed, hops):
+    nodes = sorted({s for s, _, _ in edges} | {t for _, t, _ in edges})
+    seeds = nodes[: max(1, len(nodes) // 3)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {r.node: r.dist for r in bfs_distances(
+        df, seeds=seeds, max_hops=hops, directed=directed).collect()}
+    assert got == _py_bfs(edges, seeds, hops, directed)
 
 
 @settings(max_examples=6, deadline=None)

@@ -217,16 +217,181 @@ def test_graph_family_plans_have_no_single_partition_exchange(spark, sf_dir):
     edges = ev.select(
         (F.col("user_id") % 50).alias("src"),
         ((F.col("user_id") * 7 + F.col("event_id")) % 50).alias("dst"))
-    from cascading_flink_spark.extensions import k_core, label_propagation
+    from cascading_flink_spark.extensions import (bfs_distances, k_core,
+                                                  label_propagation)
     for df in (pagerank(edges, iterations=2),
                pagerank(edges, iterations=2, dangling="redistribute"),
                hits(edges, iterations=1),
                triangle_count(edges),
                label_propagation(edges, iterations=2),
-               k_core(edges, k=3, rounds=2)):
+               k_core(edges, k=3, rounds=2),
+               bfs_distances(edges, seeds=[0, 1], max_hops=2)):
         p = _plan(df)
         assert "Exchange SinglePartition" not in p, p[:2000]
         assert "Window" not in p
+
+
+# ------------------------------------------------ bfs_distances
+
+def test_bfs_distances_chain_layers(spark):
+    """Chain 0-1-2-3-4 from seed 0: dist == index, node 4 absent at
+    max_hops=3, present at 4; undirected default reaches backwards."""
+    from cascading_flink_spark.extensions import bfs_distances
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (3, 4)],
+                              "src long, dst long")
+    out = {r.node: r.dist
+           for r in bfs_distances(e, seeds=[2], max_hops=3).collect()}
+    assert out == {2: 0, 1: 1, 3: 1, 0: 2, 4: 2}
+    out3 = {r.node: r.dist
+            for r in bfs_distances(e, seeds=[0], max_hops=3).collect()}
+    assert out3 == {0: 0, 1: 1, 2: 2, 3: 3}  # node 4 unreached
+    out4 = {r.node: r.dist
+            for r in bfs_distances(e, seeds=[0], max_hops=4).collect()}
+    assert out4[4] == 4
+
+
+def test_bfs_distances_directed_respects_edge_direction(spark):
+    from cascading_flink_spark.extensions import bfs_distances
+    e = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    out = {r.node: r.dist for r in bfs_distances(
+        e, seeds=[1], max_hops=2, directed=True).collect()}
+    assert out == {1: 0, 2: 1}  # 0 is upstream only
+
+
+def test_bfs_distances_multi_seed_takes_min(spark):
+    from cascading_flink_spark.extensions import bfs_distances
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (3, 4)],
+                              "src long, dst long")
+    out = {r.node: r.dist for r in bfs_distances(
+        e, seeds=[0, 4], max_hops=2).collect()}
+    assert out == {0: 0, 4: 0, 1: 1, 3: 1, 2: 2}
+
+
+def test_bfs_distances_validations(spark):
+    from cascading_flink_spark.extensions import bfs_distances
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="max_hops"):
+        bfs_distances(e, seeds=[0], max_hops=0)
+    with pytest.raises(ValueError, match="non-empty"):
+        bfs_distances(e, seeds=[])
+    with pytest.raises(ValueError, match="distinct"):
+        bfs_distances(e, seeds=[0, 0])
+    with pytest.raises(Exception, match="seed must appear"):
+        bfs_distances(e, seeds=[0, 99], max_hops=1).collect()
+
+
+# ------------------------------------------- sessionize / session_stats
+
+def test_sessionize_gap_boundaries_and_seq(spark):
+    """Hand fixture: user 1 has a 3-event burst, a >gap break, then 2
+    more; equal-timestamp events share a session and order by id."""
+    from cascading_flink_spark.extensions import sessionize
+    base = 1_000_000_000
+    rows = [
+        (1, 10, base), (1, 11, base),          # tie: same session, id order
+        (1, 12, base + 50),                    # within gap
+        (1, 13, base + 200),                   # > gap of 100 -> session 2
+        (1, 14, base + 250),
+        (2, 20, base),                         # other key independent
+    ]
+    df = spark.createDataFrame(
+        [(u, i, t) for u, i, t in rows], "user_id long, event_id long, us long"
+    ).select("user_id", "event_id",
+             F.timestamp_micros(F.col("us")).alias("ts"))
+    out = {r.event_id: (r.session_n, r.session_seq)
+           for r in sessionize(df, gap_us=100).collect()}
+    assert out == {10: (1, 1), 11: (1, 2), 12: (1, 3),
+                   13: (2, 1), 14: (2, 2), 20: (1, 1)}
+
+
+def test_sessionize_gap_is_strictly_greater(spark):
+    from cascading_flink_spark.extensions import sessionize
+    df = spark.createDataFrame(
+        [(1, 1, 0), (1, 2, 100)], "user_id long, event_id long, us long"
+    ).select("user_id", "event_id",
+             F.timestamp_micros(F.col("us")).alias("ts"))
+    out = {r.event_id: r.session_n
+           for r in sessionize(df, gap_us=100).collect()}
+    assert out == {1: 1, 2: 1}  # gap == gap_us stays in-session
+
+
+def test_sessionize_drops_null_key_and_ts(spark):
+    from cascading_flink_spark.extensions import sessionize
+    df = spark.createDataFrame(
+        [(1, 1, 0), (None, 2, 0), (1, 3, None)],
+        "user_id long, event_id long, us long"
+    ).select("user_id", "event_id",
+             F.timestamp_micros(F.col("us")).alias("ts"))
+    assert [r.event_id for r in sessionize(df).collect()] == [1]
+
+
+def test_sessionize_validation(spark):
+    from cascading_flink_spark.extensions import sessionize
+    df = spark.createDataFrame([(1, 1, 0)],
+                               "user_id long, event_id long, us long")
+    with pytest.raises(ValueError, match="gap_us"):
+        sessionize(df, gap_us=0)
+
+
+def test_session_stats_aggregates_labels(spark):
+    from cascading_flink_spark.extensions import session_stats
+    base = 1_000_000_000
+    rows = [(1, 10, base), (1, 11, base + 50), (1, 12, base + 500)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, us long"
+    ).select("user_id", "event_id",
+             F.timestamp_micros(F.col("us")).alias("ts"))
+    out = {r.session_n: (r.n_events, r.start_us, r.end_us, r.duration_us)
+           for r in session_stats(df, gap_us=100).collect()}
+    assert out == {1: (2, base, base + 50, 50),
+                   2: (1, base + 500, base + 500, 0)}
+
+
+def test_sessionize_single_window_partitioning(spark, sf_dir):
+    """Both labels come out of ONE window pass: exactly one
+    hashpartitioning exchange on the key, no SinglePartition."""
+    from cascading_flink_spark.extensions import sessionize
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    p = _plan(sessionize(ev))
+    assert "Exchange SinglePartition" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+# ------------------------------------------------------ rrf_fuse
+
+def test_rrf_fuse_exact_arithmetic_and_coverage(spark):
+    """Hand-computed fusion of two 2-row lists: rank by (sim DESC, id
+    ASC), contribution = 1e6 DIV (60 + rank); a candidate surfaced by
+    both lists sums both contributions and reports n_lists=2."""
+    from cascading_flink_spark.extensions import rrf_fuse
+    l1 = spark.createDataFrame(
+        [(0, 10, 0.9), (0, 11, 0.8)],
+        "query_id long, vec_id long, sim double")
+    l2 = spark.createDataFrame(
+        [(0, 11, 0.7), (0, 12, 0.6)],
+        "query_id long, vec_id long, sim double")
+    out = {r.vec_id: (r.rrf_x, r.n_lists)
+           for r in rrf_fuse([l1, l2], k=60).collect()}
+    r1, r2 = 1_000_000 // 61, 1_000_000 // 62
+    assert out == {10: (r1, 1), 11: (r2 + r1, 2), 12: (r2, 1)}
+
+
+def test_rrf_fuse_rank_ties_break_by_id(spark):
+    from cascading_flink_spark.extensions import rrf_fuse
+    l1 = spark.createDataFrame(
+        [(0, 20, 0.5), (0, 10, 0.5)],
+        "query_id long, vec_id long, sim double")
+    out = {r.vec_id: r.rrf_x for r in rrf_fuse([l1], k=60).collect()}
+    assert out[10] == 1_000_000 // 61 and out[20] == 1_000_000 // 62
+
+
+def test_rrf_fuse_validations(spark):
+    from cascading_flink_spark.extensions import rrf_fuse
+    with pytest.raises(ValueError, match="non-empty"):
+        rrf_fuse([])
+    df = spark.createDataFrame([(0, 1, 0.5)],
+                               "query_id long, vec_id long, sim double")
+    with pytest.raises(ValueError, match="k must"):
+        rrf_fuse([df], k=0)
 
 
 # ------------------------------------------- flagship margin stage
