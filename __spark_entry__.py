@@ -879,6 +879,26 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs)
 
 
+def q_cluster_split(spark, sf_dir):
+    """Leakage-safe train/test split keyed by DEDUP CLUSTER (the
+    group_split docstring's 'pair with dedup_clusters'): near-duplicate
+    documents share a cluster id, so they can never straddle the eval
+    boundary; singletons key on their own doc_id.  Composes
+    ngram_jaccard_pairs -> dedup_clusters -> group_split; the oracle
+    replays the full shingle/pair/recursive-CC chain plus the md5
+    hex-prefix cut."""
+    from cascading_flink_spark.extensions import group_split
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    clusters = dedup_clusters(pairs)
+    joined = docs.select("doc_id").join(
+        clusters.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+    keyed = joined.withColumn(
+        "group_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")))
+    return (group_split(keyed, "group_id", test_frac=0.2, seed="clsplit")
+            .select("doc_id", "group_id", "split"))
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF approximate ANN through the md5-deterministic twin (hash-ordered
     centroid sample, cosine-argmax assignment with id tie-breaks) — fully
@@ -906,6 +926,21 @@ def q_rrf_hybrid(spark, sf_dir):
                                 tables=4)
     ivf = ivf_topk_md5(emb, queries_df, k=10, n_centroids=16, n_probe=4)
     return rrf_fuse([lsh, ivf], k=60)
+
+
+def q_hard_negatives(spark, sf_dir):
+    """DPR-style hard-negative mining: gold = each query's exact cosine
+    top-1 (brute force over the 4dp-rounded sims with id tie-breaks);
+    candidates = the md5-LSH top-10 list; one left_anti join strips the
+    gold pair and a bounded window keeps the 5 hardest negatives."""
+    from cascading_flink_spark.extensions import hard_negatives
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = (emb.filter(F.col("vec_id") < 5)
+                  .select(F.col("vec_id").alias("query_id"), "embedding"))
+    gold = brute_force_topk(emb, queries_df, k=1)
+    cand = lsh_bucketed_topk_md5(emb, queries_df, k=10, planes=4, dim=64,
+                                 tables=4)
+    return hard_negatives(cand, gold, k=5)
 
 
 def q_ann_recall(spark, sf_dir):
@@ -1342,6 +1377,16 @@ def q_session_stats(spark, sf_dir):
     from cascading_flink_spark.extensions import session_stats
     return session_stats(_t(spark, sf_dir, "events"),
                          gap_us=_SESSION_GAP_US)
+
+
+def q_session_transitions(spark, sf_dir):
+    """Markov event-type transition matrix within 6h sessions: counts
+    of consecutive same-user event pairs inside the session gap, plus
+    the row-normalized transition probability as one truncating
+    integer division per cell."""
+    from cascading_flink_spark.extensions import session_transitions
+    return session_transitions(_t(spark, sf_dir, "events"),
+                               gap_us=_SESSION_GAP_US)
 
 
 def _decontam_split(spark, sf_dir):
@@ -2892,6 +2937,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_hybrid": q_rrf_hybrid,
         "session_labels": q_session_labels,
         "session_stats": q_session_stats,
+        "session_transitions": q_session_transitions,
+        "hard_negatives": q_hard_negatives,
+        "cluster_split": q_cluster_split,
         # --- plan/code changed round 10: margin_mine banded default;
         # cohort_retention epoch-scope filter; pagerank family (seed
         # guard + dangling param); the ngram_jaccard pin-ordering fix
@@ -3483,6 +3531,36 @@ def _rrf_oracle(k: int = 60, scale: int = 1_000_000) -> str:
 # The md5-deterministic approximate-index twins, shared between their
 # own gate entries and the rrf_hybrid fusion oracle (which embeds both
 # as WITH-bearing derived tables).
+# The near-dup connected-components twin (3-gram Jaccard >= 0.8 pairs ->
+# recursive-CTE reachability -> min-member cluster id), shared between the
+# dedup_clusters gate entry and the cluster_split composition below.
+_DEDUP_CC_SQL = """
+            WITH RECURSIVE
+            toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                     FROM documents),
+            sh AS (SELECT doc_id,
+                          list_distinct([array_to_string(t[i:i+2], ' ')
+                                         for i in range(1, greatest(len(t)-2, 0)+1)]) AS s
+                   FROM toks),
+            inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+            sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+            common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                       FROM inv a JOIN inv b USING (shingle)
+                       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+            pairs AS (SELECT id_a, id_b FROM common
+                      JOIN sizes sa ON sa.doc_id = id_a
+                      JOIN sizes sb ON sb.doc_id = id_b
+                      WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+            edges AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach(id, r) AS (
+                SELECT s, d FROM edges
+                UNION
+                SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s
+            )
+            SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id
+        """
+
 _ANN_LSH_SQL = """
             WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             planes AS (
@@ -4184,6 +4262,37 @@ def oracle_sql() -> dict[str, str]:
         "k_core": _k_core_oracle(k=3, rounds=6),
         "bfs_distances": _bfs_oracle(seeds=[0, 1, 2], hops=3),
         "rrf_hybrid": _rrf_oracle(k=60),
+        "hard_negatives": f"""
+            WITH cand AS ({_ANN_LSH_SQL}),
+            gold AS (
+                SELECT q.vec_id AS query_id, a.vec_id AS vec_id
+                FROM embeddings a, embeddings q
+                WHERE q.vec_id < 5 AND a.vec_id <> q.vec_id
+                QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY round(list_cosine_similarity(
+                        a.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4)
+                        DESC, a.vec_id) <= 1)
+            SELECT query_id, vec_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, vec_id)::BIGINT AS neg_rank
+            FROM cand c
+            WHERE NOT EXISTS (SELECT 1 FROM gold g
+                              WHERE g.query_id = c.query_id
+                                AND g.vec_id = c.vec_id)
+            QUALIFY neg_rank <= 5
+        """,
+        # group_split hex rule: test iff the first 6 hex chars of
+        # md5('clsplit#' || group) < format(floor(0.2 * 16^6)) = '333333'
+        "cluster_split": f"""
+            WITH cc AS ({_DEDUP_CC_SQL})
+            SELECT d.doc_id,
+                   coalesce(cc.cluster_id, d.doc_id)::BIGINT AS group_id,
+                   CASE WHEN substr(md5('clsplit#' ||
+                            coalesce(cc.cluster_id, d.doc_id)::VARCHAR),
+                            1, 6) < '333333'
+                        THEN 'test' ELSE 'train' END AS split
+            FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+        """,
         "pagerank_ppr": _pagerank_oracle(iters=3, weighted=True,
                                          seeds=[0, 1, 2, 3, 4]),
         "hits": _hits_oracle(iters=2),
@@ -4263,6 +4372,29 @@ def oracle_sql() -> dict[str, str]:
                    min(ts_us) AS start_us, max(ts_us) AS end_us,
                    (max(ts_us) - min(ts_us))::BIGINT AS duration_us
             FROM s GROUP BY 1, 2
+        """,
+        "session_transitions": f"""
+            WITH e AS (SELECT user_id, event_id, event_type,
+                              epoch_us(ts::TIMESTAMP) AS ts_us
+                       FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                         AND event_type IS NOT NULL),
+            p AS (SELECT lag(event_type) OVER w AS from_type,
+                         event_type AS to_type,
+                         ts_us - lag(ts_us) OVER w AS gap
+                  FROM e WINDOW w AS (PARTITION BY user_id
+                                      ORDER BY ts_us, event_id)),
+            cells AS (SELECT from_type, to_type,
+                             count(*)::BIGINT AS n_trans
+                      FROM p
+                      WHERE from_type IS NOT NULL
+                        AND gap <= {_SESSION_GAP_US}
+                      GROUP BY 1, 2),
+            tot AS (SELECT from_type, sum(n_trans) AS t
+                    FROM cells GROUP BY 1)
+            SELECT c.from_type, c.to_type, c.n_trans,
+                   (c.n_trans * 1000000 // t.t)::BIGINT AS p_x1e6
+            FROM cells c JOIN tot t ON t.from_type = c.from_type
         """,
         "cohort_retention": """
             WITH act AS (SELECT DISTINCT user_id AS u,
@@ -5276,32 +5408,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _minhash_md5_oracle(),
         "dedup_against": _dedup_against_md5_oracle(),
         "simhash": _simhash_md5_oracle(),
-        "dedup_clusters": """
-            WITH RECURSIVE
-            toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
-                     FROM documents),
-            sh AS (SELECT doc_id,
-                          list_distinct([array_to_string(t[i:i+2], ' ')
-                                         for i in range(1, greatest(len(t)-2, 0)+1)]) AS s
-                   FROM toks),
-            inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-            sizes AS (SELECT doc_id, len(s) AS n FROM sh),
-            common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-                       FROM inv a JOIN inv b USING (shingle)
-                       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-            pairs AS (SELECT id_a, id_b FROM common
-                      JOIN sizes sa ON sa.doc_id = id_a
-                      JOIN sizes sb ON sb.doc_id = id_b
-                      WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
-            edges AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM pairs
-                      UNION SELECT id_b, id_a FROM pairs),
-            reach(id, r) AS (
-                SELECT s, d FROM edges
-                UNION
-                SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s
-            )
-            SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id
-        """,
+        "dedup_clusters": _DEDUP_CC_SQL,
         "stratified_sample": """
             SELECT event_id, event_type FROM events
             WHERE (event_type = 'click'

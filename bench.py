@@ -91,6 +91,9 @@ BENCH_QUERIES = [
     "rrf_hybrid",
     "session_labels",
     "session_stats",
+    "session_transitions",
+    "hard_negatives",
+    "cluster_split",
     "pagerank_dangling",
     "dsir_mixture",
     "curation_margin",

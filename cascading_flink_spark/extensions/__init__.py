@@ -30,6 +30,7 @@ from .similarity import (
     hash_embed,
     lsh_bucketed_topk,
     lsh_bucketed_topk_md5, ivf_topk, ivf_topk_md5,
+    hard_negatives,
     kmeans, kmeans_assign, kmeans_md5, margin_candidates, margin_mine,
     pq_topk, pq_topk_md5,
     random_project, rrf_fuse, semdedup_pairs, semdedup_pairs_md5, sq_minmax,
@@ -67,7 +68,7 @@ from .corpus import (bigram_lm_scores, bm25_scores, corpus_report,
 from .analytics import (cardinality_report, cohort_retention,
                         event_funnel, group_quantiles,
                         group_quantiles_binned, heavy_hitters, hot_keys,
-                        rolling_stats, session_stats, sessionize,
-                        value_histogram)
+                        rolling_stats, session_stats, session_transitions,
+                        sessionize, value_histogram)
 
 __all__ = [n for n in dir() if not n.startswith("_")]

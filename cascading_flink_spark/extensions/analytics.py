@@ -519,6 +519,55 @@ def session_stats(events: DataFrame, key_col: str = "user_id",
                         (F.col("end_us") - F.col("start_us")).cast("long")))
 
 
+def session_transitions(events: DataFrame, key_col: str = "user_id",
+                        ts_col: str = "ts", id_col: str = "event_id",
+                        type_col: str = "event_type",
+                        gap_us: int = 1800 * 1_000_000) -> DataFrame:
+    """Markov transition matrix of event types WITHIN sessions:
+    ``(from_type, to_type, n_trans, p_x1e6)`` counting consecutive
+    event pairs of the same key whose gap is within the session
+    threshold — the user-journey / next-action model product analytics
+    fits on a clickstream (and the n-gram analogue over action
+    sequences).
+
+    A transition exists between an event and the key's previous event
+    iff ``ts_us - prev_ts_us <= gap_us`` (the same strict-greater
+    boundary as :func:`sessionize`, so transition pairs are exactly
+    the within-session adjacencies).  ``p_x1e6 = n_trans * 1e6 DIV
+    row-total of from_type`` — one truncating integer division per
+    cell, exact cross-engine.  NULL keys/timestamps/types are out of
+    contract and dropped in-plan.
+
+    Scale shape (100 TB): one shuffle on ``key_col`` for the lag
+    window, then a partial-agg groupBy onto the tiny |types|^2 grid
+    and a broadcast join against the |types|-row totals — no driver
+    pulls, no second full-data window."""
+    if gap_us < 1:
+        raise ValueError("gap_us must be >= 1")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(key_col).orderBy("__us", id_col)
+    base = (events.filter(F.col(key_col).isNotNull()
+                          & F.col(ts_col).isNotNull()
+                          & F.col(type_col).isNotNull())
+            .select(F.col(key_col), F.col(id_col),
+                    F.col(type_col).alias("__t"), us.alias("__us")))
+    pairs = (base
+             .withColumn("__pt", F.lag("__t", 1).over(w))
+             .withColumn("__pus", F.lag("__us", 1).over(w))
+             .filter(F.col("__pt").isNotNull()
+                     & (F.col("__us") - F.col("__pus")
+                        <= F.lit(int(gap_us)))))
+    cells = (pairs.groupBy(F.col("__pt").alias("from_type"),
+                           F.col("__t").alias("to_type"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_trans")))
+    totals = (cells.groupBy("from_type")
+              .agg(F.sum("n_trans").alias("__tot")))
+    return (cells.join(F.broadcast(totals), "from_type")
+            .select("from_type", "to_type", "n_trans",
+                    F.expr("n_trans * 1000000 DIV __tot")
+                     .cast("long").alias("p_x1e6")))
+
+
 def cohort_retention(df: DataFrame, ts_col: str = "ts",
                      user_col: str = "user_id",
                      period_us: int = 7 * 86400 * 1_000_000) -> DataFrame:

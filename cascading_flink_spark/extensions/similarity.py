@@ -1168,6 +1168,40 @@ def rrf_fuse(results: list, k: int = 60,
                  F.count(F.lit(1)).cast("long").alias("n_lists")))
 
 
+def hard_negatives(candidates: DataFrame, positives: DataFrame,
+                   k: int = 5, query_id_col: str = "query_id",
+                   id_col: str = "vec_id",
+                   sim_col: str = "sim") -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training:
+    ``(query_id, vec_id, sim, neg_rank)`` — the ``k`` most similar
+    candidates per query that are NOT gold positives, the offline
+    counterpart of in-batch negatives (DPR/contrastive training's
+    standard miner).
+
+    ``candidates`` is any ranked list (an ANN index's top-k, BM25
+    top-k, an :func:`rrf_fuse` output rescored); ``positives`` holds
+    the gold ``(query_id, id)`` pairs.  One ``left_anti`` join strips
+    the positives, then one bounded per-query window ranks by
+    (``sim_col`` DESC, id ASC) — the ann family's 4dp similarities
+    make ``neg_rank`` engine-identical, and the window input is at
+    most the candidate lists (k rows per query by construction).
+
+    Scale shape (100 TB): the anti join shuffles on the composite key
+    (broadcast when the gold set is small — AQE decides); the window
+    is bounded per query.  No cross joins, no driver pulls."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    pos = (positives.select(F.col(query_id_col), F.col(id_col))
+           .distinct())
+    neg = candidates.join(pos, [query_id_col, id_col], "left_anti")
+    w = (Window.partitionBy(query_id_col)
+         .orderBy(F.desc(sim_col), F.asc(id_col)))
+    return (neg.withColumn("neg_rank",
+                           F.row_number().over(w).cast("long"))
+            .filter(F.col("neg_rank") <= int(k))
+            .select(query_id_col, id_col, sim_col, "neg_rank"))
+
+
 def margin_candidates(a: DataFrame, b: DataFrame,
                       planes: int = 8, tables: int = 4, dim: int = 64,
                       id_col: str = "vec_id",

@@ -356,6 +356,47 @@ def test_sessionize_single_window_partitioning(spark, sf_dir):
     assert p.count("Exchange hashpartitioning") == 1
 
 
+# ------------------------------------------- session_transitions
+
+def test_session_transitions_counts_and_probs(spark):
+    """user 1: a->b->a within gap, then a break, then b->b; user 2
+    contributes one a->b.  Expect from a: {b:2} (a->a never adjacent),
+    from b: {a:1, b:1} with p = 500000 each."""
+    from cascading_flink_spark.extensions import session_transitions
+    rows = [
+        (1, 1, "a", 0), (1, 2, "b", 10), (1, 3, "a", 20),
+        (1, 4, "b", 500),            # gap 480 > 100: no transition
+        (1, 5, "b", 550),            # b->b
+        (2, 6, "a", 0), (2, 7, "b", 50),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, us long"
+    ).select("user_id", "event_id", "event_type",
+             F.timestamp_micros(F.col("us")).alias("ts"))
+    out = {(r.from_type, r.to_type): (r.n_trans, r.p_x1e6)
+           for r in session_transitions(df, gap_us=100).collect()}
+    assert out == {("a", "b"): (2, 1_000_000),
+                   ("b", "a"): (1, 500_000),
+                   ("b", "b"): (1, 500_000)}
+
+
+def test_session_transitions_broadcasts_totals(spark, sf_dir):
+    from cascading_flink_spark.extensions import session_transitions
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    p = _plan(session_transitions(ev))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "Exchange SinglePartition" not in p
+
+
+def test_session_transitions_validation(spark):
+    from cascading_flink_spark.extensions import session_transitions
+    df = spark.createDataFrame(
+        [(1, 1, "a", 0)], "user_id long, event_id long, event_type string, us long")
+    with pytest.raises(ValueError, match="gap_us"):
+        session_transitions(df, gap_us=0)
+
+
 # ------------------------------------------------------ rrf_fuse
 
 def test_rrf_fuse_exact_arithmetic_and_coverage(spark):
@@ -392,6 +433,60 @@ def test_rrf_fuse_validations(spark):
                                "query_id long, vec_id long, sim double")
     with pytest.raises(ValueError, match="k must"):
         rrf_fuse([df], k=0)
+
+
+# ------------------------------------------------ hard_negatives
+
+def test_hard_negatives_strips_gold_and_ranks(spark):
+    from cascading_flink_spark.extensions import hard_negatives
+    cand = spark.createDataFrame(
+        [(0, 10, 0.9), (0, 11, 0.8), (0, 12, 0.7), (0, 13, 0.6)],
+        "query_id long, vec_id long, sim double")
+    gold = spark.createDataFrame([(0, 10)], "query_id long, vec_id long")
+    out = [(r.vec_id, r.neg_rank)
+           for r in hard_negatives(cand, gold, k=2)
+           .orderBy("neg_rank").collect()]
+    assert out == [(11, 1), (12, 2)]  # gold 10 stripped, 13 cut by k
+
+
+def test_hard_negatives_gold_only_strips_its_own_query(spark):
+    from cascading_flink_spark.extensions import hard_negatives
+    cand = spark.createDataFrame(
+        [(0, 10, 0.9), (1, 10, 0.9)],
+        "query_id long, vec_id long, sim double")
+    gold = spark.createDataFrame([(0, 10)], "query_id long, vec_id long")
+    out = {(r.query_id, r.vec_id)
+           for r in hard_negatives(cand, gold, k=5).collect()}
+    assert out == {(1, 10)}  # (0,10) is gold; (1,10) is a fair negative
+
+
+def test_hard_negatives_validation(spark):
+    from cascading_flink_spark.extensions import hard_negatives
+    df = spark.createDataFrame([(0, 1, 0.5)],
+                               "query_id long, vec_id long, sim double")
+    with pytest.raises(ValueError, match="k must"):
+        hard_negatives(df, df, k=0)
+
+
+# ------------------------------------------------ cluster_split
+
+def test_cluster_split_never_straddles_near_dups(spark, sf_dir):
+    """The leakage property itself: every near-dup pair's two docs land
+    on the SAME side of the split (group key = shared cluster id)."""
+    from __spark_entry__ import q_cluster_split
+    from cascading_flink_spark.extensions import ngram_jaccard_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split = q_cluster_split(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    straddles = (pairs
+                 .join(split.select(F.col("doc_id").alias("id_a"),
+                                    F.col("split").alias("sa")), "id_a")
+                 .join(split.select(F.col("doc_id").alias("id_b"),
+                                    F.col("split").alias("sb")), "id_b")
+                 .filter("sa != sb").count())
+    assert straddles == 0
+    sides = {r.split for r in split.select("split").distinct().collect()}
+    assert sides == {"train", "test"}  # non-vacuous at sf0.001+
 
 
 # ------------------------------------------- flagship margin stage
