@@ -37,7 +37,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from cascading_flink_spark import get_spark  # noqa: E402
 from cascading_flink_spark.extensions import (  # noqa: E402
-    hits, pagerank, triangle_count,
+    bfs_distances, hits, pagerank, triangle_count,
 )
 
 
@@ -65,6 +65,8 @@ def main() -> None:
          lambda: pagerank(edges, iterations=3, dangling="redistribute")),
         ("hits", lambda: hits(edges, iterations=2)),
         ("triangle_count", lambda: triangle_count(edges)),
+        ("bfs_distances", lambda: bfs_distances(edges, seeds=[0, 1, 2],
+                                                max_hops=3)),
     ]
     # warm-up on the small SF so codegen/classloading doesn't tax rep 1
     small = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
