@@ -1319,6 +1319,24 @@ def q_bfs_distances(spark, sf_dir):
                          max_hops=3)
 
 
+def q_connected_components(spark, sf_dir):
+    """Hash-min weakly-connected components (6 relaxation rounds over
+    the sparse 500-node graph, undirected view) — comp = minimum node
+    id within the horizon; pure integer min-arithmetic, oracle =
+    generated unrolled MATERIALIZED CTEs."""
+    from cascading_flink_spark.extensions import connected_components
+    return connected_components(_thin_graph(spark, sf_dir), rounds=6)
+
+
+def q_link_candidates(spark, sf_dir):
+    """Common-neighbour link prediction over the sparse 500-node
+    graph: non-adjacent pairs sharing >= 2 neighbours, scored by
+    neighbourhood-union Jaccard as one truncating integer division;
+    hub centers capped at degree 64."""
+    from cascading_flink_spark.extensions import link_candidates
+    return link_candidates(_thin_graph(spark, sf_dir), min_common=2)
+
+
 def q_hits(spark, sf_dir):
     """Integer-scaled HITS hubs/authorities (2 unrolled iterations) over
     the same 50-node events-derived link graph as q_pagerank; every
@@ -2940,6 +2958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_transitions": q_session_transitions,
         "hard_negatives": q_hard_negatives,
         "cluster_split": q_cluster_split,
+        "connected_components": q_connected_components,
+        "link_candidates": q_link_candidates,
         # --- plan/code changed round 10: margin_mine banded default;
         # cohort_retention epoch-scope filter; pagerank family (seed
         # guard + dangling param); the ngram_jaccard pin-ordering fix
@@ -3624,6 +3644,65 @@ _ANN_IVF_SQL = """
         """
 
 
+def _cc_oracle(rounds: int = 6) -> str:
+    """Generated unrolled-round DuckDB twin of
+    :func:`~cascading_flink_spark.extensions.graph.connected_components`
+    over the thin-graph fixture: doubled edge list, labels init to the
+    node id, one min-relaxation per round (MATERIALIZED — each c{i} is
+    read twice by round i+1)."""
+    sql = _THIN_EDGES_SQL + """,
+        ue AS MATERIALIZED (SELECT src, dst FROM e0
+               UNION ALL SELECT dst, src FROM e0),
+        c0 AS (SELECT DISTINCT src AS node, src::BIGINT AS comp FROM ue)"""
+    for i in range(1, rounds + 1):
+        sql += f""",
+        c{i} AS MATERIALIZED (
+            SELECT node, min(comp)::BIGINT AS comp FROM (
+                SELECT node, comp FROM c{i - 1}
+                UNION ALL
+                SELECT ue.dst AS node, c.comp
+                FROM ue JOIN c{i - 1} c ON c.node = ue.src)
+            GROUP BY node)"""
+    sql += f"""
+        SELECT node::BIGINT AS node, comp FROM c{rounds}
+    """
+    return sql
+
+
+def _link_candidates_oracle(min_common: int = 2,
+                            degree_cap: int = 64) -> str:
+    """DuckDB twin of q_link_candidates: canonical simple edges,
+    degree-capped centers, wedge pair counts, existing-edge anti join,
+    and the neighbourhood-union Jaccard integer division."""
+    return _THIN_EDGES_SQL + f""",
+        g AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+                                           greatest(src, dst) AS b
+               FROM e0 WHERE src <> dst),
+        und AS MATERIALIZED (SELECT a, b FROM g
+               UNION ALL SELECT b, a FROM g),
+        deg AS MATERIALIZED (SELECT a AS node, count(*)::BIGINT AS deg
+               FROM und GROUP BY a),
+        centers AS (SELECT und.a AS c, und.b
+                    FROM und JOIN deg ON deg.node = und.a
+                    WHERE deg.deg <= {degree_cap}),
+        common AS (
+            SELECT w1.b AS id_a, w2.b AS id_b, count(*)::BIGINT AS n_common
+            FROM centers w1 JOIN centers w2 ON w1.c = w2.c
+            WHERE w1.b < w2.b
+            GROUP BY 1, 2
+            HAVING count(*) >= {min_common}),
+        fresh AS (SELECT * FROM common cm
+                  WHERE NOT EXISTS (SELECT 1 FROM g
+                                    WHERE g.a = cm.id_a AND g.b = cm.id_b))
+        SELECT f.id_a, f.id_b, f.n_common,
+               (f.n_common * 1000000 // (da.deg + db.deg - f.n_common))::BIGINT
+                   AS jaccard_x1e6
+        FROM fresh f
+        JOIN deg da ON da.node = f.id_a
+        JOIN deg db ON db.node = f.id_b
+    """
+
+
 def _pagerank_oracle(iters: int = 3, n_mod: int = 50,
                      scale: int = 1_000_000, d: int = 85,
                      weighted: bool = False,
@@ -4262,6 +4341,9 @@ def oracle_sql() -> dict[str, str]:
         "k_core": _k_core_oracle(k=3, rounds=6),
         "bfs_distances": _bfs_oracle(seeds=[0, 1, 2], hops=3),
         "rrf_hybrid": _rrf_oracle(k=60),
+        "connected_components": _cc_oracle(rounds=6),
+        "link_candidates": _link_candidates_oracle(min_common=2,
+                                                   degree_cap=64),
         "hard_negatives": f"""
             WITH cand AS ({_ANN_LSH_SQL}),
             gold AS (

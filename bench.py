@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "session_transitions",
     "hard_negatives",
     "cluster_split",
+    "connected_components",
+    "link_candidates",
     "pagerank_dangling",
     "dsir_mixture",
     "curation_margin",

@@ -59,8 +59,9 @@ from .decontam import (contamination_pairs, contamination_spans,
 from .dsir import (dsir_bucket_weights, dsir_mixture_select, dsir_sample,
                    dsir_score_expr, dsir_select, dsir_weight_array,
                    dsir_weights)
-from .graph import (bfs_distances, hits, k_core, label_propagation,
-                    pagerank, triangle_count)
+from .graph import (bfs_distances, connected_components, hits, k_core,
+                    label_propagation, link_candidates, pagerank,
+                    triangle_count)
 from .corpus import (bigram_lm_scores, bm25_scores, corpus_report,
                      inverted_index,
                      ngram_counts, oov_stats, repetition_stats,

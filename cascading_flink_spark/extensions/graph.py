@@ -431,6 +431,110 @@ def bfs_distances(edges: DataFrame, seeds: list, max_hops: int = 3,
     return dist
 
 
+def connected_components(edges: DataFrame, rounds: int = 8,
+                         src_col: str = "src",
+                         dst_col: str = "dst") -> DataFrame:
+    """Hash-min weakly-connected components over the undirected view:
+    ``(node, comp)`` with ``comp`` = the minimum node id reachable in
+    ``rounds`` hops — after ``rounds >= diameter`` rounds that IS the
+    component's minimum member, the same representative convention as
+    the dedup family's cluster ids (`dedup.py::dedup_clusters`, whose
+    size-gated driver union-find this is the any-scale counterpart
+    of).
+
+    Each round relaxes every edge once: ``comp'(v) = min(comp(v), min
+    over neighbours u of comp(u))`` — pure integer min-arithmetic, so
+    the fixed-horizon result replays bit-for-bit in ANSI SQL
+    (generated unrolled CTEs, the :func:`bfs_distances` convention).
+    Like :func:`k_core`'s peeling horizon, ``rounds`` is an explicit
+    parameter: min labels propagate one hop per round, so callers pick
+    the diameter bound they are willing to pay for (log-style doubling
+    would converge faster but is not SQL-replayable round-for-round).
+
+    Scale shape: per round ONE equi-join (labels onto the doubled edge
+    list) + one partial-agg min + a union-min with the previous round
+    — hot nodes combine map-side; the label frame is exactly the node
+    set, pinned per round."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst"))
+    e = (e.unionByName(e.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst")))
+         .localCheckpoint(eager=False))
+    lab = (e.select(F.col("src").alias("node"))
+           .unionByName(e.select(F.col("dst").alias("node")))
+           .distinct()
+           .select("node", F.col("node").cast("long").alias("comp"))
+           .localCheckpoint(eager=False))
+    for _ in range(int(rounds)):
+        relax = (e.join(lab.withColumnRenamed("node", "src"), "src")
+                 .select(F.col("dst").alias("node"), "comp"))
+        lab = (lab.unionByName(relax)
+               .groupBy("node")
+               .agg(F.min("comp").cast("long").alias("comp"))
+               .localCheckpoint(eager=False))
+    return lab
+
+
+def link_candidates(edges: DataFrame, min_common: int = 1,
+                    degree_cap: int = 64,
+                    src_col: str = "src",
+                    dst_col: str = "dst") -> DataFrame:
+    """Common-neighbour link prediction over the undirected simple
+    graph: ``(id_a, id_b, n_common, jaccard_x1e6)`` for every
+    NON-adjacent pair sharing >= ``min_common`` neighbours, scored by
+    neighbourhood Jaccard — the classic candidate generator for
+    link prediction / entity blocking ("you may also know",
+    co-citation candidates).
+
+    ``jaccard_x1e6 = n_common * 1e6 DIV (deg_a + deg_b - n_common)``
+    — neighbourhood-union Jaccard as one truncating integer division
+    (simple-graph degrees, so the union identity is exact).  Existing
+    edges are anti-joined away (they are facts, not predictions).
+
+    Scale shape: wedge generation through each CENTER node costs
+    C(deg, 2) pairs, so hub nodes explode quadratically — ``degree_cap``
+    drops nodes with more than that many neighbours from the CENTER
+    role only (they still appear as endpoints), the standard
+    hub-suppression bound (a 10^7-degree celebrity contributes no
+    information about whether two of its followers know each other
+    anyway).  Capped wedge volume is O(m * degree_cap); everything
+    else is exact equi-joins + one partial-agg count."""
+    if min_common < 1:
+        raise ValueError("min_common must be >= 1")
+    if degree_cap < 2:
+        raise ValueError("degree_cap must be >= 2")
+    e = (edges.select(F.least(src_col, dst_col).alias("a"),
+                      F.greatest(src_col, dst_col).alias("b"))
+         .filter(F.col("a") != F.col("b"))
+         .distinct()
+         .localCheckpoint(eager=False))
+    und = e.unionByName(e.select(F.col("b").alias("a"),
+                                 F.col("a").alias("b")))
+    deg = (und.groupBy(F.col("a").alias("node"))
+           .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+           .localCheckpoint(eager=False))
+    centers = (und.join(deg.filter(F.col("deg") <= int(degree_cap))
+                        .withColumnRenamed("node", "a"), "a"))
+    w1 = centers.select(F.col("a").alias("c"), F.col("b").alias("id_a"))
+    w2 = centers.select(F.col("a").alias("c"), F.col("b").alias("id_b"))
+    common = (w1.join(w2, "c")
+              .filter(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+              .filter(F.col("n_common") >= int(min_common)))
+    fresh = common.join(
+        e.select(F.col("a").alias("id_a"), F.col("b").alias("id_b")),
+        ["id_a", "id_b"], "left_anti")
+    da = deg.toDF("id_a", "__da")
+    db = deg.toDF("id_b", "__db")
+    return (fresh.join(da, "id_a").join(db, "id_b")
+            .select("id_a", "id_b", "n_common",
+                    F.expr("n_common * 1000000 DIV (__da + __db - n_common)")
+                     .cast("long").alias("jaccard_x1e6")))
+
+
 def triangle_count(edges: DataFrame, src_col: str = "src",
                    dst_col: str = "dst") -> DataFrame:
     """Exact per-node triangle counts over an undirected view of the

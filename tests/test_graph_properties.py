@@ -156,6 +156,29 @@ def test_k_core_matches_python_model(spark, edges, k):
     assert got == _py_k_core(edges, k, 3)
 
 
+def _py_cc(edges, rounds):
+    ue = [(s, t) for s, t, _ in edges] + [(t, s) for s, t, _ in edges]
+    nodes = sorted({s for s, _ in ue})
+    comp = {v: v for v in nodes}
+    for _ in range(rounds):
+        nc = dict(comp)
+        for s, t in ue:
+            if comp[s] < nc[t]:
+                nc[t] = comp[s]
+        comp = nc
+    return comp
+
+
+@settings(max_examples=6, deadline=None)
+@given(edges=edges_strategy, rounds=st.integers(1, 4))
+def test_connected_components_matches_python_model(spark, edges, rounds):
+    from cascading_flink_spark.extensions import connected_components
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {r.node: r.comp
+           for r in connected_components(df, rounds=rounds).collect()}
+    assert got == _py_cc(edges, rounds)
+
+
 def _py_bfs(edges, seeds, hops, directed):
     e = [(s, t) for s, t, _ in edges]
     if not directed:

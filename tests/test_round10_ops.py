@@ -217,18 +217,121 @@ def test_graph_family_plans_have_no_single_partition_exchange(spark, sf_dir):
     edges = ev.select(
         (F.col("user_id") % 50).alias("src"),
         ((F.col("user_id") * 7 + F.col("event_id")) % 50).alias("dst"))
-    from cascading_flink_spark.extensions import (bfs_distances, k_core,
-                                                  label_propagation)
+    from cascading_flink_spark.extensions import (
+        bfs_distances, connected_components, k_core, label_propagation,
+        link_candidates)
     for df in (pagerank(edges, iterations=2),
                pagerank(edges, iterations=2, dangling="redistribute"),
                hits(edges, iterations=1),
                triangle_count(edges),
                label_propagation(edges, iterations=2),
                k_core(edges, k=3, rounds=2),
-               bfs_distances(edges, seeds=[0, 1], max_hops=2)):
+               bfs_distances(edges, seeds=[0, 1], max_hops=2),
+               connected_components(edges, rounds=2),
+               link_candidates(edges, min_common=2)):
         p = _plan(df)
         assert "Exchange SinglePartition" not in p, p[:2000]
         assert "Window" not in p
+
+
+# ------------------------------------------- connected_components
+
+def test_connected_components_two_islands(spark):
+    from cascading_flink_spark.extensions import connected_components
+    e = spark.createDataFrame([(5, 3), (3, 7), (10, 11)],
+                              "src long, dst long")
+    out = {r.node: r.comp
+           for r in connected_components(e, rounds=3).collect()}
+    assert out == {3: 3, 5: 3, 7: 3, 10: 10, 11: 10}
+
+
+def test_connected_components_horizon_is_hop_bounded(spark):
+    """Min labels move one hop per round: on the path 3-2-1-0 the far
+    node still carries a stale label at rounds=1 but converges at 3."""
+    from cascading_flink_spark.extensions import connected_components
+    e = spark.createDataFrame([(3, 2), (2, 1), (1, 0)],
+                              "src long, dst long")
+    r1 = {r.node: r.comp
+          for r in connected_components(e, rounds=1).collect()}
+    assert r1 == {0: 0, 1: 0, 2: 1, 3: 2}
+    r3 = {r.node: r.comp
+          for r in connected_components(e, rounds=3).collect()}
+    assert r3 == {0: 0, 1: 0, 2: 0, 3: 0}
+
+
+def test_connected_components_validation(spark):
+    from cascading_flink_spark.extensions import connected_components
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="rounds"):
+        connected_components(e, rounds=0)
+
+
+def test_connected_components_agrees_with_dedup_cc_on_converged_graph(spark):
+    """Cross-family pin: on a graph whose diameter fits the horizon,
+    hash-min CC and the dedup family's exact union-find clustering
+    (same min-member convention) assign identical representatives."""
+    from cascading_flink_spark.extensions import connected_components
+    from cascading_flink_spark.extensions.dedup import dedup_clusters
+    pairs = [(1, 2), (2, 3), (8, 9), (4, 8)]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    cc = {r.node: r.comp
+          for r in connected_components(e, rounds=4).collect()}
+    uf = {r.id: r.cluster_id for r in dedup_clusters(
+        spark.createDataFrame(pairs, "id_a long, id_b long")).collect()}
+    assert cc == uf
+
+
+# ------------------------------------------- link_candidates
+
+def test_link_candidates_path_and_triangle(spark):
+    from cascading_flink_spark.extensions import link_candidates
+    # path 0-1-2: (0,2) share neighbour 1, not adjacent -> jaccard 1.0
+    e = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    out = [(r.id_a, r.id_b, r.n_common, r.jaccard_x1e6)
+           for r in link_candidates(e, min_common=1).collect()]
+    assert out == [(0, 2, 1, 1_000_000)]
+    # triangle: every pair adjacent -> no predictions
+    t = spark.createDataFrame([(0, 1), (1, 2), (0, 2)],
+                              "src long, dst long")
+    assert link_candidates(t, min_common=1).count() == 0
+
+
+def test_link_candidates_jaccard_partial_overlap(spark):
+    """Square 0-1-2-3-0: (0,2) share {1,3}, degs 2+2, union 2 ->
+    jaccard 1.0; same for (1,3)."""
+    from cascading_flink_spark.extensions import link_candidates
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (3, 0), (0, 4)],
+                              "src long, dst long")
+    out = {(r.id_a, r.id_b): (r.n_common, r.jaccard_x1e6)
+           for r in link_candidates(e, min_common=2).collect()}
+    # 0 now has deg 3 (extra pendant 4): union(0,2) = 3+2-2 = 3
+    assert out == {(0, 2): (2, 666_666), (1, 3): (2, 1_000_000)}
+
+
+def test_link_candidates_degree_cap_suppresses_hub_centers(spark):
+    """A star hub above the cap contributes no wedges as CENTER, so
+    its leaf pairs are not candidates — but a small center still is."""
+    from cascading_flink_spark.extensions import link_candidates
+    hub = [(100, i) for i in range(5)]  # deg 5 > cap 4
+    side = [(0, 200), (1, 200)]         # 200 is a small center
+    e = spark.createDataFrame(hub + side, "src long, dst long")
+    out = {(r.id_a, r.id_b)
+           for r in link_candidates(e, min_common=1,
+                                    degree_cap=4).collect()}
+    # leaf pairs through the capped hub (e.g. (2,3)) are suppressed;
+    # (0,1) survives via center 200, and (100,200) via centers 0 and 1
+    # (the hub still appears as an ENDPOINT, only its center role is cut)
+    assert out == {(0, 1), (100, 200)}
+    assert (2, 3) not in out and (3, 4) not in out
+
+
+def test_link_candidates_validation(spark):
+    from cascading_flink_spark.extensions import link_candidates
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="min_common"):
+        link_candidates(e, min_common=0)
+    with pytest.raises(ValueError, match="degree_cap"):
+        link_candidates(e, degree_cap=1)
 
 
 # ------------------------------------------------ bfs_distances
