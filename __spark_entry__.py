@@ -1407,6 +1407,29 @@ def q_session_transitions(spark, sf_dir):
                                gap_us=_SESSION_GAP_US)
 
 
+def q_quantile_norm_lang(spark, sf_dir):
+    """Rank-based score calibration per language: each document's
+    n_chars mapped to its within-lang quantile position
+    (rank-1)*1e6 DIV (n-1) — makes scores from incompatible scales
+    blendable; one shuffle on lang, rank and count from the SAME
+    window partitioning."""
+    from cascading_flink_spark.extensions import quantile_normalize
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                 "n_chars")
+    return (quantile_normalize(docs, "n_chars", group_col="lang")
+            .select("doc_id", "lang", "q_x1e6"))
+
+
+def q_quantile_norm_global(spark, sf_dir):
+    """The global path: same quantile arithmetic over the whole corpus,
+    riding global_rank's distributed-sort ranking (never a
+    partition-less window) + one broadcast 1-row total."""
+    from cascading_flink_spark.extensions import quantile_normalize
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (quantile_normalize(docs, "n_chars", group_col=None)
+            .select("doc_id", "q_x1e6"))
+
+
 def _decontam_split(spark, sf_dir):
     """Shared span-decontamination fixture: every 20th document is the
     held-out reference (the q_decontaminate convention), the rest the
@@ -2960,6 +2983,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_split": q_cluster_split,
         "connected_components": q_connected_components,
         "link_candidates": q_link_candidates,
+        "quantile_norm_lang": q_quantile_norm_lang,
+        "quantile_norm_global": q_quantile_norm_global,
         # --- plan/code changed round 10: margin_mine banded default;
         # cohort_retention epoch-scope filter; pagerank family (seed
         # guard + dangling param); the ngram_jaccard pin-ordering fix
@@ -4454,6 +4479,22 @@ def oracle_sql() -> dict[str, str]:
                    min(ts_us) AS start_us, max(ts_us) AS end_us,
                    (max(ts_us) - min(ts_us))::BIGINT AS duration_us
             FROM s GROUP BY 1, 2
+        """,
+        "quantile_norm_lang": """
+            SELECT doc_id, lang,
+                   ((row_number() OVER (PARTITION BY lang
+                         ORDER BY n_chars, doc_id) - 1) * 1000000
+                    // greatest(count(*) OVER (PARTITION BY lang) - 1,
+                                1))::BIGINT AS q_x1e6
+            FROM documents
+        """,
+        "quantile_norm_global": """
+            SELECT doc_id,
+                   ((row_number() OVER (ORDER BY n_chars, doc_id) - 1)
+                        * 1000000
+                    // greatest(count(*) OVER () - 1, 1))::BIGINT
+                       AS q_x1e6
+            FROM documents
         """,
         "session_transitions": f"""
             WITH e AS (SELECT user_id, event_id, event_type,

@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "cluster_split",
     "connected_components",
     "link_candidates",
+    "quantile_norm_lang",
+    "quantile_norm_global",
     "pagerank_dangling",
     "dsir_mixture",
     "curation_margin",

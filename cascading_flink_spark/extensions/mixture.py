@@ -424,6 +424,49 @@ def global_rank(df: DataFrame, score_col: str, id_col: str = "doc_id",
              .drop("__bk", "__within", "__base"))
 
 
+def quantile_normalize(df: DataFrame, score_col: str,
+                       id_col: str = "doc_id",
+                       group_col: str | None = None,
+                       out_col: str = "q_x1e6", buckets: int = 64,
+                       sample_cap: int = 4096) -> DataFrame:
+    """Rank-based score calibration: replace each row's raw score with
+    its quantile position ``(rank - 1) * 1e6 DIV (n - 1)`` within its
+    group (or globally) — the standard way to make quality signals from
+    DIFFERENT classifiers/heuristics/domains comparable before blending
+    or thresholding them (a fastText logit and a Gopher rule count live
+    on incompatible scales; their quantiles don't).
+
+    ``rank`` is ``row_number`` by ``(score_col, id_col)`` ascending —
+    the id breaks score ties deterministically — so the output is exact
+    integer arithmetic, 0 for the group minimum, 1e6 for the maximum,
+    and single-row groups land at 0 (``DIV greatest(n-1, 1)``).
+
+    Scale shape: with ``group_col``, one shuffle on the group — both
+    the rank and the group count come out of the SAME window
+    partitioning.  Globally (``group_col=None``) it rides
+    :func:`global_rank`'s distributed-sort ranking (never a
+    partition-less window) plus one broadcast 1-row total, the
+    :func:`curriculum_shards` pattern."""
+    q_expr = F.expr(
+        "(__qr - 1) * 1000000 DIV greatest(__qn - 1, 1)").cast("long")
+    if group_col is not None:
+        w = (Window.partitionBy(group_col)
+             .orderBy(F.col(score_col).asc(), F.col(id_col).asc()))
+        wn = Window.partitionBy(group_col)
+        return (df.withColumn("__qr", F.row_number().over(w).cast("long"))
+                .withColumn("__qn",
+                            F.count(F.lit(1)).over(wn).cast("long"))
+                .withColumn(out_col, q_expr)
+                .drop("__qr", "__qn"))
+    ranked = global_rank(df, score_col, id_col=id_col, rank_col="__qr",
+                         buckets=buckets, sample_cap=sample_cap)
+    total = F.broadcast(df.agg(F.count(F.lit(1)).cast("long")
+                               .alias("__qn")))
+    return (ranked.crossJoin(total)
+            .withColumn(out_col, q_expr)
+            .drop("__qr", "__qn"))
+
+
 def curriculum_shards(df: DataFrame, n_shards: int, score_col: str,
                       id_col: str = "doc_id",
                       shard_col: str = "shard") -> DataFrame:

@@ -234,6 +234,41 @@ def test_graph_family_plans_have_no_single_partition_exchange(spark, sf_dir):
         assert "Window" not in p
 
 
+# ------------------------------------------- quantile_normalize
+
+def test_quantile_normalize_grouped_endpoints_and_ties(spark):
+    from cascading_flink_spark.extensions import quantile_normalize
+    rows = [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 20.0),
+            (4, "a", 30.0), (5, "b", 99.0)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, s double")
+    out = {r.doc_id: r.q_x1e6 for r in quantile_normalize(
+        df, "s", id_col="doc_id", group_col="g").collect()}
+    # group a: ranks 1..4 -> 0, 333333, 666666, 1000000 (tie 20.0
+    # breaks by doc_id: 2 before 3); singleton group b -> 0
+    assert out == {1: 0, 2: 333_333, 3: 666_666, 4: 1_000_000, 5: 0}
+
+
+def test_quantile_normalize_global_matches_grouped_single_group(spark):
+    from cascading_flink_spark.extensions import quantile_normalize
+    rows = [(i, float(i * 7 % 13)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, s double")
+    glob = {r.doc_id: r.q_x1e6 for r in quantile_normalize(
+        df, "s", id_col="doc_id", group_col=None).collect()}
+    one = {r.doc_id: r.q_x1e6 for r in quantile_normalize(
+        df.withColumn("g", F.lit("x")), "s", id_col="doc_id",
+        group_col="g").collect()}
+    assert glob == one and len(glob) == 40
+    assert min(glob.values()) == 0 and max(glob.values()) == 1_000_000
+
+
+def test_quantile_normalize_grouped_plan_single_group_exchange(spark, sf_dir):
+    from cascading_flink_spark.extensions import quantile_normalize
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = _plan(quantile_normalize(docs, "n_chars", group_col="lang"))
+    assert "Exchange SinglePartition" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
 # ------------------------------------------- connected_components
 
 def test_connected_components_two_islands(spark):
