@@ -1430,6 +1430,16 @@ def q_quantile_norm_global(spark, sf_dir):
             .select("doc_id", "q_x1e6"))
 
 
+def q_corpus_drift(spark, sf_dir):
+    """Per-source distribution drift: total-variation distance between
+    each source's unigram distribution and the whole corpus's, both
+    integer-quantized at 1e9 before the exact |p-q| sum — the dataset
+    monitoring signal that flags a shifted crawl/source."""
+    from cascading_flink_spark.extensions import corpus_drift
+    return corpus_drift(_t(spark, sf_dir, "documents"),
+                        slice_col="source")
+
+
 def _decontam_split(spark, sf_dir):
     """Shared span-decontamination fixture: every 20th document is the
     held-out reference (the q_decontaminate convention), the rest the
@@ -2985,6 +2995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_candidates": q_link_candidates,
         "quantile_norm_lang": q_quantile_norm_lang,
         "quantile_norm_global": q_quantile_norm_global,
+        "corpus_drift": q_corpus_drift,
         # --- plan/code changed round 10: margin_mine banded default;
         # cohort_retention epoch-scope filter; pagerank family (seed
         # guard + dangling param); the ngram_jaccard pin-ordering fix
@@ -4479,6 +4490,31 @@ def oracle_sql() -> dict[str, str]:
                    min(ts_us) AS start_us, max(ts_us) AS end_us,
                    (max(ts_us) - min(ts_us))::BIGINT AS duration_us
             FROM s GROUP BY 1, 2
+        """,
+        "corpus_drift": """
+            WITH toks AS (
+                SELECT source AS slice,
+                       unnest(regexp_split_to_array(lower(trim(text)),
+                                                    '\\s+')) AS term
+                FROM documents),
+            tf AS (SELECT slice, term, count(*)::BIGINT AS tf
+                   FROM toks WHERE term <> '' GROUP BY 1, 2),
+            st AS (SELECT slice, sum(tf)::BIGINT AS st FROM tf GROUP BY 1),
+            corpus AS (SELECT term, sum(tf)::BIGINT AS ctf
+                       FROM tf GROUP BY 1),
+            ct AS (SELECT sum(ctf)::BIGINT AS ct FROM corpus),
+            grid AS (
+                SELECT st.slice, st.st,
+                       tf.tf IS NOT NULL AS in_slice,
+                       coalesce(tf.tf, 0) * 1000000000 // st.st AS p,
+                       c.ctf * 1000000000 // ct.ct AS q
+                FROM corpus c CROSS JOIN st CROSS JOIN ct
+                LEFT JOIN tf ON tf.slice = st.slice AND tf.term = c.term)
+            SELECT slice, max(st)::BIGINT AS n_tokens,
+                   sum(CASE WHEN in_slice THEN 1 ELSE 0 END)::BIGINT
+                       AS vocab,
+                   (sum(abs(p - q)) // 2 // 1000)::BIGINT AS tv_x1e6
+            FROM grid GROUP BY slice
         """,
         "quantile_norm_lang": """
             SELECT doc_id, lang,

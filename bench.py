@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "link_candidates",
     "quantile_norm_lang",
     "quantile_norm_global",
+    "corpus_drift",
     "pagerank_dangling",
     "dsir_mixture",
     "curation_margin",

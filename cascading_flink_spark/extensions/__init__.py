@@ -62,7 +62,8 @@ from .dsir import (dsir_bucket_weights, dsir_mixture_select, dsir_sample,
 from .graph import (bfs_distances, connected_components, hits, k_core,
                     label_propagation, link_candidates, pagerank,
                     triangle_count)
-from .corpus import (bigram_lm_scores, bm25_scores, corpus_report,
+from .corpus import (bigram_lm_scores, bm25_scores, corpus_drift,
+                     corpus_report,
                      inverted_index,
                      ngram_counts, oov_stats, repetition_stats,
                      tfidf_topterms, unigram_commonness)

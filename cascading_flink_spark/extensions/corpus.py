@@ -152,6 +152,63 @@ def unigram_commonness(df: DataFrame, text_col: str = "text",
                       .alias("commonness")))
 
 
+def corpus_drift(df: DataFrame, slice_col: str = "source",
+                 text_col: str = "text",
+                 scale: int = 1_000_000_000) -> DataFrame:
+    """Distribution drift per corpus slice: ``(slice, n_tokens,
+    vocab, tv_x1e6)`` — the total-variation distance between each
+    slice's unigram distribution and the WHOLE corpus's, the
+    dataset-monitoring signal ("did this source/crawl/period shift
+    under us?") that gates retraining and flags ingestion regressions.
+
+    Determinism recipe: both distributions are integer-quantized
+    first — ``p = tf_slice * scale DIV slice_total`` and ``q =
+    tf_corpus * scale DIV corpus_total`` (one truncating division per
+    term each) — so ``TV = sum |p - q| DIV 2`` is an exact order-free
+    integer sum; the output rescales to 1e6 (``DIV (scale DIV
+    1e6)``).  Terms absent from a slice contribute their full ``q``
+    via the slice-side left join.  Tokenization is the repo's
+    whitespace twin (`split(lower(trim(text)), '\\s+')`).
+
+    Scale shape (100 TB): one explode + two partial-agg groupBys
+    (term x slice, term) — the same frames unigram_commonness builds
+    — one broadcast |slices|-row totals join and one broadcast 1-row
+    corpus total; the |vocab| x |slices| compare frame partial-aggs
+    back down to |slices| rows.  No windows, no driver pulls."""
+    if scale < 1_000_000:
+        raise ValueError("scale must be >= 1e6 (output is x1e6)")
+    toks = _tok_array(text_col, lower=True)
+    tf = (df.select(F.col(slice_col).alias("slice"),
+                    F.explode(toks).alias("term"))
+          .filter(F.col("term") != "")
+          .groupBy("slice", "term")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+          .localCheckpoint(eager=False))
+    slice_tot = (tf.groupBy("slice")
+                 .agg(F.sum("tf").cast("long").alias("__st")))
+    corpus = (tf.groupBy("term")
+              .agg(F.sum("tf").cast("long").alias("ctf"))
+              .localCheckpoint(eager=False))
+    corpus_tot = F.broadcast(corpus.agg(
+        F.sum("ctf").cast("long").alias("__ct")))
+    # every (slice, term-in-vocab) cell: slice tf (0 when absent)
+    grid = (corpus.crossJoin(F.broadcast(slice_tot))
+            .join(tf, ["slice", "term"], "left")
+            .crossJoin(corpus_tot)
+            .select("slice", "__st",
+                    F.col("tf").isNotNull().alias("__in_slice"),
+                    F.expr(f"coalesce(tf, 0) * {int(scale)} DIV __st")
+                     .alias("__p"),
+                    F.expr(f"ctf * {int(scale)} DIV __ct").alias("__q")))
+    down = int(scale) // 1_000_000
+    return (grid.groupBy("slice")
+            .agg(F.max("__st").cast("long").alias("n_tokens"),
+                 F.sum(F.when(F.col("__in_slice"), 1).otherwise(0))
+                  .cast("long").alias("vocab"),
+                 F.expr(f"CAST(sum(abs(__p - __q)) DIV 2 DIV {down} "
+                        f"AS LONG)").alias("tv_x1e6")))
+
+
 def ngram_counts(df: DataFrame, n: int = 2, min_count: int = 2,
                  text_col: str = "text", id_col: str = "doc_id",
                  lower: bool = True) -> DataFrame:

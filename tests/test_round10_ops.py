@@ -234,6 +234,41 @@ def test_graph_family_plans_have_no_single_partition_exchange(spark, sf_dir):
         assert "Window" not in p
 
 
+# ------------------------------------------------- corpus_drift
+
+def test_corpus_drift_exact_tv_disjoint_and_identical(spark):
+    from cascading_flink_spark.extensions import corpus_drift
+    # disjoint vocab: each slice is TV 0.5 from the pooled corpus
+    df = spark.createDataFrame([("a", "x x"), ("b", "y y")],
+                               "source string, text string")
+    out = {r.slice: (r.n_tokens, r.vocab, r.tv_x1e6)
+           for r in corpus_drift(df).collect()}
+    assert out == {"a": (2, 1, 500_000), "b": (2, 1, 500_000)}
+    # identical slices: zero drift
+    same = spark.createDataFrame([("a", "x y"), ("b", "x y")],
+                                 "source string, text string")
+    outs = {r.slice: r.tv_x1e6 for r in corpus_drift(same).collect()}
+    assert outs == {"a": 0, "b": 0}
+
+
+def test_corpus_drift_absent_terms_contribute_q(spark):
+    """Slice a = 'x', slice b = 'x y': corpus q(x)=2/3, q(y)=1/3.
+    a: p(x)=1, TV = (|1-2/3| + |0-1/3|)/2 = 1/3."""
+    from cascading_flink_spark.extensions import corpus_drift
+    df = spark.createDataFrame([("a", "x"), ("b", "x y")],
+                               "source string, text string")
+    out = {r.slice: r.tv_x1e6 for r in corpus_drift(df).collect()}
+    assert out["a"] == 333_333
+    assert out["b"] in (166_666, 166_667)  # truncation of 1/6
+
+
+def test_corpus_drift_validation(spark):
+    from cascading_flink_spark.extensions import corpus_drift
+    df = spark.createDataFrame([("a", "x")], "source string, text string")
+    with pytest.raises(ValueError, match="scale"):
+        corpus_drift(df, scale=1000)
+
+
 # ------------------------------------------- quantile_normalize
 
 def test_quantile_normalize_grouped_endpoints_and_ties(spark):
