@@ -1440,6 +1440,19 @@ def q_corpus_drift(spark, sf_dir):
                         slice_col="source")
 
 
+def q_corpus_drift_ref(spark, sf_dir):
+    """Drift against an EXPLICIT trusted baseline (the new-crawl vs
+    known-good-snapshot comparison): every 20th document is the
+    reference corpus, the rest drift-checked per source; the support is
+    the union of vocabularies (slice-only terms contribute full p via
+    the anti-join branch, reference-only terms full q)."""
+    from cascading_flink_spark.extensions import corpus_drift
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 20 == 0)
+    rest = docs.filter(F.col("doc_id") % 20 != 0)
+    return corpus_drift(rest, slice_col="source", reference=ref)
+
+
 def _decontam_split(spark, sf_dir):
     """Shared span-decontamination fixture: every 20th document is the
     held-out reference (the q_decontaminate convention), the rest the
@@ -2996,6 +3009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_norm_lang": q_quantile_norm_lang,
         "quantile_norm_global": q_quantile_norm_global,
         "corpus_drift": q_corpus_drift,
+        "corpus_drift_ref": q_corpus_drift_ref,
         # --- plan/code changed round 10: margin_mine banded default;
         # cohort_retention epoch-scope filter; pagerank family (seed
         # guard + dangling param); the ngram_jaccard pin-ordering fix
@@ -4510,6 +4524,41 @@ def oracle_sql() -> dict[str, str]:
                        c.ctf * 1000000000 // ct.ct AS q
                 FROM corpus c CROSS JOIN st CROSS JOIN ct
                 LEFT JOIN tf ON tf.slice = st.slice AND tf.term = c.term)
+            SELECT slice, max(st)::BIGINT AS n_tokens,
+                   sum(CASE WHEN in_slice THEN 1 ELSE 0 END)::BIGINT
+                       AS vocab,
+                   (sum(abs(p - q)) // 2 // 1000)::BIGINT AS tv_x1e6
+            FROM grid GROUP BY slice
+        """,
+        "corpus_drift_ref": """
+            WITH toks AS (
+                SELECT source AS slice,
+                       unnest(regexp_split_to_array(lower(trim(text)),
+                                                    '\\s+')) AS term
+                FROM documents WHERE doc_id % 20 <> 0),
+            tf AS (SELECT slice, term, count(*)::BIGINT AS tf
+                   FROM toks WHERE term <> '' GROUP BY 1, 2),
+            st AS (SELECT slice, sum(tf)::BIGINT AS st FROM tf GROUP BY 1),
+            rtoks AS (
+                SELECT unnest(regexp_split_to_array(lower(trim(text)),
+                                                    '\\s+')) AS term
+                FROM documents WHERE doc_id % 20 = 0),
+            corpus AS (SELECT term, count(*)::BIGINT AS ctf
+                       FROM rtoks WHERE term <> '' GROUP BY 1),
+            ct AS (SELECT sum(ctf)::BIGINT AS ct FROM corpus),
+            grid AS (
+                SELECT st.slice, st.st,
+                       tf.tf IS NOT NULL AS in_slice,
+                       coalesce(tf.tf, 0) * 1000000000 // st.st AS p,
+                       c.ctf * 1000000000 // ct.ct AS q
+                FROM corpus c CROSS JOIN st CROSS JOIN ct
+                LEFT JOIN tf ON tf.slice = st.slice AND tf.term = c.term
+                UNION ALL
+                SELECT tf.slice, st.st, TRUE,
+                       tf.tf * 1000000000 // st.st, 0
+                FROM tf JOIN st ON st.slice = tf.slice
+                WHERE NOT EXISTS (SELECT 1 FROM corpus c
+                                  WHERE c.term = tf.term))
             SELECT slice, max(st)::BIGINT AS n_tokens,
                    sum(CASE WHEN in_slice THEN 1 ELSE 0 END)::BIGINT
                        AS vocab,

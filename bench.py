@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "quantile_norm_lang",
     "quantile_norm_global",
     "corpus_drift",
+    "corpus_drift_ref",
     "pagerank_dangling",
     "dsir_mixture",
     "curation_margin",

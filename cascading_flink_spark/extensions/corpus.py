@@ -154,12 +154,21 @@ def unigram_commonness(df: DataFrame, text_col: str = "text",
 
 def corpus_drift(df: DataFrame, slice_col: str = "source",
                  text_col: str = "text",
+                 reference: DataFrame | None = None,
                  scale: int = 1_000_000_000) -> DataFrame:
     """Distribution drift per corpus slice: ``(slice, n_tokens,
     vocab, tv_x1e6)`` — the total-variation distance between each
-    slice's unigram distribution and the WHOLE corpus's, the
+    slice's unigram distribution and the WHOLE corpus's (or, with
+    ``reference``, an explicit trusted baseline corpus — the "new
+    crawl vs last known-good snapshot" comparison), the
     dataset-monitoring signal ("did this source/crawl/period shift
     under us?") that gates retraining and flags ingestion regressions.
+
+    With ``reference`` the support is the UNION of the two
+    vocabularies: slice-only terms contribute their full ``p``
+    (``q = 0``) through an anti-join branch, reference-only terms
+    their full ``q`` — TV stays a true metric on the quantized
+    distributions.
 
     Determinism recipe: both distributions are integer-quantized
     first — ``p = tf_slice * scale DIV slice_total`` and ``q =
@@ -186,9 +195,18 @@ def corpus_drift(df: DataFrame, slice_col: str = "source",
           .localCheckpoint(eager=False))
     slice_tot = (tf.groupBy("slice")
                  .agg(F.sum("tf").cast("long").alias("__st")))
-    corpus = (tf.groupBy("term")
-              .agg(F.sum("tf").cast("long").alias("ctf"))
-              .localCheckpoint(eager=False))
+    if reference is None:
+        corpus = (tf.groupBy("term")
+                  .agg(F.sum("tf").cast("long").alias("ctf"))
+                  .localCheckpoint(eager=False))
+    else:
+        corpus = (reference
+                  .select(F.explode(_tok_array(text_col, lower=True))
+                          .alias("term"))
+                  .filter(F.col("term") != "")
+                  .groupBy("term")
+                  .agg(F.count(F.lit(1)).cast("long").alias("ctf"))
+                  .localCheckpoint(eager=False))
     corpus_tot = F.broadcast(corpus.agg(
         F.sum("ctf").cast("long").alias("__ct")))
     # every (slice, term-in-vocab) cell: slice tf (0 when absent)
@@ -200,6 +218,15 @@ def corpus_drift(df: DataFrame, slice_col: str = "source",
                     F.expr(f"coalesce(tf, 0) * {int(scale)} DIV __st")
                      .alias("__p"),
                     F.expr(f"ctf * {int(scale)} DIV __ct").alias("__q")))
+    if reference is not None:
+        # slice-only terms (absent from the reference): q = 0
+        only = (tf.join(corpus.select("term"), "term", "left_anti")
+                .join(slice_tot, "slice")
+                .crossJoin(corpus_tot)
+                .select("slice", "__st", F.lit(True).alias("__in_slice"),
+                        F.expr(f"tf * {int(scale)} DIV __st").alias("__p"),
+                        F.lit(0).cast("long").alias("__q")))
+        grid = grid.unionByName(only)
     down = int(scale) // 1_000_000
     return (grid.groupBy("slice")
             .agg(F.max("__st").cast("long").alias("n_tokens"),

@@ -262,6 +262,22 @@ def test_corpus_drift_absent_terms_contribute_q(spark):
     assert out["b"] in (166_666, 166_667)  # truncation of 1/6
 
 
+def test_corpus_drift_reference_union_support(spark):
+    """Slice 'x z' vs reference 'x y': q(x)=q(y)=1/2; slice-only z
+    contributes full p=1/2, reference-only y full q=1/2.
+    TV = (|1/2-1/2| + |1/2-0| + |0-1/2|)/2 = 1/2."""
+    from cascading_flink_spark.extensions import corpus_drift
+    df = spark.createDataFrame([("a", "x z")], "source string, text string")
+    ref = spark.createDataFrame([("r", "x y")], "source string, text string")
+    out = corpus_drift(df, reference=ref).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.slice, r.n_tokens, r.vocab, r.tv_x1e6) == ("a", 2, 2, 500_000)
+    # identical reference -> zero drift
+    z = corpus_drift(df, reference=df).collect()[0]
+    assert z.tv_x1e6 == 0
+
+
 def test_corpus_drift_validation(spark):
     from cascading_flink_spark.extensions import corpus_drift
     df = spark.createDataFrame([("a", "x")], "source string, text string")
