@@ -3732,11 +3732,15 @@ def _link_candidates_oracle(min_common: int = 2,
                UNION ALL SELECT b, a FROM g),
         deg AS MATERIALIZED (SELECT a AS node, count(*)::BIGINT AS deg
                FROM und GROUP BY a),
-        centers AS (SELECT und.a AS c, und.b
+        centers AS (SELECT und.a AS c, und.b,
+                           (1000000000000
+                            // round(ln(deg.deg) * 1000000)::BIGINT)::BIGINT
+                               AS w
                     FROM und JOIN deg ON deg.node = und.a
-                    WHERE deg.deg <= {degree_cap}),
+                    WHERE deg.deg BETWEEN 2 AND {degree_cap}),
         common AS (
-            SELECT w1.b AS id_a, w2.b AS id_b, count(*)::BIGINT AS n_common
+            SELECT w1.b AS id_a, w2.b AS id_b, count(*)::BIGINT AS n_common,
+                   sum(w1.w)::BIGINT AS aa_x1e6
             FROM centers w1 JOIN centers w2 ON w1.c = w2.c
             WHERE w1.b < w2.b
             GROUP BY 1, 2
@@ -3746,7 +3750,8 @@ def _link_candidates_oracle(min_common: int = 2,
                                     WHERE g.a = cm.id_a AND g.b = cm.id_b))
         SELECT f.id_a, f.id_b, f.n_common,
                (f.n_common * 1000000 // (da.deg + db.deg - f.n_common))::BIGINT
-                   AS jaccard_x1e6
+                   AS jaccard_x1e6,
+               f.aa_x1e6
         FROM fresh f
         JOIN deg da ON da.node = f.id_a
         JOIN deg db ON db.node = f.id_b

@@ -490,8 +490,14 @@ def link_candidates(edges: DataFrame, min_common: int = 1,
 
     ``jaccard_x1e6 = n_common * 1e6 DIV (deg_a + deg_b - n_common)``
     — neighbourhood-union Jaccard as one truncating integer division
-    (simple-graph degrees, so the union identity is exact).  Existing
-    edges are anti-joined away (they are facts, not predictions).
+    (simple-graph degrees, so the union identity is exact) — plus
+    ``aa_x1e6``, the Adamic-Adar score ``sum over shared neighbours v
+    of 1/ln(deg(v))``, integer-exact via the DSIR ln recipe: each
+    center's ``ln(deg)*1e6`` is rounded ONCE to a long, the per-wedge
+    weight is ``1e12 DIV`` that, and the pair score is an exact
+    order-free sum of longs (centers have deg >= 2, so ln >= 0.693 —
+    no zero divisor).  Existing edges are anti-joined away (they are
+    facts, not predictions).
 
     Scale shape: wedge generation through each CENTER node costs
     C(deg, 2) pairs, so hub nodes explode quadratically — ``degree_cap``
@@ -515,14 +521,23 @@ def link_candidates(edges: DataFrame, min_common: int = 1,
     deg = (und.groupBy(F.col("a").alias("node"))
            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
            .localCheckpoint(eager=False))
-    centers = (und.join(deg.filter(F.col("deg") <= int(degree_cap))
-                        .withColumnRenamed("node", "a"), "a"))
-    w1 = centers.select(F.col("a").alias("c"), F.col("b").alias("id_a"))
+    # deg-1 centers cannot form a wedge pair AND would put ln(1)=0 in
+    # the divisor — excluded before the weight is ever evaluated (ANSI
+    # mode computes the column even on rows the pair join later drops)
+    centers = (und.join(deg.filter((F.col("deg") >= 2)
+                                   & (F.col("deg") <= int(degree_cap)))
+                        .withColumnRenamed("node", "a"), "a")
+               .withColumn("__w", F.expr(
+                   "1000000000000 DIV CAST(round(ln(deg) * 1000000, 0) "
+                   "AS BIGINT)").cast("long")))
+    w1 = centers.select(F.col("a").alias("c"), F.col("b").alias("id_a"),
+                        "__w")
     w2 = centers.select(F.col("a").alias("c"), F.col("b").alias("id_b"))
     common = (w1.join(w2, "c")
               .filter(F.col("id_a") < F.col("id_b"))
               .groupBy("id_a", "id_b")
-              .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+              .agg(F.count(F.lit(1)).cast("long").alias("n_common"),
+                   F.sum("__w").cast("long").alias("aa_x1e6"))
               .filter(F.col("n_common") >= int(min_common)))
     fresh = common.join(
         e.select(F.col("a").alias("id_a"), F.col("b").alias("id_b")),
@@ -532,7 +547,8 @@ def link_candidates(edges: DataFrame, min_common: int = 1,
     return (fresh.join(da, "id_a").join(db, "id_b")
             .select("id_a", "id_b", "n_common",
                     F.expr("n_common * 1000000 DIV (__da + __db - n_common)")
-                     .cast("long").alias("jaccard_x1e6")))
+                     .cast("long").alias("jaccard_x1e6"),
+                    "aa_x1e6"))
 
 
 def triangle_count(edges: DataFrame, src_col: str = "src",

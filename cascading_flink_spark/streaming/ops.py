@@ -129,6 +129,81 @@ def stateful_sessionize(df: DataFrame, key_col: str, ts_col: str,
                                     GroupStateTimeout.ProcessingTimeTimeout))
 
 
+def stream_session_transitions(df: DataFrame, key_col: str = "user_id",
+                               ts_col: str = "ts",
+                               id_col: str = "event_id",
+                               type_col: str = "event_type",
+                               gap_us: int = 1800 * 1_000_000) -> DataFrame:
+    """Streaming within-session transition counting — the stateful twin
+    of ``extensions.analytics.session_transitions``: per micro-batch it
+    emits ``(key, from_type, to_type, n_trans)`` partial counts for
+    every consecutive same-key event pair within the session gap,
+    carrying each key's LAST (epoch-micros, type) in state so
+    transitions that straddle a micro-batch boundary are counted
+    exactly once.  Downstream aggregates the partials into the
+    transition matrix (the emitted grain stays keyed, so the matrix
+    rollup is one partial-agg groupBy at read time).
+
+    Within a micro-batch events are processed in ``(ts_us,
+    id-as-string)`` order, so a single-batch stream with
+    naturally-sorting ids reproduces the batch operator's counts
+    exactly (asserted in tests); across batches the order is arrival
+    order — the standard streaming trade-off (use the batch operator
+    for reprocessing).  State per key is ONE (long, string) tuple —
+    bounded at any stream length; no timeout (an idle key simply
+    fails the gap test on its next event)."""
+    if gap_us < 1:
+        raise ValueError("gap_us must be >= 1")
+    out_schema = T.StructType([
+        T.StructField("key", T.StringType()),
+        T.StructField("from_type", T.StringType()),
+        T.StructField("to_type", T.StringType()),
+        T.StructField("n_trans", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("last_us", T.LongType()),
+        T.StructField("last_type", T.StringType()),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+        last_us, last_type = state.get if state.exists else (None, None)
+        counts: dict = {}
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["__us", id_col])
+            for us, tp in zip(pdf["__us"], pdf[type_col]):
+                us = int(us)
+                if (last_type is not None and tp is not None
+                        and us - last_us <= gap_us):
+                    counts[(last_type, tp)] = counts.get(
+                        (last_type, tp), 0) + 1
+                last_us, last_type = us, tp
+        if last_us is not None:
+            state.update((last_us, last_type))
+        if not counts:
+            return iter(())
+        ks = sorted(counts)
+        return iter([pd.DataFrame({
+            "key": [key[0]] * len(ks),
+            "from_type": [a for a, _ in ks],
+            "to_type": [b for _, b in ks],
+            "n_trans": [counts[k] for k in ks]})])
+
+    prepared = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(id_col).cast("string").alias(id_col),
+        F.col(type_col).cast("string").alias(type_col),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us"),
+    ).filter(F.col("key").isNotNull() & F.col("__us").isNotNull()
+             & F.col(type_col).isNotNull())
+    return (prepared.groupBy("key")
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append",
+                                    GroupStateTimeout.NoTimeout))
+
+
 def stream_exact_dedup(df: DataFrame, ts_col: str,
                        text_col: str = "text",
                        watermark: str = "10 minutes") -> DataFrame:

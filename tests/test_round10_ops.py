@@ -371,11 +371,12 @@ def test_connected_components_agrees_with_dedup_cc_on_converged_graph(spark):
 
 def test_link_candidates_path_and_triangle(spark):
     from cascading_flink_spark.extensions import link_candidates
-    # path 0-1-2: (0,2) share neighbour 1, not adjacent -> jaccard 1.0
+    # path 0-1-2: (0,2) share neighbour 1 (deg 2), not adjacent ->
+    # jaccard 1.0, adamic-adar = 1e12 DIV round(ln(2)*1e6) = 1/ln2 x1e6
     e = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
-    out = [(r.id_a, r.id_b, r.n_common, r.jaccard_x1e6)
+    out = [(r.id_a, r.id_b, r.n_common, r.jaccard_x1e6, r.aa_x1e6)
            for r in link_candidates(e, min_common=1).collect()]
-    assert out == [(0, 2, 1, 1_000_000)]
+    assert out == [(0, 2, 1, 1_000_000, 1_442_695)]
     # triangle: every pair adjacent -> no predictions
     t = spark.createDataFrame([(0, 1), (1, 2), (0, 2)],
                               "src long, dst long")
@@ -388,10 +389,13 @@ def test_link_candidates_jaccard_partial_overlap(spark):
     from cascading_flink_spark.extensions import link_candidates
     e = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (3, 0), (0, 4)],
                               "src long, dst long")
-    out = {(r.id_a, r.id_b): (r.n_common, r.jaccard_x1e6)
+    out = {(r.id_a, r.id_b): (r.n_common, r.jaccard_x1e6, r.aa_x1e6)
            for r in link_candidates(e, min_common=2).collect()}
-    # 0 now has deg 3 (extra pendant 4): union(0,2) = 3+2-2 = 3
-    assert out == {(0, 2): (2, 666_666), (1, 3): (2, 1_000_000)}
+    # 0 now has deg 3 (extra pendant 4): union(0,2) = 3+2-2 = 3.
+    # AA: (0,2) via centers 1,3 (deg 2 each) = 2/ln2 x1e6;
+    #     (1,3) via centers 0 (deg 3) and 2 (deg 2) = 1/ln3 + 1/ln2
+    assert out == {(0, 2): (2, 666_666, 2_885_390),
+                   (1, 3): (2, 1_000_000, 910_239 + 1_442_695)}
 
 
 def test_link_candidates_degree_cap_suppresses_hub_centers(spark):

@@ -952,3 +952,75 @@ def test_hash_embed_streaming_parity(spark, sf_dir, tmp_path):
               .select("doc_id", "emb").collect()}
     assert got == expect and len(expect) == 150
     spark.catalog.dropTempView("he_out")
+
+
+def test_stream_session_transitions_batch_parity(spark, sf_dir, tmp_path):
+    """A single-batch stream's partial counts, aggregated over keys,
+    must equal the batch session_transitions n_trans matrix exactly
+    (event_id strings here are same-length digits, so the stream's
+    string tie-break equals the numeric one)."""
+    from cascading_flink_spark.extensions import session_transitions
+    from cascading_flink_spark.streaming import stream_session_transitions
+
+    gap = 6 * 3600 * 1_000_000
+    ev = (load(spark, sf_dir, "events")
+          .filter((F.col("user_id") < 40)
+                  & (F.col("event_id") >= 100) & (F.col("event_id") < 1000))
+          .select("user_id", "event_id", "ts", "event_type"))
+    src = str(tmp_path / "str_in")
+    ev.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = stream_session_transitions(stream, gap_us=gap)
+    q = (out.writeStream.format("memory").queryName("str_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+
+    got = {}
+    for r in spark.sql("SELECT * FROM str_out").collect():
+        k = (r["from_type"], r["to_type"])
+        got[k] = got.get(k, 0) + r["n_trans"]
+    expect = {(r["from_type"], r["to_type"]): r["n_trans"]
+              for r in session_transitions(
+                  spark.read.parquet(src), gap_us=gap).collect()}
+    assert got == expect and expect
+    spark.catalog.dropTempView("str_out")
+
+
+def test_stream_session_transitions_boundary_counts_once(spark, tmp_path):
+    """2 batches with a checkpoint restart: the pair that straddles the
+    batch boundary (a->b within gap) is counted exactly once via the
+    carried (last_us, last_type) state; a beyond-gap arrival opens a
+    new session and contributes nothing."""
+    from cascading_flink_spark.streaming import stream_session_transitions
+    import datetime as _dt
+
+    src = tmp_path / "str2_in"
+    src.mkdir()
+    mk = lambda i, s, t: (1, f"e{i}", _dt.datetime(2024, 1, 1, 0, 0, s), t)
+    batches = [
+        [mk(1, 1, "a"), mk(2, 2, "b")],       # a->b in batch 1
+        [mk(3, 3, "a"),                        # b->a straddles the boundary
+         mk(4, 50, "b")],                      # 47s > 10s gap: no transition
+    ]
+    sch = "user_id long, event_id string, ts timestamp, event_type string"
+    def write(i):
+        spark.createDataFrame(batches[i], sch).coalesce(1) \
+            .write.parquet(str(src / f"f{i}"))
+    write(0)
+    schema = spark.read.parquet(str(src / "f0")).schema
+    ckpt, out_dir = str(tmp_path / "str2_ck"), str(tmp_path / "str2_out")
+
+    for i in range(len(batches)):
+        if i:
+            write(i)
+        _run_available_now(
+            spark, schema, str(src / "*"), ckpt, out_dir,
+            lambda s: stream_session_transitions(s, gap_us=10_000_000))
+
+    got = {}
+    for r in spark.read.parquet(out_dir).collect():
+        k = (r["from_type"], r["to_type"])
+        got[k] = got.get(k, 0) + r["n_trans"]
+    assert got == {("a", "b"): 1, ("b", "a"): 1}
