@@ -1,0 +1,148 @@
+"""Property pins for the round-10 session/retrieval/calibration ops:
+each Spark operator must equal a direct Python replay of the exact
+integer arithmetic on arbitrary small random inputs."""
+
+from __future__ import annotations
+
+import pytest
+
+try:
+    from hypothesis import given, settings, strategies as st
+except ImportError:                                    # pragma: no cover
+    pytest.skip("hypothesis unavailable", allow_module_level=True)
+
+from pyspark.sql import functions as F
+
+from cascading_flink_spark.extensions import (
+    quantile_normalize, rrf_fuse, session_transitions, sessionize,
+)
+
+# (user, id, ts_us, type) events with tight ranges so ties happen often
+events_strategy = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 30),
+              st.integers(0, 40), st.sampled_from(["a", "b", "c"])),
+    min_size=1, max_size=18, unique_by=lambda e: e[1])
+
+GAP = 7
+
+
+def _py_sessionize(events, gap):
+    out = {}
+    by_key = {}
+    for u, i, ts, _ in events:
+        by_key.setdefault(u, []).append((ts, i))
+    for u, rows in by_key.items():
+        rows.sort()
+        sn, seq, last = 0, 0, None
+        for ts, i in rows:
+            if last is None or ts - last > gap:
+                sn, seq = sn + 1, 1
+            else:
+                seq += 1
+            out[i] = (sn, seq)
+            last = ts
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(events=events_strategy)
+def test_sessionize_matches_python_model(spark, events):
+    df = spark.createDataFrame(
+        events, "user_id long, event_id long, us long, event_type string"
+    ).select("user_id", "event_id", "event_type",
+             F.timestamp_micros(F.col("us")).alias("ts"))
+    got = {r.event_id: (r.session_n, r.session_seq)
+           for r in sessionize(df, gap_us=GAP).collect()}
+    assert got == _py_sessionize(events, GAP)
+
+
+def _py_transitions(events, gap):
+    by_key = {}
+    for u, i, ts, tp in events:
+        by_key.setdefault(u, []).append((ts, i, tp))
+    cells = {}
+    for rows in by_key.values():
+        rows.sort()
+        for (pts, _, ptp), (ts, _, tp) in zip(rows, rows[1:]):
+            if ts - pts <= gap:
+                cells[(ptp, tp)] = cells.get((ptp, tp), 0) + 1
+    tot = {}
+    for (a, _), n in cells.items():
+        tot[a] = tot.get(a, 0) + n
+    return {k: (n, n * 1_000_000 // tot[k[0]]) for k, n in cells.items()}
+
+
+@settings(max_examples=8, deadline=None)
+@given(events=events_strategy)
+def test_session_transitions_matches_python_model(spark, events):
+    df = spark.createDataFrame(
+        events, "user_id long, event_id long, us long, event_type string"
+    ).select("user_id", "event_id", "event_type",
+             F.timestamp_micros(F.col("us")).alias("ts"))
+    got = {(r.from_type, r.to_type): (r.n_trans, r.p_x1e6)
+           for r in session_transitions(df, gap_us=GAP).collect()}
+    assert got == _py_transitions(events, GAP)
+
+
+# per-query candidate lists: (query, id, sim at 4dp)
+lists_strategy = st.lists(
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 9),
+                  st.integers(0, 20).map(lambda x: x / 20.0)),
+        min_size=1, max_size=8,
+        unique_by=lambda r: (r[0], r[1])),
+    min_size=1, max_size=3)
+
+
+def _py_rrf(lists, k):
+    out = {}
+    for rows in lists:
+        by_q = {}
+        for q, i, s in rows:
+            by_q.setdefault(q, []).append((-s, i))
+        for q, cand in by_q.items():
+            cand.sort()
+            for rank, (_, i) in enumerate(cand, start=1):
+                key = (q, i)
+                sc, nl = out.get(key, (0, 0))
+                out[key] = (sc + 1_000_000 // (k + rank), nl + 1)
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(lists=lists_strategy, k=st.integers(1, 90))
+def test_rrf_fuse_matches_python_model(spark, lists, k):
+    dfs = [spark.createDataFrame(rows,
+                                 "query_id long, vec_id long, sim double")
+           for rows in lists]
+    got = {(r.query_id, r.vec_id): (r.rrf_x, r.n_lists)
+           for r in rrf_fuse(dfs, k=k).collect()}
+    assert got == _py_rrf(lists, k)
+
+
+scores_strategy = st.lists(
+    st.tuples(st.integers(0, 40), st.sampled_from(["g1", "g2"]),
+              st.integers(-5, 5)),
+    min_size=1, max_size=16, unique_by=lambda r: r[0])
+
+
+def _py_qnorm(rows):
+    by_g = {}
+    for i, g, s in rows:
+        by_g.setdefault(g, []).append((s, i))
+    out = {}
+    for vals in by_g.values():
+        vals.sort()
+        n = len(vals)
+        for r, (_, i) in enumerate(vals, start=1):
+            out[i] = (r - 1) * 1_000_000 // max(n - 1, 1)
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=scores_strategy)
+def test_quantile_normalize_matches_python_model(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, g string, s long")
+    got = {r.doc_id: r.q_x1e6 for r in quantile_normalize(
+        df, "s", id_col="doc_id", group_col="g").collect()}
+    assert got == _py_qnorm(rows)
