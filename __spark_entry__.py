@@ -1453,6 +1453,17 @@ def q_corpus_drift_ref(spark, sf_dir):
     return corpus_drift(rest, slice_col="source", reference=ref)
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sampling without replacement: 50
+    documents drawn with probability proportional to n_chars — the ES
+    key ln(u)/w spelled integer-exact (seeded md5 uniform, ln rounded
+    once to 1e-6, one truncating DIV), so the draw replays
+    bit-for-bit; plans as TakeOrderedAndProject."""
+    from cascading_flink_spark.extensions import weighted_sample
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(docs, "n_chars", k=50)
+
+
 def _decontam_split(spark, sf_dir):
     """Shared span-decontamination fixture: every 20th document is the
     held-out reference (the q_decontaminate convention), the rest the
@@ -3010,6 +3021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_norm_global": q_quantile_norm_global,
         "corpus_drift": q_corpus_drift,
         "corpus_drift_ref": q_corpus_drift_ref,
+        "weighted_sample": q_weighted_sample,
         # --- plan/code changed round 10: margin_mine banded default;
         # cohort_retention epoch-scope filter; pagerank family (seed
         # guard + dangling param); the ngram_jaccard pin-ordering fix
@@ -4509,6 +4521,15 @@ def oracle_sql() -> dict[str, str]:
                    min(ts_us) AS start_us, max(ts_us) AS end_us,
                    (max(ts_us) - min(ts_us))::BIGINT AS duration_us
             FROM s GROUP BY 1, 2
+        """,
+        "weighted_sample": f"""
+            SELECT doc_id, n_chars FROM (
+                SELECT doc_id, n_chars,
+                       round(ln((({_hex8_to_int_sql("md5('wsample#' || doc_id::VARCHAR)")}) + 0.5)
+                                / 4294967296.0) * 1000000)::BIGINT
+                           * 1000000 // n_chars AS k
+                FROM documents)
+            ORDER BY k DESC, doc_id LIMIT 50
         """,
         "corpus_drift": """
             WITH toks AS (

@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "quantile_norm_global",
     "corpus_drift",
     "corpus_drift_ref",
+    "weighted_sample",
     "pagerank_dangling",
     "dsir_mixture",
     "curation_margin",

@@ -47,7 +47,8 @@ from .skew import (salted_agg, salted_broadcast_left, sample_k_per_group,
 from .mixture import (curriculum_shards, domain_quota, global_rank,
                       group_split, quantile_normalize, shuffle_shard,
                       token_budget_mixture,
-                      temperature_budgets, temperature_mixture)
+                      temperature_budgets, temperature_mixture,
+                      weighted_sample)
 from .bpe import bpe_encode, bpe_train, encode_word
 from .temporal import asof_join, range_join
 from .urls import (normalize_url_expr, normalize_urls, url_dedup,

@@ -424,6 +424,45 @@ def global_rank(df: DataFrame, score_col: str, id_col: str = "doc_id",
              .drop("__bk", "__within", "__base"))
 
 
+def weighted_sample(df: DataFrame, weight_col: str, k: int,
+                    id_col: str = "doc_id",
+                    seed: str = "wsample") -> DataFrame:
+    """Exact-k weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): draw ``k`` rows with inclusion probability
+    proportional to their positive integer weight — the importance
+    downsampler every mixture pipeline needs when quotas are softer
+    than :func:`domain_quota`'s hard cuts (and the general-purpose
+    sibling of ``dsir_sample``'s Gumbel draw).
+
+    The ES key ``ln(u_i) / w_i`` (top-k by it = a without-replacement
+    weighted draw) is spelled integer-exact: ``u_i`` is the repo's
+    seeded md5 uniform (``(hex8(md5(seed#id)) + 0.5) / 2^32``, never 0
+    or 1), ``ln(u_i)`` is rounded ONCE to 1e-6 (the DSIR ln recipe),
+    and the key is ``lnu_x1e6 * 1e6 DIV w`` — one truncating division,
+    so ranks replay bit-for-bit cross-engine; ties break by id.
+    Weights must be POSITIVE integers (in-plan raise — a zero weight
+    would divide by zero, a negative one would invert the ranking).
+
+    Plans as TakeOrderedAndProject over a map-only frame — no global
+    sort, no shuffle beyond the final top-k reduction."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = F.md5(F.concat(F.lit(seed + "#"), F.col(id_col).cast("string")))
+    u = ((F.conv(F.substring(h, 1, 8), 16, 10).cast("double") + 0.5)
+         / F.lit(float(1 << 32)))
+    d = (df.withColumn("__lnu",
+                       F.round(F.log(u) * 1e6, 0).cast("long"))
+         .withColumn("__w", F.col(weight_col).cast("long")))
+    key = F.expr(
+        "CASE WHEN __w > 0 THEN __lnu * 1000000 DIV __w "
+        "ELSE CAST(raise_error('weighted_sample: weights must be "
+        "positive integers') AS BIGINT) END")
+    return (d.withColumn("__k", key)
+            .orderBy(F.col("__k").desc(), F.col(id_col).asc())
+            .limit(int(k))
+            .drop("__lnu", "__w", "__k"))
+
+
 def quantile_normalize(df: DataFrame, score_col: str,
                        id_col: str = "doc_id",
                        group_col: str | None = None,

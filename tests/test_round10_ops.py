@@ -234,6 +234,50 @@ def test_graph_family_plans_have_no_single_partition_exchange(spark, sf_dir):
         assert "Window" not in p
 
 
+# ---------------------------------------------- weighted_sample
+
+def test_weighted_sample_is_seeded_and_exact_k(spark):
+    from cascading_flink_spark.extensions import weighted_sample
+    df = spark.createDataFrame([(i, i % 5 + 1) for i in range(40)],
+                               "doc_id long, w long")
+    a = sorted(r.doc_id for r in weighted_sample(df, "w", k=10).collect())
+    b = sorted(r.doc_id for r in weighted_sample(df, "w", k=10).collect())
+    c = sorted(r.doc_id for r in weighted_sample(
+        df, "w", k=10, seed="other").collect())
+    assert a == b and len(a) == 10 and len(set(a)) == 10
+    assert a != c  # a fresh seed is an independent draw
+
+
+def test_weighted_sample_favours_heavy_rows(spark):
+    """ES property: one row carrying ~99% of the total weight wins the
+    k=1 draw for most seeds (exact p would be 0.99 per draw)."""
+    from cascading_flink_spark.extensions import weighted_sample
+    df = spark.createDataFrame([(0, 2970)] + [(i, 1) for i in range(1, 31)],
+                               "doc_id long, w long")
+    wins = sum(
+        weighted_sample(df, "w", k=1, seed=f"s{j}").collect()[0].doc_id == 0
+        for j in range(12))
+    assert wins >= 9  # P(<9 of 12 at p=.99) is astronomically small
+
+
+def test_weighted_sample_plan_is_take_ordered(spark, sf_dir):
+    from cascading_flink_spark.extensions import weighted_sample
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = _plan(weighted_sample(docs.select("doc_id", "n_chars"),
+                              "n_chars", k=50))
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange hashpartitioning" not in p
+
+
+def test_weighted_sample_validations(spark):
+    from cascading_flink_spark.extensions import weighted_sample
+    df = spark.createDataFrame([(1, 0)], "doc_id long, w long")
+    with pytest.raises(ValueError, match="k must"):
+        weighted_sample(df, "w", k=0)
+    with pytest.raises(Exception, match="positive"):
+        weighted_sample(df, "w", k=1).collect()
+
+
 # ------------------------------------------------- corpus_drift
 
 def test_corpus_drift_exact_tv_disjoint_and_identical(spark):
