@@ -1464,6 +1464,16 @@ def q_weighted_sample(spark, sf_dir):
     return weighted_sample(docs, "n_chars", k=50)
 
 
+def q_weighted_sample_lang(spark, sf_dir):
+    """Stratified ES draw: an independent weighted sample of 10
+    documents PER LANGUAGE (weight = n_chars), one bounded per-group
+    window (WindowGroupLimit) over the same integer-exact key."""
+    from cascading_flink_spark.extensions import weighted_sample
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                 "n_chars")
+    return weighted_sample(docs, "n_chars", k=10, group_col="lang")
+
+
 def _decontam_split(spark, sf_dir):
     """Shared span-decontamination fixture: every 20th document is the
     held-out reference (the q_decontaminate convention), the rest the
@@ -3022,6 +3032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_drift": q_corpus_drift,
         "corpus_drift_ref": q_corpus_drift_ref,
         "weighted_sample": q_weighted_sample,
+        "weighted_sample_lang": q_weighted_sample_lang,
         # --- plan/code changed round 10: margin_mine banded default;
         # cohort_retention epoch-scope filter; pagerank family (seed
         # guard + dangling param); the ngram_jaccard pin-ordering fix
@@ -4530,6 +4541,16 @@ def oracle_sql() -> dict[str, str]:
                            * 1000000 // n_chars AS k
                 FROM documents)
             ORDER BY k DESC, doc_id LIMIT 50
+        """,
+        "weighted_sample_lang": f"""
+            SELECT doc_id, lang, n_chars FROM (
+                SELECT doc_id, lang, n_chars,
+                       row_number() OVER (PARTITION BY lang ORDER BY
+                           round(ln((({_hex8_to_int_sql("md5('wsample#' || doc_id::VARCHAR)")}) + 0.5)
+                                    / 4294967296.0) * 1000000)::BIGINT
+                               * 1000000 // n_chars DESC, doc_id) AS rn
+                FROM documents)
+            WHERE rn <= 10
         """,
         "corpus_drift": """
             WITH toks AS (

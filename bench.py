@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "corpus_drift",
     "corpus_drift_ref",
     "weighted_sample",
+    "weighted_sample_lang",
     "pagerank_dangling",
     "dsir_mixture",
     "curation_margin",

@@ -426,6 +426,7 @@ def global_rank(df: DataFrame, score_col: str, id_col: str = "doc_id",
 
 def weighted_sample(df: DataFrame, weight_col: str, k: int,
                     id_col: str = "doc_id",
+                    group_col: str | None = None,
                     seed: str = "wsample") -> DataFrame:
     """Exact-k weighted sampling WITHOUT replacement (Efraimidis &
     Spirakis 2006): draw ``k`` rows with inclusion probability
@@ -443,8 +444,13 @@ def weighted_sample(df: DataFrame, weight_col: str, k: int,
     Weights must be POSITIVE integers (in-plan raise — a zero weight
     would divide by zero, a negative one would invert the ranking).
 
-    Plans as TakeOrderedAndProject over a map-only frame — no global
-    sort, no shuffle beyond the final top-k reduction."""
+    With ``group_col`` the draw is stratified — an independent
+    without-replacement draw of ``k`` rows PER GROUP (short groups
+    return all their rows), one bounded per-group window that Spark
+    plans as WindowGroupLimit (map-side prune, the
+    ``sample_k_per_group`` shape).  Globally it plans as
+    TakeOrderedAndProject over a map-only frame — no global sort, no
+    shuffle beyond the final top-k reduction."""
     if k < 1:
         raise ValueError("k must be >= 1")
     h = F.md5(F.concat(F.lit(seed + "#"), F.col(id_col).cast("string")))
@@ -457,8 +463,14 @@ def weighted_sample(df: DataFrame, weight_col: str, k: int,
         "CASE WHEN __w > 0 THEN __lnu * 1000000 DIV __w "
         "ELSE CAST(raise_error('weighted_sample: weights must be "
         "positive integers') AS BIGINT) END")
-    return (d.withColumn("__k", key)
-            .orderBy(F.col("__k").desc(), F.col(id_col).asc())
+    d = d.withColumn("__k", key)
+    if group_col is not None:
+        w = (Window.partitionBy(group_col)
+             .orderBy(F.col("__k").desc(), F.col(id_col).asc()))
+        return (d.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= int(k))
+                .drop("__lnu", "__w", "__k", "__rn"))
+    return (d.orderBy(F.col("__k").desc(), F.col(id_col).asc())
             .limit(int(k))
             .drop("__lnu", "__w", "__k"))
 

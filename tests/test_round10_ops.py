@@ -269,6 +269,26 @@ def test_weighted_sample_plan_is_take_ordered(spark, sf_dir):
     assert "Exchange hashpartitioning" not in p
 
 
+def test_weighted_sample_grouped_exact_k_and_short_groups(spark):
+    from cascading_flink_spark.extensions import weighted_sample
+    rows = [(i, "big", 1 + i % 3) for i in range(20)] + \
+           [(100, "tiny", 5), (101, "tiny", 5)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, w long")
+    out = {}
+    for r in weighted_sample(df, "w", k=4, group_col="g").collect():
+        out.setdefault(r.g, set()).add(r.doc_id)
+    assert len(out["big"]) == 4
+    assert out["tiny"] == {100, 101}  # short group returns all rows
+
+
+def test_weighted_sample_grouped_plan_window_group_limit(spark, sf_dir):
+    from cascading_flink_spark.extensions import weighted_sample
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = _plan(weighted_sample(docs.select("doc_id", "lang", "n_chars"),
+                              "n_chars", k=10, group_col="lang"))
+    assert "WindowGroupLimit" in p
+
+
 def test_weighted_sample_validations(spark):
     from cascading_flink_spark.extensions import weighted_sample
     df = spark.createDataFrame([(1, 0)], "doc_id long, w long")
