@@ -14,7 +14,8 @@ except ImportError:                                    # pragma: no cover
 from pyspark.sql import functions as F
 
 from cascading_flink_spark.extensions import (
-    quantile_normalize, rrf_fuse, session_transitions, sessionize,
+    corpus_drift, quantile_normalize, rrf_fuse, session_transitions,
+    sessionize,
 )
 
 # (user, id, ts_us, type) events with tight ranges so ties happen often
@@ -146,3 +147,42 @@ def test_quantile_normalize_matches_python_model(spark, rows):
     got = {r.doc_id: r.q_x1e6 for r in quantile_normalize(
         df, "s", id_col="doc_id", group_col="g").collect()}
     assert got == _py_qnorm(rows)
+
+
+docs_strategy = st.lists(
+    st.tuples(st.sampled_from(["s1", "s2", "s3"]),
+              st.lists(st.sampled_from(["x", "y", "z"]),
+                       min_size=1, max_size=6).map(" ".join)),
+    min_size=1, max_size=12)
+
+SC = 1_000_000_000
+
+
+def _py_drift(docs):
+    tf, st_, ctf = {}, {}, {}
+    for s, text in docs:
+        for t in text.split():
+            tf[(s, t)] = tf.get((s, t), 0) + 1
+            st_[s] = st_.get(s, 0) + 1
+            ctf[t] = ctf.get(t, 0) + 1
+    ct = sum(ctf.values())
+    out = {}
+    for s in st_:
+        tv, vocab = 0, 0
+        for t, c in ctf.items():
+            p = tf.get((s, t), 0) * SC // st_[s]
+            q = c * SC // ct
+            tv += abs(p - q)
+            if (s, t) in tf:
+                vocab += 1
+        out[s] = (st_[s], vocab, tv // 2 // 1000)
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs=docs_strategy)
+def test_corpus_drift_matches_python_model(spark, docs):
+    df = spark.createDataFrame(docs, "source string, text string")
+    got = {r.slice: (r.n_tokens, r.vocab, r.tv_x1e6)
+           for r in corpus_drift(df).collect()}
+    assert got == _py_drift(docs)
