@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Round-10 scaling harness: reproduce the README "Round-10 session /
+retrieval / BFS additions" and graph-addition rows at 1x/8x/32x.
+
+Usage: python tools/newops_scale.py [X8_DIR] [X32_DIR] [REPS]
+       (defaults /tmp/sf0.1x8 /tmp/sf0.1x32 2 — build the replicates
+       with tools/replicate_sf.py first; runs 1x from /root/testdata)
+
+Two measurement rules learned the hard way, both baked in here:
+
+* a bare ``.count()`` lets Catalyst PRUNE window/withColumn work
+  (session_labels timed flat until a checksum agg forced the window),
+  so every map/window query is timed through ``agg(count, sum(col))``;
+* the %500 thin-graph fixture saturates under replication, so the
+  graph ops are re-keyed to ``user_id % (2000 * factor)`` — nodes AND
+  edges grow factor-fold at constant average degree (the
+  tools/graph_scale.py sparse regime).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from cascading_flink_spark import get_spark  # noqa: E402
+import __spark_entry__ as E  # noqa: E402
+
+
+def best_of(reps, fn):
+    best = None
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        el = time.time() - t0
+        best = el if best is None or el < best else best
+    return best
+
+
+def main() -> None:
+    x8 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf0.1x8"
+    x32 = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf0.1x32"
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    spark = get_spark("newops-scale", cpus=int(
+        os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    qs = E.queries()
+    dirs = [("1x", "/root/testdata/sf0.1", 1), ("8x", x8, 8),
+            ("32x", x32, 32)]
+
+    # entry queries, window/agg work forced via a checksum aggregate
+    forced = {
+        "session_labels": ["session_n", "session_seq"],
+        "session_stats": ["n_events", "duration_us"],
+        "session_transitions": ["n_trans", "p_x1e6"],
+        "hard_negatives": ["neg_rank"],
+        "rrf_hybrid": ["rrf_x", "n_lists"],
+        "quantile_norm_lang": ["q_x1e6"],
+        "corpus_drift": ["tv_x1e6"],
+        "weighted_sample_lang": ["n_chars"],
+    }
+    for name, cols in forced.items():
+        for tag, d, _ in dirs:
+            t = best_of(reps, lambda: qs[name](spark, d).agg(
+                F.count(F.lit(1)), *[F.sum(c) for c in cols]).collect())
+            print(f"{name} {tag}: best={t:.2f}s", flush=True)
+
+    # graph additions on genuinely growing sparse graphs
+    from cascading_flink_spark.extensions import (bfs_distances,
+                                                  connected_components,
+                                                  link_candidates)
+    for tag, d, factor in dirs:
+        n_mod = 2000 * factor
+        ev = spark.read.parquet(f"{d}/events.parquet").filter(
+            F.col("event_id") % 11 == 0)
+        edges = ev.select(
+            (F.col("user_id") % n_mod).alias("src"),
+            ((F.col("user_id") * 7 + F.col("event_id")) % n_mod)
+            .alias("dst"))
+        for name, fn in [
+            ("connected_components",
+             lambda: connected_components(edges, rounds=6).agg(
+                 F.count(F.lit(1)), F.sum("comp")).collect()),
+            ("link_candidates",
+             lambda: link_candidates(edges, min_common=2).agg(
+                 F.count(F.lit(1)), F.sum("jaccard_x1e6"),
+                 F.sum("aa_x1e6")).collect()),
+            ("bfs_distances",
+             lambda: bfs_distances(edges, seeds=[0, 1, 2],
+                                   max_hops=3).agg(
+                 F.count(F.lit(1)), F.sum("dist")).collect()),
+        ]:
+            t = best_of(reps, fn)
+            print(f"{name} {tag} (n_mod={n_mod}): best={t:.2f}s",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
