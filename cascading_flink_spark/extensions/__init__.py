@@ -45,6 +45,7 @@ from .multimodal import (
 from .skew import (salted_agg, salted_broadcast_left, sample_k_per_group,
                    stratified_sample)
 from .mixture import (curriculum_shards, domain_quota, global_rank,
+                      grouped_rank,
                       group_split, quantile_normalize, shuffle_shard,
                       token_budget_mixture,
                       temperature_budgets, temperature_mixture,

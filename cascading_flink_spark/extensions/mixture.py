@@ -424,6 +424,89 @@ def global_rank(df: DataFrame, score_col: str, id_col: str = "doc_id",
              .drop("__bk", "__within", "__base"))
 
 
+def grouped_rank(df: DataFrame, group_col: str, score_col: str,
+                 id_col: str = "doc_id", rank_col: str = "rank",
+                 buckets: int = 64, sample_cap: int = 4096) -> DataFrame:
+    """EXACT per-group dense row_number by ``(score_col, id_col)``
+    ascending — without ``Window.partitionBy(group_col)``, whose plan
+    sorts EVERY row of a group through one task (on the expected input —
+    per-language/per-domain calibration of a web corpus — the top
+    language is a mega-key, the same failure
+    :func:`domain_quota`/:func:`group_quantiles` convert away from).
+
+    :func:`global_rank`'s composite range-bucket machinery with a group
+    prefix:
+
+    1. one deterministic md5 sample (``sample_cap`` rows, bounded driver
+       pull) yields up to ``buckets - 1`` composite
+       ``(group, score, id)`` boundary triples — hot groups get
+       boundaries in proportion to their row share, which is exactly the
+       split they need;
+    2. every row buckets by counting boundaries ``<=`` its own triple
+       (one codegen ``aggregate`` fold; the triple includes the id, so
+       ties split exactly);
+    3. within-(group, bucket) ``row_number`` windows — a mega-key group
+       spans MANY buckets, so no single task sorts it;
+    4. per-(group, bucket) base offsets are a partial-agg count + a
+       per-group cumsum over that tiny aggregated frame.  Groups sort
+       contiguously in the (group, score, id) total order and buckets
+       are intervals of it, so at most ``buckets - 1`` cells have a
+       NON-ZERO base (each boundary splits at most one group) — the
+       non-zero set is parameter-bounded and broadcast back.
+
+    ``base + within`` equals the per-group row_number for ANY boundary
+    set (bucketing respects the total order), so the result is
+    partition- and sample-independent; the oracle is plainly
+    ``row_number() OVER (PARTITION BY group ORDER BY score, id)``.
+    Group, score and id must be non-null."""
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    g, s, i = F.col(group_col), F.col(score_col), F.col(id_col)
+    sample = (df.select(g.alias("__g"), s.alias("__s"), i.alias("__i"),
+                        F.md5(i.cast("string")).alias("__hk"))
+                .orderBy("__hk").limit(sample_cap)
+                .select("__g", "__s", "__i").collect())
+    triples = sorted((r["__g"], r["__s"], r["__i"]) for r in sample)
+    bnds = []
+    if len(triples) > 1 and buckets > 1:
+        step = len(triples) / buckets
+        bnds = sorted({triples[min(int(j * step), len(triples) - 1)]
+                       for j in range(1, buckets)})
+    cur = F.struct(g.alias("g"), s.alias("s"), i.alias("i"))
+    if bnds:
+        # cast boundary literals back to the SOURCE column types (same
+        # round-trip hazard global_rank documents)
+        g_t = df.schema[group_col].dataType
+        s_t = df.schema[score_col].dataType
+        i_t = df.schema[id_col].dataType
+        b_lit = F.array(*[F.struct(F.lit(a).cast(g_t).alias("g"),
+                                   F.lit(b).cast(s_t).alias("s"),
+                                   F.lit(c).cast(i_t).alias("i"))
+                          for a, b, c in bnds])
+        bucket = F.aggregate(
+            b_lit, F.lit(0),
+            lambda acc, x: acc + F.when(x <= cur, 1).otherwise(0))
+    else:
+        bucket = F.lit(0)
+    d = df.withColumn("__bk", bucket)
+    w_b = (Window.partitionBy(group_col).orderBy("__bk")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    bases = (d.groupBy(group_col, "__bk")
+              .agg(F.count(F.lit(1)).alias("__c"))
+              .withColumn("__base", F.coalesce(F.sum("__c").over(w_b),
+                                               F.lit(0)))
+              .filter(F.col("__base") > 0)   # <= buckets - 1 rows
+              .select(group_col, "__bk", "__base"))
+    w_in = (Window.partitionBy(group_col, "__bk")
+            .orderBy(s.asc(), i.asc()))
+    return (d.withColumn("__within", F.row_number().over(w_in))
+             .join(F.broadcast(bases), [group_col, "__bk"], "left")
+             .withColumn(rank_col,
+                         (F.coalesce(F.col("__base"), F.lit(0))
+                          + F.col("__within")).cast("long"))
+             .drop("__bk", "__within", "__base"))
+
+
 def weighted_sample(df: DataFrame, weight_col: str, k: int,
                     id_col: str = "doc_id",
                     group_col: str | None = None,
@@ -479,7 +562,8 @@ def quantile_normalize(df: DataFrame, score_col: str,
                        id_col: str = "doc_id",
                        group_col: str | None = None,
                        out_col: str = "q_x1e6", buckets: int = 64,
-                       sample_cap: int = 4096) -> DataFrame:
+                       sample_cap: int = 4096,
+                       strategy: str = "bucketed") -> DataFrame:
     """Rank-based score calibration: replace each row's raw score with
     its quantile position ``(rank - 1) * 1e6 DIV (n - 1)`` within its
     group (or globally) — the standard way to make quality signals from
@@ -492,14 +576,31 @@ def quantile_normalize(df: DataFrame, score_col: str,
     integer arithmetic, 0 for the group minimum, 1e6 for the maximum,
     and single-row groups land at 0 (``DIV greatest(n-1, 1)``).
 
-    Scale shape: with ``group_col``, one shuffle on the group — both
-    the rank and the group count come out of the SAME window
-    partitioning.  Globally (``group_col=None``) it rides
+    Scale shape: the expected input is per-language/per-domain
+    calibration of a web corpus, where the top group is a double-digit
+    share of everything — a mega-key — so the grouped DEFAULT is
+    :func:`grouped_rank`'s group-prefixed range-bucket ranking (no task
+    ever sorts a whole group; the :func:`domain_quota` twoscan
+    precedent) plus one partial-agg group-count join that AQE can
+    skew-split.  ``strategy="window"`` opts into the single-shuffle
+    ``Window.partitionBy(group)`` plan — cheaper ONLY when every group
+    is known to fit one task.  Globally (``group_col=None``) it rides
     :func:`global_rank`'s distributed-sort ranking (never a
     partition-less window) plus one broadcast 1-row total, the
     :func:`curriculum_shards` pattern."""
+    if strategy not in ("bucketed", "window"):
+        raise ValueError("strategy must be 'bucketed' or 'window'")
     q_expr = F.expr(
         "(__qr - 1) * 1000000 DIV greatest(__qn - 1, 1)").cast("long")
+    if group_col is not None and strategy == "bucketed":
+        ranked = grouped_rank(df, group_col, score_col, id_col=id_col,
+                              rank_col="__qr", buckets=buckets,
+                              sample_cap=sample_cap)
+        totals = (df.groupBy(group_col)
+                  .agg(F.count(F.lit(1)).cast("long").alias("__qn")))
+        return (ranked.join(totals, group_col)
+                .withColumn(out_col, q_expr)
+                .drop("__qr", "__qn"))
     if group_col is not None:
         w = (Window.partitionBy(group_col)
              .orderBy(F.col(score_col).asc(), F.col(id_col).asc()))

@@ -8,6 +8,7 @@ from __future__ import annotations
 import datetime
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from cascading_flink_spark.extensions import (
@@ -376,12 +377,58 @@ def test_quantile_normalize_global_matches_grouped_single_group(spark):
     assert min(glob.values()) == 0 and max(glob.values()) == 1_000_000
 
 
-def test_quantile_normalize_grouped_plan_single_group_exchange(spark, sf_dir):
+def test_quantile_normalize_grouped_window_plan_single_exchange(spark,
+                                                                sf_dir):
+    """The opt-in strategy='window' path keeps its one-shuffle plan."""
     from cascading_flink_spark.extensions import quantile_normalize
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    p = _plan(quantile_normalize(docs, "n_chars", group_col="lang"))
+    p = _plan(quantile_normalize(docs, "n_chars", group_col="lang",
+                                 strategy="window"))
     assert "Exchange SinglePartition" not in p
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_quantile_normalize_grouped_default_no_megakey_sort(spark):
+    """The DEFAULT grouped path must never sort a whole group in one
+    task: one group = 90% of the rows, and the plan's only windows over
+    the fact table partition by (group, __bk) — a window partitioned by
+    the group alone with the score in its ORDER BY is the mega-key sort
+    this strategy exists to avoid."""
+    import re
+    from cascading_flink_spark.extensions import quantile_normalize
+    rows = [(i, "hot" if i % 10 else f"g{i % 7}",
+             float((i * 37) % 211)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, s double")
+    out = quantile_normalize(df, "s", id_col="doc_id", group_col="g",
+                             buckets=8, sample_cap=64)
+    p = _plan(out)
+    assert "Exchange SinglePartition" not in p
+    assert not re.findall(r"windowspecdefinition\(g#\d+, (?!__bk)", p)
+    # and the bucketed result equals the naive window twin exactly
+    a = {r.doc_id: r.q_x1e6 for r in out.collect()}
+    b = {r.doc_id: r.q_x1e6
+         for r in quantile_normalize(df, "s", id_col="doc_id",
+                                     group_col="g",
+                                     strategy="window").collect()}
+    assert a == b
+
+
+def test_grouped_rank_matches_window_rank(spark):
+    """grouped_rank == row_number() OVER (PARTITION BY g ORDER BY s, id)
+    for ANY boundary count, including buckets=1 (no boundaries) and
+    more buckets than rows."""
+    from cascading_flink_spark.extensions import grouped_rank
+    rows = [(i, f"g{i % 3}", float((i * 13) % 7)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, s double")
+    w = Window.partitionBy("g").orderBy(F.col("s").asc(),
+                                        F.col("doc_id").asc())
+    want = {r.doc_id: r.rk for r in df.withColumn(
+        "rk", F.row_number().over(w).cast("long")).collect()}
+    for bk, cap in [(1, 16), (4, 8), (128, 4096)]:
+        got = {r.doc_id: r.rank_out for r in grouped_rank(
+            df, "g", "s", id_col="doc_id", rank_col="rank_out",
+            buckets=bk, sample_cap=cap).collect()}
+        assert got == want, (bk, cap)
 
 
 # ------------------------------------------- connected_components
