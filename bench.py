@@ -39,6 +39,18 @@ points (strategy="window", strategy="onepass").  Their rows are
 NOT comparable to r6.  A local 127-row validation run on round-7 code
 medianed 0.97x vs the r6 rows otherwise (92-row overlap).
 
+Round-11 re-pin of the BENCH_r10 movers (VERDICT r10 "What's wrong #3"):
+an idle best-of-5 A/B of a 437b4cd (r9) worktree vs round-11 code measured
+pagerank 1.77 -> 1.73s, dsir_select 2.57 -> 2.57s, dsir_sample
+2.26 -> 2.12s, image_dups 3.38 -> 3.19s, strip_spans_against
+2.56 -> 2.48s — the r10 rows (pagerank 1.98s etc.) were concurrent-load
+noise, not regressions; no bisect needed.  The one real mover is
+pagerank_ppr 1.70 -> 1.91s (+12%, inside the noise band): the r10 in-plan
+seed-validation aggregate scans the pinned node set once at init (not per
+iteration — it rides the init frame's broadcast subtree, which the
+localCheckpoint pins), so the cost is the validation's irreducible price
+and stays O(nodes) regardless of iterations.
+
 Round-9 comparability note: the persist() -> localCheckpoint cache-
 hygiene sweep (banded signatures, winnow fingerprints, cluster
 pair/edge frames, IVF cells, bigram_lm partials) re-scoped 17 queries'

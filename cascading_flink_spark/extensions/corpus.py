@@ -184,8 +184,10 @@ def corpus_drift(df: DataFrame, slice_col: str = "source",
     — one broadcast |slices|-row totals join and one broadcast 1-row
     corpus total; the |vocab| x |slices| compare frame partial-aggs
     back down to |slices| rows.  No windows, no driver pulls."""
-    if scale < 1_000_000:
-        raise ValueError("scale must be >= 1e6 (output is x1e6)")
+    if scale < 1_000_000 or scale % 1_000_000 != 0:
+        raise ValueError(
+            "scale must be a positive multiple of 1e6 (output is x1e6; "
+            "a non-multiple would silently rescale the reported drift)")
     toks = _tok_array(text_col, lower=True)
     tf = (df.select(F.col(slice_col).alias("slice"),
                     F.explode(toks).alias("term"))

@@ -243,7 +243,11 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame,
             planes=margin_kwargs.get("planes", 8),
             tables=margin_kwargs.get("tables", 4))
         drop = mined.select(F.col("id_b").alias(id_col))
-        deduped = deduped.join(F.broadcast(drop), id_col, "left_anti")
+        # the mined-pair set is DATA-bounded (pivot-slice size), not
+        # parameter-bounded like the DSIR keep set below — no broadcast
+        # hint; AQE picks the join for whatever a high-dup bilingual
+        # corpus actually mines
+        deduped = deduped.join(drop, id_col, "left_anti")
         stages["margin_mined"] = deduped
 
     # 5. decontamination: benchmark grams broadcast, corpus unshuffled

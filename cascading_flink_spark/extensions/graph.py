@@ -462,17 +462,19 @@ def connected_components(edges: DataFrame, rounds: int = 8,
     e = (e.unionByName(e.select(F.col("dst").alias("src"),
                                 F.col("src").alias("dst")))
          .localCheckpoint(eager=False))
+    # comp keeps the node column's OWN type (min works on strings too);
+    # a long cast would NULL out non-numeric ids under non-ANSI casting
     lab = (e.select(F.col("src").alias("node"))
            .unionByName(e.select(F.col("dst").alias("node")))
            .distinct()
-           .select("node", F.col("node").cast("long").alias("comp"))
+           .select("node", F.col("node").alias("comp"))
            .localCheckpoint(eager=False))
     for _ in range(int(rounds)):
         relax = (e.join(lab.withColumnRenamed("node", "src"), "src")
                  .select(F.col("dst").alias("node"), "comp"))
         lab = (lab.unionByName(relax)
                .groupBy("node")
-               .agg(F.min("comp").cast("long").alias("comp"))
+               .agg(F.min("comp").alias("comp"))
                .localCheckpoint(eager=False))
     return lab
 

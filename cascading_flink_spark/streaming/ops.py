@@ -169,9 +169,14 @@ def stream_session_transitions(df: DataFrame, key_col: str = "user_id",
         import pandas as pd
         last_us, last_type = state.get if state.exists else (None, None)
         counts: dict = {}
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
+        # applyInPandasWithState can split one key's micro-batch into
+        # multiple Arrow chunks (~10k rows each): concatenate BEFORE the
+        # single sort pass, or the (ts_us, id) processing order — and
+        # with it the transition counts — becomes chunk-order dependent
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        batch = (pd.concat(chunks, ignore_index=True)
+                 if len(chunks) > 1 else None)
+        for pdf in ([batch] if batch is not None else chunks):
             pdf = pdf.sort_values(["__us", id_col])
             for us, tp in zip(pdf["__us"], pdf[type_col]):
                 us = int(us)

@@ -1,0 +1,72 @@
+"""Round-11 operator tests: ADVICE-r10 fixes (string-id connected
+components, corpus_drift scale divisibility, streaming chunk-order
+independence) and the VERDICT-r10 board (log-round CC twin, flagship
+margin-drop join strategy)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ------------------------------------ connected_components id typing
+
+def test_connected_components_string_node_ids(spark):
+    """ADVICE r10: comp must keep the node column's own type — a long
+    cast would NULL out hostname-style ids under non-ANSI casting."""
+    from cascading_flink_spark.extensions import connected_components
+    e = spark.createDataFrame(
+        [("a.com", "b.com"), ("b.com", "c.com"), ("x.org", "y.org")],
+        "src string, dst string")
+    out = {r.node: r.comp for r in connected_components(e, rounds=3)
+           .collect()}
+    assert out == {"a.com": "a.com", "b.com": "a.com", "c.com": "a.com",
+                   "x.org": "x.org", "y.org": "x.org"}
+    [comp_type] = [f.dataType.simpleString()
+                   for f in connected_components(e, rounds=1).schema
+                   if f.name == "comp"]
+    assert comp_type == "string"
+
+
+# ------------------------------------------ corpus_drift scale guard
+
+def test_corpus_drift_rejects_non_multiple_scale(spark):
+    """ADVICE r10: a scale that is not a multiple of 1e6 would silently
+    rescale the reported drift by scale/(1e6*down)."""
+    from cascading_flink_spark.extensions import corpus_drift
+    df = spark.createDataFrame([("a", "x y")], "source string, text string")
+    with pytest.raises(ValueError, match="multiple"):
+        corpus_drift(df, scale=1_500_000)
+    # exact multiples stay accepted
+    assert corpus_drift(df, scale=2_000_000).collect()[0].tv_x1e6 == 0
+
+
+# ----------------------- flagship margin drop set: no broadcast hint
+
+def test_flagship_margin_drop_join_not_force_broadcast(spark, sf_dir):
+    """VERDICT r10 #5: the mined-pair drop set is data-bounded (pivot
+    slice size), so the left_anti must NOT carry an explicit broadcast
+    hint — AQE picks the strategy.  Assert on the ANALYZED plan: no
+    hint survives above the margin-stage anti join (physical broadcast
+    chosen by size/AQE is fine)."""
+    from cascading_flink_spark.extensions.curation import curate_corpus
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    _, stages = curate_corpus(
+        corpus, bench,
+        gopher_kwargs=dict(min_words=30, max_words=120,
+                           min_mean_word_len_x100=300,
+                           max_mean_word_len_x100=450, min_stop_hits=1),
+        blocklist_terms=["dup"], url_col=None, use_md5=True,
+        total_budget=8000, test_frac=0.2, context_len=512,
+        margin_kwargs=dict(side_a="en", k=4, threshold_x1e4=9000, dim=16),
+        return_stages=True)
+    analyzed = (stages["margin_mined"]._jdf.queryExecution()
+                .analyzed().toString())
+    assert "UnresolvedHint" not in analyzed
+    assert "ResolvedHint (strategy=broadcast)" not in analyzed
