@@ -1328,6 +1328,19 @@ def q_connected_components(spark, sf_dir):
     return connected_components(_thin_graph(spark, sf_dir), rounds=6)
 
 
+def q_connected_components_fast(spark, sf_dir):
+    """The log-round production CC twin (strategy='stars'): alternating
+    large-star/small-star edge rewriting (Kiveris et al. 2014) —
+    convergence is log2(n) rounds on adversarial descending-id paths
+    and 4-5 on random graphs, where hash-min needs diameter rounds;
+    still pure min-arithmetic + set-semantics DISTINCT, oracle =
+    generated unrolled MATERIALIZED CTEs replaying both phases and the
+    final min-neighbour labelling."""
+    from cascading_flink_spark.extensions import connected_components
+    return connected_components(_thin_graph(spark, sf_dir), rounds=3,
+                                strategy="stars")
+
+
 def q_link_candidates(spark, sf_dir):
     """Common-neighbour link prediction over the sparse 500-node
     graph: non-adjacent pairs sharing >= 2 neighbours, scored by
@@ -3012,6 +3025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
 
     return {
+        # --- NEW round 11 (no driver row yet) ---
+        "connected_components_fast": q_connected_components_fast,
         # --- NEW round 10 (no driver row yet) ---
         "curation_margin": q_curation_margin,
         "dsir_mixture": q_dsir_mixture,
@@ -3717,16 +3732,57 @@ _ANN_IVF_SQL = """
         """
 
 
-def _cc_oracle(rounds: int = 6) -> str:
+def _cc_oracle(rounds: int = 6, stars: bool = False) -> str:
     """Generated unrolled-round DuckDB twin of
     :func:`~cascading_flink_spark.extensions.graph.connected_components`
     over the thin-graph fixture: doubled edge list, labels init to the
     node id, one min-relaxation per round (MATERIALIZED — each c{i} is
-    read twice by round i+1)."""
+    read twice by round i+1).  With ``stars`` each round replays the
+    strategy='stars' alternating large-star/small-star edge rewrite
+    instead, and the final labels are min(v, min neighbour) over the
+    original node set."""
     sql = _THIN_EDGES_SQL + """,
         ue AS MATERIALIZED (SELECT src, dst FROM e0
                UNION ALL SELECT dst, src FROM e0),
         c0 AS (SELECT DISTINCT src AS node, src::BIGINT AS comp FROM ue)"""
+    if stars:
+        sql += """,
+        ce0 AS MATERIALIZED (
+            SELECT DISTINCT greatest(src, dst) AS hi,
+                            least(src, dst) AS lo
+            FROM ue WHERE src <> dst)"""
+        for i in range(1, rounds + 1):
+            sql += f""",
+        und{i} AS MATERIALIZED (
+            SELECT hi AS u, lo AS v FROM ce{i - 1}
+            UNION ALL SELECT lo, hi FROM ce{i - 1}),
+        lmin{i} AS MATERIALIZED (
+            SELECT u, least(u, min(v))::BIGINT AS m
+            FROM und{i} GROUP BY u),
+        lce{i} AS MATERIALIZED (
+            SELECT DISTINCT d.v AS hi, mm.m AS lo
+            FROM und{i} d JOIN lmin{i} mm ON mm.u = d.u
+            WHERE d.v > d.u),
+        smin{i} AS MATERIALIZED (
+            SELECT hi, min(lo)::BIGINT AS m FROM lce{i} GROUP BY hi),
+        ce{i} AS MATERIALIZED (
+            SELECT DISTINCT hi, lo FROM (
+                SELECT e.lo AS hi, s.m AS lo
+                FROM lce{i} e JOIN smin{i} s ON s.hi = e.hi
+                WHERE e.lo <> s.m
+                UNION ALL
+                SELECT s.hi AS hi, s.m AS lo FROM smin{i} s))"""
+        sql += f""",
+        undf AS MATERIALIZED (
+            SELECT hi AS node, lo AS nb FROM ce{rounds}
+            UNION ALL SELECT lo, hi FROM ce{rounds}),
+        nbmin AS MATERIALIZED (
+            SELECT node, min(nb)::BIGINT AS mn FROM undf GROUP BY node)
+        SELECT c0.node::BIGINT AS node,
+               least(c0.node, coalesce(nb.mn, c0.node))::BIGINT AS comp
+        FROM c0 LEFT JOIN nbmin nb ON nb.node = c0.node
+        """
+        return sql
     for i in range(1, rounds + 1):
         sql += f""",
         c{i} AS MATERIALIZED (
@@ -4420,6 +4476,7 @@ def oracle_sql() -> dict[str, str]:
         "bfs_distances": _bfs_oracle(seeds=[0, 1, 2], hops=3),
         "rrf_hybrid": _rrf_oracle(k=60),
         "connected_components": _cc_oracle(rounds=6),
+        "connected_components_fast": _cc_oracle(rounds=3, stars=True),
         "link_candidates": _link_candidates_oracle(min_common=2,
                                                    degree_cap=64),
         "hard_negatives": f"""

@@ -32,6 +32,62 @@ def test_connected_components_string_node_ids(spark):
     assert comp_type == "string"
 
 
+def test_connected_components_stars_log_rounds_on_path(spark):
+    """Alternating large/small-star halves the problem each round
+    (log2(16) = 4 rounds converge the 16-node path) while hash-min
+    (one hop per round) still carries stale labels.  Ids are laid out
+    DESCENDING along the path so the min sits at the far end — the
+    adversarial layout where label-only accelerations (pointer
+    jumping, one-hook contraction) measurably degrade to linear (the
+    reason strategy='stars' rewrites edges)."""
+    from cascading_flink_spark.extensions import connected_components
+    e = spark.createDataFrame([(15 - i, 15 - i - 1) for i in range(15)],
+                              "src long, dst long")
+    slow = {r.node: r.comp for r in connected_components(
+        e, rounds=4, strategy="hashmin").collect()}
+    fast = {r.node: r.comp for r in connected_components(
+        e, rounds=4, strategy="stars").collect()}
+    assert fast == {i: 0 for i in range(16)}
+    assert slow[15] != 0  # 15 hops away, only 4 covered
+
+
+def test_connected_components_stars_equals_hashmin_converged(spark):
+    """The kmeans production/gated-twin convention: on a converged
+    graph the two strategies agree exactly (same min-member
+    representative)."""
+    from cascading_flink_spark.extensions import connected_components
+    import random
+    rng = random.Random(11)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(45)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    a = {r.node: r.comp for r in connected_components(
+        e, rounds=60, strategy="hashmin").collect()}
+    b = {r.node: r.comp for r in connected_components(
+        e, rounds=7, strategy="stars").collect()}
+    assert a == b
+
+
+def test_connected_components_stars_two_islands_and_strings(spark):
+    """Stars keeps hashmin's semantics on islands and non-numeric
+    ids (comp stays in the node column's own type; greatest/least and
+    min order strings)."""
+    from cascading_flink_spark.extensions import connected_components
+    e = spark.createDataFrame(
+        [("a.com", "b.com"), ("b.com", "c.com"), ("x.org", "y.org")],
+        "src string, dst string")
+    out = {r.node: r.comp for r in connected_components(
+        e, rounds=3, strategy="stars").collect()}
+    assert out == {"a.com": "a.com", "b.com": "a.com", "c.com": "a.com",
+                   "x.org": "x.org", "y.org": "x.org"}
+
+
+def test_connected_components_strategy_validation(spark):
+    from cascading_flink_spark.extensions import connected_components
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="strategy"):
+        connected_components(e, strategy="bigstar")
+
+
 # ------------------------------------------ corpus_drift scale guard
 
 def test_corpus_drift_rejects_non_multiple_scale(spark):
