@@ -928,6 +928,39 @@ def q_rrf_hybrid(spark, sf_dir):
     return rrf_fuse([lsh, ivf], k=60)
 
 
+_RRF3_TERMS = {0: ["the", "data"], 1: ["model", "system"],
+               2: ["the", "model"], 3: ["data", "system"],
+               4: ["the", "system"]}
+
+
+def q_rrf_hybrid3(spark, sf_dir):
+    """TRUE hybrid lexical+dense fusion: the md5-LSH and md5-IVF dense
+    top-10 lists fused with a BM25 lexical top-10 leg for the same 5
+    queries (one literal term set per query, scored in ONE corpus pass
+    by bm25_multi_scores — vec_id i is the embedding of doc i in the
+    test fixture).  BM25's integer x10000 scores make the lexical
+    ranks engine-identical; the oracle embeds both index oracles plus
+    the multi-query BM25 replay as derived tables."""
+    from pyspark.sql import Window
+    from cascading_flink_spark.extensions import (bm25_multi_scores,
+                                                  rrf_fuse)
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    queries_df = (emb.filter(F.col("vec_id") < 5)
+                  .select(F.col("vec_id").alias("query_id"), "embedding"))
+    lsh = lsh_bucketed_topk_md5(emb, queries_df, k=10, planes=4, dim=64,
+                                tables=4)
+    ivf = ivf_topk_md5(emb, queries_df, k=10, n_centroids=16, n_probe=4)
+    bm = bm25_multi_scores(docs, _RRF3_TERMS)
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.desc("score_x10000"), F.asc("doc_id")))
+    bm10 = (bm.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= 10)
+            .select("query_id", F.col("doc_id").alias("vec_id"),
+                    F.col("score_x10000").alias("sim")))
+    return rrf_fuse([lsh, ivf, bm10], k=60)
+
+
 def q_hard_negatives(spark, sf_dir):
     """DPR-style hard-negative mining: gold = each query's exact cosine
     top-1 (brute force over the 4dp-rounded sims with id tie-breaks);
@@ -1418,6 +1451,71 @@ def q_session_transitions(spark, sf_dir):
     from cascading_flink_spark.extensions import session_transitions
     return session_transitions(_t(spark, sf_dir, "events"),
                                gap_us=_SESSION_GAP_US)
+
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_session_funnel(spark, sf_dir):
+    """Ordered view->click->purchase funnel WITHIN 6h sessions — the
+    session_labels/event_funnel composition: a session counts for step
+    i iff it contains the whole step prefix at strictly increasing
+    times.  One shuffle total: session labels from the user_id window
+    (event type rides along), each funnel stage a conditional min
+    window over (user, session_n) — a refinement of the same
+    partitioning, plan-asserted single-exchange."""
+    from cascading_flink_spark.extensions import session_funnel
+    return session_funnel(_t(spark, sf_dir, "events"), _FUNNEL_STEPS,
+                          gap_us=_SESSION_GAP_US)
+
+
+def _session_funnel_oracle(steps: list[str], gap_us: int) -> str:
+    """Generated DuckDB twin of q_session_funnel: the session_labels
+    CTE chain carrying event_type, one nested window CTE per funnel
+    step (each conditional min references the previous step's time),
+    a per-session min rollup and a 1-row count unpivoted by UNION."""
+    sql = f"""
+        WITH e AS (SELECT user_id, event_id, event_type,
+                          epoch_us(ts::TIMESTAMP) AS ts_us
+                   FROM events
+                   WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        l AS (SELECT user_id, event_id, event_type, ts_us,
+                     CASE WHEN lag(ts_us) OVER w IS NULL
+                            OR ts_us - lag(ts_us) OVER w > {gap_us}
+                          THEN 1 ELSE 0 END AS ns
+              FROM e WINDOW w AS (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id)),
+        lab AS (SELECT user_id, event_type, ts_us,
+                       sum(ns) OVER (PARTITION BY user_id
+                                     ORDER BY ts_us, event_id
+                                     ROWS UNBOUNDED PRECEDING)
+                           AS session_n
+                FROM l)"""
+    prev = "lab"
+    for i, s in enumerate(steps, start=1):
+        gate = f" AND ts_us > t{i - 1}" if i > 1 else ""
+        sql += f""",
+        t{i}c AS (SELECT *,
+                      min(CASE WHEN event_type = '{s}'{gate}
+                               THEN ts_us END)
+                          OVER (PARTITION BY user_id, session_n) AS t{i}
+                  FROM {prev})"""
+        prev = f"t{i}c"
+    mins = ", ".join(f"min(t{i}) AS t{i}"
+                     for i in range(1, len(steps) + 1))
+    cnts = ", ".join(f"count(t{i}) AS c{i}"
+                     for i in range(1, len(steps) + 1))
+    legs = " UNION ALL ".join(
+        f"SELECT {i}::BIGINT AS step, '{s}' AS step_name, "
+        f"c{i}::BIGINT AS n_sessions FROM c"
+        for i, s in enumerate(steps, start=1))
+    sql += f""",
+        per AS (SELECT user_id, session_n, {mins}
+                FROM {prev} GROUP BY 1, 2),
+        c AS (SELECT {cnts} FROM per)
+        {legs}
+    """
+    return sql
 
 
 def q_quantile_norm_lang(spark, sf_dir):
@@ -3027,6 +3125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- NEW round 11 (no driver row yet) ---
         "connected_components_fast": q_connected_components_fast,
+        "rrf_hybrid3": q_rrf_hybrid3,
+        "session_funnel": q_session_funnel,
         # --- NEW round 10 (no driver row yet) ---
         "curation_margin": q_curation_margin,
         "dsir_mixture": q_dsir_mixture,
@@ -3630,6 +3730,76 @@ def _rrf_oracle(k: int = 60, scale: int = 1_000_000) -> str:
         u AS (SELECT query_id, vec_id, {scale} // ({k} + r) AS s FROM r1
               UNION ALL
               SELECT query_id, vec_id, {scale} // ({k} + r) FROM r2)
+        SELECT query_id, vec_id, sum(s)::BIGINT AS rrf_x,
+               count(*)::BIGINT AS n_lists
+        FROM u GROUP BY 1, 2
+    """
+
+
+def _rrf3_oracle(k: int = 60, scale: int = 1_000_000) -> str:
+    """DuckDB twin of q_rrf_hybrid3: the two approximate-index oracles
+    plus a multi-query BM25 replay (literal (query_id, term) grid, one
+    tf/df/avgdl computation shared across queries — the
+    bm25_multi_scores shape), each truncated to its per-query top-10,
+    then the exact rank + truncating-division fusion arithmetic."""
+    qt_rows = ", ".join(
+        f"({qid}, '{t}')"
+        for qid in sorted(_RRF3_TERMS)
+        for t in _RRF3_TERMS[qid])
+    all_terms = ", ".join(
+        f"'{t}'" for t in sorted({t for ts in _RRF3_TERMS.values()
+                                  for t in ts}))
+    return f"""
+        WITH lsh AS ({_ANN_LSH_SQL}),
+        ivf AS ({_ANN_IVF_SQL}),
+        qt(query_id, term) AS (VALUES {qt_rows}),
+        base AS (
+            SELECT doc_id,
+                   CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(lower(text)),
+                                                   '\\s+')
+                   END AS t
+            FROM documents),
+        dl AS (SELECT doc_id, len(t) AS dl FROM base),
+        stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM (SELECT doc_id, unnest(t) AS term FROM base)
+            WHERE term IN ({all_terms})
+            GROUP BY 1, 2),
+        docfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        sc AS (
+            SELECT qt.query_id, tf.doc_id,
+                   CAST(floor(sum(
+                       ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                       * tf * (1.2 + 1)
+                       / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                   ) * 10000 + 0.5) AS BIGINT) AS sim
+            FROM tf
+            JOIN docfreq USING (term)
+            JOIN dl USING (doc_id)
+            CROSS JOIN stats
+            JOIN qt USING (term)
+            GROUP BY 1, 2),
+        bm AS (
+            SELECT query_id, doc_id AS vec_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, doc_id) AS rn
+            FROM sc),
+        r1 AS (SELECT query_id, vec_id,
+                      row_number() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, vec_id) AS r
+               FROM lsh),
+        r2 AS (SELECT query_id, vec_id,
+                      row_number() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, vec_id) AS r
+               FROM ivf),
+        u AS (SELECT query_id, vec_id, {scale} // ({k} + r) AS s FROM r1
+              UNION ALL
+              SELECT query_id, vec_id, {scale} // ({k} + r) FROM r2
+              UNION ALL
+              SELECT query_id, vec_id, {scale} // ({k} + rn)
+              FROM bm WHERE rn <= 10)
         SELECT query_id, vec_id, sum(s)::BIGINT AS rrf_x,
                count(*)::BIGINT AS n_lists
         FROM u GROUP BY 1, 2
@@ -4475,6 +4645,9 @@ def oracle_sql() -> dict[str, str]:
         "k_core": _k_core_oracle(k=3, rounds=6),
         "bfs_distances": _bfs_oracle(seeds=[0, 1, 2], hops=3),
         "rrf_hybrid": _rrf_oracle(k=60),
+        "rrf_hybrid3": _rrf3_oracle(k=60),
+        "session_funnel": _session_funnel_oracle(_FUNNEL_STEPS,
+                                                 _SESSION_GAP_US),
         "connected_components": _cc_oracle(rounds=6),
         "connected_components_fast": _cc_oracle(rounds=3, stars=True),
         "link_candidates": _link_candidates_oracle(min_common=2,

@@ -64,7 +64,8 @@ from .dsir import (dsir_bucket_weights, dsir_mixture_select, dsir_sample,
 from .graph import (bfs_distances, connected_components, hits, k_core,
                     label_propagation, link_candidates, pagerank,
                     triangle_count)
-from .corpus import (bigram_lm_scores, bm25_scores, corpus_drift,
+from .corpus import (bigram_lm_scores, bm25_multi_scores, bm25_scores,
+                     corpus_drift,
                      corpus_report,
                      inverted_index,
                      ngram_counts, oov_stats, repetition_stats,
@@ -72,7 +73,8 @@ from .corpus import (bigram_lm_scores, bm25_scores, corpus_drift,
 from .analytics import (cardinality_report, cohort_retention,
                         event_funnel, group_quantiles,
                         group_quantiles_binned, heavy_hitters, hot_keys,
-                        rolling_stats, session_stats, session_transitions,
+                        rolling_stats, session_funnel, session_stats,
+                        session_transitions,
                         sessionize, value_histogram)
 
 __all__ = [n for n in dir() if not n.startswith("_")]

@@ -448,7 +448,8 @@ def cardinality_report(df: DataFrame, group_col: str,
 
 def sessionize(events: DataFrame, key_col: str = "user_id",
                ts_col: str = "ts", id_col: str = "event_id",
-               gap_us: int = 1800 * 1_000_000) -> DataFrame:
+               gap_us: int = 1800 * 1_000_000,
+               keep_cols: list[str] | None = None) -> DataFrame:
     """Gap-based sessionization: label every event with its session —
     ``(key, id, ts_us, session_n, session_seq)`` where a NEW session
     starts whenever the gap to the key's previous event exceeds
@@ -473,18 +474,22 @@ def sessionize(events: DataFrame, key_col: str = "user_id",
     partition — no second window partitioning, no driver pulls.  A
     mega-key serializes in one task's sort (the documented
     ``rolling_stats`` limit); bound it upstream by splitting the key
-    by day."""
+    by day.  ``keep_cols`` rides extra columns through the same window
+    pass (e.g. the event type for :func:`session_funnel`) — no join
+    back onto the source."""
     if gap_us < 1:
         raise ValueError("gap_us must be >= 1")
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     w = Window.partitionBy(key_col).orderBy("__us", id_col)
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    extra = [F.col(c) for c in (keep_cols or [])]
     # NULL keys/timestamps are out of contract (engines disagree on NULL
     # sort position — Spark NULLS FIRST, DuckDB NULLS LAST) and dropped
     # in-plan, the cohort_retention convention.
     base = (events.filter(F.col(key_col).isNotNull()
                           & F.col(ts_col).isNotNull())
-            .select(F.col(key_col), F.col(id_col), us.alias("__us"))
+            .select(F.col(key_col), F.col(id_col), us.alias("__us"),
+                    *extra)
             .withColumn("__ns", F.when(
                 (F.col("__us") - F.lag("__us", 1).over(w) > F.lit(int(gap_us)))
                 | F.lag("__us", 1).over(w).isNull(), 1).otherwise(0))
@@ -494,7 +499,8 @@ def sessionize(events: DataFrame, key_col: str = "user_id",
         F.sum("__ns").over(run).cast("long").alias("session_n"),
         (F.col("__rn")
          - F.max(F.when(F.col("__ns") == 1, F.col("__rn"))).over(run)
-         + 1).cast("long").alias("session_seq"))
+         + 1).cast("long").alias("session_seq"),
+        *extra)
 
 
 def session_stats(events: DataFrame, key_col: str = "user_id",
@@ -517,6 +523,57 @@ def session_stats(events: DataFrame, key_col: str = "user_id",
                  F.max("ts_us").alias("end_us"))
             .withColumn("duration_us",
                         (F.col("end_us") - F.col("start_us")).cast("long")))
+
+
+def session_funnel(events: DataFrame, steps: list[str],
+                   key_col: str = "user_id", ts_col: str = "ts",
+                   id_col: str = "event_id",
+                   type_col: str = "event_type",
+                   gap_us: int = 1800 * 1_000_000) -> DataFrame:
+    """Ordered funnel WITHIN sessions — the actual product-analytics
+    ask that :func:`event_funnel` (per USER, unbounded time) and
+    :func:`sessionize` separately approximate: ``(step, step_name,
+    n_sessions)`` where a session counts for step ``i`` iff it
+    contains the whole step prefix at strictly increasing times
+    (``t_i = min event time of steps[i] after t_{i-1}``, the
+    :func:`event_funnel` recurrence, scoped to the session).
+
+    Scale shape — ONE shuffle total: the session labels come out of
+    :func:`sessionize`'s ``key_col`` window (event type rides along
+    via ``keep_cols``, no join back), and every funnel stage is a
+    conditional ``min`` window over ``(key, session_n)`` — a
+    REFINEMENT of the key partitioning, so Spark reuses the existing
+    exchange and only re-sorts; no per-step joins, no per-step scans
+    (contrast event_funnel's per-step source scans, which are the
+    right trade only when steps hit disjoint source partitions).  The
+    final counts are one partial-agg groupBy + a 1-row aggregate,
+    unpivoted with ``stack``."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    lab = sessionize(events, key_col=key_col, ts_col=ts_col,
+                     id_col=id_col, gap_us=gap_us,
+                     keep_cols=[type_col])
+    wsn = Window.partitionBy(key_col, "session_n")
+    d = lab
+    for i, step in enumerate(steps, start=1):
+        cond = F.col(type_col) == step
+        if i > 1:
+            cond = cond & (F.col("ts_us") > F.col(f"__t{i - 1}"))
+        d = d.withColumn(
+            f"__t{i}", F.min(F.when(cond, F.col("ts_us"))).over(wsn))
+    per = (d.groupBy(key_col, "session_n")
+           .agg(*[F.min(f"__t{i}").alias(f"__t{i}")
+                  for i in range(1, len(steps) + 1)]))
+    counts = per.agg(*[F.count(f"__t{i}").alias(f"__c{i}")
+                       for i in range(1, len(steps) + 1)])
+    stack_args = ", ".join(
+        f"{i}, '{s}', __c{i}" for i, s in enumerate(steps, start=1))
+    return counts.selectExpr(
+        f"stack({len(steps)}, {stack_args}) "
+        "AS (step, step_name, n_sessions)").select(
+        F.col("step").cast("long").alias("step"),
+        "step_name",
+        F.col("n_sessions").cast("long").alias("n_sessions"))
 
 
 def session_transitions(events: DataFrame, key_col: str = "user_id",

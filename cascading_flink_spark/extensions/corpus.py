@@ -393,6 +393,61 @@ def bm25_scores(df: DataFrame, query_terms: list[str],
                     .alias("score_x10000")))
 
 
+def bm25_multi_scores(df: DataFrame, queries: dict,
+                      k1: float = 1.2, b: float = 0.75,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      lower: bool = True) -> DataFrame:
+    """BM25 relevance for a BATCH of queries in one corpus pass:
+    ``(query_id, doc_id, score_x10000)`` for every (query, matching
+    doc) pair — the lexical leg of a hybrid retrieval pipeline, where
+    re-running :func:`bm25_scores` per query would rescan the corpus
+    |queries| times.
+
+    ``queries`` maps query id -> term list (a bounded literal —
+    broadcast into the plan, the driver-pull contract).  Scale shape:
+    ONE tokenize + explode pass filtered to the UNION of all query
+    terms before any shuffle, one per-(doc, term) tf partial agg (same
+    as :func:`bm25_scores`), then a broadcast join onto the literal
+    (query_id, term) grid fans matching postings out per query — the
+    corpus never rescans or reshuffles per query.  Per-term idf/df and
+    the avgdl scalar are identical to :func:`bm25_scores`, so each
+    query's scores equal the single-query operator's exactly
+    (pytest-pinned)."""
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    pairs = sorted({(qid, t.lower() if lower else t)
+                    for qid, ts in queries.items() for t in ts})
+    if not pairs:
+        raise ValueError("queries must contain at least one term")
+    spark = df.sparkSession
+    qt = spark.createDataFrame(pairs, ["query_id", "__term"])
+    all_terms = sorted({t for _, t in pairs})
+    toks = _tok_array(text_col, lower)
+    base = df.select(F.col(id_col), toks.alias("__t"))
+    dl = base.select(F.col(id_col), F.size("__t").alias("__dl"))
+    stats = F.broadcast(dl.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__dl").alias("__avgdl")))
+    hits = (base.select(F.col(id_col), F.explode("__t").alias("__term"))
+            .filter(F.col("__term").isin(*all_terms)))
+    tf = hits.groupBy(id_col, "__term").agg(F.count(F.lit(1)).alias("__tf"))
+    docfreq = F.broadcast(
+        tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df")))
+    idf = F.log(F.lit(1.0) + (F.col("__n") - F.col("__df") + 0.5)
+                / (F.col("__df") + 0.5))
+    norm = (F.col("__tf") * (k1 + 1)
+            / (F.col("__tf")
+               + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))))
+    return (tf.join(docfreq, "__term")
+              .join(dl, id_col)
+              .crossJoin(stats)
+              .withColumn("__s", idf * norm)
+              .join(F.broadcast(qt), "__term")
+              .groupBy("query_id", id_col)
+              .agg(F.floor(F.sum("__s") * 10000 + 0.5).cast("long")
+                    .alias("score_x10000")))
+
+
 def bigram_lm_scores(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id",
                      k_smooth: int = 1) -> DataFrame:

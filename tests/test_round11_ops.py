@@ -101,6 +101,93 @@ def test_corpus_drift_rejects_non_multiple_scale(spark):
     assert corpus_drift(df, scale=2_000_000).collect()[0].tv_x1e6 == 0
 
 
+# ------------------------------------------------------ session_funnel
+
+def test_session_funnel_hand_fixture(spark):
+    """Strictly-ordered prefix within ONE session: wrong order, equal
+    timestamps, and cross-session step pairs must not count."""
+    import datetime
+    from cascading_flink_spark.extensions import session_funnel
+
+    def ts(s):
+        return datetime.datetime(2024, 1, 1, 0, 0, 0) \
+            + datetime.timedelta(seconds=s)
+
+    rows = [
+        # u1: clean view -> click -> purchase, one session
+        (1, 1, ts(0), "view"), (1, 2, ts(10), "click"),
+        (1, 3, ts(20), "purchase"),
+        # u2: click BEFORE view, purchase after — click leg must fail
+        (2, 4, ts(0), "click"), (2, 5, ts(10), "view"),
+        (2, 6, ts(20), "purchase"),
+        # u3: click at the SAME instant as view — not strictly after
+        (3, 7, ts(0), "view"), (3, 8, ts(0), "click"),
+        # u4: view and click in DIFFERENT sessions (gap > gap_us)
+        (4, 9, ts(0), "view"), (4, 10, ts(5000), "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, "
+              "event_type string")
+    out = {r.step_name: r.n_sessions for r in session_funnel(
+        df, ["view", "click", "purchase"],
+        gap_us=1000 * 1_000_000).collect()}
+    assert out == {"view": 4, "click": 1, "purchase": 1}
+
+
+def test_session_funnel_single_hash_exchange(spark, sf_dir):
+    """The whole composition — session window + every funnel-stage
+    window + the per-session rollup — must ride ONE hash exchange on
+    user_id (the stage windows refine the same partitioning)."""
+    from cascading_flink_spark.extensions import session_funnel
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    p = _plan(session_funnel(ev, ["view", "click", "purchase"],
+                             gap_us=6 * 3600 * 1_000_000))
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+# -------------------------------------------------- bm25_multi_scores
+
+def test_bm25_multi_matches_single_query(spark, sf_dir):
+    """Each query's scores out of the one-pass batch operator equal the
+    single-query bm25_scores exactly."""
+    from cascading_flink_spark.extensions import (bm25_multi_scores,
+                                                  bm25_scores)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    multi = bm25_multi_scores(docs, {7: ["the", "data"], 9: ["data"]})
+    got7 = {r.doc_id: r.score_x10000 for r in multi
+            .filter(F.col("query_id") == 7).collect()}
+    got9 = {r.doc_id: r.score_x10000 for r in multi
+            .filter(F.col("query_id") == 9).collect()}
+    want7 = {r.doc_id: r.score_x10000
+             for r in bm25_scores(docs, ["the", "data"]).collect()}
+    want9 = {r.doc_id: r.score_x10000
+             for r in bm25_scores(docs, ["data"]).collect()}
+    assert got7 == want7 and got9 == want9 and want7 and want9
+
+
+def test_bm25_multi_scan_count_independent_of_query_count(spark, sf_dir):
+    """The corpus-pass count must not grow with |queries| — the whole
+    point of the batch operator (the per-query grid join is a
+    broadcast of a bounded literal)."""
+    from cascading_flink_spark.extensions import bm25_multi_scores
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    one = _plan(bm25_multi_scores(docs, {0: ["the"]}))
+    five = _plan(bm25_multi_scores(
+        docs, {i: ts for i, ts in enumerate(
+            [["the"], ["data"], ["model"], ["system"], ["the", "data"]])}))
+    assert one.count("Scan parquet") == five.count("Scan parquet")
+    assert "BroadcastHashJoin" in five
+
+
+def test_bm25_multi_validation(spark):
+    from cascading_flink_spark.extensions import bm25_multi_scores
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_multi_scores(df, {})
+    with pytest.raises(ValueError, match="term"):
+        bm25_multi_scores(df, {0: []})
+
+
 # ----------------------- flagship margin drop set: no broadcast hint
 
 def test_flagship_margin_drop_join_not_force_broadcast(spark, sf_dir):
