@@ -435,6 +435,17 @@ def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.8)
 
 
+def q_ngram_containment(spark, sf_dir):
+    """Asymmetric n-gram containment near-dup pairs (|A∩B|/|A| >= 0.6,
+    directed): the near-SUPERSET dedup case symmetric Jaccard misses —
+    quotes inside articles, boilerplate-engulfed pages.  A-side
+    prefix-filtered against the full inverted index (exact prune);
+    oracle = the naive all-pairs intersection replay."""
+    from cascading_flink_spark.extensions import ngram_containment_pairs
+    return ngram_containment_pairs(_t(spark, sf_dir, "documents"),
+                                   n=3, threshold=0.6)
+
+
 def q_minhash_lsh(spark, sf_dir):
     """md5-hex MinHash (lexicographic min over md5 hex strings): fully
     DuckDB-reproducible, so the correctness gate hash-checks it.  The
@@ -1668,6 +1679,67 @@ def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
                    ORDER BY list_cosine_similarity(vd.dv, c.cvec) DESC,
                             c.cluster) AS rn
           FROM vd CROSS JOIN c{n} c) WHERE rn = 1""".format(n=iters)
+    return sql
+
+
+def q_kcenter(spark, sf_dir):
+    """Gonzalez farthest-point k-center selection (k=6) over the
+    embeddings table — the diverse-subset/coreset sampler: every
+    point's nearest selected center, selection rank and EXACT integer
+    squared-L2 distance; md5-minimal init, ORDER BY dmin DESC with id
+    tie-breaks per pick, strict-< reassignment.  Oracle = generated
+    unrolled per-pick CTEs (the kmeans_md5 convention)."""
+    from cascading_flink_spark.extensions import kcenter_select
+    return kcenter_select(_t(spark, sf_dir, "embeddings"), k=6)
+
+
+def _kcenter_oracle(k: int = 6, dim: int = 64) -> str:
+    """Unrolled farthest-point DuckDB twin of q_kcenter: one (pick
+    c{i}, distance x{i}, relabel d{i}) CTE triple per round, generated
+    so the SQL can never drift from the declared k."""
+    sql = """
+        WITH v AS (SELECT vec_id,
+                          [round(x * 1000000)::BIGINT
+                           for x in embedding::DOUBLE[]] AS sv
+                   FROM embeddings),
+        c1 AS (SELECT vec_id, sv FROM v
+               ORDER BY md5(vec_id::VARCHAR) LIMIT 1),
+        x1 AS (SELECT d.vec_id,
+                      sum((d.sv[r.i] - c.sv[r.i])
+                          * (d.sv[r.i] - c.sv[r.i]))::BIGINT AS d2
+               FROM v d CROSS JOIN c1 c
+               CROSS JOIN range(1, {dim} + 1) r(i)
+               GROUP BY 1),
+        d1 AS MATERIALIZED (
+               SELECT d.vec_id, d.sv, x.d2 AS dmin,
+                      c.vec_id AS center, 1::BIGINT AS rk
+               FROM v d JOIN x1 x USING (vec_id)
+               CROSS JOIN c1 c)""".format(dim=dim)
+    step = """,
+        c{i} AS (SELECT vec_id, sv FROM d{p}
+                 ORDER BY dmin DESC, vec_id LIMIT 1),
+        x{i} AS (SELECT d.vec_id,
+                        sum((d.sv[r.i] - c.sv[r.i])
+                            * (d.sv[r.i] - c.sv[r.i]))::BIGINT AS d2
+                 FROM d{p} d CROSS JOIN c{i} c
+                 CROSS JOIN range(1, {dim} + 1) r(i)
+                 GROUP BY 1),
+        d{i} AS MATERIALIZED (
+               SELECT d.vec_id, d.sv,
+                      CASE WHEN x.d2 < d.dmin THEN x.d2
+                           ELSE d.dmin END AS dmin,
+                      CASE WHEN x.d2 < d.dmin THEN c.vec_id
+                           ELSE d.center END AS center,
+                      (CASE WHEN x.d2 < d.dmin THEN {i}
+                            ELSE d.rk END)::BIGINT AS rk
+               FROM d{p} d JOIN x{i} x USING (vec_id)
+               CROSS JOIN c{i} c)"""
+    for i in range(2, k + 1):
+        sql += step.format(i=i, p=i - 1, dim=dim)
+    sql += f"""
+        SELECT vec_id, center, rk AS center_rank, dmin AS dist_x
+        FROM d{k}
+    """
     return sql
 
 
@@ -3127,6 +3199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components_fast": q_connected_components_fast,
         "rrf_hybrid3": q_rrf_hybrid3,
         "session_funnel": q_session_funnel,
+        "kcenter": q_kcenter,
+        "ngram_containment": q_ngram_containment,
         # --- NEW round 10 (no driver row yet) ---
         "curation_margin": q_curation_margin,
         "dsir_mixture": q_dsir_mixture,
@@ -4648,6 +4722,7 @@ def oracle_sql() -> dict[str, str]:
         "rrf_hybrid3": _rrf3_oracle(k=60),
         "session_funnel": _session_funnel_oracle(_FUNNEL_STEPS,
                                                  _SESSION_GAP_US),
+        "kcenter": _kcenter_oracle(k=6),
         "connected_components": _cc_oracle(rounds=6),
         "connected_components_fast": _cc_oracle(rounds=3, stars=True),
         "link_candidates": _link_candidates_oracle(min_common=2,
@@ -5584,6 +5659,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+        """,
+        "ngram_containment": """
+            WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                          FROM documents),
+            sh AS (SELECT doc_id,
+                          list_distinct([array_to_string(t[i:i+2], ' ')
+                                         for i in range(1, greatest(len(t)-2, 0)+1)]) AS s
+                   FROM toks),
+            inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+            sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+            common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                       FROM inv a JOIN inv b USING (shingle)
+                       WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+            SELECT id_a, id_b, c::BIGINT AS n_common,
+                   round(c * 1.0 / sa.n, 4) AS containment
+            FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            WHERE c * 1.0 / sa.n >= 0.6
         """,
         "sample": """
             SELECT concat(l_orderkey, '-', l_linenumber) AS key

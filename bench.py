@@ -39,6 +39,16 @@ points (strategy="window", strategy="onepass").  Their rows are
 NOT comparable to r6.  A local 127-row validation run on round-7 code
 medianed 0.97x vs the r6 rows otherwise (92-row overlap).
 
+Round-11 comparability note: quantile_norm_lang changed DEFAULTS this
+round (VERDICT r10 "What's wrong #1") — the grouped path now rides the
+mega-key-safe grouped_rank bucketing (boundary sample + per-(group,
+bucket) windows + broadcast offsets + one AQE-skew-splittable totals
+join) instead of one Window.partitionBy(lang).  Like the r7 twoscan/
+binned default flips, it pays a fixed extra plan stage that dominates at
+sf0.1 and vanishes at scale (the old default sorted a whole language in
+one task); strategy="window" remains the small-data entry point.  Its
+row is NOT comparable to r10.
+
 Round-11 re-pin of the BENCH_r10 movers (VERDICT r10 "What's wrong #3"):
 an idle best-of-5 A/B of a 437b4cd (r9) worktree vs round-11 code measured
 pagerank 1.77 -> 1.73s, dsir_select 2.57 -> 2.57s, dsir_sample
@@ -98,6 +108,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # paths.  embedding_dups uses the LSH (scale) variant here — the exact
 # all-pairs variant is for the sf0.01 correctness gate only.
 BENCH_QUERIES = [
+    # round 11
+    "connected_components_fast",
+    "rrf_hybrid3",
+    "session_funnel",
     # round 10
     "bfs_distances",
     "rrf_hybrid",

@@ -20,7 +20,8 @@ from .curation import curate_corpus
 from .packing import chunk_corpus, overlap_chunks, pack_bins
 from .dedup import (
     dedup_against, dup_spans, gram_novelty,
-    exact_dedup, exact_dedup_pairs, ngram_jaccard_pairs, minhash_lsh_pairs,
+    exact_dedup, exact_dedup_pairs, ngram_containment_pairs,
+    ngram_jaccard_pairs, minhash_lsh_pairs,
     minhash_lsh_pairs_md5, simhash_bits, simhash_dup_pairs,
     simhash_md5_pairs, dedup_clusters, dedup_keep_best, paragraph_dedup,
     strip_boilerplate, strip_dup_spans, winnow_fingerprints, winnow_pairs,
@@ -31,6 +32,7 @@ from .similarity import (
     lsh_bucketed_topk,
     lsh_bucketed_topk_md5, ivf_topk, ivf_topk_md5,
     hard_negatives,
+    kcenter_select,
     kmeans, kmeans_assign, kmeans_md5, margin_candidates, margin_mine,
     pq_topk, pq_topk_md5,
     random_project, rrf_fuse, semdedup_pairs, semdedup_pairs_md5, sq_minmax,

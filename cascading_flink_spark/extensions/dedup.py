@@ -266,6 +266,71 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     return verified.select("id_a", "id_b", F.round("__j", 4).alias("jaccard"))
 
 
+def ngram_containment_pairs(df: DataFrame, n: int = 3,
+                            threshold: float = 0.8,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Exact ASYMMETRIC n-gram containment pairs: ``(id_a, id_b,
+    n_common, containment)`` where ``containment = |A ∩ B| / |A| >=
+    threshold`` — "document a is mostly inside document b".  This is
+    the near-SUPERSET case symmetric Jaccard structurally misses: a
+    tweet quoted inside a long article, boilerplate engulfing a short
+    page, a doc plus appended navigation chrome — |A∩B|/|A| ~ 1 while
+    J = |A∩B|/|A∪B| ~ |A|/|B| falls below any Jaccard threshold.
+    Directed: both (a,b) and (b,a) are evaluated; mutual containment
+    means near-equality.
+
+    Prefix filtering stays EXACT for containment: C(A->B) >= t forces
+    |A \\ B| <= (1-t)|A|, so A's ``floor((1-t)|A|)+1`` globally-rarest
+    shingles (the :func:`ngram_jaccard_pairs` prefix under the same
+    (df, shingle) global order) must intersect B's FULL shingle set —
+    candidates come from joining A-prefixes to the full inverted
+    index.  The probe side cannot be prefix-pruned (containment is
+    one-sided), but the prefix entries are by construction the RAREST
+    shingles, so candidate volume is sum over prefix entries of
+    df(shingle) — small df by selection, no hot-key blowup.  PPJoin's
+    length filter degenerates to the one-sided ``|B| >= t * |A|``.
+    Verified with a full ``array_intersect``; same Arrow shingler,
+    pin ordering and 4dp output rounding as the Jaccard twin."""
+    shingled = (_fan_out(df)
+                .select(F.col(id_col).alias("id"),
+                        _word_shingles_arrow(text_col, n).alias("sh"))
+                .localCheckpoint(eager=False))
+    inv = shingled.select("id", F.explode("sh").alias("shingle"))
+    freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.partitionBy("id").orderBy(F.asc("f"), F.asc("shingle"))
+    ranked = (inv.join(freq, "shingle")
+              .withColumn("rn", F.row_number().over(w))
+              .withColumn("n_sh", F.count(F.lit(1))
+                          .over(Window.partitionBy("id"))))
+    # containment prefix p = n - ceil(t*n) + 1 (same epsilon guard as
+    # the Jaccard twin): if none of A's p rarest shingles hit B, then
+    # |A∩B| <= ceil(t*n) - 1 < t*n — below threshold, exact prune
+    prefix_len = F.col("n_sh") - F.ceil(threshold * F.col("n_sh")
+                                        - 1e-9) + 1
+    prefix = (ranked.filter(F.col("rn") <= prefix_len)
+              .select("id", "shingle").localCheckpoint(eager=False))
+    cand = (prefix.toDF("id_a", "shingle")
+            .join(inv.toDF("id_b", "shingle"), "shingle")
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"]))
+    sh_a = shingled.toDF("id_a", "sh_a")
+    sh_b = shingled.toDF("id_b", "sh_b")
+    len_ok = (F.size("sh_b") * F.lit(1.0)
+              >= threshold * F.size("sh_a"))
+    verified = (cand.join(sh_a, "id_a").join(sh_b, "id_b")
+                .filter(len_ok)
+                .withColumn("n_common",
+                            F.size(F.array_intersect("sh_a", "sh_b")))
+                .withColumn("__c", F.col("n_common") / F.size("sh_a"))
+                .filter(F.col("__c") >= threshold))
+    return verified.select("id_a", "id_b",
+                           F.col("n_common").cast("long")
+                            .alias("n_common"),
+                           F.round("__c", 4).alias("containment"))
+
+
 def _check_bands(num_hashes: int, bands: int) -> int:
     rows_per_band = num_hashes // bands
     if rows_per_band * bands != num_hashes:

@@ -510,6 +510,89 @@ def kmeans_md5(corpus: DataFrame, k: int = 8, iterations: int = 2,
                     F.round("__cos", 4).alias("sim")))
 
 
+def kcenter_select(corpus: DataFrame, k: int = 8,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   scale: int = 1_000_000) -> DataFrame:
+    """Gonzalez farthest-point k-center selection over an embedding
+    column — the classic 2-approximation coreset / diverse-subset
+    sampler (pick the point farthest from everything picked so far, k
+    times): the "maximize coverage, not volume" counterpart of
+    :func:`semdedup_pairs`' near-dup REMOVAL when curating a training
+    subset.
+
+    Returns the full assignment ``(id_col, center, center_rank,
+    dist_x)``: every point's nearest selected center (its id, its
+    1-based selection rank) and the exact integer squared-L2 distance
+    to it — the selected subset itself is the ``dist_x = 0 AND center
+    = id`` slice... more precisely the k rows with ``center_rank`` of
+    their own id (centers are distance 0 from themselves).
+
+    Determinism recipe (the :func:`kmeans_md5` conventions):
+
+    * vectors integer-scaled up front (``round(x * scale)`` long), so
+      squared-L2 is EXACT long arithmetic (64 dims x (2e6)^2 ~ 2.6e14,
+      well under 2^63) — no float folds anywhere;
+    * the first center is the md5-minimal row (hash-ordered init);
+    * each round the next center is ``ORDER BY dmin DESC, id ASC LIMIT
+      1`` — the id tie-break makes saturated/duplicate corpora replay;
+    * the running nearest-center update uses STRICT ``<`` so ties keep
+      the EARLIER center (selection order = index order, the
+      ``_argmax_cosine`` convention).
+
+    Scale shape: per round one map-only ``zip_with``/``aggregate``
+    distance fold against the ONE new center (a broadcast literal) +
+    one TakeOrderedAndProject argmax; the only driver state is k
+    centers (k·dim, the bounded trainer contract) and the per-round
+    label frame is pinned (localCheckpoint) like pagerank's.  Vectors
+    must be non-null end-to-end."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    sv = F.transform(F.col(vec_col).cast("array<double>"),
+                     lambda x: F.round(x * scale, 0).cast("long"))
+    vecs = (_fan_out(corpus)
+            .select(F.col(id_col), sv.alias("__sv"))
+            .localCheckpoint(eager=False))
+    first = (vecs.orderBy(F.md5(F.col(id_col).cast("string")))
+             .limit(1).collect())
+    if not first:
+        raise ValueError("kcenter_select: empty corpus")
+    if first[0]["__sv"] is None or any(x is None
+                                       for x in first[0]["__sv"]):
+        raise ValueError(
+            f"kcenter_select: vector has NULL elements — {vec_col} "
+            "must be non-null end-to-end; filter or impute first")
+
+    def d2_to(cvec):
+        lit = F.array(*[F.lit(int(x)).cast("long") for x in cvec])
+        return F.aggregate(
+            F.zip_with("__sv", lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    cur_id, cur_vec = first[0][id_col], list(first[0]["__sv"])
+    d = (vecs.withColumn("__dmin", d2_to(cur_vec))
+         .withColumn("__center", F.lit(cur_id))
+         .withColumn("__rank", F.lit(1).cast("long"))
+         .localCheckpoint(eager=False))
+    for i in range(2, int(k) + 1):
+        far = (d.orderBy(F.desc("__dmin"), F.asc(id_col))
+               .limit(1).select(id_col, "__sv").collect())
+        cur_id, cur_vec = far[0][id_col], list(far[0]["__sv"])
+        nd = d2_to(cur_vec)
+        closer = nd < F.col("__dmin")   # strict: ties keep the earlier
+        d = (d.withColumn("__nd", nd)
+             .select(id_col, "__sv",
+                     F.when(closer, F.col("__nd"))
+                      .otherwise(F.col("__dmin")).alias("__dmin"),
+                     F.when(closer, F.lit(cur_id))
+                      .otherwise(F.col("__center")).alias("__center"),
+                     F.when(closer, F.lit(i).cast("long"))
+                      .otherwise(F.col("__rank")).alias("__rank"))
+             .localCheckpoint(eager=False))
+    return d.select(F.col(id_col), F.col("__center").alias("center"),
+                    F.col("__rank").alias("center_rank"),
+                    F.col("__dmin").alias("dist_x"))
+
+
 def embedding_dup_pairs(df: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         planes: int = 8, dim: int = 64, seed: int = 7,

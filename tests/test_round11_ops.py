@@ -101,6 +101,100 @@ def test_corpus_drift_rejects_non_multiple_scale(spark):
     assert corpus_drift(df, scale=2_000_000).collect()[0].tv_x1e6 == 0
 
 
+# --------------------------------------------- ngram_containment_pairs
+
+def test_ngram_containment_catches_superset_jaccard_misses(spark):
+    """The motivating case: a short doc engulfed by a long one has
+    containment 1.0 but Jaccard 0.5 — a 0.8 Jaccard dedup misses it,
+    the directed containment pair catches exactly one direction."""
+    from cascading_flink_spark.extensions import (ngram_containment_pairs,
+                                                  ngram_jaccard_pairs)
+    rows = [(1, "a b c d e"),                 # 3 shingles, all inside 2
+            (2, "a b c d e f g h"),           # 6 shingles
+            (3, "x y z w v u")]               # unrelated
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): (r.n_common, r.containment)
+           for r in ngram_containment_pairs(df, n=3,
+                                            threshold=0.8).collect()}
+    assert got == {(1, 2): (3, 1.0)}
+    assert ngram_jaccard_pairs(df, n=3, threshold=0.8).count() == 0
+
+
+def test_ngram_containment_mutual_on_equal_docs(spark):
+    from cascading_flink_spark.extensions import ngram_containment_pairs
+    rows = [(1, "p q r s"), (2, "p q r s")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.containment
+           for r in ngram_containment_pairs(df, n=3,
+                                            threshold=0.9).collect()}
+    assert got == {(1, 2): 1.0, (2, 1): 1.0}
+
+
+def test_ngram_containment_threshold_boundary(spark):
+    """A doc sharing exactly t of its shingles must survive at == t
+    (the epsilon guard on the prefix length)."""
+    from cascading_flink_spark.extensions import ngram_containment_pairs
+    # doc 1: 5 shingles, 4 shared with doc 2 -> containment 0.8 exactly
+    rows = [(1, "a b c d e f g"),             # shingles: abc bcd cde def efg
+            (2, "a b c d e f x y z")]         # abc bcd cde def + others
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.containment
+           for r in ngram_containment_pairs(df, n=3,
+                                            threshold=0.8).collect()}
+    assert got.get((1, 2)) == 0.8
+
+
+# ------------------------------------------------------ kcenter_select
+
+def _kcenter_model(vecs: dict, k: int, scale: int = 1_000_000):
+    """Plain-Python farthest-point twin of kcenter_select."""
+    import hashlib
+
+    def r(x):  # Spark F.round = HALF_UP on doubles
+        import decimal
+        return int(decimal.Decimal(repr(x)).quantize(
+            0, rounding=decimal.ROUND_HALF_UP))
+
+    sv = {i: [r(x * scale) for x in v] for i, v in vecs.items()}
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    first = min(sv, key=lambda i: (
+        hashlib.md5(str(i).encode()).hexdigest(), i))
+    state = {i: [d2(v, sv[first]), first, 1] for i, v in sv.items()}
+    for rk in range(2, k + 1):
+        far = max(state, key=lambda i: (state[i][0], -i))
+        for i, v in sv.items():
+            nd = d2(v, sv[far])
+            if nd < state[i][0]:
+                state[i] = [nd, far, rk]
+    return {i: tuple(s) for i, s in state.items()}
+
+
+def test_kcenter_matches_python_model(spark):
+    import random
+    from cascading_flink_spark.extensions import kcenter_select
+    rng = random.Random(23)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(40)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>")
+    got = {r.vec_id: (r.dist_x, r.center, r.center_rank)
+           for r in kcenter_select(df, k=5, vec_col="embedding")
+           .collect()}
+    assert got == _kcenter_model(vecs, 5)
+
+
+def test_kcenter_validation(spark):
+    from cascading_flink_spark.extensions import kcenter_select
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        kcenter_select(df, k=2)
+    with pytest.raises(ValueError, match="k must"):
+        kcenter_select(df, k=0)
+
+
 # ------------------------------------------------------ session_funnel
 
 def test_session_funnel_hand_fixture(spark):

@@ -1,6 +1,9 @@
 #!/usr/bin/env python
-"""Round-10 scaling harness: reproduce the README "Round-10 session /
-retrieval / BFS additions" and graph-addition rows at 1x/8x/32x.
+"""Round-10/11 scaling harness: reproduce the README "Round-10 session /
+retrieval / BFS additions", the graph-addition rows, and the round-11
+rows (session_funnel, rrf_hybrid3, bucketed quantile_norm_lang,
+4-domain dsir_mixture exclusion chains, stars-vs-hashmin CC) at
+1x/8x/32x.
 
 Usage: python tools/newops_scale.py [X8_DIR] [X32_DIR] [REPS]
        (defaults /tmp/sf0.1x8 /tmp/sf0.1x32 2 — build the replicates
@@ -61,6 +64,10 @@ def main() -> None:
         "quantile_norm_lang": ["q_x1e6"],
         "corpus_drift": ["tv_x1e6"],
         "weighted_sample_lang": ["n_chars"],
+        # round 11
+        "session_funnel": ["n_sessions"],
+        "rrf_hybrid3": ["rrf_x", "n_lists"],
+        "quantile_norm_global": ["q_x1e6"],
     }
     for name, cols in forced.items():
         for tag, d, _ in dirs:
@@ -92,10 +99,33 @@ def main() -> None:
              lambda: bfs_distances(edges, seeds=[0, 1, 2],
                                    max_hops=3).agg(
                  F.count(F.lit(1)), F.sum("dist")).collect()),
+            # round 11: the log-round production CC twin — 5 star
+            # rounds converge these sparse graphs where hash-min's 6
+            # one-hop rounds only cover diameter-6 balls
+            ("connected_components_stars",
+             lambda: connected_components(edges, rounds=5,
+                                          strategy="stars").agg(
+                 F.count(F.lit(1)), F.sum("comp")).collect()),
         ]:
             t = best_of(reps, fn)
             print(f"{name} {tag} (n_mod={n_mod}): best={t:.2f}s",
                   flush=True)
+
+    # round 11: 4-domain dsir_mixture — the per-domain NOT-IN exclusion
+    # chains are the scaling surface (each later domain anti-joins the
+    # broadcast union of earlier picks, bounded by sum(quotas))
+    from cascading_flink_spark.extensions import dsir_mixture_select
+    for tag, d, _ in dirs:
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        raw = docs.filter(F.col("doc_id") % 7 != 0)
+        tgt = docs.filter(F.col("doc_id") % 7 == 0)
+        targets = {f"dom{i}": tgt.filter(F.col("doc_id") % 4 == i)
+                   for i in range(4)}
+        quotas = {f"dom{i}": 25 for i in range(4)}
+        t = best_of(reps, lambda: dsir_mixture_select(
+            raw, targets=targets, quotas=quotas, buckets=512).agg(
+            F.count(F.lit(1)), F.sum("logw_x1e6")).collect())
+        print(f"dsir_mixture_4dom {tag}: best={t:.2f}s", flush=True)
 
 
 if __name__ == "__main__":
