@@ -1743,6 +1743,35 @@ def _kcenter_oracle(k: int = 6, dim: int = 64) -> str:
     return sql
 
 
+def q_classifier_auc(spark, sf_dir):
+    """Per-language exact ROC-AUC of n_chars against a deterministic
+    binary label (doc_id %% 5 < 2) — the tie-correct integer
+    Mann-Whitney: 2*numerator from per-distinct-score counts, one
+    truncating DIV; one-class groups excluded by contract."""
+    from cascading_flink_spark.extensions import classifier_auc
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                 "n_chars")
+    d = docs.withColumn("label",
+                        (F.col("doc_id") % 5 < 2).cast("int"))
+    return classifier_auc(d, "n_chars", "label", group_col="lang")
+
+
+def q_topic_quota(spark, sf_dir):
+    """Topic-balanced sampling composition: kmeans_md5 clusters the
+    embeddings (k=8, 2 Lloyd rounds, the q_kmeans twin), then
+    domain_quota caps every CLUSTER at 40 docs by deterministic md5
+    order — the 'no topic dominates the mixture' counterpart of the
+    per-source crawl cap.  Oracle = the unrolled-Lloyd kmeans oracle
+    embedded as a derived table + the QUALIFY quota replay — operator
+    interop checked end-to-end."""
+    from cascading_flink_spark.extensions import domain_quota, kmeans_md5
+    emb = _t(spark, sf_dir, "embeddings")
+    assign = kmeans_md5(emb, k=8, iterations=2)
+    return (domain_quota(assign, "cluster", max_docs=40,
+                         id_col="vec_id")
+            .select("vec_id", "cluster"))
+
+
 def q_decontaminate_bloom(spark, sf_dir):
     """Bloom-prefiltered decontamination — the scale path for when the
     held-out side's gram table outgrows a row broadcast: the benchmark's
@@ -3201,6 +3230,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_funnel": q_session_funnel,
         "kcenter": q_kcenter,
         "ngram_containment": q_ngram_containment,
+        "topic_quota": q_topic_quota,
+        "classifier_auc": q_classifier_auc,
         # --- NEW round 10 (no driver row yet) ---
         "curation_margin": q_curation_margin,
         "dsir_mixture": q_dsir_mixture,
@@ -4723,6 +4754,34 @@ def oracle_sql() -> dict[str, str]:
         "session_funnel": _session_funnel_oracle(_FUNNEL_STEPS,
                                                  _SESSION_GAP_US),
         "kcenter": _kcenter_oracle(k=6),
+        "classifier_auc": """
+            WITH d AS (SELECT lang, n_chars AS s,
+                              CASE WHEN doc_id % 5 < 2 THEN 1 ELSE 0
+                              END AS l
+                       FROM documents),
+            c AS (SELECT lang, s, sum(l)::BIGINT AS p,
+                         sum(1 - l)::BIGINT AS q
+                  FROM d GROUP BY 1, 2),
+            cc AS (SELECT lang, p, q,
+                          coalesce(sum(q) OVER (
+                              PARTITION BY lang ORDER BY s
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS nb
+                   FROM c),
+            n AS (SELECT lang, sum(p * (2 * nb + q))::BIGINT AS num2,
+                         sum(p)::BIGINT AS np, sum(q)::BIGINT AS nq
+                  FROM cc GROUP BY 1)
+            SELECT lang, (num2 * 1000000 // (2 * np * nq))::BIGINT
+                       AS auc_x1e6,
+                   np AS n_pos, nq AS n_neg
+            FROM n WHERE np > 0 AND nq > 0
+        """,
+        "topic_quota": f"""
+            SELECT vec_id, cluster FROM ({_kmeans_oracle(k=8, iters=2)})
+            QUALIFY row_number() OVER (
+                PARTITION BY cluster
+                ORDER BY md5('quota#' || vec_id), vec_id) <= 40
+        """,
         "connected_components": _cc_oracle(rounds=6),
         "connected_components_fast": _cc_oracle(rounds=3, stars=True),
         "link_candidates": _link_candidates_oracle(min_common=2,

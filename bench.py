@@ -112,6 +112,8 @@ BENCH_QUERIES = [
     "connected_components_fast",
     "rrf_hybrid3",
     "session_funnel",
+    "kcenter",
+    "ngram_containment",
     # round 10
     "bfs_distances",
     "rrf_hybrid",

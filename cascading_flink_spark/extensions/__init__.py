@@ -72,7 +72,8 @@ from .corpus import (bigram_lm_scores, bm25_multi_scores, bm25_scores,
                      inverted_index,
                      ngram_counts, oov_stats, repetition_stats,
                      tfidf_topterms, unigram_commonness)
-from .analytics import (cardinality_report, cohort_retention,
+from .analytics import (cardinality_report, classifier_auc,
+                        cohort_retention,
                         event_funnel, group_quantiles,
                         group_quantiles_binned, heavy_hitters, hot_keys,
                         rolling_stats, session_funnel, session_stats,

@@ -420,6 +420,58 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int = 100,
                   .orderBy(F.desc("n"), F.asc_nulls_last("key")))
 
 
+def classifier_auc(df: DataFrame, score_col: str, label_col: str,
+                   group_col: str | None = None,
+                   out_col: str = "auc_x1e6") -> DataFrame:
+    """Exact ROC-AUC of a score against binary labels, per group or
+    globally — the standard acceptance gate for a quality classifier
+    before its scores drive corpus selection (does the fastText logit
+    actually rank held-out good docs above bad ones, per language?).
+
+    Tie-correct Mann-Whitney in PURE INTEGER arithmetic (no sampling,
+    no trapezoids): ``AUC = [P(s_pos > s_neg) + P(s_pos = s_neg)/2]``,
+    computed from per-distinct-score counts — ``2*numerator = sum over
+    scores s of n_pos(s) * (2 * n_neg_below(s) + n_neg(s))`` — so the
+    x1e6 output is one truncating division of exact longs and
+    value-hashes cross-engine.  Labels must be 0/1 (in-plan raise on
+    anything else); groups missing a class have undefined AUC and are
+    EXCLUDED from the output (documented, not an error — a one-class
+    group is normal in small slices).
+
+    Scale shape: one partial-agg groupBy onto (group, distinct score)
+    — the frame a 100 TB corpus reduces to is |groups| x |distinct
+    scores|, and this repo's quality signals are integer-quantized
+    (x100/x1e4/x1e6), so per-group score cardinality is bounded by the
+    quantization, NOT the row count; one cumulative window over that
+    reduced frame; one partial-agg rollup.  A continuous
+    never-repeating score would make the reduced frame row-sized —
+    quantize first (the signals here always are)."""
+    lab = F.col(label_col)
+    ok = F.when((lab == 0) | (lab == 1), lab.cast("long")) \
+          .otherwise(F.raise_error(F.lit(
+              "classifier_auc: labels must be 0/1")).cast("long"))
+    g = [group_col] if group_col is not None else []
+    c = (df.select(*g, F.col(score_col).alias("__s"), ok.alias("__l"))
+         .groupBy(*g, "__s")
+         .agg(F.sum("__l").cast("long").alias("__p"),
+              F.sum(1 - F.col("__l")).cast("long").alias("__q")))
+    w = (Window.partitionBy(*g).orderBy("__s")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    c = c.withColumn("__nb", F.coalesce(F.sum("__q").over(w),
+                                        F.lit(0).cast("long")))
+    num = (c.groupBy(*g)
+           .agg(F.sum(F.col("__p") * (2 * F.col("__nb") + F.col("__q")))
+                .cast("long").alias("__num2"),
+                F.sum("__p").cast("long").alias("__np"),
+                F.sum("__q").cast("long").alias("__nq")))
+    return (num.filter((F.col("__np") > 0) & (F.col("__nq") > 0))
+            .select(*g,
+                    F.expr("__num2 * 1000000 DIV (2 * __np * __nq)")
+                     .cast("long").alias(out_col),
+                    F.col("__np").alias("n_pos"),
+                    F.col("__nq").alias("n_neg")))
+
+
 def cardinality_report(df: DataFrame, group_col: str,
                        cols: list[str], exact: bool = True,
                        rsd: float = 0.05) -> DataFrame:

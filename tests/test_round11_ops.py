@@ -101,6 +101,58 @@ def test_corpus_drift_rejects_non_multiple_scale(spark):
     assert corpus_drift(df, scale=2_000_000).collect()[0].tv_x1e6 == 0
 
 
+# --------------------------------------------------- classifier_auc
+
+def _auc_model(pairs):
+    """Brute-force tie-correct Mann-Whitney, integer-exact."""
+    pos = [s for s, l in pairs if l == 1]
+    neg = [s for s, l in pairs if l == 0]
+    num2 = sum(2 if p > n else (1 if p == n else 0)
+               for p in pos for n in neg)
+    return num2 * 1_000_000 // (2 * len(pos) * len(neg))
+
+
+def test_classifier_auc_matches_bruteforce_model(spark):
+    import random
+    from cascading_flink_spark.extensions import classifier_auc
+    rng = random.Random(31)
+    rows = [(i, "g%d" % (i % 3), rng.randrange(20), rng.randrange(2))
+            for i in range(300)]
+    df = spark.createDataFrame(rows,
+                               "id long, g string, s int, label int")
+    got = {r.g: (r.auc_x1e6, r.n_pos, r.n_neg)
+           for r in classifier_auc(df, "s", "label", group_col="g")
+           .collect()}
+    for g in ("g0", "g1", "g2"):
+        sub = [(s, l) for _, gg, s, l in rows if gg == g]
+        np_, nq_ = sum(l for _, l in sub), sum(1 - l for _, l in sub)
+        assert got[g] == (_auc_model(sub), np_, nq_)
+
+
+def test_classifier_auc_endpoints_and_one_class(spark):
+    from cascading_flink_spark.extensions import classifier_auc
+    rows = [  # g=perfect: all pos above all neg; g=rev: reversed;
+              # g=tied: every score equal; g=onecls: positives only
+        ("perfect", 10, 1), ("perfect", 9, 1), ("perfect", 2, 0),
+        ("perfect", 1, 0),
+        ("rev", 1, 1), ("rev", 2, 1), ("rev", 9, 0), ("rev", 10, 0),
+        ("tied", 5, 1), ("tied", 5, 0), ("tied", 5, 1), ("tied", 5, 0),
+        ("onecls", 3, 1), ("onecls", 4, 1),
+    ]
+    df = spark.createDataFrame(rows, "g string, s int, label int")
+    got = {r.g: r.auc_x1e6
+           for r in classifier_auc(df, "s", "label", group_col="g")
+           .collect()}
+    assert got == {"perfect": 1_000_000, "rev": 0, "tied": 500_000}
+
+
+def test_classifier_auc_rejects_bad_labels(spark):
+    from cascading_flink_spark.extensions import classifier_auc
+    df = spark.createDataFrame([("g", 1, 2)], "g string, s int, label int")
+    with pytest.raises(Exception, match="labels must be 0/1"):
+        classifier_auc(df, "s", "label", group_col="g").collect()
+
+
 # --------------------------------------------- ngram_containment_pairs
 
 def test_ngram_containment_catches_superset_jaccard_misses(spark):

@@ -68,6 +68,10 @@ def main() -> None:
         "session_funnel": ["n_sessions"],
         "rrf_hybrid3": ["rrf_x", "n_lists"],
         "quantile_norm_global": ["q_x1e6"],
+        "kcenter": ["dist_x"],
+        # ngram_containment under replication = 8/32-way duplicate
+        # clusters — the dedup family's adversarial output-bound case
+        "ngram_containment": ["n_common"],
     }
     for name, cols in forced.items():
         for tag, d, _ in dirs:
