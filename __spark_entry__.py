@@ -972,6 +972,82 @@ def q_rrf_hybrid3(spark, sf_dir):
     return rrf_fuse([lsh, ivf, bm10], k=60)
 
 
+def q_ndcg_lsh(spark, sf_dir):
+    """NDCG@10 of the md5-LSH index against graded judgments derived
+    from exact cosine (top-20, rel = 21 - rank) — the graded companion
+    of ann_recall: rank discounts are Python-precomputed integer
+    literals on BOTH engines (no engine log in the plan), dcg/idcg are
+    exact long sums, ndcg one truncating DIV."""
+    from pyspark.sql import Window
+    from cascading_flink_spark.extensions import (brute_force_topk,
+                                                  ndcg_at_k)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = (emb.filter(F.col("vec_id") < 5)
+                  .select(F.col("vec_id").alias("query_id"), "embedding"))
+    lsh = lsh_bucketed_topk_md5(emb, queries_df, k=10, planes=4, dim=64,
+                                tables=4)
+    truth = brute_force_topk(emb, queries_df, k=20)
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.desc("sim"), F.asc("vec_id")))
+    qrels = (truth.withColumn(
+        "rel", (F.lit(21) - F.row_number().over(w)).cast("long"))
+        .select("query_id", "vec_id", "rel"))
+    return ndcg_at_k(lsh, qrels, k=10)
+
+
+def _ndcg_oracle(k: int = 10, kt: int = 20,
+                 scale: int = 1_000_000) -> str:
+    """DuckDB twin of q_ndcg_lsh: the LSH index oracle + exact-cosine
+    graded judgments + the SAME Python-precomputed discount weights as
+    a VALUES grid, then exact dcg/idcg sums and the truncating
+    division."""
+    import math
+    w_rows = ", ".join(
+        f"({i}, {int(round(scale / math.log2(i + 1)))})"
+        for i in range(1, k + 1))
+    return f"""
+        WITH lsh AS ({_ANN_LSH_SQL}),
+        truth AS (
+            SELECT q.vec_id AS query_id, a.vec_id AS vec_id,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                         q.embedding::DOUBLE[]), 4) AS sim
+            FROM embeddings a, embeddings q
+            WHERE q.vec_id < 5 AND a.vec_id <> q.vec_id
+            QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY sim DESC, a.vec_id) <= {kt}),
+        qrels AS (
+            SELECT query_id, vec_id,
+                   ({kt + 1} - row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, vec_id))::BIGINT AS rel
+            FROM truth),
+        wt(r, w) AS (VALUES {w_rows}),
+        ranked AS (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, vec_id) AS r
+            FROM lsh QUALIFY r <= {k}),
+        dcg AS (
+            SELECT rk.query_id,
+                   sum(coalesce(q.rel, 0) * wt.w)::BIGINT AS dcg_x
+            FROM ranked rk
+            JOIN wt ON wt.r = rk.r
+            LEFT JOIN qrels q USING (query_id, vec_id)
+            GROUP BY 1),
+        irk AS (
+            SELECT query_id, rel,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY rel DESC, vec_id) AS r
+            FROM qrels QUALIFY r <= {k}),
+        idcg AS (
+            SELECT query_id, sum(rel * wt.w)::BIGINT AS idcg_x
+            FROM irk JOIN wt ON wt.r = irk.r GROUP BY 1)
+        SELECT d.query_id, d.dcg_x, i.idcg_x,
+               (d.dcg_x * {scale} // i.idcg_x)::BIGINT AS ndcg_x1e6
+        FROM dcg d JOIN idcg i USING (query_id)
+        WHERE i.idcg_x > 0
+    """
+
+
 def q_hard_negatives(spark, sf_dir):
     """DPR-style hard-negative mining: gold = each query's exact cosine
     top-1 (brute force over the 4dp-rounded sims with id tie-breaks);
@@ -3232,6 +3308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_containment": q_ngram_containment,
         "topic_quota": q_topic_quota,
         "classifier_auc": q_classifier_auc,
+        "ndcg_lsh": q_ndcg_lsh,
         # --- NEW round 10 (no driver row yet) ---
         "curation_margin": q_curation_margin,
         "dsir_mixture": q_dsir_mixture,
@@ -4751,6 +4828,7 @@ def oracle_sql() -> dict[str, str]:
         "bfs_distances": _bfs_oracle(seeds=[0, 1, 2], hops=3),
         "rrf_hybrid": _rrf_oracle(k=60),
         "rrf_hybrid3": _rrf3_oracle(k=60),
+        "ndcg_lsh": _ndcg_oracle(k=10, kt=20),
         "session_funnel": _session_funnel_oracle(_FUNNEL_STEPS,
                                                  _SESSION_GAP_US),
         "kcenter": _kcenter_oracle(k=6),

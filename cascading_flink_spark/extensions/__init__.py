@@ -34,6 +34,7 @@ from .similarity import (
     hard_negatives,
     kcenter_select,
     kmeans, kmeans_assign, kmeans_md5, margin_candidates, margin_mine,
+    ndcg_at_k,
     pq_topk, pq_topk_md5,
     random_project, rrf_fuse, semdedup_pairs, semdedup_pairs_md5, sq_minmax,
     sq_quantize, sq_topk,

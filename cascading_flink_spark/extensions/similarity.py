@@ -510,6 +510,64 @@ def kmeans_md5(corpus: DataFrame, k: int = 8, iterations: int = 2,
                     F.round("__cos", 4).alias("sim")))
 
 
+def ndcg_at_k(results: DataFrame, qrels: DataFrame, k: int = 10,
+              query_id_col: str = "query_id", id_col: str = "vec_id",
+              sim_col: str = "sim", rel_col: str = "rel",
+              scale: int = 1_000_000) -> DataFrame:
+    """NDCG@k of a ranked candidate list against graded relevance
+    judgments: ``(query_id, dcg_x, idcg_x, ndcg_x1e6)`` — the graded
+    companion of the ann_recall evidence query (recall counts hits,
+    NDCG weights them by rank, the standard retrieval-quality gate
+    before an index ships).
+
+    Integer-exact recipe: the rank discounts ``1/log2(i+1)`` are
+    precomputed in PYTHON once and embedded as k BOUNDED LITERAL longs
+    (``round(scale/log2(i+1))``) on BOTH engines — no engine log()
+    in the plan, so no float drift; ``dcg_x = sum(rel_i * w_i)`` and
+    ``idcg_x`` (the same weights over the query's top-k judgments by
+    (rel DESC, id ASC)) are exact long sums, and ``ndcg_x1e6`` is one
+    truncating division.  Candidate ranks come from (sim DESC, id ASC)
+    — the rrf_fuse convention; unjudged candidates score rel 0 (left
+    join); queries with no positive judgment (idcg 0) are EXCLUDED
+    (NDCG undefined), documented like classifier_auc's one-class
+    groups.
+
+    Scale shape: two bounded per-query windows (top-k of each side's
+    list), one left join on (query, id), one partial-agg groupBy — no
+    cross joins, no driver pulls beyond the k-long weight literal."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    import math
+    weights = [int(round(scale / math.log2(i + 1)))
+               for i in range(1, k + 1)]
+    w_lit = F.array(*[F.lit(w).cast("long") for w in weights])
+    wr = (Window.partitionBy(query_id_col)
+          .orderBy(F.desc(sim_col), F.asc(id_col)))
+    ranked = (results.withColumn("__r", F.row_number().over(wr))
+              .filter(F.col("__r") <= k)
+              .select(query_id_col, id_col, "__r"))
+    judged = qrels.select(query_id_col, id_col,
+                          F.col(rel_col).cast("long").alias("__rel"))
+    dcg = (ranked.join(judged, [query_id_col, id_col], "left")
+           .withColumn("__g", F.coalesce(F.col("__rel"), F.lit(0))
+                       * F.element_at(w_lit, F.col("__r")))
+           .groupBy(query_id_col)
+           .agg(F.sum("__g").cast("long").alias("dcg_x")))
+    wi = (Window.partitionBy(query_id_col)
+          .orderBy(F.desc("__rel"), F.asc(id_col)))
+    idcg = (judged.withColumn("__r", F.row_number().over(wi))
+            .filter(F.col("__r") <= k)
+            .withColumn("__g", F.col("__rel")
+                        * F.element_at(w_lit, F.col("__r")))
+            .groupBy(query_id_col)
+            .agg(F.sum("__g").cast("long").alias("idcg_x")))
+    return (dcg.join(idcg, query_id_col)
+            .filter(F.col("idcg_x") > 0)
+            .select(query_id_col, "dcg_x", "idcg_x",
+                    F.expr(f"dcg_x * {int(scale)} DIV idcg_x")
+                     .cast("long").alias("ndcg_x1e6")))
+
+
 def kcenter_select(corpus: DataFrame, k: int = 8,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    scale: int = 1_000_000) -> DataFrame:

@@ -101,6 +101,41 @@ def test_corpus_drift_rejects_non_multiple_scale(spark):
     assert corpus_drift(df, scale=2_000_000).collect()[0].tv_x1e6 == 0
 
 
+# --------------------------------------------------------- ndcg_at_k
+
+def test_ndcg_hand_fixture(spark):
+    """Exact integer NDCG: unjudged candidate scores 0, an unretrieved
+    judged doc still raises the ideal, weights are the Python-rounded
+    1e6/log2(i+1) literals."""
+    import math
+    from cascading_flink_spark.extensions import ndcg_at_k
+    res = spark.createDataFrame(
+        [(1, 10, 0.9), (1, 11, 0.8), (1, 12, 0.7)],
+        "query_id long, vec_id long, sim double")
+    qrels = spark.createDataFrame(
+        [(1, 10, 3), (1, 12, 1), (1, 13, 2)],   # 13 never retrieved
+        "query_id long, vec_id long, rel long")
+    w = [int(round(1_000_000 / math.log2(i + 1))) for i in range(1, 4)]
+    dcg = 3 * w[0] + 0 * w[1] + 1 * w[2]
+    idcg = 3 * w[0] + 2 * w[1] + 1 * w[2]
+    [r] = ndcg_at_k(res, qrels, k=3).collect()
+    assert (r.dcg_x, r.idcg_x, r.ndcg_x1e6) == (
+        dcg, idcg, dcg * 1_000_000 // idcg)
+
+
+def test_ndcg_perfect_ranking_is_1e6_and_no_positives_excluded(spark):
+    from cascading_flink_spark.extensions import ndcg_at_k
+    res = spark.createDataFrame(
+        [(1, 10, 0.9), (1, 11, 0.8), (2, 10, 0.9)],
+        "query_id long, vec_id long, sim double")
+    qrels = spark.createDataFrame(
+        [(1, 10, 2), (1, 11, 1), (2, 10, 0)],   # query 2: idcg 0
+        "query_id long, vec_id long, rel long")
+    got = {r.query_id: r.ndcg_x1e6
+           for r in ndcg_at_k(res, qrels, k=3).collect()}
+    assert got == {1: 1_000_000}
+
+
 # --------------------------------------------------- classifier_auc
 
 def _auc_model(pairs):
