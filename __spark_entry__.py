@@ -2033,6 +2033,24 @@ def q_token_mixture(spark, sf_dir):
     return out.select("doc_id", "lang", "n_tokens")
 
 
+def q_upsample_mixture(spark, sf_dir):
+    """Epoch-repeat mixture: per-language budgets ABOVE the corpus
+    up-sample (en ~2.1 epochs, de ~3.4), below it down-sample (fr),
+    absent languages drop — n_repeats = budget DIV corpus_tokens plus
+    one for the md5-ordered remainder prefix (the token_budget_mixture
+    admission rule on budget MOD corpus_tokens)."""
+    from cascading_flink_spark.extensions import upsample_mixture
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.when(F.trim("text") == "", F.lit(0)) \
+            .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    with_toks = docs.select("doc_id", "lang",
+                            toks.cast("long").alias("n_tokens"))
+    out = upsample_mixture(with_toks,
+                           {"en": 25000, "de": 12000, "fr": 2000},
+                           lang_col="lang", token_col="n_tokens")
+    return out.select("doc_id", "lang", "n_tokens", "n_repeats")
+
+
 def q_shuffle_shard(spark, sf_dir):
     """Deterministic training-order shuffle: (shard, shard_pos) for every
     doc from seeded md5 — reproducible epoch ordering any engine can
@@ -3309,6 +3327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topic_quota": q_topic_quota,
         "classifier_auc": q_classifier_auc,
         "ndcg_lsh": q_ndcg_lsh,
+        "upsample_mixture": q_upsample_mixture,
         # --- NEW round 10 (no driver row yet) ---
         "curation_margin": q_curation_margin,
         "dsir_mixture": q_dsir_mixture,
@@ -4829,6 +4848,34 @@ def oracle_sql() -> dict[str, str]:
         "rrf_hybrid": _rrf_oracle(k=60),
         "rrf_hybrid3": _rrf3_oracle(k=60),
         "ndcg_lsh": _ndcg_oracle(k=10, kt=20),
+        "upsample_mixture": """
+            WITH t AS (
+                SELECT doc_id, lang,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text),
+                                                           '\\s+'))
+                       END AS n_tokens
+                FROM documents),
+            b(lang, budget) AS (
+                VALUES ('en', 25000), ('de', 12000), ('fr', 2000)),
+            tot AS (SELECT lang, sum(n_tokens)::BIGINT AS T
+                    FROM t JOIN b USING (lang)
+                    GROUP BY 1 HAVING sum(n_tokens) > 0),
+            d AS (SELECT t.doc_id, t.lang, t.n_tokens,
+                         (b.budget // tot.T)::BIGINT AS r,
+                         (b.budget % tot.T)::BIGINT AS rem,
+                         sum(t.n_tokens) OVER (
+                             PARTITION BY t.lang
+                             ORDER BY md5('upsample#' || t.doc_id),
+                                      t.doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM t JOIN b USING (lang) JOIN tot USING (lang))
+            SELECT doc_id, lang, n_tokens::BIGINT AS n_tokens,
+                   (r + CASE WHEN cum <= rem THEN 1 ELSE 0 END)::BIGINT
+                       AS n_repeats
+            FROM d
+            WHERE r + CASE WHEN cum <= rem THEN 1 ELSE 0 END >= 1
+        """,
         "session_funnel": _session_funnel_oracle(_FUNNEL_STEPS,
                                                  _SESSION_GAP_US),
         "kcenter": _kcenter_oracle(k=6),

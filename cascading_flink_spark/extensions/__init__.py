@@ -52,6 +52,7 @@ from .mixture import (curriculum_shards, domain_quota, global_rank,
                       group_split, quantile_normalize, shuffle_shard,
                       token_budget_mixture,
                       temperature_budgets, temperature_mixture,
+                      upsample_mixture,
                       weighted_sample)
 from .bpe import bpe_encode, bpe_train, encode_word
 from .temporal import asof_join, range_join

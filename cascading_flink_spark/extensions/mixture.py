@@ -196,6 +196,55 @@ def token_budget_mixture(df: DataFrame, budgets: dict[str, int],
                                id_col, seed, strategy, oversample)
 
 
+def upsample_mixture(df: DataFrame, budgets: dict[str, int],
+                     lang_col: str = "lang",
+                     token_col: str = "n_tokens",
+                     id_col: str = "doc_id",
+                     seed: str = "upsample",
+                     strategy: str = "twoscan",
+                     oversample: float = 2.0,
+                     repeats_col: str = "n_repeats") -> DataFrame:
+    """Per-language token budgets that may EXCEED the corpus: emit
+    ``(.., n_repeats)`` where each language's docs repeat ``budget DIV
+    corpus_tokens`` full epochs and the md5-ordered remainder prefix
+    (the :func:`token_budget_mixture` admission rule applied to
+    ``budget MOD corpus_tokens``) gets one extra — how a mixture
+    actually UP-samples scarce high-quality domains (mT5/DoReMi-style
+    "epochs per domain") instead of only cutting abundant ones.  A
+    budget below the corpus degenerates to token_budget_mixture with
+    ``n_repeats = 1``; rows with ``n_repeats = 0`` (and languages
+    absent from ``budgets`` or holding zero tokens) are dropped.
+
+    Scale shape: one partial-agg totals groupBy + an AQE-skew-
+    splittable totals join, the shared twoscan/window admission on the
+    remainder (mega-key-safe by default), and one plain left join of
+    the data-bounded admitted-id set back (no broadcast hint — the
+    curation margin-drop convention)."""
+    mapping = F.create_map(
+        *[x for k, v in budgets.items()
+          for x in (F.lit(k), F.lit(int(v)))])
+    tok = F.col(token_col).cast("long")
+    base = (df.withColumn("__b0", mapping[F.col(lang_col)])
+            .filter(F.col("__b0").isNotNull()))
+    totals = (base.groupBy(lang_col)
+              .agg(F.sum(tok).alias("__T"))
+              .filter(F.col("__T") > 0))
+    d = (base.join(totals, lang_col)
+         .withColumn("__r", F.expr("__b0 DIV __T").cast("long"))
+         .withColumn("__budget", F.expr("__b0 % __T").cast("long"))
+         .localCheckpoint(eager=False))
+    adm = (_admit_token_budget(d, [id_col], lang_col, token_col, id_col,
+                               seed, strategy, oversample)
+           .withColumn("__x", F.lit(1).cast("long")))
+    return (d.join(adm, id_col, "left")
+            .withColumn(repeats_col,
+                        (F.col("__r")
+                         + F.coalesce(F.col("__x"), F.lit(0)))
+                        .cast("long"))
+            .filter(F.col(repeats_col) >= 1)
+            .select(*df.columns, repeats_col))
+
+
 def temperature_budgets(df: DataFrame, total_budget: int,
                         lang_col: str = "lang",
                         token_col: str = "n_tokens",

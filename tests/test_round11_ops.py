@@ -101,6 +101,46 @@ def test_corpus_drift_rejects_non_multiple_scale(spark):
     assert corpus_drift(df, scale=2_000_000).collect()[0].tv_x1e6 == 0
 
 
+# -------------------------------------------------- upsample_mixture
+
+def test_upsample_mixture_epoch_math_and_budget_bound(spark):
+    from cascading_flink_spark.extensions import upsample_mixture
+    rows = [("en", i, 10) for i in range(10)] \
+        + [("de", 100 + i, 7) for i in range(4)] \
+        + [("zh", 200, 5)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, "
+                                     "n_tokens long")
+    # en: T=100, budget 250 -> 2 epochs + 50-token prefix;
+    # de: T=28, budget 14 -> pure downsample; zh absent -> dropped
+    out = upsample_mixture(df, {"en": 250, "de": 14})
+    rowso = out.collect()
+    assert all(r.lang != "zh" for r in rowso)
+    en = [r for r in rowso if r.lang == "en"]
+    # every en doc >= 2 repeats, prefix docs get 3; emitted extra mass
+    # is the admitted prefix: <= 50, > 50 - 10
+    assert {r.n_repeats for r in en} <= {2, 3} and len(en) == 10
+    extra = sum(r.n_tokens for r in en if r.n_repeats == 3)
+    assert 40 < extra <= 50
+    de = [r for r in rowso if r.lang == "de"]
+    assert all(r.n_repeats == 1 for r in de)
+    assert 7 <= sum(r.n_tokens for r in de) <= 14
+
+
+def test_upsample_mixture_degenerates_to_token_budget(spark):
+    """budget < corpus: identical admitted set as token_budget_mixture,
+    all n_repeats = 1 (same seed -> same md5 prefix)."""
+    from cascading_flink_spark.extensions import (token_budget_mixture,
+                                                  upsample_mixture)
+    rows = [("en", i, (i * 13) % 9 + 1) for i in range(50)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, "
+                                     "n_tokens long")
+    up = upsample_mixture(df, {"en": 60}, seed="mixture")
+    tb = token_budget_mixture(df, {"en": 60}, seed="mixture")
+    assert {r.doc_id for r in up.collect()} \
+        == {r.doc_id for r in tb.collect()}
+    assert {r.n_repeats for r in up.collect()} == {1}
+
+
 # --------------------------------------------------------- ndcg_at_k
 
 def test_ndcg_hand_fixture(spark):
