@@ -3296,29 +3296,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is driver-evidence policy: the correctness driver checks
-    only the FIRST 50 entries (verified across r02-r09 snapshots), so the
+    only the FIRST 50 entries (verified across r02-r10 snapshots), so the
     least-recently-driver-verified queries must sit at the front.
     Rotation is documented in COVERAGE.md ("Driver-slot rotation").
 
-    Round-10 front block (slots 1-50): the 5 NEW round-10 queries
-    (curation_margin — the flagship's opt-in cross-lingual pair-mining
-    stage — dsir_mixture — per-domain quota DSIR — pagerank_dangling —
-    sum-preserving redistribute variant — label_prop / k_core — the
-    synchronous-deterministic community/core graph pair); the 8
-    queries whose plan or code changed this round (margin_mine's banded-LSH default,
-    cohort_retention's epoch-scope filter, pagerank/pagerank_ppr's
-    in-plan seed guard, and the ngram_jaccard checkpoint-ordering fix
-    that also feeds dedup_clusters / dedup_keep_best and
-    minhash_recall's exact ground truth); the 8 r5-stale rows; and all
-    29 r6-stale rows — 5+8+8+29 = exactly 50; after this round no
-    query's newest driver row is older than r7.
-    Back block: everything with an r7-r9 driver row on unchanged code,
-    re-verified by the committed round-end mimic
-    (tools/mimic_r10.log).
+    Round-11 front block (slots 1-50): the 9 NEW round-11 queries; the
+    8 queries whose plan or code changed this round; the 15 r6-stale
+    TPC-H rows displaced by round 10's additions; and the 18 oldest
+    r7-stale rows (anti_join/blocklist + 16 alphabetical) —
+    9+8+15+2+16 = exactly 50; after this round no query's newest
+    driver row is older than r7, and the 22 r7 rows at slots 51-72
+    lead the round-12 window.
+    Back block: everything with an r8-r10 driver row on unchanged
+    code, re-verified by the committed round-end mimic
+    (tools/mimic_r11.log).
     """
 
     return {
-        # --- NEW round 11 (no driver row yet) ---
+        # --- slots 1-9: NEW round 11 (no driver row yet) ---
         "connected_components_fast": q_connected_components_fast,
         "rrf_hybrid3": q_rrf_hybrid3,
         "session_funnel": q_session_funnel,
@@ -3328,65 +3323,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_auc": q_classifier_auc,
         "ndcg_lsh": q_ndcg_lsh,
         "upsample_mixture": q_upsample_mixture,
-        # --- NEW round 10 (no driver row yet) ---
-        "curation_margin": q_curation_margin,
-        "dsir_mixture": q_dsir_mixture,
-        "pagerank_dangling": q_pagerank_dangling,
-        "label_prop": q_label_prop,
-        "k_core": q_k_core,
-        "bfs_distances": q_bfs_distances,
-        "rrf_hybrid": q_rrf_hybrid,
-        "session_labels": q_session_labels,
-        "session_stats": q_session_stats,
-        "session_transitions": q_session_transitions,
-        "hard_negatives": q_hard_negatives,
-        "cluster_split": q_cluster_split,
-        "connected_components": q_connected_components,
-        "link_candidates": q_link_candidates,
+        # --- slots 10-17: plan/code changed round 11, re-gated:
+        # quantile_norm_lang's mega-key-safe grouped_rank default (and
+        # the shared quantile_normalize signature), connected_components'
+        # own-type comp (ADVICE r10), corpus_drift's scale-divisibility
+        # guard, the flagship margin stage's un-hinted drop join, and
+        # sessionize's keep_cols passthrough (feeds session_labels /
+        # session_stats) ---
         "quantile_norm_lang": q_quantile_norm_lang,
         "quantile_norm_global": q_quantile_norm_global,
+        "connected_components": q_connected_components,
         "corpus_drift": q_corpus_drift,
         "corpus_drift_ref": q_corpus_drift_ref,
-        "weighted_sample": q_weighted_sample,
-        "weighted_sample_lang": q_weighted_sample_lang,
-        # --- plan/code changed round 10: margin_mine banded default;
-        # cohort_retention epoch-scope filter; pagerank family (seed
-        # guard + dangling param); the ngram_jaccard pin-ordering fix
-        # (feeds dedup_clusters / dedup_keep_best / minhash_recall's
-        # ground truth) ---
-        "margin_mine": q_margin_mine,
-        "cohort_retention": q_cohort_retention,
-        "pagerank": q_pagerank,
-        "pagerank_ppr": q_pagerank_ppr,
-        "ngram_jaccard": q_ngram_jaccard,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_keep_best": q_dedup_keep_best,
-        "minhash_recall": q_minhash_recall,
-        # --- the 8 r5-stale rows (newest driver row CORRECTNESS_r05;
-        # mimic-verified every round since) ---
-        "tpch_q13": q_tpch_q13,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q6": q_tpch_q6,
-        "unigram_commonness": q_unigram_commonness,
-        "value_histogram": q_value_histogram,
-        "wordcount": q_wordcount,
-        # --- all 29 r6-stale rows ---
-        "asof_join": q_asof_join,
-        "bpe_fertility": q_bpe_fertility,
-        "compression_stats": q_compression_stats,
-        "corpus_report": q_corpus_report,
-        "group_quantiles_binned": q_group_quantiles_binned,
-        "group_split": q_group_split,
-        "inverted_index": q_inverted_index,
-        "oov_stats": q_oov_stats,
-        "paragraph_dedup": q_paragraph_dedup,
-        "range_join": q_range_join,
-        "rolling_stats": q_rolling_stats,
-        "shuffle_shard": q_shuffle_shard,
-        "temperature_budgets": q_temperature_budgets,
-        "tpch_q1": q_tpch_q1,
+        "curation_margin": q_curation_margin,
+        "session_labels": q_session_labels,
+        "session_stats": q_session_stats,
+        # --- slots 18-32: the 15 r6-stale TPC-H rows (newest driver
+        # row CORRECTNESS_r06; mimic-verified every round since) ---
         "tpch_q11": q_tpch_q11,
         "tpch_q12": q_tpch_q12,
         "tpch_q15": q_tpch_q15,
@@ -3402,12 +3355,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
-        # --- slots 51-52 since label_prop/k_core landed: the 2
-        # oldest-r7 rows, first in line for the round-11 window ---
+        # --- slots 33-34: the 2 oldest-r7 rows ---
         "anti_join": q_anti_join,
         "blocklist": q_blocklist,
-        # --- back block (r7-r9 rows on unchanged code, re-verified by
+        # --- slots 35-50: the next 16 r7-stale rows (alphabetical) ---
+        "buffer_span": q_buffer_span,
+        "bufferjoin": q_bufferjoin,
+        "clean_text": q_clean_text,
+        "countby_events": q_countby_events,
+        "cross_join": q_cross_join,
+        "dedup_exact": q_dedup_exact,
+        "domain_quota": q_domain_quota,
+        "fingerprint": q_fingerprint,
+        "global_sort_limit": q_global_sort_limit,
+        "gopher_quality": q_gopher_quality,
+        "hot_keys": q_hot_keys,
+        "lang_id": q_lang_id,
+        "merge_union": q_merge_union,
+        "mixed_join": q_mixed_join,
+        "multimodal_meta": q_multimodal_meta,
+        "nary_mixed_join": q_nary_mixed_join,
+        # --- slots 51-72: the remaining 22 r7 rows — first in line
+        # for the round-12 window ---
+        "nary_outer_join": q_nary_outer_join,
+        "nary_right_join": q_nary_right_join,
+        "overlap_chunks": q_overlap_chunks,
+        "pivot": q_pivot,
+        "quality_filter": q_quality_filter,
+        "rollup": q_rollup,
+        "salted_agg": q_salted_agg,
+        "sample": q_sample,
+        "self_join": q_self_join,
+        "semi_join": q_semi_join,
+        "sessionize": q_sessionize,
+        "stratified_sample": q_stratified_sample,
+        "temperature_mixture": q_temperature_mixture,
+        "text_quality": q_text_quality,
+        "token_budget": q_token_budget,
+        "token_mixture": q_token_mixture,
+        "topk_per_group": q_topk_per_group,
+        "ungroup": q_ungroup,
+        "unique": q_unique,
+        "url_dedup": q_url_dedup,
+        "url_normalize": q_url_normalize,
+        "window_agg_events": q_window_agg_events,
+        # --- back block (r8-r10 rows on unchanged code, re-verified by
         # the committed round-end mimic each round) ---
+        "dsir_mixture": q_dsir_mixture,
+        "pagerank_dangling": q_pagerank_dangling,
+        "label_prop": q_label_prop,
+        "k_core": q_k_core,
+        "bfs_distances": q_bfs_distances,
+        "rrf_hybrid": q_rrf_hybrid,
+        "session_transitions": q_session_transitions,
+        "hard_negatives": q_hard_negatives,
+        "cluster_split": q_cluster_split,
+        "link_candidates": q_link_candidates,
+        "weighted_sample": q_weighted_sample,
+        "weighted_sample_lang": q_weighted_sample_lang,
+        "margin_mine": q_margin_mine,
+        "cohort_retention": q_cohort_retention,
+        "pagerank": q_pagerank,
+        "pagerank_ppr": q_pagerank_ppr,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
+        "minhash_recall": q_minhash_recall,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q6": q_tpch_q6,
+        "unigram_commonness": q_unigram_commonness,
+        "value_histogram": q_value_histogram,
+        "wordcount": q_wordcount,
+        "asof_join": q_asof_join,
+        "bpe_fertility": q_bpe_fertility,
+        "compression_stats": q_compression_stats,
+        "corpus_report": q_corpus_report,
+        "group_quantiles_binned": q_group_quantiles_binned,
+        "group_split": q_group_split,
+        "inverted_index": q_inverted_index,
+        "oov_stats": q_oov_stats,
+        "paragraph_dedup": q_paragraph_dedup,
+        "range_join": q_range_join,
+        "rolling_stats": q_rolling_stats,
+        "shuffle_shard": q_shuffle_shard,
+        "temperature_budgets": q_temperature_budgets,
+        "tpch_q1": q_tpch_q1,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
         "dsir_sample": q_dsir_sample,
@@ -3481,44 +3516,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "except": q_except,
         "redact_pii": q_redact_pii,
         "logic_filters": q_logic_filters,
-        "clean_text": q_clean_text,
-        "gopher_quality": q_gopher_quality,
-        "url_normalize": q_url_normalize,
-        "url_dedup": q_url_dedup,
-        "overlap_chunks": q_overlap_chunks,
-        "hot_keys": q_hot_keys,
-        "domain_quota": q_domain_quota,
-        "token_mixture": q_token_mixture,
-        "token_budget": q_token_budget,
-        "temperature_mixture": q_temperature_mixture,
-        "multimodal_meta": q_multimodal_meta,
-        "sessionize": q_sessionize,
-        "rollup": q_rollup,
-        "pivot": q_pivot,
-        "ungroup": q_ungroup,
-        "sample": q_sample,
-        "salted_agg": q_salted_agg,
-        "stratified_sample": q_stratified_sample,
-        "quality_filter": q_quality_filter,
-        "fingerprint": q_fingerprint,
-        "semi_join": q_semi_join,
-        "nary_mixed_join": q_nary_mixed_join,
-        "nary_right_join": q_nary_right_join,
-        "nary_outer_join": q_nary_outer_join,
-        "text_quality": q_text_quality,
-        "lang_id": q_lang_id,
-        "mixed_join": q_mixed_join,
-        "cross_join": q_cross_join,
-        "self_join": q_self_join,
-        "merge_union": q_merge_union,
-        "unique": q_unique,
-        "topk_per_group": q_topk_per_group,
-        "global_sort_limit": q_global_sort_limit,
-        "buffer_span": q_buffer_span,
-        "bufferjoin": q_bufferjoin,
-        "countby_events": q_countby_events,
-        "window_agg_events": q_window_agg_events,
-        "dedup_exact": q_dedup_exact,
     }
 
 

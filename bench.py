@@ -114,6 +114,10 @@ BENCH_QUERIES = [
     "session_funnel",
     "kcenter",
     "ngram_containment",
+    "topic_quota",
+    "classifier_auc",
+    "ndcg_lsh",
+    "upsample_mixture",
     # round 10
     "bfs_distances",
     "rrf_hybrid",
