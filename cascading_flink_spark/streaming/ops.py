@@ -209,6 +209,102 @@ def stream_session_transitions(df: DataFrame, key_col: str = "user_id",
                                     GroupStateTimeout.NoTimeout))
 
 
+def stream_session_funnel(df: DataFrame, steps: list[str],
+                          key_col: str = "user_id", ts_col: str = "ts",
+                          id_col: str = "event_id",
+                          type_col: str = "event_type",
+                          gap_us: int = 1800 * 1_000_000) -> DataFrame:
+    """Streaming within-session ordered funnel — the stateful twin of
+    ``extensions.analytics.session_funnel``: per micro-batch it emits
+    ``(key, step, step_name, n_new)`` partials — one count for each
+    session that REACHED funnel step ``i`` this batch — carrying per
+    key the last event time, a completed-step bitmask and the per-step
+    first-completion times, so a session straddling micro-batch
+    boundaries completes its prefix exactly once.  Downstream sums
+    ``n_new`` per step for the funnel table (the emitted grain stays
+    keyed, like ``stream_session_transitions``).
+
+    Semantics match the batch operator: a new session starts when the
+    key's inter-event gap exceeds ``gap_us`` (state resets); step 1 is
+    the session's first matching event; step ``i`` needs a matching
+    event STRICTLY after step ``i-1``'s completion time.  One event
+    may complete several steps (e.g. repeated step names) — steps are
+    evaluated in ascending order within the event, mirroring the batch
+    operator's nested window chain.  A key's Arrow chunks are
+    concatenated before the single ``(ts_us, id)`` sort pass (the
+    chunk-order lesson); across batches the order is arrival order —
+    the standard streaming trade.  State per key is one long + one
+    bitmask + ``len(steps)`` longs: bounded at any stream length."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    if len(steps) > 62:
+        raise ValueError("steps must fit a 62-bit mask")
+    if gap_us < 1:
+        raise ValueError("gap_us must be >= 1")
+    k = len(steps)
+    out_schema = T.StructType([
+        T.StructField("key", T.StringType()),
+        T.StructField("step", T.LongType()),
+        T.StructField("step_name", T.StringType()),
+        T.StructField("n_new", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("last_us", T.LongType()),
+        T.StructField("mask", T.LongType()),
+        T.StructField("times", T.ArrayType(T.LongType(), False)),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+        if state.exists:
+            last_us, mask, times = state.get
+            times = list(times)
+        else:
+            last_us, mask, times = None, 0, [0] * k
+        counts = [0] * k
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        batch = (pd.concat(chunks, ignore_index=True)
+                 if len(chunks) > 1 else None)
+        for pdf in ([batch] if batch is not None else chunks):
+            pdf = pdf.sort_values(["__us", id_col])
+            for us, tp in zip(pdf["__us"], pdf[type_col]):
+                us = int(us)
+                if last_us is not None and us - last_us > gap_us:
+                    mask, times = 0, [0] * k
+                last_us = us
+                if tp is None:
+                    continue
+                for i, s in enumerate(steps):
+                    if tp != s or mask & (1 << i):
+                        continue
+                    if i == 0 or (mask & (1 << (i - 1))
+                                  and us > times[i - 1]):
+                        mask |= 1 << i
+                        times[i] = us
+                        counts[i] += 1
+        if last_us is not None:
+            state.update((last_us, mask, times))
+        hit = [i for i in range(k) if counts[i]]
+        if not hit:
+            return iter(())
+        return iter([pd.DataFrame({
+            "key": [key[0]] * len(hit),
+            "step": [i + 1 for i in hit],
+            "step_name": [steps[i] for i in hit],
+            "n_new": [counts[i] for i in hit]})])
+
+    prepared = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(id_col).cast("string").alias(id_col),
+        F.col(type_col).cast("string").alias(type_col),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us"),
+    ).filter(F.col("key").isNotNull() & F.col("__us").isNotNull())
+    return (prepared.groupBy("key")
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append",
+                                    GroupStateTimeout.NoTimeout))
+
+
 def stream_exact_dedup(df: DataFrame, ts_col: str,
                        text_col: str = "text",
                        watermark: str = "10 minutes") -> DataFrame:

@@ -1024,3 +1024,78 @@ def test_stream_session_transitions_boundary_counts_once(spark, tmp_path):
         k = (r["from_type"], r["to_type"])
         got[k] = got.get(k, 0) + r["n_trans"]
     assert got == {("a", "b"): 1, ("b", "a"): 1}
+
+
+def test_stream_session_funnel_batch_parity(spark, sf_dir, tmp_path):
+    """A single-batch stream's per-key partials, summed per step, must
+    equal the batch session_funnel n_sessions exactly (same digit-width
+    event_id caveat as the transitions twin)."""
+    from cascading_flink_spark.extensions import session_funnel
+    from cascading_flink_spark.streaming import stream_session_funnel
+
+    gap = 6 * 3600 * 1_000_000
+    steps = ["view", "click", "purchase"]
+    ev = (load(spark, sf_dir, "events")
+          .filter((F.col("user_id") < 40)
+                  & (F.col("event_id") >= 100) & (F.col("event_id") < 1000))
+          .select("user_id", "event_id", "ts", "event_type"))
+    src = str(tmp_path / "sfn_in")
+    ev.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = stream_session_funnel(stream, steps, gap_us=gap)
+    q = (out.writeStream.format("memory").queryName("sfn_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+
+    got = {}
+    for r in spark.sql("SELECT * FROM sfn_out").collect():
+        got[r["step_name"]] = got.get(r["step_name"], 0) + r["n_new"]
+    expect = {r["step_name"]: r["n_sessions"]
+              for r in session_funnel(spark.read.parquet(src), steps,
+                                      gap_us=gap).collect()
+              if r["n_sessions"]}
+    assert got == expect and expect
+    spark.catalog.dropTempView("sfn_out")
+
+
+def test_stream_session_funnel_boundary_completes_once(spark, tmp_path):
+    """2 batches with a checkpoint restart: a funnel prefix straddling
+    the batch boundary completes exactly once via the carried
+    (last_us, mask, times) state; a beyond-gap arrival resets the
+    session and the stale prefix never completes."""
+    from cascading_flink_spark.streaming import stream_session_funnel
+    import datetime as _dt
+
+    src = tmp_path / "sfn2_in"
+    src.mkdir()
+    mk = lambda u, i, s, t: (u, f"e{i}", _dt.datetime(2024, 1, 1, 0, 0, s), t)
+    batches = [
+        # u1: view+click in batch 1; u2: view only
+        [mk(1, 1, 1, "view"), mk(1, 2, 2, "click"), mk(2, 3, 1, "view")],
+        # u1: purchase within gap -> completes step 3 once;
+        # u2: click BEYOND the 10s gap -> new session, no step 2
+        [mk(1, 4, 5, "purchase"), mk(2, 5, 30, "click")],
+    ]
+    sch = "user_id long, event_id string, ts timestamp, event_type string"
+    def write(i):
+        spark.createDataFrame(batches[i], sch).coalesce(1) \
+            .write.parquet(str(src / f"f{i}"))
+    write(0)
+    schema = spark.read.parquet(str(src / "f0")).schema
+    ckpt, out_dir = str(tmp_path / "sfn2_ck"), str(tmp_path / "sfn2_out")
+
+    for i in range(len(batches)):
+        if i:
+            write(i)
+        _run_available_now(
+            spark, schema, str(src / "*"), ckpt, out_dir,
+            lambda s: stream_session_funnel(
+                s, ["view", "click", "purchase"], gap_us=10_000_000))
+
+    got = {}
+    for r in spark.read.parquet(out_dir).collect():
+        k = (r["key"], r["step"])
+        got[k] = got.get(k, 0) + r["n_new"]
+    assert got == {("1", 1): 1, ("1", 2): 1, ("1", 3): 1, ("2", 1): 1}
