@@ -221,6 +221,27 @@ def test_classifier_auc_endpoints_and_one_class(spark):
     assert got == {"perfect": 1_000_000, "rev": 0, "tied": 500_000}
 
 
+def test_classifier_auc_plan_windows_reduced_frame(spark, sf_dir):
+    """The cumsum window must run over the (group, distinct score)
+    partial-agg frame, not the raw rows: exactly two hash exchanges
+    ((g, score) partials, then g), no single-partition exchange, and a
+    column-pruned scan."""
+    from cascading_flink_spark.extensions import classifier_auc
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "lang", "n_chars") \
+        .withColumn("label", (F.col("doc_id") % 5 < 2).cast("int"))
+    p = _plan(classifier_auc(docs, "n_chars", "label", group_col="lang"))
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "Exchange SinglePartition" not in p
+    # children print below their parent: the (lang, __s) partial-agg
+    # exchange must sit BELOW the Window (the window consumes the
+    # reduced frame), and the window must order by the distinct-score
+    # column, not a raw one
+    assert p.index("Window") < p.rindex("Exchange hashpartitioning")
+    assert ", __s#" in p[p.index("windowspecdefinition"):
+                         p.index("windowspecdefinition") + 120]
+
+
 def test_classifier_auc_rejects_bad_labels(spark):
     from cascading_flink_spark.extensions import classifier_auc
     df = spark.createDataFrame([("g", 1, 2)], "g string, s int, label int")
