@@ -2033,6 +2033,30 @@ def q_token_mixture(spark, sf_dir):
     return out.select("doc_id", "lang", "n_tokens")
 
 
+def q_clustering_coef(spark, sf_dir):
+    """Exact local clustering coefficient over the 50-node events link
+    graph (the q_triangle_count fixture): triangle density normalized
+    by wedge count, cc_x1e6 one truncating DIV, deg<2 guarded to 0 —
+    the spam-ring-vs-hub discriminator."""
+    from cascading_flink_spark.extensions import clustering_coefficient
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select((F.col("user_id") % 50).alias("src"),
+                      ((F.col("user_id") * 7 + F.col("event_id")) % 50)
+                      .alias("dst"))
+    return clustering_coefficient(edges)
+
+
+def q_dedup_soft(spark, sf_dir):
+    """Soft dedup as loss reweighting (RefinedWeb-style): every doc
+    kept, near-dup cluster members weighted 1e6 DIV cluster_size so
+    each cluster contributes one doc's worth of gradient; singletons
+    keep weight 1e6.  Composes the exact Jaccard pairs -> min-member
+    clusters -> one size groupBy + left join back."""
+    from cascading_flink_spark.extensions import dedup_soft_weights
+    return dedup_soft_weights(_t(spark, sf_dir, "documents"),
+                              n=3, threshold=0.8)
+
+
 def q_upsample_mixture(spark, sf_dir):
     """Epoch-repeat mixture: per-language budgets ABOVE the corpus
     up-sample (en ~2.1 epochs, de ~3.4), below it down-sample (fr),
@@ -3300,20 +3324,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     least-recently-driver-verified queries must sit at the front.
     Rotation is documented in COVERAGE.md ("Driver-slot rotation").
 
-    Round-11 front block (slots 1-50): the 9 NEW round-11 queries; the
-    8 queries whose plan or code changed this round; the 15 r6-stale
-    TPC-H rows displaced by round 10's additions; and the 18 oldest
-    r7-stale rows (anti_join/blocklist + 16 alphabetical) —
-    9+8+15+2+16 = exactly 50; after this round no query's newest
-    driver row is older than r7, and the 22 r7 rows at slots 51-72
-    lead the round-12 window.
+    Round-11 front block (slots 1-50): the 11 NEW round-11 queries;
+    the 8 queries whose plan or code changed this round; the 15
+    r6-stale TPC-H rows displaced by round 10's additions; and the 16
+    oldest r7-stale rows (anti_join/blocklist + 14 of the 16
+    alphabetical) — 11+8+15+2+14 = exactly 50; after this round no
+    query's newest driver row is older than r7, and slots 51-74 (the
+    two overflow r7 rows + the remaining 22) lead the round-12
+    window.
     Back block: everything with an r8-r10 driver row on unchanged
     code, re-verified by the committed round-end mimic
     (tools/mimic_r11.log).
     """
 
     return {
-        # --- slots 1-9: NEW round 11 (no driver row yet) ---
+        # --- slots 1-11: NEW round 11 (no driver row yet) ---
+        "clustering_coef": q_clustering_coef,
+        "dedup_soft": q_dedup_soft,
         "connected_components_fast": q_connected_components_fast,
         "rrf_hybrid3": q_rrf_hybrid3,
         "session_funnel": q_session_funnel,
@@ -3323,7 +3350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_auc": q_classifier_auc,
         "ndcg_lsh": q_ndcg_lsh,
         "upsample_mixture": q_upsample_mixture,
-        # --- slots 10-17: plan/code changed round 11, re-gated:
+        # --- slots 12-19: plan/code changed round 11, re-gated:
         # quantile_norm_lang's mega-key-safe grouped_rank default (and
         # the shared quantile_normalize signature), connected_components'
         # own-type comp (ADVICE r10), corpus_drift's scale-divisibility
@@ -3338,7 +3365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_margin": q_curation_margin,
         "session_labels": q_session_labels,
         "session_stats": q_session_stats,
-        # --- slots 18-32: the 15 r6-stale TPC-H rows (newest driver
+        # --- slots 20-34: the 15 r6-stale TPC-H rows (newest driver
         # row CORRECTNESS_r06; mimic-verified every round since) ---
         "tpch_q11": q_tpch_q11,
         "tpch_q12": q_tpch_q12,
@@ -3355,10 +3382,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
-        # --- slots 33-34: the 2 oldest-r7 rows ---
+        # --- slots 35-36: the 2 oldest-r7 rows ---
         "anti_join": q_anti_join,
         "blocklist": q_blocklist,
-        # --- slots 35-50: the next 16 r7-stale rows (alphabetical) ---
+        # --- slots 37-50 (+2 overflow): the next 16 r7-stale rows,
+        # alphabetical — the last two (multimodal_meta, nary_mixed_join)
+        # land at 51-52 and lead the round-12 window with the block
+        # below ---
         "buffer_span": q_buffer_span,
         "bufferjoin": q_bufferjoin,
         "clean_text": q_clean_text,
@@ -3375,7 +3405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixed_join": q_mixed_join,
         "multimodal_meta": q_multimodal_meta,
         "nary_mixed_join": q_nary_mixed_join,
-        # --- slots 51-72: the remaining 22 r7 rows — first in line
+        # --- slots 53-74: the remaining 22 r7 rows — next in line
         # for the round-12 window ---
         "nary_outer_join": q_nary_outer_join,
         "nary_right_join": q_nary_right_join,
@@ -4845,6 +4875,56 @@ def oracle_sql() -> dict[str, str]:
         "rrf_hybrid": _rrf_oracle(k=60),
         "rrf_hybrid3": _rrf3_oracle(k=60),
         "ndcg_lsh": _ndcg_oracle(k=10, kt=20),
+        "clustering_coef": """
+            WITH e0 AS (SELECT user_id % 50 AS src,
+                               (user_id * 7 + event_id) % 50 AS dst
+                        FROM events),
+            e AS (SELECT DISTINCT least(src, dst) AS a,
+                                  greatest(src, dst) AS b
+                  FROM e0 WHERE src <> dst),
+            deg AS (SELECT node, count(*)::BIGINT AS deg
+                    FROM (SELECT a AS node FROM e
+                          UNION ALL SELECT b FROM e)
+                    GROUP BY node),
+            o AS (SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b)
+                              THEN e.a ELSE e.b END AS u,
+                         CASE WHEN (da.deg, e.a) < (db.deg, e.b)
+                              THEN e.b ELSE e.a END AS v
+                  FROM e JOIN deg da ON da.node = e.a
+                         JOIN deg db ON db.node = e.b),
+            tri AS (SELECT w.u, w.v1, w.v2
+                    FROM (SELECT o1.u, o1.v AS v1, o2.v AS v2
+                          FROM o o1 JOIN o o2 ON o1.u = o2.u
+                          WHERE o1.v < o2.v) w
+                    WHERE EXISTS (SELECT 1 FROM o
+                                  WHERE (o.u = w.v1 AND o.v = w.v2)
+                                     OR (o.u = w.v2 AND o.v = w.v1))),
+            per AS (SELECT node, count(*)::BIGINT AS n
+                    FROM (SELECT u AS node FROM tri
+                          UNION ALL SELECT v1 FROM tri
+                          UNION ALL SELECT v2 FROM tri)
+                    GROUP BY node)
+            SELECT d.node, d.deg,
+                   coalesce(p.n, 0)::BIGINT AS n_triangles,
+                   (CASE WHEN d.deg >= 2
+                         THEN (2 * coalesce(p.n, 0) * 1000000)
+                              // (d.deg * (d.deg - 1))
+                         ELSE 0 END)::BIGINT AS cc_x1e6
+            FROM deg d LEFT JOIN per p ON p.node = d.node
+        """,
+        "dedup_soft": f"""
+            WITH cc AS ({_DEDUP_CC_SQL}),
+            sizes AS (SELECT cluster_id, count(*)::BIGINT AS n
+                      FROM cc GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(cc.cluster_id, d.doc_id)::BIGINT
+                       AS cluster_id,
+                   coalesce(s.n, 1)::BIGINT AS cluster_size,
+                   (1000000 // coalesce(s.n, 1))::BIGINT AS w_x1e6
+            FROM documents d
+            LEFT JOIN cc ON cc.id = d.doc_id
+            LEFT JOIN sizes s ON s.cluster_id = cc.cluster_id
+        """,
         "upsample_mixture": """
             WITH t AS (
                 SELECT doc_id, lang,

@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "classifier_auc",
     "ndcg_lsh",
     "upsample_mixture",
+    "clustering_coef",
+    "dedup_soft",
     # round 10
     "bfs_distances",
     "rrf_hybrid",

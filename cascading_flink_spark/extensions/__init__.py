@@ -20,6 +20,7 @@ from .curation import curate_corpus
 from .packing import chunk_corpus, overlap_chunks, pack_bins
 from .dedup import (
     dedup_against, dup_spans, gram_novelty,
+    dedup_soft_weights,
     exact_dedup, exact_dedup_pairs, ngram_containment_pairs,
     ngram_jaccard_pairs, minhash_lsh_pairs,
     minhash_lsh_pairs_md5, simhash_bits, simhash_dup_pairs,
@@ -65,7 +66,8 @@ from .decontam import (contamination_pairs, contamination_spans,
 from .dsir import (dsir_bucket_weights, dsir_mixture_select, dsir_sample,
                    dsir_score_expr, dsir_select, dsir_weight_array,
                    dsir_weights)
-from .graph import (bfs_distances, connected_components, hits, k_core,
+from .graph import (bfs_distances, clustering_coefficient,
+                    connected_components, hits, k_core,
                     label_propagation, link_candidates, pagerank,
                     triangle_count)
 from .corpus import (bigram_lm_scores, bm25_multi_scores, bm25_scores,

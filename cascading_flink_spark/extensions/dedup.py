@@ -331,6 +331,42 @@ def ngram_containment_pairs(df: DataFrame, n: int = 3,
                            F.round("__c", 4).alias("containment"))
 
 
+def dedup_soft_weights(df: DataFrame, n: int = 3, threshold: float = 0.8,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Soft dedup as LOSS REWEIGHTING instead of dropping (the
+    RefinedWeb/SlimPajama alternative: keep every near-duplicate but
+    scale its training weight by 1/cluster_size so each duplicate
+    CLUSTER contributes one document's worth of gradient): ``(id_col,
+    cluster_id, cluster_size, w_x1e6)`` for EVERY input document —
+    singletons keep their own id, size 1, weight 1e6; members of an
+    n-way near-dup cluster carry ``1e6 DIV n``.
+
+    Composes :func:`ngram_jaccard_pairs` (exact PPJoin candidates) ->
+    :func:`dedup_clusters` (min-member components) -> one partial-agg
+    size groupBy + a left join back onto the corpus (the cluster frame
+    is the near-dup slice — data-bounded, no broadcast hint, the
+    curation margin-drop convention).  The weight is one truncating
+    integer division, so the whole composition value-hashes
+    cross-engine."""
+    pairs = ngram_jaccard_pairs(df, n=n, threshold=threshold,
+                                text_col=text_col, id_col=id_col)
+    clusters = dedup_clusters(pairs)
+    sizes = (clusters.groupBy("cluster_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("__n")))
+    labelled = (clusters.join(sizes, "cluster_id")
+                .select(F.col("id").alias(id_col),
+                        "cluster_id", "__n"))
+    return (df.select(id_col).join(labelled, id_col, "left")
+            .select(id_col,
+                    F.coalesce("cluster_id", F.col(id_col))
+                     .alias("cluster_id"),
+                    F.coalesce("__n", F.lit(1)).cast("long")
+                     .alias("cluster_size"),
+                    F.expr("1000000 DIV coalesce(__n, 1)").cast("long")
+                     .alias("w_x1e6")))
+
+
 def _check_bands(num_hashes: int, bands: int) -> int:
     rows_per_band = num_hashes // bands
     if rows_per_band * bands != num_hashes:

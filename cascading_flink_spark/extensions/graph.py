@@ -636,6 +636,38 @@ def link_candidates(edges: DataFrame, min_common: int = 1,
                     "aa_x1e6"))
 
 
+def clustering_coefficient(edges: DataFrame, src_col: str = "src",
+                           dst_col: str = "dst") -> DataFrame:
+    """Exact local clustering coefficient per node over the simple
+    undirected view: ``(node, deg, n_triangles, cc_x1e6)`` with
+    ``cc_x1e6 = (2 * n_triangles * 1e6) DIV (deg * (deg - 1))`` — the
+    triangle density NORMALIZED by each node's wedge count, the
+    spam-ring-vs-genuine-hub discriminator :func:`triangle_count`'s
+    raw counts feed (a celebrity hub has many triangles but a near-0
+    coefficient; a link ring saturates toward 1e6).
+
+    Composes :func:`triangle_count` (degree-oriented compact-forward,
+    O(m^1.5) wedges) with one degree partial agg; the division is one
+    truncating integer DIV, and ``deg < 2`` nodes have no wedges — 0
+    by convention, guarded in the expression (never divided).  Same
+    simple-graph semantics as the triangle counter."""
+    tri = triangle_count(edges, src_col=src_col, dst_col=dst_col)
+    e = (edges.select(F.least(src_col, dst_col).alias("a"),
+                      F.greatest(src_col, dst_col).alias("b"))
+         .filter(F.col("a") != F.col("b"))
+         .distinct())
+    deg = (e.select(F.col("a").alias("node"))
+           .unionByName(e.select(F.col("b").alias("node")))
+           .groupBy("node")
+           .agg(F.count(F.lit(1)).cast("long").alias("deg")))
+    return (tri.join(deg, "node")
+            .select("node", "deg", "n_triangles",
+                    F.expr("CASE WHEN deg >= 2 THEN "
+                           "(2 * n_triangles * 1000000) "
+                           "DIV (deg * (deg - 1)) ELSE 0 END")
+                     .cast("long").alias("cc_x1e6")))
+
+
 def triangle_count(edges: DataFrame, src_col: str = "src",
                    dst_col: str = "dst") -> DataFrame:
     """Exact per-node triangle counts over an undirected view of the

@@ -101,6 +101,38 @@ def test_corpus_drift_rejects_non_multiple_scale(spark):
     assert corpus_drift(df, scale=2_000_000).collect()[0].tv_x1e6 == 0
 
 
+# -------------------------------------------- clustering_coefficient
+
+def test_clustering_coefficient_hand_graph(spark):
+    """Triangle 1-2-3 plus pendant 4 off node 1: nodes 2,3 have cc 1
+    (every wedge closed), node 1 has 1 triangle over C(3,2)=3 wedges,
+    the pendant has deg 1 -> 0 by convention."""
+    from cascading_flink_spark.extensions import clustering_coefficient
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 1), (1, 4)],
+                              "src long, dst long")
+    got = {r.node: (r.deg, r.n_triangles, r.cc_x1e6)
+           for r in clustering_coefficient(e).collect()}
+    assert got == {1: (3, 1, 333_333), 2: (2, 1, 1_000_000),
+                   3: (2, 1, 1_000_000), 4: (1, 0, 0)}
+
+
+# --------------------------------------------------- dedup_soft_weights
+
+def test_dedup_soft_weights_cluster_math(spark):
+    """Every doc appears exactly once; a near-dup cluster's members
+    share the min-member cluster_id and carry 1e6 DIV size; singletons
+    keep themselves at 1e6."""
+    from cascading_flink_spark.extensions import dedup_soft_weights
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, dup), (2, dup), (3, dup),
+            (4, "completely different text with no overlap at all here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.cluster_id, r.cluster_size, r.w_x1e6)
+           for r in dedup_soft_weights(df, n=3, threshold=0.8).collect()}
+    assert got == {1: (1, 3, 333_333), 2: (1, 3, 333_333),
+                   3: (1, 3, 333_333), 4: (4, 1, 1_000_000)}
+
+
 # -------------------------------------------------- upsample_mixture
 
 def test_upsample_mixture_epoch_math_and_budget_bound(spark):
