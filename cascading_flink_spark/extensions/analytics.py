@@ -602,6 +602,10 @@ def session_funnel(events: DataFrame, steps: list[str],
     unpivoted with ``stack``."""
     if not steps:
         raise ValueError("steps must be non-empty")
+    if any("'" in s or "\\" in s for s in steps):
+        # step names become string literals inside the stack() unpivot
+        raise ValueError("step names must not contain quotes or "
+                         "backslashes")
     lab = sessionize(events, key_col=key_col, ts_col=ts_col,
                      id_col=id_col, gap_us=gap_us,
                      keep_cols=[type_col])

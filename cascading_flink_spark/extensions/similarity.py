@@ -530,7 +530,9 @@ def ndcg_at_k(results: DataFrame, qrels: DataFrame, k: int = 10,
     — the rrf_fuse convention; unjudged candidates score rel 0 (left
     join); queries with no positive judgment (idcg 0) are EXCLUDED
     (NDCG undefined), documented like classifier_auc's one-class
-    groups.
+    groups.  ``qrels`` must be unique per (query, id) — a duplicate
+    judgment would double-join its candidate row (same contract as
+    every relevance-table consumer here).
 
     Scale shape: two bounded per-query windows (top-k of each side's
     list), one left join on (query, id), one partial-agg groupBy — no

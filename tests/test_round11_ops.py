@@ -408,6 +408,15 @@ def test_session_funnel_hand_fixture(spark):
     assert out == {"view": 4, "click": 1, "purchase": 1}
 
 
+def test_session_funnel_rejects_quoted_step_names(spark):
+    from cascading_flink_spark.extensions import session_funnel
+    df = spark.createDataFrame(
+        [(1, 1, __import__("datetime").datetime(2024, 1, 1), "a")],
+        "user_id long, event_id long, ts timestamp, event_type string")
+    with pytest.raises(ValueError, match="quotes"):
+        session_funnel(df, ["it's"])
+
+
 def test_session_funnel_single_hash_exchange(spark, sf_dir):
     """The whole composition — session window + every funnel-stage
     window + the per-session rollup — must ride ONE hash exchange on
