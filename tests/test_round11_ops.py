@@ -208,6 +208,16 @@ def test_ndcg_perfect_ranking_is_1e6_and_no_positives_excluded(spark):
     assert got == {1: 1_000_000}
 
 
+def test_ngram_containment_plan_cartesian_free(spark, sf_dir):
+    """Candidates come from an EQUALITY join on the shingle key (A's
+    rarest prefix vs the full inverted index) — never a cross join."""
+    from cascading_flink_spark.extensions import ngram_containment_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = _plan(ngram_containment_pairs(docs, n=3, threshold=0.6))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 # --------------------------------------------------- classifier_auc
 
 def _auc_model(pairs):
