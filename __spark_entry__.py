@@ -1041,9 +1041,11 @@ def _ndcg_oracle(k: int = 10, kt: int = 20,
         idcg AS (
             SELECT query_id, sum(rel * wt.w)::BIGINT AS idcg_x
             FROM irk JOIN wt ON wt.r = irk.r GROUP BY 1)
-        SELECT d.query_id, d.dcg_x, i.idcg_x,
-               (d.dcg_x * {scale} // i.idcg_x)::BIGINT AS ndcg_x1e6
-        FROM dcg d JOIN idcg i USING (query_id)
+        SELECT i.query_id, coalesce(d.dcg_x, 0)::BIGINT AS dcg_x,
+               i.idcg_x,
+               (coalesce(d.dcg_x, 0) * {scale} // i.idcg_x)::BIGINT
+                   AS ndcg_x1e6
+        FROM idcg i LEFT JOIN dcg d USING (query_id)
         WHERE i.idcg_x > 0
     """
 
@@ -4907,8 +4909,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.node, d.deg,
                    coalesce(p.n, 0)::BIGINT AS n_triangles,
                    (CASE WHEN d.deg >= 2
-                         THEN (2 * coalesce(p.n, 0) * 1000000)
-                              // (d.deg * (d.deg - 1))
+                         THEN (2 * coalesce(p.n, 0)::HUGEINT * 1000000)
+                              // (d.deg::HUGEINT * (d.deg - 1))
                          ELSE 0 END)::BIGINT AS cc_x1e6
             FROM deg d LEFT JOIN per p ON p.node = d.node
         """,
@@ -4970,10 +4972,11 @@ def oracle_sql() -> dict[str, str]:
                               ROWS BETWEEN UNBOUNDED PRECEDING
                                    AND 1 PRECEDING), 0) AS nb
                    FROM c),
-            n AS (SELECT lang, sum(p * (2 * nb + q))::BIGINT AS num2,
+            n AS (SELECT lang, sum(p::HUGEINT * (2 * nb + q)) AS num2,
                          sum(p)::BIGINT AS np, sum(q)::BIGINT AS nq
                   FROM cc GROUP BY 1)
-            SELECT lang, (num2 * 1000000 // (2 * np * nq))::BIGINT
+            SELECT lang,
+                   (num2 * 1000000 // (2 * np::HUGEINT * nq))::BIGINT
                        AS auc_x1e6,
                    np AS n_pos, nq AS n_neg
             FROM n WHERE np > 0 AND nq > 0

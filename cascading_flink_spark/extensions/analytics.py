@@ -422,7 +422,8 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int = 100,
 
 def classifier_auc(df: DataFrame, score_col: str, label_col: str,
                    group_col: str | None = None,
-                   out_col: str = "auc_x1e6") -> DataFrame:
+                   out_col: str = "auc_x1e6",
+                   quantize_x: int | None = None) -> DataFrame:
     """Exact ROC-AUC of a score against binary labels, per group or
     globally — the standard acceptance gate for a quality classifier
     before its scores drive corpus selection (does the fastText logit
@@ -445,13 +446,31 @@ def classifier_auc(df: DataFrame, score_col: str, label_col: str,
     quantization, NOT the row count; one cumulative window over that
     reduced frame; one partial-agg rollup.  A continuous
     never-repeating score would make the reduced frame row-sized —
-    quantize first (the signals here always are)."""
+    ``quantize_x`` buckets raw doubles in-plan (``round(score *
+    quantize_x)`` as an exact long — scores within 1/(2*quantize_x)
+    of each other tie; the repo's standard x1e6 recipe), so a caller
+    with raw logits can't accidentally build a row-sized frame.
+
+    Overflow: the Mann-Whitney numerator is ``O(n_pos * n_neg)`` per
+    group — past ~4.6e12 positive x negative pairs (a few million of
+    each) an int64 x1e6 numerator would wrap SILENTLY under Spark's
+    non-ANSI arithmetic, so both the numerator sum and the final
+    ratio run through DECIMAL(38,0) intermediates (headroom to 1e38;
+    the oracle twin uses HUGEINT) and only the final x1e6 ratio is
+    cast back to long."""
     lab = F.col(label_col)
     ok = F.when((lab == 0) | (lab == 1), lab.cast("long")) \
           .otherwise(F.raise_error(F.lit(
               "classifier_auc: labels must be 0/1")).cast("long"))
+    if quantize_x is None:
+        score = F.col(score_col)
+    else:
+        if int(quantize_x) < 1:
+            raise ValueError("classifier_auc: quantize_x must be >= 1")
+        score = F.round(F.col(score_col).cast("double")
+                        * int(quantize_x)).cast("long")
     g = [group_col] if group_col is not None else []
-    c = (df.select(*g, F.col(score_col).alias("__s"), ok.alias("__l"))
+    c = (df.select(*g, score.alias("__s"), ok.alias("__l"))
          .groupBy(*g, "__s")
          .agg(F.sum("__l").cast("long").alias("__p"),
               F.sum(1 - F.col("__l")).cast("long").alias("__q")))
@@ -460,13 +479,15 @@ def classifier_auc(df: DataFrame, score_col: str, label_col: str,
     c = c.withColumn("__nb", F.coalesce(F.sum("__q").over(w),
                                         F.lit(0).cast("long")))
     num = (c.groupBy(*g)
-           .agg(F.sum(F.col("__p") * (2 * F.col("__nb") + F.col("__q")))
-                .cast("long").alias("__num2"),
+           .agg(F.sum(F.col("__p").cast("decimal(38,0)")
+                      * (2 * F.col("__nb") + F.col("__q")))
+                .alias("__num2"),
                 F.sum("__p").cast("long").alias("__np"),
                 F.sum("__q").cast("long").alias("__nq")))
     return (num.filter((F.col("__np") > 0) & (F.col("__nq") > 0))
             .select(*g,
-                    F.expr("__num2 * 1000000 DIV (2 * __np * __nq)")
+                    F.expr("__num2 * 1000000 DIV "
+                           "(2 * CAST(__np AS DECIMAL(38,0)) * __nq)")
                      .cast("long").alias(out_col),
                     F.col("__np").alias("n_pos"),
                     F.col("__nq").alias("n_neg")))
@@ -531,10 +552,25 @@ def sessionize(events: DataFrame, key_col: str = "user_id",
     back onto the source."""
     if gap_us < 1:
         raise ValueError("gap_us must be >= 1")
+    # keep_cols must not shadow the key/id passthroughs, the output
+    # columns, or the window internals — a collision would emit a
+    # duplicate/ambiguous column that only errors downstream (the
+    # gap_us / step-name-literal guard convention).
+    reserved = {key_col, id_col, ts_col, "ts_us", "session_n",
+                "session_seq", "__us", "__ns", "__rn"}
+    kc = list(keep_cols or [])
+    if len(kc) != len(set(kc)):
+        raise ValueError("sessionize: keep_cols contains duplicates")
+    bad = sorted(set(kc) & reserved)
+    if bad:
+        raise ValueError(
+            f"sessionize: keep_cols {bad} collide with the key/id/ts "
+            "columns, the output columns (ts_us, session_n, "
+            "session_seq) or window internals (__us, __ns, __rn)")
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     w = Window.partitionBy(key_col).orderBy("__us", id_col)
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    extra = [F.col(c) for c in (keep_cols or [])]
+    extra = [F.col(c) for c in kc]
     # NULL keys/timestamps are out of contract (engines disagree on NULL
     # sort position — Spark NULLS FIRST, DuckDB NULLS LAST) and dropped
     # in-plan, the cohort_retention convention.

@@ -434,7 +434,8 @@ def bfs_distances(edges: DataFrame, seeds: list, max_hops: int = 3,
 def connected_components(edges: DataFrame, rounds: int = 8,
                          src_col: str = "src",
                          dst_col: str = "dst",
-                         strategy: str = "hashmin") -> DataFrame:
+                         strategy: str = "hashmin",
+                         check_convergence: bool = False) -> DataFrame:
     """Hash-min weakly-connected components over the undirected view:
     ``(node, comp)`` with ``comp`` = the minimum node id reachable in
     ``rounds`` hops — after ``rounds >= diameter`` rounds that IS the
@@ -486,11 +487,26 @@ def connected_components(edges: DataFrame, rounds: int = 8,
     star edge per non-min node, so later rounds get cheaper while
     hash-min rounds stay edge-sized; star centres are hot join/agg
     keys by design — partial-agg mins combine them map-side and the
-    joins are the AQE-skew-splittable one-build-row shape."""
+    joins are the AQE-skew-splittable one-build-row shape.
+
+    ``check_convergence=True`` (stars only; ``rounds`` becomes the
+    MAX) breaks as soon as the contracted edge list is a star forest
+    — no ``lo`` still appears as a ``hi``, at which point every
+    surviving edge is (member, component-min): the Kiveris
+    termination condition, one existence probe per round — and
+    RAISES if the budget runs out before convergence (the
+    :func:`~cascading_flink_spark.extensions.dedup.dedup_clusters`
+    contract: a partially-converged clustering would silently leave
+    duplicates in a kept corpus).  The fixed-horizon default stays
+    replayable round-for-round in ANSI SQL; the converging mode is
+    for callers that need a GUARANTEE, not an oracle twin."""
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
     if strategy not in ("hashmin", "stars"):
         raise ValueError("strategy must be 'hashmin' or 'stars'")
+    if check_convergence and strategy != "stars":
+        raise ValueError("check_convergence requires strategy='stars' "
+                         "(hash-min's horizon is the oracle contract)")
     e = edges.select(F.col(src_col).alias("src"),
                      F.col(dst_col).alias("dst"))
     e = (e.unionByName(e.select(F.col("dst").alias("src"),
@@ -511,6 +527,7 @@ def connected_components(edges: DataFrame, rounds: int = 8,
                       F.least("src", "dst").alias("lo"))
               .distinct()
               .localCheckpoint(eager=False))
+        converged = not check_convergence
         for _ in range(int(rounds)):
             # large-star: for each node u, connect every LARGER
             # neighbour v to m = min(neighbourhood(u) + {u})
@@ -539,6 +556,23 @@ def connected_components(edges: DataFrame, rounds: int = 8,
                                             F.col("__m").alias("lo")))
                   .distinct()
                   .localCheckpoint(eager=False))
+            if check_convergence:
+                # star forest <=> no lo is still some edge's hi: each
+                # surviving component is then exactly one star whose
+                # centre (the lo) is its minimum — the termination
+                # condition, probed with one existence check over the
+                # (shrinking) contracted edge list.
+                chains = (ce.select(F.col("lo").alias("__x"))
+                          .join(ce.select(F.col("hi").alias("__x")),
+                                "__x"))
+                if chains.isEmpty():
+                    converged = True
+                    break
+        if not converged:
+            raise RuntimeError(
+                f"connected_components: stars not converged within "
+                f"{rounds} rounds — raise rounds (log2(n) rounds "
+                "suffice for any graph; this budget was too small)")
         # labels over the ORIGINAL node set: min(v, min neighbour) —
         # every non-isolated node keeps a star edge, isolated original
         # nodes keep themselves via the left join
@@ -650,7 +684,13 @@ def clustering_coefficient(edges: DataFrame, src_col: str = "src",
     O(m^1.5) wedges) with one degree partial agg; the division is one
     truncating integer DIV, and ``deg < 2`` nodes have no wedges — 0
     by convention, guarded in the expression (never divided).  Same
-    simple-graph semantics as the triangle counter."""
+    simple-graph semantics as the triangle counter.
+
+    Overflow: a dense hub with millions of triangles would wrap the
+    int64 ``2 * n_triangles * 1e6`` numerator SILENTLY under Spark's
+    non-ANSI arithmetic (past ~4.6e12 triangles), so numerator and
+    wedge denominator run through DECIMAL(38,0) (oracle twin:
+    HUGEINT) — only the final ratio is cast back to long."""
     tri = triangle_count(edges, src_col=src_col, dst_col=dst_col)
     e = (edges.select(F.least(src_col, dst_col).alias("a"),
                       F.greatest(src_col, dst_col).alias("b"))
@@ -663,8 +703,10 @@ def clustering_coefficient(edges: DataFrame, src_col: str = "src",
     return (tri.join(deg, "node")
             .select("node", "deg", "n_triangles",
                     F.expr("CASE WHEN deg >= 2 THEN "
-                           "(2 * n_triangles * 1000000) "
-                           "DIV (deg * (deg - 1)) ELSE 0 END")
+                           "(2 * CAST(n_triangles AS DECIMAL(38,0)) "
+                           "* 1000000) "
+                           "DIV (CAST(deg AS DECIMAL(38,0)) * (deg - 1)) "
+                           "ELSE 0 END")
                      .cast("long").alias("cc_x1e6")))
 
 

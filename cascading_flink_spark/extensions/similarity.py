@@ -530,7 +530,11 @@ def ndcg_at_k(results: DataFrame, qrels: DataFrame, k: int = 10,
     — the rrf_fuse convention; unjudged candidates score rel 0 (left
     join); queries with no positive judgment (idcg 0) are EXCLUDED
     (NDCG undefined), documented like classifier_auc's one-class
-    groups.  ``qrels`` must be unique per (query, id) — a duplicate
+    groups.  A query that HAS positive judgments but zero rows in
+    ``results`` (the index returned nothing) scores ndcg 0, not
+    dropped — dcg joins onto idcg from the RIGHT, so an empty
+    retrieval can't silently inflate the reported quality.
+    ``qrels`` must be unique per (query, id) — a duplicate
     judgment would double-join its candidate row (same contract as
     every relevance-table consumer here).
 
@@ -563,8 +567,11 @@ def ndcg_at_k(results: DataFrame, qrels: DataFrame, k: int = 10,
                         * F.element_at(w_lit, F.col("__r")))
             .groupBy(query_id_col)
             .agg(F.sum("__g").cast("long").alias("idcg_x")))
-    return (dcg.join(idcg, query_id_col)
+    return (dcg.join(idcg, query_id_col, "right")
             .filter(F.col("idcg_x") > 0)
+            .select(query_id_col,
+                    F.coalesce(F.col("dcg_x"), F.lit(0).cast("long"))
+                     .alias("dcg_x"), F.col("idcg_x"))
             .select(query_id_col, "dcg_x", "idcg_x",
                     F.expr(f"dcg_x * {int(scale)} DIV idcg_x")
                      .cast("long").alias("ndcg_x1e6")))

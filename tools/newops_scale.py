@@ -71,18 +71,19 @@ def main() -> None:
         "kcenter": ["dist_x"],
         # ngram_containment under replication = 8/32-way duplicate
         # clusters — the dedup family's adversarial output-bound case.
-        # Its 32x row runs ~20 min (measured 1208s: true directed pairs
-        # grow ~multiplicity^2); skipped unless SPARK_GRAFT_SCALE_FULL=1
-        # so routine reproductions stay bounded.
+        # Round 12's collapse_exact default runs the intersect verify
+        # at REPRESENTATIVE level (verbatim copies collapse first), so
+        # the 32x row is ungated: true pairs still blow up
+        # ~multiplicity^2 in OUTPUT rows, but per-row cost is one
+        # expand join, not an array_intersect (was 1208s pre-collapse).
         "ngram_containment": ["n_common"],
+        # round 12: the two r11 composition ops that lacked their own
+        # scaling rows (VERDICT r11 #8)
+        "dedup_soft": ["w_x1e6", "cluster_size"],
+        "topic_quota": ["cluster"],
     }
-    full = os.environ.get("SPARK_GRAFT_SCALE_FULL") == "1"
     for name, cols in forced.items():
         for tag, d, _ in dirs:
-            if name == "ngram_containment" and tag == "32x" and not full:
-                print(f"{name} {tag}: SKIPPED (measured 1208s; "
-                      "set SPARK_GRAFT_SCALE_FULL=1)", flush=True)
-                continue
             t = best_of(reps, lambda: qs[name](spark, d).agg(
                 F.count(F.lit(1)), *[F.sum(c) for c in cols]).collect())
             print(f"{name} {tag}: best={t:.2f}s", flush=True)
