@@ -978,21 +978,114 @@ def q_ndcg_lsh(spark, sf_dir):
     of ann_recall: rank discounts are Python-precomputed integer
     literals on BOTH engines (no engine log in the plan), dcg/idcg are
     exact long sums, ndcg one truncating DIV."""
+    from cascading_flink_spark.extensions import ndcg_at_k
+    lsh, qrels = _lsh_qrels_frames(spark, sf_dir)
+    return ndcg_at_k(lsh, qrels, k=10)
+
+
+def _lsh_qrels_frames(spark, sf_dir, kt: int = 20):
+    """Shared eval fixture of the retrieval triple (ndcg/mrr/recall):
+    the md5-LSH top-10 index results + graded judgments rel = kt+1 -
+    exact-cosine-rank over each query's exact top-kt."""
     from pyspark.sql import Window
-    from cascading_flink_spark.extensions import (brute_force_topk,
-                                                  ndcg_at_k)
+    from cascading_flink_spark.extensions import brute_force_topk
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = (emb.filter(F.col("vec_id") < 5)
                   .select(F.col("vec_id").alias("query_id"), "embedding"))
     lsh = lsh_bucketed_topk_md5(emb, queries_df, k=10, planes=4, dim=64,
                                 tables=4)
-    truth = brute_force_topk(emb, queries_df, k=20)
+    truth = brute_force_topk(emb, queries_df, k=kt)
     w = (Window.partitionBy("query_id")
          .orderBy(F.desc("sim"), F.asc("vec_id")))
     qrels = (truth.withColumn(
-        "rel", (F.lit(21) - F.row_number().over(w)).cast("long"))
+        "rel", (F.lit(kt + 1) - F.row_number().over(w)).cast("long"))
         .select("query_id", "vec_id", "rel"))
-    return ndcg_at_k(lsh, qrels, k=10)
+    return lsh, qrels
+
+
+def q_mrr_lsh(spark, sf_dir):
+    """MRR@10 of the md5-LSH index: positives = the exact-cosine
+    top-10 (rel >= 11 under the shared graded judgments), rank of the
+    first hit, one truncating DIV — completes the retrieval-eval
+    triple next to ndcg_lsh / recall_lsh (VERDICT r11 #6)."""
+    from cascading_flink_spark.extensions import mrr_at_k
+    lsh, qrels = _lsh_qrels_frames(spark, sf_dir)
+    return mrr_at_k(lsh, qrels, k=10, rel_threshold=11)
+
+
+def q_recall_lsh(spark, sf_dir):
+    """Recall@10 of the md5-LSH index against the exact-cosine top-10
+    positive set (rel >= 11): n_hit * 1e6 DIV n_rel, judged-but-
+    unretrieved queries score 0."""
+    from cascading_flink_spark.extensions import recall_at_k
+    lsh, qrels = _lsh_qrels_frames(spark, sf_dir)
+    return recall_at_k(lsh, qrels, k=10, rel_threshold=11)
+
+
+def _eval_cte_sql(kt: int = 20) -> str:
+    """The lsh/truth/qrels CTE block shared by the retrieval-eval
+    oracles (DuckDB twin of :func:`_lsh_qrels_frames`)."""
+    return f"""
+        lsh AS ({_ANN_LSH_SQL}),
+        truth AS (
+            SELECT q.vec_id AS query_id, a.vec_id AS vec_id,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                         q.embedding::DOUBLE[]), 4) AS sim
+            FROM embeddings a, embeddings q
+            WHERE q.vec_id < 5 AND a.vec_id <> q.vec_id
+            QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY sim DESC, a.vec_id) <= {kt}),
+        qrels AS (
+            SELECT query_id, vec_id,
+                   ({kt + 1} - row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, vec_id))::BIGINT AS rel
+            FROM truth)"""
+
+
+def _mrr_oracle(k: int = 10, kt: int = 20, thr: int = 11,
+                scale: int = 1_000_000) -> str:
+    return f"""
+        WITH {_eval_cte_sql(kt)},
+        pos AS (SELECT query_id, vec_id FROM qrels WHERE rel >= {thr}),
+        nrel AS (SELECT query_id, count(*)::BIGINT AS n_rel
+                 FROM pos GROUP BY 1),
+        ranked AS (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, vec_id) AS r
+            FROM lsh QUALIFY r <= {k}),
+        fst AS (SELECT query_id, min(r)::BIGINT AS fr
+                FROM ranked JOIN pos USING (query_id, vec_id)
+                GROUP BY 1)
+        SELECT n.query_id,
+               coalesce(f.fr, 0)::BIGINT AS first_rel_rank,
+               (CASE WHEN f.fr IS NOT NULL THEN {scale} // f.fr
+                     ELSE 0 END)::BIGINT AS mrr_x1e6
+        FROM nrel n LEFT JOIN fst f USING (query_id)
+    """
+
+
+def _recall_oracle(k: int = 10, kt: int = 20, thr: int = 11,
+                   scale: int = 1_000_000) -> str:
+    return f"""
+        WITH {_eval_cte_sql(kt)},
+        pos AS (SELECT query_id, vec_id FROM qrels WHERE rel >= {thr}),
+        nrel AS (SELECT query_id, count(*)::BIGINT AS n_rel
+                 FROM pos GROUP BY 1),
+        ranked AS (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, vec_id) AS r
+            FROM lsh QUALIFY r <= {k}),
+        hits AS (SELECT query_id, count(*)::BIGINT AS nh
+                 FROM ranked JOIN pos USING (query_id, vec_id)
+                 GROUP BY 1)
+        SELECT n.query_id,
+               coalesce(h.nh, 0)::BIGINT AS n_hit, n.n_rel,
+               (coalesce(h.nh, 0) * {scale} // n.n_rel)::BIGINT
+                   AS recall_x1e6
+        FROM nrel n LEFT JOIN hits h USING (query_id)
+    """
 
 
 def _ndcg_oracle(k: int = 10, kt: int = 20,
@@ -3278,6 +3371,19 @@ def q_dup_spans(spark, sf_dir):
     return dup_spans(docs, k=8, min_docs=2)
 
 
+def q_dup_substrings(spark, sf_dir):
+    """Longest-match substring dedup (Lee et al. 2021 ExactSubstr):
+    maximal token ranges covered by a >=12-token substring occurring
+    >=2 times anywhere in the corpus — OCCURRENCE-counted, so
+    within-doc verbatim repeats mark too (dup_spans' distinct-doc
+    counting misses them).  Exact via the coverage theorem: the union
+    of duplicated 12-windows equals the union of all duplicated >=12
+    substrings (docstring proof in dedup.dup_substring_spans)."""
+    from cascading_flink_spark.extensions import dup_substring_spans
+    docs = _t(spark, sf_dir, "documents")
+    return dup_substring_spans(docs, min_len=12, min_count=2)
+
+
 def q_strip_dup_spans(spark, sf_dir):
     """Duplicated-substring removal: min-doc_id owner keeps each shared
     8-gram, every other doc drops the covered tokens."""
@@ -3340,6 +3446,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
 
     return {
+        # --- round 12 new (rotation finalized at round end) ---
+        "dup_substrings": q_dup_substrings,
+        "mrr_lsh": q_mrr_lsh,
+        "recall_lsh": q_recall_lsh,
         # --- slots 1-11: NEW round 11 (no driver row yet) ---
         "clustering_coef": q_clustering_coef,
         "dedup_soft": q_dedup_soft,
@@ -4877,6 +4987,8 @@ def oracle_sql() -> dict[str, str]:
         "rrf_hybrid": _rrf_oracle(k=60),
         "rrf_hybrid3": _rrf3_oracle(k=60),
         "ndcg_lsh": _ndcg_oracle(k=10, kt=20),
+        "mrr_lsh": _mrr_oracle(k=10, kt=20, thr=11),
+        "recall_lsh": _recall_oracle(k=10, kt=20, thr=11),
         "clustering_coef": """
             WITH e0 AS (SELECT user_id % 50 AS src,
                                (user_id * 7 + event_id) % 50 AS dst
@@ -7551,6 +7663,47 @@ def oracle_sql() -> dict[str, str]:
                        AS user_id_distinct,
                    CAST(count(DISTINCT value) AS BIGINT) AS value_distinct
             FROM events GROUP BY event_type
+        """,
+        "dup_substrings": """
+            -- Lee et al. ExactSubstr coverage at min_len=12: windows
+            -- counted by OCCURRENCE (within-doc repeats included)
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(coalesce(text, '')) = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(
+                                lower(trim(coalesce(text, ''))), '\\s+')
+                       END AS t
+                FROM documents),
+            pos AS (
+                SELECT doc_id, t, unnest(range(0, len(t) - 12 + 1)) AS pos
+                FROM toks WHERE len(t) >= 12),
+            grams AS (
+                SELECT doc_id, pos,
+                       md5(array_to_string(t[pos + 1 : pos + 12], ' ')) AS g
+                FROM pos),
+            dupg AS (
+                SELECT g FROM grams
+                GROUP BY g HAVING count(*) >= 2),
+            dup AS (
+                SELECT doc_id, pos FROM grams JOIN dupg USING (g)),
+            isl AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos > lag(pos) OVER (
+                                 PARTITION BY doc_id ORDER BY pos) + 12
+                            THEN 1 ELSE 0 END AS brk
+                FROM dup),
+            grp AS (
+                SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id
+                                      ORDER BY pos) AS island
+                FROM isl)
+            SELECT doc_id,
+                   CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) + 11 AS BIGINT) AS span_end,
+                   CAST(max(pos) - min(pos) + 12 AS BIGINT) AS span_tokens,
+                   CAST(count(*) AS BIGINT) AS n_grams
+            FROM grp GROUP BY doc_id, island
         """,
         "dup_spans": """
             WITH toks AS (

@@ -108,6 +108,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # paths.  embedding_dups uses the LSH (scale) variant here — the exact
 # all-pairs variant is for the sf0.01 correctness gate only.
 BENCH_QUERIES = [
+    # round 12
+    "dup_substrings",
+    "mrr_lsh",
+    "recall_lsh",
     # round 11
     "connected_components_fast",
     "rrf_hybrid3",

@@ -19,7 +19,7 @@ from .text import (
 from .curation import curate_corpus
 from .packing import chunk_corpus, overlap_chunks, pack_bins
 from .dedup import (
-    dedup_against, dup_spans, gram_novelty,
+    dedup_against, dup_spans, dup_substring_spans, gram_novelty,
     dedup_soft_weights,
     exact_dedup, exact_dedup_pairs, ngram_containment_pairs,
     ngram_jaccard_pairs, minhash_lsh_pairs,
@@ -35,7 +35,7 @@ from .similarity import (
     hard_negatives,
     kcenter_select,
     kmeans, kmeans_assign, kmeans_md5, margin_candidates, margin_mine,
-    ndcg_at_k,
+    mrr_at_k, ndcg_at_k, recall_at_k,
     pq_topk, pq_topk_md5,
     random_project, rrf_fuse, semdedup_pairs, semdedup_pairs_md5, sq_minmax,
     sq_quantize, sq_topk,

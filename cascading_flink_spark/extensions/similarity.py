@@ -577,6 +577,91 @@ def ndcg_at_k(results: DataFrame, qrels: DataFrame, k: int = 10,
                      .cast("long").alias("ndcg_x1e6")))
 
 
+def mrr_at_k(results: DataFrame, qrels: DataFrame, k: int = 10,
+             query_id_col: str = "query_id", id_col: str = "vec_id",
+             sim_col: str = "sim", rel_col: str = "rel",
+             rel_threshold: int = 1,
+             scale: int = 1_000_000) -> DataFrame:
+    """MRR@k of a ranked candidate list against relevance judgments:
+    ``(query_id, first_rel_rank, mrr_x1e6)`` — with :func:`ndcg_at_k`
+    and :func:`recall_at_k` the standard retrieval-eval triple every
+    index/hard-negative pipeline reports.  ``mrr_x1e6 = scale DIV
+    first_rel_rank`` where ``first_rel_rank`` is the rank (1-based,
+    (sim DESC, id ASC) order — the rrf_fuse convention) of the FIRST
+    candidate judged relevant (``rel >= rel_threshold``) within the
+    top k; a judged query none of whose relevant docs were retrieved
+    reports ``first_rel_rank 0, mrr 0`` (the ndcg right-join
+    convention — empty retrievals can't inflate the eval).  Output
+    rows: every query with >= 1 relevant judgment.  ``qrels`` must be
+    unique per (query, id) — the shared relevance-table contract.
+
+    Integer-exact: one truncating DIV of the bounded rank — no
+    floats anywhere.  Scale shape: one bounded per-query window over
+    ``results``, one equi-join onto the (filtered) positive
+    judgments, two partial-agg groupBys — no cross joins, no driver
+    pulls."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    wr = (Window.partitionBy(query_id_col)
+          .orderBy(F.desc(sim_col), F.asc(id_col)))
+    ranked = (results.withColumn("__r", F.row_number().over(wr))
+              .filter(F.col("__r") <= k)
+              .select(query_id_col, id_col, "__r"))
+    pos = (qrels.filter(F.col(rel_col) >= int(rel_threshold))
+           .select(query_id_col, id_col))
+    nrel = pos.groupBy(query_id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__nrel"))
+    first = (ranked.join(pos, [query_id_col, id_col])
+             .groupBy(query_id_col)
+             .agg(F.min("__r").cast("long").alias("__fr")))
+    return (nrel.join(first, query_id_col, "left")
+            .select(query_id_col,
+                    F.coalesce(F.col("__fr"), F.lit(0).cast("long"))
+                     .alias("first_rel_rank"),
+                    F.when(F.col("__fr").isNotNull(),
+                           F.expr(f"{int(scale)} DIV __fr"))
+                     .otherwise(F.lit(0)).cast("long")
+                     .alias("mrr_x1e6")))
+
+
+def recall_at_k(results: DataFrame, qrels: DataFrame, k: int = 10,
+                query_id_col: str = "query_id", id_col: str = "vec_id",
+                sim_col: str = "sim", rel_col: str = "rel",
+                rel_threshold: int = 1,
+                scale: int = 1_000_000) -> DataFrame:
+    """Recall@k of a ranked candidate list against relevance
+    judgments: ``(query_id, n_hit, n_rel, recall_x1e6)`` with
+    ``recall_x1e6 = n_hit * scale DIV n_rel`` — plain recall (hits
+    over ALL relevant, not over min(n_rel, k); a query with more
+    relevant docs than k therefore cannot reach 1e6, which is the
+    honest spelling when k is the serving budget).  Ranks, the
+    ``rel >= rel_threshold`` positive set, the right-anchored
+    judged-but-unretrieved-scores-0 convention and the qrels
+    uniqueness contract are shared with :func:`mrr_at_k` /
+    :func:`ndcg_at_k`.  Scale shape identical to mrr_at_k."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    wr = (Window.partitionBy(query_id_col)
+          .orderBy(F.desc(sim_col), F.asc(id_col)))
+    ranked = (results.withColumn("__r", F.row_number().over(wr))
+              .filter(F.col("__r") <= k)
+              .select(query_id_col, id_col))
+    pos = (qrels.filter(F.col(rel_col) >= int(rel_threshold))
+           .select(query_id_col, id_col))
+    nrel = pos.groupBy(query_id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel"))
+    hits = (ranked.join(pos, [query_id_col, id_col])
+            .groupBy(query_id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("__nh")))
+    return (nrel.join(hits, query_id_col, "left")
+            .select(query_id_col,
+                    F.coalesce(F.col("__nh"), F.lit(0).cast("long"))
+                     .alias("n_hit"), F.col("n_rel"))
+            .select(query_id_col, "n_hit", "n_rel",
+                    F.expr(f"n_hit * {int(scale)} DIV n_rel")
+                     .cast("long").alias("recall_x1e6")))
+
+
 def kcenter_select(corpus: DataFrame, k: int = 8,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    scale: int = 1_000_000) -> DataFrame:

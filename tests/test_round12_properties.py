@@ -1,0 +1,169 @@
+"""Property pins for the round-12 ops.
+
+The load-bearing one: dup_substring_spans must equal the DIRECT
+definition — enumerate EVERY token substring of length >= L, count
+occurrences corpus-wide, mark the positions of every substring
+occurring >= min_count times, take maximal runs — on arbitrary small
+corpora.  The operator computes only duplicated length-EXACTLY-L
+windows; agreement here is the coverage theorem its docstring proves
+(suffix-array subsumption, VERDICT r11 What's-missing #2)."""
+
+from __future__ import annotations
+
+import pytest
+
+try:
+    from hypothesis import given, settings, strategies as st
+except ImportError:                                    # pragma: no cover
+    pytest.skip("hypothesis unavailable", allow_module_level=True)
+
+from cascading_flink_spark.extensions import dup_substring_spans
+
+# tiny vocab + short docs => repeats are common, enumeration is cheap
+corpus_strategy = st.lists(
+    st.tuples(st.integers(0, 20),
+              st.lists(st.sampled_from(list("abc")),
+                       min_size=0, max_size=14)),
+    min_size=1, max_size=8, unique_by=lambda d: d[0])
+
+
+def _direct_spans(docs, L, min_count):
+    """The definition, verbatim: every substring (token tuple) of
+    length >= L, occurrence-counted over ALL positions of ALL docs."""
+    from collections import Counter
+    occ = Counter()
+    for _id, toks in docs:
+        for m in range(L, len(toks) + 1):
+            for i in range(len(toks) - m + 1):
+                occ[tuple(toks[i:i + m])] += 1
+    covered = {}
+    for _id, toks in docs:
+        cov = set()
+        for m in range(L, len(toks) + 1):
+            for i in range(len(toks) - m + 1):
+                if occ[tuple(toks[i:i + m])] >= min_count:
+                    cov.update(range(i, i + m))
+        covered[_id] = cov
+    spans = set()
+    for _id, cov in covered.items():
+        for p in sorted(cov):
+            if p - 1 not in cov:
+                q = p
+                while q + 1 in cov:
+                    q += 1
+                spans.add((_id, p, q, q - p + 1))
+    return spans
+
+
+@settings(max_examples=25, deadline=None)
+@given(docs=corpus_strategy, L=st.integers(2, 4))
+def test_dup_substring_spans_equals_direct_enumeration(spark, docs, L):
+    docs = [(i, toks) for i, toks in docs]
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in docs],
+        "doc_id long, text string")
+    got = {(r.doc_id, r.span_start, r.span_end, r.span_tokens)
+           for r in dup_substring_spans(df, min_len=L).collect()}
+    assert got == _direct_spans(docs, L, 2)
+
+
+def test_dup_substring_spans_within_doc_and_overlapping_repeats(spark):
+    """The modality dup_spans misses: occurrence counting marks a
+    verbatim run repeated inside ONE document, including a
+    self-overlapping period-1 run ('a a a a a')."""
+    rows = [
+        # 'x y z w' appears twice within doc 1 only
+        (1, "x y z w q q q q p p x y z w"),
+        # self-overlapping: 5 'a's => 'a a a a' (L=4) at pos 0 and 1
+        (2, "a a a a a"),
+        (3, "nothing shared here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_id, r.span_start, r.span_end)
+           for r in dup_substring_spans(df, min_len=4).collect()}
+    assert (1, 0, 3) in got and (1, 10, 13) in got
+    assert (2, 0, 4) in got
+    assert not any(d == 3 for d, *_ in got)
+    # dup_spans (distinct-doc counting) finds NONE of these
+    from cascading_flink_spark.extensions import dup_spans
+    assert dup_spans(df, k=4, min_docs=2).count() == 0
+
+
+# ---------------------- retrieval-eval twins: mrr_at_k / recall_at_k
+
+# (query, doc, sim-rank-key) results + (query, doc, rel) judgments;
+# unique (q, d) per table — the shared qrels contract
+eval_strategy = st.tuples(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 15),
+                       st.integers(0, 100)),
+             min_size=0, max_size=30,
+             unique_by=lambda r: (r[0], r[1])),
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 15),
+                       st.integers(0, 3)),
+             min_size=1, max_size=25,
+             unique_by=lambda r: (r[0], r[1])),
+    st.integers(1, 5))
+
+
+def _ranked_topk(results, k):
+    by_q = {}
+    for q, d, s in results:
+        by_q.setdefault(q, []).append((d, s))
+    out = {}
+    for q, lst in by_q.items():
+        lst.sort(key=lambda x: (-x[1], x[0]))
+        out[q] = [d for d, _ in lst[:k]]
+    return out
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=eval_strategy)
+def test_mrr_recall_match_python_model(spark, data):
+    results, qrels, k = data
+    from cascading_flink_spark.extensions import mrr_at_k, recall_at_k
+    rdf = spark.createDataFrame(
+        [(q, d, float(s)) for q, d, s in results] or
+        [(None, None, None)],
+        "query_id long, vec_id long, sim double").filter(
+        "query_id is not null")
+    qdf = spark.createDataFrame(qrels,
+                                "query_id long, vec_id long, rel long")
+    topk = _ranked_topk(results, k)
+    pos = {}
+    for q, d, r in qrels:
+        if r >= 1:
+            pos.setdefault(q, set()).add(d)
+    exp_mrr, exp_rec = {}, {}
+    for q, ds in pos.items():
+        got = topk.get(q, [])
+        fr = next((i + 1 for i, d in enumerate(got) if d in ds), 0)
+        exp_mrr[q] = (fr, 1_000_000 // fr if fr else 0)
+        nh = sum(1 for d in got if d in ds)
+        exp_rec[q] = (nh, len(ds), nh * 1_000_000 // len(ds))
+    got_mrr = {r.query_id: (r.first_rel_rank, r.mrr_x1e6)
+               for r in mrr_at_k(rdf, qdf, k=k).collect()}
+    got_rec = {r.query_id: (r.n_hit, r.n_rel, r.recall_x1e6)
+               for r in recall_at_k(rdf, qdf, k=k).collect()}
+    assert got_mrr == exp_mrr
+    assert got_rec == exp_rec
+
+
+def test_mrr_recall_judged_but_unretrieved_scores_zero(spark):
+    from cascading_flink_spark.extensions import mrr_at_k, recall_at_k
+    rdf = spark.createDataFrame([(1, 10, 0.9)],
+                                "query_id long, vec_id long, sim double")
+    qdf = spark.createDataFrame([(1, 10, 2), (2, 99, 3)],
+                                "query_id long, vec_id long, rel long")
+    m = {r.query_id: r.mrr_x1e6 for r in mrr_at_k(rdf, qdf).collect()}
+    rc = {r.query_id: r.recall_x1e6
+          for r in recall_at_k(rdf, qdf).collect()}
+    assert m == {1: 1_000_000, 2: 0}
+    assert rc == {1: 1_000_000, 2: 0}
+
+
+def test_dup_substring_spans_validates(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="min_len"):
+        dup_substring_spans(df, min_len=1)
+    with pytest.raises(ValueError, match="min_count"):
+        dup_substring_spans(df, min_count=1)

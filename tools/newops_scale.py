@@ -78,9 +78,12 @@ def main() -> None:
         # expand join, not an array_intersect (was 1208s pre-collapse).
         "ngram_containment": ["n_common"],
         # round 12: the two r11 composition ops that lacked their own
-        # scaling rows (VERDICT r11 #8)
+        # scaling rows (VERDICT r11 #8), plus the new suffix-array-free
+        # ExactSubstr spans (occurrence-counted windows; replication
+        # multiplies window occurrences, the adversarial direction)
         "dedup_soft": ["w_x1e6", "cluster_size"],
         "topic_quota": ["cluster"],
+        "dup_substrings": ["span_tokens", "n_grams"],
     }
     for name, cols in forced.items():
         for tag, d, _ in dirs:
