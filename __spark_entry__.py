@@ -1927,6 +1927,23 @@ def q_classifier_auc(spark, sf_dir):
     return classifier_auc(d, "n_chars", "label", group_col="lang")
 
 
+def q_classifier_auc_quantized(spark, sf_dir):
+    """classifier_auc's quantize_x path (VERDICT r11 #5) on a raw
+    CONTINUOUS score (n_chars / 7.0 — never lands on an exact .5
+    boundary at x100, since 200*n ≡ 7 (mod 14) is unsolvable, so
+    Spark HALF_UP and DuckDB half-away agree): round(score * 100) as
+    the in-plan bucketing that keeps the reduced frame bounded by the
+    quantization instead of row-sized."""
+    from cascading_flink_spark.extensions import classifier_auc
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                 "n_chars")
+    d = (docs.withColumn("label",
+                         (F.col("doc_id") % 5 < 2).cast("int"))
+         .withColumn("score", F.col("n_chars") / F.lit(7.0)))
+    return classifier_auc(d, "score", "label", group_col="lang",
+                          quantize_x=100)
+
+
 def q_topic_quota(spark, sf_dir):
     """Topic-balanced sampling composition: kmeans_md5 clusters the
     embeddings (k=8, 2 Lloyd rounds, the q_kmeans twin), then
@@ -3391,6 +3408,17 @@ def q_strip_dup_spans(spark, sf_dir):
     return strip_dup_spans(docs, k=8, min_docs=2)
 
 
+def q_strip_dup_substrings(spark, sf_dir):
+    """ExactSubstr removal (Lee et al. 2021): every occurrence of a
+    duplicated 12-token window except the lexicographically-first
+    (doc_id, pos) occurrence is stripped — OCCURRENCE-level ownership,
+    so within-doc verbatim repeats are removed where strip_dup_spans'
+    distinct-doc ownership keeps them."""
+    from cascading_flink_spark.extensions import strip_dup_substrings
+    docs = _t(spark, sf_dir, "documents")
+    return strip_dup_substrings(docs, min_len=12, min_count=2)
+
+
 def q_gram_novelty(spark, sf_dir):
     """Per-doc fraction of corpus-unique 8-grams (integer-scaled)."""
     docs = _t(spark, sf_dir, "documents")
@@ -3450,6 +3478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_substrings": q_dup_substrings,
         "mrr_lsh": q_mrr_lsh,
         "recall_lsh": q_recall_lsh,
+        "classifier_auc_quantized": q_classifier_auc_quantized,
+        "strip_dup_substrings": q_strip_dup_substrings,
         # --- slots 1-11: NEW round 11 (no driver row yet) ---
         "clustering_coef": q_clustering_coef,
         "dedup_soft": q_dedup_soft,
@@ -5072,6 +5102,30 @@ def oracle_sql() -> dict[str, str]:
         "kcenter": _kcenter_oracle(k=6),
         "classifier_auc": """
             WITH d AS (SELECT lang, n_chars AS s,
+                              CASE WHEN doc_id % 5 < 2 THEN 1 ELSE 0
+                              END AS l
+                       FROM documents),
+            c AS (SELECT lang, s, sum(l)::BIGINT AS p,
+                         sum(1 - l)::BIGINT AS q
+                  FROM d GROUP BY 1, 2),
+            cc AS (SELECT lang, p, q,
+                          coalesce(sum(q) OVER (
+                              PARTITION BY lang ORDER BY s
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS nb
+                   FROM c),
+            n AS (SELECT lang, sum(p::HUGEINT * (2 * nb + q)) AS num2,
+                         sum(p)::BIGINT AS np, sum(q)::BIGINT AS nq
+                  FROM cc GROUP BY 1)
+            SELECT lang,
+                   (num2 * 1000000 // (2 * np::HUGEINT * nq))::BIGINT
+                       AS auc_x1e6,
+                   np AS n_pos, nq AS n_neg
+            FROM n WHERE np > 0 AND nq > 0
+        """,
+        "classifier_auc_quantized": """
+            WITH d AS (SELECT lang,
+                              round(n_chars / 7.0 * 100)::BIGINT AS s,
                               CASE WHEN doc_id % 5 < 2 THEN 1 ELSE 0
                               END AS l
                        FROM documents),
@@ -7743,6 +7797,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_tokens,
                    CAST(count(*) AS BIGINT) AS n_grams
             FROM grp GROUP BY doc_id, island
+        """,
+        "strip_dup_substrings": """
+            -- ExactSubstr removal: occurrence-level ownership, the
+            -- lexicographically-first (doc_id, pos) occurrence of each
+            -- duplicated 12-window keeps its tokens
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(coalesce(text, '')) = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(
+                                trim(coalesce(text, '')), '\\s+')
+                       END AS t
+                FROM documents),
+            pos AS (
+                SELECT doc_id, t, unnest(range(0, len(t) - 12 + 1)) AS pos
+                FROM toks WHERE len(t) >= 12),
+            grams AS (
+                SELECT doc_id, pos,
+                       md5(array_to_string(
+                           list_transform(t[pos + 1 : pos + 12],
+                                          x -> lower(x)), ' ')) AS g
+                FROM pos),
+            owners AS (
+                SELECT g,
+                       min(struct_pack(id := doc_id, p := pos)) AS own
+                FROM grams
+                GROUP BY g HAVING count(*) >= 2),
+            removed AS (
+                SELECT DISTINCT gr.doc_id, gr.pos + u.i AS ti
+                FROM grams gr JOIN owners o USING (g)
+                CROSS JOIN range(0, 12) u(i)
+                WHERE NOT (gr.doc_id = o.own.id AND gr.pos = o.own.p)),
+            tok2 AS (
+                SELECT doc_id, ti1 - 1 AS ti, t[ti1] AS tok
+                FROM (SELECT doc_id, t,
+                             unnest(range(1, len(t) + 1)) AS ti1
+                      FROM toks)),
+            kept AS (
+                SELECT k.doc_id,
+                       string_agg(k.tok, ' ' ORDER BY k.ti) AS clean_text,
+                       CAST(count(*) AS BIGINT) AS n_tokens_kept
+                FROM tok2 k
+                WHERE NOT EXISTS (SELECT 1 FROM removed r
+                                  WHERE r.doc_id = k.doc_id
+                                    AND r.ti = k.ti)
+                GROUP BY k.doc_id)
+            SELECT toks.doc_id,
+                   coalesce(kept.clean_text, '') AS clean_text,
+                   CAST(coalesce(kept.n_tokens_kept, 0) AS BIGINT)
+                       AS n_tokens_kept,
+                   CAST(len(toks.t) - coalesce(kept.n_tokens_kept, 0)
+                        AS BIGINT) AS n_tokens_removed
+            FROM toks LEFT JOIN kept USING (doc_id)
         """,
         "strip_dup_spans": """
             -- gram keys on LOWERCASED tokens; reassembly keeps original case

@@ -25,7 +25,8 @@ from .dedup import (
     ngram_jaccard_pairs, minhash_lsh_pairs,
     minhash_lsh_pairs_md5, simhash_bits, simhash_dup_pairs,
     simhash_md5_pairs, dedup_clusters, dedup_keep_best, paragraph_dedup,
-    strip_boilerplate, strip_dup_spans, winnow_fingerprints, winnow_pairs,
+    strip_boilerplate, strip_dup_spans, strip_dup_substrings,
+    winnow_fingerprints, winnow_pairs,
 )
 from .similarity import (
     cosine_expr, brute_force_topk, embedding_dup_pairs, group_centroids,

@@ -195,7 +195,8 @@ def _word_shingles(text_col: str, n: int):
 
 
 def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
-                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                        text_col: str = "text", id_col: str = "doc_id",
+                        collapse_exact: bool = True) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via PPJoin-style prefix filtering.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
@@ -209,7 +210,19 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     Candidates are verified with a full ``array_intersect``.  At 100 TB this
     turns the self-join's shuffle from O(sum f_s^2) on hot shingles into
     O(candidates), and the rarest-first ordering removes the skewed hot keys
-    entirely."""
+    entirely.
+
+    ``collapse_exact`` (default True, round 12 — the
+    :func:`ngram_containment_pairs` treatment): identical shingle
+    sequences collapse to one representative before the prefix
+    self-join, the O(|a|+|b|) intersect verify runs once per
+    REPRESENTATIVE pair, and member pairs expand back through two
+    hash joins — bit-identical output (cross-group pairs inherit the
+    representative's jaccard, re-oriented least/greatest; exact
+    copies of each other are jaccard-1.0 pairs emitted straight from
+    the groups).  On verbatim-dup-dense corpora (the adversarial
+    replicate rows) this removes the multiplicity^2 per-member
+    verify; ``collapse_exact=False`` is the raw pre-r12 opt-out."""
     # Arrow shingler: the vectorized Python loop beats the interpreted
     # native transform(sequence, slice+concat_ws) even with the persisted
     # frame reused across branches (re-measured round 5: 2.8s -> 2.3s at
@@ -224,6 +237,23 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
                 .select(F.col(id_col).alias("id"),
                         _word_shingles_arrow(text_col, n).alias("sh"))
                 .localCheckpoint(eager=False))
+    members = reps = None
+    if collapse_exact:
+        keyed = shingled.withColumn(
+            "__gk", F.concat(F.md5(F.concat_ws("\x1f", "sh")),
+                             F.lit("#"), F.size("sh").cast("string")))
+        reps = (keyed.groupBy("__gk")
+                .agg(F.min("id").alias("__rid"),
+                     F.count(F.lit(1)).alias("__gsz"))
+                .localCheckpoint(eager=False))
+        members = (keyed.select("id", "__gk")
+                   .join(reps.select("__gk", "__rid"), "__gk")
+                   .select("id", "__rid")
+                   .localCheckpoint(eager=False))
+        shingled = (keyed.join(reps.select("__gk", "__rid"), "__gk")
+                    .filter(F.col("id") == F.col("__rid"))
+                    .select("id", "sh")
+                    .localCheckpoint(eager=False))
     inv = shingled.select("id", F.explode("sh").alias("shingle"))
     freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
     w = Window.partitionBy("id").orderBy(F.asc("f"), F.asc("shingle"))
@@ -262,7 +292,37 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
                 .withColumn("__j",
                             F.col("n_common") /
                             (F.size("sh_a") + F.size("sh_b") - F.col("n_common")))
-                .filter(F.col("__j") >= threshold))
+                .filter(F.col("__j") >= threshold)
+                .select("id_a", "id_b", "__j"))
+    if collapse_exact:
+        # Expand representative verdicts to member pairs, re-oriented
+        # least/greatest (jaccard is symmetric; members of different
+        # groups can interleave in id order).  Output-bound: only TRUE
+        # pairs materialize, no per-member intersect.
+        cross = (verified
+                 .withColumnRenamed("id_a", "__ra")
+                 .withColumnRenamed("id_b", "__rb")
+                 .join(members.toDF("__ma", "__ra"), "__ra")
+                 .join(members.toDF("__mb", "__rb"), "__rb")
+                 .select(F.least("__ma", "__mb").alias("id_a"),
+                         F.greatest("__ma", "__mb").alias("id_b"),
+                         "__j"))
+        # exact copies of each other: J = |sh| / |sh| = exactly 1.0;
+        # empty shingle sets are filtered FIRST (they never reach the
+        # raw path's index either, and ANSI mode raises on 0/0)
+        within_meta = (shingled
+                       .filter(F.size("sh") > 0)
+                       .join(reps.filter(F.col("__gsz") >= 2)
+                             .select(F.col("__rid").alias("id")), "id")
+                       .select(F.col("id").alias("__rid"),
+                               F.lit(1.0).alias("__j"))
+                       .filter(F.col("__j") >= threshold))
+        within = (within_meta
+                  .join(members.toDF("id_a", "__rid"), "__rid")
+                  .join(members.toDF("id_b", "__rid"), "__rid")
+                  .filter(F.col("id_a") < F.col("id_b"))
+                  .select("id_a", "id_b", "__j"))
+        verified = cross.unionByName(within)
     return verified.select("id_a", "id_b", F.round("__j", 4).alias("jaccard"))
 
 
@@ -376,8 +436,11 @@ def ngram_containment_pairs(df: DataFrame, n: int = 3,
         # Exact copies of each other: containment of identical arrays
         # is |distinct| / |sh| (the raw verify's value), emitted per
         # ordered member pair of every size>=2 group that clears the
-        # threshold — no intersect needed.
+        # threshold — no intersect needed.  Empty shingle sets are
+        # filtered FIRST (never in the raw path's index; ANSI 0/0
+        # raises).
         within_meta = (shingled
+                       .filter(F.size("sh") > 0)
                        .join(reps.filter(F.col("__gsz") >= 2)
                              .select(F.col("__rid").alias("id")), "id")
                        .select(F.col("id").alias("__rid"),
@@ -1408,6 +1471,84 @@ def strip_dup_spans(df: DataFrame, k: int = 8, min_docs: int = 2,
               .select("g", "owner"))
     removed = (grams.join(owners, "g")
                .filter(F.col("id") != F.col("owner"))
+               .select("id", F.explode(
+                   F.sequence(F.col("pos"), F.col("pos") + (k - 1)))
+                   .alias("ti"))
+               .distinct())
+    tokens = base.select("id", F.posexplode("t").alias("ti", "tok"))
+    kept = tokens.join(removed, ["id", "ti"], "left_anti")
+    out = (kept.groupBy("id")
+           .agg(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct(F.col("ti"), F.col("tok")))),
+                        lambda s: s["tok"]), " ").alias("clean_text"),
+                F.count(F.lit(1)).alias("n_tokens_kept")))
+    totals = base.select("id", F.size("t").alias("n_total"))
+    return (totals.join(out, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.coalesce(F.col("clean_text"), F.lit(""))
+                     .alias("clean_text"),
+                    F.coalesce(F.col("n_tokens_kept"), F.lit(0))
+                     .cast("long").alias("n_tokens_kept"),
+                    (F.col("n_total") - F.coalesce(F.col("n_tokens_kept"),
+                                                   F.lit(0)))
+                     .cast("long").alias("n_tokens_removed")))
+
+
+def strip_dup_substrings(df: DataFrame, min_len: int = 20,
+                         min_count: int = 2, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """The removal twin of :func:`dup_substring_spans` — Lee et al.
+    2021's "remove all but one occurrence of every duplicated >=L
+    substring", spelled at window granularity: every occurrence of a
+    duplicated ``min_len``-token window EXCEPT its canonical one (the
+    lexicographically smallest ``(doc_id, position)`` — deterministic
+    under any id type, the min-owner convention of
+    :func:`strip_dup_spans`) has its covered tokens removed; canonical
+    tokens survive only where no other removed occurrence covers them.
+    Unlike :func:`strip_dup_spans` (distinct-DOC ownership) this is
+    OCCURRENCE-level, so the second verbatim copy of a run inside the
+    SAME document is stripped too.  Window keys are built on
+    LOWERCASED tokens; reassembly keeps original case (token
+    boundaries are whitespace, so the arrays align — the
+    strip_dup_spans contract).  Returns ``(doc_id, clean_text,
+    n_tokens_kept, n_tokens_removed)``.
+
+    Scale shape: identical to :func:`strip_dup_spans` — md5-hashed
+    window keys, one partial-agg count+argmin pass (hot boilerplate
+    combines map-side), bounded covered-position explode (min_len per
+    removed occurrence, distinct-folded), one left_anti + per-doc
+    reassembly.  O(total tokens + min_len * removed occurrences)."""
+    if min_len < 2:
+        raise ValueError("min_len must be >= 2")
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2")
+    k = int(min_len)
+    toks = _span_toks(text_col, lowered=False)
+    base = _fan_out(df).select(F.col(id_col).alias("id"), toks.alias("t"))
+    lower_t = F.transform(F.col("t"), lambda x: F.lower(x))
+    grams = (base
+             .select("id", "t", F.explode(
+                 F.when(F.size(F.col("t")) >= k,
+                        F.sequence(F.lit(0),
+                                   F.greatest(F.size(F.col("t")) - k,
+                                              F.lit(0))))
+                  .otherwise(F.array().cast("array<int>"))).alias("pos"))
+             .select("id", "pos",
+                     F.md5(F.concat_ws(
+                         " ", F.slice(lower_t, F.col("pos") + 1, k)))
+                      .alias("g")))
+    owners = (grams.groupBy("g")
+              .agg(F.count(F.lit(1)).alias("n_occ"),
+                   F.min(F.struct(F.col("id"), F.col("pos")))
+                    .alias("__own"))
+              .filter(F.col("n_occ") >= int(min_count))
+              .select("g", F.col("__own.id").alias("__oid"),
+                      F.col("__own.pos").alias("__opos")))
+    removed = (grams.join(owners, "g")
+               .filter(~((F.col("id") == F.col("__oid"))
+                         & (F.col("pos") == F.col("__opos"))))
                .select("id", F.explode(
                    F.sequence(F.col("pos"), F.col("pos") + (k - 1)))
                    .alias("ti"))

@@ -138,6 +138,32 @@ def test_ngram_containment_collapse_matches_raw(spark):
     assert not any(a == 6 or b == 6 for a, b in byp)
 
 
+def test_ngram_jaccard_collapse_matches_raw(spark):
+    """Round 12 extends the verbatim collapse to the Jaccard twin —
+    bit-identical pairs on a copy-dense corpus (the dedup_soft /
+    cluster_split / dedup_clusters upstream), including pairs whose
+    members interleave in id order across copy groups."""
+    from cascading_flink_spark.extensions import ngram_jaccard_pairs
+    a = "the quick brown fox jumps over the lazy dog tonight"
+    b = "the quick brown fox jumps over the lazy dog today instead"
+    c = "unrelated text about catalyst plans and shuffle partitions"
+    rows = [(1, a), (4, a), (7, a),       # copies of a, interleaved ids
+            (2, b), (5, b),               # copies of the near-dup b
+            (3, c), (6, c)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.5, 0.8):
+        got_c = sorted((r.id_a, r.id_b, r.jaccard) for r in
+                       ngram_jaccard_pairs(df, n=3, threshold=t,
+                                           collapse_exact=True).collect())
+        got_r = sorted((r.id_a, r.id_b, r.jaccard) for r in
+                       ngram_jaccard_pairs(df, n=3, threshold=t,
+                                           collapse_exact=False).collect())
+        assert got_c == got_r
+    pairs = {(x, y): j for x, y, j in got_c}
+    assert pairs[(1, 4)] == 1.0 and pairs[(3, 6)] == 1.0
+    assert all(x < y for x, y in pairs)
+
+
 def test_ngram_containment_collapse_plan_no_per_member_intersect(spark):
     """The verify stage's array_intersect must run at representative
     level — the plan still has no cartesian, and the collapsed path

@@ -89,6 +89,69 @@ def test_dup_substring_spans_within_doc_and_overlapping_repeats(spark):
     assert dup_spans(df, k=4, min_docs=2).count() == 0
 
 
+# ----------------------------- strip_dup_substrings (removal twin)
+
+def _direct_strip(docs, L, min_count):
+    """Window-level occurrence ownership, per the operator contract:
+    lowercased window keys, lexicographically-first (doc, pos)
+    occurrence is canonical, all other occurrences' positions removed."""
+    from collections import defaultdict
+    occ = defaultdict(list)
+    for did, toks in docs:
+        low = [t.lower() for t in toks]
+        for i in range(len(low) - L + 1):
+            occ[tuple(low[i:i + L])].append((did, i))
+    removed = defaultdict(set)
+    for g, lst in occ.items():
+        if len(lst) >= min_count:
+            owner = min(lst)
+            for did, p in lst:
+                if (did, p) != owner:
+                    removed[did].update(range(p, p + L))
+    out = {}
+    for did, toks in docs:
+        kept = [t for i, t in enumerate(toks) if i not in removed[did]]
+        out[did] = (" ".join(kept), len(kept), len(toks) - len(kept))
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(docs=corpus_strategy, L=st.integers(2, 4))
+def test_strip_dup_substrings_matches_direct_model(spark, docs, L):
+    from cascading_flink_spark.extensions import strip_dup_substrings
+    docs = [(i, toks) for i, toks in docs]
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in docs],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.clean_text, r.n_tokens_kept, r.n_tokens_removed)
+           for r in strip_dup_substrings(df, min_len=L).collect()}
+    assert got == _direct_strip(docs, L, 2)
+
+
+def test_strip_dup_substrings_within_doc_and_ownership(spark):
+    from cascading_flink_spark.extensions import (strip_dup_spans,
+                                                  strip_dup_substrings)
+    rows = [
+        (1, "x y z w AND THEN x y z w"),          # within-doc repeat
+        (2, "a b c d tail one"),
+        (3, "a b c d tail two"),                  # doc 2 owns 'a b c d'
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           strip_dup_substrings(df, min_len=4).collect()}
+    # second within-doc occurrence stripped, first kept (case intact)
+    assert got[1].clean_text == "x y z w AND THEN"
+    assert got[1].n_tokens_removed == 4
+    # doc 2 (lexicographically first occurrence) keeps; doc 3 drops
+    # BOTH shared windows ('a b c d' and 'b c d tail' -> tokens 0-4)
+    assert got[2].clean_text == "a b c d tail one"
+    assert got[3].clean_text == "two"
+    assert got[3].n_tokens_removed == 5
+    # strip_dup_spans' distinct-doc ownership KEEPS doc 1's repeat
+    sds = {r.doc_id: r for r in strip_dup_spans(df, k=4).collect()}
+    assert sds[1].n_tokens_removed == 0
+
+
 # ---------------------- retrieval-eval twins: mrr_at_k / recall_at_k
 
 # (query, doc, sim-rank-key) results + (query, doc, rel) judgments;
