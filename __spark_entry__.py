@@ -3460,95 +3460,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     least-recently-driver-verified queries must sit at the front.
     Rotation is documented in COVERAGE.md ("Driver-slot rotation").
 
-    Round-11 front block (slots 1-50): the 11 NEW round-11 queries;
-    the 8 queries whose plan or code changed this round; the 15
-    r6-stale TPC-H rows displaced by round 10's additions; and the 16
-    oldest r7-stale rows (anti_join/blocklist + 14 of the 16
-    alphabetical) — 11+8+15+2+14 = exactly 50; after this round no
-    query's newest driver row is older than r7, and slots 51-74 (the
-    two overflow r7 rows + the remaining 22) lead the round-12
-    window.
-    Back block: everything with an r8-r10 driver row on unchanged
+    Round-12 front block (slots 1-50): the 5 NEW round-12 queries;
+    the 14 queries whose plan or code changed this round (the
+    verbatim-collapse default and everything composing the pair
+    generators, the DECIMAL overflow intermediates, the ndcg right
+    join, stars-CC convergence, sessionize's keep_cols guard); the
+    24 r7-stale rows (VERDICT r11 Next #1 — after this round no
+    query's newest driver row is older than r8); and the 7 oldest
+    r8-stale rows — 5+14+24+7 = exactly 50.  Slots 51-74 (the
+    remaining 24 r8 rows) lead the round-13 window.
+    Back block: everything with an r9-r11 driver row on unchanged
     code, re-verified by the committed round-end mimic
-    (tools/mimic_r11.log).
+    (tools/mimic_r12.log).
     """
 
     return {
-        # --- round 12 new (rotation finalized at round end) ---
+        # --- slots 1-5: NEW round 12 (no driver row yet):
+        # the ExactSubstr detect/strip pair, the mrr/recall
+        # retrieval-eval twins, and classifier_auc's
+        # quantize_x path ---
         "dup_substrings": q_dup_substrings,
+        "strip_dup_substrings": q_strip_dup_substrings,
         "mrr_lsh": q_mrr_lsh,
         "recall_lsh": q_recall_lsh,
         "classifier_auc_quantized": q_classifier_auc_quantized,
-        "strip_dup_substrings": q_strip_dup_substrings,
-        # --- slots 1-11: NEW round 11 (no driver row yet) ---
-        "clustering_coef": q_clustering_coef,
-        "dedup_soft": q_dedup_soft,
-        "connected_components_fast": q_connected_components_fast,
-        "rrf_hybrid3": q_rrf_hybrid3,
-        "session_funnel": q_session_funnel,
-        "kcenter": q_kcenter,
+        # --- slots 6-19: plan or code changed round 12,
+        # re-gated: the verbatim-collapse default in the
+        # containment AND jaccard pair generators (and every
+        # query composing them: dedup_soft, dedup_clusters,
+        # dedup_keep_best, cluster_split, minhash_recall's
+        # exact ground truth), the DECIMAL(38,0) overflow
+        # intermediates (classifier_auc, clustering_coef),
+        # ndcg's judged-but-unretrieved right join, the
+        # stars-CC convergence plumbing, and sessionize's
+        # keep_cols guard (session_labels/stats/funnel) ---
         "ngram_containment": q_ngram_containment,
-        "topic_quota": q_topic_quota,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_soft": q_dedup_soft,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
+        "cluster_split": q_cluster_split,
+        "minhash_recall": q_minhash_recall,
         "classifier_auc": q_classifier_auc,
+        "clustering_coef": q_clustering_coef,
         "ndcg_lsh": q_ndcg_lsh,
-        "upsample_mixture": q_upsample_mixture,
-        # --- slots 12-19: plan/code changed round 11, re-gated:
-        # quantile_norm_lang's mega-key-safe grouped_rank default (and
-        # the shared quantile_normalize signature), connected_components'
-        # own-type comp (ADVICE r10), corpus_drift's scale-divisibility
-        # guard, the flagship margin stage's un-hinted drop join, and
-        # sessionize's keep_cols passthrough (feeds session_labels /
-        # session_stats) ---
-        "quantile_norm_lang": q_quantile_norm_lang,
-        "quantile_norm_global": q_quantile_norm_global,
-        "connected_components": q_connected_components,
-        "corpus_drift": q_corpus_drift,
-        "corpus_drift_ref": q_corpus_drift_ref,
-        "curation_margin": q_curation_margin,
+        "connected_components_fast": q_connected_components_fast,
         "session_labels": q_session_labels,
         "session_stats": q_session_stats,
-        # --- slots 20-34: the 15 r6-stale TPC-H rows (newest driver
-        # row CORRECTNESS_r06; mimic-verified every round since) ---
-        "tpch_q11": q_tpch_q11,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q20": q_tpch_q20,
-        "tpch_q21": q_tpch_q21,
-        "tpch_q22": q_tpch_q22,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q9": q_tpch_q9,
-        # --- slots 35-36: the 2 oldest-r7 rows ---
-        "anti_join": q_anti_join,
-        "blocklist": q_blocklist,
-        # --- slots 37-50 (+2 overflow): the next 16 r7-stale rows,
-        # alphabetical — the last two (multimodal_meta, nary_mixed_join)
-        # land at 51-52 and lead the round-12 window with the block
-        # below ---
-        "buffer_span": q_buffer_span,
-        "bufferjoin": q_bufferjoin,
-        "clean_text": q_clean_text,
-        "countby_events": q_countby_events,
-        "cross_join": q_cross_join,
-        "dedup_exact": q_dedup_exact,
-        "domain_quota": q_domain_quota,
-        "fingerprint": q_fingerprint,
-        "global_sort_limit": q_global_sort_limit,
-        "gopher_quality": q_gopher_quality,
-        "hot_keys": q_hot_keys,
-        "lang_id": q_lang_id,
-        "merge_union": q_merge_union,
-        "mixed_join": q_mixed_join,
+        "session_funnel": q_session_funnel,
+        # --- slots 20-43: the 24 r7-stale rows (newest
+        # driver row CORRECTNESS_r07, mimic-verified every
+        # round since — VERDICT r11 Next #1) ---
         "multimodal_meta": q_multimodal_meta,
         "nary_mixed_join": q_nary_mixed_join,
-        # --- slots 53-74: the remaining 22 r7 rows — next in line
-        # for the round-12 window ---
         "nary_outer_join": q_nary_outer_join,
         "nary_right_join": q_nary_right_join,
         "overlap_chunks": q_overlap_chunks,
@@ -3571,8 +3535,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "url_normalize": q_url_normalize,
         "window_agg_events": q_window_agg_events,
-        # --- back block (r8-r10 rows on unchanged code, re-verified by
-        # the committed round-end mimic each round) ---
+        # --- slots 44-50: the 7 oldest r8-stale rows,
+        # alphabetical; the remaining 24 r8 rows lead the
+        # round-13 window ---
+        "ann_lsh": q_ann_lsh,
+        "ann_pq": q_ann_pq,
+        "ann_topk": q_ann_topk,
+        "audio_dups": q_audio_dups,
+        "c4_rules": q_c4_rules,
+        "cardinality_report": q_cardinality_report,
+        "chunk_corpus": q_chunk_corpus,
+        # --- slots 51-74: the remaining r8 rows, next in
+        # line for round 13 ---
+        "decontaminate": q_decontaminate,
+        "dup_spans": q_dup_spans,
+        "event_funnel": q_event_funnel,
+        "except": q_except,
+        "frame_sample": q_frame_sample,
+        "gram_novelty": q_gram_novelty,
+        "group_centroids": q_group_centroids,
+        "hash_embed": q_hash_embed,
+        "heavy_hitters": q_heavy_hitters,
+        "image_dups": q_image_dups,
+        "image_resize": q_image_resize,
+        "intersect": q_intersect,
+        "logic_filters": q_logic_filters,
+        "ngram_counts": q_ngram_counts,
+        "pack_bins": q_pack_bins,
+        "quality_classifier": q_quality_classifier,
+        "random_project": q_random_project,
+        "redact_pii": q_redact_pii,
+        "sample_k_per_group": q_sample_k_per_group,
+        "sq_codes": q_sq_codes,
+        "sq_topk": q_sq_topk,
+        "strip_boilerplate": q_strip_boilerplate,
+        "strip_dup_spans": q_strip_dup_spans,
+        "video_dups": q_video_dups,
+        # --- back block (r9-r11 rows on unchanged code,
+        # re-verified by the committed round-end mimic each
+        # round) ---
+        "rrf_hybrid3": q_rrf_hybrid3,
+        "kcenter": q_kcenter,
+        "topic_quota": q_topic_quota,
+        "upsample_mixture": q_upsample_mixture,
+        "quantile_norm_lang": q_quantile_norm_lang,
+        "quantile_norm_global": q_quantile_norm_global,
+        "connected_components": q_connected_components,
+        "corpus_drift": q_corpus_drift,
+        "corpus_drift_ref": q_corpus_drift_ref,
+        "curation_margin": q_curation_margin,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "anti_join": q_anti_join,
+        "blocklist": q_blocklist,
+        "buffer_span": q_buffer_span,
+        "bufferjoin": q_bufferjoin,
+        "clean_text": q_clean_text,
+        "countby_events": q_countby_events,
+        "cross_join": q_cross_join,
+        "dedup_exact": q_dedup_exact,
+        "domain_quota": q_domain_quota,
+        "fingerprint": q_fingerprint,
+        "global_sort_limit": q_global_sort_limit,
+        "gopher_quality": q_gopher_quality,
+        "hot_keys": q_hot_keys,
+        "lang_id": q_lang_id,
+        "merge_union": q_merge_union,
+        "mixed_join": q_mixed_join,
         "dsir_mixture": q_dsir_mixture,
         "pagerank_dangling": q_pagerank_dangling,
         "label_prop": q_label_prop,
@@ -3581,7 +3623,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_hybrid": q_rrf_hybrid,
         "session_transitions": q_session_transitions,
         "hard_negatives": q_hard_negatives,
-        "cluster_split": q_cluster_split,
         "link_candidates": q_link_candidates,
         "weighted_sample": q_weighted_sample,
         "weighted_sample_lang": q_weighted_sample_lang,
@@ -3589,10 +3630,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "pagerank": q_pagerank,
         "pagerank_ppr": q_pagerank_ppr,
-        "ngram_jaccard": q_ngram_jaccard,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_keep_best": q_dedup_keep_best,
-        "minhash_recall": q_minhash_recall,
         "tpch_q13": q_tpch_q13,
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
@@ -3657,37 +3694,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topterms": q_tfidf_topterms,
         "token_stats_by_lang": q_token_stats_by_lang,
         "tpch_q10": q_tpch_q10,
-        "hash_embed": q_hash_embed,
-        "image_dups": q_image_dups,
-        "audio_dups": q_audio_dups,
-        "video_dups": q_video_dups,
-        "image_resize": q_image_resize,
-        "frame_sample": q_frame_sample,
-        "c4_rules": q_c4_rules,
-        "sample_k_per_group": q_sample_k_per_group,
-        "cardinality_report": q_cardinality_report,
-        "dup_spans": q_dup_spans,
-        "strip_dup_spans": q_strip_dup_spans,
-        "gram_novelty": q_gram_novelty,
-        "heavy_hitters": q_heavy_hitters,
-        "pack_bins": q_pack_bins,
-        "chunk_corpus": q_chunk_corpus,
-        "event_funnel": q_event_funnel,
-        "quality_classifier": q_quality_classifier,
-        "strip_boilerplate": q_strip_boilerplate,
-        "ngram_counts": q_ngram_counts,
-        "decontaminate": q_decontaminate,
-        "ann_topk": q_ann_topk,
-        "ann_lsh": q_ann_lsh,
-        "ann_pq": q_ann_pq,
-        "sq_codes": q_sq_codes,
-        "sq_topk": q_sq_topk,
-        "random_project": q_random_project,
-        "group_centroids": q_group_centroids,
-        "intersect": q_intersect,
-        "except": q_except,
-        "redact_pii": q_redact_pii,
-        "logic_filters": q_logic_filters,
     }
 
 

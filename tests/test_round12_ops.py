@@ -220,6 +220,28 @@ def test_stars_check_convergence_raises_on_small_budget(spark):
         connected_components(e, rounds=4, check_convergence=True)
 
 
+# --------------------------------------------- plan-shape assertions
+
+def test_round12_ops_plan_shapes(spark, sf_dir):
+    """The round-12 operators must stay equi-join-only: no cartesian,
+    no broadcast nested loop anywhere in their physical plans."""
+    from cascading_flink_spark.extensions import (
+        dup_substring_spans, mrr_at_k, ngram_jaccard_pairs,
+        recall_at_k, strip_dup_substrings)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    res = spark.createDataFrame([(1, 10, 0.9)],
+                                "query_id long, vec_id long, sim double")
+    qrels = spark.createDataFrame([(1, 10, 2)],
+                                  "query_id long, vec_id long, rel long")
+    for df in (dup_substring_spans(docs, min_len=12),
+               strip_dup_substrings(docs, min_len=12),
+               ngram_jaccard_pairs(docs, n=3, threshold=0.5),
+               mrr_at_k(res, qrels), recall_at_k(res, qrels)):
+        p = _plan(df)
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+
 # ------------------------------------ sessionize keep_cols collisions
 
 def test_sessionize_keep_cols_collision_guard(spark):
