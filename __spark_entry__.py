@@ -3408,6 +3408,16 @@ def q_strip_dup_spans(spark, sf_dir):
     return strip_dup_spans(docs, k=8, min_docs=2)
 
 
+def q_dup_rate(spark, sf_dir):
+    """Per-language duplication data card over the ExactSubstr spans:
+    doc counts, dup-covered token mass, and the truncating-DIV token
+    fraction — exact long sums, order-free."""
+    from cascading_flink_spark.extensions import dup_rate_report
+    docs = _t(spark, sf_dir, "documents")
+    return dup_rate_report(docs, min_len=12, min_count=2,
+                           group_col="lang")
+
+
 def q_strip_dup_substrings(spark, sf_dir):
     """ExactSubstr removal (Lee et al. 2021): every occurrence of a
     duplicated 12-token window except the lexicographically-first
@@ -3460,15 +3470,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     least-recently-driver-verified queries must sit at the front.
     Rotation is documented in COVERAGE.md ("Driver-slot rotation").
 
-    Round-12 front block (slots 1-50): the 5 NEW round-12 queries;
+    Round-12 front block (slots 1-50): the 6 NEW round-12 queries;
     the 14 queries whose plan or code changed this round (the
     verbatim-collapse default and everything composing the pair
     generators, the DECIMAL overflow intermediates, the ndcg right
     join, stars-CC convergence, sessionize's keep_cols guard); the
     24 r7-stale rows (VERDICT r11 Next #1 — after this round no
-    query's newest driver row is older than r8); and the 7 oldest
-    r8-stale rows — 5+14+24+7 = exactly 50.  Slots 51-74 (the
-    remaining 24 r8 rows) lead the round-13 window.
+    query's newest driver row is older than r8); and the 6 oldest
+    r8-stale rows — 6+14+24+6 = exactly 50.  Slots 51-75 (the
+    remaining 25 r8 rows) lead the round-13 window.
     Back block: everything with an r9-r11 driver row on unchanged
     code, re-verified by the committed round-end mimic
     (tools/mimic_r12.log).
@@ -3476,10 +3486,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         # --- slots 1-5: NEW round 12 (no driver row yet):
-        # the ExactSubstr detect/strip pair, the mrr/recall
+        # the ExactSubstr detect/strip/report family, the mrr/recall
         # retrieval-eval twins, and classifier_auc's
         # quantize_x path ---
         "dup_substrings": q_dup_substrings,
+        "dup_rate": q_dup_rate,
         "strip_dup_substrings": q_strip_dup_substrings,
         "mrr_lsh": q_mrr_lsh,
         "recall_lsh": q_recall_lsh,
@@ -7764,6 +7775,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(pos) - min(pos) + 12 AS BIGINT) AS span_tokens,
                    CAST(count(*) AS BIGINT) AS n_grams
             FROM grp GROUP BY doc_id, island
+        """,
+        "dup_rate": """
+            -- duplication data card over the ExactSubstr spans
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(coalesce(text, '')) = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(
+                                lower(trim(coalesce(text, ''))), '\\s+')
+                       END AS t
+                FROM documents),
+            pos AS (
+                SELECT doc_id, t, unnest(range(0, len(t) - 12 + 1)) AS pos
+                FROM toks WHERE len(t) >= 12),
+            grams AS (
+                SELECT doc_id, pos,
+                       md5(array_to_string(t[pos + 1 : pos + 12], ' ')) AS g
+                FROM pos),
+            dupg AS (
+                SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+            dup AS (
+                SELECT doc_id, pos FROM grams JOIN dupg USING (g)),
+            isl AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos > lag(pos) OVER (
+                                 PARTITION BY doc_id ORDER BY pos) + 12
+                            THEN 1 ELSE 0 END AS brk
+                FROM dup),
+            grp AS (
+                SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id
+                                      ORDER BY pos) AS island
+                FROM isl),
+            spans AS (
+                SELECT doc_id,
+                       (max(pos) - min(pos) + 12)::BIGINT AS span_tokens
+                FROM grp GROUP BY doc_id, island),
+            per_doc AS (
+                SELECT doc_id, sum(span_tokens)::BIGINT AS dup
+                FROM spans GROUP BY 1),
+            base AS (
+                SELECT d.doc_id, d.lang, len(t.t)::BIGINT AS nt
+                FROM documents d JOIN toks t USING (doc_id))
+            SELECT lang, count(*)::BIGINT AS n_docs,
+                   sum(CASE WHEN p.dup IS NOT NULL THEN 1 ELSE 0
+                       END)::BIGINT AS n_dup_docs,
+                   sum(coalesce(p.dup, 0))::BIGINT AS dup_tokens,
+                   sum(nt)::BIGINT AS total_tokens,
+                   (CASE WHEN sum(nt) > 0
+                         THEN sum(coalesce(p.dup, 0)) * 1000000
+                              // sum(nt)
+                         ELSE 0 END)::BIGINT AS dup_frac_x1e6
+            FROM base LEFT JOIN per_doc p USING (doc_id)
+            GROUP BY lang
         """,
         "dup_spans": """
             WITH toks AS (

@@ -110,8 +110,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BENCH_QUERIES = [
     # round 12
     "dup_substrings",
+    "strip_dup_substrings",
+    "dup_rate",
     "mrr_lsh",
     "recall_lsh",
+    "classifier_auc_quantized",
     # round 11
     "connected_components_fast",
     "rrf_hybrid3",

@@ -19,8 +19,8 @@ from .text import (
 from .curation import curate_corpus
 from .packing import chunk_corpus, overlap_chunks, pack_bins
 from .dedup import (
-    dedup_against, dup_spans, dup_substring_spans, gram_novelty,
-    dedup_soft_weights,
+    dedup_against, dup_rate_report, dup_spans, dup_substring_spans,
+    gram_novelty, dedup_soft_weights,
     exact_dedup, exact_dedup_pairs, ngram_containment_pairs,
     ngram_jaccard_pairs, minhash_lsh_pairs,
     minhash_lsh_pairs_md5, simhash_bits, simhash_dup_pairs,

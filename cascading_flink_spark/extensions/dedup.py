@@ -1496,6 +1496,50 @@ def strip_dup_spans(df: DataFrame, k: int = 8, min_docs: int = 2,
                      .cast("long").alias("n_tokens_removed")))
 
 
+def dup_rate_report(df: DataFrame, min_len: int = 20,
+                    min_count: int = 2, group_col: str | None = None,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Data-card duplication report over :func:`dup_substring_spans`:
+    per ``group_col`` (or one corpus-wide row), ``(group?, n_docs,
+    n_dup_docs, dup_tokens, total_tokens, dup_frac_x1e6)`` — the
+    before/after number an ExactSubstr curation run reports ("9.87%
+    of tokens sat inside a duplicated >=L-token run").
+
+    ``dup_tokens`` is EXACT coverage: the spans are maximal disjoint
+    islands, so summing ``span_tokens`` per doc counts each covered
+    token once; ``dup_frac_x1e6`` is one truncating integer division
+    of exact long sums (order-free, value-hashes cross-engine).
+    Docs with no spans count toward ``n_docs``/``total_tokens`` only.
+
+    Scale shape: the span operator's one hashed-window count + islands
+    window, then one doc-level join (spans frame is the DUPLICATED
+    slice — data-bounded, un-hinted) and one partial-agg rollup."""
+    spans = dup_substring_spans(df, min_len=min_len,
+                                min_count=min_count,
+                                text_col=text_col, id_col=id_col)
+    per_doc = (spans.groupBy(id_col)
+               .agg(F.sum("span_tokens").cast("long").alias("__dup")))
+    g = [group_col] if group_col is not None else []
+    base = df.select(id_col, *g,
+                     F.size(_span_toks(text_col)).cast("long")
+                      .alias("__nt"))
+    joined = base.join(per_doc, id_col, "left")
+    return (joined.groupBy(*g)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum(F.when(F.col("__dup").isNotNull(), 1)
+                        .otherwise(0)).cast("long").alias("n_dup_docs"),
+                 F.sum(F.coalesce("__dup", F.lit(0))).cast("long")
+                  .alias("dup_tokens"),
+                 F.sum("__nt").cast("long").alias("total_tokens"))
+            .select(*g, "n_docs", "n_dup_docs", "dup_tokens",
+                    "total_tokens",
+                    F.expr("CASE WHEN total_tokens > 0 THEN "
+                           "dup_tokens * 1000000 DIV total_tokens "
+                           "ELSE 0 END").cast("long")
+                     .alias("dup_frac_x1e6")))
+
+
 def strip_dup_substrings(df: DataFrame, min_len: int = 20,
                          min_count: int = 2, text_col: str = "text",
                          id_col: str = "doc_id") -> DataFrame:

@@ -152,6 +152,29 @@ def test_strip_dup_substrings_within_doc_and_ownership(spark):
     assert sds[1].n_tokens_removed == 0
 
 
+def test_dup_rate_report_counts_coverage_once(spark):
+    """dup_tokens must be exact coverage (disjoint islands summed),
+    docs without spans count only in n_docs/total_tokens, empty docs
+    don't divide."""
+    from cascading_flink_spark.extensions import dup_rate_report
+    rows = [
+        (1, "en", "p q r s t u filler one"),     # 'p q r s' dup w/ doc 2
+        (2, "en", "p q r s t u filler two"),     # covered: pos 0-5 (3 windows)
+        (3, "en", "totally novel text here now"),
+        (4, "xx", ""),                           # empty doc, lone group
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r.lang: r for r in
+           dup_rate_report(df, min_len=4, group_col="lang").collect()}
+    en = got["en"]
+    # docs 1,2 share windows at pos 0-3 -> one island covering 0..6
+    # (7 tokens per doc, counted once each)
+    assert (en.n_docs, en.n_dup_docs) == (3, 2)
+    assert en.dup_tokens == 14 and en.total_tokens == 8 + 8 + 5
+    assert en.dup_frac_x1e6 == 14 * 1_000_000 // 21
+    assert (got["xx"].total_tokens, got["xx"].dup_frac_x1e6) == (0, 0)
+
+
 # ---------------------- retrieval-eval twins: mrr_at_k / recall_at_k
 
 # (query, doc, sim-rank-key) results + (query, doc, rel) judgments;
