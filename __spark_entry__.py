@@ -1944,6 +1944,55 @@ def q_classifier_auc_quantized(spark, sf_dir):
                           quantize_x=100)
 
 
+def q_calibration_bins(spark, sf_dir):
+    """Reliability diagram per language: deterministic pseudo-prob
+    (doc_id*37 % 1001)/1000 vs the doc_id%5<2 label, 10 equal-width
+    bins — the exact-integer per-bin |confidence - accuracy| recipe
+    (one division of the exact numerator, DECIMAL(38,0) sums)."""
+    from cascading_flink_spark.extensions import calibration_report
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    d = (docs.withColumn("label", (F.col("doc_id") % 5 < 2).cast("int"))
+         .withColumn("p", (F.col("doc_id") * 37 % 1001)
+                     / F.lit(1000.0)))
+    return calibration_report(d, "p", "label", bins=10,
+                              group_col="lang")
+
+
+def q_calibration_ece(spark, sf_dir):
+    """Per-language ECE + Brier scorecard over the same pseudo-prob:
+    the telescoped |sum(sq)_b - n_pos_b*scale| ECE numerator and the
+    exact integer sum-of-squares Brier, both one truncating DIV."""
+    from cascading_flink_spark.extensions import calibration_summary
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    d = (docs.withColumn("label", (F.col("doc_id") % 5 < 2).cast("int"))
+         .withColumn("p", (F.col("doc_id") * 37 % 1001)
+                     / F.lit(1000.0)))
+    return calibration_summary(d, "p", "label", bins=10,
+                               group_col="lang")
+
+
+def q_pr_curve(spark, sf_dir):
+    """Full per-language precision/recall/F1 sweep of n_chars vs the
+    doc_id%5<2 label — every distinct score is a threshold row;
+    tp/fp from cumulative sums DESCENDING over the reduced
+    (lang, distinct score) frame, f1 in ONE exact truncating DIV."""
+    from cascading_flink_spark.extensions import pr_threshold_stats
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                 "n_chars")
+    d = docs.withColumn("label", (F.col("doc_id") % 5 < 2).cast("int"))
+    return pr_threshold_stats(d, "n_chars", "label", group_col="lang")
+
+
+def q_label_agreement(spark, sf_dir):
+    """Majority vote + agreement rate per user over the events table
+    (item = user_id, label = event_type): modal event type with the
+    (count DESC, label ASC) deterministic tiebreak, agreement =
+    majority_n*1e6 DIV n_votes."""
+    from cascading_flink_spark.extensions import label_agreement
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    return label_agreement(ev, "user_id", "event_type")
+
+
 def q_topic_quota(spark, sf_dir):
     """Topic-balanced sampling composition: kmeans_md5 clusters the
     embeddings (k=8, 2 Lloyd rounds, the q_kmeans twin), then
@@ -3470,14 +3519,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     least-recently-driver-verified queries must sit at the front.
     Rotation is documented in COVERAGE.md ("Driver-slot rotation").
 
-    Round-12 front block (slots 1-50): the 6 NEW round-12 queries;
-    the 14 queries whose plan or code changed this round (the
-    verbatim-collapse default and everything composing the pair
-    generators, the DECIMAL overflow intermediates, the ndcg right
-    join, stars-CC convergence, sessionize's keep_cols guard); the
-    24 r7-stale rows (VERDICT r11 Next #1 — after this round no
-    query's newest driver row is older than r8); and the 6 oldest
-    r8-stale rows — 6+14+24+6 = exactly 50.  Slots 51-75 (the
+    Round-12 front block (slots 1-50): the 10 NEW round-12 queries
+    (the ExactSubstr family, the mrr/recall twins, quantized AUC,
+    and the eval-analytics quartet: calibration bins/ECE, the PR
+    threshold sweep, label agreement); the 14 queries whose plan or
+    code changed this round (the verbatim-collapse default and
+    everything composing the pair generators, the DECIMAL overflow
+    intermediates, the ndcg right join, stars-CC convergence,
+    sessionize's keep_cols guard); the 24 r7-stale rows (VERDICT
+    r11 Next #1 — after this round no query's newest driver row is
+    older than r8); and the 2 oldest r8-stale rows — 10+14+24+2 =
+    exactly 50.  Slots 51-78 (the 4 displaced r8 rows, then the
     remaining 25 r8 rows) lead the round-13 window.
     Back block: everything with an r9-r11 driver row on unchanged
     code, re-verified by the committed round-end mimic
@@ -3485,17 +3537,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
 
     return {
-        # --- slots 1-5: NEW round 12 (no driver row yet):
+        # --- slots 1-10: NEW round 12 (no driver row yet):
         # the ExactSubstr detect/strip/report family, the mrr/recall
-        # retrieval-eval twins, and classifier_auc's
-        # quantize_x path ---
+        # retrieval-eval twins, classifier_auc's quantize_x path,
+        # and the eval-analytics quartet (calibration bins/ECE,
+        # PR threshold sweep, label agreement) ---
         "dup_substrings": q_dup_substrings,
         "dup_rate": q_dup_rate,
         "strip_dup_substrings": q_strip_dup_substrings,
         "mrr_lsh": q_mrr_lsh,
         "recall_lsh": q_recall_lsh,
         "classifier_auc_quantized": q_classifier_auc_quantized,
-        # --- slots 6-19: plan or code changed round 12,
+        "calibration_bins": q_calibration_bins,
+        "calibration_ece": q_calibration_ece,
+        "pr_curve": q_pr_curve,
+        "label_agreement": q_label_agreement,
+        # --- slots 11-24: plan or code changed round 12,
         # re-gated: the verbatim-collapse default in the
         # containment AND jaccard pair generators (and every
         # query composing them: dedup_soft, dedup_clusters,
@@ -3519,7 +3576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_labels": q_session_labels,
         "session_stats": q_session_stats,
         "session_funnel": q_session_funnel,
-        # --- slots 20-43: the 24 r7-stale rows (newest
+        # --- slots 25-48: the 24 r7-stale rows (newest
         # driver row CORRECTNESS_r07, mimic-verified every
         # round since — VERDICT r11 Next #1) ---
         "multimodal_meta": q_multimodal_meta,
@@ -3546,18 +3603,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "url_normalize": q_url_normalize,
         "window_agg_events": q_window_agg_events,
-        # --- slots 44-50: the 7 oldest r8-stale rows,
-        # alphabetical; the remaining 24 r8 rows lead the
-        # round-13 window ---
+        # --- slots 49-50: the 2 oldest r8-stale rows,
+        # alphabetical ---
         "ann_lsh": q_ann_lsh,
         "ann_pq": q_ann_pq,
+        # --- slots 51-78: the 5 displaced r8 rows, then the
+        # remaining r8 rows — next in line for round 13 ---
         "ann_topk": q_ann_topk,
         "audio_dups": q_audio_dups,
         "c4_rules": q_c4_rules,
         "cardinality_report": q_cardinality_report,
         "chunk_corpus": q_chunk_corpus,
-        # --- slots 51-74: the remaining r8 rows, next in
-        # line for round 13 ---
         "decontaminate": q_decontaminate,
         "dup_spans": q_dup_spans,
         "event_funnel": q_event_funnel,
@@ -5163,6 +5219,97 @@ def oracle_sql() -> dict[str, str]:
                        AS auc_x1e6,
                    np AS n_pos, nq AS n_neg
             FROM n WHERE np > 0 AND nq > 0
+        """,
+        "calibration_bins": """
+            WITH d AS (SELECT lang,
+                              round((doc_id * 37 % 1001) / 1000.0
+                                    * 1000000)::BIGINT AS sq,
+                              CASE WHEN doc_id % 5 < 2 THEN 1 ELSE 0
+                              END AS l
+                       FROM documents),
+            c AS (SELECT lang,
+                         least(9, sq * 10 // 1000000)::BIGINT AS bin,
+                         count(*)::BIGINT AS n, sum(l)::BIGINT AS n_pos,
+                         sum(sq::HUGEINT) AS ss
+                  FROM d GROUP BY 1, 2)
+            SELECT lang, bin, n, n_pos,
+                   (ss // n)::BIGINT AS mean_score_x,
+                   (n_pos::HUGEINT * 1000000 // n)::BIGINT AS pos_rate_x,
+                   (abs(ss - n_pos::HUGEINT * 1000000) // n)::BIGINT
+                       AS gap_x
+            FROM c
+        """,
+        "calibration_ece": """
+            WITH d AS (SELECT lang,
+                              round((doc_id * 37 % 1001) / 1000.0
+                                    * 1000000)::BIGINT AS sq,
+                              CASE WHEN doc_id % 5 < 2 THEN 1 ELSE 0
+                              END AS l
+                       FROM documents),
+            c AS (SELECT lang,
+                         least(9, sq * 10 // 1000000)::BIGINT AS bin,
+                         count(*)::BIGINT AS n, sum(l)::BIGINT AS p,
+                         sum(sq::HUGEINT) AS ss,
+                         sum((sq::HUGEINT - l::HUGEINT * 1000000)
+                             * (sq::HUGEINT - l::HUGEINT * 1000000))
+                             AS sq2
+                  FROM d GROUP BY 1, 2),
+            t AS (SELECT lang, sum(n)::BIGINT AS n,
+                         sum(p)::BIGINT AS np,
+                         sum(abs(ss - p::HUGEINT * 1000000)) AS ece_num,
+                         sum(sq2) AS br_num
+                  FROM c GROUP BY 1)
+            SELECT lang, n,
+                   (np::HUGEINT * 1000000 // n)::BIGINT AS pos_rate_x,
+                   (ece_num // n)::BIGINT AS ece_x,
+                   (br_num // (n::HUGEINT * 1000000))::BIGINT AS brier_x
+            FROM t
+        """,
+        "pr_curve": """
+            WITH d AS (SELECT lang, n_chars AS s,
+                              CASE WHEN doc_id % 5 < 2 THEN 1 ELSE 0
+                              END AS l
+                       FROM documents),
+            c AS (SELECT lang, s, sum(l)::BIGINT AS p,
+                         sum(1 - l)::BIGINT AS q
+                  FROM d GROUP BY 1, 2),
+            cc AS (SELECT lang, s,
+                          sum(p) OVER (PARTITION BY lang ORDER BY s DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)::BIGINT AS tp,
+                          sum(q) OVER (PARTITION BY lang ORDER BY s DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)::BIGINT AS fp,
+                          sum(p) OVER (PARTITION BY lang)::BIGINT AS tot
+                   FROM c)
+            SELECT lang, s AS threshold, tp, fp,
+                   (tot - tp)::BIGINT AS fn,
+                   (tp::HUGEINT * 1000000 // (tp + fp))::BIGINT
+                       AS precision_x1e6,
+                   (tp::HUGEINT * 1000000 // tot)::BIGINT AS recall_x1e6,
+                   (tp::HUGEINT * 2000000
+                    // (2 * tp + fp + (tot - tp)))::BIGINT AS f1_x1e6
+            FROM cc WHERE tot > 0
+        """,
+        "label_agreement": """
+            WITH c AS (SELECT user_id AS item,
+                              event_type AS majority_label,
+                              count(*)::BIGINT AS majority_n
+                       FROM events WHERE event_type IS NOT NULL
+                       GROUP BY 1, 2),
+            w AS (SELECT item, majority_label, majority_n,
+                         sum(majority_n) OVER (PARTITION BY item)::BIGINT
+                             AS n_votes,
+                         count(*) OVER (PARTITION BY item)::BIGINT
+                             AS n_labels,
+                         row_number() OVER (PARTITION BY item
+                             ORDER BY majority_n DESC,
+                                      majority_label ASC) AS rn
+                  FROM c)
+            SELECT item, n_votes, n_labels, majority_label, majority_n,
+                   (majority_n * 1000000 // n_votes)::BIGINT
+                       AS agreement_x1e6
+            FROM w WHERE rn = 1 AND n_votes >= 1
         """,
         "topic_quota": f"""
             SELECT vec_id, cluster FROM ({_kmeans_oracle(k=8, iters=2)})

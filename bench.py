@@ -115,6 +115,10 @@ BENCH_QUERIES = [
     "mrr_lsh",
     "recall_lsh",
     "classifier_auc_quantized",
+    "calibration_bins",
+    "calibration_ece",
+    "pr_curve",
+    "label_agreement",
     # round 11
     "connected_components_fast",
     "rrf_hybrid3",

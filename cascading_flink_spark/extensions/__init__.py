@@ -77,9 +77,11 @@ from .corpus import (bigram_lm_scores, bm25_multi_scores, bm25_scores,
                      inverted_index,
                      ngram_counts, oov_stats, repetition_stats,
                      tfidf_topterms, unigram_commonness)
-from .analytics import (cardinality_report, classifier_auc,
+from .analytics import (calibration_report, calibration_summary,
+                        cardinality_report, classifier_auc,
                         cohort_retention,
                         event_funnel, group_quantiles,
+                        label_agreement, pr_threshold_stats,
                         group_quantiles_binned, heavy_hitters, hot_keys,
                         rolling_stats, session_funnel, session_stats,
                         session_transitions,

@@ -772,3 +772,246 @@ def cohort_retention(df: DataFrame, ts_col: str = "ts",
                     "n_users", "cohort_size",
                     F.expr("(n_users * 10000) DIV cohort_size")
                      .cast("long").alias("retention_x1e4")))
+
+
+def _binary_label(label_col: str):
+    """0/1-validated long label column (the classifier_auc contract:
+    in-plan raise on anything else, so a mislabeled frame fails loudly
+    instead of silently skewing the metric)."""
+    lab = F.col(label_col)
+    return (F.when((lab == 0) | (lab == 1), lab.cast("long"))
+            .otherwise(F.raise_error(F.lit(
+                "labels must be 0/1")).cast("long")))
+
+
+def _prob_x(score_col: str, scale: int):
+    """round(score * scale) as an exact long, range-validated in-plan
+    to [0, scale] — a probability outside [0,1] is a caller bug
+    (un-sigmoided logit, wrong column) that must not silently land in
+    the edge bins."""
+    sq = F.round(F.col(score_col).cast("double") * int(scale)) \
+          .cast("long")
+    return (F.when((sq >= 0) & (sq <= int(scale)), sq)
+            .otherwise(F.raise_error(F.lit(
+                f"score must be a probability in [0, 1] "
+                f"(round(score*{int(scale)}) out of range)"))
+                .cast("long")))
+
+
+def calibration_report(df: DataFrame, score_col: str, label_col: str,
+                       bins: int = 10, group_col: str | None = None,
+                       scale: int = 1_000_000) -> DataFrame:
+    """Reliability diagram of a probability score against binary
+    labels, per group or globally: ``(group?, bin, n, n_pos,
+    mean_score_x, pos_rate_x, gap_x)`` — the calibration companion of
+    :func:`classifier_auc` (AUC says the classifier RANKS well;
+    calibration says its probabilities MEAN what they say, the gate
+    before scores become sampling weights or accept thresholds in a
+    curation pipeline).
+
+    Integer-exact recipe: scores quantize in-plan to
+    ``round(score*scale)`` longs (range-validated to [0, scale] — an
+    un-sigmoided logit raises instead of saturating an edge bin);
+    equal-width bin ``least(bins-1, sq*bins DIV scale)`` so bin i
+    covers [i/bins, (i+1)/bins) with 1.0 closed into the last bin;
+    per-bin ``mean_score_x = sum(sq) DIV n`` and ``pos_rate_x =
+    n_pos*scale DIV n`` are single truncating divisions of exact
+    longs, and ``gap_x = abs(sum(sq) - n_pos*scale) DIV n`` is the
+    EXACT |confidence - accuracy| (one division of the exact integer
+    numerator, not a difference of two truncated ratios).
+
+    Overflow: ``sum(sq)`` and ``n_pos*scale`` are O(n*scale) per bin —
+    both run through DECIMAL(38,0) intermediates (the classifier_auc
+    convention) so a trillion-row bin cannot wrap int64 silently.
+
+    Scale shape: ONE partial-agg groupBy onto (group, bin) — the
+    output frame is |groups| x bins regardless of corpus size; no
+    windows, no joins, no driver pulls."""
+    if bins < 1:
+        raise ValueError("calibration_report: bins must be >= 1")
+    if int(scale) < 1:
+        raise ValueError("calibration_report: scale must be >= 1")
+    g = [group_col] if group_col is not None else []
+    sq = _prob_x(score_col, scale)
+    b = F.least(F.lit(int(bins) - 1),
+                F.expr(f"__sq * {int(bins)} DIV {int(scale)}")) \
+         .cast("long")
+    c = (df.select(*g, sq.alias("__sq"),
+                   _binary_label(label_col).alias("__l"))
+         .withColumn("bin", b)
+         .groupBy(*g, "bin")
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum("__l").cast("long").alias("n_pos"),
+              F.sum(F.col("__sq").cast("decimal(38,0)")).alias("__ss")))
+    return (c.select(
+        *g, "bin", "n", "n_pos",
+        F.expr("__ss DIV n").cast("long").alias("mean_score_x"),
+        F.expr(f"CAST(n_pos AS DECIMAL(38,0)) * {int(scale)} DIV n")
+         .cast("long").alias("pos_rate_x"),
+        F.expr(f"abs(__ss - CAST(n_pos AS DECIMAL(38,0)) "
+               f"* {int(scale)}) DIV n")
+         .cast("long").alias("gap_x")))
+
+
+def calibration_summary(df: DataFrame, score_col: str, label_col: str,
+                        bins: int = 10, group_col: str | None = None,
+                        scale: int = 1_000_000) -> DataFrame:
+    """One-row-per-group calibration scorecard: ``(group?, n,
+    pos_rate_x, ece_x, brier_x)`` — expected calibration error over
+    ``bins`` equal-width bins plus the Brier score, both in units of
+    ``1/scale`` (Naeini et al. 2015's ECE; Brier 1950).
+
+    Integer-exact: ECE's per-bin term ``(n_b/N)*|acc_b - conf_b|``
+    telescopes to ``|sum(sq)_b - n_pos_b*scale| / N`` — the per-bin
+    absolute integer numerators sum exactly and ONE truncating
+    division by N produces ``ece_x``; ``brier_x = sum((sq -
+    l*scale)^2) DIV (N*scale)``, an exact integer sum of squares
+    (each term <= scale^2) over one more partial agg.  Both sums run
+    through DECIMAL(38,0) (sum of 1e12-sized squares wraps int64 past
+    ~9e6 rows — far below corpus scale).
+
+    Scale shape: one partial-agg groupBy onto (group, bin), one
+    partial-agg rollup to (group) — both frames bounded by
+    |groups| x bins; no windows, no driver pulls."""
+    if bins < 1:
+        raise ValueError("calibration_summary: bins must be >= 1")
+    if int(scale) < 1:
+        raise ValueError("calibration_summary: scale must be >= 1")
+    g = [group_col] if group_col is not None else []
+    sq = _prob_x(score_col, scale)
+    b = F.least(F.lit(int(bins) - 1),
+                F.expr(f"__sq * {int(bins)} DIV {int(scale)}")) \
+         .cast("long")
+    per_bin = (df.select(*g, sq.alias("__sq"),
+                         _binary_label(label_col).alias("__l"))
+               .withColumn("__b", b)
+               .groupBy(*g, "__b")
+               .agg(F.count(F.lit(1)).cast("long").alias("__n"),
+                    F.sum("__l").cast("long").alias("__p"),
+                    F.sum(F.col("__sq").cast("decimal(38,0)"))
+                     .alias("__ss"),
+                    F.sum(((F.col("__sq") - F.col("__l") * int(scale))
+                           * (F.col("__sq") - F.col("__l")
+                              * int(scale))).cast("decimal(38,0)"))
+                     .alias("__sq2")))
+    tot = (per_bin.groupBy(*g)
+           .agg(F.sum("__n").cast("long").alias("n"),
+                F.sum("__p").cast("long").alias("__np"),
+                F.sum(F.expr(f"abs(__ss - CAST(__p AS DECIMAL(38,0)) "
+                             f"* {int(scale)})")).alias("__ece_num"),
+                F.sum("__sq2").alias("__br_num")))
+    return (tot.select(
+        *g, "n",
+        F.expr(f"CAST(__np AS DECIMAL(38,0)) * {int(scale)} DIV n")
+         .cast("long").alias("pos_rate_x"),
+        F.expr("__ece_num DIV n").cast("long").alias("ece_x"),
+        F.expr(f"__br_num DIV (CAST(n AS DECIMAL(38,0)) "
+               f"* {int(scale)})").cast("long").alias("brier_x")))
+
+
+def pr_threshold_stats(df: DataFrame, score_col: str, label_col: str,
+                       group_col: str | None = None,
+                       quantize_x: int | None = None) -> DataFrame:
+    """Full precision/recall/F1 sweep over every distinct score
+    threshold, per group or globally: ``(group?, threshold, tp, fp,
+    fn, precision_x1e6, recall_x1e6, f1_x1e6)`` where a row means
+    "predict positive when score >= threshold" — the operating-point
+    companion of :func:`classifier_auc` (AUC summarizes the whole
+    curve; this is the curve, for picking the accept threshold a
+    curation filter will actually run).
+
+    Tie-correct and integer-exact: the corpus reduces to per-(group,
+    distinct score) positive/negative counts (the classifier_auc
+    frame — bounded by score QUANTIZATION, not row count; pass
+    ``quantize_x`` to bucket raw continuous scores in-plan, same
+    contract as classifier_auc); tp/fp are cumulative sums DESCENDING
+    over that reduced frame; ``precision_x1e6 = tp*1e6 DIV (tp+fp)``,
+    ``recall_x1e6 = tp*1e6 DIV P``, and ``f1_x1e6 = 2*tp*1e6 DIV
+    (2*tp + fp + fn)`` (the harmonic mean in ONE exact truncating
+    division, not composed from the rounded P and R).  Groups with no
+    positive row are EXCLUDED (recall undefined — the one-class
+    contract).  Numerators run through DECIMAL(38,0) (tp*2e6 wraps
+    int64 past ~4.6e12 positives).
+
+    Scale shape: one partial-agg groupBy onto (group, distinct
+    score), one cumulative window + one unbounded total over that
+    reduced frame — no joins, no driver pulls."""
+    if quantize_x is None:
+        score = F.col(score_col)
+    else:
+        if int(quantize_x) < 1:
+            raise ValueError("pr_threshold_stats: quantize_x must "
+                             "be >= 1")
+        score = F.round(F.col(score_col).cast("double")
+                        * int(quantize_x)).cast("long")
+    g = [group_col] if group_col is not None else []
+    c = (df.select(*g, score.alias("__s"),
+                   _binary_label(label_col).alias("__l"))
+         .groupBy(*g, "__s")
+         .agg(F.sum("__l").cast("long").alias("__p"),
+              F.sum(1 - F.col("__l")).cast("long").alias("__q")))
+    wcum = (Window.partitionBy(*g).orderBy(F.desc("__s"))
+            .rowsBetween(Window.unboundedPreceding, 0))
+    wall = (Window.partitionBy(*g)
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    c = (c.withColumn("tp", F.sum("__p").over(wcum).cast("long"))
+          .withColumn("fp", F.sum("__q").over(wcum).cast("long"))
+          .withColumn("__P", F.sum("__p").over(wall).cast("long")))
+    return (c.filter(F.col("__P") > 0)
+            .select(*g, F.col("__s").alias("threshold"), "tp", "fp",
+                    (F.col("__P") - F.col("tp")).alias("fn"),
+                    F.expr("CAST(tp AS DECIMAL(38,0)) * 1000000 "
+                           "DIV (tp + fp)").cast("long")
+                     .alias("precision_x1e6"),
+                    F.expr("CAST(tp AS DECIMAL(38,0)) * 1000000 "
+                           "DIV __P").cast("long").alias("recall_x1e6"),
+                    F.expr("CAST(tp AS DECIMAL(38,0)) * 2000000 DIV "
+                           "(2 * tp + fp + (__P - tp))").cast("long")
+                     .alias("f1_x1e6")))
+
+
+def label_agreement(df: DataFrame, item_col: str, label_col: str,
+                    min_votes: int = 1) -> DataFrame:
+    """Majority vote + agreement rate per item over an annotation
+    table: ``(item, n_votes, n_labels, majority_label, majority_n,
+    agreement_x1e6)`` — the label-aggregation step of every
+    human-feedback / LLM-judge pipeline (N raters or N judge samples
+    per item; keep the modal label, and the agreement rate is the
+    per-item confidence the downstream filter thresholds on).
+
+    Deterministic tiebreak: the majority label is row_number() = 1 by
+    (count DESC, label ASC) — label ASC in the label column's OWN
+    ordering (type preserved, the connected_components convention).
+    NULL labels are EXCLUDED before counting (an abstaining rater is
+    not a vote — documented contract); items with < ``min_votes``
+    remaining votes are dropped.  ``agreement_x1e6 = majority_n*1e6
+    DIV n_votes`` is one exact truncating division.
+
+    Scale shape: one partial-agg groupBy onto (item, label) — the
+    frame is votes-per-item bounded, tiny next to the corpus — then
+    one window + filter on that reduced frame (the second exchange
+    keys the reduced frame on item only).  No joins, no driver
+    pulls."""
+    if min_votes < 1:
+        raise ValueError("label_agreement: min_votes must be >= 1")
+    c = (df.filter(F.col(label_col).isNotNull())
+         .groupBy(F.col(item_col).alias("item"),
+                  F.col(label_col).alias("majority_label"))
+         .agg(F.count(F.lit(1)).cast("long").alias("majority_n")))
+    w = Window.partitionBy("item")
+    wr = (Window.partitionBy("item")
+          .orderBy(F.desc("majority_n"), F.asc("majority_label")))
+    out = (c.withColumn("n_votes", F.sum("majority_n").over(
+               w.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)).cast("long"))
+           .withColumn("n_labels", F.count(F.lit(1)).over(
+               w.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)).cast("long"))
+           .withColumn("__rn", F.row_number().over(wr))
+           .filter((F.col("__rn") == 1)
+                   & (F.col("n_votes") >= int(min_votes))))
+    return out.select("item", "n_votes", "n_labels", "majority_label",
+                      "majority_n",
+                      F.expr("majority_n * 1000000 DIV n_votes")
+                       .cast("long").alias("agreement_x1e6"))
