@@ -1944,6 +1944,47 @@ def q_classifier_auc_quantized(spark, sf_dir):
                           quantize_x=100)
 
 
+def _signal_pair(spark, sf_dir):
+    """(lang, x=n_chars, y=whitespace token count) — two real quality
+    signals with strong positive correlation; the token count uses the
+    repo's whitespace-tokenizer twin so both engines count the same."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "lang", F.col("n_chars").alias("x"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("y"))
+
+
+def q_pearson_signals(spark, sf_dir):
+    """Per-language Pearson correlation of n_chars vs token count —
+    exact DECIMAL(38,0) moment sums over the (lang, x, y) reduced
+    frame, rho rounded 4dp at the output only."""
+    from cascading_flink_spark.extensions import signal_corr
+    return signal_corr(_signal_pair(spark, sf_dir), "x", "y",
+                       group_col="lang", method="pearson")
+
+
+def q_spearman_signals(spark, sf_dir):
+    """Per-language Spearman (tie-averaged ranks) of the same signal
+    pair — 2x-ranks from cumulative windows over the MARGINAL frames
+    (no per-row rank, no mega-key group sort), then the Pearson
+    moment machinery on the integer ranks."""
+    from cascading_flink_spark.extensions import signal_corr
+    return signal_corr(_signal_pair(spark, sf_dir), "x", "y",
+                       group_col="lang", method="spearman")
+
+
+def q_edit_dups(spark, sf_dir):
+    """Edit-distance-verified near-dup pairs (max_dist=40) over the
+    md5-MinHash candidate bands — the character-budget dedup modality.
+    Input pinned to ASCII rows (octet_length == length) so Spark's
+    character-level and DuckDB's byte-level levenshtein measure the
+    same thing (no-op on this corpus, documented in the operator)."""
+    from cascading_flink_spark.extensions import edit_dup_pairs
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.octet_length("text") == F.length("text")))
+    return edit_dup_pairs(docs, max_dist=40)
+
+
 def q_calibration_bins(spark, sf_dir):
     """Reliability diagram per language: deterministic pseudo-prob
     (doc_id*37 % 1001)/1000 vs the doc_id%5<2 label, 10 equal-width
@@ -3548,6 +3589,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mrr_lsh": q_mrr_lsh,
         "recall_lsh": q_recall_lsh,
         "classifier_auc_quantized": q_classifier_auc_quantized,
+        "edit_dups": q_edit_dups,
+        "pearson_signals": q_pearson_signals,
+        "spearman_signals": q_spearman_signals,
         "calibration_bins": q_calibration_bins,
         "calibration_ece": q_calibration_ece,
         "pr_curve": q_pr_curve,
@@ -5219,6 +5263,87 @@ def oracle_sql() -> dict[str, str]:
                        AS auc_x1e6,
                    np AS n_pos, nq AS n_neg
             FROM n WHERE np > 0 AND nq > 0
+        """,
+        "pearson_signals": """
+            WITH d AS (SELECT lang, n_chars AS x,
+                              len(regexp_split_to_array(trim(text),
+                                                        '\\s+'))::BIGINT
+                                  AS y
+                       FROM documents),
+            c AS (SELECT lang, x, y, count(*)::BIGINT AS c
+                  FROM d GROUP BY 1, 2, 3),
+            m AS (SELECT lang, sum(c)::BIGINT AS n,
+                         sum(c::HUGEINT * x) AS sx,
+                         sum(c::HUGEINT * y) AS sy,
+                         sum(c::HUGEINT * x * x) AS sxx,
+                         sum(c::HUGEINT * y * y) AS syy,
+                         sum(c::HUGEINT * x * y) AS sxy
+                  FROM c GROUP BY 1)
+            SELECT lang, n,
+                   round((n::HUGEINT * sxy - sx * sy)::DOUBLE
+                         / (sqrt((n::HUGEINT * sxx - sx * sx)::DOUBLE)
+                            * sqrt((n::HUGEINT * syy
+                                    - sy * sy)::DOUBLE)), 4) AS rho
+            FROM m
+            WHERE (n::HUGEINT * sxx - sx * sx) > 0
+              AND (n::HUGEINT * syy - sy * sy) > 0
+        """,
+        "spearman_signals": """
+            WITH d AS (SELECT lang, n_chars AS x,
+                              len(regexp_split_to_array(trim(text),
+                                                        '\\s+'))::BIGINT
+                                  AS y
+                       FROM documents),
+            c0 AS (SELECT lang, x, y, count(*)::BIGINT AS c
+                   FROM d GROUP BY 1, 2, 3),
+            mx AS (SELECT lang, x, sum(c)::BIGINT AS m
+                   FROM c0 GROUP BY 1, 2),
+            rx AS (SELECT lang, x,
+                          (2 * coalesce(sum(m) OVER (PARTITION BY lang
+                               ORDER BY x ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND 1 PRECEDING), 0)
+                           + m + 1)::BIGINT AS r2
+                   FROM mx),
+            my AS (SELECT lang, y, sum(c)::BIGINT AS m
+                   FROM c0 GROUP BY 1, 2),
+            ry AS (SELECT lang, y,
+                          (2 * coalesce(sum(m) OVER (PARTITION BY lang
+                               ORDER BY y ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND 1 PRECEDING), 0)
+                           + m + 1)::BIGINT AS r2
+                   FROM my),
+            c AS (SELECT c0.lang, rx.r2 AS x, ry.r2 AS y, c0.c
+                  FROM c0
+                  JOIN rx ON rx.lang = c0.lang AND rx.x = c0.x
+                  JOIN ry ON ry.lang = c0.lang AND ry.y = c0.y),
+            m AS (SELECT lang, sum(c)::BIGINT AS n,
+                         sum(c::HUGEINT * x) AS sx,
+                         sum(c::HUGEINT * y) AS sy,
+                         sum(c::HUGEINT * x * x) AS sxx,
+                         sum(c::HUGEINT * y * y) AS syy,
+                         sum(c::HUGEINT * x * y) AS sxy
+                  FROM c GROUP BY 1)
+            SELECT lang, n,
+                   round((n::HUGEINT * sxy - sx * sy)::DOUBLE
+                         / (sqrt((n::HUGEINT * sxx - sx * sx)::DOUBLE)
+                            * sqrt((n::HUGEINT * syy
+                                    - sy * sy)::DOUBLE)), 4) AS rho
+            FROM m
+            WHERE (n::HUGEINT * sxx - sx * sx) > 0
+              AND (n::HUGEINT * syy - sy * sy) > 0
+        """,
+        "edit_dups": f"""
+            WITH docs_ascii AS (SELECT doc_id, text FROM documents
+                                WHERE strlen(text) = length(text)),
+            lsh AS ({_minhash_md5_oracle().replace("FROM documents",
+                                                   "FROM docs_ascii")}),
+            j AS (SELECT l.id_a, l.id_b, a.text AS ta, b.text AS tb
+                  FROM lsh l
+                  JOIN docs_ascii a ON a.doc_id = l.id_a
+                  JOIN docs_ascii b ON b.doc_id = l.id_b
+                  WHERE abs(length(a.text) - length(b.text)) <= 40)
+            SELECT id_a, id_b, levenshtein(ta, tb)::BIGINT AS edit_dist
+            FROM j WHERE levenshtein(ta, tb) <= 40
         """,
         "calibration_bins": """
             WITH d AS (SELECT lang,

@@ -21,6 +21,7 @@ from .packing import chunk_corpus, overlap_chunks, pack_bins
 from .dedup import (
     dedup_against, dup_rate_report, dup_spans, dup_substring_spans,
     gram_novelty, dedup_soft_weights,
+    edit_dup_pairs,
     exact_dedup, exact_dedup_pairs, ngram_containment_pairs,
     ngram_jaccard_pairs, minhash_lsh_pairs,
     minhash_lsh_pairs_md5, simhash_bits, simhash_dup_pairs,
@@ -85,6 +86,6 @@ from .analytics import (calibration_report, calibration_summary,
                         group_quantiles_binned, heavy_hitters, hot_keys,
                         rolling_stats, session_funnel, session_stats,
                         session_transitions,
-                        sessionize, value_histogram)
+                        sessionize, signal_corr, value_histogram)
 
 __all__ = [n for n in dir() if not n.startswith("_")]

@@ -1015,3 +1015,101 @@ def label_agreement(df: DataFrame, item_col: str, label_col: str,
                       "majority_n",
                       F.expr("majority_n * 1000000 DIV n_votes")
                        .cast("long").alias("agreement_x1e6"))
+
+
+def signal_corr(df: DataFrame, x_col: str, y_col: str,
+                group_col: str | None = None,
+                method: str = "pearson",
+                quantize_x: int | None = None,
+                quantize_y: int | None = None) -> DataFrame:
+    """Correlation between two quality signals, per group or globally:
+    ``(group?, n, rho)`` — Pearson on the (integer-valued) signals, or
+    Spearman (tie-averaged ranks) on their order — the standard check
+    before one signal substitutes for another in a curation pipeline
+    (does the cheap heuristic track the expensive classifier per
+    language?).
+
+    Both methods reduce the corpus to per-(group, distinct x, distinct
+    y) counts FIRST — one partial-agg groupBy, the classifier_auc
+    reduced-frame contract: bounded by the signals' QUANTIZATION, not
+    the row count (pass ``quantize_x``/``quantize_y`` to bucket raw
+    doubles in-plan via ``round(col * q)``; integer-quantized repo
+    signals pass through exactly).  Spearman's tie-averaged rank never
+    materializes per row: the 2x-rank of a distinct value v is
+    ``2*cnt_less(v) + cnt_eq(v) + 1`` — a cumulative window over the
+    per-(group, value) MARGINAL frame, joined back to the joint frame
+    (the factor 2 keeps it integer and cancels in rho).  So no
+    ``Window.partitionBy(group)`` ever sorts a mega-key group's rows
+    (the grouped_rank lesson), and no rank array is row-sized.
+
+    All moment sums (n, Sx, Sy, Sxx, Syy, Sxy — count-weighted over
+    the reduced frame) are exact DECIMAL(38,0) integers; rho is
+    computed in doubles from those exact components and rounded to
+    4dp at the OUTPUT only (the house float recipe).  Headroom: the
+    Spearman products are O(4*n^3) per group — exact to n ~ 2.9e11
+    rows per group inside DECIMAL(38,0); Pearson's are
+    O(n * max|x*y|^2) — keep quantized magnitudes within ~1e9 for
+    trillion-row groups.  Groups where either signal is CONSTANT have
+    undefined rho and are EXCLUDED (the one-class AUC convention).
+    NULL in either signal drops the row (documented).
+
+    Scale shape: one corpus-pass partial-agg groupBy; two cumulative
+    windows + two un-hinted joins on the reduced frames; one final
+    partial-agg rollup.  No driver pulls."""
+    if method not in ("pearson", "spearman"):
+        raise ValueError("signal_corr: method must be 'pearson' or "
+                         "'spearman'")
+    def _q(col, q, name):
+        if q is None:
+            return F.col(col)
+        if int(q) < 1:
+            raise ValueError(f"signal_corr: {name} must be >= 1")
+        return F.round(F.col(col).cast("double") * int(q)).cast("long")
+    g = [group_col] if group_col is not None else []
+    joint = (df.select(*g, _q(x_col, quantize_x, "quantize_x")
+                       .alias("__x"),
+                       _q(y_col, quantize_y, "quantize_y").alias("__y"))
+             .filter(F.col("__x").isNotNull()
+                     & F.col("__y").isNotNull())
+             .groupBy(*g, "__x", "__y")
+             .agg(F.count(F.lit(1)).cast("long").alias("__c")))
+    if method == "spearman":
+        def _rank2(frame, col, out):
+            marg = (frame.groupBy(*g, col)
+                    .agg(F.sum("__c").cast("long").alias("__m")))
+            w = (Window.partitionBy(*g).orderBy(col)
+                 .rowsBetween(Window.unboundedPreceding, -1))
+            return (marg.withColumn(
+                out, (2 * F.coalesce(F.sum("__m").over(w),
+                                     F.lit(0))
+                      + F.col("__m") + 1).cast("long"))
+                .select(*g, col, out))
+        joint = (joint
+                 .join(_rank2(joint, "__x", "__rx"), [*g, "__x"])
+                 .join(_rank2(joint, "__y", "__ry"), [*g, "__y"])
+                 .select(*g, F.col("__rx").alias("__x"),
+                         F.col("__ry").alias("__y"), "__c"))
+    dec = "decimal(38,0)"
+    m = (joint.groupBy(*g)
+         .agg(F.sum("__c").cast("long").alias("n"),
+              F.sum((F.col("__c") * F.col("__x")).cast(dec))
+               .alias("__sx"),
+              F.sum((F.col("__c") * F.col("__y")).cast(dec))
+               .alias("__sy"),
+              F.sum((F.col("__c").cast(dec) * F.col("__x")
+                     * F.col("__x"))).alias("__sxx"),
+              F.sum((F.col("__c").cast(dec) * F.col("__y")
+                     * F.col("__y"))).alias("__syy"),
+              F.sum((F.col("__c").cast(dec) * F.col("__x")
+                     * F.col("__y"))).alias("__sxy")))
+    num = F.expr("CAST(n AS DECIMAL(38,0)) * __sxy - __sx * __sy")
+    dx = F.expr("CAST(n AS DECIMAL(38,0)) * __sxx - __sx * __sx")
+    dy = F.expr("CAST(n AS DECIMAL(38,0)) * __syy - __sy * __sy")
+    return (m.withColumn("__num", num).withColumn("__dx", dx)
+            .withColumn("__dy", dy)
+            .filter((F.col("__dx") > 0) & (F.col("__dy") > 0))
+            .select(*g, "n",
+                    F.round(F.col("__num").cast("double")
+                            / (F.sqrt(F.col("__dx").cast("double"))
+                               * F.sqrt(F.col("__dy").cast("double"))),
+                            4).alias("rho")))

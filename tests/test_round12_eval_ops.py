@@ -319,3 +319,195 @@ def test_label_agreement_plan_reduced_frame_no_python(spark):
     # corpus shuffles once onto (item, label); the window re-keys the
     # REDUCED votes-per-item frame onto item
     assert plan.count("Exchange") == 2
+
+
+# ------------------------------------------------- edit_dup_pairs
+
+
+def _lev(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _near_dup_corpus(spark):
+    base = " ".join(f"tok{i}" for i in range(60))
+    rows = [
+        (0, base),
+        (1, base),                                   # verbatim: dist 0
+        (2, base.replace("tok7", "tok7x", 1)),       # 1 char insert
+        (3, base.replace("tok20 tok21", "tok99", 1)),
+        (4, " ".join(f"other{i}" for i in range(60))),
+        (5, base + " trailing tail of forty-plus extra characters xx"),
+    ]
+    return rows, spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_edit_dup_pairs_pins_python_levenshtein(spark):
+    """Verify stage == direct Python Levenshtein over the operator's
+    OWN candidate set (the candidate stage is the audited md5-MinHash
+    banding; this pins that the verify neither adds nor loses
+    pairs)."""
+    rows, df = _near_dup_corpus(spark)
+    from cascading_flink_spark.extensions import (edit_dup_pairs,
+                                                  minhash_lsh_pairs_md5)
+    cands = {(r.id_a, r.id_b)
+             for r in minhash_lsh_pairs_md5(df).collect()}
+    txt = dict(rows)
+    expected = {(a, b): _lev(txt[a], txt[b]) for a, b in cands
+                if _lev(txt[a], txt[b]) <= 10}
+    got = {(r.id_a, r.id_b): r.edit_dist
+           for r in edit_dup_pairs(df, max_dist=10).collect()}
+    assert got == expected
+    assert got[(0, 1)] == 0          # verbatim pair survives at dist 0
+    assert (0, 2) in got             # one-char edit
+    assert all(d <= 10 for d in got.values())
+    # doc 5 is a candidate (same prefix) but 40+ chars longer: both the
+    # length filter and the bounded levenshtein exclude it
+    assert not any(5 in p for p in got)
+
+
+def test_edit_dup_pairs_guard_and_zero_dist(spark):
+    _rows, df = _near_dup_corpus(spark)
+    from cascading_flink_spark.extensions import edit_dup_pairs
+    with pytest.raises(ValueError, match="max_dist"):
+        edit_dup_pairs(df, max_dist=-1)
+    got = {(r.id_a, r.id_b): r.edit_dist
+           for r in edit_dup_pairs(df, max_dist=0).collect()}
+    assert got == {(0, 1): 0}        # max_dist=0 keeps only verbatim
+
+
+def test_edit_dup_pairs_plan_no_cartesian_no_python(spark):
+    _rows, df = _near_dup_corpus(spark)
+    from cascading_flink_spark.extensions import edit_dup_pairs
+    plan = _plan(edit_dup_pairs(df, max_dist=10))
+    assert "EvalPython" not in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+# ---------------------------------------------------- signal_corr
+
+
+def _pearson_model(pairs):
+    import math
+    n = len(pairs)
+    sx = sum(x for x, _ in pairs)
+    sy = sum(y for _, y in pairs)
+    sxx = sum(x * x for x, _ in pairs)
+    syy = sum(y * y for _, y in pairs)
+    sxy = sum(x * y for x, y in pairs)
+    dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+    if dx <= 0 or dy <= 0:
+        return None
+    return (n * sxy - sx * sy) / (math.sqrt(dx) * math.sqrt(dy))
+
+
+def _rank2(vals):
+    from collections import Counter
+    cnt = Counter(vals)
+    r2, less = {}, 0
+    for v in sorted(cnt):
+        r2[v] = 2 * less + cnt[v] + 1
+        less += cnt[v]
+    return r2
+
+
+def test_signal_corr_pearson_pins_python_model(spark):
+    rng = random.Random(129)
+    data = {"a": [(rng.randrange(100), rng.randrange(100))
+                  for _ in range(300)],
+            "b": [(x, 2 * x + rng.randrange(10))
+                  for x in (rng.randrange(50) for _ in range(200))]}
+    rows = [(g, x, y) for g, ps in data.items() for x, y in ps]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    from cascading_flink_spark.extensions import signal_corr
+    got = {r.g: (r.n, r.rho)
+           for r in signal_corr(df, "x", "y", group_col="g").collect()}
+    for g, ps in data.items():
+        n, rho = got[g]
+        assert n == len(ps)
+        assert rho == pytest.approx(_pearson_model(ps), abs=1e-4)
+
+
+def test_signal_corr_perfect_and_constant(spark):
+    """Exact-linear pairs give rho exactly +/-1.0; a constant signal
+    has undefined rho and the group is EXCLUDED (one-class AUC
+    convention)."""
+    rows = ([("up", x, 2 * x + 3) for x in range(40)]
+            + [("down", x, -x) for x in range(40)]
+            + [("flat", x, 7) for x in range(40)])
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    from cascading_flink_spark.extensions import signal_corr
+    got = {r.g: r.rho
+           for r in signal_corr(df, "x", "y", group_col="g").collect()}
+    assert got == {"up": 1.0, "down": -1.0}
+
+
+def test_signal_corr_spearman_pins_tie_averaged_model(spark):
+    """Spearman == Pearson on tie-AVERAGED 2x-ranks (direct Python
+    model with Counter-based ranks); a monotone nonlinear map scores
+    exactly 1.0 where Pearson doesn't."""
+    rng = random.Random(130)
+    xs = [rng.randrange(30) for _ in range(250)]  # dense ties
+    ys = [x ** 3 if rng.randrange(4) else rng.randrange(27000)
+          for x in xs]
+    df = spark.createDataFrame([("g", x, y) for x, y in zip(xs, ys)],
+                               "g string, x long, y long")
+    from cascading_flink_spark.extensions import signal_corr
+    [r] = signal_corr(df, "x", "y", group_col="g",
+                      method="spearman").collect()
+    rx, ry = _rank2(xs), _rank2(ys)
+    model = _pearson_model([(rx[x], ry[y]) for x, y in zip(xs, ys)])
+    assert r.rho == pytest.approx(model, abs=1e-4)
+    mono = spark.createDataFrame([("g", x, x ** 3) for x in range(50)],
+                                 "g string, x long, y long")
+    [m] = signal_corr(mono, "x", "y", group_col="g",
+                      method="spearman").collect()
+    assert m.rho == 1.0
+
+
+def test_signal_corr_quantize_and_guards(spark):
+    """quantize buckets raw doubles in-plan — same result as
+    pre-quantizing by hand; NULLs drop rows; bad args raise."""
+    rng = random.Random(131)
+    rows = [("g", rng.randrange(500), rng.randrange(500))
+            for _ in range(200)]
+    df = (spark.createDataFrame(rows, "g string, xq long, yq long")
+          .withColumn("x", F.col("xq") / F.lit(10.0))
+          .withColumn("y", F.col("yq") / F.lit(10.0)))
+    from cascading_flink_spark.extensions import signal_corr
+    [a] = signal_corr(df, "x", "y", group_col="g", quantize_x=10,
+                      quantize_y=10).collect()
+    [b] = signal_corr(df, "xq", "yq", group_col="g").collect()
+    assert (a.n, a.rho) == (b.n, b.rho)
+    with pytest.raises(ValueError, match="method"):
+        signal_corr(df, "x", "y", method="kendall")
+    with pytest.raises(ValueError, match="quantize_x"):
+        signal_corr(df, "x", "y", quantize_x=0)
+    withnull = spark.createDataFrame(
+        [("g", 1, 2), ("g", 2, None), ("g", 3, 5), ("g", 4, 4)],
+        "g string, x long, y long")
+    [r] = signal_corr(withnull, "x", "y", group_col="g").collect()
+    assert r.n == 3
+
+
+def test_signal_corr_plan_reduced_frame_no_python(spark):
+    """Pearson: ONE corpus-pass shuffle onto (group, x, y), one
+    rollup on the reduced frame — 2 exchanges, no Python eval, no
+    window over the raw rows."""
+    rows = [("g", i % 17, (i * 7) % 23) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    from cascading_flink_spark.extensions import signal_corr
+    plan = _plan(signal_corr(df, "x", "y", group_col="g"))
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") == 2
+    sp = _plan(signal_corr(df, "x", "y", group_col="g",
+                           method="spearman"))
+    assert "EvalPython" not in sp

@@ -84,12 +84,29 @@ def main() -> None:
         "dedup_soft": ["w_x1e6", "cluster_size"],
         "topic_quota": ["cluster"],
         "dup_substrings": ["span_tokens", "n_grams"],
+        # round 12: the eval-analytics quartet — all reduce to
+        # quantization/vote-bounded frames, so the scaling surface is
+        # the single corpus-pass partial agg
+        "calibration_bins": ["n", "gap_x"],
+        "calibration_ece": ["ece_x", "brier_x"],
+        "pr_curve": ["tp", "f1_x1e6"],
+        "label_agreement": ["n_votes", "agreement_x1e6"],
     }
+    only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        forced = {k: v for k, v in forced.items() if k in keep}
     for name, cols in forced.items():
         for tag, d, _ in dirs:
             t = best_of(reps, lambda: qs[name](spark, d).agg(
                 F.count(F.lit(1)), *[F.sum(c) for c in cols]).collect())
             print(f"{name} {tag}: best={t:.2f}s", flush=True)
+
+    if only:
+        # SPARK_GRAFT_SCALE_ONLY restricts to the forced-agg entries;
+        # the graph/dsir fixtures below have their own names — rerun
+        # without the filter for those
+        return
 
     # graph additions on genuinely growing sparse graphs
     from cascading_flink_spark.extensions import (bfs_distances,
