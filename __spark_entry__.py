@@ -1944,6 +1944,116 @@ def q_classifier_auc_quantized(spark, sf_dir):
                           quantize_x=100)
 
 
+def _mmr_oracle(k: int = 6, lam: int = 700, dim: int = 64) -> str:
+    """Unrolled MMR DuckDB twin of q_mmr: per round one (pick c{i},
+    dot m{i}, relabel d{i}) CTE triple — the kcenter oracle pattern
+    with the score argmax ``rel*lam - maxdot*mu`` and at-selection
+    penalty/score recorded when rk is assigned."""
+    mu = 1000 - lam
+    sql = """
+        WITH v AS (SELECT vec_id,
+                          [round(x * 1000000)::BIGINT
+                           for x in embedding::DOUBLE[]] AS sv
+                   FROM embeddings),
+        q AS (SELECT sv AS qv FROM v WHERE vec_id = 0),
+        rel0 AS (SELECT v.vec_id,
+                        sum(v.sv[i.i] * q.qv[i.i])::BIGINT AS rel
+                 FROM v CROSS JOIN q
+                 CROSS JOIN range(1, {dim} + 1) i(i)
+                 GROUP BY 1),
+        d0 AS MATERIALIZED (
+               SELECT v.vec_id, v.sv, r.rel,
+                      NULL::BIGINT AS maxdot, NULL::BIGINT AS rk,
+                      NULL::BIGINT AS pen, NULL::BIGINT AS sc
+               FROM v JOIN rel0 r USING (vec_id)),
+        c1 AS (SELECT vec_id, sv FROM d0
+               ORDER BY rel * {lam} DESC, vec_id LIMIT 1),
+        m1 AS (SELECT d.vec_id,
+                      sum(d.sv[i.i] * c.sv[i.i])::BIGINT AS dt
+               FROM d0 d CROSS JOIN c1 c
+               CROSS JOIN range(1, {dim} + 1) i(i)
+               GROUP BY 1),
+        d1 AS MATERIALIZED (
+               SELECT d.vec_id, d.sv, d.rel, m.dt AS maxdot,
+                      (CASE WHEN d.vec_id = c.vec_id THEN 1
+                       END)::BIGINT AS rk,
+                      (CASE WHEN d.vec_id = c.vec_id THEN 0
+                       END)::BIGINT AS pen,
+                      (CASE WHEN d.vec_id = c.vec_id
+                            THEN {lam} * d.rel END)::BIGINT AS sc
+               FROM d0 d JOIN m1 m USING (vec_id)
+               CROSS JOIN c1 c)""".format(dim=dim, lam=lam)
+    step = """,
+        c{i} AS (SELECT vec_id, sv,
+                        rel * {lam} - maxdot * {mu} AS s
+                 FROM d{p} WHERE rk IS NULL
+                 ORDER BY s DESC, vec_id LIMIT 1),
+        m{i} AS (SELECT d.vec_id,
+                        sum(d.sv[ii.i] * c.sv[ii.i])::BIGINT AS dt
+                 FROM d{p} d CROSS JOIN c{i} c
+                 CROSS JOIN range(1, {dim} + 1) ii(i)
+                 GROUP BY 1),
+        d{i} AS MATERIALIZED (
+               SELECT d.vec_id, d.sv, d.rel,
+                      greatest(d.maxdot, m.dt)::BIGINT AS maxdot,
+                      (CASE WHEN d.vec_id = c.vec_id THEN {i}
+                            ELSE d.rk END)::BIGINT AS rk,
+                      (CASE WHEN d.vec_id = c.vec_id THEN d.maxdot
+                            ELSE d.pen END)::BIGINT AS pen,
+                      (CASE WHEN d.vec_id = c.vec_id
+                            THEN d.rel * {lam} - d.maxdot * {mu}
+                            ELSE d.sc END)::BIGINT AS sc
+               FROM d{p} d JOIN m{i} m USING (vec_id)
+               CROSS JOIN c{i} c)"""
+    for i in range(2, k + 1):
+        sql += step.format(i=i, p=i - 1, dim=dim, lam=lam, mu=mu)
+    sql += f"""
+        SELECT vec_id, rk AS mmr_rank, rel AS rel_x,
+               pen AS penalty_x, sc AS score_x
+        FROM d{k} WHERE rk IS NOT NULL
+    """
+    return sql
+
+
+def q_mmr(spark, sf_dir):
+    """Diverse top-6 by Maximal Marginal Relevance (lambda = 0.7)
+    against the vec_id-0 probe: rel_x is the exact integer dot to
+    the scaled probe, the diversity penalty the exact max dot to the
+    already-picked set — every argmax (score DESC, id ASC)."""
+    from cascading_flink_spark.extensions import mmr_select
+    emb = _t(spark, sf_dir, "embeddings")
+    sv = F.transform(F.col("embedding").cast("array<double>"),
+                     lambda x: F.round(x * 1_000_000, 0).cast("long"))
+    probe = (emb.filter(F.col("vec_id") == 0)
+             .select(sv.alias("__pv")))
+    d = (emb.withColumn("__sv", sv)
+         .crossJoin(F.broadcast(probe))
+         .withColumn("rel_x",
+                     F.aggregate(F.zip_with("__sv", "__pv",
+                                            lambda a, b: a * b),
+                                 F.lit(0).cast("long"),
+                                 lambda acc, x: acc + x))
+         .select("vec_id", "embedding", "rel_x"))
+    return mmr_select(d, k=6, lambda_x1000=700)
+
+
+def q_confusion(spark, sf_dir):
+    """Per-class precision/recall/F1 of a deterministic noisy
+    language classifier (right 80% of the time, else rotates to
+    lang[(doc_id %% 5)]) against the gold lang column — the
+    either-column contract: classes appear even when never predicted
+    (recall 0) or hallucinated (precision 0)."""
+    from cascading_flink_spark.extensions import confusion_report
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    langs = F.array(*[F.lit(x) for x in
+                      ("en", "de", "fr", "es", "zh")])
+    d = docs.withColumn(
+        "pred", F.when(F.col("doc_id") % 10 < 8, F.col("lang"))
+                 .otherwise(F.element_at(
+                     langs, (F.col("doc_id") % 5 + 1).cast("int"))))
+    return confusion_report(d, "pred", "lang")
+
+
 def _signal_pair(spark, sf_dir):
     """(lang, x=n_chars, y=whitespace token count) — two real quality
     signals with strong positive correlation; the token count uses the
@@ -3590,6 +3700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recall_lsh": q_recall_lsh,
         "classifier_auc_quantized": q_classifier_auc_quantized,
         "edit_dups": q_edit_dups,
+        "confusion": q_confusion,
+        "mmr": q_mmr,
         "pearson_signals": q_pearson_signals,
         "spearman_signals": q_spearman_signals,
         "calibration_bins": q_calibration_bins,
@@ -5263,6 +5375,37 @@ def oracle_sql() -> dict[str, str]:
                        AS auc_x1e6,
                    np AS n_pos, nq AS n_neg
             FROM n WHERE np > 0 AND nq > 0
+        """,
+        "mmr": _mmr_oracle(k=6, lam=700),
+        "confusion": """
+            WITH d AS (SELECT CASE WHEN doc_id % 10 < 8 THEN lang
+                              ELSE (['en','de','fr','es','zh'])
+                                   [(doc_id % 5) + 1] END AS p,
+                              lang AS g
+                       FROM documents),
+            c AS (SELECT p, g, count(*)::BIGINT AS c
+                  FROM d GROUP BY 1, 2),
+            pr AS (SELECT p AS label, sum(c)::BIGINT AS n_pred,
+                          sum(CASE WHEN p = g THEN c ELSE 0
+                              END)::BIGINT AS tp
+                   FROM c GROUP BY 1),
+            gl AS (SELECT g AS label, sum(c)::BIGINT AS n_gold
+                   FROM c GROUP BY 1),
+            j AS (SELECT coalesce(pr.label, gl.label) AS label,
+                         coalesce(n_gold, 0)::BIGINT AS n_gold,
+                         coalesce(n_pred, 0)::BIGINT AS n_pred,
+                         coalesce(tp, 0)::BIGINT AS tp
+                  FROM pr FULL OUTER JOIN gl ON pr.label = gl.label)
+            SELECT label, n_gold, n_pred, tp,
+                   (CASE WHEN n_pred = 0 THEN 0
+                    ELSE tp::HUGEINT * 1000000 // n_pred
+                    END)::BIGINT AS precision_x1e6,
+                   (CASE WHEN n_gold = 0 THEN 0
+                    ELSE tp::HUGEINT * 1000000 // n_gold
+                    END)::BIGINT AS recall_x1e6,
+                   (tp::HUGEINT * 2000000
+                    // (n_pred + n_gold))::BIGINT AS f1_x1e6
+            FROM j
         """,
         "pearson_signals": """
             WITH d AS (SELECT lang, n_chars AS x,

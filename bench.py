@@ -119,6 +119,11 @@ BENCH_QUERIES = [
     "calibration_ece",
     "pr_curve",
     "label_agreement",
+    "edit_dups",
+    "pearson_signals",
+    "spearman_signals",
+    "confusion",
+    "mmr",
     # round 11
     "connected_components_fast",
     "rrf_hybrid3",

@@ -37,6 +37,7 @@ from .similarity import (
     hard_negatives,
     kcenter_select,
     kmeans, kmeans_assign, kmeans_md5, margin_candidates, margin_mine,
+    mmr_select,
     mrr_at_k, ndcg_at_k, recall_at_k,
     pq_topk, pq_topk_md5,
     random_project, rrf_fuse, semdedup_pairs, semdedup_pairs_md5, sq_minmax,
@@ -80,6 +81,7 @@ from .corpus import (bigram_lm_scores, bm25_multi_scores, bm25_scores,
                      tfidf_topterms, unigram_commonness)
 from .analytics import (calibration_report, calibration_summary,
                         cardinality_report, classifier_auc,
+                        confusion_report,
                         cohort_retention,
                         event_funnel, group_quantiles,
                         label_agreement, pr_threshold_stats,

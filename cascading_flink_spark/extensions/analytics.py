@@ -1113,3 +1113,66 @@ def signal_corr(df: DataFrame, x_col: str, y_col: str,
                             / (F.sqrt(F.col("__dx").cast("double"))
                                * F.sqrt(F.col("__dy").cast("double"))),
                             4).alias("rho")))
+
+
+def confusion_report(df: DataFrame, pred_col: str, gold_col: str,
+                     group_col: str | None = None) -> DataFrame:
+    """Per-class classification scorecard from a predicted-vs-gold
+    table: ``(group?, label, n_gold, n_pred, tp, precision_x1e6,
+    recall_x1e6, f1_x1e6)`` — one row per class that appears in
+    EITHER column (a class the model never predicts still reports
+    recall 0; a hallucinated class still reports precision 0) — the
+    acceptance gate for a multi-class quality/topic/language
+    classifier before its labels drive routing or mixture weights.
+
+    Integer-exact: the corpus reduces to per-(group, pred, gold)
+    counts — one partial-agg groupBy, the reduced frame is bounded by
+    |classes|^2 per group; marginals (n_pred, n_gold) and diagonal tp
+    come from that frame with two more partial aggs and one full
+    outer join on the class label (the either-column contract);
+    ``precision_x1e6 = tp*1e6 DIV n_pred`` (0 when n_pred = 0),
+    ``recall_x1e6 = tp*1e6 DIV n_gold`` (0 when n_gold = 0), and
+    ``f1_x1e6 = 2*tp*1e6 DIV (n_pred + n_gold)`` — the harmonic mean
+    in ONE truncating division of exact longs (n_pred + n_gold > 0
+    always holds by the either-column contract).  DECIMAL(38,0)
+    intermediates for the x1e6 products.  NULL in pred or gold drops
+    the row (an unlabeled example is not a prediction — documented);
+    the label column keeps the input columns' own type (the
+    connected_components convention; pred and gold must be the same
+    type).
+
+    Scale shape: one corpus-pass partial-agg groupBy; everything
+    after rides the |classes|^2-bounded frame.  No windows over raw
+    rows, no driver pulls."""
+    g = [group_col] if group_col is not None else []
+    c = (df.filter(F.col(pred_col).isNotNull()
+                   & F.col(gold_col).isNotNull())
+         .groupBy(*g, F.col(pred_col).alias("__p"),
+                  F.col(gold_col).alias("__g"))
+         .agg(F.count(F.lit(1)).cast("long").alias("__c")))
+    c = c.localCheckpoint(eager=False)
+    pred = (c.groupBy(*g, F.col("__p").alias("label"))
+            .agg(F.sum("__c").cast("long").alias("n_pred"),
+                 F.sum(F.when(F.col("__p") == F.col("__g"),
+                              F.col("__c")).otherwise(0))
+                  .cast("long").alias("__tp_p")))
+    gold = (c.groupBy(*g, F.col("__g").alias("label"))
+            .agg(F.sum("__c").cast("long").alias("n_gold")))
+    joined = pred.join(gold, [*g, "label"], "full_outer")
+    return (joined.select(
+        *g, "label",
+        F.coalesce("n_gold", F.lit(0).cast("long")).alias("n_gold"),
+        F.coalesce("n_pred", F.lit(0).cast("long")).alias("n_pred"),
+        F.coalesce("__tp_p", F.lit(0).cast("long")).alias("tp"))
+        .select(*g, "label", "n_gold", "n_pred", "tp",
+                F.when(F.col("n_pred") == 0, F.lit(0).cast("long"))
+                 .otherwise(F.expr("CAST(tp AS DECIMAL(38,0)) "
+                                   "* 1000000 DIV n_pred")
+                            .cast("long")).alias("precision_x1e6"),
+                F.when(F.col("n_gold") == 0, F.lit(0).cast("long"))
+                 .otherwise(F.expr("CAST(tp AS DECIMAL(38,0)) "
+                                   "* 1000000 DIV n_gold")
+                            .cast("long")).alias("recall_x1e6"),
+                F.expr("CAST(tp AS DECIMAL(38,0)) * 2000000 "
+                       "DIV (n_pred + n_gold)").cast("long")
+                 .alias("f1_x1e6")))

@@ -639,7 +639,8 @@ def minhash_lsh_pairs_md5(df: DataFrame, n: int = 3, num_hashes: int = 32,
 def edit_dup_pairs(df: DataFrame, max_dist: int = 10, n: int = 3,
                    num_hashes: int = 32, bands: int = 8,
                    threshold: float = 0.5, text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   collapse_exact: bool = True) -> DataFrame:
     """Near-duplicate pairs verified by EXACT edit distance:
     ``(id_a, id_b, edit_dist)`` with ``id_a < id_b`` and
     ``levenshtein(text_a, text_b) <= max_dist`` — the
@@ -668,28 +669,94 @@ def edit_dup_pairs(df: DataFrame, max_dist: int = 10, n: int = 3,
     to ASCII rows (strlen == length) so the gate is well-defined,
     and the operator itself is the character-level spelling.
 
+    ``collapse_exact`` (default True — the family's round-12
+    verbatim-collapse convention): identical texts collapse to one
+    representative (md5(text) + length key) BEFORE the banding, the
+    levenshtein runs once per REPRESENTATIVE pair, and member pairs
+    expand back — bit-identical to the raw path, because members of
+    the same group are verbatim copies (cross-group member pairs
+    inherit the representative distance exactly; within-group pairs
+    are distance 0, emitted for groups whose text clears the same
+    >= n-token shingle support the raw banding needs, so short texts
+    stay excluded in BOTH paths).  On verbatim-dup-dense corpora the
+    per-member O(len * max_dist) verify disappears;
+    ``collapse_exact=False`` is the raw opt-out.  NULL texts never
+    pair in either path (minhash has no shingles; collapse filters
+    them before grouping).
+
     Scale shape: banded candidate join (no cross product), two
     un-hinted equi-joins to ride the texts in (candidates are
     pair-bounded, tiny next to the corpus; AQE broadcasts them when
-    they fit), one codegen levenshtein per surviving candidate.  No
-    driver pulls."""
+    they fit), one bounded codegen levenshtein per surviving
+    representative pair, output-bound member expansion.  No driver
+    pulls."""
     if max_dist < 0:
         raise ValueError("edit_dup_pairs: max_dist must be >= 0")
-    cand = (minhash_lsh_pairs_md5(df, n=n, num_hashes=num_hashes,
+    t = (df.select(F.col(id_col).alias("id"),
+                   F.col(text_col).alias("__t"))
+         .filter(F.col("__t").isNotNull()))
+    members = reps = None
+    if collapse_exact:
+        keyed = t.withColumn(
+            "__gk", F.concat(F.md5("__t"), F.lit("#"),
+                             F.length("__t").cast("string")))
+        reps = (keyed.groupBy("__gk")
+                .agg(F.min("id").alias("__rid"),
+                     F.count(F.lit(1)).alias("__gsz"),
+                     F.first("__t").alias("__rt"))
+                .localCheckpoint(eager=False))
+        members = (keyed.select("id", "__gk")
+                   .join(reps.select("__gk", "__rid"), "__gk")
+                   .select("id", "__rid")
+                   .localCheckpoint(eager=False))
+        t = (reps.select(F.col("__rid").alias("id"),
+                         F.col("__rt").alias("__t"))
+             .localCheckpoint(eager=False))
+    cand = (minhash_lsh_pairs_md5(t, n=n, num_hashes=num_hashes,
                                   bands=bands, threshold=threshold,
-                                  text_col=text_col, id_col=id_col)
+                                  text_col="__t", id_col="id")
             .select("id_a", "id_b"))
-    t = df.select(F.col(id_col), F.col(text_col))
     ta = t.toDF("id_a", "__ta")
     tb = t.toDF("id_b", "__tb")
-    return (cand.join(ta, "id_a").join(tb, "id_b")
-            .filter(F.abs(F.length("__ta") - F.length("__tb"))
-                    <= int(max_dist))
-            .withColumn("edit_dist",
-                        F.levenshtein("__ta", "__tb", int(max_dist))
-                        .cast("long"))
-            .filter(F.col("edit_dist") >= 0)
-            .select("id_a", "id_b", "edit_dist"))
+    verified = (cand.join(ta, "id_a").join(tb, "id_b")
+                .filter(F.abs(F.length("__ta") - F.length("__tb"))
+                        <= int(max_dist))
+                .withColumn("edit_dist",
+                            F.levenshtein("__ta", "__tb",
+                                          int(max_dist))
+                            .cast("long"))
+                .filter(F.col("edit_dist") >= 0)
+                .select("id_a", "id_b", "edit_dist"))
+    if collapse_exact:
+        # cross-group member pairs inherit the representative
+        # distance; re-orient least/greatest (members of different
+        # groups interleave in id order)
+        cross = (verified
+                 .withColumnRenamed("id_a", "__ra")
+                 .withColumnRenamed("id_b", "__rb")
+                 .join(members.toDF("__ma", "__ra"), "__ra")
+                 .join(members.toDF("__mb", "__rb"), "__rb")
+                 .select(F.least("__ma", "__mb").alias("id_a"),
+                         F.greatest("__ma", "__mb").alias("id_b"),
+                         "edit_dist"))
+        # within-group verbatim pairs: distance exactly 0 — emitted
+        # only when the text clears the raw path's shingle support
+        # (>= n whitespace tokens), so both paths exclude the same
+        # short texts
+        eligible = (t.filter(
+            F.size(F.split(F.lower(F.trim("__t")), r"\s+"))
+            >= int(n))
+            .select(F.col("id").alias("__rid")))
+        within = (reps.filter(F.col("__gsz") >= 2)
+                  .select("__rid")
+                  .join(eligible, "__rid")
+                  .join(members.toDF("id_a", "__rid"), "__rid")
+                  .join(members.toDF("id_b", "__rid"), "__rid")
+                  .filter(F.col("id_a") < F.col("id_b"))
+                  .select("id_a", "id_b",
+                          F.lit(0).cast("long").alias("edit_dist")))
+        verified = cross.unionByName(within)
+    return verified
 
 
 def dedup_against(new: DataFrame, reference: DataFrame,

@@ -1571,3 +1571,101 @@ def margin_mine(a: DataFrame, b: DataFrame, k: int = 4,
                     F.col("__cx").alias("sim_x1e4"),
                     margin.cast("long").alias("margin_x1e4"))
             .filter(F.col("margin_x1e4") >= int(threshold_x1e4)))
+
+
+def mmr_select(corpus: DataFrame, k: int = 8,
+               lambda_x1000: int = 700, rel_col: str = "rel_x",
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               scale: int = 1_000_000) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein
+    1998) over an embedding corpus with a relevance column: greedily
+    pick the item maximizing ``lambda * rel - (1 - lambda) *
+    max_dot(picked)`` k times — the diverse-top-k that de-dups a
+    retrieval list (or a training-subset draw) WHILE honoring
+    relevance, where :func:`kcenter_select` maximizes coverage alone.
+
+    Returns EXACTLY k rows ``(id_col, mmr_rank, rel_x, penalty_x,
+    score_x)``: the selection order, the item's relevance, and the
+    penalty (max integer dot product against the already-picked set)
+    and score AT SELECTION TIME.
+
+    Determinism recipe (the kcenter_select conventions): vectors
+    integer-scale up front (``round(x*scale)`` longs) so every dot
+    product is an EXACT long; ``lambda_x1000`` keeps the trade-off
+    rational — ``score_x = lambda_x1000 * rel_x - (1000 -
+    lambda_x1000) * penalty_x`` is exact long arithmetic; every
+    argmax is ``ORDER BY score DESC, id ASC LIMIT 1``.  The FIRST
+    pick has penalty 0 by convention (empty picked set); from the
+    second pick the penalty is the true signed max dot (NOT clamped
+    at 0 — anti-similar items keep their negative penalty).  Unit
+    contract: ``rel_col`` must be integer-valued in the SAME units as
+    the scaled dot products (pass a dot_x — e.g. the query dot this
+    module's ANN ops emit — or pre-scale; |rel| and |dot| must stay
+    under ~9e15 so the x1000 products fit int64).  For the dot to
+    mean cosine, pass L2-normalized embeddings (the standard
+    embedding-table contract).  rel and vectors must be non-null.
+
+    Scale shape: per round one map-only dot fold against the ONE new
+    pick (a broadcast literal) + one TakeOrderedAndProject argmax;
+    driver state is the k picked rows (k·dim — the bounded-trainer
+    contract), k single-row collects, per-round frame pinned with
+    localCheckpoint (the pagerank convention)."""
+    if k < 1:
+        raise ValueError("mmr_select: k must be >= 1")
+    if not 0 <= int(lambda_x1000) <= 1000:
+        raise ValueError("mmr_select: lambda_x1000 must be in "
+                         "[0, 1000]")
+    lam, mu = int(lambda_x1000), 1000 - int(lambda_x1000)
+    sv = F.transform(F.col(vec_col).cast("array<double>"),
+                     lambda x: F.round(x * scale, 0).cast("long"))
+    vecs = (_fan_out(corpus)
+            .select(F.col(id_col).alias("__id"), sv.alias("__sv"),
+                    F.col(rel_col).cast("long").alias("__rel"))
+            .localCheckpoint(eager=False))
+
+    def dot_to(cvec):
+        lit = F.array(*[F.lit(int(x)).cast("long") for x in cvec])
+        return F.aggregate(
+            F.zip_with("__sv", lit, lambda a, b: a * b),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    first = (vecs.orderBy(F.desc(F.col("__rel") * lam),
+                          F.asc("__id")).limit(1).collect())
+    if not first:
+        raise ValueError("mmr_select: empty corpus")
+    if first[0]["__sv"] is None or any(x is None
+                                       for x in first[0]["__sv"]):
+        raise ValueError(
+            f"mmr_select: vector has NULL elements — {vec_col} must "
+            "be non-null end-to-end; filter or impute first")
+    picked = [(first[0]["__id"], 1, int(first[0]["__rel"]), 0,
+               lam * int(first[0]["__rel"]))]
+    sel_ids = [first[0]["__id"]]
+    d = (vecs.withColumn("__maxdot", dot_to(list(first[0]["__sv"])))
+         .localCheckpoint(eager=False))
+    for i in range(2, int(k) + 1):
+        r = (d.filter(~F.col("__id").isin(sel_ids))
+             .withColumn("__score", F.col("__rel") * lam
+                         - F.col("__maxdot") * mu)
+             .orderBy(F.desc("__score"), F.asc("__id"))
+             .limit(1).collect())
+        if not r:
+            raise ValueError(f"mmr_select: k={k} exceeds corpus size "
+                             f"{len(sel_ids)}")
+        row = r[0]
+        picked.append((row["__id"], i, int(row["__rel"]),
+                       int(row["__maxdot"]), int(row["__score"])))
+        sel_ids.append(row["__id"])
+        nd = dot_to(list(row["__sv"]))
+        d = (d.withColumn("__maxdot", F.greatest("__maxdot", nd))
+             .localCheckpoint(eager=False))
+    spark = corpus.sparkSession
+    from pyspark.sql.types import (LongType, StructField, StructType)
+    id_type = corpus.schema[id_col].dataType
+    schema = StructType([
+        StructField(id_col, id_type),
+        StructField("mmr_rank", LongType()),
+        StructField("rel_x", LongType()),
+        StructField("penalty_x", LongType()),
+        StructField("score_x", LongType())])
+    return spark.createDataFrame(picked, schema)

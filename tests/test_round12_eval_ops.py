@@ -511,3 +511,191 @@ def test_signal_corr_plan_reduced_frame_no_python(spark):
     sp = _plan(signal_corr(df, "x", "y", group_col="g",
                            method="spearman"))
     assert "EvalPython" not in sp
+
+
+def test_edit_dup_pairs_collapse_equals_raw(spark):
+    """collapse_exact=True is bit-identical to the raw path on a
+    verbatim-dup-dense corpus (4 copies of each base text + near
+    variants + a 2-token short text that must pair in NEITHER
+    path)."""
+    base = " ".join(f"tok{i}" for i in range(40))
+    other = " ".join(f"oth{i}" for i in range(40))
+    rows = ([(i, base) for i in range(4)]
+            + [(4, base.replace("tok5", "tok5z", 1))]
+            + [(10 + i, other) for i in range(3)]
+            + [(20, "two tokens"), (21, "two tokens")])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from cascading_flink_spark.extensions import edit_dup_pairs
+    fast = {(r.id_a, r.id_b): r.edit_dist
+            for r in edit_dup_pairs(df, max_dist=5).collect()}
+    raw = {(r.id_a, r.id_b): r.edit_dist
+           for r in edit_dup_pairs(df, max_dist=5,
+                                   collapse_exact=False).collect()}
+    assert fast == raw
+    assert fast[(0, 1)] == 0 and fast[(0, 4)] == 1
+    assert not any(20 in p or 21 in p for p in fast)
+
+
+# ------------------------------------------------ confusion_report
+
+
+def _confusion_model(rows):
+    from collections import defaultdict
+    cnt = defaultdict(int)
+    for p, g in rows:
+        if p is not None and g is not None:
+            cnt[(p, g)] += 1
+    labels = ({p for p, _ in cnt} | {g for _, g in cnt})
+    out = {}
+    for lb in labels:
+        n_pred = sum(c for (p, _), c in cnt.items() if p == lb)
+        n_gold = sum(c for (_, g), c in cnt.items() if g == lb)
+        tp = cnt.get((lb, lb), 0)
+        out[lb] = (n_gold, n_pred, tp,
+                   tp * SCALE // n_pred if n_pred else 0,
+                   tp * SCALE // n_gold if n_gold else 0,
+                   2 * tp * SCALE // (n_pred + n_gold))
+    return out
+
+
+def test_confusion_report_pins_python_model(spark):
+    rng = random.Random(132)
+    labs = ["a", "b", "c", "d"]
+    rows = [(labs[rng.randrange(4)], labs[rng.randrange(4)])
+            for _ in range(500)]
+    rows += [(None, "a"), ("a", None)]  # unlabeled rows drop
+    df = spark.createDataFrame(rows, "pred string, gold string")
+    from cascading_flink_spark.extensions import confusion_report
+    got = {r.label: (r.n_gold, r.n_pred, r.tp, r.precision_x1e6,
+                     r.recall_x1e6, r.f1_x1e6)
+           for r in confusion_report(df, "pred", "gold").collect()}
+    assert got == _confusion_model(rows)
+
+
+def test_confusion_report_either_column_contract(spark):
+    """A never-predicted class reports recall 0 (not a missing row);
+    a hallucinated class reports precision 0; both get f1 0."""
+    rows = [("a", "a"), ("a", "ghost"), ("halluc", "a")]
+    df = spark.createDataFrame(rows, "pred string, gold string")
+    from cascading_flink_spark.extensions import confusion_report
+    got = {r.label: (r.n_gold, r.n_pred, r.tp, r.precision_x1e6,
+                     r.recall_x1e6)
+           for r in confusion_report(df, "pred", "gold").collect()}
+    assert got["ghost"] == (1, 0, 0, 0, 0)
+    assert got["halluc"] == (0, 1, 0, 0, 0)
+    assert got["a"] == (2, 2, 1, SCALE // 2, SCALE // 2)
+
+
+def test_confusion_report_grouped_and_typed(spark):
+    """group_col partitions the report; integer labels keep their
+    type through the full-outer label join."""
+    rows = [("g1", 1, 1), ("g1", 1, 2), ("g2", 2, 2)]
+    df = spark.createDataFrame(rows, "g string, pred long, gold long")
+    from cascading_flink_spark.extensions import confusion_report
+    out = confusion_report(df, "pred", "gold", group_col="g")
+    got = {(r.g, r.label): (r.n_gold, r.n_pred, r.tp)
+           for r in out.collect()}
+    assert got == {("g1", 1): (1, 2, 1), ("g1", 2): (1, 0, 0),
+                   ("g2", 2): (1, 1, 1)}
+    [t] = [f.dataType.simpleString() for f in out.schema
+           if f.name == "label"]
+    assert t == "bigint"
+
+
+def test_confusion_report_plan_reduced_frame_no_python(spark):
+    rows = [("a", "b")] * 50
+    df = spark.createDataFrame(rows, "pred string, gold string")
+    from cascading_flink_spark.extensions import confusion_report
+    plan = _plan(confusion_report(df, "pred", "gold"))
+    assert "EvalPython" not in plan
+    assert "Cartesian" not in plan
+
+
+# --------------------------------------------------------- mmr_select
+
+
+def _mmr_model(items, k, lam):
+    """items: {id: (rel, scaled_vec)} — direct greedy MMR in exact
+    Python ints."""
+    mu = 1000 - lam
+    dot = lambda a, b: sum(x * y for x, y in zip(a, b))
+    first = max(items, key=lambda i: (items[i][0] * lam, -i))
+    out = [(first, 1, items[first][0], 0, lam * items[first][0])]
+    sel = [first]
+    maxdot = {i: dot(v, items[first][1]) for i, (_r, v) in items.items()}
+    for rank in range(2, k + 1):
+        cand = [i for i in items if i not in sel]
+        best = max(cand, key=lambda i: (items[i][0] * lam
+                                        - maxdot[i] * mu, -i))
+        out.append((best, rank, items[best][0], maxdot[best],
+                    items[best][0] * lam - maxdot[best] * mu))
+        sel.append(best)
+        for i, (_r, v) in items.items():
+            maxdot[i] = max(maxdot[i], dot(v, items[best][1]))
+    return out
+
+
+def _mmr_corpus(spark, seed, n=40, dim=8):
+    rng = random.Random(seed)
+    items = {}
+    rows = []
+    for i in range(n):
+        sv = [rng.randrange(-SCALE, SCALE + 1) for _ in range(dim)]
+        rel = rng.randrange(-10 * SCALE, 10 * SCALE)
+        items[i] = (rel, sv)
+        rows.append((i, [x / SCALE for x in sv], rel))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, rel_x long")
+    return items, df
+
+
+def test_mmr_select_pins_python_model(spark):
+    items, df = _mmr_corpus(spark, seed=133)
+    from cascading_flink_spark.extensions import mmr_select
+    got = [(r.vec_id, r.mmr_rank, r.rel_x, r.penalty_x, r.score_x)
+           for r in mmr_select(df, k=7, lambda_x1000=700)
+           .orderBy("mmr_rank").collect()]
+    assert got == _mmr_model(items, k=7, lam=700)
+
+
+def test_mmr_select_lambda_extremes(spark):
+    """lambda=1000 ignores diversity (picks = top-k by rel, id
+    tiebreak); low lambda prefers anti-similar items — the negative
+    penalty is NOT clamped at zero."""
+    items, df = _mmr_corpus(spark, seed=134)
+    from cascading_flink_spark.extensions import mmr_select
+    pure = [r.vec_id for r in mmr_select(df, k=5, lambda_x1000=1000)
+            .orderBy("mmr_rank").collect()]
+    top = sorted(items, key=lambda i: (-items[i][0], i))[:5]
+    assert pure == top
+    out = mmr_select(df, k=5, lambda_x1000=100).orderBy("mmr_rank")
+    rows = out.collect()
+    assert [r.vec_id for r in rows] == [t[0] for t in
+                                        _mmr_model(items, 5, 100)]
+    assert any(r.penalty_x < 0 for r in rows[1:])
+
+
+def test_mmr_select_guards(spark):
+    _items, df = _mmr_corpus(spark, seed=135, n=4)
+    from cascading_flink_spark.extensions import mmr_select
+    with pytest.raises(ValueError, match="k must"):
+        mmr_select(df, k=0)
+    with pytest.raises(ValueError, match="lambda_x1000"):
+        mmr_select(df, k=2, lambda_x1000=1001)
+    with pytest.raises(ValueError, match="exceeds corpus"):
+        mmr_select(df, k=5).collect()
+    empty = df.filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="empty"):
+        mmr_select(empty, k=1)
+
+
+def test_mmr_select_id_type_and_row_count(spark):
+    _items, df = _mmr_corpus(spark, seed=136, n=10)
+    sdf = df.withColumn("vec_id", F.concat(F.lit("d"),
+                                           F.col("vec_id")))
+    from cascading_flink_spark.extensions import mmr_select
+    out = mmr_select(sdf, k=3)
+    assert out.count() == 3
+    [t] = [f.dataType.simpleString() for f in out.schema
+           if f.name == "vec_id"]
+    assert t == "string"

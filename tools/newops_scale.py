@@ -91,6 +91,16 @@ def main() -> None:
         "calibration_ece": ["ece_x", "brier_x"],
         "pr_curve": ["tp", "f1_x1e6"],
         "label_agreement": ["n_votes", "agreement_x1e6"],
+        # replication = verbatim-dup density: edit_dups rides the
+        # collapsed (representative-level) verify, output-bound
+        # member expansion
+        "edit_dups": ["edit_dist"],
+        "pearson_signals": ["n", "rho"],
+        "spearman_signals": ["n", "rho"],
+        "confusion": ["f1_x1e6"],
+        # k bounded collects over a growing corpus: the argmax
+        # TakeOrdered + map-only dot folds are the scaling surface
+        "mmr": ["score_x"],
     }
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     if only:
