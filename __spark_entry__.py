@@ -3670,28 +3670,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     least-recently-driver-verified queries must sit at the front.
     Rotation is documented in COVERAGE.md ("Driver-slot rotation").
 
-    Round-12 front block (slots 1-50): the 10 NEW round-12 queries
+    Round-12 front block (slots 1-50): the 15 NEW round-12 queries
     (the ExactSubstr family, the mrr/recall twins, quantized AUC,
-    and the eval-analytics quartet: calibration bins/ECE, the PR
-    threshold sweep, label agreement); the 14 queries whose plan or
+    edit-distance dedup, the confusion report, MMR diverse top-k,
+    the Pearson/Spearman signal correlations, and the
+    eval-analytics quartet: calibration bins/ECE, the PR threshold
+    sweep, label agreement); 11 of the 14 queries whose plan or
     code changed this round (the verbatim-collapse default and
     everything composing the pair generators, the DECIMAL overflow
-    intermediates, the ndcg right join, stars-CC convergence,
-    sessionize's keep_cols guard); the 24 r7-stale rows (VERDICT
+    intermediates, the ndcg right join, sessionize's keep_cols
+    guard via session_funnel); and the 24 r7-stale rows (VERDICT
     r11 Next #1 — after this round no query's newest driver row is
-    older than r8); and the 2 oldest r8-stale rows — 10+14+24+2 =
-    exactly 50.  Slots 51-78 (the 4 displaced r8 rows, then the
-    remaining 25 r8 rows) lead the round-13 window.
+    older than r8) — 15+11+24 = exactly 50.  The 3 changed-block
+    rows the additions displaced (connected_components_fast,
+    session_labels, session_stats — all r11-driver-green, re-gated
+    locally at sf0.01+sf0.1 and by the committed mimic) sit at
+    slots 51-53, then the r8 rows; together they lead the round-13
+    window.
     Back block: everything with an r9-r11 driver row on unchanged
     code, re-verified by the committed round-end mimic
     (tools/mimic_r12.log).
     """
 
     return {
-        # --- slots 1-10: NEW round 12 (no driver row yet):
+        # --- slots 1-15: NEW round 12 (no driver row yet):
         # the ExactSubstr detect/strip/report family, the mrr/recall
         # retrieval-eval twins, classifier_auc's quantize_x path,
-        # and the eval-analytics quartet (calibration bins/ECE,
+        # edit-distance dedup, the confusion report, MMR diverse
+        # top-k, Pearson/Spearman signal correlation, and the
+        # eval-analytics quartet (calibration bins/ECE,
         # PR threshold sweep, label agreement) ---
         "dup_substrings": q_dup_substrings,
         "dup_rate": q_dup_rate,
@@ -3708,7 +3715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_ece": q_calibration_ece,
         "pr_curve": q_pr_curve,
         "label_agreement": q_label_agreement,
-        # --- slots 11-24: plan or code changed round 12,
+        # --- slots 16-26: plan or code changed round 12,
         # re-gated: the verbatim-collapse default in the
         # containment AND jaccard pair generators (and every
         # query composing them: dedup_soft, dedup_clusters,
@@ -3728,11 +3735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_auc": q_classifier_auc,
         "clustering_coef": q_clustering_coef,
         "ndcg_lsh": q_ndcg_lsh,
-        "connected_components_fast": q_connected_components_fast,
-        "session_labels": q_session_labels,
-        "session_stats": q_session_stats,
         "session_funnel": q_session_funnel,
-        # --- slots 25-48: the 24 r7-stale rows (newest
+        # --- slots 27-50: the 24 r7-stale rows (newest
         # driver row CORRECTNESS_r07, mimic-verified every
         # round since — VERDICT r11 Next #1) ---
         "multimodal_meta": q_multimodal_meta,
@@ -3759,12 +3763,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "url_normalize": q_url_normalize,
         "window_agg_events": q_window_agg_events,
-        # --- slots 49-50: the 2 oldest r8-stale rows,
-        # alphabetical ---
+        # --- slots 51+: first the 3 changed-block rows the
+        # round-12 additions displaced (all r11-driver-green;
+        # the sessionize keep_cols guard is a pure-addition raise
+        # whose shared code path session_funnel re-gates in-window,
+        # and the stars convergence plumbing is pytest-pinned;
+        # each re-gated locally at sf0.01+sf0.1 and by the
+        # committed mimic), then the r8 rows — next in line for
+        # round 13 ---
+        "connected_components_fast": q_connected_components_fast,
+        "session_labels": q_session_labels,
+        "session_stats": q_session_stats,
         "ann_lsh": q_ann_lsh,
         "ann_pq": q_ann_pq,
-        # --- slots 51-78: the 5 displaced r8 rows, then the
-        # remaining r8 rows — next in line for round 13 ---
         "ann_topk": q_ann_topk,
         "audio_dups": q_audio_dups,
         "c4_rules": q_c4_rules,
