@@ -1944,6 +1944,58 @@ def q_classifier_auc_quantized(spark, sf_dir):
                           quantize_x=100)
 
 
+def q_rbo(spark, sf_dir):
+    """Rank-Biased Overlap (k=10, p=0.9) between the md5-LSH and
+    md5-IVF top-10 lists for the same 5 probe queries — 'do my two
+    ANN indexes agree where it matters (the top)?'.  Exact-integer
+    suffix weights precomputed in Python on both engines; anchor =
+    LSH queries (the reference list)."""
+    from cascading_flink_spark.extensions import rbo_at_k
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = (emb.filter(F.col("vec_id") < 5)
+                  .select(F.col("vec_id").alias("query_id"),
+                          "embedding"))
+    lsh = lsh_bucketed_topk_md5(emb, queries_df, k=10, planes=4,
+                                dim=64, tables=4)
+    ivf = ivf_topk_md5(emb, queries_df, k=10, n_centroids=16,
+                       n_probe=4)
+    return rbo_at_k(lsh, ivf, k=10, p_x1000=900)
+
+
+def _rbo_oracle(k: int = 10, p_x1000: int = 900) -> str:
+    """DuckDB twin of q_rbo: both index oracles as derived tables,
+    ranks replayed (sim DESC, id ASC), the SAME Python-integer suffix
+    weight table as a 1-based list literal, contribution
+    W[greatest(ra, rb)] per common item, anchor left join."""
+    from cascading_flink_spark.extensions.similarity import (
+        _rbo_suffix_weights)
+    W = _rbo_suffix_weights(k, p_x1000, 1_000_000)
+    w_lit = "[" + ", ".join(f"{w}::BIGINT" for w in W) + "]"
+    return f"""
+        WITH lsh AS ({_ANN_LSH_SQL}),
+        ivf AS ({_ANN_IVF_SQL}),
+        ra AS (SELECT query_id, vec_id,
+                      row_number() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, vec_id) AS r
+               FROM lsh QUALIFY r <= {k}),
+        rb AS (SELECT query_id, vec_id,
+                      row_number() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, vec_id) AS r
+               FROM ivf QUALIFY r <= {k}),
+        j AS (SELECT ra.query_id,
+                     ({w_lit})[greatest(ra.r, rb.r)] AS w
+              FROM ra JOIN rb USING (query_id, vec_id)),
+        per AS (SELECT query_id, count(*)::BIGINT AS n_common,
+                       sum(w)::BIGINT AS rbo_x
+                FROM j GROUP BY 1),
+        anchors AS (SELECT DISTINCT query_id FROM ra)
+        SELECT a.query_id,
+               coalesce(p.n_common, 0)::BIGINT AS n_common,
+               coalesce(p.rbo_x, 0)::BIGINT AS rbo_x
+        FROM anchors a LEFT JOIN per p USING (query_id)
+    """
+
+
 def _mmr_oracle(k: int = 6, lam: int = 700, dim: int = 64) -> str:
     """Unrolled MMR DuckDB twin of q_mmr: per round one (pick c{i},
     dot m{i}, relabel d{i}) CTE triple — the kcenter oracle pattern
@@ -3675,17 +3727,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     edit-distance dedup, the confusion report, MMR diverse top-k,
     the Pearson/Spearman signal correlations, and the
     eval-analytics quartet: calibration bins/ECE, the PR threshold
-    sweep, label agreement); 11 of the 14 queries whose plan or
-    code changed this round (the verbatim-collapse default and
+    sweep, label agreement; rank-biased overlap); 10 of the 14
+    queries whose plan or code changed this round (the verbatim-collapse default and
     everything composing the pair generators, the DECIMAL overflow
     intermediates, the ndcg right join, sessionize's keep_cols
     guard via session_funnel); and the 24 r7-stale rows (VERDICT
     r11 Next #1 — after this round no query's newest driver row is
-    older than r8) — 15+11+24 = exactly 50.  The 3 changed-block
-    rows the additions displaced (connected_components_fast,
-    session_labels, session_stats — all r11-driver-green, re-gated
-    locally at sf0.01+sf0.1 and by the committed mimic) sit at
-    slots 51-53, then the r8 rows; together they lead the round-13
+    older than r8) — 16+10+24 = exactly 50.  The 4 changed-block
+    rows the additions displaced (minhash_recall,
+    connected_components_fast, session_labels, session_stats — all
+    r11-driver-green, re-gated locally at sf0.01+sf0.1 and by the
+    committed mimic; the collapsed pair generators minhash_recall
+    depends on stay covered in-window by dedup_soft/dedup_clusters/
+    dedup_keep_best/cluster_split plus the equality pin) sit at
+    slots 51-54, then the r8 rows; together they lead the round-13
     window.
     Back block: everything with an r9-r11 driver row on unchanged
     code, re-verified by the committed round-end mimic
@@ -3693,7 +3748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
 
     return {
-        # --- slots 1-15: NEW round 12 (no driver row yet):
+        # --- slots 1-16: NEW round 12 (no driver row yet):
         # the ExactSubstr detect/strip/report family, the mrr/recall
         # retrieval-eval twins, classifier_auc's quantize_x path,
         # edit-distance dedup, the confusion report, MMR diverse
@@ -3709,13 +3764,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_dups": q_edit_dups,
         "confusion": q_confusion,
         "mmr": q_mmr,
+        "rbo": q_rbo,
         "pearson_signals": q_pearson_signals,
         "spearman_signals": q_spearman_signals,
         "calibration_bins": q_calibration_bins,
         "calibration_ece": q_calibration_ece,
         "pr_curve": q_pr_curve,
         "label_agreement": q_label_agreement,
-        # --- slots 16-26: plan or code changed round 12,
+        # --- slots 17-26: plan or code changed round 12,
         # re-gated: the verbatim-collapse default in the
         # containment AND jaccard pair generators (and every
         # query composing them: dedup_soft, dedup_clusters,
@@ -3731,7 +3787,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_best": q_dedup_keep_best,
         "cluster_split": q_cluster_split,
-        "minhash_recall": q_minhash_recall,
         "classifier_auc": q_classifier_auc,
         "clustering_coef": q_clustering_coef,
         "ndcg_lsh": q_ndcg_lsh,
@@ -3771,6 +3826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # each re-gated locally at sf0.01+sf0.1 and by the
         # committed mimic), then the r8 rows — next in line for
         # round 13 ---
+        "minhash_recall": q_minhash_recall,
         "connected_components_fast": q_connected_components_fast,
         "session_labels": q_session_labels,
         "session_stats": q_session_stats,
@@ -5388,6 +5444,7 @@ def oracle_sql() -> dict[str, str]:
             FROM n WHERE np > 0 AND nq > 0
         """,
         "mmr": _mmr_oracle(k=6, lam=700),
+        "rbo": _rbo_oracle(k=10, p_x1000=900),
         "confusion": """
             WITH d AS (SELECT CASE WHEN doc_id % 10 < 8 THEN lang
                               ELSE (['en','de','fr','es','zh'])

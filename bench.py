@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "spearman_signals",
     "confusion",
     "mmr",
+    "rbo",
     # round 11
     "connected_components_fast",
     "rrf_hybrid3",

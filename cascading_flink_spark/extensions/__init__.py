@@ -40,7 +40,7 @@ from .similarity import (
     mmr_select,
     mrr_at_k, ndcg_at_k, recall_at_k,
     pq_topk, pq_topk_md5,
-    random_project, rrf_fuse, semdedup_pairs, semdedup_pairs_md5, sq_minmax,
+    random_project, rbo_at_k, rrf_fuse, semdedup_pairs, semdedup_pairs_md5, sq_minmax,
     sq_quantize, sq_topk,
 )
 from .multimodal import (

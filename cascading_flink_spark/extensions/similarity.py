@@ -1669,3 +1669,82 @@ def mmr_select(corpus: DataFrame, k: int = 8,
         StructField("penalty_x", LongType()),
         StructField("score_x", LongType())])
     return spark.createDataFrame(picked, schema)
+
+
+def _rbo_suffix_weights(k: int, p_x1000: int,
+                        scale: int) -> list[int]:
+    """Exact-integer RBO weight table: w_j = round_half_up(scale *
+    (1-p) * p^(j-1) / j) computed in pure integer arithmetic
+    (p = p_x1000/1000, so num/den stay integral), then suffix-summed —
+    W[d] = sum_{j=d..k} w_j is the total weight an item joined at
+    depth d contributes to the truncated sum."""
+    p = int(p_x1000)
+    ws = []
+    for j in range(1, k + 1):
+        num = int(scale) * (1000 - p) * p ** (j - 1)
+        den = j * 1000 ** j
+        ws.append((2 * num + den) // (2 * den))
+    suf, tot = [], 0
+    for w in reversed(ws):
+        tot += w
+        suf.append(tot)
+    return list(reversed(suf))
+
+
+def rbo_at_k(list_a: DataFrame, list_b: DataFrame, k: int = 10,
+             p_x1000: int = 900, query_id_col: str = "query_id",
+             id_col: str = "vec_id", sim_col: str = "sim",
+             scale: int = 1_000_000) -> DataFrame:
+    """Rank-Biased Overlap (Webber et al. 2010) between two ranked
+    candidate lists, truncated at depth k (the RBO_min prefix — no
+    residual extrapolation): ``(query_id, n_common, rbo_x)`` per
+    query of ``list_a`` (the REFERENCE list: a query list_b never
+    answers scores rbo 0 rather than vanishing — the ndcg right-join
+    convention; queries only in list_b are not reported) — the
+    top-weighted agreement measure for comparing two indexes / two
+    ranker versions where Spearman over-weights the tail.
+
+    Integer-exact recipe: ``RBO = (1-p) * sum_{d=1..k} p^(d-1)/d *
+    |A_d ∩ B_d|`` telescopes per ITEM — an item at ranks (ra, rb)
+    joins every prefix of depth >= max(ra, rb), so it contributes the
+    SUFFIX weight ``W[max(ra, rb)]`` exactly once.  The k weights are
+    precomputed in PYTHON in pure integer arithmetic (p rational via
+    ``p_x1000``; round-half-up as ``(2*num + den) DIV (2*den)``) and
+    embedded as BOUNDED LITERALS on both engines — no engine pow()
+    in the plan (the ndcg_at_k discount recipe), so ``rbo_x`` is an
+    exact long sum.  Ranks come from (sim DESC, id ASC) — the
+    rrf_fuse convention; each list must be unique per (query, id).
+
+    Scale shape: two bounded per-query top-k windows, ONE equi-join
+    on (query, id), one partial-agg groupBy, one anchor left join —
+    no cross joins, no driver pulls beyond the k-long weight
+    literal."""
+    if k < 1:
+        raise ValueError("rbo_at_k: k must be >= 1")
+    if not 0 <= int(p_x1000) <= 999:
+        raise ValueError("rbo_at_k: p_x1000 must be in [0, 999]")
+    W = _rbo_suffix_weights(k, p_x1000, scale)
+    w_lit = F.array(*[F.lit(w).cast("long") for w in W])
+
+    def _ranked(lst, out):
+        w = (Window.partitionBy(query_id_col)
+             .orderBy(F.desc(sim_col), F.asc(id_col)))
+        return (lst.withColumn(out, F.row_number().over(w))
+                .filter(F.col(out) <= k)
+                .select(query_id_col, id_col, out))
+
+    ra = _ranked(list_a, "__ra")
+    rb = _ranked(list_b, "__rb")
+    per = (ra.join(rb, [query_id_col, id_col])
+           .withColumn("__w", F.element_at(
+               w_lit, F.greatest("__ra", "__rb")))
+           .groupBy(query_id_col)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_common"),
+                F.sum("__w").cast("long").alias("rbo_x")))
+    anchors = ra.select(query_id_col).distinct()
+    return (anchors.join(per, query_id_col, "left")
+            .select(query_id_col,
+                    F.coalesce("n_common", F.lit(0).cast("long"))
+                     .alias("n_common"),
+                    F.coalesce("rbo_x", F.lit(0).cast("long"))
+                     .alias("rbo_x")))

@@ -699,3 +699,83 @@ def test_mmr_select_id_type_and_row_count(spark):
     [t] = [f.dataType.simpleString() for f in out.schema
            if f.name == "vec_id"]
     assert t == "string"
+
+
+# ------------------------------------------------------- rbo_at_k
+
+
+def _rbo_model(la, lb, k, p1000, scale=SCALE):
+    """Direct truncated-RBO: per depth d, overlap(d)/d * (1-p)p^(d-1),
+    computed with the SAME exact-integer weight rounding the operator
+    uses — but summed per DEPTH, cross-checking the operator's
+    per-item telescoping."""
+    ws = []
+    for j in range(1, k + 1):
+        num = scale * (1000 - p1000) * p1000 ** (j - 1)
+        den = j * 1000 ** j
+        ws.append((2 * num + den) // (2 * den))
+    out = 0
+    for d in range(1, k + 1):
+        ov = len(set(la[:d]) & set(lb[:d]))
+        out += ws[d - 1] * ov
+    return out
+
+
+def _ranked_df(spark, lists):
+    """lists: {query: [ids best-first]} -> (query_id, vec_id, sim)
+    with sim encoding the rank."""
+    rows = [(q, i, float(len(ids) - r))
+            for q, ids in lists.items() for r, i in enumerate(ids)]
+    return spark.createDataFrame(
+        rows, "query_id long, vec_id long, sim double")
+
+
+def test_rbo_at_k_pins_depth_model(spark):
+    rng = random.Random(137)
+    la = {q: rng.sample(range(30), 10) for q in range(4)}
+    lb = {q: rng.sample(range(30), 10) for q in range(4)}
+    a, b = _ranked_df(spark, la), _ranked_df(spark, lb)
+    from cascading_flink_spark.extensions import rbo_at_k
+    got = {r.query_id: (r.n_common, r.rbo_x)
+           for r in rbo_at_k(a, b, k=10, p_x1000=900).collect()}
+    for q in la:
+        assert got[q][1] == _rbo_model(la[q], lb[q], 10, 900)
+        assert got[q][0] == len(set(la[q]) & set(lb[q]))
+
+
+def test_rbo_at_k_identity_disjoint_and_anchor(spark):
+    """Identical lists score the truncated-prefix maximum
+    (sum_d W[d] = sum_j j*w_j ~ 1 - p^k, NOT 1e6 — the documented
+    RBO_min semantics); disjoint lists score 0; a query list_b never
+    answers reports 0 instead of vanishing; a query only in list_b is
+    not reported (list_a is the anchor)."""
+    la = {1: list(range(10)), 2: list(range(10)),
+          3: list(range(10))}
+    lb = {1: list(range(10)), 2: list(range(100, 110)),
+          4: list(range(10))}
+    a, b = _ranked_df(spark, la), _ranked_df(spark, lb)
+    from cascading_flink_spark.extensions import rbo_at_k
+    from cascading_flink_spark.extensions.similarity import (
+        _rbo_suffix_weights)
+    got = {r.query_id: (r.n_common, r.rbo_x)
+           for r in rbo_at_k(a, b, k=10, p_x1000=900).collect()}
+    W = _rbo_suffix_weights(10, 900, SCALE)
+    assert got[1] == (10, sum(W))
+    assert got[2] == (0, 0)
+    assert got[3] == (0, 0)      # list_b silent on query 3 -> rbo 0
+    assert 4 not in got          # list_b-only query not reported
+    # truncated maximum ~ 1 - 0.9^10 (integer rounding inside 10/1e6)
+    assert abs(sum(W) - round((1 - 0.9 ** 10) * SCALE)) <= 10
+
+
+def test_rbo_at_k_guards_and_plan(spark):
+    la = {1: [1, 2, 3]}
+    a = _ranked_df(spark, la)
+    from cascading_flink_spark.extensions import rbo_at_k
+    with pytest.raises(ValueError, match="k must"):
+        rbo_at_k(a, a, k=0)
+    with pytest.raises(ValueError, match="p_x1000"):
+        rbo_at_k(a, a, p_x1000=1000)
+    plan = _plan(rbo_at_k(a, a, k=5))
+    assert "EvalPython" not in plan
+    assert "Cartesian" not in plan

@@ -101,6 +101,7 @@ def main() -> None:
         # k bounded collects over a growing corpus: the argmax
         # TakeOrdered + map-only dot folds are the scaling surface
         "mmr": ["score_x"],
+        "rbo": ["n_common", "rbo_x"],
     }
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     if only:
