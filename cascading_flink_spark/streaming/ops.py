@@ -995,3 +995,71 @@ def stream_dsir_gate(stream: DataFrame, lr: list[int], c0: int,
                                    buckets=buckets, ngrams=ngrams,
                                    seed=seed))
     return scored.filter(F.col(score_col) >= int(min_logw_x1e6))
+
+
+def stream_label_agreement(df: DataFrame, item_col: str = "item",
+                           label_col: str = "label") -> DataFrame:
+    """Streaming majority vote — the stateful twin of
+    ``extensions.analytics.label_agreement``: per micro-batch it
+    emits, for every item that received votes THIS batch, the item's
+    UPDATED full scorecard ``(item, n_votes, n_labels, majority_label,
+    majority_n, agreement_x1e6)`` over ALL votes seen so far — a
+    changelog grain where the LATEST row per item is the answer (the
+    online view of an annotation/LLM-judge stream: thresholds can gate
+    on agreement as votes arrive instead of waiting for the batch
+    job).
+
+    Semantics match the batch operator at every prefix of the stream:
+    NULL labels are excluded before counting, the majority tiebreak is
+    (count DESC, label ASC).  Streaming caveats (the family's standard
+    trades, documented like stream_session_funnel's): item and label
+    ride as STRINGS (state schemas are fixed — the batch operator
+    preserves types; label ASC is therefore string order here), and
+    there is no min_votes knob (filter downstream on n_votes).  State
+    per item is its distinct-label histogram — bounded by labels per
+    item, not stream length."""
+    out_schema = T.StructType([
+        T.StructField("item", T.StringType()),
+        T.StructField("n_votes", T.LongType()),
+        T.StructField("n_labels", T.LongType()),
+        T.StructField("majority_label", T.StringType()),
+        T.StructField("majority_n", T.LongType()),
+        T.StructField("agreement_x1e6", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("labels", T.ArrayType(T.StringType(), False)),
+        T.StructField("counts", T.ArrayType(T.LongType(), False)),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            labels, counts = state.get
+            hist = dict(zip(list(labels), list(counts)))
+        else:
+            hist = {}
+        new = 0
+        for pdf in pdfs:
+            col = pdf[label_col].dropna()
+            new += len(col)
+            for lab, c in col.value_counts().items():
+                hist[lab] = hist.get(lab, 0) + int(c)
+        if not new or not hist:
+            return iter(())
+        labels = sorted(hist)      # deterministic state layout
+        state.update((labels, [hist[lb] for lb in labels]))
+        n = sum(hist.values())
+        maj, mn = sorted(hist.items(), key=lambda t: (-t[1], t[0]))[0]
+        return iter([pd.DataFrame({
+            "item": [key[0]], "n_votes": [n],
+            "n_labels": [len(hist)], "majority_label": [maj],
+            "majority_n": [mn],
+            "agreement_x1e6": [mn * 1_000_000 // n]})])
+
+    prepared = df.select(
+        F.col(item_col).cast("string").alias("item"),
+        F.col(label_col).cast("string").alias(label_col),
+    ).filter(F.col("item").isNotNull())
+    return (prepared.groupBy("item")
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append",
+                                    GroupStateTimeout.NoTimeout))

@@ -1099,3 +1099,81 @@ def test_stream_session_funnel_boundary_completes_once(spark, tmp_path):
         k = (r["key"], r["step"])
         got[k] = got.get(k, 0) + r["n_new"]
     assert got == {("1", 1): 1, ("1", 2): 1, ("1", 3): 1, ("2", 1): 1}
+
+
+def test_stream_label_agreement_batch_parity(spark, sf_dir, tmp_path):
+    """A single-batch stream's latest row per item equals the batch
+    label_agreement exactly (string-cast item/label — the documented
+    streaming trade)."""
+    from cascading_flink_spark.extensions import label_agreement
+    from cascading_flink_spark.streaming import stream_label_agreement
+
+    ev = (load(spark, sf_dir, "events")
+          .filter(F.col("user_id") < 40)
+          .select(F.col("user_id").cast("string").alias("item"),
+                  F.col("event_type").alias("label")))
+    src = str(tmp_path / "sla_in")
+    ev.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = stream_label_agreement(stream, "item", "label")
+    q = (out.writeStream.format("memory").queryName("sla_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+
+    got = {r.item: (r.n_votes, r.n_labels, r.majority_label,
+                    r.majority_n, r.agreement_x1e6)
+           for r in spark.sql("SELECT * FROM sla_out").collect()}
+    expect = {r.item: (r.n_votes, r.n_labels, r.majority_label,
+                       r.majority_n, r.agreement_x1e6)
+              for r in label_agreement(spark.read.parquet(src),
+                                       "item", "label").collect()}
+    assert got == expect and expect
+    spark.catalog.dropTempView("sla_out")
+
+
+def test_stream_label_agreement_restart_accumulates(spark, tmp_path):
+    """2 batches with a checkpoint restart: the carried histogram
+    accumulates (no double counting, no reset), NULL votes are
+    ignored, and a 2-2 tie resolves label-ASC; untouched items emit
+    no new row in batch 2."""
+    from cascading_flink_spark.streaming import stream_label_agreement
+
+    src = tmp_path / "sla2_in"
+    src.mkdir()
+    sch = "item string, label string"
+    batches = [
+        [("a", "good"), ("a", "bad"), ("b", "spam"), ("b", None)],
+        [("a", "bad"), ("a", "good")],   # a ends 2-2 -> 'bad' wins ASC
+    ]
+    def write(i):
+        spark.createDataFrame(batches[i], sch).coalesce(1) \
+            .write.parquet(str(src / f"f{i}"))
+    write(0)
+    schema = spark.read.parquet(str(src / "f0")).schema
+    ckpt = str(tmp_path / "sla2_ck")
+    out_dir = str(tmp_path / "sla2_out")
+
+    for i in range(len(batches)):
+        if i:
+            write(i)
+        _run_available_now(
+            spark, schema, str(src / "*"), ckpt, out_dir,
+            lambda s: stream_label_agreement(s, "item", "label"))
+
+    rows = spark.read.parquet(out_dir).collect()
+    by_item = {}
+    for r in rows:
+        by_item.setdefault(r.item, []).append(r)
+    # latest row per item = the one with the largest n_votes
+    latest = {i: max(rs, key=lambda r: r.n_votes)
+              for i, rs in by_item.items()}
+    a = latest["a"]
+    assert (a.n_votes, a.n_labels, a.majority_label, a.majority_n,
+            a.agreement_x1e6) == (4, 2, "bad", 2, 500_000)
+    b = latest["b"]
+    assert (b.n_votes, b.n_labels, b.majority_label,
+            b.agreement_x1e6) == (1, 1, "spam", 1_000_000)
+    # b got no batch-2 votes: exactly one emitted row ever
+    assert len(by_item["b"]) == 1
