@@ -1944,6 +1944,16 @@ def q_classifier_auc_quantized(spark, sf_dir):
                           quantize_x=100)
 
 
+def q_concentration(spark, sf_dir):
+    """Per-language source-concentration data card (HHI, top share,
+    CR4) over documents — one exact truncating division per metric
+    (sum(cnt^2)*1e6 DIV total^2; no per-key rounded shares)."""
+    from cascading_flink_spark.extensions import concentration_report
+    docs = _t(spark, sf_dir, "documents").select("lang", "source")
+    return concentration_report(docs, "source", group_col="lang",
+                                top_n=4)
+
+
 def q_rbo(spark, sf_dir):
     """Rank-Biased Overlap (k=10, p=0.9) between the md5-LSH and
     md5-IVF top-10 lists for the same 5 probe queries — 'do my two
@@ -3727,28 +3737,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     edit-distance dedup, the confusion report, MMR diverse top-k,
     the Pearson/Spearman signal correlations, and the
     eval-analytics quartet: calibration bins/ECE, the PR threshold
-    sweep, label agreement; rank-biased overlap); 10 of the 14
-    queries whose plan or code changed this round (the verbatim-collapse default and
+    sweep, label agreement; rank-biased overlap; the source
+    concentration data card); 9 of the 14 queries whose plan or
+    code changed this round (the verbatim-collapse default and
     everything composing the pair generators, the DECIMAL overflow
     intermediates, the ndcg right join, sessionize's keep_cols
     guard via session_funnel); and the 24 r7-stale rows (VERDICT
     r11 Next #1 — after this round no query's newest driver row is
-    older than r8) — 16+10+24 = exactly 50.  The 4 changed-block
-    rows the additions displaced (minhash_recall,
+    older than r8) — 17+9+24 = exactly 50.  The 5 changed-block
+    rows the additions displaced (dedup_keep_best, minhash_recall,
     connected_components_fast, session_labels, session_stats — all
     r11-driver-green, re-gated locally at sf0.01+sf0.1 and by the
-    committed mimic; the collapsed pair generators minhash_recall
-    depends on stay covered in-window by dedup_soft/dedup_clusters/
-    dedup_keep_best/cluster_split plus the equality pin) sit at
-    slots 51-54, then the r8 rows; together they lead the round-13
-    window.
+    committed mimic; the collapsed pair generators the first two
+    depend on stay covered in-window by dedup_soft/dedup_clusters/
+    cluster_split plus the equality pin) sit at slots 51-55, then
+    the r8 rows; together they lead the round-13 window.
     Back block: everything with an r9-r11 driver row on unchanged
     code, re-verified by the committed round-end mimic
     (tools/mimic_r12.log).
     """
 
     return {
-        # --- slots 1-16: NEW round 12 (no driver row yet):
+        # --- slots 1-17: NEW round 12 (no driver row yet):
         # the ExactSubstr detect/strip/report family, the mrr/recall
         # retrieval-eval twins, classifier_auc's quantize_x path,
         # edit-distance dedup, the confusion report, MMR diverse
@@ -3765,13 +3775,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "confusion": q_confusion,
         "mmr": q_mmr,
         "rbo": q_rbo,
+        "concentration": q_concentration,
         "pearson_signals": q_pearson_signals,
         "spearman_signals": q_spearman_signals,
         "calibration_bins": q_calibration_bins,
         "calibration_ece": q_calibration_ece,
         "pr_curve": q_pr_curve,
         "label_agreement": q_label_agreement,
-        # --- slots 17-26: plan or code changed round 12,
+        # --- slots 18-26: plan or code changed round 12,
         # re-gated: the verbatim-collapse default in the
         # containment AND jaccard pair generators (and every
         # query composing them: dedup_soft, dedup_clusters,
@@ -3785,7 +3796,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_soft": q_dedup_soft,
         "dedup_clusters": q_dedup_clusters,
-        "dedup_keep_best": q_dedup_keep_best,
         "cluster_split": q_cluster_split,
         "classifier_auc": q_classifier_auc,
         "clustering_coef": q_clustering_coef,
@@ -3826,6 +3836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # each re-gated locally at sf0.01+sf0.1 and by the
         # committed mimic), then the r8 rows — next in line for
         # round 13 ---
+        "dedup_keep_best": q_dedup_keep_best,
         "minhash_recall": q_minhash_recall,
         "connected_components_fast": q_connected_components_fast,
         "session_labels": q_session_labels,
@@ -5445,6 +5456,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mmr": _mmr_oracle(k=6, lam=700),
         "rbo": _rbo_oracle(k=10, p_x1000=900),
+        "concentration": """
+            WITH c AS (SELECT lang, source AS k, count(*)::BIGINT AS c
+                       FROM documents WHERE source IS NOT NULL
+                       GROUP BY 1, 2),
+            r AS (SELECT lang, k, c,
+                         row_number() OVER (PARTITION BY lang
+                             ORDER BY c DESC, k ASC) AS rn
+                  FROM c),
+            t AS (SELECT lang, sum(c)::BIGINT AS n,
+                         count(*)::BIGINT AS n_keys,
+                         sum(c::HUGEINT * c) AS sq,
+                         max(CASE WHEN rn = 1 THEN c END)::BIGINT
+                             AS top1,
+                         sum(CASE WHEN rn <= 4 THEN c ELSE 0
+                             END)::BIGINT AS topn
+                  FROM r GROUP BY 1)
+            SELECT lang, n, n_keys,
+                   (sq * 1000000 // (n::HUGEINT * n))::BIGINT
+                       AS hhi_x1e6,
+                   (top1::HUGEINT * 1000000 // n)::BIGINT
+                       AS top_share_x1e6,
+                   (topn::HUGEINT * 1000000 // n)::BIGINT AS cr4_x1e6
+            FROM t
+        """,
         "confusion": """
             WITH d AS (SELECT CASE WHEN doc_id % 10 < 8 THEN lang
                               ELSE (['en','de','fr','es','zh'])

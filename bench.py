@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "confusion",
     "mmr",
     "rbo",
+    "concentration",
     # round 11
     "connected_components_fast",
     "rrf_hybrid3",

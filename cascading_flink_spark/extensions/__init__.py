@@ -81,7 +81,7 @@ from .corpus import (bigram_lm_scores, bm25_multi_scores, bm25_scores,
                      tfidf_topterms, unigram_commonness)
 from .analytics import (calibration_report, calibration_summary,
                         cardinality_report, classifier_auc,
-                        confusion_report,
+                        concentration_report, confusion_report,
                         cohort_retention,
                         event_funnel, group_quantiles,
                         label_agreement, pr_threshold_stats,

@@ -779,3 +779,65 @@ def test_rbo_at_k_guards_and_plan(spark):
     plan = _plan(rbo_at_k(a, a, k=5))
     assert "EvalPython" not in plan
     assert "Cartesian" not in plan
+
+
+# --------------------------------------------- concentration_report
+
+
+def _conc_model(rows, top_n=4):
+    from collections import defaultdict
+    cnt = defaultdict(lambda: defaultdict(int))
+    for g, k in rows:
+        if k is not None:
+            cnt[g][k] += 1
+    out = {}
+    for g, ks in cnt.items():
+        n = sum(ks.values())
+        sq = sum(c * c for c in ks.values())
+        ordered = sorted(ks.items(), key=lambda t: (-t[1], t[0]))
+        top1 = ordered[0][1]
+        topn = sum(c for _k, c in ordered[:top_n])
+        out[g] = (n, len(ks), sq * SCALE // (n * n),
+                  top1 * SCALE // n, topn * SCALE // n)
+    return out
+
+
+def test_concentration_report_pins_python_model(spark):
+    rng = random.Random(138)
+    rows = [(["en", "de"][rng.randrange(2)],
+             f"src{rng.randrange(9)}") for _ in range(600)]
+    rows += [("en", None)]  # unattributed rows drop
+    df = spark.createDataFrame(rows, "g string, k string")
+    from cascading_flink_spark.extensions import concentration_report
+    got = {r.g: (r.n, r.n_keys, r.hhi_x1e6, r.top_share_x1e6,
+                 r.cr4_x1e6)
+           for r in concentration_report(df, "k",
+                                         group_col="g").collect()}
+    assert got == _conc_model([r for r in rows if r[1] is not None])
+
+
+def test_concentration_report_extremes(spark):
+    """Monopoly -> HHI 1e6 / top share 1e6; perfectly even k keys ->
+    HHI exactly 1e6/k; top_n larger than n_keys just sums them all."""
+    mono = spark.createDataFrame([("g", "only")] * 10, "g string, k string")
+    even = spark.createDataFrame([("g", f"s{i}") for i in range(5)] * 8,
+                                 "g string, k string")
+    from cascading_flink_spark.extensions import concentration_report
+    [m] = concentration_report(mono, "k", group_col="g").collect()
+    assert (m.hhi_x1e6, m.top_share_x1e6, m.cr4_x1e6) == (SCALE, SCALE,
+                                                          SCALE)
+    [e] = concentration_report(even, "k", group_col="g",
+                               top_n=9).collect()
+    assert e.hhi_x1e6 == SCALE // 5
+    assert e.cr9_x1e6 == SCALE
+    with pytest.raises(ValueError, match="top_n"):
+        concentration_report(mono, "k", top_n=0)
+
+
+def test_concentration_report_plan_reduced_frame(spark):
+    rows = [("g", f"s{i % 5}") for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, k string")
+    from cascading_flink_spark.extensions import concentration_report
+    plan = _plan(concentration_report(df, "k", group_col="g"))
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") == 2  # corpus pass + reduced rollup

@@ -102,6 +102,7 @@ def main() -> None:
         # TakeOrdered + map-only dot folds are the scaling surface
         "mmr": ["score_x"],
         "rbo": ["n_common", "rbo_x"],
+        "concentration": ["hhi_x1e6", "cr4_x1e6"],
     }
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     if only:
