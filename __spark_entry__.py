@@ -1944,6 +1944,28 @@ def q_classifier_auc_quantized(spark, sf_dir):
                           quantize_x=100)
 
 
+def q_eccentricity(spark, sf_dir):
+    """Per-seed eccentricity probe (diameter lower-bound sampler) on
+    the sparse 500-node graph: 3 seeds, horizon 6 — each probe one
+    exact integer-min BFS reduced to (seed, n_reached, ecc); oracle =
+    three unrolled BFS twins aggregated and unioned."""
+    from cascading_flink_spark.extensions import eccentricity_sample
+    return eccentricity_sample(_thin_graph(spark, sf_dir),
+                               seeds=[0, 1, 2], max_hops=6)
+
+
+def _eccentricity_oracle(seeds: list, hops: int = 6) -> str:
+    """DuckDB twin of q_eccentricity: one unrolled _bfs_oracle per
+    seed as a derived table, reduced to its (seed, n_reached, ecc)
+    row, UNION ALL — the operator's per-seed composition replayed."""
+    parts = [f"""
+        SELECT {s}::BIGINT AS seed, count(*)::BIGINT AS n_reached,
+               max(dist)::BIGINT AS ecc
+        FROM ({_bfs_oracle(seeds=[s], hops=hops)})"""
+             for s in seeds]
+    return " UNION ALL ".join(parts)
+
+
 def q_concentration(spark, sf_dir):
     """Per-language source-concentration data card (HHI, top share,
     CR4) over documents — one exact truncating division per metric
@@ -3738,27 +3760,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the Pearson/Spearman signal correlations, and the
     eval-analytics quartet: calibration bins/ECE, the PR threshold
     sweep, label agreement; rank-biased overlap; the source
-    concentration data card); 9 of the 14 queries whose plan or
-    code changed this round (the verbatim-collapse default and
+    concentration data card; the eccentricity diameter probe); 8 of
+    the 14 queries whose plan or code changed this round (the verbatim-collapse default and
     everything composing the pair generators, the DECIMAL overflow
     intermediates, the ndcg right join, sessionize's keep_cols
     guard via session_funnel); and the 24 r7-stale rows (VERDICT
     r11 Next #1 — after this round no query's newest driver row is
-    older than r8) — 17+9+24 = exactly 50.  The 5 changed-block
-    rows the additions displaced (dedup_keep_best, minhash_recall,
-    connected_components_fast, session_labels, session_stats — all
-    r11-driver-green, re-gated locally at sf0.01+sf0.1 and by the
-    committed mimic; the collapsed pair generators the first two
-    depend on stay covered in-window by dedup_soft/dedup_clusters/
-    cluster_split plus the equality pin) sit at slots 51-55, then
-    the r8 rows; together they lead the round-13 window.
+    older than r8) — 18+8+24 = exactly 50.  The 6 changed-block
+    rows the additions displaced (cluster_split, dedup_keep_best,
+    minhash_recall, connected_components_fast, session_labels,
+    session_stats — all r11-driver-green, re-gated locally at
+    sf0.01+sf0.1 and by the committed mimic; the collapsed pair
+    generators the first three depend on stay covered in-window by
+    ngram_jaccard/ngram_containment/dedup_soft/dedup_clusters plus
+    the equality pins) sit at slots 51-56, then the r8 rows;
+    together they lead the round-13 window.
     Back block: everything with an r9-r11 driver row on unchanged
     code, re-verified by the committed round-end mimic
     (tools/mimic_r12.log).
     """
 
     return {
-        # --- slots 1-17: NEW round 12 (no driver row yet):
+        # --- slots 1-18: NEW round 12 (no driver row yet):
         # the ExactSubstr detect/strip/report family, the mrr/recall
         # retrieval-eval twins, classifier_auc's quantize_x path,
         # edit-distance dedup, the confusion report, MMR diverse
@@ -3776,13 +3799,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr": q_mmr,
         "rbo": q_rbo,
         "concentration": q_concentration,
+        "eccentricity": q_eccentricity,
         "pearson_signals": q_pearson_signals,
         "spearman_signals": q_spearman_signals,
         "calibration_bins": q_calibration_bins,
         "calibration_ece": q_calibration_ece,
         "pr_curve": q_pr_curve,
         "label_agreement": q_label_agreement,
-        # --- slots 18-26: plan or code changed round 12,
+        # --- slots 19-26: plan or code changed round 12,
         # re-gated: the verbatim-collapse default in the
         # containment AND jaccard pair generators (and every
         # query composing them: dedup_soft, dedup_clusters,
@@ -3796,7 +3820,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_soft": q_dedup_soft,
         "dedup_clusters": q_dedup_clusters,
-        "cluster_split": q_cluster_split,
         "classifier_auc": q_classifier_auc,
         "clustering_coef": q_clustering_coef,
         "ndcg_lsh": q_ndcg_lsh,
@@ -3836,6 +3859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # each re-gated locally at sf0.01+sf0.1 and by the
         # committed mimic), then the r8 rows — next in line for
         # round 13 ---
+        "cluster_split": q_cluster_split,
         "dedup_keep_best": q_dedup_keep_best,
         "minhash_recall": q_minhash_recall,
         "connected_components_fast": q_connected_components_fast,
@@ -5456,6 +5480,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mmr": _mmr_oracle(k=6, lam=700),
         "rbo": _rbo_oracle(k=10, p_x1000=900),
+        "eccentricity": _eccentricity_oracle(seeds=[0, 1, 2], hops=6),
         "concentration": """
             WITH c AS (SELECT lang, source AS k, count(*)::BIGINT AS c
                        FROM documents WHERE source IS NOT NULL

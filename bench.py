@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "mmr",
     "rbo",
     "concentration",
+    "eccentricity",
     # round 11
     "connected_components_fast",
     "rrf_hybrid3",

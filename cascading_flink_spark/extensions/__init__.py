@@ -70,7 +70,8 @@ from .dsir import (dsir_bucket_weights, dsir_mixture_select, dsir_sample,
                    dsir_score_expr, dsir_select, dsir_weight_array,
                    dsir_weights)
 from .graph import (bfs_distances, clustering_coefficient,
-                    connected_components, hits, k_core,
+                    connected_components, eccentricity_sample,
+                    hits, k_core,
                     label_propagation, link_candidates, pagerank,
                     triangle_count)
 from .corpus import (bigram_lm_scores, bm25_multi_scores, bm25_scores,

@@ -762,3 +762,59 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
     return (deg.select("node").join(per_node, "node", "left")
             .select("node", F.coalesce("n", F.lit(0)).cast("long")
                     .alias("n_triangles")))
+
+
+def eccentricity_sample(edges: DataFrame, seeds: list,
+                        max_hops: int = 6, src_col: str = "src",
+                        dst_col: str = "dst",
+                        directed: bool = False) -> DataFrame:
+    """Per-seed eccentricity probe: ``(seed, n_reached, ecc)`` — the
+    max hop distance and reached-set size of a BFS from each seed —
+    the standard diameter LOWER BOUND sampler (max ecc over a handful
+    of probes; iterated probing from the farthest node found is the
+    classic double-sweep) and the "how deep is this crawl component"
+    data card next to :func:`connected_components`' "how wide".
+
+    Each probe is one :func:`bfs_distances` run, so every relaxation
+    is exact integer min-arithmetic and the whole operator replays
+    bit-for-bit.  CENSORING contract (documented, not hidden): ``ecc``
+    is exact only if the BFS exhausted the seed's component within
+    ``max_hops``; a frontier still growing at the horizon reports
+    ``ecc = max_hops`` — a lower bound.  The caller distinguishes the
+    two by re-running with a larger horizon (n_reached stops growing
+    exactly when the BFS exhausted).  Seeds are a bounded literal
+    list (each must appear in the graph; a present seed always
+    reaches itself, so the per-probe ``n_reached > 0`` in-plan raise
+    below catches an absent one even in the case bfs's own guard
+    cannot see — a single missing seed empties the probe side before
+    the guard broadcast is ever built); sample them with the
+    md5-order house recipe when unbiased probes are wanted.
+
+    Scale shape: ``len(seeds)`` independent BFS runs (each: one
+    equi-join + partial-agg min per round), each reduced to ONE row
+    by a partial agg — the union of len(seeds) one-row frames.
+    Bounded by the seeds parameter, never by data."""
+    if not seeds:
+        raise ValueError("eccentricity_sample: seeds must be a "
+                         "non-empty list")
+    if len(set(seeds)) != len(seeds):
+        raise ValueError("eccentricity_sample: seeds must be "
+                         "distinct")
+    out = None
+    for s in seeds:
+        d = bfs_distances(edges, [s], max_hops=max_hops,
+                          src_col=src_col, dst_col=dst_col,
+                          directed=directed)
+        one = (d.agg(F.lit(s).alias("seed"),
+                     F.count(F.lit(1)).cast("long").alias("__n"),
+                     F.max("dist").cast("long").alias("ecc"))
+               .select("seed",
+                       F.when(F.col("__n") > 0, F.col("__n"))
+                        .otherwise(F.raise_error(F.lit(
+                            "eccentricity_sample: seed "
+                            f"{s!r} does not appear in the graph"))
+                            .cast("long"))
+                        .alias("n_reached"),
+                       "ecc"))
+        out = one if out is None else out.unionByName(one)
+    return out

@@ -841,3 +841,43 @@ def test_concentration_report_plan_reduced_frame(spark):
     plan = _plan(concentration_report(df, "k", group_col="g"))
     assert "EvalPython" not in plan
     assert plan.count("Exchange") == 2  # corpus pass + reduced rollup
+
+
+# ----------------------------------------------- eccentricity_sample
+
+
+def test_eccentricity_sample_exact_and_censored(spark):
+    """On a 7-node path, the endpoint's true eccentricity is 6: a
+    horizon >= 6 reports it exactly (BFS exhausted), a horizon of 3
+    reports the CENSORED lower bound ecc = 3 with a smaller reached
+    set — the documented contract; the midpoint reports 3 either
+    way."""
+    e = spark.createDataFrame([(i, i + 1) for i in range(6)],
+                              "src long, dst long")
+    from cascading_flink_spark.extensions import eccentricity_sample
+    full = {r.seed: (r.n_reached, r.ecc)
+            for r in eccentricity_sample(e, seeds=[0, 3],
+                                         max_hops=6).collect()}
+    assert full == {0: (7, 6), 3: (7, 3)}
+    cens = {r.seed: (r.n_reached, r.ecc)
+            for r in eccentricity_sample(e, seeds=[0],
+                                         max_hops=3).collect()}
+    assert cens == {0: (4, 3)}
+
+
+def test_eccentricity_sample_islands_and_guards(spark):
+    """A seed only reaches its own component (n_reached is the
+    component size); guards mirror the bfs seed contract."""
+    e = spark.createDataFrame([(0, 1), (1, 2), (10, 11)],
+                              "src long, dst long")
+    from cascading_flink_spark.extensions import eccentricity_sample
+    got = {r.seed: (r.n_reached, r.ecc)
+           for r in eccentricity_sample(e, seeds=[0, 10],
+                                        max_hops=5).collect()}
+    assert got == {0: (3, 2), 10: (2, 1)}
+    with pytest.raises(ValueError, match="non-empty"):
+        eccentricity_sample(e, seeds=[])
+    with pytest.raises(ValueError, match="distinct"):
+        eccentricity_sample(e, seeds=[0, 0])
+    with pytest.raises(Exception, match="seed"):
+        eccentricity_sample(e, seeds=[99], max_hops=2).collect()

@@ -103,6 +103,7 @@ def main() -> None:
         "mmr": ["score_x"],
         "rbo": ["n_common", "rbo_x"],
         "concentration": ["hhi_x1e6", "cr4_x1e6"],
+        "eccentricity": ["n_reached", "ecc"],
     }
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     if only:
