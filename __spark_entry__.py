@@ -1944,6 +1944,22 @@ def q_classifier_auc_quantized(spark, sf_dir):
                           quantize_x=100)
 
 
+def q_lang_confusion(spark, sf_dir):
+    """Operator interop: the lang_id heuristic's en/other predictions
+    scored by confusion_report against the gold lang column collapsed
+    to the same binary alphabet — the end-to-end 'is the cheap
+    classifier good enough to route on' readout."""
+    from cascading_flink_spark.extensions import (confusion_report,
+                                                  lang_id)
+    docs = _t(spark, sf_dir, "documents")
+    pred = lang_id(docs).select("doc_id", "pred_lang")
+    gold = docs.select("doc_id",
+                       F.when(F.col("lang") == "en", F.lit("en"))
+                        .otherwise(F.lit("other")).alias("gold"))
+    return confusion_report(pred.join(gold, "doc_id"), "pred_lang",
+                            "gold")
+
+
 def q_eccentricity(spark, sf_dir):
     """Per-seed eccentricity probe (diameter lower-bound sampler) on
     the sparse 500-node graph: 3 seeds, horizon 6 — each probe one
@@ -3859,6 +3875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # each re-gated locally at sf0.01+sf0.1 and by the
         # committed mimic), then the r8 rows — next in line for
         # round 13 ---
+        "lang_confusion": q_lang_confusion,
         "cluster_split": q_cluster_split,
         "dedup_keep_best": q_dedup_keep_best,
         "minhash_recall": q_minhash_recall,
@@ -5481,6 +5498,47 @@ def oracle_sql() -> dict[str, str]:
         "mmr": _mmr_oracle(k=6, lam=700),
         "rbo": _rbo_oracle(k=10, p_x1000=900),
         "eccentricity": _eccentricity_oracle(seeds=[0, 1, 2], hops=6),
+        "lang_confusion": f"""
+            WITH pred AS (
+              SELECT doc_id,
+                     CASE WHEN hits * 1.0 / n_tokens >= 0.05
+                          THEN 'en' ELSE 'other' END AS p
+              FROM (SELECT doc_id,
+                           CASE WHEN trim(text) = '' THEN 1
+                                ELSE greatest(len(regexp_split_to_array(
+                                    trim(text), '\\s+')), 1) END AS n_tokens,
+                           len(list_filter(regexp_split_to_array(
+                                   lower(text), '\\s+'),
+                               x -> x IN {_EN_MARKERS_SQL})) AS hits
+                    FROM documents)),
+            d AS (SELECT pred.p,
+                         CASE WHEN doc.lang = 'en' THEN 'en'
+                              ELSE 'other' END AS g
+                  FROM pred JOIN documents doc USING (doc_id)),
+            c AS (SELECT p, g, count(*)::BIGINT AS c
+                  FROM d GROUP BY 1, 2),
+            pr AS (SELECT p AS label, sum(c)::BIGINT AS n_pred,
+                          sum(CASE WHEN p = g THEN c ELSE 0
+                              END)::BIGINT AS tp
+                   FROM c GROUP BY 1),
+            gl AS (SELECT g AS label, sum(c)::BIGINT AS n_gold
+                   FROM c GROUP BY 1),
+            j AS (SELECT coalesce(pr.label, gl.label) AS label,
+                         coalesce(n_gold, 0)::BIGINT AS n_gold,
+                         coalesce(n_pred, 0)::BIGINT AS n_pred,
+                         coalesce(tp, 0)::BIGINT AS tp
+                  FROM pr FULL OUTER JOIN gl ON pr.label = gl.label)
+            SELECT label, n_gold, n_pred, tp,
+                   (CASE WHEN n_pred = 0 THEN 0
+                    ELSE tp::HUGEINT * 1000000 // n_pred
+                    END)::BIGINT AS precision_x1e6,
+                   (CASE WHEN n_gold = 0 THEN 0
+                    ELSE tp::HUGEINT * 1000000 // n_gold
+                    END)::BIGINT AS recall_x1e6,
+                   (tp::HUGEINT * 2000000
+                    // (n_pred + n_gold))::BIGINT AS f1_x1e6
+            FROM j
+        """,
         "concentration": """
             WITH c AS (SELECT lang, source AS k, count(*)::BIGINT AS c
                        FROM documents WHERE source IS NOT NULL

@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "rbo",
     "concentration",
     "eccentricity",
+    "lang_confusion",
     # round 11
     "connected_components_fast",
     "rrf_hybrid3",
