@@ -1944,6 +1944,17 @@ def q_classifier_auc_quantized(spark, sf_dir):
                           quantize_x=100)
 
 
+def q_trimmed_stats(spark, sf_dir):
+    """Per-language 5%-trimmed and winsorized mean of n_chars — the
+    interval-overlap spelling: kept multiplicity per DISTINCT value
+    from one cumulative window over the reduced frame, no row-level
+    rank, single truncating divisions."""
+    from cascading_flink_spark.extensions import trimmed_stats
+    docs = _t(spark, sf_dir, "documents").select("lang", "n_chars")
+    return trimmed_stats(docs, "n_chars", group_col="lang",
+                         trim_lo_x1000=50, trim_hi_x1000=50)
+
+
 def q_lang_confusion(spark, sf_dir):
     """Operator interop: the lang_id heuristic's en/other predictions
     scored by confusion_report against the gold lang column collapsed
@@ -3876,6 +3887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # committed mimic), then the r8 rows — next in line for
         # round 13 ---
         "lang_confusion": q_lang_confusion,
+        "trimmed_stats": q_trimmed_stats,
         "cluster_split": q_cluster_split,
         "dedup_keep_best": q_dedup_keep_best,
         "minhash_recall": q_minhash_recall,
@@ -5498,6 +5510,44 @@ def oracle_sql() -> dict[str, str]:
         "mmr": _mmr_oracle(k=6, lam=700),
         "rbo": _rbo_oracle(k=10, p_x1000=900),
         "eccentricity": _eccentricity_oracle(seeds=[0, 1, 2], hops=6),
+        "trimmed_stats": """
+            WITH c AS (SELECT lang, n_chars AS v, count(*)::BIGINT AS c
+                       FROM documents WHERE n_chars IS NOT NULL
+                       GROUP BY 1, 2),
+            w AS (SELECT lang, v, c,
+                         coalesce(sum(c) OVER (PARTITION BY lang
+                             ORDER BY v ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                             AS before,
+                         sum(c) OVER (PARTITION BY lang)::BIGINT AS n
+                  FROM c),
+            k AS (SELECT lang, v, c, before, n,
+                         (n * 50 // 1000 + 1)::BIGINT AS lb,
+                         (n - n * 50 // 1000)::BIGINT AS ub
+                  FROM w),
+            k2 AS (SELECT lang, v, c, before, n, lb, ub,
+                          greatest(0, least(before + c, ub)
+                                   - greatest(before + 1, lb)
+                                   + 1)::BIGINT AS kept
+                   FROM k),
+            t AS (SELECT lang, max(n)::BIGINT AS n,
+                         max(lb)::BIGINT AS lb, max(ub)::BIGINT AS ub,
+                         sum(kept)::BIGINT AS n_kept,
+                         sum(kept::HUGEINT * v) AS ksum,
+                         max(CASE WHEN before < lb
+                                   AND before + c >= lb THEN v
+                             END)::BIGINT AS lo_cut,
+                         max(CASE WHEN before < ub
+                                   AND before + c >= ub THEN v
+                             END)::BIGINT AS hi_cut
+                  FROM k2 GROUP BY 1)
+            SELECT lang, n, n_kept, lo_cut, hi_cut,
+                   (ksum // n_kept)::BIGINT AS trimmed_mean_x,
+                   ((ksum + lo_cut::HUGEINT * (lb - 1)
+                     + hi_cut::HUGEINT * (n - ub)) // n)::BIGINT
+                       AS winsor_mean_x
+            FROM t WHERE n_kept > 0
+        """,
         "lang_confusion": f"""
             WITH pred AS (
               SELECT doc_id,

@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "concentration",
     "eccentricity",
     "lang_confusion",
+    "trimmed_stats",
     # round 11
     "connected_components_fast",
     "rrf_hybrid3",

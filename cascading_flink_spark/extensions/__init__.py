@@ -89,6 +89,7 @@ from .analytics import (calibration_report, calibration_summary,
                         group_quantiles_binned, heavy_hitters, hot_keys,
                         rolling_stats, session_funnel, session_stats,
                         session_transitions,
-                        sessionize, signal_corr, value_histogram)
+                        sessionize, signal_corr, trimmed_stats,
+                        value_histogram)
 
 __all__ = [n for n in dir() if not n.startswith("_")]

@@ -1230,3 +1230,87 @@ def concentration_report(df: DataFrame, key_col: str,
          .cast("long").alias("top_share_x1e6"),
         F.expr("CAST(__topn AS DECIMAL(38,0)) * 1000000 DIV n")
          .cast("long").alias(f"cr{int(top_n)}_x1e6")))
+
+
+def trimmed_stats(df: DataFrame, value_col: str,
+                  group_col: str | None = None,
+                  trim_lo_x1000: int = 50,
+                  trim_hi_x1000: int = 50) -> DataFrame:
+    """Robust per-group location stats: ``(group?, n, n_kept, lo_cut,
+    hi_cut, trimmed_mean_x, winsor_mean_x)`` — the mean after
+    DROPPING the lowest/highest ``trim_*_x1000/1000`` rank fractions
+    (trimmed) and after CLAMPING them to the cut values (winsorized)
+    — the outlier-robust readouts for loss/length/score columns where
+    a plain mean chases corrupted tails.
+
+    Exact integer recipe on the per-(group, distinct value) reduced
+    frame (the classifier_auc contract — values must be
+    integer-valued; quantize upstream): each distinct value occupies
+    the rank interval ``[cum_before+1, cum_before+cnt]``, the kept
+    rank window is ``[floor(n*lo/1000)+1, n - floor(n*hi/1000)]``,
+    and a value's kept multiplicity is the INTERVAL OVERLAP — so the
+    trimmed sum needs no per-row rank, no row-level sort, just one
+    cumulative window over the reduced frame.  ``lo_cut``/``hi_cut``
+    are the values whose intervals contain the window's endpoints
+    (the classic winsorizing boundaries); ``winsor_mean_x =
+    (kept_sum + lo_cut*(LB-1) + hi_cut*(n-UB)) DIV n`` and
+    ``trimmed_mean_x = kept_sum DIV n_kept`` are single truncating
+    divisions of DECIMAL(38,0)-exact sums.  A group whose kept window
+    is empty (over-trimmed) is EXCLUDED (documented, the one-class
+    convention).  NULL values drop their row.
+
+    Scale shape: one corpus-pass partial-agg groupBy; one cumulative
+    window + one rollup on the quantization-bounded frame.  No
+    driver pulls."""
+    for nm, v in (("trim_lo_x1000", trim_lo_x1000),
+                  ("trim_hi_x1000", trim_hi_x1000)):
+        if not 0 <= int(v) < 1000:
+            raise ValueError(f"trimmed_stats: {nm} must be in "
+                             "[0, 1000)")
+    lo, hi = int(trim_lo_x1000), int(trim_hi_x1000)
+    g = [group_col] if group_col is not None else []
+    c = (df.filter(F.col(value_col).isNotNull())
+         .select(*g, F.col(value_col).cast("long").alias("__v"))
+         .groupBy(*g, "__v")
+         .agg(F.count(F.lit(1)).cast("long").alias("__c")))
+    wcum = (Window.partitionBy(*g).orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    wall = (Window.partitionBy(*g)
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    c = (c.withColumn("__before", F.coalesce(
+            F.sum("__c").over(wcum), F.lit(0).cast("long")))
+         .withColumn("__n", F.sum("__c").over(wall).cast("long")))
+    lb = (F.expr(f"__n * {lo} DIV 1000") + 1).cast("long")
+    ub = (F.col("__n") - F.expr(f"__n * {hi} DIV 1000")).cast("long")
+    kept = (F.greatest(F.lit(0).cast("long"),
+                       F.least(F.col("__before") + F.col("__c"), ub)
+                       - F.greatest(F.col("__before") + 1, lb) + 1))
+    c = (c.withColumn("__lb", lb).withColumn("__ub", ub)
+         .withColumn("__kept", kept))
+    out = (c.groupBy(*g)
+           .agg(F.max("__n").alias("n"),
+                F.max("__lb").alias("__LB"),
+                F.max("__ub").alias("__UB"),
+                F.sum("__kept").cast("long").alias("n_kept"),
+                F.sum((F.col("__kept").cast("decimal(38,0)")
+                       * F.col("__v"))).alias("__ksum"),
+                F.max(F.when(
+                    (F.col("__before") < F.col("__lb"))
+                    & (F.col("__before") + F.col("__c")
+                       >= F.col("__lb")), F.col("__v")))
+                 .cast("long").alias("lo_cut"),
+                F.max(F.when(
+                    (F.col("__before") < F.col("__ub"))
+                    & (F.col("__before") + F.col("__c")
+                       >= F.col("__ub")), F.col("__v")))
+                 .cast("long").alias("hi_cut")))
+    return (out.filter(F.col("n_kept") > 0)
+            .select(*g, "n", "n_kept", "lo_cut", "hi_cut",
+                    F.expr("__ksum DIV n_kept").cast("long")
+                     .alias("trimmed_mean_x"),
+                    F.expr("(__ksum + CAST(lo_cut AS DECIMAL(38,0)) "
+                           "* (__LB - 1) "
+                           "+ CAST(hi_cut AS DECIMAL(38,0)) "
+                           "* (n - __UB)) DIV n").cast("long")
+                     .alias("winsor_mean_x")))

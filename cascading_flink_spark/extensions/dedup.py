@@ -697,20 +697,26 @@ def edit_dup_pairs(df: DataFrame, max_dist: int = 10, n: int = 3,
          .filter(F.col("__t").isNotNull()))
     members = reps = None
     if collapse_exact:
-        keyed = t.withColumn(
+        # group key only (md5 + length) rides the shuffles — the 2 KB
+        # texts stay OUT of the collapse agg (the ngram_jaccard
+        # collapse pattern: representatives re-acquire their text via
+        # the id == __rid filter, not a first() agg that would shuffle
+        # every copy's full text)
+        keyed = (t.withColumn(
             "__gk", F.concat(F.md5("__t"), F.lit("#"),
                              F.length("__t").cast("string")))
+            .localCheckpoint(eager=False))
         reps = (keyed.groupBy("__gk")
                 .agg(F.min("id").alias("__rid"),
-                     F.count(F.lit(1)).alias("__gsz"),
-                     F.first("__t").alias("__rt"))
+                     F.count(F.lit(1)).alias("__gsz"))
                 .localCheckpoint(eager=False))
         members = (keyed.select("id", "__gk")
                    .join(reps.select("__gk", "__rid"), "__gk")
                    .select("id", "__rid")
                    .localCheckpoint(eager=False))
-        t = (reps.select(F.col("__rid").alias("id"),
-                         F.col("__rt").alias("__t"))
+        t = (keyed.join(reps.select("__gk", "__rid"), "__gk")
+             .filter(F.col("id") == F.col("__rid"))
+             .select("id", "__t")
              .localCheckpoint(eager=False))
     cand = (minhash_lsh_pairs_md5(t, n=n, num_hashes=num_hashes,
                                   bands=bands, threshold=threshold,

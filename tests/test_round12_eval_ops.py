@@ -881,3 +881,65 @@ def test_eccentricity_sample_islands_and_guards(spark):
         eccentricity_sample(e, seeds=[0, 0])
     with pytest.raises(Exception, match="seed"):
         eccentricity_sample(e, seeds=[99], max_hops=2).collect()
+
+
+# ------------------------------------------------------ trimmed_stats
+
+
+def _trimmed_model(vals, lo=50, hi=50):
+    vals = sorted(vals)
+    n = len(vals)
+    LB, UB = n * lo // 1000 + 1, n - n * hi // 1000
+    if LB > UB:
+        return None
+    kept = vals[LB - 1:UB]
+    lo_cut, hi_cut = vals[LB - 1], vals[UB - 1]
+    ksum = sum(kept)
+    return (n, len(kept), lo_cut, hi_cut, ksum // len(kept),
+            (ksum + lo_cut * (LB - 1) + hi_cut * (n - UB)) // n)
+
+
+def test_trimmed_stats_pins_python_model(spark):
+    rng = random.Random(139)
+    data = {"a": [rng.randrange(1000) for _ in range(333)],
+            "b": [rng.randrange(50) for _ in range(200)]}  # dense ties
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    from cascading_flink_spark.extensions import trimmed_stats
+    got = {r.g: (r.n, r.n_kept, r.lo_cut, r.hi_cut, r.trimmed_mean_x,
+                 r.winsor_mean_x)
+           for r in trimmed_stats(df, "v", group_col="g").collect()}
+    assert got == {g: _trimmed_model(vs) for g, vs in data.items()}
+
+
+def test_trimmed_stats_outlier_robustness_and_guards(spark):
+    """One absurd outlier moves the plain mean but neither robust
+    stat; 0-trim reproduces the plain integer mean; over-trim
+    excludes the group; bad fractions raise."""
+    base = list(range(1, 100))           # mean 50
+    rows = [("g", v) for v in base] + [("g", 10**9)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    from cascading_flink_spark.extensions import trimmed_stats
+    [r] = trimmed_stats(df, "v", group_col="g", trim_lo_x1000=50,
+                        trim_hi_x1000=50).collect()
+    assert r.trimmed_mean_x == 50 and r.winsor_mean_x < 100
+    [r0] = trimmed_stats(df, "v", group_col="g", trim_lo_x1000=0,
+                         trim_hi_x1000=0).collect()
+    assert r0.trimmed_mean_x == (sum(base) + 10**9) // 100
+    assert r0.winsor_mean_x == r0.trimmed_mean_x
+    ten = spark.createDataFrame([("g", i) for i in range(10)],
+                                "g string, v long")
+    # LB = floor(10*.6)+1 = 7 > UB = 10 - 6 = 4 -> over-trimmed
+    assert trimmed_stats(ten, "v", group_col="g", trim_lo_x1000=600,
+                         trim_hi_x1000=600).count() == 0
+    with pytest.raises(ValueError, match="trim_lo"):
+        trimmed_stats(df, "v", trim_lo_x1000=1000)
+
+
+def test_trimmed_stats_plan_reduced_frame(spark):
+    rows = [("g", i % 40) for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    from cascading_flink_spark.extensions import trimmed_stats
+    plan = _plan(trimmed_stats(df, "v", group_col="g"))
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") == 2  # corpus pass + reduced window

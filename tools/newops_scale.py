@@ -104,6 +104,8 @@ def main() -> None:
         "rbo": ["n_common", "rbo_x"],
         "concentration": ["hhi_x1e6", "cr4_x1e6"],
         "eccentricity": ["n_reached", "ecc"],
+        "trimmed_stats": ["trimmed_mean_x", "winsor_mean_x"],
+        "lang_confusion": ["f1_x1e6"],
     }
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     if only:
