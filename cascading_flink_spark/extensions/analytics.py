@@ -1046,10 +1046,14 @@ def signal_corr(df: DataFrame, x_col: str, y_col: str,
     the reduced frame) are exact DECIMAL(38,0) integers; rho is
     computed in doubles from those exact components and rounded to
     4dp at the OUTPUT only (the house float recipe).  Headroom: the
-    Spearman products are O(4*n^3) per group — exact to n ~ 2.9e11
-    rows per group inside DECIMAL(38,0); Pearson's are
-    O(n * max|x*y|^2) — keep quantized magnitudes within ~1e9 for
-    trillion-row groups.  Groups where either signal is CONSTANT have
+    binding term is the FINAL covariance numerator ``n*Sxy - Sx*Sy``
+    — O(4*n^4) for Spearman's 2x-ranks, so the rank path is exact to
+    ~7e8 rows per GROUP inside DECIMAL(38,0)/HUGEINT (an eval-sized
+    bound; sample or shard beyond it); every Pearson term is bounded
+    by ``(n*max|x|) * (n*max|y|)``, so keep ``n * max|signal|``
+    under ~3e18 per group (quantize coarser or sample when the
+    corpus pushes past it).  Groups where either signal is CONSTANT
+    have
     undefined rho and are EXCLUDED (the one-class AUC convention).
     NULL in either signal drops the row (documented).
 

@@ -253,3 +253,115 @@ def test_dup_substring_spans_validates(spark):
         dup_substring_spans(df, min_len=1)
     with pytest.raises(ValueError, match="min_count"):
         dup_substring_spans(df, min_count=1)
+
+
+# ---------------------- round-12 eval family: hypothesis model pins
+
+
+_scored_strategy = st.lists(
+    st.tuples(st.sampled_from(["g1", "g2"]),
+              st.integers(0, 30),          # quantized score
+              st.integers(0, 1)),          # label
+    min_size=1, max_size=60)
+
+
+@given(data=_scored_strategy)
+@settings(max_examples=25, deadline=None)
+def test_pr_threshold_stats_matches_direct_model(spark, data):
+    """pr_threshold_stats == the definition (sort distinct scores
+    descending, cumulate, one truncating DIV per metric) on arbitrary
+    tiny frames — including all-tie, all-one-class and single-row
+    corpora."""
+    from collections import defaultdict
+    from cascading_flink_spark.extensions import pr_threshold_stats
+    df = spark.createDataFrame(data, "g string, s long, label int")
+    got = {(r.g, r.threshold): (r.tp, r.fp, r.fn, r.precision_x1e6,
+                                r.recall_x1e6, r.f1_x1e6)
+           for r in pr_threshold_stats(df, "s", "label",
+                                       group_col="g").collect()}
+    cnt = defaultdict(lambda: [0, 0])
+    for g, s, l in data:
+        cnt[(g, s)][0] += l
+        cnt[(g, s)][1] += 1 - l
+    per_g = defaultdict(list)
+    for (g, s), (p, q) in cnt.items():
+        per_g[g].append((s, p, q))
+    expect = {}
+    for g, lst in per_g.items():
+        lst.sort(key=lambda t: -t[0])
+        tot = sum(p for _s, p, _q in lst)
+        if not tot:
+            continue
+        tp = fp = 0
+        for s, p, q in lst:
+            tp, fp = tp + p, fp + q
+            expect[(g, s)] = (tp, fp, tot - tp,
+                              tp * 10**6 // (tp + fp),
+                              tp * 10**6 // tot,
+                              2 * tp * 10**6 // (tp + fp + tot))
+    assert got == expect
+
+
+_vote_strategy = st.lists(
+    st.tuples(st.integers(0, 6),
+              st.one_of(st.none(), st.sampled_from(list("pqr")))),
+    min_size=1, max_size=60)
+
+
+@given(data=_vote_strategy)
+@settings(max_examples=25, deadline=None)
+def test_label_agreement_matches_direct_model(spark, data):
+    """label_agreement == the definition (NULL votes out, majority by
+    (count DESC, label ASC)) on arbitrary tiny vote tables —
+    including all-NULL items, unanimous items and full ties."""
+    from collections import defaultdict
+    from cascading_flink_spark.extensions import label_agreement
+    df = spark.createDataFrame(data, "item long, lab string")
+    got = {r.item: (r.n_votes, r.n_labels, r.majority_label,
+                    r.majority_n, r.agreement_x1e6)
+           for r in label_agreement(df, "item", "lab").collect()}
+    cnt = defaultdict(lambda: defaultdict(int))
+    for item, lab in data:
+        if lab is not None:
+            cnt[item][lab] += 1
+    expect = {}
+    for item, labs in cnt.items():
+        n = sum(labs.values())
+        maj, mn = sorted(labs.items(), key=lambda t: (-t[1], t[0]))[0]
+        expect[item] = (n, len(labs), maj, mn, mn * 10**6 // n)
+    assert got == expect
+
+
+_value_strategy = st.lists(st.integers(-50, 50), min_size=1,
+                           max_size=80)
+
+
+@given(vals=_value_strategy, lo=st.integers(0, 400),
+       hi=st.integers(0, 400))
+@settings(max_examples=25, deadline=None)
+def test_trimmed_stats_matches_direct_model(spark, vals, lo, hi):
+    """trimmed_stats' interval-overlap spelling == sort-and-slice on
+    arbitrary values (negative values, dense ties, over-trim)."""
+    from cascading_flink_spark.extensions import trimmed_stats
+    df = spark.createDataFrame([("g", v) for v in vals],
+                               "g string, v long")
+    rows = trimmed_stats(df, "v", group_col="g", trim_lo_x1000=lo,
+                         trim_hi_x1000=hi).collect()
+    s = sorted(vals)
+    n = len(s)
+    LB, UB = n * lo // 1000 + 1, n - n * hi // 1000
+    if LB > UB:
+        assert rows == []
+        return
+    kept = s[LB - 1:UB]
+    ksum, lo_cut, hi_cut = sum(kept), s[LB - 1], s[UB - 1]
+    [r] = rows
+    # Python // floors while the engines' DIV truncates toward zero —
+    # match on the exact rational instead of reimplementing trunc
+    import math
+    trunc = lambda a, b: int(math.trunc(a / b)) if a % b else a // b
+    assert (r.n, r.n_kept, r.lo_cut, r.hi_cut) == (n, len(kept),
+                                                   lo_cut, hi_cut)
+    assert r.trimmed_mean_x == trunc(ksum, len(kept))
+    assert r.winsor_mean_x == trunc(
+        ksum + lo_cut * (LB - 1) + hi_cut * (n - UB), n)
