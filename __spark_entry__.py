@@ -1944,6 +1944,30 @@ def q_classifier_auc_quantized(spark, sf_dir):
                           quantize_x=100)
 
 
+def q_cohen_kappa(spark, sf_dir):
+    """Per-source Cohen's kappa between two deterministic noisy
+    'judges' of the lang column (right 80% / 5-of-7 of the time,
+    else rotating by doc_id) — chance-corrected agreement cleared to
+    one exact truncating division; both raters constant -> excluded."""
+    from cascading_flink_spark.extensions import cohen_kappa
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                 "source")
+    langs = F.array(*[F.lit(x) for x in
+                      ("en", "de", "fr", "es", "zh")])
+    d = (docs
+         .withColumn("judge_a",
+                     F.when(F.col("doc_id") % 10 < 8, F.col("lang"))
+                      .otherwise(F.element_at(
+                          langs, (F.col("doc_id") % 5 + 1)
+                          .cast("int"))))
+         .withColumn("judge_b",
+                     F.when(F.col("doc_id") % 7 < 5, F.col("lang"))
+                      .otherwise(F.element_at(
+                          langs, ((F.col("doc_id") + 2) % 5 + 1)
+                          .cast("int")))))
+    return cohen_kappa(d, "judge_a", "judge_b", group_col="source")
+
+
 def q_trimmed_stats(spark, sf_dir):
     """Per-language 5%-trimmed and winsorized mean of n_chars — the
     interval-overlap spelling: kept multiplicity per DISTINCT value
@@ -3888,6 +3912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 13 ---
         "lang_confusion": q_lang_confusion,
         "trimmed_stats": q_trimmed_stats,
+        "judge_kappa": q_cohen_kappa,
         "cluster_split": q_cluster_split,
         "dedup_keep_best": q_dedup_keep_best,
         "minhash_recall": q_minhash_recall,
@@ -5510,6 +5535,37 @@ def oracle_sql() -> dict[str, str]:
         "mmr": _mmr_oracle(k=6, lam=700),
         "rbo": _rbo_oracle(k=10, p_x1000=900),
         "eccentricity": _eccentricity_oracle(seeds=[0, 1, 2], hops=6),
+        "judge_kappa": """
+            WITH d AS (SELECT source,
+                              CASE WHEN doc_id % 10 < 8 THEN lang
+                              ELSE (['en','de','fr','es','zh'])
+                                   [(doc_id % 5) + 1] END AS a,
+                              CASE WHEN doc_id % 7 < 5 THEN lang
+                              ELSE (['en','de','fr','es','zh'])
+                                   [((doc_id + 2) % 5) + 1] END AS b
+                       FROM documents),
+            c AS (SELECT source, a, b, count(*)::BIGINT AS c
+                  FROM d GROUP BY 1, 2, 3),
+            rm AS (SELECT source, a AS l, sum(c)::BIGINT AS ra
+                   FROM c GROUP BY 1, 2),
+            cm AS (SELECT source, b AS l, sum(c)::BIGINT AS rb
+                   FROM c GROUP BY 1, 2),
+            pe AS (SELECT rm.source, sum(ra::HUGEINT * rb) AS P
+                   FROM rm JOIN cm ON rm.source = cm.source
+                                  AND rm.l = cm.l
+                   GROUP BY 1),
+            t AS (SELECT source, sum(c)::BIGINT AS n,
+                         sum(CASE WHEN a = b THEN c ELSE 0
+                             END)::BIGINT AS D
+                  FROM c GROUP BY 1)
+            SELECT t.source, n,
+                   (D::HUGEINT * 1000000 // n)::BIGINT AS po_x,
+                   (P * 1000000 // (n::HUGEINT * n))::BIGINT AS pe_x,
+                   ((n::HUGEINT * D - P) * 1000000
+                    // (n::HUGEINT * n - P))::BIGINT AS kappa_x
+            FROM t JOIN pe ON t.source = pe.source
+            WHERE n::HUGEINT * n <> P
+        """,
         "trimmed_stats": """
             WITH c AS (SELECT lang, n_chars AS v, count(*)::BIGINT AS c
                        FROM documents WHERE n_chars IS NOT NULL

@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "eccentricity",
     "lang_confusion",
     "trimmed_stats",
+    "judge_kappa",
     # round 11
     "connected_components_fast",
     "rrf_hybrid3",

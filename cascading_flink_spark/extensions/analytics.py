@@ -1318,3 +1318,67 @@ def trimmed_stats(df: DataFrame, value_col: str,
                            "+ CAST(hi_cut AS DECIMAL(38,0)) "
                            "* (n - __UB)) DIV n").cast("long")
                      .alias("winsor_mean_x")))
+
+
+def cohen_kappa(df: DataFrame, rater_a_col: str, rater_b_col: str,
+                group_col: str | None = None,
+                scale: int = 1_000_000) -> DataFrame:
+    """Cohen's kappa between two raters/judges over a labeled table,
+    per group or globally: ``(group?, n, po_x, pe_x, kappa_x)`` —
+    chance-corrected agreement, the standard "are two annotators (or
+    an LLM judge vs the human gold) agreeing beyond luck" gate that
+    raw agreement (:func:`label_agreement`) overstates whenever one
+    label dominates.
+
+    Exact integer recipe: ``kappa = (po - pe) / (1 - pe)`` clears
+    denominators to ``kappa_x = (n*D - P) * scale DIV (n*n - P)``
+    where ``D = sum of diagonal counts`` and ``P = sum over labels of
+    rowmarginal*colmarginal`` — every term an exact integer off the
+    per-(group, a, b) reduced frame (one corpus-pass partial agg, the
+    classifier_auc contract: bounded by the label alphabet, not
+    rows); ``po_x``/``pe_x`` are reported alongside as their own
+    single truncating divisions.  Negative kappa (worse than chance)
+    comes out naturally — both engines' integer division truncates
+    toward zero, verified.  Groups with ``n*n == P`` (both raters
+    constant — kappa undefined) are EXCLUDED, the one-class
+    convention; a NULL from either rater drops the row (an
+    abstention is not a rating).  DECIMAL(38,0) intermediates (the
+    marginal products are O(n^2): exact to ~5e15 rows per group).
+
+    Scale shape: one corpus-pass partial-agg groupBy; two marginal
+    rollups + one equi-join + one rollup on the alphabet-bounded
+    frame.  No windows over raw rows, no driver pulls."""
+    if int(scale) < 1:
+        raise ValueError("cohen_kappa: scale must be >= 1")
+    g = [group_col] if group_col is not None else []
+    c = (df.filter(F.col(rater_a_col).isNotNull()
+                   & F.col(rater_b_col).isNotNull())
+         .groupBy(*g, F.col(rater_a_col).alias("__a"),
+                  F.col(rater_b_col).alias("__b"))
+         .agg(F.count(F.lit(1)).cast("long").alias("__c")))
+    c = c.localCheckpoint(eager=False)
+    rowm = (c.groupBy(*g, F.col("__a").alias("__l"))
+            .agg(F.sum("__c").cast("long").alias("__ra")))
+    colm = (c.groupBy(*g, F.col("__b").alias("__l"))
+            .agg(F.sum("__c").cast("long").alias("__rb")))
+    pe = (rowm.join(colm, [*g, "__l"])
+          .groupBy(*g)
+          .agg(F.sum(F.col("__ra").cast("decimal(38,0)")
+                     * F.col("__rb")).alias("__P")))
+    tot = (c.groupBy(*g)
+           .agg(F.sum("__c").cast("long").alias("n"),
+                F.sum(F.when(F.col("__a") == F.col("__b"),
+                             F.col("__c")).otherwise(0))
+                 .cast("long").alias("__D")))
+    return (tot.join(pe, g) if g else tot.crossJoin(pe)) \
+        .filter(F.expr("CAST(n AS DECIMAL(38,0)) * n") != F.col("__P")) \
+        .select(*g, "n",
+                F.expr(f"CAST(__D AS DECIMAL(38,0)) * {int(scale)} "
+                       "DIV n").cast("long").alias("po_x"),
+                F.expr(f"__P * {int(scale)} DIV "
+                       "(CAST(n AS DECIMAL(38,0)) * n)")
+                 .cast("long").alias("pe_x"),
+                F.expr(f"(CAST(n AS DECIMAL(38,0)) * __D - __P) "
+                       f"* {int(scale)} DIV "
+                       "(CAST(n AS DECIMAL(38,0)) * n - __P)")
+                 .cast("long").alias("kappa_x"))

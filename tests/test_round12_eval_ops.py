@@ -943,3 +943,66 @@ def test_trimmed_stats_plan_reduced_frame(spark):
     plan = _plan(trimmed_stats(df, "v", group_col="g"))
     assert "EvalPython" not in plan
     assert plan.count("Exchange") == 2  # corpus pass + reduced window
+
+
+# -------------------------------------------------------- cohen_kappa
+
+
+def _kappa_model(pairs, scale=SCALE):
+    from collections import Counter
+    cnt = Counter(p for p in pairs if None not in p)
+    n = sum(cnt.values())
+    D = sum(c for (a, b), c in cnt.items() if a == b)
+    rowm, colm = Counter(), Counter()
+    for (a, b), c in cnt.items():
+        rowm[a] += c
+        colm[b] += c
+    P = sum(rowm[l] * colm[l] for l in set(rowm) | set(colm))
+    if n * n == P:
+        return None
+    trunc = lambda a, b: -((-a) // b) if (a < 0) != (b < 0) else a // b
+    return (n, D * scale // n, P * scale // (n * n),
+            trunc((n * D - P) * scale, n * n - P))
+
+
+def test_cohen_kappa_pins_python_model(spark):
+    rng = random.Random(140)
+    labs = ["x", "y", "z"]
+    pairs = [(labs[rng.randrange(3)], labs[rng.randrange(3)])
+             for _ in range(500)]
+    pairs += [(None, "x"), ("y", None)]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    from cascading_flink_spark.extensions import cohen_kappa
+    [r] = cohen_kappa(df, "a", "b").collect()
+    assert (r.n, r.po_x, r.pe_x, r.kappa_x) == _kappa_model(pairs)
+
+
+def test_cohen_kappa_extremes(spark):
+    """Perfect agreement -> kappa 1e6; independent-looking balanced
+    disagreement can go NEGATIVE (worse than chance, trunc toward
+    zero); both-raters-constant is excluded."""
+    perfect = spark.createDataFrame([("x", "x"), ("y", "y")] * 10,
+                                    "a string, b string")
+    from cascading_flink_spark.extensions import cohen_kappa
+    [p] = cohen_kappa(perfect, "a", "b").collect()
+    assert p.kappa_x == SCALE
+    anti = spark.createDataFrame([("x", "y"), ("y", "x")] * 10,
+                                 "a string, b string")
+    [a] = cohen_kappa(anti, "a", "b").collect()
+    assert a.kappa_x == -SCALE
+    const = spark.createDataFrame([("x", "x")] * 5,
+                                  "a string, b string")
+    assert cohen_kappa(const, "a", "b").count() == 0
+    with pytest.raises(ValueError, match="scale"):
+        cohen_kappa(perfect, "a", "b", scale=0)
+
+
+def test_cohen_kappa_grouped_plan(spark):
+    rows = [("g1", "x", "x"), ("g1", "x", "y"), ("g2", "y", "y"),
+            ("g2", "x", "y")]
+    df = spark.createDataFrame(rows, "g string, a string, b string")
+    from cascading_flink_spark.extensions import cohen_kappa
+    out = cohen_kappa(df, "a", "b", group_col="g")
+    assert {r.g for r in out.collect()} == {"g1", "g2"}
+    plan = _plan(out)
+    assert "EvalPython" not in plan and "Cartesian" not in plan
