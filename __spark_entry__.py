@@ -1944,6 +1944,17 @@ def q_classifier_auc_quantized(spark, sf_dir):
                           quantize_x=100)
 
 
+def q_average_precision(spark, sf_dir):
+    """Per-language step-AP of n_chars vs the doc_id%5<2 label — the
+    PR-curve summary over the classifier_auc reduced frame: one
+    truncated precision term per distinct score, one final DIV P."""
+    from cascading_flink_spark.extensions import average_precision
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                 "n_chars")
+    d = docs.withColumn("label", (F.col("doc_id") % 5 < 2).cast("int"))
+    return average_precision(d, "n_chars", "label", group_col="lang")
+
+
 def q_cohen_kappa(spark, sf_dir):
     """Per-source Cohen's kappa between two deterministic noisy
     'judges' of the lang column (right 80% / 5-of-7 of the time,
@@ -3913,6 +3924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_confusion": q_lang_confusion,
         "trimmed_stats": q_trimmed_stats,
         "judge_kappa": q_cohen_kappa,
+        "avg_precision": q_average_precision,
         "cluster_split": q_cluster_split,
         "dedup_keep_best": q_dedup_keep_best,
         "minhash_recall": q_minhash_recall,
@@ -5535,6 +5547,31 @@ def oracle_sql() -> dict[str, str]:
         "mmr": _mmr_oracle(k=6, lam=700),
         "rbo": _rbo_oracle(k=10, p_x1000=900),
         "eccentricity": _eccentricity_oracle(seeds=[0, 1, 2], hops=6),
+        "avg_precision": """
+            WITH d AS (SELECT lang, n_chars AS s,
+                              CASE WHEN doc_id % 5 < 2 THEN 1 ELSE 0
+                              END AS l
+                       FROM documents),
+            c AS (SELECT lang, s, sum(l)::BIGINT AS p,
+                         sum(1 - l)::BIGINT AS q
+                  FROM d GROUP BY 1, 2),
+            cc AS (SELECT lang, s, p, q,
+                          sum(p) OVER (PARTITION BY lang ORDER BY s DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)::BIGINT AS tp,
+                          sum(q) OVER (PARTITION BY lang ORDER BY s DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)::BIGINT AS fp
+                   FROM c),
+            t AS (SELECT lang, sum(p)::BIGINT AS n_pos,
+                         sum(q)::BIGINT AS n_neg,
+                         sum(p::HUGEINT * tp * 1000000
+                             // (tp + fp)) AS apnum
+                  FROM cc GROUP BY 1)
+            SELECT lang, n_pos, n_neg,
+                   (apnum // n_pos)::BIGINT AS ap_x
+            FROM t WHERE n_pos > 0 AND n_neg > 0
+        """,
         "judge_kappa": """
             WITH d AS (SELECT source,
                               CASE WHEN doc_id % 10 < 8 THEN lang

@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "lang_confusion",
     "trimmed_stats",
     "judge_kappa",
+    "avg_precision",
     # round 11
     "connected_components_fast",
     "rrf_hybrid3",

@@ -80,7 +80,8 @@ from .corpus import (bigram_lm_scores, bm25_multi_scores, bm25_scores,
                      inverted_index,
                      ngram_counts, oov_stats, repetition_stats,
                      tfidf_topterms, unigram_commonness)
-from .analytics import (calibration_report, calibration_summary,
+from .analytics import (average_precision,
+                        calibration_report, calibration_summary,
                         cohen_kappa,
                         cardinality_report, classifier_auc,
                         concentration_report, confusion_report,

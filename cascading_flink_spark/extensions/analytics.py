@@ -1382,3 +1382,60 @@ def cohen_kappa(df: DataFrame, rater_a_col: str, rater_b_col: str,
                        f"* {int(scale)} DIV "
                        "(CAST(n AS DECIMAL(38,0)) * n - __P)")
                  .cast("long").alias("kappa_x"))
+
+
+def average_precision(df: DataFrame, score_col: str, label_col: str,
+                      group_col: str | None = None,
+                      quantize_x: int | None = None,
+                      scale: int = 1_000_000) -> DataFrame:
+    """Average precision (area under the PR curve, step
+    interpolation) per group or globally: ``(group?, n_pos, n_neg,
+    ap_x)`` — THE single-number ranking summary for imbalanced
+    classes, where ROC-AUC (:func:`classifier_auc`) is inflated by
+    the easy negatives.
+
+    Step-AP over the distinct-score sweep: ``AP = sum over
+    thresholds t of (tp_t - tp_prev) * precision_t / P`` — each term
+    computed as ``delta_tp * tp * scale DIV (tp + fp)`` (exact longs,
+    ONE truncation per distinct score, deterministic and spelled
+    identically on both engines — documented as the quantized-sweep
+    estimator: ties share one threshold row exactly like
+    :func:`pr_threshold_stats`), then one final ``DIV P``.  The
+    reduced frame, the ``quantize_x`` contract for continuous
+    scores, the 0/1 label validation and the one-class exclusion are
+    all shared with classifier_auc/pr_threshold_stats.  DECIMAL(38,0)
+    intermediates.
+
+    Scale shape: one corpus-pass partial-agg groupBy, one cumulative
+    window over the reduced frame, one rollup.  No joins, no driver
+    pulls."""
+    if quantize_x is None:
+        score = F.col(score_col)
+    else:
+        if int(quantize_x) < 1:
+            raise ValueError("average_precision: quantize_x must "
+                             "be >= 1")
+        score = F.round(F.col(score_col).cast("double")
+                        * int(quantize_x)).cast("long")
+    if int(scale) < 1:
+        raise ValueError("average_precision: scale must be >= 1")
+    g = [group_col] if group_col is not None else []
+    c = (df.select(*g, score.alias("__s"),
+                   _binary_label(label_col).alias("__l"))
+         .groupBy(*g, "__s")
+         .agg(F.sum("__l").cast("long").alias("__p"),
+              F.sum(1 - F.col("__l")).cast("long").alias("__q")))
+    wcum = (Window.partitionBy(*g).orderBy(F.desc("__s"))
+            .rowsBetween(Window.unboundedPreceding, 0))
+    c = (c.withColumn("tp", F.sum("__p").over(wcum).cast("long"))
+          .withColumn("fp", F.sum("__q").over(wcum).cast("long")))
+    term = F.expr(f"CAST(__p AS DECIMAL(38,0)) * tp * {int(scale)} "
+                  "DIV (tp + fp)")
+    out = (c.groupBy(*g)
+           .agg(F.sum("__p").cast("long").alias("n_pos"),
+                F.sum("__q").cast("long").alias("n_neg"),
+                F.sum(term).alias("__apnum")))
+    return (out.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+            .select(*g, "n_pos", "n_neg",
+                    F.expr("__apnum DIV n_pos").cast("long")
+                     .alias("ap_x")))

@@ -1006,3 +1006,69 @@ def test_cohen_kappa_grouped_plan(spark):
     assert {r.g for r in out.collect()} == {"g1", "g2"}
     plan = _plan(out)
     assert "EvalPython" not in plan and "Cartesian" not in plan
+
+
+# --------------------------------------------------- average_precision
+
+
+def _ap_model(rows, scale=SCALE):
+    """rows: (g, s, l) — the quantized-sweep step AP with per-term
+    truncation, the operator's documented estimator."""
+    from collections import defaultdict
+    cnt = defaultdict(lambda: [0, 0])
+    for g, s, l in rows:
+        cnt[(g, s)][0] += l
+        cnt[(g, s)][1] += 1 - l
+    per_g = defaultdict(list)
+    for (g, s), (p, q) in cnt.items():
+        per_g[g].append((s, p, q))
+    out = {}
+    for g, lst in per_g.items():
+        lst.sort(key=lambda t: -t[0])
+        P = sum(p for _s, p, _q in lst)
+        N = sum(q for _s, _p, q in lst)
+        if not P or not N:
+            continue
+        tp = fp = num = 0
+        for _s, p, q in lst:
+            tp, fp = tp + p, fp + q
+            num += p * tp * scale // (tp + fp)
+        out[g] = (P, N, num // P)
+    return out
+
+
+def test_average_precision_pins_python_model(spark):
+    rng = random.Random(141)
+    rows = [(["en", "de"][rng.randrange(2)], rng.randrange(30),
+             rng.randrange(2)) for _ in range(600)]
+    rows += [("zz", 3, 1), ("zz", 5, 1)]  # one-class -> excluded
+    df = spark.createDataFrame(rows, "g string, s long, label int")
+    from cascading_flink_spark.extensions import average_precision
+    got = {r.g: (r.n_pos, r.n_neg, r.ap_x)
+           for r in average_precision(df, "s", "label",
+                                      group_col="g").collect()}
+    assert got == _ap_model(rows)
+    assert "zz" not in got
+
+
+def test_average_precision_ranking_extremes(spark):
+    """A perfect ranking (all positives above all negatives) scores
+    exactly 1e6; a perfectly inverted one scores the known worst-case
+    step value; quantize_x path == pre-quantized."""
+    perfect = [("g", 100 + i, 1) for i in range(10)] + \
+              [("g", i, 0) for i in range(10)]
+    df = spark.createDataFrame(perfect, "g string, s long, label int")
+    from cascading_flink_spark.extensions import average_precision
+    [r] = average_precision(df, "s", "label", group_col="g").collect()
+    assert r.ap_x == SCALE
+    inv = [("g", i, 1) for i in range(10)] + \
+          [("g", 100 + i, 0) for i in range(10)]
+    di = spark.createDataFrame(inv, "g string, s long, label int")
+    [ri] = average_precision(di, "s", "label", group_col="g").collect()
+    assert ri.ap_x == _ap_model(inv)["g"][2] and ri.ap_x < SCALE // 2
+    dq = df.withColumn("raw", F.col("s") / F.lit(4.0))
+    [rq] = average_precision(dq, "raw", "label", group_col="g",
+                             quantize_x=4).collect()
+    assert rq.ap_x == r.ap_x
+    with pytest.raises(ValueError, match="quantize_x"):
+        average_precision(df, "s", "label", quantize_x=0)

@@ -107,6 +107,7 @@ def main() -> None:
         "trimmed_stats": ["trimmed_mean_x", "winsor_mean_x"],
         "lang_confusion": ["f1_x1e6"],
         "judge_kappa": ["kappa_x"],
+        "avg_precision": ["ap_x"],
     }
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     if only:
