@@ -1944,6 +1944,19 @@ def q_classifier_auc_quantized(spark, sf_dir):
                           quantize_x=100)
 
 
+def q_ks_drift(spark, sf_dir):
+    """Per-language two-sample KS of the n_chars distribution between
+    the even- and odd-doc_id halves of the corpus: the sup-distance
+    is the exact integer max |ca*n_b - cb*n_a| over the merged
+    distinct-value axis, one truncating DIV at the output."""
+    from cascading_flink_spark.extensions import ks_statistic
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                 "n_chars")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    return ks_statistic(a, b, "n_chars", group_col="lang")
+
+
 def q_average_precision(spark, sf_dir):
     """Per-language step-AP of n_chars vs the doc_id%5<2 label — the
     PR-curve summary over the classifier_auc reduced frame: one
@@ -3925,6 +3938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trimmed_stats": q_trimmed_stats,
         "judge_kappa": q_cohen_kappa,
         "avg_precision": q_average_precision,
+        "ks_drift": q_ks_drift,
         "cluster_split": q_cluster_split,
         "dedup_keep_best": q_dedup_keep_best,
         "minhash_recall": q_minhash_recall,
@@ -5547,6 +5561,42 @@ def oracle_sql() -> dict[str, str]:
         "mmr": _mmr_oracle(k=6, lam=700),
         "rbo": _rbo_oracle(k=10, p_x1000=900),
         "eccentricity": _eccentricity_oracle(seeds=[0, 1, 2], hops=6),
+        "ks_drift": """
+            WITH a AS (SELECT lang, n_chars AS v, count(*)::BIGINT AS c
+                       FROM documents
+                       WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+                       GROUP BY 1, 2),
+            b AS (SELECT lang, n_chars AS v, count(*)::BIGINT AS c
+                  FROM documents
+                  WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
+                  GROUP BY 1, 2),
+            m AS (SELECT coalesce(a.lang, b.lang) AS lang,
+                         coalesce(a.v, b.v) AS v,
+                         coalesce(a.c, 0)::BIGINT AS ca,
+                         coalesce(b.c, 0)::BIGINT AS cb
+                  FROM a FULL OUTER JOIN b
+                    ON a.lang = b.lang AND a.v = b.v),
+            w AS (SELECT lang, v,
+                         sum(ca) OVER (PARTITION BY lang ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)::BIGINT AS cuma,
+                         sum(cb) OVER (PARTITION BY lang ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)::BIGINT AS cumb,
+                         sum(ca) OVER (PARTITION BY lang)::BIGINT AS na,
+                         sum(cb) OVER (PARTITION BY lang)::BIGINT AS nb
+                  FROM m),
+            t AS (SELECT lang, max(na)::BIGINT AS n_a,
+                         max(nb)::BIGINT AS n_b,
+                         max(abs(cuma::HUGEINT * nb
+                                 - cumb::HUGEINT * na)) AS num
+                  FROM w WHERE na > 0 AND nb > 0
+                  GROUP BY 1)
+            SELECT lang, n_a, n_b,
+                   (num * 1000000 // (n_a::HUGEINT * n_b))::BIGINT
+                       AS ks_x
+            FROM t
+        """,
         "avg_precision": """
             WITH d AS (SELECT lang, n_chars AS s,
                               CASE WHEN doc_id % 5 < 2 THEN 1 ELSE 0

@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "trimmed_stats",
     "judge_kappa",
     "avg_precision",
+    "ks_drift",
     # round 11
     "connected_components_fast",
     "rrf_hybrid3",

@@ -87,6 +87,7 @@ from .analytics import (average_precision,
                         concentration_report, confusion_report,
                         cohort_retention,
                         event_funnel, group_quantiles,
+                        ks_statistic,
                         label_agreement, pr_threshold_stats,
                         group_quantiles_binned, heavy_hitters, hot_keys,
                         rolling_stats, session_funnel, session_stats,

@@ -1439,3 +1439,79 @@ def average_precision(df: DataFrame, score_col: str, label_col: str,
             .select(*g, "n_pos", "n_neg",
                     F.expr("__apnum DIV n_pos").cast("long")
                      .alias("ap_x")))
+
+
+def ks_statistic(df_a: DataFrame, df_b: DataFrame, value_col: str,
+                 group_col: str | None = None,
+                 quantize_x: int | None = None,
+                 scale: int = 1_000_000) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between two slices'
+    value distributions, per group or globally: ``(group?, n_a, n_b,
+    ks_x)`` with ``ks_x = max over values of |cdf_a - cdf_b| *
+    scale`` — the continuous-score drift gate next to
+    :func:`~cascading_flink_spark.extensions.corpus.corpus_drift`'s
+    categorical total-variation (did this month's crawl shift the
+    length/quality-score distribution per language?).
+
+    Exact integer recipe: both sides reduce to per-(group, distinct
+    value) counts (one partial agg each — the classifier_auc frame;
+    ``quantize_x`` buckets raw doubles in-plan, same contract);
+    cumulative counts ``ca, cb`` over the MERGED value axis make the
+    sup-distance ``max |ca*n_b - cb*n_a|`` an exact integer — one
+    cumulative window over the merged reduced frame, one max rollup,
+    and ``ks_x`` is one truncating DIV by ``n_a*n_b``
+    (DECIMAL(38,0) intermediates: exact to ~1e12 rows per side per
+    group).  Groups present in only ONE side are EXCLUDED (KS
+    undefined against an empty sample — the one-class convention).
+    NULL values drop their row.
+
+    Scale shape: two corpus-pass partial aggs, one union, one
+    re-agg onto (group, value), one cumulative window + rollup on
+    the quantization-bounded frame.  No joins, no driver pulls."""
+    if int(scale) < 1:
+        raise ValueError("ks_statistic: scale must be >= 1")
+    if quantize_x is not None and int(quantize_x) < 1:
+        raise ValueError("ks_statistic: quantize_x must be >= 1")
+
+    def _counts(df, side):
+        v = (F.col(value_col) if quantize_x is None
+             else F.round(F.col(value_col).cast("double")
+                          * int(quantize_x)).cast("long"))
+        g = [group_col] if group_col is not None else []
+        return (df.filter(F.col(value_col).isNotNull())
+                .select(*g, v.alias("__v"))
+                .groupBy(*g, "__v")
+                .agg(F.count(F.lit(1)).cast("long").alias(side)))
+    g = [group_col] if group_col is not None else []
+    merged = (_counts(df_a, "__ca0")
+              .unionByName(_counts(df_b, "__cb0")
+                           .withColumnRenamed("__cb0", "__ca0")
+                           .withColumn("__side", F.lit(1)),
+                           allowMissingColumns=True)
+              .withColumn("__side", F.coalesce("__side", F.lit(0))))
+    c = (merged.groupBy(*g, "__v")
+         .agg(F.sum(F.when(F.col("__side") == 0, F.col("__ca0"))
+                    .otherwise(0)).cast("long").alias("__a"),
+              F.sum(F.when(F.col("__side") == 1, F.col("__ca0"))
+                    .otherwise(0)).cast("long").alias("__b")))
+    wcum = (Window.partitionBy(*g).orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    wall = (Window.partitionBy(*g)
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    c = (c.withColumn("__cuma", F.sum("__a").over(wcum).cast("long"))
+          .withColumn("__cumb", F.sum("__b").over(wcum).cast("long"))
+          .withColumn("n_a", F.sum("__a").over(wall).cast("long"))
+          .withColumn("n_b", F.sum("__b").over(wall).cast("long")))
+    out = (c.filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+           .groupBy(*g)
+           .agg(F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"),
+                F.max(F.expr(
+                    "abs(CAST(__cuma AS DECIMAL(38,0)) * n_b "
+                    "- CAST(__cumb AS DECIMAL(38,0)) * n_a)"))
+                 .alias("__num")))
+    return out.select(
+        *g, "n_a", "n_b",
+        F.expr(f"__num * {int(scale)} DIV "
+               "(CAST(n_a AS DECIMAL(38,0)) * n_b)")
+         .cast("long").alias("ks_x"))

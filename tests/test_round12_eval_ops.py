@@ -1072,3 +1072,67 @@ def test_average_precision_ranking_extremes(spark):
     assert rq.ap_x == r.ap_x
     with pytest.raises(ValueError, match="quantize_x"):
         average_precision(df, "s", "label", quantize_x=0)
+
+
+# -------------------------------------------------------- ks_statistic
+
+
+def _ks_model(va, vb, scale=SCALE):
+    na, nb = len(va), len(vb)
+    vals = sorted(set(va) | set(vb))
+    ca = cb = num = 0
+    sa, sb = sorted(va), sorted(vb)
+    import bisect
+    for v in vals:
+        ca = bisect.bisect_right(sa, v)
+        cb = bisect.bisect_right(sb, v)
+        num = max(num, abs(ca * nb - cb * na))
+    return (na, nb, num * scale // (na * nb))
+
+
+def test_ks_statistic_pins_python_model(spark):
+    rng = random.Random(142)
+    data = {"g1": ([rng.randrange(60) for _ in range(200)],
+                   [rng.randrange(60) + 5 for _ in range(150)]),
+            "g2": ([rng.randrange(30) for _ in range(100)],
+                   [rng.randrange(30) for _ in range(120)])}
+    ra = [(g, v) for g, (va, _vb) in data.items() for v in va]
+    rb = [(g, v) for g, (_va, vb) in data.items() for v in vb]
+    # a one-sided group must vanish
+    ra += [("only_a", 1), ("only_a", 2)]
+    a = spark.createDataFrame(ra, "g string, v long")
+    b = spark.createDataFrame(rb, "g string, v long")
+    from cascading_flink_spark.extensions import ks_statistic
+    got = {r.g: (r.n_a, r.n_b, r.ks_x)
+           for r in ks_statistic(a, b, "v", group_col="g").collect()}
+    assert got == {g: _ks_model(va, vb) for g, (va, vb) in data.items()}
+    assert "only_a" not in got
+
+
+def test_ks_statistic_extremes_and_quantize(spark):
+    """Identical samples -> ks 0; disjoint supports -> exactly 1e6;
+    the quantize path equals pre-quantizing by hand."""
+    same = spark.createDataFrame([("g", i % 7) for i in range(70)],
+                                 "g string, v long")
+    from cascading_flink_spark.extensions import ks_statistic
+    [r0] = ks_statistic(same, same, "v", group_col="g").collect()
+    assert r0.ks_x == 0
+    lo = spark.createDataFrame([("g", i) for i in range(10)],
+                               "g string, v long")
+    hi = spark.createDataFrame([("g", 100 + i) for i in range(15)],
+                               "g string, v long")
+    [r1] = ks_statistic(lo, hi, "v", group_col="g").collect()
+    assert r1.ks_x == SCALE
+    rng = random.Random(143)
+    rows = [("g", rng.randrange(300)) for _ in range(200)]
+    dq = (spark.createDataFrame(rows, "g string, vq long")
+          .withColumn("v", F.col("vq") / F.lit(10.0)))
+    [qa] = ks_statistic(dq.filter(F.col("vq") % 2 == 0),
+                        dq.filter(F.col("vq") % 2 == 1), "v",
+                        group_col="g", quantize_x=10).collect()
+    [qb] = ks_statistic(dq.filter(F.col("vq") % 2 == 0),
+                        dq.filter(F.col("vq") % 2 == 1), "vq",
+                        group_col="g").collect()
+    assert (qa.n_a, qa.n_b, qa.ks_x) == (qb.n_a, qb.n_b, qb.ks_x)
+    with pytest.raises(ValueError, match="quantize_x"):
+        ks_statistic(lo, hi, "v", quantize_x=0)

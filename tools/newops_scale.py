@@ -108,6 +108,7 @@ def main() -> None:
         "lang_confusion": ["f1_x1e6"],
         "judge_kappa": ["kappa_x"],
         "avg_precision": ["ap_x"],
+        "ks_drift": ["ks_x"],
     }
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     if only:
