@@ -19,6 +19,7 @@ from .ops import (
     stream_embedding_gate,
     stream_exact_dedup, stream_media_dedup,
     stream_label_agreement,
+    stream_score_monitor,
     stream_rolling_stats, stream_session_funnel,
     stream_session_transitions, stream_stream_join,
     stream_token_quota,

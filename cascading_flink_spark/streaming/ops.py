@@ -1063,3 +1063,64 @@ def stream_label_agreement(df: DataFrame, item_col: str = "item",
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append",
                                     GroupStateTimeout.NoTimeout))
+
+
+def stream_score_monitor(df: DataFrame, score_col: str,
+                         label_col: str, ts_col: str = "ts",
+                         window: str = "10 minutes",
+                         watermark: str = "30 minutes",
+                         group_col: str | None = None,
+                         scale: int = 1_000_000) -> DataFrame:
+    """Watermarked per-window quality-score drift monitor — the
+    streaming face of ``extensions.analytics.calibration_summary``:
+    for each event-time window (and group) it emits ``(window_start,
+    window_end, group?, n, pos_rate_x, mean_score_x, brier_x)`` —
+    the online "did this hour's crawl shift the classifier's scores
+    or their accuracy" gate, built entirely from ONE streaming
+    groupBy aggregate (bin-level ECE needs a second aggregation
+    level, which Structured Streaming's append mode disallows — the
+    documented trade; run the batch calibration_summary over the
+    sink for the binned view).
+
+    Integer-exact like the batch twin: scores quantize in-plan to
+    ``round(score*scale)`` longs range-validated to [0, scale],
+    labels validated 0/1, ``brier_x = sum((sq - l*scale)^2) DIV
+    (n*scale)`` with DECIMAL(38,0) sums — a window's emitted row is
+    bit-identical to the batch operator run over the same rows.
+    Late data beyond ``watermark`` is dropped (the standard
+    streaming trade)."""
+    if int(scale) < 1:
+        raise ValueError("stream_score_monitor: scale must be >= 1")
+    df = _ensure_event_time(df, ts_col)
+    df = df.withWatermark(ts_col, watermark)
+    lab = F.col(label_col)
+    ok = (F.when((lab == 0) | (lab == 1), lab.cast("long"))
+          .otherwise(F.raise_error(F.lit(
+              "stream_score_monitor: labels must be 0/1"))
+              .cast("long")))
+    sq0 = F.round(F.col(score_col).cast("double") * int(scale)) \
+           .cast("long")
+    sq = (F.when((sq0 >= 0) & (sq0 <= int(scale)), sq0)
+          .otherwise(F.raise_error(F.lit(
+              "stream_score_monitor: score must be a probability "
+              "in [0, 1]")).cast("long")))
+    g = [group_col] if group_col is not None else []
+    d = df.select(F.col(ts_col), *g, sq.alias("__sq"),
+                  ok.alias("__l"))
+    agg = (d.groupBy(F.window(ts_col, window), *g)
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("__l").cast("long").alias("__p"),
+                F.sum(F.col("__sq").cast("decimal(38,0)"))
+                 .alias("__ss"),
+                F.sum(((F.col("__sq") - F.col("__l") * int(scale))
+                       * (F.col("__sq") - F.col("__l")
+                          * int(scale))).cast("decimal(38,0)"))
+                 .alias("__sq2")))
+    return agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"), *g, "n",
+        F.expr(f"CAST(__p AS DECIMAL(38,0)) * {int(scale)} DIV n")
+         .cast("long").alias("pos_rate_x"),
+        F.expr("__ss DIV n").cast("long").alias("mean_score_x"),
+        F.expr(f"__sq2 DIV (CAST(n AS DECIMAL(38,0)) * {int(scale)})")
+         .cast("long").alias("brier_x"))

@@ -1177,3 +1177,55 @@ def test_stream_label_agreement_restart_accumulates(spark, tmp_path):
             b.agreement_x1e6) == (1, 1, "spam", 1_000_000)
     # b got no batch-2 votes: exactly one emitted row ever
     assert len(by_item["b"]) == 1
+
+
+def test_stream_score_monitor_batch_parity(spark, sf_dir, tmp_path):
+    """Each emitted (window, group) row is bit-identical to the batch
+    calibration machinery over the same rows: per-window n/pos_rate/
+    mean/brier recomputed with plain integer Python over the staged
+    events must match exactly."""
+    from cascading_flink_spark.streaming import stream_score_monitor
+    import __spark_entry__ as entry
+
+    ev = (entry._t(spark, sf_dir, "events")
+          .filter(F.col("user_id") < 60)
+          .select("ts", "user_id", "event_type", "value"))
+    # deterministic pseudo-probability + label from stable columns
+    ev = (ev.withColumn("p", (F.col("user_id") * 37 % 1001)
+                        / F.lit(1000.0))
+          .withColumn("label", (F.col("user_id") % 3 == 0)
+                      .cast("int")))
+    src = str(tmp_path / "ssm_in")
+    ev.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = stream_score_monitor(stream, "p", "label", ts_col="ts",
+                               window="1 hour", watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("ssm_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = {(r.window_start, r.n, r.pos_rate_x, r.mean_score_x,
+            r.brier_x)
+           for r in spark.sql("SELECT * FROM ssm_out").collect()}
+
+    import collections
+    SC = 1_000_000
+    acc = collections.defaultdict(lambda: [0, 0, 0, 0])
+    for r in spark.read.parquet(src).collect():
+        sq = round((r.user_id * 37 % 1001) / 1000.0 * SC)
+        l = 1 if r.user_id % 3 == 0 else 0
+        key = r.ts.replace(minute=0, second=0, microsecond=0)
+        a = acc[key]
+        a[0] += 1
+        a[1] += l
+        a[2] += sq
+        a[3] += (sq - l * SC) ** 2
+    expect = {(k, n, p * SC // n, ss // n, s2 // (n * SC))
+              for k, (n, p, ss, s2) in acc.items()}
+    # append mode withholds windows newer than the final watermark;
+    # every EMITTED row must be bit-identical to the batch arithmetic,
+    # and all but the watermark-horizon tail must be emitted
+    assert got and got <= expect
+    assert len(got) >= len(expect) - 3
+    spark.catalog.dropTempView("ssm_out")
