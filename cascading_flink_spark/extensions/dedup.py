@@ -295,6 +295,13 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
                 .filter(F.col("__j") >= threshold)
                 .select("id_a", "id_b", "__j"))
     if collapse_exact:
+        # PIN the representative verdicts BEFORE the member expansion
+        # (the edit_dup_pairs lesson, measured there 141.9s -> 2.8s):
+        # without it Catalyst's projection collapse can inline the
+        # array_intersect verify past the expansion joins and
+        # re-evaluate it once per MEMBER pair whenever the expansion
+        # side broadcasts (no exchange to materialize the projection)
+        verified = verified.localCheckpoint(eager=False)
         # Expand representative verdicts to member pairs, re-oriented
         # least/greatest (jaccard is symmetric; members of different
         # groups can interleave in id order).  Output-bound: only TRUE
@@ -423,6 +430,13 @@ def ngram_containment_pairs(df: DataFrame, n: int = 3,
                 .filter(F.col("__c") >= threshold)
                 .select("id_a", "id_b", "n_common", "__c"))
     if collapse_exact:
+        # PIN the representative verdicts BEFORE the member expansion
+        # (the edit_dup_pairs lesson, measured there 141.9s -> 2.8s):
+        # without it Catalyst's projection collapse can inline the
+        # array_intersect verify past the expansion joins and
+        # re-evaluate it once per MEMBER pair whenever the expansion
+        # side broadcasts (no exchange to materialize the projection)
+        verified = verified.localCheckpoint(eager=False)
         # Expand representative verdicts back to member pairs: the
         # verify cost stays candidate-bound at representative level;
         # these joins only materialize TRUE pairs (output-bound by
@@ -734,6 +748,14 @@ def edit_dup_pairs(df: DataFrame, max_dist: int = 10, n: int = 3,
                 .filter(F.col("edit_dist") >= 0)
                 .select("id_a", "id_b", "edit_dist"))
     if collapse_exact:
+        # PIN the representative verdicts BEFORE the member expansion:
+        # without this, Catalyst's projection collapse inlines the
+        # levenshtein expression past the expansion joins and
+        # re-evaluates it once per MEMBER pair — measured 141.9s vs
+        # 2.8s for the 32x replicate's 254k expanded rows; the pin
+        # keeps the O(len*max_dist) verify at representative
+        # cardinality, which is the whole point of the collapse
+        verified = verified.localCheckpoint(eager=False)
         # cross-group member pairs inherit the representative
         # distance; re-orient least/greatest (members of different
         # groups interleave in id order)
