@@ -788,7 +788,10 @@ def _prob_x(score_col: str, scale: int):
     """round(score * scale) as an exact long, range-validated in-plan
     to [0, scale] — a probability outside [0,1] is a caller bug
     (un-sigmoided logit, wrong column) that must not silently land in
-    the edge bins."""
+    the edge bins.  A NULL score raises too (the NULL comparison
+    falls through to the raise branch): an unscored row in a
+    calibration frame is the same caller bug, not a droppable row —
+    filter upstream if absent scores are expected."""
     sq = F.round(F.col(score_col).cast("double") * int(scale)) \
           .cast("long")
     return (F.when((sq >= 0) & (sq <= int(scale)), sq)
