@@ -1136,3 +1136,26 @@ def test_ks_statistic_extremes_and_quantize(spark):
     assert (qa.n_a, qa.n_b, qa.ks_x) == (qb.n_a, qb.n_b, qb.ks_x)
     with pytest.raises(ValueError, match="quantize_x"):
         ks_statistic(lo, hi, "v", quantize_x=0)
+
+
+def test_collapse_expansion_plans_hide_the_verify_expression(spark):
+    """Regression guard for the round-12 projection-collapse fix: the
+    expansion joins broadcast the small member frames, so nothing
+    downstream materializes the verify projection — without the
+    verified-frame pin, Catalyst inlines levenshtein/array_intersect
+    past the joins and re-evaluates them once per EXPANDED member pair
+    (measured 141.9s vs 2.8s at the 32x replicate).  With the pin the
+    FINAL plan must not contain the verify expression at all: it runs
+    only inside the checkpointed subtree."""
+    base = " ".join(f"tok{i}" for i in range(40))
+    rows = ([(i, base) for i in range(4)]
+            + [(4, base.replace("tok5", "tok5z", 1))]
+            + [(10, "different words entirely " * 10)])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from cascading_flink_spark.extensions import (
+        edit_dup_pairs, ngram_containment_pairs, ngram_jaccard_pairs)
+    assert "levenshtein" not in _plan(edit_dup_pairs(df, max_dist=5))
+    assert "array_intersect" not in _plan(
+        ngram_jaccard_pairs(df, threshold=0.5))
+    assert "array_intersect" not in _plan(
+        ngram_containment_pairs(df, threshold=0.8))
