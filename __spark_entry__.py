@@ -1944,6 +1944,16 @@ def q_classifier_auc_quantized(spark, sf_dir):
                           quantize_x=100)
 
 
+def q_rate_confidence(spark, sf_dir):
+    """Per-language Wilson 95% interval for the doc_id%5<2 positive
+    rate — exact (n, n_pos) longs through ONE identically-spelled
+    IEEE expression tree on both engines, rounded 4dp at output."""
+    from cascading_flink_spark.extensions import rate_confidence
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    d = docs.withColumn("label", (F.col("doc_id") % 5 < 2).cast("int"))
+    return rate_confidence(d, "label", group_col="lang")
+
+
 def q_ks_drift(spark, sf_dir):
     """Per-language two-sample KS of the n_chars distribution between
     the even- and odd-doc_id halves of the corpus: the sup-distance
@@ -3939,6 +3949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "judge_kappa": q_cohen_kappa,
         "avg_precision": q_average_precision,
         "ks_drift": q_ks_drift,
+        "rate_confidence": q_rate_confidence,
         "cluster_split": q_cluster_split,
         "dedup_keep_best": q_dedup_keep_best,
         "minhash_recall": q_minhash_recall,
@@ -5561,6 +5572,45 @@ def oracle_sql() -> dict[str, str]:
         "mmr": _mmr_oracle(k=6, lam=700),
         "rbo": _rbo_oracle(k=10, p_x1000=900),
         "eccentricity": _eccentricity_oracle(seeds=[0, 1, 2], hops=6),
+        "rate_confidence": """
+            WITH t AS (SELECT lang, count(*)::BIGINT AS n,
+                              sum(CASE WHEN doc_id % 5 < 2 THEN 1
+                                  ELSE 0 END)::BIGINT AS n_pos
+                       FROM documents GROUP BY 1)
+            SELECT lang, n, n_pos,
+                   round(CAST(n_pos AS DOUBLE) / n, 4) AS rate,
+                   round(((CAST(n_pos AS DOUBLE) / n
+                           + ((1960 / 1000.0) * (1960 / 1000.0))
+                             / (2.0 * n))
+                          / (1.0 + ((1960 / 1000.0) * (1960 / 1000.0))
+                                   / n))
+                         - ((1960 / 1000.0)
+                            * sqrt(CAST(n_pos AS DOUBLE) / n
+                                   * (1.0 - CAST(n_pos AS DOUBLE) / n)
+                                   / n
+                                   + ((1960 / 1000.0)
+                                      * (1960 / 1000.0))
+                                     / (4.0 * n * n))
+                            / (1.0 + ((1960 / 1000.0)
+                                      * (1960 / 1000.0)) / n)),
+                         4) AS lo,
+                   round(((CAST(n_pos AS DOUBLE) / n
+                           + ((1960 / 1000.0) * (1960 / 1000.0))
+                             / (2.0 * n))
+                          / (1.0 + ((1960 / 1000.0) * (1960 / 1000.0))
+                                   / n))
+                         + ((1960 / 1000.0)
+                            * sqrt(CAST(n_pos AS DOUBLE) / n
+                                   * (1.0 - CAST(n_pos AS DOUBLE) / n)
+                                   / n
+                                   + ((1960 / 1000.0)
+                                      * (1960 / 1000.0))
+                                     / (4.0 * n * n))
+                            / (1.0 + ((1960 / 1000.0)
+                                      * (1960 / 1000.0)) / n)),
+                         4) AS hi
+            FROM t
+        """,
         "ks_drift": """
             WITH a AS (SELECT lang, n_chars AS v, count(*)::BIGINT AS c
                        FROM documents

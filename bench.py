@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "judge_kappa",
     "avg_precision",
     "ks_drift",
+    "rate_confidence",
     # round 11
     "connected_components_fast",
     "rrf_hybrid3",

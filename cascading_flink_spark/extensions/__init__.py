@@ -88,6 +88,7 @@ from .analytics import (average_precision,
                         cohort_retention,
                         event_funnel, group_quantiles,
                         ks_statistic,
+                        rate_confidence,
                         label_agreement, pr_threshold_stats,
                         group_quantiles_binned, heavy_hitters, hot_keys,
                         rolling_stats, session_funnel, session_stats,

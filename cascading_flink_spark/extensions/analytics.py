@@ -1518,3 +1518,47 @@ def ks_statistic(df_a: DataFrame, df_b: DataFrame, value_col: str,
         F.expr(f"__num * {int(scale)} DIV "
                "(CAST(n_a AS DECIMAL(38,0)) * n_b)")
          .cast("long").alias("ks_x"))
+
+
+def rate_confidence(df: DataFrame, label_col: str,
+                    group_col: str | None = None,
+                    z_x1000: int = 1960) -> DataFrame:
+    """Wilson score interval for a per-group binary rate: ``(group?,
+    n, n_pos, rate, lo, hi)`` — the uncertainty band every data card
+    should print next to a defect/positive rate (a 3-of-7 slice and
+    a 3000-of-7000 slice have the same rate and wildly different
+    evidence; Wilson 1927 stays inside [0,1] and behaves at 0/1
+    rates, unlike the normal approximation).
+
+    Determinism recipe: the inputs are exact longs (n, n_pos) and the
+    rational ``z = z_x1000/1000`` (default 1.960 ~ 95%); the interval
+    is computed in doubles by ONE fixed expression tree spelled
+    identically on both engines — ``center = (p + z^2/2n) / (1 +
+    z^2/n)``, ``half = z * sqrt(p*(1-p)/n + z^2/(4n^2)) / (1 +
+    z^2/n)`` — and rounded to 4dp at the OUTPUT only (the house
+    float recipe: identical exact inputs + identical IEEE op
+    sequence = identical doubles, and the 4dp rounding gives margin).
+    Labels validate 0/1 in-plan (the classifier_auc contract).
+
+    Scale shape: ONE partial-agg groupBy — the output frame is one
+    row per group; no windows, no joins, no driver pulls."""
+    if int(z_x1000) < 0:
+        raise ValueError("rate_confidence: z_x1000 must be >= 0")
+    z = int(z_x1000)
+    g = [group_col] if group_col is not None else []
+    t = (df.select(*g, _binary_label(label_col).alias("__l"))
+         .groupBy(*g)
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum("__l").cast("long").alias("n_pos")))
+    # one expression tree, spelled once and reused — the oracle twin
+    # mirrors it token for token
+    e = (f"CAST(n_pos AS DOUBLE) / n")
+    z2 = f"(({z} / 1000.0) * ({z} / 1000.0))"
+    denom = f"(1.0 + {z2} / n)"
+    center = f"(({e} + {z2} / (2.0 * n)) / {denom})"
+    half = (f"(({z} / 1000.0) * sqrt({e} * (1.0 - {e}) / n "
+            f"+ {z2} / (4.0 * n * n)) / {denom})")
+    return t.select(*g, "n", "n_pos",
+                    F.expr(f"round({e}, 4)").alias("rate"),
+                    F.expr(f"round({center} - {half}, 4)").alias("lo"),
+                    F.expr(f"round({center} + {half}, 4)").alias("hi"))

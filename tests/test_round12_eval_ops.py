@@ -1159,3 +1159,59 @@ def test_collapse_expansion_plans_hide_the_verify_expression(spark):
         ngram_jaccard_pairs(df, threshold=0.5))
     assert "array_intersect" not in _plan(
         ngram_containment_pairs(df, threshold=0.8))
+
+
+# ----------------------------------------------------- rate_confidence
+
+
+def _wilson_model(n, pos, z=1.96):
+    import math
+    p = pos / n
+    z2 = z * z
+    denom = 1.0 + z2 / n
+    center = (p + z2 / (2.0 * n)) / denom
+    half = z * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n)) / denom
+    return (round(p, 4), round(center - half, 4),
+            round(center + half, 4))
+
+
+def test_rate_confidence_pins_python_model(spark):
+    rng = random.Random(144)
+    data = {"a": [rng.randrange(2) for _ in range(137)],
+            "b": [rng.randrange(4) == 0 for _ in range(23)]}
+    rows = [(g, int(v)) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, label int")
+    from cascading_flink_spark.extensions import rate_confidence
+    got = {r.g: (r.n, r.n_pos, r.rate, r.lo, r.hi)
+           for r in rate_confidence(df, "label",
+                                    group_col="g").collect()}
+    for g, vs in data.items():
+        n, pos = len(vs), sum(vs)
+        rate, lo, hi = _wilson_model(n, pos)
+        gn, gp, gr, glo, ghi = got[g]
+        assert (gn, gp, gr) == (n, pos, rate)
+        assert glo == pytest.approx(lo, abs=1e-4)
+        assert ghi == pytest.approx(hi, abs=1e-4)
+
+
+def test_rate_confidence_edges(spark):
+    """All-positive and all-negative slices stay inside [0,1] (the
+    Wilson property the normal approximation lacks); a tiny slice
+    gets a WIDE band; guards raise."""
+    rows = [("all1", 1)] * 8 + [("all0", 0)] * 8 + [("tiny", 1),
+                                                    ("tiny", 0)]
+    df = spark.createDataFrame(rows, "g string, label int")
+    from cascading_flink_spark.extensions import rate_confidence
+    got = {r.g: (r.rate, r.lo, r.hi)
+           for r in rate_confidence(df, "label",
+                                    group_col="g").collect()}
+    assert got["all1"][0] == 1.0 and 0 < got["all1"][1] < 1.0 \
+        and got["all1"][2] == 1.0
+    assert got["all0"][0] == 0.0 and got["all0"][1] == 0.0 \
+        and 0 < got["all0"][2] < 1.0
+    assert got["tiny"][2] - got["tiny"][1] > 0.6
+    with pytest.raises(ValueError, match="z_x1000"):
+        rate_confidence(df, "label", z_x1000=-1)
+    plan = _plan(rate_confidence(df, "label", group_col="g"))
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") == 1

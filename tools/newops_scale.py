@@ -109,6 +109,7 @@ def main() -> None:
         "judge_kappa": ["kappa_x"],
         "avg_precision": ["ap_x"],
         "ks_drift": ["ks_x"],
+        "rate_confidence": ["n", "n_pos"],
     }
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     if only:
