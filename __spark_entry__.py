@@ -1954,6 +1954,74 @@ def q_rate_confidence(spark, sf_dir):
     return rate_confidence(d, "label", group_col="lang")
 
 
+def q_diversity(spark, sf_dir):
+    """Per-language source-diversity data card: Shannon entropy
+    (DSIR ln recipe — one rounded ln per distinct count, exact
+    DECIMAL(38,0) weighted sum, one truncating DIV), normalized
+    entropy, effective sources (one identically-spelled exp), and
+    the exact-identity Gini over the reduced key-count frame."""
+    from cascading_flink_spark.extensions import diversity_report
+    docs = _t(spark, sf_dir, "documents").select("lang", "source")
+    return diversity_report(docs, "source", group_col="lang")
+
+
+def q_psi(spark, sf_dir):
+    """Per-language Population Stability Index of the source mix
+    between the even- and odd-doc_id corpus halves — quantize both
+    distributions, clamp to the 1-quantum epsilon floor, one
+    rounded ln per quantized cell, exact nonnegative term sum, one
+    truncating DIV (the categorical drift score next to ks_drift's
+    continuous KS and corpus_drift's TV)."""
+    from cascading_flink_spark.extensions import psi_drift
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                 "source")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    return psi_drift(a, b, "source", group_col="lang")
+
+
+def q_zipf(spark, sf_dir):
+    """Per-language Zipf exponent over the top-100 ranked terms —
+    OLS of round(ln(tf)*1e6) on round(ln(rank)*1e6) with exact
+    DECIMAL moments, slope as one double division rounded 4dp;
+    ranks from a WindowGroupLimit-pruned (tf DESC, term ASC)
+    window over the reduced term frame."""
+    from cascading_flink_spark.extensions import zipf_slope
+    docs = _t(spark, sf_dir, "documents").select("lang", "text")
+    return zipf_slope(docs, group_col="lang", top_n=100)
+
+
+def q_vocab_overlap(spark, sf_dir):
+    """Vocabulary overlap (Jaccard + both containments) between the
+    en and de slices at min_tf=2 — term sets from one partial agg
+    per side, merged on the union axis with no join, each ratio one
+    guarded truncating division."""
+    from cascading_flink_spark.extensions import vocab_overlap
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_overlap(docs.filter(F.col("lang") == "en"),
+                         docs.filter(F.col("lang") == "de"),
+                         min_tf=2)
+
+
+def q_assortativity(spark, sf_dir):
+    """Newman degree assortativity of the sparse 500-node graph —
+    degrees from one partial agg, two equi-joins onto the directed
+    pair list, then signal_corr's exact-moment Pearson (rounded 4dp
+    at output)."""
+    from cascading_flink_spark.extensions import degree_assortativity
+    return degree_assortativity(_thin_graph(spark, sf_dir))
+
+
+def q_mean_confidence(spark, sf_dir):
+    """Per-language 95% normal-approximation CI for mean n_chars —
+    exact DECIMAL(38,0) sum/sum-of-squares through ONE
+    identically-spelled IEEE expression tree (the rate_confidence
+    recipe), 4dp at output; n < 2 groups excluded."""
+    from cascading_flink_spark.extensions import mean_confidence
+    docs = _t(spark, sf_dir, "documents").select("lang", "n_chars")
+    return mean_confidence(docs, "n_chars", group_col="lang")
+
+
 def q_ks_drift(spark, sf_dir):
     """Per-language two-sample KS of the n_chars distribution between
     the even- and odd-doc_id halves of the corpus: the sup-distance
@@ -3950,6 +4018,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avg_precision": q_average_precision,
         "ks_drift": q_ks_drift,
         "rate_confidence": q_rate_confidence,
+        "diversity": q_diversity,
+        "psi": q_psi,
+        "zipf": q_zipf,
+        "vocab_overlap": q_vocab_overlap,
+        "assortativity": q_assortativity,
+        "mean_confidence": q_mean_confidence,
         "cluster_split": q_cluster_split,
         "dedup_keep_best": q_dedup_keep_best,
         "minhash_recall": q_minhash_recall,
@@ -5610,6 +5684,192 @@ def oracle_sql() -> dict[str, str]:
                                       * (1960 / 1000.0)) / n)),
                          4) AS hi
             FROM t
+        """,
+        "diversity": """
+            WITH c AS (SELECT lang, source AS k, count(*)::BIGINT AS c
+                       FROM documents WHERE source IS NOT NULL
+                       GROUP BY 1, 2),
+            r AS (SELECT lang, c,
+                         round(ln(c) * 1000000)::BIGINT AS lnc,
+                         row_number() OVER (PARTITION BY lang
+                             ORDER BY c ASC, k ASC)::BIGINT AS i
+                  FROM c),
+            t AS (SELECT lang, sum(c)::BIGINT AS n,
+                         count(*)::BIGINT AS n_keys,
+                         sum(c::HUGEINT * lnc) AS slnc,
+                         sum(i::HUGEINT * c) AS gnum
+                  FROM r GROUP BY 1),
+            e AS (SELECT lang, n, n_keys, gnum,
+                         (round(ln(n) * 1000000)::BIGINT
+                          - (slnc // n))::BIGINT AS entropy_x1e6
+                  FROM t)
+            SELECT lang, n, n_keys, entropy_x1e6,
+                   (CASE WHEN n_keys < 2 THEN 0
+                    ELSE entropy_x1e6::HUGEINT * 1000000
+                         // round(ln(n_keys) * 1000000)::BIGINT
+                    END)::BIGINT AS norm_entropy_x1e6,
+                   round(exp(entropy_x1e6::DOUBLE / 1000000.0)
+                         * 1000)::BIGINT AS eff_keys_x1e3,
+                   ((2 * gnum - (n_keys + 1)::HUGEINT * n) * 1000000
+                    // (n_keys::HUGEINT * n))::BIGINT AS gini_x1e6
+            FROM e
+        """,
+        "psi": """
+            WITH a AS (SELECT lang, source AS k, count(*)::BIGINT AS c
+                       FROM documents
+                       WHERE doc_id % 2 = 0 AND source IS NOT NULL
+                       GROUP BY 1, 2),
+            b AS (SELECT lang, source AS k, count(*)::BIGINT AS c
+                  FROM documents
+                  WHERE doc_id % 2 = 1 AND source IS NOT NULL
+                  GROUP BY 1, 2),
+            m AS (SELECT coalesce(a.lang, b.lang) AS lang,
+                         coalesce(a.k, b.k) AS k,
+                         coalesce(a.c, 0)::BIGINT AS ca,
+                         coalesce(b.c, 0)::BIGINT AS cb
+                  FROM a FULL OUTER JOIN b
+                    ON a.lang = b.lang AND a.k = b.k),
+            w AS (SELECT lang, ca, cb,
+                         sum(ca) OVER (PARTITION BY lang)::BIGINT AS na,
+                         sum(cb) OVER (PARTITION BY lang)::BIGINT AS nb
+                  FROM m),
+            p AS (SELECT lang, na, nb,
+                         greatest(ca::HUGEINT * 1000000 // na,
+                                  1)::BIGINT AS p,
+                         greatest(cb::HUGEINT * 1000000 // nb,
+                                  1)::BIGINT AS q
+                  FROM w WHERE na > 0 AND nb > 0),
+            t AS (SELECT lang, max(na)::BIGINT AS n_a,
+                         max(nb)::BIGINT AS n_b,
+                         count(*)::BIGINT AS n_keys,
+                         sum(((p - q)
+                              * (round(ln(p) * 1000000)::BIGINT
+                                 - round(ln(q) * 1000000)::BIGINT))
+                             ::HUGEINT) AS s
+                  FROM p GROUP BY 1)
+            SELECT lang, n_a, n_b, n_keys,
+                   (s // 1000000)::BIGINT AS psi_x1e6
+            FROM t
+        """,
+        "zipf": """
+            WITH toks AS (
+                SELECT lang,
+                       unnest(regexp_split_to_array(lower(trim(text)),
+                                                    '\\s+')) AS term
+                FROM documents),
+            tf AS (SELECT lang, term, count(*)::BIGINT AS tf
+                   FROM toks WHERE term <> '' GROUP BY 1, 2),
+            r AS (SELECT lang, tf,
+                         row_number() OVER (PARTITION BY lang
+                             ORDER BY tf DESC, term ASC)::BIGINT AS r
+                  FROM tf),
+            x AS (SELECT lang,
+                         round(ln(r) * 1000000)::BIGINT AS x,
+                         round(ln(tf) * 1000000)::BIGINT AS y
+                  FROM r WHERE r <= 100),
+            m AS (SELECT lang, count(*)::BIGINT AS n_terms,
+                         sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+                         sum(x::HUGEINT * x) AS sxx,
+                         sum(x::HUGEINT * y) AS sxy
+                  FROM x GROUP BY 1)
+            SELECT lang, n_terms,
+                   round((n_terms::HUGEINT * sxy - sx * sy)::DOUBLE
+                         / (n_terms::HUGEINT * sxx
+                            - sx * sx)::DOUBLE, 4) AS slope
+            FROM m WHERE (n_terms::HUGEINT * sxx - sx * sx) > 0
+        """,
+        "vocab_overlap": """
+            WITH ta AS (
+                SELECT unnest(regexp_split_to_array(lower(trim(text)),
+                                                    '\\s+')) AS term
+                FROM documents WHERE lang = 'en'),
+            va AS (SELECT term FROM ta WHERE term <> ''
+                   GROUP BY 1 HAVING count(*) >= 2),
+            tb AS (
+                SELECT unnest(regexp_split_to_array(lower(trim(text)),
+                                                    '\\s+')) AS term
+                FROM documents WHERE lang = 'de'),
+            vb AS (SELECT term FROM tb WHERE term <> ''
+                   GROUP BY 1 HAVING count(*) >= 2),
+            u AS (SELECT term, max(ia) AS ia, max(ib) AS ib
+                  FROM (SELECT term, 1 AS ia, 0 AS ib FROM va
+                        UNION ALL SELECT term, 0, 1 FROM vb)
+                  GROUP BY 1),
+            t AS (SELECT sum(ia)::BIGINT AS n_a,
+                         sum(ib)::BIGINT AS n_b,
+                         sum(ia * ib)::BIGINT AS n_common FROM u)
+            SELECT n_a, n_b, n_common,
+                   (CASE WHEN n_a + n_b - n_common = 0 THEN 0
+                    ELSE n_common * 1000000 // (n_a + n_b - n_common)
+                    END)::BIGINT AS jaccard_x1e6,
+                   (CASE WHEN n_a = 0 THEN 0
+                    ELSE n_common * 1000000 // n_a END)::BIGINT
+                       AS contain_a_x1e6,
+                   (CASE WHEN n_b = 0 THEN 0
+                    ELSE n_common * 1000000 // n_b END)::BIGINT
+                       AS contain_b_x1e6
+            FROM t
+        """,
+        "assortativity": _THIN_EDGES_SQL + """,
+            g AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+                                               greatest(src, dst) AS b
+                   FROM e0 WHERE src <> dst),
+            und AS MATERIALIZED (SELECT a, b FROM g
+                   UNION ALL SELECT b, a FROM g),
+            deg AS MATERIALIZED (SELECT a AS node,
+                                        count(*)::BIGINT AS deg
+                   FROM und GROUP BY a),
+            pr AS (SELECT da.deg AS x, db.deg AS y
+                   FROM und JOIN deg da ON da.node = und.a
+                            JOIN deg db ON db.node = und.b),
+            c AS (SELECT x, y, count(*)::BIGINT AS c
+                  FROM pr GROUP BY 1, 2),
+            m AS (SELECT sum(c)::BIGINT AS n,
+                         sum(c::HUGEINT * x) AS sx,
+                         sum(c::HUGEINT * y) AS sy,
+                         sum(c::HUGEINT * x * x) AS sxx,
+                         sum(c::HUGEINT * y * y) AS syy,
+                         sum(c::HUGEINT * x * y) AS sxy
+                  FROM c)
+            SELECT (n // 2)::BIGINT AS n_edges,
+                   round((n::HUGEINT * sxy - sx * sy)::DOUBLE
+                         / (sqrt((n::HUGEINT * sxx - sx * sx)::DOUBLE)
+                            * sqrt((n::HUGEINT * syy
+                                    - sy * sy)::DOUBLE)), 4) AS rho
+            FROM m
+            WHERE (n::HUGEINT * sxx - sx * sx) > 0
+              AND (n::HUGEINT * syy - sy * sy) > 0
+        """,
+        "mean_confidence": """
+            WITH t AS (SELECT lang, count(*)::BIGINT AS n,
+                              sum(n_chars::HUGEINT) AS s,
+                              sum(n_chars::HUGEINT * n_chars) AS sxx
+                       FROM documents WHERE n_chars IS NOT NULL
+                       GROUP BY 1)
+            SELECT lang, n,
+                   round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 4)
+                       AS mean,
+                   round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                         - ((1960 / 1000.0)
+                            * sqrt((CAST(n AS DOUBLE)
+                                    * CAST(sxx AS DOUBLE)
+                                    - CAST(s AS DOUBLE)
+                                      * CAST(s AS DOUBLE))
+                                   / (CAST(n AS DOUBLE)
+                                      * CAST(n AS DOUBLE)
+                                      * CAST(n - 1 AS DOUBLE)))),
+                         4) AS lo,
+                   round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                         + ((1960 / 1000.0)
+                            * sqrt((CAST(n AS DOUBLE)
+                                    * CAST(sxx AS DOUBLE)
+                                    - CAST(s AS DOUBLE)
+                                      * CAST(s AS DOUBLE))
+                                   / (CAST(n AS DOUBLE)
+                                      * CAST(n AS DOUBLE)
+                                      * CAST(n - 1 AS DOUBLE)))),
+                         4) AS hi
+            FROM t WHERE n >= 2
         """,
         "ks_drift": """
             WITH a AS (SELECT lang, n_chars AS v, count(*)::BIGINT AS c

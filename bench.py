@@ -133,6 +133,12 @@ BENCH_QUERIES = [
     "avg_precision",
     "ks_drift",
     "rate_confidence",
+    "diversity",
+    "psi",
+    "zipf",
+    "vocab_overlap",
+    "assortativity",
+    "mean_confidence",
     # round 11
     "connected_components_fast",
     "rrf_hybrid3",

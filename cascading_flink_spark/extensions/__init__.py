@@ -70,7 +70,8 @@ from .dsir import (dsir_bucket_weights, dsir_mixture_select, dsir_sample,
                    dsir_score_expr, dsir_select, dsir_weight_array,
                    dsir_weights)
 from .graph import (bfs_distances, clustering_coefficient,
-                    connected_components, eccentricity_sample,
+                    connected_components, degree_assortativity,
+                    eccentricity_sample,
                     hits, k_core,
                     label_propagation, link_candidates, pagerank,
                     triangle_count)
@@ -79,16 +80,18 @@ from .corpus import (bigram_lm_scores, bm25_multi_scores, bm25_scores,
                      corpus_report,
                      inverted_index,
                      ngram_counts, oov_stats, repetition_stats,
-                     tfidf_topterms, unigram_commonness)
+                     tfidf_topterms, unigram_commonness,
+                     vocab_overlap, zipf_slope)
 from .analytics import (average_precision,
                         calibration_report, calibration_summary,
                         cohen_kappa,
                         cardinality_report, classifier_auc,
                         concentration_report, confusion_report,
                         cohort_retention,
+                        diversity_report,
                         event_funnel, group_quantiles,
-                        ks_statistic,
-                        rate_confidence,
+                        ks_statistic, mean_confidence,
+                        psi_drift, rate_confidence,
                         label_agreement, pr_threshold_stats,
                         group_quantiles_binned, heavy_hitters, hot_keys,
                         rolling_stats, session_funnel, session_stats,

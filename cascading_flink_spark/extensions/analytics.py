@@ -1562,3 +1562,206 @@ def rate_confidence(df: DataFrame, label_col: str,
                     F.expr(f"round({e}, 4)").alias("rate"),
                     F.expr(f"round({center} - {half}, 4)").alias("lo"),
                     F.expr(f"round({center} + {half}, 4)").alias("hi"))
+
+
+def diversity_report(df: DataFrame, key_col: str,
+                     group_col: str | None = None) -> DataFrame:
+    """Diversity data card over a categorical key, per group or
+    globally: ``(group?, n, n_keys, entropy_x1e6, norm_entropy_x1e6,
+    eff_keys_x1e3, gini_x1e6)`` — Shannon entropy (nats), entropy
+    normalized by ``ln(n_keys)``, the effective number of keys
+    ``exp(H)`` (the "how many sources is this slice REALLY drawing
+    from" readout — 50 registered crawls with eff_keys 2.1 is a
+    monoculture), and the Gini coefficient of the key-count
+    distribution — the diversity complement to
+    :func:`concentration_report`'s HHI/top-share dominance card.
+
+    Integer recipe: the corpus reduces to per-(group, key) counts —
+    one partial-agg groupBy.  Entropy uses the DSIR ln recipe:
+    ``H = ln(n) - (1/n) * sum(c * ln(c))`` with each ``ln`` rounded
+    ONCE to 1e-6 (``round(ln(c) * 1e6)`` per distinct count value),
+    so the weighted sum is an exact order-free DECIMAL(38,0) integer
+    and ``entropy_x1e6`` is that long minus one truncating DIV —
+    a single-key group lands on exactly 0.  ``norm_entropy_x1e6 =
+    entropy * 1e6 DIV round(ln(n_keys) * 1e6)`` (0 when n_keys = 1;
+    per-ln rounding can push it a unit or two past 1e6 at tiny n —
+    deterministic on both engines, documented).  ``eff_keys_x1e3``
+    is ONE ``exp`` of the exact entropy long — identical IEEE input
+    + identical spelling, rounded to x1e3 at the output (the
+    rate_confidence float recipe).  Gini sorts only the REDUCED
+    frame: with keys ranked ``i`` by (count ASC, key ASC),
+    ``gini_x1e6 = (2 * sum(i * c_i) - (n_keys + 1) * n) * 1e6 DIV
+    (n_keys * n)`` — the exact mean-absolute-difference identity,
+    one truncating division of DECIMAL(38,0)-exact terms.  NULL
+    keys are excluded before counting (the concentration_report
+    convention).
+
+    Scale shape: one corpus-pass partial-agg groupBy; one
+    row_number window + one rollup on the keys-per-group-bounded
+    frame.  No driver pulls."""
+    g = [group_col] if group_col is not None else []
+    c = (df.filter(F.col(key_col).isNotNull())
+         .groupBy(*g, F.col(key_col).alias("__k"))
+         .agg(F.count(F.lit(1)).cast("long").alias("__c")))
+    w = Window.partitionBy(*g).orderBy(F.asc("__c"), F.asc("__k"))
+    c = (c.withColumn("__i", F.row_number().over(w).cast("long"))
+          .withColumn("__lnc", F.expr(
+              "CAST(round(ln(__c) * 1000000, 0) AS BIGINT)")))
+    dec = "decimal(38,0)"
+    t = (c.groupBy(*g)
+         .agg(F.sum("__c").cast("long").alias("n"),
+              F.count(F.lit(1)).cast("long").alias("n_keys"),
+              F.sum((F.col("__c").cast(dec) * F.col("__lnc")))
+               .alias("__slnc"),
+              F.sum((F.col("__i").cast(dec) * F.col("__c")))
+               .alias("__gnum")))
+    t = t.withColumn("entropy_x1e6", F.expr(
+        "CAST(round(ln(n) * 1000000, 0) AS BIGINT) "
+        "- CAST(__slnc DIV n AS BIGINT)"))
+    return t.select(
+        *g, "n", "n_keys", "entropy_x1e6",
+        F.when(F.col("n_keys") < 2, F.lit(0).cast("long"))
+         .otherwise(F.expr(
+             "CAST(CAST(entropy_x1e6 AS DECIMAL(38,0)) * 1000000 "
+             "DIV CAST(round(ln(n_keys) * 1000000, 0) AS BIGINT) "
+             "AS BIGINT)")).alias("norm_entropy_x1e6"),
+        F.expr("CAST(round(exp(CAST(entropy_x1e6 AS DOUBLE) "
+               "/ 1000000.0) * 1000, 0) AS BIGINT)")
+         .alias("eff_keys_x1e3"),
+        F.expr("CAST((2 * __gnum - CAST(n_keys + 1 AS DECIMAL(38,0)) "
+               "* n) * 1000000 DIV (CAST(n_keys AS DECIMAL(38,0)) "
+               "* n) AS BIGINT)").alias("gini_x1e6"))
+
+
+def psi_drift(df_a: DataFrame, df_b: DataFrame, key_col: str,
+              group_col: str | None = None,
+              scale: int = 1_000_000) -> DataFrame:
+    """Population Stability Index between two slices' categorical
+    distributions, per group or globally: ``(group?, n_a, n_b,
+    n_keys, psi_x1e6)`` with ``PSI = sum over keys of (p - q) *
+    ln(p/q)`` — the industry-standard drift score (PSI < 0.1 stable,
+    0.1-0.25 drifting, > 0.25 act) next to
+    :func:`~cascading_flink_spark.extensions.corpus.corpus_drift`'s
+    total-variation and :func:`ks_statistic`'s continuous KS — the
+    "did the source/domain/topic mix shift between this crawl and
+    the last known-good one?" gate.
+
+    Determinism recipe: both distributions quantize to integers
+    first (``p = count * scale DIV total``, one truncating division
+    per key — the corpus_drift recipe), zero and rounded-to-zero
+    cells CLAMP to 1 quantum (``greatest(p, 1)``, the standard PSI
+    epsilon floor: ln(0) is undefined and a vanished key IS the
+    signal); ``ln`` is rounded ONCE to 1e-6 per quantized value
+    (the DSIR ln recipe), so every term ``(p - q) * (lnp_x - lnq_x)``
+    is an exact long (monotone rounding keeps each term >= 0 — both
+    factors always share a sign) and ``psi_x1e6 = sum DIV scale`` is
+    one truncating division of the exact DECIMAL(38,0) sum.  Support
+    is the UNION of the two key sets; groups present in only one
+    side are EXCLUDED (the KS convention).  NULL keys drop their
+    row.
+
+    Scale shape: two corpus-pass partial aggs, one union + re-agg
+    onto (group, key) — no join builds the merged frame — then two
+    group-total windows + one rollup on the keys-per-group-bounded
+    frame.  No driver pulls."""
+    if int(scale) < 1_000_000:
+        raise ValueError("psi_drift: scale must be >= 1e6 (the "
+                         "epsilon floor is 1/scale; coarser than "
+                         "1e-6 distorts the reported PSI)")
+    g = [group_col] if group_col is not None else []
+
+    def _counts(df, side):
+        return (df.filter(F.col(key_col).isNotNull())
+                .groupBy(*g, F.col(key_col).alias("__k"))
+                .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+                .withColumn("__side", F.lit(side)))
+    merged = _counts(df_a, 0).unionByName(_counts(df_b, 1))
+    c = (merged.groupBy(*g, "__k")
+         .agg(F.sum(F.when(F.col("__side") == 0, F.col("__c"))
+                    .otherwise(0)).cast("long").alias("__a"),
+              F.sum(F.when(F.col("__side") == 1, F.col("__c"))
+                    .otherwise(0)).cast("long").alias("__b")))
+    wall = (Window.partitionBy(*g)
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    c = (c.withColumn("n_a", F.sum("__a").over(wall).cast("long"))
+          .withColumn("n_b", F.sum("__b").over(wall).cast("long"))
+          .filter((F.col("n_a") > 0) & (F.col("n_b") > 0)))
+    s = int(scale)
+    c = (c.withColumn("__p", F.expr(
+            f"greatest(CAST(__a AS DECIMAL(38,0)) * {s} DIV n_a, 1)")
+            .cast("long"))
+          .withColumn("__q", F.expr(
+            f"greatest(CAST(__b AS DECIMAL(38,0)) * {s} DIV n_b, 1)")
+            .cast("long"))
+          .withColumn("__t", F.expr(
+            "(__p - __q) * (CAST(round(ln(__p) * 1000000, 0) AS "
+            "BIGINT) - CAST(round(ln(__q) * 1000000, 0) AS BIGINT))")))
+    return (c.groupBy(*g)
+            .agg(F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"),
+                 F.count(F.lit(1)).cast("long").alias("n_keys"),
+                 F.sum(F.col("__t").cast("decimal(38,0)"))
+                  .alias("__sum"))
+            .select(*g, "n_a", "n_b", "n_keys",
+                    F.expr(f"CAST(__sum DIV {s} AS BIGINT)")
+                     .alias("psi_x1e6")))
+
+
+def mean_confidence(df: DataFrame, value_col: str,
+                    group_col: str | None = None,
+                    z_x1000: int = 1960,
+                    quantize_x: int | None = None) -> DataFrame:
+    """Normal-approximation confidence interval for a per-group MEAN:
+    ``(group?, n, mean, lo, hi)`` — the uncertainty band for
+    continuous-valued data-card rows (mean length, mean quality
+    score), completing :func:`rate_confidence`'s Wilson band for
+    rates.  ``lo/hi = mean -/+ z * s / sqrt(n)`` with ``s`` the
+    sample standard deviation and the rational ``z = z_x1000/1000``
+    (default 1.960 ~ 95%).
+
+    Determinism recipe: values must be integer-valued (the
+    classifier_auc contract; ``quantize_x`` buckets raw doubles
+    in-plan via ``round(v * q)`` — the reported mean/lo/hi are then
+    in QUANTIZED units), so ``n``, ``sum`` and ``sum of squares``
+    are exact DECIMAL(38,0) integers; the interval is ONE fixed
+    IEEE expression tree spelled identically on both engines —
+    ``se = sqrt((n*Sxx - S*S) / (n * n * (n - 1)))`` — rounded to
+    4dp at the OUTPUT only (the rate_confidence float recipe).
+    Exactness headroom: ``n * Sxx`` must fit DECIMAL(38,0)/HUGEINT —
+    keep ``n * (n * max(v)^2)`` under ~1e38 per group (at 1e12 rows
+    that allows |v| up to ~1e7 — quantize coarser past it).  Groups
+    with n < 2 are EXCLUDED (s undefined — the one-class
+    convention).  NULL values drop their row.
+
+    Scale shape: ONE partial-agg groupBy — one row per group out;
+    no windows, no joins, no driver pulls."""
+    if int(z_x1000) < 0:
+        raise ValueError("mean_confidence: z_x1000 must be >= 0")
+    if quantize_x is not None and int(quantize_x) < 1:
+        raise ValueError("mean_confidence: quantize_x must be >= 1")
+    z = int(z_x1000)
+    v = (F.col(value_col).cast("long") if quantize_x is None
+         else F.round(F.col(value_col).cast("double")
+                      * int(quantize_x)).cast("long"))
+    g = [group_col] if group_col is not None else []
+    dec = "decimal(38,0)"
+    t = (df.filter(F.col(value_col).isNotNull())
+         .select(*g, v.alias("__v"))
+         .groupBy(*g)
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum(F.col("__v").cast(dec)).alias("__s"),
+              F.sum(F.col("__v").cast(dec) * F.col("__v"))
+               .alias("__sxx"))
+         .filter(F.col("n") >= 2))
+    # one expression tree, spelled once — the oracle mirrors it
+    # token for token (the rate_confidence recipe)
+    mean = "(CAST(__s AS DOUBLE) / CAST(n AS DOUBLE))"
+    vnum = ("(CAST(n AS DOUBLE) * CAST(__sxx AS DOUBLE) "
+            "- CAST(__s AS DOUBLE) * CAST(__s AS DOUBLE))")
+    se = (f"sqrt({vnum} / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) "
+          f"* CAST(n - 1 AS DOUBLE)))")
+    half = f"(({z} / 1000.0) * {se})"
+    return t.select(*g, "n",
+                    F.expr(f"round({mean}, 4)").alias("mean"),
+                    F.expr(f"round({mean} - {half}, 4)").alias("lo"),
+                    F.expr(f"round({mean} + {half}, 4)").alias("hi"))

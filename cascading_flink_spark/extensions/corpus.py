@@ -582,3 +582,131 @@ def oov_stats(df: DataFrame, min_df: int = 5, text_col: str = "text",
                          .otherwise(F.lit(0))).cast("long").alias("n_oov")))
     return out.withColumn("oov_x10000",
                           F.expr("n_oov * 10000 div n_tokens"))
+
+
+def zipf_slope(df: DataFrame, text_col: str = "text",
+               group_col: str | None = None, top_n: int = 100,
+               min_rank: int = 1, lower: bool = True) -> DataFrame:
+    """Zipf-law exponent of the term-frequency distribution, per group
+    or globally: ``(group?, n_terms, slope)`` — the OLS slope of
+    ``ln(frequency)`` on ``ln(rank)`` over the ``[min_rank, top_n]``
+    head of the ranked vocabulary.  Natural language sits near -1;
+    machine-generated spam, boilerplate floods and template farms
+    bend the head flat or cliff it — the cheap "is this slice
+    actually prose?" data-card row next to
+    :func:`repetition_stats`'s per-document signals.
+
+    Determinism recipe: ranks come from one (tf DESC, term ASC)
+    row_number over the per-(group, term) REDUCED frame, pruned to
+    ``top_n`` in-window (WindowGroupLimit — no group ever fully
+    sorts its vocabulary); ``x = round(ln(rank) * 1e6)`` and ``y =
+    round(ln(tf) * 1e6)`` round each ln ONCE (the DSIR recipe), the
+    five OLS moments are exact DECIMAL(38,0) sums of those longs,
+    and the slope is ONE double division of the two exact closed
+    forms ``(m*Sxy - Sx*Sy) / (m*Sxx - Sx*Sx)`` rounded to 4dp at
+    the OUTPUT (the signal_corr rho recipe; the 1e6 scaling cancels
+    in the ratio).  Groups with fewer than 2 ranked terms in the
+    window are EXCLUDED (slope undefined).  ``min_rank`` skips the
+    stopword plateau (the classic Zipf-fit practice).  Tokenization
+    is the house whitespace twin.
+
+    Scale shape: one explode + one partial-agg groupBy (the
+    unigram_commonness frame); one top-``top_n``-pruned window + one
+    rollup on the reduced frame.  No driver pulls."""
+    if int(top_n) < 2:
+        raise ValueError("zipf_slope: top_n must be >= 2")
+    if not 1 <= int(min_rank) < int(top_n):
+        raise ValueError("zipf_slope: min_rank must be in "
+                         "[1, top_n)")
+    g = [group_col] if group_col is not None else []
+    tf = (df.select(*g, F.explode(_tok_array(text_col, lower))
+                    .alias("term"))
+          .filter(F.col("term") != "")
+          .groupBy(*g, "term")
+          .agg(F.count(F.lit(1)).cast("long").alias("__tf")))
+    w = Window.partitionBy(*g).orderBy(F.desc("__tf"), F.asc("term"))
+    r = (tf.withColumn("__r", F.row_number().over(w))
+         .filter(F.col("__r") <= int(top_n))
+         .filter(F.col("__r") >= int(min_rank))
+         .withColumn("__x", F.expr(
+             "CAST(round(ln(__r) * 1000000, 0) AS BIGINT)"))
+         .withColumn("__y", F.expr(
+             "CAST(round(ln(__tf) * 1000000, 0) AS BIGINT)")))
+    dec = "decimal(38,0)"
+    m = (r.groupBy(*g)
+         .agg(F.count(F.lit(1)).cast("long").alias("n_terms"),
+              F.sum(F.col("__x").cast(dec)).alias("__sx"),
+              F.sum(F.col("__y").cast(dec)).alias("__sy"),
+              F.sum(F.col("__x").cast(dec) * F.col("__x"))
+               .alias("__sxx"),
+              F.sum(F.col("__x").cast(dec) * F.col("__y"))
+               .alias("__sxy")))
+    num = F.expr("CAST(n_terms AS DECIMAL(38,0)) * __sxy "
+                 "- __sx * __sy")
+    den = F.expr("CAST(n_terms AS DECIMAL(38,0)) * __sxx "
+                 "- __sx * __sx")
+    return (m.withColumn("__num", num).withColumn("__den", den)
+            .filter(F.col("__den") > 0)
+            .select(*g, "n_terms",
+                    F.round(F.col("__num").cast("double")
+                            / F.col("__den").cast("double"), 4)
+                     .alias("slope")))
+
+
+def vocab_overlap(df_a: DataFrame, df_b: DataFrame,
+                  text_col: str = "text", min_tf: int = 1,
+                  lower: bool = True) -> DataFrame:
+    """Vocabulary overlap between two corpora, one summary row:
+    ``(n_a, n_b, n_common, jaccard_x1e6, contain_a_x1e6,
+    contain_b_x1e6)`` — Jaccard and both directed containments of
+    the two vocabularies (terms with frequency >= ``min_tf`` in
+    that corpus) — the "does the new crawl speak the same language
+    as the trusted one?" lexical-shift gate coarser than
+    :func:`corpus_drift` (set overlap, not distribution distance:
+    robust to re-weighting, sensitive to genuinely NEW vocabulary —
+    a spam injection shows up here first).
+
+    Integer-exact: each side reduces to its term set with one
+    explode + partial-agg groupBy + ``min_tf`` threshold (at 100 TB
+    set ``min_tf`` > 1 — the singleton tail is most of the table and
+    mostly typos); the union-axis frame comes from one union +
+    re-agg (no join); each ratio is ONE truncating division of
+    exact longs.  An empty union yields zero ratios (guarded
+    in-expression, no divide-by-zero divergence between engines).
+
+    Scale shape: two corpus passes, one union + re-agg on the term
+    axis, one global rollup to a single row.  No windows, no driver
+    pulls."""
+    if int(min_tf) < 1:
+        raise ValueError("vocab_overlap: min_tf must be >= 1")
+
+    def _vocab(df, side):
+        return (df.select(F.explode(_tok_array(text_col, lower))
+                          .alias("term"))
+                .filter(F.col("term") != "")
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).cast("long").alias("__tf"))
+                .filter(F.col("__tf") >= int(min_tf))
+                .select("term", F.lit(side).alias("__side")))
+    merged = (_vocab(df_a, 0).unionByName(_vocab(df_b, 1))
+              .groupBy("term")
+              .agg(F.max(F.when(F.col("__side") == 0, 1).otherwise(0))
+                   .alias("__ia"),
+                   F.max(F.when(F.col("__side") == 1, 1).otherwise(0))
+                   .alias("__ib")))
+    t = merged.agg(
+        F.sum("__ia").cast("long").alias("n_a"),
+        F.sum("__ib").cast("long").alias("n_b"),
+        F.sum(F.col("__ia") * F.col("__ib")).cast("long")
+         .alias("n_common"))
+    return t.select(
+        "n_a", "n_b", "n_common",
+        F.expr("CASE WHEN n_a + n_b - n_common = 0 THEN 0 "
+               "ELSE n_common * 1000000 DIV (n_a + n_b - n_common) "
+               "END").cast("long").alias("jaccard_x1e6"),
+        F.expr("CASE WHEN n_a = 0 THEN 0 "
+               "ELSE n_common * 1000000 DIV n_a END").cast("long")
+         .alias("contain_a_x1e6"),
+        F.expr("CASE WHEN n_b = 0 THEN 0 "
+               "ELSE n_common * 1000000 DIV n_b END").cast("long")
+         .alias("contain_b_x1e6"))

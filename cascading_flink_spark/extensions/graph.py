@@ -818,3 +818,50 @@ def eccentricity_sample(edges: DataFrame, seeds: list,
                        "ecc"))
         out = one if out is None else out.unionByName(one)
     return out
+
+
+def degree_assortativity(edges: DataFrame, src_col: str = "src",
+                         dst_col: str = "dst") -> DataFrame:
+    """Newman degree assortativity of the simple undirected view,
+    one summary row: ``(n_edges, rho)`` — the Pearson correlation of
+    the endpoint degrees over every directed edge-end pair (each
+    undirected edge contributes both orientations, the standard
+    symmetric convention; Newman 2002).  Social graphs run positive
+    (hubs befriend hubs), web/link-farm and citation graphs negative
+    — the one-number structural fingerprint next to
+    :func:`clustering_coefficient`'s per-node density.
+
+    Composition, not re-derivation: degrees come from one partial-agg
+    groupBy over the undirected edge list; two equi-joins attach
+    ``deg(u)``/``deg(v)`` to each directed pair; the correlation is
+    :func:`~cascading_flink_spark.extensions.analytics.signal_corr`'s
+    exact DECIMAL(38,0)-moment Pearson on those integer signals
+    (rounded 4dp at the output), so the determinism contract and
+    headroom bounds are inherited verbatim.  A degree-regular graph
+    (constant signal) has undefined rho and returns an EMPTY frame —
+    the signal_corr exclusion, documented.  Self-loops drop (a node
+    is not its own neighbour).
+
+    Scale shape: one dedup partial agg + one degree partial agg;
+    two shuffled equi-joins on the node key (degree frames are
+    node-sized — broadcast only when the graph is); signal_corr's
+    reduced frame is bounded by the DISTINCT-degree support squared,
+    tiny on any power-law graph.  No driver pulls."""
+    from .analytics import signal_corr
+    e = (edges.select(F.least(src_col, dst_col).alias("a"),
+                      F.greatest(src_col, dst_col).alias("b"))
+         .filter(F.col("a") != F.col("b"))
+         .distinct()
+         .localCheckpoint(eager=False))
+    und = e.unionByName(e.select(F.col("b").alias("a"),
+                                 F.col("a").alias("b")))
+    deg = (und.groupBy(F.col("a").alias("node"))
+           .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+           .localCheckpoint(eager=False))
+    pairs = (und.join(deg.toDF("a", "__dx"), "a")
+             .join(deg.toDF("b", "__dy"), "b")
+             .select(F.col("__dx").alias("dx"),
+                     F.col("__dy").alias("dy")))
+    res = signal_corr(pairs, "dx", "dy", method="pearson")
+    return res.select(F.expr("n DIV 2").cast("long").alias("n_edges"),
+                      "rho")

@@ -1,0 +1,376 @@
+"""Round-12 late-session corpus-statistics operators: the diversity
+data card (entropy / effective keys / Gini), PSI categorical drift,
+the Zipf-exponent fit, vocabulary overlap, degree assortativity, and
+the mean-confidence interval — each property-pinned against a direct
+Python model, guard-raised on contract violations, and plan-asserted
+(codegen-only, documented exchange/window shapes)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _rnd(x):
+    # Spark/DuckDB round(double) is HALF-UP (away from zero); for the
+    # positive values these models feed, floor(x + 0.5) is the twin
+    # (Python's round() banker's-rounds and would drift on .5 cases)
+    return math.floor(x + 0.5)
+
+
+def _ln_x(v):
+    return _rnd(math.log(v) * 1_000_000)
+
+
+# ---------------------------------------------- diversity_report
+
+
+def _diversity_model(counts):
+    """counts: dict key -> count.  Returns the operator's row."""
+    n = sum(counts.values())
+    m = len(counts)
+    slnc = sum(c * _ln_x(c) for c in counts.values())
+    ent = _ln_x(n) - slnc // n
+    norm = 0 if m < 2 else ent * 1_000_000 // _ln_x(m)
+    eff = _rnd(math.exp(ent / 1_000_000.0) * 1000)
+    gnum = sum(i * c for i, (_k, c)
+               in enumerate(sorted(counts.items(),
+                                   key=lambda kv: (kv[1], kv[0])), 1))
+    gini = (2 * gnum - (m + 1) * n) * 1_000_000 // (m * n)
+    return (n, m, ent, norm, eff, gini)
+
+
+def test_diversity_report_pins_python_model(spark):
+    rng = random.Random(1201)
+    rows = [("g%d" % (i % 2), "k%02d" % rng.randrange(12))
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, k string")
+    from cascading_flink_spark.extensions import diversity_report
+    got = {r.g: (r.n, r.n_keys, r.entropy_x1e6, r.norm_entropy_x1e6,
+                 r.eff_keys_x1e3, r.gini_x1e6)
+           for r in diversity_report(df, "k", group_col="g").collect()}
+    for g in ("g0", "g1"):
+        counts = {}
+        for gg, k in rows:
+            if gg == g:
+                counts[k] = counts.get(k, 0) + 1
+        assert got[g] == _diversity_model(counts)
+
+
+def test_diversity_report_extremes(spark):
+    """One key -> entropy exactly 0, norm 0, eff 1.000, gini 0 (the
+    single-key identity); a perfectly even split -> gini 0 and norm
+    entropy ~1e6; NULL keys are excluded."""
+    rows = ([("one", "a")] * 7
+            + [("even", k) for k in "abcd" for _ in range(5)]
+            + [("one", None)])
+    df = spark.createDataFrame(rows, "g string, k string")
+    from cascading_flink_spark.extensions import diversity_report
+    got = {r.g: (r.n, r.n_keys, r.entropy_x1e6, r.norm_entropy_x1e6,
+                 r.eff_keys_x1e3, r.gini_x1e6)
+           for r in diversity_report(df, "k", group_col="g").collect()}
+    assert got["one"] == (7, 1, 0, 0, 1000, 0)
+    n, m, ent, norm, eff, gini = got["even"]
+    assert (n, m, gini) == (20, 4, 0)
+    assert abs(norm - 1_000_000) <= 2  # per-ln rounding, documented
+    assert abs(eff - 4000) <= 1
+
+
+def test_diversity_report_plan_reduced_frame(spark):
+    """Codegen-only; ONE exchange for the corpus reduction (the
+    row_number window and the rollup reuse the (g) partitioning —
+    hash(g, k) does not satisfy partitionBy(g), so a second exchange
+    onto g is expected — but never a third), no Python eval."""
+    df = spark.createDataFrame([("a", "x")], "g string, k string")
+    from cascading_flink_spark.extensions import diversity_report
+    plan = _plan(diversity_report(df, "k", group_col="g"))
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") <= 2
+
+
+# ---------------------------------------------- psi_drift
+
+
+def _psi_model(ca, cb, scale=1_000_000):
+    keys = set(ca) | set(cb)
+    na, nb = sum(ca.values()), sum(cb.values())
+    s = 0
+    for k in keys:
+        p = max(ca.get(k, 0) * scale // na, 1)
+        q = max(cb.get(k, 0) * scale // nb, 1)
+        s += (p - q) * (_ln_x(p) - _ln_x(q))
+    return (na, nb, len(keys), s // scale)
+
+
+def test_psi_drift_pins_python_model(spark):
+    rng = random.Random(1202)
+    ra = [("g", "k%d" % rng.randrange(8)) for _ in range(300)]
+    rb = [("g", "k%d" % (rng.randrange(10))) for _ in range(200)]
+    a = spark.createDataFrame(ra, "g string, k string")
+    b = spark.createDataFrame(rb, "g string, k string")
+    from cascading_flink_spark.extensions import psi_drift
+    r = psi_drift(a, b, "k", group_col="g").collect()[0]
+    ca, cb = {}, {}
+    for _g, k in ra:
+        ca[k] = ca.get(k, 0) + 1
+    for _g, k in rb:
+        cb[k] = cb.get(k, 0) + 1
+    assert (r.n_a, r.n_b, r.n_keys, r.psi_x1e6) == _psi_model(ca, cb)
+
+
+def test_psi_drift_properties(spark):
+    """PSI(a, a) == 0; PSI >= 0 always; a key present in only one
+    side contributes through the epsilon floor (and is the dominant
+    term on a disjoint pair); one-sided groups are excluded; the
+    scale guard raises."""
+    rows = [("g", "x")] * 5 + [("g", "y")] * 3
+    a = spark.createDataFrame(rows, "g string, k string")
+    from cascading_flink_spark.extensions import psi_drift
+    self_psi = psi_drift(a, a, "k", group_col="g").collect()[0]
+    assert self_psi.psi_x1e6 == 0
+    b = spark.createDataFrame([("g", "z")] * 8, "g string, k string")
+    disj = psi_drift(a, b, "k", group_col="g").collect()[0]
+    # fully disjoint support: each side's mass plays against the
+    # 1-quantum floor -> PSI ~ 2 * ln(1e6) ~ 27.6
+    assert disj.psi_x1e6 > 20_000_000
+    # disjoint group supports: g has n_b = 0, h has n_a = 0 — both
+    # one-sided, both excluded (the KS convention)
+    only_h = spark.createDataFrame([("h", "x")], "g string, k string")
+    assert psi_drift(a, only_h, "k", group_col="g").count() == 0
+    with pytest.raises(ValueError, match="scale"):
+        psi_drift(a, b, "k", scale=1000)
+    plan = _plan(psi_drift(a, b, "k", group_col="g"))
+    assert "EvalPython" not in plan
+    assert "SortMergeJoin" not in plan  # union + re-agg, no join
+
+
+# ---------------------------------------------- zipf_slope
+
+
+def _zipf_model(tf_counts, top_n=100, min_rank=1):
+    ranked = sorted(tf_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    pts = [(_ln_x(r), _ln_x(tf))
+           for r, (_t, tf) in enumerate(ranked[:top_n], 1)
+           if r >= min_rank]
+    m = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    den = m * sxx - sx * sx
+    if den <= 0:
+        return None
+    return m, round((m * sxy - sx * sy) / den, 4)
+
+
+def test_zipf_slope_pins_python_model(spark):
+    rng = random.Random(1203)
+    # a Zipf-ish corpus: term t_i appears ~ 600/i times
+    words = []
+    for i in range(1, 40):
+        words += ["t%02d" % i] * max(1, 600 // i)
+    rng.shuffle(words)
+    docs = [" ".join(words[i::10]) for i in range(10)]
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    from cascading_flink_spark.extensions import zipf_slope
+    r = zipf_slope(df, top_n=30).collect()[0]
+    tf = {}
+    for w in words:
+        tf[w] = tf.get(w, 0) + 1
+    m, slope = _zipf_model(tf, top_n=30)
+    assert r.n_terms == m
+    assert r.slope == pytest.approx(slope, abs=1e-4)
+    assert -1.3 < r.slope < -0.7  # a 1/i corpus fits ~ -1
+
+
+def test_zipf_slope_guards_and_plan(spark):
+    df = spark.createDataFrame([("a a b",)], "text string")
+    from cascading_flink_spark.extensions import zipf_slope
+    with pytest.raises(ValueError, match="top_n"):
+        zipf_slope(df, top_n=1)
+    with pytest.raises(ValueError, match="min_rank"):
+        zipf_slope(df, top_n=10, min_rank=10)
+    # a single-distinct-term group has den = 0 -> excluded
+    one = spark.createDataFrame([("x x x",)], "text string")
+    assert zipf_slope(one, top_n=5).count() == 0
+    # global path: the rank filter collapses the window onto a
+    # TakeOrderedAndProject (LimitPushDownThroughWindow) — no full
+    # vocabulary sort; grouped path: WindowGroupLimit prunes
+    # per-group before the sort
+    plan = _plan(zipf_slope(df, top_n=5))
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+    gdf = spark.createDataFrame([("g1", "a a b")],
+                                "lang string, text string")
+    gplan = _plan(zipf_slope(gdf, group_col="lang", top_n=5))
+    assert "WindowGroupLimit" in gplan
+
+
+# ---------------------------------------------- vocab_overlap
+
+
+def test_vocab_overlap_pins_python_model(spark):
+    rng = random.Random(1204)
+    va = ["w%02d" % rng.randrange(30) for _ in range(400)]
+    vb = ["w%02d" % (rng.randrange(30) + 15) for _ in range(300)]
+    a = spark.createDataFrame([(" ".join(va[i::5]),) for i in range(5)],
+                              "text string")
+    b = spark.createDataFrame([(" ".join(vb[i::5]),) for i in range(5)],
+                              "text string")
+    from cascading_flink_spark.extensions import vocab_overlap
+    r = vocab_overlap(a, b, min_tf=2).collect()[0]
+
+    def vocab(ws):
+        tf = {}
+        for w in ws:
+            tf[w] = tf.get(w, 0) + 1
+        return {w for w, c in tf.items() if c >= 2}
+    sa, sb = vocab(va), vocab(vb)
+    inter = len(sa & sb)
+    assert (r.n_a, r.n_b, r.n_common) == (len(sa), len(sb), inter)
+    assert r.jaccard_x1e6 == inter * 1_000_000 // len(sa | sb)
+    assert r.contain_a_x1e6 == inter * 1_000_000 // len(sa)
+    assert r.contain_b_x1e6 == inter * 1_000_000 // len(sb)
+
+
+def test_vocab_overlap_edges(spark):
+    """Disjoint vocabularies -> all ratios 0; identical -> all 1e6;
+    an empty side is guarded to 0 (no divide-by-zero divergence);
+    min_tf guard raises."""
+    a = spark.createDataFrame([("x y z",)], "text string")
+    b = spark.createDataFrame([("p q r",)], "text string")
+    from cascading_flink_spark.extensions import vocab_overlap
+    r = vocab_overlap(a, b).collect()[0]
+    assert (r.jaccard_x1e6, r.contain_a_x1e6, r.contain_b_x1e6) \
+        == (0, 0, 0)
+    r = vocab_overlap(a, a).collect()[0]
+    assert (r.jaccard_x1e6, r.contain_a_x1e6) == (1_000_000, 1_000_000)
+    empty = spark.createDataFrame([("",)], "text string")
+    r = vocab_overlap(a, empty).collect()[0]
+    assert (r.n_b, r.jaccard_x1e6, r.contain_b_x1e6) == (0, 0, 0)
+    with pytest.raises(ValueError, match="min_tf"):
+        vocab_overlap(a, b, min_tf=0)
+
+
+# ---------------------------------------------- degree_assortativity
+
+
+def _pearson(pairs):
+    n = len(pairs)
+    sx = sum(x for x, _ in pairs)
+    sy = sum(y for _, y in pairs)
+    sxx = sum(x * x for x, _ in pairs)
+    syy = sum(y * y for _, y in pairs)
+    sxy = sum(x * y for x, y in pairs)
+    dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+    if dx <= 0 or dy <= 0:
+        return None
+    return round((n * sxy - sx * sy)
+                 / (math.sqrt(dx) * math.sqrt(dy)), 4)
+
+
+def _assort_model(edges):
+    und = {}
+    es = set()
+    for s, d in edges:
+        a, b = min(s, d), max(s, d)
+        if a != b:
+            es.add((a, b))
+    deg = {}
+    for a, b in es:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    pairs = [(deg[a], deg[b]) for a, b in es] \
+        + [(deg[b], deg[a]) for a, b in es]
+    return len(es), _pearson(pairs)
+
+
+def test_degree_assortativity_star_is_minus_one(spark):
+    """A star graph is maximally DISassortative: every edge pairs the
+    hub (deg n-1) with a leaf (deg 1) -> rho = -1.0 exactly."""
+    edges = [(0, i) for i in range(1, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    from cascading_flink_spark.extensions import degree_assortativity
+    r = degree_assortativity(df).collect()[0]
+    assert (r.n_edges, r.rho) == (6, -1.0)
+
+
+def test_degree_assortativity_pins_python_model(spark):
+    rng = random.Random(1205)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(80)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    from cascading_flink_spark.extensions import degree_assortativity
+    r = degree_assortativity(df).collect()[0]
+    n_edges, rho = _assort_model(edges)
+    assert r.n_edges == n_edges
+    assert r.rho == pytest.approx(rho, abs=1e-4)
+
+
+def test_degree_assortativity_regular_graph_excluded(spark):
+    """A cycle is degree-regular (constant signal) -> rho undefined
+    -> EMPTY frame (the signal_corr exclusion); self-loops drop."""
+    cyc = [(i, (i + 1) % 5) for i in range(5)] + [(2, 2)]
+    df = spark.createDataFrame(cyc, "src long, dst long")
+    from cascading_flink_spark.extensions import degree_assortativity
+    assert degree_assortativity(df).count() == 0
+
+
+# ---------------------------------------------- mean_confidence
+
+
+def _mean_ci_model(vals, z=1.96):
+    n = len(vals)
+    s, sxx = sum(vals), sum(v * v for v in vals)
+    mean = s / n
+    se = math.sqrt((n * sxx - s * s) / (n * n * (n - 1)))
+    return round(mean, 4), round(mean - z * se, 4), \
+        round(mean + z * se, 4)
+
+
+def test_mean_confidence_pins_python_model(spark):
+    rng = random.Random(1206)
+    data = {"a": [rng.randrange(1000) for _ in range(211)],
+            "b": [rng.randrange(50) for _ in range(17)]}
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    from cascading_flink_spark.extensions import mean_confidence
+    got = {r.g: (r.n, r.mean, r.lo, r.hi)
+           for r in mean_confidence(df, "v", group_col="g").collect()}
+    for g, vs in data.items():
+        mean, lo, hi = _mean_ci_model(vs)
+        gn, gm, glo, ghi = got[g]
+        assert gn == len(vs)
+        assert gm == pytest.approx(mean, abs=1e-4)
+        assert glo == pytest.approx(lo, abs=1e-4)
+        assert ghi == pytest.approx(hi, abs=1e-4)
+
+
+def test_mean_confidence_edges_quantize_and_plan(spark):
+    """n = 1 groups are excluded; constant values collapse the band
+    to the mean; quantize_x buckets raw doubles (reported in
+    quantized units); guards raise; single-exchange plan."""
+    rows = [("solo", 5.0)] + [("const", 3.0)] * 9 \
+        + [("x", 1.25), ("x", 1.75), ("x", 2.25)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    from cascading_flink_spark.extensions import mean_confidence
+    got = {r.g: (r.n, r.mean, r.lo, r.hi)
+           for r in mean_confidence(df, "v", group_col="g",
+                                    quantize_x=4).collect()}
+    assert "solo" not in got
+    assert got["const"] == (9, 12.0, 12.0, 12.0)  # 3.0 * 4, zero var
+    assert got["x"][1] == 7.0  # (5 + 7 + 9) / 3 in quarter units
+    with pytest.raises(ValueError, match="z_x1000"):
+        mean_confidence(df, "v", z_x1000=-1)
+    with pytest.raises(ValueError, match="quantize_x"):
+        mean_confidence(df, "v", quantize_x=0)
+    plan = _plan(mean_confidence(df, "v", group_col="g",
+                                 quantize_x=4))
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") == 1
