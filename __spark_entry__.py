@@ -1967,7 +1967,8 @@ def q_diversity(spark, sf_dir):
 
 def q_psi(spark, sf_dir):
     """Per-language Population Stability Index of the source mix
-    between the even- and odd-doc_id corpus halves — quantize both
+    between the every-3rd-doc slice and the rest of the corpus
+    (both cover every source: gcd(3, 20) = 1) — quantize both
     distributions, clamp to the 1-quantum epsilon floor, one
     rounded ln per quantized cell, exact nonnegative term sum, one
     truncating DIV (the categorical drift score next to ks_drift's
@@ -1975,9 +1976,37 @@ def q_psi(spark, sf_dir):
     from cascading_flink_spark.extensions import psi_drift
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang",
                                                  "source")
-    a = docs.filter(F.col("doc_id") % 2 == 0)
-    b = docs.filter(F.col("doc_id") % 2 == 1)
+    a = docs.filter(F.col("doc_id") % 3 == 0)
+    b = docs.filter(F.col("doc_id") % 3 != 0)
     return psi_drift(a, b, "source", group_col="lang")
+
+
+def q_chi2(spark, sf_dir):
+    """Per-language chi-square homogeneity of the source mix between
+    the even- and odd-doc_id halves — the 2xK identity clears every
+    cell to (ca*nb - cb*na)^2 * 1000 DIV (ca+cb), exact DECIMAL
+    sums, one final DIV by na*nb; no logarithms anywhere."""
+    from cascading_flink_spark.extensions import chi2_drift
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                 "source")
+    a = docs.filter(F.col("doc_id") % 3 == 0)
+    b = docs.filter(F.col("doc_id") % 3 != 0)
+    return chi2_drift(a, b, "source", group_col="lang")
+
+
+def q_jsd(spark, sf_dir):
+    """Per-language Jensen-Shannon divergence of the source mix
+    between the every-3rd-doc slice and the rest
+    (both halves cover every source: gcd(3, 20) = 1) — quantize, one rounded
+    ln per nonzero cell (zero cells short in a CASE, no epsilon
+    floor), exact clamped term sum, one truncating DIV by
+    2*scale."""
+    from cascading_flink_spark.extensions import js_divergence
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                 "source")
+    a = docs.filter(F.col("doc_id") % 3 == 0)
+    b = docs.filter(F.col("doc_id") % 3 != 0)
+    return js_divergence(a, b, "source", group_col="lang")
 
 
 def q_zipf(spark, sf_dir):
@@ -4020,6 +4049,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_confidence": q_rate_confidence,
         "diversity": q_diversity,
         "psi": q_psi,
+        "chi2": q_chi2,
+        "jsd": q_jsd,
         "zipf": q_zipf,
         "vocab_overlap": q_vocab_overlap,
         "assortativity": q_assortativity,
@@ -5717,11 +5748,11 @@ def oracle_sql() -> dict[str, str]:
         "psi": """
             WITH a AS (SELECT lang, source AS k, count(*)::BIGINT AS c
                        FROM documents
-                       WHERE doc_id % 2 = 0 AND source IS NOT NULL
+                       WHERE doc_id % 3 = 0 AND source IS NOT NULL
                        GROUP BY 1, 2),
             b AS (SELECT lang, source AS k, count(*)::BIGINT AS c
                   FROM documents
-                  WHERE doc_id % 2 = 1 AND source IS NOT NULL
+                  WHERE doc_id % 3 <> 0 AND source IS NOT NULL
                   GROUP BY 1, 2),
             m AS (SELECT coalesce(a.lang, b.lang) AS lang,
                          coalesce(a.k, b.k) AS k,
@@ -5749,6 +5780,79 @@ def oracle_sql() -> dict[str, str]:
                   FROM p GROUP BY 1)
             SELECT lang, n_a, n_b, n_keys,
                    (s // 1000000)::BIGINT AS psi_x1e6
+            FROM t
+        """,
+        "chi2": """
+            WITH a AS (SELECT lang, source AS k, count(*)::BIGINT AS c
+                       FROM documents
+                       WHERE doc_id % 3 = 0 AND source IS NOT NULL
+                       GROUP BY 1, 2),
+            b AS (SELECT lang, source AS k, count(*)::BIGINT AS c
+                  FROM documents
+                  WHERE doc_id % 3 <> 0 AND source IS NOT NULL
+                  GROUP BY 1, 2),
+            m AS (SELECT coalesce(a.lang, b.lang) AS lang,
+                         coalesce(a.c, 0)::BIGINT AS ca,
+                         coalesce(b.c, 0)::BIGINT AS cb
+                  FROM a FULL OUTER JOIN b
+                    ON a.lang = b.lang AND a.k = b.k),
+            w AS (SELECT lang, ca, cb,
+                         sum(ca) OVER (PARTITION BY lang)::BIGINT AS na,
+                         sum(cb) OVER (PARTITION BY lang)::BIGINT AS nb
+                  FROM m),
+            p AS (SELECT lang, na, nb,
+                         ((ca::HUGEINT * nb - cb::HUGEINT * na)
+                          * (ca::HUGEINT * nb - cb::HUGEINT * na)
+                          * 1000 // (ca + cb)) AS cell
+                  FROM w WHERE na > 0 AND nb > 0),
+            t AS (SELECT lang, max(na)::BIGINT AS n_a,
+                         max(nb)::BIGINT AS n_b,
+                         count(*)::BIGINT AS n_keys,
+                         sum(cell) AS s
+                  FROM p GROUP BY 1)
+            SELECT lang, n_a, n_b, n_keys,
+                   (n_keys - 1)::BIGINT AS dof,
+                   (s // (n_a::HUGEINT * n_b))::BIGINT AS chi2_x1e3
+            FROM t
+        """,
+        "jsd": """
+            WITH a AS (SELECT lang, source AS k, count(*)::BIGINT AS c
+                       FROM documents
+                       WHERE doc_id % 3 = 0 AND source IS NOT NULL
+                       GROUP BY 1, 2),
+            b AS (SELECT lang, source AS k, count(*)::BIGINT AS c
+                  FROM documents
+                  WHERE doc_id % 3 <> 0 AND source IS NOT NULL
+                  GROUP BY 1, 2),
+            m AS (SELECT coalesce(a.lang, b.lang) AS lang,
+                         coalesce(a.c, 0)::BIGINT AS ca,
+                         coalesce(b.c, 0)::BIGINT AS cb
+                  FROM a FULL OUTER JOIN b
+                    ON a.lang = b.lang AND a.k = b.k),
+            w AS (SELECT lang, ca, cb,
+                         sum(ca) OVER (PARTITION BY lang)::BIGINT AS na,
+                         sum(cb) OVER (PARTITION BY lang)::BIGINT AS nb
+                  FROM m),
+            pq AS (SELECT lang, na, nb,
+                          (ca::HUGEINT * 1000000 // na)::BIGINT AS p,
+                          (cb::HUGEINT * 1000000 // nb)::BIGINT AS q
+                   FROM w WHERE na > 0 AND nb > 0),
+            p2 AS (SELECT lang, na, nb,
+                          ((CASE WHEN p = 0 THEN 0 ELSE p
+                            * (round(ln(2 * p) * 1000000)::BIGINT
+                               - round(ln(p + q) * 1000000)::BIGINT)
+                            END)
+                           + (CASE WHEN q = 0 THEN 0 ELSE q
+                              * (round(ln(2 * q) * 1000000)::BIGINT
+                                 - round(ln(p + q) * 1000000)::BIGINT)
+                              END))::HUGEINT AS t
+                   FROM pq),
+            t AS (SELECT lang, max(na)::BIGINT AS n_a,
+                         max(nb)::BIGINT AS n_b,
+                         count(*)::BIGINT AS n_keys, sum(t) AS s
+                  FROM p2 GROUP BY 1)
+            SELECT lang, n_a, n_b, n_keys,
+                   (greatest(s, 0) // 2000000)::BIGINT AS jsd_x1e6
             FROM t
         """,
         "zipf": """

@@ -85,10 +85,11 @@ from .corpus import (bigram_lm_scores, bm25_multi_scores, bm25_scores,
 from .analytics import (average_precision,
                         calibration_report, calibration_summary,
                         cohen_kappa,
-                        cardinality_report, classifier_auc,
+                        cardinality_report, chi2_drift,
+                        classifier_auc,
                         concentration_report, confusion_report,
                         cohort_retention,
-                        diversity_report,
+                        diversity_report, js_divergence,
                         event_funnel, group_quantiles,
                         ks_statistic, mean_confidence,
                         psi_drift, rate_confidence,

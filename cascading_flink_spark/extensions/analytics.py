@@ -1633,6 +1633,35 @@ def diversity_report(df: DataFrame, key_col: str,
                "* n) AS BIGINT)").alias("gini_x1e6"))
 
 
+def _two_sample_counts(df_a: DataFrame, df_b: DataFrame, key_col: str,
+                       g: list) -> DataFrame:
+    """Shared reduced frame for the two-sample categorical drift
+    family (:func:`psi_drift`, :func:`chi2_drift`,
+    :func:`js_divergence`): per-(group, key) counts of both sides on
+    the UNION support — built by one partial agg per side + one
+    union + re-agg (never a join) — with per-group totals attached
+    and one-sided groups excluded (the KS convention).  Columns:
+    ``(*g, __k, __a, __b, n_a, n_b)``."""
+
+    def _counts(df, side):
+        return (df.filter(F.col(key_col).isNotNull())
+                .groupBy(*g, F.col(key_col).alias("__k"))
+                .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+                .withColumn("__side", F.lit(side)))
+    merged = _counts(df_a, 0).unionByName(_counts(df_b, 1))
+    c = (merged.groupBy(*g, "__k")
+         .agg(F.sum(F.when(F.col("__side") == 0, F.col("__c"))
+                    .otherwise(0)).cast("long").alias("__a"),
+              F.sum(F.when(F.col("__side") == 1, F.col("__c"))
+                    .otherwise(0)).cast("long").alias("__b")))
+    wall = (Window.partitionBy(*g)
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    return (c.withColumn("n_a", F.sum("__a").over(wall).cast("long"))
+             .withColumn("n_b", F.sum("__b").over(wall).cast("long"))
+             .filter((F.col("n_a") > 0) & (F.col("n_b") > 0)))
+
+
 def psi_drift(df_a: DataFrame, df_b: DataFrame, key_col: str,
               group_col: str | None = None,
               scale: int = 1_000_000) -> DataFrame:
@@ -1669,24 +1698,7 @@ def psi_drift(df_a: DataFrame, df_b: DataFrame, key_col: str,
                          "epsilon floor is 1/scale; coarser than "
                          "1e-6 distorts the reported PSI)")
     g = [group_col] if group_col is not None else []
-
-    def _counts(df, side):
-        return (df.filter(F.col(key_col).isNotNull())
-                .groupBy(*g, F.col(key_col).alias("__k"))
-                .agg(F.count(F.lit(1)).cast("long").alias("__c"))
-                .withColumn("__side", F.lit(side)))
-    merged = _counts(df_a, 0).unionByName(_counts(df_b, 1))
-    c = (merged.groupBy(*g, "__k")
-         .agg(F.sum(F.when(F.col("__side") == 0, F.col("__c"))
-                    .otherwise(0)).cast("long").alias("__a"),
-              F.sum(F.when(F.col("__side") == 1, F.col("__c"))
-                    .otherwise(0)).cast("long").alias("__b")))
-    wall = (Window.partitionBy(*g)
-            .rowsBetween(Window.unboundedPreceding,
-                         Window.unboundedFollowing))
-    c = (c.withColumn("n_a", F.sum("__a").over(wall).cast("long"))
-          .withColumn("n_b", F.sum("__b").over(wall).cast("long"))
-          .filter((F.col("n_a") > 0) & (F.col("n_b") > 0)))
+    c = _two_sample_counts(df_a, df_b, key_col, g)
     s = int(scale)
     c = (c.withColumn("__p", F.expr(
             f"greatest(CAST(__a AS DECIMAL(38,0)) * {s} DIV n_a, 1)")
@@ -1705,6 +1717,112 @@ def psi_drift(df_a: DataFrame, df_b: DataFrame, key_col: str,
             .select(*g, "n_a", "n_b", "n_keys",
                     F.expr(f"CAST(__sum DIV {s} AS BIGINT)")
                      .alias("psi_x1e6")))
+
+
+def chi2_drift(df_a: DataFrame, df_b: DataFrame, key_col: str,
+               group_col: str | None = None) -> DataFrame:
+    """Chi-square homogeneity statistic between two slices'
+    categorical distributions, per group or globally: ``(group?,
+    n_a, n_b, n_keys, dof, chi2_x1e3)`` — the classical 2xK test
+    statistic (compare ``chi2_x1e3 / 1000`` against a chi-square
+    quantile at ``dof = n_keys - 1``), the count-scale-aware member
+    of the drift family: unlike :func:`psi_drift`/TV it grows with
+    sample size, so it answers "is this shift bigger than sampling
+    noise?" rather than "how big is the shift?".
+
+    NO logarithms — the 2xK identity clears each cell to pure
+    rational arithmetic: ``chi2 = sum over keys of (ca*nb - cb*na)^2
+    / (na * nb * (ca + cb))``.  The recipe keeps every cell exact as
+    long as possible: per-cell ``(ca*nb - cb*na)^2 * 1000 DIV
+    (ca + cb)`` is one truncating division of DECIMAL(38,0)-exact
+    integers (spelled identically on both engines), the cell terms
+    sum exactly, and ``chi2_x1e3`` is ONE final truncating DIV by
+    ``na * nb``.  Headroom: the squared numerator is bounded by
+    ``(na * nb)^2 * 1e3`` — keep ``na * nb`` under ~2e17 per group
+    (e.g. two 4e8-row sides; sample or shard a group past that,
+    where chi-square rejects everything anyway).  Zero-count cells
+    need no epsilon (the term is finite by construction).
+    One-sided groups are EXCLUDED; NULL keys drop their row.
+
+    Scale shape: the shared two-sample reduced frame (two partial
+    aggs + union + re-agg, no join) + two group-total windows + one
+    rollup, all bounded by keys-per-group.  No driver pulls."""
+    g = [group_col] if group_col is not None else []
+    c = _two_sample_counts(df_a, df_b, key_col, g)
+    c = c.withColumn("__t", F.expr(
+        "(CAST(__a AS DECIMAL(38,0)) * n_b "
+        "- CAST(__b AS DECIMAL(38,0)) * n_a) "))
+    c = c.withColumn("__cell", F.expr(
+        "__t * __t * 1000 DIV CAST(__a + __b AS DECIMAL(38,0))"))
+    return (c.groupBy(*g)
+            .agg(F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"),
+                 F.count(F.lit(1)).cast("long").alias("n_keys"),
+                 F.sum("__cell").alias("__sum"))
+            .select(*g, "n_a", "n_b", "n_keys",
+                    (F.col("n_keys") - 1).cast("long").alias("dof"),
+                    F.expr("CAST(__sum DIV (CAST(n_a AS "
+                           "DECIMAL(38,0)) * n_b) AS BIGINT)")
+                     .alias("chi2_x1e3")))
+
+
+def js_divergence(df_a: DataFrame, df_b: DataFrame, key_col: str,
+                  group_col: str | None = None,
+                  scale: int = 1_000_000) -> DataFrame:
+    """Jensen-Shannon divergence between two slices' categorical
+    distributions, per group or globally: ``(group?, n_a, n_b,
+    n_keys, jsd_x1e6)`` — the SYMMETRIC, always-finite information
+    divergence, bounded in ``[0, ln 2 ~ 0.693]`` (its square root is
+    a true metric) — the drift score to reach for when supports
+    genuinely differ: unlike :func:`psi_drift` it needs no epsilon
+    floor (a one-sided key contributes exactly ``p * ln 2``), and
+    unlike chi-square it does not blow up on rare cells.
+
+    Determinism recipe: quantize both distributions
+    (``p = count * scale DIV total`` per cell — the corpus_drift
+    spelling), then ``2 * JSD = sum of p * (ln(2p) - ln(p+q)) +
+    q * (ln(2q) - ln(p+q))`` with each ``ln`` of an exact integer
+    rounded ONCE to 1e-6 (the DSIR recipe); zero cells short to 0
+    in a CASE (ln never sees them).  Every term is an exact long —
+    the p-half runs NEGATIVE on cells where q > p (only the total
+    is nonnegative, it is a sum of two whole KLs) — the sum is
+    DECIMAL(38,0)-exact, clamped at 0 (per-ln rounding can dip an
+    identical-distribution sum an epsilon below zero, and negative
+    operands would split the engines' truncation conventions), and
+    ``jsd_x1e6 = sum DIV (2 * scale)`` is one truncating division.
+    One-sided groups are EXCLUDED; NULL keys drop their row.
+
+    Scale shape: identical to :func:`psi_drift` — the shared
+    two-sample reduced frame + one rollup.  No driver pulls."""
+    if int(scale) < 1_000_000:
+        raise ValueError("js_divergence: scale must be >= 1e6 "
+                         "(coarser quantization distorts the "
+                         "reported divergence)")
+    g = [group_col] if group_col is not None else []
+    c = _two_sample_counts(df_a, df_b, key_col, g)
+    s = int(scale)
+    c = (c.withColumn("__p", F.expr(
+            f"CAST(CAST(__a AS DECIMAL(38,0)) * {s} DIV n_a "
+            f"AS BIGINT)"))
+          .withColumn("__q", F.expr(
+            f"CAST(CAST(__b AS DECIMAL(38,0)) * {s} DIV n_b "
+            f"AS BIGINT)"))
+          .withColumn("__t", F.expr(
+            "(CASE WHEN __p = 0 THEN 0 ELSE __p * "
+            "(CAST(round(ln(2 * __p) * 1000000, 0) AS BIGINT) "
+            "- CAST(round(ln(__p + __q) * 1000000, 0) AS BIGINT)) "
+            "END) + (CASE WHEN __q = 0 THEN 0 ELSE __q * "
+            "(CAST(round(ln(2 * __q) * 1000000, 0) AS BIGINT) "
+            "- CAST(round(ln(__p + __q) * 1000000, 0) AS BIGINT)) "
+            "END)")))
+    return (c.groupBy(*g)
+            .agg(F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"),
+                 F.count(F.lit(1)).cast("long").alias("n_keys"),
+                 F.sum(F.col("__t").cast("decimal(38,0)"))
+                  .alias("__sum"))
+            .select(*g, "n_a", "n_b", "n_keys",
+                    F.expr("CAST(greatest(__sum, 0) DIV "
+                           f"{2 * s} AS BIGINT)")
+                     .alias("jsd_x1e6")))
 
 
 def mean_confidence(df: DataFrame, value_col: str,

@@ -374,3 +374,114 @@ def test_mean_confidence_edges_quantize_and_plan(spark):
                                  quantize_x=4))
     assert "EvalPython" not in plan
     assert plan.count("Exchange") == 1
+
+
+# ---------------------------------------------- chi2_drift
+
+
+def _chi2_model(ca, cb):
+    keys = set(ca) | set(cb)
+    na, nb = sum(ca.values()), sum(cb.values())
+    s = 0
+    for k in keys:
+        a, b = ca.get(k, 0), cb.get(k, 0)
+        d = a * nb - b * na
+        s += d * d * 1000 // (a + b)
+    return (na, nb, len(keys), len(keys) - 1, s // (na * nb))
+
+
+def test_chi2_drift_pins_python_model(spark):
+    rng = random.Random(1207)
+    ra = [("g", "k%d" % rng.randrange(6)) for _ in range(250)]
+    rb = [("g", "k%d" % rng.randrange(8)) for _ in range(150)]
+    a = spark.createDataFrame(ra, "g string, k string")
+    b = spark.createDataFrame(rb, "g string, k string")
+    from cascading_flink_spark.extensions import chi2_drift
+    r = chi2_drift(a, b, "k", group_col="g").collect()[0]
+    ca, cb = {}, {}
+    for _g, k in ra:
+        ca[k] = ca.get(k, 0) + 1
+    for _g, k in rb:
+        cb[k] = cb.get(k, 0) + 1
+    assert (r.n_a, r.n_b, r.n_keys, r.dof, r.chi2_x1e3) \
+        == _chi2_model(ca, cb)
+
+
+def test_chi2_drift_properties(spark):
+    """chi2(a, a) == 0 exactly (every cell numerator is 0); a
+    PROPORTIONALLY scaled copy also scores 0 (homogeneity, not
+    equality); the statistic GROWS with sample size at fixed shift
+    (the property that separates it from PSI); one-sided groups are
+    excluded; no joins in the plan."""
+    rows = [("g", "x")] * 6 + [("g", "y")] * 3
+    a = spark.createDataFrame(rows, "g string, k string")
+    from cascading_flink_spark.extensions import chi2_drift
+    assert chi2_drift(a, a, "k", group_col="g") \
+        .collect()[0].chi2_x1e3 == 0
+    b = spark.createDataFrame(rows * 3, "g string, k string")
+    assert chi2_drift(a, b, "k", group_col="g") \
+        .collect()[0].chi2_x1e3 == 0
+    # fixed shift, growing n -> growing chi2
+    sm_a = spark.createDataFrame([("g", "x")] * 6 + [("g", "y")] * 4,
+                                 "g string, k string")
+    sm_b = spark.createDataFrame([("g", "x")] * 4 + [("g", "y")] * 6,
+                                 "g string, k string")
+    lg_a = spark.createDataFrame([("g", "x")] * 60 + [("g", "y")] * 40,
+                                 "g string, k string")
+    lg_b = spark.createDataFrame([("g", "x")] * 40 + [("g", "y")] * 60,
+                                 "g string, k string")
+    small = chi2_drift(sm_a, sm_b, "k").collect()[0].chi2_x1e3
+    large = chi2_drift(lg_a, lg_b, "k").collect()[0].chi2_x1e3
+    assert large > small * 5
+    plan = _plan(chi2_drift(a, b, "k", group_col="g"))
+    assert "EvalPython" not in plan and "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------- js_divergence
+
+
+def _jsd_model(ca, cb, scale=1_000_000):
+    keys = set(ca) | set(cb)
+    na, nb = sum(ca.values()), sum(cb.values())
+    s = 0
+    for k in keys:
+        p = ca.get(k, 0) * scale // na
+        q = cb.get(k, 0) * scale // nb
+        if p:
+            s += p * (_ln_x(2 * p) - _ln_x(p + q))
+        if q:
+            s += q * (_ln_x(2 * q) - _ln_x(p + q))
+    return (na, nb, len(keys), max(s, 0) // (2 * scale))
+
+
+def test_js_divergence_pins_python_model(spark):
+    rng = random.Random(1208)
+    ra = [("g", "k%d" % rng.randrange(7)) for _ in range(260)]
+    rb = [("g", "k%d" % rng.randrange(9)) for _ in range(180)]
+    a = spark.createDataFrame(ra, "g string, k string")
+    b = spark.createDataFrame(rb, "g string, k string")
+    from cascading_flink_spark.extensions import js_divergence
+    r = js_divergence(a, b, "k", group_col="g").collect()[0]
+    ca, cb = {}, {}
+    for _g, k in ra:
+        ca[k] = ca.get(k, 0) + 1
+    for _g, k in rb:
+        cb[k] = cb.get(k, 0) + 1
+    assert (r.n_a, r.n_b, r.n_keys, r.jsd_x1e6) == _jsd_model(ca, cb)
+
+
+def test_js_divergence_bounds(spark):
+    """JSD(a, a) == 0; fully disjoint supports hit the ln 2 ceiling
+    (~693147 at x1e6, up to quantization) and NEVER exceed it; no
+    epsilon floor is involved (the PSI difference); scale guard
+    raises."""
+    rows = [("g", "x")] * 5 + [("g", "y")] * 3
+    a = spark.createDataFrame(rows, "g string, k string")
+    from cascading_flink_spark.extensions import js_divergence
+    assert js_divergence(a, a, "k", group_col="g") \
+        .collect()[0].jsd_x1e6 == 0
+    b = spark.createDataFrame([("g", "z")] * 8, "g string, k string")
+    d = js_divergence(a, b, "k", group_col="g").collect()[0].jsd_x1e6
+    assert 690_000 <= d <= 693_148
+    with pytest.raises(ValueError, match="scale"):
+        js_divergence(a, b, "k", scale=1000)
