@@ -2148,6 +2148,89 @@ def _eccentricity_oracle(seeds: list, hops: int = 6) -> str:
     return " UNION ALL ".join(parts)
 
 
+def q_harmonic(spark, sf_dir):
+    """Per-seed harmonic centrality probe on the sparse 500-node
+    graph: 3 seeds, horizon 6 — sum of 1e6 DIV dist over each BFS
+    frontier (disconnection-safe: unreachable nodes contribute 0);
+    oracle = three unrolled BFS twins aggregated and unioned."""
+    from cascading_flink_spark.extensions import (
+        harmonic_centrality_sample)
+    return harmonic_centrality_sample(_thin_graph(spark, sf_dir),
+                                      seeds=[0, 1, 2], max_hops=6)
+
+
+def _harmonic_oracle(seeds: list, hops: int = 6) -> str:
+    """DuckDB twin of q_harmonic: one unrolled _bfs_oracle per seed
+    as a derived table, reduced to its (seed, n_reached, harm_x1e6)
+    row via the same per-term 1e6 DIV dist, UNION ALL."""
+    parts = [f"""
+        SELECT {s}::BIGINT AS seed, count(*)::BIGINT AS n_reached,
+               sum(CASE WHEN dist >= 1 THEN 1000000 // dist
+                   ELSE 0 END)::BIGINT AS harm_x1e6
+        FROM ({_bfs_oracle(seeds=[s], hops=hops)})"""
+             for s in seeds]
+    return " UNION ALL ".join(parts)
+
+
+def q_mrl_recall(spark, sf_dir):
+    """Matryoshka-truncation retrieval eval (Kusupati et al. 2022):
+    recall@10 of EXACT cosine search over the first-16-dim prefix of
+    the 64-dim embeddings, judged against the full-dim exact top-10
+    positives — 'how much retrieval do I lose storing a quarter of
+    the vector?'.  A composition: brute_force_topk on
+    slice(embedding, 1, 16) -> the shared graded judgments ->
+    recall_at_k (judged-but-unretrieved queries score 0)."""
+    from cascading_flink_spark.extensions import (brute_force_topk,
+                                                  recall_at_k)
+    emb = _t(spark, sf_dir, "embeddings")
+    tr = emb.select("vec_id",
+                    F.expr("slice(embedding, 1, 16)")
+                     .alias("embedding"))
+    queries_df = (tr.filter(F.col("vec_id") < 5)
+                  .select(F.col("vec_id").alias("query_id"),
+                          "embedding"))
+    results = brute_force_topk(tr, queries_df, k=10)
+    _lsh, qrels = _lsh_qrels_frames(spark, sf_dir)
+    return recall_at_k(results, qrels, k=10, rel_threshold=11)
+
+
+def _mrl_recall_oracle(k: int = 10, kt: int = 20, thr: int = 11,
+                       dim_t: int = 16,
+                       scale: int = 1_000_000) -> str:
+    """DuckDB twin of q_mrl_recall: the truncated-dim exact top-k as
+    the results list (cast-then-slice matches Spark's
+    slice-then-cast element-for-element), the full-dim qrels, and
+    the recall_at_k arithmetic."""
+    return f"""
+        WITH {_eval_cte_sql(kt)},
+        tr AS (
+            SELECT q.vec_id AS query_id, a.vec_id AS vec_id,
+                   round(list_cosine_similarity(
+                       (a.embedding::DOUBLE[])[1:{dim_t}],
+                       (q.embedding::DOUBLE[])[1:{dim_t}]), 4) AS sim
+            FROM embeddings a, embeddings q
+            WHERE q.vec_id < 5 AND a.vec_id <> q.vec_id
+            QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY sim DESC, a.vec_id) <= {k}),
+        pos AS (SELECT query_id, vec_id FROM qrels WHERE rel >= {thr}),
+        nrel AS (SELECT query_id, count(*)::BIGINT AS n_rel
+                 FROM pos GROUP BY 1),
+        ranked AS (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, vec_id) AS r
+            FROM tr QUALIFY r <= {k}),
+        hits AS (SELECT query_id, count(*)::BIGINT AS nh
+                 FROM ranked JOIN pos USING (query_id, vec_id)
+                 GROUP BY 1)
+        SELECT n.query_id,
+               coalesce(h.nh, 0)::BIGINT AS n_hit, n.n_rel,
+               (coalesce(h.nh, 0) * {scale} // n.n_rel)::BIGINT
+                   AS recall_x1e6
+        FROM nrel n LEFT JOIN hits h USING (query_id)
+    """
+
+
 def q_concentration(spark, sf_dir):
     """Per-language source-concentration data card (HHI, top share,
     CR4) over documents — one exact truncating division per metric
@@ -4055,6 +4138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_overlap": q_vocab_overlap,
         "assortativity": q_assortativity,
         "mean_confidence": q_mean_confidence,
+        "harmonic": q_harmonic,
+        "mrl_recall": q_mrl_recall,
         "cluster_split": q_cluster_split,
         "dedup_keep_best": q_dedup_keep_best,
         "minhash_recall": q_minhash_recall,
@@ -5677,6 +5762,9 @@ def oracle_sql() -> dict[str, str]:
         "mmr": _mmr_oracle(k=6, lam=700),
         "rbo": _rbo_oracle(k=10, p_x1000=900),
         "eccentricity": _eccentricity_oracle(seeds=[0, 1, 2], hops=6),
+        "harmonic": _harmonic_oracle(seeds=[0, 1, 2], hops=6),
+        "mrl_recall": _mrl_recall_oracle(k=10, kt=20, thr=11,
+                                         dim_t=16),
         "rate_confidence": """
             WITH t AS (SELECT lang, count(*)::BIGINT AS n,
                               sum(CASE WHEN doc_id % 5 < 2 THEN 1

@@ -135,10 +135,14 @@ BENCH_QUERIES = [
     "rate_confidence",
     "diversity",
     "psi",
+    "chi2",
+    "jsd",
     "zipf",
     "vocab_overlap",
     "assortativity",
     "mean_confidence",
+    "harmonic",
+    "mrl_recall",
     # round 11
     "connected_components_fast",
     "rrf_hybrid3",

@@ -72,6 +72,7 @@ from .dsir import (dsir_bucket_weights, dsir_mixture_select, dsir_sample,
 from .graph import (bfs_distances, clustering_coefficient,
                     connected_components, degree_assortativity,
                     eccentricity_sample,
+                    harmonic_centrality_sample,
                     hits, k_core,
                     label_propagation, link_candidates, pagerank,
                     triangle_count)

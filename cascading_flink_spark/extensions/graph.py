@@ -865,3 +865,60 @@ def degree_assortativity(edges: DataFrame, src_col: str = "src",
     res = signal_corr(pairs, "dx", "dy", method="pearson")
     return res.select(F.expr("n DIV 2").cast("long").alias("n_edges"),
                       "rho")
+
+
+def harmonic_centrality_sample(edges: DataFrame, seeds: list,
+                               max_hops: int = 6,
+                               src_col: str = "src",
+                               dst_col: str = "dst",
+                               directed: bool = False) -> DataFrame:
+    """Harmonic centrality probe for an explicit seed sample:
+    ``(seed, n_reached, harm_x1e6)`` with ``harm = sum over reached
+    nodes v != seed of 1 / dist(seed, v)`` — the centrality that
+    stays well-defined on DISCONNECTED graphs (an unreachable node
+    contributes exactly 0, where closeness centrality degenerates;
+    Boldi-Vigna 2014's axiomatic pick) — the "is this node actually
+    central or just in a big component?" probe next to
+    :func:`eccentricity_sample`'s diameter bound.
+
+    Composes :func:`bfs_distances` per seed (the eccentricity_sample
+    pattern — one exact integer-min BFS each, reduced to ONE row by
+    a partial agg): ``harm_x1e6 = sum of 1e6 DIV dist`` over the
+    dist >= 1 frontier rows — each term one truncating integer
+    division, the sum exact and order-free.  Truncation at
+    ``max_hops`` CENSORS the tail exactly like the eccentricity
+    probe: nodes beyond the horizon contribute 0 (a LOWER bound —
+    but each missed term is < 1e6/max_hops, the documented
+    trade-off).  A seed absent from the graph raises in-plan (the
+    eccentricity guard).
+
+    Scale shape: ``len(seeds)`` independent BFS runs, each one
+    equi-join + partial-agg min per round; bounded by the seeds
+    parameter, never by data."""
+    if not seeds:
+        raise ValueError("harmonic_centrality_sample: seeds must be "
+                         "a non-empty list")
+    if len(set(seeds)) != len(seeds):
+        raise ValueError("harmonic_centrality_sample: seeds must be "
+                         "distinct")
+    out = None
+    for s in seeds:
+        d = bfs_distances(edges, [s], max_hops=max_hops,
+                          src_col=src_col, dst_col=dst_col,
+                          directed=directed)
+        one = (d.agg(F.lit(s).alias("seed"),
+                     F.count(F.lit(1)).cast("long").alias("__n"),
+                     F.sum(F.when(F.col("dist") >= 1,
+                                  F.expr("1000000 DIV dist"))
+                           .otherwise(0)).cast("long")
+                      .alias("harm_x1e6"))
+               .select("seed",
+                       F.when(F.col("__n") > 0, F.col("__n"))
+                        .otherwise(F.raise_error(F.lit(
+                            "harmonic_centrality_sample: seed "
+                            f"{s!r} does not appear in the graph"))
+                            .cast("long"))
+                        .alias("n_reached"),
+                       "harm_x1e6"))
+        out = one if out is None else out.unionByName(one)
+    return out

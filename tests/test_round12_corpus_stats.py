@@ -485,3 +485,78 @@ def test_js_divergence_bounds(spark):
     assert 690_000 <= d <= 693_148
     with pytest.raises(ValueError, match="scale"):
         js_divergence(a, b, "k", scale=1000)
+
+
+# ------------------------------------- harmonic_centrality_sample
+
+
+def test_harmonic_centrality_exact_censored_islands(spark):
+    """On a 4-node path from the endpoint: harm = 1e6/1 + 1e6 DIV 2 +
+    1e6 DIV 3 (exact truncating terms); a horizon of 1 censors to the
+    direct-neighbour term; a disconnected island contributes 0 (the
+    harmonic-vs-closeness point); guards mirror the BFS seed
+    contract."""
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (10, 11)],
+                              "src long, dst long")
+    from cascading_flink_spark.extensions import (
+        harmonic_centrality_sample)
+    got = {r.seed: (r.n_reached, r.harm_x1e6)
+           for r in harmonic_centrality_sample(
+               e, seeds=[0, 1, 10], max_hops=6).collect()}
+    assert got[0] == (4, 1_000_000 + 500_000 + 333_333)
+    assert got[1] == (4, 2_000_000 + 500_000)  # two at 1, one at 2
+    assert got[10] == (2, 1_000_000)  # island: only its neighbour
+    cens = harmonic_centrality_sample(e, seeds=[0],
+                                      max_hops=1).collect()[0]
+    assert (cens.n_reached, cens.harm_x1e6) == (2, 1_000_000)
+    with pytest.raises(ValueError, match="non-empty"):
+        harmonic_centrality_sample(e, seeds=[])
+    with pytest.raises(ValueError, match="distinct"):
+        harmonic_centrality_sample(e, seeds=[0, 0])
+    with pytest.raises(Exception, match="seed"):
+        harmonic_centrality_sample(e, seeds=[99],
+                                   max_hops=2).collect()
+
+
+def test_harmonic_centrality_star_hub_dominates(spark):
+    """The hub of a star reaches every leaf at distance 1 (harm =
+    (n-1) * 1e6); a leaf reaches the hub at 1 and the other leaves
+    at 2 — the probe separates them 2:1 as n grows."""
+    e = spark.createDataFrame([(0, i) for i in range(1, 9)],
+                              "src long, dst long")
+    from cascading_flink_spark.extensions import (
+        harmonic_centrality_sample)
+    got = {r.seed: r.harm_x1e6
+           for r in harmonic_centrality_sample(
+               e, seeds=[0, 1], max_hops=4).collect()}
+    assert got[0] == 8_000_000
+    assert got[1] == 1_000_000 + 7 * 500_000
+
+
+# ------------------------------------------------- mrl composition
+
+
+def test_mrl_identity_truncation_full_recall(spark):
+    """Truncating to the FULL dimension is the identity: exact search
+    on slice(embedding, 1, dim) against the full-dim exact top-k
+    positives scores recall 1e6 for every query — the composition
+    sanity pin behind the q_mrl_recall entry (16-dim truncation is
+    gated against the DuckDB oracle instead)."""
+    import __spark_entry__ as E
+    from pyspark.sql import Window
+    from cascading_flink_spark.extensions import (brute_force_topk,
+                                                  recall_at_k)
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries_df = (emb.filter(F.col("vec_id") < 3)
+                  .select(F.col("vec_id").alias("query_id"),
+                          "embedding"))
+    truth = brute_force_topk(emb, queries_df, k=10)
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.desc("sim"), F.asc("vec_id")))
+    qrels = (truth.withColumn(
+        "rel", (F.lit(11) - F.row_number().over(w)).cast("long"))
+        .select("query_id", "vec_id", "rel"))
+    out = recall_at_k(truth, qrels, k=10, rel_threshold=1).collect()
+    assert len(out) == 3
+    assert all(r.recall_x1e6 == 1_000_000 for r in out)

@@ -110,6 +110,20 @@ def main() -> None:
         "avg_precision": ["ap_x"],
         "ks_drift": ["ks_x"],
         "rate_confidence": ["n", "n_pos"],
+        # round 12 late session: the corpus-statistics family — all
+        # reduce to keys/vocab/degree-support-bounded frames, so the
+        # scaling surface is the corpus-pass partial agg (plus the
+        # explode for the token-based pair)
+        "diversity": ["entropy_x1e6", "gini_x1e6"],
+        "psi": ["psi_x1e6"],
+        "chi2": ["chi2_x1e3"],
+        "jsd": ["jsd_x1e6"],
+        "zipf": ["n_terms", "slope"],
+        "vocab_overlap": ["jaccard_x1e6"],
+        "assortativity": ["n_edges", "rho"],
+        "mean_confidence": ["n", "mean"],
+        "harmonic": ["n_reached", "harm_x1e6"],
+        "mrl_recall": ["recall_x1e6"],
     }
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     if only:
