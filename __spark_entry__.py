@@ -2099,6 +2099,39 @@ def q_cohen_kappa(spark, sf_dir):
     return cohen_kappa(d, "judge_a", "judge_b", group_col="source")
 
 
+def _three_judges(spark, sf_dir):
+    """Shared multi-rater fixture: three deterministic noisy judges
+    of the lang column (right 8-of-10 / 5-of-7 / 3-of-4 of the time,
+    else rotating by doc_id at offsets 1/2/3), unpivoted to one
+    (source, doc_id, vote) row per judgment."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                 "source")
+    langs = F.array(*[F.lit(x) for x in
+                      ("en", "de", "fr", "es", "zh")])
+
+    def judge(mod, thr, off):
+        return (F.when(F.col("doc_id") % mod < thr, F.col("lang"))
+                .otherwise(F.element_at(
+                    langs, ((F.col("doc_id") + off - 1) % 5 + 1)
+                    .cast("int"))))
+    # one corpus scan: the three judgments explode out of an array
+    # (a 3-way union would read documents three times)
+    return docs.select(
+        "source", "doc_id",
+        F.explode(F.array(judge(10, 8, 1), judge(7, 5, 2),
+                          judge(4, 3, 3))).alias("vote"))
+
+
+def q_fleiss(spark, sf_dir):
+    """Per-source Fleiss kappa across the three deterministic noisy
+    judges — pooled pairwise agreement vs squared-marginal chance,
+    cleared to ONE truncating division (A*T^2 - P*S over
+    P*(T^2 - S))."""
+    from cascading_flink_spark.extensions import fleiss_kappa
+    return fleiss_kappa(_three_judges(spark, sf_dir), "doc_id",
+                        "vote", group_col="source")
+
+
 def q_trimmed_stats(spark, sf_dir):
     """Per-language 5%-trimmed and winsorized mean of n_chars — the
     interval-overlap spelling: kept multiplicity per DISTINCT value
@@ -4140,6 +4173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mean_confidence": q_mean_confidence,
         "harmonic": q_harmonic,
         "mrl_recall": q_mrl_recall,
+        "fleiss": q_fleiss,
         "cluster_split": q_cluster_split,
         "dedup_keep_best": q_dedup_keep_best,
         "minhash_recall": q_minhash_recall,
@@ -5763,6 +5797,51 @@ def oracle_sql() -> dict[str, str]:
         "rbo": _rbo_oracle(k=10, p_x1000=900),
         "eccentricity": _eccentricity_oracle(seeds=[0, 1, 2], hops=6),
         "harmonic": _harmonic_oracle(seeds=[0, 1, 2], hops=6),
+        "fleiss": """
+            WITH v AS (
+                SELECT source, doc_id,
+                       CASE WHEN doc_id % 10 < 8 THEN lang
+                       ELSE (['en','de','fr','es','zh'])
+                            [(doc_id % 5) + 1] END AS vote
+                FROM documents
+                UNION ALL
+                SELECT source, doc_id,
+                       CASE WHEN doc_id % 7 < 5 THEN lang
+                       ELSE (['en','de','fr','es','zh'])
+                            [((doc_id + 1) % 5) + 1] END AS vote
+                FROM documents
+                UNION ALL
+                SELECT source, doc_id,
+                       CASE WHEN doc_id % 4 < 3 THEN lang
+                       ELSE (['en','de','fr','es','zh'])
+                            [((doc_id + 2) % 5) + 1] END AS vote
+                FROM documents),
+            c AS (SELECT source, doc_id, vote,
+                         count(*)::BIGINT AS c
+                  FROM v GROUP BY 1, 2, 3),
+            it AS (SELECT source, doc_id, sum(c)::BIGINT AS ni,
+                          sum(c::HUGEINT * (c - 1)) AS ai
+                   FROM c GROUP BY 1, 2),
+            ap AS (SELECT source, count(*)::BIGINT AS n_items,
+                          sum(ai) AS A,
+                          sum(ni::HUGEINT * (ni - 1)) AS P
+                   FROM it GROUP BY 1),
+            mg AS (SELECT source, vote, sum(c)::BIGINT AS t
+                   FROM c GROUP BY 1, 2),
+            se AS (SELECT source, sum(t)::BIGINT AS n_votes,
+                          sum(t::HUGEINT * t) AS S
+                   FROM mg GROUP BY 1)
+            SELECT ap.source, n_items, n_votes,
+                   (A * 1000000 // P)::BIGINT AS po_x,
+                   (S * 1000000
+                    // (n_votes::HUGEINT * n_votes))::BIGINT AS pe_x,
+                   ((A * (n_votes::HUGEINT * n_votes) - P * S)
+                    * 1000000
+                    // (P * ((n_votes::HUGEINT * n_votes) - S))
+                   )::BIGINT AS kappa_x
+            FROM ap JOIN se ON ap.source = se.source
+            WHERE P > 0 AND (n_votes::HUGEINT * n_votes) <> S
+        """,
         "mrl_recall": _mrl_recall_oracle(k=10, kt=20, thr=11,
                                          dim_t=16),
         "rate_confidence": """

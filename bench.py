@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "mean_confidence",
     "harmonic",
     "mrl_recall",
+    "fleiss",
     # round 11
     "connected_components_fast",
     "rrf_hybrid3",

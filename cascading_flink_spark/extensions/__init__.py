@@ -90,7 +90,8 @@ from .analytics import (average_precision,
                         classifier_auc,
                         concentration_report, confusion_report,
                         cohort_retention,
-                        diversity_report, js_divergence,
+                        diversity_report, fleiss_kappa,
+                        js_divergence,
                         event_funnel, group_quantiles,
                         ks_statistic, mean_confidence,
                         psi_drift, rate_confidence,

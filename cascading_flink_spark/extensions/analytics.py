@@ -1387,6 +1387,81 @@ def cohen_kappa(df: DataFrame, rater_a_col: str, rater_b_col: str,
                  .cast("long").alias("kappa_x"))
 
 
+def fleiss_kappa(df: DataFrame, item_col: str, label_col: str,
+                 group_col: str | None = None,
+                 scale: int = 1_000_000) -> DataFrame:
+    """Fleiss-style multi-rater kappa over a (item, label) vote
+    table, per group or globally: ``(group?, n_items, n_votes, po_x,
+    pe_x, kappa_x)`` — chance-corrected agreement for ANY number of
+    raters per item, the panel generalization of :func:`cohen_kappa`
+    (three LLM judges + a human, redundant annotation batches) that
+    :func:`label_agreement`'s raw majority rate overstates under
+    label imbalance.
+
+    Exact single-division recipe: observed agreement pools the
+    pairwise counts — ``po = A / P`` with ``A = sum over (item,
+    label) of c*(c-1)`` (agreeing ordered pairs) and ``P = sum over
+    items of n_i*(n_i-1)`` (all ordered pairs); chance agreement is
+    ``pe = S / T^2`` with ``S = sum over labels of t_l^2`` off the
+    label marginals and ``T`` the total vote count.  ``kappa = (po -
+    pe) / (1 - pe)`` then clears ALL denominators to ONE truncating
+    division of exact DECIMAL(38,0) integers: ``kappa_x = (A*T^2 -
+    P*S) * scale DIV (P * (T^2 - S))``.  With a constant rater count
+    per item this IS Fleiss 1971 (the per-item mean of ratios equals
+    the pooled ratio when denominators are equal); with varying
+    panel sizes it is the natural pooled generalization,
+    documented.  Negative kappa truncates toward zero on both
+    engines (the cohen_kappa convention).  Items with a single vote
+    carry no pairwise information and drop from A/P (they still
+    feed the label marginals); groups where ``T^2 == S`` (every
+    vote the same label — kappa undefined) or ``P == 0`` (no item
+    with >= 2 votes) are EXCLUDED; NULL labels drop their row.
+    Headroom: ``A*T^2`` is O(votes^3) — exact to ~1e12 votes per
+    group inside DECIMAL(38,0).
+
+    Scale shape: one corpus-pass partial agg onto (group, item,
+    label); one item rollup + one label rollup + one group rollup,
+    all frames bounded by items x alphabet.  No windows over raw
+    rows, no driver pulls."""
+    if int(scale) < 1:
+        raise ValueError("fleiss_kappa: scale must be >= 1")
+    g = [group_col] if group_col is not None else []
+    c = (df.filter(F.col(label_col).isNotNull())
+         .groupBy(*g, F.col(item_col).alias("__i"),
+                  F.col(label_col).alias("__l"))
+         .agg(F.count(F.lit(1)).cast("long").alias("__c")))
+    c = c.localCheckpoint(eager=False)
+    dec = "decimal(38,0)"
+    items = (c.groupBy(*g, "__i")
+             .agg(F.sum("__c").cast("long").alias("__ni"),
+                  F.sum(F.col("__c").cast(dec)
+                        * (F.col("__c") - 1)).alias("__ai")))
+    ap = (items.groupBy(*g)
+          .agg(F.count(F.lit(1)).cast("long").alias("n_items"),
+               F.sum("__ai").alias("__A"),
+               F.sum(F.col("__ni").cast(dec)
+                     * (F.col("__ni") - 1)).alias("__P")))
+    marg = (c.groupBy(*g, "__l")
+            .agg(F.sum("__c").cast("long").alias("__t")))
+    se = (marg.groupBy(*g)
+          .agg(F.sum("__t").cast("long").alias("n_votes"),
+               F.sum(F.col("__t").cast(dec) * F.col("__t"))
+                .alias("__S")))
+    joined = ap.join(se, g) if g else ap.crossJoin(se)
+    t2 = "CAST(n_votes AS DECIMAL(38,0)) * n_votes"
+    return (joined
+            .filter((F.col("__P") > 0)
+                    & (F.expr(t2) != F.col("__S")))
+            .select(*g, "n_items", "n_votes",
+                    F.expr(f"__A * {int(scale)} DIV __P")
+                     .cast("long").alias("po_x"),
+                    F.expr(f"__S * {int(scale)} DIV ({t2})")
+                     .cast("long").alias("pe_x"),
+                    F.expr(f"(__A * ({t2}) - __P * __S) "
+                           f"* {int(scale)} DIV (__P * (({t2}) "
+                           "- __S))").cast("long").alias("kappa_x")))
+
+
 def average_precision(df: DataFrame, score_col: str, label_col: str,
                       group_col: str | None = None,
                       quantize_x: int | None = None,

@@ -18,6 +18,7 @@ from .ops import (
     stream_decontaminate, stream_domain_quota, stream_dsir_gate,
     stream_embedding_gate,
     stream_exact_dedup, stream_media_dedup,
+    stream_drift_monitor,
     stream_label_agreement,
     stream_score_monitor,
     stream_rolling_stats, stream_session_funnel,

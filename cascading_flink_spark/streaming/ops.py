@@ -1124,3 +1124,82 @@ def stream_score_monitor(df: DataFrame, score_col: str,
         F.expr("__ss DIV n").cast("long").alias("mean_score_x"),
         F.expr(f"__sq2 DIV (CAST(n AS DECIMAL(38,0)) * {int(scale)})")
          .cast("long").alias("brier_x"))
+
+
+def stream_drift_monitor(df: DataFrame, reference: DataFrame,
+                         key_col: str, ts_col: str = "ts",
+                         window: str = "10 minutes",
+                         watermark: str = "30 minutes",
+                         group_col: str | None = None,
+                         scale: int = 1_000_000) -> DataFrame:
+    """Watermarked per-window categorical drift monitor against a
+    STATIC trusted reference corpus — the streaming face of the
+    batch drift family (:func:`~cascading_flink_spark.extensions.
+    analytics.psi_drift` et al.): for each event-time window (and
+    group) it emits ``(window_start, window_end, group?, n, n_oov,
+    xent_x1e6)`` — the window's reference CROSS-ENTROPY (mean
+    surprisal of this window's keys under the reference
+    distribution, in 1e-6 nats) plus its out-of-vocabulary count.
+    A drifting source mix raises xent smoothly; a novel key spikes
+    n_oov first — the online "did this hour's crawl shift under
+    us?" pager.
+
+    Cross-entropy, not PSI/TV/JSD, because it is the drift score
+    that needs NO per-window distribution: each event carries its
+    own surprisal, so the whole monitor is ONE streaming groupBy
+    aggregate (the two-sided scores need the window's totals before
+    their per-key terms — a second aggregation level append mode
+    disallows; run the batch psi_drift over the sink for those).
+
+    Determinism recipe: the reference reduces to per-key quantized
+    probabilities ``q = cnt * scale DIV total`` clamped to the
+    1-quantum floor (the PSI epsilon), each carrying ``lnq_x =
+    round(ln(q) * 1e6)`` (the DSIR ln recipe, computed ONCE on the
+    static side); events broadcast-left-join the reference on the
+    key, an absent key takes the floor's surprisal and counts in
+    ``n_oov``; per-event surprisal ``round(ln(scale) * 1e6) -
+    lnq_x`` is an exact long, and ``xent_x1e6 = sum DIV n`` is one
+    truncating division — a window's row is bit-identical to the
+    same arithmetic run in batch.  Late data beyond ``watermark``
+    is dropped (the standard streaming trade).
+
+    Scale shape: the reference frame is vocabulary-sized and static
+    (broadcast once); the stream side is one map-side join + ONE
+    windowed partial agg — state is |windows x groups| rows, never
+    per-key."""
+    import math as _math
+    if int(scale) < 1_000_000:
+        raise ValueError("stream_drift_monitor: scale must be >= 1e6 "
+                         "(the OOV floor is 1/scale)")
+    s = int(scale)
+    ref = (reference.filter(F.col(key_col).isNotNull())
+           .groupBy(F.col(key_col).alias("__k"))
+           .agg(F.count(F.lit(1)).cast("long").alias("__c")))
+    tot = ref.agg(F.sum("__c").cast("long").alias("__t"))
+    ref = (ref.crossJoin(F.broadcast(tot))
+           .select("__k", F.expr(
+               f"greatest(CAST(__c AS DECIMAL(38,0)) * {s} DIV __t, "
+               "1)").cast("long").alias("__q"))
+           .select("__k", F.expr(
+               "CAST(round(ln(__q) * 1000000, 0) AS BIGINT)")
+               .alias("__lnq")))
+    ln_s = int(_math.floor(_math.log(s) * 1_000_000 + 0.5))
+    df = _ensure_event_time(df, ts_col)
+    df = df.withWatermark(ts_col, watermark)
+    g = [group_col] if group_col is not None else []
+    d = (df.select(F.col(ts_col), *g,
+                   F.col(key_col).alias("__k"))
+         .join(F.broadcast(ref), "__k", "left")
+         .select(F.col(ts_col), *g,
+                 F.col("__lnq").isNull().cast("long").alias("__oov"),
+                 (F.lit(ln_s) - F.coalesce("__lnq", F.lit(0)))
+                 .cast("long").alias("__sup")))
+    agg = (d.groupBy(F.window(ts_col, window), *g)
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("__oov").cast("long").alias("n_oov"),
+                F.sum(F.col("__sup").cast("decimal(38,0)"))
+                 .alias("__ss")))
+    return agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"), *g, "n", "n_oov",
+        F.expr("__ss DIV n").cast("long").alias("xent_x1e6"))

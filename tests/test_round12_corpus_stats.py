@@ -560,3 +560,83 @@ def test_mrl_identity_truncation_full_recall(spark):
     out = recall_at_k(truth, qrels, k=10, rel_threshold=1).collect()
     assert len(out) == 3
     assert all(r.recall_x1e6 == 1_000_000 for r in out)
+
+
+# ---------------------------------------------- fleiss_kappa
+
+
+def _fleiss_model(votes, scale=1_000_000):
+    """votes: list of (item, label).  Pooled-pairwise spelling."""
+    per_item = {}
+    for i, l in votes:
+        per_item.setdefault(i, {})
+        per_item[i][l] = per_item[i].get(l, 0) + 1
+    A = P = 0
+    for cs in per_item.values():
+        ni = sum(cs.values())
+        A += sum(c * (c - 1) for c in cs.values())
+        P += ni * (ni - 1)
+    marg = {}
+    for _i, l in votes:
+        marg[l] = marg.get(l, 0) + 1
+    T = sum(marg.values())
+    S = sum(t * t for t in marg.values())
+    if P == 0 or T * T == S:
+        return None
+    def tdiv(a, b):  # trunc-toward-zero like Spark DIV / DuckDB //
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b > 0) else -q
+    return (len(per_item), T, A * scale // P, S * scale // (T * T),
+            tdiv((A * T * T - P * S) * scale, P * (T * T - S)))
+
+
+def test_fleiss_kappa_pins_python_model(spark):
+    rng = random.Random(1209)
+    votes = []
+    for item in range(60):
+        truth = "l%d" % (item % 4)
+        for _r in range(rng.randrange(2, 6)):  # varying panel size
+            votes.append((item, truth if rng.random() < 0.7
+                          else "l%d" % rng.randrange(4)))
+    df = spark.createDataFrame([("g", i, l) for i, l in votes],
+                               "g string, item long, label string")
+    from cascading_flink_spark.extensions import fleiss_kappa
+    r = fleiss_kappa(df, "item", "label", group_col="g").collect()[0]
+    assert (r.n_items, r.n_votes, r.po_x, r.pe_x, r.kappa_x) \
+        == _fleiss_model(votes)
+
+
+def test_fleiss_kappa_identities(spark):
+    """Perfect agreement -> kappa exactly 1e6; with exactly 2 raters
+    per item the pooled spelling reproduces cohen-style po; a
+    single-vote item drops from the pairwise pool but feeds the
+    marginals; all-one-label and no-pair groups are excluded;
+    negative kappa (systematic disagreement) truncates toward
+    zero."""
+    perfect = [("p", i, "l%d" % (i % 3)) for i in range(9)] * 3
+    df = spark.createDataFrame(perfect, "g string, item long, "
+                                        "label string")
+    from cascading_flink_spark.extensions import fleiss_kappa
+    r = fleiss_kappa(df, "item", "label", group_col="g").collect()[0]
+    assert (r.po_x, r.kappa_x) == (1_000_000, 1_000_000)
+    # two items, two raters each, always disagreeing on a 2-label
+    # alphabet with even marginals: po = 0, pe = 1/2, kappa = -1
+    neg = [("n", 0, "a"), ("n", 0, "b"), ("n", 1, "b"), ("n", 1, "a")]
+    df = spark.createDataFrame(neg, "g string, item long, "
+                                    "label string")
+    r = fleiss_kappa(df, "item", "label", group_col="g").collect()[0]
+    assert (r.po_x, r.pe_x, r.kappa_x) == (0, 500_000, -1_000_000)
+    # single-vote items only -> P = 0 -> excluded; constant label
+    # -> T^2 == S -> excluded
+    solo = [("s", 0, "a"), ("s", 1, "b")]
+    df = spark.createDataFrame(solo, "g string, item long, "
+                                     "label string")
+    assert fleiss_kappa(df, "item", "label", group_col="g") \
+        .count() == 0
+    const = [("c", 0, "a"), ("c", 0, "a"), ("c", 1, "a")]
+    df = spark.createDataFrame(const, "g string, item long, "
+                                      "label string")
+    assert fleiss_kappa(df, "item", "label", group_col="g") \
+        .count() == 0
+    with pytest.raises(ValueError, match="scale"):
+        fleiss_kappa(df, "item", "label", scale=0)

@@ -1229,3 +1229,67 @@ def test_stream_score_monitor_batch_parity(spark, sf_dir, tmp_path):
     assert got and got <= expect
     assert len(got) >= len(expect) - 3
     spark.catalog.dropTempView("ssm_out")
+
+
+def test_stream_drift_monitor_batch_parity(spark, sf_dir, tmp_path):
+    """Each emitted (window) row is bit-identical to the same
+    arithmetic in plain integer Python over the staged events: the
+    reference quantizes/clamps/rounds-ln ONCE on the static side,
+    every event's surprisal is an exact long, xent is one truncating
+    DIV; OOV keys take the floor surprisal and count in n_oov."""
+    import math
+    from cascading_flink_spark.streaming import stream_drift_monitor
+    import __spark_entry__ as entry
+
+    ev = (entry._t(spark, sf_dir, "events")
+          .filter(F.col("user_id") < 80)
+          .select("ts", "event_type"))
+    src = str(tmp_path / "sdm_in")
+    ev.write.mode("overwrite").parquet(src)
+    # reference: the event-type mix of a DIFFERENT user slice, with
+    # one type filtered out so the stream contains genuine OOV keys
+    ref = (entry._t(spark, sf_dir, "events")
+           .filter((F.col("user_id") >= 80) & (F.col("user_id") < 200)
+                   & (F.col("event_type") != "click"))
+           .select("event_type"))
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = stream_drift_monitor(stream, ref, "event_type", ts_col="ts",
+                               window="1 hour", watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("sdm_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = {(r.window_start, r.n, r.n_oov, r.xent_x1e6)
+           for r in spark.sql("SELECT * FROM sdm_out").collect()}
+
+    SC = 1_000_000
+    refc = {}
+    for r in ref.collect():
+        refc[r.event_type] = refc.get(r.event_type, 0) + 1
+    t = sum(refc.values())
+    lnq = {k: math.floor(math.log(max(c * SC // t, 1)) * SC + 0.5)
+           for k, c in refc.items()}
+    ln_s = math.floor(math.log(SC) * SC + 0.5)
+    import collections
+    acc = collections.defaultdict(lambda: [0, 0, 0])
+    for r in spark.read.parquet(src).collect():
+        key = r.ts.replace(minute=0, second=0, microsecond=0)
+        a = acc[key]
+        a[0] += 1
+        a[1] += 1 if r.event_type not in lnq else 0
+        a[2] += ln_s - lnq.get(r.event_type, 0)
+    expect = {(k, n, oov, ss // n) for k, (n, oov, ss) in acc.items()}
+    assert got and got <= expect
+    assert len(got) >= len(expect) - 3
+    # the OOV path is genuinely exercised
+    assert any(oov > 0 for _k, _n, oov, _x in got)
+    spark.catalog.dropTempView("sdm_out")
+
+
+def test_stream_drift_monitor_guards(spark, sf_dir):
+    from cascading_flink_spark.streaming import stream_drift_monitor
+    import __spark_entry__ as entry
+    ev = entry._t(spark, sf_dir, "events").select("ts", "event_type")
+    with pytest.raises(ValueError, match="scale"):
+        stream_drift_monitor(ev, ev, "event_type", scale=1000)

@@ -124,6 +124,7 @@ def main() -> None:
         "mean_confidence": ["n", "mean"],
         "harmonic": ["n_reached", "harm_x1e6"],
         "mrl_recall": ["recall_x1e6"],
+        "fleiss": ["po_x", "kappa_x"],
     }
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     if only:
