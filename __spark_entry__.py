@@ -1853,6 +1853,51 @@ def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
     return sql
 
 
+def q_silhouette(spark, sf_dir):
+    """Per-cluster simplified silhouette of the kmeans_md5 topics
+    (k=8, 2 Lloyd rounds): one top-2 cosine fold per point over the
+    SAME integer-exact centroids the assignment used — the unrounded
+    cosines are bit-identical cross-engine because every dot is an
+    exact integer inside a double — each point's s rounded once to
+    1e-6, per-cluster mean as one truncating DIV."""
+    from cascading_flink_spark.extensions import cluster_silhouette
+    emb = _t(spark, sf_dir, "embeddings")
+    return cluster_silhouette(emb, k=8, iterations=2)
+
+
+def _silhouette_oracle(k: int = 8, iters: int = 2,
+                       dim: int = 64) -> str:
+    """DuckDB twin of q_silhouette: the unrolled-Lloyd CTE chain of
+    :func:`_kmeans_oracle` up to the final centroids, then the top-2
+    cosine rows per vector and the identical silhouette spelling."""
+    base = _kmeans_oracle(k=k, iters=iters, dim=dim)
+    # keep the CTE chain, swap the final assignment SELECT for the
+    # silhouette readout
+    head = base[:base.rindex("SELECT vec_id, cluster, sim FROM (")]
+    return head + f"""
+        , scored AS (
+            SELECT vd.vec_id, c.cluster,
+                   list_cosine_similarity(vd.dv, c.cvec) AS cos,
+                   row_number() OVER (PARTITION BY vd.vec_id
+                       ORDER BY list_cosine_similarity(vd.dv, c.cvec)
+                                DESC, c.cluster) AS rn
+            FROM vd CROSS JOIN c{iters} c),
+        top2 AS (SELECT a.vec_id, a.cluster,
+                        a.cos AS c1, b.cos AS c2
+                 FROM scored a JOIN scored b USING (vec_id)
+                 WHERE a.rn = 1 AND b.rn = 2),
+        s AS (SELECT cluster,
+                     (CASE WHEN 1.0 - c2 = 0 THEN 0
+                      ELSE round((c1 - c2) / (1.0 - c2) * 1000000)
+                      END)::BIGINT AS sx
+              FROM top2)
+        SELECT cluster, count(*)::BIGINT AS n,
+               (sum(sx::HUGEINT) // count(*))::BIGINT AS mean_sil_x,
+               min(sx)::BIGINT AS min_sil_x
+        FROM s GROUP BY cluster
+    """
+
+
 def q_kcenter(spark, sf_dir):
     """Gonzalez farthest-point k-center selection (k=6) over the
     embeddings table — the diverse-subset/coreset sampler: every
@@ -4174,6 +4219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic": q_harmonic,
         "mrl_recall": q_mrl_recall,
         "fleiss": q_fleiss,
+        "silhouette": q_silhouette,
         "cluster_split": q_cluster_split,
         "dedup_keep_best": q_dedup_keep_best,
         "minhash_recall": q_minhash_recall,
@@ -5844,6 +5890,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mrl_recall": _mrl_recall_oracle(k=10, kt=20, thr=11,
                                          dim_t=16),
+        "silhouette": _silhouette_oracle(k=8, iters=2),
         "rate_confidence": """
             WITH t AS (SELECT lang, count(*)::BIGINT AS n,
                               sum(CASE WHEN doc_id % 5 < 2 THEN 1

@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "harmonic",
     "mrl_recall",
     "fleiss",
+    "silhouette",
     # round 11
     "connected_components_fast",
     "rrf_hybrid3",

@@ -36,6 +36,7 @@ from .similarity import (
     lsh_bucketed_topk_md5, ivf_topk, ivf_topk_md5,
     hard_negatives,
     kcenter_select,
+    cluster_silhouette,
     kmeans, kmeans_assign, kmeans_md5, margin_candidates, margin_mine,
     mmr_select,
     mrr_at_k, ndcg_at_k, recall_at_k,

@@ -449,7 +449,24 @@ def kmeans_md5(corpus: DataFrame, k: int = 8, iterations: int = 2,
 
     Returns (id_col, cluster, sim) — the final assignment after
     ``iterations`` centroid updates, sim rounded to 4dp."""
-    spark = corpus.sparkSession
+    vecs, cents = _kmeans_md5_fit(corpus, k, iterations, id_col,
+                                  vec_col, scale)
+    best = _argmax_cosine(F.col("__dv"), cents)
+    return (vecs.withColumn("__best", best)
+            .select(F.col(id_col),
+                    F.col("__best.c").alias("cluster"),
+                    F.round(F.col("__best.cos"), 4).alias("sim")))
+
+
+def _kmeans_md5_fit(corpus: DataFrame, k: int, iterations: int,
+                    id_col: str, vec_col: str,
+                    scale: int) -> tuple:
+    """The Lloyd fit behind :func:`kmeans_md5`, shared with
+    :func:`cluster_silhouette`: returns ``(vecs, cents)`` — the
+    integer-scaled pinned vector frame (columns id, __sv, __dv) and
+    the final k x dim centroid list (driver-side, the bounded k·dim
+    contract).  Every determinism property documented on kmeans_md5
+    lives here."""
     sv = F.transform(F.col(vec_col).cast("array<double>"),
                      lambda x: F.round(x * scale, 0).cast("long"))
     # localCheckpoint, not persist(): the scaled-vector frame is re-read by
@@ -504,10 +521,89 @@ def kmeans_md5(corpus: DataFrame, k: int = 8, iterations: int = 2,
             # oracle's BIGINT / BIGINT division produces
             nxt[r["__cluster"]][r["__p"]] = r["__s"] / r["__n"]
         cents = nxt
-    return (assign_to(cents)
-            .select(F.col(id_col),
-                    F.col("__cluster").alias("cluster"),
-                    F.round("__cos", 4).alias("sim")))
+    return vecs, cents
+
+
+def _top2_cosine(vec: Column, centroids: list[list[float]]) -> Column:
+    """``struct<c:int, cos1:double, cos2:double>`` — the best and
+    second-best cosine over a LITERAL centroid array, one map-side
+    fold (the :func:`_argmax_cosine` recipe extended to a top-2
+    accumulator): strict ``>`` at both slots in index order keeps
+    the first maximum as ``c`` and the multiset's second-largest
+    value as ``cos2`` — exactly the (cos DESC, cluster ASC) rn = 2
+    row.  Each cosine is computed once (pre-transformed struct
+    array)."""
+    scored = F.transform(
+        F.array(*[F.lit(v).cast("array<double>")
+                  for v in centroids]),
+        lambda v, i: F.struct(i.alias("c"),
+                              cosine_expr(vec, v).alias("cos")))
+    init = F.struct(F.lit(-1).alias("c"),
+                    F.lit(float("-inf")).alias("cos1"),
+                    F.lit(float("-inf")).alias("cos2"))
+    return F.aggregate(
+        scored, init,
+        lambda acc, x: F.when(
+            x["cos"] > acc["cos1"],
+            F.struct(x["c"].alias("c"), x["cos"].alias("cos1"),
+                     acc["cos1"].alias("cos2")))
+        .when(x["cos"] > acc["cos2"],
+              F.struct(acc["c"].alias("c"), acc["cos1"].alias("cos1"),
+                       x["cos"].alias("cos2")))
+        .otherwise(acc))
+
+
+def cluster_silhouette(corpus: DataFrame, k: int = 8,
+                       iterations: int = 2,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       scale: int = 1_000_000) -> DataFrame:
+    """Per-cluster clustering-quality scorecard for the
+    :func:`kmeans_md5` evidence twin: ``(cluster, n, mean_sil_x,
+    min_sil_x)`` — the centroid-based SIMPLIFIED silhouette on
+    cosine distance (``s = (cos_own - cos_next) / (1 - cos_next)``
+    per point, the medoid-free variant that needs NO pairwise
+    distances) — "which topics are tight, which are smeared into
+    their neighbour" before cluster labels drive mixture weights or
+    a topic_quota.
+
+    Determinism: rides the shared Lloyd fit (integer-scaled vectors
+    make every dot product an EXACT integer inside a double — that
+    is why the unrounded cosines are bit-identical cross-engine —
+    and the centroid means exact-int/exact-int divisions); per point
+    ONE top-2 fold over the literal centroids gives ``cos_own``
+    (assignment-consistent: strict-``>`` index order) and
+    ``cos_next``, the per-point silhouette rounds ONCE to 1e-6
+    (identical expression spelling; a duplicate centroid's
+    ``1 - cos_next = 0`` shorts to 0 in a CASE), and the per-cluster
+    mean is one exact-integer truncating DIV.  s is in [0, 1e6] by
+    the argmax (cos_own >= cos_next), so no negative operands.
+
+    Scale shape: the Lloyd fit's per-round scan + k·dim reduction;
+    then ONE more map-side fold pass + one partial-agg groupBy onto
+    k rows.  Driver state stays k x dim."""
+    vecs, cents = _kmeans_md5_fit(corpus, k, iterations, id_col,
+                                  vec_col, scale)
+    t2 = _top2_cosine(F.col("__dv"), cents)
+    rows = (vecs.withColumn("__t", t2)
+            .select(F.col("__t.c").alias("cluster"),
+                    F.col("__t.cos1").alias("__c1"),
+                    F.col("__t.cos2").alias("__c2")))
+    sx = (F.when(F.lit(1.0) - F.col("__c2") == 0,
+                 F.lit(0).cast("long"))
+          .otherwise(F.round((F.col("__c1") - F.col("__c2"))
+                             / (F.lit(1.0) - F.col("__c2"))
+                             * 1_000_000, 0).cast("long")))
+    return (rows.withColumn("__sx", sx)
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum(F.col("__sx").cast("decimal(38,0)"))
+                  .alias("__ss"),
+                 F.min("__sx").cast("long").alias("min_sil_x"))
+            .select("cluster", "n",
+                    F.expr("CAST(__ss DIV n AS BIGINT)")
+                     .alias("mean_sil_x"),
+                    "min_sil_x"))
 
 
 def ndcg_at_k(results: DataFrame, qrels: DataFrame, k: int = 10,

@@ -640,3 +640,86 @@ def test_fleiss_kappa_identities(spark):
         .count() == 0
     with pytest.raises(ValueError, match="scale"):
         fleiss_kappa(df, "item", "label", scale=0)
+
+
+# ---------------------------------------------- cluster_silhouette
+
+
+def _silhouette_model(vecs, cents):
+    """Direct Python twin: integer-scaled vectors, exact-int dots."""
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+    agg = {}
+    for v in vecs:
+        sims = [cos(v, c) for c in cents]
+        c1 = max(range(len(cents)),
+                 key=lambda i: (sims[i], -i))  # strict > index order
+        best = sims[c1]
+        second = max(s for i, s in enumerate(sims) if i != c1) \
+            if len(cents) > 1 else float("-inf")
+        # fold semantics: cos2 is the multiset's 2nd-largest VALUE —
+        # a tie with the max leaves second == best
+        second = max(second,
+                     max((s for i, s in enumerate(sims) if i != c1),
+                         default=second))
+        sx = 0 if 1.0 - second == 0 \
+            else _rnd((best - second) / (1.0 - second) * 1_000_000)
+        n, ss, mn = agg.get(c1, (0, 0, None))
+        agg[c1] = (n + 1, ss + sx,
+                   sx if mn is None else min(mn, sx))
+    return {c: (n, ss // n, mn) for c, (n, ss, mn) in agg.items()}
+
+
+def test_cluster_silhouette_pins_python_model(spark):
+    """Zero Lloyd iterations freeze the centroids at the md5-ranked
+    seeds, so the model can replay the WHOLE operator (fit + top-2
+    fold + per-cluster rollup) with plain Python floats over the
+    integer-scaled vectors."""
+    rng = random.Random(1210)
+    rows = [(i, [float(rng.randrange(-100, 101)) / 100
+                 for _ in range(8)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding "
+                                     "array<double>")
+    from cascading_flink_spark.extensions import cluster_silhouette
+    got = {r.cluster: (r.n, r.mean_sil_x, r.min_sil_x)
+           for r in cluster_silhouette(df, k=4, iterations=0)
+           .collect()}
+    # replay: integer-scale, md5-rank the seeds like the operator
+    import hashlib
+    sv = {i: [round(x * 1_000_000) for x in v] for i, v in rows}
+    seed_ids = sorted(sv, key=lambda i: hashlib.md5(
+        str(i).encode()).hexdigest())[:4]
+    cents = [sv[i] for i in seed_ids]
+    expect = _silhouette_model(list(sv.values()), cents)
+    assert got == expect
+
+
+def test_cluster_silhouette_separated_vs_duplicate(spark):
+    """Two well-separated orthogonal blobs score mean_sil at the
+    ceiling region; duplicating every centroid (k = n with duplicate
+    vectors) exercises the 1 - cos_next = 0 short-circuit to 0."""
+    # place blobs by md5 rank so the two seeds (the md5-smallest
+    # ids) come from DIFFERENT blobs — alternate rank -> blob
+    import hashlib
+    ranked = sorted(range(8), key=lambda i: hashlib.md5(
+        str(i).encode()).hexdigest())
+    rows = [(i, [1.0, 0.0, 0.0, 0.0] if r % 2 == 0
+             else [0.0, 1.0, 0.0, 0.0])
+            for r, i in enumerate(ranked)]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<double>")
+    from cascading_flink_spark.extensions import cluster_silhouette
+    out = cluster_silhouette(df, k=2, iterations=1).collect()
+    assert {r.n for r in out} == {4}
+    # orthogonal blobs: cos_own = 1, cos_next = 0 -> s = 1e6 exactly
+    assert all(r.mean_sil_x == 1_000_000 for r in out)
+    # identical vectors: every centroid duplicates -> cos_next = 1
+    # -> the CASE shorts every point to 0
+    same = spark.createDataFrame([(i, [1.0, 1.0]) for i in range(6)],
+                                 "vec_id long, embedding "
+                                 "array<double>")
+    out = cluster_silhouette(same, k=2, iterations=1).collect()
+    assert all(r.mean_sil_x == 0 and r.min_sil_x == 0 for r in out)

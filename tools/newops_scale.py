@@ -125,6 +125,7 @@ def main() -> None:
         "harmonic": ["n_reached", "harm_x1e6"],
         "mrl_recall": ["recall_x1e6"],
         "fleiss": ["po_x", "kappa_x"],
+        "silhouette": ["mean_sil_x", "min_sil_x"],
     }
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     if only:
