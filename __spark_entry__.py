@@ -2109,6 +2109,20 @@ def q_ks_drift(spark, sf_dir):
     return ks_statistic(a, b, "n_chars", group_col="lang")
 
 
+def q_w1_drift(spark, sf_dir):
+    """Per-language Wasserstein-1 distance of the n_chars
+    distribution between the even- and odd-doc_id halves (the same
+    split as ks_drift — sup vs integral of the same cdf gap): every
+    term |ca*n_b - cb*n_a| * gap exact, one truncating DIV, reported
+    in character units x1e6."""
+    from cascading_flink_spark.extensions import wasserstein_distance
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                 "n_chars")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    return wasserstein_distance(a, b, "n_chars", group_col="lang")
+
+
 def q_average_precision(spark, sf_dir):
     """Per-language step-AP of n_chars vs the doc_id%5<2 label — the
     PR-curve summary over the classifier_auc reduced frame: one
@@ -4220,6 +4234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mrl_recall": q_mrl_recall,
         "fleiss": q_fleiss,
         "silhouette": q_silhouette,
+        "w1_drift": q_w1_drift,
         "cluster_split": q_cluster_split,
         "dedup_keep_best": q_dedup_keep_best,
         "minhash_recall": q_minhash_recall,
@@ -5891,6 +5906,46 @@ def oracle_sql() -> dict[str, str]:
         "mrl_recall": _mrl_recall_oracle(k=10, kt=20, thr=11,
                                          dim_t=16),
         "silhouette": _silhouette_oracle(k=8, iters=2),
+        "w1_drift": """
+            WITH a AS (SELECT lang, n_chars AS v, count(*)::BIGINT AS c
+                       FROM documents
+                       WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+                       GROUP BY 1, 2),
+            b AS (SELECT lang, n_chars AS v, count(*)::BIGINT AS c
+                  FROM documents
+                  WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
+                  GROUP BY 1, 2),
+            m AS (SELECT coalesce(a.lang, b.lang) AS lang,
+                         coalesce(a.v, b.v) AS v,
+                         coalesce(a.c, 0)::BIGINT AS ca,
+                         coalesce(b.c, 0)::BIGINT AS cb
+                  FROM a FULL OUTER JOIN b
+                    ON a.lang = b.lang AND a.v = b.v),
+            w AS (SELECT lang, v,
+                         sum(ca) OVER (PARTITION BY lang ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)::BIGINT AS cuma,
+                         sum(cb) OVER (PARTITION BY lang ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)::BIGINT AS cumb,
+                         sum(ca) OVER (PARTITION BY lang)::BIGINT AS na,
+                         sum(cb) OVER (PARTITION BY lang)::BIGINT AS nb,
+                         lead(v) OVER (PARTITION BY lang ORDER BY v)
+                             AS nv
+                  FROM m),
+            t AS (SELECT lang, max(na)::BIGINT AS n_a,
+                         max(nb)::BIGINT AS n_b,
+                         sum(CASE WHEN nv IS NULL THEN 0::HUGEINT
+                             ELSE abs(cuma::HUGEINT * nb
+                                      - cumb::HUGEINT * na)
+                                  * (nv - v) END) AS s
+                  FROM w WHERE na > 0 AND nb > 0
+                  GROUP BY 1)
+            SELECT lang, n_a, n_b,
+                   (s * 1000000 // (n_a::HUGEINT * n_b))::BIGINT
+                       AS w1_x
+            FROM t
+        """,
         "rate_confidence": """
             WITH t AS (SELECT lang, count(*)::BIGINT AS n,
                               sum(CASE WHEN doc_id % 5 < 2 THEN 1

@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "mrl_recall",
     "fleiss",
     "silhouette",
+    "w1_drift",
     # round 11
     "connected_components_fast",
     "rrf_hybrid3",

@@ -101,6 +101,6 @@ from .analytics import (average_precision,
                         rolling_stats, session_funnel, session_stats,
                         session_transitions,
                         sessionize, signal_corr, trimmed_stats,
-                        value_histogram)
+                        value_histogram, wasserstein_distance)
 
 __all__ = [n for n in dir() if not n.startswith("_")]

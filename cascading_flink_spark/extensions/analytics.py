@@ -1595,6 +1595,91 @@ def ks_statistic(df_a: DataFrame, df_b: DataFrame, value_col: str,
          .cast("long").alias("ks_x"))
 
 
+def wasserstein_distance(df_a: DataFrame, df_b: DataFrame,
+                         value_col: str,
+                         group_col: str | None = None,
+                         quantize_x: int | None = None,
+                         scale: int = 1_000_000) -> DataFrame:
+    """One-dimensional Wasserstein-1 (earth-mover) distance between
+    two slices' value distributions, per group or globally:
+    ``(group?, n_a, n_b, w1_x)`` — the INTEGRAL of |cdf_a - cdf_b|
+    over the value axis, in VALUE units x ``scale/1e6``... the drift
+    score that weighs HOW FAR the mass moved where
+    :func:`ks_statistic`'s sup only sees the single worst crossing
+    (a +1-token shift of every document moves KS to its cap but W1
+    to exactly 1 token).
+
+    Exact integer recipe on :func:`ks_statistic`'s merged reduced
+    frame: with cumulative counts ``ca, cb`` at each distinct value
+    ``v`` and the NEXT distinct value ``v'`` from one lead window,
+    ``W1 * n_a * n_b = sum of |ca*n_b - cb*n_a| * (v' - v)`` — every
+    term an exact DECIMAL(38,0) product of nonnegative integers (the
+    last value's lead is NULL and contributes nothing — both cdfs
+    are 1 there), and ``w1_x = sum * scale DIV (n_a * n_b)`` is one
+    truncating division, reported in value units scaled by 1e-6 of
+    ``scale``.  Values must be integer-valued (``quantize_x``
+    buckets raw doubles in-plan — w1_x is then in QUANTIZED units).
+    One-sided groups are EXCLUDED; NULL values drop their row.
+    Headroom: ``sum`` is bounded by ``n_a*n_b*value_range`` — keep
+    that product under ~1e38.
+
+    Scale shape: identical to ks_statistic — two corpus-pass partial
+    aggs, one union + re-agg, one cumulative + one lead window on
+    the quantization-bounded frame, one rollup.  No joins, no driver
+    pulls."""
+    if int(scale) < 1:
+        raise ValueError("wasserstein_distance: scale must be >= 1")
+    if quantize_x is not None and int(quantize_x) < 1:
+        raise ValueError("wasserstein_distance: quantize_x must be "
+                         ">= 1")
+
+    def _counts(df, side):
+        v = (F.col(value_col).cast("long") if quantize_x is None
+             else F.round(F.col(value_col).cast("double")
+                          * int(quantize_x)).cast("long"))
+        g = [group_col] if group_col is not None else []
+        return (df.filter(F.col(value_col).isNotNull())
+                .select(*g, v.alias("__v"))
+                .groupBy(*g, "__v")
+                .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+                .withColumn("__side", F.lit(side)))
+    g = [group_col] if group_col is not None else []
+    merged = _counts(df_a, 0).unionByName(_counts(df_b, 1))
+    c = (merged.groupBy(*g, "__v")
+         .agg(F.sum(F.when(F.col("__side") == 0, F.col("__c"))
+                    .otherwise(0)).cast("long").alias("__a"),
+              F.sum(F.when(F.col("__side") == 1, F.col("__c"))
+                    .otherwise(0)).cast("long").alias("__b")))
+    wcum = (Window.partitionBy(*g).orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    wall = (Window.partitionBy(*g)
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    wlead = Window.partitionBy(*g).orderBy("__v")
+    c = (c.withColumn("__cuma", F.sum("__a").over(wcum).cast("long"))
+          .withColumn("__cumb", F.sum("__b").over(wcum).cast("long"))
+          .withColumn("n_a", F.sum("__a").over(wall).cast("long"))
+          .withColumn("n_b", F.sum("__b").over(wall).cast("long"))
+          .withColumn("__nv", F.lead("__v").over(wlead)))
+    # the last distinct value's lead is NULL and contributes 0 (both
+    # cdfs are 1 past it) — kept as a zero term, NOT filtered, so a
+    # single-distinct-value group still reports w1 = 0
+    out = (c.filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+           .groupBy(*g)
+           .agg(F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"),
+                F.sum(F.expr(
+                    "CASE WHEN __nv IS NULL THEN CAST(0 AS "
+                    "DECIMAL(38,0)) ELSE "
+                    "abs(CAST(__cuma AS DECIMAL(38,0)) * n_b "
+                    "- CAST(__cumb AS DECIMAL(38,0)) * n_a) "
+                    "* (__nv - __v) END")).alias("__sum")))
+    return out.select(
+        *g, "n_a", "n_b",
+        F.expr(f"__sum * {int(scale)} DIV "
+               "(CAST(n_a AS DECIMAL(38,0)) * n_b)")
+         .cast("long").alias("w1_x"))
+
+
 def rate_confidence(df: DataFrame, label_col: str,
                     group_col: str | None = None,
                     z_x1000: int = 1960) -> DataFrame:

@@ -723,3 +723,58 @@ def test_cluster_silhouette_separated_vs_duplicate(spark):
                                  "array<double>")
     out = cluster_silhouette(same, k=2, iterations=1).collect()
     assert all(r.mean_sil_x == 0 and r.min_sil_x == 0 for r in out)
+
+
+# ---------------------------------------------- wasserstein_distance
+
+
+def _w1_model(va, vb, scale=1_000_000):
+    vals = sorted(set(va) | set(vb))
+    na, nb = len(va), len(vb)
+    s = 0
+    cuma = cumb = 0
+    for v, nv in zip(vals, vals[1:]):
+        cuma += sum(1 for x in va if x == v)
+        cumb += sum(1 for x in vb if x == v)
+        s += abs(cuma * nb - cumb * na) * (nv - v)
+    return (na, nb, s * scale // (na * nb))
+
+
+def test_wasserstein_pins_python_model(spark):
+    rng = random.Random(1211)
+    va = [rng.randrange(100) for _ in range(200)]
+    vb = [rng.randrange(30, 160) for _ in range(150)]
+    a = spark.createDataFrame([("g", v) for v in va],
+                              "g string, v long")
+    b = spark.createDataFrame([("g", v) for v in vb],
+                              "g string, v long")
+    from cascading_flink_spark.extensions import wasserstein_distance
+    r = wasserstein_distance(a, b, "v", group_col="g").collect()[0]
+    assert (r.n_a, r.n_b, r.w1_x) == _w1_model(va, vb)
+
+
+def test_wasserstein_shift_and_edges(spark):
+    """A constant +k shift of every value scores EXACTLY k*1e6 (the
+    property KS flattens to its cap); identical samples score 0; a
+    single-distinct-value pair still reports a row (w1 = 0 for
+    equal, |delta| for distinct constants); W1 is symmetric."""
+    va = [10, 20, 30, 40] * 5
+    a = spark.createDataFrame([("g", v) for v in va],
+                              "g string, v long")
+    b = spark.createDataFrame([("g", v + 7) for v in va],
+                              "g string, v long")
+    from cascading_flink_spark.extensions import wasserstein_distance
+    assert wasserstein_distance(a, a, "v", group_col="g") \
+        .collect()[0].w1_x == 0
+    r = wasserstein_distance(a, b, "v", group_col="g").collect()[0]
+    assert r.w1_x == 7_000_000
+    r2 = wasserstein_distance(b, a, "v", group_col="g").collect()[0]
+    assert r2.w1_x == 7_000_000
+    c1 = spark.createDataFrame([("g", 5)] * 4, "g string, v long")
+    c2 = spark.createDataFrame([("g", 9)] * 6, "g string, v long")
+    assert wasserstein_distance(c1, c1, "v", group_col="g") \
+        .collect()[0].w1_x == 0
+    assert wasserstein_distance(c1, c2, "v", group_col="g") \
+        .collect()[0].w1_x == 4_000_000
+    with pytest.raises(ValueError, match="quantize_x"):
+        wasserstein_distance(c1, c2, "v", quantize_x=0)

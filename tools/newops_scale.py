@@ -126,6 +126,7 @@ def main() -> None:
         "mrl_recall": ["recall_x1e6"],
         "fleiss": ["po_x", "kappa_x"],
         "silhouette": ["mean_sil_x", "min_sil_x"],
+        "w1_drift": ["w1_x"],
     }
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     if only:
