@@ -2109,6 +2109,25 @@ def q_ks_drift(spark, sf_dir):
     return ks_statistic(a, b, "n_chars", group_col="lang")
 
 
+def q_readability(spark, sf_dir):
+    """Per-language Flesch reading-ease data card — three codegen
+    regexp counters pooled to exact per-group sums, the score ONE
+    identically-spelled IEEE expression rounded 4dp."""
+    from cascading_flink_spark.extensions import readability_report
+    docs = _t(spark, sf_dir, "documents").select("lang", "text")
+    return readability_report(docs, group_col="lang")
+
+
+def q_drift_series(spark, sf_dir):
+    """Day-over-day event-type drift series over the 30-day events
+    stream: exact integer epoch-truncation buckets, the shifted-union
+    no-join merge, corpus_drift quantization, one TV row per bucket
+    with a predecessor (29 at sf0.01)."""
+    from cascading_flink_spark.extensions import drift_series
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type")
+    return drift_series(ev, "event_type", bucket_s=86400)
+
+
 def q_w1_drift(spark, sf_dir):
     """Per-language Wasserstein-1 distance of the n_chars
     distribution between the even- and odd-doc_id halves (the same
@@ -4235,6 +4254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fleiss": q_fleiss,
         "silhouette": q_silhouette,
         "w1_drift": q_w1_drift,
+        "drift_series": q_drift_series,
+        "readability": q_readability,
         "cluster_split": q_cluster_split,
         "dedup_keep_best": q_dedup_keep_best,
         "minhash_recall": q_minhash_recall,
@@ -5906,6 +5927,69 @@ def oracle_sql() -> dict[str, str]:
         "mrl_recall": _mrl_recall_oracle(k=10, kt=20, thr=11,
                                          dim_t=16),
         "silhouette": _silhouette_oracle(k=8, iters=2),
+        "readability": """
+            WITH d AS (
+                SELECT lang,
+                       (CASE WHEN text IS NULL OR trim(text) = ''
+                        THEN 0
+                        ELSE len(regexp_split_to_array(trim(text),
+                                                       '\\s+'))
+                        END)::BIGINT AS w,
+                       len(regexp_extract_all(text,
+                                              '[.!?]+'))::BIGINT AS s0,
+                       len(regexp_extract_all(lower(text),
+                                              '[aeiouy]+'))::BIGINT
+                           AS y0
+                FROM documents),
+            t AS (SELECT lang, count(*)::BIGINT AS n_docs,
+                         sum(w)::BIGINT AS n_words,
+                         sum(CASE WHEN w = 0 THEN 0
+                             ELSE greatest(s0, 1) END)::BIGINT
+                             AS n_sentences,
+                         sum(CASE WHEN w = 0 THEN 0 ELSE y0
+                             END)::BIGINT AS n_syllables
+                  FROM d GROUP BY 1)
+            SELECT lang, n_docs, n_words, n_sentences, n_syllables,
+                   round((206835 / 1000.0)
+                         - (1015 / 1000.0)
+                           * (CAST(n_words AS DOUBLE)
+                              / CAST(n_sentences AS DOUBLE))
+                         - (846 / 10.0)
+                           * (CAST(n_syllables AS DOUBLE)
+                              / CAST(n_words AS DOUBLE)), 4)
+                       AS flesch
+            FROM t WHERE n_words > 0
+        """,
+        "drift_series": """
+            WITH c AS (
+                SELECT epoch_us(ts) // 86400000000 * 86400000000
+                           AS b,
+                       event_type AS k, count(*)::BIGINT AS c
+                FROM events
+                WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                GROUP BY 1, 2),
+            m AS (SELECT coalesce(cur.b, prv.b) AS b,
+                         coalesce(cur.k, prv.k) AS k,
+                         coalesce(cur.c, 0)::BIGINT AS a,
+                         coalesce(prv.c, 0)::BIGINT AS p
+                  FROM c cur FULL OUTER JOIN
+                       (SELECT b + 86400000000 AS b, k, c FROM c) prv
+                    ON cur.b = prv.b AND cur.k = prv.k),
+            w AS (SELECT b, a, p,
+                         sum(a) OVER (PARTITION BY b)::BIGINT AS n,
+                         sum(p) OVER (PARTITION BY b)::BIGINT AS np
+                  FROM m),
+            t AS (SELECT b, max(n)::BIGINT AS n,
+                         max(np)::BIGINT AS n_prev,
+                         sum(abs(a::HUGEINT * 1000000000 // n
+                                 - p::HUGEINT * 1000000000 // np))
+                             AS s
+                  FROM w WHERE n > 0 AND np > 0
+                  GROUP BY 1)
+            SELECT b::BIGINT AS bucket_us, n, n_prev,
+                   (s // 2 // 1000)::BIGINT AS tv_x1e6
+            FROM t
+        """,
         "w1_drift": """
             WITH a AS (SELECT lang, n_chars AS v, count(*)::BIGINT AS c
                        FROM documents

@@ -146,6 +146,8 @@ BENCH_QUERIES = [
     "fleiss",
     "silhouette",
     "w1_drift",
+    "drift_series",
+    "readability",
     # round 11
     "connected_components_fast",
     "rrf_hybrid3",

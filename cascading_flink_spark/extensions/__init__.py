@@ -83,6 +83,7 @@ from .corpus import (bigram_lm_scores, bm25_multi_scores, bm25_scores,
                      inverted_index,
                      ngram_counts, oov_stats, repetition_stats,
                      tfidf_topterms, unigram_commonness,
+                     readability_report,
                      vocab_overlap, zipf_slope)
 from .analytics import (average_precision,
                         calibration_report, calibration_summary,
@@ -91,7 +92,7 @@ from .analytics import (average_precision,
                         classifier_auc,
                         concentration_report, confusion_report,
                         cohort_retention,
-                        diversity_report, fleiss_kappa,
+                        diversity_report, drift_series, fleiss_kappa,
                         js_divergence,
                         event_funnel, group_quantiles,
                         ks_statistic, mean_confidence,

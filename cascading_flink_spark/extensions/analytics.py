@@ -1595,6 +1595,87 @@ def ks_statistic(df_a: DataFrame, df_b: DataFrame, value_col: str,
          .cast("long").alias("ks_x"))
 
 
+def drift_series(df: DataFrame, key_col: str, ts_col: str = "ts",
+                 bucket_s: int = 3600,
+                 group_col: str | None = None,
+                 scale: int = 1_000_000_000) -> DataFrame:
+    """Consecutive-bucket drift series over an event stream, per
+    group or globally: ``(group?, bucket_us, n, n_prev,
+    tv_x1e6)`` — the total-variation distance between each time
+    bucket's categorical key mix and the PREVIOUS bucket's — the
+    batch monitoring series behind a "did the mix lurch this hour"
+    dashboard (the streaming face is
+    :func:`~cascading_flink_spark.streaming.stream_drift_monitor`;
+    this one compares ADJACENT windows instead of a fixed
+    reference, so slow seasonal rotation reads near zero while a
+    step change spikes exactly one row).
+
+    Determinism recipe: buckets are exact integer epoch-microsecond
+    truncation (``epoch_us DIV (bucket_s * 1e6)``, no calendar
+    functions; ``bucket_us`` is reported as that exact long — the
+    sessionize ts_us convention, no timestamp round-trips); the
+    per-(bucket, key) counts self-align by SHIFTING
+    the frame one bucket forward and re-aggregating over the union
+    (the psi_drift no-join merge); both mixes quantize integer
+    (``c * scale DIV n`` — the corpus_drift recipe, scale a multiple
+    of 1e6) and ``tv_x1e6 = sum |p - q| DIV 2 DIV (scale DIV
+    1e6)``.  A bucket with NO predecessor data (the first bucket,
+    or a bucket after an empty gap) is EXCLUDED — TV against an
+    empty sample is undefined, and a gap is its own alert.  NULL
+    keys/timestamps drop their row.
+
+    Scale shape: one corpus-pass partial agg onto (group, bucket,
+    key); one shifted union + re-agg; two bucket-total windows +
+    one rollup, all on the buckets x keys reduced frame.  No joins,
+    no driver pulls."""
+    if int(bucket_s) < 1:
+        raise ValueError("drift_series: bucket_s must be >= 1")
+    if int(scale) < 1_000_000 or int(scale) % 1_000_000 != 0:
+        raise ValueError("drift_series: scale must be a positive "
+                         "multiple of 1e6 (output is x1e6)")
+    g = [group_col] if group_col is not None else []
+    bus = int(bucket_s) * 1_000_000
+    c = (df.filter(F.col(key_col).isNotNull()
+                   & F.col(ts_col).isNotNull())
+         .select(*g,
+                 F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) "
+                        f"DIV {bus} * {bus}").alias("__b"),
+                 F.col(key_col).alias("__k"))
+         .groupBy(*g, "__b", "__k")
+         .agg(F.count(F.lit(1)).cast("long").alias("__c")))
+    c = c.localCheckpoint(eager=False)
+    cur = c.withColumn("__side", F.lit(0))
+    prv = (c.withColumn("__b", F.col("__b") + bus)
+           .withColumn("__side", F.lit(1)))
+    m = (cur.unionByName(prv)
+         .groupBy(*g, "__b", "__k")
+         .agg(F.sum(F.when(F.col("__side") == 0, F.col("__c"))
+                    .otherwise(0)).cast("long").alias("__a"),
+              F.sum(F.when(F.col("__side") == 1, F.col("__c"))
+                    .otherwise(0)).cast("long").alias("__p")))
+    wall = (Window.partitionBy(*g, "__b")
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    s = int(scale)
+    m = (m.withColumn("n", F.sum("__a").over(wall).cast("long"))
+          .withColumn("n_prev", F.sum("__p").over(wall).cast("long"))
+          .filter((F.col("n") > 0) & (F.col("n_prev") > 0)))
+    down = s // 1_000_000
+    return (m.withColumn("__pq", F.expr(
+                f"abs(CAST(__a AS DECIMAL(38,0)) * {s} DIV n "
+                f"- CAST(__p AS DECIMAL(38,0)) * {s} DIV n_prev)"))
+            .groupBy(*g, "__b")
+            .agg(F.max("n").alias("n"),
+                 F.max("n_prev").alias("n_prev"),
+                 F.sum(F.col("__pq").cast("decimal(38,0)"))
+                  .alias("__sum"))
+            .select(*g,
+                    F.col("__b").cast("long").alias("bucket_us"),
+                    "n", "n_prev",
+                    F.expr(f"CAST(__sum DIV 2 DIV {down} AS BIGINT)")
+                     .alias("tv_x1e6")))
+
+
 def wasserstein_distance(df_a: DataFrame, df_b: DataFrame,
                          value_col: str,
                          group_col: str | None = None,

@@ -778,3 +778,126 @@ def test_wasserstein_shift_and_edges(spark):
         .collect()[0].w1_x == 4_000_000
     with pytest.raises(ValueError, match="quantize_x"):
         wasserstein_distance(c1, c2, "v", quantize_x=0)
+
+
+# ---------------------------------------------- drift_series
+
+
+def test_drift_series_pins_python_model(spark):
+    """Integer epoch-truncation buckets + the shifted-union merge
+    replayed in plain Python: per consecutive bucket pair, TV over
+    the union support with corpus_drift quantization."""
+    import datetime
+    rng = random.Random(1212)
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    for h in range(6):
+        for _ in range(rng.randrange(20, 40)):
+            rows.append((base + datetime.timedelta(
+                hours=h, seconds=rng.randrange(3600)),
+                "k%d" % rng.randrange(4)))
+    df = spark.createDataFrame(rows, "ts timestamp, k string")
+    from cascading_flink_spark.extensions import drift_series
+    got = {r.bucket_us: (r.n, r.n_prev, r.tv_x1e6)
+           for r in drift_series(df, "k", bucket_s=3600).collect()}
+    # model
+    import collections
+    SC = 1_000_000_000
+    buckets = collections.defaultdict(collections.Counter)
+    for ts, k in rows:
+        b = int(ts.replace(tzinfo=datetime.timezone.utc)
+                .timestamp() * 1_000_000) // 3_600_000_000 \
+            * 3_600_000_000
+        buckets[b][k] += 1
+    expect = {}
+    for b, cnt in buckets.items():
+        prev = buckets.get(b - 3_600_000_000)
+        if not prev:
+            continue
+        n, np_ = sum(cnt.values()), sum(prev.values())
+        tv = sum(abs(cnt.get(k, 0) * SC // n
+                     - prev.get(k, 0) * SC // np_)
+                 for k in set(cnt) | set(prev))
+        expect[b] = (n, np_, tv // 2 // 1000)
+    assert got == expect
+    assert len(got) == 5  # 6 buckets -> 5 consecutive pairs
+
+
+def test_drift_series_step_change_and_gaps(spark):
+    """A step change in the mix spikes exactly the boundary bucket;
+    a bucket after an empty gap is EXCLUDED; guards raise."""
+    import datetime
+    base = datetime.datetime(2024, 3, 1)
+    rows = ([(base + datetime.timedelta(hours=0, minutes=m), "a")
+             for m in range(10)]
+            + [(base + datetime.timedelta(hours=1, minutes=m), "a")
+               for m in range(10)]
+            + [(base + datetime.timedelta(hours=2, minutes=m), "b")
+               for m in range(10)]
+            # hour 3 empty; hour 4 has data -> excluded (gap)
+            + [(base + datetime.timedelta(hours=4, minutes=m), "b")
+               for m in range(10)])
+    df = spark.createDataFrame(rows, "ts timestamp, k string")
+    from cascading_flink_spark.extensions import drift_series
+    out = sorted((r.bucket_us, r.tv_x1e6)
+                 for r in drift_series(df, "k",
+                                       bucket_s=3600).collect())
+    assert len(out) == 2  # hours 1 and 2 only
+    assert out[0][1] == 0          # a -> a: no drift
+    assert out[1][1] == 1_000_000  # a -> b: total swap
+    with pytest.raises(ValueError, match="bucket_s"):
+        drift_series(df, "k", bucket_s=0)
+    with pytest.raises(ValueError, match="scale"):
+        drift_series(df, "k", scale=1000)
+
+
+# ---------------------------------------------- readability_report
+
+
+def test_readability_pins_python_model(spark):
+    import re
+    rng = random.Random(1213)
+    vocab = ["data", "cat", "onomatopoeia", "a", "syzygy", "stream"]
+    docs = []
+    for _ in range(30):
+        words = [vocab[rng.randrange(len(vocab))]
+                 for _ in range(rng.randrange(3, 30))]
+        txt = ""
+        for i, w0 in enumerate(words):
+            txt += w0 + ("." if rng.randrange(6) == 0 else " ")
+        docs.append(("g", txt))
+    df = spark.createDataFrame(docs, "g string, text string")
+    from cascading_flink_spark.extensions import readability_report
+    r = readability_report(df, group_col="g").collect()[0]
+    W = S = Y = 0
+    for _g, t in docs:
+        w = len(t.strip().split()) if t.strip() else 0
+        if w == 0:
+            continue
+        W += w
+        S += max(len(re.findall(r"[.!?]+", t)), 1)
+        Y += len(re.findall(r"[aeiouy]+", t.lower()))
+    assert (r.n_docs, r.n_words, r.n_sentences, r.n_syllables) \
+        == (30, W, S, Y)
+    flesch = 206.835 - 1.015 * (W / S) - 84.6 * (Y / W)
+    assert r.flesch == pytest.approx(round(flesch, 4), abs=1e-4)
+
+
+def test_readability_edges(spark):
+    """Empty/NULL docs count n_docs but no words; a fragment with no
+    terminator is ONE sentence; an all-empty group is excluded; the
+    known-sentence arithmetic is exact."""
+    rows = [("e", ""), ("e", None),
+            ("f", "no punctuation here"),
+            ("k", "The cat sat. The dog ran!")]
+    df = spark.createDataFrame(rows, "g string, text string")
+    from cascading_flink_spark.extensions import readability_report
+    got = {r.g: r for r in readability_report(df, group_col="g")
+           .collect()}
+    assert "e" not in got
+    assert (got["f"].n_words, got["f"].n_sentences) == (3, 1)
+    k = got["k"]
+    assert (k.n_docs, k.n_words, k.n_sentences) == (1, 6, 2)
+    # syllable runs: e|a|a|e|o|a: "the cat sat. the dog ran!" ->
+    # the(1) cat(1) sat(1) the(1) dog(1) ran(1) = 6
+    assert k.n_syllables == 6

@@ -127,6 +127,8 @@ def main() -> None:
         "fleiss": ["po_x", "kappa_x"],
         "silhouette": ["mean_sil_x", "min_sil_x"],
         "w1_drift": ["w1_x"],
+        "drift_series": ["tv_x1e6"],
+        "readability": ["n_words", "flesch"],
     }
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     if only:
