@@ -4149,8 +4149,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sf0.01+sf0.1 and by the committed mimic; the collapsed pair
     generators the first three depend on stay covered in-window by
     ngram_jaccard/ngram_containment/dedup_soft/dedup_clusters plus
-    the equality pins) sit at slots 51-56, then the r8 rows;
-    together they lead the round-13 window.
+    the equality pins) sit after the 21 late round-12 additions
+    (slots 51-71, each gate-checked at BOTH sf0.01 and sf0.1 when
+    it landed), then the r8 rows; together they lead the round-13
+    window (see COVERAGE.md for the exact slot map).
     Back block: everything with an r9-r11 driver row on unchanged
     code, re-verified by the committed round-end mimic
     (tools/mimic_r12.log).
@@ -4227,14 +4229,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "url_normalize": q_url_normalize,
         "window_agg_events": q_window_agg_events,
-        # --- slots 51+: first the 3 changed-block rows the
-        # round-12 additions displaced (all r11-driver-green;
-        # the sessionize keep_cols guard is a pure-addition raise
-        # whose shared code path session_funnel re-gates in-window,
-        # and the stars convergence plumbing is pytest-pinned;
-        # each re-gated locally at sf0.01+sf0.1 and by the
-        # committed mimic), then the r8 rows — next in line for
-        # round 13 ---
+        # --- slots 51+: the late round-12 additions (every one
+        # gate-checked at BOTH sf0.01 and sf0.1 when it landed,
+        # mimic-covered; slots 51-56 the first six, 57-71 the
+        # late-session corpus-statistics/eval/graph family), then
+        # the 6 changed-block rows the additions displaced (all
+        # r11-driver-green; the sessionize keep_cols guard is a
+        # pure-addition raise whose shared code path session_funnel
+        # re-gates in-window, the stars convergence plumbing is
+        # pytest-pinned, and the kmeans shared-fit refactor was
+        # re-gated at both scales via kmeans/topic_quota), then the
+        # r8 rows — together they lead the round-13 window ---
         "lang_confusion": q_lang_confusion,
         "trimmed_stats": q_trimmed_stats,
         "judge_kappa": q_cohen_kappa,
