@@ -1923,9 +1923,12 @@ def psi_drift(df_a: DataFrame, df_b: DataFrame, key_col: str,
     epsilon floor: ln(0) is undefined and a vanished key IS the
     signal); ``ln`` is rounded ONCE to 1e-6 per quantized value
     (the DSIR ln recipe), so every term ``(p - q) * (lnp_x - lnq_x)``
-    is an exact long (monotone rounding keeps each term >= 0 — both
-    factors always share a sign) and ``psi_x1e6 = sum DIV scale`` is
-    one truncating division of the exact DECIMAL(38,0) sum.  Support
+    is exact — computed through a DECIMAL(38,0) intermediate, since
+    at scale >= ~3e11 a long product would silently wrap on Spark
+    while DuckDB raises (the classifier_auc overflow class) — and
+    nonnegative (monotone rounding keeps both factors sharing a
+    sign); ``psi_x1e6 = sum DIV scale`` is one truncating division
+    of the exact DECIMAL(38,0) sum.  Support
     is the UNION of the two key sets; groups present in only one
     side are EXCLUDED (the KS convention).  NULL keys drop their
     row.
@@ -1948,7 +1951,8 @@ def psi_drift(df_a: DataFrame, df_b: DataFrame, key_col: str,
             f"greatest(CAST(__b AS DECIMAL(38,0)) * {s} DIV n_b, 1)")
             .cast("long"))
           .withColumn("__t", F.expr(
-            "(__p - __q) * (CAST(round(ln(__p) * 1000000, 0) AS "
+            "CAST(__p - __q AS DECIMAL(38,0)) "
+            "* (CAST(round(ln(__p) * 1000000, 0) AS "
             "BIGINT) - CAST(round(ln(__q) * 1000000, 0) AS BIGINT))")))
     return (c.groupBy(*g)
             .agg(F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"),
@@ -2023,7 +2027,8 @@ def js_divergence(df_a: DataFrame, df_b: DataFrame, key_col: str,
     spelling), then ``2 * JSD = sum of p * (ln(2p) - ln(p+q)) +
     q * (ln(2q) - ln(p+q))`` with each ``ln`` of an exact integer
     rounded ONCE to 1e-6 (the DSIR recipe); zero cells short to 0
-    in a CASE (ln never sees them).  Every term is an exact long —
+    in a CASE (ln never sees them).  Every term is exact through a
+    DECIMAL(38,0) intermediate (the psi_drift overflow note) —
     the p-half runs NEGATIVE on cells where q > p (only the total
     is nonnegative, it is a sum of two whole KLs) — the sum is
     DECIMAL(38,0)-exact, clamped at 0 (per-ln rounding can dip an
@@ -2048,10 +2053,12 @@ def js_divergence(df_a: DataFrame, df_b: DataFrame, key_col: str,
             f"CAST(CAST(__b AS DECIMAL(38,0)) * {s} DIV n_b "
             f"AS BIGINT)"))
           .withColumn("__t", F.expr(
-            "(CASE WHEN __p = 0 THEN 0 ELSE __p * "
+            "(CASE WHEN __p = 0 THEN CAST(0 AS DECIMAL(38,0)) "
+            "ELSE CAST(__p AS DECIMAL(38,0)) * "
             "(CAST(round(ln(2 * __p) * 1000000, 0) AS BIGINT) "
             "- CAST(round(ln(__p + __q) * 1000000, 0) AS BIGINT)) "
-            "END) + (CASE WHEN __q = 0 THEN 0 ELSE __q * "
+            "END) + (CASE WHEN __q = 0 THEN CAST(0 AS DECIMAL(38,0)) "
+            "ELSE CAST(__q AS DECIMAL(38,0)) * "
             "(CAST(round(ln(2 * __q) * 1000000, 0) AS BIGINT) "
             "- CAST(round(ln(__p + __q) * 1000000, 0) AS BIGINT)) "
             "END)")))

@@ -670,8 +670,9 @@ def vocab_overlap(df_a: DataFrame, df_b: DataFrame,
     explode + partial-agg groupBy + ``min_tf`` threshold (at 100 TB
     set ``min_tf`` > 1 — the singleton tail is most of the table and
     mostly typos); the union-axis frame comes from one union +
-    re-agg (no join); each ratio is ONE truncating division of
-    exact longs.  An empty union yields zero ratios (guarded
+    re-agg (no join); each ratio is ONE truncating division with a
+    DECIMAL(38,0) x1e6 numerator (a >9e12-term vocabulary would wrap
+    a long numerator silently on Spark only).  An empty union yields zero ratios (guarded
     in-expression, no divide-by-zero divergence between engines).
 
     Scale shape: two corpus passes, one union + re-agg on the term
@@ -702,13 +703,16 @@ def vocab_overlap(df_a: DataFrame, df_b: DataFrame,
     return t.select(
         "n_a", "n_b", "n_common",
         F.expr("CASE WHEN n_a + n_b - n_common = 0 THEN 0 "
-               "ELSE n_common * 1000000 DIV (n_a + n_b - n_common) "
+               "ELSE CAST(n_common AS DECIMAL(38,0)) * 1000000 "
+               "DIV (n_a + n_b - n_common) "
                "END").cast("long").alias("jaccard_x1e6"),
         F.expr("CASE WHEN n_a = 0 THEN 0 "
-               "ELSE n_common * 1000000 DIV n_a END").cast("long")
+               "ELSE CAST(n_common AS DECIMAL(38,0)) * 1000000 "
+               "DIV n_a END").cast("long")
          .alias("contain_a_x1e6"),
         F.expr("CASE WHEN n_b = 0 THEN 0 "
-               "ELSE n_common * 1000000 DIV n_b END").cast("long")
+               "ELSE CAST(n_common AS DECIMAL(38,0)) * 1000000 "
+               "DIV n_b END").cast("long")
          .alias("contain_b_x1e6"))
 
 

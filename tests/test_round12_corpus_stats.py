@@ -901,3 +901,55 @@ def test_readability_edges(spark):
     # syllable runs: e|a|a|e|o|a: "the cat sat. the dog ran!" ->
     # the(1) cat(1) sat(1) the(1) dog(1) ran(1) = 6
     assert k.n_syllables == 6
+
+
+def test_psi_jsd_large_scale_no_silent_wrap(spark):
+    """At scale = 1e12 a long per-cell product would silently wrap
+    on Spark (the classifier_auc overflow class) — the DECIMAL(38,0)
+    intermediates must keep both scores exactly on the
+    arbitrary-precision Python model."""
+    rows_a = [("g", "x")] * 97 + [("g", "y")] * 3
+    rows_b = [("g", "x")] * 5 + [("g", "y")] * 95
+    a = spark.createDataFrame(rows_a, "g string, k string")
+    b = spark.createDataFrame(rows_b, "g string, k string")
+    from cascading_flink_spark.extensions import js_divergence, psi_drift
+    SC = 10 ** 12
+    r = psi_drift(a, b, "k", group_col="g", scale=SC).collect()[0]
+
+    def model_psi(ca, cb):
+        na, nb = sum(ca.values()), sum(cb.values())
+        s = 0
+        for k in set(ca) | set(cb):
+            p = max(ca.get(k, 0) * SC // na, 1)
+            q = max(cb.get(k, 0) * SC // nb, 1)
+            s += (p - q) * (_ln_x(p) - _ln_x(q))
+        return s // SC
+    ca = {"x": 97, "y": 3}
+    cb = {"x": 5, "y": 95}
+    assert r.psi_x1e6 == model_psi(ca, cb)
+    assert r.psi_x1e6 > 0
+
+    r = js_divergence(a, b, "k", group_col="g", scale=SC).collect()[0]
+    s = 0
+    for k in ("x", "y"):
+        p = ca[k] * SC // 100
+        q = cb[k] * SC // 100
+        if p:
+            s += p * (_ln_x(2 * p) - _ln_x(p + q))
+        if q:
+            s += q * (_ln_x(2 * q) - _ln_x(p + q))
+    assert r.jsd_x1e6 == max(s, 0) // (2 * SC)
+    assert 0 < r.jsd_x1e6 <= 693_148
+
+    # disjoint supports at scale 1e13: the PSI floor cell's product
+    # is ~1e13 * ln(1e13)*1e6 ~ 3e20 — PAST 2^63, so a long
+    # intermediate would definitely wrap; the exact answer is
+    # 2 * ln(1e13) ~ 59.9
+    big = 10 ** 13
+    d1 = spark.createDataFrame([("g", "only_a")] * 4,
+                               "g string, k string")
+    d2 = spark.createDataFrame([("g", "only_b")] * 4,
+                               "g string, k string")
+    r = psi_drift(d1, d2, "k", group_col="g", scale=big).collect()[0]
+    assert r.psi_x1e6 == 2 * (big - 1) * _ln_x(big) // big
+    assert 59_000_000 < r.psi_x1e6 < 60_000_000
