@@ -2109,6 +2109,36 @@ def q_ks_drift(spark, sf_dir):
     return ks_statistic(a, b, "n_chars", group_col="lang")
 
 
+def q_data_card(spark, sf_dir):
+    """THE per-language data card, one wide row per language: the
+    diversity card (source entropy / effective sources / Gini), the
+    concentration card (HHI / top share / CR4), the readability card
+    (Flesch + its exact counters), and the mean-length 95% CI —
+    four reduced-frame operators composed by three equi-joins on the
+    language key (every input frame is |languages|-sized, so the
+    joins are trivially broadcastable; AQE picks that up).  The
+    chained oracle replays all four CTE blocks and the same joins."""
+    from cascading_flink_spark.extensions import (concentration_report,
+                                                  diversity_report,
+                                                  mean_confidence,
+                                                  readability_report)
+    docs = _t(spark, sf_dir, "documents")
+    div = diversity_report(docs.select("lang", "source"), "source",
+                           group_col="lang")
+    conc = (concentration_report(docs.select("lang", "source"),
+                                 "source", group_col="lang", top_n=4)
+            .select("lang", "hhi_x1e6", "top_share_x1e6", "cr4_x1e6"))
+    read = (readability_report(docs.select("lang", "text"),
+                               group_col="lang")
+            .select("lang", "n_words", "flesch"))
+    ci = (mean_confidence(docs.select("lang", "n_chars"), "n_chars",
+                          group_col="lang")
+          .select("lang", F.col("mean").alias("mean_chars"),
+                  F.col("lo").alias("chars_lo"),
+                  F.col("hi").alias("chars_hi")))
+    return (div.join(conc, "lang").join(read, "lang").join(ci, "lang"))
+
+
 def q_readability(spark, sf_dir):
     """Per-language Flesch reading-ease data card — three codegen
     regexp counters pooled to exact per-group sums, the score ONE
@@ -4261,6 +4291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_drift": q_w1_drift,
         "drift_series": q_drift_series,
         "readability": q_readability,
+        "data_card": q_data_card,
         "cluster_split": q_cluster_split,
         "dedup_keep_best": q_dedup_keep_best,
         "minhash_recall": q_minhash_recall,
@@ -5932,6 +5963,123 @@ def oracle_sql() -> dict[str, str]:
         "mrl_recall": _mrl_recall_oracle(k=10, kt=20, thr=11,
                                          dim_t=16),
         "silhouette": _silhouette_oracle(k=8, iters=2),
+        "data_card": """
+            WITH c0 AS (SELECT lang, source AS k, count(*)::BIGINT AS c
+                        FROM documents WHERE source IS NOT NULL
+                        GROUP BY 1, 2),
+            r0 AS (SELECT lang, c,
+                          round(ln(c) * 1000000)::BIGINT AS lnc,
+                          row_number() OVER (PARTITION BY lang
+                              ORDER BY c ASC, k ASC)::BIGINT AS i,
+                          row_number() OVER (PARTITION BY lang
+                              ORDER BY c DESC, k ASC)::BIGINT AS rn
+                   FROM c0),
+            t0 AS (SELECT lang, sum(c)::BIGINT AS n,
+                          count(*)::BIGINT AS n_keys,
+                          sum(c::HUGEINT * lnc) AS slnc,
+                          sum(i::HUGEINT * c) AS gnum,
+                          sum(c::HUGEINT * c) AS sq,
+                          max(CASE WHEN rn = 1 THEN c END)::BIGINT
+                              AS top1,
+                          sum(CASE WHEN rn <= 4 THEN c ELSE 0
+                              END)::BIGINT AS topn
+                   FROM r0 GROUP BY 1),
+            dv AS (SELECT lang, n, n_keys,
+                          (round(ln(n) * 1000000)::BIGINT
+                           - (slnc // n))::BIGINT AS entropy_x1e6,
+                          gnum, sq, top1, topn
+                   FROM t0),
+            card1 AS (
+                SELECT lang, n, n_keys, entropy_x1e6,
+                       (CASE WHEN n_keys < 2 THEN 0
+                        ELSE entropy_x1e6::HUGEINT * 1000000
+                             // round(ln(n_keys) * 1000000)::BIGINT
+                        END)::BIGINT AS norm_entropy_x1e6,
+                       round(exp(entropy_x1e6::DOUBLE / 1000000.0)
+                             * 1000)::BIGINT AS eff_keys_x1e3,
+                       ((2 * gnum - (n_keys + 1)::HUGEINT * n)
+                        * 1000000
+                        // (n_keys::HUGEINT * n))::BIGINT AS gini_x1e6,
+                       (sq * 1000000 // (n::HUGEINT * n))::BIGINT
+                           AS hhi_x1e6,
+                       (top1::HUGEINT * 1000000 // n)::BIGINT
+                           AS top_share_x1e6,
+                       (topn::HUGEINT * 1000000 // n)::BIGINT
+                           AS cr4_x1e6
+                FROM dv),
+            rd AS (SELECT lang,
+                          (CASE WHEN text IS NULL OR trim(text) = ''
+                           THEN 0
+                           ELSE len(regexp_split_to_array(trim(text),
+                                                          '\\s+'))
+                           END)::BIGINT AS w,
+                          len(regexp_extract_all(text,
+                                                 '[.!?]+'))::BIGINT
+                              AS s0,
+                          len(regexp_extract_all(lower(text),
+                                                 '[aeiouy]+'))::BIGINT
+                              AS y0
+                   FROM documents),
+            card2 AS (
+                SELECT lang, sum(w)::BIGINT AS n_words,
+                       round((206835 / 1000.0)
+                             - (1015 / 1000.0)
+                               * (CAST(sum(w) AS DOUBLE)
+                                  / CAST(sum(CASE WHEN w = 0 THEN 0
+                                         ELSE greatest(s0, 1) END)
+                                         AS DOUBLE))
+                             - (846 / 10.0)
+                               * (CAST(sum(CASE WHEN w = 0 THEN 0
+                                      ELSE y0 END) AS DOUBLE)
+                                  / CAST(sum(w) AS DOUBLE)), 4)
+                           AS flesch
+                FROM rd GROUP BY 1 HAVING sum(w) > 0),
+            card3 AS (
+                SELECT lang,
+                       round(CAST(sum(n_chars::HUGEINT) AS DOUBLE)
+                             / CAST(count(*) AS DOUBLE), 4)
+                           AS mean_chars,
+                       round(CAST(sum(n_chars::HUGEINT) AS DOUBLE)
+                             / CAST(count(*) AS DOUBLE)
+                             - ((1960 / 1000.0)
+                                * sqrt((CAST(count(*) AS DOUBLE)
+                                        * CAST(sum(n_chars::HUGEINT
+                                               * n_chars) AS DOUBLE)
+                                        - CAST(sum(n_chars::HUGEINT)
+                                               AS DOUBLE)
+                                          * CAST(sum(n_chars::HUGEINT)
+                                                 AS DOUBLE))
+                                       / (CAST(count(*) AS DOUBLE)
+                                          * CAST(count(*) AS DOUBLE)
+                                          * CAST(count(*) - 1
+                                                 AS DOUBLE)))), 4)
+                           AS chars_lo,
+                       round(CAST(sum(n_chars::HUGEINT) AS DOUBLE)
+                             / CAST(count(*) AS DOUBLE)
+                             + ((1960 / 1000.0)
+                                * sqrt((CAST(count(*) AS DOUBLE)
+                                        * CAST(sum(n_chars::HUGEINT
+                                               * n_chars) AS DOUBLE)
+                                        - CAST(sum(n_chars::HUGEINT)
+                                               AS DOUBLE)
+                                          * CAST(sum(n_chars::HUGEINT)
+                                                 AS DOUBLE))
+                                       / (CAST(count(*) AS DOUBLE)
+                                          * CAST(count(*) AS DOUBLE)
+                                          * CAST(count(*) - 1
+                                                 AS DOUBLE)))), 4)
+                           AS chars_hi
+                FROM documents WHERE n_chars IS NOT NULL
+                GROUP BY 1 HAVING count(*) >= 2)
+            SELECT c1.lang, c1.n, c1.n_keys, c1.entropy_x1e6,
+                   c1.norm_entropy_x1e6, c1.eff_keys_x1e3,
+                   c1.gini_x1e6, c1.hhi_x1e6, c1.top_share_x1e6,
+                   c1.cr4_x1e6, c2.n_words, c2.flesch,
+                   c3.mean_chars, c3.chars_lo, c3.chars_hi
+            FROM card1 c1
+            JOIN card2 c2 ON c1.lang = c2.lang
+            JOIN card3 c3 ON c1.lang = c3.lang
+        """,
         "readability": """
             WITH d AS (
                 SELECT lang,

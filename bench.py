@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "w1_drift",
     "drift_series",
     "readability",
+    "data_card",
     # round 11
     "connected_components_fast",
     "rrf_hybrid3",

@@ -953,3 +953,22 @@ def test_psi_jsd_large_scale_no_silent_wrap(spark):
     r = psi_drift(d1, d2, "k", group_col="g", scale=big).collect()[0]
     assert r.psi_x1e6 == 2 * (big - 1) * _ln_x(big) // big
     assert 59_000_000 < r.psi_x1e6 < 60_000_000
+
+
+# ---------------------------------------------- data_card composition
+
+
+def test_data_card_joins_broadcast(spark):
+    """The four-card composition joins |languages|-sized frames —
+    every join must resolve to BroadcastHashJoin (a SortMergeJoin
+    here would shuffle four tiny frames three times)."""
+    import __spark_entry__ as E
+    df = E.queries()["data_card"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("SortMergeJoin") == 0
+    assert plan.count("BroadcastHashJoin") == 3
+    out = {r.lang: r for r in df.collect()}
+    # cross-card consistency on the same corpus slice
+    for r in out.values():
+        assert r.n_keys >= 1 and r.hhi_x1e6 >= 1_000_000 // r.n_keys
+        assert r.chars_lo <= r.mean_chars <= r.chars_hi

@@ -129,6 +129,7 @@ def main() -> None:
         "w1_drift": ["w1_x"],
         "drift_series": ["tv_x1e6"],
         "readability": ["n_words", "flesch"],
+        "data_card": ["entropy_x1e6", "hhi_x1e6", "flesch"],
     }
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     if only:
