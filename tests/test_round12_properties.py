@@ -365,3 +365,100 @@ def test_trimmed_stats_matches_direct_model(spark, vals, lo, hi):
     assert r.trimmed_mean_x == trunc(ksum, len(kept))
     assert r.winsor_mean_x == trunc(
         ksum + lo_cut * (LB - 1) + hi_cut * (n - UB), n)
+
+
+# ------------------------- the late-session two-sample drift family
+
+
+import math as _math
+
+
+def _rnd_half_up(x):
+    return _math.floor(x + 0.5)
+
+
+def _lnx(v):
+    return _rnd_half_up(_math.log(v) * 1_000_000)
+
+
+counts_strategy = st.dictionaries(
+    st.sampled_from(list("abcdef")), st.integers(1, 40),
+    min_size=1, max_size=6)
+
+
+def _mk_two(spark, ca, cb):
+    rows_a = [("g", k) for k, c in sorted(ca.items()) for _ in range(c)]
+    rows_b = [("g", k) for k, c in sorted(cb.items()) for _ in range(c)]
+    return (spark.createDataFrame(rows_a, "g string, k string"),
+            spark.createDataFrame(rows_b, "g string, k string"))
+
+
+@settings(max_examples=20, deadline=None)
+@given(ca=counts_strategy, cb=counts_strategy)
+def test_psi_chi2_jsd_equal_direct_models(spark, ca, cb):
+    """On arbitrary small two-sample count tables all three
+    categorical drift scores equal their direct Python models
+    exactly (every division truncating, every ln rounded once), and
+    the family invariants hold: PSI >= 0, JSD in [0, ln 2], chi2 >=
+    0, all three 0 on identical tables."""
+    from cascading_flink_spark.extensions import (chi2_drift,
+                                                  js_divergence,
+                                                  psi_drift)
+    a, b = _mk_two(spark, ca, cb)
+    na, nb = sum(ca.values()), sum(cb.values())
+    keys = set(ca) | set(cb)
+    SC = 1_000_000
+
+    psi = psi_drift(a, b, "k", group_col="g").collect()[0]
+    s = 0
+    for k in keys:
+        p = max(ca.get(k, 0) * SC // na, 1)
+        q = max(cb.get(k, 0) * SC // nb, 1)
+        s += (p - q) * (_lnx(p) - _lnx(q))
+    assert (psi.n_a, psi.n_b, psi.n_keys) == (na, nb, len(keys))
+    assert psi.psi_x1e6 == s // SC >= 0
+
+    chi = chi2_drift(a, b, "k", group_col="g").collect()[0]
+    s = 0
+    for k in keys:
+        x, y = ca.get(k, 0), cb.get(k, 0)
+        d = x * nb - y * na
+        s += d * d * 1000 // (x + y)
+    assert chi.chi2_x1e3 == s // (na * nb) >= 0
+    assert chi.dof == len(keys) - 1
+
+    jsd = js_divergence(a, b, "k", group_col="g").collect()[0]
+    s = 0
+    for k in keys:
+        p = ca.get(k, 0) * SC // na
+        q = cb.get(k, 0) * SC // nb
+        if p:
+            s += p * (_lnx(2 * p) - _lnx(p + q))
+        if q:
+            s += q * (_lnx(2 * q) - _lnx(p + q))
+    assert jsd.jsd_x1e6 == max(s, 0) // (2 * SC)
+    assert 0 <= jsd.jsd_x1e6 <= 693_148
+
+
+@settings(max_examples=20, deadline=None)
+@given(va=st.lists(st.integers(0, 30), min_size=2, max_size=25),
+       vb=st.lists(st.integers(0, 30), min_size=2, max_size=25))
+def test_w1_equals_direct_model_and_bounds(spark, va, vb):
+    """W1 equals the direct cdf-integral model on arbitrary integer
+    samples, is symmetric, and is bounded by the value range."""
+    from cascading_flink_spark.extensions import wasserstein_distance
+    a = spark.createDataFrame([("g", v) for v in va], "g string, v long")
+    b = spark.createDataFrame([("g", v) for v in vb], "g string, v long")
+    r = wasserstein_distance(a, b, "v", group_col="g").collect()[0]
+    vals = sorted(set(va) | set(vb))
+    na, nb = len(va), len(vb)
+    s = cuma = cumb = 0
+    for v, nv in zip(vals, vals[1:]):
+        cuma += va.count(v)
+        cumb += vb.count(v)
+        s += abs(cuma * nb - cumb * na) * (nv - v)
+    assert (r.n_a, r.n_b) == (na, nb)
+    assert r.w1_x == s * 1_000_000 // (na * nb)
+    assert 0 <= r.w1_x <= (max(vals) - min(vals)) * 1_000_000
+    r2 = wasserstein_distance(b, a, "v", group_col="g").collect()[0]
+    assert r2.w1_x == r.w1_x
