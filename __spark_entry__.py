@@ -1022,6 +1022,44 @@ def q_recall_lsh(spark, sf_dir):
     return recall_at_k(lsh, qrels, k=10, rel_threshold=11)
 
 
+def q_precision_lsh(spark, sf_dir):
+    """Precision@10 of the md5-LSH index against the exact-cosine
+    top-10 positive set: n_hit * 1e6 DIV k (the serving-budget
+    denominator — a short retrieval shows up, not hides), n_ret
+    reported alongside; completes the per-index scorecard next to
+    mrr_lsh / recall_lsh / ndcg_lsh."""
+    from cascading_flink_spark.extensions import precision_at_k
+    lsh, qrels = _lsh_qrels_frames(spark, sf_dir)
+    return precision_at_k(lsh, qrels, k=10, rel_threshold=11)
+
+
+def _precision_oracle(k: int = 10, kt: int = 20, thr: int = 11,
+                      scale: int = 1_000_000) -> str:
+    return f"""
+        WITH {_eval_cte_sql(kt)},
+        pos AS (SELECT query_id, vec_id FROM qrels WHERE rel >= {thr}),
+        judged AS (SELECT DISTINCT query_id FROM pos),
+        ranked AS (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, vec_id) AS r
+            FROM lsh QUALIFY r <= {k}),
+        nret AS (SELECT query_id, count(*)::BIGINT AS nr
+                 FROM ranked GROUP BY 1),
+        hits AS (SELECT query_id, count(*)::BIGINT AS nh
+                 FROM ranked JOIN pos USING (query_id, vec_id)
+                 GROUP BY 1)
+        SELECT j.query_id,
+               coalesce(h.nh, 0)::BIGINT AS n_hit,
+               coalesce(r.nr, 0)::BIGINT AS n_ret,
+               (coalesce(h.nh, 0) * {scale} // {k})::BIGINT
+                   AS precision_x1e6
+        FROM judged j
+        LEFT JOIN nret r USING (query_id)
+        LEFT JOIN hits h USING (query_id)
+    """
+
+
 def _eval_cte_sql(kt: int = 20) -> str:
     """The lsh/truth/qrels CTE block shared by the retrieval-eval
     oracles (DuckDB twin of :func:`_lsh_qrels_frames`)."""
@@ -4292,6 +4330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_series": q_drift_series,
         "readability": q_readability,
         "data_card": q_data_card,
+        "precision_lsh": q_precision_lsh,
         "cluster_split": q_cluster_split,
         "dedup_keep_best": q_dedup_keep_best,
         "minhash_recall": q_minhash_recall,
@@ -5783,6 +5822,7 @@ def oracle_sql() -> dict[str, str]:
         "ndcg_lsh": _ndcg_oracle(k=10, kt=20),
         "mrr_lsh": _mrr_oracle(k=10, kt=20, thr=11),
         "recall_lsh": _recall_oracle(k=10, kt=20, thr=11),
+        "precision_lsh": _precision_oracle(k=10, kt=20, thr=11),
         "clustering_coef": """
             WITH e0 AS (SELECT user_id % 50 AS src,
                                (user_id * 7 + event_id) % 50 AS dst

@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "drift_series",
     "readability",
     "data_card",
+    "precision_lsh",
     # round 11
     "connected_components_fast",
     "rrf_hybrid3",

@@ -39,7 +39,7 @@ from .similarity import (
     cluster_silhouette,
     kmeans, kmeans_assign, kmeans_md5, margin_candidates, margin_mine,
     mmr_select,
-    mrr_at_k, ndcg_at_k, recall_at_k,
+    mrr_at_k, ndcg_at_k, precision_at_k, recall_at_k,
     pq_topk, pq_topk_md5,
     random_project, rbo_at_k, rrf_fuse, semdedup_pairs, semdedup_pairs_md5, sq_minmax,
     sq_quantize, sq_topk,

@@ -758,6 +758,54 @@ def recall_at_k(results: DataFrame, qrels: DataFrame, k: int = 10,
                      .cast("long").alias("recall_x1e6")))
 
 
+def precision_at_k(results: DataFrame, qrels: DataFrame, k: int = 10,
+                   query_id_col: str = "query_id",
+                   id_col: str = "vec_id",
+                   sim_col: str = "sim", rel_col: str = "rel",
+                   rel_threshold: int = 1,
+                   scale: int = 1_000_000) -> DataFrame:
+    """Precision@k of a ranked candidate list against relevance
+    judgments: ``(query_id, n_hit, n_ret, precision_x1e6)`` with
+    ``precision_x1e6 = n_hit * scale DIV k`` — hits over the
+    serving BUDGET k, not over the rows actually returned (an index
+    that retrieves 3 of k=10 and hits all 3 earns 0.3, not 1.0 —
+    the honest spelling when k is what the user sees; ``n_ret``
+    reports the actual return count so the short-retrieval case is
+    visible).  Ranks, the ``rel >= rel_threshold`` positive set,
+    the right-anchored judged-but-unretrieved-scores-0 convention
+    and the qrels uniqueness contract are shared with
+    :func:`mrr_at_k` / :func:`recall_at_k` / :func:`ndcg_at_k` —
+    the four together are the standard index scorecard.  Scale
+    shape identical to recall_at_k (one bounded window, one
+    equi-join, two partial aggs)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    wr = (Window.partitionBy(query_id_col)
+          .orderBy(F.desc(sim_col), F.asc(id_col)))
+    ranked = (results.withColumn("__r", F.row_number().over(wr))
+              .filter(F.col("__r") <= k)
+              .select(query_id_col, id_col))
+    ranked = ranked.localCheckpoint(eager=False)
+    pos = (qrels.filter(F.col(rel_col) >= int(rel_threshold))
+           .select(query_id_col, id_col))
+    judged = pos.select(query_id_col).distinct()
+    nret = ranked.groupBy(query_id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__nr"))
+    hits = (ranked.join(pos, [query_id_col, id_col])
+            .groupBy(query_id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("__nh")))
+    return (judged.join(nret, query_id_col, "left")
+            .join(hits, query_id_col, "left")
+            .select(query_id_col,
+                    F.coalesce(F.col("__nh"), F.lit(0).cast("long"))
+                     .alias("n_hit"),
+                    F.coalesce(F.col("__nr"), F.lit(0).cast("long"))
+                     .alias("n_ret"))
+            .select(query_id_col, "n_hit", "n_ret",
+                    F.expr(f"n_hit * {int(scale)} DIV {int(k)}")
+                     .cast("long").alias("precision_x1e6")))
+
+
 def kcenter_select(corpus: DataFrame, k: int = 8,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    scale: int = 1_000_000) -> DataFrame:

@@ -972,3 +972,31 @@ def test_data_card_joins_broadcast(spark):
     for r in out.values():
         assert r.n_keys >= 1 and r.hhi_x1e6 >= 1_000_000 // r.n_keys
         assert r.chars_lo <= r.mean_chars <= r.chars_hi
+
+
+# ---------------------------------------------- precision_at_k
+
+
+def test_precision_at_k_budget_denominator(spark):
+    """Hits divide by the serving BUDGET k, not the returned count —
+    a perfect-but-short retrieval cannot score 1e6; a
+    judged-but-unretrieved query reports (0, 0, 0); unjudged
+    queries emit no row; k guard raises."""
+    results = spark.createDataFrame(
+        # q1: returns 3 rows, all relevant.  q2: nothing returned.
+        [(1, 10, 0.9), (1, 11, 0.8), (1, 12, 0.7)],
+        "query_id long, vec_id long, sim double")
+    qrels = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 1), (1, 12, 1), (2, 20, 1),
+         (3, 30, 0)],  # q3 judged only IRRELEVANT -> not in output
+        "query_id long, vec_id long, rel int")
+    from cascading_flink_spark.extensions import precision_at_k
+    got = {r.query_id: (r.n_hit, r.n_ret, r.precision_x1e6)
+           for r in precision_at_k(results, qrels, k=10).collect()}
+    assert got == {1: (3, 3, 300_000), 2: (0, 0, 0)}
+    # k truncation: only the top-k ranked rows count as hits
+    got = {r.query_id: (r.n_hit, r.n_ret, r.precision_x1e6)
+           for r in precision_at_k(results, qrels, k=2).collect()}
+    assert got[1] == (2, 2, 1_000_000)
+    with pytest.raises(ValueError, match="k must be"):
+        precision_at_k(results, qrels, k=0)

@@ -130,6 +130,7 @@ def main() -> None:
         "drift_series": ["tv_x1e6"],
         "readability": ["n_words", "flesch"],
         "data_card": ["entropy_x1e6", "hhi_x1e6", "flesch"],
+        "precision_lsh": ["precision_x1e6"],
     }
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     if only:
