@@ -2147,6 +2147,15 @@ def q_ks_drift(spark, sf_dir):
     return ks_statistic(a, b, "n_chars", group_col="lang")
 
 
+def q_robust_spread(spark, sf_dir):
+    """Per-language median + MAD of n_chars — the interval-rank pick
+    at (n+1) DIV 2 run twice (values, then |v - median| deviations);
+    lower-median convention, everything exact integers."""
+    from cascading_flink_spark.extensions import robust_spread
+    docs = _t(spark, sf_dir, "documents").select("lang", "n_chars")
+    return robust_spread(docs, "n_chars", group_col="lang")
+
+
 def q_data_card(spark, sf_dir):
     """THE per-language data card, one wide row per language: the
     diversity card (source entropy / effective sources / Gini), the
@@ -4331,6 +4340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "data_card": q_data_card,
         "precision_lsh": q_precision_lsh,
+        "robust_spread": q_robust_spread,
         "cluster_split": q_cluster_split,
         "dedup_keep_best": q_dedup_keep_best,
         "minhash_recall": q_minhash_recall,
@@ -6003,6 +6013,41 @@ def oracle_sql() -> dict[str, str]:
         "mrl_recall": _mrl_recall_oracle(k=10, kt=20, thr=11,
                                          dim_t=16),
         "silhouette": _silhouette_oracle(k=8, iters=2),
+        "robust_spread": """
+            WITH c AS (SELECT lang, n_chars AS v, count(*)::BIGINT AS c
+                       FROM documents WHERE n_chars IS NOT NULL
+                       GROUP BY 1, 2),
+            w1 AS (SELECT lang, v, c,
+                          coalesce(sum(c) OVER (PARTITION BY lang
+                              ORDER BY v ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                              AS bef,
+                          sum(c) OVER (PARTITION BY lang)::BIGINT AS n
+                   FROM c),
+            med AS (SELECT lang, max(n)::BIGINT AS n,
+                           max(CASE WHEN bef < (n + 1) // 2
+                                     AND bef + c >= (n + 1) // 2
+                               THEN v END)::BIGINT AS median_x
+                    FROM w1 GROUP BY 1),
+            d AS (SELECT c.lang, abs(c.v - m.median_x) AS v,
+                         sum(c.c)::BIGINT AS c
+                  FROM c JOIN med m ON c.lang = m.lang
+                  GROUP BY 1, 2),
+            w2 AS (SELECT lang, v, c,
+                          coalesce(sum(c) OVER (PARTITION BY lang
+                              ORDER BY v ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                              AS bef,
+                          sum(c) OVER (PARTITION BY lang)::BIGINT AS n
+                   FROM d),
+            mad AS (SELECT lang,
+                           max(CASE WHEN bef < (n + 1) // 2
+                                     AND bef + c >= (n + 1) // 2
+                               THEN v END)::BIGINT AS mad_x
+                    FROM w2 GROUP BY 1)
+            SELECT med.lang, med.n, med.median_x, mad.mad_x
+            FROM med JOIN mad ON med.lang = mad.lang
+        """,
         "data_card": """
             WITH c0 AS (SELECT lang, source AS k, count(*)::BIGINT AS c
                         FROM documents WHERE source IS NOT NULL

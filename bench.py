@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "readability",
     "data_card",
     "precision_lsh",
+    "robust_spread",
     # round 11
     "connected_components_fast",
     "rrf_hybrid3",

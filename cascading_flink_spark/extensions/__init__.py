@@ -97,6 +97,7 @@ from .analytics import (average_precision,
                         event_funnel, group_quantiles,
                         ks_statistic, mean_confidence,
                         psi_drift, rate_confidence,
+                        robust_spread,
                         label_agreement, pr_threshold_stats,
                         group_quantiles_binned, heavy_hitters, hot_keys,
                         rolling_stats, session_funnel, session_stats,

@@ -1000,3 +1000,53 @@ def test_precision_at_k_budget_denominator(spark):
     assert got[1] == (2, 2, 1_000_000)
     with pytest.raises(ValueError, match="k must be"):
         precision_at_k(results, qrels, k=0)
+
+
+# ---------------------------------------------- robust_spread
+
+
+def _median_lower(vals):
+    vals = sorted(vals)
+    return vals[(len(vals) + 1) // 2 - 1]
+
+
+def test_robust_spread_pins_python_model(spark):
+    rng = random.Random(1214)
+    data = {"a": [rng.randrange(500) for _ in range(301)],
+            "b": [rng.randrange(50) for _ in range(40)]}
+    rows = [(gv, x) for gv, xs in data.items() for x in xs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    from cascading_flink_spark.extensions import robust_spread
+    got = {r.g: (r.n, r.median_x, r.mad_x)
+           for r in robust_spread(df, "v", group_col="g").collect()}
+    for gv, xs in data.items():
+        med = _median_lower(xs)
+        mad = _median_lower([abs(x - med) for x in xs])
+        assert got[gv] == (len(xs), med, mad)
+
+
+def test_robust_spread_outlier_immunity_and_edges(spark):
+    """One absurd outlier moves neither the median nor the MAD (the
+    property mean/std lacks); constant values give MAD 0; the
+    lower-median convention on even counts; quantize path; guard."""
+    base = [("g", x) for x in (10, 20, 30, 40, 50)]
+    df0 = spark.createDataFrame(base, "g string, v long")
+    df1 = spark.createDataFrame(base + [("g", 10 ** 12)],
+                                "g string, v long")
+    from cascading_flink_spark.extensions import robust_spread
+    r0 = robust_spread(df0, "v", group_col="g").collect()[0]
+    r1 = robust_spread(df1, "v", group_col="g").collect()[0]
+    assert (r0.median_x, r0.mad_x) == (30, 10)
+    # 6 values -> lower-median rank 3: median stays 30; deviations
+    # sorted (0,10,10,20,20,1e12) -> rank-3 MAD stays 10
+    assert (r1.median_x, r1.mad_x) == (30, 10)
+    const = spark.createDataFrame([("c", 7)] * 9, "g string, v long")
+    rc = robust_spread(const, "v", group_col="g").collect()[0]
+    assert (rc.median_x, rc.mad_x) == (7, 0)
+    dq = spark.createDataFrame([("q", 1.25), ("q", 1.75), ("q", 9.0)],
+                               "g string, v double")
+    rq = robust_spread(dq, "v", group_col="g",
+                       quantize_x=4).collect()[0]
+    assert rq.median_x == 7  # 1.75 * 4 in quarter units
+    with pytest.raises(ValueError, match="quantize_x"):
+        robust_spread(dq, "v", quantize_x=0)

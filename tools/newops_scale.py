@@ -131,6 +131,7 @@ def main() -> None:
         "readability": ["n_words", "flesch"],
         "data_card": ["entropy_x1e6", "hhi_x1e6", "flesch"],
         "precision_lsh": ["precision_x1e6"],
+        "robust_spread": ["median_x", "mad_x"],
     }
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     if only:
