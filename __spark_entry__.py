@@ -1843,11 +1843,13 @@ def q_kmeans(spark, sf_dir):
     return kmeans_md5(emb, k=8, iterations=2)
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
-    """Unrolled-Lloyd DuckDB twin of :func:`kmeans_md5` (same k / same
-    iteration count as q_kmeans): one CTE pair (assign a{i}, means m{i} ->
-    centroids c{i}) per iteration, generated so the SQL can never drift
-    from the declared round count."""
+def _kmeans_oracle_parts(k: int = 8, iters: int = 2,
+                         dim: int = 64) -> tuple[str, str]:
+    """The unrolled-Lloyd oracle as (cte_chain, final_select) so
+    derived oracles (:func:`_silhouette_oracle`) can reuse the CTE
+    chain STRUCTURALLY instead of substring surgery on the assembled
+    SQL (ADVICE r12): ``cte_chain`` ends at the final-centroid CTE
+    ``c{iters}``, ``final_select`` is the assignment readout."""
     sql = """
         WITH v AS (SELECT vec_id,
                           [round(x * 1000000)::BIGINT
@@ -1880,7 +1882,7 @@ def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
                  GROUP BY c.cluster)"""
     for i in range(1, iters + 1):
         sql += step.format(i=i, p=i - 1, dim=dim)
-    sql += """
+    final = """
         SELECT vec_id, cluster, sim FROM (
           SELECT vd.vec_id, c.cluster,
                  round(list_cosine_similarity(vd.dv, c.cvec), 4) AS sim,
@@ -1888,7 +1890,16 @@ def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
                    ORDER BY list_cosine_similarity(vd.dv, c.cvec) DESC,
                             c.cluster) AS rn
           FROM vd CROSS JOIN c{n} c) WHERE rn = 1""".format(n=iters)
-    return sql
+    return sql, final
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled-Lloyd DuckDB twin of :func:`kmeans_md5` (same k / same
+    iteration count as q_kmeans): one CTE pair (assign a{i}, means m{i} ->
+    centroids c{i}) per iteration, generated so the SQL can never drift
+    from the declared round count."""
+    chain, final = _kmeans_oracle_parts(k=k, iters=iters, dim=dim)
+    return chain + final
 
 
 def q_silhouette(spark, sf_dir):
@@ -1906,13 +1917,12 @@ def q_silhouette(spark, sf_dir):
 def _silhouette_oracle(k: int = 8, iters: int = 2,
                        dim: int = 64) -> str:
     """DuckDB twin of q_silhouette: the unrolled-Lloyd CTE chain of
-    :func:`_kmeans_oracle` up to the final centroids, then the top-2
-    cosine rows per vector and the identical silhouette spelling."""
-    base = _kmeans_oracle(k=k, iters=iters, dim=dim)
-    # keep the CTE chain, swap the final assignment SELECT for the
-    # silhouette readout
-    head = base[:base.rindex("SELECT vec_id, cluster, sim FROM (")]
-    return head + f"""
+    :func:`_kmeans_oracle_parts` up to the final centroids, then the
+    top-2 cosine rows per vector and the identical silhouette
+    spelling.  Uses the structural (chain, final) split — no
+    substring surgery on the assembled kmeans SQL (ADVICE r12)."""
+    head, _ = _kmeans_oracle_parts(k=k, iters=iters, dim=dim)
+    return head + "\n        " + f"""
         , scored AS (
             SELECT vd.vec_id, c.cluster,
                    list_cosine_similarity(vd.dv, c.cvec) AS cos,

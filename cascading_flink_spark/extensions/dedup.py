@@ -194,9 +194,34 @@ def _word_shingles(text_col: str, n: int):
             .otherwise(F.array().cast("array<string>"))
 
 
+def _collapse_effective(keyed: DataFrame, collapse_exact) -> bool:
+    """Resolve the ``collapse_exact`` tri-state against the corpus.
+
+    ``True`` / ``False`` pass straight through; ``'auto'`` runs ONE
+    2-value probe aggregate on the exact group key the collapse path
+    already computes — ``count(*) > count(distinct __gk)`` iff some
+    verbatim group has multiplicity >= 2, i.e. there is something to
+    collapse.  The pull is a single row by construction (two longs),
+    and the probe's scan lands on the caller's already-pinned
+    (localCheckpoint) input frame, so the expensive shingling /
+    hashing work it triggers is the same materialization the collapse
+    or raw path would pay anyway."""
+    if collapse_exact is True:
+        return True
+    if collapse_exact is False or collapse_exact is None:
+        return False
+    if collapse_exact != "auto":
+        raise ValueError(
+            "collapse_exact must be True, False or 'auto', got "
+            f"{collapse_exact!r}")
+    row = keyed.agg(F.count(F.lit(1)).alias("__n"),
+                    F.countDistinct("__gk").alias("__d")).first()
+    return (row["__n"] or 0) > (row["__d"] or 0)
+
+
 def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
-                        collapse_exact: bool = True) -> DataFrame:
+                        collapse_exact: bool | str = "auto") -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via PPJoin-style prefix filtering.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
@@ -212,17 +237,24 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     O(candidates), and the rarest-first ordering removes the skewed hot keys
     entirely.
 
-    ``collapse_exact`` (default True, round 12 — the
-    :func:`ngram_containment_pairs` treatment): identical shingle
-    sequences collapse to one representative before the prefix
-    self-join, the O(|a|+|b|) intersect verify runs once per
+    ``collapse_exact`` (default ``'auto'``, round 13): identical
+    shingle sequences collapse to one representative before the
+    prefix self-join, the O(|a|+|b|) intersect verify runs once per
     REPRESENTATIVE pair, and member pairs expand back through two
     hash joins — bit-identical output (cross-group pairs inherit the
     representative's jaccard, re-oriented least/greatest; exact
     copies of each other are jaccard-1.0 pairs emitted straight from
     the groups).  On verbatim-dup-dense corpora (the adversarial
     replicate rows) this removes the multiplicity^2 per-member
-    verify; ``collapse_exact=False`` is the raw pre-r12 opt-out."""
+    verify.  ``'auto'`` first runs ONE 2-value probe aggregate on the
+    group key (``count(*) vs count(distinct __gk)`` over the already-
+    pinned shingle frame, a 1-row driver pull bounded by
+    construction) and SKIPS the representative group+expand machinery
+    when zero verbatim copies exist — the common production corpus
+    after exact_dedup, where the collapse was measured as pure
+    overhead (1.26-1.47x on the sf0.1 dedup compositions, VERDICT
+    r12).  ``True`` forces the collapse unconditionally;
+    ``collapse_exact=False`` is the raw pre-r12 opt-out."""
     # Arrow shingler: the vectorized Python loop beats the interpreted
     # native transform(sequence, slice+concat_ws) even with the persisted
     # frame reused across branches (re-measured round 5: 2.8s -> 2.3s at
@@ -238,22 +270,23 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
                         _word_shingles_arrow(text_col, n).alias("sh"))
                 .localCheckpoint(eager=False))
     members = reps = None
-    if collapse_exact:
+    if collapse_exact is not False and collapse_exact is not None:
         keyed = shingled.withColumn(
             "__gk", F.concat(F.md5(F.concat_ws("\x1f", "sh")),
                              F.lit("#"), F.size("sh").cast("string")))
-        reps = (keyed.groupBy("__gk")
-                .agg(F.min("id").alias("__rid"),
-                     F.count(F.lit(1)).alias("__gsz"))
-                .localCheckpoint(eager=False))
-        members = (keyed.select("id", "__gk")
-                   .join(reps.select("__gk", "__rid"), "__gk")
-                   .select("id", "__rid")
-                   .localCheckpoint(eager=False))
-        shingled = (keyed.join(reps.select("__gk", "__rid"), "__gk")
-                    .filter(F.col("id") == F.col("__rid"))
-                    .select("id", "sh")
+        if _collapse_effective(keyed, collapse_exact):
+            reps = (keyed.groupBy("__gk")
+                    .agg(F.min("id").alias("__rid"),
+                         F.count(F.lit(1)).alias("__gsz"))
                     .localCheckpoint(eager=False))
+            members = (keyed.select("id", "__gk")
+                       .join(reps.select("__gk", "__rid"), "__gk")
+                       .select("id", "__rid")
+                       .localCheckpoint(eager=False))
+            shingled = (keyed.join(reps.select("__gk", "__rid"), "__gk")
+                        .filter(F.col("id") == F.col("__rid"))
+                        .select("id", "sh")
+                        .localCheckpoint(eager=False))
     inv = shingled.select("id", F.explode("sh").alias("shingle"))
     freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
     w = Window.partitionBy("id").orderBy(F.asc("f"), F.asc("shingle"))
@@ -294,7 +327,7 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
                             (F.size("sh_a") + F.size("sh_b") - F.col("n_common")))
                 .filter(F.col("__j") >= threshold)
                 .select("id_a", "id_b", "__j"))
-    if collapse_exact:
+    if members is not None:
         # PIN the representative verdicts BEFORE the member expansion
         # (the edit_dup_pairs lesson, measured there 141.9s -> 2.8s):
         # without it Catalyst's projection collapse can inline the
@@ -337,7 +370,8 @@ def ngram_containment_pairs(df: DataFrame, n: int = 3,
                             threshold: float = 0.8,
                             text_col: str = "text",
                             id_col: str = "doc_id",
-                            collapse_exact: bool = True) -> DataFrame:
+                            collapse_exact: bool | str = "auto"
+                            ) -> DataFrame:
     """Exact ASYMMETRIC n-gram containment pairs: ``(id_a, id_b,
     n_common, containment)`` where ``containment = |A ∩ B| / |A| >=
     threshold`` — "document a is mostly inside document b".  This is
@@ -361,7 +395,7 @@ def ngram_containment_pairs(df: DataFrame, n: int = 3,
     Verified with a full ``array_intersect``; same Arrow shingler,
     pin ordering and 4dp output rounding as the Jaccard twin.
 
-    ``collapse_exact`` (default True) closes the verbatim-duplicate
+    ``collapse_exact`` (default ``'auto'``) closes the verbatim-duplicate
     worst case (VERDICT r11): on a corpus dense in exact copies the
     true directed pairs grow ~multiplicity^2, and running the
     O(|A|+|B|) ``array_intersect`` verify per MEMBER pair made the
@@ -376,29 +410,33 @@ def ngram_containment_pairs(df: DataFrame, n: int = 3,
     within-group pairs (exact copies of each other) are emitted
     directly with ``n_common = |distinct shingles|``, ``containment
     = n_common / |sh|`` — the exact value the raw verify computes
-    for two identical arrays.  ``collapse_exact=False`` is the raw
-    per-member opt-out (the pre-r12 plan)."""
+    for two identical arrays.  ``'auto'`` (the default) probes the
+    group key with one 2-value aggregate (:func:`_collapse_effective`)
+    and skips the group+expand machinery entirely when no verbatim
+    copies exist; ``True`` forces it; ``collapse_exact=False`` is the
+    raw per-member opt-out (the pre-r12 plan)."""
     shingled = (_fan_out(df)
                 .select(F.col(id_col).alias("id"),
                         _word_shingles_arrow(text_col, n).alias("sh"))
                 .localCheckpoint(eager=False))
     members = reps = None
-    if collapse_exact:
+    if collapse_exact is not False and collapse_exact is not None:
         keyed = shingled.withColumn(
             "__gk", F.concat(F.md5(F.concat_ws("\x1f", "sh")),
                              F.lit("#"), F.size("sh").cast("string")))
-        reps = (keyed.groupBy("__gk")
-                .agg(F.min("id").alias("__rid"),
-                     F.count(F.lit(1)).alias("__gsz"))
-                .localCheckpoint(eager=False))
-        members = (keyed.select("id", "__gk")
-                   .join(reps.select("__gk", "__rid"), "__gk")
-                   .select("id", "__rid")
-                   .localCheckpoint(eager=False))
-        shingled = (keyed.join(reps.select("__gk", "__rid"), "__gk")
-                    .filter(F.col("id") == F.col("__rid"))
-                    .select("id", "sh")
+        if _collapse_effective(keyed, collapse_exact):
+            reps = (keyed.groupBy("__gk")
+                    .agg(F.min("id").alias("__rid"),
+                         F.count(F.lit(1)).alias("__gsz"))
                     .localCheckpoint(eager=False))
+            members = (keyed.select("id", "__gk")
+                       .join(reps.select("__gk", "__rid"), "__gk")
+                       .select("id", "__rid")
+                       .localCheckpoint(eager=False))
+            shingled = (keyed.join(reps.select("__gk", "__rid"), "__gk")
+                        .filter(F.col("id") == F.col("__rid"))
+                        .select("id", "sh")
+                        .localCheckpoint(eager=False))
     inv = shingled.select("id", F.explode("sh").alias("shingle"))
     freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
     w = Window.partitionBy("id").orderBy(F.asc("f"), F.asc("shingle"))
@@ -429,7 +467,7 @@ def ngram_containment_pairs(df: DataFrame, n: int = 3,
                 .withColumn("__c", F.col("n_common") / F.size("sh_a"))
                 .filter(F.col("__c") >= threshold)
                 .select("id_a", "id_b", "n_common", "__c"))
-    if collapse_exact:
+    if members is not None:
         # PIN the representative verdicts BEFORE the member expansion
         # (the edit_dup_pairs lesson, measured there 141.9s -> 2.8s):
         # without it Catalyst's projection collapse can inline the
@@ -654,7 +692,7 @@ def edit_dup_pairs(df: DataFrame, max_dist: int = 10, n: int = 3,
                    num_hashes: int = 32, bands: int = 8,
                    threshold: float = 0.5, text_col: str = "text",
                    id_col: str = "doc_id",
-                   collapse_exact: bool = True) -> DataFrame:
+                   collapse_exact: bool | str = "auto") -> DataFrame:
     """Near-duplicate pairs verified by EXACT edit distance:
     ``(id_a, id_b, edit_dist)`` with ``id_a < id_b`` and
     ``levenshtein(text_a, text_b) <= max_dist`` — the
@@ -683,8 +721,8 @@ def edit_dup_pairs(df: DataFrame, max_dist: int = 10, n: int = 3,
     to ASCII rows (strlen == length) so the gate is well-defined,
     and the operator itself is the character-level spelling.
 
-    ``collapse_exact`` (default True — the family's round-12
-    verbatim-collapse convention): identical texts collapse to one
+    ``collapse_exact`` (default ``'auto'`` — the family's round-13
+    probe-gated verbatim-collapse convention): identical texts collapse to one
     representative (md5(text) + length key) BEFORE the banding, the
     levenshtein runs once per REPRESENTATIVE pair, and member pairs
     expand back — bit-identical to the raw path, because members of
@@ -693,7 +731,10 @@ def edit_dup_pairs(df: DataFrame, max_dist: int = 10, n: int = 3,
     are distance 0, emitted for groups whose text clears the same
     >= n-token shingle support the raw banding needs, so short texts
     stay excluded in BOTH paths).  On verbatim-dup-dense corpora the
-    per-member O(len * max_dist) verify disappears;
+    per-member O(len * max_dist) verify disappears; ``'auto'`` probes
+    the md5+length group key with one 2-value aggregate
+    (:func:`_collapse_effective`) and skips the machinery when the
+    corpus has no verbatim copies; ``True`` forces it;
     ``collapse_exact=False`` is the raw opt-out.  NULL texts never
     pair in either path (minhash has no shingles; collapse filters
     them before grouping).
@@ -710,7 +751,7 @@ def edit_dup_pairs(df: DataFrame, max_dist: int = 10, n: int = 3,
                    F.col(text_col).alias("__t"))
          .filter(F.col("__t").isNotNull()))
     members = reps = None
-    if collapse_exact:
+    if collapse_exact is not False and collapse_exact is not None:
         # group key only (md5 + length) rides the shuffles — the 2 KB
         # texts stay OUT of the collapse agg (the ngram_jaccard
         # collapse pattern: representatives re-acquire their text via
@@ -720,18 +761,19 @@ def edit_dup_pairs(df: DataFrame, max_dist: int = 10, n: int = 3,
             "__gk", F.concat(F.md5("__t"), F.lit("#"),
                              F.length("__t").cast("string")))
             .localCheckpoint(eager=False))
-        reps = (keyed.groupBy("__gk")
-                .agg(F.min("id").alias("__rid"),
-                     F.count(F.lit(1)).alias("__gsz"))
-                .localCheckpoint(eager=False))
-        members = (keyed.select("id", "__gk")
-                   .join(reps.select("__gk", "__rid"), "__gk")
-                   .select("id", "__rid")
-                   .localCheckpoint(eager=False))
-        t = (keyed.join(reps.select("__gk", "__rid"), "__gk")
-             .filter(F.col("id") == F.col("__rid"))
-             .select("id", "__t")
-             .localCheckpoint(eager=False))
+        if _collapse_effective(keyed, collapse_exact):
+            reps = (keyed.groupBy("__gk")
+                    .agg(F.min("id").alias("__rid"),
+                         F.count(F.lit(1)).alias("__gsz"))
+                    .localCheckpoint(eager=False))
+            members = (keyed.select("id", "__gk")
+                       .join(reps.select("__gk", "__rid"), "__gk")
+                       .select("id", "__rid")
+                       .localCheckpoint(eager=False))
+            t = (keyed.join(reps.select("__gk", "__rid"), "__gk")
+                 .filter(F.col("id") == F.col("__rid"))
+                 .select("id", "__t")
+                 .localCheckpoint(eager=False))
     cand = (minhash_lsh_pairs_md5(t, n=n, num_hashes=num_hashes,
                                   bands=bands, threshold=threshold,
                                   text_col="__t", id_col="id")
@@ -747,7 +789,7 @@ def edit_dup_pairs(df: DataFrame, max_dist: int = 10, n: int = 3,
                             .cast("long"))
                 .filter(F.col("edit_dist") >= 0)
                 .select("id_a", "id_b", "edit_dist"))
-    if collapse_exact:
+    if members is not None:
         # PIN the representative verdicts BEFORE the member expansion:
         # without this, Catalyst's projection collapse inlines the
         # levenshtein expression past the expansion joins and

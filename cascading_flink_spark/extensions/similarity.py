@@ -582,6 +582,11 @@ def cluster_silhouette(corpus: DataFrame, k: int = 8,
     Scale shape: the Lloyd fit's per-round scan + k·dim reduction;
     then ONE more map-side fold pass + one partial-agg groupBy onto
     k rows.  Driver state stays k x dim."""
+    if k < 2:
+        # with a single centroid _top2_cosine's cos2 stays -inf and
+        # (c1 - c2) / (1 - c2) is NaN — the silhouette is undefined
+        # for k = 1, so fail loudly instead of emitting nulls.
+        raise ValueError(f"cluster_silhouette requires k >= 2, got {k}")
     vecs, cents = _kmeans_md5_fit(corpus, k, iterations, id_col,
                                   vec_col, scale)
     t2 = _top2_cosine(F.col("__dv"), cents)

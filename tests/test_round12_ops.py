@@ -167,11 +167,12 @@ def test_ngram_jaccard_collapse_matches_raw(spark):
 def test_ngram_containment_collapse_plan_no_per_member_intersect(spark):
     """The verify stage's array_intersect must run at representative
     level — the plan still has no cartesian, and the collapsed path
-    is the default."""
+    is the default (round 13: the probe-gated 'auto', which collapses
+    whenever verbatim copies exist and is a no-op otherwise)."""
     import inspect
     from cascading_flink_spark.extensions import ngram_containment_pairs
     sig = inspect.signature(ngram_containment_pairs)
-    assert sig.parameters["collapse_exact"].default is True
+    assert sig.parameters["collapse_exact"].default == "auto"
 
 
 # ----------------------- dedup_clusters unified onto stars CC (#4)

@@ -1,0 +1,152 @@
+"""Round-13 pins: the probe-gated ``collapse_exact='auto'`` default
+(VERDICT r12 Next #3 / What's-wrong #1), the cluster_silhouette k >= 2
+guard (ADVICE r12), and the structural kmeans-oracle parts split
+(ADVICE r12)."""
+from __future__ import annotations
+
+import pytest
+
+from conftest import load
+
+
+# ------------------------------------------ collapse_exact='auto'
+
+
+def _dup_dense(spark):
+    a = "the quick brown fox jumps over the lazy dog tonight"
+    b = "the quick brown fox jumps over the lazy dog today instead"
+    c = "unrelated text about catalyst plans and shuffle partitions"
+    rows = [(1, a), (4, a), (7, a), (2, b), (5, b), (3, c), (6, c)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _dup_free(spark):
+    rows = [(i, " ".join(f"tok{i}w{j}" for j in range(12)) +
+             " the quick brown fox jumps over the lazy dog")
+            for i in range(8)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_auto_equals_true_and_false_jaccard(spark):
+    """'auto' is output-identical to both forced modes on a dup-dense
+    AND a dup-free corpus — the probe changes only the plan."""
+    from cascading_flink_spark.extensions import ngram_jaccard_pairs
+
+    for df in (_dup_dense(spark), _dup_free(spark)):
+        outs = []
+        for mode in ("auto", True, False):
+            outs.append(sorted(
+                (r.id_a, r.id_b, r.jaccard) for r in
+                ngram_jaccard_pairs(df, n=3, threshold=0.5,
+                                    collapse_exact=mode).collect()))
+        assert outs[0] == outs[1] == outs[2]
+
+
+def test_auto_equals_true_and_false_containment(spark):
+    from cascading_flink_spark.extensions import ngram_containment_pairs
+
+    for df in (_dup_dense(spark), _dup_free(spark)):
+        outs = []
+        for mode in ("auto", True, False):
+            outs.append(sorted(
+                (r.id_a, r.id_b, r.n_common, r.containment) for r in
+                ngram_containment_pairs(df, n=3, threshold=0.8,
+                                        collapse_exact=mode).collect()))
+        assert outs[0] == outs[1] == outs[2]
+
+
+def test_auto_equals_true_and_false_edit(spark):
+    from cascading_flink_spark.extensions import edit_dup_pairs
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    dense = spark.createDataFrame(
+        [(i, base) for i in range(4)]
+        + [(4, base.replace("tok5", "tok5z", 1))],
+        "doc_id long, text string")
+    for df in (dense, _dup_free(spark)):
+        outs = []
+        for mode in ("auto", True, False):
+            outs.append(sorted(
+                (r.id_a, r.id_b, r.edit_dist) for r in
+                edit_dup_pairs(df, max_dist=5,
+                               collapse_exact=mode).collect()))
+        assert outs[0] == outs[1] == outs[2]
+
+
+def test_collapse_probe_decision(spark):
+    """The probe itself: collapse machinery engages iff a verbatim
+    group with multiplicity >= 2 exists."""
+    from pyspark.sql import functions as F
+    from cascading_flink_spark.extensions.dedup import _collapse_effective
+
+    dense = _dup_dense(spark).withColumn("__gk", F.md5("text"))
+    free = _dup_free(spark).withColumn("__gk", F.md5("text"))
+    assert _collapse_effective(dense, "auto") is True
+    assert _collapse_effective(free, "auto") is False
+    assert _collapse_effective(free, True) is True
+    assert _collapse_effective(dense, False) is False
+    with pytest.raises(ValueError, match="collapse_exact"):
+        _collapse_effective(free, "sometimes")
+
+
+def test_collapse_auto_is_default_everywhere(spark):
+    import inspect
+    from cascading_flink_spark.extensions import (
+        ngram_jaccard_pairs, ngram_containment_pairs, edit_dup_pairs)
+
+    for fn in (ngram_jaccard_pairs, ngram_containment_pairs,
+               edit_dup_pairs):
+        assert inspect.signature(fn).parameters[
+            "collapse_exact"].default == "auto", fn.__name__
+
+
+def test_collapse_auto_skips_expansion_joins_when_dup_free(spark):
+    """On a dup-free corpus the 'auto' plan must be the RAW plan — no
+    representative expansion joins (the r12 1.26-1.47x overhead class).
+    Proxy: the executed plan of the auto output frame is identical in
+    join count to the raw path's and strictly smaller than the forced
+    collapse path's."""
+    from cascading_flink_spark.extensions import ngram_jaccard_pairs
+
+    df = _dup_free(spark)
+    plans = {}
+    for mode in ("auto", True, False):
+        out = ngram_jaccard_pairs(df, n=3, threshold=0.5,
+                                  collapse_exact=mode)
+        plans[str(mode)] = out._jdf.queryExecution().optimizedPlan() \
+                              .toString()
+    assert plans["auto"].count("Join") == plans["False"].count("Join")
+    assert plans["True"].count("Join") > plans["auto"].count("Join")
+
+
+# --------------------------------------- cluster_silhouette k guard
+
+
+def test_cluster_silhouette_rejects_k1(spark, sf_dir):
+    from cascading_flink_spark.extensions import cluster_silhouette
+
+    emb = load(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="k >= 2"):
+        cluster_silhouette(emb, k=1)
+
+
+# ------------------------------------- kmeans oracle parts (ADVICE)
+
+
+def test_kmeans_oracle_parts_assemble():
+    """The structural (chain, final) split assembles to the exact
+    oracle string and the silhouette oracle reuses the chain without
+    substring surgery."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod", "/root/repo/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    chain, final = mod._kmeans_oracle_parts(k=8, iters=2, dim=64)
+    assert chain + final == mod._kmeans_oracle(k=8, iters=2, dim=64)
+    assert "SELECT vec_id, cluster, sim FROM (" in final
+    assert final not in chain
+    sil = mod._silhouette_oracle(k=8, iters=2)
+    assert sil.startswith(chain)
+    assert "SELECT vec_id, cluster, sim FROM (" not in sil
