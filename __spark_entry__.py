@@ -4148,6 +4148,20 @@ def q_dup_substrings(spark, sf_dir):
     return dup_substring_spans(docs, min_len=12, min_count=2)
 
 
+def q_dup_partners(spark, sf_dir):
+    """ExactSubstr spans WITH forensic partner attribution (VERDICT
+    r12 Next #6): per span, one exemplar partner (partner_doc,
+    partner_pos) — the globally-minimal OTHER occurrence of the
+    span's first duplicated 12-window, i.e. WHERE the boilerplate
+    also lives.  Two per-gram-bounded partial-agg passes + one hash
+    join over the already-computed gram hashes; min_count=2
+    guarantees every occurrence a distinct-from-self partner."""
+    from cascading_flink_spark.extensions import dup_substring_spans
+    docs = _t(spark, sf_dir, "documents")
+    return dup_substring_spans(docs, min_len=12, min_count=2,
+                               with_partners=True)
+
+
 def q_strip_dup_spans(spark, sf_dir):
     """Duplicated-substring removal: min-doc_id owner keeps each shared
     8-gram, every other doc drops the covered tokens."""
@@ -4217,116 +4231,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     least-recently-driver-verified queries must sit at the front.
     Rotation is documented in COVERAGE.md ("Driver-slot rotation").
 
-    Round-12 front block (slots 1-50): the 15 NEW round-12 queries
-    (the ExactSubstr family, the mrr/recall twins, quantized AUC,
-    edit-distance dedup, the confusion report, MMR diverse top-k,
-    the Pearson/Spearman signal correlations, and the
-    eval-analytics quartet: calibration bins/ECE, the PR threshold
-    sweep, label agreement; rank-biased overlap; the source
-    concentration data card; the eccentricity diameter probe); 8 of
-    the 14 queries whose plan or code changed this round (the verbatim-collapse default and
-    everything composing the pair generators, the DECIMAL overflow
-    intermediates, the ndcg right join, sessionize's keep_cols
-    guard via session_funnel); and the 24 r7-stale rows (VERDICT
-    r11 Next #1 — after this round no query's newest driver row is
-    older than r8) — 18+8+24 = exactly 50.  The 6 changed-block
-    rows the additions displaced (cluster_split, dedup_keep_best,
-    minhash_recall, connected_components_fast, session_labels,
-    session_stats — all r11-driver-green, re-gated locally at
-    sf0.01+sf0.1 and by the committed mimic; the collapsed pair
-    generators the first three depend on stay covered in-window by
-    ngram_jaccard/ngram_containment/dedup_soft/dedup_clusters plus
-    the equality pins) sit after the 21 late round-12 additions
-    (slots 51-71, each gate-checked at BOTH sf0.01 and sf0.1 when
-    it landed), then the r8 rows; together they lead the round-13
-    window (see COVERAGE.md for the exact slot map).
-    Back block: everything with an r9-r11 driver row on unchanged
+    Round-13 front block (slots 1-50), executing VERDICT r12 Next #1
+    (the standing evidence obligation) and the new-query throttle of
+    Next #2 (ONE new query this round, far below the rotation rate):
+    slot 1 the NEW `dup_partners` (ExactSubstr partner attribution,
+    VERDICT r12 Next #6); slots 2-8 the queries whose code changed
+    this round, re-gated (dup_substring_spans' with_partners
+    restructuring — dup_rate composes it — and the probe-gated
+    collapse_exact='auto' default in all three pair generators plus
+    their direct compositions dedup_soft/dedup_clusters); slots 9-32
+    the 24 late round-12 additions that never had a driver row
+    (lang_confusion ... robust_spread); slots 33-38 the 6
+    changed-block rows displaced from the r12 window
+    (cluster_split/dedup_keep_best/minhash_recall also compose the
+    collapsed pair generators, so they re-gate the 'auto' default
+    too); slots 39-50 the 12 oldest r8 rows.  1+7+24+6+12 = exactly
+    50.  After this round the 24 late-r12 queries all have driver
+    rows and the oldest driver row anywhere is r8 (19 r8 rows
+    remain, slots 51-69, first in line for round 14).
+    Back block: everything with an r9-r12 driver row on unchanged
     code, re-verified by the committed round-end mimic
-    (tools/mimic_r12.log).
+    (tools/mimic_r13.log).
     """
 
     return {
-        # --- slots 1-18: NEW round 12 (no driver row yet):
-        # the ExactSubstr detect/strip/report family, the mrr/recall
-        # retrieval-eval twins, classifier_auc's quantize_x path,
-        # edit-distance dedup, the confusion report, MMR diverse
-        # top-k, Pearson/Spearman signal correlation, and the
-        # eval-analytics quartet (calibration bins/ECE,
-        # PR threshold sweep, label agreement) ---
+        # --- slot 1: NEW round 13 (ExactSubstr partner
+        # attribution — VERDICT r12 Next #6) ---
+        "dup_partners": q_dup_partners,
+        # --- slots 2-8: code changed round 13, re-gated: the
+        # dup_substring_spans with_partners restructuring (dup_rate
+        # composes it) and the collapse_exact='auto' probe default
+        # in all three pair generators plus their direct
+        # compositions ---
         "dup_substrings": q_dup_substrings,
         "dup_rate": q_dup_rate,
-        "strip_dup_substrings": q_strip_dup_substrings,
-        "mrr_lsh": q_mrr_lsh,
-        "recall_lsh": q_recall_lsh,
-        "classifier_auc_quantized": q_classifier_auc_quantized,
-        "edit_dups": q_edit_dups,
-        "confusion": q_confusion,
-        "mmr": q_mmr,
-        "rbo": q_rbo,
-        "concentration": q_concentration,
-        "eccentricity": q_eccentricity,
-        "pearson_signals": q_pearson_signals,
-        "spearman_signals": q_spearman_signals,
-        "calibration_bins": q_calibration_bins,
-        "calibration_ece": q_calibration_ece,
-        "pr_curve": q_pr_curve,
-        "label_agreement": q_label_agreement,
-        # --- slots 19-26: plan or code changed round 12,
-        # re-gated: the verbatim-collapse default in the
-        # containment AND jaccard pair generators (and every
-        # query composing them: dedup_soft, dedup_clusters,
-        # dedup_keep_best, cluster_split, minhash_recall's
-        # exact ground truth), the DECIMAL(38,0) overflow
-        # intermediates (classifier_auc, clustering_coef),
-        # ndcg's judged-but-unretrieved right join, the
-        # stars-CC convergence plumbing, and sessionize's
-        # keep_cols guard (session_labels/stats/funnel) ---
         "ngram_containment": q_ngram_containment,
         "ngram_jaccard": q_ngram_jaccard,
+        "edit_dups": q_edit_dups,
         "dedup_soft": q_dedup_soft,
         "dedup_clusters": q_dedup_clusters,
-        "classifier_auc": q_classifier_auc,
-        "clustering_coef": q_clustering_coef,
-        "ndcg_lsh": q_ndcg_lsh,
-        "session_funnel": q_session_funnel,
-        # --- slots 27-50: the 24 r7-stale rows (newest
-        # driver row CORRECTNESS_r07, mimic-verified every
-        # round since — VERDICT r11 Next #1) ---
-        "multimodal_meta": q_multimodal_meta,
-        "nary_mixed_join": q_nary_mixed_join,
-        "nary_outer_join": q_nary_outer_join,
-        "nary_right_join": q_nary_right_join,
-        "overlap_chunks": q_overlap_chunks,
-        "pivot": q_pivot,
-        "quality_filter": q_quality_filter,
-        "rollup": q_rollup,
-        "salted_agg": q_salted_agg,
-        "sample": q_sample,
-        "self_join": q_self_join,
-        "semi_join": q_semi_join,
-        "sessionize": q_sessionize,
-        "stratified_sample": q_stratified_sample,
-        "temperature_mixture": q_temperature_mixture,
-        "text_quality": q_text_quality,
-        "token_budget": q_token_budget,
-        "token_mixture": q_token_mixture,
-        "topk_per_group": q_topk_per_group,
-        "ungroup": q_ungroup,
-        "unique": q_unique,
-        "url_dedup": q_url_dedup,
-        "url_normalize": q_url_normalize,
-        "window_agg_events": q_window_agg_events,
-        # --- slots 51+: the late round-12 additions (every one
-        # gate-checked at BOTH sf0.01 and sf0.1 when it landed,
-        # mimic-covered; slots 51-56 the first six, 57-71 the
-        # late-session corpus-statistics/eval/graph family), then
-        # the 6 changed-block rows the additions displaced (all
-        # r11-driver-green; the sessionize keep_cols guard is a
-        # pure-addition raise whose shared code path session_funnel
-        # re-gates in-window, the stars convergence plumbing is
-        # pytest-pinned, and the kmeans shared-fit refactor was
-        # re-gated at both scales via kmeans/topic_quota), then the
-        # r8 rows — together they lead the round-13 window ---
+        # --- slots 9-32: the 24 late round-12 additions, never
+        # driver-checked (VERDICT r12 Next #1 — the standing
+        # evidence obligation) ---
         "lang_confusion": q_lang_confusion,
         "trimmed_stats": q_trimmed_stats,
         "judge_kappa": q_cohen_kappa,
@@ -4351,12 +4297,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_card": q_data_card,
         "precision_lsh": q_precision_lsh,
         "robust_spread": q_robust_spread,
+        # --- slots 33-38: the 6 changed-block rows displaced from
+        # the r12 window (the first three also compose the collapsed
+        # pair generators, re-gating the 'auto' default) ---
         "cluster_split": q_cluster_split,
         "dedup_keep_best": q_dedup_keep_best,
         "minhash_recall": q_minhash_recall,
         "connected_components_fast": q_connected_components_fast,
         "session_labels": q_session_labels,
         "session_stats": q_session_stats,
+        # --- slots 39-50: the 12 oldest r8 rows (newest driver row
+        # CORRECTNESS_r08, mimic-verified every round since) ---
         "ann_lsh": q_ann_lsh,
         "ann_pq": q_ann_pq,
         "ann_topk": q_ann_topk,
@@ -4369,6 +4320,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "except": q_except,
         "frame_sample": q_frame_sample,
+        # --- slots 51+: the 19 remaining r8 rows, first in line for
+        # the round-14 window, then everything with an r9-r12 driver
+        # row on unchanged code, re-verified by the committed
+        # round-end mimic each round ---
+        "strip_dup_substrings": q_strip_dup_substrings,
+        "mrr_lsh": q_mrr_lsh,
+        "recall_lsh": q_recall_lsh,
+        "classifier_auc_quantized": q_classifier_auc_quantized,
+        "confusion": q_confusion,
+        "mmr": q_mmr,
+        "rbo": q_rbo,
+        "concentration": q_concentration,
+        "eccentricity": q_eccentricity,
+        "pearson_signals": q_pearson_signals,
+        "spearman_signals": q_spearman_signals,
+        "calibration_bins": q_calibration_bins,
+        "calibration_ece": q_calibration_ece,
+        "pr_curve": q_pr_curve,
+        "label_agreement": q_label_agreement,
+        "classifier_auc": q_classifier_auc,
+        "clustering_coef": q_clustering_coef,
+        "ndcg_lsh": q_ndcg_lsh,
+        "session_funnel": q_session_funnel,
+        "multimodal_meta": q_multimodal_meta,
+        "nary_mixed_join": q_nary_mixed_join,
+        "nary_outer_join": q_nary_outer_join,
+        "nary_right_join": q_nary_right_join,
+        "overlap_chunks": q_overlap_chunks,
+        "pivot": q_pivot,
+        "quality_filter": q_quality_filter,
+        "rollup": q_rollup,
+        "salted_agg": q_salted_agg,
+        "sample": q_sample,
+        "self_join": q_self_join,
+        "semi_join": q_semi_join,
+        "sessionize": q_sessionize,
+        "stratified_sample": q_stratified_sample,
+        "temperature_mixture": q_temperature_mixture,
+        "text_quality": q_text_quality,
+        "token_budget": q_token_budget,
+        "token_mixture": q_token_mixture,
+        "topk_per_group": q_topk_per_group,
+        "ungroup": q_ungroup,
+        "unique": q_unique,
+        "url_dedup": q_url_dedup,
+        "url_normalize": q_url_normalize,
+        "window_agg_events": q_window_agg_events,
         "gram_novelty": q_gram_novelty,
         "group_centroids": q_group_centroids,
         "hash_embed": q_hash_embed,
@@ -4388,9 +4386,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_boilerplate": q_strip_boilerplate,
         "strip_dup_spans": q_strip_dup_spans,
         "video_dups": q_video_dups,
-        # --- back block (r9-r11 rows on unchanged code,
-        # re-verified by the committed round-end mimic each
-        # round) ---
         "rrf_hybrid3": q_rrf_hybrid3,
         "kcenter": q_kcenter,
         "topic_quota": q_topic_quota,
@@ -9583,6 +9578,69 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(pos) + 11 AS BIGINT) AS span_end,
                    CAST(max(pos) - min(pos) + 12 AS BIGINT) AS span_tokens,
                    CAST(count(*) AS BIGINT) AS n_grams
+            FROM grp GROUP BY doc_id, island
+        """,
+        "dup_partners": """
+            -- ExactSubstr spans with partner attribution: per span the
+            -- globally-minimal OTHER occurrence of its first duplicated
+            -- 12-window; rn 1/2 over (doc_id, pos) == Spark's
+            -- min(struct(id,pos)) and min-of-the-rest
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(coalesce(text, '')) = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(
+                                lower(trim(coalesce(text, ''))), '\\s+')
+                       END AS t
+                FROM documents),
+            pos AS (
+                SELECT doc_id, t, unnest(range(0, len(t) - 12 + 1)) AS pos
+                FROM toks WHERE len(t) >= 12),
+            grams AS (
+                SELECT doc_id, pos,
+                       md5(array_to_string(t[pos + 1 : pos + 12], ' ')) AS g
+                FROM pos),
+            dupg AS (
+                SELECT g FROM grams
+                GROUP BY g HAVING count(*) >= 2),
+            occ AS MATERIALIZED (
+                SELECT doc_id, pos, g FROM grams JOIN dupg USING (g)),
+            ranked AS MATERIALIZED (
+                SELECT g, doc_id, pos,
+                       row_number() OVER (PARTITION BY g
+                                          ORDER BY doc_id, pos) AS rn
+                FROM occ),
+            m1 AS (SELECT g, doc_id AS p1_doc, pos AS p1_pos
+                   FROM ranked WHERE rn = 1),
+            m2 AS (SELECT g, doc_id AS p2_doc, pos AS p2_pos
+                   FROM ranked WHERE rn = 2),
+            dup AS (
+                SELECT o.doc_id, o.pos,
+                       CASE WHEN o.doc_id = m1.p1_doc
+                                 AND o.pos = m1.p1_pos
+                            THEN m2.p2_doc ELSE m1.p1_doc END AS p_doc,
+                       CASE WHEN o.doc_id = m1.p1_doc
+                                 AND o.pos = m1.p1_pos
+                            THEN m2.p2_pos ELSE m1.p1_pos END AS p_pos
+                FROM occ o JOIN m1 USING (g) JOIN m2 USING (g)),
+            isl AS (
+                SELECT doc_id, pos, p_doc, p_pos,
+                       CASE WHEN pos > lag(pos) OVER (
+                                 PARTITION BY doc_id ORDER BY pos) + 12
+                            THEN 1 ELSE 0 END AS brk
+                FROM dup),
+            grp AS (
+                SELECT doc_id, pos, p_doc, p_pos,
+                       sum(brk) OVER (PARTITION BY doc_id
+                                      ORDER BY pos) AS island
+                FROM isl)
+            SELECT doc_id,
+                   CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) + 11 AS BIGINT) AS span_end,
+                   CAST(max(pos) - min(pos) + 12 AS BIGINT) AS span_tokens,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   arg_min(p_doc, pos) AS partner_doc,
+                   CAST(arg_min(p_pos, pos) AS BIGINT) AS partner_pos
             FROM grp GROUP BY doc_id, island
         """,
         "dup_rate": """

@@ -20,6 +20,16 @@ Noise band (round-5 re-pin, SPARK_GRAFT_BENCH_RUNS=5): identical-code
 queries drift +-10-20% between runs on this shared box; anything beyond
 that is real.
 
+Round-13 probe-gated capture protocol (VERDICT r12 Next #4 /
+What's-wrong #2): a fixed 3-query probe runs best-of-2 before AND after
+the full bench; if the probe totals disagree by >1.2x the host's speed
+shifted mid-capture and the file records probe_ok=false — REJECT that
+capture for round-over-round comparison and re-run on an idle box.
+The first accepted capture is frozen as BASELINE_SF01.json (the pinned
+per-query ledger); future rounds compare against the PIN with
+`python tools/compare_bench.py`, not against last round's
+possibly-inflated file.
+
 Round-7 re-pin of the BENCH_r06 outliers (VERDICT r6 "What's wrong #1"):
 dedup_clusters 3.49s and ann_ivf 1.77s were flagged as +43%/+38% vs r5
 with no note.  An idle-box best-of-5 run on round-7 code measured
@@ -108,6 +118,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # paths.  embedding_dups uses the LSH (scale) variant here — the exact
 # all-pairs variant is for the sf0.01 correctness gate only.
 BENCH_QUERIES = [
+    # round 13
+    "dup_partners",
     # round 12
     "dup_substrings",
     "strip_dup_substrings",
@@ -381,6 +393,32 @@ def _execute(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Probe-gated capture protocol (VERDICT r12 Next #4): the same fixed
+# 3-query probe runs best-of-2 BEFORE and AFTER the full bench.  If the
+# two probe totals disagree by more than 1.2x, the host's speed shifted
+# mid-capture (this box oscillates up to ~3x under concurrent load —
+# README "Bench noise") and the capture is NOT comparable round-over-
+# round: bench_full.json records probe_ok=false and the protocol is to
+# re-run on an idle box.  Probe picks cover the three execution classes
+# whose speed moves independently (scan+agg codegen, Arrow shingle UDF,
+# window machinery).
+PROBE_QUERIES = ["groupby_agg", "ngram_jaccard", "topk_per_group"]
+PROBE_TOLERANCE = 1.2
+
+
+def _run_probe(spark, qs) -> dict[str, float]:
+    out = {}
+    for name in PROBE_QUERIES:
+        b = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            _execute(qs[name](spark, SF_DIR))
+            b = min(b, time.time() - t0)
+            spark.catalog.clearCache()
+        out[name] = round(b, 3)
+    return out
+
+
 def main() -> None:
     try:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
@@ -533,6 +571,8 @@ def main() -> None:
         _execute(warm(spark, "/root/testdata/sf0.001"))
     spark.catalog.clearCache()
 
+    probe_before = _run_probe(spark, qs)
+
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     # rounds are INTERLEAVED (all queries once, then again): a transient
     # system-load spike then taxes each query in one round instead of
@@ -554,6 +594,11 @@ def main() -> None:
             spark.catalog.clearCache()
     timings = {name: round(best[name], 3) for name in names}
 
+    probe_after = _run_probe(spark, qs)
+    pb, pa = sum(probe_before.values()), sum(probe_after.values())
+    probe_ratio = round(max(pa / pb, pb / pa), 3) if min(pa, pb) > 0 else -1.0
+    probe_ok = 0 < probe_ratio <= PROBE_TOLERANCE
+
     total = round(sum(timings.values()), 3)
     full = {
         "metric": "headline_queries_total",
@@ -561,6 +606,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "probe_before": probe_before,
+        "probe_after": probe_after,
+        "probe_ratio": probe_ratio,
+        "probe_ok": probe_ok,
     }
     # The driver keeps only the LAST ~2000 chars of stdout and parses the
     # tail (BENCH_r07.json: "tail" is exactly 2000 chars, "parsed": null
@@ -583,6 +632,8 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "queries_full": "bench_full.json",
+        "probe_ratio": probe_ratio,
+        "probe_ok": probe_ok,
         "queries": {},
     }
     budget = 1800

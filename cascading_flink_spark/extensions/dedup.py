@@ -1546,7 +1546,8 @@ def dup_spans(df: DataFrame, k: int = 8, min_docs: int = 2,
 
 def dup_substring_spans(df: DataFrame, min_len: int = 20,
                         min_count: int = 2, text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        with_partners: bool = False) -> DataFrame:
     """Longest-match substring dedup, the Lee et al. 2021
     ("Deduplicating Training Data Makes Language Models Better",
     ExactSubstr) modality: maximal token ranges covered by SOME
@@ -1569,12 +1570,24 @@ def dup_substring_spans(df: DataFrame, min_len: int = 20,
     EQUALS the union of all duplicated >=L substring ranges — the
     exact span set a corpus-wide suffix array + LCP >= L scan would
     mark, at the cost of one hashed-window count instead of a global
-    suffix sort.  What the suffix array additionally yields (the
-    matching partner positions / maximal match LENGTH per pair) is
-    deliberately out of scope: curation strips the covered spans,
-    and the spans are what this returns.  Pinned against a direct
+    suffix sort.  What the suffix array additionally yields (maximal
+    match LENGTH per pair) stays out of scope: curation strips the
+    covered spans.  Pinned against a direct
     enumerate-every->=L-substring model in
     ``tests/test_round12_properties.py``.
+
+    ``with_partners=True`` (round 13 — VERDICT r12 Next #6) adds the
+    forensic attribution the suffix array would have given: per span,
+    ONE exemplar partner ``(partner_doc, partner_pos)`` — the
+    globally-minimal OTHER occurrence (by ``(doc, pos)`` struct
+    order) of the span's FIRST duplicated window, i.e. WHERE this
+    boilerplate also lives.  Cost: two more partial-agg passes over
+    the duplicated occurrences (global min per gram, then min of the
+    remainder — both per-gram-bounded rows) and one hash join back,
+    exactly "min-(doc,pos) per duplicated gram, one extra join".
+    Every occurrence has a distinct-from-itself partner because
+    ``min_count >= 2`` guarantees >= 2 occurrences per duplicated
+    gram and ``(doc, pos)`` keys are unique.
 
     Scale shape: identical to :func:`dup_spans` — windows are
     md5-hashed before the shuffle (32-byte keys, not L-token
@@ -1605,19 +1618,50 @@ def dup_substring_spans(df: DataFrame, min_len: int = 20,
                  .agg(F.count(F.lit(1)).alias("n_occ"))
                  .filter(F.col("n_occ") >= int(min_count))
                  .select("g"))
-    dup = grams.join(dup_grams, "g").select("id", "pos")
+    if with_partners:
+        # duplicated occurrences keep their gram hash; two bounded
+        # partial-agg passes give each gram its global-min occurrence
+        # m1 and the min of the rest m2 (both per-duplicated-gram
+        # frames), then one hash join assigns every occurrence its
+        # distinct-from-self exemplar
+        occ = (grams.join(dup_grams, "g")
+               .select("g", "id", "pos")
+               .localCheckpoint(eager=False))
+        m1 = occ.groupBy("g").agg(
+            F.min(F.struct("id", "pos")).alias("__m1"))
+        m2 = (occ.join(m1, "g")
+              .filter((F.col("id") != F.col("__m1.id"))
+                      | (F.col("pos") != F.col("__m1.pos")))
+              .groupBy("g")
+              .agg(F.min(F.struct("id", "pos")).alias("__m2")))
+        partners = m1.join(m2, "g")
+        dup = (occ.join(partners, "g")
+               .select("id", "pos",
+                       F.when((F.col("id") == F.col("__m1.id"))
+                              & (F.col("pos") == F.col("__m1.pos")),
+                              F.col("__m2"))
+                        .otherwise(F.col("__m1")).alias("__p")))
+    else:
+        dup = grams.join(dup_grams, "g").select("id", "pos")
     w = Window.partitionBy("id").orderBy("pos")
     brk = F.when(F.col("pos") > F.lag("pos").over(w) + k, 1).otherwise(0)
     islands = (dup.withColumn("__brk", brk)
                .withColumn("__isl", F.sum("__brk").over(
                    w.rowsBetween(Window.unboundedPreceding, 0))))
-    return (islands.groupBy("id", "__isl")
-            .agg(F.min("pos").alias("span_start"),
-                 (F.max("pos") + (k - 1)).alias("span_end"),
-                 (F.max("pos") - F.min("pos") + k).alias("span_tokens"),
-                 F.count(F.lit(1)).alias("n_grams"))
-            .select(F.col("id").alias(id_col), "span_start", "span_end",
-                    "span_tokens", "n_grams"))
+    aggs = [F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+            (F.max("pos") - F.min("pos") + k).alias("span_tokens"),
+            F.count(F.lit(1)).alias("n_grams")]
+    cols = [F.col("id").alias(id_col), "span_start", "span_end",
+            "span_tokens", "n_grams"]
+    if with_partners:
+        # the span's FIRST duplicated window carries the attribution;
+        # pos is unique within a doc, so the struct min is deterministic
+        aggs.append(F.min(F.struct("pos", "__p")).alias("__first"))
+        cols += [F.col("__first.__p.id").alias("partner_doc"),
+                 F.col("__first.__p.pos").cast("long")
+                  .alias("partner_pos")]
+    return (islands.groupBy("id", "__isl").agg(*aggs).select(*cols))
 
 
 def strip_dup_spans(df: DataFrame, k: int = 8, min_docs: int = 2,

@@ -89,6 +89,59 @@ def test_dup_substring_spans_within_doc_and_overlapping_repeats(spark):
     assert dup_spans(df, k=4, min_docs=2).count() == 0
 
 
+def _direct_partner_spans(docs, L, min_count):
+    """Round-13 partner model: L-window islands (the operator's plan,
+    already proven == the >=L-substring coverage by the tests above),
+    each span attributed to the minimal OTHER occurrence of its FIRST
+    duplicated window — operator semantics: m1 unless self IS m1,
+    else m2; equivalently min occurrence != self."""
+    from collections import defaultdict
+    occ = defaultdict(list)
+    for _id, toks in docs:
+        for i in range(len(toks) - L + 1):
+            occ[tuple(toks[i:i + L])].append((_id, i))
+    out = set()
+    for _id, toks in docs:
+        dpos = sorted(i for i in range(len(toks) - L + 1)
+                      if len(occ[tuple(toks[i:i + L])]) >= min_count)
+        islands = []
+        for p in dpos:
+            if islands and p <= islands[-1][-1] + L:
+                islands[-1].append(p)
+            else:
+                islands.append([p])
+        for isl in islands:
+            p0 = isl[0]
+            cand = sorted(occ[tuple(toks[p0:p0 + L])])
+            partner = cand[1] if cand[0] == (_id, p0) else cand[0]
+            out.add((_id, isl[0], isl[-1] + L - 1,
+                     partner[0], partner[1]))
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(docs=corpus_strategy, L=st.integers(2, 4))
+def test_dup_substring_partners_match_direct_model(spark, docs, L):
+    docs = [(i, toks) for i, toks in docs]
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in docs],
+        "doc_id long, text string")
+    rows = dup_substring_spans(df, min_len=L,
+                               with_partners=True).collect()
+    got = {(r.doc_id, r.span_start, r.span_end,
+            r.partner_doc, r.partner_pos) for r in rows}
+    assert got == _direct_partner_spans(docs, L, 2)
+    # partner is never the span's own first window occurrence, and the
+    # span columns are bit-identical to the partner-free path
+    assert all((r.partner_doc, r.partner_pos)
+               != (r.doc_id, r.span_start) for r in rows)
+    base = {(r.doc_id, r.span_start, r.span_end, r.span_tokens,
+             r.n_grams)
+            for r in dup_substring_spans(df, min_len=L).collect()}
+    assert {(r.doc_id, r.span_start, r.span_end, r.span_tokens,
+             r.n_grams) for r in rows} == base
+
+
 # ----------------------------- strip_dup_substrings (removal twin)
 
 def _direct_strip(docs, L, min_count):
