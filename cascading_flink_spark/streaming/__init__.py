@@ -20,6 +20,7 @@ from .ops import (
     stream_exact_dedup, stream_media_dedup,
     stream_drift_monitor,
     stream_label_agreement,
+    stream_psi_monitor,
     stream_score_monitor,
     stream_rolling_stats, stream_session_funnel,
     stream_session_transitions, stream_stream_join,

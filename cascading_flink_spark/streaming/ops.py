@@ -1203,3 +1203,125 @@ def stream_drift_monitor(df: DataFrame, reference: DataFrame,
         F.col("window.start").alias("window_start"),
         F.col("window.end").alias("window_end"), *g, "n", "n_oov",
         F.expr("__ss DIV n").cast("long").alias("xent_x1e6"))
+
+
+def stream_psi_monitor(df: DataFrame, reference: DataFrame,
+                       key_col: str, ts_col: str = "ts",
+                       window: str = "10 minutes",
+                       watermark: str = "30 minutes",
+                       group_col: str | None = None,
+                       scale: int = 1_000_000,
+                       max_keys: int = 256) -> DataFrame:
+    """Watermarked per-window two-sample PSI against a static trusted
+    reference snapshot (VERDICT r12 Next #7) — the streaming twin of
+    :func:`~cascading_flink_spark.extensions.analytics.psi_drift`:
+    for each event-time window (and group) it emits ``(window_start,
+    window_end, group?, n, n_oov, n_keys, psi_x1e6)`` — the
+    industry-standard "did this hour's source mix shift vs the
+    known-good corpus" gate (PSI < 0.1 stable, 0.1-0.25 drifting,
+    > 0.25 act), the two-sided score
+    :func:`stream_drift_monitor`'s one-sided cross-entropy
+    deliberately is not.
+
+    How a two-sided score fits ONE streaming aggregate (append mode
+    allows no second aggregation level): PSI's per-key terms need the
+    window's per-key counts AND total — so the reference support is
+    snapshotted at PLAN time (one driver pull BOUNDED by ``max_keys``,
+    raising loudly past it: this monitor is for bounded categorical
+    supports — language mix, source mix, event types — the case a
+    production drift pager actually watches; mega-vocab PSI is the
+    batch job's) and each reference key becomes ONE conditional-sum
+    column in a single windowed groupBy.  The PSI fold over those
+    |V| counts runs in the same SELECT.  Stream keys OUTSIDE the
+    reference support pool into one OOV cell at the 1-quantum floor
+    (batch psi_drift gives each novel key its own floored term —
+    the documented streaming trade; ``n_oov`` spikes first anyway,
+    and when the window's support is inside the reference support,
+    which is the steady state a pager watches, the emitted
+    ``psi_x1e6`` is BIT-IDENTICAL to batch psi_drift over the same
+    rows — the parity pin).
+
+    Determinism recipe (the psi_drift spelling, verbatim): reference
+    counts are collected as exact longs but ``q = cnt * scale DIV
+    total`` CLAMPED to 1 quantum and ``round(ln(q) * 1e6)`` are both
+    computed IN-PLAN on literals — no Python transcendentals — and
+    the window side's ``p = count * scale DIV n`` / ``ln`` terms use
+    the identical expression shapes with DECIMAL(38,0) products, so
+    every term is exact and nonnegative; ``psi_x1e6 = sum DIV scale``
+    is one truncating division.  A reference key absent from the
+    window clamps to the floor exactly as batch does (support is the
+    reference vocabulary — every reference key has count >= 1 there).
+    Late data beyond ``watermark`` is dropped (the standard trade).
+
+    Scale shape: state is |windows x groups| rows of |V|+2 longs —
+    never per-event; one map-side conditional-sum pass, no joins, no
+    custom state.  The reference snapshot refreshes by rebuilding the
+    query (it is a SNAPSHOT by design — a moving reference would make
+    PSI self-referential)."""
+    import math as _math
+    if int(scale) < 1_000_000:
+        raise ValueError("stream_psi_monitor: scale must be >= 1e6 "
+                         "(the epsilon floor is 1/scale)")
+    s = int(scale)
+    refc = (reference.filter(F.col(key_col).isNotNull())
+            .groupBy(F.col(key_col).cast("string").alias("__k"))
+            .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+            .orderBy("__k")
+            .limit(int(max_keys) + 1)
+            .collect())
+    if len(refc) > int(max_keys):
+        raise ValueError(
+            f"stream_psi_monitor: reference support exceeds max_keys="
+            f"{max_keys}; bounded categorical supports only — run the "
+            "batch psi_drift for mega-vocab keys")
+    if not refc:
+        raise ValueError("stream_psi_monitor: reference is empty")
+    vocab = [r["__k"] for r in refc]
+    counts = {r["__k"]: r["__c"] for r in refc}
+    total = sum(counts.values())
+
+    df = _ensure_event_time(df, ts_col)
+    df = df.withWatermark(ts_col, watermark)
+    g = [group_col] if group_col is not None else []
+    key = F.col(key_col).cast("string")
+    d = df.select(F.col(ts_col), *g, key.alias("__k"))
+    aggs = [F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((~F.col("__k").isin(vocab)).cast("long"))
+             .cast("long").alias("n_oov")]
+    for i, k in enumerate(vocab):
+        aggs.append(F.sum((F.col("__k") == k).cast("long"))
+                    .cast("long").alias(f"__c{i}"))
+    agg = d.groupBy(F.window(ts_col, window), *g).agg(*aggs)
+
+    def term(cnt: F.Column, q_expr: str) -> F.Column:
+        # identical spelling to batch psi_drift: clamp, ln rounded
+        # once to 1e-6, DECIMAL(38,0) product
+        return F.expr(
+            f"CAST(greatest(CAST({cnt} AS DECIMAL(38,0)) * {s} DIV n,"
+            f" 1) - ({q_expr}) AS DECIMAL(38,0)) "
+            f"* (CAST(round(ln(greatest(CAST({cnt} AS DECIMAL(38,0))"
+            f" * {s} DIV n, 1)) * 1000000, 0) AS BIGINT) "
+            f"- CAST(round(ln({q_expr}) * 1000000, 0) AS BIGINT))")
+
+    terms = []
+    for i, k in enumerate(vocab):
+        # q in-plan on exact literal longs: cnt * s DIV total, clamped
+        q_expr = (f"greatest(CAST({counts[k]} AS DECIMAL(38,0)) "
+                  f"* {s} DIV {total}, 1)")
+        terms.append(term(f"__c{i}", q_expr))
+    # pooled OOV cell at the reference floor (1 quantum); zero OOV
+    # makes p clamp to the floor too and the term vanish exactly
+    terms.append(term("n_oov", "1"))
+    psi_sum = terms[0]
+    for t in terms[1:]:
+        psi_sum = psi_sum + t
+    n_keys = (F.lit(len(vocab)).cast("long")
+              + (F.col("n_oov") > 0).cast("long"))
+    staged = agg.withColumn("__psisum",
+                            psi_sum.cast("decimal(38,0)"))
+    return staged.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"), *g, "n", "n_oov",
+        n_keys.alias("n_keys"),
+        F.expr(f"CAST(__psisum DIV {s} AS BIGINT)")
+         .alias("psi_x1e6"))

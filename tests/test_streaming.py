@@ -1293,3 +1293,191 @@ def test_stream_drift_monitor_guards(spark, sf_dir):
     ev = entry._t(spark, sf_dir, "events").select("ts", "event_type")
     with pytest.raises(ValueError, match="scale"):
         stream_drift_monitor(ev, ev, "event_type", scale=1000)
+
+
+# ------------------------------------------------ stream_psi_monitor
+
+
+def _psi_model(window_counts: dict, ref_counts: dict, s=1_000_000):
+    """Plain integer-Python twin of the psi_drift spelling over the
+    reference support + pooled OOV cell."""
+    import math
+    n = sum(window_counts.values())
+    tot = sum(ref_counts.values())
+    psi = 0
+    for k, c in ref_counts.items():
+        p = max(window_counts.get(k, 0) * s // n, 1)
+        q = max(c * s // tot, 1)
+        psi += (p - q) * (math.floor(math.log(p) * s + 0.5)
+                          - math.floor(math.log(q) * s + 0.5))
+    oov = sum(c for k, c in window_counts.items()
+              if k not in ref_counts)
+    p = max(oov * s // n, 1)
+    psi += (p - 1) * (math.floor(math.log(p) * s + 0.5) - 0)
+    return n, oov, psi // s
+
+
+def test_stream_psi_monitor_batch_parity(spark, sf_dir, tmp_path):
+    """Each emitted window row is bit-identical to the integer-Python
+    psi_drift spelling over the staged events, and — on the no-OOV
+    steady state — to the BATCH psi_drift operator run per window
+    (the two-sample twin pin)."""
+    from cascading_flink_spark.extensions import psi_drift
+    from cascading_flink_spark.streaming import stream_psi_monitor
+    import __spark_entry__ as entry
+
+    ev = (entry._t(spark, sf_dir, "events")
+          .filter(F.col("user_id") < 8)
+          .select("ts", "event_type"))
+    src = str(tmp_path / "spm_in")
+    ev.write.mode("overwrite").parquet(src)
+    # reference: a different user slice — FULL event-type support, so
+    # the stream has no OOV keys and batch parity is exact
+    ref = (entry._t(spark, sf_dir, "events")
+           .filter(F.col("user_id") >= 8)
+           .select("event_type"))
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = stream_psi_monitor(stream, ref, "event_type", ts_col="ts",
+                             window="1 hour", watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("spm_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.window_start: (r.n, r.n_oov, r.n_keys, r.psi_x1e6)
+           for r in spark.sql("SELECT * FROM spm_out").collect()}
+
+    refc = {}
+    for r in ref.collect():
+        refc[r.event_type] = refc.get(r.event_type, 0) + 1
+    import collections
+    wc = collections.defaultdict(lambda: collections.defaultdict(int))
+    for r in spark.read.parquet(src).collect():
+        wc[r.ts.replace(minute=0, second=0, microsecond=0)][
+            r.event_type] += 1
+    assert got
+    for w, (n, oov, nk, psi) in got.items():
+        en, eoov, epsi = _psi_model(wc[w], refc)
+        assert (n, oov, psi) == (en, eoov, epsi), w
+        assert nk == len(refc) + (1 if oov else 0)
+        assert oov == 0  # full-support reference: the steady state
+        # the BATCH psi_drift twin on this window's rows
+        wrows = spark.read.parquet(src).filter(
+            (F.col("ts") >= F.lit(w))
+            & (F.col("ts") < F.lit(w) + F.expr("INTERVAL 1 HOUR")))
+        b = psi_drift(wrows.select("event_type"), ref,
+                      "event_type").collect()[0]
+        assert (b.n_a, b.n_keys, b.psi_x1e6) == (n, nk, psi), w
+    # all but the watermark-horizon tail must be emitted
+    assert len(got) >= len(wc) - 3
+    spark.catalog.dropTempView("spm_out")
+
+
+def test_stream_psi_monitor_oov_pooling(spark, tmp_path):
+    """Stream keys outside the reference support pool into ONE floored
+    OOV cell (the documented trade vs batch's per-key floor): n_oov
+    counts them, n_keys grows by one, and the psi matches the pooled
+    model exactly."""
+    import datetime
+    from cascading_flink_spark.streaming import stream_psi_monitor
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 30)
+    t2 = datetime.datetime(2024, 1, 1, 2, 0)
+    rows = ([("a", t0)] * 6 + [("b", t0)] * 2
+            + [("zz", t0)] * 2 + [("ww", t0)]
+            # sentinel in a later window pushes the watermark past
+            # window 0's end so append mode emits it
+            + [("a", t2)])
+    src = str(tmp_path / "spo_in")
+    spark.createDataFrame(rows, "k string, ts timestamp") \
+        .write.parquet(src)
+    ref = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 5, "k string")
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = stream_psi_monitor(stream, ref, "k", ts_col="ts",
+                             window="1 hour", watermark="0 seconds")
+    q = (out.writeStream.format("memory").queryName("spo_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows_out = [r for r in
+                spark.sql("SELECT * FROM spo_out").collect()
+                if r.window_start == t0.replace(minute=0)]
+    assert len(rows_out) == 1
+    r = rows_out[0]
+    n, oov, psi = _psi_model({"a": 6, "b": 2, "zz": 2, "ww": 1},
+                             {"a": 5, "b": 5})
+    assert (r.n, r.n_oov, r.n_keys, r.psi_x1e6) == (n, oov, 3, psi)
+    assert r.n_oov == 3 and r.psi_x1e6 > 0
+    spark.catalog.dropTempView("spo_out")
+
+
+def test_stream_psi_monitor_restart_no_double_emission(spark, tmp_path):
+    """2 batches with a checkpoint restart: a window emits exactly
+    once (when the watermark passes its end), accumulates across
+    batches before that, and the restart neither re-emits nor resets
+    state."""
+    import datetime
+    from cascading_flink_spark.streaming import stream_psi_monitor
+
+    src = tmp_path / "spr_in"
+    src.mkdir()
+    h0 = datetime.datetime(2024, 1, 1, 0, 0)
+    h1 = datetime.datetime(2024, 1, 1, 1, 0)
+    h3 = datetime.datetime(2024, 1, 1, 3, 0)
+    sch = "k string, ts timestamp"
+    batches = [
+        [("a", h0), ("a", h0), ("b", h0),               # window 0
+         ("a", h1)],                                     # window 1 opens
+        [("b", h1), ("b", h1),                           # window 1 grows
+         ("a", h3)],                                     # pushes wm past 1
+    ]
+
+    def write(i):
+        spark.createDataFrame(batches[i], sch).coalesce(1) \
+            .write.parquet(str(src / f"f{i}"))
+    write(0)
+    schema = spark.read.parquet(str(src / "f0")).schema
+    ref = spark.createDataFrame([("a",)] * 3 + [("b",)] * 3, "k string")
+    ckpt = str(tmp_path / "spr_ck")
+    out_dir = str(tmp_path / "spr_out")
+
+    for i in range(len(batches)):
+        if i:
+            write(i)
+        _run_available_now(
+            spark, schema, str(src / "*"), ckpt, out_dir,
+            lambda s: stream_psi_monitor(
+                s, ref, "k", ts_col="ts", window="1 hour",
+                watermark="0 seconds"))
+
+    rows = spark.read.parquet(out_dir).collect()
+    by_w = {r.window_start: r for r in rows}
+    assert len(rows) == len(by_w), "a window emitted twice"
+    # window 0 closed in batch 1 with batch-1 data only
+    r0 = by_w[h0]
+    n, oov, psi = _psi_model({"a": 2, "b": 1}, {"a": 3, "b": 3})
+    assert (r0.n, r0.n_oov, r0.psi_x1e6) == (n, oov, psi)
+    # window 1 closed in batch 2 having ACCUMULATED both batches'
+    # rows across the restart (1 a from batch 1 + 2 b from batch 2)
+    r1 = by_w[h1]
+    n, oov, psi = _psi_model({"a": 1, "b": 2}, {"a": 3, "b": 3})
+    assert (r1.n, r1.n_oov, r1.psi_x1e6) == (n, oov, psi)
+
+
+def test_stream_psi_monitor_guards(spark, sf_dir):
+    from cascading_flink_spark.streaming import stream_psi_monitor
+    import __spark_entry__ as entry
+    ev = entry._t(spark, sf_dir, "events").select("ts", "event_type")
+    with pytest.raises(ValueError, match="scale"):
+        stream_psi_monitor(ev, ev, "event_type", scale=1000)
+    with pytest.raises(ValueError, match="max_keys"):
+        stream_psi_monitor(
+            ev, entry._t(spark, sf_dir, "events")
+            .select(F.col("user_id").cast("string")
+                    .alias("event_type")),
+            "event_type", max_keys=5)
+    with pytest.raises(ValueError, match="empty"):
+        stream_psi_monitor(ev, ev.filter("event_type IS NULL"),
+                           "event_type")

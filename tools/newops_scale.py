@@ -84,6 +84,10 @@ def main() -> None:
         "dedup_soft": ["w_x1e6", "cluster_size"],
         "topic_quota": ["cluster"],
         "dup_substrings": ["span_tokens", "n_grams"],
+        # round 13: partner attribution — replication multiplies the
+        # per-gram occurrence lists the m1/m2 partial aggs reduce,
+        # the adversarial direction for the partner machinery
+        "dup_partners": ["span_tokens", "partner_pos"],
         # round 12: the eval-analytics quartet — all reduce to
         # quantization/vote-bounded frames, so the scaling surface is
         # the single corpus-pass partial agg
