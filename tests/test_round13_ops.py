@@ -74,19 +74,30 @@ def test_auto_equals_true_and_false_edit(spark):
 
 
 def test_collapse_probe_decision(spark):
-    """The probe itself: collapse machinery engages iff a verbatim
-    group with multiplicity >= 2 exists."""
+    """The probe itself: collapse machinery engages iff verbatim-copy
+    mass reaches _COLLAPSE_AUTO_MIN_FRAC of rows — a handful of stray
+    copies in a large corpus stays on the raw plan (the sf0.1 fixture
+    case: 8 copies in 5000 docs), a dup-dense corpus engages."""
     from pyspark.sql import functions as F
-    from cascading_flink_spark.extensions.dedup import _collapse_effective
+    from cascading_flink_spark.extensions.dedup import (
+        _COLLAPSE_AUTO_MIN_FRAC, _collapse_effective)
 
-    dense = _dup_dense(spark).withColumn("__gk", F.md5("text"))
-    free = _dup_free(spark).withColumn("__gk", F.md5("text"))
-    assert _collapse_effective(dense, "auto") is True
-    assert _collapse_effective(free, "auto") is False
-    assert _collapse_effective(free, True) is True
-    assert _collapse_effective(dense, False) is False
+    probe = F.xxhash64("text")
+    dense = _dup_dense(spark)
+    free = _dup_free(spark)
+    assert _collapse_effective(dense, probe, "auto") is True
+    assert _collapse_effective(free, probe, "auto") is False
+    assert _collapse_effective(free, probe, True) is True
+    assert _collapse_effective(dense, probe, False) is False
+    # 1 duplicate pair in 300 rows = 0.33% copy mass: below the
+    # threshold, the raw plan wins — probe must skip
+    rows = [(i, f"doc number {i} unique text body") for i in range(299)]
+    rows.append((299, rows[0][1]))
+    sparse = spark.createDataFrame(rows, "doc_id long, text string")
+    assert 1 / 300 < _COLLAPSE_AUTO_MIN_FRAC
+    assert _collapse_effective(sparse, probe, "auto") is False
     with pytest.raises(ValueError, match="collapse_exact"):
-        _collapse_effective(free, "sometimes")
+        _collapse_effective(free, probe, "sometimes")
 
 
 def test_collapse_auto_is_default_everywhere(spark):
