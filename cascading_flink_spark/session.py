@@ -37,7 +37,16 @@ def get_spark(app_name: str = "cascading_flink_spark",
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         # modest heap: test-scale data is small and G1 full collections on a
         # huge heap produce multi-second stalls that dwarf query time
-        .config("spark.driver.extraJavaOptions", "-XX:+UseG1GC -XX:MaxGCPauseMillis=200")
+        # -Xss16m: iterative operators (hashmin CC, pagerank, k-core)
+        # chain lazy localCheckpoints whose FIRST materialization can
+        # deserialize a full multi-round lineage in one task; at the JVM's
+        # default ~1m thread stack that depth is StackOverflow-flaky
+        # (observed round 13: a 60-round hashmin task died in
+        # ObjectInputStream recursion and took the whole local JVM with it
+        # via the fatal-error handler).  Local mode = executor threads live
+        # in the driver JVM, so one setting covers both.
+        .config("spark.driver.extraJavaOptions",
+                "-XX:+UseG1GC -XX:MaxGCPauseMillis=200 -Xss16m")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
     )

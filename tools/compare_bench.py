@@ -42,6 +42,12 @@ def main() -> None:
         if freeze:
             json.dump({"frozen_from": os.path.basename(cap_path),
                        "probe_ratio": cap.get("probe_ratio"),
+                       # the freeze phase's probe numbers: future
+                       # captures can compare their own probes against
+                       # these to judge ABSOLUTE host-phase drift, not
+                       # just mid-capture stability
+                       "probe_before": cap.get("probe_before"),
+                       "probe_after": cap.get("probe_after"),
                        "queries": cap["queries"]},
                       open(base_path, "w"), indent=1, sort_keys=True)
             print(f"froze {len(cap['queries'])} queries -> {base_path}")
@@ -49,8 +55,15 @@ def main() -> None:
         print(f"no baseline at {base_path}; run with --freeze to pin "
               "this capture as the ledger")
         sys.exit(1)
-    base = json.load(open(base_path))["queries"]
+    led = json.load(open(base_path))
+    base = led["queries"]
     qs = cap["queries"]
+    lp, cp = led.get("probe_before"), cap.get("probe_before")
+    if lp and cp:
+        phase = sum(cp.values()) / sum(lp.values())
+        print(f"host phase vs freeze: {phase:.2f}x "
+              "(probe totals; >1 = this capture ran on a slower "
+              "phase — expect uniform inflation of that size)")
     movers, faster, new = [], [], []
     for name, t in qs.items():
         b = base.get(name)
