@@ -2297,6 +2297,43 @@ def q_fleiss(spark, sf_dir):
                         "vote", group_col="source")
 
 
+def _abstaining_judges(spark, sf_dir):
+    """The _three_judges fixture with deterministic ABSTENTIONS:
+    judge j skips docs on its own modulus (doc_id % 6 == 1 /
+    % 5 == 2 / % 3 == 0), so panels vary 0-3 per doc — the
+    missing-data regime Krippendorff's alpha exists for.  An
+    abstention is a NULL vote (dropped by the operator's NULL-label
+    rule), so the fixture stays ONE corpus scan."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                 "source")
+    langs = F.array(*[F.lit(x) for x in
+                      ("en", "de", "fr", "es", "zh")])
+
+    def judge(mod, thr, off, amod, ares):
+        vote = (F.when(F.col("doc_id") % mod < thr, F.col("lang"))
+                .otherwise(F.element_at(
+                    langs, ((F.col("doc_id") + off - 1) % 5 + 1)
+                    .cast("int"))))
+        return F.when(F.col("doc_id") % amod == ares,
+                      F.lit(None).cast("string")).otherwise(vote)
+    return docs.select(
+        "source", "doc_id",
+        F.explode(F.array(judge(10, 8, 1, 6, 1),
+                          judge(7, 5, 2, 5, 2),
+                          judge(4, 3, 3, 3, 0))).alias("vote"))
+
+
+def q_kripp(spark, sf_dir):
+    """Per-source Krippendorff's alpha (nominal) across three
+    deterministic judges WITH abstentions — the missing-tolerant
+    member of the agreement family: units with < 2 votes drop (the
+    pairable rule), per-unit 1/(m-1) denominators cleared EXACTLY by
+    the literal LCM(1..max_panel-1), alpha one truncating division."""
+    from cascading_flink_spark.extensions import krippendorff_alpha
+    return krippendorff_alpha(_abstaining_judges(spark, sf_dir),
+                              "doc_id", "vote", group_col="source")
+
+
 def q_trimmed_stats(spark, sf_dir):
     """Per-language 5%-trimmed and winsorized mean of n_chars — the
     interval-overlap spelling: kept multiplicity per DISTINCT value
@@ -4232,31 +4269,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotation is documented in COVERAGE.md ("Driver-slot rotation").
 
     Round-13 front block (slots 1-50), executing VERDICT r12 Next #1
-    (the standing evidence obligation) and the new-query throttle of
-    Next #2 (ONE new query this round, far below the rotation rate):
-    slot 1 the NEW `dup_partners` (ExactSubstr partner attribution,
-    VERDICT r12 Next #6); slots 2-8 the queries whose code changed
-    this round, re-gated (dup_substring_spans' with_partners
-    restructuring — dup_rate composes it — and the probe-gated
-    collapse_exact='auto' default in all three pair generators plus
-    their direct compositions dedup_soft/dedup_clusters); slots 9-32
-    the 24 late round-12 additions that never had a driver row
-    (lang_confusion ... robust_spread); slots 33-38 the 6
-    changed-block rows displaced from the r12 window
-    (cluster_split/dedup_keep_best/minhash_recall also compose the
-    collapsed pair generators, so they re-gate the 'auto' default
-    too); slots 39-50 the 12 oldest r8 rows.  1+7+24+6+12 = exactly
-    50.  After this round the 24 late-r12 queries all have driver
-    rows and the oldest driver row anywhere is r8 (19 r8 rows
-    remain, slots 51-69, first in line for round 14).
+    (the standing evidence obligation) under the new-query throttle
+    of Next #2 (TWO new queries this round, far below the rotation
+    rate): slots 1-2 the NEW `kripp` (Krippendorff's missing-tolerant
+    alpha, completing the agreement family) and `dup_partners`
+    (ExactSubstr partner attribution, VERDICT r12 Next #6); slots
+    3-9 the queries whose code changed this round, re-gated
+    (dup_substring_spans' with_partners restructuring — dup_rate
+    composes it — and the probe-gated collapse_exact='auto' default
+    in all three pair generators plus their direct compositions
+    dedup_soft/dedup_clusters); slots 10-33 the 24 late round-12
+    additions that never had a driver row (lang_confusion ...
+    robust_spread); slots 34-39 the 6 changed-block rows displaced
+    from the r12 window (cluster_split/dedup_keep_best/
+    minhash_recall also compose the collapsed pair generators, so
+    they re-gate the 'auto' default too); slots 40-50 the 11 oldest
+    r8 rows.  2+7+24+6+11 = exactly 50.  After this round the 24
+    late-r12 queries all have driver rows and the oldest driver row
+    anywhere is r8 (frame_sample at slot 51 plus 19 more r8 rows,
+    first in line for round 14).
     Back block: everything with an r9-r12 driver row on unchanged
     code, re-verified by the committed round-end mimic
     (tools/mimic_r13.log).
     """
 
     return {
-        # --- slot 1: NEW round 13 (ExactSubstr partner
-        # attribution — VERDICT r12 Next #6) ---
+        # --- slots 1-2: NEW round 13 (Krippendorff's missing-
+        # tolerant alpha completing the agreement family, and the
+        # ExactSubstr partner attribution — VERDICT r12 Next #6) ---
+        "kripp": q_kripp,
         "dup_partners": q_dup_partners,
         # --- slots 2-8: code changed round 13, re-gated: the
         # dup_substring_spans with_partners restructuring (dup_rate
@@ -4319,11 +4360,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "event_funnel": q_event_funnel,
         "except": q_except,
-        "frame_sample": q_frame_sample,
-        # --- slots 51+: the 19 remaining r8 rows, first in line for
+        # --- slots 51+: frame_sample (displaced by the kripp
+        # addition; r8 driver row, mimic-covered every round) and the
+        # 19 remaining r8 rows, first in line for
         # the round-14 window, then everything with an r9-r12 driver
         # row on unchanged code, re-verified by the committed
         # round-end mimic each round ---
+        "frame_sample": q_frame_sample,
         "strip_dup_substrings": q_strip_dup_substrings,
         "mrr_lsh": q_mrr_lsh,
         "recall_lsh": q_recall_lsh,
@@ -6014,6 +6057,56 @@ def oracle_sql() -> dict[str, str]:
                    )::BIGINT AS kappa_x
             FROM ap JOIN se ON ap.source = se.source
             WHERE P > 0 AND (n_votes::HUGEINT * n_votes) <> S
+        """,
+        "kripp": """
+            -- Krippendorff's alpha (nominal) with abstaining judges:
+            -- units with < 2 votes drop (pairable rule), per-unit
+            -- 1/(m-1) denominators cleared exactly by
+            -- LCM(1..11) = 27720, alpha one truncating division
+            WITH v AS (
+                SELECT source, doc_id,
+                       CASE WHEN doc_id % 6 = 1 THEN NULL
+                            WHEN doc_id % 10 < 8 THEN lang
+                       ELSE (['en','de','fr','es','zh'])
+                            [(doc_id % 5) + 1] END AS vote
+                FROM documents
+                UNION ALL
+                SELECT source, doc_id,
+                       CASE WHEN doc_id % 5 = 2 THEN NULL
+                            WHEN doc_id % 7 < 5 THEN lang
+                       ELSE (['en','de','fr','es','zh'])
+                            [((doc_id + 1) % 5) + 1] END AS vote
+                FROM documents
+                UNION ALL
+                SELECT source, doc_id,
+                       CASE WHEN doc_id % 3 = 0 THEN NULL
+                            WHEN doc_id % 4 < 3 THEN lang
+                       ELSE (['en','de','fr','es','zh'])
+                            [((doc_id + 2) % 5) + 1] END AS vote
+                FROM documents),
+            c AS (SELECT source, doc_id, vote, count(*)::BIGINT AS c
+                  FROM v WHERE vote IS NOT NULL GROUP BY 1, 2, 3),
+            u AS (SELECT source, doc_id, sum(c)::BIGINT AS m,
+                         sum(c::HUGEINT * c) AS s2
+                  FROM c GROUP BY 1, 2 HAVING sum(c) >= 2),
+            ut AS (SELECT source, doc_id,
+                          m, (m::HUGEINT * m - s2)
+                             * (27720 // (m - 1)) AS t
+                   FROM u),
+            pg AS (SELECT source, count(*)::BIGINT AS n_units,
+                          sum(m)::BIGINT AS n_vals, sum(t) AS T
+                   FROM ut GROUP BY 1),
+            mg AS (SELECT c.source, c.vote, sum(c.c)::BIGINT AS nc
+                   FROM c JOIN u USING (source, doc_id)
+                   GROUP BY 1, 2),
+            se AS (SELECT source, sum(nc::HUGEINT * nc) AS S
+                   FROM mg GROUP BY 1)
+            SELECT pg.source AS source, n_units, n_vals,
+                   (1000000 - (n_vals - 1)::HUGEINT * T * 1000000
+                    // (27720 * ((n_vals::HUGEINT * n_vals) - S))
+                   )::BIGINT AS alpha_x
+            FROM pg JOIN se ON pg.source = se.source
+            WHERE (n_vals::HUGEINT * n_vals) <> S
         """,
         "mrl_recall": _mrl_recall_oracle(k=10, kt=20, thr=11,
                                          dim_t=16),

@@ -120,6 +120,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BENCH_QUERIES = [
     # round 13
     "dup_partners",
+    "kripp",
     # round 12
     "dup_substrings",
     "strip_dup_substrings",

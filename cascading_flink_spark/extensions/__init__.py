@@ -93,7 +93,7 @@ from .analytics import (average_precision,
                         concentration_report, confusion_report,
                         cohort_retention,
                         diversity_report, drift_series, fleiss_kappa,
-                        js_divergence,
+                        js_divergence, krippendorff_alpha,
                         event_funnel, group_quantiles,
                         ks_statistic, mean_confidence,
                         psi_drift, rate_confidence,

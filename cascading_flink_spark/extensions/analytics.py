@@ -1462,6 +1462,100 @@ def fleiss_kappa(df: DataFrame, item_col: str, label_col: str,
                            "- __S))").cast("long").alias("kappa_x")))
 
 
+def krippendorff_alpha(df: DataFrame, item_col: str, label_col: str,
+                       group_col: str | None = None,
+                       max_panel: int = 12,
+                       scale: int = 1_000_000) -> DataFrame:
+    """Krippendorff's alpha (nominal data) over a (item, label) vote
+    table, per group or globally: ``(group?, n_units, n_vals,
+    alpha_x)`` — the MISSING-TOLERANT member of the agreement family
+    (:func:`cohen_kappa` needs exactly two fixed raters,
+    :func:`fleiss_kappa` pools a panel, alpha is the standard when
+    judges abstain or panels vary per item: LLM judge ensembles with
+    timeouts, partially-redundant annotation batches).  Missing votes
+    are simply ABSENT ROWS; units with fewer than 2 votes carry no
+    pairable information and drop entirely (Krippendorff's pairable-
+    values rule — unlike fleiss_kappa they do not even feed the
+    marginals).
+
+    Exact single-division recipe: with ``m_u`` votes on unit u and
+    ``n_uc`` of them for label c, nominal alpha is ``1 - (n-1) *
+    sum_u (m_u^2 - sum_c n_uc^2) / (m_u - 1) / (n^2 - sum_c n_c^2)``
+    (coincidence-matrix identity; ``n = sum m_u`` and ``n_c`` over
+    pairable units only).  The per-unit denominators ``m_u - 1``
+    would force per-unit rounding — so they are CLEARED EXACTLY by
+    the literal ``LCM(1..max_panel-1)``: ``T_u = (m_u^2 - sum
+    n_uc^2) * (LCM / (m_u - 1))`` is an exact integer for every
+    ``m_u <= max_panel`` (in-plan raise past it, the eccentricity
+    guard convention), and ``alpha_x = scale - (n-1) * sum T_u *
+    scale DIV (LCM * (n^2 - sum n_c^2))`` is ONE truncating division
+    of exact DECIMAL(38,0) integers.  Negative alpha (systematic
+    disagreement) truncates toward zero on both engines via the
+    nonnegative subtracted term (the cohen_kappa convention).
+    Groups where ``n^2 == sum n_c^2`` (every pairable vote the same
+    label — alpha undefined) are EXCLUDED; NULL labels drop their
+    row.  Headroom: ``(n-1) * sum T_u * scale`` is
+    O(votes^3 * LCM(max_panel)) — exact to ~1e8 votes per group at
+    the default panel bound inside DECIMAL(38,0).
+
+    Scale shape: one corpus-pass partial agg onto (group, item,
+    label); one unit rollup + one label rollup + one group rollup,
+    all frames bounded by units x alphabet.  No windows over raw
+    rows, no driver pulls."""
+    import math as _math
+    if int(scale) < 1:
+        raise ValueError("krippendorff_alpha: scale must be >= 1")
+    if int(max_panel) < 2:
+        raise ValueError("krippendorff_alpha: max_panel must be >= 2")
+    lcm = 1
+    for i in range(1, int(max_panel)):
+        lcm = _math.lcm(lcm, i)
+    g = [group_col] if group_col is not None else []
+    c = (df.filter(F.col(label_col).isNotNull())
+         .groupBy(*g, F.col(item_col).alias("__i"),
+                  F.col(label_col).alias("__l"))
+         .agg(F.count(F.lit(1)).cast("long").alias("__c")))
+    c = c.localCheckpoint(eager=False)
+    dec = "decimal(38,0)"
+    units = (c.groupBy(*g, "__i")
+             .agg(F.sum("__c").cast("long").alias("__m"),
+                  F.sum(F.col("__c").cast(dec) * F.col("__c"))
+                   .alias("__s2"))
+             .filter(F.col("__m") >= 2))
+    guarded_m = (F.when(F.col("__m") <= int(max_panel), F.col("__m"))
+                 .otherwise(F.raise_error(F.lit(
+                     "krippendorff_alpha: a unit has more votes than "
+                     f"max_panel={int(max_panel)} — raise max_panel "
+                     "(the LCM denominator-clearing bound)"))
+                     .cast("long")))
+    units = units.withColumn("__gm", guarded_m)
+    # (m-1) divides LCM exactly for m <= max_panel, so the integer DIV
+    # is exact — no per-unit rounding anywhere
+    units = units.withColumn(
+        "__t", F.expr(f"(CAST(__m AS DECIMAL(38,0)) * __m - __s2) "
+                      f"* ({int(lcm)} DIV (__gm - 1))"))
+    units = units.localCheckpoint(eager=False)
+    per_g = (units.groupBy(*g)
+             .agg(F.count(F.lit(1)).cast("long").alias("n_units"),
+                  F.sum("__m").cast("long").alias("n_vals"),
+                  F.sum("__t").cast(dec).alias("__T")))
+    marg = (c.join(units.select(*g, "__i"), [*g, "__i"])
+            .groupBy(*g, "__l")
+            .agg(F.sum("__c").cast("long").alias("__nc")))
+    se = (marg.groupBy(*g)
+          .agg(F.sum(F.col("__nc").cast(dec) * F.col("__nc"))
+               .alias("__S")))
+    joined = per_g.join(se, g) if g else per_g.crossJoin(se)
+    n2 = "CAST(n_vals AS DECIMAL(38,0)) * n_vals"
+    return (joined
+            .filter(F.expr(n2) != F.col("__S"))
+            .select(*g, "n_units", "n_vals",
+                    F.expr(f"{int(scale)} - CAST((n_vals - 1) "
+                           f"AS DECIMAL(38,0)) * __T * {int(scale)} "
+                           f"DIV ({int(lcm)} * (({n2}) - __S))")
+                     .cast("long").alias("alpha_x")))
+
+
 def average_precision(df: DataFrame, score_col: str, label_col: str,
                       group_col: str | None = None,
                       quantize_x: int | None = None,

@@ -161,3 +161,89 @@ def test_kmeans_oracle_parts_assemble():
     sil = mod._silhouette_oracle(k=8, iters=2)
     assert sil.startswith(chain)
     assert "SELECT vec_id, cluster, sim FROM (" not in sil
+
+
+# ------------------------------------------- krippendorff_alpha
+
+
+def _kripp_model(votes, scale=1_000_000, max_panel=12):
+    """Exact integer twin of the operator's LCM-cleared spelling."""
+    from collections import defaultdict
+    from math import lcm as _l
+    L = 1
+    for x in range(1, max_panel):
+        L = _l(L, x)
+    units = defaultdict(lambda: defaultdict(int))
+    for i, lab in votes:
+        if lab is not None:
+            units[i][lab] += 1
+    T = n = nu = 0
+    nc = defaultdict(int)
+    for cnt in units.values():
+        m = sum(cnt.values())
+        if m < 2:
+            continue
+        nu += 1
+        n += m
+        T += (m * m - sum(v * v for v in cnt.values())) * (L // (m - 1))
+        for lab, v in cnt.items():
+            nc[lab] += v
+    S = sum(v * v for v in nc.values())
+    if nu == 0 or n * n == S:
+        return None
+    return (nu, n, scale - (n - 1) * T * scale // (L * (n * n - S)))
+
+
+def test_krippendorff_matches_model_and_handles_missing(spark):
+    from cascading_flink_spark.extensions import krippendorff_alpha
+
+    votes = []
+    for i in range(120):
+        panel = i % 4          # 0..3 votes: single-vote units drop
+        for j in range(panel):
+            lab = "good" if (i + j // 2) % 3 else "bad"
+            if (i * 3 + j) % 7 == 0:
+                lab = None     # NULL vote = abstention, dropped
+            votes.append((i, lab))
+    df = spark.createDataFrame(votes, "item long, label string")
+    r = krippendorff_alpha(df, "item", "label").collect()[0]
+    exp = _kripp_model(votes)
+    assert (r.n_units, r.n_vals, r.alpha_x) == exp
+    # pairable rule: n_units counts only multi-vote units
+    from collections import Counter
+    m = Counter(i for i, lab in votes if lab is not None)
+    assert r.n_units == sum(1 for v in m.values() if v >= 2)
+
+
+def test_krippendorff_limits_and_guards(spark, sf_dir):
+    import pyspark.sql.utils
+    from cascading_flink_spark.extensions import krippendorff_alpha
+
+    # perfect agreement -> alpha exactly 1e6
+    p = spark.createDataFrame(
+        [(i, "x" if i % 2 else "y") for i in range(30)
+         for _ in range(3)], "item long, label string")
+    assert krippendorff_alpha(p, "item", "label") \
+        .collect()[0].alpha_x == 1_000_000
+    # systematic disagreement on a balanced binary -> negative alpha
+    d = spark.createDataFrame(
+        [(i, lab) for i in range(40) for lab in ("a", "b")],
+        "item long, label string")
+    assert krippendorff_alpha(d, "item", "label") \
+        .collect()[0].alpha_x < 0
+    # degenerate one-label group is EXCLUDED (alpha undefined)
+    one = spark.createDataFrame(
+        [(i, "only") for i in range(10) for _ in range(2)],
+        "item long, label string")
+    assert krippendorff_alpha(one, "item", "label").count() == 0
+    # max_panel in-plan raise
+    big = spark.createDataFrame(
+        [(1, f"l{j % 2}") for j in range(20)],
+        "item long, label string")
+    with pytest.raises(Exception, match="max_panel"):
+        krippendorff_alpha(big, "item", "label",
+                           max_panel=4).collect()
+    with pytest.raises(ValueError, match="max_panel"):
+        krippendorff_alpha(big, "item", "label", max_panel=1)
+    with pytest.raises(ValueError, match="scale"):
+        krippendorff_alpha(big, "item", "label", scale=0)

@@ -88,6 +88,9 @@ def main() -> None:
         # per-gram occurrence lists the m1/m2 partial aggs reduce,
         # the adversarial direction for the partner machinery
         "dup_partners": ["span_tokens", "partner_pos"],
+        # round 13: missing-tolerant agreement — the fleiss reduced-
+        # frame shape (units x alphabet bounded)
+        "kripp": ["n_units", "alpha_x"],
         # round 12: the eval-analytics quartet — all reduce to
         # quantization/vote-bounded frames, so the scaling surface is
         # the single corpus-pass partial agg
