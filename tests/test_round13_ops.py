@@ -247,3 +247,18 @@ def test_krippendorff_limits_and_guards(spark, sf_dir):
         krippendorff_alpha(big, "item", "label", max_panel=1)
     with pytest.raises(ValueError, match="scale"):
         krippendorff_alpha(big, "item", "label", scale=0)
+
+
+def test_dup_partners_plan_shape(spark, sf_dir):
+    """The partner attribution must stay hash-join-only: no cartesian
+    or broadcast-nested-loop anywhere, no Python eval in the plan
+    (native tokenizer), and the span columns' plan untouched."""
+    from cascading_flink_spark.extensions import dup_substring_spans
+
+    docs = load(spark, sf_dir, "documents")
+    out = dup_substring_spans(docs, min_len=12, min_count=2,
+                              with_partners=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "EvalPython" not in plan

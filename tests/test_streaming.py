@@ -1481,3 +1481,38 @@ def test_stream_psi_monitor_guards(spark, sf_dir):
     with pytest.raises(ValueError, match="empty"):
         stream_psi_monitor(ev, ev.filter("event_type IS NULL"),
                            "event_type")
+
+
+def test_stream_psi_monitor_grouped(spark, tmp_path):
+    """group_col: each (window, group) row scores its own group's
+    distribution against the shared reference — pinned against the
+    pooled model per group."""
+    import datetime
+    from cascading_flink_spark.streaming import stream_psi_monitor
+
+    t0 = datetime.datetime(2024, 3, 1, 0, 15)
+    t2 = datetime.datetime(2024, 3, 1, 2, 0)
+    rows = ([("en", "a", t0)] * 8 + [("en", "b", t0)] * 2
+            + [("de", "a", t0)] * 3 + [("de", "b", t0)] * 7
+            + [("en", "a", t2), ("de", "a", t2)])   # watermark push
+    src = str(tmp_path / "spg_in")
+    spark.createDataFrame(rows, "g string, k string, ts timestamp") \
+        .write.parquet(src)
+    ref = spark.createDataFrame([("a",)] * 5 + [("b",)] * 5,
+                                "k string")
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = stream_psi_monitor(stream, ref, "k", ts_col="ts",
+                             window="1 hour", watermark="0 seconds",
+                             group_col="g")
+    q = (out.writeStream.format("memory").queryName("spg_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    w0 = t0.replace(minute=0)
+    got = {r.g: (r.n, r.n_oov, r.psi_x1e6)
+           for r in spark.sql("SELECT * FROM spg_out").collect()
+           if r.window_start == w0}
+    exp = {"en": _psi_model({"a": 8, "b": 2}, {"a": 5, "b": 5}),
+           "de": _psi_model({"a": 3, "b": 7}, {"a": 5, "b": 5})}
+    assert got == exp and got["en"][2] > 0 and got["de"][2] > 0
+    spark.catalog.dropTempView("spg_out")
