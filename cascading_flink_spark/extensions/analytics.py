@@ -1465,10 +1465,11 @@ def fleiss_kappa(df: DataFrame, item_col: str, label_col: str,
 def krippendorff_alpha(df: DataFrame, item_col: str, label_col: str,
                        group_col: str | None = None,
                        max_panel: int = 12,
+                       order: list | None = None,
                        scale: int = 1_000_000) -> DataFrame:
-    """Krippendorff's alpha (nominal data) over a (item, label) vote
-    table, per group or globally: ``(group?, n_units, n_vals,
-    alpha_x)`` — the MISSING-TOLERANT member of the agreement family
+    """Krippendorff's alpha over a (item, label) vote table, per
+    group or globally: ``(group?, n_units, n_vals, alpha_x)`` — the
+    MISSING-TOLERANT member of the agreement family
     (:func:`cohen_kappa` needs exactly two fixed raters,
     :func:`fleiss_kappa` pools a panel, alpha is the standard when
     judges abstain or panels vary per item: LLM judge ensembles with
@@ -1498,10 +1499,29 @@ def krippendorff_alpha(df: DataFrame, item_col: str, label_col: str,
     O(votes^3 * LCM(max_panel)) — exact to ~1e8 votes per group at
     the default panel bound inside DECIMAL(38,0).
 
+    ``order`` (round 13, pytest-pinned): an explicit rank order of
+    the label alphabet switches the metric to ORDINAL alpha — a
+    grade that is off by one step disagrees LESS than one off by
+    four (Likert scales, quality tiers, star ratings), which nominal
+    alpha cannot see.  Krippendorff's ordinal distance ``delta_ck =
+    sum_{g=c..k} n_g - (n_c + n_k)/2`` (marginal-mass distance)
+    enters squared in BOTH Do and De, so the /2 clears: the integer
+    ``D_ck = 2*cum_k - 2*cum_c + n_c - n_k`` (one cumulative window
+    over the alphabet-bounded marginal frame) satisfies ``delta^2 =
+    D^2/4`` and the /4 CANCELS in the ratio — ``alpha_x = scale -
+    (n-1) * sum_u sum_{c<k} n_uc*n_uk*D_ck^2*(LCM/(m_u-1)) * scale
+    DIV (LCM * sum_{c<k} n_c*n_k*D_ck^2)`` stays one truncating
+    division of exact integers.  Labels outside ``order`` raise
+    in-plan; nominal and ordinal agree exactly on binary alphabets
+    (D^2 is constant there).  Headroom tightens to O(votes^5 *
+    LCM): exact to ~1e6 votes per group.
+
     Scale shape: one corpus-pass partial agg onto (group, item,
     label); one unit rollup + one label rollup + one group rollup,
-    all frames bounded by units x alphabet.  No windows over raw
-    rows, no driver pulls."""
+    all frames bounded by units x alphabet (the ordinal path adds a
+    per-unit label-pair self-join and a marginal pair frame — both
+    alphabet^2-bounded, never per-vote).  No windows over raw rows,
+    no driver pulls."""
     import math as _math
     if int(scale) < 1:
         raise ValueError("krippendorff_alpha: scale must be >= 1")
@@ -1511,9 +1531,24 @@ def krippendorff_alpha(df: DataFrame, item_col: str, label_col: str,
     for i in range(1, int(max_panel)):
         lcm = _math.lcm(lcm, i)
     g = [group_col] if group_col is not None else []
+    lab: Column = F.col(label_col)
+    if order is not None:
+        if len(order) < 2 or len(set(order)) != len(order):
+            raise ValueError("krippendorff_alpha: order must list "
+                             ">= 2 distinct label values")
+        # label -> 1-based rank, in-plan raise on labels outside the
+        # declared alphabet (a silent drop would bias alpha)
+        rank = F.when(lab == order[0], F.lit(1).cast("long"))
+        for i, v in enumerate(order[1:], start=2):
+            rank = rank.when(lab == v, F.lit(i).cast("long"))
+        lab = rank.otherwise(
+            F.raise_error(F.concat(
+                F.lit("krippendorff_alpha: label outside the "
+                      "declared order: "), F.col(label_col)
+                .cast("string"))).cast("long"))
     c = (df.filter(F.col(label_col).isNotNull())
          .groupBy(*g, F.col(item_col).alias("__i"),
-                  F.col(label_col).alias("__l"))
+                  lab.alias("__l"))
          .agg(F.count(F.lit(1)).cast("long").alias("__c")))
     c = c.localCheckpoint(eager=False)
     dec = "decimal(38,0)"
@@ -1542,17 +1577,77 @@ def krippendorff_alpha(df: DataFrame, item_col: str, label_col: str,
     marg = (c.join(units.select(*g, "__i"), [*g, "__i"])
             .groupBy(*g, "__l")
             .agg(F.sum("__c").cast("long").alias("__nc")))
-    se = (marg.groupBy(*g)
-          .agg(F.sum(F.col("__nc").cast(dec) * F.col("__nc"))
-               .alias("__S")))
-    joined = per_g.join(se, g) if g else per_g.crossJoin(se)
-    n2 = "CAST(n_vals AS DECIMAL(38,0)) * n_vals"
+    if order is None:
+        se = (marg.groupBy(*g)
+              .agg(F.sum(F.col("__nc").cast(dec) * F.col("__nc"))
+                   .alias("__S")))
+        joined = per_g.join(se, g) if g else per_g.crossJoin(se)
+        n2 = "CAST(n_vals AS DECIMAL(38,0)) * n_vals"
+        return (joined
+                .filter(F.expr(n2) != F.col("__S"))
+                .select(*g, "n_units", "n_vals",
+                        F.expr(f"{int(scale)} - CAST((n_vals - 1) "
+                               f"AS DECIMAL(38,0)) * __T "
+                               f"* {int(scale)} "
+                               f"DIV ({int(lcm)} * (({n2}) - __S))")
+                         .cast("long").alias("alpha_x")))
+    # --- ordinal path: marginal-mass distances over the rank axis ---
+    w = Window.partitionBy(*g).orderBy("__l") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    mcum = (marg.withColumn("__cum", F.sum("__nc").over(w))
+            .localCheckpoint(eager=False))
+    from functools import reduce as _reduce
+    a, b = mcum.alias("a"), mcum.alias("b")
+    gj = [F.col(f"a.{x}") == F.col(f"b.{x}") for x in g]
+    # D_ck = 2*cum_k - 2*cum_c + n_c - n_k; delta^2 = D^2/4 and the
+    # /4 cancels between Do and De, so D^2 rides both sums directly
+    dd = (2 * F.col("b.__cum") - 2 * F.col("a.__cum")
+          + F.col("a.__nc") - F.col("b.__nc")).cast(dec)
+    pair_d = (a.join(b, _reduce(lambda x, y: x & y,
+                                gj + [F.col("a.__l") < F.col("b.__l")]))
+              .select(*[F.col(f"a.{x}").alias(x) for x in g],
+                      F.col("a.__l").alias("__la"),
+                      F.col("b.__l").alias("__lb"),
+                      F.col("a.__nc").alias("__na"),
+                      F.col("b.__nc").alias("__nb"),
+                      (dd * dd).alias("__d2"))
+              .localCheckpoint(eager=False))
+    e_agg = F.sum(F.col("__na").cast(dec) * F.col("__nb")
+                  * F.col("__d2")).alias("__E")
+    # groupBy() with no keys still yields ONE row on an empty input
+    # (null sum), so the global path cannot lose its row
+    s_e = pair_d.groupBy(*g).agg(e_agg) if g else pair_d.agg(e_agg)
+    ca, cb = c.alias("ca"), c.alias("cb")
+    cgj = _reduce(lambda x, y: x & y,
+                  [F.col(f"ca.{x}") == F.col(f"cb.{x}") for x in g]
+                  + [F.col("ca.__i") == F.col("cb.__i"),
+                     F.col("ca.__l") < F.col("cb.__l")])
+    cpair = (ca.join(cb, cgj)
+             .select(*[F.col(f"ca.{x}").alias(x) for x in g],
+                     F.col("ca.__i").alias("__i"),
+                     F.col("ca.__l").alias("__la"),
+                     F.col("cb.__l").alias("__lb"),
+                     (F.col("ca.__c").cast(dec) * F.col("cb.__c"))
+                     .alias("__w")))
+    ufac = units.select(
+        *g, "__i", F.expr(f"{int(lcm)} DIV (__gm - 1)").alias("__f"))
+    u_src = (cpair.join(ufac, [*g, "__i"])
+             .join(pair_d.select(*g, "__la", "__lb", "__d2"),
+                   [*g, "__la", "__lb"]))
+    u_agg = F.sum(F.col("__w") * F.col("__f") * F.col("__d2")) \
+        .alias("__U")
+    s_u = u_src.groupBy(*g).agg(u_agg) if g else u_src.agg(u_agg)
+    joined = per_g.join(s_u, g, "left") if g else \
+        per_g.crossJoin(s_u)
+    joined = joined.join(s_e, g) if g else joined.crossJoin(s_e)
     return (joined
-            .filter(F.expr(n2) != F.col("__S"))
+            .filter(F.col("__E") > 0)
             .select(*g, "n_units", "n_vals",
                     F.expr(f"{int(scale)} - CAST((n_vals - 1) "
-                           f"AS DECIMAL(38,0)) * __T * {int(scale)} "
-                           f"DIV ({int(lcm)} * (({n2}) - __S))")
+                           f"AS DECIMAL(38,0)) "
+                           "* coalesce(__U, CAST(0 AS "
+                           f"DECIMAL(38,0))) * {int(scale)} "
+                           f"DIV ({int(lcm)} * __E)")
                      .cast("long").alias("alpha_x")))
 
 

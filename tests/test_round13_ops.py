@@ -262,3 +262,107 @@ def test_dup_partners_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "EvalPython" not in plan
+
+
+def _kripp_ordinal_model(votes, order, scale=1_000_000, max_panel=12):
+    """Independent textbook coincidence-matrix ordinal alpha (exact
+    integers), mapped to the operator's output convention."""
+    from collections import defaultdict
+    from math import lcm as _l
+    L = 1
+    for x in range(1, max_panel):
+        L = _l(L, x)
+    rank = {v: i + 1 for i, v in enumerate(order)}
+    units = defaultdict(lambda: defaultdict(int))
+    for i, lab in votes:
+        if lab is not None:
+            units[i][rank[lab]] += 1
+    nc = defaultdict(int)
+    n = nu = 0
+    keep = []
+    for cnt in units.values():
+        m = sum(cnt.values())
+        if m < 2:
+            continue
+        nu += 1
+        n += m
+        keep.append(cnt)
+        for r, v in cnt.items():
+            nc[r] += v
+    ranks = sorted(nc)
+    cum, run = {}, 0
+    for r in ranks:
+        run += nc[r]
+        cum[r] = run
+
+    def D(c, k):
+        return 2 * cum[k] - 2 * cum[c] + nc[c] - nc[k]
+
+    E = sum(nc[c] * nc[k] * D(c, k) ** 2
+            for ci, c in enumerate(ranks) for k in ranks[ci + 1:])
+    U = 0
+    for cnt in keep:
+        m = sum(cnt.values())
+        rs = sorted(cnt)
+        for ci, c in enumerate(rs):
+            for k in rs[ci + 1:]:
+                U += cnt[c] * cnt[k] * D(c, k) ** 2 * (L // (m - 1))
+    if nu == 0 or E == 0:
+        return None
+    return (nu, n, scale - (n - 1) * U * scale // (L * E))
+
+
+def test_krippendorff_ordinal_matches_model(spark):
+    from cascading_flink_spark.extensions import krippendorff_alpha
+
+    order = ["terrible", "bad", "ok", "good", "great"]
+    votes = []
+    for i in range(150):
+        for j in range(2 + (i % 3)):
+            if (i + j) % 6 == 0:
+                continue
+            votes.append(
+                (i, order[min(4, max(0, (i % 5) + (j % 3) - 1))]))
+    df = spark.createDataFrame(votes, "item long, label string")
+    r = krippendorff_alpha(df, "item", "label",
+                           order=order).collect()[0]
+    assert (r.n_units, r.n_vals, r.alpha_x) \
+        == _kripp_ordinal_model(votes, order)
+
+
+def test_krippendorff_ordinal_semantics_and_guards(spark):
+    from cascading_flink_spark.extensions import krippendorff_alpha
+
+    # binary alphabet: D^2 is constant, ordinal == nominal exactly
+    bv = [(i, "a" if (i + j) % 3 else "b")
+          for i in range(60) for j in range(3)]
+    bdf = spark.createDataFrame(bv, "item long, label string")
+    rn = krippendorff_alpha(bdf, "item", "label").collect()[0]
+    ro = krippendorff_alpha(bdf, "item", "label",
+                            order=["a", "b"]).collect()[0]
+    assert rn.alpha_x == ro.alpha_x
+    # adjacent-step disagreement scores HIGHER ordinal alpha than the
+    # same votes scored nominally (the metric's whole point)
+    order = ["1", "2", "3", "4", "5"]
+    near = [(i, order[i % 4]) for i in range(80)] \
+        + [(i, order[i % 4 + 1]) for i in range(80)]
+    ndf = spark.createDataFrame(near, "item long, label string")
+    a_nom = krippendorff_alpha(ndf, "item", "label").collect()[0]
+    a_ord = krippendorff_alpha(ndf, "item", "label",
+                               order=order).collect()[0]
+    assert a_ord.alpha_x > a_nom.alpha_x
+    # labels outside the declared order raise IN-PLAN
+    bad = spark.createDataFrame([(1, "x"), (1, "zz")],
+                                "item long, label string")
+    with pytest.raises(Exception, match="outside the declared"):
+        krippendorff_alpha(bad, "item", "label",
+                           order=["x", "y"]).collect()
+    with pytest.raises(ValueError, match="distinct"):
+        krippendorff_alpha(bad, "item", "label", order=["x", "x"])
+    # unanimous units but cross-unit disagreement: Do = 0, alpha = 1
+    un = spark.createDataFrame(
+        [(i, "a" if i % 2 else "c") for i in range(20)
+         for _ in range(2)], "item long, label string")
+    assert krippendorff_alpha(un, "item", "label",
+                              order=["a", "b", "c"]) \
+        .collect()[0].alpha_x == 1_000_000
