@@ -23,8 +23,13 @@ that is real.
 Round-13 probe-gated capture protocol (VERDICT r12 Next #4 /
 What's-wrong #2): a fixed 3-query probe runs best-of-2 before AND after
 the full bench; if the probe totals disagree by >1.2x the host's speed
-shifted mid-capture and the file records probe_ok=false — REJECT that
-capture for round-over-round comparison and re-run on an idle box.
+shifted mid-capture and the capture is rejected.  Round 14 (VERDICT r13
+What's-wrong #1): rejection now auto-retries the WHOLE capture up to
+SPARK_GRAFT_BENCH_ATTEMPTS times (default 3, sleep
+SPARK_GRAFT_BENCH_RETRY_SLEEP between), so the bench_full.json the
+driver tails is an ACCEPTED capture whenever the box quiets within the
+retry budget; only if every attempt fails does the file carry
+probe_ok=false (plus the attempt count).
 The first accepted capture is frozen as BASELINE_SF01.json (the pinned
 per-query ledger); future rounds compare against the PIN with
 `python tools/compare_bench.py`, not against last round's
@@ -572,46 +577,72 @@ def main() -> None:
         _execute(warm(spark, "/root/testdata/sf0.001"))
     spark.catalog.clearCache()
 
-    probe_before = _run_probe(spark, qs)
-
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    # rounds are INTERLEAVED (all queries once, then again): a transient
-    # system-load spike then taxes each query in one round instead of
-    # swallowing every consecutive repeat of a single query; best-of-N over
-    # interleaved rounds is a tighter estimator on a noisy shared box.
-    # JIT/codegen warmth is global to the JVM, so round 2+ stays warm.
-    best: dict[str, float] = {}
-    for _ in range(runs):
-        for name in names:
-            fn = qs[name]
-            t0 = time.time()
-            _execute(fn(spark, SF_DIR))
-            elapsed = time.time() - t0
-            if name not in best or elapsed < best[name]:
-                best[name] = elapsed
-            # release intermediates persisted inside operators so reruns
-            # and later queries aren't taxed by cache memory pressure (and
-            # reruns measure the full pipeline, not a cache hit)
-            spark.catalog.clearCache()
-    timings = {name: round(best[name], 3) for name in names}
+    # Probe-rejection auto-retry (VERDICT r13 What's-wrong #1): a capture
+    # whose bracketing probes disagree by >1.2x is officially
+    # non-comparable, and the driver tails whatever this script emits —
+    # so a rejected capture must never be the one it writes.  Re-run the
+    # WHOLE capture (probe_before -> timed rounds -> probe_after) up to
+    # SPARK_GRAFT_BENCH_ATTEMPTS times (default 3), sleeping between
+    # attempts to let the transient load pass; emit the first accepted
+    # capture.  If every attempt is rejected the LAST one is written with
+    # probe_ok=false + the attempt count — still flagged, but only after
+    # the protocol exhausted its retries.
+    attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+    retry_sleep = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_SLEEP", "45"))
+    full: dict = {}
+    for attempt in range(1, attempts + 1):
+        probe_before = _run_probe(spark, qs)
+        # rounds are INTERLEAVED (all queries once, then again): a
+        # transient system-load spike then taxes each query in one round
+        # instead of swallowing every consecutive repeat of a single
+        # query; best-of-N over interleaved rounds is a tighter estimator
+        # on a noisy shared box.  JIT/codegen warmth is global to the
+        # JVM, so round 2+ stays warm.
+        best: dict[str, float] = {}
+        for _ in range(runs):
+            for name in names:
+                fn = qs[name]
+                t0 = time.time()
+                _execute(fn(spark, SF_DIR))
+                elapsed = time.time() - t0
+                if name not in best or elapsed < best[name]:
+                    best[name] = elapsed
+                # release intermediates persisted inside operators so
+                # reruns and later queries aren't taxed by cache memory
+                # pressure (and reruns measure the full pipeline, not a
+                # cache hit)
+                spark.catalog.clearCache()
+        timings = {name: round(best[name], 3) for name in names}
 
-    probe_after = _run_probe(spark, qs)
-    pb, pa = sum(probe_before.values()), sum(probe_after.values())
-    probe_ratio = round(max(pa / pb, pb / pa), 3) if min(pa, pb) > 0 else -1.0
-    probe_ok = 0 < probe_ratio <= PROBE_TOLERANCE
+        probe_after = _run_probe(spark, qs)
+        pb, pa = sum(probe_before.values()), sum(probe_after.values())
+        probe_ratio = (round(max(pa / pb, pb / pa), 3)
+                       if min(pa, pb) > 0 else -1.0)
+        probe_ok = 0 < probe_ratio <= PROBE_TOLERANCE
 
-    total = round(sum(timings.values()), 3)
-    full = {
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        "probe_before": probe_before,
-        "probe_after": probe_after,
-        "probe_ratio": probe_ratio,
-        "probe_ok": probe_ok,
-    }
+        total = round(sum(timings.values()), 3)
+        full = {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "probe_before": probe_before,
+            "probe_after": probe_after,
+            "probe_ratio": probe_ratio,
+            "probe_ok": probe_ok,
+            "capture_attempt": attempt,
+            "capture_attempts_max": attempts,
+        }
+        if probe_ok:
+            break
+        if attempt < attempts:
+            print(json.dumps({
+                "capture_rejected": True, "attempt": attempt,
+                "probe_ratio": probe_ratio,
+                "retry_in_sec": retry_sleep}), file=sys.stderr)
+            time.sleep(retry_sleep)
     # The driver keeps only the LAST ~2000 chars of stdout and parses the
     # tail (BENCH_r07.json: "tail" is exactly 2000 chars, "parsed": null
     # because the one 5KB line was head-truncated mid-dict).  A 140-query

@@ -220,9 +220,11 @@ def _collapse_effective(df: DataFrame, probe_col: Column,
     is a single row of two longs by construction."""
     if collapse_exact is True:
         return True
-    if collapse_exact is False or collapse_exact is None:
+    if collapse_exact is False:
         return False
     if collapse_exact != "auto":
+        # None rejected like every other invalid value (ADVICE r13):
+        # silently mapping it to False would hide a caller bug
         raise ValueError(
             "collapse_exact must be True, False or 'auto', got "
             f"{collapse_exact!r}")
@@ -270,7 +272,12 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     overhead (1.26-1.47x on the sf0.1 dedup compositions, VERDICT
     r12), while the dup-dense adversarial replicates engage it.
     ``True`` forces the collapse unconditionally;
-    ``collapse_exact=False`` is the raw pre-r12 opt-out."""
+    ``collapse_exact=False`` is the raw pre-r12 opt-out.
+
+    NOTE (ADVICE r13): under ``'auto'`` that probe aggregate runs
+    EAGERLY at construction time — calling this builder launches one
+    small Spark job before any action on the returned frame (``True``
+    / ``False`` stay fully lazy)."""
     # Arrow shingler: the vectorized Python loop beats the interpreted
     # native transform(sequence, slice+concat_ws) even with the persisted
     # frame reused across branches (re-measured round 5: 2.8s -> 2.3s at
@@ -430,7 +437,10 @@ def ngram_containment_pairs(df: DataFrame, n: int = 3,
     and skips the group+expand machinery entirely unless verbatim
     copies reach :data:`_COLLAPSE_AUTO_MIN_FRAC` of rows; ``True``
     forces it; ``collapse_exact=False`` is the raw per-member opt-out
-    (the pre-r12 plan)."""
+    (the pre-r12 plan).  NOTE (ADVICE r13): under ``'auto'`` the
+    probe runs EAGERLY at construction time — calling this builder
+    launches one small Spark job before any action on the returned
+    frame (``True`` / ``False`` stay fully lazy)."""
     shingled = (_fan_out(df)
                 .select(F.col(id_col).alias("id"),
                         _word_shingles_arrow(text_col, n).alias("sh"))
@@ -751,8 +761,11 @@ def edit_dup_pairs(df: DataFrame, max_dist: int = 10, n: int = 3,
     (:func:`_collapse_effective`) and skips the machinery unless
     verbatim copies reach :data:`_COLLAPSE_AUTO_MIN_FRAC` of rows;
     ``True`` forces it; ``collapse_exact=False`` is the raw opt-out.
-    NULL texts never pair in either path (minhash has no shingles;
-    collapse filters them before grouping).
+    NOTE (ADVICE r13): under ``'auto'`` the probe runs EAGERLY at
+    construction time — calling this builder launches one small Spark
+    job before any action on the returned frame (``True`` / ``False``
+    stay fully lazy).  NULL texts never pair in either path (minhash
+    has no shingles; collapse filters them before grouping).
 
     Scale shape: banded candidate join (no cross product), two
     un-hinted equi-joins to ride the texts in (candidates are

@@ -1284,7 +1284,10 @@ def stream_psi_monitor(df: DataFrame, reference: DataFrame,
     df = df.withWatermark(ts_col, watermark)
     g = [group_col] if group_col is not None else []
     key = F.col(key_col).cast("string")
-    d = df.select(F.col(ts_col), *g, key.alias("__k"))
+    # NULL keys drop their row — batch psi_drift parity (they count
+    # into neither n, n_oov, nor any vocab cell; ADVICE r13).
+    d = (df.select(F.col(ts_col), *g, key.alias("__k"))
+         .filter(F.col("__k").isNotNull()))
     aggs = [F.count(F.lit(1)).cast("long").alias("n"),
             F.sum((~F.col("__k").isin(vocab)).cast("long"))
              .cast("long").alias("n_oov")]

@@ -275,7 +275,11 @@ class WritableSequenceFile(Scheme):
     SURVEY §2.3 maps Cascading's tuple ``SequenceFile`` to it).  Full-Tuple
     SequenceFiles written by Cascading's ``TupleSerialization`` are NOT
     readable here: their deserializer lives in the Cascading jars, which
-    this pure-PySpark engine deliberately does not ship.
+    this pure-PySpark engine deliberately does not ship.  ``read``
+    sniffs each path's SequenceFile header and raises an actionable
+    ``ValueError`` naming the migration path when the key/value class
+    is a ``cascading.*`` type (VERDICT r13 Next #7) instead of the
+    ClassNotFound stack trace ``sc.sequenceFile`` would produce.
 
     Scale note: SequenceFiles are splittable, ``sc.sequenceFile`` keeps
     per-block parallelism, and the pair RDD is converted to a DataFrame
@@ -306,8 +310,89 @@ class WritableSequenceFile(Scheme):
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
         return fs, jpath
 
+    @classmethod
+    def _header_classes(cls, spark, path):
+        """Return ``(key_class, value_class)`` from the first data
+        file's SequenceFile header, or ``None`` when the path has no
+        readable SequenceFile header (empty dir, non-SEQ magic — those
+        fall through to ``sc.sequenceFile``'s own errors).
+
+        Pure byte parse (magic ``SEQ`` + version byte + two
+        VInt-length-prefixed UTF-8 class names, the on-disk layout of
+        ``SequenceFile.Writer#writeFileHeader``): the Hadoop
+        ``SequenceFile.Reader`` cannot be used for the sniff because
+        its init eagerly ``Class.forName``s the key class — exactly
+        the unactionable stack trace this check exists to replace."""
+        fs, jpath = cls._fs_path(spark, path)
+        try:
+            st = fs.getFileStatus(jpath)
+        except Exception:
+            return None
+        if st.isDirectory():
+            parts = sorted(
+                (s.getPath() for s in fs.listStatus(jpath)
+                 if not s.isDirectory() and s.getLen() > 0
+                 and not s.getPath().getName().startswith(("_", "."))),
+                key=lambda p: p.getName())
+            if not parts:
+                return None
+            jpath = parts[0]
+        # single-byte reads: py4j does not reflect Java-side mutation
+        # of a passed byte[] back to Python, and this sniff runs once
+        # per path on ~256 bytes — the round trips are negligible
+        stream = fs.open(jpath)
+        try:
+            data = []
+            for _ in range(256):
+                b = stream.read()
+                if b < 0:
+                    break
+                data.append(b)
+        finally:
+            stream.close()
+        buf = bytes(data)
+        if len(buf) < 6 or buf[:3] != b"SEQ":
+            return None
+
+        def vint(off):
+            # WritableUtils.writeVInt: first byte in [-112, 127] IS the
+            # value; class names are short so that branch always hits,
+            # but decode the multi-byte form for completeness
+            first = buf[off] - 256 if buf[off] > 127 else buf[off]
+            if first >= -112:
+                return first, off + 1
+            neg = first < -120
+            size = (-119 - first) if neg else (-111 - first)
+            val = 0
+            for i in range(size):
+                val = (val << 8) | buf[off + 1 + i]
+            return (~val if neg else val), off + 1 + size
+
+        try:
+            klen, off = vint(4)
+            kcls = buf[off:off + klen].decode("utf-8")
+            vlen, off = vint(off + klen)
+            vcls = buf[off:off + vlen].decode("utf-8")
+        except (IndexError, UnicodeDecodeError):
+            return None
+        return kcls, vcls
+
     def read(self, spark, paths):
         sc = spark.sparkContext
+        for p in paths:
+            hdr = self._header_classes(spark, p)
+            if hdr and any(c.startswith("cascading.") for c in hdr):
+                raise ValueError(
+                    f"WritableSequenceFile: {p} is a Cascading-"
+                    f"serialized tuple SequenceFile (header classes "
+                    f"{hdr[0]} / {hdr[1]}). Its deserializer lives in "
+                    "the Cascading jars, which this pure-PySpark "
+                    "engine deliberately does not ship — re-export the "
+                    "data from Cascading as Writable key/value pairs "
+                    "(e.g. WritableSequenceFile with Text/LongWritable "
+                    "fields) or as delimited text/parquet, then read "
+                    "it here (ParquetScheme is the declared analog for "
+                    "tuple SequenceFiles, SURVEY.md §2.3).")
         rdds = [sc.sequenceFile(p) for p in paths]
         rdd = rdds[0] if len(rdds) == 1 else sc.union(rdds)
         # bytearray (BytesWritable) isn't directly row-encodable -> bytes

@@ -98,6 +98,10 @@ def test_collapse_probe_decision(spark):
     assert _collapse_effective(sparse, probe, "auto") is False
     with pytest.raises(ValueError, match="collapse_exact"):
         _collapse_effective(free, probe, "sometimes")
+    # None is rejected like every other invalid value (ADVICE r13),
+    # not silently mapped to False
+    with pytest.raises(ValueError, match="collapse_exact"):
+        _collapse_effective(free, probe, None)
 
 
 def test_collapse_auto_is_default_everywhere(spark):

@@ -123,3 +123,53 @@ def test_num_sink_parts_preserves_sort_order(spark, tmp_path):
 def test_declares_exactly_two_fields():
     with pytest.raises(ValueError, match="exactly"):
         WritableSequenceFile(fields=("k", "v", "extra"))
+
+
+def _cascading_tuple_seqfile(path):
+    """Craft the on-disk HEADER of a SequenceFile whose key/value
+    classes are Cascading's TupleSerialization types — only the header
+    matters (the sniff raises before any record is deserialized), so no
+    Cascading jars are needed to pin the boundary."""
+    cls = b"cascading.tuple.Tuple"
+    with open(path, "wb") as f:
+        f.write(b"SEQ" + bytes([6]))
+        for name in (cls, cls):
+            f.write(bytes([len(name)]) + name)  # VInt short form
+        f.write(bytes([0, 0]))  # no value/block compression
+        f.write(b"\x00" * 32)   # metadata count + sync filler
+
+
+def test_cascading_tuple_file_raises_actionable_error(spark, tmp_path):
+    """VERDICT r13 Next #7: a Cascading-serialized full-Tuple
+    SequenceFile must fail with the DOCUMENTED actionable error naming
+    the migration path (re-export as Writables / parquet), not a
+    ClassNotFoundException stack trace from sc.sequenceFile."""
+    p = tmp_path / "cascading_tuples.seq"
+    _cascading_tuple_seqfile(p)
+    with pytest.raises(ValueError) as exc:
+        _tap(p, fields=("k", "v")).read(spark)
+    msg = str(exc.value)
+    assert "cascading.tuple.Tuple" in msg
+    assert "ParquetScheme" in msg and "re-export" in msg
+    # directory-of-parts spelling (what a real Cascading Hfs sink
+    # leaves behind) sniffs the first part file the same way
+    d = tmp_path / "cascading_dir"
+    d.mkdir()
+    (d / "_SUCCESS").touch()
+    _cascading_tuple_seqfile(d / "part-00000")
+    with pytest.raises(ValueError, match="cascading.tuple.Tuple"):
+        _tap(d, fields=("k", "v")).read(spark)
+
+
+def test_header_sniff_passes_writable_files(spark, tmp_path):
+    """The sniff must NOT reject legitimate Writable SequenceFiles —
+    the roundtrip still reads after the round-14 header check."""
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long")
+    out = tmp_path / "seq_ok"
+    _tap(out, key_type="string", value_type="long",
+         fields=("k", "v")).write(df)
+    sch = WritableSequenceFile(fields=("k", "v"), value_type="long")
+    hdr = sch._header_classes(spark, str(out))
+    assert hdr and hdr[0] == "org.apache.hadoop.io.Text"
+    back = _tap(out, fields=("k", "v"), value_type="long").read(spark)
+    assert back.count() == 2

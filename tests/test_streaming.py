@@ -1377,7 +1377,9 @@ def test_stream_psi_monitor_oov_pooling(spark, tmp_path):
     """Stream keys outside the reference support pool into ONE floored
     OOV cell (the documented trade vs batch's per-key floor): n_oov
     counts them, n_keys grows by one, and the psi matches the pooled
-    model exactly."""
+    model exactly.  NULL stream keys drop their row entirely — batch
+    psi_drift parity (ADVICE r13): they count into neither n, n_oov,
+    nor any vocab cell."""
     import datetime
     from cascading_flink_spark.streaming import stream_psi_monitor
 
@@ -1385,6 +1387,8 @@ def test_stream_psi_monitor_oov_pooling(spark, tmp_path):
     t2 = datetime.datetime(2024, 1, 1, 2, 0)
     rows = ([("a", t0)] * 6 + [("b", t0)] * 2
             + [("zz", t0)] * 2 + [("ww", t0)]
+            # NULL keys must vanish without touching n/n_oov/psi
+            + [(None, t0)] * 4
             # sentinel in a later window pushes the watermark past
             # window 0's end so append mode emits it
             + [("a", t2)])

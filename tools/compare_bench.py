@@ -12,6 +12,13 @@ FIXED baseline instead of last round's possibly-inflated file.
 Queries absent from the baseline (new this round) are listed separately
 — freeze them into the ledger once their first probe-accepted capture
 exists (python tools/compare_bench.py --freeze adds them).
+
+Ledger update policy (round 14, VERDICT r13 What's-wrong #2): the r13
+wholesale re-freeze loosened 10 entries up to 1.21x, which a regression
+ledger must never do.  `--freeze` stays ADD-ONLY (new queries only);
+`--ratchet` updates existing entries via per-query min(old, new) from an
+accepted capture and adds new queries — entries can only tighten.
+Wholesale replacement is no longer supported.
 """
 
 from __future__ import annotations
@@ -25,8 +32,10 @@ NOISE = 1.25
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--freeze"]
+    args = [a for a in sys.argv[1:]
+            if a not in ("--freeze", "--ratchet")]
     freeze = "--freeze" in sys.argv
+    ratchet = "--ratchet" in sys.argv
     cap_path = args[0] if args else os.path.join(HERE, "bench_full.json")
     base_path = (args[1] if len(args) > 1
                  else os.path.join(HERE, "BASELINE_SF01.json"))
@@ -87,12 +96,22 @@ def main() -> None:
         print(f"  faster {r:.2f}x  {name}: {b:.2f}s -> {t:.2f}s")
     if new:
         print(f"  new (not in ledger): {', '.join(sorted(new))}")
-        if freeze:
+        if freeze or ratchet:
             led = json.load(open(base_path))
             led["queries"].update({n: qs[n] for n in new})
             json.dump(led, open(base_path, "w"), indent=1,
                       sort_keys=True)
             print(f"  froze {len(new)} new queries into the ledger")
+    if ratchet:
+        led = json.load(open(base_path))
+        tightened = 0
+        for name in common:
+            if qs[name] < led["queries"][name]:
+                led["queries"][name] = qs[name]
+                tightened += 1
+        json.dump(led, open(base_path, "w"), indent=1, sort_keys=True)
+        print(f"  ratchet: tightened {tightened} of {len(common)} "
+              "entries (per-query min; loosening impossible)")
     if not movers:
         print("no regressions beyond the noise band vs the pinned "
               "ledger")
