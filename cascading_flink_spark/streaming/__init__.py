@@ -19,6 +19,7 @@ from .ops import (
     stream_embedding_gate,
     stream_exact_dedup, stream_media_dedup,
     stream_drift_monitor,
+    stream_ks_monitor,
     stream_label_agreement,
     stream_psi_monitor,
     stream_score_monitor,

@@ -1328,3 +1328,114 @@ def stream_psi_monitor(df: DataFrame, reference: DataFrame,
         n_keys.alias("n_keys"),
         F.expr(f"CAST(__psisum DIV {s} AS BIGINT)")
          .alias("psi_x1e6"))
+
+
+def stream_ks_monitor(df: DataFrame, reference: DataFrame,
+                      value_col: str, ts_col: str = "ts",
+                      window: str = "10 minutes",
+                      watermark: str = "30 minutes",
+                      group_col: str | None = None,
+                      quantize_x: int | None = None,
+                      scale: int = 1_000_000,
+                      max_keys: int = 256) -> DataFrame:
+    """Watermarked per-window two-sample Kolmogorov-Smirnov monitor
+    against a static trusted reference snapshot (VERDICT r13 Next #8)
+    — the CONTINUOUS-score streaming twin completing the drift-monitor
+    family next to the categorical :func:`stream_psi_monitor`: for
+    each event-time window (and group) it emits ``(window_start,
+    window_end, group?, n, n_nov, ks_x)`` — the online "did this
+    hour's length/quality-score distribution shift vs the known-good
+    corpus" pager, the batch face being
+    :func:`~cascading_flink_spark.extensions.analytics.ks_statistic`.
+
+    How a two-sided sup-distance fits ONE streaming aggregate (append
+    mode allows no second aggregation level): the reference reduces
+    at PLAN time to its sorted distinct (quantized) value GRID with
+    exact cumulative counts — one driver pull BOUNDED by ``max_keys``,
+    raising loudly past it (``quantize_x`` buckets raw scores in-plan
+    first, the batch contract; a quality score quantized to 1e4 has
+    at most 10001 cells, so pick ``max_keys``/``quantize_x``
+    together) — and every grid cut becomes ONE conditional-sum column
+    ``c_i = sum(v <= t_i)`` in a single windowed groupBy; the KS fold
+    ``max_i |c_i * n_ref - r_i * n|`` runs as a ``greatest`` of |V|
+    exact DECIMAL(38,0) terms in the same SELECT, ``ks_x`` one
+    truncating DIV by ``n * n_ref`` — the ks_statistic spelling
+    verbatim with side A = window, side B = reference.
+
+    Exactness contract: the sup is evaluated on the REFERENCE grid.
+    When the window's values all lie ON that grid (discrete counts,
+    quantized scores — the steady state a pager watches) the merged
+    value axis IS the grid and the emitted ``ks_x`` is BIT-IDENTICAL
+    to batch ``ks_statistic`` over the same rows — the parity pin.  A
+    window value BETWEEN grid points registers at the next cut up
+    (its CDF contribution is exact there; only sup candidates at
+    novel points are missed, making grid-KS a lower bound — the
+    documented streaming trade), and ``n_nov`` counts novel values so
+    the pager sees the support shift first, exactly like the psi
+    monitor's ``n_oov``.  NULL values drop their row (batch parity).
+    Late data beyond ``watermark`` is dropped (the standard trade).
+
+    Scale shape: state is |windows x groups| rows of |V|+1 longs —
+    never per-event; one map-side conditional-sum pass, no joins, no
+    custom state.  The reference snapshot refreshes by rebuilding the
+    query (a SNAPSHOT by design, as for the psi monitor)."""
+    if int(scale) < 1:
+        raise ValueError("stream_ks_monitor: scale must be >= 1")
+    if quantize_x is not None and int(quantize_x) < 1:
+        raise ValueError("stream_ks_monitor: quantize_x must be >= 1")
+    s = int(scale)
+
+    def _q(col):
+        return (col if quantize_x is None
+                else F.round(col.cast("double") * int(quantize_x))
+                .cast("long"))
+
+    grid_rows = (reference.filter(F.col(value_col).isNotNull())
+                 .groupBy(_q(F.col(value_col)).alias("__v"))
+                 .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+                 .orderBy("__v")
+                 .limit(int(max_keys) + 1)
+                 .collect())
+    if len(grid_rows) > int(max_keys):
+        raise ValueError(
+            f"stream_ks_monitor: reference support exceeds max_keys="
+            f"{max_keys} distinct (quantized) values; raise quantize_x "
+            "coarsening or run the batch ks_statistic for "
+            "high-cardinality scores")
+    if not grid_rows:
+        raise ValueError("stream_ks_monitor: reference is empty")
+    grid = [r["__v"] for r in grid_rows]
+    cum, running = [], 0
+    for r in grid_rows:
+        running += r["__c"]
+        cum.append(running)
+    n_ref = running
+
+    df = _ensure_event_time(df, ts_col)
+    df = df.withWatermark(ts_col, watermark)
+    g = [group_col] if group_col is not None else []
+    # NULL values drop their row — batch ks_statistic parity
+    d = (df.select(F.col(ts_col), *g,
+                   _q(F.col(value_col)).alias("__v"))
+         .filter(F.col("__v").isNotNull()))
+    aggs = [F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((~F.col("__v").isin(grid)).cast("long"))
+             .cast("long").alias("n_nov")]
+    for i, t in enumerate(grid):
+        aggs.append(F.sum((F.col("__v") <= F.lit(t)).cast("long"))
+                    .cast("long").alias(f"__c{i}"))
+    agg = d.groupBy(F.window(ts_col, window), *g).agg(*aggs)
+
+    # the ks_statistic numerator spelling verbatim: side A = window
+    # (cum count __ci, total n), side B = reference (literal cum r_i,
+    # total n_ref); every term an exact DECIMAL(38,0)
+    terms = [F.expr(f"abs(CAST(__c{i} AS DECIMAL(38,0)) * {n_ref} "
+                    f"- CAST({cum[i]} AS DECIMAL(38,0)) * n)")
+             for i in range(len(grid))]
+    num = terms[0] if len(terms) == 1 else F.greatest(*terms)
+    staged = agg.withColumn("__num", num.cast("decimal(38,0)"))
+    return staged.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"), *g, "n", "n_nov",
+        F.expr(f"CAST(__num * {s} DIV (CAST(n AS DECIMAL(38,0)) "
+               f"* {n_ref}) AS BIGINT)").alias("ks_x"))

@@ -1520,3 +1520,183 @@ def test_stream_psi_monitor_grouped(spark, tmp_path):
            "de": _psi_model({"a": 3, "b": 7}, {"a": 5, "b": 5})}
     assert got == exp and got["en"][2] > 0 and got["de"][2] > 0
     spark.catalog.dropTempView("spg_out")
+
+
+# ------------------------------------------------- stream_ks_monitor
+
+
+def _ks_model(win_vals: list, ref_vals: list, s=1_000_000):
+    """Integer-Python twin of the ks_statistic spelling restricted to
+    the reference grid (the monitor's documented evaluation axis)."""
+    grid = sorted(set(ref_vals))
+    n, n_ref = len(win_vals), len(ref_vals)
+    num = 0
+    for t in grid:
+        ca = sum(1 for v in win_vals if v <= t)
+        cb = sum(1 for v in ref_vals if v <= t)
+        num = max(num, abs(ca * n_ref - cb * n))
+    nov = sum(1 for v in win_vals if v not in set(grid))
+    return n, nov, num * s // (n * n_ref)
+
+
+def test_stream_ks_monitor_batch_parity(spark, sf_dir, tmp_path):
+    """On windows whose values all lie ON the reference grid (here:
+    integer n_chars with a full-support reference slice) each emitted
+    row is bit-identical to the BATCH ks_statistic over the same rows
+    — the continuous-score twin pin, VERDICT r13 Next #8."""
+    from cascading_flink_spark.extensions import ks_statistic
+    from cascading_flink_spark.streaming import stream_ks_monitor
+    import __spark_entry__ as entry
+
+    ev = (entry._t(spark, sf_dir, "events")
+          .filter(F.col("user_id") % 2 == 0)
+          .select("ts", (F.col("user_id") % 5).alias("score")))
+    src = str(tmp_path / "skm_in")
+    ev.write.mode("overwrite").parquet(src)
+    # reference: the odd-user slice with FULL 0-4 support (user_id
+    # spans 0-14 even at sf0.001), so every window value lies on the
+    # grid and batch parity is exact
+    ref = (entry._t(spark, sf_dir, "events")
+           .filter(F.col("user_id") % 2 == 1)
+           .select((F.col("user_id") % 5).alias("score")))
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = stream_ks_monitor(stream, ref, "score", ts_col="ts",
+                            window="1 hour", watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("skm_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.window_start: (r.n, r.n_nov, r.ks_x)
+           for r in spark.sql("SELECT * FROM skm_out").collect()}
+
+    ref_vals = [r.score for r in ref.collect()]
+    import collections
+    wv = collections.defaultdict(list)
+    for r in spark.read.parquet(src).collect():
+        wv[r.ts.replace(minute=0, second=0, microsecond=0)].append(
+            r.score)
+    assert got
+    checked_batch = 0
+    for w, (n, nov, ks) in got.items():
+        assert (n, nov, ks) == _ks_model(wv[w], ref_vals), w
+        assert nov == 0  # full-support reference: the steady state
+        if checked_batch < 4:  # batch twin on a few windows
+            wrows = spark.read.parquet(src).filter(
+                (F.col("ts") >= F.lit(w))
+                & (F.col("ts") < F.lit(w) + F.expr("INTERVAL 1 HOUR")))
+            b = ks_statistic(wrows.select("score"),
+                             spark.createDataFrame(
+                                 [(v,) for v in ref_vals],
+                                 "score long"),
+                             "score").collect()[0]
+            assert (b.n_a, b.ks_x) == (n, ks), w
+            checked_batch += 1
+    assert checked_batch
+    assert len(got) >= len(wv) - 3
+    spark.catalog.dropTempView("skm_out")
+
+
+def test_stream_ks_monitor_novel_values_and_nulls(spark, tmp_path):
+    """Window values off the reference grid register at the next cut
+    up (exact CDF contribution, sup lower-bounded — the documented
+    trade) and count into n_nov; NULL values drop their row (batch
+    parity)."""
+    import datetime
+    from cascading_flink_spark.streaming import stream_ks_monitor
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 30)
+    t2 = datetime.datetime(2024, 1, 1, 2, 0)
+    rows = ([(10, t0)] * 3 + [(20, t0)] * 2
+            + [(15, t0)] * 2          # novel: between grid cuts
+            + [(99, t0)]              # novel: above the grid
+            + [(None, t0)] * 3        # dropped rows
+            + [(10, t2)])             # watermark sentinel
+    src = str(tmp_path / "skn_in")
+    spark.createDataFrame(rows, "score long, ts timestamp") \
+        .write.parquet(src)
+    ref = spark.createDataFrame(
+        [(10,)] * 5 + [(20,)] * 5, "score long")
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = stream_ks_monitor(stream, ref, "score", ts_col="ts",
+                            window="1 hour", watermark="0 seconds")
+    q = (out.writeStream.format("memory").queryName("skn_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows_out = [r for r in
+                spark.sql("SELECT * FROM skn_out").collect()
+                if r.window_start == t0.replace(minute=0)]
+    assert len(rows_out) == 1
+    r = rows_out[0]
+    win = [10, 10, 10, 20, 20, 15, 15, 99]
+    n, nov, ks = _ks_model(win, [10] * 5 + [20] * 5)
+    assert (r.n, r.n_nov, r.ks_x) == (n, nov, ks)
+    assert r.n == 8 and r.n_nov == 3  # NULLs gone, novels counted
+    spark.catalog.dropTempView("skn_out")
+
+
+def test_stream_ks_monitor_restart_no_double_emission(spark, tmp_path):
+    """2 batches with a checkpoint restart: a window emits exactly
+    once, accumulates across batches before the watermark passes, and
+    the restart neither re-emits nor resets state."""
+    import datetime
+    from cascading_flink_spark.streaming import stream_ks_monitor
+
+    src = tmp_path / "skr_in"
+    src.mkdir()
+    h0 = datetime.datetime(2024, 1, 1, 0, 0)
+    h1 = datetime.datetime(2024, 1, 1, 1, 0)
+    h3 = datetime.datetime(2024, 1, 1, 3, 0)
+    sch = "score long, ts timestamp"
+    batches = [
+        [(10, h0), (10, h0), (20, h0),                  # window 0
+         (10, h1)],                                      # window 1 opens
+        [(20, h1), (20, h1),                             # window 1 grows
+         (10, h3)],                                      # pushes wm past 1
+    ]
+
+    def write(i):
+        spark.createDataFrame(batches[i], sch).coalesce(1) \
+            .write.parquet(str(src / f"f{i}"))
+    write(0)
+    schema = spark.read.parquet(str(src / "f0")).schema
+    ref = spark.createDataFrame([(10,)] * 3 + [(20,)] * 3,
+                                "score long")
+    ckpt = str(tmp_path / "skr_ck")
+    out_dir = str(tmp_path / "skr_out")
+
+    for i in range(len(batches)):
+        if i:
+            write(i)
+        _run_available_now(
+            spark, schema, str(src / "*"), ckpt, out_dir,
+            lambda s: stream_ks_monitor(
+                s, ref, "score", ts_col="ts", window="1 hour",
+                watermark="0 seconds"))
+
+    rows = spark.read.parquet(out_dir).collect()
+    by_w = {r.window_start: r for r in rows}
+    assert len(rows) == len(by_w), "a window emitted twice"
+    rv = [10] * 3 + [20] * 3
+    assert (by_w[h0].n, by_w[h0].n_nov, by_w[h0].ks_x) \
+        == _ks_model([10, 10, 20], rv)
+    # window 1 accumulated across the restart: 1x10 + 2x20
+    assert (by_w[h1].n, by_w[h1].n_nov, by_w[h1].ks_x) \
+        == _ks_model([10, 20, 20], rv)
+
+
+def test_stream_ks_monitor_guards(spark, sf_dir):
+    from cascading_flink_spark.streaming import stream_ks_monitor
+    import __spark_entry__ as entry
+    ev = entry._t(spark, sf_dir, "events").select(
+        "ts", F.col("user_id").alias("score"))
+    with pytest.raises(ValueError, match="scale"):
+        stream_ks_monitor(ev, ev, "score", scale=0)
+    with pytest.raises(ValueError, match="quantize_x"):
+        stream_ks_monitor(ev, ev, "score", quantize_x=0)
+    with pytest.raises(ValueError, match="max_keys"):
+        stream_ks_monitor(ev, ev, "score", max_keys=3)
+    with pytest.raises(ValueError, match="empty"):
+        stream_ks_monitor(ev, ev.filter("score IS NULL"), "score")
