@@ -2334,6 +2334,130 @@ def q_kripp(spark, sf_dir):
                               "doc_id", "vote", group_col="source")
 
 
+def q_agreement_scorecard(spark, sf_dir):
+    """Per-source agreement SCORECARD, one wide row per source
+    (round-14 registry consolidation, VERDICT r13 Next #6): Cohen's
+    kappa over the two-judge fixture, Fleiss kappa over the
+    three-judge fixture, Krippendorff's alpha over the abstaining
+    three-judge fixture — the former judge_kappa / fleiss / kripp
+    singles composed by two equi-joins on the source key.  Every
+    metric frame is |sources|-sized (reduced before the join), so the
+    joins are trivially broadcastable; each member keeps its own
+    exact-integer recipe bit-for-bit (the singles' oracles are
+    composed verbatim as derived tables on the DuckDB side).  Inner
+    joins: each member's degenerate-group exclusions (both-constant
+    raters, one-label sources) intersect deterministically on both
+    engines."""
+    from cascading_flink_spark.extensions import (cohen_kappa,
+                                                  fleiss_kappa,
+                                                  krippendorff_alpha)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                 "source")
+    langs = F.array(*[F.lit(x) for x in
+                      ("en", "de", "fr", "es", "zh")])
+    d2 = (docs
+          .withColumn("judge_a",
+                      F.when(F.col("doc_id") % 10 < 8, F.col("lang"))
+                       .otherwise(F.element_at(
+                           langs, (F.col("doc_id") % 5 + 1)
+                           .cast("int"))))
+          .withColumn("judge_b",
+                      F.when(F.col("doc_id") % 7 < 5, F.col("lang"))
+                       .otherwise(F.element_at(
+                           langs, ((F.col("doc_id") + 2) % 5 + 1)
+                           .cast("int")))))
+    cohen = (cohen_kappa(d2, "judge_a", "judge_b", group_col="source")
+             .select("source", F.col("n").alias("n_pairs"),
+                     F.col("po_x").alias("cohen_po_x"),
+                     F.col("pe_x").alias("cohen_pe_x"),
+                     F.col("kappa_x").alias("cohen_x")))
+    fl = (fleiss_kappa(_three_judges(spark, sf_dir), "doc_id",
+                       "vote", group_col="source")
+          .select("source", "n_items", "n_votes",
+                  F.col("po_x").alias("fleiss_po_x"),
+                  F.col("pe_x").alias("fleiss_pe_x"),
+                  F.col("kappa_x").alias("fleiss_x")))
+    kr = (krippendorff_alpha(_abstaining_judges(spark, sf_dir),
+                             "doc_id", "vote", group_col="source")
+          .select("source", "n_units", "n_vals", "alpha_x"))
+    return cohen.join(fl, "source").join(kr, "source")
+
+
+def q_drift_scorecard(spark, sf_dir):
+    """Per-language drift SCORECARD, one wide row per language
+    (round-14 registry consolidation, VERDICT r13 Next #6): the
+    categorical source-mix trio on the every-3rd-doc split (PSI /
+    chi-square / JSD — former psi / chi2 / jsd singles) and the
+    continuous n_chars pair on the even/odd split (KS sup /
+    Wasserstein-1 — former ks_drift / w1_drift), composed by four
+    equi-joins on the language key.  Shared counts keep ONE copy
+    (psi's n_a/n_b/n_keys == chi2's and jsd's by construction — same
+    split, same NULL rule; ks's n_a/n_b == w1's): the scorecard
+    reports mix_n_* once for the categorical trio and len_n_* once
+    for the continuous pair.  Every metric frame is |languages|-sized
+    so the joins broadcast; each metric keeps its exact-integer
+    recipe bit-for-bit (the singles' oracles composed verbatim as
+    derived tables)."""
+    from cascading_flink_spark.extensions import (chi2_drift,
+                                                  js_divergence,
+                                                  ks_statistic,
+                                                  psi_drift,
+                                                  wasserstein_distance)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                 "source", "n_chars")
+    a3 = docs.filter(F.col("doc_id") % 3 == 0)
+    b3 = docs.filter(F.col("doc_id") % 3 != 0)
+    psi = (psi_drift(a3, b3, "source", group_col="lang")
+           .select("lang", F.col("n_a").alias("mix_n_a"),
+                   F.col("n_b").alias("mix_n_b"),
+                   F.col("n_keys").alias("mix_n_keys"), "psi_x1e6"))
+    chi = (chi2_drift(a3, b3, "source", group_col="lang")
+           .select("lang", "dof", "chi2_x1e3"))
+    jsd = (js_divergence(a3, b3, "source", group_col="lang")
+           .select("lang", "jsd_x1e6"))
+    a2 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    ks = (ks_statistic(a2, b2, "n_chars", group_col="lang")
+          .select("lang", F.col("n_a").alias("len_n_a"),
+                  F.col("n_b").alias("len_n_b"), "ks_x"))
+    w1 = (wasserstein_distance(a2, b2, "n_chars", group_col="lang")
+          .select("lang", "w1_x"))
+    return (psi.join(chi, "lang").join(jsd, "lang")
+            .join(ks, "lang").join(w1, "lang"))
+
+
+def q_retrieval_scorecard(spark, sf_dir):
+    """Per-query retrieval-eval SCORECARD of the md5-LSH index, one
+    wide row per judged query (round-14 registry consolidation,
+    VERDICT r13 Next #6): MRR@10 / recall@10 / precision@10 / NDCG@10
+    against the shared exact-cosine graded judgments — the former
+    mrr_lsh / recall_lsh / precision_lsh / ndcg_lsh singles composed
+    by three equi-joins on query_id.  The shared (lsh, qrels) fixture
+    is built ONCE and pinned with localCheckpoint before fanning into
+    the four evals (the singles each rebuilt it); n_hit keeps one
+    copy (recall's and precision's numerators are the same count by
+    definition).  The joined frames are |queries|-sized, trivially
+    broadcastable; each eval keeps its exact-integer recipe
+    bit-for-bit."""
+    from cascading_flink_spark.extensions import (mrr_at_k,
+                                                  ndcg_at_k,
+                                                  precision_at_k,
+                                                  recall_at_k)
+    lsh, qrels = _lsh_qrels_frames(spark, sf_dir)
+    lsh = lsh.localCheckpoint(eager=False)
+    qrels = qrels.localCheckpoint(eager=False)
+    mrr = (mrr_at_k(lsh, qrels, k=10, rel_threshold=11)
+           .select("query_id", "first_rel_rank", "mrr_x1e6"))
+    rec = (recall_at_k(lsh, qrels, k=10, rel_threshold=11)
+           .select("query_id", "n_hit", "n_rel", "recall_x1e6"))
+    pre = (precision_at_k(lsh, qrels, k=10, rel_threshold=11)
+           .select("query_id", "n_ret", "precision_x1e6"))
+    ndcg = (ndcg_at_k(lsh, qrels, k=10)
+            .select("query_id", "dcg_x", "idcg_x", "ndcg_x1e6"))
+    return (mrr.join(rec, "query_id").join(pre, "query_id")
+            .join(ndcg, "query_id"))
+
+
 def q_trimmed_stats(spark, sf_dir):
     """Per-language 5%-trimmed and winsorized mean of n_chars — the
     interval-overlap spelling: kept multiplicity per DISTINCT value
@@ -4268,42 +4392,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     least-recently-driver-verified queries must sit at the front.
     Rotation is documented in COVERAGE.md ("Driver-slot rotation").
 
-    Round-13 front block (slots 1-50), executing VERDICT r12 Next #1
-    (the standing evidence obligation) under the new-query throttle
-    of Next #2 (TWO new queries this round, far below the rotation
-    rate): slots 1-2 the NEW `kripp` (Krippendorff's missing-tolerant
-    alpha, completing the agreement family) and `dup_partners`
-    (ExactSubstr partner attribution, VERDICT r12 Next #6); slots
-    3-9 the queries whose code changed this round, re-gated
-    (dup_substring_spans' with_partners restructuring — dup_rate
-    composes it — and the probe-gated collapse_exact='auto' default
-    in all three pair generators plus their direct compositions
-    dedup_soft/dedup_clusters); slots 10-33 the 24 late round-12
-    additions that never had a driver row (lang_confusion ...
-    robust_spread); slots 34-39 the 6 changed-block rows displaced
-    from the r12 window (cluster_split/dedup_keep_best/
-    minhash_recall also compose the collapsed pair generators, so
-    they re-gate the 'auto' default too); slots 40-50 the 11 oldest
-    r8 rows.  2+7+24+6+11 = exactly 50.  After this round the 24
-    late-r12 queries all have driver rows and the oldest driver row
-    anywhere is r8 (frame_sample at slot 51 plus 19 more r8 rows,
-    first in line for round 14).
-    Back block: everything with an r9-r12 driver row on unchanged
-    code, re-verified by the committed round-end mimic
-    (tools/mimic_r13.log).
+    Round-14 front block (slots 1-50), executing VERDICT r13 Next #1
+    (retire the last r8-era driver-row debt) plus Next #6 (registry
+    consolidation): slots 1-3 the THREE new consolidation scorecards
+    (agreement_scorecard / drift_scorecard / retrieval_scorecard —
+    each composes its retired singles' operators and oracles
+    verbatim, so gating them re-gates every member recipe); slots
+    4-23 the 20 r8-stale rows (frame_sample + the 19 listed in
+    COVERAGE.md round-13 "slots 51-70"); slots 24-50 the 27
+    alphabetically-first of the 42 r9 rows.  3+20+27 = exactly 50.
+    After this round NO query's newest driver row is older than r9,
+    and the 15 remaining r9 rows (kmeans ... winnow_pairs) are first
+    in line for round 15.
+    Retired this round (consolidation): judge_kappa, fleiss, kripp,
+    psi, chi2, jsd, ks_drift, w1_drift, mrr_lsh, recall_lsh,
+    precision_lsh, ndcg_lsh — all folded into the three scorecards,
+    every member column still oracle-gated through the composed SQL.
+    Back block: everything with an r9-r13 driver row on unchanged
+    code, re-verified by the committed round-end mimic each round.
     """
 
     return {
-        # --- slots 1-2: NEW round 13 (Krippendorff's missing-
-        # tolerant alpha completing the agreement family, and the
-        # ExactSubstr partner attribution — VERDICT r12 Next #6) ---
-        "kripp": q_kripp,
+        # --- slots 1-3: NEW round-14 consolidation scorecards
+        # (VERDICT r13 Next #6) ---
+        "agreement_scorecard": q_agreement_scorecard,
+        "drift_scorecard": q_drift_scorecard,
+        "retrieval_scorecard": q_retrieval_scorecard,
+        # --- slots 4-23: the 20 r8-stale rows (VERDICT r13
+        # Next #1 — the last of the r8 backlog) ---
+        "frame_sample": q_frame_sample,
+        "gram_novelty": q_gram_novelty,
+        "group_centroids": q_group_centroids,
+        "hash_embed": q_hash_embed,
+        "heavy_hitters": q_heavy_hitters,
+        "image_dups": q_image_dups,
+        "image_resize": q_image_resize,
+        "intersect": q_intersect,
+        "logic_filters": q_logic_filters,
+        "ngram_counts": q_ngram_counts,
+        "pack_bins": q_pack_bins,
+        "quality_classifier": q_quality_classifier,
+        "random_project": q_random_project,
+        "redact_pii": q_redact_pii,
+        "sample_k_per_group": q_sample_k_per_group,
+        "sq_codes": q_sq_codes,
+        "sq_topk": q_sq_topk,
+        "strip_boilerplate": q_strip_boilerplate,
+        "strip_dup_spans": q_strip_dup_spans,
+        "video_dups": q_video_dups,
+        # --- slots 24-50: the 27 alphabetically-first r9 rows ---
+        "ann_ivf": q_ann_ivf,
+        "ann_recall": q_ann_recall,
+        "argmin_join": q_argmin_join,
+        "bigram_lm": q_bigram_lm,
+        "bm25": q_bm25,
+        "cogroup_inner": q_cogroup_inner,
+        "cogroup_left": q_cogroup_left,
+        "cogroup_outer": q_cogroup_outer,
+        "curation_despan": q_curation_despan,
+        "curation_dsir": q_curation_dsir,
+        "curation_flagship": q_curation_flagship,
+        "curation_pipeline": q_curation_pipeline,
+        "curriculum": q_curriculum,
+        "date_format": q_date_format,
+        "decontam_spans": q_decontam_spans,
+        "decontaminate_bloom": q_decontaminate_bloom,
+        "dedup_against": q_dedup_against,
+        "dsir_sample": q_dsir_sample,
+        "dsir_select": q_dsir_select,
+        "dsir_weights": q_dsir_weights,
+        "embedding_dups": q_embedding_dups,
+        "expression_filter": q_expression_filter,
+        "group_quantiles": q_group_quantiles,
+        "groupby_agg": q_groupby_agg,
+        "hashjoin_broadcast": q_hashjoin_broadcast,
+        "hashjoin_cross": q_hashjoin_cross,
+        "hits": q_hits,
+        # --- slots 51+: r9 remainder (first in line for round 15:
+        # kmeans ... winnow_pairs), then everything with an
+        # r10-r13 driver row on unchanged code, re-verified by
+        # the committed round-end mimic each round ---
         "dup_partners": q_dup_partners,
-        # --- slots 2-8: code changed round 13, re-gated: the
-        # dup_substring_spans with_partners restructuring (dup_rate
-        # composes it) and the collapse_exact='auto' probe default
-        # in all three pair generators plus their direct
-        # compositions ---
         "dup_substrings": q_dup_substrings,
         "dup_rate": q_dup_rate,
         "ngram_containment": q_ngram_containment,
@@ -4311,44 +4480,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_dups": q_edit_dups,
         "dedup_soft": q_dedup_soft,
         "dedup_clusters": q_dedup_clusters,
-        # --- slots 9-32: the 24 late round-12 additions, never
-        # driver-checked (VERDICT r12 Next #1 — the standing
-        # evidence obligation) ---
         "lang_confusion": q_lang_confusion,
         "trimmed_stats": q_trimmed_stats,
-        "judge_kappa": q_cohen_kappa,
         "avg_precision": q_average_precision,
-        "ks_drift": q_ks_drift,
         "rate_confidence": q_rate_confidence,
         "diversity": q_diversity,
-        "psi": q_psi,
-        "chi2": q_chi2,
-        "jsd": q_jsd,
         "zipf": q_zipf,
         "vocab_overlap": q_vocab_overlap,
         "assortativity": q_assortativity,
         "mean_confidence": q_mean_confidence,
         "harmonic": q_harmonic,
         "mrl_recall": q_mrl_recall,
-        "fleiss": q_fleiss,
         "silhouette": q_silhouette,
-        "w1_drift": q_w1_drift,
         "drift_series": q_drift_series,
         "readability": q_readability,
         "data_card": q_data_card,
-        "precision_lsh": q_precision_lsh,
         "robust_spread": q_robust_spread,
-        # --- slots 33-38: the 6 changed-block rows displaced from
-        # the r12 window (the first three also compose the collapsed
-        # pair generators, re-gating the 'auto' default) ---
         "cluster_split": q_cluster_split,
         "dedup_keep_best": q_dedup_keep_best,
         "minhash_recall": q_minhash_recall,
         "connected_components_fast": q_connected_components_fast,
         "session_labels": q_session_labels,
         "session_stats": q_session_stats,
-        # --- slots 39-50: the 12 oldest r8 rows (newest driver row
-        # CORRECTNESS_r08, mimic-verified every round since) ---
         "ann_lsh": q_ann_lsh,
         "ann_pq": q_ann_pq,
         "ann_topk": q_ann_topk,
@@ -4360,16 +4513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "event_funnel": q_event_funnel,
         "except": q_except,
-        # --- slots 51+: frame_sample (displaced by the kripp
-        # addition; r8 driver row, mimic-covered every round) and the
-        # 19 remaining r8 rows, first in line for
-        # the round-14 window, then everything with an r9-r12 driver
-        # row on unchanged code, re-verified by the committed
-        # round-end mimic each round ---
-        "frame_sample": q_frame_sample,
         "strip_dup_substrings": q_strip_dup_substrings,
-        "mrr_lsh": q_mrr_lsh,
-        "recall_lsh": q_recall_lsh,
         "classifier_auc_quantized": q_classifier_auc_quantized,
         "confusion": q_confusion,
         "mmr": q_mmr,
@@ -4384,7 +4528,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_agreement": q_label_agreement,
         "classifier_auc": q_classifier_auc,
         "clustering_coef": q_clustering_coef,
-        "ndcg_lsh": q_ndcg_lsh,
         "session_funnel": q_session_funnel,
         "multimodal_meta": q_multimodal_meta,
         "nary_mixed_join": q_nary_mixed_join,
@@ -4410,25 +4553,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "url_normalize": q_url_normalize,
         "window_agg_events": q_window_agg_events,
-        "gram_novelty": q_gram_novelty,
-        "group_centroids": q_group_centroids,
-        "hash_embed": q_hash_embed,
-        "heavy_hitters": q_heavy_hitters,
-        "image_dups": q_image_dups,
-        "image_resize": q_image_resize,
-        "intersect": q_intersect,
-        "logic_filters": q_logic_filters,
-        "ngram_counts": q_ngram_counts,
-        "pack_bins": q_pack_bins,
-        "quality_classifier": q_quality_classifier,
-        "random_project": q_random_project,
-        "redact_pii": q_redact_pii,
-        "sample_k_per_group": q_sample_k_per_group,
-        "sq_codes": q_sq_codes,
-        "sq_topk": q_sq_topk,
-        "strip_boilerplate": q_strip_boilerplate,
-        "strip_dup_spans": q_strip_dup_spans,
-        "video_dups": q_video_dups,
         "rrf_hybrid3": q_rrf_hybrid3,
         "kcenter": q_kcenter,
         "topic_quota": q_topic_quota,
@@ -4507,41 +4631,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shard": q_shuffle_shard,
         "temperature_budgets": q_temperature_budgets,
         "tpch_q1": q_tpch_q1,
-        "dsir_weights": q_dsir_weights,
-        "dsir_select": q_dsir_select,
-        "dsir_sample": q_dsir_sample,
-        "hits": q_hits,
-        "decontam_spans": q_decontam_spans,
         "strip_spans_against": q_strip_spans_against,
-        "curation_dsir": q_curation_dsir,
         "triangle_count": q_triangle_count,
         "kmeans": q_kmeans,
-        "curriculum": q_curriculum,
-        "decontaminate_bloom": q_decontaminate_bloom,
-        "dedup_against": q_dedup_against,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "winnow_pairs": q_winnow_pairs,
         "winnow_clusters": q_winnow_clusters,
-        "bigram_lm": q_bigram_lm,
-        "embedding_dups": q_embedding_dups,
-        "ann_ivf": q_ann_ivf,
-        "ann_recall": q_ann_recall,
         "semdedup": q_semdedup,
-        "curation_flagship": q_curation_flagship,
-        "curation_despan": q_curation_despan,
-        "curation_pipeline": q_curation_pipeline,
-        "group_quantiles": q_group_quantiles,
-        "argmin_join": q_argmin_join,
-        "bm25": q_bm25,
-        "cogroup_inner": q_cogroup_inner,
-        "cogroup_left": q_cogroup_left,
-        "cogroup_outer": q_cogroup_outer,
-        "date_format": q_date_format,
-        "expression_filter": q_expression_filter,
-        "groupby_agg": q_groupby_agg,
-        "hashjoin_broadcast": q_hashjoin_broadcast,
-        "hashjoin_cross": q_hashjoin_cross,
         "nary_join": q_nary_join,
         "regex_parse": q_regex_parse,
         "repetition_stats": q_repetition_stats,
@@ -5861,7 +5958,7 @@ def _quality_classifier_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         # Independent rebuild of the scalar-quantization index: DuckDB
         # refits the per-dim min/max ranges and replays the exact-order
         # code formula floor((x-lo)*255/(hi-lo)+0.5).
@@ -10001,3 +10098,58 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN lsh l ON l.id_a = t.id_a AND l.id_b = t.id_b
         """,
     }
+
+    # --- round-14 registry consolidation (VERDICT r13 Next #6): the
+    # agreement family, the drift singles, and the per-index retrieval
+    # evals fold into three scorecard queries.  Each scorecard oracle
+    # composes the retired singles' SQL VERBATIM as derived tables
+    # (DuckDB allows WITH inside a parenthesized subquery), so the
+    # member recipes stay bit-identical — only the join + renames are
+    # new.  The singles leave the registry here (COVERAGE.md
+    # "Consolidated" section records the retirement).
+    kappa_sql = d.pop("judge_kappa")
+    fleiss_sql = d.pop("fleiss")
+    kripp_sql = d.pop("kripp")
+    d["agreement_scorecard"] = f"""
+        SELECT c.source,
+               c.n AS n_pairs, c.po_x AS cohen_po_x,
+               c.pe_x AS cohen_pe_x, c.kappa_x AS cohen_x,
+               f.n_items, f.n_votes, f.po_x AS fleiss_po_x,
+               f.pe_x AS fleiss_pe_x, f.kappa_x AS fleiss_x,
+               k.n_units, k.n_vals, k.alpha_x
+        FROM ({kappa_sql}) c
+        JOIN ({fleiss_sql}) f ON c.source = f.source
+        JOIN ({kripp_sql}) k ON c.source = k.source
+    """
+    psi_sql = d.pop("psi")
+    chi2_sql = d.pop("chi2")
+    jsd_sql = d.pop("jsd")
+    ks_sql = d.pop("ks_drift")
+    w1_sql = d.pop("w1_drift")
+    d["drift_scorecard"] = f"""
+        SELECT p.lang,
+               p.n_a AS mix_n_a, p.n_b AS mix_n_b,
+               p.n_keys AS mix_n_keys, p.psi_x1e6,
+               c.dof, c.chi2_x1e3, j.jsd_x1e6,
+               k.n_a AS len_n_a, k.n_b AS len_n_b, k.ks_x, w.w1_x
+        FROM ({psi_sql}) p
+        JOIN ({chi2_sql}) c ON p.lang = c.lang
+        JOIN ({jsd_sql}) j ON p.lang = j.lang
+        JOIN ({ks_sql}) k ON p.lang = k.lang
+        JOIN ({w1_sql}) w ON p.lang = w.lang
+    """
+    mrr_sql = d.pop("mrr_lsh")
+    recall_sql = d.pop("recall_lsh")
+    precision_sql = d.pop("precision_lsh")
+    ndcg_sql = d.pop("ndcg_lsh")
+    d["retrieval_scorecard"] = f"""
+        SELECT m.query_id, m.first_rel_rank, m.mrr_x1e6,
+               r.n_hit, r.n_rel, r.recall_x1e6,
+               p.n_ret, p.precision_x1e6,
+               n.dcg_x, n.idcg_x, n.ndcg_x1e6
+        FROM ({mrr_sql}) m
+        JOIN ({recall_sql}) r ON m.query_id = r.query_id
+        JOIN ({precision_sql}) p ON m.query_id = p.query_id
+        JOIN ({ndcg_sql}) n ON m.query_id = n.query_id
+    """
+    return d

@@ -123,15 +123,21 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # paths.  embedding_dups uses the LSH (scale) variant here — the exact
 # all-pairs variant is for the sf0.01 correctness gate only.
 BENCH_QUERIES = [
+    # round 14: the consolidation scorecards (replace the retired
+    # singles kripp/judge_kappa/fleiss, psi/chi2/jsd/ks_drift/w1_drift,
+    # mrr/recall/precision/ndcg_lsh in this list — each scorecard runs
+    # every member recipe plus the joins, so per-query rows are NOT
+    # comparable to the singles' rows; totals shrink by the 12-to-3
+    # fold)
+    "agreement_scorecard",
+    "drift_scorecard",
+    "retrieval_scorecard",
     # round 13
     "dup_partners",
-    "kripp",
     # round 12
     "dup_substrings",
     "strip_dup_substrings",
     "dup_rate",
-    "mrr_lsh",
-    "recall_lsh",
     "classifier_auc_quantized",
     "calibration_bins",
     "calibration_ece",
@@ -147,27 +153,19 @@ BENCH_QUERIES = [
     "eccentricity",
     "lang_confusion",
     "trimmed_stats",
-    "judge_kappa",
     "avg_precision",
-    "ks_drift",
     "rate_confidence",
     "diversity",
-    "psi",
-    "chi2",
-    "jsd",
     "zipf",
     "vocab_overlap",
     "assortativity",
     "mean_confidence",
     "harmonic",
     "mrl_recall",
-    "fleiss",
     "silhouette",
-    "w1_drift",
     "drift_series",
     "readability",
     "data_card",
-    "precision_lsh",
     "robust_spread",
     # round 11
     "connected_components_fast",
@@ -177,7 +175,6 @@ BENCH_QUERIES = [
     "ngram_containment",
     "topic_quota",
     "classifier_auc",
-    "ndcg_lsh",
     "upsample_mixture",
     "clustering_coef",
     "dedup_soft",

@@ -88,9 +88,16 @@ def main() -> None:
         # per-gram occurrence lists the m1/m2 partial aggs reduce,
         # the adversarial direction for the partner machinery
         "dup_partners": ["span_tokens", "partner_pos"],
-        # round 13: missing-tolerant agreement — the fleiss reduced-
-        # frame shape (units x alphabet bounded)
-        "kripp": ["n_units", "alpha_x"],
+        # round 14: the consolidation scorecards replace their
+        # retired singles (kripp/judge_kappa/fleiss, psi/chi2/jsd/
+        # ks_drift/w1_drift, *_lsh) — same reduced-frame shapes, one
+        # row per source/lang/query
+        "agreement_scorecard": ["n_units", "cohen_x", "fleiss_x",
+                                "alpha_x"],
+        "drift_scorecard": ["psi_x1e6", "chi2_x1e3", "jsd_x1e6",
+                            "ks_x", "w1_x"],
+        "retrieval_scorecard": ["mrr_x1e6", "recall_x1e6",
+                                "precision_x1e6", "ndcg_x1e6"],
         # round 12: the eval-analytics quartet — all reduce to
         # quantization/vote-bounded frames, so the scaling surface is
         # the single corpus-pass partial agg
@@ -113,31 +120,23 @@ def main() -> None:
         "eccentricity": ["n_reached", "ecc"],
         "trimmed_stats": ["trimmed_mean_x", "winsor_mean_x"],
         "lang_confusion": ["f1_x1e6"],
-        "judge_kappa": ["kappa_x"],
         "avg_precision": ["ap_x"],
-        "ks_drift": ["ks_x"],
         "rate_confidence": ["n", "n_pos"],
         # round 12 late session: the corpus-statistics family — all
         # reduce to keys/vocab/degree-support-bounded frames, so the
         # scaling surface is the corpus-pass partial agg (plus the
         # explode for the token-based pair)
         "diversity": ["entropy_x1e6", "gini_x1e6"],
-        "psi": ["psi_x1e6"],
-        "chi2": ["chi2_x1e3"],
-        "jsd": ["jsd_x1e6"],
         "zipf": ["n_terms", "slope"],
         "vocab_overlap": ["jaccard_x1e6"],
         "assortativity": ["n_edges", "rho"],
         "mean_confidence": ["n", "mean"],
         "harmonic": ["n_reached", "harm_x1e6"],
         "mrl_recall": ["recall_x1e6"],
-        "fleiss": ["po_x", "kappa_x"],
         "silhouette": ["mean_sil_x", "min_sil_x"],
-        "w1_drift": ["w1_x"],
         "drift_series": ["tv_x1e6"],
         "readability": ["n_words", "flesch"],
         "data_card": ["entropy_x1e6", "hhi_x1e6", "flesch"],
-        "precision_lsh": ["precision_x1e6"],
         "robust_spread": ["median_x", "mad_x"],
     }
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
