@@ -23,6 +23,7 @@ from .ops import (
     stream_label_agreement,
     stream_psi_monitor,
     stream_score_monitor,
+    stream_w1_monitor,
     stream_rolling_stats, stream_session_funnel,
     stream_session_transitions, stream_stream_join,
     stream_token_quota,

@@ -1439,3 +1439,110 @@ def stream_ks_monitor(df: DataFrame, reference: DataFrame,
         F.col("window.end").alias("window_end"), *g, "n", "n_nov",
         F.expr(f"CAST(__num * {s} DIV (CAST(n AS DECIMAL(38,0)) "
                f"* {n_ref}) AS BIGINT)").alias("ks_x"))
+
+
+def stream_w1_monitor(df: DataFrame, reference: DataFrame,
+                      value_col: str, ts_col: str = "ts",
+                      window: str = "10 minutes",
+                      watermark: str = "30 minutes",
+                      group_col: str | None = None,
+                      quantize_x: int | None = None,
+                      scale: int = 1_000_000,
+                      max_keys: int = 256) -> DataFrame:
+    """Watermarked per-window Wasserstein-1 (earth-mover) monitor
+    against a static trusted reference snapshot — the magnitude-
+    weighted twin of :func:`stream_ks_monitor` completing the
+    continuous streaming pair exactly as the batch
+    :func:`~cascading_flink_spark.extensions.analytics.
+    wasserstein_distance` sits next to ``ks_statistic``: for each
+    event-time window (and group) it emits ``(window_start,
+    window_end, group?, n, n_nov, w1_x)``.  KS spikes on any sharp
+    local CDF gap; W1 integrates the gap over value units, so a small
+    uniform shift of the whole length/score distribution — invisible
+    to a pager thresholding KS — accumulates here.
+
+    Same bounded-snapshot recipe as the KS twin: the reference
+    reduces at plan time to its sorted distinct (quantized) value
+    grid with exact cumulative counts (driver pull bounded by
+    ``max_keys``, loud past it), each cut becomes one conditional-sum
+    column ``c_i = sum(v <= t_i)`` in a single windowed aggregate,
+    and the W1 fold ``sum_i |c_i*n_ref - r_i*n| * (t_{i+1} - t_i)``
+    runs in the same SELECT — the wasserstein_distance spelling
+    verbatim (lead-gap weights are plan-time literals here),
+    ``w1_x = sum * scale DIV (n * n_ref)`` one truncating division in
+    quantized value units.  When the window's values all lie ON the
+    grid the merged axis is the grid and the emitted ``w1_x`` is
+    BIT-IDENTICAL to batch ``wasserstein_distance`` over the same
+    rows (the parity pin); novel values register at the next cut up
+    and count into ``n_nov``.  Values must be integer-valued
+    (``quantize_x`` buckets raw doubles in-plan, the batch contract);
+    NULL values drop their row; late data beyond ``watermark`` is
+    dropped.
+
+    Scale shape: state is |windows x groups| rows of |V|+1 longs —
+    one map-side conditional-sum pass, no joins, no custom state; the
+    snapshot refreshes by rebuilding the query."""
+    if int(scale) < 1:
+        raise ValueError("stream_w1_monitor: scale must be >= 1")
+    if quantize_x is not None and int(quantize_x) < 1:
+        raise ValueError("stream_w1_monitor: quantize_x must be >= 1")
+    s = int(scale)
+
+    def _q(col):
+        return (col.cast("long") if quantize_x is None
+                else F.round(col.cast("double") * int(quantize_x))
+                .cast("long"))
+
+    grid_rows = (reference.filter(F.col(value_col).isNotNull())
+                 .groupBy(_q(F.col(value_col)).alias("__v"))
+                 .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+                 .orderBy("__v")
+                 .limit(int(max_keys) + 1)
+                 .collect())
+    if len(grid_rows) > int(max_keys):
+        raise ValueError(
+            f"stream_w1_monitor: reference support exceeds max_keys="
+            f"{max_keys} distinct (quantized) values; raise quantize_x "
+            "coarsening or run the batch wasserstein_distance for "
+            "high-cardinality scores")
+    if not grid_rows:
+        raise ValueError("stream_w1_monitor: reference is empty")
+    grid = [r["__v"] for r in grid_rows]
+    cum, running = [], 0
+    for r in grid_rows:
+        running += r["__c"]
+        cum.append(running)
+    n_ref = running
+
+    df = _ensure_event_time(df, ts_col)
+    df = df.withWatermark(ts_col, watermark)
+    g = [group_col] if group_col is not None else []
+    # NULL values drop their row — batch wasserstein parity
+    d = (df.select(F.col(ts_col), *g,
+                   _q(F.col(value_col)).alias("__v"))
+         .filter(F.col("__v").isNotNull()))
+    aggs = [F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((~F.col("__v").isin(grid)).cast("long"))
+             .cast("long").alias("n_nov")]
+    for i, t in enumerate(grid):
+        aggs.append(F.sum((F.col("__v") <= F.lit(t)).cast("long"))
+                    .cast("long").alias(f"__c{i}"))
+    agg = d.groupBy(F.window(ts_col, window), *g).agg(*aggs)
+
+    # wasserstein_distance numerator verbatim: per-cut |cdf gap| *
+    # lead-gap, gaps plan-time literals off the snapshot grid; the
+    # last cut's lead is the end of both supports in the steady
+    # state, contributing nothing (both cdfs are 1 there)
+    terms = [F.expr(f"abs(CAST(__c{i} AS DECIMAL(38,0)) * {n_ref} "
+                    f"- CAST({cum[i]} AS DECIMAL(38,0)) * n) "
+                    f"* {grid[i + 1] - grid[i]}")
+             for i in range(len(grid) - 1)]
+    tot = F.lit(0).cast("decimal(38,0)") if not terms else terms[0]
+    for t in terms[1:]:
+        tot = tot + t
+    staged = agg.withColumn("__sum", tot.cast("decimal(38,0)"))
+    return staged.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"), *g, "n", "n_nov",
+        F.expr(f"CAST(__sum * {s} DIV (CAST(n AS DECIMAL(38,0)) "
+               f"* {n_ref}) AS BIGINT)").alias("w1_x"))

@@ -1700,3 +1700,124 @@ def test_stream_ks_monitor_guards(spark, sf_dir):
         stream_ks_monitor(ev, ev, "score", max_keys=3)
     with pytest.raises(ValueError, match="empty"):
         stream_ks_monitor(ev, ev.filter("score IS NULL"), "score")
+
+
+# ------------------------------------------------- stream_w1_monitor
+
+
+def _w1_model(win_vals: list, ref_vals: list, s=1_000_000):
+    """Integer-Python twin of the wasserstein_distance spelling
+    restricted to the reference grid."""
+    grid = sorted(set(ref_vals))
+    n, n_ref = len(win_vals), len(ref_vals)
+    tot = 0
+    for i in range(len(grid) - 1):
+        ca = sum(1 for v in win_vals if v <= grid[i])
+        cb = sum(1 for v in ref_vals if v <= grid[i])
+        tot += abs(ca * n_ref - cb * n) * (grid[i + 1] - grid[i])
+    nov = sum(1 for v in win_vals if v not in set(grid))
+    return n, nov, tot * s // (n * n_ref)
+
+
+def test_stream_w1_monitor_batch_parity(spark, sf_dir, tmp_path):
+    """On windows whose values all lie ON the reference grid each
+    emitted row is bit-identical to the BATCH wasserstein_distance
+    over the same rows — the magnitude-weighted twin pin."""
+    from cascading_flink_spark.extensions import wasserstein_distance
+    from cascading_flink_spark.streaming import stream_w1_monitor
+    import __spark_entry__ as entry
+
+    ev = (entry._t(spark, sf_dir, "events")
+          .filter(F.col("user_id") % 2 == 0)
+          .select("ts", (F.col("user_id") % 5 * 7).alias("score")))
+    src = str(tmp_path / "swm_in")
+    ev.write.mode("overwrite").parquet(src)
+    ref = (entry._t(spark, sf_dir, "events")
+           .filter(F.col("user_id") % 2 == 1)
+           .select((F.col("user_id") % 5 * 7).alias("score")))
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = stream_w1_monitor(stream, ref, "score", ts_col="ts",
+                            window="1 hour", watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("swm_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.window_start: (r.n, r.n_nov, r.w1_x)
+           for r in spark.sql("SELECT * FROM swm_out").collect()}
+
+    ref_vals = [r.score for r in ref.collect()]
+    import collections
+    wv = collections.defaultdict(list)
+    for r in spark.read.parquet(src).collect():
+        wv[r.ts.replace(minute=0, second=0, microsecond=0)].append(
+            r.score)
+    assert got
+    checked = 0
+    for w, (n, nov, w1) in got.items():
+        assert (n, nov, w1) == _w1_model(wv[w], ref_vals), w
+        assert nov == 0
+        if checked < 4:
+            wrows = spark.read.parquet(src).filter(
+                (F.col("ts") >= F.lit(w))
+                & (F.col("ts") < F.lit(w) + F.expr("INTERVAL 1 HOUR")))
+            b = wasserstein_distance(
+                wrows.select("score"),
+                spark.createDataFrame([(v,) for v in ref_vals],
+                                      "score long"),
+                "score").collect()[0]
+            assert (b.n_a, b.w1_x) == (n, w1), w
+            checked += 1
+    assert checked
+    spark.catalog.dropTempView("swm_out")
+
+
+def test_stream_w1_monitor_shift_sensitivity(spark, tmp_path):
+    """The monitor's reason to exist: a uniform +1-cell shift of the
+    whole distribution moves W1 by the full mass while KS stays at
+    one cell's gap — plus novel/NULL handling and the single-cut
+    degenerate grid (w1_x = 0 by construction)."""
+    import datetime
+    from cascading_flink_spark.streaming import (stream_ks_monitor,
+                                                 stream_w1_monitor)
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 30)
+    t2 = datetime.datetime(2024, 1, 1, 2, 0)
+    # reference uniform on {0,10,20,30}; window = same shape shifted
+    # one cell up ({10,20,30}) + a novel 35 + NULLs
+    rows = ([(10, t0)] * 2 + [(20, t0)] * 2 + [(30, t0)] * 2
+            + [(35, t0)] + [(None, t0)] * 2 + [(10, t2)])
+    src = str(tmp_path / "sws_in")
+    spark.createDataFrame(rows, "score long, ts timestamp") \
+        .write.parquet(src)
+    ref = spark.createDataFrame(
+        [(0,)] * 3 + [(10,)] * 3 + [(20,)] * 3 + [(30,)] * 3,
+        "score long")
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = stream_w1_monitor(stream, ref, "score", ts_col="ts",
+                            window="1 hour", watermark="0 seconds")
+    q = (out.writeStream.format("memory").queryName("sws_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    r = [r for r in spark.sql("SELECT * FROM sws_out").collect()
+         if r.window_start == t0.replace(minute=0)][0]
+    win = [10, 10, 20, 20, 30, 30, 35]
+    rv = [0] * 3 + [10] * 3 + [20] * 3 + [30] * 3
+    assert (r.n, r.n_nov, r.w1_x) == _w1_model(win, rv)
+    assert r.n == 7 and r.n_nov == 1 and r.w1_x > 0
+    spark.catalog.dropTempView("sws_out")
+
+
+def test_stream_w1_monitor_guards(spark, sf_dir):
+    from cascading_flink_spark.streaming import stream_w1_monitor
+    import __spark_entry__ as entry
+    ev = entry._t(spark, sf_dir, "events").select(
+        "ts", F.col("user_id").alias("score"))
+    with pytest.raises(ValueError, match="scale"):
+        stream_w1_monitor(ev, ev, "score", scale=0)
+    with pytest.raises(ValueError, match="max_keys"):
+        stream_w1_monitor(ev, ev, "score", max_keys=3)
+    with pytest.raises(ValueError, match="empty"):
+        stream_w1_monitor(ev, ev.filter("score IS NULL"), "score")
