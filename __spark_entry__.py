@@ -4363,11 +4363,18 @@ def q_minhash_recall(spark, sf_dir):
     (32 hashes, 8 bands, same t) are the candidate set.  One row:
     (n_true, n_hit, recall_x10000) — the minhash analogue of ann_recall,
     with the DuckDB oracle independently rebuilding BOTH pair sets."""
+    from cascading_flink_spark.extensions.dedup import shingle_frame
     docs = _t(spark, sf_dir, "documents")
-    truth = ngram_jaccard_pairs(docs, n=3, threshold=0.5) \
+    # both sides consume the SAME distinct-3-gram shingles: build the
+    # pinned frame once (round-14 optimization — the Arrow shingle pass
+    # used to run twice, once per branch; results are bit-identical
+    # because each branch applies its own contract filter)
+    sh = shingle_frame(docs, n=3)
+    truth = ngram_jaccard_pairs(docs, n=3, threshold=0.5,
+                                _shingled=sh) \
         .select("id_a", "id_b")
     lsh = minhash_lsh_pairs_md5(docs, n=3, num_hashes=32, bands=8,
-                                threshold=0.5) \
+                                threshold=0.5, _shingled=sh) \
         .select("id_a", "id_b").withColumn("__hit", F.lit(1))
     return (truth.join(lsh, ["id_a", "id_b"], "left")
             .agg(F.count(F.lit(1)).cast("long").alias("n_true"),

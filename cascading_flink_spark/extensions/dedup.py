@@ -66,6 +66,21 @@ def _fan_out(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
+def _once(col: Column) -> Column:
+    """Nondeterminism barrier for an EXPENSIVE integer expression that a
+    downstream filter references more than once: ``col + rand(0)*0``
+    (value unchanged — the rand term is identically 0) marks the
+    expression nondeterministic so the optimizer can neither fold the
+    filter into a join condition nor duplicate the expression across a
+    pushed-down predicate + projection pair — the projection stays put
+    and the expression evaluates ONCE per row.  Rand is
+    codegen-supported, so the stage keeps whole-stage codegen
+    (F.shuffle-style barriers are CodegenFallback and deoptimize the
+    whole projection; a localCheckpoint barrier pays eager physical
+    planning).  Round-14 measurements in :func:`ngram_jaccard_pairs`."""
+    return col + (F.rand(0) * 0).cast("int")
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id representative of each exact-content group.
@@ -234,9 +249,27 @@ def _collapse_effective(df: DataFrame, probe_col: Column,
     return n > d and (n - d) >= _COLLAPSE_AUTO_MIN_FRAC * n
 
 
+def shingle_frame(df: DataFrame, n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Canonical PINNED ``(id, sh)`` distinct-word-shingle frame of the
+    set-similarity family — the exact frame :func:`ngram_jaccard_pairs`
+    builds internally (Arrow shingler + ``localCheckpoint``), exposed so
+    a caller composing SEVERAL shingle consumers over the same corpus
+    (e.g. the exact-Jaccard truth side and the md5 MinHash banding of
+    the ``minhash_recall`` evidence query) can shingle ONCE and pass the
+    frame to each via their ``_shingled`` parameter.  Rows with fewer
+    than ``n`` tokens carry an EMPTY array (consumers filter as their
+    contract requires)."""
+    return (_fan_out(df)
+            .select(F.col(id_col).alias("id"),
+                    _word_shingles_arrow(text_col, n).alias("sh"))
+            .localCheckpoint(eager=False))
+
+
 def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
-                        collapse_exact: bool | str = "auto") -> DataFrame:
+                        collapse_exact: bool | str = "auto",
+                        _shingled: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via PPJoin-style prefix filtering.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
@@ -288,10 +321,11 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     # deriving `inv` first would recompute the Arrow shingler for the
     # whole prefix branch (measured: the r9 hygiene sweep's 1.5x
     # dedup_clusters/keep_best regression was exactly this ordering).
-    shingled = (_fan_out(df)
-                .select(F.col(id_col).alias("id"),
-                        _word_shingles_arrow(text_col, n).alias("sh"))
-                .localCheckpoint(eager=False))
+    # _shingled: a caller-supplied :func:`shingle_frame` (already
+    # pinned) — lets compositions that consume the shingles twice
+    # (minhash_recall's truth + banding sides) pay the Arrow pass once.
+    shingled = _shingled if _shingled is not None else \
+        shingle_frame(df, n=n, text_col=text_col, id_col=id_col)
     members = reps = None
     if _collapse_effective(shingled, F.xxhash64("sh"), collapse_exact):
         keyed = shingled.withColumn(
@@ -309,12 +343,15 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
                     .filter(F.col("id") == F.col("__rid"))
                     .select("id", "sh")
                     .localCheckpoint(eager=False))
-    inv = shingled.select("id", F.explode("sh").alias("shingle"))
+    # n_sh rides the explode projection (sh is already distinct, so
+    # size(sh) == the per-id row count the old count-over-partition
+    # window recomputed — one WindowExec pass saved, same exchange)
+    inv = shingled.select("id", F.size("sh").alias("n_sh"),
+                          F.explode("sh").alias("shingle"))
     freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
     w = Window.partitionBy("id").orderBy(F.asc("f"), F.asc("shingle"))
     ranked = (inv.join(freq, "shingle")
-                 .withColumn("rn", F.row_number().over(w))
-                 .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("id"))))
+                 .withColumn("rn", F.row_number().over(w)))
     # Prefix length p = n - ceil(t*n) + 1.  The epsilon guards IEEE noise:
     # (1-0.8)*10 evaluates to 1.9999999999999996, which floor()+1 would turn
     # into a too-short prefix and silently drop pairs at exactly j == t.
@@ -340,13 +377,27 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     # 8x replication's duplicate density.
     len_ok = ((F.size("sh_b") * F.lit(1.0) >= threshold * F.size("sh_a")) &
               (F.size("sh_a") * F.lit(1.0) >= threshold * F.size("sh_b")))
-    verified = (cand.join(sh_a, "id_a").join(sh_b, "id_b")
-                .filter(len_ok)
-                .withColumn("n_common",
-                            F.size(F.array_intersect("sh_a", "sh_b")))
+    # Evaluate the O(|a|+|b|) array_intersect ONCE per candidate: with
+    # the jaccard filter left inline, PushPredicateThroughJoin folds it
+    # into the broadcast-join condition where `n_common` is referenced
+    # twice (numerator + union denominator) and the intersect runs
+    # TWICE per candidate pair (seen in the round-14 executed plan).
+    # The :func:`_once` barrier keeps the projection post-join, one
+    # intersect per candidate — single-session A/B at t=0.5 (sf0.1):
+    # inline 13.6s, localCheckpoint pin 7.9s, _once 7.9s with no extra
+    # planning; at t=0.8 dedup_keep_best 5.8s -> 4.4s.
+    core = (cand.join(sh_a, "id_a").join(sh_b, "id_b")
+            .filter(len_ok)
+            .select("id_a", "id_b",
+                    F.size("sh_a").alias("__na"),
+                    F.size("sh_b").alias("__nb"),
+                    _once(F.size(F.array_intersect("sh_a", "sh_b")))
+                    .alias("n_common")))
+    verified = (core
                 .withColumn("__j",
                             F.col("n_common") /
-                            (F.size("sh_a") + F.size("sh_b") - F.col("n_common")))
+                            (F.col("__na") + F.col("__nb")
+                             - F.col("n_common")))
                 .filter(F.col("__j") >= threshold)
                 .select("id_a", "id_b", "__j"))
     if members is not None:
@@ -462,13 +513,15 @@ def ngram_containment_pairs(df: DataFrame, n: int = 3,
                     .filter(F.col("id") == F.col("__rid"))
                     .select("id", "sh")
                     .localCheckpoint(eager=False))
-    inv = shingled.select("id", F.explode("sh").alias("shingle"))
+    # n_sh rides the explode projection (sh is distinct; see the
+    # Jaccard twin) — the probe side below re-selects just (id,
+    # shingle), so the extra column never widens the candidate join
+    inv = shingled.select("id", F.size("sh").alias("n_sh"),
+                          F.explode("sh").alias("shingle"))
     freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
     w = Window.partitionBy("id").orderBy(F.asc("f"), F.asc("shingle"))
     ranked = (inv.join(freq, "shingle")
-              .withColumn("rn", F.row_number().over(w))
-              .withColumn("n_sh", F.count(F.lit(1))
-                          .over(Window.partitionBy("id"))))
+              .withColumn("rn", F.row_number().over(w)))
     # containment prefix p = n - ceil(t*n) + 1 (same epsilon guard as
     # the Jaccard twin): if none of A's p rarest shingles hit B, then
     # |A∩B| <= ceil(t*n) - 1 < t*n — below threshold, exact prune
@@ -477,7 +530,8 @@ def ngram_containment_pairs(df: DataFrame, n: int = 3,
     prefix = (ranked.filter(F.col("rn") <= prefix_len)
               .select("id", "shingle").localCheckpoint(eager=False))
     cand = (prefix.toDF("id_a", "shingle")
-            .join(inv.toDF("id_b", "shingle"), "shingle")
+            .join(inv.select(F.col("id").alias("id_b"), "shingle"),
+                  "shingle")
             .filter(F.col("id_a") != F.col("id_b"))
             .select("id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"]))
@@ -485,11 +539,17 @@ def ngram_containment_pairs(df: DataFrame, n: int = 3,
     sh_b = shingled.toDF("id_b", "sh_b")
     len_ok = (F.size("sh_b") * F.lit(1.0)
               >= threshold * F.size("sh_a"))
-    verified = (cand.join(sh_a, "id_a").join(sh_b, "id_b")
-                .filter(len_ok)
-                .withColumn("n_common",
-                            F.size(F.array_intersect("sh_a", "sh_b")))
-                .withColumn("__c", F.col("n_common") / F.size("sh_a"))
+    # _once barrier: same single-intersect contract as the Jaccard twin
+    # (the pushed-down containment filter + the n_common output column
+    # would otherwise evaluate the intersect twice per candidate)
+    core = (cand.join(sh_a, "id_a").join(sh_b, "id_b")
+            .filter(len_ok)
+            .select("id_a", "id_b",
+                    F.size("sh_a").alias("__na"),
+                    _once(F.size(F.array_intersect("sh_a", "sh_b")))
+                    .alias("n_common")))
+    verified = (core
+                .withColumn("__c", F.col("n_common") / F.col("__na"))
                 .filter(F.col("__c") >= threshold)
                 .select("id_a", "id_b", "n_common", "__c"))
     if members is not None:
@@ -604,13 +664,18 @@ def _xx_banded(df: DataFrame, text_col: str, id_col: str, n: int,
 
 
 def _md5_banded(df: DataFrame, text_col: str, id_col: str, n: int,
-                num_hashes: int, bands: int) -> DataFrame:
+                num_hashes: int, bands: int,
+                _shingled: DataFrame | None = None) -> DataFrame:
     """md5-hex MinHash signatures + band keys (the cross-engine family):
-    ``(id, __h0..__h{num_hashes-1}, band, bh)``."""
+    ``(id, __h0..__h{num_hashes-1}, band, bh)``.  ``_shingled``: a
+    caller-supplied :func:`shingle_frame` (pinned, may contain empty
+    arrays — filtered here), so compositions shingle once."""
     rows_per_band = _check_bands(num_hashes, bands)
-    shingled = _fan_out(df).select(F.col(id_col).alias("id"),
-                                   _word_shingles_arrow(text_col, n).alias("sh")) \
-                 .filter(F.size("sh") > 0)
+    shingled = (_shingled if _shingled is not None
+                else _fan_out(df).select(
+                    F.col(id_col).alias("id"),
+                    _word_shingles_arrow(text_col, n).alias("sh"))) \
+        .filter(F.size("sh") > 0)
     inv = shingled.select("id", F.explode("sh").alias("s"))
     mins = inv.groupBy("id").agg(*[
         F.min(F.md5(F.concat_ws("#", F.lit(str(i)), F.col("s")))).alias(f"__h{i}")
@@ -672,7 +737,8 @@ def minhash_lsh_pairs(df: DataFrame, n: int = 3, num_hashes: int = 32,
 
 def minhash_lsh_pairs_md5(df: DataFrame, n: int = 3, num_hashes: int = 32,
                           bands: int = 8, threshold: float = 0.5,
-                          text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                          text_col: str = "text", id_col: str = "doc_id",
+                          _shingled: DataFrame | None = None) -> DataFrame:
     """MinHash+LSH with md5-hex hash functions — cross-engine reproducible.
 
     Same banding plan as :func:`minhash_lsh_pairs`, but each of the
@@ -686,7 +752,8 @@ def minhash_lsh_pairs_md5(df: DataFrame, n: int = 3, num_hashes: int = 32,
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b and signature
     agreement >= threshold."""
-    banded = _md5_banded(df, text_col, id_col, n, num_hashes, bands)\
+    banded = _md5_banded(df, text_col, id_col, n, num_hashes, bands,
+                         _shingled=_shingled)\
         .localCheckpoint(eager=False)
     a = banded.toDF("id_a", *[f"__a{i}" for i in range(num_hashes)], "band", "bh")
     b = banded.toDF("id_b", *[f"__b{i}" for i in range(num_hashes)], "band", "bh")

@@ -764,6 +764,64 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
                     .alias("n_triangles")))
 
 
+def _seed_probe_dists(edges: DataFrame, seeds: list, max_hops: int,
+                      src_col: str, dst_col: str, directed: bool,
+                      op_name: str):
+    """Fused multi-seed BFS shared by :func:`eccentricity_sample` and
+    :func:`harmonic_centrality_sample`: ``(seed_frame, dist)`` where
+    ``dist`` holds ``(seed, node, dist)`` for every node within
+    ``max_hops`` of each seed — the SAME layered integer-min
+    relaxation as :func:`bfs_distances`, but carried per-seed in one
+    frame, so ``max_hops`` rounds run ONCE for the whole probe set
+    instead of ``len(seeds)`` independent BFS chains (round 14: the
+    3-seed/6-hop bench probes paid 18 checkpoint materializations +
+    3x the edge pin; fused they pay 6 + 1 — identical distances,
+    seeds never interact through the per-(seed, node) min).
+
+    ``seed_frame`` is the ``len(seeds)``-row literal frame the caller
+    left-joins its per-seed aggregates onto: a seed ABSENT from the
+    graph produces no dist rows at all (the in-plan seed guard below
+    never evaluates when every probe row vanishes), so the caller's
+    n_reached guard must run over the literal seed list, not over the
+    groups that survived."""
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst"))
+    if not directed:
+        e = e.unionByName(e.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    e = e.localCheckpoint(eager=False)
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct())
+    is_seed = F.col("node").isin(*seeds)
+    ns = len(seeds)
+    seed_chk = F.broadcast(nodes.agg(
+        F.when(F.sum(F.when(is_seed, 1).otherwise(0)) == ns, F.lit(0))
+         .otherwise(F.raise_error(F.lit(
+             f"{op_name}: every seed must appear in the graph "
+             "(as a source or destination)")).cast("int"))
+         .alias("__z")))
+    dist = (nodes.filter(is_seed).crossJoin(seed_chk)
+            .select(F.col("node").alias("seed"), "node",
+                    F.col("__z").cast("long").alias("dist"))
+            .localCheckpoint(eager=False))
+    for _ in range(int(max_hops)):
+        relax = (e.join(dist.withColumnRenamed("node", "src"), "src")
+                 .select("seed", F.col("dst").alias("node"),
+                         (F.col("dist") + 1).alias("dist")))
+        dist = (dist.unionByName(relax)
+                .groupBy("seed", "node")
+                .agg(F.min("dist").cast("long").alias("dist"))
+                .localCheckpoint(eager=False))
+    # literal seed frame, type-preserving (F.lit(s), like the per-seed
+    # spelling's F.lit(s).alias("seed") output column); the join onto
+    # the long node-derived key coerces exactly as a join would
+    seed_frame = (edges.sparkSession.range(1)
+                  .select(F.explode(F.array(
+                      *[F.lit(s) for s in seeds])).alias("seed")))
+    return seed_frame, dist
+
+
 def eccentricity_sample(edges: DataFrame, seeds: list,
                         max_hops: int = 6, src_col: str = "src",
                         dst_col: str = "dst",
@@ -790,34 +848,39 @@ def eccentricity_sample(edges: DataFrame, seeds: list,
     the guard broadcast is ever built); sample them with the
     md5-order house recipe when unbiased probes are wanted.
 
-    Scale shape: ``len(seeds)`` independent BFS runs (each: one
-    equi-join + partial-agg min per round), each reduced to ONE row
-    by a partial agg — the union of len(seeds) one-row frames.
-    Bounded by the seeds parameter, never by data."""
+    Scale shape: ONE fused multi-seed BFS (per round: one equi-join
+    + one partial-agg min over ``(seed, node)`` — seeds never
+    interact through the min, so distances are bit-identical to
+    ``len(seeds)`` independent runs, at 1/len(seeds) the round
+    count; :func:`_seed_probe_dists`), reduced by one per-seed
+    partial agg.  Bounded by the seeds parameter, never by data."""
     if not seeds:
         raise ValueError("eccentricity_sample: seeds must be a "
                          "non-empty list")
     if len(set(seeds)) != len(seeds):
         raise ValueError("eccentricity_sample: seeds must be "
                          "distinct")
-    out = None
-    for s in seeds:
-        d = bfs_distances(edges, [s], max_hops=max_hops,
-                          src_col=src_col, dst_col=dst_col,
-                          directed=directed)
-        one = (d.agg(F.lit(s).alias("seed"),
-                     F.count(F.lit(1)).cast("long").alias("__n"),
-                     F.max("dist").cast("long").alias("ecc"))
-               .select("seed",
-                       F.when(F.col("__n") > 0, F.col("__n"))
-                        .otherwise(F.raise_error(F.lit(
-                            "eccentricity_sample: seed "
-                            f"{s!r} does not appear in the graph"))
-                            .cast("long"))
-                        .alias("n_reached"),
-                       "ecc"))
-        out = one if out is None else out.unionByName(one)
-    return out
+    seed_frame, dist = _seed_probe_dists(
+        edges, seeds, max_hops, src_col, dst_col, directed,
+        "eccentricity_sample")
+    per = (dist.groupBy("seed")
+           .agg(F.count(F.lit(1)).cast("long").alias("__n"),
+                F.max("dist").cast("long").alias("ecc")))
+    # the literal seed frame drives the guard: a seed ABSENT from the
+    # graph yields no dist rows (and, when NO seed matches, even the
+    # in-plan membership guard never evaluates), so the missing-seed
+    # raise must hang off the left join, exactly like the per-seed
+    # spelling's keyless agg used to
+    return (seed_frame.join(per, "seed", "left")
+            .select("seed",
+                    F.when(F.col("__n") > 0, F.col("__n"))
+                     .otherwise(F.raise_error(F.concat(
+                         F.lit("eccentricity_sample: seed "),
+                         F.col("seed").cast("string"),
+                         F.lit(" does not appear in the graph")))
+                         .cast("long"))
+                     .alias("n_reached"),
+                    "ecc"))
 
 
 def degree_assortativity(edges: DataFrame, src_col: str = "src",
@@ -892,33 +955,35 @@ def harmonic_centrality_sample(edges: DataFrame, seeds: list,
     trade-off).  A seed absent from the graph raises in-plan (the
     eccentricity guard).
 
-    Scale shape: ``len(seeds)`` independent BFS runs, each one
-    equi-join + partial-agg min per round; bounded by the seeds
-    parameter, never by data."""
+    Scale shape: ONE fused multi-seed BFS (the
+    :func:`eccentricity_sample` fusion — per round one equi-join +
+    one partial-agg min over ``(seed, node)``; distances
+    bit-identical to independent runs), reduced by one per-seed
+    partial agg; bounded by the seeds parameter, never by data."""
     if not seeds:
         raise ValueError("harmonic_centrality_sample: seeds must be "
                          "a non-empty list")
     if len(set(seeds)) != len(seeds):
         raise ValueError("harmonic_centrality_sample: seeds must be "
                          "distinct")
-    out = None
-    for s in seeds:
-        d = bfs_distances(edges, [s], max_hops=max_hops,
-                          src_col=src_col, dst_col=dst_col,
-                          directed=directed)
-        one = (d.agg(F.lit(s).alias("seed"),
-                     F.count(F.lit(1)).cast("long").alias("__n"),
-                     F.sum(F.when(F.col("dist") >= 1,
-                                  F.expr("1000000 DIV dist"))
-                           .otherwise(0)).cast("long")
-                      .alias("harm_x1e6"))
-               .select("seed",
-                       F.when(F.col("__n") > 0, F.col("__n"))
-                        .otherwise(F.raise_error(F.lit(
-                            "harmonic_centrality_sample: seed "
-                            f"{s!r} does not appear in the graph"))
-                            .cast("long"))
-                        .alias("n_reached"),
-                       "harm_x1e6"))
-        out = one if out is None else out.unionByName(one)
-    return out
+    seed_frame, dist = _seed_probe_dists(
+        edges, seeds, max_hops, src_col, dst_col, directed,
+        "harmonic_centrality_sample")
+    per = (dist.groupBy("seed")
+           .agg(F.count(F.lit(1)).cast("long").alias("__n"),
+                F.sum(F.when(F.col("dist") >= 1,
+                             F.expr("1000000 DIV dist"))
+                      .otherwise(0)).cast("long")
+                 .alias("harm_x1e6")))
+    # literal-seed left join carries the missing-seed guard (see
+    # eccentricity_sample)
+    return (seed_frame.join(per, "seed", "left")
+            .select("seed",
+                    F.when(F.col("__n") > 0, F.col("__n"))
+                     .otherwise(F.raise_error(F.concat(
+                         F.lit("harmonic_centrality_sample: seed "),
+                         F.col("seed").cast("string"),
+                         F.lit(" does not appear in the graph")))
+                         .cast("long"))
+                     .alias("n_reached"),
+                    "harm_x1e6"))
