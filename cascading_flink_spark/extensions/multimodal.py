@@ -390,7 +390,20 @@ def hamming_pairs(hashed: DataFrame, hash_col: str, max_hamming: int = 4,
     a non-terminating join).  ``band_rows=2`` gives 28 rows/doc at
     2^16 keys (160k docs -> ~2 docs/bucket, linear), the right setting
     at corpus scale; the verify stays two integer instructions
-    (xor + popcount) per candidate."""
+    (xor + popcount) per candidate.
+
+    Round 14: the banded self-join runs over DISTINCT hash VALUES, not
+    rows — perceptual hashes collapse hard on near-dup-dense corpora
+    (sf0.1: 5000 image rows -> 1594 distinct dhashes, 5000 audio rows
+    -> 134 distinct ahashes), and the band join is quadratic in bucket
+    OCCUPANCY, so deduplicating values first shrinks the join by the
+    collapse factor squared while the id expansion stays output-bound
+    (each row has exactly one value, so every qualifying id pair is
+    emitted exactly once — no pair-level dropDuplicates).  A
+    value-diverse corpus degrades to the old shape plus one cheap
+    partial-agg distinct.  The value-pair set is symmetric (both
+    orientations ride the join) so the ``id_a < id_b`` orientation
+    filter on the expansion loses no pair."""
     if bands <= max_hamming:
         raise ValueError("bands must exceed max_hamming for the "
                          "pigeonhole exactness guarantee")
@@ -404,7 +417,7 @@ def hamming_pairs(hashed: DataFrame, hash_col: str, max_hamming: int = 4,
     from itertools import combinations
 
     def sub(b):
-        return F.shiftright(hash_col, width * b).bitwiseAND(F.lit(mask))
+        return F.shiftright("__v", width * b).bitwiseAND(F.lit(mask))
 
     combo_keys = []
     for combo in combinations(range(bands), band_rows):
@@ -412,25 +425,29 @@ def hamming_pairs(hashed: DataFrame, hash_col: str, max_hamming: int = 4,
         for b in combo:
             key = F.shiftleft(key, width).bitwiseOR(sub(b))
         combo_keys.append(key)
-    # pin the hash pass: both sides of the self-join read it, and
-    # without the boundary the (expensive — it decodes the corpus)
-    # upstream hash stage executes twice.  localCheckpoint(eager=False)
-    # scopes the blocks to this frame's lifetime (see dedup.py).
+    # pin the hash pass: the distinct-value side and both id-expansion
+    # sides read it, and without the boundary the (expensive — it
+    # decodes the corpus) upstream hash stage executes three times.
+    # localCheckpoint(eager=False) scopes the blocks to this frame's
+    # lifetime (see dedup.py).
     hashed = hashed.localCheckpoint(eager=False)
-    bandrows = hashed.select(
-        F.col(id_col), F.col(hash_col).alias("__h"),
-        F.posexplode(F.array(*combo_keys)).alias("band", "bv"))
-    a = bandrows.select(F.col(id_col).alias("id_a"),
-                        F.col("__h").alias("ha"), "band", "bv")
-    b = bandrows.select(F.col(id_col).alias("id_b"),
-                        F.col("__h").alias("hb"), "band", "bv")
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (a.join(b, ["band", "bv"])
-             .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b", "ha", "hb")
-             .dropDuplicates(["id_a", "id_b"])
-             .filter(ham <= max_hamming)
-             .select("id_a", "id_b", ham.cast("int").alias("hamming")))
+    vals = hashed.select(F.col(hash_col).alias("__v")).distinct()
+    bandrows = vals.select(
+        "__v", F.posexplode(F.array(*combo_keys)).alias("band", "bv"))
+    va = bandrows.select(F.col("__v").alias("__va"), "band", "bv")
+    vb = bandrows.select(F.col("__v").alias("__vb"), "band", "bv")
+    ham = F.bit_count(F.col("__va").bitwiseXOR(F.col("__vb")))
+    vp = (va.join(vb, ["band", "bv"])
+          .select("__va", "__vb")
+          .dropDuplicates(["__va", "__vb"])
+          .filter(ham <= max_hamming))
+    ha = hashed.select(F.col(id_col).alias("id_a"),
+                       F.col(hash_col).alias("__va"))
+    hb = hashed.select(F.col(id_col).alias("id_b"),
+                       F.col(hash_col).alias("__vb"))
+    return (vp.join(ha, "__va").join(hb, "__vb")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", ham.cast("int").alias("hamming")))
 
 
 def image_dups(df: DataFrame, max_hamming: int = 4, grid: int = 8,
@@ -639,10 +656,16 @@ def video_dups(df: DataFrame, max_hamming: int = 4, min_frames: int = 2,
 
     EXACT like the rest of the family: a qualifying pair has >= 1 close
     aligned frame, that frame pair shares a clean band combo
-    (:func:`hamming_pairs`' pigeonhole argument), and candidates verify
-    by re-joining their full frame sets.  Scale shape: the candidate
-    join keys on (frame_idx, band key) — 12-byte rows; the verify joins
-    only candidate pairs' frames, bounded by frames-per-video."""
+    (:func:`hamming_pairs`' pigeonhole argument).  Round 14: the band
+    join runs over DISTINCT ``(frame_idx, dhash)`` VALUES (the
+    :func:`hamming_pairs` value-collapse — sf0.1: 20k frame rows ->
+    1308 distinct values, and the old row-level join degenerated to
+    125M candidate rows / every video pair on this hash-dense corpus),
+    close value pairs are verified by xor+popcount at VALUE
+    cardinality, and the id expansion emits exactly the close aligned
+    frame pairs — output-bound (each (video, frame) has one value, so
+    a (pair, frame) row appears at most once and counting rows IS
+    n_close_frames; far frames contributed 0 to the old sum anyway)."""
     if bands <= max_hamming:
         raise ValueError("bands must exceed max_hamming")
     nbits = grid * grid
@@ -657,7 +680,7 @@ def video_dups(df: DataFrame, max_hamming: int = 4, min_frames: int = 2,
     fh = video_frame_hashes(df, grid=grid).localCheckpoint(eager=False)
 
     def sub(b):
-        return F.shiftright("dhash", width * b).bitwiseAND(F.lit(mask))
+        return F.shiftright("__v", width * b).bitwiseAND(F.lit(mask))
 
     combo_keys = []
     for combo in combinations(range(bands), band_rows):
@@ -665,24 +688,31 @@ def video_dups(df: DataFrame, max_hamming: int = 4, min_frames: int = 2,
         for b in combo:
             key = F.shiftleft(key, width).bitwiseOR(sub(b))
         combo_keys.append(key)
-    bandrows = fh.select(
-        "media_id", "frame_idx",
+    vals = (fh.select("frame_idx", F.col("dhash").alias("__v"))
+            .distinct())
+    bandrows = vals.select(
+        "frame_idx", "__v",
         F.posexplode(F.array(*combo_keys)).alias("band", "bv"))
-    cand = (bandrows.alias("a")
-            .join(bandrows.alias("b"), ["frame_idx", "band", "bv"])
-            .filter(F.col("a.media_id") < F.col("b.media_id"))
-            .select(F.col("a.media_id").alias("id_a"),
-                    F.col("b.media_id").alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"]))
+    va = bandrows.select("frame_idx", F.col("__v").alias("__va"),
+                         "band", "bv")
+    vb = bandrows.select("frame_idx", F.col("__v").alias("__vb"),
+                         "band", "bv")
+    ham = F.bit_count(F.col("__va").bitwiseXOR(F.col("__vb")))
+    # symmetric close VALUE pairs per frame index (both orientations,
+    # including __va == __vb: two videos sharing a frame hash)
+    vp = (va.join(vb, ["frame_idx", "band", "bv"])
+          .select("frame_idx", "__va", "__vb")
+          .dropDuplicates(["frame_idx", "__va", "__vb"])
+          .filter(ham <= max_hamming))
     fa = fh.select(F.col("media_id").alias("id_a"), "frame_idx",
-                   F.col("dhash").alias("ha"))
+                   F.col("dhash").alias("__va"))
     fb = fh.select(F.col("media_id").alias("id_b"), "frame_idx",
-                   F.col("dhash").alias("hb"))
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (cand.join(fa, "id_a").join(fb, ["id_b", "frame_idx"])
+                   F.col("dhash").alias("__vb"))
+    return (vp.join(fa, ["frame_idx", "__va"])
+            .join(fb, ["frame_idx", "__vb"])
+            .filter(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b")
-            .agg(F.sum(F.when(ham <= max_hamming, 1).otherwise(0))
-                  .cast("long").alias("n_close_frames"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_close_frames"))
             .filter(F.col("n_close_frames") >= min_frames))
 
 
