@@ -641,6 +641,9 @@ def _check_bands(num_hashes: int, bands: int) -> int:
     return rows_per_band
 
 
+
+
+
 def _xx_banded(df: DataFrame, text_col: str, id_col: str, n: int,
                num_hashes: int, bands: int) -> DataFrame:
     """xxhash64 MinHash signatures + LSH band keys:
@@ -669,7 +672,16 @@ def _md5_banded(df: DataFrame, text_col: str, id_col: str, n: int,
     """md5-hex MinHash signatures + band keys (the cross-engine family):
     ``(id, __h0..__h{num_hashes-1}, band, bh)``.  ``_shingled``: a
     caller-supplied :func:`shingle_frame` (pinned, may contain empty
-    arrays — filtered here), so compositions shingle once."""
+    arrays — filtered here), so compositions shingle once.
+
+    Round-14 adjudication note: an Arrow one-pass signature reducer
+    (the :func:`_minhash_sig_arrow` move, md5-exact) was prototyped
+    and REVERTED — in-process A/B at sf0.1 read the Arrow spelling
+    1.4-1.5x SLOWER (lsh 3.2s -> 4.4s, edit_dups 3.3s -> 5.1s,
+    outputs identical): the per-row Python md5/min work plus the
+    extra Arrow boundary costs more than the explode shuffle + wide
+    agg it removed, and at 8x+ the banded candidate join dominates
+    either way (the xx-family's own docstring)."""
     rows_per_band = _check_bands(num_hashes, bands)
     shingled = (_shingled if _shingled is not None
                 else _fan_out(df).select(
