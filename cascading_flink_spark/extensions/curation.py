@@ -58,8 +58,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .decontam import decontaminate
-from .dedup import (dedup_clusters, minhash_lsh_pairs, minhash_lsh_pairs_md5,
-                    strip_dup_spans)
+from .dedup import (_fan_out, dedup_clusters, minhash_lsh_pairs,
+                    minhash_lsh_pairs_md5, strip_dup_spans)
 from .mixture import group_split, temperature_mixture
 from .packing import chunk_corpus
 from .text import (blocklist_hits_expr, c4_line_keep_expr, clean_text_expr,
@@ -127,8 +127,25 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame,
                 F.filter(F.split(src, "\r?\n"),
                          lambda ln: c4_line_keep_expr(ln, min_line_words)),
                 "\n"))
-    # 1-2. clean + quality gates, fused into one scan-side filter chain
-    cleaned = raw.withColumn(text_col, clean_text_expr(
+    # 1-2. clean + quality gates, fused into one scan-side filter chain.
+    # _fan_out first (round-14, guide §2.5 "input skew"): the clean/gopher
+    # regex chain is the pipeline's CPU-heaviest per-row stage, and a
+    # locally-small parquet input arrives as ONE scan split — without the
+    # repartition the whole chain runs serially in that single task
+    # (measured 2x ~1.4s serial passes per flagship at sf0.1).  On a real
+    # many-split read _fan_out is a no-op, so nothing is paid at scale.
+    # When the repartition DID engage, pin it: the gate filter below is
+    # deterministic, and PushPredicateThroughNonJoin happily sinks it —
+    # clean/gopher regexes and all — straight through the round-robin
+    # exchange back into the single-task scan stage (measured: a 1.0s
+    # 1-task stage re-appearing under the pin-less spelling).  A
+    # LogicalRDD boundary is the one thing pushdown cannot cross; it is
+    # only ever created here in the under-split local case, so at scale
+    # the gate still pushes into the parquet scan as it should.
+    fanned = _fan_out(raw)
+    if fanned is not raw:
+        fanned = fanned.localCheckpoint(eager=False)
+    cleaned = fanned.withColumn(text_col, clean_text_expr(
         F.coalesce(F.col(text_col), F.lit(""))))
     gate = gopher_pass_expr(F.col(text_col), **(gopher_kwargs or {}))
     if blocklist_terms:
@@ -151,6 +168,13 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame,
                    F.concat(F.lit("\x00nourl\x00"),
                             F.col(id_col).cast("string")))
              .otherwise(norm))
+        # Pin BEFORE the double reference (round-14): the min-id aggregate
+        # and the survivor join both read `keyed`, and without a
+        # materialization boundary each side re-executes the clean/gate
+        # regex chain (measured as two ~1.4s serial map stages per
+        # flagship).  The keep-side aggregate stays a broadcastable
+        # partial agg, so the corpus is still never shuffled here.
+        keyed = keyed.localCheckpoint(eager=False)
         keep = (keyed.groupBy("__cu")
                      .agg(F.min(id_col).alias("__keep_id")))
         gated = (keyed.join(keep, "__cu")
@@ -250,8 +274,12 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame,
         deduped = deduped.join(drop, id_col, "left_anti")
         stages["margin_mined"] = deduped
 
-    # 5. decontamination: benchmark grams broadcast, corpus unshuffled
-    decon = decontaminate(deduped, benchmark, n=decontam_n,
+    # 5. decontamination: benchmark grams broadcast, corpus unshuffled.
+    # _fan_out the (tiny, but single-split) benchmark side too: its
+    # clean + n-gram transform otherwise runs as one serial task inside
+    # the broadcast build (measured ~0.4s of the boundary's wall at
+    # sf0.1); a no-op whenever the benchmark is already multi-split.
+    decon = decontaminate(deduped, _fan_out(benchmark), n=decontam_n,
                           text_col=text_col, id_col=id_col)
     stages["decontaminated"] = decon
 
