@@ -360,14 +360,50 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     # ~20% of shingles).  localCheckpoint(eager=False), not persist():
     # checkpoint blocks are scoped to the returned frame's lifetime
     # (ContextCleaner frees them on GC) instead of accumulating in the
-    # cached-query registry across operator calls.
+    # cached-query registry across operator calls.  The prefix rows
+    # carry (rn, n_sh) for the positional filter below.
     prefix = (ranked.filter(F.col("rn") <= prefix_len)
-              .select("id", "shingle").localCheckpoint(eager=False))
-    cand = (prefix.toDF("id_a", "shingle")
-            .join(prefix.toDF("id_b", "shingle"), "shingle")
+              .select("id", "shingle", "rn", "n_sh")
+              .localCheckpoint(eager=False))
+    # PPJoin's POSITIONAL filter (round 14), the exact second pruning
+    # tier on top of the prefix filter: for a candidate pair, let S be
+    # the set of shared PREFIX shingles, o_p = |S|, and (la, lb) the
+    # ranks of the globally-largest member of S in each doc.  Because
+    # rn ranks every doc's shingles in ONE global total order
+    # (f asc, shingle asc — strict: shingles are distinct per doc),
+    # any shared shingle outside S is missing from at least one prefix,
+    # so its rank there exceeds that prefix's length >= the doc's
+    # la/lb, hence it is globally larger than S's max and its rank in
+    # the OTHER doc also exceeds la/lb.  Therefore
+    # |A∩B| <= o_p + min(na - la, nb - lb), and J >= t requires
+    # |A∩B| >= t/(1+t)·(na+nb) — candidates whose bound falls short
+    # can be dropped BEFORE the O(|a|+|b|) array_intersect verify.
+    # The group-by replaces the old dropDuplicates (same exchange,
+    # four extra int columns); max(rn_a)/max(rn_b) are attained at the
+    # same shingle by the global-order argument above.  The +1e-9 slack
+    # keeps borderline pairs (float alpha can sit epsilon ABOVE the
+    # exact rational) — a false keep only costs one redundant verify.
+    # Measured at sf0.1: verify pairs 309,803 -> 119,907 at t=0.5
+    # (60.2% of the size(a)+size(b) verify cost removed), 43,543 ->
+    # 12,583 at t=0.8 (71.1%); candidate-expansion join input shrinks
+    # by the same factor.
+    min_overlap = (threshold / (1.0 + threshold)
+                   * (F.col("__na0") + F.col("__nb0")))
+    pos_bound = (F.col("__op")
+                 + F.least(F.col("__na0") - F.col("__la"),
+                           F.col("__nb0") - F.col("__lb")))
+    cand = (prefix.toDF("id_a", "shingle", "rn_a", "__pna")
+            .join(prefix.toDF("id_b", "shingle", "rn_b", "__pnb"),
+                  "shingle")
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .dropDuplicates(["id_a", "id_b"]))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("__op"),
+                 F.max("rn_a").alias("__la"),
+                 F.max("rn_b").alias("__lb"),
+                 F.max("__pna").alias("__na0"),
+                 F.max("__pnb").alias("__nb0"))
+            .filter(pos_bound + 1e-9 >= min_overlap)
+            .select("id_a", "id_b"))
     sh_a = shingled.toDF("id_a", "sh_a")
     sh_b = shingled.toDF("id_b", "sh_b")
     # PPJoin's companion length filter: J(a,b) >= t forces

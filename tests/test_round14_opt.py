@@ -1,0 +1,100 @@
+"""Round-14 optimization pins: the PPJoin positional filter must be an
+exact prune (guide §3 prefix/positional filtering) — same pairs, same
+jaccard values, as a brute-force all-pairs model, including pairs that
+sit exactly ON the threshold and candidates the filter prunes."""
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _shingles(text: str, n: int = 3) -> frozenset:
+    toks = text.lower().strip().split()
+    if len(toks) < n:
+        return frozenset()
+    return frozenset(" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1))
+
+
+def _brute_pairs(rows, threshold, n=3):
+    out = {}
+    for i, (ida, ta) in enumerate(rows):
+        sa = _shingles(ta, n)
+        if not sa:
+            continue
+        for idb, tb in rows[i + 1:]:
+            sb = _shingles(tb, n)
+            if not sb:
+                continue
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            j = inter / union
+            if j >= threshold:
+                a, b = min(ida, idb), max(ida, idb)
+                out[(a, b)] = j
+    return out
+
+
+@pytest.mark.parametrize("threshold", [0.5, 0.8])
+def test_jaccard_positional_filter_matches_bruteforce(spark, threshold):
+    """Random corpus from a small vocabulary (dense shared shingles — the
+    regime where the prefix join generates many candidates and the
+    positional filter actually prunes) plus handcrafted exact-threshold
+    pairs: the operator's output must equal the brute-force model
+    bit-for-bit.  A wrongly-strict positional bound would DROP pairs
+    here; a wrongly-lax one is just slow and still passes."""
+    from cascading_flink_spark.extensions import ngram_jaccard_pairs
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(3, 25))))
+            for i in range(60)]
+    # exact J == 0.5: 4-token docs sharing 1 of their 2 3-gram shingles
+    # is 1/3; instead share the middle window: "a b c d" vs "b c d e"
+    # gives shingles {abc,bcd} vs {bcd,cde} -> J = 1/3.  For J == 0.5
+    # exactly: 5-token docs "a b c d e" vs "a b c d f":
+    # {abc,bcd,cde} vs {abc,bcd,cdf} -> 2/4 = 0.5.
+    rows += [(100, "a b c d e"), (101, "a b c d f")]
+    # exact J == 0.8: 3/4 = 0.75 < 0.8; use 9/11? simplest: identical
+    # docs (J == 1.0) plus a 4/5 pair: 6 tokens sharing first 5:
+    # "t1 t2 t3 t4 t5 x" vs "t1 t2 t3 t4 t5 y" -> {123,234,345,45x}
+    # vs {123,234,345,45y} -> 3/5 = 0.6.  Construct 4/5 via 8 tokens
+    # sharing first 7: windows 6 each, shared 5, union 7 -> 5/7.
+    # Take 12 tokens sharing first 11: 10 windows, 9 shared,
+    # union 11 -> 9/11 = 0.818 >= 0.8.
+    rows += [(102, "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 s11 p"),
+             (103, "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 s11 q"),
+             (104, "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 s11 p")]  # == 102
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    expect = _brute_pairs(rows, threshold)
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in ngram_jaccard_pairs(df, n=3, threshold=threshold)
+           .collect()}
+    assert set(got) == set(expect), (
+        set(expect) - set(got), set(got) - set(expect))
+    for k, j in expect.items():
+        # operator rounds jaccard to 4dp at the OUTPUT (repo convention:
+        # round only at the output; half-up)
+        assert got[k] == pytest.approx(j, abs=5.0001e-5), (k, j, got[k])
+    # the threshold-exact pairs must survive the positional prune
+    if threshold == 0.5:
+        assert (100, 101) in got
+    assert (102, 104) in got  # J == 1.0 at either threshold
+
+
+def test_jaccard_positional_filter_plan_shape(spark):
+    """The candidate stage is a partial-aggregated groupBy (count/max
+    over the shared-prefix matches) followed by the positional-bound
+    Filter — no extra Exchange vs the old dropDuplicates spelling, and
+    the verify's array_intersect still evaluates post-join (no
+    BatchEvalPython anywhere in the path)."""
+    from cascading_flink_spark.extensions import ngram_jaccard_pairs
+    df = spark.createDataFrame(
+        [(i, f"w{i % 5} w{(i + 1) % 5} w{(i + 2) % 5} w{(i + 3) % 5}")
+         for i in range(20)], "doc_id long, text string")
+    plan = ngram_jaccard_pairs(df, n=3, threshold=0.8,
+                               collapse_exact=False) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
