@@ -295,36 +295,18 @@ def strip_spans_against(corpus: DataFrame, reference: DataFrame,
 
     Scale shape: probe stage as :func:`contamination_spans` (no corpus
     shuffle before the broadcast gram probe); covered-position expansion
-    is a bounded explode (k positions per contaminated gram,
-    distinct-folded); reassembly groups each doc's own tokens — per-doc
-    state, O(total tokens + k * contaminated grams) shuffle volume."""
-    from .dedup import _fan_out, _span_toks
+    is a bounded explode (k positions per contaminated gram, set-folded
+    per doc); reassembly is map-side over the per-doc drop-set array
+    (:func:`~.dedup._strip_rebuild`) — per-doc state,
+    O(total tokens + k * contaminated grams) shuffle volume."""
+    from .dedup import _fan_out, _span_toks, _strip_rebuild
     hits = _contaminated_positions(corpus, reference, k, text_col, id_col,
                                    ref_text_col or text_col,
                                    ref_id_col or id_col, broadcast_ref)
-    removed = (hits.select("id", F.explode(
-                   F.sequence(F.col("pos"), F.col("pos") + (k - 1)))
-                   .alias("ti"))
-               .distinct())
+    removed = hits.select("id", F.explode(
+        F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("ti"))
     base = (_fan_out(corpus)
             .select(F.col(id_col).alias("id"),
                     _span_toks(text_col, lowered=False).alias("t")))
-    tokens = base.select("id", F.posexplode("t").alias("ti", "tok"))
-    kept = tokens.join(removed, ["id", "ti"], "left_anti")
-    out = (kept.groupBy("id")
-           .agg(F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(
-                            F.struct(F.col("ti"), F.col("tok")))),
-                        lambda s: s["tok"]), " ").alias("clean_text"),
-                F.count(F.lit(1)).alias("n_tokens_kept")))
-    totals = base.select("id", F.size("t").alias("n_total"))
-    return (totals.join(out, "id", "left")
-            .select(F.col("id").alias(id_col),
-                    F.coalesce(F.col("clean_text"), F.lit(""))
-                     .alias("clean_text"),
-                    F.coalesce(F.col("n_tokens_kept"), F.lit(0))
-                     .cast("long").alias("n_tokens_kept"),
-                    (F.col("n_total") - F.coalesce(F.col("n_tokens_kept"),
-                                                   F.lit(0)))
-                     .cast("long").alias("n_tokens_removed")))
+    return _strip_rebuild(base, removed, id_col,
+                          "n_tokens_kept", "n_tokens_removed")

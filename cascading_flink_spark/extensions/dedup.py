@@ -1199,6 +1199,41 @@ def winnow_pairs(df: DataFrame, k: int = 4, w: int = 4,
                   .select("id_a", "id_b", "n_shared", "containment"))
 
 
+def _strip_rebuild(base: DataFrame, removed: DataFrame, id_col: str,
+                   kept_name: str, removed_name: str) -> DataFrame:
+    """Reassemble per-doc text minus a set of dropped token positions
+    WITHOUT a token-level shuffle (round 14, guide §2.3 "aggregate
+    before you shuffle").
+
+    ``base`` is ``(id, t array<string>)``; ``removed`` is ``(id, ti)``
+    rows naming positions to drop (duplicates allowed — folded here).
+    The old spelling exploded every token, anti-joined on ``(id, ti)``
+    and re-grouped with ``sort_array(collect_list(...))`` — three
+    token-mass shuffles.  This one folds the dropped positions (the
+    OUTPUT-bound slice: only covered positions of affected docs) to one
+    sorted-set array per doc, joins that small frame onto ``base`` by
+    id, and rebuilds map-side with ``array_except(sequence(0, n-1),
+    drop)`` (order-preserving on its left argument) + ``transform``
+    indexing — the token mass crosses the wire at most once (zero
+    times when AQE broadcasts the drop-set side).  Output is
+    bit-identical: same token order, single-space join, empty string
+    for fully-stripped or empty docs."""
+    dropset = (removed.groupBy("id")
+               .agg(F.collect_set("ti").alias("__drop")))
+    all_idx = (F.when(F.size("t") > 0,
+                      F.sequence(F.lit(0), F.size("t") - 1))
+               .otherwise(F.array().cast("array<int>")))
+    keep_idx = (F.when(F.col("__drop").isNull(), all_idx)
+                .otherwise(F.array_except(all_idx, F.col("__drop"))))
+    clean = F.transform(keep_idx, lambda i: F.element_at("t", i + 1))
+    return (base.join(dropset, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.array_join(clean, " ").alias("clean_text"),
+                    F.size(clean).cast("long").alias(kept_name),
+                    (F.size("t") - F.size(clean)).cast("long")
+                     .alias(removed_name)))
+
+
 def strip_boilerplate(df: DataFrame, k: int = 4, w: int = 4,
                       max_df: int = 10, text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:
@@ -1217,9 +1252,9 @@ def strip_boilerplate(df: DataFrame, k: int = 4, w: int = 4,
     Returns ``(doc_id, clean_text, n_tokens, n_dropped)``.  Scale shape:
     gram doc-frequency is one explode + count-distinct shuffle (the same
     cost class as the n-gram Jaccard frequency step); the hot table that
-    joins back is tiny (only df > max_df survivors), the drop-set join is
-    per-(doc, token-index) equality, and regrouping uses
-    sort_array(collect_list) per doc — all shuffle keys uniform.
+    joins back is tiny (only df > max_df survivors); dropped positions
+    fold to ONE sorted-set array per affected doc and reassembly is
+    map-side (:func:`_strip_rebuild` — no token-level shuffle).
     ``w`` is accepted for signature symmetry with the winnowing ops but
     unused (removal considers every gram, not a winnowed selection —
     selection is for DETECTION economy; removal wants full coverage)."""
@@ -1233,32 +1268,17 @@ def strip_boilerplate(df: DataFrame, k: int = 4, w: int = 4,
               .groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
               .filter(F.col("__df") > max_df)
               .select("fp"))
+    # positions are folded per doc inside _strip_rebuild's collect_set
+    # aggregate, so the old pre-distinct (a second (id, ti) shuffle)
+    # is subsumed by the one groupBy
     drop = (fps.join(hot, "fp")
               .select("id", F.explode(
-                  F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("ti"))
-              .distinct())
+                  F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("ti")))
     trimmed = F.trim(F.lower(F.col(text_col)))
     toks_arr = F.when(trimmed == "", F.array().cast("array<string>")) \
                 .otherwise(F.split(trimmed, r"\s+"))
-    toks = (df.select(F.col(id_col).alias("id"), toks_arr.alias("t"))
-              .select("id", F.posexplode_outer("t").alias("ti", "tok")))
-    kept = toks.filter(F.col("ti").isNotNull()) \
-               .join(drop, ["id", "ti"], "left_anti")
-    agg = kept.groupBy("id").agg(
-        F.array_join(
-            F.transform(F.sort_array(F.collect_list(F.struct("ti", "tok"))),
-                        lambda s: s["tok"]), " ").alias("clean_text"),
-        F.count(F.lit(1)).alias("n_tokens"))
-    base = df.select(F.col(id_col).alias("id"),
-                     F.size(toks_arr).cast("long").alias("__orig"))
-    return (base.join(agg, "id", "left")
-                .select(F.col("id").alias(id_col),
-                        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-                        F.coalesce("n_tokens", F.lit(0)).cast("long")
-                         .alias("n_tokens"),
-                        (F.col("__orig") -
-                         F.coalesce("n_tokens", F.lit(0))).cast("long")
-                         .alias("n_dropped")))
+    base = df.select(F.col(id_col).alias("id"), toks_arr.alias("t"))
+    return _strip_rebuild(base, drop, id_col, "n_tokens", "n_dropped")
 
 
 def simhash_md5_pairs(df: DataFrame, max_hamming: int = 3,
@@ -1841,10 +1861,11 @@ def strip_dup_spans(df: DataFrame, k: int = 8, min_docs: int = 2,
 
     Scale shape: gram ownership is the same partial-agg count/min pass as
     :func:`dup_spans` (32-byte md5 keys); covered-position expansion is a
-    bounded explode (k positions per removed gram, distinct-folded before
-    the anti-join); reassembly groups each doc's own tokens — per-doc
-    state only, never corpus-wide.  Everything shuffles on doc id or gram
-    hash; volume is O(total tokens + k * removed grams).
+    bounded explode (k positions per removed gram, set-folded per doc);
+    reassembly is map-side over the per-doc drop-set array
+    (:func:`_strip_rebuild`) — per-doc state only, never corpus-wide.
+    Everything shuffles on doc id or gram hash; volume is
+    O(total tokens + k * removed grams).
     """
     toks = _span_toks(text_col, lowered=False)
     base = _fan_out(df).select(F.col(id_col).alias("id"), toks.alias("t"))
@@ -1869,27 +1890,9 @@ def strip_dup_spans(df: DataFrame, k: int = 8, min_docs: int = 2,
                .filter(F.col("id") != F.col("owner"))
                .select("id", F.explode(
                    F.sequence(F.col("pos"), F.col("pos") + (k - 1)))
-                   .alias("ti"))
-               .distinct())
-    tokens = base.select("id", F.posexplode("t").alias("ti", "tok"))
-    kept = tokens.join(removed, ["id", "ti"], "left_anti")
-    out = (kept.groupBy("id")
-           .agg(F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(
-                            F.struct(F.col("ti"), F.col("tok")))),
-                        lambda s: s["tok"]), " ").alias("clean_text"),
-                F.count(F.lit(1)).alias("n_tokens_kept")))
-    totals = base.select("id", F.size("t").alias("n_total"))
-    return (totals.join(out, "id", "left")
-            .select(F.col("id").alias(id_col),
-                    F.coalesce(F.col("clean_text"), F.lit(""))
-                     .alias("clean_text"),
-                    F.coalesce(F.col("n_tokens_kept"), F.lit(0))
-                     .cast("long").alias("n_tokens_kept"),
-                    (F.col("n_total") - F.coalesce(F.col("n_tokens_kept"),
-                                                   F.lit(0)))
-                     .cast("long").alias("n_tokens_removed")))
+                   .alias("ti")))
+    return _strip_rebuild(base, removed, id_col,
+                          "n_tokens_kept", "n_tokens_removed")
 
 
 def dup_rate_report(df: DataFrame, min_len: int = 20,
@@ -1958,8 +1961,9 @@ def strip_dup_substrings(df: DataFrame, min_len: int = 20,
     Scale shape: identical to :func:`strip_dup_spans` — md5-hashed
     window keys, one partial-agg count+argmin pass (hot boilerplate
     combines map-side), bounded covered-position explode (min_len per
-    removed occurrence, distinct-folded), one left_anti + per-doc
-    reassembly.  O(total tokens + min_len * removed occurrences)."""
+    removed occurrence, set-folded per doc), map-side reassembly
+    (:func:`_strip_rebuild`).
+    O(total tokens + min_len * removed occurrences)."""
     if min_len < 2:
         raise ValueError("min_len must be >= 2")
     if min_count < 2:
@@ -1991,27 +1995,9 @@ def strip_dup_substrings(df: DataFrame, min_len: int = 20,
                          & (F.col("pos") == F.col("__opos"))))
                .select("id", F.explode(
                    F.sequence(F.col("pos"), F.col("pos") + (k - 1)))
-                   .alias("ti"))
-               .distinct())
-    tokens = base.select("id", F.posexplode("t").alias("ti", "tok"))
-    kept = tokens.join(removed, ["id", "ti"], "left_anti")
-    out = (kept.groupBy("id")
-           .agg(F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(
-                            F.struct(F.col("ti"), F.col("tok")))),
-                        lambda s: s["tok"]), " ").alias("clean_text"),
-                F.count(F.lit(1)).alias("n_tokens_kept")))
-    totals = base.select("id", F.size("t").alias("n_total"))
-    return (totals.join(out, "id", "left")
-            .select(F.col("id").alias(id_col),
-                    F.coalesce(F.col("clean_text"), F.lit(""))
-                     .alias("clean_text"),
-                    F.coalesce(F.col("n_tokens_kept"), F.lit(0))
-                     .cast("long").alias("n_tokens_kept"),
-                    (F.col("n_total") - F.coalesce(F.col("n_tokens_kept"),
-                                                   F.lit(0)))
-                     .cast("long").alias("n_tokens_removed")))
+                   .alias("ti")))
+    return _strip_rebuild(base, removed, id_col,
+                          "n_tokens_kept", "n_tokens_removed")
 
 
 def gram_novelty(df: DataFrame, k: int = 8, text_col: str = "text",

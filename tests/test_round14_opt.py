@@ -98,3 +98,49 @@ def test_jaccard_positional_filter_plan_shape(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_strip_rebuild_matches_token_level_model(spark):
+    """The round-14 map-side reassembly (_strip_rebuild: per-doc
+    drop-set array + array_except/transform, replacing the token
+    posexplode -> anti-join -> collect_list regroup) must reproduce
+    the old spelling's output exactly — including empty docs,
+    fully-stripped docs, docs with no dropped positions, and
+    duplicate positions in the removed frame."""
+    from cascading_flink_spark.extensions.dedup import _strip_rebuild
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [(1, ["a", "b", "c", "d"]),     # partial strip
+         (2, ["x", "y"]),               # fully stripped
+         (3, ["k", "l", "m"]),          # untouched
+         (4, [])],                      # empty doc
+        "id long, t array<string>")
+    removed = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 2),        # duplicate position must fold
+         (2, 0), (2, 1)],
+        "id long, ti int")
+    got = {r["doc_id"]: (r["clean_text"], r["kept"], r["gone"])
+           for r in _strip_rebuild(base, removed, "doc_id",
+                                   "kept", "gone").collect()}
+    assert got == {1: ("a d", 2, 2),
+                   2: ("", 0, 2),
+                   3: ("k l m", 3, 0),
+                   4: ("", 0, 0)}
+
+
+def test_strip_ops_no_token_level_shuffle(spark):
+    """The strip family's executed plans must not regroup token rows:
+    no collect_list aggregate and no (id, ti) anti-join remain — the
+    reassembly is the map-side array_except/transform."""
+    from cascading_flink_spark.extensions.dedup import (
+        strip_boilerplate, strip_dup_spans, strip_dup_substrings)
+    df = spark.createDataFrame(
+        [(i, "the same header text " + f"body{i} w{i % 3}")
+         for i in range(12)], "doc_id long, text string")
+    for op, kw in ((strip_boilerplate, dict(k=4, max_df=3)),
+                   (strip_dup_spans, dict(k=4, min_docs=2)),
+                   (strip_dup_substrings, dict(min_len=4, min_count=2))):
+        plan = op(df, **kw)._jdf.queryExecution().executedPlan().toString()
+        assert "collect_list" not in plan, op.__name__
+        assert "LeftAnti" not in plan, op.__name__
