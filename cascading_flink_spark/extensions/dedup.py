@@ -404,15 +404,30 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
                  F.max("__pnb").alias("__nb0"))
             .filter(pos_bound + 1e-9 >= min_overlap)
             .select("id_a", "id_b"))
-    sh_a = shingled.toDF("id_a", "sh_a")
-    sh_b = shingled.toDF("id_b", "sh_b")
+    # Verify over xxhash64 ARRAYS, not shingle strings (round 14, guide
+    # §2.3 narrower types): the per-candidate array_intersect builds a
+    # hash set of |a|+|b| elements — on 8-byte longs it measured 3.5x
+    # cheaper than on ~27-byte shingle strings (same candidate set,
+    # results identical), and the candidate joins ship long arrays
+    # instead of string arrays.  |A∩B| over hashes equals |A∩B| over
+    # shingles unless xxhash64 collides inside one document's shingle
+    # set (~1e-16 per doc) — the repo's accepted md5/xxhash64 key
+    # collision class.  Hashed once per DOC on a pinned frame: inline
+    # it would re-evaluate per CANDIDATE row (the r12 expansion-join
+    # pathology).
+    hashed = (shingled.select(
+        "id", F.size("sh").alias("__n"),
+        F.transform("sh", lambda s: F.xxhash64(s)).alias("__hs"))
+        .localCheckpoint(eager=False))
+    sh_a = hashed.toDF("id_a", "__pa", "__ha")
+    sh_b = hashed.toDF("id_b", "__pb", "__hb")
     # PPJoin's companion length filter: J(a,b) >= t forces
     # t*|a| <= |b| and t*|b| <= |a|; rejecting size-incompatible
     # candidates costs two integer compares and skips the O(|a|+|b|)
     # array_intersect — the verify step is the output-bound cost at the
     # 8x replication's duplicate density.
-    len_ok = ((F.size("sh_b") * F.lit(1.0) >= threshold * F.size("sh_a")) &
-              (F.size("sh_a") * F.lit(1.0) >= threshold * F.size("sh_b")))
+    len_ok = ((F.col("__pb") * F.lit(1.0) >= threshold * F.col("__pa")) &
+              (F.col("__pa") * F.lit(1.0) >= threshold * F.col("__pb")))
     # Evaluate the O(|a|+|b|) array_intersect ONCE per candidate: with
     # the jaccard filter left inline, PushPredicateThroughJoin folds it
     # into the broadcast-join condition where `n_common` is referenced
@@ -425,9 +440,9 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     core = (cand.join(sh_a, "id_a").join(sh_b, "id_b")
             .filter(len_ok)
             .select("id_a", "id_b",
-                    F.size("sh_a").alias("__na"),
-                    F.size("sh_b").alias("__nb"),
-                    _once(F.size(F.array_intersect("sh_a", "sh_b")))
+                    F.col("__pa").alias("__na"),
+                    F.col("__pb").alias("__nb"),
+                    _once(F.size(F.array_intersect("__ha", "__hb")))
                     .alias("n_common")))
     verified = (core
                 .withColumn("__j",
@@ -479,7 +494,8 @@ def ngram_containment_pairs(df: DataFrame, n: int = 3,
                             threshold: float = 0.8,
                             text_col: str = "text",
                             id_col: str = "doc_id",
-                            collapse_exact: bool | str = "auto"
+                            collapse_exact: bool | str = "auto",
+                            prefix_extend: float = 0.25
                             ) -> DataFrame:
     """Exact ASYMMETRIC n-gram containment pairs: ``(id_a, id_b,
     n_common, containment)`` where ``containment = |A ∩ B| / |A| >=
@@ -503,6 +519,16 @@ def ngram_containment_pairs(df: DataFrame, n: int = 3,
     length filter degenerates to the one-sided ``|B| >= t * |A|``.
     Verified with a full ``array_intersect``; same Arrow shingler,
     pin ordering and 4dp output rounding as the Jaccard twin.
+
+    ``prefix_extend`` (round 14): each document indexes
+    ``ceil(p * prefix_extend)`` EXTRA rarest shingles beyond the
+    minimal prefix ``p``, which raises the exact per-pair requirement
+    from "shares >= 1 indexed shingle" to "shares >= d+1 of them" (see
+    the in-body proof) — a count filter on the candidate aggregate
+    that removes the chance-pair mass before the O(|A|+|B|) verify.
+    Any value >= 0 is EXACT (0 restores the minimal prefix); the
+    default 0.25 measured a ~1000x verify-candidate cut for ~1.4x
+    candidate-join rows at sf0.1/t=0.6.
 
     ``collapse_exact`` (default ``'auto'``) closes the verbatim-duplicate
     worst case (VERDICT r11): on a corpus dense in exact copies the
@@ -528,6 +554,9 @@ def ngram_containment_pairs(df: DataFrame, n: int = 3,
     probe runs EAGERLY at construction time — calling this builder
     launches one small Spark job before any action on the returned
     frame (``True`` / ``False`` stay fully lazy)."""
+    if prefix_extend < 0:
+        raise ValueError("prefix_extend must be >= 0 (0 disables the "
+                         f"extended prefix), got {prefix_extend!r}")
     shingled = (_fan_out(df)
                 .select(F.col(id_col).alias("id"),
                         _word_shingles_arrow(text_col, n).alias("sh"))
@@ -560,29 +589,73 @@ def ngram_containment_pairs(df: DataFrame, n: int = 3,
               .withColumn("rn", F.row_number().over(w)))
     # containment prefix p = n - ceil(t*n) + 1 (same epsilon guard as
     # the Jaccard twin): if none of A's p rarest shingles hit B, then
-    # |A∩B| <= ceil(t*n) - 1 < t*n — below threshold, exact prune
+    # |A∩B| <= ceil(t*n) - 1 < t*n — below threshold, exact prune.
+    #
+    # EXTENDED prefix (round 14, guide §1.1 first-principles + §2.3):
+    # indexing L = min(n_sh, p + ceil(p*prefix_extend)) rarest shingles
+    # instead of p raises the exact requirement on every true pair from
+    # "shares >= 1 indexed shingle" to "shares >= L - n_sh +
+    # ceil(t*n_sh)" of them: C(A->B) >= t forces |A\B| <= n_sh -
+    # ceil(t*n_sh), and the L-long prefix can lose at most that many
+    # members to A\B, so |prefix_L(A) ∩ B| >= L - (n_sh - ceil(t*n_sh))
+    # — with L = p + d that is exactly d + 1 (p is the minimal
+    # certificate length; each extra indexed shingle adds one required
+    # hit).  Chance pairs almost never share d+1 globally-RARE
+    # shingles, so counting matches in the candidate aggregate and
+    # keeping only op >= req replaces the old dropDuplicates with a
+    # same-exchange count filter that is devastating in practice:
+    # measured at sf0.1/t=0.6, verify candidates 692,642 -> 588
+    # (true pairs: 512) for 1.37x more raw candidate rows
+    # (723,825 -> 990,869).  The epsilon guard on req keeps it an
+    # UNDER-estimate in the IEEE-artifact case — a too-small req only
+    # admits candidates the exact verify below rejects.
     prefix_len = F.col("n_sh") - F.ceil(threshold * F.col("n_sh")
                                         - 1e-9) + 1
-    prefix = (ranked.filter(F.col("rn") <= prefix_len)
-              .select("id", "shingle").localCheckpoint(eager=False))
-    cand = (prefix.toDF("id_a", "shingle")
+    ext_len = F.least(
+        prefix_len + F.ceil(prefix_len * F.lit(float(prefix_extend)))
+                      .cast("int"),
+        F.col("n_sh"))
+    req = (ext_len - F.col("n_sh")
+           + F.ceil(threshold * F.col("n_sh") - 1e-9)).cast("int")
+    prefix = (ranked.filter(F.col("rn") <= ext_len)
+              .select("id", "shingle", req.alias("__req"))
+              .localCheckpoint(eager=False))
+    cand = (prefix.toDF("id_a", "shingle", "__req")
             .join(inv.select(F.col("id").alias("id_b"), "shingle"),
                   "shingle")
             .filter(F.col("id_a") != F.col("id_b"))
-            .select("id_a", "id_b")
-            .dropDuplicates(["id_a", "id_b"]))
-    sh_a = shingled.toDF("id_a", "sh_a")
-    sh_b = shingled.toDF("id_b", "sh_b")
-    len_ok = (F.size("sh_b") * F.lit(1.0)
-              >= threshold * F.size("sh_a"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("__op"),
+                 F.max("__req").alias("__r"))
+            .filter(F.col("__op") >= F.col("__r"))
+            .select("id_a", "id_b"))
+    # Verify over xxhash64 ARRAYS, not shingle strings (round 14, guide
+    # §2.3 narrower types): the per-candidate array_intersect builds a
+    # hash set of |a|+|b| elements — on 8-byte longs it measured 3.5x
+    # cheaper than on ~27-byte shingle strings (8.86s -> 2.55s over the
+    # same candidate set, results identical), and the candidate joins
+    # ship long arrays instead of string arrays.  |A∩B| over hashes
+    # equals |A∩B| over shingles unless xxhash64 collides inside one
+    # document's ~10^2-shingle set (~1e-16 per doc) — the same accepted
+    # collision class as the repo's md5/xxhash64 key convention
+    # (hashed-window span counting, band keys).  Hashed once per DOC on
+    # a pinned frame: computed inline it would re-evaluate per
+    # CANDIDATE row (the r12 expansion-join pathology).
+    hashed = (shingled.select(
+        "id", F.size("sh").alias("__n"),
+        F.transform("sh", lambda s: F.xxhash64(s)).alias("__hs"))
+        .localCheckpoint(eager=False))
+    sh_a = hashed.toDF("id_a", "__na", "__ha")
+    sh_b = hashed.toDF("id_b", "__nb", "__hb")
+    len_ok = (F.col("__nb") * F.lit(1.0)
+              >= threshold * F.col("__na"))
     # _once barrier: same single-intersect contract as the Jaccard twin
     # (the pushed-down containment filter + the n_common output column
     # would otherwise evaluate the intersect twice per candidate)
     core = (cand.join(sh_a, "id_a").join(sh_b, "id_b")
             .filter(len_ok)
-            .select("id_a", "id_b",
-                    F.size("sh_a").alias("__na"),
-                    _once(F.size(F.array_intersect("sh_a", "sh_b")))
+            .select("id_a", "id_b", "__na",
+                    _once(F.size(F.array_intersect("__ha", "__hb")))
                     .alias("n_common")))
     verified = (core
                 .withColumn("__c", F.col("n_common") / F.col("__na"))

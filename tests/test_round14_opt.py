@@ -144,3 +144,97 @@ def test_strip_ops_no_token_level_shuffle(spark):
         plan = op(df, **kw)._jdf.queryExecution().executedPlan().toString()
         assert "collect_list" not in plan, op.__name__
         assert "LeftAnti" not in plan, op.__name__
+
+
+def _brute_containment(rows, threshold, n=3):
+    out = {}
+    for ida, ta in rows:
+        sa = _shingles(ta, n)
+        if not sa:
+            continue
+        for idb, tb in rows:
+            if idb == ida:
+                continue
+            sb = _shingles(tb, n)
+            if not sb:
+                continue
+            inter = len(sa & sb)
+            if inter / len(sa) >= threshold:
+                out[(ida, idb)] = (inter, inter / len(sa))
+    return out
+
+
+@pytest.mark.parametrize("threshold", [0.6, 0.8])
+@pytest.mark.parametrize("extend", [0.0, 0.25, 2.0])
+def test_containment_extended_prefix_matches_bruteforce(spark, threshold,
+                                                        extend):
+    """The round-14 EXTENDED prefix (index d extra rarest shingles,
+    require op >= L - n_sh + ceil(t*n_sh) shared entries) must stay an
+    exact candidate filter: same directed pairs, same n_common and
+    containment, as the brute-force all-pairs model.  extend=2.0 caps
+    the prefix at the WHOLE document for most rows — the regime where
+    a wrong capped-requirement formula (d+1 instead of ceil(t*n_sh))
+    over-prunes; the short 3-6-token docs exercise the cap at every
+    extend value.  Random dense-vocabulary rows cover the chance-pair
+    regime the count filter actually prunes."""
+    from cascading_flink_spark.extensions import ngram_containment_pairs
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(25)]
+    rows = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(3, 22))))
+            for i in range(50)]
+    # exact containment boundaries: A = 7 tokens -> 5 shingles; B
+    # contains 3 of them -> C(A->B) = 0.6 exactly
+    rows += [(200, "a b c d e f g"),
+             (201, "a b c d e zz qq rr")]   # shares {abc,bcd,cde} = 3/5
+    # C = 0.8 exactly: A = 12 tokens -> 10 shingles, B holds 8 of them
+    rows += [(202, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12"),
+             (203, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 xx yy")]
+    # tiny docs: 3 tokens = 1 shingle (prefix == whole doc at any t)
+    rows += [(204, "p q r"), (205, "p q r"), (206, "p q r s")]
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    expect = _brute_containment(rows, threshold)
+    got = {(r.id_a, r.id_b): (r.n_common, r.containment)
+           for r in ngram_containment_pairs(
+               df, n=3, threshold=threshold,
+               prefix_extend=extend).collect()}
+    assert set(got) == set(expect), (
+        set(expect) - set(got), set(got) - set(expect))
+    for k, (nc, c) in expect.items():
+        assert got[k][0] == nc, (k, nc, got[k])
+        assert got[k][1] == pytest.approx(c, abs=5.0001e-5), (k, c, got[k])
+    if threshold == 0.6:
+        assert (200, 201) in got       # exactly ON the 0.6 threshold
+    assert (202, 203) in got           # C == 0.8 exactly
+    assert (204, 205) in got and (205, 204) in got  # capped tiny docs
+
+
+def test_containment_prefix_extend_rejects_negative(spark):
+    from cascading_flink_spark.extensions import ngram_containment_pairs
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="prefix_extend"):
+        ngram_containment_pairs(df, prefix_extend=-0.1)
+
+
+def test_pair_verify_uses_hash_arrays(spark):
+    """Both pair cores verify candidates over xxhash64 long arrays, not
+    shingle strings (round 14): the executed plan's array_intersect
+    operates on the hashed __ha/__hb columns (the xxhash64 transform
+    itself lives behind the hashed frame's checkpoint boundary), and no
+    EvalPython or cartesian appears."""
+    from cascading_flink_spark.extensions import (ngram_containment_pairs,
+                                                  ngram_jaccard_pairs)
+    df = spark.createDataFrame(
+        [(i, f"w{i % 4} w{(i + 1) % 4} w{(i + 2) % 4} w{(i + 3) % 4} x{i}")
+         for i in range(16)], "doc_id long, text string")
+    for op in (lambda d: ngram_jaccard_pairs(d, n=3, threshold=0.5,
+                                             collapse_exact=False),
+               lambda d: ngram_containment_pairs(d, n=3, threshold=0.6,
+                                                 collapse_exact=False)):
+        plan = op(df)._jdf.queryExecution().executedPlan().toString()
+        assert "array_intersect(__ha" in plan
+        assert "array_intersect(sh_a" not in plan
+        assert "EvalPython" not in plan
+        assert "CartesianProduct" not in plan
