@@ -1663,9 +1663,11 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
     (no Python); the keep-decision is ONE partial-agg groupBy on the
     segment hash (min over the md5 key — hot boilerplate segments
     combine map-side, so a segment in half the corpus is an aggregation
-    hot key, not a sort hot key) and ONE equi-join back on
-    (segment-hash, key); reassembly is a per-document collect bounded by
-    document length.  No windows, no driver pulls.
+    hot key, not a sort hot key) and ONE metadata equi-join on the
+    segment hash — the segment TEXT never rides a shuffle (round 14):
+    dropped occurrences fold to one per-doc position set (output-bound)
+    and documents are rebuilt map-side from their own segment arrays.
+    No windows, no driver pulls.
 
     Reference has no counterpart (stops at the relational layer); the
     op slots into the same extension family as exact_dedup above.
@@ -1681,9 +1683,17 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
             lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * k + 1, k)))
     else:
         seg_arr = F.split(F.col(text_col), delim)
-    segs = (df.select(F.col(id_col), seg_arr.alias("__segs"))
-              .select(id_col, F.posexplode("__segs")
-                      .alias("seg_idx", "seg")))
+    # Segment ONCE onto a pinned (id, __segs) frame: the keep-decision
+    # branch (posexplode + md5) and the map-side reassembly below both
+    # read it, so the interpreted higher-order segmentation expression
+    # never evaluates twice and the document text never rides a shuffle
+    # (round 14).  _fan_out parallelizes the CPU-heavy segmentation on
+    # under-split local reads (no-op at scale, the family convention).
+    segged = (_fan_out(df)
+              .select(F.col(id_col), seg_arr.alias("__segs"))
+              .localCheckpoint(eager=False))
+    segs = segged.select(id_col, F.posexplode("__segs")
+                         .alias("seg_idx", "seg"))
     keyed = segs.withColumn(
         "__k", F.md5(F.concat_ws("#", F.lit(seed), F.col(id_col),
                                  F.col("seg_idx"))))
@@ -1692,20 +1702,44 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
     # shuffle
     keyed = keyed.withColumn("__seg_h", F.md5("seg"))
     keep = keyed.groupBy("__seg_h").agg(F.min("__k").alias("__keep_k"))
+    # Reassembly WITHOUT shuffling segment text (round 14, the strip
+    # family's §2.5d rewrite applied at segment level): the old spelling
+    # joined the segment STRINGS to the keep table and regrouped them
+    # with collect_list — the surviving corpus crossed the wire twice.
+    # Instead, decide per OCCURRENCE on (id, seg_idx) metadata only
+    # (the seg text never rides the keep join), fold the dropped
+    # positions to one per-doc set — output-bound: only duplicated
+    # occurrences appear — and rebuild the text MAP-side from the
+    # original document's segment array (array_except keeps its left
+    # argument's ascending order, so segments rejoin in seg_idx order,
+    # exactly the old array_sort(collect_list) result).
     # alias-first before the same-lineage join (keep derives from keyed) —
     # pre-alias column refs here would hit Spark's trivially-true-equals
     # self-join ambiguity (the range_join lesson, temporal.py)
     k, p = keyed.alias("pd_k"), keep.alias("pd_p")
-    kept = (k.join(p, (F.col("pd_k.__seg_h") == F.col("pd_p.__seg_h"))
-                   & (F.col("pd_k.__k") == F.col("pd_p.__keep_k")))
-             .select(F.col("pd_k." + id_col).alias(id_col),
-                     F.col("pd_k.seg_idx").alias("seg_idx"),
-                     F.col("pd_k.seg").alias("seg")))
-    return (kept.groupBy(id_col)
-                .agg(F.concat_ws(join_str, F.array_sort(
-                         F.collect_list(F.struct("seg_idx", "seg")))
-                     .getField("seg")).alias("clean_text"),
-                     F.count(F.lit(1)).alias("n_kept")))
+    drops = (k.select(F.col("pd_k." + id_col).alias(id_col),
+                      F.col("pd_k.seg_idx").alias("seg_idx"),
+                      F.col("pd_k.__k").alias("__kl"),
+                      F.col("pd_k.__seg_h").alias("__shl"))
+             .join(p, F.col("__shl") == F.col("pd_p.__seg_h"))
+             .filter(F.col("__kl") != F.col("pd_p.__keep_k"))
+             .groupBy(id_col)
+             .agg(F.collect_set("seg_idx").alias("__drop")))
+    # NULL-text docs carry a NULL segment array (size -1) and vanish,
+    # exactly as they never produced posexplode rows on the old path
+    base = segged.filter(F.size("__segs") > 0)
+    kept_idx = F.array_except(
+        F.sequence(F.lit(0), F.size("__segs") - 1),
+        F.coalesce("__drop", F.array().cast("array<int>")))
+    return (base.join(drops, id_col, "left")
+            .withColumn("__kept", kept_idx)
+            .filter(F.size("__kept") > 0)
+            .select(F.col(id_col),
+                    F.array_join(
+                        F.transform("__kept",
+                                    lambda i: F.element_at("__segs", i + 1)),
+                        join_str).alias("clean_text"),
+                    F.size("__kept").cast("long").alias("n_kept")))
 
 
 def _span_toks(text_col: str, lowered: bool = True) -> Column:

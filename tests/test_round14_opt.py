@@ -238,3 +238,19 @@ def test_pair_verify_uses_hash_arrays(spark):
         assert "array_intersect(sh_a" not in plan
         assert "EvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_paragraph_dedup_no_text_regroup(spark):
+    """paragraph_dedup's executed plan must not regroup segment text:
+    no collect_list aggregate remains (round 14 — drops fold to a
+    per-doc position set and the text rebuilds map-side from the pinned
+    segment array), and the keep-decision join carries metadata only."""
+    from cascading_flink_spark.extensions import paragraph_dedup
+    df = spark.createDataFrame(
+        [(i, "shared header block " + f"unique body {i}")
+         for i in range(10)], "doc_id long, text string")
+    plan = paragraph_dedup(df, window_words=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+    assert "collect_set" in plan          # the per-doc drop-position fold
+    assert "EvalPython" not in plan
