@@ -175,7 +175,19 @@ def dsir_weights(raw: DataFrame, target: DataFrame,
     localCheckpoint, the bigram_lm one-pass lesson — deriving each from
     the stream re-runs the md5 explode per branch).  The pin is
     executor-local; a real cluster run that needs fault tolerance swaps
-    it for a durable checkpoint tap, the flagship's documented trade."""
+    it for a durable checkpoint tap, the flagship's documented trade.
+
+    Round-14 adjudication — do NOT re-try blind: three join-free
+    scoring spellings (literal-weight-array map-only fold; explode +
+    literal element_at + per-doc agg over raw; the same lookup-agg over
+    the pinned docf partials) were each built, oracle-verified
+    identical, and A/B-measured at sf0.1 (serialized alternating
+    processes AND an in-process interleaved best-of-7).  All three
+    measured SLOWER than this broadcast-join spelling (fold 1.5-1.9x;
+    explode-over-raw 1.5-1.6x — the fit loses the docf reuse and
+    re-shingles; docf-lookup hybrid flat-to-1.1x) — the ≤buckets-row
+    broadcast join is cheap, codegen'd, and fit+scorer share one
+    shingle pass here.  Details in OPTIMIZATION_r14.md."""
     _validate(buckets, ngrams, alpha)
     docf = (_feature_stream(raw, text_col, id_col, buckets, ngrams, seed)
             .groupBy("id", "b")
@@ -295,14 +307,18 @@ def dsir_weight_array(weight_table: DataFrame, buckets: int,
     32 KiB at the 4096 default), never by data — the same contract as
     the Bloom bitmap.  ``c0`` is computed by the ENGINE (one 1-row
     aggregate), not Python math, so the scorer is bit-identical to
-    :func:`dsir_weights`."""
+    :func:`dsir_weights`.  The table is pinned before the two pulls
+    (round 14) so its lineage — the fit's shingling scans when called
+    on a fresh :func:`dsir_bucket_weights` frame — runs ONCE, not once
+    per pull."""
     a = F.lit(int(alpha)).cast("long")
     m = F.lit(int(buckets)).cast("long")
-    rows = weight_table.select("b", "lr_x1e6").collect()
+    wt = weight_table.localCheckpoint(eager=False)
+    rows = wt.select("b", "lr_x1e6").collect()
     lr = [0] * int(buckets)
     for r in rows:
         lr[int(r["b"])] = int(r["lr_x1e6"])
-    c0 = weight_table.agg(
+    c0 = wt.agg(
         F.floor((F.log(F.sum("r_f") + a * m)
                  - F.log(F.sum("t_f") + a * m)) * 1e6 + 0.5)
          .cast("long").alias("c0")).first()["c0"]

@@ -254,3 +254,41 @@ def test_paragraph_dedup_no_text_regroup(spark):
     assert "collect_list" not in plan
     assert "collect_set" in plan          # the per-doc drop-position fold
     assert "EvalPython" not in plan
+
+
+def test_dsir_mixture_matches_per_domain_weights_replay(spark):
+    """dsir_mixture_select must equal the greedy model built from
+    INDEPENDENT dsir_weights runs: per domain in sorted-name order,
+    top-quota by (logw desc, id) among docs no earlier domain took — a
+    per-domain scoring drift (shared fit reuse gone wrong, wrong weight
+    table, leaked exclusion) breaks this exactly.  Added in round 14 as
+    the cross-entry-point pin while adjudicating (and rejecting) the
+    join-free scoring spellings; implementation-agnostic."""
+    from cascading_flink_spark.extensions import (dsir_mixture_select,
+                                                  dsir_weights)
+    raw = spark.createDataFrame(
+        [(1, "alpha alpha beta"), (2, "alpha beta beta"),
+         (3, "gamma gamma delta"), (4, "gamma delta delta"),
+         (5, "alpha gamma"), (6, "beta delta"),
+         (7, "alpha beta gamma delta")],
+        "doc_id long, text string")
+    targets = {
+        "a": spark.createDataFrame([(100, "alpha alpha alpha beta")],
+                                   "doc_id long, text string"),
+        "g": spark.createDataFrame([(200, "gamma gamma gamma delta")],
+                                   "doc_id long, text string")}
+    quotas = {"a": 3, "g": 3}
+    got = {(r.domain, r.doc_id, r.n_feats, r.logw_x1e6)
+           for r in dsir_mixture_select(raw, targets, quotas,
+                                        buckets=64).collect()}
+    taken: set = set()
+    exp: set = set()
+    for dom in sorted(targets):
+        w = {r.doc_id: (r.n_feats, r.logw_x1e6)
+             for r in dsir_weights(raw, targets[dom],
+                                   buckets=64).collect()}
+        picks = sorted((d for d in w if d not in taken),
+                       key=lambda d: (-w[d][1], d))[:quotas[dom]]
+        taken.update(picks)
+        exp.update((dom, d, w[d][0], w[d][1]) for d in picks)
+    assert got == exp
