@@ -30,6 +30,21 @@ SPARK_GRAFT_BENCH_RETRY_SLEEP between), so the bench_full.json the
 driver tails is an ACCEPTED capture whenever the box quiets within the
 retry budget; only if every attempt fails does the file carry
 probe_ok=false (plus the attempt count).
+
+Round-15 wall-budget fix (VERDICT r14 What's-wrong #1 / Next #1): the
+round-14 retry loop had no wall-clock bound, so on a noisy box up to
+3 full 224-query best-of-3 captures + sleeps could run and the driver's
+32c invocation timed out (BENCH_r14.json rc=124) with NO one-line JSON
+at all — strictly worse for the driver than a flagged capture.  Now:
+(a) the whole capture loop is bounded by SPARK_GRAFT_BENCH_WALL_BUDGET
+seconds (default 1200); a retry only starts if the measured duration of
+the previous attempt still fits in the remaining budget, so the process
+always finishes and always prints its JSON lines; (b) on budget/attempt
+exhaustion the BEST capture so far (lowest probe_ratio) is emitted,
+flagged probe_ok=false; (c) best-of-N drops from 3 to 2 automatically
+when the bench list exceeds 200 queries (SPARK_GRAFT_BENCH_RUNS still
+overrides) — at 224 queries a best-of-3 round triples a ~6-minute
+sweep and no longer fits the driver's budget alongside a retry.
 The first accepted capture is frozen as BASELINE_SF01.json (the pinned
 per-query ledger); future rounds compare against the PIN with
 `python tools/compare_bench.py`, not against last round's
@@ -574,7 +589,11 @@ def main() -> None:
         _execute(warm(spark, "/root/testdata/sf0.001"))
     spark.catalog.clearCache()
 
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # Best-of-N: 3 for small lists, 2 once the list exceeds 200 queries
+    # (round-15, VERDICT r14 Next #1 — a 224-query best-of-3 attempt is
+    # ~3x a ~6-min sweep and starves the driver's wall budget).
+    default_runs = "2" if len(names) > 200 else "3"
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", default_runs))
     # Probe-rejection auto-retry (VERDICT r13 What's-wrong #1): a capture
     # whose bracketing probes disagree by >1.2x is officially
     # non-comparable, and the driver tails whatever this script emits —
@@ -582,13 +601,24 @@ def main() -> None:
     # WHOLE capture (probe_before -> timed rounds -> probe_after) up to
     # SPARK_GRAFT_BENCH_ATTEMPTS times (default 3), sleeping between
     # attempts to let the transient load pass; emit the first accepted
-    # capture.  If every attempt is rejected the LAST one is written with
-    # probe_ok=false + the attempt count — still flagged, but only after
-    # the protocol exhausted its retries.
+    # capture.  If every attempt is rejected, the BEST one (lowest
+    # probe_ratio) is written with probe_ok=false + the attempt count —
+    # flagged, but the one-line JSON is ALWAYS printed.
+    # Round-15 (VERDICT r14 What's-wrong #1): the retries are additionally
+    # bounded by a wall budget — a retry only starts when the previous
+    # attempt's measured duration (+ sleep) still fits in what remains of
+    # SPARK_GRAFT_BENCH_WALL_BUDGET, so the process can never time out
+    # the driver by re-running captures it has no time to finish.
     attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
     retry_sleep = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_SLEEP", "45"))
+    wall_budget = float(
+        os.environ.get("SPARK_GRAFT_BENCH_WALL_BUDGET", "1200"))
+    wall_start = time.time()
     full: dict = {}
+    best_capture: dict = {}
+    best_ratio = float("inf")
     for attempt in range(1, attempts + 1):
+        attempt_start = time.time()
         probe_before = _run_probe(spark, qs)
         # rounds are INTERLEAVED (all queries once, then again): a
         # transient system-load spike then taxes each query in one round
@@ -632,14 +662,39 @@ def main() -> None:
             "capture_attempt": attempt,
             "capture_attempts_max": attempts,
         }
+        # Track the least-noisy capture so far: if every attempt is
+        # rejected (or the wall budget runs out) THIS is what gets
+        # emitted, not whichever attempt happened to run last.
+        if 0 < probe_ratio < best_ratio:
+            best_ratio = probe_ratio
+            best_capture = full
         if probe_ok:
             break
-        if attempt < attempts:
+        attempt_took = time.time() - attempt_start
+        budget_left = wall_budget - (time.time() - wall_start)
+        if attempt < attempts and attempt_took + retry_sleep <= budget_left:
             print(json.dumps({
                 "capture_rejected": True, "attempt": attempt,
                 "probe_ratio": probe_ratio,
                 "retry_in_sec": retry_sleep}), file=sys.stderr)
             time.sleep(retry_sleep)
+        elif attempt < attempts:
+            print(json.dumps({
+                "capture_rejected": True, "attempt": attempt,
+                "probe_ratio": probe_ratio,
+                "wall_budget_exhausted": True,
+                "budget_left_sec": round(budget_left, 1),
+                "attempt_took_sec": round(attempt_took, 1)}),
+                file=sys.stderr)
+            break
+    if full and not full.get("probe_ok") and best_capture:
+        full = best_capture
+    # The summary below must describe the EMITTED capture (which may be
+    # an earlier, less-noisy attempt), not the loop's last locals.
+    timings = full["queries"]
+    total = full["value"]
+    probe_ratio = full["probe_ratio"]
+    probe_ok = full["probe_ok"]
     # The driver keeps only the LAST ~2000 chars of stdout and parses the
     # tail (BENCH_r07.json: "tail" is exactly 2000 chars, "parsed": null
     # because the one 5KB line was head-truncated mid-dict).  A 140-query
