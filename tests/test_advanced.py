@@ -20,6 +20,7 @@ def run(spark, tail, **sources):
     return FlowConnector(spark).connect(fd).dataframe(tail.name)
 
 
+@pytest.mark.slow  # r15: heavy, round-close full gate only
 def test_nway_bufferjoin(spark):
     a = spark.createDataFrame([(1, "a1"), (2, "a2")], "k int, av string")
     b = spark.createDataFrame([(1, "b1"), (3, "b3")], "k int, bv string")

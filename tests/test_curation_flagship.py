@@ -55,6 +55,7 @@ def corpus(spark):
     return _mk(spark, rows)
 
 
+@pytest.mark.slow  # r15: heavy, round-close full gate only
 def test_stagewise_survivors(spark, corpus):
     # benchmark shares an 8-gram with GOOD2 -> doc 3 is decontaminated;
     # its URL-twin doc 4 was already dropped by URL dedup (min id kept).
@@ -78,6 +79,7 @@ def test_stagewise_survivors(spark, corpus):
         assert r.last_chunk == (r.start_offset + r.n_tokens - 1) // 64
 
 
+@pytest.mark.slow  # r15: heavy, round-close full gate only
 def test_budget_respected_per_lang(spark, corpus):
     bench = spark.createDataFrame([(100, "nothing shared here")],
                                   "doc_id long, text string")
@@ -102,6 +104,7 @@ def test_md5_twin_same_shape_and_blocklist(spark, corpus):
     assert ids == [1, 4]
 
 
+@pytest.mark.slow  # r15: heavy, round-close full gate only
 def test_no_url_column_mode(spark, corpus):
     bench = spark.createDataFrame([(100, "nothing shared here")],
                                   "doc_id long, text string")
@@ -142,6 +145,7 @@ def test_plan_has_no_cartesian_and_fused_gate(spark, corpus):
             assert "BuildRight, Cross" in line
 
 
+@pytest.mark.slow  # r15: heavy, round-close full gate only
 def test_return_stages_exposes_lazy_stage_frames(spark, corpus):
     bench = spark.createDataFrame([(100, "nothing shared here")],
                                   "doc_id long, text string")
@@ -161,6 +165,7 @@ def test_return_stages_exposes_lazy_stage_frames(spark, corpus):
     assert packed.count() == 3
 
 
+@pytest.mark.slow  # r15: heavy, round-close full gate only
 def test_c4_stage_opt_in(spark):
     """c4_kwargs adds page gates + line retention ahead of the gopher
     gate; default (None) leaves the pipeline byte-identical."""
@@ -190,6 +195,7 @@ def test_c4_stage_opt_in(spark):
             .collect()} == {1, 2, 3}
 
 
+@pytest.mark.slow  # r15: heavy, round-close full gate only
 def test_dupspan_stage_opt_in(spark):
     """VERDICT r7 Next #8: the exact-substring pass after fuzzy dedup.
     Docs 1/2 share a licence-style 6-gram block but are NOT near-dups

@@ -280,6 +280,7 @@ def test_global_rank_equals_naive_window(spark, sf_dir):
     assert got == exp and len(got) > 0
 
 
+@pytest.mark.slow  # r15: heavy, round-close full gate only
 def test_global_rank_partition_and_sample_independent(spark):
     """Any bucket geometry / sample size / input partitioning yields the
     SAME ranks — boundaries only route, never decide."""

@@ -73,6 +73,7 @@ def test_pagerank_seeded_still_green_when_seeds_present(spark):
 
 # -------------------------------------- pagerank dangling redistribution
 
+@pytest.mark.slow  # r15: heavy, round-close full gate only
 def test_pagerank_redistribute_preserves_mass_within_truncation(spark):
     """Chain 0->1->2: node 2 is dangling.  With redistribute, total mass
     stays within n-per-DIV truncation loss of scale each iteration;
@@ -89,6 +90,7 @@ def test_pagerank_redistribute_preserves_mass_within_truncation(spark):
     assert dropped < kept  # drop really drops mass
 
 
+@pytest.mark.slow  # r15: heavy, round-close full gate only
 def test_pagerank_redistribute_no_danglers_equals_drop(spark):
     e = spark.createDataFrame([(0, 1), (1, 2), (2, 0)],
                               "src long, dst long")
@@ -206,6 +208,7 @@ def test_k_core_validations(spark):
 
 # ----------------------------------- graph family: no single-task stages
 
+@pytest.mark.slow  # r15: heavy, round-close full gate only
 def test_graph_family_plans_have_no_single_partition_exchange(spark, sf_dir):
     """The scaling claim (README graph rows) rests on every shuffle
     hash-partitioning across the cluster: a SinglePartition exchange or
@@ -364,6 +367,7 @@ def test_quantile_normalize_grouped_endpoints_and_ties(spark):
     assert out == {1: 0, 2: 333_333, 3: 666_666, 4: 1_000_000, 5: 0}
 
 
+@pytest.mark.slow  # r15: heavy, round-close full gate only
 def test_quantile_normalize_global_matches_grouped_single_group(spark):
     from cascading_flink_spark.extensions import quantile_normalize
     rows = [(i, float(i * 7 % 13)) for i in range(40)]
@@ -774,6 +778,7 @@ def test_hard_negatives_validation(spark):
 
 # ------------------------------------------------ cluster_split
 
+@pytest.mark.slow  # r15: heavy, round-close full gate only
 def test_cluster_split_never_straddles_near_dups(spark, sf_dir):
     """The leakage property itself: every near-dup pair's two docs land
     on the SAME side of the split (group key = shared cluster id)."""
@@ -795,6 +800,7 @@ def test_cluster_split_never_straddles_near_dups(spark, sf_dir):
 
 # ------------------------------------------- flagship margin stage
 
+@pytest.mark.slow  # r15: heavy, round-close full gate only
 def test_flagship_margin_stage_drops_only_non_pivot_docs(spark, sf_dir):
     from cascading_flink_spark.extensions.curation import curate_corpus
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

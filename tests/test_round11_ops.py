@@ -51,6 +51,7 @@ def test_connected_components_stars_log_rounds_on_path(spark):
     assert slow[15] != 0  # 15 hops away, only 4 covered
 
 
+@pytest.mark.slow  # r15: heavy, round-close full gate only
 def test_connected_components_stars_equals_hashmin_converged(spark):
     """The kmeans production/gated-twin convention: on a converged
     graph the two strategies agree exactly (same min-member

@@ -977,6 +977,7 @@ def test_cohen_kappa_pins_python_model(spark):
     assert (r.n, r.po_x, r.pe_x, r.kappa_x) == _kappa_model(pairs)
 
 
+@pytest.mark.slow  # r15: heavy, round-close full gate only
 def test_cohen_kappa_extremes(spark):
     """Perfect agreement -> kappa 1e6; independent-looking balanced
     disagreement can go NEGATIVE (worse than chance, trunc toward
@@ -1109,6 +1110,7 @@ def test_ks_statistic_pins_python_model(spark):
     assert "only_a" not in got
 
 
+@pytest.mark.slow  # r15: heavy, round-close full gate only
 def test_ks_statistic_extremes_and_quantize(spark):
     """Identical samples -> ks 0; disjoint supports -> exactly 1e6;
     the quantize path equals pre-quantizing by hand."""
@@ -1138,6 +1140,7 @@ def test_ks_statistic_extremes_and_quantize(spark):
         ks_statistic(lo, hi, "v", quantize_x=0)
 
 
+@pytest.mark.slow  # r15: heavy, round-close full gate only
 def test_collapse_expansion_plans_hide_the_verify_expression(spark):
     """Regression guard for the round-12 projection-collapse fix: the
     expansion joins broadcast the small member frames, so nothing

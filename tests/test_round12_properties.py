@@ -12,6 +12,12 @@ from __future__ import annotations
 
 import pytest
 
+# Round-15 (VERDICT r14 Next #2): brute-force property/golden suite —
+# skipped on the default path, runs under SPARK_GRAFT_FULL_TESTS=1 /
+# --runslow (the round-close full gate).
+pytestmark = pytest.mark.slow
+
+
 try:
     from hypothesis import given, settings, strategies as st
 except ImportError:                                    # pragma: no cover

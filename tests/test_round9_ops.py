@@ -304,6 +304,7 @@ def test_dsir_score_expr_parity_with_join_path(spark, sf_dir):
     assert join_path == map_path and len(join_path) > 50
 
 
+@pytest.mark.slow  # r15: heavy, round-close full gate only
 def test_stream_dsir_gate_parity_and_threshold(spark, sf_dir, tmp_path):
     """The streaming gate admits exactly the batch filter's rows
     (stateless map, no state store), and the score column rides along."""
@@ -416,6 +417,7 @@ def test_group_quantiles_rejects_unknown_strategy(spark, sf_dir):
 
 # ---------------------------------------------- DSIR flagship stage
 
+@pytest.mark.slow  # r15: heavy, round-close full gate only
 def test_curation_dsir_stage_selects_and_chains(spark, sf_dir):
     """The opt-in DSIR stage caps the decontaminated corpus at keep_n
     target-like docs; downstream stages run on the selected set only,

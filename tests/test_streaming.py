@@ -170,6 +170,7 @@ def test_dsl_stream_static_cogroup(spark, stream_dir):
     assert got == expect
 
 
+@pytest.mark.slow  # r15: heavy, round-close full gate only
 def test_streaming_checkpoint_no_reprocess(spark, stream_dir, tmp_path):
     """Restarting a checkpointed streaming flow must not reprocess data the
     first run already committed (file-source + file-sink exactly-once)."""
@@ -1133,6 +1134,7 @@ def test_stream_label_agreement_batch_parity(spark, sf_dir, tmp_path):
     spark.catalog.dropTempView("sla_out")
 
 
+@pytest.mark.slow  # r15: heavy, round-close full gate only
 def test_stream_label_agreement_restart_accumulates(spark, tmp_path):
     """2 batches with a checkpoint restart: the carried histogram
     accumulates (no double counting, no reset), NULL votes are
@@ -1317,6 +1319,7 @@ def _psi_model(window_counts: dict, ref_counts: dict, s=1_000_000):
     return n, oov, psi // s
 
 
+@pytest.mark.slow  # r15: heavy, round-close full gate only
 def test_stream_psi_monitor_batch_parity(spark, sf_dir, tmp_path):
     """Each emitted window row is bit-identical to the integer-Python
     psi_drift spelling over the staged events, and — on the no-OOV
@@ -1417,6 +1420,7 @@ def test_stream_psi_monitor_oov_pooling(spark, tmp_path):
     spark.catalog.dropTempView("spo_out")
 
 
+@pytest.mark.slow  # r15: heavy, round-close full gate only
 def test_stream_psi_monitor_restart_no_double_emission(spark, tmp_path):
     """2 batches with a checkpoint restart: a window emits exactly
     once (when the watermark passes its end), accumulates across
@@ -1637,6 +1641,7 @@ def test_stream_ks_monitor_novel_values_and_nulls(spark, tmp_path):
     spark.catalog.dropTempView("skn_out")
 
 
+@pytest.mark.slow  # r15: heavy, round-close full gate only
 def test_stream_ks_monitor_restart_no_double_emission(spark, tmp_path):
     """2 batches with a checkpoint restart: a window emits exactly
     once, accumulates across batches before the watermark passes, and
