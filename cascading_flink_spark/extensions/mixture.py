@@ -428,11 +428,31 @@ def global_rank(df: DataFrame, score_col: str, id_col: str = "doc_id",
     choice (bucketing respects the total order), so the result is
     partition- and sample-independent — the oracle is plainly
     ``row_number() OVER (ORDER BY score, id)``.  Scores must be
-    non-null."""
+    non-null.
+
+    Round 15 (guide §2.5 / CLAUDE.md pin convention): profile_jobs
+    showed curriculum executing TWO serial single-task passes of
+    scan + score + the interpreted ``buckets``-literal fold — the
+    bucketed frame is consumed by both the window branch and the
+    bucket-count branch, and the fold additionally leaked into the
+    window branch's scan FILTER via the inner join's inferred
+    ``isnotnull(__bk)`` (a third evaluation per row).  Fixes:
+    ``_fan_out`` first (the fold is the CPU-heavy per-row stage and
+    inherits the scan's split count; no-op on multi-split inputs, so
+    nothing is paid at 100 TB), PIN the bucketed frame before its two
+    consumers (lazy localCheckpoint — the repo-wide rule for a frame
+    carrying an expensive computed column that is referenced twice;
+    exchange-subtree reuse cannot help here because column pruning
+    legitimately narrows the count branch), and a LEFT join for the
+    base offsets (an inner join infers the isnotnull and pushes the
+    fold into the scan filter; every window row's bucket has a count
+    row, so left+coalesce is identical)."""
+    from .dedup import _fan_out
     if buckets < 1:
         raise ValueError("buckets must be >= 1")
     s, i = F.col(score_col), F.col(id_col)
-    sample = (df.select(s.alias("__s"), i.alias("__i"),
+    fdf = _fan_out(df)
+    sample = (fdf.select(s.alias("__s"), i.alias("__i"),
                         F.md5(i.cast("string")).alias("__hk"))
                 .orderBy("__hk").limit(sample_cap)
                 .select("__s", "__i").collect())
@@ -458,7 +478,8 @@ def global_rank(df: DataFrame, score_col: str, id_col: str = "doc_id",
             lambda acc, x: acc + F.when(x <= cur, 1).otherwise(0))
     else:
         bucket = F.lit(0)
-    d = df.withColumn("__bk", bucket)
+    d = (fdf.withColumn("__bk", bucket)
+         .localCheckpoint(eager=False))
     w_in = Window.partitionBy("__bk").orderBy(s.asc(), i.asc())
     w_b = (Window.orderBy("__bk")
            .rowsBetween(Window.unboundedPreceding, -1))
@@ -466,10 +487,14 @@ def global_rank(df: DataFrame, score_col: str, id_col: str = "doc_id",
               .withColumn("__base", F.coalesce(F.sum("__c").over(w_b),
                                                F.lit(0)))
               .select("__bk", "__base"))
+    # LEFT join (every window row's bucket has a count row, so it never
+    # misses): an inner join would infer isnotnull(__bk) and re-evaluate
+    # the boundary fold inside a pushed-down filter
     return (d.withColumn("__within", F.row_number().over(w_in))
-             .join(F.broadcast(bases), "__bk")
+             .join(F.broadcast(bases), ["__bk"], "left")
              .withColumn(rank_col,
-                         (F.col("__base") + F.col("__within")).cast("long"))
+                         (F.coalesce(F.col("__base"), F.lit(0))
+                          + F.col("__within")).cast("long"))
              .drop("__bk", "__within", "__base"))
 
 
@@ -511,7 +536,9 @@ def grouped_rank(df: DataFrame, group_col: str, score_col: str,
     if buckets < 1:
         raise ValueError("buckets must be >= 1")
     g, s, i = F.col(group_col), F.col(score_col), F.col(id_col)
-    sample = (df.select(g.alias("__g"), s.alias("__s"), i.alias("__i"),
+    from .dedup import _fan_out
+    fdf = _fan_out(df)
+    sample = (fdf.select(g.alias("__g"), s.alias("__s"), i.alias("__i"),
                         F.md5(i.cast("string")).alias("__hk"))
                 .orderBy("__hk").limit(sample_cap)
                 .select("__g", "__s", "__i").collect())
@@ -537,7 +564,12 @@ def grouped_rank(df: DataFrame, group_col: str, score_col: str,
             lambda acc, x: acc + F.when(x <= cur, 1).otherwise(0))
     else:
         bucket = F.lit(0)
-    d = df.withColumn("__bk", bucket)
+    # Round 15: same fan_out + pin shape as :func:`global_rank` (the
+    # boundary fold is the CPU-heavy per-row stage, and the frame is
+    # consumed by both the window branch and the count branch; see the
+    # global_rank docstring for the full adjudication)
+    d = (fdf.withColumn("__bk", bucket)
+         .localCheckpoint(eager=False))
     w_b = (Window.partitionBy(group_col).orderBy("__bk")
            .rowsBetween(Window.unboundedPreceding, -1))
     bases = (d.groupBy(group_col, "__bk")

@@ -63,6 +63,23 @@ def test_strip_boilerplate_matches_gram_fp_list(spark, sf_dir):
     assert got == want
 
 
+def test_global_rank_single_compute_of_bucket_fold(spark, sf_dir):
+    """Round 15: global_rank's bucketed frame is pinned before its two
+    consumers (window + bucket counts), so the scan + score + the
+    interpreted boundary fold compute ONCE — the old shape ran them
+    once per branch (curriculum: two serial single-task passes) plus a
+    third time inside a pushed-down isnotnull filter from the inner
+    base join.  Pin: at most 2 parquet scans survive in the executed
+    plan (the boundary sample + the shard total; the ranked corpus
+    reads the pinned RDD), and no scan filter re-evaluates the fold."""
+    plan = plan_of(spark, "curriculum", sf_dir)
+    n_scans = plan.count("Scan parquet")
+    assert n_scans <= 2, plan[:4000]
+    import re
+    for m in re.finditer(r"DataFilters: \[[^\]]*\]", plan):
+        assert "aggregate(" not in m.group(0), m.group(0)[:300]
+
+
 # ------------------------------------------------- fused Lloyd rounds
 
 
