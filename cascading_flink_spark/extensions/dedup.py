@@ -66,6 +66,23 @@ def _fan_out(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
+def _no_push(pred: Column) -> Column:
+    """Pushdown barrier for a WHOLE filter predicate (round 15):
+    ``when(rand(0) > -1, pred) else false`` evaluates to ``pred``
+    identically (the guard is always true; rand(0) is seeded, so task
+    retries recompute the same — irrelevant — values), but the
+    nondeterministic guard lives INSIDE the ``when``, where
+    PushPredicateThroughNonJoin can neither push the filter nor split
+    the conjunction apart to push its deterministic conjuncts
+    individually (the failure mode of ``pred & rand-guard``, which the
+    optimizer splits).  Use it when a filter references EXPENSIVE
+    computed columns (regex chains) and pushdown would re-evaluate
+    them below a repartition/projection — the sibling of :func:`_once`
+    for predicates instead of projected expressions.  Codegen-friendly
+    (rand and when are codegen expressions)."""
+    return F.when(F.rand(0) > F.lit(-1.0), pred).otherwise(F.lit(False))
+
+
 def _once(col: Column) -> Column:
     """Nondeterminism barrier for an EXPENSIVE integer expression that a
     downstream filter references more than once: ``col + rand(0)*0``
